@@ -1,0 +1,76 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with a noop sink (full computation, no
+driver collect bottleneck). A warmup run of the flagship absorbs JVM/codegen
+startup so numbers reflect steady-state execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from data_ingestion_poc_spark import registry
+from data_ingestion_poc_spark.session import get_spark
+
+HEADLINE = [
+    "agg_hash_group",
+    "agg_distinct",
+    "agg_grouping_sets",
+    "join_inner_hash",
+    "join_broadcast",
+    "join_sort_merge",
+    "join_asof_time",
+    "win_topk_per_group",
+    "win_running_sum",
+    "limit_topk",
+    "set_union_distinct",
+    "filter_predicate",
+    "fn_hash",
+    "text_tokenize_tf",
+    "text_stats",
+    "dedup_exact_hash",
+    "sim_search_knn",
+    "stream_tumbling_agg",
+    "ingest_pipeline_e2e",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="dip-bench")
+    qs = registry.all_queries()
+
+    def run(name: str) -> float:
+        t0 = time.time()
+        df = qs[name].fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    run("agg_hash_group")  # warmup: JVM + codegen + parquet footer cache
+    times = {}
+    for name in HEADLINE:
+        if name in qs:
+            times[name] = round(run(name), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline query wall-clock, noop sink",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

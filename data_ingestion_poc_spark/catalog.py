@@ -1,0 +1,69 @@
+"""Catalog over the driver-generated parquet tables (TESTDATA.md).
+
+Maps the reference's schema-less file model (SURVEY.md section 1.3) to named
+DataFrames. Reads are plain ``spark.read.parquet`` so Catalyst gets predicate
+pushdown / column pruning for free; at 100 TB these would be external tables
+with partition columns, and the same accessors would resolve through the
+metastore instead of paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS); with
+    spark.sql.legacy.parquet.nanosAsLong it arrives as long ns. Convert to
+    TimestampType via INTEGER ns->us division (values ~1.7e18 overflow
+    double precision, so never divide as float). The data is us-aligned:
+    lossless."""
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = normalize_event_ts(df)
+    return df
+
+
+class Tables:
+    """Attribute-style access: ``t = Tables(spark, sf); t.lineitem``."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self._spark = spark
+        self._sf_dir = sf_dir
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name.startswith("_"):
+            raise AttributeError(name)
+        return table(self._spark, self._sf_dir, name)
+
+
+def load(spark: SparkSession, sf_dir: str) -> Tables:
+    return Tables(spark, sf_dir)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Expose every table as a temp view for spark.sql() queries."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

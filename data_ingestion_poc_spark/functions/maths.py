@@ -1,0 +1,56 @@
+"""Math functions (SURVEY.md section 2 B8 fn_math). Origin: the reference's
+numeric work is byte-size arithmetic and equality (A9 child.py:83-88).
+Transcendentals rounded to 6 dp for cross-engine float parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+
+
+@register(
+    "fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice * (1 - l_discount), 4) AS net,
+           ABS(l_discount - l_tax)                      AS abs_diff,
+           CAST(l_quantity AS BIGINT) % 7               AS qty_mod,
+           CAST(FLOOR(l_extendedprice / 1000) AS BIGINT) AS price_kfloor,
+           CAST(CEIL(l_quantity / 10) AS BIGINT)        AS qty_decile,
+           ROUND(sqrt(l_extendedprice), 6)              AS price_sqrt,
+           ROUND(ln(l_extendedprice), 6)                AS price_ln,
+           ROUND(pow(1 + l_tax, 2), 6)                  AS tax_sq,
+           CAST(sign(l_discount - 0.05) AS DOUBLE)      AS disc_sign,
+           greatest(l_quantity, 25.0)                   AS qty_hi,
+           least(l_quantity, 25.0)                      AS qty_lo
+    FROM lineitem
+    WHERE l_orderkey < 500
+    """,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic, abs, modulo, floor/ceil, sqrt/ln/pow, sign,
+    greatest/least."""
+    t = load(spark, sf_dir)
+    li = t.lineitem.where(F.col("l_orderkey") < 500)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        # round to 4 dp: the product of two 2-dp values lies exactly on the
+        # 1e-4 lattice, so rounding at 2 dp hits true half-ties where Spark
+        # (HALF_UP) and DuckDB (HALF_EVEN) disagree; at 4 dp it is exact.
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("net"),
+        F.abs(F.col("l_discount") - F.col("l_tax")).alias("abs_diff"),
+        (F.col("l_quantity").cast("bigint") % 7).alias("qty_mod"),
+        F.floor(F.col("l_extendedprice") / 1000).alias("price_kfloor"),
+        F.ceil(F.col("l_quantity") / 10).alias("qty_decile"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.round(F.pow(1 + F.col("l_tax"), 2), 6).alias("tax_sq"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        F.greatest(F.col("l_quantity"), F.lit(25.0)).alias("qty_hi"),
+        F.least(F.col("l_quantity"), F.lit(25.0)).alias("qty_lo"),
+    )

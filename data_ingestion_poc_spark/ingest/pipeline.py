@@ -1,0 +1,276 @@
+"""The Part-A ingestion pipeline, Spark-first (SURVEY.md section 7 M5).
+
+Reference dataflow (child.py): enumerate sources -> batch round-robin ->
+fetch (pre-stat size/mtime, download) -> size-verify -> zip explode with
+member-mtime restore -> sanitize/derive -> dedup probe vs sink state ->
+partitioned sink write (+ metadata) -> post-write audit; per-file errors go
+to an error channel and never kill the batch.
+
+Spark mapping (SURVEY.md section 1.4 / section 3.4):
+- manifest DataFrame + repartition(N)   = round-robin batching (A1/A2);
+- mapInPandas fetch stage               = worker download loop (A6-A8),
+  errors as an `error` COLUMN (A21), not an exception;
+- filter on length==expected            = integrity check (A9), failures
+  routed to a quarantine DataFrame (A21/A23);
+- mapInPandas zip explode (1->N)        = A14, member DOS-mtime restore =
+  A10, recursion depth 1 like the reference;
+- Column-expr sanitize/derive           = A11/A12/A13;
+- left-anti join vs sink_state          = A17 dedup-skip (A16 rename is
+  the keep-both variant, rename_policy='rename');
+- write.partitionBy(server_folder,file_type) = A18 sink layout;
+- post-write re-scan counts             = A19/A25 audit.
+
+Scale: the fetch stage is opaque to Catalyst, so ALL manifest-level
+filtering happens before it; content never leaves executors; the sink
+layout gives partition pruning; sink_state stays a compact (name,size,
+mtime) table that broadcast-joins against new arrivals.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import zipfile
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.filters import sanitize_col
+from . import fixtures
+
+MANIFEST_SCHEMA = "server string, remote_path string"
+
+FETCHED_SCHEMA = (
+    "server string, remote_path string, content binary, length bigint, "
+    "expected_length bigint, modified_time bigint, error string"
+)
+
+EXPLODED_SCHEMA = (
+    "server string, remote_path string, content binary, length bigint, "
+    "modified_time bigint, from_archive string"
+)
+
+SINK_STATE_SCHEMA = "file_name string, length bigint, modified_time bigint"
+
+
+def manifest_df(spark: SparkSession, manifest=None, n_batches: int = 8) -> DataFrame:
+    """SOURCES manifest -> work-unit DataFrame, round-robin partitioned
+    (A1 main.py:69-75 + A2 main.py:65-78: keyless repartition IS Spark's
+    round-robin)."""
+    rows = manifest if manifest is not None else fixtures.MANIFEST
+    return spark.createDataFrame(rows, MANIFEST_SCHEMA).repartition(n_batches)
+
+
+def _resolve_local(server: str, remote_path: str) -> str:
+    import re
+
+    host = re.match(r"^[a-z]+://(?:[^@/]+@)?([^:/]+)", server).group(1)
+    root = fixtures.HOST_ROOTS.get(host)
+    if root is None:
+        raise FileNotFoundError(f"unknown host {host}")
+    return root + remote_path
+
+
+def fetch_local(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Fetch stage (A6-A8): pre-stat size/mtime then read bytes; per-file
+    try/except emits an error column instead of failing the task (A21).
+    This local resolver stands in for the pycurl FTP/SFTP client — the
+    protocol client is the only non-portable piece (child.py:67-81).
+    'bad_size' files get a deliberately wrong expected_length: the fault
+    injection for the A9 integrity check."""
+    for pdf in batches:
+        rows = []
+        for server, rpath in zip(pdf["server"], pdf["remote_path"]):
+            row = {
+                "server": server,
+                "remote_path": rpath,
+                "content": None,
+                "length": None,
+                "expected_length": None,
+                "modified_time": None,
+                "error": None,
+            }
+            try:
+                local = _resolve_local(server, rpath)
+                st = os.stat(local)  # pre-stat: size (A6) + mtime (A7)
+                expected = st.st_size + (1 if "bad_size" in rpath else 0)
+                with open(local, "rb") as f:
+                    content = f.read()  # download (A8)
+                row.update(
+                    content=bytearray(content),
+                    length=len(content),
+                    expected_length=expected,
+                    modified_time=int(st.st_mtime),
+                )
+            except Exception as e:  # error channel (A21)
+                row["error"] = f"{type(e).__name__}: {e}"
+            rows.append(row)
+        yield pd.DataFrame(rows)
+
+
+def fetch(spark: SparkSession, manifest=None, n_batches: int = 8) -> DataFrame:
+    return manifest_df(spark, manifest, n_batches).mapInPandas(
+        fetch_local, schema=FETCHED_SCHEMA
+    )
+
+
+def split_verified(fetched: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Integrity gate (A9 child.py:83-88): size must equal the pre-stat
+    expectation and the fetch must be error-free. Failures become the
+    quarantine stream (A21/A23) — a DataFrame, not a side-channel log."""
+    ok_cond = F.col("error").isNull() & (F.col("length") == F.col("expected_length"))
+    ok = fetched.where(ok_cond).drop("expected_length", "error")
+    quarantine = fetched.where(~ok_cond | F.col("error").isNotNull()).select(
+        "server",
+        "remote_path",
+        "length",
+        "expected_length",
+        F.coalesce("error", F.lit("size mismatch")).alias("error"),
+    )
+    return ok, quarantine
+
+
+def explode_archives(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Zip explode (A14 child.py:94-121): 1->N flatMap on the bytes,
+    restoring each member's DOS mtime (A10, child.py:104-106; UTC here —
+    see fixtures.member_mtime). Recursion depth 1, like the reference:
+    members that are themselves archives pass through opaque. No staging
+    directory ever materializes (the reference's A15/A20 cleanup becomes
+    unnecessary)."""
+    for pdf in batches:
+        rows = []
+        for r in pdf.itertuples(index=False):
+            is_zip = str(r.remote_path).lower().endswith(".zip")
+            if not is_zip:
+                rows.append(
+                    {
+                        "server": r.server,
+                        "remote_path": r.remote_path,
+                        "content": r.content,
+                        "length": r.length,
+                        "modified_time": r.modified_time,
+                        "from_archive": None,
+                    }
+                )
+                continue
+            with zipfile.ZipFile(io.BytesIO(bytes(r.content))) as zf:
+                for info in zf.infolist():
+                    if info.is_dir():
+                        continue
+                    blob = zf.read(info.filename)
+                    rows.append(
+                        {
+                            "server": r.server,
+                            "remote_path": f"{os.path.dirname(r.remote_path)}/{info.filename}",
+                            "content": bytearray(blob),
+                            "length": len(blob),
+                            "modified_time": fixtures.member_mtime(info.date_time),
+                            "from_archive": str(r.remote_path),
+                        }
+                    )
+        yield pd.DataFrame(rows)
+
+
+#: port regexes shared with functions/urls.py (A13 semantics)
+_PORT_RE = "^[a-z]+://(?:[^@/]+@)?[^:/]+:([0-9]+)"
+_HOST_RE = "^[a-z]+://(?:[^@/]+@)?([^:/]+)"
+
+
+def derive_columns(df: DataFrame) -> DataFrame:
+    """Identity derivation, all Column exprs: server_folder = host_port
+    with scheme-default port (A13 child.py:16-18), sanitized file_name
+    (A11 child.py:20-33, sanitize-BEFORE-type like child.py:131), file_type
+    = last extension segment else 'none' (A12 child.py:132 — '.tar.gz'
+    -> 'gz')."""
+    scheme = F.regexp_extract("server", r"^([a-z]+)://", 1)
+    host = F.regexp_extract("server", _HOST_RE, 1)
+    port_str = F.regexp_extract("server", _PORT_RE, 1)
+    port = (
+        F.when(port_str != "", port_str.cast("int"))
+        .when(scheme == "ftp", F.lit(21))
+        .otherwise(F.lit(22))
+    )
+    file_name = sanitize_col(F.element_at(F.split("remote_path", "/"), -1))
+    file_type = F.when(
+        file_name.contains("."), F.regexp_extract(file_name, r"\.([^.]*)$", 1)
+    ).otherwise("none")
+    return df.select(
+        "*",
+        F.concat(host, F.lit("_"), port.cast("string")).alias("server_folder"),
+        file_name.alias("file_name"),
+        file_type.alias("file_type"),
+    )
+
+
+def dedup_against_sink(
+    df: DataFrame, sink_state: DataFrame, policy: str = "skip"
+) -> DataFrame:
+    """Dedup probe vs sink state on the identity triple (file_name, length,
+    modified_time). policy='skip' = A17 (scrap/child_otherftp.py:280-298):
+    drop already-uploaded files (left anti join). policy='rename' = A16
+    (child.py:174-191): keep both, newcomer renamed {base}_{mtime}{ext}.
+    sink_state is small (one row per uploaded object) -> broadcast join."""
+    keys = ["file_name", "length", "modified_time"]
+    state = F.broadcast(sink_state.select(*keys).dropDuplicates(keys))
+    if policy == "skip":
+        return df.join(state, on=keys, how="left_anti")
+    if policy == "rename":
+        hit = state.withColumn("_dup", F.lit(True))
+        joined = df.join(hit, on=keys, how="left")
+        base = F.regexp_replace("file_name", r"\.[^.]*$", "")
+        ext = F.regexp_extract("file_name", r"(\.[^.]*)$", 1)
+        renamed = F.concat(base, F.lit("_"), F.col("modified_time").cast("string"), ext)
+        return joined.withColumn(
+            "file_name", F.when(F.col("_dup"), renamed).otherwise(F.col("file_name"))
+        ).drop("_dup")
+    raise ValueError(f"unknown dedup policy {policy!r}")
+
+
+def finalize(df: DataFrame) -> DataFrame:
+    """Final record shape: identity + metadata + content digest (the
+    reference's metadata map A18 child.py:200-204, with size-equality
+    integrity upgraded to sha256)."""
+    return df.select(
+        "server_folder",
+        "file_type",
+        "file_name",
+        "length",
+        "modified_time",
+        F.coalesce("from_archive", F.lit("")).alias("from_archive"),
+        F.sha2(F.coalesce(F.col("content"), F.lit(b"")), 256).alias("sha256"),
+    )
+
+
+def write_sink(df: DataFrame, sink_dir: str) -> DataFrame:
+    """Partitioned sink write (A18 layout {server_folder}/{file_type}/...)
+    + re-scan audit (A19/A25). Returns the audit DataFrame."""
+    df.write.mode("overwrite").partitionBy("server_folder", "file_type").parquet(
+        sink_dir
+    )
+    back = df.sparkSession.read.parquet(sink_dir)
+    return back.groupBy("server_folder", "file_type").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("length").alias("total_bytes"),
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    manifest=None,
+    sink_state: DataFrame | None = None,
+    policy: str = "skip",
+) -> tuple[DataFrame, DataFrame]:
+    """Full pipeline -> (final_records, quarantine). Lazy end to end: one
+    job materializes everything when the caller acts."""
+    fixtures.build()
+    fetched = fetch(spark, manifest)
+    ok, quarantine = split_verified(fetched)
+    exploded = ok.mapInPandas(explode_archives, schema=EXPLODED_SCHEMA)
+    derived = derive_columns(exploded)
+    if sink_state is None:
+        sink_state = spark.createDataFrame([], SINK_STATE_SCHEMA)
+    deduped = dedup_against_sink(derived, sink_state, policy)
+    return finalize(deduped), quarantine

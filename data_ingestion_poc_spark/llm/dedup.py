@@ -1,0 +1,249 @@
+"""Deduplication family for training-data pipelines (SURVEY.md section 2
+B10), generalizing the reference's sink-state dedup probe (A16
+child.py:174-191, A17 scrap/child_otherftp.py:280-298) from
+(name,size,mtime) equality to content-level similarity.
+
+Scale ladder:
+1. exact:      hash-groupBy on a digest — one shuffle on the hash key;
+2. n-gram Jaccard: shingle -> inverted index -> candidate pairs -> exact
+   Jaccard (only pairs sharing a shingle are compared — never all-pairs);
+3. MinHash+LSH: constant-size signatures, banded bucket join (spark.ml);
+4. SimHash:    64-bit signature, dedup = groupBy on signature/bands;
+5. embedding cosine near-dup for semantic duplicates.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from ..catalog import load
+from ..registry import register
+
+
+def shingle_array(words, k: int):
+    """k-word shingles of a token array as a Column expr; empty when the
+    doc has fewer than k words (guards Spark's descending sequence())."""
+    n = F.size(words)
+    seq = F.transform(
+        F.sequence(F.lit(1), n - k + 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i, k)),
+    )
+    return F.when(n >= k, seq).otherwise(F.array().cast("array<string>"))
+
+
+@register(
+    "dedup_exact_hash",
+    oracle="""
+    SELECT sha256(lower(text)) AS content_hash,
+           COUNT(*)            AS n_copies,
+           MIN(doc_id)         AS keeper_doc_id
+    FROM documents
+    GROUP BY sha256(lower(text))
+    """,
+)
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: digest -> hash aggregate; keeper = MIN(doc_id)
+    (deterministic 'first writer wins', the A16 policy). At 100 TB the
+    shuffle carries (hash, partial count) only."""
+    t = load(spark, sf_dir)
+    return (
+        t.documents.select(
+            "doc_id", F.sha2(F.lower("text").cast("binary"), 256).alias("content_hash")
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+    )
+
+
+_JACCARD_ORACLE = """
+    WITH sh AS (
+      SELECT DISTINCT doc_id, shingle
+      FROM (
+        SELECT doc_id,
+               unnest([array_to_string(words[i:i+2], ' ')
+                       FOR i IN range(1, len(words) - 1)]) AS shingle
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS words
+              FROM documents WHERE doc_id < 200)
+      )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.30
+"""
+
+
+@register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs via an inverted shingle index:
+    explode shingles -> self equi-join on shingle (NOT all pairs) ->
+    intersection counts -> Jaccard >= 0.30. The equi-join on shingle is
+    the scalable trick: candidate generation is output-bound, and hot
+    shingles can be dropped (df cap) to kill skew at scale."""
+    t = load(spark, sf_dir)
+    docs = t.documents.where(F.col("doc_id") < 200).select(
+        "doc_id", F.split(F.lower("text"), " ").alias("words")
+    )
+    shingles = docs.select(
+        "doc_id", F.explode(shingle_array(F.col("words"), 3)).alias("shingle")
+    ).dropDuplicates(["doc_id", "shingle"])
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(jac >= 0.30)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+@register("dedup_minhash", oracle=None)  # LSH is algorithm-specific: rows-only
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates via spark.ml: shingle -> HashingTF
+    (2^18 sparse space) -> MinHashLSH banded signatures ->
+    approxSimilarityJoin. Signatures are constant-size per doc, and the
+    join only compares docs sharing an LSH bucket — the 100 TB path where
+    exact Jaccard's inverted index gets too hot."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    t = load(spark, sf_dir)
+    docs = t.documents.select("doc_id", F.split(F.lower("text"), " ").alias("words"))
+    shingled = docs.select(
+        "doc_id",
+        F.array_distinct(shingle_array(F.col("words"), 3)).alias("shingles"),
+    )
+    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
+    feats = tf.transform(shingled)
+    lsh = MinHashLSH(inputCol="features", outputCol="sig", numHashTables=8, seed=42)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 0.7, distCol="jaccard_dist")
+    return (
+        pairs.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round(1 - F.col("jaccard_dist"), 4).alias("jaccard_sim"),
+        )
+    )
+
+
+def _simhash_batch(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens, md5-based word hashes
+    (deterministic across runs/engines — no Python hash randomization)."""
+    import hashlib
+
+    out = []
+    for text in texts:
+        counts: dict[int, int] = {}
+        for w in str(text).lower().split(" "):
+            h = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
+            counts[h] = counts.get(h, 0) + 1
+        acc = [0] * 64
+        for h, c in counts.items():
+            for b in range(64):
+                acc[b] += c if (h >> b) & 1 else -c
+        sig = 0
+        for b in range(64):
+            if acc[b] > 0:
+                sig |= 1 << b
+        # two's-complement into signed int64
+        out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
+    return pd.Series(out)
+
+
+@register("dedup_simhash", oracle=None)  # custom signature: rows-only
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures (Arrow-batched pandas UDF — the documented
+    slow-path exception; everything around it stays JVM-side). Near-dup =
+    equal 16-bit bands; returns per-doc signature + band keys, so dedup is
+    a plain groupBy on any band at scale."""
+    simhash = F.pandas_udf(_simhash_batch, LongType())
+    t = load(spark, sf_dir)
+    sig = t.documents.select("doc_id", simhash("text").alias("simhash"))
+    band = lambda i: F.shiftrightunsigned("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF))
+    return sig.select(
+        "doc_id",
+        "simhash",
+        band(0).alias("band0"),
+        band(1).alias("band1"),
+        band(2).alias("band2"),
+        band(3).alias("band3"),
+    )
+
+
+_COSINE_DUP_ORACLE = """
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[]))
+                 / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(a.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])))), 4) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE a.vec_id < 100
+      AND list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+          / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(a.embedding AS DOUBLE[])))
+           * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])))) >= 0.5
+"""
+
+
+def dot_double(a, b):
+    """Sum of elementwise products in DOUBLE (cast before multiply so Spark
+    and DuckDB accumulate identically; keeps vector math in Column exprs
+    per SURVEY.md section 7 risk register)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+@register("dedup_embedding_cosine", oracle=_COSINE_DUP_ORACLE)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (semantic dedup). Brute-force pairs
+    with one probe side bounded — the oracle-checkable baseline; the scale
+    path is dedup_minhash-style LSH bucketing (see sim_search_ann)."""
+    t = load(spark, sf_dir)
+    emb = t.embeddings.select("vec_id", "embedding")
+    a = emb.where(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+    )
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    pairs = F.broadcast(a).join(b, F.col("vec_a") < F.col("vec_b"))
+    cos = dot_double(F.col("ea"), F.col("eb")) / (
+        F.sqrt(dot_double(F.col("ea"), F.col("ea")))
+        * F.sqrt(dot_double(F.col("eb"), F.col("eb")))
+    )
+    return pairs.where(cos >= 0.5).select(
+        "vec_a", "vec_b", F.round(cos, 4).alias("cosine")
+    )

@@ -1,0 +1,133 @@
+"""Similarity search over embedding columns (SURVEY.md section 2 B10
+sim_search_knn): brute-force cosine top-k as the oracle-checkable baseline,
+and an LSH-bucketed approximate variant as the 100 TB path.
+
+Vector math stays in Column expressions (zip_with + aggregate in DOUBLE) —
+no pandas round-trip, no float32 upcast drift (SURVEY.md section 7 risk
+register).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load
+from ..registry import register
+from .dedup import dot_double
+
+_KNN_ORACLE = """
+    WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
+             list_dot_product(q.e, c.e)
+               / (sqrt(list_dot_product(q.e, q.e))
+                * sqrt(list_dot_product(c.e, c.e))) AS cosine
+      FROM q JOIN c ON q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, label, ROUND(cosine, 4) AS cosine, rk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= 10
+"""
+
+
+@register("sim_search_knn", oracle=_KNN_ORACLE)
+def sim_search_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for 5 query vectors: broadcast the query
+    side, score every candidate (JVM-side dot products), keep k per query
+    via WindowGroupLimit. Exact — and embarrassingly parallel: candidates
+    never shuffle until the k-row-per-task frontier."""
+    t = load(spark, sf_dir)
+    emb = t.embeddings
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), "label", F.col("embedding").alias("ce")
+    )
+    pairs = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+    cos = dot_double(F.col("qe"), F.col("ce")) / (
+        F.sqrt(dot_double(F.col("qe"), F.col("qe")))
+        * F.sqrt(dot_double(F.col("ce"), F.col("ce")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.select("query_id", "neighbor_id", "label", cos.alias("cosine"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 10)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "label",
+            F.round("cosine", 4).alias("cosine"),
+            "rk",
+        )
+    )
+
+
+@register("sim_search_ann", oracle=None)  # approximate: rows-only check
+def sim_search_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via random-hyperplane LSH: 16 fixed signed
+    projections -> sign bits -> bucket key; candidates = same bucket only,
+    then exact cosine re-rank inside buckets. Deterministic (seeded
+    projections derived from index arithmetic, not RNG state). At 100 TB:
+    bucket key is a shuffle key — each query compares against a tiny
+    candidate set instead of the full corpus (IVF-style)."""
+    t = load(spark, sf_dir)
+    emb = t.embeddings.select("vec_id", "label", "embedding")
+    dim, nbits = 64, 16
+
+    # Deterministic pseudo-random hyperplanes: h[b][i] in {-1,+1} from a
+    # hash of (b, i) — reproducible across runs with no RNG object.
+    def plane_bit(b: int):
+        return F.when(
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    F.array(*[
+                        F.lit(1.0 if (((b * 1315423911) ^ (i * 2654435761)) >> 7) & 1 else -1.0)
+                        for i in range(dim)
+                    ]),
+                    lambda x, h: x.cast("double") * h,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            > 0,
+            F.lit(1),
+        ).otherwise(F.lit(0))
+
+    bucket = sum([plane_bit(b) * (1 << b) for b in range(nbits)])
+    sigs = emb.withColumn("bucket", bucket.cast("long"))
+    q = sigs.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        "bucket",
+    )
+    c = sigs.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"), "bucket"
+    )
+    cands = c.join(F.broadcast(q), on="bucket").where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    cos = dot_double(F.col("qe"), F.col("ce")) / (
+        F.sqrt(dot_double(F.col("qe"), F.col("qe")))
+        * F.sqrt(dot_double(F.col("ce"), F.col("ce")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        cands.select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 10)
+        .select("query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rk")
+    )

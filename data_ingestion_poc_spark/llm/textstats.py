@@ -1,0 +1,172 @@
+"""Text analysis for training-data pipelines (SURVEY.md section 2 B10):
+per-document stats, quality scoring, token counting, language-ID heuristic,
+document fingerprinting. All pure Column expressions (split /
+regexp_extract_all / higher-order filter) — JVM-side and linear-scan
+cheap, which is what lets them run over 100 TB of raw text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+
+#: tiny stopword list used by the quality/lang heuristics (English-ish,
+#: matches the synthetic corpus vocabulary).
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on")
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+#: BPE-ish token pattern: word pieces or single non-space punctuation.
+TOKEN_RE = "[A-Za-z0-9]+|[^A-Za-z0-9 ]"
+
+
+@register(
+    "text_stats",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars,
+           length(text)                                   AS n_chars_actual,
+           len(string_split(text, ' '))                   AS n_words,
+           len(regexp_extract_all(text, '{TOKEN_RE}'))    AS n_tokens,
+           len(list_filter(string_split(text, ' '),
+                           w -> w IN ({_STOP_SQL})))      AS n_stopwords,
+           ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                 / len(string_split(text, ' ')), 4)       AS avg_word_len
+    FROM documents
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document char/word/token/stopword counts + mean word length.
+    Token counting = whitespace words AND a BPE-ish regex tokenizer."""
+    t = load(spark, sf_dir)
+    words = F.split("text", " ")
+    return t.documents.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.length("text").alias("n_chars_actual"),
+        F.size(words).alias("n_words"),
+        F.size(F.regexp_extract_all("text", F.lit(TOKEN_RE), 0)).alias("n_tokens"),
+        F.size(F.filter(words, lambda w: w.isin(*STOPWORDS))).alias("n_stopwords"),
+        F.round(
+            F.length(F.regexp_replace("text", " ", "")).cast("double") / F.size(words),
+            4,
+        ).alias("avg_word_len"),
+    )
+
+
+@register(
+    "text_quality_score",
+    # floor-based truncation, NOT round: the 0.4/0.3/0.3 weights produce
+    # exact half-ties at the 4th decimal, where Spark (HALF_UP) and DuckDB
+    # (HALF_EVEN) disagree; floor on bit-identical doubles is engine-stable.
+    oracle=f"""
+    SELECT doc_id,
+           floor((
+             0.4 * least(len(string_split(text, ' ')) / 200.0, 1.0)
+           + 0.3 * (len(list_filter(string_split(text, ' '),
+                                    w -> w IN ({_STOP_SQL})))
+                    / CAST(len(string_split(text, ' ')) AS DOUBLE))
+           + 0.3 * (len(list_distinct(string_split(text, ' ')))
+                    / CAST(len(string_split(text, ' ')) AS DOUBLE))) * 10000)
+             / 10000 AS quality,
+           length(text) >= 100 AND length(text) <= 2000 AS len_ok
+    FROM documents
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score: length saturation + stopword ratio +
+    lexical diversity (the classic cheap pre-filters before expensive
+    model-based scoring)."""
+    t = load(spark, sf_dir)
+    words = F.split("text", " ")
+    n_words = F.size(words).cast("double")
+    n_stop = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+    n_distinct = F.size(F.array_distinct(words))
+    raw = (
+        0.4 * F.least(F.size(words) / F.lit(200.0), F.lit(1.0))
+        + 0.3 * (n_stop / n_words)
+        + 0.3 * (n_distinct / n_words)
+    )
+    quality = F.floor(raw * 10000) / 10000
+    return t.documents.select(
+        "doc_id",
+        quality.alias("quality"),
+        ((F.length("text") >= 100) & (F.length("text") <= 2000)).alias("len_ok"),
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang AS lang_label,
+           CASE WHEN len(list_filter(string_split(text, ' '),
+                                     w -> w IN ({_STOP_SQL})))
+                     / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 0.05
+                THEN 'en' ELSE 'unknown' END AS lang_guess
+    FROM documents
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-free language-ID heuristic: English stopword density. (A real
+    pipeline swaps in fastText/CLD3 behind the same column contract.)"""
+    t = load(spark, sf_dir)
+    words = F.split("text", " ")
+    ratio = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS))) / F.size(
+        words
+    ).cast("double")
+    return t.documents.select(
+        "doc_id",
+        F.col("lang").alias("lang_label"),
+        F.when(ratio >= 0.05, "en").otherwise("unknown").alias("lang_guess"),
+    )
+
+
+@register(
+    "text_tokenize_tf",
+    oracle="""
+    SELECT word, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+    FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+          FROM documents)
+    GROUP BY word
+    """,
+)
+def text_tokenize_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term/document frequencies: explode(split) -> groupBy(word).
+    Map-side partial aggregation keeps the shuffle at O(vocabulary), not
+    O(tokens) — the property that makes this viable at 100 TB."""
+    t = load(spark, sf_dir)
+    tokens = t.documents.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word")
+    )
+    return tokens.groupBy("word").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(text))                            AS exact_fp,
+           md5(array_to_string(
+                 list_sort(list_distinct(string_split(lower(text), ' '))),
+                 ' '))                                 AS bag_fp
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: exact digest + order-insensitive bag-of-words
+    digest (sorted distinct tokens) — the cheap keys for exact and
+    word-order-insensitive dedup respectively."""
+    t = load(spark, sf_dir)
+    low = F.lower("text")
+    bag = F.concat_ws(" ", F.array_sort(F.array_distinct(F.split(low, " "))))
+    return t.documents.select(
+        "doc_id",
+        F.md5(low.cast("binary")).alias("exact_fp"),
+        F.md5(bag.cast("binary")).alias("bag_fp"),
+    )

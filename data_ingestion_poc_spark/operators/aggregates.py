@@ -1,0 +1,168 @@
+"""Aggregations (SURVEY.md section 2 B4).
+
+Generalizes the reference's per-batch success accounting (A22,
+main.py:101-107 counts succeeded/failed batches) and dedup identity triples
+(A16/A17, child.py:183-184). Spark's hash aggregate does map-side partial
+aggregation automatically — at 100 TB the shuffle carries one partial row
+per (task, group), not raw rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load
+from ..registry import register
+
+
+@register(
+    "agg_hash_group",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2)
+                AS DOUBLE)                                                  AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                          * (1 + CAST(l_tax AS DECIMAL(18,4)))), 2)
+                AS DOUBLE)                                                  AS sum_charge,
+           ROUND(AVG(l_quantity), 4)                                        AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4)                                   AS avg_price,
+           ROUND(AVG(l_discount), 6)                                        AS avg_disc,
+           COUNT(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_hash_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship pricing-summary query (TPC-H Q1 shape): scan -> filter ->
+    hash aggregate, multi-measure. Partial aggregation happens map-side, so
+    the shuffle is O(groups), and only 8 of 11 lineitem columns are read
+    (column pruning). Generalizes A22 (main.py:101-107).
+
+    The disc_price/charge measures run in DECIMAL: their products sit
+    exactly on the 1e-4/1e-6 lattice, where double accumulation order can
+    straddle a round-half boundary differently per engine; decimal
+    arithmetic is exact, so the ROUND result is engine- and
+    partitioning-independent (output cast back to double)."""
+    t = load(spark, sf_dir)
+    price_d = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc_d = F.col("l_discount").cast("decimal(18,4)")
+    tax_d = F.col("l_tax").cast("decimal(18,4)")
+    return (
+        t.lineitem.where(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(price_d * (1 - disc_d)), 2)
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.round(F.sum(price_d * (1 - disc_d) * (1 + tax_d)), 2)
+            .cast("double")
+            .alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS distinct_parts,
+           COUNT(DISTINCT l_suppkey) AS distinct_supps,
+           COUNT(*)                  AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counts per group (the dedup identity triple of
+    A16/A17 reduced to cardinality). Spark expands multi-distinct via
+    EXPAND; at extreme scale prefer agg_approx_distinct."""
+    t = load(spark, sf_dir)
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.countDistinct("l_suppkey").alias("distinct_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register("agg_approx_distinct", oracle=None)  # approximate: rows-only check
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate — the 100 TB replacement for exact
+    distinct (fixed-size sketch per group, no EXPAND blowup)."""
+    t = load(spark, sf_dir)
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy (detail -> per-flag -> grand total) in one pass
+    via Spark's Expand operator."""
+    t = load(spark, sf_dir)
+    return t.lineitem.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+@register(
+    "agg_dedup_exact",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus, l_linenumber FROM lineitem",
+)
+def agg_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact full-row dedup over the projected columns (reference A16/A17
+    dedup on the (name, size, mtime) identity triple, child.py:183-184).
+    dropDuplicates == hash-shuffle on all columns; scales linearly."""
+    t = load(spark, sf_dir)
+    return t.lineitem.select(
+        "l_returnflag", "l_linestatus", "l_linenumber"
+    ).dropDuplicates()
+
+
+@register(
+    "agg_dedup_keyed",
+    oracle="""
+    SELECT c_nationkey, c_custkey, c_name, c_acctbal
+    FROM (
+      SELECT c_nationkey, c_custkey, c_name, c_acctbal,
+             row_number() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS rn
+      FROM customer
+    ) WHERE rn = 1
+    """,
+)
+def agg_dedup_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup with a deterministic keep-first policy (reference A16
+    keeps an existing blob and renames the newcomer, child.py:174-191 —
+    i.e. 'first writer wins'). row_number over an explicit ordering makes
+    the kept row deterministic, unlike bare dropDuplicates(keys)."""
+    t = load(spark, sf_dir)
+    w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    return (
+        t.customer.select("c_nationkey", "c_custkey", "c_name", "c_acctbal")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )

@@ -1,0 +1,323 @@
+"""Joins (SURVEY.md section 2 B3).
+
+The reference's only join-like construct is the dedup probe against sink
+state: an equi-join on the (name, size, mtime) identity triple with
+anti-join semantics (A16 child.py:174-191, A17
+scrap/child_otherftp.py:280-298). join_semi/join_anti generalize it; the
+rest are north-star extensions on the TPC-H-ish tables.
+
+Scale strategy per join:
+- small x large  -> broadcast() hint, no shuffle of the big side;
+- large x large  -> shuffled hash / sort-merge on the equi key (AQE picks,
+  and splits skewed partitions);
+- non-equi band  -> broadcast nested-loop with a TINY broadcast side only;
+- as-of          -> no built-in: union + last(ignoreNulls) over a
+  user-partitioned window = ONE shuffle on the partition key, instead of a
+  quadratic range join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load
+from ..registry import register
+
+
+@register(
+    "join_inner_hash",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, o.o_custkey, o.o_orderstatus,
+           ROUND(l.l_extendedprice * (1 - l.l_discount), 4) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F'
+    """,
+)
+def join_inner_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join, planner's choice of physical strategy (shuffled
+    hash / sort-merge; AQE may downgrade to broadcast after the filter).
+    The status filter is pushed below the join into the orders scan."""
+    t = load(spark, sf_dir)
+    o = t.orders.where(F.col("o_orderstatus") == "F")
+    return t.lineitem.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey",
+        "l_linenumber",
+        "o_custkey",
+        "o_orderstatus",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
+    )
+
+
+@register(
+    "join_broadcast",
+    oracle="""
+    SELECT c.c_custkey, n.n_name, r.r_name
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-dim broadcast chain (nation: 25 rows, region: 5). broadcast()
+    pins BroadcastHashJoin so the customer side never shuffles — at 100 TB
+    this is the difference between a map-side join and a full exchange."""
+    t = load(spark, sf_dir)
+    return (
+        t.customer.join(
+            F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", "n_name", "r_name")
+    )
+
+
+@register(
+    "join_sort_merge",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_lines,
+           ROUND(SUM(l.l_quantity), 2) AS sum_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_sort_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large x large equi join pinned to sort-merge via the MERGE hint.
+    Both sides shuffle once on the join key; the following aggregation
+    reuses nothing — at scale, bucketing both tables on o_orderkey removes
+    this exchange entirely."""
+    t = load(spark, sf_dir)
+    joined = t.lineitem.join(
+        t.orders.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment, big.n_big, ROUND(big.max_price, 2) AS max_price
+    FROM customer c
+    LEFT JOIN (
+      SELECT o_custkey, COUNT(*) AS n_big, MAX(o_totalprice) AS max_price
+      FROM orders WHERE o_totalprice > 400000
+      GROUP BY o_custkey
+    ) big ON c.c_custkey = big.o_custkey
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with null extension (customers without a qualifying
+    order keep NULL measure columns). Aggregate-then-join keeps the right
+    side small enough for AQE to broadcast."""
+    t = load(spark, sf_dir)
+    big = (
+        t.orders.where(F.col("o_totalprice") > 400000)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_big"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+    return t.customer.join(
+        big, F.col("c_custkey") == F.col("o_custkey"), "left"
+    ).select(
+        "c_custkey",
+        "c_mktsegment",
+        "n_big",
+        F.round("max_price", 2).alias("max_price"),
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    SELECT c.nationkey AS cust_nation, s.nationkey AS supp_nation
+    FROM (SELECT DISTINCT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000) c
+    FULL JOIN (SELECT DISTINCT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 9000) s
+      ON c.nationkey = s.nationkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join: rows surviving on either side only get NULL
+    extension on the other."""
+    t = load(spark, sf_dir)
+    c = (
+        t.customer.where(F.col("c_acctbal") > 9000)
+        .select(F.col("c_nationkey").alias("cust_nation"))
+        .distinct()
+    )
+    s = (
+        t.supplier.where(F.col("s_acctbal") > 9000)
+        .select(F.col("s_nationkey").alias("supp_nation"))
+        .distinct()
+    )
+    return c.join(s, F.col("cust_nation") == F.col("supp_nation"), "full").select(
+        "cust_nation", "supp_nation"
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000
+    )
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join — existence probe, emits the left row at most once.
+    This is the positive half of the reference's dedup probe (A16/A17)."""
+    t = load(spark, sf_dir)
+    big = t.orders.where(F.col("o_totalprice") > 450000)
+    return t.customer.join(
+        big, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+    )
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join — absence probe. Direct generalization of the
+    reference's dedup-skip: upload only files NOT already present in sink
+    state (scrap/child_otherftp.py:280-298)."""
+    t = load(spark, sf_dir)
+    big = t.orders.where(F.col("o_totalprice") > 400000)
+    return t.customer.join(
+        big, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+#: price-band dimension for the theta join (covers p_retailprice 900-1000)
+PRICE_BANDS: list[tuple[int, float, float]] = [
+    (0, 900.0, 925.0),
+    (1, 925.0, 950.0),
+    (2, 950.0, 975.0),
+    (3, 975.0, 1000.0),
+]
+
+
+def _bands_values() -> str:
+    return ",\n      ".join(f"({b}, {lo}, {hi})" for b, lo, hi in PRICE_BANDS)
+
+
+@register(
+    "join_theta_range",
+    oracle=f"""
+    SELECT p.p_partkey, b.band_id
+    FROM part p
+    JOIN (VALUES
+      {_bands_values()}) AS b(band_id, lo, hi)
+      ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi band join. Physical plan: BroadcastNestedLoopJoin with the
+    4-row band table broadcast — the only sane shape for theta joins at
+    scale (never NLJ two large sides; bucketize instead)."""
+    t = load(spark, sf_dir)
+    bands = spark.createDataFrame(PRICE_BANDS, "band_id int, lo double, hi double")
+    cond = (F.col("p_retailprice") >= F.col("lo")) & (
+        F.col("p_retailprice") < F.col("hi")
+    )
+    return t.part.join(F.broadcast(bands), cond).select("p_partkey", "band_id")
+
+
+@register(
+    "join_asof_time",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+           c.event_id AS click_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def join_asof_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent
+    prior-or-equal click. Spark has no ASOF JOIN, so: union both streams
+    tagged, one window partitioned by user ordered by (ts, tag), and
+    last(click_id, ignoreNulls) carries the latest click forward. ONE
+    shuffle on user_id — linear, vs the quadratic naive range join.
+    (SURVEY.md B3 'window trick'; ties broken click-before-purchase to
+    match ts >= semantics.)"""
+    t = load(spark, sf_dir)
+    ev = t.events
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("event_id").alias("click_id"),
+        F.lit(0).alias("tag"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(None).cast("long").alias("click_id"),
+        F.lit(1).alias("tag"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "click_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = clicks.unionByName(purchases).withColumn(
+        "last_click", F.last("click_id", ignorenulls=True).over(w)
+    )
+    return merged.where(F.col("tag") == 1).select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+        F.col("last_click").alias("click_id"),
+    )
+
+
+@register(
+    "join_interval_overlap",
+    oracle="""
+    SELECT a.o_orderkey AS a_key, b.o_orderkey AS b_key
+    FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS s,
+                 CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS e
+          FROM orders WHERE o_orderkey < 200) a
+    JOIN (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS s,
+                 CAST(o_orderdate + INTERVAL 45 DAY AS DATE) AS e
+          FROM orders WHERE o_orderkey >= 200 AND o_orderkey < 400) b
+      ON a.s < b.e AND b.s < a.e
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval overlap via conjunctive range predicates (s1 < e2 AND
+    s2 < e1). Small side broadcast; for two LARGE interval sets, the scale
+    path is binning each interval to fixed-width buckets and equi-joining
+    on bucket id before the residual predicate."""
+    t = load(spark, sf_dir)
+    a = t.orders.where(F.col("o_orderkey") < 200).select(
+        F.col("o_orderkey").alias("a_key"),
+        F.to_date("o_orderdate").alias("a_s"),
+        F.date_add(F.to_date("o_orderdate"), 30).alias("a_e"),
+    )
+    b = t.orders.where((F.col("o_orderkey") >= 200) & (F.col("o_orderkey") < 400)).select(
+        F.col("o_orderkey").alias("b_key"),
+        F.to_date("o_orderdate").alias("b_s"),
+        F.date_add(F.to_date("o_orderdate"), 45).alias("b_e"),
+    )
+    cond = (F.col("a_s") < F.col("b_e")) & (F.col("b_s") < F.col("a_e"))
+    return a.join(F.broadcast(b), cond).select("a_key", "b_key")

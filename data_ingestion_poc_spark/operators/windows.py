@@ -1,0 +1,167 @@
+"""Window functions (SURVEY.md section 2 B5). All extensions (no windows in
+the reference; win_topk_per_group k=1 is the 'keep-first' shape of the A16
+dedup-rename policy).
+
+Scale notes: a window = one shuffle on partitionBy keys + per-partition
+sort. Never use Window.orderBy without partitionBy on big data (single
+task); the only such use here is sort_multi_key's position column on a
+filtered slice. Running frames are incremental; range frames include peer
+rows so no unique-tiebreak is needed there.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load
+from ..registry import register
+
+
+@register(
+    "win_rank",
+    oracle="""
+    SELECT c_nationkey, c_custkey, c_acctbal,
+           rank()       OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS rnk,
+           dense_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS drnk,
+           row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn
+    FROM customer
+    """,
+)
+def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank per partition (tie-stable by definition) plus
+    row_number over a total order (unique c_custkey tiebreak keeps it
+    deterministic)."""
+    t = load(spark, sf_dir)
+    w_ties = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc())
+    w_total = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return t.customer.select(
+        "c_nationkey",
+        "c_custkey",
+        "c_acctbal",
+        F.rank().over(w_ties).alias("rnk"),
+        F.dense_rank().over(w_ties).alias("drnk"),
+        F.row_number().over(w_total).alias("rn"),
+    )
+
+
+@register(
+    "win_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer. Spark pushes a per-partition limit below
+    the final sort for rank<=k filters (WindowGroupLimit), so each task
+    keeps only k rows per key before the shuffle — the scalable top-k-per-
+    group idiom. (A16's dedup-rename is this with k=1.)"""
+    t = load(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        t.orders.select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "win_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+           COUNT(*) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_orders_so_far
+    FROM orders
+    """,
+)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative frame per customer over order time (unique o_orderkey
+    tiebreak makes the running values deterministic)."""
+    t = load(spark, sf_dir)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t.orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+        F.count(F.lit(1)).over(w).alias("n_orders_so_far"),
+    )
+
+
+@register(
+    "win_lag_lead",
+    oracle="""
+    SELECT user_id, event_id, event_type,
+           lag(event_type)  OVER w AS prev_type,
+           lead(event_type) OVER w AS next_type,
+           CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+             - lag(CAST(epoch(date_trunc('second', ts)) AS BIGINT)) OVER w
+             AS secs_since_prev
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic offsets over each user's event timeline; the epoch delta is
+    integer seconds (events have whole-second spacing at us precision is
+    not guaranteed, so compute on BIGINT epoch to dodge float drift)."""
+    t = load(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp("ts")
+    return t.events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        (epoch - F.lag(epoch).over(w)).alias("secs_since_prev"),
+    )
+
+
+@register(
+    "win_range_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                          RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW) AS n_in_band,
+           ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                          RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW), 2) AS sum_in_band
+    FROM orders
+    """,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based RANGE frame (peers included, so tie-safe without a
+    tiebreaker). Expressed via SQL window syntax through selectExpr —
+    same Catalyst plan as the Window API."""
+    t = load(spark, sf_dir)
+    frame = (
+        "OVER (PARTITION BY o_custkey ORDER BY o_totalprice "
+        "RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW)"
+    )
+    return t.orders.selectExpr(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        f"count(*) {frame} AS n_in_band",
+        f"round(sum(o_totalprice) {frame}, 2) AS sum_in_band",
+    )

@@ -1,0 +1,93 @@
+"""Query registry: the single source of truth for the driver contract.
+
+Every operator from SURVEY.md section 2 Part B registers here with
+``@register(name, oracle=...)``. ``__spark_entry__.py`` exposes the registry
+as ``queries()`` / ``oracle_sql()``. Oracle SQL is ANSI SQL runnable by
+DuckDB over the same parquet views; ``oracle=None`` marks an op as
+non-SQL-expressible (driver records a rows-only check).
+
+Parity conventions (SURVEY.md section 7 risk register):
+- alias every computed column identically in Spark and SQL;
+- ROUND doubles (2 dp for sums of 2-dp money, >=4 dp for averages);
+- cast integer SUMs to BIGINT in DuckDB (it widens to HUGEINT);
+- output timestamps as 'yyyy-MM-dd HH:mm:ss' strings when sub-second
+  precision or ns-vs-us width could differ.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# Modules whose import registers queries. Extend as operators land.
+MODULES = [
+    "data_ingestion_poc_spark.operators.scans",
+    "data_ingestion_poc_spark.operators.filters",
+    "data_ingestion_poc_spark.operators.joins",
+    "data_ingestion_poc_spark.operators.aggregates",
+    "data_ingestion_poc_spark.operators.windows",
+    "data_ingestion_poc_spark.operators.sorts",
+    "data_ingestion_poc_spark.operators.setops",
+    "data_ingestion_poc_spark.functions.strings",
+    "data_ingestion_poc_spark.functions.urls",
+    "data_ingestion_poc_spark.functions.datetimes",
+    "data_ingestion_poc_spark.functions.maths",
+    "data_ingestion_poc_spark.functions.arrays",
+    "data_ingestion_poc_spark.functions.maps",
+    "data_ingestion_poc_spark.functions.jsons",
+    "data_ingestion_poc_spark.functions.hashes",
+    "data_ingestion_poc_spark.llm.textstats",
+    "data_ingestion_poc_spark.llm.dedup",
+    "data_ingestion_poc_spark.llm.similarity",
+    "data_ingestion_poc_spark.llm.multimodal",
+    "data_ingestion_poc_spark.streaming.batch_parity",
+    "data_ingestion_poc_spark.ingest.pipeline_queries",
+]
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # ANSI SQL for DuckDB, or None for rows-only check
+    doc: str | None
+
+
+_REGISTRY: dict[str, Query] = {}
+_LOADED = False
+
+
+def register(name: str, oracle: str | None = None):
+    """Decorator: register fn(spark, sf_dir) -> DataFrame under `name`."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        _REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, doc=fn.__doc__)
+        return fn
+
+    return deco
+
+
+def import_all() -> None:
+    global _LOADED
+    if _LOADED:
+        return
+    for mod in MODULES:
+        importlib.import_module(mod)
+    _LOADED = True
+
+
+def all_queries() -> dict[str, Query]:
+    import_all()
+    return dict(_REGISTRY)
+
+
+def get(name: str) -> Query:
+    import_all()
+    return _REGISTRY[name]

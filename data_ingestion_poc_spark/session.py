@@ -1,0 +1,48 @@
+"""SparkSession factory: local-mode for tests/bench, cluster-ready knobs.
+
+Design notes for 100 TB (SURVEY.md section 4.2):
+- AQE on: runtime join-strategy switching, partition coalescing, skew-join
+  splitting replace any hand-tuned physical planning.
+- Arrow on: every pandas-UDF stage (zip explode, embedding math fallbacks,
+  multimodal decode) moves columnar batches, not pickled rows.
+- UTC session timezone: parquet timestamps are naive; pinning UTC keeps
+  Spark and the DuckDB oracle byte-identical on datetime output.
+- shuffle.partitions is a knob (env DIP_SHUFFLE_PARTITIONS); on a real
+  cluster you would size it so post-shuffle partitions are ~100-200 MB.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def builder(
+    app_name: str = "data-ingestion-poc-spark",
+    cpus: int | str | None = None,
+    shuffle_partitions: int | str | None = None,
+) -> SparkSession.Builder:
+    cpus = str(cpus or os.environ.get("SPARK_GRAFT_CPUS") or "32")
+    sp = str(shuffle_partitions or os.environ.get("DIP_SHUFFLE_PARTITIONS") or "32")
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", sp)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # TESTDATA events.ts is parquet TIMESTAMP(NANOS) which Spark cannot
+        # read natively; read as long and convert in catalog (us-lossless).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("DIP_DRIVER_MEMORY", "12g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+
+
+def get_spark(**kwargs) -> SparkSession:
+    return builder(**kwargs).getOrCreate()

@@ -1,0 +1,256 @@
+"""Streaming operators with batch-parity oracles (SURVEY.md section 2 B9).
+
+Each query REALLY streams (file source, Trigger.AvailableNow, memory sink)
+and is checked against the equivalent batch SQL in DuckDB — mirroring how
+the reference equated cron-rerun with continuity (README.md:106-119).
+
+Scale/state notes: tumbling/sliding aggs keep one state row per (window,
+key); session windows merge state per user; watermarks bound ALL of it —
+without them state grows forever on a real stream. Complete mode is used
+only where the full result is the contract (dashboard-style aggs);
+update/append elsewhere.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..registry import register
+from .core import events_stream, run_available_now
+
+
+@register(
+    "stream_tumbling_agg",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows over the event stream (epoch-aligned, same
+    grid as date_trunc). Complete mode: every window is in the sink."""
+    sdf = events_stream(spark, sf_dir)
+    agg = (
+        sdf.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_available_now(agg, "complete")
+
+
+@register(
+    "stream_sliding_agg",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '15 minutes', ts) - to_minutes(15 * k),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)
+    GROUP BY 1
+    """,
+)
+def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour windows every 15 minutes: each event lands in exactly
+    4 windows (the oracle expands them with a k=0..3 cross join)."""
+    sdf = events_stream(spark, sf_dir)
+    agg = (
+        sdf.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_available_now(agg, "complete")
+
+
+@register(
+    "stream_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL '30 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    numbered AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(MAX(ts) + INTERVAL '30 minutes',
+                    '%Y-%m-%d %H:%M:%S.%f')          AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (30-minute gap). The batch oracle is the
+    classic gap-islands rewrite; Spark's session_window end = last event +
+    gap, which the oracle reproduces. Complete mode (update is unsupported
+    for session windows): the sink holds every merged session."""
+    sdf = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = (
+        sdf.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            F.date_format(F.col("w.end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_end"
+            ),
+            "n_events",
+        )
+    )
+    return run_available_now(agg, "complete")
+
+
+@register(
+    "stream_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming dedup on (user_id, event_type) within the
+    watermark (the checkpointed upgrade of the reference's at-least-once
+    cron + dedup-probe idempotency, A16/A17). Key-only output keeps the
+    kept-row choice deterministic."""
+    sdf = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    deduped = sdf.select("user_id", "event_type", "ts").dropDuplicates(
+        ["user_id", "event_type"]
+    ).select("user_id", "event_type")
+    return run_available_now(deduped, "append")
+
+
+_STATE_SCHEMA = "n_events bigint, sum_value double, n_purchases bigint"
+_OUT_SCHEMA = (
+    "user_id bigint, n_events bigint, sum_value double, n_purchases bigint"
+)
+
+
+def _user_counters(key, pdfs, state: GroupState):
+    """applyInPandasWithState update function: running per-user counters.
+    State = (n_events, sum_value, n_purchases); emits current totals each
+    batch (single batch here => final totals)."""
+    n, s, p = state.get if state.exists else (0, 0.0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        s += float(pdf["value"].sum())
+        p += int((pdf["event_type"] == "purchase").sum())
+    state.update((n, s, p))
+    yield pd.DataFrame(
+        [{"user_id": key[0], "n_events": n, "sum_value": s, "n_purchases": p}]
+    )
+
+
+@register(
+    "stream_stateful",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_purchases
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful streaming via applyInPandasWithState (custom
+    per-user counters the built-in aggs can't express in one operator).
+    Arrow-batched; state is a fixed-width tuple per user — bounded."""
+    sdf = events_stream(spark, sf_dir)
+    counters = sdf.groupBy("user_id").applyInPandasWithState(
+        _user_counters,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    final = run_available_now(counters, "update")
+    return final.select(
+        "user_id",
+        "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
+        "n_purchases",
+    )
+
+
+@register("stream_watermark_late", oracle=None)  # semantics doc'd; rows-only
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark + late-data drop, made observable: the events table is
+    restaged as two files (recent data first, stragglers second) and
+    consumed one file per micro-batch. After batch 1 the watermark sits at
+    max(recent ts) - 10min, so batch 2's old rows are late beyond the
+    watermark and are DROPPED from the tumbling aggregation. Append mode
+    emits only watermark-finalized windows. Rows-only check by design —
+    the result is defined by watermark semantics, not by a SQL equivalent
+    (tests/test_streaming.py pins the drop behavior)."""
+    import os
+    import tempfile
+
+    from ..catalog import load
+
+    batch = load(spark, sf_dir).events  # ns->us normalized timestamps
+    cutoff = "2024-01-06 00:00:00"
+    stage = os.path.join(
+        tempfile.gettempdir(), f"dip_stream_late_{os.path.basename(sf_dir)}"
+    )
+    recent_dir = os.path.join(stage, "in")
+    if not os.path.exists(os.path.join(stage, "_STAGED")):
+        batch.where(F.col("ts") >= cutoff).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(stage, "recent")
+        )
+        batch.where(F.col("ts") < cutoff).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(stage, "late")
+        )
+        os.makedirs(recent_dir, exist_ok=True)
+        # file source orders by modification time: make 'recent' strictly older
+        import glob
+        import shutil
+
+        for i, (sub, mtime) in enumerate([("recent", 1_000_000), ("late", 2_000_000)]):
+            for f in glob.glob(os.path.join(stage, sub, "*.parquet")):
+                dst = os.path.join(recent_dir, f"{i}_{sub}.parquet")
+                shutil.copy(f, dst)
+                os.utime(dst, (mtime, mtime))
+        open(os.path.join(stage, "_STAGED"), "w").close()
+    sdf = (
+        spark.readStream.schema(spark.read.parquet(recent_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(recent_dir)
+    )
+    agg = (
+        sdf.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+        )
+    )
+    return run_available_now(agg, "append")

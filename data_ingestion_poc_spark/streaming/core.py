@@ -1,0 +1,61 @@
+"""Structured Streaming plumbing (SURVEY.md section 2 B9).
+
+The reference's 'streaming' is a cron loop re-running the batch pipeline
+with dedup for idempotency (README.md:106-119 + A16/A17) — at-least-once
+plus manual dedup. Here that upgrades to checkpointed Structured Streaming:
+file source + Trigger.AvailableNow IS the cron-rerun semantic, done right
+(exactly-once bookkeeping, watermark-bounded state).
+
+Every B9 query runs a REAL streaming query (memory sink, AvailableNow) and
+returns its result table, so the DuckDB batch oracle checks true
+stream/batch parity.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table (schema from a batch peek;
+    file streams require an explicit schema). The ns->us timestamp
+    normalization is applied on the stream exactly as in the batch
+    catalog, so stream/batch parity is apples-to-apples."""
+    import os
+    import tempfile
+
+    from ..catalog import normalize_event_ts
+
+    # The file stream source requires a DIRECTORY; stage one containing a
+    # symlink to the events parquet (zero-copy).
+    src = os.path.join(sf_dir, "events.parquet")
+    stage = os.path.join(
+        tempfile.gettempdir(), f"dip_stream_src_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    schema = spark.read.parquet(src).schema
+    sdf = spark.readStream.schema(schema).parquet(stage)
+    return normalize_event_ts(sdf)
+
+
+def run_available_now(sdf: DataFrame, output_mode: str) -> DataFrame:
+    """Execute a streaming DataFrame to completion with
+    Trigger.AvailableNow into a uniquely-named memory sink and return the
+    materialized result. Single-batch file source + update/complete mode =>
+    the sink holds exactly the final state."""
+    spark = sdf.sparkSession
+    name = "mem_" + uuid.uuid4().hex[:12]
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

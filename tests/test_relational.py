@@ -1,0 +1,69 @@
+"""Smoke + semantics tests for the relational core (sf0.001). The heavy
+cross-engine check lives in tools/check_oracle.py (and the driver's t2);
+these tests pin Spark-side semantics and plan shapes."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_ingestion_poc_spark import registry
+from data_ingestion_poc_spark.operators.filters import SANITIZE_GOLDEN, sanitize_col
+
+
+def test_flagship_shape(spark, sf_dir):
+    df = registry.get("agg_hash_group").fn(spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert rows[0]["count_order"] > 0
+    assert set(df.columns) == {
+        "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+        "sum_disc_price", "sum_charge", "avg_qty", "avg_price", "avg_disc",
+        "count_order",
+    }
+
+
+def test_sanitize_golden_cases(spark):
+    """The reference's nine unit tests (tests/test_basic.py:18-80), run
+    through the Column-expression port."""
+    df = spark.createDataFrame(
+        [(i, raw) for i, raw, _ in SANITIZE_GOLDEN], "input_id int, raw string"
+    ).select("input_id", sanitize_col(F.col("raw")).alias("got"))
+    got = {r["input_id"]: r["got"] for r in df.collect()}
+    for i, _, expected in SANITIZE_GOLDEN:
+        assert got[i] == expected, f"case {i}: {got[i]!r} != {expected!r}"
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    df = registry.get("limit_topk").fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_broadcast_join_plan(spark, sf_dir):
+    df = registry.get("join_broadcast").fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_scan_pushdown(spark, sf_dir):
+    """Filter + projection must reach the parquet scan."""
+    df = registry.get("scan_parquet").fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    assert "LessThanOrEqual(l_quantity" in plan
+
+
+def test_asof_join_semantics(spark, sf_dir):
+    """Every purchase maps to the latest prior click of the same user."""
+    res = registry.get("join_asof_time").fn(spark, sf_dir)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purchases = {r["event_id"]: r for r in ev.where("event_type='purchase'").collect()}
+    clicks = ev.where("event_type='click'").collect()
+    checked = 0
+    for row in res.limit(2000).collect():
+        p = purchases[row["event_id"]]
+        prior = [c for c in clicks if c["user_id"] == p["user_id"] and c["ts"] <= p["ts"]]
+        expect = max(prior, key=lambda c: (c["ts"], c["event_id"]))["event_id"] if prior else None
+        assert row["click_id"] == expect
+        checked += 1
+    assert checked > 0

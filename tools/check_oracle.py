@@ -1,0 +1,97 @@
+"""Local differential harness: run every registered query on Spark AND its
+DuckDB oracle, canonicalize both frames, and diff — the pre-flight for the
+driver's CORRECTNESS gate.
+
+Usage: python tools/check_oracle.py [--sf SF_DIR] [query ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import sys
+import time
+import traceback
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from data_ingestion_poc_spark import registry
+from data_ingestion_poc_spark.catalog import TABLES
+from data_ingestion_poc_spark.session import get_spark
+
+
+def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    out = {}
+    for col in sorted(df.columns):
+        s = df[col]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            s = s.dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+        elif pd.api.types.is_float_dtype(s):
+            s = s.map(
+                lambda v: "NULL"
+                if v is None or (isinstance(v, float) and math.isnan(v))
+                else f"{float(v):.6f}"
+            )
+        elif s.dtype == object:
+            s = s.map(lambda v: "NULL" if v is None else str(v))
+        s = s.astype(str)
+        out[col] = s
+    res = pd.DataFrame(out)
+    return res.sort_values(list(res.columns)).reset_index(drop=True)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default=os.environ.get("DIP_SF_DIR", "/root/testdata/sf0.01"))
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    spark = get_spark(shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
+        )
+
+    qs = registry.all_queries()
+    names = args.names or sorted(qs)
+    n_pass = n_fail = n_rowsonly = 0
+    for name in names:
+        q = qs[name]
+        t0 = time.time()
+        try:
+            sp = q.fn(spark, args.sf).toPandas()
+            if q.oracle is None:
+                n_rowsonly += 1
+                print(f"  ROWS-ONLY {name}: {len(sp)} rows [{time.time()-t0:.1f}s]")
+                continue
+            du = con.execute(q.oracle).df()
+            a, b = canonicalize(sp), canonicalize(du)
+            if sorted(a.columns) != sorted(b.columns):
+                raise AssertionError(f"columns differ: {list(a.columns)} vs {list(b.columns)}")
+            if len(a) != len(b):
+                raise AssertionError(f"row counts differ: spark={len(a)} duckdb={len(b)}")
+            if not a.equals(b):
+                neq = (a != b).any(axis=1)
+                diff = pd.concat(
+                    [a[neq].head(5).add_prefix("spark_"), b[neq].head(5).add_prefix("duck_")],
+                    axis=1,
+                )
+                raise AssertionError(f"{int(neq.sum())} rows differ:\n{diff.to_string()}")
+            n_pass += 1
+            print(f"  PASS      {name}: {len(sp)} rows [{time.time()-t0:.1f}s]")
+        except Exception as e:
+            n_fail += 1
+            msg = str(e) if isinstance(e, AssertionError) else traceback.format_exc(limit=25)
+            print(f"  FAIL      {name}: {msg}")
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
