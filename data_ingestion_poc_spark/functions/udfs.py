@@ -1,0 +1,132 @@
+"""UDF surface demonstration (SURVEY.md section 2 B10 `udf_surface`).
+
+The engine's UDF strategy (SURVEY.md section 2, "UDF/UDAF/UDTF surface
+decision"): built-in Column expressions everywhere possible; when Python is
+unavoidable, Arrow-batched pandas UDFs (vectorized, ~10-100x faster than
+row-at-a-time); plain scalar @udf only for inherently per-row side-effecting
+work (the ingest fetch stage, pipeline.py); @udtf for 1->N row generation;
+applyInPandas for grouped-map logic; applyInPandasWithState for streaming
+state (streaming/batch_parity.py).
+
+Both queries here are ORACLE-CHECKED: every UDF computes something a pure
+SQL expression can reproduce, so DuckDB verifies the Python results
+bit-for-bit. That is the point — the UDF plumbing (serialization, Arrow
+batching, schema contracts) is what is under test, not novel math.
+
+Scale notes (100 TB): the scalar @udf column is deliberately the slow path
+and documented as such; the pandas UDF and applyInPandas stages move
+Arrow columnar batches and scale linearly with no shuffle beyond the
+grouped-map's own groupBy exchange. The UDTF is a narrow 1->N flatMap --
+no shuffle at all, pipeline-parallel per input split.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import udtf
+from pyspark.sql.types import IntegerType, StringType
+
+from ..catalog import load, register_views
+from ..llm.textstats import TOKEN_RE
+from ..registry import register
+
+ZSCHEMA = (
+    "doc_id bigint, lang string, rev_words string, n_tokens int, z_chars double"
+)
+
+
+# DataType objects, not DDL strings: DDL parsing happens lazily and can
+# land inside a Python worker with no active session.
+@F.udf(StringType())
+def _rev_words(text):
+    # Row-at-a-time scalar UDF: the deliberately-slow path, kept tiny.
+    if text is None:
+        return None
+    return " ".join(reversed(text.split(" ")))
+
+
+@F.pandas_udf(IntegerType())
+def _n_tokens(texts: pd.Series) -> pd.Series:
+    # Vectorized over Arrow batches; pandas' regex count == DuckDB's
+    # len(regexp_extract_all(...)) (non-overlapping matches).
+    return texts.str.count(TOKEN_RE).astype("int32")
+
+
+def _lang_zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+    # Grouped-map: per-language z-score of document length. ddof=1 matches
+    # SQL STDDEV_SAMP; the raw double is rounded Spark-side for parity.
+    mu = pdf["n_chars"].mean()
+    sd = pdf["n_chars"].std(ddof=1)
+    out = pdf[["doc_id", "lang", "rev_words", "n_tokens"]].copy()
+    out["z_chars"] = (pdf["n_chars"] - mu) / sd
+    return out
+
+
+@register(
+    "udf_surface",
+    oracle=f"""
+    SELECT doc_id, lang,
+           array_to_string(list_reverse(string_split(text, ' ')), ' ')
+                                                        AS rev_words,
+           len(regexp_extract_all(text, '{TOKEN_RE}'))  AS n_tokens,
+           ROUND((n_chars - AVG(n_chars) OVER (PARTITION BY lang))
+                 / STDDEV_SAMP(n_chars) OVER (PARTITION BY lang), 4)
+                                                        AS z_chars
+    FROM documents
+    """,
+)
+def udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three UDF flavors in one oracle-checked query: scalar @udf
+    (word-order reverse), Arrow @pandas_udf (regex token count), and
+    groupBy().applyInPandas (per-language length z-score). The fourth
+    flavor, applyInPandasWithState, is exercised by `stream_stateful`;
+    mapInPandas by the ingest fetch/explode stages (A6-A8, A14 at
+    reference child.py:35-81, child.py:94-121)."""
+    t = load(spark, sf_dir)
+    prepped = t.documents.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        _rev_words("text").alias("rev_words"),
+        _n_tokens("text").alias("n_tokens"),
+    )
+    z = prepped.groupBy("lang").applyInPandas(_lang_zscore, schema=ZSCHEMA)
+    return z.withColumn("z_chars", F.round("z_chars", 4))
+
+
+@udtf(returnType="doc_id: bigint, pos: bigint, word: string")
+class WordExplode:
+    """Python UDTF: 1->N flatMap of a document into positioned words —
+    the same generator shape as the ingest zip-explode (A14, reference
+    child.py:94-121), but pure so DuckDB can oracle-check it."""
+
+    def eval(self, doc_id: int, text: str):
+        if text is None:
+            return
+        for i, w in enumerate(text.split(" "), start=1):
+            yield doc_id, i, w
+
+
+@register(
+    "udtf_explode",
+    oracle="""
+    SELECT doc_id,
+           CAST(unnest(range(1, len(string_split(text, ' ')) + 1))
+                AS BIGINT)                        AS pos,
+           unnest(string_split(text, ' '))        AS word
+    FROM documents
+    """,
+)
+def udtf_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral-join a Python UDTF against the documents table: each doc
+    row fans out to one row per word with its 1-based position."""
+    register_views(spark, sf_dir)
+    spark.udtf.register("word_explode", WordExplode)
+    return spark.sql(
+        """
+        SELECT t.doc_id, t.pos, t.word
+        FROM documents d, LATERAL word_explode(d.doc_id, d.text) t
+        """
+    )
