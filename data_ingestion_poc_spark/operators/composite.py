@@ -1,0 +1,284 @@
+"""Composite analytics queries: multi-join + aggregate + top-k pipelines
+(TPC-H Q3/Q4/Q5/Q10/Q14/Q18 shapes adapted to the TESTDATA schema).
+
+The single-operator inventory (SURVEY.md section 2 B1-B8) proves each
+primitive in isolation; these queries prove the primitives COMPOSE the way
+a real analytics workload uses them: selective dimension filters feeding
+multi-way joins feeding grouped aggregation feeding top-k. They are also
+the plans where Catalyst's work shows up — join reordering, filter
+pushdown through joins, broadcast selection for dims, AQE shuffle
+coalescing — so they anchor the bench.
+
+Parity conventions follow registry.py: revenue sums run in DECIMAL(18,4)
+(exact lattice arithmetic -> partitioning-independent ROUND), dates are
+output as 'yyyy-MM-dd' strings, every top-k ORDER BY carries a unique
+tiebreaker so LIMIT is deterministic cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+
+
+def _revenue_d():
+    # DECIMAL revenue measure (see agg_hash_group's rationale).
+    return F.col("l_extendedprice").cast("decimal(18,4)") * (
+        1 - F.col("l_discount").cast("decimal(18,4)")
+    )
+
+
+_REV_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))"
+)
+
+
+@register(
+    "q_shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           CAST(ROUND(SUM({_REV_SQL}), 2) AS DOUBLE)   AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d')         AS o_orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-07-01'
+      AND l.l_shipdate > TIMESTAMP '1998-07-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment filter on customer, date filters on both
+    fact inputs, 3-way join, grouped revenue, top-10. Both filters push
+    below the joins; the aggregate's shuffle is O(qualifying orders);
+    the final top-k is a TakeOrderedAndProject, not a global sort."""
+    t = load(spark, sf_dir)
+    c = t.customer.where(F.col("c_mktsegment") == "BUILDING")
+    o = t.orders.where(F.col("o_orderdate") < F.lit("1998-07-01").cast("timestamp"))
+    li = t.lineitem.where(F.col("l_shipdate") > F.lit("1998-07-01").cast("timestamp"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(_revenue_d()), 2).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: existence probe (left semi join) feeding a grouped
+    count — late-shipping orders per priority class. The semi join emits
+    each order at most once, so no post-join dedup is needed; the
+    non-equi residual (shipdate vs orderdate+60d) rides on the equi key."""
+    t = load(spark, sf_dir)
+    o = t.orders.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    late = o.join(
+        t.lineitem,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@register(
+    "q_local_supplier_volume",
+    oracle=f"""
+    SELECT n.n_name,
+           CAST(ROUND(SUM({_REV_SQL}), 2) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join (2 facts, 4 dims) with a same-nation
+    residual between customer and supplier, grouped revenue per nation.
+    nation/region are broadcast (25/5 rows); the region filter prunes to
+    1/5 of nations BEFORE the big joins via the broadcast chain."""
+    t = load(spark, sf_dir)
+    o = t.orders.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    n_asia = F.broadcast(
+        t.nation.join(
+            F.broadcast(t.region.where(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+    )
+    return (
+        t.lineitem.join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            t.customer,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(n_asia, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(_revenue_d()), 2).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q_returned_items",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           CAST(ROUND(SUM({_REV_SQL}), 2) AS DOUBLE) AS revenue,
+           ROUND(c.c_acctbal, 2) AS c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: who returned the most revenue last quarter.
+    Selective flag+date filters, 4-way join with a broadcast dim, grouped
+    revenue per customer, deterministic top-20."""
+    t = load(spark, sf_dir)
+    o = t.orders.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = t.lineitem.where(F.col("l_returnflag") == "R")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum(_revenue_d()), 2).cast("double").alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            "n_name",
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q_promo_revenue",
+    oracle=f"""
+    SELECT CAST(ROUND(
+             100.0 * SUM(CASE WHEN p.p_type = 'PROMO' THEN {_REV_SQL}
+                              ELSE CAST(0 AS DECIMAL(18,4)) END)
+                   / SUM({_REV_SQL}), 4) AS DOUBLE) AS promo_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l.l_shipdate < TIMESTAMP '1996-04-01'
+    """,
+)
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share for one month — conditional
+    aggregation over a fact x dim join, single-row result. The part side
+    joins on its key; at sf bench sizes AQE broadcasts it."""
+    t = load(spark, sf_dir)
+    li = t.lineitem.where(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = _revenue_d()
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        li.join(t.part, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(rev), 4)
+            .cast("double")
+            .alias("promo_pct")
+        )
+    )
+
+
+@register(
+    "q_large_volume_customer",
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           ROUND(o.o_totalprice, 2) AS o_totalprice,
+           ROUND(big.sum_qty, 2) AS sum_qty
+    FROM (
+      SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 180
+    ) big
+    JOIN orders o   ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def q_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: aggregate-then-join with a HAVING filter. The
+    heavy groupBy runs FIRST so the join inputs are already reduced to
+    qualifying orders — the aggregate-pushdown pattern that keeps the
+    join's shuffle small at scale."""
+    t = load(spark, sf_dir)
+    big = (
+        t.lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 180)
+    )
+    return (
+        big.join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t.customer, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("sum_qty", 2).alias("sum_qty"),
+        )
+    )

@@ -1,0 +1,211 @@
+"""Scale techniques as first-class, oracle-checked operators.
+
+Each query here demonstrates a pattern that only matters when the data is
+orders of magnitude bigger than the test fixtures — key salting for skew,
+bucketed co-located joins that eliminate the shuffle entirely, sketch
+aggregates, pivot/conditional aggregation, and distribution windows. The
+DuckDB oracle proves the optimized plan computes the SAME relation as the
+naive one; the plan-shape tests in tests/ prove the optimization actually
+happened (no Exchange under a bucketed join, etc.).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from urllib.parse import urlparse
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load
+from ..registry import register
+
+#: salt fan-out for the skew-join demo. At 100 TB you would size this to
+#: (hot-key rows / target partition rows), per AQE skew stats.
+SALT_BUCKETS = 8
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+    SELECT e.event_id, e.user_id, d.n_events
+    FROM events e
+    JOIN (SELECT user_id, COUNT(*) AS n_events
+          FROM events GROUP BY user_id) d
+      ON e.user_id = d.user_id
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated equi join: the fact side gets a deterministic salt
+    (hash of its unique id mod N), the dim side is exploded N ways, and
+    the join key becomes (user_id, salt) — a hot user now spreads over N
+    tasks instead of one straggler. The oracle is the UNSALTED join:
+    salting must be a pure physical rewrite with zero semantic effect.
+    (AQE skew-join splitting does this adaptively; explicit salting is
+    the portable form for when stats miss, e.g. post-UDF stages.)"""
+    t = load(spark, sf_dir)
+    ev = t.events
+    dim = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    fact = ev.select(
+        "event_id",
+        "user_id",
+        F.pmod(F.xxhash64("event_id"), F.lit(SALT_BUCKETS)).alias("salt"),
+    )
+    dim_x = dim.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i).cast("long") for i in range(SALT_BUCKETS)]))
+    )
+    return fact.join(dim_x, ["user_id", "salt"]).select(
+        "event_id", "user_id", "n_events"
+    )
+
+
+def _ensure_bucketed(spark: SparkSession, df: DataFrame, tbl: str, key: str) -> None:
+    """Write df as a bucketed+sorted managed table if this session hasn't
+    yet. A managed table's directory outlives the in-memory catalog, so a
+    fresh session must clear the stale location before rewriting."""
+    if spark.catalog.tableExists(tbl):
+        return
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(os.path.join(wh, tbl.lower()), ignore_errors=True)
+    df.write.bucketBy(8, key).sortBy(key).mode("overwrite").saveAsTable(tbl)
+
+
+@register(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT o.o_orderkey, ROUND(o.o_totalprice, 2) AS o_totalprice,
+           COUNT(*) AS n_lines, ROUND(SUM(l.l_quantity), 2) AS sum_qty
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, o.o_totalprice
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join via bucketing: both tables are written bucketed by
+    the join key into the session catalog, so the join (and the following
+    groupBy on the same key) runs with NO shuffle on either side — the
+    physical plan has zero Exchange nodes. This is the 100 TB answer to
+    join_sort_merge's docstring: pre-bucket the facts once, join free
+    forever after. (Bucket pruning + bucketed scan are Spark built-ins;
+    the bucket count here is test-sized — size real ones to ~100-200 MB
+    per bucket.)"""
+    t = load(spark, sf_dir)
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    o_tbl, l_tbl = f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"
+    _ensure_bucketed(spark, t.orders.select("o_orderkey", "o_totalprice"), o_tbl, "o_orderkey")
+    _ensure_bucketed(spark, t.lineitem.select("l_orderkey", "l_quantity"), l_tbl, "l_orderkey")
+    o, li = spark.table(o_tbl), spark.table(l_tbl)
+    # MERGE hint: at fixture scale the planner would broadcast the small
+    # side (adding a BroadcastExchange); pinning sort-merge shows the
+    # zero-Exchange bucketed plan this operator exists to demonstrate.
+    return (
+        o.join(li.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "n_lines",
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "agg_percentile",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+           ROUND(quantile_cont(o_totalprice, 0.50), 2) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.75), 2) AS p75
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    SQL percentile_cont == DuckDB quantile_cont). Exact percentiles need
+    the full sorted group — fine per-group; for the global case at 100 TB
+    use agg_approx_quantile's sketch instead."""
+    t = load(spark, sf_dir)
+    return t.orders.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.25)), 2).alias("p25"),
+        F.round(F.percentile("o_totalprice", F.lit(0.50)), 2).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.75)), 2).alias("p75"),
+    )
+
+
+@register("agg_approx_quantile", oracle=None)
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles via Spark's KLL-style sketch
+    (approx_percentile, mergeable across partitions => one pass, O(sketch)
+    shuffle). Rows-only check: DuckDB's approx_quantile uses a different
+    sketch, so cross-engine values legitimately differ within error."""
+    t = load(spark, sf_dir)
+    return t.orders.groupBy("o_orderpriority").agg(
+        F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias(
+            "p50_approx"
+        ),
+        F.approx_count_distinct("o_custkey", 0.01).alias("n_cust_approx"),
+    )
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+    SELECT l_linestatus,
+           ROUND(SUM(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS qty_A,
+           ROUND(SUM(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS qty_N,
+           ROUND(SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS qty_R
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot = conditional aggregation with an explicit value list (the
+    list keeps the plan a single pass; omitting it costs an extra job to
+    discover values). Compiles to one hash aggregate, same as the CASE
+    form the oracle spells out."""
+    t = load(spark, sf_dir)
+    piv = (
+        t.lineitem.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+    return piv.select(
+        "l_linestatus",
+        F.col("A").alias("qty_A"),
+        F.col("N").alias("qty_N"),
+        F.col("R").alias("qty_R"),
+    )
+
+
+@register(
+    "win_distribution",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           ntile(4)       OVER w AS quartile,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist()    OVER w, 6) AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile / percent_rank / cume_dist)
+    per segment; the (c_acctbal, c_custkey) ordering is unique, so every
+    rank is deterministic cross-engine."""
+    t = load(spark, sf_dir)
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return t.customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )

@@ -33,6 +33,8 @@ MODULES = [
     "data_ingestion_poc_spark.operators.windows",
     "data_ingestion_poc_spark.operators.sorts",
     "data_ingestion_poc_spark.operators.setops",
+    "data_ingestion_poc_spark.operators.composite",
+    "data_ingestion_poc_spark.operators.scale",
     "data_ingestion_poc_spark.functions.strings",
     "data_ingestion_poc_spark.functions.urls",
     "data_ingestion_poc_spark.functions.datetimes",
