@@ -27,6 +27,12 @@ HEADLINE = [
     "join_broadcast",
     "join_sort_merge",
     "join_asof_time",
+    "join_skew_salted",
+    "join_bucketed_colocated",
+    "q_shipping_priority",
+    "q_local_supplier_volume",
+    "q_returned_items",
+    "q_large_volume_customer",
     "win_topk_per_group",
     "win_running_sum",
     "limit_topk",
@@ -36,7 +42,9 @@ HEADLINE = [
     "text_tokenize_tf",
     "text_stats",
     "dedup_exact_hash",
+    "dedup_minhash",
     "sim_search_knn",
+    "udf_surface",
     "stream_tumbling_agg",
     "ingest_pipeline_e2e",
 ]

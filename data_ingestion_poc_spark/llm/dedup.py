@@ -125,33 +125,76 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_minhash", oracle=None)  # LSH is algorithm-specific: rows-only
-def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates via spark.ml: shingle -> HashingTF
-    (2^18 sparse space) -> MinHashLSH banded signatures ->
-    approxSimilarityJoin. Signatures are constant-size per doc, and the
-    join only compares docs sharing an LSH bucket — the 100 TB path where
-    exact Jaccard's inverted index gets too hot."""
-    from pyspark.ml.feature import HashingTF, MinHashLSH
+#: MinHash signature size and banding: 32 hashes in 8 bands of 4. A pair
+#: collides in a band iff all 4 minhashes agree there, so candidate
+#: probability ~ 1-(1-s^4)^8 — steep S-curve around s~0.5 (vs spark.ml's
+#: MinHashLSH, whose tables are SINGLE minhashes: r=1 collides at rate s
+#: per table and floods the candidate join with weak pairs).
+MINHASH_K = 32
+MINHASH_BANDS = 8
+_ROWS_PER_BAND = MINHASH_K // MINHASH_BANDS
 
+
+@register("dedup_minhash", oracle=None)  # LSH candidate set: rows-only
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash LSH near-dup pairs, all in JVM Column expressions:
+    shingle -> 32 seeded xxhash64 minhashes -> 8 band keys -> self
+    equi-join on (band, key) -> exact-Jaccard verification of candidates
+    (array_intersect/union on shingle sets). The shuffle is O(docs x
+    bands) constant-size keys, candidate verification is output-bound,
+    and there is no Python in the plan — the 100 TB path where the exact
+    inverted index (dedup_ngram_jaccard) gets too hot. Emitted pairs are
+    exact Jaccard >= 0.30 among LSH candidates (same threshold as the
+    exact operator, so LSH recall is directly measurable against it)."""
     t = load(spark, sf_dir)
     docs = t.documents.select("doc_id", F.split(F.lower("text"), " ").alias("words"))
     shingled = docs.select(
         "doc_id",
         F.array_distinct(shingle_array(F.col("words"), 3)).alias("shingles"),
     )
-    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
-    feats = tf.transform(shingled)
-    lsh = MinHashLSH(inputCol="features", outputCol="sig", numHashTables=8, seed=42)
-    model = lsh.fit(feats)
-    pairs = model.approxSimilarityJoin(feats, feats, 0.7, distCol="jaccard_dist")
-    return (
-        pairs.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
-        .select(
-            F.col("datasetA.doc_id").alias("doc_a"),
-            F.col("datasetB.doc_id").alias("doc_b"),
-            F.round(1 - F.col("jaccard_dist"), 4).alias("jaccard_sim"),
+    minhashes = F.array(
+        *[
+            F.array_min(F.transform(F.col("shingles"), lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            for i in range(MINHASH_K)
+        ]
+    )
+    sig = shingled.select("doc_id", "shingles", minhashes.alias("sig"))
+    bands = sig.select(
+        "doc_id",
+        "shingles",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(F.slice(F.col("sig"), b * _ROWS_PER_BAND + 1, _ROWS_PER_BAND)).alias("key"),
+                    )
+                    for b in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "shingles", "bk.band", "bk.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.shingles").alias("sa"),
+            F.col("b.shingles").alias("sb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    jac = F.size(F.array_intersect("sa", "sb")) / F.size(F.array_union("sa", "sb")).cast(
+        "double"
+    )
+    return candidates.where(jac >= 0.30).select(
+        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard_sim")
     )
 
 
