@@ -99,3 +99,52 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     df.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
     back = spark.read.parquet(out)
     return back.select("o_orderkey", "o_custkey", "o_totalprice_r", "o_orderstatus")
+
+
+@register(
+    "scan_csv_roundtrip",
+    oracle="""
+    SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS c_acctbal, c_mktsegment
+    FROM customer
+    """,
+)
+def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + source round-trip with an EXPLICIT read schema — at
+    scale, schema inference costs a full extra pass over the data, so the
+    engine always declares schemas for text formats. Doubles survive the
+    text round-trip because Spark writes shortest-roundtrip decimal
+    strings. Generalizes A8/A18 to a text wire format."""
+    t = load(spark, sf_dir)
+    out = os.path.join(tempfile.gettempdir(), "dip_spark_sink_csv")
+    df = t.customer.select(
+        "c_custkey",
+        "c_name",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    df.write.mode("overwrite").option("header", True).csv(out)
+    schema = "c_custkey bigint, c_name string, c_acctbal double, c_mktsegment string"
+    return spark.read.schema(schema).option("header", True).csv(out)
+
+
+@register(
+    "scan_json_roundtrip",
+    oracle="""
+    SELECT event_id, user_id, event_type, ROUND(value, 4) AS value
+    FROM events
+    """,
+)
+def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + source round-trip, explicit schema on read (same
+    scale rationale as scan_csv_roundtrip). Timestamps are deliberately
+    excluded: JSON timestamp formats are a classic cross-system parity
+    trap, and the engine's convention is epoch longs or formatted strings
+    on text wires (fn_datetime)."""
+    t = load(spark, sf_dir)
+    out = os.path.join(tempfile.gettempdir(), "dip_spark_sink_json")
+    df = t.events.select(
+        "event_id", "user_id", "event_type", F.round("value", 4).alias("value")
+    )
+    df.write.mode("overwrite").json(out)
+    schema = "event_id bigint, user_id bigint, event_type string, value double"
+    return spark.read.schema(schema).json(out)

@@ -44,6 +44,7 @@ MODULES = [
     "data_ingestion_poc_spark.functions.jsons",
     "data_ingestion_poc_spark.functions.hashes",
     "data_ingestion_poc_spark.functions.udfs",
+    "data_ingestion_poc_spark.functions.structs",
     "data_ingestion_poc_spark.llm.textstats",
     "data_ingestion_poc_spark.llm.dedup",
     "data_ingestion_poc_spark.llm.similarity",

@@ -203,12 +203,16 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("stream_watermark_late", oracle=None)  # semantics doc'd; rows-only
 def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark + late-data drop, made observable: the events table is
-    restaged as two files (recent data first, stragglers second) and
-    consumed one file per micro-batch. After batch 1 the watermark sits at
-    max(recent ts) - 10min, so batch 2's old rows are late beyond the
-    watermark and are DROPPED from the tumbling aggregation. Append mode
-    emits only watermark-finalized windows. Rows-only check by design —
-    the result is defined by watermark semantics, not by a SQL equivalent
+    restaged as THREE files (recent data split in two, stragglers last)
+    and consumed one file per micro-batch. Spark's late-event filter uses
+    a watermark that lags the eviction watermark by one batch (so data
+    arriving in the same batch that advances the watermark isn't
+    over-dropped) — hence the split: after batch 0 the eviction watermark
+    reaches max(first recent half) - 10min, batch 1 promotes it to the
+    late-event filter, and batch 2's pre-cutoff stragglers are finally
+    DROPPED from the tumbling aggregation. Append mode emits only
+    watermark-finalized windows. Rows-only check by design — the result
+    is defined by watermark semantics, not by a SQL equivalent
     (tests/test_streaming.py pins the drop behavior)."""
     import os
     import tempfile
@@ -217,26 +221,31 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     batch = load(spark, sf_dir).events  # ns->us normalized timestamps
     cutoff = "2024-01-06 00:00:00"
+    mid = "2024-01-18 00:00:00"
     stage = os.path.join(
-        tempfile.gettempdir(), f"dip_stream_late_{os.path.basename(sf_dir)}"
+        tempfile.gettempdir(), f"dip_stream_late3_{os.path.basename(sf_dir)}"
     )
     recent_dir = os.path.join(stage, "in")
     if not os.path.exists(os.path.join(stage, "_STAGED")):
-        batch.where(F.col("ts") >= cutoff).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(stage, "recent")
-        )
-        batch.where(F.col("ts") < cutoff).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(stage, "late")
-        )
+        parts = [
+            ("recent_a", (F.col("ts") >= cutoff) & (F.col("ts") < mid)),
+            ("recent_b", F.col("ts") >= mid),
+            ("late", F.col("ts") < cutoff),
+        ]
+        for sub, cond in parts:
+            batch.where(cond).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(stage, sub)
+            )
         os.makedirs(recent_dir, exist_ok=True)
-        # file source orders by modification time: make 'recent' strictly older
+        # file source orders by modification time: stage in replay order
         import glob
         import shutil
 
-        for i, (sub, mtime) in enumerate([("recent", 1_000_000), ("late", 2_000_000)]):
+        for i, (sub, _) in enumerate(parts):
             for f in glob.glob(os.path.join(stage, sub, "*.parquet")):
                 dst = os.path.join(recent_dir, f"{i}_{sub}.parquet")
                 shutil.copy(f, dst)
+                mtime = 1_000_000 * (i + 1)
                 os.utime(dst, (mtime, mtime))
         open(os.path.join(stage, "_STAGED"), "w").close()
     sdf = (
@@ -254,3 +263,49 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_available_now(agg, "append")
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL '10 minutes' AND c.ts <= p.ts
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: purchases matched to same-user clicks in
+    the preceding 10 minutes. Both sides are watermarked and the join
+    carries an event-time range, so state for either side is dropped once
+    the watermark passes its window — bounded memory on an unbounded
+    stream (without the time bound, stream-stream join state grows
+    forever). Batch-parity oracle: the identical interval join in SQL."""
+    clicks = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    ).select("purchase_id", "click_id", "user_id")
+    return run_available_now(joined, "append")

@@ -1,0 +1,76 @@
+"""Streaming semantics tests: watermark late-drop behavior (promised by
+stream_watermark_late's docstring) and stream/batch parity spot checks.
+Cross-engine value parity for the SQL-expressible stream ops lives in
+tools/check_oracle.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_ingestion_poc_spark import registry
+from data_ingestion_poc_spark.catalog import load
+
+
+def test_watermark_drops_late_rows(spark, sf_dir):
+    """The staged two-micro-batch replay must drop the late (pre-cutoff)
+    rows: every emitted window starts at/after the cutoff hour, and the
+    total event count is strictly less than the full table's."""
+    res = registry.get("stream_watermark_late").fn(spark, sf_dir)
+    rows = res.collect()
+    assert rows, "watermark query emitted nothing"
+    assert all(r["window_start"] >= "2024-01-06 00:00:00" for r in rows), rows[:5]
+    total = sum(r["n_events"] for r in rows)
+    n_all = load(spark, sf_dir).events.count()
+    n_recent = load(spark, sf_dir).events.where(F.col("ts") >= "2024-01-06").count()
+    assert total <= n_recent < n_all
+
+
+def test_stream_tumbling_matches_batch(spark, sf_dir):
+    """Stream aggregation (AvailableNow over the same file) must equal the
+    batch groupBy — the parity the oracle checks cross-engine, pinned here
+    Spark-vs-Spark."""
+    streamed = {
+        r["window_start"]: (r["n_events"], r["sum_value"])
+        for r in registry.get("stream_tumbling_agg").fn(spark, sf_dir).collect()
+    }
+    ev = load(spark, sf_dir).events
+    batch = {
+        r["window_start"]: (r["n"], r["s"])
+        for r in ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            )
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("s"))
+        .collect()
+    }
+    assert streamed == batch
+
+
+def test_stream_stream_join_bounded_and_correct(spark, sf_dir):
+    """Every joined click must fall in the (p_ts - 10min, p_ts] interval of
+    its purchase and share the user — verified row by row against batch."""
+    res = registry.get("stream_stream_join").fn(spark, sf_dir)
+    got = {(r["purchase_id"], r["click_id"]) for r in res.collect()}
+    ev = load(spark, sf_dir).events
+    p = ev.where("event_type='purchase'").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"),
+    )
+    c = ev.where("event_type='click'").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("cts"),
+    )
+    want = {
+        (r["purchase_id"], r["click_id"])
+        for r in p.join(
+            c,
+            (F.col("pu") == F.col("cu"))
+            & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 10 MINUTES"))
+            & (F.col("cts") <= F.col("pts")),
+        ).collect()
+    }
+    assert got == want
+    assert want, "fixture produced no purchase-click pairs"
