@@ -131,3 +131,138 @@ def sim_search_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 10)
         .select("query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rk")
     )
+
+
+_CENTROID_ORACLE = """
+    SELECT label, pos, ROUND(AVG(v), 6) AS centroid_v
+    FROM (
+      SELECT label, generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS pos,
+             unnest(CAST(embedding AS DOUBLE[])) AS v
+      FROM embeddings)
+    GROUP BY label, pos
+"""
+
+
+@register("embed_centroids", oracle=_CENTROID_ORACLE)
+def embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids via posexplode -> groupBy(label, pos)
+    -> avg: the k-means E-step / IVF coarse-quantizer build as ONE linear
+    pass whose shuffle is O(labels x dims), independent of corpus size —
+    the shape that survives 100 TB. Output is (label, pos, value) flat so
+    the oracle compares scalar doubles, not list encodings."""
+    t = load(spark, sf_dir)
+    dims = t.embeddings.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "v")
+    )
+    return (
+        dims.groupBy("label", (F.col("pos0") + 1).alias("pos"))
+        .agg(F.round(F.avg("v"), 6).alias("centroid_v"))
+    )
+
+
+def _centroid_vectors(t) -> DataFrame:
+    """label -> centroid as array<double> (position-ordered)."""
+    dims = t.embeddings.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v")
+    )
+    per_dim = dims.groupBy("label", "pos").agg(F.avg("v").alias("m"))
+    return per_dim.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda x: x["m"]
+        ).alias("ce")
+    )
+
+
+_COS = "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+
+_IVF_ORACLE = f"""
+    WITH dims AS (
+      SELECT label, generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS pos,
+             unnest(CAST(embedding AS DOUBLE[])) AS v
+      FROM embeddings),
+    cent AS (SELECT label, list(m ORDER BY pos) AS ce
+             FROM (SELECT label, pos, AVG(v) AS m FROM dims GROUP BY label, pos)
+             GROUP BY label),
+    q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+          FROM embeddings WHERE vec_id < 5),
+    assigned AS (
+      SELECT query_id, qe, label AS probe_label FROM (
+        SELECT q.query_id, q.qe, c.label,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {_COS.format(a="q.qe", b="c.ce")} DESC, c.label) AS rn
+        FROM q CROSS JOIN cent c) WHERE rn = 1),
+    cand AS (SELECT vec_id AS neighbor_id, label,
+                    CAST(embedding AS DOUBLE[]) AS ce FROM embeddings)
+    SELECT query_id, probe_label, neighbor_id, ROUND(cosine, 4) AS cosine, rk FROM (
+      SELECT a.query_id, a.probe_label, cand.neighbor_id,
+             {_COS.format(a="a.qe", b="cand.ce")} AS cosine,
+             row_number() OVER (
+               PARTITION BY a.query_id
+               ORDER BY {_COS.format(a="a.qe", b="cand.ce")} DESC, cand.neighbor_id)
+               AS rk
+      FROM assigned a JOIN cand
+        ON cand.label = a.probe_label AND cand.neighbor_id <> a.query_id)
+    WHERE rk <= 10
+"""
+
+
+@register("sim_search_ivf", oracle=_IVF_ORACLE)
+def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN, fully oracle-checked: coarse quantizer = per-label
+    centroids (embed_centroids), each query probes its nearest centroid's
+    inverted list only, exact cosine re-rank inside the list. At 100 TB
+    the corpus is hash-partitioned by list id, the (tiny) centroid table
+    broadcasts, and each query touches 1/nlist of the data (nprobe=1
+    here; raising nprobe = unioning more lists). Unlike sim_search_ann's
+    random hyperplanes, the quantizer is derived from the data — so the
+    whole pipeline is deterministic SQL and DuckDB can verify it."""
+    t = load(spark, sf_dir)
+    cent = _centroid_vectors(t)
+    q = t.embeddings.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qe"),
+    )
+    qc = q.crossJoin(F.broadcast(cent))
+    cos_qc = dot_double(F.col("qe"), F.col("ce")) / (
+        F.sqrt(dot_double(F.col("qe"), F.col("qe")))
+        * F.sqrt(dot_double(F.col("ce"), F.col("ce")))
+    )
+    w_assign = Window.partitionBy("query_id").orderBy(
+        F.col("cq").desc(), F.col("label")
+    )
+    assigned = (
+        qc.select("query_id", "qe", "label", cos_qc.alias("cq"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("query_id", "qe", F.col("label").alias("probe_label"))
+    )
+    cand = t.embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "label",
+        F.col("embedding").cast("array<double>").alias("ce"),
+    )
+    pairs = cand.join(
+        F.broadcast(assigned),
+        (F.col("label") == F.col("probe_label"))
+        & (F.col("neighbor_id") != F.col("query_id")),
+    )
+    cos = dot_double(F.col("qe"), F.col("ce")) / (
+        F.sqrt(dot_double(F.col("qe"), F.col("qe")))
+        * F.sqrt(dot_double(F.col("ce"), F.col("ce")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.select("query_id", "probe_label", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 10)
+        .select(
+            "query_id",
+            "probe_label",
+            "neighbor_id",
+            F.round("cosine", 4).alias("cosine"),
+            "rk",
+        )
+    )
