@@ -166,3 +166,37 @@ def ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     records, _ = run_pipeline(spark)
     sink_dir = os.path.join(tempfile.gettempdir(), "dip_ingest_sink")
     return write_sink(records, sink_dir)
+
+
+def _rename_expected() -> list[tuple]:
+    """Golden rows for the A16 rename policy: the seeded duplicate keeps
+    flowing but renamed {base}_{mtime}{ext} (child.py:185-188); all other
+    rows unchanged."""
+    rows = []
+    for r in expected_records():
+        if r[2] == "archive.tar.gz":
+            renamed = f"archive.tar_{r[4]}.gz"
+            rows.append((r[0], r[1], renamed, r[3], r[4], r[5], r[6]))
+        else:
+            rows.append(r)
+    return rows
+
+
+_RENAME_ORACLE = f"""
+    SELECT * FROM (VALUES
+      {_records_values(_rename_expected())})
+    AS t(server_folder, file_type, file_name, length, modified_time,
+         from_archive, sha256)
+"""
+
+
+@register("ingest_dedup_rename", oracle=_RENAME_ORACLE)
+def ingest_dedup_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline with the same pre-seeded sink state as ingest_dedup_skip
+    but policy='rename' (A16 child.py:174-191): the duplicate is KEPT,
+    renamed {base}_{mtime}{ext}; nothing is dropped. Golden VALUES = e2e
+    with the archive row renamed."""
+    gz = next(r for r in expected_records() if r[2] == "archive.tar.gz")
+    state = spark.createDataFrame([(gz[2], gz[3], gz[4])], SINK_STATE_SCHEMA)
+    records, _ = run_pipeline(spark, sink_state=state, policy="rename")
+    return records
