@@ -239,6 +239,50 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.part.join(F.broadcast(bands), cond).select("p_partkey", "band_id")
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_id: str,
+    matched_col: str = "matched_id",
+) -> DataFrame:
+    """Engine API: as-of LEFT join — every `left` row gets the `right_id`
+    of the latest `right` row with the same `on` key and right_ts <=
+    left_ts (NULL when none exists). Spark has no ASOF JOIN, so: union
+    both sides tagged, ONE window partitioned by the key ordered by
+    (ts, tag, id), and last(right_id, ignoreNulls) carries the newest
+    right id forward onto each left row. ONE shuffle on the key — linear,
+    vs the quadratic naive range join; ties on ts match (right sorts
+    before left => ts-equal right rows are visible, matching `>=`).
+    Requires `right_id` to be non-null on the right side."""
+    lcols = left.columns
+    r = right.select(
+        F.col(on).alias(on),
+        F.col(right_ts).alias("_ts"),
+        F.col(right_id).alias("_rid"),
+        F.lit(0).alias("_tag"),
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols if c != on],
+    )
+    l = left.select(
+        on,
+        F.col(left_ts).alias("_ts"),
+        F.lit(None).cast(dict(right.dtypes)[right_id]).alias("_rid"),
+        F.lit(1).alias("_tag"),
+        *[F.col(c) for c in lcols if c != on],
+    )
+    w = (
+        Window.partitionBy(on)
+        .orderBy("_ts", "_tag", "_rid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = r.unionByName(l).withColumn(
+        matched_col, F.last("_rid", ignorenulls=True).over(w)
+    )
+    return merged.where(F.col("_tag") == 1).select(*lcols, matched_col)
+
+
 @register(
     "join_asof_time",
     oracle="""
@@ -252,41 +296,28 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_asof_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase matched to the user's most recent
-    prior-or-equal click. Spark has no ASOF JOIN, so: union both streams
-    tagged, one window partitioned by user ordered by (ts, tag), and
-    last(click_id, ignoreNulls) carries the latest click forward. ONE
-    shuffle on user_id — linear, vs the quadratic naive range join.
-    (SURVEY.md B3 'window trick'; ties broken click-before-purchase to
-    match ts >= semantics.)"""
+    prior-or-equal click, via the asof_join engine API (SURVEY.md B3
+    'window trick'; see asof_join for the single-shuffle argument)."""
     t = load(spark, sf_dir)
     ev = t.events
-    clicks = ev.where(F.col("event_type") == "click").select(
-        "user_id",
-        "ts",
-        F.lit(None).cast("long").alias("event_id"),
-        F.col("event_id").alias("click_id"),
-        F.lit(0).alias("tag"),
-    )
+    clicks = ev.where(F.col("event_type") == "click")
     purchases = ev.where(F.col("event_type") == "purchase").select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.lit(None).cast("long").alias("click_id"),
-        F.lit(1).alias("tag"),
+        "event_id", "user_id", "ts"
     )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "tag", "click_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    res = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_id="event_id",
+        matched_col="click_id",
     )
-    merged = clicks.unionByName(purchases).withColumn(
-        "last_click", F.last("click_id", ignorenulls=True).over(w)
-    )
-    return merged.where(F.col("tag") == 1).select(
+    return res.select(
         "event_id",
         "user_id",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
-        F.col("last_click").alias("click_id"),
+        "click_id",
     )
 
 

@@ -1,0 +1,140 @@
+"""Property-based tests (hypothesis): randomized inputs against
+independent Python models. Each @given example runs a small Spark job, so
+example counts are deliberately low — the value is in the adversarial
+inputs (unicode, ties, empties), not volume."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from data_ingestion_poc_spark.operators.filters import sanitize_col
+from data_ingestion_poc_spark.operators.joins import asof_join
+
+
+def sanitize_model(name: str) -> str:
+    """Independent model of the reference's sanitize_filename
+    (child.py:20-33): non-ASCII -> '-', disallowed -> '-', control -> '-',
+    then strip spaces."""
+    name = re.sub(r"[^\x00-\x7F]", "-", name)
+    name = re.sub(r"[^A-Za-z0-9.\-_ ]", "-", name)
+    name = re.sub(r"[\x00-\x1F\x7F]", "-", name)
+    return name.strip(" ")
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=0, max_codepoint=0x2FFF),
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_sanitize_matches_model(spark, names):
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)], "i int, raw string"
+    ).select("i", sanitize_col(F.col("raw")).alias("got"))
+    got = {r["i"]: r["got"] for r in df.collect()}
+    for i, n in enumerate(names):
+        assert got[i] == sanitize_model(n), (n, got[i], sanitize_model(n))
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(  # right side: (key, ts, id)
+        st.tuples(
+            st.integers(0, 3), st.integers(0, 50), st.integers(1000, 1999)
+        ),
+        max_size=25,
+        unique_by=lambda t: t[2],
+    ),
+    st.lists(  # left side: (key, ts, id)
+        st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(0, 999)),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: t[2],
+    ),
+)
+def test_asof_join_matches_bruteforce(spark, rights, lefts):
+    """asof_join == brute-force 'latest right with right.ts <= left.ts,
+    ties by max id' per key — including ts ties and keys with no match."""
+    right = spark.createDataFrame(
+        rights or [(99, -1, 1000)], "k int, ts int, rid int"
+    )
+    left = spark.createDataFrame(lefts, "k int, ts int, lid int")
+    res = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts", right_id="rid"
+    )
+    got = {r["lid"]: r["matched_id"] for r in res.collect()}
+    for k, ts, lid in lefts:
+        cands = [r for r in (rights or [(99, -1, 1000)]) if r[0] == k and r[1] <= ts]
+        want = max(cands, key=lambda r: (r[1], r[2]))[2] if cands else None
+        assert got[lid] == want, (k, ts, lid, got[lid], want)
+
+
+@settings(max_examples=4, deadline=None)
+@given(st.data())
+def test_minhash_finds_planted_near_dups(spark, data):
+    """Plant near-identical doc pairs (Jaccard >= ~0.95 on 3-gram
+    shingles): the 8x4 band curve accepts such pairs with probability
+    ~1 - 1e-6, so every planted pair must surface with its exact
+    Jaccard."""
+    from data_ingestion_poc_spark.llm.dedup import (
+        MINHASH_BANDS,
+        MINHASH_K,
+        _ROWS_PER_BAND,
+        shingle_array,
+    )
+    from data_ingestion_poc_spark.registry import get
+
+    assert MINHASH_K == MINHASH_BANDS * _ROWS_PER_BAND
+    vocab = [f"w{i}" for i in range(50)]
+    n_pairs = data.draw(st.integers(1, 3))
+    rows, expected_pairs = [], set()
+    for p in range(n_pairs):
+        base = data.draw(
+            st.lists(st.sampled_from(vocab), min_size=250, max_size=300)
+        )
+        # position-suffix the words: every 3-gram shingle becomes unique,
+        # so a 1-word edit bounds the pair's Jaccard >= (n-3)/(n+3) ~ 0.98
+        # and the 8x4 band miss probability at ~1e-9 — deterministic for
+        # test purposes. (Shorter docs put the miss rate at ~2e-5, which a
+        # repeated CI suite WILL eventually hit; degenerate all-same-word
+        # docs would collapse to ONE shingle and legitimately fall below
+        # the 0.30 emit threshold.)
+        words = [f"{w}p{i}" for i, w in enumerate(base)]
+        dup = list(words)
+        dup[data.draw(st.integers(0, len(dup) - 1))] = "zz_edit"
+        a_id, b_id = 2 * p, 2 * p + 1
+        rows.append((a_id, " ".join(words)))
+        rows.append((b_id, " ".join(dup)))
+        expected_pairs.add((a_id, b_id))
+    # decoys: unrelated docs must NOT pair with anything
+    for d in range(3):
+        rows.append((100 + d, " ".join(f"d{d}_{i}" for i in range(60))))
+
+    import data_ingestion_poc_spark.llm.dedup as dd
+    import data_ingestion_poc_spark.catalog as cat
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # run the registered query against a stubbed documents table
+    orig = cat.Tables.__getattr__
+
+    def fake(self, name):
+        if name == "documents":
+            return df
+        return orig(self, name)
+
+    cat.Tables.__getattr__ = fake
+    try:
+        res = get("dedup_minhash").fn(spark, "/root/testdata/sf0.001")
+        got = {(r["doc_a"], r["doc_b"]) for r in res.collect()}
+    finally:
+        cat.Tables.__getattr__ = orig
+    assert expected_pairs <= got, (expected_pairs, got)
+    assert all(a < 100 and b < 100 for a, b in got), got
