@@ -99,3 +99,59 @@ def multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fake_height",
         "feature_crc",
     ).orderBy("file_name")
+
+
+FRAME_SCHEMA = "file_name string, frame_idx int, frame_ts_ms bigint, frame_digest string"
+
+#: fake fixed frame rate for the sampler stub (frames every 2000 ms)
+FRAME_INTERVAL_MS = 2000
+FRAMES_PER_FILE = 4
+
+
+def decode_video_frames(content: bytes):  # pragma: no cover - stub by design
+    """REAL frame-decode hook — requires a video codec (ffmpeg/pyav) not
+    present in this container. sample_frames() only consumes an iterable
+    of (frame_idx, ts_ms, frame_bytes)."""
+    raise NotImplementedError("video codec not available in this environment")
+
+
+def _fake_frames(content: bytes):
+    """Deterministic stand-in for decode_video_frames: derives N pseudo
+    frames by slicing the blob — same 1->N shape, schema, and batch
+    behavior as a real sampler."""
+    n = max(1, len(content))
+    for i in range(FRAMES_PER_FILE):
+        lo = (i * n) // FRAMES_PER_FILE
+        yield i, i * FRAME_INTERVAL_MS, content[lo : lo + 256]
+
+
+def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas 1->N stage: each media blob fans out to one row per
+    sampled frame (the video analog of the ingest zip explode A14). The
+    blob itself never leaves the executor; only fixed-width frame
+    metadata + digests shuffle."""
+    for pdf in batches:
+        rows = []
+        for path, content in zip(pdf["path"], pdf["content"]):
+            blob = bytes(content)
+            for idx, ts_ms, frame in _fake_frames(blob):
+                rows.append(
+                    {
+                        "file_name": str(path).rsplit("/", 1)[-1],
+                        "frame_idx": idx,
+                        "frame_ts_ms": ts_ms,
+                        "frame_digest": hashlib.md5(frame).hexdigest(),
+                    }
+                )
+        yield pd.DataFrame(rows)
+
+
+@register("multimodal_framesample", oracle=None)  # binary plumbing: rows-only
+def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-frame sampling pipeline: binaryFile scan -> mapInPandas
+    frame fan-out (stubbed codec, real plumbing) -> per-frame rows ready
+    for feature extraction. Deterministic digests make the output
+    row-stable across runs."""
+    files = spark.read.format("binaryFile").load(f"{sf_dir}/*.parquet")
+    frames = files.mapInPandas(sample_frames, schema=FRAME_SCHEMA)
+    return frames.orderBy("file_name", "frame_idx")

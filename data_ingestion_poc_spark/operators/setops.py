@@ -80,3 +80,41 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = base.where(F.col("c_acctbal") > 1000).drop("c_acctbal")
     b = base.where(F.col("c_acctbal") > 3000).drop("c_acctbal")
     return a.exceptAll(b)
+
+
+@register(
+    "set_intersect_all",
+    oracle="""
+    SELECT c_mktsegment, c_nationkey FROM customer WHERE c_acctbal > 1000
+    INTERSECT ALL
+    SELECT c_mktsegment, c_nationkey FROM customer WHERE c_acctbal < 6000
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag intersection (INTERSECT ALL): keeps min(multiplicity) copies,
+    matching ANSI — the multiplicity-aware sibling of set_intersect."""
+    t = load(spark, sf_dir)
+    base = t.customer.select("c_mktsegment", "c_nationkey", "c_acctbal")
+    a = base.where(F.col("c_acctbal") > 1000).drop("c_acctbal")
+    b = base.where(F.col("c_acctbal") < 6000).drop("c_acctbal")
+    return a.intersectAll(b)
+
+
+@register(
+    "set_except_distinct",
+    oracle="""
+    SELECT c_mktsegment, c_nationkey FROM customer WHERE c_acctbal > 1000
+    EXCEPT
+    SELECT c_mktsegment, c_nationkey FROM customer WHERE c_acctbal > 9000
+    """,
+)
+def set_except_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (EXCEPT, distinct semantics) — completes the
+    all/distinct matrix with set_except's EXCEPT ALL. The right side is
+    deliberately sparse (>9000) so the difference is non-trivial at every
+    scale factor."""
+    t = load(spark, sf_dir)
+    base = t.customer.select("c_mktsegment", "c_nationkey", "c_acctbal")
+    a = base.where(F.col("c_acctbal") > 1000).drop("c_acctbal")
+    b = base.where(F.col("c_acctbal") > 9000).drop("c_acctbal")
+    return a.subtract(b)

@@ -165,3 +165,36 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"count(*) {frame} AS n_in_band",
         f"round(sum(o_totalprice) {frame}, 2) AS sum_in_band",
     )
+
+
+@register(
+    "win_first_last_nth",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           first_value(o_orderkey) OVER w AS first_key,
+           last_value(o_orderkey)  OVER w AS last_key,
+           nth_value(o_orderkey, 2) OVER w AS second_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def win_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation functions over the FULL partition frame — the explicit
+    UNBOUNDED FOLLOWING matters: the default frame ends at CURRENT ROW,
+    which silently turns last_value into 'current value' (a classic
+    window-frame bug this query pins). Unique (date, key) ordering keeps
+    nth_value deterministic."""
+    t = load(spark, sf_dir)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return t.orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.last("o_orderkey").over(w).alias("last_key"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
+    )

@@ -35,6 +35,7 @@ MODULES = [
     "data_ingestion_poc_spark.operators.setops",
     "data_ingestion_poc_spark.operators.composite",
     "data_ingestion_poc_spark.operators.scale",
+    "data_ingestion_poc_spark.operators.sqlsurface",
     "data_ingestion_poc_spark.functions.strings",
     "data_ingestion_poc_spark.functions.urls",
     "data_ingestion_poc_spark.functions.datetimes",
@@ -45,6 +46,7 @@ MODULES = [
     "data_ingestion_poc_spark.functions.hashes",
     "data_ingestion_poc_spark.functions.udfs",
     "data_ingestion_poc_spark.functions.structs",
+    "data_ingestion_poc_spark.functions.conditionals",
     "data_ingestion_poc_spark.llm.textstats",
     "data_ingestion_poc_spark.llm.dedup",
     "data_ingestion_poc_spark.llm.similarity",

@@ -309,3 +309,50 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("c_ts") <= F.col("p_ts")),
     ).select("purchase_id", "click_id", "user_id")
     return run_available_now(joined, "append")
+
+
+@register(
+    "stream_foreach_batch_sink",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production sink pattern: foreachBatch writes each micro-batch
+    to a partitioned parquet sink keyed by batch id (idempotent on
+    retry — a re-run of batch N overwrites exactly partition N, which is
+    how exactly-once file sinks are built from at-least-once callbacks).
+    The returned DataFrame re-scans the sink and aggregates; parity with
+    the batch oracle proves no rows were lost or duplicated."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    sink = os.path.join(tempfile.gettempdir(), f"dip_fb_sink_{uuid.uuid4().hex[:8]}")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch")
+            .parquet(sink)
+        )
+
+    sdf = events_stream(spark, sf_dir).select("event_id", "event_type", "value")
+    q = (
+        sdf.writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", sink + "_ckpt")
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(sink + "_ckpt", ignore_errors=True)
+    back = spark.read.parquet(sink)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
