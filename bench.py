@@ -44,6 +44,8 @@ HEADLINE = [
     "dedup_exact_hash",
     "dedup_minhash",
     "sim_search_knn",
+    "sim_search_ivf",
+    "sql_cte_subquery",
     "udf_surface",
     "stream_tumbling_agg",
     "ingest_pipeline_e2e",
