@@ -170,3 +170,29 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(low.cast("binary")).alias("exact_fp"),
         F.md5(bag.cast("binary")).alias("bag_fp"),
     )
+
+
+@register(
+    "text_ngrams",
+    oracle="""
+    SELECT DISTINCT doc_id,
+           unnest([array_to_string(words[i:i+2], ' ')
+                   FOR i IN range(1, len(words) - 1)]) AS shingle
+    FROM (SELECT doc_id, string_split(lower(text), ' ') AS words
+          FROM documents WHERE doc_id < 100)
+    """,
+)
+def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct 3-gram word shingles per document — the shared feature
+    extraction under dedup_ngram_jaccard and dedup_minhash, exposed as
+    its own operator (and its own oracle): one narrow explode, no
+    shuffle until the dropDuplicates."""
+    from .dedup import shingle_array
+
+    t = load(spark, sf_dir)
+    docs = t.documents.where(F.col("doc_id") < 100).select(
+        "doc_id", F.split(F.lower("text"), " ").alias("words")
+    )
+    return docs.select(
+        "doc_id", F.explode(shingle_array(F.col("words"), 3)).alias("shingle")
+    ).dropDuplicates(["doc_id", "shingle"])

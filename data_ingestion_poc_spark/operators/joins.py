@@ -352,3 +352,52 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cond = (F.col("a_s") < F.col("b_e")) & (F.col("b_s") < F.col("a_e"))
     return a.join(F.broadcast(b), cond).select("a_key", "b_key")
+
+
+@register(
+    "join_range_bucketed",
+    oracle="""
+    SELECT a.o_orderkey AS a_key, b.o_orderkey AS b_key
+    FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS s,
+                 CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS e
+          FROM orders WHERE o_orderkey < 200) a
+    JOIN (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS s,
+                 CAST(o_orderdate + INTERVAL 45 DAY AS DATE) AS e
+          FROM orders WHERE o_orderkey >= 200 AND o_orderkey < 400) b
+      ON a.s < b.e AND b.s < a.e
+    """,
+)
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path for interval-overlap joins (the plan
+    join_interval_overlap's docstring promises): bin every interval into
+    fixed-width date buckets (explode), equi-join on bucket id, apply the
+    overlap predicate as a residual, dedup pairs that collide in several
+    buckets. Identical relation to the naive theta join — the oracle is
+    the SAME SQL — but the join is a shuffled HASH join on bucket id:
+    both sides can be arbitrarily large, no broadcast or nested loop
+    required. Bucket width trades fan-out (intervals span few buckets)
+    against selectivity (few residual misses); 30 days matches the
+    interval scale here."""
+    t = load(spark, sf_dir)
+    bucket_days = 30
+    day = F.lit(86400)
+
+    def with_buckets(df, key_min, key_max, span_days, prefix):
+        iv = df.where((F.col("o_orderkey") >= key_min) & (F.col("o_orderkey") < key_max)).select(
+            F.col("o_orderkey").alias(f"{prefix}_key"),
+            F.to_date("o_orderdate").alias(f"{prefix}_s"),
+            F.date_add(F.to_date("o_orderdate"), span_days).alias(f"{prefix}_e"),
+        )
+        b_lo = F.floor(F.unix_timestamp(F.col(f"{prefix}_s").cast("timestamp")) / (day * bucket_days))
+        b_hi = F.floor(F.unix_timestamp(F.col(f"{prefix}_e").cast("timestamp")) / (day * bucket_days))
+        return iv.withColumn("bucket", F.explode(F.sequence(b_lo, b_hi)))
+
+    a = with_buckets(t.orders, 0, 200, 30, "a")
+    b = with_buckets(t.orders, 200, 400, 45, "b")
+    overlap = (F.col("a_s") < F.col("b_e")) & (F.col("b_s") < F.col("a_e"))
+    return (
+        a.join(b, "bucket")
+        .where(overlap)
+        .select("a_key", "b_key")
+        .dropDuplicates(["a_key", "b_key"])
+    )

@@ -1,0 +1,54 @@
+"""Table profiling: per-column statistics in one pass (the engine-side
+analog of ANALYZE / data-quality summaries a training pipeline runs
+before trusting a new drop of data).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+
+_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+
+
+def _col_oracle(c: str) -> str:
+    return f"""
+    SELECT '{c}' AS column_name,
+           COUNT({c})                  AS n_nonnull,
+           COUNT(DISTINCT {c})         AS n_distinct,
+           CAST(MIN({c}) AS VARCHAR)   AS min_s,
+           CAST(MAX({c}) AS VARCHAR)   AS max_s
+    FROM orders"""
+
+
+@register(
+    "profile_table",
+    oracle="\nUNION ALL\n".join(_col_oracle(c) for c in _COLS),
+)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profile of orders: non-null count, exact distinct
+    count, min/max (stringified for a uniform schema). All measures for
+    all columns compute in a single aggregate over a single scan — the
+    profile costs one pass regardless of column count. Numeric min/max
+    stringification matches DuckDB because the fixture doubles carry
+    short decimal representations."""
+    t = load(spark, sf_dir)
+    aggs = []
+    for c in _COLS:
+        aggs += [
+            F.count(c).alias(f"{c}__n"),
+            F.countDistinct(c).alias(f"{c}__d"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    one = t.orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__n, {c}__d, {c}__min, {c}__max" for c in _COLS
+    )
+    return one.selectExpr(
+        f"stack({len(_COLS)}, {stack_args}) AS "
+        "(column_name, n_nonnull, n_distinct, min_s, max_s)"
+    )

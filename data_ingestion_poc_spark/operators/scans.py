@@ -148,3 +148,34 @@ def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     df.write.mode("overwrite").json(out)
     schema = "event_id bigint, user_id bigint, event_type string, value double"
     return spark.read.schema(schema).json(out)
+
+
+@register(
+    "scan_partition_pruned",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition pruning on the partitioned sink layout: the filter on
+    the partition column resolves against DIRECTORY names — non-matching
+    partitions are never opened (the plan's PartitionFilters carries the
+    predicate; tests assert it). This is the read-side payoff of
+    sink_partitioned's A18 layout: at 100 TB, status='F' touches 1/3 of
+    the files, not 1/3 of the rows of every file."""
+    t = load(spark, sf_dir)
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"dip_spark_sink_pruned_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        t.orders.select("o_orderkey", "o_custkey", "o_orderstatus").write.mode(
+            "overwrite"
+        ).partitionBy("o_orderstatus").parquet(out)
+    return (
+        spark.read.parquet(out)
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+    )

@@ -36,6 +36,7 @@ MODULES = [
     "data_ingestion_poc_spark.operators.composite",
     "data_ingestion_poc_spark.operators.scale",
     "data_ingestion_poc_spark.operators.sqlsurface",
+    "data_ingestion_poc_spark.operators.profile",
     "data_ingestion_poc_spark.functions.strings",
     "data_ingestion_poc_spark.functions.urls",
     "data_ingestion_poc_spark.functions.datetimes",

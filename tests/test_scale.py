@@ -67,3 +67,24 @@ def test_pivot_is_single_aggregate(spark, sf_dir):
     plan = _plan(df)
     assert "HashAggregate" in plan
     assert "Join" not in plan and "Union" not in plan
+
+
+def test_partition_pruning_reaches_scan(spark, sf_dir):
+    """The partition-column filter must appear in PartitionFilters (the
+    directory-pruning path), not as a row-level data filter."""
+    df = registry.get("scan_partition_pruned").fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "PartitionFilters" in plan
+    import re
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
+    assert "o_orderstatus" in pf, plan
+
+
+def test_range_bucketed_equals_naive(spark, sf_dir):
+    """The bucketed interval join must produce exactly the naive theta
+    join's pairs."""
+    fast = registry.get("join_range_bucketed").fn(spark, sf_dir)
+    naive = registry.get("join_interval_overlap").fn(spark, sf_dir)
+    assert {(r["a_key"], r["b_key"]) for r in fast.collect()} == {
+        (r["a_key"], r["b_key"]) for r in naive.collect()
+    }
