@@ -165,9 +165,13 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink_partitioned's A18 layout: at 100 TB, status='F' touches 1/3 of
     the files, not 1/3 of the rows of every file."""
     t = load(spark, sf_dir)
+    # staging key includes the source file's identity so regenerated
+    # fixtures can never pair with stale staging
+    src = os.path.join(sf_dir, "orders.parquet")
+    ident = f"{int(os.path.getmtime(src))}_{os.path.getsize(src)}"
     out = os.path.join(
         tempfile.gettempdir(),
-        f"dip_spark_sink_pruned_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"dip_spark_sink_pruned_{os.path.basename(sf_dir.rstrip('/'))}_{ident}",
     )
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):

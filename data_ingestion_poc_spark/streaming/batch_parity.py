@@ -222,8 +222,13 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = load(spark, sf_dir).events  # ns->us normalized timestamps
     cutoff = "2024-01-06 00:00:00"
     mid = "2024-01-18 00:00:00"
+    # staging key includes the source file's identity so regenerated
+    # fixtures can never pair with stale staging
+    src = os.path.join(sf_dir, "events.parquet")
+    ident = f"{int(os.path.getmtime(src))}_{os.path.getsize(src)}"
     stage = os.path.join(
-        tempfile.gettempdir(), f"dip_stream_late3_{os.path.basename(sf_dir)}"
+        tempfile.gettempdir(),
+        f"dip_stream_late3_{os.path.basename(sf_dir)}_{ident}",
     )
     recent_dir = os.path.join(stage, "in")
     if not os.path.exists(os.path.join(stage, "_STAGED")):
