@@ -361,3 +361,51 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+@register(
+    "stream_file_ingest_clean",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_file_ingest_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source streaming ingest with source cleanup (SURVEY.md B9
+    last row; the reference's staging cleanup A20 child.py:151-158 /
+    child.py:223-232): files land in an inbox, the stream consumes them
+    with Trigger.AvailableNow (the checkpointed cron-rerun), and
+    cleanSource=delete removes committed files so the inbox never grows.
+    Cleanup is asynchronous post-commit — the COUNTS are the correctness
+    contract (batch parity via the oracle); deletion is best-effort by
+    design (Spark logs and moves on if a file is already gone)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..catalog import normalize_event_ts
+
+    run = os.path.join(tempfile.gettempdir(), f"dip_ingest_clean_{uuid.uuid4().hex[:8]}")
+    inbox = os.path.join(run, "inbox")
+    os.makedirs(inbox, exist_ok=True)
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), os.path.join(inbox, "drop0.parquet"))
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    sdf = normalize_event_ts(
+        spark.readStream.schema(schema)
+        .option("cleanSource", "delete")
+        .parquet(inbox)
+    )
+    counts = sdf.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    name = "mem_clean_" + uuid.uuid4().hex[:8]
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(run, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
