@@ -200,3 +200,38 @@ def ingest_dedup_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = spark.createDataFrame([(gz[2], gz[3], gz[4])], SINK_STATE_SCHEMA)
     records, _ = run_pipeline(spark, sink_state=state, policy="rename")
     return records
+
+
+def _observe_oracle() -> str:
+    rows = expected_records()
+    n, total = len(rows), sum(r[3] for r in rows)
+    return f"""
+    SELECT CAST({n} AS BIGINT) AS n_files, CAST({total} AS BIGINT) AS total_bytes,
+           CAST(2 AS BIGINT) AS n_quarantined
+    """
+
+
+@register("ingest_observe", oracle=_observe_oracle())
+def ingest_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run summary via df.observe() — the Spark-native form of the
+    reference's per-batch success accounting (A22 main.py:101-109):
+    metrics ride on the SAME job as the data (no second scan), collected
+    by the Observation API when the action completes. Golden oracle =
+    counts derived from the fixture constants, including the two
+    quarantined files (ghost + bad_size)."""
+    from pyspark.sql import Observation
+
+    records, quarantine = run_pipeline(spark)
+    obs = Observation("ingest_metrics")
+    observed = records.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("length").alias("total_bytes"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    n_quarantined = quarantine.count()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_files"], m["total_bytes"], n_quarantined)],
+        "n_files bigint, total_bytes bigint, n_quarantined bigint",
+    )
