@@ -256,7 +256,7 @@ _COSINE_DUP_ORACLE = """
           / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
                                    CAST(a.embedding AS DOUBLE[])))
            * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
-                                   CAST(b.embedding AS DOUBLE[])))) >= 0.5
+                                   CAST(b.embedding AS DOUBLE[])))) >= 0.30
 """
 
 
@@ -287,6 +287,6 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(dot_double(F.col("ea"), F.col("ea")))
         * F.sqrt(dot_double(F.col("eb"), F.col("eb")))
     )
-    return pairs.where(cos >= 0.5).select(
+    return pairs.where(cos >= 0.30).select(
         "vec_a", "vec_b", F.round(cos, 4).alias("cosine")
     )
