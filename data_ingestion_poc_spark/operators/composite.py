@@ -282,3 +282,78 @@ def q_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("sum_qty", 2).alias("sum_qty"),
         )
     )
+
+
+@register(
+    "q_forecast_revenue",
+    oracle=f"""
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS forecast_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate, no join, no groupBy —
+    the query where pushdown does ALL the work. Every predicate reaches
+    the parquet scan (range on shipdate, between on discount, bound on
+    quantity), so at 100 TB entire row groups skip on column statistics
+    and the aggregate sees only qualifying rows."""
+    t = load(spark, sf_dir)
+    li = t.lineitem.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * F.col("l_discount").cast(
+        "decimal(18,4)"
+    )
+    return li.agg(F.round(F.sum(rev), 2).cast("double").alias("forecast_revenue"))
+
+
+@register(
+    "q_discounted_brand_revenue",
+    oracle=f"""
+    SELECT CAST(ROUND(SUM({_REV_SQL}), 2) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#7' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity >= 10 AND l.l_quantity <= 35)
+       OR (p.p_brand = 'Brand#20' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity >= 20 AND l.l_quantity <= 50)
+    """,
+)
+def q_discounted_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive multi-branch predicate spanning both
+    join sides. Catalyst extracts the common join key as an equi
+    condition and keeps the OR-of-ANDs as a post-join filter, while the
+    single-side conjuncts it can derive (brand IN (...), size/quantity
+    hulls) push into the scans — the classic test that disjunctions
+    don't force a cartesian plan."""
+    t = load(spark, sf_dir)
+    j = t.lineitem.join(t.part, F.col("p_partkey") == F.col("l_partkey"))
+    b = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#7")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 35)
+    ) | (
+        (F.col("p_brand") == "Brand#20")
+        & F.col("p_size").between(20, 50)
+        & F.col("l_quantity").between(20, 50)
+    )
+    return j.where(b).agg(
+        F.round(F.sum(_revenue_d()), 2).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
