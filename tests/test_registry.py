@@ -1,0 +1,55 @@
+"""Registry hygiene: properties every registered query must satisfy for
+the driver's compare to be meaningful. Schema-level only (no actions) for
+the batch queries; streaming queries execute on construction and are
+covered by their own oracle checks, so they are skipped here."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from data_ingestion_poc_spark import registry
+
+SKIP_PREFIXES = ("stream_",)  # constructing these executes a streaming query
+SKIP_EXPENSIVE = {"ingest_observe"}  # runs an action internally
+
+
+def _batch_queries():
+    return {
+        n: q
+        for n, q in registry.all_queries().items()
+        if not n.startswith(SKIP_PREFIXES) and n not in SKIP_EXPENSIVE
+    }
+
+
+def test_names_are_wellformed():
+    for name in registry.all_queries():
+        assert re.fullmatch(r"[a-z][a-z0-9_]*", name), name
+
+
+def test_oracles_reference_known_views():
+    """Every oracle must only read the pre-registered fixture views (or
+    inline VALUES) — anything else fails in the driver's DuckDB."""
+    known = {
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    }
+    for name, q in registry.all_queries().items():
+        if q.oracle is None:
+            continue
+        ctes = set(re.findall(r"([a-z_][a-z_0-9]*)\s+AS\s*\(", q.oracle, re.I))
+        for tbl in re.findall(r"(?:FROM|JOIN)\s+([a-z_][a-z_0-9]*)\b", q.oracle):
+            assert tbl in known or tbl in ctes or tbl == "t", (name, tbl)
+
+
+@pytest.mark.parametrize("name", sorted(_batch_queries()))
+def test_output_columns_unique_and_named(spark, sf_dir, name):
+    """Duplicate or auto-generated output column names silently corrupt
+    the driver's sorted-column value hash — every query must emit unique,
+    explicitly-aliased columns."""
+    df = registry.get(name).fn(spark, sf_dir)
+    cols = df.columns
+    assert len(cols) == len(set(cols)), (name, cols)
+    for c in cols:
+        assert re.fullmatch(r"[A-Za-z][A-Za-z0-9_]*", c), (name, c)
