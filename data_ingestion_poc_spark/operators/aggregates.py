@@ -166,3 +166,33 @@ def agg_dedup_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@register(
+    "agg_stats_corr",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(CORR(o_totalprice, epoch(o_orderdate) / 86400.0), 6) AS price_date_corr,
+           ROUND(COVAR_SAMP(o_totalprice, epoch(o_orderdate) / 86400.0), 2)
+                                                                       AS price_date_covar,
+           ROUND(STDDEV_SAMP(o_totalprice), 4)                    AS price_stddev,
+           ROUND(VAR_SAMP(o_totalprice), 4)                       AS price_var
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates per group: Pearson correlation, sample
+    covariance/stddev/variance. All are single-pass mergeable moments
+    (sum, sum-of-squares, cross-products), so partial aggregation applies
+    exactly like count/sum — the shuffle stays O(groups) at any scale."""
+    t = load(spark, sf_dir)
+    # day-scaled time axis: second-scaled covariance sits at ~1e11 where
+    # engine float noise exceeds any reasonable rounding; corr is scale-free
+    epoch = F.unix_timestamp("o_orderdate").cast("double") / 86400.0
+    return t.orders.groupBy("o_orderpriority").agg(
+        F.round(F.corr(F.col("o_totalprice"), epoch), 6).alias("price_date_corr"),
+        F.round(F.covar_samp(F.col("o_totalprice"), epoch), 2).alias("price_date_covar"),
+        F.round(F.stddev_samp("o_totalprice"), 4).alias("price_stddev"),
+        F.round(F.var_samp("o_totalprice"), 4).alias("price_var"),
+    )

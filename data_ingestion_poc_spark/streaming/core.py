@@ -9,6 +9,14 @@ file source + Trigger.AvailableNow IS the cron-rerun semantic, done right
 Every B9 query runs a REAL streaming query (memory sink, AvailableNow) and
 returns its result table, so the DuckDB batch oracle checks true
 stream/batch parity.
+
+Environment note: Spark 4's transformWithStateInPandas (the newer
+StatefulProcessor API) is NOT usable in this container — its state-server
+protocol imports google.protobuf, which is not installed and cannot be
+added (no pip). applyInPandasWithState covers arbitrary stateful
+processing instead (stream_stateful); swap in a StatefulProcessor when
+the dependency is available — the groupBy/state/output contract is the
+same shape.
 """
 
 from __future__ import annotations
