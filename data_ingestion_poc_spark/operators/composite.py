@@ -357,3 +357,124 @@ def q_discounted_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(_revenue_d()), 2).cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+@register(
+    "q_nation_trade_volume",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(strftime(l.l_shipdate, '%Y') AS INT) AS l_year,
+           CAST(ROUND(SUM({_REV_SQL}), 2) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+    WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_9')
+        OR (n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_3'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY n1.n_name, n2.n_name, l_year
+    """,
+)
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: the same dimension table joined in TWO ROLES
+    (supplier nation and customer nation) with a disjunctive pairing
+    constraint, revenue by year. Both nation broadcasts are filtered to
+    the two relevant rows BEFORE joining, so the pairing disjunction
+    costs a 2x2 check, not a filter over the full join."""
+    t = load(spark, sf_dir)
+    pair = ["NATION_3", "NATION_9"]  # fixture nation names are synthetic
+    n1 = F.broadcast(
+        t.nation.where(F.col("n_name").isin(pair)).select(
+            F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = F.broadcast(
+        t.nation.where(F.col("n_name").isin(pair)).select(
+            F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    li = t.lineitem.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    return (
+        li.join(t.supplier, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t.customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(n1, F.col("n1_key") == F.col("s_nationkey"))
+        .join(n2, F.col("n2_key") == F.col("c_nationkey"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.round(F.sum(_revenue_d()), 2).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q_market_share",
+    oracle=f"""
+    SELECT l_year,
+           CAST(ROUND(SUM(CASE WHEN supp_nation = 'NATION_9' THEN volume
+                               ELSE CAST(0 AS DECIMAL(28,4)) END)
+                      / SUM(volume), 6) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(strftime(o.o_orderdate, '%Y') AS INT) AS l_year,
+             {_REV_SQL} AS volume,
+             n1.n_name AS supp_nation
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+      JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = n2.n_regionkey
+      WHERE r.r_name = 'ASIA'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    ) all_sales
+    GROUP BY l_year
+    """,
+)
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's (NATION_9) share of a region's revenue
+    per year — conditional numerator over a common denominator in a
+    single aggregate pass (never two scans). The DECIMAL volume keeps the
+    share ratio exact until the final division."""
+    t = load(spark, sf_dir)
+    n2_asia = F.broadcast(
+        t.nation.join(
+            F.broadcast(t.region.where(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select(F.col("n_nationkey").alias("n2_key"))
+    )
+    n1 = F.broadcast(
+        t.nation.select(
+            F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    o = t.orders.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    sales = (
+        t.lineitem.join(t.supplier, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t.customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(n1, F.col("n1_key") == F.col("s_nationkey"))
+        .join(n2_asia, F.col("n2_key") == F.col("c_nationkey"))
+        .select(
+            F.year("o_orderdate").alias("l_year"),
+            _revenue_d().alias("volume"),
+            "supp_nation",
+        )
+    )
+    china = F.when(F.col("supp_nation") == "NATION_9", F.col("volume")).otherwise(
+        F.lit(0).cast("decimal(28,4)")
+    )
+    return sales.groupBy("l_year").agg(
+        F.round(F.sum(china) / F.sum("volume"), 6).cast("double").alias("mkt_share")
+    )
