@@ -33,6 +33,8 @@ HEADLINE = [
     "q_local_supplier_volume",
     "q_returned_items",
     "q_large_volume_customer",
+    "q_market_share",
+    "q_forecast_revenue",
     "win_topk_per_group",
     "win_running_sum",
     "limit_topk",
