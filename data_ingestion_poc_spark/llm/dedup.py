@@ -152,12 +152,19 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.array_distinct(shingle_array(F.col("words"), 3)).alias("shingles"),
     )
-    minhashes = F.array(
-        *[
-            F.array_min(F.transform(F.col("shingles"), lambda s, i=i: F.xxhash64(s, F.lit(i))))
-            for i in range(MINHASH_K)
-        ]
-    )
+    def _minhash(i: int):
+        # NB: the seed must be captured via an outer function, NOT a
+        # `lambda s, i=i:` default arg — PySpark infers higher-order-fn
+        # arity from the signature, so a two-parameter lambda makes
+        # transform() bind the second param to the ELEMENT INDEX and the
+        # seed silently becomes position-in-array (one effective hash
+        # function instead of 32; caught by hypothesis in
+        # test_minhash_finds_planted_near_dups).
+        return F.array_min(
+            F.transform(F.col("shingles"), lambda s: F.xxhash64(s, F.lit(i)))
+        )
+
+    minhashes = F.array(*[_minhash(i) for i in range(MINHASH_K)])
     sig = shingled.select("doc_id", "shingles", minhashes.alias("sig"))
     bands = sig.select(
         "doc_id",
