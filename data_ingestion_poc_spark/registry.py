@@ -35,6 +35,7 @@ MODULES = [
     "data_ingestion_poc_spark.operators.setops",
     "data_ingestion_poc_spark.operators.composite",
     "data_ingestion_poc_spark.operators.subqueries",
+    "data_ingestion_poc_spark.operators.tpch_tail",
     "data_ingestion_poc_spark.operators.scale",
     "data_ingestion_poc_spark.operators.sqlsurface",
     "data_ingestion_poc_spark.operators.profile",
