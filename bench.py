@@ -35,6 +35,8 @@ HEADLINE = [
     "q_large_volume_customer",
     "q_market_share",
     "q_forecast_revenue",
+    "q_product_profit",
+    "q_sole_late_shippers",
     "win_topk_per_group",
     "win_running_sum",
     "limit_topk",
