@@ -205,6 +205,121 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Connected-components loop bound: min-label propagation needs one
+#: iteration per hop of component diameter; near-dup clusters are shallow
+#: (dozens of docs), so 50 is a generous ceiling — the loop breaks on
+#: convergence long before.
+_CC_MAX_ITERS = 50
+
+_CLUSTERS_ORACLE = """
+    WITH RECURSIVE sh AS (
+      SELECT DISTINCT doc_id, shingle
+      FROM (
+        SELECT doc_id,
+               unnest([array_to_string(words[i:i+2], ' ')
+                       FOR i IN range(1, len(words) - 1)]) AS shingle
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS words
+              FROM documents WHERE doc_id < 200)
+      )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.30
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+    ),
+    lbl AS (
+      SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+      FROM reach GROUP BY src
+    )
+    SELECT l.doc_id, l.cluster_id, c.n AS cluster_size
+    FROM lbl l
+    JOIN (SELECT cluster_id, COUNT(*) AS n FROM lbl GROUP BY cluster_id) c
+      USING (cluster_id)
+"""
+
+
+@register("dedup_clusters", oracle=_CLUSTERS_ORACLE)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: connected components over the
+    near-dup pair graph, so each group of mutually-similar docs gets ONE
+    canonical id (the component's min doc_id) — the step that turns
+    pairwise dedup output into a keep/drop decision per document.
+
+    Spark side: iterative min-label propagation as pure DataFrame ops —
+    labels start as doc_id; each round every node takes the min of its
+    own and its neighbors' labels; converged when no label changes. Each
+    round is one shuffle on the edge key; iterations = component
+    diameter (bounded _CC_MAX_ITERS). ``localCheckpoint`` truncates the
+    growing lineage each round — on a real cluster use a reliable
+    checkpoint dir instead. This is the standard scalable CC recipe
+    (GraphFrames uses the same propagation with large/small-star
+    optimizations); a recursive transitive closure like the DuckDB
+    oracle's would be O(component^2) rows and is only viable at oracle
+    scale.
+
+    Generalizes the reference's dedup decision (child.py:174-191: per-file
+    keep/rename) from per-pair to per-cluster. Oracle: recursive-CTE
+    transitive closure; cluster_id = LEAST(src, MIN(reachable))."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = edges.localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("lbl"))
+        .localCheckpoint()
+    )
+    for _ in range(_CC_MAX_ITERS):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("doc_id").alias("dst_id"), "lbl"),
+                F.col("dst") == F.col("dst_id"),
+            )
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, F.col("doc_id") == F.col("src"))
+            .select("doc_id", F.least("lbl", "nbr_lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.select("doc_id", F.col("lbl").alias("new_lbl"))
+            .join(labels, "doc_id")
+            .where(F.col("new_lbl") != F.col("lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy(F.col("lbl").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return labels.select("doc_id", F.col("lbl").alias("cluster_id")).join(
+        F.broadcast(sizes), "cluster_id"
+    ).select("doc_id", "cluster_id", "cluster_size")
+
+
 def _simhash_batch(texts: pd.Series) -> pd.Series:
     """64-bit SimHash over whitespace tokens, md5-based word hashes
     (deterministic across runs/engines — no Python hash randomization)."""

@@ -67,3 +67,25 @@ def test_asof_join_semantics(spark, sf_dir):
         assert row["click_id"] == expect
         checked += 1
     assert checked > 0
+
+
+def test_dedup_clusters_partitions_pair_graph(spark, sf_dir):
+    """Connected-components invariants: every cluster_id is the min
+    doc_id of its members, both endpoints of every near-dup pair land in
+    the same cluster, and cluster_size matches the member count."""
+    pairs = registry.get("dedup_ngram_jaccard").fn(spark, sf_dir)
+    clusters = registry.get("dedup_clusters").fn(spark, sf_dir)
+    members: dict[int, int] = {}
+    sizes: dict[int, int] = {}
+    for r in clusters.collect():
+        members[r["doc_id"]] = r["cluster_id"]
+        sizes[r["cluster_id"]] = r["cluster_size"]
+    assert members, "expected at least one near-dup cluster in fixtures"
+    for doc_a, doc_b in [(r["doc_a"], r["doc_b"]) for r in pairs.collect()]:
+        assert members[doc_a] == members[doc_b]
+    by_cluster: dict[int, list[int]] = {}
+    for doc, cl in members.items():
+        by_cluster.setdefault(cl, []).append(doc)
+    for cl, docs in by_cluster.items():
+        assert cl == min(docs)
+        assert sizes[cl] == len(docs)
