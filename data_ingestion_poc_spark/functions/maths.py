@@ -54,3 +54,35 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.col("l_quantity"), F.lit(25.0)).alias("qty_hi"),
         F.least(F.col("l_quantity"), F.lit(25.0)).alias("qty_lo"),
     )
+
+
+@register(
+    "fn_bitwise",
+    oracle="""
+    SELECT o_orderkey,
+           xor(o_orderkey, o_custkey)          AS key_xor,
+           o_orderkey & 255                    AS key_and,
+           o_orderkey | 4096                   AS key_or,
+           (o_orderkey & 1023) << 4            AS key_shl,
+           o_orderkey >> 3                     AS key_shr,
+           CAST(bit_count(o_orderkey) AS INTEGER) AS key_bits
+    FROM orders
+    WHERE o_orderkey < 2000
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise surface: xor/and/or, shifts, popcount — the primitive layer
+    under the hash-family operators (simhash bands use exactly these).
+    Shift amount bounded via the & 1023 mask so no sign-bit overflow
+    behavior difference between engines can appear."""
+    t = load(spark, sf_dir)
+    o = t.orders.where(F.col("o_orderkey") < 2000)
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderkey").bitwiseXOR(F.col("o_custkey")).alias("key_xor"),
+        F.col("o_orderkey").bitwiseAND(F.lit(255)).alias("key_and"),
+        F.col("o_orderkey").bitwiseOR(F.lit(4096)).alias("key_or"),
+        F.shiftleft(F.col("o_orderkey").bitwiseAND(F.lit(1023)), 4).alias("key_shl"),
+        F.shiftright("o_orderkey", 3).alias("key_shr"),
+        F.bit_count("o_orderkey").alias("key_bits"),
+    )

@@ -266,3 +266,100 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rk",
         )
     )
+
+
+#: Lloyd's k-means: cluster count and assignment rounds. Two rounds keeps
+#: the unrolled DuckDB oracle readable; the Spark loop is generic in both.
+_KMEANS_K = 4
+_KMEANS_ROUNDS = 2
+_EMB_DIM = 64
+
+_KMEANS_ORACLE = f"""
+    WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, v AS cv FROM emb ORDER BY vec_id LIMIT {_KMEANS_K}),
+    a1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
+        FROM emb e CROSS JOIN c0 c
+      ) t WHERE rn = 1
+    ),
+    c1flat AS (
+      SELECT a1.cid, t.i AS pos, AVG(e.v[t.i]) AS cv_i
+      FROM a1 JOIN emb e USING (vec_id)
+      CROSS JOIN range(1, {_EMB_DIM + 1}) t(i)
+      GROUP BY a1.cid, t.i
+    ),
+    c1 AS (SELECT cid, list(cv_i ORDER BY pos) AS cv FROM c1flat GROUP BY cid)
+    SELECT vec_id, cid AS cluster_id FROM (
+      SELECT e.vec_id, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
+      FROM emb e CROSS JOIN c1 c
+    ) t WHERE rn = 1
+"""
+
+
+def _sq_dist(v, centroid: list[float]):
+    """Squared euclidean distance to a driver-held centroid as a Column
+    expr (monotonic with the oracle's list_distance, so argmin agrees
+    without a sqrt)."""
+    lit = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(v, lit, lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+
+
+@register("embed_kmeans", oracle=_KMEANS_ORACLE)
+def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over the embedding corpus — the iterative-algorithm
+    pattern on Spark: centroids live on the DRIVER (k x dim doubles, like
+    MLlib's KMeans), each round is (1) a distributed assignment pass where
+    the argmin over centroids runs as an array-of-structs min in pure
+    Column exprs (struct ordering = (distance, cid), so ties break to the
+    lower centroid id on both engines), and (2) a distributed per-(cluster,
+    dim) AVG via posexplode whose k x dim result is collected back to the
+    driver for the next round's literals. Deterministic seeding (the K
+    lowest vec_ids) makes the whole trajectory reproducible — pinned
+    against an unrolled recursive oracle. At 100 TB: assignment is a full
+    scan with NO shuffle (centroid literals broadcast in the plan);
+    recompute shuffles k x dim partial sums only."""
+    t = load(spark, sf_dir)
+    emb = t.embeddings.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    centroids = [
+        (int(r["vec_id"]), list(r["v"]))
+        for r in emb.orderBy("vec_id").limit(_KMEANS_K).collect()
+    ]
+    assigned = None
+    for rnd in range(_KMEANS_ROUNDS):
+        scored = F.array(
+            *[
+                F.struct(
+                    _sq_dist(F.col("v"), cv).alias("d"), F.lit(cid).alias("cid")
+                )
+                for cid, cv in centroids
+            ]
+        )
+        assigned = emb.select(
+            "vec_id", "v", F.array_min(scored)["cid"].alias("cluster_id")
+        )
+        if rnd < _KMEANS_ROUNDS - 1:
+            flat = (
+                assigned.select("cluster_id", F.posexplode("v").alias("pos", "x"))
+                .groupBy("cluster_id", "pos")
+                .agg(F.avg("x").alias("m"))
+                .collect()
+            )
+            by_cid: dict[int, dict[int, float]] = {}
+            for r in flat:
+                by_cid.setdefault(r["cluster_id"], {})[r["pos"]] = r["m"]
+            centroids = [
+                (cid, [dims[p] for p in sorted(dims)])
+                for cid, dims in sorted(by_cid.items())
+            ]
+    return assigned.select("vec_id", "cluster_id")

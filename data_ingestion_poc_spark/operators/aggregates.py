@@ -196,3 +196,24 @@ def agg_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_samp("o_totalprice"), 4).alias("price_stddev"),
         F.round(F.var_samp("o_totalprice"), 4).alias("price_var"),
     )
+
+
+@register("agg_hll_sketch", oracle=None)  # approximate sketch: rows-only
+def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable HLL sketches (Apache DataSketches, Spark 3.5+):
+    stage 1 builds a fixed-size binary sketch of distinct customers PER
+    NATION (the shape you'd persist in a rollup table at 100 TB); stage 2
+    merges the 25 sketches with hll_union_agg and estimates the global
+    distinct count WITHOUT rescanning raw data — the property plain
+    approx_count_distinct lacks (its partials aren't storable). Accuracy
+    vs the exact count is pinned in tests/test_relational.py."""
+    t = load(spark, sf_dir)
+    per_nation = t.customer.groupBy("c_nationkey").agg(
+        F.hll_sketch_agg("c_custkey", 12).alias("sk"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return per_nation.agg(
+        F.count(F.lit(1)).alias("n_sketches"),
+        F.sum("n_rows").alias("n_customers"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_distinct"),
+    )

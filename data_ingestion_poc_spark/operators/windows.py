@@ -198,3 +198,35 @@ def win_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_orderkey").over(w).alias("last_key"),
         F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
     )
+
+
+@register(
+    "win_moving_frame",
+    oracle="""
+    SELECT user_id, event_id,
+           ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6)
+             AS mov_avg4,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING), 6)
+             AS prior_sum2
+    FROM events
+    """,
+)
+def win_moving_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding ROWS frames (moving average over the last 4 events; sum of
+    the 2 rows strictly before current) — the physical-offset complement
+    of win_range_frame's value-based window. ROWS frames require a total
+    order to be deterministic, hence the (ts, event_id) tiebreak; the
+    strictly-preceding frame is NULL on each partition's first row, which
+    both engines must agree on."""
+    t = load(spark, sf_dir)
+    order = [F.col("ts"), F.col("event_id")]
+    w4 = Window.partitionBy("user_id").orderBy(*order).rowsBetween(-3, 0)
+    w_prior = Window.partitionBy("user_id").orderBy(*order).rowsBetween(-2, -1)
+    return t.events.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w4), 6).alias("mov_avg4"),
+        F.round(F.sum("value").over(w_prior), 6).alias("prior_sum2"),
+    )

@@ -89,3 +89,12 @@ def test_dedup_clusters_partitions_pair_graph(spark, sf_dir):
     for cl, docs in by_cluster.items():
         assert cl == min(docs)
         assert sizes[cl] == len(docs)
+
+
+def test_hll_sketch_merge_accuracy(spark, sf_dir):
+    """Merged per-nation sketches must estimate the global distinct count
+    within HLL error bounds (lgConfigK=12 => ~1.6% rsd; allow 5%)."""
+    row = registry.get("agg_hll_sketch").fn(spark, sf_dir).collect()[0]
+    exact = row["n_customers"]  # c_custkey is unique per customer row
+    assert row["n_sketches"] == 25
+    assert abs(row["merged_distinct"] - exact) <= 0.05 * exact
