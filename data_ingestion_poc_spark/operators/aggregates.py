@@ -217,3 +217,37 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_rows").alias("n_customers"),
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_distinct"),
     )
+
+
+@register(
+    "rollup_time_hierarchy",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d')           AS bday,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bhour,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    GROUP BY ROLLUP (bday, bhour, event_type)
+    """,
+)
+def rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate shape: one pass produces the
+    hour-by-type detail AND its day/hour/grand-total rollups via Spark's
+    Expand operator — the materialization you'd maintain incrementally
+    (foreachBatch upsert) so dashboards never rescan raw events at 100 TB.
+    Buckets are emitted as strings so NULL rollup rows and timestamp
+    encodings compare identically across engines."""
+    t = load(spark, sf_dir)
+    buckets = t.events.select(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("bday"),
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "bhour"
+        ),
+        "event_type",
+        "value",
+    )
+    return buckets.rollup("bday", "bhour", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )

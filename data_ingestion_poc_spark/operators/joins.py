@@ -247,40 +247,69 @@ def asof_join(
     right_ts: str,
     right_id: str,
     matched_col: str = "matched_id",
+    direction: str = "backward",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """Engine API: as-of LEFT join — every `left` row gets the `right_id`
-    of the latest `right` row with the same `on` key and right_ts <=
-    left_ts (NULL when none exists). Spark has no ASOF JOIN, so: union
-    both sides tagged, ONE window partitioned by the key ordered by
-    (ts, tag, id), and last(right_id, ignoreNulls) carries the newest
-    right id forward onto each left row. ONE shuffle on the key — linear,
-    vs the quadratic naive range join; ties on ts match (right sorts
-    before left => ts-equal right rows are visible, matching `>=`).
+    of the nearest `right` row with the same `on` key: the latest with
+    right_ts <= left_ts (direction="backward", default) or the earliest
+    with right_ts >= left_ts ("forward"); NULL when none exists, or when
+    the match is further than `tolerance` (a SQL interval body like
+    "1 HOUR"). Spark has no ASOF JOIN, so: union both sides tagged, ONE
+    window partitioned by the key ordered by (ts, tag, id), and
+    last/first over a one-sided frame carries the nearest right-row
+    (ts, id) struct onto each left row. ONE shuffle on the key — linear,
+    vs the quadratic naive range join. The tag ordering makes ts-equal
+    right rows visible in both directions (matching >= / <= inclusive).
     Requires `right_id` to be non-null on the right side."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    back = direction == "backward"
+    # right sorts before left at equal ts for backward, after for forward,
+    # so the equal-ts right row lands inside the one-sided frame either way.
+    rtag, ltag = (0, 1) if back else (1, 0)
     lcols = left.columns
     r = right.select(
         F.col(on).alias(on),
         F.col(right_ts).alias("_ts"),
         F.col(right_id).alias("_rid"),
-        F.lit(0).alias("_tag"),
+        F.lit(rtag).alias("_tag"),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols if c != on],
     )
     l = left.select(
         on,
         F.col(left_ts).alias("_ts"),
         F.lit(None).cast(dict(right.dtypes)[right_id]).alias("_rid"),
-        F.lit(1).alias("_tag"),
+        F.lit(ltag).alias("_tag"),
         *[F.col(c) for c in lcols if c != on],
     )
-    w = (
-        Window.partitionBy(on)
-        .orderBy("_ts", "_tag", "_rid")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pair = F.when(
+        F.col("_rid").isNotNull(),
+        F.struct(F.col("_ts").alias("rts"), F.col("_rid").alias("rid")),
     )
-    merged = r.unionByName(l).withColumn(
-        matched_col, F.last("_rid", ignorenulls=True).over(w)
+    w = Window.partitionBy(on).orderBy("_ts", "_tag", "_rid")
+    if back:
+        nearest = F.last(pair, ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    else:
+        nearest = F.first(pair, ignorenulls=True).over(
+            w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+    merged = r.unionByName(l).withColumn("_m", nearest)
+    matched = F.col("_m.rid")
+    if tolerance is not None:
+        bound = F.expr(f"INTERVAL {tolerance}")
+        in_tol = (
+            F.col("_m.rts") >= F.col("_ts") - bound
+            if back
+            else F.col("_m.rts") <= F.col("_ts") + bound
+        )
+        matched = F.when(in_tol, matched)
+    return (
+        merged.where(F.col("_tag") == ltag)
+        .select(*lcols, matched.alias(matched_col))
     )
-    return merged.where(F.col("_tag") == 1).select(*lcols, matched_col)
 
 
 @register(
@@ -401,3 +430,66 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_key", "b_key")
         .dropDuplicates(["a_key", "b_key"])
     )
+
+
+@register(
+    "join_asof_forward",
+    oracle="""
+    SELECT p.event_id, p.user_id, c.event_id AS next_click_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts <= c.ts
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each purchase matched to the user's EARLIEST
+    following-or-equal click (did the user come back?). Same single
+    window shuffle as the backward variant, with the one-sided frame
+    flipped to [current, unbounded following]."""
+    t = load(spark, sf_dir)
+    ev = t.events
+    return asof_join(
+        ev.where(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        ),
+        ev.where(F.col("event_type") == "click"),
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_id="event_id",
+        matched_col="next_click_id",
+        direction="forward",
+    ).select("event_id", "user_id", "next_click_id")
+
+
+@register(
+    "join_asof_tolerance",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           CASE WHEN c.ts >= p.ts - INTERVAL 1 HOUR THEN c.event_id END
+             AS recent_click_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded as-of join: nearest prior click only if within 1 hour of
+    the purchase (attribution-window semantics). The tolerance test runs
+    on the carried (ts, id) struct AFTER the window pass, so it adds no
+    join or shuffle — exactly how pandas.merge_asof's tolerance behaves,
+    pinned against DuckDB ASOF + CASE."""
+    t = load(spark, sf_dir)
+    ev = t.events
+    return asof_join(
+        ev.where(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        ),
+        ev.where(F.col("event_type") == "click"),
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_id="event_id",
+        matched_col="recent_click_id",
+        tolerance="1 HOUR",
+    ).select("event_id", "user_id", "recent_click_id")

@@ -209,3 +209,29 @@ def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@register("scan_range_clustered", oracle=None)  # partition layout: rows-only
+def scan_range_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-clustered layout audit: repartitionByRange + sortWithin-
+    Partitions on l_shipdate — the write-time ordering that gives parquet
+    files disjoint min/max ranges, so date predicates prune FILES (not
+    just row groups) on later scans. The query emits the per-partition
+    proof: (partition, n_rows, min_ts, max_ts); disjointness across
+    partitions is asserted in tests/test_scale.py. At 100 TB this is the
+    standard 'sort before write' pattern (Z-order's 1-D special case)."""
+    t = load(spark, sf_dir)
+    clustered = (
+        t.lineitem.select("l_orderkey", "l_shipdate")
+        .repartitionByRange(8, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+    )
+    return (
+        clustered.withColumn("part_id", F.spark_partition_id())
+        .groupBy("part_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_shipdate").alias("min_ts"),
+            F.max("l_shipdate").alias("max_ts"),
+        )
+    )

@@ -88,3 +88,19 @@ def test_range_bucketed_equals_naive(spark, sf_dir):
     assert {(r["a_key"], r["b_key"]) for r in fast.collect()} == {
         (r["a_key"], r["b_key"]) for r in naive.collect()
     }
+
+
+def test_range_clustered_partitions_disjoint(spark, sf_dir):
+    """repartitionByRange must produce disjoint [min,max] time ranges per
+    partition and lose no rows — the precondition for file-level pruning."""
+    from data_ingestion_poc_spark import registry
+    from data_ingestion_poc_spark.catalog import load
+
+    rows = sorted(
+        registry.get("scan_range_clustered").fn(spark, sf_dir).collect(),
+        key=lambda r: r["min_ts"],
+    )
+    total = load(spark, sf_dir).lineitem.count()
+    assert sum(r["n_rows"] for r in rows) == total
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev["max_ts"] <= cur["min_ts"]
