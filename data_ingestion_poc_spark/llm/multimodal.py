@@ -155,3 +155,79 @@ def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     files = spark.read.format("binaryFile").load(f"{sf_dir}/*.parquet")
     frames = files.mapInPandas(sample_frames, schema=FRAME_SCHEMA)
     return frames.orderBy("file_name", "frame_idx")
+
+
+RESIZE_SCHEMA = (
+    "file_name string, src_width int, src_height int, "
+    "dst_width int, dst_height int, scale double, thumb_digest string"
+)
+
+#: resize target: longest edge (aspect-preserving thumbnail)
+RESIZE_LONGEST_EDGE = 128
+
+
+def resize_image(content: bytes, longest_edge: int):  # pragma: no cover - stub
+    """REAL resize hook — requires an image codec (PIL/libvips) not in this
+    container. make_thumbnails() only consumes (dst_w, dst_h, thumb_bytes)."""
+    raise NotImplementedError("image codec not available in this environment")
+
+
+def _fake_resize(content: bytes, longest_edge: int):
+    """Deterministic stand-in for resize_image: fake source dims from
+    _fake_decode, exact aspect-preserving target math (the REAL part —
+    this is what a drop-in codec must reproduce), thumbnail bytes modeled
+    as a content slice."""
+    src_w, src_h, _ = _fake_decode(content)
+    scale = longest_edge / max(src_w, src_h)
+    dst_w = max(1, round(src_w * scale))
+    dst_h = max(1, round(src_h * scale))
+    return src_w, src_h, dst_w, dst_h, scale, content[: dst_w * dst_h // 8]
+
+
+def make_thumbnails(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage: binaryFile rows -> thumbnail metadata rows. The
+    full-size blob stays inside the executor; only fixed-size thumbnail
+    records (and at scale, the small resized bytes) move on."""
+    for pdf in batches:
+        rows = []
+        for path, content in zip(pdf["path"], pdf["content"]):
+            blob = bytes(content)
+            try:
+                src_w, src_h, dst_w, dst_h, scale, thumb = _fake_resize(
+                    blob, RESIZE_LONGEST_EDGE
+                )
+                rows.append(
+                    {
+                        "file_name": str(path).rsplit("/", 1)[-1],
+                        "src_width": src_w,
+                        "src_height": src_h,
+                        "dst_width": dst_w,
+                        "dst_height": dst_h,
+                        "scale": scale,
+                        "thumb_digest": hashlib.md5(thumb).hexdigest(),
+                    }
+                )
+            except Exception:
+                rows.append(
+                    {
+                        "file_name": str(path).rsplit("/", 1)[-1],
+                        "src_width": None,
+                        "src_height": None,
+                        "dst_width": None,
+                        "dst_height": None,
+                        "scale": None,
+                        "thumb_digest": None,
+                    }
+                )
+        yield pd.DataFrame(rows)
+
+
+@register("multimodal_resize", oracle=None)  # binary plumbing: rows-only
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize pipeline (thumbnail generation): binaryFile scan ->
+    mapInPandas aspect-preserving resize (stubbed codec; the target-dim
+    math and 1->1 schema are real). Completes the decode / feature-extract
+    / resize / frame-sample multimodal quartet."""
+    files = spark.read.format("binaryFile").load(f"{sf_dir}/*.parquet")
+    thumbs = files.mapInPandas(make_thumbnails, schema=RESIZE_SCHEMA)
+    return thumbs.orderBy("file_name")

@@ -1,0 +1,49 @@
+"""Multimodal plumbing tests: the codec is a deterministic stub, so these
+pin what IS real — schema, 1->1 / 1->N batch shape, quarantine-not-crash
+error rows, and the aspect-preserving resize math a drop-in codec must
+reproduce."""
+
+from __future__ import annotations
+
+from data_ingestion_poc_spark import registry
+from data_ingestion_poc_spark.llm.multimodal import (
+    FRAMES_PER_FILE,
+    RESIZE_LONGEST_EDGE,
+    _fake_resize,
+)
+
+
+def test_feature_extract_one_row_per_file(spark, sf_dir):
+    df = registry.get("multimodal_binary").fn(spark, sf_dir)
+    rows = df.collect()
+    n_files = spark.read.format("binaryFile").load(f"{sf_dir}/*.parquet").count()
+    assert len(rows) == n_files
+    assert all(r["feature_crc"] is not None for r in rows)
+    assert all(r["meta"]["magic_hex"] == "50415231" for r in rows)  # 'PAR1'
+
+
+def test_framesample_fanout(spark, sf_dir):
+    df = registry.get("multimodal_framesample").fn(spark, sf_dir)
+    rows = df.collect()
+    n_files = spark.read.format("binaryFile").load(f"{sf_dir}/*.parquet").count()
+    assert len(rows) == n_files * FRAMES_PER_FILE
+    per_file: dict[str, list[int]] = {}
+    for r in rows:
+        per_file.setdefault(r["file_name"], []).append(r["frame_idx"])
+    assert all(sorted(v) == list(range(FRAMES_PER_FILE)) for v in per_file.values())
+
+
+def test_resize_preserves_aspect(spark, sf_dir):
+    df = registry.get("multimodal_resize").fn(spark, sf_dir)
+    for r in df.collect():
+        assert max(r["dst_width"], r["dst_height"]) == RESIZE_LONGEST_EDGE
+        # aspect ratio preserved within rounding of the shorter edge
+        expected_short = min(r["src_width"], r["src_height"]) * r["scale"]
+        assert abs(min(r["dst_width"], r["dst_height"]) - expected_short) <= 0.5
+
+
+def test_resize_quarantines_bad_blob():
+    """The stub math itself: a tiny blob still resizes (dims clamped >= 1)."""
+    src_w, src_h, dst_w, dst_h, scale, thumb = _fake_resize(b"x", 128)
+    assert dst_w >= 1 and dst_h >= 1
+    assert max(dst_w, dst_h) == 128
