@@ -138,3 +138,55 @@ def test_minhash_finds_planted_near_dups(spark, data):
         cat.Tables.__getattr__ = orig
     assert expected_pairs <= got, (expected_pairs, got)
     assert all(a < 100 and b < 100 for a, b in got), got
+
+
+_TS0 = 1700000000  # arbitrary epoch base for synthetic timestamps
+
+
+def _ts(sec: int):
+    from datetime import datetime, timezone
+
+    return datetime.fromtimestamp(_TS0 + sec, tz=timezone.utc)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(1000, 1999)),
+        max_size=25,
+        unique_by=lambda t: t[2],
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(0, 999)),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: t[2],
+    ),
+)
+def test_asof_forward_and_tolerance_match_bruteforce(spark, rights, lefts):
+    """forward: earliest right with right.ts >= left.ts (ties to min id);
+    backward + 10 SECOND tolerance: latest right within [ts-10, ts]."""
+    rdata = rights or [(99, -1, 1000)]
+    right = spark.createDataFrame(
+        [(k, _ts(s), rid) for k, s, rid in rdata], "k int, ts timestamp, rid int"
+    )
+    left = spark.createDataFrame(
+        [(k, _ts(s), lid) for k, s, lid in lefts], "k int, ts timestamp, lid int"
+    )
+    fwd = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts", right_id="rid",
+        direction="forward",
+    )
+    got_f = {r["lid"]: r["matched_id"] for r in fwd.collect()}
+    tol = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts", right_id="rid",
+        tolerance="10 SECOND",
+    )
+    got_t = {r["lid"]: r["matched_id"] for r in tol.collect()}
+    for k, ts, lid in lefts:
+        f_cands = [r for r in rdata if r[0] == k and r[1] >= ts]
+        want_f = min(f_cands, key=lambda r: (r[1], r[2]))[2] if f_cands else None
+        assert got_f[lid] == want_f, ("fwd", k, ts, lid, got_f[lid], want_f)
+        t_cands = [r for r in rdata if r[0] == k and ts - 10 <= r[1] <= ts]
+        want_t = max(t_cands, key=lambda r: (r[1], r[2]))[2] if t_cands else None
+        assert got_t[lid] == want_t, ("tol", k, ts, lid, got_t[lid], want_t)
