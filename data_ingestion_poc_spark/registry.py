@@ -55,6 +55,7 @@ MODULES = [
     "data_ingestion_poc_spark.llm.similarity",
     "data_ingestion_poc_spark.llm.multimodal",
     "data_ingestion_poc_spark.llm.sampling",
+    "data_ingestion_poc_spark.llm.corpus",
     "data_ingestion_poc_spark.streaming.batch_parity",
     "data_ingestion_poc_spark.ingest.pipeline_queries",
 ]
