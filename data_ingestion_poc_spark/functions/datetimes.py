@@ -63,3 +63,42 @@ def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias("days_since"),
     )
+
+
+@register(
+    "fn_datetime_calendar",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER)    AS y,
+           CAST(quarter(o_orderdate) AS INTEGER) AS q,
+           CAST(month(o_orderdate) AS INTEGER)   AS m,
+           CAST(day(o_orderdate) AS INTEGER)     AS d,
+           CAST(week(o_orderdate) AS INTEGER)    AS iso_week,
+           CAST(isodow(o_orderdate) - 1 AS INTEGER) AS wday_mon0,
+           strftime(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE), '%Y-%m-%d') AS plus3m,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d')  AS eom,
+           strftime(CAST(o_orderdate AS DATE) + 90, '%Y-%m-%d')       AS plus90d
+    FROM orders
+    WHERE o_orderkey < 3000
+    """,
+)
+def fn_datetime_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar extracts + date arithmetic: year/quarter/month/day, ISO
+    week, Monday-0 weekday (Spark weekday == DuckDB isodow-1 — the
+    engines' raw dayofweek anchors differ, a classic parity trap),
+    month-clamped add_months, last_day, and day offsets."""
+    t = load(spark, sf_dir)
+    o = t.orders.where(F.col("o_orderkey") < 3000)
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.quarter("o_orderdate").alias("q"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.weekofyear("o_orderdate").alias("iso_week"),
+        F.weekday("o_orderdate").alias("wday_mon0"),
+        F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias("plus3m"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("eom"),
+        F.date_format(F.date_add(d, 90), "yyyy-MM-dd").alias("plus90d"),
+    )

@@ -151,6 +151,30 @@ def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scan_orc_roundtrip",
+    oracle="""
+    SELECT p_partkey, p_brand, p_size, ROUND(p_retailprice, 2) AS p_retailprice
+    FROM part
+    """,
+)
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source round-trip — the second columnar wire format
+    (zlib-compressed, predicate-pushdown-capable like parquet). Content is
+    format-invariant, so the oracle reads the SAME rows from parquet: the
+    check proves the ORC writer/reader loses nothing. Explicit schema on
+    read for symmetry with the text formats (ORC self-describes, but a
+    declared schema pins column ordering for the comparison)."""
+    t = load(spark, sf_dir)
+    out = os.path.join(tempfile.gettempdir(), "dip_spark_sink_orc")
+    df = t.part.select(
+        "p_partkey", "p_brand", "p_size", F.round("p_retailprice", 2).alias("p_retailprice")
+    )
+    df.write.mode("overwrite").orc(out)
+    schema = "p_partkey bigint, p_brand string, p_size int, p_retailprice double"
+    return spark.read.schema(schema).orc(out)
+
+
+@register(
     "scan_partition_pruned",
     oracle="""
     SELECT o_orderkey, o_custkey, o_orderstatus
