@@ -251,3 +251,46 @@ def rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 4).alias("sum_value"),
     )
+
+
+@register(
+    "agg_unpivot",
+    oracle="""
+    SELECT measure,
+           COUNT(*) AS n_values,
+           ROUND(SUM(value), 2) AS sum_value,
+           ROUND(MIN(value), 2) AS min_value,
+           ROUND(MAX(value), 2) AS max_value
+    FROM (
+      SELECT 'l_quantity' AS measure, l_quantity AS value
+      FROM lineitem WHERE l_orderkey < 5000
+      UNION ALL
+      SELECT 'l_extendedprice', l_extendedprice
+      FROM lineitem WHERE l_orderkey < 5000
+      UNION ALL
+      SELECT 'l_discount', l_discount FROM lineitem WHERE l_orderkey < 5000
+      UNION ALL
+      SELECT 'l_tax', l_tax FROM lineitem WHERE l_orderkey < 5000
+    )
+    GROUP BY measure
+    """,
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) — the inverse of agg_pivot: four measure columns
+    become (measure, value) rows via DataFrame.unpivot, which plans as a
+    single Expand over ONE scan (the oracle's UNION ALL form would scan
+    four times — the rewrite IS the optimization), then a per-measure
+    profile aggregate."""
+    t = load(spark, sf_dir)
+    long = t.lineitem.where(F.col("l_orderkey") < 5000).unpivot(
+        ids=[],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+    return long.groupBy("measure").agg(
+        F.count(F.lit(1)).alias("n_values"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.min("value"), 2).alias("min_value"),
+        F.round(F.max("value"), 2).alias("max_value"),
+    )

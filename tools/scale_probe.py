@@ -1,0 +1,109 @@
+"""Scaling probe: measure how representative operators scale when the
+FACT tables grow 1x -> 4x -> 16x beyond sf0.1 (dims held constant, like a
+real star schema where facts dwarf dimensions).
+
+Synthesizes m{K} datasets under /tmp by unioning sf0.1 orders/lineitem K
+times with disjoint key offsets (join selectivity and per-key fan-in are
+preserved; group-key cardinality stays constant, so aggregates test
+map-side partial-combine efficiency). Runs each probe query end-to-end to
+a noop sink and reports wall-clock per scale plus the 16x/1x ratio — the
+'would this plan survive a 100x scale-up' evidence for BASELINE.md
+(linear-ish ratios = shuffle-bound plans are healthy; superlinear = a
+plan that breaks at 100 TB).
+
+Usage: python tools/scale_probe.py [--mults 1,4,16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from data_ingestion_poc_spark import registry
+from data_ingestion_poc_spark.session import get_spark
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+ROOT = "/tmp/dip_scale_probe"
+KEY_OFFSET = 10_000_000
+DIMS = ["region", "nation", "customer", "supplier", "part",
+        "events", "documents", "embeddings"]
+
+PROBES = [
+    "agg_hash_group",        # scan + grouped aggregate (constant key card.)
+    "join_sort_merge",       # large x large shuffle join + agg
+    "q_shipping_priority",   # 3-way join, broadcast dim, top-k
+    "q_sole_late_shippers",  # dual grouped aggregate sharing a shuffle
+    "win_topk_per_group",    # window shuffle + per-partition sort
+]
+
+
+def build(spark, mult: int) -> str:
+    out = f"{ROOT}/m{mult}"
+    if os.path.exists(os.path.join(out, "_DONE")):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    for d in DIMS:
+        shutil.copy(f"{BASE}/{d}.parquet", f"{out}/{d}.parquet")
+    for tbl, keys in (("orders", ["o_orderkey"]), ("lineitem", ["l_orderkey"])):
+        base = spark.read.parquet(f"{BASE}/{tbl}.parquet")
+        parts = []
+        for i in range(mult):
+            df = base
+            for k in keys:
+                df = df.withColumn(k, F.col(k) + F.lit(i * KEY_OFFSET))
+            parts.append(df)
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        # single file per table keeps the layout comparable across mults;
+        # spark re-splits by maxPartitionBytes on read anyway
+        u.coalesce(max(1, mult // 2)).write.mode("overwrite").parquet(
+            f"{out}/{tbl}.parquet"
+        )
+    open(os.path.join(out, "_DONE"), "w").write("ok")
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mults", default="1,4,16")
+    mults = [int(m) for m in ap.parse_args().mults.split(",")]
+    spark = get_spark(app_name="dip-scale-probe")
+    qs = registry.all_queries()
+
+    # warmup JVM/codegen on the base data
+    qs["agg_hash_group"].fn(spark, BASE).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    results: dict[str, dict[int, float]] = {q: {} for q in PROBES}
+    for mult in mults:
+        sf_dir = build(spark, mult)
+        for q in PROBES:
+            t0 = time.time()
+            qs[q].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            results[q][mult] = round(time.time() - t0, 3)
+
+    lo, hi = min(mults), max(mults)
+    print(json.dumps({"base": BASE, "mults": mults, "seconds": results}))
+    print(f"\n| query | " + " | ".join(f"{m}x" for m in mults)
+          + f" | {hi}x/{lo}x (data {hi // lo}x) |")
+    print("|---|" + "---|" * (len(mults) + 1))
+    for q in PROBES:
+        r = results[q]
+        ratio = r[hi] / r[lo] if r[lo] else float("nan")
+        print(f"| `{q}` | " + " | ".join(f"{r[m]:.2f} s" for m in mults)
+              + f" | {ratio:.1f}x |")
+
+
+if __name__ == "__main__":
+    main()
