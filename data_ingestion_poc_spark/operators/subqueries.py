@@ -284,11 +284,15 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     for each part, the supplier(s) quoting the minimum price — the
     correlated MIN subquery decorrelated as aggregate -> per-part min ->
     join back on (partkey, price). Ties keep all minimal suppliers,
-    matching Q2. DECIMAL min keeps the equality join exact. The two
-    aggregates share the l_partkey shuffle; dims join after reduction,
-    nation broadcast."""
+    matching Q2. DECIMAL min keeps the equality join exact. The explicit
+    repartition(l_partkey) makes the shuffle-sharing REAL: hash(l_partkey)
+    satisfies the clustering requirement of the (partkey, suppkey)
+    aggregate, the per-part min, and the offer-to-best join, so one
+    exchange feeds all three (plain groupBy would plan hash(pk,sk) and
+    hash(pk) as separate shuffles). Dims join after reduction, nation
+    broadcast."""
     t = load(spark, sf_dir)
-    offer = t.lineitem.groupBy("l_partkey", "l_suppkey").agg(
+    offer = t.lineitem.repartition("l_partkey").groupBy("l_partkey", "l_suppkey").agg(
         F.min(F.col("l_extendedprice").cast("decimal(18,4)")).alias("min_price")
     )
     best = offer.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
