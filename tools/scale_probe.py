@@ -44,16 +44,21 @@ PROBES = [
     "win_topk_per_group",    # window shuffle + per-partition sort
 ]
 
+#: LLM-pipeline probes: corpus (documents/embeddings) grows instead of the
+#: relational facts. These are the operators whose cost is NOT linear by
+#: construction (LSH candidate pairs, ANN probe lists), so measuring the
+#: growth curve is the point.
+DOC_PROBES = [
+    "dedup_exact_hash",      # digest groupBy: linear scan + hash agg
+    "dedup_minhash",         # banded LSH: candidate pairs grow w/ corpus
+    "text_tokenize_tf",      # explode + word count: linear in tokens
+    "text_quality_score",    # pure per-row exprs: linear
+    "sim_search_ivf",        # IVF ANN: probe-list re-rank over 10x vectors
+]
 
-def build(spark, mult: int) -> str:
-    out = f"{ROOT}/m{mult}"
-    if os.path.exists(os.path.join(out, "_DONE")):
-        return out
-    shutil.rmtree(out, ignore_errors=True)
-    os.makedirs(out, exist_ok=True)
-    for d in DIMS:
-        shutil.copy(f"{BASE}/{d}.parquet", f"{out}/{d}.parquet")
-    for tbl, keys in (("orders", ["o_orderkey"]), ("lineitem", ["l_orderkey"])):
+
+def _scale_tables(spark, out: str, mult: int, scaled: dict[str, list[str]]) -> None:
+    for tbl, keys in scaled.items():
         base = spark.read.parquet(f"{BASE}/{tbl}.parquet")
         parts = []
         for i in range(mult):
@@ -64,11 +69,32 @@ def build(spark, mult: int) -> str:
         u = parts[0]
         for p in parts[1:]:
             u = u.unionByName(p)
-        # single file per table keeps the layout comparable across mults;
+        # few files per table keeps the layout comparable across mults;
         # spark re-splits by maxPartitionBytes on read anyway
         u.coalesce(max(1, mult // 2)).write.mode("overwrite").parquet(
             f"{out}/{tbl}.parquet"
         )
+
+
+def build(spark, mult: int, corpus: bool = False) -> str:
+    """corpus=False scales orders/lineitem; corpus=True scales
+    documents/embeddings. Corpus copies keep the TEXTS identical (only ids
+    offset), so every doc gains K-1 exact duplicates across copies and LSH
+    candidate volume grows ~quadratically in K (C(K,2) collisions per
+    original) — deliberately the adversarial regime for dedup probes."""
+    out = f"{ROOT}/{'docs' if corpus else 'm'}{mult}"
+    if os.path.exists(os.path.join(out, "_DONE")):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    scaled = (
+        {"documents": ["doc_id"], "embeddings": ["vec_id"]}
+        if corpus
+        else {"orders": ["o_orderkey"], "lineitem": ["l_orderkey"]}
+    )
+    for d in [t for t in DIMS + ["orders", "lineitem"] if t not in scaled]:
+        shutil.copy(f"{BASE}/{d}.parquet", f"{out}/{d}.parquet")
+    _scale_tables(spark, out, mult, scaled)
     open(os.path.join(out, "_DONE"), "w").write("ok")
     return out
 
@@ -76,7 +102,11 @@ def build(spark, mult: int) -> str:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mults", default="1,4,16")
-    mults = [int(m) for m in ap.parse_args().mults.split(",")]
+    ap.add_argument("--corpus", action="store_true",
+                    help="scale documents/embeddings and run the LLM probes")
+    args = ap.parse_args()
+    mults = [int(m) for m in args.mults.split(",")]
+    probes = DOC_PROBES if args.corpus else PROBES
     spark = get_spark(app_name="dip-scale-probe")
     qs = registry.all_queries()
 
@@ -85,20 +115,21 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    results: dict[str, dict[int, float]] = {q: {} for q in PROBES}
+    results: dict[str, dict[int, float]] = {q: {} for q in probes}
     for mult in mults:
-        sf_dir = build(spark, mult)
-        for q in PROBES:
+        sf_dir = build(spark, mult, corpus=args.corpus)
+        for q in probes:
             t0 = time.time()
             qs[q].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             results[q][mult] = round(time.time() - t0, 3)
 
     lo, hi = min(mults), max(mults)
-    print(json.dumps({"base": BASE, "mults": mults, "seconds": results}))
+    print(json.dumps({"base": BASE, "mults": mults,
+                      "corpus": args.corpus, "seconds": results}))
     print(f"\n| query | " + " | ".join(f"{m}x" for m in mults)
           + f" | {hi}x/{lo}x (data {hi // lo}x) |")
     print("|---|" + "---|" * (len(mults) + 1))
-    for q in PROBES:
+    for q in probes:
         r = results[q]
         ratio = r[hi] / r[lo] if r[lo] else float("nan")
         print(f"| `{q}` | " + " | ".join(f"{r[m]:.2f} s" for m in mults)
