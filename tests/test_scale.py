@@ -104,3 +104,24 @@ def test_range_clustered_partitions_disjoint(spark, sf_dir):
     assert sum(r["n_rows"] for r in rows) == total
     for prev, cur in zip(rows, rows[1:]):
         assert prev["max_ts"] <= cur["min_ts"]
+
+
+def test_shared_partkey_exchange(spark, sf_dir):
+    """The Q2/Q20 shapes must feed both aggregates and the pair-to-total
+    join from the l_partkey repartition: the two-key aggregate may NOT
+    introduce its own hashpartitioning(l_partkey, l_suppkey) Exchange
+    (hash(l_partkey) already satisfies its clustering requirement). The
+    repartition exchange prints once per DAG branch; runtime exchange
+    reuse dedups the identical subtrees."""
+    import re as _re
+
+    from data_ingestion_poc_spark import registry
+
+    for name in ("q_dominant_suppliers", "q_min_cost_supplier"):
+        df = registry.get(name).fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "REPARTITION_BY_COL" in plan, name
+        two_key = _re.search(
+            r"hashpartitioning\(l_partkey#\d+L?,\s*l_suppkey", plan
+        )
+        assert two_key is None, (name, two_key.group(0) if two_key else None)
