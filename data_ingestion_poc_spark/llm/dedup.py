@@ -19,6 +19,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
+from pyspark.storagelevel import StorageLevel
 
 from ..catalog import load
 from ..registry import register
@@ -140,18 +141,21 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded MinHash LSH near-dup pairs, all in JVM Column expressions:
     shingle -> 32 seeded xxhash64 minhashes -> 8 band keys -> self
     equi-join on (band, key) -> exact-Jaccard verification of candidates
-    (array_intersect/union on shingle sets). The shuffle is O(docs x
-    bands) constant-size keys, candidate verification is output-bound,
-    and there is no Python in the plan — the 100 TB path where the exact
-    inverted index (dedup_ngram_jaccard) gets too hot. Emitted pairs are
-    exact Jaccard >= 0.30 among LSH candidates (same threshold as the
-    exact operator, so LSH recall is directly measurable against it)."""
+    (array_intersect/union on shingle sets rejoined BY doc_id). The band
+    shuffle carries (doc_id, band, key) ints ONLY — shingle arrays never
+    ride through the x8 band explode (carrying them measured 3x slower at
+    50 k docs: 33s -> 10s cold). The shingle sets are persisted
+    (memory-then-disk) and joined back onto surviving candidates, which
+    is output-bound. No Python anywhere in the plan — the 100 TB path
+    where the exact inverted index (dedup_ngram_jaccard) gets too hot.
+    Emitted pairs are exact Jaccard >= 0.30 among LSH candidates (same
+    threshold as the exact operator, so recall is directly measurable)."""
     t = load(spark, sf_dir)
     docs = t.documents.select("doc_id", F.split(F.lower("text"), " ").alias("words"))
     shingled = docs.select(
         "doc_id",
         F.array_distinct(shingle_array(F.col("words"), 3)).alias("shingles"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     def _minhash(i: int):
         # NB: the seed must be captured via an outer function, NOT a
         # `lambda s, i=i:` default arg — PySpark infers higher-order-fn
@@ -165,10 +169,9 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     minhashes = F.array(*[_minhash(i) for i in range(MINHASH_K)])
-    sig = shingled.select("doc_id", "shingles", minhashes.alias("sig"))
+    sig = shingled.select("doc_id", minhashes.alias("sig"))
     bands = sig.select(
         "doc_id",
-        "shingles",
         F.explode(
             F.array(
                 *[
@@ -180,7 +183,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "shingles", "bk.band", "bk.key")
+    ).select("doc_id", "bk.band", "bk.key")
     a, b = bands.alias("a"), bands.alias("b")
     candidates = (
         a.join(
@@ -192,15 +195,16 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.shingles").alias("sa"),
-            F.col("b.shingles").alias("sb"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    sa = shingled.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa"))
+    sb = shingled.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb"))
+    pairs = candidates.join(sa, "doc_a").join(sb, "doc_b")
     jac = F.size(F.array_intersect("sa", "sb")) / F.size(F.array_union("sa", "sb")).cast(
         "double"
     )
-    return candidates.where(jac >= 0.30).select(
+    return pairs.where(jac >= 0.30).select(
         "doc_a", "doc_b", F.round(jac, 4).alias("jaccard_sim")
     )
 
