@@ -294,3 +294,38 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value"), 2).alias("min_value"),
         F.round(F.max("value"), 2).alias("max_value"),
     )
+
+
+@register(
+    "agg_arg_extrema",
+    oracle="""
+    SELECT c_nationkey,
+           MAX(CASE WHEN rn_desc = 1 THEN c_name END) AS richest,
+           MAX(CASE WHEN rn_asc = 1 THEN c_name END)  AS poorest,
+           ROUND(MAX(c_acctbal), 2) AS max_bal,
+           ROUND(MIN(c_acctbal), 2) AS min_bal
+    FROM (
+      SELECT c_nationkey, c_name, c_acctbal,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey DESC) AS rn_desc,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal, c_custkey) AS rn_asc
+      FROM customer
+    )
+    GROUP BY c_nationkey
+    """,
+)
+def agg_arg_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg-extrema aggregates: the value of ONE column at another
+    column's max/min, without a self-join or window (one hash aggregate,
+    map-side combinable — the 100 TB-friendly form of 'row with the max').
+    Ordering key is the (acctbal, custkey) struct so ties break on the
+    unique key identically in both engines."""
+    t = load(spark, sf_dir)
+    key = F.struct(F.col("c_acctbal"), F.col("c_custkey"))
+    return t.customer.groupBy("c_nationkey").agg(
+        F.max_by("c_name", key).alias("richest"),
+        F.min_by("c_name", key).alias("poorest"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+    )
