@@ -207,3 +207,44 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("o_orderstatus") == "F")
         .select("o_orderkey", "o_custkey", "o_orderstatus")
     )
+
+
+@register(
+    "scan_schema_evolution",
+    oracle="""
+    SELECT s_suppkey, s_name, s_acctbal, region_tag FROM (
+      SELECT s_suppkey, s_name, s_acctbal, NULL AS region_tag
+      FROM supplier WHERE s_suppkey % 2 = 0
+      UNION ALL
+      SELECT s_suppkey, s_name, s_acctbal,
+             'R' || CAST(s_nationkey AS VARCHAR) AS region_tag
+      FROM supplier WHERE s_suppkey % 2 = 1
+    )
+    """,
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: two generations of files land in the
+    same dataset — the old drop lacks the region_tag column the new drop
+    added. mergeSchema unions the footers and back-fills NULL for the
+    missing column (the behavior a 100 TB lake relies on when a producer
+    adds a field; without it the read takes ONE footer at random and
+    either drops the new column or fails). The oracle is the explicit
+    UNION-with-NULL rewrite."""
+    t = load(spark, sf_dir)
+    out = os.path.join(tempfile.gettempdir(), "dip_spark_schema_evo")
+    old = t.supplier.where(F.col("s_suppkey") % 2 == 0).select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+    new = t.supplier.where(F.col("s_suppkey") % 2 == 1).select(
+        "s_suppkey",
+        "s_name",
+        "s_acctbal",
+        F.concat(F.lit("R"), F.col("s_nationkey").cast("string")).alias("region_tag"),
+    )
+    old.write.mode("overwrite").parquet(os.path.join(out, "gen=0"))
+    new.write.mode("overwrite").parquet(os.path.join(out, "gen=1"))
+    return (
+        spark.read.option("mergeSchema", True)
+        .parquet(out)
+        .select("s_suppkey", "s_name", "s_acctbal", "region_tag")
+    )
