@@ -196,3 +196,42 @@ def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.explode(shingle_array(F.col("words"), 3)).alias("shingle")
     ).dropDuplicates(["doc_id", "shingle"])
+
+
+@register(
+    "text_bpe_pairs",
+    oracle="""
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS pair_count
+    FROM (
+      SELECT w.words[t.i] || ' ' || w.words[t.i + 1] AS pair
+      FROM (SELECT string_split(lower(text), ' ') AS words
+            FROM documents) w
+      CROSS JOIN range(1, 10000) t(i)
+      WHERE t.i < len(w.words)
+    )
+    GROUP BY pair
+    ORDER BY pair_count DESC, pair
+    LIMIT 50
+    """,
+)
+def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE merge step: corpus-wide adjacent-token-pair counts
+    (the statistic a tokenizer trainer maximizes over). Pairs come from
+    zipping each word array with its own tail — one explode, no
+    self-join — then a hash aggregate on the pair string. At 100 TB this
+    is exactly a word-count-shaped job: map-side combine crushes the
+    long tail before the shuffle. Deterministic top-50 by (count, pair)."""
+    t = load(spark, sf_dir)
+    words = F.split(F.lower("text"), " ")
+    pairs = F.zip_with(
+        F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0))),
+        F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        t.documents.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "pair")
+        .limit(50)
+    )

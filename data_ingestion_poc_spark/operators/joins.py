@@ -493,3 +493,69 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         matched_col="recent_click_id",
         tolerance="1 HOUR",
     ).select("event_id", "user_id", "recent_click_id")
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           CASE
+             WHEN b.event_id IS NOT NULL AND f.event_id IS NOT NULL THEN
+               CASE WHEN p.ts - b.ts <= f.ts - p.ts THEN b.event_id
+                    ELSE f.event_id END
+             ELSE coalesce(b.event_id, f.event_id)
+           END AS nearest_click_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b
+      ON p.user_id = b.user_id AND p.ts >= b.ts
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') f
+      ON p.user_id = f.user_id AND p.ts <= f.ts
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join (pandas merge_asof direction='nearest'): the
+    closest click on EITHER side of each purchase, ties to the earlier
+    one. Composed from one backward and one forward pass — each is the
+    single-shuffle window union, and both windows partition on the same
+    user_id key, so the second pass reuses the first's exchange layout.
+    The arbitration (compare the two carried timestamps) is a pure
+    projection."""
+    t = load(spark, sf_dir)
+    ev = t.events
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    # carry matched ts through each direction by joining the click side back
+    back = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        right_id="event_id", matched_col="b_id",
+    )
+    both = asof_join(
+        back, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        right_id="event_id", matched_col="f_id", direction="forward",
+    )
+    bts = clicks.select(F.col("event_id").alias("b_id"), F.col("ts").alias("b_ts"))
+    fts = clicks.select(F.col("event_id").alias("f_id"), F.col("ts").alias("f_ts"))
+    armed = both.join(F.broadcast(bts), "b_id", "left").join(
+        F.broadcast(fts), "f_id", "left"
+    )
+    nearest = (
+        F.when(
+            F.col("b_id").isNotNull() & F.col("f_id").isNotNull(),
+            F.when(
+                # microsecond-exact arithmetic: a seconds-granular cast
+                # would collapse sub-second gaps and flip ties vs the
+                # oracle's INTERVAL comparison
+                F.unix_micros("ts") - F.unix_micros("b_ts")
+                <= F.unix_micros("f_ts") - F.unix_micros("ts"),
+                F.col("b_id"),
+            ).otherwise(F.col("f_id")),
+        )
+        .otherwise(F.coalesce("b_id", "f_id"))
+    )
+    return armed.select(
+        "event_id", "user_id", nearest.alias("nearest_click_id")
+    )
