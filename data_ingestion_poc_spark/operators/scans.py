@@ -248,3 +248,49 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(out)
         .select("s_suppkey", "s_name", "s_acctbal", "region_tag")
     )
+
+
+#: compaction target: files per output dataset (a byte-size target at scale)
+COMPACT_TARGET_FILES = 4
+COMPACT_FRAGMENT_FILES = 64
+
+
+@register(
+    "sink_compact_small_files",
+    oracle="""
+    SELECT stage, n_rows FROM (
+      SELECT 'fragmented' AS stage, CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM lineitem WHERE l_orderkey < 8000
+      UNION ALL
+      SELECT 'compacted', CAST(COUNT(*) AS BIGINT)
+      FROM lineitem WHERE l_orderkey < 8000
+    )
+    """,
+)
+def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the lake-maintenance job every streaming
+    sink eventually needs (micro-batches leave thousands of KB-size files;
+    scan cost then is dominated by per-file open/footer overhead).
+    Simulates the damage (64-way fragmented write), then compacts by
+    rewriting through coalesce(4) — coalesce, not repartition, so the
+    rewrite is shuffle-FREE: each output task just concatenates input
+    splits. Returns per-stage row counts (the no-loss contract, oracle-
+    checked); the file-count drop is pinned in tests/test_scale.py. At
+    scale the target is bytes (maxRecordsPerFile / target file size), and
+    the job runs partition-by-partition so compaction never rewrites the
+    whole table."""
+    t = load(spark, sf_dir)
+    src = t.lineitem.where(F.col("l_orderkey") < 8000)
+    frag_dir = os.path.join(tempfile.gettempdir(), "dip_compact_frag")
+    comp_dir = os.path.join(tempfile.gettempdir(), "dip_compact_out")
+    src.repartition(COMPACT_FRAGMENT_FILES).write.mode("overwrite").parquet(frag_dir)
+    frag = spark.read.parquet(frag_dir)
+    frag.coalesce(COMPACT_TARGET_FILES).write.mode("overwrite").parquet(comp_dir)
+    comp = spark.read.parquet(comp_dir)
+    return frag.select(F.lit("fragmented").alias("stage")).groupBy("stage").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    ).unionByName(
+        comp.select(F.lit("compacted").alias("stage")).groupBy("stage").agg(
+            F.count(F.lit(1)).alias("n_rows")
+        )
+    )

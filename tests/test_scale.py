@@ -125,3 +125,28 @@ def test_shared_partkey_exchange(spark, sf_dir):
             r"hashpartitioning\(l_partkey#\d+L?,\s*l_suppkey", plan
         )
         assert two_key is None, (name, two_key.group(0) if two_key else None)
+
+
+def test_compaction_reduces_files_losslessly(spark, sf_dir):
+    """Compaction must cut data-file count to the target without touching
+    row counts."""
+    import glob
+    import os
+    import tempfile
+
+    from data_ingestion_poc_spark import registry
+    from data_ingestion_poc_spark.operators.scans import (
+        COMPACT_FRAGMENT_FILES,
+        COMPACT_TARGET_FILES,
+    )
+
+    rows = {
+        r["stage"]: r["n_rows"]
+        for r in registry.get("sink_compact_small_files").fn(spark, sf_dir).collect()
+    }
+    assert rows["fragmented"] == rows["compacted"] > 0
+    tmp = tempfile.gettempdir()
+    n_frag = len(glob.glob(os.path.join(tmp, "dip_compact_frag", "*.parquet")))
+    n_comp = len(glob.glob(os.path.join(tmp, "dip_compact_out", "*.parquet")))
+    assert n_frag == COMPACT_FRAGMENT_FILES
+    assert n_comp == COMPACT_TARGET_FILES
