@@ -86,3 +86,39 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright("o_orderkey", 3).alias("key_shr"),
         F.bit_count("o_orderkey").alias("key_bits"),
     )
+
+
+@register(
+    "fn_try_arith",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice / NULLIF(l_discount, 0.0), 4) AS price_per_disc,
+           CAST(l_quantity AS BIGINT) % NULLIF(CAST(l_tax * 100 AS BIGINT), 0)
+             AS qty_mod_tax,
+           try_cast(l_returnflag AS INTEGER) AS flag_as_int
+    FROM lineitem
+    WHERE l_orderkey < 2000
+    """,
+)
+def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic under ANSI mode (Spark 4 default): plain `/`
+    or `%` by zero THROWS, killing the whole job for one bad row — at
+    100 TB one poison row must not cost a 1000-executor stage retry.
+    try_divide/try_mod/try_cast return NULL instead (the quarantine
+    philosophy of A21 applied to expressions). l_discount and l_tax are
+    0.0 on real rows, so the NULL path is exercised, and DuckDB's
+    NULLIF-guarded division is the portable equivalent."""
+    t = load(spark, sf_dir)
+    li = t.lineitem.where(F.col("l_orderkey") < 2000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.try_divide("l_extendedprice", "l_discount"), 4).alias(
+            "price_per_disc"
+        ),
+        F.try_mod(
+            F.col("l_quantity").cast("bigint"),
+            (F.col("l_tax") * 100).cast("bigint"),
+        ).alias("qty_mod_tax"),
+        F.try_to_number("l_returnflag", F.lit("9")).cast("int").alias("flag_as_int"),
+    )

@@ -130,3 +130,68 @@ def udtf_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents d, LATERAL word_explode(d.doc_id, d.text) t
         """
     )
+
+
+def _merge_asof_group(purchases: pd.DataFrame, clicks: pd.DataFrame) -> pd.DataFrame:
+    """applyInPandas cogroup function: pandas merge_asof within one
+    user's data. Receives BOTH sides of the cogroup for a single key."""
+    purchases = purchases.sort_values("ts")
+    clicks = clicks.sort_values("ts").rename(columns={"event_id": "click_id"})
+    if purchases.empty:
+        return purchases.assign(click_id=pd.Series(dtype="Int64"))[
+            ["event_id", "user_id", "click_id"]
+        ]
+    if clicks.empty:
+        out = purchases.assign(click_id=pd.array([None] * len(purchases), dtype="Int64"))
+    else:
+        out = pd.merge_asof(
+            purchases,
+            clicks[["ts", "click_id"]],
+            on="ts",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+    return out[["event_id", "user_id", "click_id"]]
+
+
+@register(
+    "udf_cogrouped",
+    oracle="""
+    SELECT p.event_id, p.user_id, c.event_id AS click_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def udf_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last piece of the UDF surface: CO-GROUPED applyInPandas — two
+    DataFrames grouped on the same key, each key's pair of pandas frames
+    handed to one Python function (here: pandas merge_asof per user).
+    Semantically identical to join_asof_time, and checked against the
+    same DuckDB ASOF oracle — demonstrating when-you-must-drop-to-pandas
+    with zero correctness loss. Scale note: the JVM window-trick asof
+    (operators/joins.py) is the preferred path — this shape exists for
+    per-key logic that genuinely needs pandas (model scoring, curve
+    fitting); the cogroup still shuffles each side only once on user_id.
+
+    NB merge_asof ties: with allow_exact_matches, pandas takes the LAST
+    right row at equal ts only if timestamps are unique per user — the
+    events fixture guarantees per-user ts uniqueness, matching the
+    window-trick's max-id tiebreak vacuously."""
+    from ..catalog import load
+
+    t = load(spark, sf_dir)
+    ev = t.events
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(
+            _merge_asof_group, schema="event_id long, user_id long, click_id long"
+        )
+    )
