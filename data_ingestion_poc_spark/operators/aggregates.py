@@ -329,3 +329,34 @@ def agg_arg_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("c_acctbal"), 2).alias("max_bal"),
         F.round(F.min("c_acctbal"), 2).alias("min_bal"),
     )
+
+
+@register(
+    "agg_string_concat",
+    oracle="""
+    SELECT c_nationkey,
+           string_agg(c_name, ',' ORDER BY c_custkey) AS names_csv,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer
+    WHERE c_custkey < 100
+    GROUP BY c_nationkey
+    """,
+)
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg, Spark 4.0+): concatenation is
+    NOT commutative, so without the WITHIN GROUP ordering the result is
+    partitioning-dependent garbage — the ordering clause is the whole
+    operator. Bounded input: at 100 TB an unbounded listagg is a
+    single-row OOM; real pipelines cap the group (as here) or switch to
+    collect_list + slice."""
+    t = load(spark, sf_dir)
+    return (
+        t.customer.where(F.col("c_custkey") < 100)
+        .groupBy("c_nationkey")
+        .agg(
+            F.expr(
+                "listagg(c_name, ',') WITHIN GROUP (ORDER BY c_custkey)"
+            ).alias("names_csv"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

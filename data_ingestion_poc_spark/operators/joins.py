@@ -559,3 +559,31 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return armed.select(
         "event_id", "user_id", nearest.alias("nearest_click_id")
     )
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+    SELECT c.k AS join_key, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM (SELECT NULLIF(c_nationkey, 3) AS k FROM customer) c
+    JOIN (SELECT NULLIF(s_nationkey, 3) AS k FROM supplier) s
+      ON c.k IS NOT DISTINCT FROM s.k
+    GROUP BY c.k
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi join (<=> / IS NOT DISTINCT FROM): NULL keys MATCH
+    each other instead of silently vanishing — the semantics a dedup join
+    on nullable identity columns needs (a regular equi join would drop
+    every NULL-keyed row, under-reporting duplicates). Nationkey 3 is
+    mapped to NULL on both sides to force a populated NULL group. Spark
+    still plans this as a hash-partitioned equi join (the <=> key
+    shuffles as coalesce(k, sentinel) internally) — no nested loop."""
+    t = load(spark, sf_dir)
+    c = t.customer.select(F.nullif(F.col("c_nationkey"), F.lit(3)).alias("ck"))
+    s = t.supplier.select(F.nullif(F.col("s_nationkey"), F.lit(3)).alias("sk"))
+    return (
+        c.join(s, F.col("ck").eqNullSafe(F.col("sk")))
+        .groupBy(F.col("ck").alias("join_key"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
