@@ -53,6 +53,13 @@ HEADLINE = [
     "udf_surface",
     "stream_tumbling_agg",
     "ingest_pipeline_e2e",
+    "dedup_clusters",
+    "embed_kmeans",
+    "corpus_quality_filter",
+    "text_bpe_pairs",
+    "rollup_time_hierarchy",
+    "join_asof_nearest",
+    "agg_unpivot",
 ]
 
 
@@ -67,9 +74,12 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
+    # --all: time EVERY registered batch query instead of the headline set
+    # (driver uses the default; --all is the exhaustive perf record)
+    names = list(qs) if "--all" in sys.argv else HEADLINE
     run("agg_hash_group")  # warmup: JVM + codegen + parquet footer cache
     times = {}
-    for name in HEADLINE:
+    for name in names:
         if name in qs:
             times[name] = round(run(name), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
