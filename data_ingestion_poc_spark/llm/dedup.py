@@ -416,3 +416,39 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.where(cos >= 0.30).select(
         "vec_a", "vec_b", F.round(cos, 4).alias("cosine")
     )
+
+
+@register(
+    "dedup_fuzzy_name",
+    oracle="""
+    SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS edit_dist
+    FROM (SELECT c_custkey, c_name FROM customer WHERE c_custkey < 150) a
+    JOIN customer b
+      ON a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    """,
+)
+def dedup_fuzzy_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy NAME dedup: edit-distance pairs within threshold — the
+    direct content-level upgrade of the reference's rename-policy dedup
+    (A16 child.py:174-191 matches names EXACTLY after sanitization; this
+    catches near-miss names like 'report_v2' vs 'report_v3'). Bounded
+    probe side broadcast against the full table; at corpus scale the
+    blocking key (name length, first-k chars, or a q-gram bucket — see
+    dedup_ngram_jaccard) prunes the quadratic pair space first, and
+    levenshtein only runs inside blocks."""
+    t = load(spark, sf_dir)
+    a = t.customer.where(F.col("c_custkey") < 150).select(
+        F.col("c_custkey").alias("key_a"), F.col("c_name").alias("name_a")
+    )
+    b = t.customer.select(
+        F.col("c_custkey").alias("key_b"), F.col("c_name").alias("name_b")
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        F.broadcast(a)
+        .join(b, F.col("key_a") < F.col("key_b"))
+        .where(dist <= 2)
+        .select("key_a", "key_b", dist.alias("edit_dist"))
+    )

@@ -52,3 +52,38 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_COLS)}, {stack_args}) AS "
         "(column_name, n_nonnull, n_distinct, min_s, max_s)"
     )
+
+
+@register(
+    "agg_histogram",
+    oracle="""
+    SELECT bucket,
+           CAST(900 + bucket * 10 AS DOUBLE)      AS lo,
+           CAST(900 + (bucket + 1) * 10 AS DOUBLE) AS hi,
+           CAST(COUNT(*) AS BIGINT)                AS n
+    FROM (
+      SELECT CAST(floor((p_retailprice - 900.0) / 10.0) AS INTEGER) AS bucket
+      FROM part
+    )
+    GROUP BY bucket
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (data-profiling primitive): bucket index by
+    closed-form floor arithmetic — one scan, one hash aggregate on a tiny
+    key space, no sort, no window. This is how column statistics are
+    built at 100 TB (the same shape Spark's ANALYZE uses); contrast with
+    agg_approx_quantile for the equi-DEPTH variant."""
+    t = load(spark, sf_dir)
+    bucket = F.floor((F.col("p_retailprice") - 900.0) / 10.0).cast("int")
+    return (
+        t.part.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bucket",
+            (900 + F.col("bucket") * 10).cast("double").alias("lo"),
+            (900 + (F.col("bucket") + 1) * 10).cast("double").alias("hi"),
+            "n",
+        )
+    )

@@ -10,6 +10,7 @@ partitioned sink is the 100 TB layout lever (partition pruning on read).
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -293,4 +294,44 @@ def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         comp.select(F.lit("compacted").alias("stage")).groupBy("stage").agg(
             F.count(F.lit(1)).alias("n_rows")
         )
+    )
+
+
+@register(
+    "scan_csv_malformed",
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), 'alpha', CAST(10.5 AS DOUBLE), CAST(NULL AS VARCHAR)),
+      (CAST(2 AS BIGINT), 'beta',  CAST(20.0 AS DOUBLE), CAST(NULL AS VARCHAR)),
+      (CAST(NULL AS BIGINT), 'gamma', CAST(NULL AS DOUBLE), 'not_a_number,gamma,oops'),
+      (CAST(4 AS BIGINT), 'delta', CAST(40.25 AS DOUBLE), CAST(NULL AS VARCHAR))
+    ) AS t(id, name, score, bad_row)
+    """,
+)
+def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-tolerant text ingest (the A21 quarantine philosophy at the
+    parser): PERMISSIVE mode routes rows that fail the declared schema
+    into a corrupt-record column instead of aborting the scan — one
+    poison line in a 100 TB CSV drop must cost one quarantined row, not
+    the job. Fields that DO parse are kept (name='gamma' survives even
+    though id/score fail — pinned by the golden row).
+    The malformed row keeps its raw text for the quarantine sink;
+    FAILFAST (the strict alternative) is the right choice only after the
+    feed is trusted. Golden-VALUES oracle pins the exact split."""
+    inbox = os.path.join(tempfile.gettempdir(), "dip_csv_malformed")
+    shutil.rmtree(inbox, ignore_errors=True)
+    os.makedirs(inbox)
+    with open(os.path.join(inbox, "feed.csv"), "w") as f:
+        f.write(
+            "1,alpha,10.5\n"
+            "2,beta,20.0\n"
+            "not_a_number,gamma,oops\n"
+            "4,delta,40.25\n"
+        )
+    schema = "id bigint, name string, score double, bad_row string"
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "bad_row")
+        .csv(inbox)
     )
