@@ -230,3 +230,37 @@ def win_moving_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("value").over(w4), 6).alias("mov_avg4"),
         F.round(F.sum("value").over(w_prior), 6).alias("prior_sum2"),
     )
+
+
+@register(
+    "win_time_range",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
+           ROUND(SUM(value) OVER w, 6)     AS sum_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE frame: each event sees the user's trailing
+    1-hour window (rate-limiting / rolling-engagement shape). Spark's
+    DataFrame rangeBetween needs a NUMERIC ordering, so the frame runs
+    over epoch MICROSECONDS with a 3.6e9-wide frame — exactly the
+    oracle's RANGE INTERVAL at full timestamp precision (events carry
+    sub-second parts; a seconds-granular ordering would silently shift
+    frame edges for boundary rows). RANGE includes ts-peers on both
+    engines, so no unique tiebreak is needed."""
+    t = load(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return t.events.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.round(F.sum("value").over(w), 6).alias("sum_last_hour"),
+    )
