@@ -45,3 +45,39 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.array_sort(F.array_distinct("words")), 1).alias("min_word"),
         F.size(F.filter("words", lambda w: F.length(w) > 5)).alias("n_long_words"),
     )
+
+
+@register(
+    "fn_array_hof",
+    oracle="""
+    SELECT doc_id,
+           len(list_filter(words, w -> length(w) > 8)) > 0          AS has_long,
+           len(list_filter(words, w -> length(w) = 0)) = 0          AS all_nonempty,
+           CAST(list_sum(list_transform(words, w -> length(w)))
+                AS BIGINT)                                          AS total_chars,
+           CAST(list_max(list_transform(words, w -> length(w)))
+                AS INTEGER)                                         AS max_word_len
+    FROM (SELECT doc_id, string_split(text, ' ') AS words
+          FROM documents WHERE doc_id < 300)
+    """,
+)
+def fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full higher-order-function quartet as Catalyst expressions:
+    exists / forall (short-circuiting predicates), transform -> aggregate
+    (map-reduce over an array in ONE projection — the pattern the
+    embedding dot products build on). No UDF, no explode: per-row array
+    work stays inside whole-stage codegen."""
+    t = load(spark, sf_dir)
+    docs = t.documents.where(F.col("doc_id") < 300).select(
+        "doc_id", F.split("text", " ").alias("words")
+    )
+    lens = F.transform("words", lambda w: F.length(w))
+    return docs.select(
+        "doc_id",
+        F.exists("words", lambda w: F.length(w) > 8).alias("has_long"),
+        F.forall("words", lambda w: F.length(w) > 0).alias("all_nonempty"),
+        F.aggregate(lens, F.lit(0).cast("bigint"), lambda a, x: a + x).alias(
+            "total_chars"
+        ),
+        F.array_max(lens).alias("max_word_len"),
+    )

@@ -360,3 +360,27 @@ def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@register(
+    "agg_boolean",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count_if(o_totalprice > 300000) AS BIGINT) AS n_big,
+           bool_and(o_totalprice > 0)                      AS all_positive,
+           bool_or(o_orderstatus = 'F')                    AS any_finished
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate surface: conditional count without a CASE
+    scaffold, universal/existential group predicates (every/any) — all
+    map-side combinable single-bit partials, the cheapest aggregates that
+    exist at 100 TB."""
+    t = load(spark, sf_dir)
+    return t.orders.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 300000).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+    )

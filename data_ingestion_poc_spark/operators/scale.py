@@ -235,3 +235,72 @@ def scan_range_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_shipdate").alias("max_ts"),
         )
     )
+
+
+def zorder_value(a, b, bits: int = 16):
+    """Morton/Z-order interleave of two non-negative int columns as a pure
+    Column expression: bit i of `a` lands at position 2i+1, bit i of `b`
+    at 2i. Locality property: rows close in z-value are close in BOTH
+    dimensions, so range-partitioning by z-value gives every partition a
+    bounded min/max box in (a, b) — the clustering parquet min/max stats
+    need for two-column predicate pruning."""
+    terms = []
+    for i in range(bits):
+        terms.append(
+            F.shiftleft(F.shiftrightunsigned(a, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+        terms.append(
+            F.shiftleft(F.shiftrightunsigned(b, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+    z = terms[0]
+    for t_ in terms[1:]:
+        z = z + t_
+    return z
+
+
+@register("scan_zorder_clustered", oracle=None)  # partition layout: rows-only
+def scan_zorder_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering — the multi-dimensional upgrade of
+    scan_range_clustered: interleave (l_partkey, l_suppkey) bits, range-
+    partition on the z-value, and emit each partition's bounding box over
+    BOTH key dimensions. 1-D range clustering makes one column's file
+    stats tight and leaves the other spanning the full domain; z-order
+    bounds both, so scans filtered on EITHER key skip most files.
+    tests/test_scale.py asserts the box-volume shrinkage. Same recipe
+    Delta/Iceberg OPTIMIZE ZORDER applies before writing.
+
+    Load-bearing detail: both keys are first NORMALIZED onto the same
+    16-bit range. Raw interleave of unequal domains (partkey ~15 bits,
+    suppkey ~10) leaves the z-value's high bits purely partkey — i.e.
+    silently degrades to 1-D clustering (measured: suppkey boxes spanned
+    the FULL domain before normalization)."""
+    t = load(spark, sf_dir)
+    li = t.lineitem.select("l_partkey", "l_suppkey")
+    lim = li.agg(
+        F.min("l_partkey").alias("pk_lo"), F.max("l_partkey").alias("pk_hi"),
+        F.min("l_suppkey").alias("sk_lo"), F.max("l_suppkey").alias("sk_hi"),
+    ).collect()[0]
+
+    def norm(col, lo, hi):
+        span = max(1, hi - lo)
+        return ((col - F.lit(lo)) * 65535 / F.lit(span)).cast("long")
+
+    z = li.withColumn(
+        "zval",
+        zorder_value(
+            norm(F.col("l_partkey"), lim["pk_lo"], lim["pk_hi"]),
+            norm(F.col("l_suppkey"), lim["sk_lo"], lim["sk_hi"]),
+        ),
+    )
+    clustered = z.repartitionByRange(16, "zval").sortWithinPartitions("zval")
+    return (
+        clustered.withColumn("part_id", F.spark_partition_id())
+        .groupBy("part_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_partkey").alias("pk_min"),
+            F.max("l_partkey").alias("pk_max"),
+            F.min("l_suppkey").alias("sk_min"),
+            F.max("l_suppkey").alias("sk_max"),
+        )
+    )

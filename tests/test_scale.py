@@ -150,3 +150,21 @@ def test_compaction_reduces_files_losslessly(spark, sf_dir):
     n_comp = len(glob.glob(os.path.join(tmp, "dip_compact_out", "*.parquet")))
     assert n_frag == COMPACT_FRAGMENT_FILES
     assert n_comp == COMPACT_TARGET_FILES
+
+
+def test_zorder_bounds_both_dimensions(spark, sf_dir):
+    """Z-order partitions must have bounded boxes in BOTH key dimensions
+    (1-D range clustering would leave the second dimension spanning the
+    full domain), and must lose no rows."""
+    from data_ingestion_poc_spark import registry
+    from data_ingestion_poc_spark.catalog import load
+
+    rows = registry.get("scan_zorder_clustered").fn(spark, sf_dir).collect()
+    total = load(spark, sf_dir).lineitem.count()
+    assert sum(r["n_rows"] for r in rows) == total
+    for dim in ("pk", "sk"):
+        glob = max(r[f"{dim}_max"] for r in rows) - min(
+            r[f"{dim}_min"] for r in rows
+        )
+        avg_span = sum(r[f"{dim}_max"] - r[f"{dim}_min"] for r in rows) / len(rows)
+        assert avg_span < 0.6 * glob, (dim, avg_span, glob)
