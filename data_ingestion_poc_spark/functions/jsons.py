@@ -38,3 +38,31 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         (parsed.getField("k") % 10).alias("k_mod"),
         F.get_json_object("props", "$.missing").alias("missing_field"),
     )
+
+
+@register(
+    "fn_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k_int,
+           CAST(json_extract(props, '$.missing') AS INTEGER) AS absent
+    FROM events
+    WHERE event_id < 3000
+    """,
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT type (Spark 4): parse_json ONCE into a
+    binary variant column, then typed path extraction — unlike
+    from_json, no schema must be declared up front, and unlike repeated
+    get_json_object there is no re-parse per field. This is the
+    schema-on-read path for heterogeneous event payloads at 100 TB
+    (variant columns shred to parquet efficiently). Missing paths via
+    try_variant_get return NULL, not errors (ANSI-safe)."""
+    t = load(spark, sf_dir)
+    ev = t.events.where(F.col("event_id") < 3000)
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("k_int"),
+        F.try_variant_get(v, "$.missing", "int").alias("absent"),
+    )

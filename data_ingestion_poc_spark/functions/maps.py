@@ -49,3 +49,36 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("meta").alias("n_keys"),
         F.map_contains_key("meta", "file_size").alias("has_size"),
     )
+
+
+@register(
+    "fn_map_hof",
+    oracle="""
+    SELECT event_id,
+           ROUND(value * 2 * 10, 4) AS v2_scaled,
+           CAST((CASE WHEN value * 10 > 100 THEN 1 ELSE 0 END)
+              + (CASE WHEN value * 2 * 10 > 100 THEN 1 ELSE 0 END)
+              AS INTEGER) AS n_kept
+    FROM events
+    WHERE event_id < 3000
+    """,
+)
+def fn_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order MAP functions: transform_values rewrites every value
+    without exploding the map; map_filter prunes entries by (k, v)
+    predicate — both Catalyst expressions (the blob-metadata map of A18
+    child.py:200-204 processed without leaving codegen). The oracle
+    checks the arithmetic through scalar equivalents since DuckDB's MAP
+    surface differs."""
+    t = load(spark, sf_dir)
+    ev = t.events.where(F.col("event_id") < 3000)
+    m = F.create_map(
+        F.lit("v"), F.col("value"), F.lit("v2"), F.col("value") * 2
+    )
+    scaled = F.transform_values(m, lambda k, v: v * 10)
+    kept = F.map_filter(scaled, lambda k, v: v > 100)
+    return ev.select(
+        "event_id",
+        F.round(F.element_at(scaled, F.lit("v2")), 4).alias("v2_scaled"),
+        F.size(kept).alias("n_kept"),
+    )
