@@ -274,3 +274,47 @@ def run_pipeline(
         sink_state = spark.createDataFrame([], SINK_STATE_SCHEMA)
     deduped = dedup_against_sink(derived, sink_state, policy)
     return finalize(deduped), quarantine
+
+
+#: Retry policy for the fetch stage. The reference left retries as a
+#: commented-out TODO (config.py:12-13, config.py:44) and relied on
+#: cron re-runs; the engine does bounded in-task retries, then routes
+#: the exhausted row to quarantine (A21) instead of waiting a day.
+FETCH_MAX_ATTEMPTS = 3
+
+RETRY_SCHEMA = "server string, remote_path string, status string, attempts int"
+
+
+def fetch_with_retry(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas fetch with bounded retries. Deterministic fault
+    injection: a remote_path containing 'flaky' raises on every attempt
+    before the last one (transient-failure model); 'missing' paths fail
+    every attempt (permanent-failure model). Retries happen INSIDE the
+    task — no Spark task retry, no stage restart, no driver round-trip."""
+    for pdf in batches:
+        rows = []
+        for server, rpath in zip(pdf["server"], pdf["remote_path"]):
+            attempts = 0
+            status = "quarantined"
+            while attempts < FETCH_MAX_ATTEMPTS:
+                attempts += 1
+                try:
+                    if "flaky" in rpath and attempts < FETCH_MAX_ATTEMPTS:
+                        raise IOError("transient connection reset")
+                    local = _resolve_local(
+                        server, rpath.replace("flaky:", "")
+                    )
+                    os.stat(local)
+                    status = "ok"
+                    break
+                except Exception:
+                    continue
+            rows.append(
+                {
+                    "server": server,
+                    "remote_path": rpath,
+                    "status": status,
+                    "attempts": attempts,
+                }
+            )
+        yield pd.DataFrame(rows)

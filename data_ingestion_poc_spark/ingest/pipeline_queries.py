@@ -235,3 +235,37 @@ def ingest_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_files"], m["total_bytes"], n_quarantined)],
         "n_files bigint, total_bytes bigint, n_quarantined bigint",
     )
+
+
+@register(
+    "ingest_fetch_retry",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('/inbox/test_file.zip',        'ok',          1),
+      ('flaky:/inbox/test_file.zip',  'ok',          3),
+      ('/nowhere/missing.bin',        'quarantined', 3)
+    ) AS t(remote_path, status, attempts)
+    """,
+)
+def ingest_fetch_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded in-task fetch retries — the upgrade of the reference's
+    commented-out retry TODO (config.py:12-13: '#NUM_OF_RETRIES = 2' was
+    never implemented; its recovery story was the next cron run,
+    README.md:106-119). Transient faults succeed on the final attempt;
+    permanent faults exhaust the budget and land in quarantine with
+    their attempt count — the error channel carries retry telemetry, so
+    the sink audit can distinguish 'slow feed' from 'dead feed'."""
+    from .pipeline import RETRY_SCHEMA, fetch_with_retry, manifest_df
+
+    fixtures.build()
+    server = fixtures.MANIFEST[0][0]
+    manifest = [
+        (server, "/inbox/test_file.zip"),
+        (server, "flaky:/inbox/test_file.zip"),
+        (server, "/nowhere/missing.bin"),
+    ]
+    return (
+        manifest_df(spark, manifest, n_batches=3)
+        .mapInPandas(fetch_with_retry, schema=RETRY_SCHEMA)
+        .select("remote_path", "status", "attempts")
+    )
