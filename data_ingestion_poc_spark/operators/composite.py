@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import load
 from ..registry import register
@@ -477,4 +478,44 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sales.groupBy("l_year").agg(
         F.round(F.sum(china) / F.sum("volume"), 6).cast("double").alias("mkt_share")
+    )
+
+
+@register(
+    "q_yearly_growth",
+    oracle="""
+    WITH yearly AS (
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS revenue
+      FROM orders GROUP BY o_year
+    )
+    SELECT o_year, revenue,
+           ROUND(revenue - lag(revenue) OVER (ORDER BY o_year), 2) AS yoy_delta,
+           ROUND(revenue / NULLIF(lag(revenue) OVER (ORDER BY o_year), 0) - 1, 6)
+             AS yoy_growth
+    FROM yearly
+    """,
+)
+def q_yearly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year growth: aggregate THEN window — the window runs
+    over one row per year (a global unpartitioned window is safe only
+    because the aggregate already reduced the input to O(years) rows;
+    running lag over raw orders would serialize 100 TB through one
+    task). DECIMAL yearly sums make the deltas exact across engines."""
+    t = load(spark, sf_dir)
+    yearly = t.orders.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("revenue")
+    )
+    w = Window.orderBy("o_year")
+    prev = F.lag("revenue").over(w)
+    return yearly.select(
+        "o_year",
+        "revenue",
+        F.round(F.col("revenue") - prev, 2).alias("yoy_delta"),
+        F.round(F.col("revenue") / F.nullif(prev, F.lit(0.0)) - 1, 6).alias(
+            "yoy_growth"
+        ),
     )

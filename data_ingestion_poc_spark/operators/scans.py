@@ -335,3 +335,31 @@ def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("columnNameOfCorruptRecord", "bad_row")
         .csv(inbox)
     )
+
+
+@register(
+    "scan_synthetic_gen",
+    oracle="""
+    SELECT CAST(t.i AS BIGINT)                         AS id,
+           CAST(t.i % 97 AS BIGINT)                    AS bucket,
+           CAST((t.i * 2654435761) % 4294967296 AS BIGINT) AS knuth_key,
+           'user_' || CAST(t.i % 1000 AS VARCHAR)      AS user_tag
+    FROM range(0, 10000) t(i)
+    """,
+)
+def scan_synthetic_gen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic data generator as a SOURCE: spark.range is
+    a parallel, partitioned sequence (no input files, no driver loop), and
+    derived columns use closed-form arithmetic (modular buckets, Knuth
+    multiplicative hash) so both engines compute bit-identical rows — the
+    portable recipe for scale-testing pipelines (the probe datasets in
+    tools/scale_probe.py are built the same way). At 100 TB-equivalent:
+    spark.range(N, numPartitions=...) generates in parallel on executors."""
+    return spark.range(0, 10000).select(
+        F.col("id"),
+        (F.col("id") % 97).alias("bucket"),
+        ((F.col("id") * 2654435761) % 4294967296).alias("knuth_key"),
+        F.concat(F.lit("user_"), (F.col("id") % 1000).cast("string")).alias(
+            "user_tag"
+        ),
+    )

@@ -264,3 +264,47 @@ def win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_last_hour"),
         F.round(F.sum("value").over(w), 6).alias("sum_last_hour"),
     )
+
+
+@register(
+    "win_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id,
+           CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS session_no
+    FROM flagged
+    """,
+)
+def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gap-islands): a session break is a >30 min
+    silence; the running sum of break flags numbers each user's sessions
+    1..k. ONE shuffle on user_id serves both window passes (same
+    partitioning, same ordering — Spark plans a single Exchange + sort).
+    This is the batch twin of stream_session_window's session_window();
+    identical gap rule, so the two can be cross-checked."""
+    t = load(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    # µs-exact gap test: a seconds-granular cast would disagree with the
+    # oracle's INTERVAL comparison when a gap straddles 1800s by <1s
+    new_sess = F.when(
+        prev_ts.isNull()
+        | (F.unix_micros("ts") - F.unix_micros(prev_ts) > 1_800_000_000),
+        1,
+    ).otherwise(0)
+    return t.events.select(
+        "user_id",
+        "event_id",
+        F.sum(new_sess)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_no"),
+    )
