@@ -1,0 +1,99 @@
+"""Approximation-quality evaluation: recall of the LSH-based approximate
+operators against their exact counterparts, computed inside the engine.
+
+The reference ships no approximate operators (its dedup is exact metadata
+equality, child.py:174-191), so once the engine adds MinHash LSH and ANN
+(SURVEY.md section 2 B10) it also needs the measurement loop that tells an
+operator whether the approximation is still good enough: recall is THE
+acceptance metric for LSH band tuning and ANN bucket sizing. Both queries
+below are self-contained joins of two already-registered operators, so they
+stay honest as those operators evolve.
+
+Scale note: both evaluations join candidate sets (output of the approximate
+op) against exact sets (output of the exact op) — the joins are on pair/row
+keys, orders of magnitude smaller than the corpus itself. The expensive
+parts are the underlying operators, not the comparison. At 100 TB you run
+the exact side on a SAMPLE (e.g. 1% of docs) and extrapolate; the query
+shape is identical, so the sampled variant is a `.sample()` away.
+
+Rows-only checks (oracle=None): the LSH sides hash with xxhash64, which
+DuckDB cannot replicate. Determinism is pinned in tests instead — seeded
+hashes mean recall is a constant for a given dataset.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from .dedup import dedup_minhash, dedup_ngram_jaccard
+from .similarity import sim_search_ann, sim_search_ann_multiprobe, sim_search_knn
+
+
+@register("dedup_minhash_recall", oracle=None)  # xxhash64 side: rows-only
+def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of banded MinHash LSH vs the exact shingle-Jaccard dedup.
+
+    Ground truth = dedup_ngram_jaccard (exact inverted-index Jaccard >=
+    0.30). Candidate set = dedup_minhash (32 hashes, 8x4 bands, exact
+    verify of collided pairs). Because the LSH pipeline post-verifies with
+    the same threshold, its pairs are a subset of ground truth; recall is
+    therefore |lsh| / |exact| and precision is 1.0 by construction — the
+    interesting number is how many true pairs the bands FAILED to collide
+    (the S-curve miss mass below s~0.5, see dedup.py band-probability
+    note). One output row: counts plus recall in percent.
+    """
+    exact = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    lsh = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    # Left join ground truth -> candidate set; a match marks a recalled pair.
+    hit = exact.join(
+        lsh.withColumn("hit", F.lit(1)), on=["doc_a", "doc_b"], how="left"
+    )
+    return hit.agg(
+        F.count(F.lit(1)).alias("exact_pairs"),
+        F.count("hit").alias("lsh_pairs"),
+        (F.count(F.lit(1)) - F.count("hit")).alias("missed_pairs"),
+        F.round(F.count("hit") * 100.0 / F.count(F.lit(1)), 2).alias("recall_pct"),
+    )
+
+
+@register("sim_search_recall", oracle=None)  # LSH-bucketed side: rows-only
+def sim_search_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the random-hyperplane ANN variants vs brute-force
+    cosine top-10.
+
+    Per (variant, query): |ann_top10 ∩ exact_top10| / |exact_top10| — the
+    standard ANN quality gate (FAISS/ScaNN benchmarks report exactly this
+    number). Two variants side by side: `single_probe` compares only
+    within its own 16-bit hyperplane bucket (misses are neighbors that
+    landed across any hyperplane), `multi_probe` also probes the 16
+    Hamming-distance-1 buckets. The delta between the two rows per query
+    is exactly what the 17x probe fan-out buys.
+    """
+    exact = sim_search_knn(spark, sf_dir).select("query_id", "neighbor_id")
+    variants = [
+        ("single_probe", sim_search_ann(spark, sf_dir)),
+        ("multi_probe", sim_search_ann_multiprobe(spark, sf_dir)),
+    ]
+    reports = []
+    for name, ann in variants:
+        hit = exact.join(
+            ann.select("query_id", "neighbor_id").withColumn("hit", F.lit(1)),
+            on=["query_id", "neighbor_id"],
+            how="left",
+        )
+        reports.append(
+            hit.groupBy("query_id").agg(
+                F.lit(name).alias("variant"),
+                F.count(F.lit(1)).alias("exact_k"),
+                F.count("hit").alias("ann_hits"),
+                F.round(F.count("hit") * 100.0 / F.count(F.lit(1)), 2).alias(
+                    "recall_pct"
+                ),
+            )
+        )
+    out = reports[0].unionByName(reports[1])
+    return out.select(
+        "variant", "query_id", "exact_k", "ann_hits", "recall_pct"
+    ).orderBy("variant", "query_id")

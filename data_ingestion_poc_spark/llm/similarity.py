@@ -73,28 +73,48 @@ def sim_search_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_search_ann", oracle=None)  # approximate: rows-only check
-def sim_search_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN via random-hyperplane LSH: 16 fixed signed
-    projections -> sign bits -> bucket key; candidates = same bucket only,
-    then exact cosine re-rank inside buckets. Deterministic (seeded
-    projections derived from index arithmetic, not RNG state). At 100 TB:
-    bucket key is a shuffle key — each query compares against a tiny
-    candidate set instead of the full corpus (IVF-style)."""
-    t = load(spark, sf_dir)
-    emb = t.embeddings.select("vec_id", "label", "embedding")
-    dim, nbits = 64, 16
+#: Random-hyperplane signature geometry shared by the ANN variants.
+#: nbits sizes the bucket grid: ~log2(N / target_bucket_size). The test
+#: corpora hold 500-2000 vectors, so 5 bits -> 32 buckets -> ~16-60
+#: vectors per bucket (enough candidates for a top-10 re-rank). At 100 TB
+#: you re-derive nbits from the corpus count the same way — the plan shape
+#: (hash once, shuffle once on `bucket`) is unchanged.
+_ANN_DIM, _ANN_NBITS = 64, 5
 
-    # Deterministic pseudo-random hyperplanes: h[b][i] in {-1,+1} from a
-    # hash of (b, i) — reproducible across runs with no RNG object.
+
+def _splitmix_bit(b: int, i: int) -> int:
+    """Avalanche-mixed bit for hyperplane b, dimension i (plan-build time).
+
+    A linear combine like ``bit7(b*A ^ i*B)`` is separable
+    (= bit7(b*A) XOR bit7(i*B)), which collapses every hyperplane into the
+    same one up to sign — the whole corpus lands in 2 buckets. splitmix64
+    finalization avalanches every input bit into every output bit, so the
+    planes are independent.
+    """
+    m = (1 << 64) - 1
+    x = ((b << 32) | i) & m
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & m
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & m
+    x ^= x >> 31
+    return (x >> 17) & 1
+
+
+def _hyperplane_bucket():
+    """Sign signature (``_ANN_NBITS`` bits) as a Column over ``embedding``.
+
+    Deterministic pseudo-random Rademacher hyperplanes: h[b][i] in {-1,+1}
+    from an avalanche hash of (b, i) — reproducible across runs with no
+    RNG object, and the signs are constant-folded into the plan.
+    """
+
     def plane_bit(b: int):
         return F.when(
             F.aggregate(
                 F.zip_with(
                     F.col("embedding"),
                     F.array(*[
-                        F.lit(1.0 if (((b * 1315423911) ^ (i * 2654435761)) >> 7) & 1 else -1.0)
-                        for i in range(dim)
+                        F.lit(1.0 if _splitmix_bit(b, i) else -1.0)
+                        for i in range(_ANN_DIM)
                     ]),
                     lambda x, h: x.cast("double") * h,
                 ),
@@ -105,8 +125,21 @@ def sim_search_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1),
         ).otherwise(F.lit(0))
 
-    bucket = sum([plane_bit(b) * (1 << b) for b in range(nbits)])
-    sigs = emb.withColumn("bucket", bucket.cast("long"))
+    return sum([plane_bit(b) * (1 << b) for b in range(_ANN_NBITS)]).cast("long")
+
+
+@register("sim_search_ann", oracle=None)  # approximate: rows-only check
+def sim_search_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via random-hyperplane LSH: fixed signed projections
+    -> sign bits -> bucket key; candidates = same bucket only, then exact
+    cosine re-rank inside buckets. Deterministic (seeded projections
+    derived from avalanche-hash arithmetic, not RNG state). At 100 TB:
+    bucket key is a shuffle key — each query compares against a tiny
+    candidate set instead of the full corpus (IVF-style); recall priced
+    by sim_search_recall."""
+    t = load(spark, sf_dir)
+    emb = t.embeddings.select("vec_id", "label", "embedding")
+    sigs = emb.withColumn("bucket", _hyperplane_bucket())
     q = sigs.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
@@ -127,6 +160,54 @@ def sim_search_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         cands.select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 10)
+        .select("query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rk")
+    )
+
+
+@register("sim_search_ann_multiprobe", oracle=None)  # approximate: rows-only
+def sim_search_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe upgrade of sim_search_ann: each query also probes every
+    bucket at Hamming distance 1 from its own signature (one hyperplane
+    flipped), so near neighbors that landed just across a single hyperplane
+    are recovered. Classic multi-probe LSH (Lv et al., VLDB'07): recall
+    rises steeply for an (nbits+1)x probe fan-out that applies ONLY to the
+    query side — the corpus is still hashed once and shuffled once on
+    `bucket`; the exploded probe list rides the tiny broadcast side of the
+    join. sim_search_recall measures both variants side by side."""
+    t = load(spark, sf_dir)
+    emb = t.embeddings.select("vec_id", "label", "embedding")
+    sigs = emb.withColumn("bucket", _hyperplane_bucket())
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << b)) for b in range(_ANN_NBITS)],
+    )
+    q = (
+        sigs.where(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.explode(probes).alias("bucket"),
+        )
+    )
+    c = sigs.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"), "bucket"
+    )
+    cands = c.join(F.broadcast(q), on="bucket").where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    cos = dot_double(F.col("qe"), F.col("ce")) / (
+        F.sqrt(dot_double(F.col("qe"), F.col("qe")))
+        * F.sqrt(dot_double(F.col("ce"), F.col("ce")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        cands.select("query_id", "neighbor_id", cos.alias("cosine"))
+        # A candidate can collide in several probes; distinct before ranking.
+        .distinct()
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= 10)
         .select("query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rk")

@@ -98,3 +98,35 @@ def test_hll_sketch_merge_accuracy(spark, sf_dir):
     exact = row["n_customers"]  # c_custkey is unique per customer row
     assert row["n_sketches"] == 25
     assert abs(row["merged_distinct"] - exact) <= 0.05 * exact
+
+
+def test_minhash_recall_accounting(spark, sf_dir):
+    """The recall report must agree with its inputs: exact_pairs matches
+    dedup_ngram_jaccard's row count, lsh_pairs + missed_pairs = exact_pairs,
+    and the banded-LSH recall on the planted fixtures stays high (the
+    8x4-band S-curve is steep above s=0.5, where the planted dups live)."""
+    exact_n = registry.get("dedup_ngram_jaccard").fn(spark, sf_dir).count()
+    row = registry.get("dedup_minhash_recall").fn(spark, sf_dir).collect()[0]
+    assert row["exact_pairs"] == exact_n
+    assert row["lsh_pairs"] + row["missed_pairs"] == row["exact_pairs"]
+    assert row["recall_pct"] >= 80.0
+
+
+def test_ann_recall_multiprobe_dominates(spark, sf_dir):
+    """Recall@10 per query: multi-probe candidates are a superset of
+    single-probe (same bucket always probed), so its recall can never be
+    lower; the report must show both variants for all 5 queries and be
+    deterministic across runs (seeded hyperplanes, no RNG)."""
+    fn = registry.get("sim_search_recall").fn
+    rows = fn(spark, sf_dir).collect()
+    assert len(rows) == 10
+    by_variant = {}
+    for r in rows:
+        by_variant.setdefault(r["variant"], {})[r["query_id"]] = r
+    assert set(by_variant) == {"single_probe", "multi_probe"}
+    for qid, single in by_variant["single_probe"].items():
+        multi = by_variant["multi_probe"][qid]
+        assert single["exact_k"] == 10 and multi["exact_k"] == 10
+        assert multi["ann_hits"] >= single["ann_hits"]
+    again = {(r["variant"], r["query_id"]): r["ann_hits"] for r in fn(spark, sf_dir).collect()}
+    assert again == {(r["variant"], r["query_id"]): r["ann_hits"] for r in rows}
