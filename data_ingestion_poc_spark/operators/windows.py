@@ -308,3 +308,126 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         .alias("session_no"),
     )
+
+
+@register(
+    "win_gapfill_locf",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id, date_trunc('hour', ts) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_events, AVG(value) AS hour_avg
+      FROM events WHERE user_id < 40
+      GROUP BY user_id, date_trunc('hour', ts)
+    ),
+    bounds AS (
+      SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi FROM obs GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+      FROM bounds
+    ),
+    j AS (
+      SELECT g.user_id, g.bucket, obs.n_events, obs.hour_avg
+      FROM grid g
+      LEFT JOIN obs ON g.user_id = obs.user_id AND g.bucket = obs.bucket
+    )
+    SELECT user_id,
+           strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+           COALESCE(n_events, 0) AS n_events,
+           ROUND(hour_avg, 4) AS hour_avg,
+           ROUND(last_value(hour_avg IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS locf_avg,
+           (n_events IS NULL) AS is_gap
+    FROM j
+    """,
+)
+def win_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucket gap filling with last-observation-carried-forward: the
+    hypertable `time_bucket_gapfill(...) + locf(...)` shape (TimescaleDB)
+    the reference's cron-driven world has no answer to. Per user, densify
+    the hourly grid between first and last observation via
+    sequence()+explode, left-join the observed hourly aggregate, then
+    carry the last non-null average forward with last(ignorenulls) over a
+    running frame (leading gaps before the first observation stay NULL —
+    standard LOCF).
+
+    Scale shape: ONE shuffle total and NO join. The naive plan (dense
+    grid LEFT JOIN observed) re-shuffles both join sides on
+    (user_id, bucket) — requireAllClusterKeysForCoPartition rejects the
+    hash(user_id) subset for joins — then re-shuffles AGAIN for the LOCF
+    window: three exchanges of grid-sized data. Instead, gap rows are
+    generated FROM the observed rows: lag() exposes the previous bucket
+    and the carried average, and each observed row explodes into
+    [its missing predecessor hours] + [itself], with the LOCF value
+    attached at generation time. Everything after the single
+    repartition("user_id") — the (user_id, bucket) aggregate (subset
+    rule), both window columns, the explode — stays on that one
+    partitioning; pinned in tests. The dense grid is O(users x
+    active-hours), generated AFTER the aggregate — never a blow-up of
+    the raw event stream."""
+    t = load(spark, sf_dir)
+    ev = (
+        t.events.where(F.col("user_id") < 40)
+        .select(
+            "user_id", F.date_trunc("hour", "ts").alias("bucket"), "value"
+        )
+        .repartition("user_id")
+    )
+    obs = ev.groupBy("user_id", "bucket").agg(
+        F.count(F.lit(1)).alias("n_events"), F.avg("value").alias("hour_avg")
+    )
+    w = Window.partitionBy("user_id").orderBy("bucket")
+    # carried_excl: last non-null average STRICTLY BEFORE this bucket
+    # (what a gap row inherits); carried_incl: including this bucket
+    # (what the observed row itself reports under LOCF).
+    obs = obs.select(
+        "user_id",
+        "bucket",
+        "n_events",
+        "hour_avg",
+        F.lag("bucket").over(w).alias("prev_bucket"),
+        F.last("hour_avg", ignorenulls=True)
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("carried_excl"),
+        F.last("hour_avg", ignorenulls=True)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("carried_incl"),
+    )
+    hour = F.expr("INTERVAL 1 HOUR")
+    gap_rows = F.when(
+        F.col("prev_bucket").isNotNull()
+        & (F.col("bucket") > F.col("prev_bucket") + hour),
+        F.transform(
+            F.sequence(
+                F.col("prev_bucket") + hour, F.col("bucket") - hour, hour
+            ),
+            lambda b: F.struct(
+                b.alias("bucket"),
+                F.lit(None).cast("long").alias("n_events"),
+                F.lit(None).cast("double").alias("hour_avg"),
+                F.col("carried_excl").alias("locf_raw"),
+                F.lit(True).alias("is_gap"),
+            ),
+        ),
+    ).otherwise(F.array())
+    self_row = F.array(
+        F.struct(
+            F.col("bucket").alias("bucket"),
+            F.col("n_events").alias("n_events"),
+            F.col("hour_avg").alias("hour_avg"),
+            F.col("carried_incl").alias("locf_raw"),
+            F.lit(False).alias("is_gap"),
+        )
+    )
+    dense = obs.select(
+        "user_id", F.explode(F.concat(gap_rows, self_row)).alias("r")
+    )
+    return dense.select(
+        "user_id",
+        F.date_format("r.bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
+        F.coalesce("r.n_events", F.lit(0)).alias("n_events"),
+        F.round("r.hour_avg", 4).alias("hour_avg"),
+        F.round("r.locf_raw", 4).alias("locf_avg"),
+        F.col("r.is_gap").alias("is_gap"),
+    )

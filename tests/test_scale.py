@@ -168,3 +168,25 @@ def test_zorder_bounds_both_dimensions(spark, sf_dir):
         )
         avg_span = sum(r[f"{dim}_max"] - r[f"{dim}_min"] for r in rows) / len(rows)
         assert avg_span < 0.6 * glob, (dim, avg_span, glob)
+
+
+def test_gapfill_single_exchange_no_join(spark, sf_dir):
+    """win_gapfill_locf must stay a one-shuffle plan: the gap rows are
+    generated from observed rows (lag + sequence + explode), NOT via a
+    dense-grid join (which would re-shuffle on (user_id, bucket) twice
+    and again for the LOCF window). Also pins gap accounting: every
+    gap row reports zero events and a NULL hourly average."""
+    from data_ingestion_poc_spark import registry
+
+    df = registry.get("win_gapfill_locf").fn(spark, sf_dir)
+    rows = df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange") == 1, final
+    assert "Join" not in final, final
+    assert any(r["is_gap"] for r in rows), "fixtures should contain gap hours"
+    for r in rows:
+        if r["is_gap"]:
+            assert r["n_events"] == 0 and r["hour_avg"] is None
+        else:
+            assert r["n_events"] > 0
