@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import load
 from ..registry import register
@@ -234,4 +235,70 @@ def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("pair_count"))
         .orderBy(F.col("pair_count").desc(), "pair")
         .limit(50)
+    )
+
+
+@register(
+    "text_tfidf",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+            FROM documents)
+      GROUP BY doc_id, word
+    ),
+    dfreq AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY word),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.word, tf.tf, dfreq.df,
+             ROUND(tf.tf * ln(n.n_docs / dfreq.df), 6) AS tfidf
+      FROM tf JOIN dfreq ON tf.word = dfreq.word CROSS JOIN n
+    )
+    SELECT doc_id, word, tf, df, tfidf, rk
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, word) AS rk
+          FROM scored)
+    WHERE rk <= 3
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the classic relevance/keyword
+    statistic over the corpus (idf = ln(N/df), unsmoothed since every
+    corpus term has df >= 1).
+
+    Shuffle budget: tokens repartition once on doc_id; the (doc_id, word)
+    term-frequency aggregate and the per-doc top-k window both reuse that
+    partitioning (subset rule). Document frequency is a second aggregate
+    at O(vocabulary) cost whose result — the vocabulary — is broadcast
+    back, so the big token stream is shuffled exactly once. Ranking uses
+    the ROUNDED score (6 dp): sub-1e-6 libm differences between engines
+    collapse before the tie-break on word."""
+    t = load(spark, sf_dir)
+    tokens = (
+        t.documents.select(
+            "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word")
+        )
+        .repartition("doc_id")
+    )
+    tf = tokens.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = t.documents.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "word")
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "word")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", "word", "tf", "df", "tfidf", "rk")
     )

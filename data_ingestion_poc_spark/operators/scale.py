@@ -304,3 +304,69 @@ def scan_zorder_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_suppkey").alias("sk_max"),
         )
     )
+
+
+def _ensure_analyzed(spark: SparkSession, df: DataFrame, tbl: str) -> None:
+    """Write df as a managed table and ANALYZE it (table + all columns)
+    once per session; stale on-disk locations from prior sessions are
+    cleared first (same lifecycle as _ensure_bucketed)."""
+    if spark.catalog.tableExists(tbl):
+        return
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(os.path.join(wh, tbl.lower()), ignore_errors=True)
+    df.write.mode("overwrite").saveAsTable(tbl)
+    spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS FOR ALL COLUMNS")
+
+
+@register(
+    "scan_cbo_stats",
+    oracle="""
+    SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_3', 'NATION_7') AND c_acctbal > 0
+    GROUP BY n_name
+    """,
+)
+def scan_cbo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based optimization from ANALYZE statistics: the engine-catalog
+    upgrade of the reference's stat-before-fetch probe (child.py:35-65 —
+    it stats every FILE so the pipeline can plan the transfer; the engine
+    stats every TABLE so the optimizer can plan the join tree).
+
+    The SQL is written in a deliberately bad textual order — the two big
+    tables (orders x customer) first, the 2-row filtered nation last.
+    With rowCount + column NDV/min-max stats from ANALYZE and
+    spark.sql.cbo.joinReorder.enabled, Catalyst re-orders the join tree
+    so the selective nation filter lands FIRST (classic selectivity-first
+    star-join order) instead of joining two unfiltered facts. Tests pin
+    that the reorder actually fires: the optimized plan changes when
+    joinReorder is toggled, and the catalog reports rowCount stats. At
+    100 TB, ANALYZE runs as periodic maintenance (like this demo's
+    once-per-session guard) and every downstream query inherits the
+    better join trees for free."""
+    t = load(spark, sf_dir)
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    tbls = {
+        f"cbo_orders_{tag}": t.orders.select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        ),
+        f"cbo_customer_{tag}": t.customer.select(
+            "c_custkey", "c_nationkey", "c_acctbal"
+        ),
+        f"cbo_nation_{tag}": t.nation.select("n_nationkey", "n_name"),
+    }
+    for tbl, df in tbls.items():
+        _ensure_analyzed(spark, df, tbl)
+    return spark.sql(f"""
+        SELECT n_name, COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS sum_price
+        FROM cbo_orders_{tag}
+        JOIN cbo_customer_{tag} ON o_custkey = c_custkey
+        JOIN cbo_nation_{tag}   ON c_nationkey = n_nationkey
+        WHERE n_name IN ('NATION_3', 'NATION_7') AND c_acctbal > 0
+        GROUP BY n_name
+    """)

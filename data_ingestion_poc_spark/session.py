@@ -41,6 +41,11 @@ def builder(
         .config("spark.driver.memory", os.environ.get("DIP_DRIVER_MEMORY", "12g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Cost-based optimizer: no-op for plain parquet reads (no catalog
+        # stats), but lets ANALYZEd managed tables drive join reordering
+        # and accurate broadcast sizing (scan_cbo_stats demo).
+        .config("spark.sql.cbo.enabled", "true")
+        .config("spark.sql.cbo.joinReorder.enabled", "true")
     )
 
 

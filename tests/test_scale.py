@@ -190,3 +190,27 @@ def test_gapfill_single_exchange_no_join(spark, sf_dir):
             assert r["n_events"] == 0 and r["hour_avg"] is None
         else:
             assert r["n_events"] > 0
+
+
+def test_cbo_stats_drive_join_reorder(spark, sf_dir):
+    """scan_cbo_stats must actually exercise the CBO: ANALYZE leaves
+    rowCount statistics in the catalog, and toggling joinReorder changes
+    the optimized join tree (i.e. the statistics, not the textual order,
+    decide the plan) without changing results."""
+    from data_ingestion_poc_spark import registry
+
+    fn = registry.get("scan_cbo_stats").fn
+    df = fn(spark, sf_dir)
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    desc = spark.sql(f"DESC EXTENDED cbo_orders_{tag}").collect()
+    stats = [r["data_type"] for r in desc if r["col_name"] == "Statistics"]
+    assert stats and "rows" in stats[0], desc
+    plan_on = df._jdf.queryExecution().optimizedPlan().toString()
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+    try:
+        df_off = fn(spark, sf_dir)
+        plan_off = df_off._jdf.queryExecution().optimizedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    assert plan_on != plan_off, plan_on
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, df_off.collect()))
