@@ -17,7 +17,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import load
 from ..registry import register
-from .dedup import _CLUSTERS_ORACLE, dedup_clusters
+from .dedup import _CLUSTERS_ORACLE, dedup_clusters, shingle_array
 from .textstats import _STOP_SQL, STOPWORDS
 
 # The near-dup cluster CTE chain, reusable inside larger oracles: strip the
@@ -146,4 +146,161 @@ def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where((F.col("quality") >= 0.28) & F.col("len_ok"))
         .select("doc_id", "quality", "lang_guess", "source")
+    )
+
+
+@register(
+    "corpus_decontaminate",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, shingle
+      FROM (
+        SELECT doc_id,
+               unnest([array_to_string(words[i:i+3], ' ')
+                       FOR i IN range(1, len(words) - 2)]) AS shingle
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS words
+              FROM documents)
+      )
+    ),
+    bench AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 25 = 0),
+    train AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 25 <> 0)
+    SELECT t.doc_id,
+           CAST(COUNT(DISTINCT t.shingle) AS BIGINT) AS n_shared_shingles,
+           MIN(b.bench_id)                           AS contaminated_by
+    FROM train t JOIN bench b ON t.shingle = b.shingle
+    GROUP BY t.doc_id
+    """,
+)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    4-word shingle with the held-out benchmark set (here: every 25th doc
+    stands in for an eval suite). Standard practice before LLM training —
+    n-gram overlap against eval benchmarks (GPT-3 appendix C / PaLM-style
+    13-gram decontamination, shrunk to 4-grams for the fixture corpus).
+
+    Scale shape: the benchmark side is ALWAYS tiny relative to the corpus
+    (eval suites are fixed-size; the corpus is 100 TB), so its distinct
+    shingle set is broadcast — the training corpus is never shuffled at
+    all: one scan, explode to shingles, broadcast-hash probe, partial
+    count per doc. Output is contaminated docs only (hit list with
+    evidence counts and the lowest-numbered benchmark doc hit)."""
+    t = load(spark, sf_dir)
+    sh = (
+        t.documents.select(
+            "doc_id",
+            F.explode(
+                shingle_array(F.split(F.lower("text"), " "), 4)
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    bench = sh.where(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("bench_id"), "shingle"
+    )
+    train = sh.where(F.col("doc_id") % 25 != 0)
+    return (
+        train.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("shingle").alias("n_shared_shingles"),
+            F.min("bench_id").alias("contaminated_by"),
+        )
+    )
+
+
+#: (pattern, replacement) — patterns restricted to syntax Java regex and
+#: RE2 (DuckDB) interpret identically: no backrefs, no lookaround, [0-9]
+#: instead of \d (escape-free inside SQL string literals on both engines).
+PII_RULES = [
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}", "[EMAIL]"),
+    ("[0-9]{3}-[0-9]{3}-[0-9]{4}", "[PHONE]"),
+    ("([0-9]{1,3}[.]){3}[0-9]{1,3}", "[IP]"),
+]
+
+
+@register(
+    "text_pii_scrub",
+    oracle="""
+    WITH enriched AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 7 = 0
+                  THEN ' email user' || doc_id || '@mail.example.org now' ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                  THEN ' call 202-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+             || CASE WHEN doc_id % 13 = 0
+                  THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.77' ELSE '' END
+             AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(text, '([0-9]{1,3}[.]){3}[0-9]{1,3}')) AS BIGINT) AS n_ips,
+           right(regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'),
+             '([0-9]{1,3}[.]){3}[0-9]{1,3}', '[IP]', 'g'), 60) AS scrubbed_tail
+    FROM enriched
+    WHERE doc_id % 7 = 0 OR doc_id % 11 = 0 OR doc_id % 13 = 0
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: count and mask emails / NANP phone numbers /
+    IPv4 addresses with chained regexp_replace — the corpus-hygiene
+    sibling of the reference's filename sanitization (child.py:20-33,
+    same chained-regex idiom, applied to content instead of names).
+
+    The fixture corpus carries no PII, so the query deterministically
+    injects synthetic PII into a doc_id-keyed subset first (CASE on
+    doc_id mod 7/11/13) and then scrubs it — injection and scrub in one
+    plan keeps the op oracle-checkable on any corpus. Patterns stay in
+    the Java-regex ∩ RE2 dialect (PII_RULES) so both engines agree.
+    Pure Column expressions: one scan, no shuffle, no UDF — at 100 TB
+    this runs at parquet-read speed alongside the other single-pass
+    text filters (corpus_quality_filter)."""
+    t = load(spark, sf_dir)
+    text = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" email user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example.org now"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.lit(" call 202-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(
+                F.lit(" from 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".77"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    scrubbed = text
+    for pat, rep in PII_RULES:
+        scrubbed = F.regexp_replace(scrubbed, pat, rep)
+    return (
+        t.documents.where(
+            (F.col("doc_id") % 7 == 0)
+            | (F.col("doc_id") % 11 == 0)
+            | (F.col("doc_id") % 13 == 0)
+        )
+        .select(
+            "doc_id",
+            F.regexp_count(text, F.lit(PII_RULES[0][0])).alias("n_emails"),
+            F.regexp_count(text, F.lit(PII_RULES[1][0])).alias("n_phones"),
+            F.regexp_count(text, F.lit(PII_RULES[2][0])).alias("n_ips"),
+            F.right(scrubbed, F.lit(60)).alias("scrubbed_tail"),
+        )
     )

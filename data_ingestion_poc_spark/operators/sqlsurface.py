@@ -40,3 +40,62 @@ def sql_cte_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     strongest form of SQL-surface parity."""
     register_views(spark, sf_dir)
     return spark.sql(_SQL)
+
+
+_RECURSIVE_SQL = """
+    WITH RECURSIVE chain(c_custkey, depth, chain_bal) AS (
+      SELECT c_custkey, 0, ROUND(c_acctbal, 2)
+      FROM customer WHERE c_custkey = 0
+      UNION ALL
+      SELECT c.c_custkey, p.depth + 1, ROUND(p.chain_bal + c.c_acctbal, 2)
+      FROM chain p
+      JOIN customer c
+        ON CAST(FLOOR(c.c_custkey / 2) AS BIGINT) = p.c_custkey
+       AND c.c_custkey > p.c_custkey
+    )
+    SELECT c_custkey, depth, chain_bal FROM chain
+"""
+
+
+@register("sql_recursive_cte", oracle=_RECURSIVE_SQL)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): walk the implicit binary
+    tree over customer keys (parent = floor(key/2)) from the root,
+    carrying depth and an accumulated ancestor-balance down each path —
+    the org-hierarchy / BOM-explosion query shape, expressed natively
+    instead of a driver-side loop. The recursion is a per-level
+    UNION ALL (Spark's recursive CTEs don't support UNION-distinct yet,
+    so the shape must be acyclic — cyclic graphs go to dedup_clusters'
+    iterative min-label propagation instead). Each level is one
+    broadcast/hash join against customer; depth = log2(N) levels.
+    Per-step ROUND(…, 2) keeps the accumulated double identical across
+    engines. Oracle: the IDENTICAL SQL text in DuckDB."""
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_SQL)
+
+
+_LATERAL_SQL = """
+    SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+    FROM customer c,
+    LATERAL (
+      SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
+      FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 2
+    ) l
+"""
+
+
+@register("join_lateral_topk", oracle=_LATERAL_SQL)
+def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT: each customer's
+    top-2 orders, written the way an analyst writes it. Catalyst
+    decorrelates the per-row subquery into a window top-k over ONE join
+    (no per-customer re-execution), i.e. the same physical shape as
+    win_topk_per_group — proving the SQL sugar and the DataFrame idiom
+    meet in the same plan. Oracle: identical SQL in DuckDB (native
+    lateral execution), so the decorrelation is checked against a real
+    row-at-a-time semantics."""
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)

@@ -431,3 +431,56 @@ def win_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("r.locf_raw", 4).alias("locf_avg"),
         F.col("r.is_gap").alias("is_gap"),
     )
+
+
+@register(
+    "win_ignore_nulls",
+    oracle="""
+    WITH sparse AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS value_n
+      FROM events
+    )
+    SELECT user_id, event_id, value_n,
+           lag(value_n IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id)  AS prev_nn,
+           lead(value_n IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id)  AS next_nn,
+           nth_value(value_n, 2 IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_nn
+    FROM sparse
+    """,
+)
+def win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS navigation over a sparse measure (every 5th reading
+    nulled): lag/lead skip to the adjacent NON-NULL observation and
+    nth_value(2) tracks the second non-null seen so far — the sensor-
+    readback idiom (previous good reading / next good reading) that plain
+    lag/lead cannot express without nested CASE pyramids. lag/lead go
+    through SQL expression strings (PySpark's Column API exposes
+    ignoreNulls only for nth_value/first/last); all three run in the one
+    user_id window sort."""
+    t = load(spark, sf_dir)
+    sparse = t.events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("event_id") % 5 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("value_n"),
+    )
+    over = "OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return sparse.select(
+        "user_id",
+        "event_id",
+        "value_n",
+        F.expr(f"lag(value_n) IGNORE NULLS {over}").alias("prev_nn"),
+        F.expr(f"lead(value_n) IGNORE NULLS {over}").alias("next_nn"),
+        F.nth_value("value_n", 2, ignoreNulls=True).over(w).alias("second_nn"),
+    )
