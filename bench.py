@@ -60,6 +60,10 @@ HEADLINE = [
     "rollup_time_hierarchy",
     "join_asof_nearest",
     "agg_unpivot",
+    "win_gapfill_locf",
+    "text_tfidf",
+    "corpus_decontaminate",
+    "join_lateral_topk",
 ]
 
 

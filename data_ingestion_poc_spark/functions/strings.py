@@ -54,3 +54,42 @@ def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seg_trim"
         ),
     )
+
+
+@register(
+    "fn_collation",
+    oracle="""
+    SELECT lower(et) AS et_ci, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(CASE WHEN lower(et) = 'click' THEN 1 END) AS BIGINT)
+             AS n_click_ci
+    FROM (SELECT CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+                      ELSE event_type END AS et
+          FROM events)
+    GROUP BY lower(et)
+    """,
+)
+def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 collations: case-insensitive grouping and comparison via
+    UTF8_LCASE collation on the column itself — no lower() rewrites at
+    every use site (the pre-collation idiom the oracle still has to
+    use). The fixture has uniform case, so half the rows are upper-cased
+    first (event_id parity — deterministic). The grouped key under a
+    collation keeps an arbitrary representative casing, so the output
+    canonicalizes with lower() — the COUNTS are what the collation
+    determines. Collation is expression-level metadata: the aggregate is
+    still one ordinary hash shuffle, and comparisons stay in codegen."""
+    t = load(spark, sf_dir)
+    mixed = t.events.select(
+        F.when(
+            F.col("event_id") % 2 == 0, F.upper("event_type")
+        ).otherwise(F.col("event_type")).alias("et")
+    )
+    ci = F.collate(F.col("et"), "UTF8_LCASE")
+    return (
+        mixed.groupBy(ci.alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(ci == F.lit("click"), 1)).alias("n_click_ci"),
+        )
+        .select(F.lower(F.col("k")).alias("et_ci"), "n", "n_click_ci")
+    )

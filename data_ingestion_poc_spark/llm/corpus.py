@@ -180,22 +180,27 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the benchmark side is ALWAYS tiny relative to the corpus
     (eval suites are fixed-size; the corpus is 100 TB), so its distinct
-    shingle set is broadcast — the training corpus is never shuffled at
-    all: one scan, explode to shingles, broadcast-hash probe, partial
-    count per doc. Output is contaminated docs only (hit list with
+    shingle set is broadcast and the training corpus itself never
+    shuffles: scan, explode to shingles, broadcast-hash probe. The only
+    exchanges in the plan carry benchmark shingles and MATCHED pairs
+    (the countDistinct two-phase) — both orders of magnitude smaller
+    than the corpus. Output is contaminated docs only (hit list with
     evidence counts and the lowest-numbered benchmark doc hit)."""
     t = load(spark, sf_dir)
-    sh = (
-        t.documents.select(
-            "doc_id",
-            F.explode(
-                shingle_array(F.split(F.lower("text"), " "), 4)
-            ).alias("shingle"),
-        )
-        .distinct()
+    sh = t.documents.select(
+        "doc_id",
+        F.explode(
+            shingle_array(F.split(F.lower("text"), " "), 4)
+        ).alias("shingle"),
     )
-    bench = sh.where(F.col("doc_id") % 25 == 0).select(
-        F.col("doc_id").alias("bench_id"), "shingle"
+    # distinct ONLY on the broadcast-bound benchmark side (tiny); the
+    # training stream stays shuffle-free — a global distinct here would
+    # shuffle the entire corpus shingle stream for nothing, since the
+    # final countDistinct already dedupes repeated matches per doc.
+    bench = (
+        sh.where(F.col("doc_id") % 25 == 0)
+        .select(F.col("doc_id").alias("bench_id"), "shingle")
+        .distinct()
     )
     train = sh.where(F.col("doc_id") % 25 != 0)
     return (

@@ -384,3 +384,37 @@ def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
         F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
     )
+
+
+@register(
+    "agg_mode",
+    oracle="""
+    SELECT c_nationkey, c_mktsegment AS mode_segment, cnt AS mode_count
+    FROM (
+      SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS cnt,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY COUNT(*) DESC, c_mktsegment) AS rn
+      FROM customer
+      GROUP BY c_nationkey, c_mktsegment
+    ) WHERE rn = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode: each nation's most common market
+    segment, ties broken by smallest segment value. Spark's built-in
+    mode() leaves ties engine-picked, so this uses the composable form:
+    count per (group, value), then min_by over the struct (-count,
+    value) — struct ordering gives 'highest count, then lexicographically
+    first value' with NO window pass, and both aggregates are map-side
+    combinable (the second input is only (groups x distinct values)
+    rows). The oracle spells the same tie-break as row_number."""
+    t = load(spark, sf_dir)
+    counts = t.customer.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return counts.groupBy("c_nationkey").agg(
+        F.min_by(
+            "c_mktsegment", F.struct((-F.col("cnt")).alias("neg"), "c_mktsegment")
+        ).alias("mode_segment"),
+        F.max("cnt").alias("mode_count"),
+    )

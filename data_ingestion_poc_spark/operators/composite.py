@@ -519,3 +519,88 @@ def q_yearly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "yoy_growth"
         ),
     )
+
+
+@register(
+    "q_funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS fv
+      FROM events GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS fc
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.fv
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS fp
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.fc
+      GROUP BY e.user_id
+    )
+    SELECT v.user_id,
+           strftime(fv, '%Y-%m-%d %H:%M:%S.%f') AS first_view,
+           strftime(fc, '%Y-%m-%d %H:%M:%S.%f') AS first_click,
+           strftime(fp, '%Y-%m-%d %H:%M:%S.%f') AS first_purchase,
+           CASE WHEN fp IS NOT NULL THEN 3
+                WHEN fc IS NOT NULL THEN 2
+                WHEN fv IS NOT NULL THEN 1
+                ELSE 0 END AS funnel_stage
+    FROM v LEFT JOIN c ON c.user_id = v.user_id
+           LEFT JOIN p ON p.user_id = v.user_id
+    """,
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis per user: first view, first click AFTER
+    that view, first purchase AFTER that click (strict event-order
+    funnel, not mere presence — a click before the first view does not
+    count). The product-analytics staple (Amplitude/Mixpanel funnels).
+
+    The sequential dependency (each stage's threshold is the previous
+    stage's result) is expressed as three stacked Window minima over the
+    SAME user_id partitioning — Catalyst plans consecutive Window nodes
+    over ONE exchange + sort, and the closing per-user aggregate reuses
+    it too: a three-stage funnel for one shuffle of the events table.
+    The oracle has to re-join events per stage instead (no window
+    nesting in plain SQL) — same semantics, clunkier shape; µs-precision
+    timestamps make the strict > comparisons exact on both engines."""
+    t = load(spark, sf_dir)
+    w = Window.partitionBy("user_id")
+    fv = t.events.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w).alias("fv"),
+    )
+    fc = fv.select(
+        "*",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("fv")),
+                F.col("ts"),
+            )
+        ).over(w).alias("fc"),
+    )
+    fp = fc.select(
+        "*",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("fc")),
+                F.col("ts"),
+            )
+        ).over(w).alias("fp"),
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return fp.groupBy("user_id").agg(
+        F.date_format(F.max("fv"), fmt).alias("first_view"),
+        F.date_format(F.max("fc"), fmt).alias("first_click"),
+        F.date_format(F.max("fp"), fmt).alias("first_purchase"),
+        F.when(F.max("fp").isNotNull(), 3)
+        .when(F.max("fc").isNotNull(), 2)
+        .when(F.max("fv").isNotNull(), 1)
+        .otherwise(0)
+        .alias("funnel_stage"),
+    )
