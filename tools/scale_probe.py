@@ -56,6 +56,18 @@ DOC_PROBES = [
     "sim_search_ivf",        # IVF ANN: probe-list re-rank over 10x vectors
 ]
 
+#: Event-time probes: events grow horizontally (event_id AND user_id
+#: offset, so K x more users with UNCHANGED per-user timeline length) —
+#: the regime a growing product sees. Window/funnel/sessionization cost
+#: should scale with the one user_id shuffle; per-partition sort depth
+#: stays constant by construction.
+EVENT_PROBES = [
+    "win_sessionize",        # lag-gap flag + running sum, one shuffle
+    "q_funnel_conversion",   # 3 stacked windows + agg, one shuffle
+    "win_time_range",        # trailing 1-hour RANGE frame at us precision
+    "win_ignore_nulls",      # 3 IGNORE NULLS navigations, one window sort
+]
+
 
 def _scale_tables(spark, out: str, mult: int, scaled: dict[str, list[str]]) -> None:
     for tbl, keys in scaled.items():
@@ -76,23 +88,26 @@ def _scale_tables(spark, out: str, mult: int, scaled: dict[str, list[str]]) -> N
         )
 
 
-def build(spark, mult: int, corpus: bool = False) -> str:
-    """corpus=False scales orders/lineitem; corpus=True scales
-    documents/embeddings. Corpus copies keep the TEXTS identical (only ids
-    offset), so every doc gains K-1 exact duplicates across copies and LSH
-    candidate volume grows ~quadratically in K (C(K,2) collisions per
-    original) — deliberately the adversarial regime for dedup probes."""
-    out = f"{ROOT}/{'docs' if corpus else 'm'}{mult}"
+def build(spark, mult: int, mode: str = "facts") -> str:
+    """mode="facts" scales orders/lineitem; "corpus" scales
+    documents/embeddings; "events" scales events horizontally (event_id
+    AND user_id offset => K x users, constant per-user timeline). Corpus
+    copies keep the TEXTS identical (only ids offset), so every doc gains
+    K-1 exact duplicates across copies and LSH candidate volume grows
+    ~quadratically in K (C(K,2) collisions per original) — deliberately
+    the adversarial regime for dedup probes."""
+    prefix = {"facts": "m", "corpus": "docs", "events": "ev"}[mode]
+    out = f"{ROOT}/{prefix}{mult}"
     if os.path.exists(os.path.join(out, "_DONE")):
         return out
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
-    scaled = (
-        {"documents": ["doc_id"], "embeddings": ["vec_id"]}
-        if corpus
-        else {"orders": ["o_orderkey"], "lineitem": ["l_orderkey"]}
-    )
-    for d in [t for t in DIMS + ["orders", "lineitem"] if t not in scaled]:
+    scaled = {
+        "facts": {"orders": ["o_orderkey"], "lineitem": ["l_orderkey"]},
+        "corpus": {"documents": ["doc_id"], "embeddings": ["vec_id"]},
+        "events": {"events": ["event_id", "user_id"]},
+    }[mode]
+    for d in [t for t in DIMS + ["orders", "lineitem", "events"] if t not in scaled]:
         shutil.copy(f"{BASE}/{d}.parquet", f"{out}/{d}.parquet")
     _scale_tables(spark, out, mult, scaled)
     open(os.path.join(out, "_DONE"), "w").write("ok")
@@ -104,9 +119,12 @@ def main() -> None:
     ap.add_argument("--mults", default="1,4,16")
     ap.add_argument("--corpus", action="store_true",
                     help="scale documents/embeddings and run the LLM probes")
+    ap.add_argument("--events", action="store_true",
+                    help="scale events horizontally and run the window probes")
     args = ap.parse_args()
     mults = [int(m) for m in args.mults.split(",")]
-    probes = DOC_PROBES if args.corpus else PROBES
+    mode = "corpus" if args.corpus else "events" if args.events else "facts"
+    probes = {"corpus": DOC_PROBES, "events": EVENT_PROBES, "facts": PROBES}[mode]
     spark = get_spark(app_name="dip-scale-probe")
     qs = registry.all_queries()
 
@@ -117,7 +135,7 @@ def main() -> None:
 
     results: dict[str, dict[int, float]] = {q: {} for q in probes}
     for mult in mults:
-        sf_dir = build(spark, mult, corpus=args.corpus)
+        sf_dir = build(spark, mult, mode=mode)
         for q in probes:
             t0 = time.time()
             qs[q].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -125,7 +143,7 @@ def main() -> None:
 
     lo, hi = min(mults), max(mults)
     print(json.dumps({"base": BASE, "mults": mults,
-                      "corpus": args.corpus, "seconds": results}))
+                      "mode": mode, "seconds": results}))
     print(f"\n| query | " + " | ".join(f"{m}x" for m in mults)
           + f" | {hi}x/{lo}x (data {hi // lo}x) |")
     print("|---|" + "---|" * (len(mults) + 1))
