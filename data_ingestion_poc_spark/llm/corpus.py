@@ -309,3 +309,86 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.right(scrubbed, F.lit(60)).alias("scrubbed_tail"),
         )
     )
+
+
+@register(
+    "corpus_pack_blocks",
+    oracle="""
+    WITH lens AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok_len
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, tok_len,
+             SUM(tok_len) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_off
+      FROM lens
+    )
+    SELECT doc_id, tok_len,
+           CAST(end_off - tok_len AS BIGINT)                  AS start_off,
+           CAST(FLOOR((end_off - tok_len) / 512) AS BIGINT)   AS first_block,
+           CAST(FLOOR((end_off - 1) / 512) AS BIGINT)         AS last_block,
+           CAST(FLOOR((end_off - 1) / 512)
+                - FLOOR((end_off - tok_len) / 512) + 1 AS BIGINT) AS n_blocks
+    FROM c
+    """,
+)
+def corpus_pack_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM pretraining: concatenate documents in
+    doc_id order and chop the token stream into fixed 512-token training
+    blocks (the GPT-style pack-and-chunk recipe); each doc reports its
+    global token offsets and the block range it lands in.
+
+    The global running offset is a prefix sum over a TOTAL order — the
+    naive window (ORDER BY doc_id with no partition) is a
+    single-partition sort that dies at corpus scale. This computes it as
+    the classic two-phase distributed scan instead: (1) bucket docs by
+    contiguous doc_id ranges, (2) per-bucket token totals — P tiny rows —
+    collected and turned into exclusive bucket offsets, folded back as a
+    literal map lookup (no join), (3) within-bucket running sum over the
+    one hash(bucket) shuffle. Same trick as Spark's own zipWithIndex;
+    P buckets here = 8, sized so each bucket is one task's worth. The
+    only data-sized shuffle is the bucket repartition; no
+    Exchange SinglePartition appears (pinned in tests)."""
+    t = load(spark, sf_dir)
+    lens = t.documents.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("tok_len"),
+    )
+    n_buckets = 8
+    hi = lens.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+    span = (hi + n_buckets) // n_buckets  # ceil((hi+1)/P)
+    bucketed = lens.withColumn("bucket", F.floor(F.col("doc_id") / span))
+    partials = {
+        r["bucket"]: r["total"]
+        for r in bucketed.groupBy("bucket")
+        .agg(F.sum("tok_len").alias("total"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for b in sorted(partials):
+        offsets[b] = acc
+        acc += partials[b]
+    offset_map = F.create_map(
+        *[F.lit(x) for b in sorted(offsets) for x in (b, offsets[b])]
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = bucketed.select(
+        "doc_id",
+        "tok_len",
+        (F.sum("tok_len").over(w) + offset_map[F.col("bucket")]).alias("end_off"),
+    )
+    first_block = F.floor((F.col("end_off") - F.col("tok_len")) / 512)
+    last_block = F.floor((F.col("end_off") - 1) / 512)
+    return c.select(
+        "doc_id",
+        "tok_len",
+        (F.col("end_off") - F.col("tok_len")).alias("start_off"),
+        first_block.cast("bigint").alias("first_block"),
+        last_block.cast("bigint").alias("last_block"),
+        (last_block - first_block + 1).cast("bigint").alias("n_blocks"),
+    )

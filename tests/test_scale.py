@@ -214,3 +214,26 @@ def test_cbo_stats_drive_join_reorder(spark, sf_dir):
         spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
     assert plan_on != plan_off, plan_on
     assert sorted(map(tuple, df.collect())) == sorted(map(tuple, df_off.collect()))
+
+
+def test_pack_blocks_distributed_prefix_sum(spark, sf_dir):
+    """corpus_pack_blocks must compute its global running offset WITHOUT
+    a single-partition sort (the two-phase scan: bucket partials ->
+    broadcast offsets -> per-bucket window). Also pins the packing
+    invariants: offsets are gapless and contiguous in doc_id order, and
+    block spans follow from the 512 budget."""
+    from data_ingestion_poc_spark import registry
+
+    df = registry.get("corpus_pack_blocks").fn(spark, sf_dir)
+    rows = sorted(df.collect(), key=lambda r: r["doc_id"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Exchange SinglePartition" not in final, final
+    assert "Window [" in final  # per-bucket running sum exists
+    off = 0
+    for r in rows:
+        assert r["start_off"] == off, (r, off)
+        assert r["n_blocks"] == r["last_block"] - r["first_block"] + 1
+        assert r["first_block"] == r["start_off"] // 512
+        assert r["last_block"] == (r["start_off"] + r["tok_len"] - 1) // 512
+        off += r["tok_len"]
