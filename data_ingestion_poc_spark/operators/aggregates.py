@@ -418,3 +418,37 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mode_segment"),
         F.max("cnt").alias("mode_count"),
     )
+
+
+@register(
+    "agg_approx_top_k",
+    oracle="""
+    SELECT item, cnt, rk
+    FROM (
+      SELECT event_type AS item, CAST(COUNT(*) AS BIGINT) AS cnt,
+             row_number() OVER (ORDER BY COUNT(*) DESC, event_type) AS rk
+      FROM events GROUP BY event_type
+    ) WHERE rk <= 3
+    """,
+)
+def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items sketch (Spark 4 approx_top_k): heavy-hitter counts
+    in one pass with bounded memory — at 100 TB cardinalities you cannot
+    hash-aggregate the full key space, but the sketch tracks the top k
+    with maxItemsTracked slots and merges across partitions. At fixture
+    cardinality (5 event types << 10k tracked slots) the sketch is EXACT,
+    which is what makes an oracle check possible; ranking is re-derived
+    with an item tie-break after exploding, so array order never leaks
+    into the comparison."""
+    t = load(spark, sf_dir)
+    raw = t.events.agg(
+        F.expr("approx_top_k(event_type, 3)").alias("top")
+    ).select(F.explode("top").alias("e"))
+    w = Window.orderBy(F.col("cnt").desc(), "item")
+    return (
+        raw.select(
+            F.col("e.item").alias("item"), F.col("e.count").alias("cnt")
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+    )

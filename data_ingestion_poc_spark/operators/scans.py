@@ -363,3 +363,30 @@ def scan_synthetic_gen(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_tag"
         ),
     )
+
+
+@register(
+    "scan_xml_roundtrip",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink + source round-trip (Spark 4 ships the spark-xml reader
+    natively): write nation as <nation> row elements, read back with an
+    EXPLICIT schema and rowTag (same no-inference-pass rationale as the
+    CSV/JSON round-trips). XML completes the text-format matrix the A18
+    sink family started — the format a surprising number of enterprise
+    feeds still speak."""
+    t = load(spark, sf_dir)
+    out = os.path.join(tempfile.gettempdir(), "dip_spark_sink_xml")
+    df = t.nation.select(
+        F.col("n_nationkey").cast("bigint").alias("n_nationkey"),
+        "n_name",
+        F.col("n_regionkey").cast("bigint").alias("n_regionkey"),
+    )
+    df.write.mode("overwrite").option("rowTag", "nation").format("xml").save(out)
+    schema = "n_nationkey bigint, n_name string, n_regionkey bigint"
+    return (
+        spark.read.schema(schema).option("rowTag", "nation").format("xml").load(out)
+    )

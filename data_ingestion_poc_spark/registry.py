@@ -59,6 +59,7 @@ MODULES = [
     "data_ingestion_poc_spark.llm.evaluation",
     "data_ingestion_poc_spark.streaming.batch_parity",
     "data_ingestion_poc_spark.ingest.pipeline_queries",
+    "data_ingestion_poc_spark.ingest.pydatasource",
 ]
 
 
