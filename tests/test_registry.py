@@ -38,7 +38,13 @@ def test_oracles_reference_known_views():
     for name, q in registry.all_queries().items():
         if q.oracle is None:
             continue
-        ctes = set(re.findall(r"([a-z_][a-z_0-9]*)\s+AS\s*\(", q.oracle, re.I))
+        # CTE names, including the column-list form `name(c1, c2) AS (`
+        # used by recursive CTEs
+        ctes = set(
+            re.findall(
+                r"([a-z_][a-z_0-9]*)\s*(?:\([^()]*\))?\s+AS\s*\(", q.oracle, re.I
+            )
+        )
         # derived-table aliases: `) alias` — also catches the false match
         # of `IS NOT DISTINCT FROM x.k` (x is an alias, not a table)
         aliases = set(re.findall(r"\)\s+(?:AS\s+)?([a-z_][a-z_0-9]*)\b", q.oracle))
