@@ -51,3 +51,35 @@ def fn_hash_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.crc32(F.col("text").cast("binary")).alias("text_crc32"),
         F.hash("text", "lang").alias("row_hash32"),
     )
+
+
+@register(
+    "fn_aes_crypt",
+    oracle="""
+    SELECT c_custkey, c_name AS decrypted, TRUE AS roundtrip_ok,
+           CAST(16 * (length(c_name) // 16 + 1) AS BIGINT) AS cipher_len
+    FROM customer WHERE c_custkey < 200
+    """,
+)
+def fn_aes_crypt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level encryption at rest: AES-encrypt a PII-ish column and
+    prove lossless decryption (aes_encrypt/aes_decrypt, Spark 3.3+).
+    ECB mode keeps the demo deterministic (default GCM salts a random
+    IV per row — right for production, wrong for a value-hash check);
+    the key would come from a KMS, never a literal, in deployment. The
+    oracle cannot run AES, so it checks the round-trip CONTRACT: the
+    decrypted column must equal the original plaintext exactly — which
+    only holds if both crypto directions actually ran losslessly."""
+    t = load(spark, sf_dir)
+    cipher = F.expr("aes_encrypt(c_name, '0123456789abcdef', 'ECB')")
+    plain = F.expr(
+        "CAST(aes_decrypt(aes_encrypt(c_name, '0123456789abcdef', 'ECB'),"
+        " '0123456789abcdef', 'ECB') AS STRING)"
+    )
+    return t.customer.where(F.col("c_custkey") < 200).select(
+        "c_custkey",
+        plain.alias("decrypted"),
+        (plain == F.col("c_name")).alias("roundtrip_ok"),
+        # ECB+PKCS ciphertext length is closed-form: next 16-byte block
+        F.length(cipher).cast("bigint").alias("cipher_len"),
+    )

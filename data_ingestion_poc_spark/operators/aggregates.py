@@ -452,3 +452,66 @@ def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= 3)
     )
+
+
+@register(
+    "agg_regr",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT)                              AS n,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 4)     AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6)        AS r2
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates (regr_slope/intercept/r2): fit
+    extendedprice against quantity per return flag in ONE grouped pass —
+    the moment sums (sum x, sum y, sum xy, sum x^2) are map-side
+    combinable partials, so the shuffle carries five doubles per group
+    regardless of fact size. The in-database supervised-fit primitive
+    (same family as agg_stats_corr's covariance)."""
+    t = load(spark, sf_dir)
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.regr_slope(y, x), 4).alias("slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+    )
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT re-aggregatable distinct counting via bitmaps (Spark 3.5
+    bitmap functions): keys bucket into 32k-bit bitmaps
+    (bitmap_bucket_number / bitmap_bit_position), per-bucket bitmaps OR
+    together map-side, and the final count is the sum of per-bucket
+    popcounts. Unlike agg_hll_sketch this is exact, and unlike
+    COUNT(DISTINCT) the partial state is mergeable across partitions /
+    incremental batches without a second shuffle of raw keys — the
+    ClickHouse/Iceberg materialized-distinct recipe. The oracle is plain
+    COUNT(DISTINCT): same numbers, different machinery."""
+    t = load(spark, sf_dir)
+    per_bucket = (
+        t.orders.select(
+            "o_orderpriority",
+            F.expr("bitmap_bucket_number(o_custkey)").alias("bkt"),
+            F.expr("bitmap_bit_position(o_custkey)").alias("pos"),
+        )
+        .groupBy("o_orderpriority", "bkt")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+    )
+    return per_bucket.groupBy("o_orderpriority").agg(
+        F.expr("CAST(SUM(bitmap_count(bm)) AS BIGINT)").alias("n_customers")
+    )
