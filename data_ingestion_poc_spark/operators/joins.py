@@ -587,3 +587,34 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("ck").alias("join_key"))
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+@register(
+    "join_existence_or",
+    oracle="""
+    SELECT c_custkey, ROUND(c_acctbal, 2) AS c_acctbal
+    FROM customer c
+    WHERE c_acctbal > 9000
+       OR EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+)
+def join_existence_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS under a disjunction: `local_pred OR EXISTS(...)` cannot
+    decorrelate to a plain semi join (rows failing the subquery must
+    survive when the local predicate holds), so Catalyst plans an
+    ExistenceJoin — a join that ADDS a boolean 'matched' column instead
+    of filtering, with the OR evaluated afterward. The third join
+    semantic next to semi/anti (B3), and the reason disjunctive dedup
+    policies (A16's match-OR-rename) stay single-pass on the engine."""
+    t = load(spark, sf_dir)
+    t.customer.createOrReplaceTempView("customer")
+    t.orders.createOrReplaceTempView("orders")
+    return spark.sql("""
+        SELECT c_custkey, ROUND(c_acctbal, 2) AS c_acctbal
+        FROM customer c
+        WHERE c_acctbal > 9000
+           OR EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000)
+    """)

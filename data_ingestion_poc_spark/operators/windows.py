@@ -484,3 +484,37 @@ def win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"lead(value_n) IGNORE NULLS {over}").alias("next_nn"),
         F.nth_value("value_n", 2, ignoreNulls=True).over(w).alias("second_nn"),
     )
+
+
+@register(
+    "win_ratio_to_report",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(o_totalprice / SUM(o_totalprice) OVER (PARTITION BY o_custkey), 6)
+             AS spend_share,
+           ROUND(o_totalprice / SUM(o_totalprice) OVER (), 10) AS global_share
+    FROM orders
+    """,
+)
+def win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ratio_to_report: each order's share of its customer's spend and of
+    global spend (the BI contribution metric). The per-customer ratio is
+    one hash window; the GLOBAL denominator is an unpartitioned window
+    over an unordered frame — Spark computes it as a single-partition
+    aggregate of the tiny per-partition partials, not a global sort, so
+    it is scale-safe despite the empty PARTITION BY (no ORDER BY = no
+    sort requirement). DECIMAL sums keep both denominators exact; the
+    division is the only double step."""
+    t = load(spark, sf_dir)
+    w_cust = Window.partitionBy("o_custkey")
+    w_all = Window.partitionBy()
+    return t.orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.col("o_totalprice") / F.sum("o_totalprice").over(w_cust), 6
+        ).alias("spend_share"),
+        F.round(
+            F.col("o_totalprice") / F.sum("o_totalprice").over(w_all), 10
+        ).alias("global_share"),
+    )

@@ -96,7 +96,8 @@ def build(spark, mult: int, mode: str = "facts") -> str:
     K-1 exact duplicates across copies and LSH candidate volume grows
     ~quadratically in K (C(K,2) collisions per original) — deliberately
     the adversarial regime for dedup probes."""
-    prefix = {"facts": "m", "corpus": "docs", "events": "ev"}[mode]
+    prefix = {"facts": "m", "corpus": "docs", "events": "ev",
+              "events_deep": "evd"}[mode]
     out = f"{ROOT}/{prefix}{mult}"
     if os.path.exists(os.path.join(out, "_DONE")):
         return out
@@ -106,6 +107,9 @@ def build(spark, mult: int, mode: str = "facts") -> str:
         "facts": {"orders": ["o_orderkey"], "lineitem": ["l_orderkey"]},
         "corpus": {"documents": ["doc_id"], "embeddings": ["vec_id"]},
         "events": {"events": ["event_id", "user_id"]},
+        # deep: only event_id offset => same users, K x longer per-user
+        # timelines — the window-state / sort-depth stress axis
+        "events_deep": {"events": ["event_id"]},
     }[mode]
     for d in [t for t in DIMS + ["orders", "lineitem", "events"] if t not in scaled]:
         shutil.copy(f"{BASE}/{d}.parquet", f"{out}/{d}.parquet")
@@ -121,10 +125,15 @@ def main() -> None:
                     help="scale documents/embeddings and run the LLM probes")
     ap.add_argument("--events", action="store_true",
                     help="scale events horizontally and run the window probes")
+    ap.add_argument("--events-deep", action="store_true",
+                    help="scale events vertically (same users, K x longer "
+                         "timelines) and run the window probes")
     args = ap.parse_args()
     mults = [int(m) for m in args.mults.split(",")]
-    mode = "corpus" if args.corpus else "events" if args.events else "facts"
-    probes = {"corpus": DOC_PROBES, "events": EVENT_PROBES, "facts": PROBES}[mode]
+    mode = ("corpus" if args.corpus else "events" if args.events
+            else "events_deep" if args.events_deep else "facts")
+    probes = {"corpus": DOC_PROBES, "events": EVENT_PROBES,
+              "events_deep": EVENT_PROBES, "facts": PROBES}[mode]
     spark = get_spark(app_name="dip-scale-probe")
     qs = registry.all_queries()
 
