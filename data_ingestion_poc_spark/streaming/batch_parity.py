@@ -499,3 +499,73 @@ def stream_rollup_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(os.path.join(run, "ckpt"), ignore_errors=True)
     return final
+
+
+@register(
+    "stream_append_mode",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS whour,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+            <= (SELECT MAX(ts) FROM events) - INTERVAL 10 MINUTES
+    GROUP BY date_trunc('hour', ts)
+    """,
+)
+def stream_append_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-mode watermarked aggregation: a window row is emitted
+    exactly once, only after the watermark passes its end — the semantic
+    that makes streaming aggregates safe to append to immutable sinks
+    (files, Kafka), vs update/complete's in-place rewrites used by the
+    other stream_* ops.
+
+    Events are staged as three TIME-ORDERED drops (split at 2024-01-06 /
+    2024-01-11), one per micro-batch, so the watermark ratchets up
+    monotonically and windows emit incrementally across batches. After
+    the last drop, AvailableNow runs a closing no-data micro-batch
+    (noDataMicroBatches, on by default) that flushes everything the
+    FINAL watermark finalized — so the emitted set is every hourly
+    window whose end <= max(ts) - 10 min, exactly what the batch oracle
+    selects. Only the windows inside the final 10-minute lateness
+    allowance stay in state (they would surface on the next AvailableNow
+    run from the checkpoint — the cron-rerun upgrade of
+    README.md:106-119)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..catalog import normalize_event_ts
+
+    run = os.path.join(tempfile.gettempdir(), f"dip_append_{uuid.uuid4().hex[:8]}")
+    inbox = os.path.join(run, "inbox")
+    os.makedirs(inbox, exist_ok=True)
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    evn = normalize_event_ts(ev)
+    cuts = ["2024-01-06 00:00:00", "2024-01-11 00:00:00"]
+    slices = [
+        evn.where(F.col("ts") < cuts[0]),
+        evn.where((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+        evn.where(F.col("ts") >= cuts[1]),
+    ]
+    for i, sl in enumerate(slices):
+        slice_dir = os.path.join(run, f"slice{i}")
+        sl.coalesce(1).write.parquet(slice_dir)
+        part = next(f for f in os.listdir(slice_dir) if f.endswith(".parquet"))
+        shutil.move(
+            os.path.join(slice_dir, part), os.path.join(inbox, f"drop{i}.parquet")
+        )
+    schema = spark.read.parquet(inbox).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inbox)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("whour"),
+            "n",
+        )
+    )
+    return run_available_now(sdf, "append")
