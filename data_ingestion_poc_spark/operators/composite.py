@@ -604,3 +604,55 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("funnel_stage"),
     )
+
+
+@register(
+    "q_retention_cohorts",
+    oracle="""
+    WITH cohort AS (
+      SELECT user_id,
+             date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+      FROM events
+    )
+    SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', c.cohort_week, a.active_week) / 7 AS BIGINT)
+                                                          AS week_offset,
+           CAST(COUNT(*) AS BIGINT)                       AS active_users
+    FROM cohort c JOIN activity a ON a.user_id = c.user_id
+    GROUP BY c.cohort_week, date_diff('day', c.cohort_week, a.active_week) / 7
+    """,
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week,
+    counted in each subsequent week they remain active (week_offset 0 =
+    the cohort week itself) — THE product-analytics retention table
+    (weekly buckets because the fixture spans ~3 weeks; swap the
+    date_trunc unit for monthly cohorts).
+
+    One user_id shuffle does all the per-user work: the cohort week
+    (min ts) comes from a window over the same partitioning the distinct
+    (user, week) activity reduction uses, so Catalyst stacks them
+    without re-exchanging; the closing (cohort, offset) aggregate is
+    O(weeks^2) groups. Week arithmetic is datediff/7 on Monday-truncated
+    dates — exact integers on both engines."""
+    t = load(spark, sf_dir)
+    w = Window.partitionBy("user_id")
+    per_event = t.events.select(
+        "user_id",
+        F.date_trunc("week", "ts").alias("active_week"),
+        F.date_trunc("week", F.min("ts").over(w)).alias("cohort_week"),
+    )
+    user_weeks = per_event.distinct()
+    return (
+        user_weeks.groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff("active_week", "cohort_week") / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
