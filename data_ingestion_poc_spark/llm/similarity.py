@@ -492,3 +492,52 @@ def embed_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partials.groupBy("i", "j").agg(
         F.round(F.sum("partial"), 6).alias("gram")
     )
+
+
+@register("embed_pca_project", oracle=None)  # eigendecomposition: rows-only
+def embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection onto the top-2 principal components — the full
+    distributed-linear-algebra loop, structured exactly like MLlib's PCA:
+    (1) distributed Gram/covariance contraction (embed_gram_matrix's
+    mapInPandas partials — the only stage that touches all rows), (2)
+    driver-side eigendecomposition of the tiny 64x64 matrix (numpy eigh;
+    O(dim^3) is nothing), (3) distributed projection with the two
+    eigenvectors folded into the plan as literal arrays — a second
+    linear scan, no shuffle at all. Signs are canonicalized (largest
+    |component| positive) so the output is deterministic; tests pin
+    orthogonality and the variance ordering. Rows-only: no SQL engine
+    can express the eigensolve."""
+    import numpy as np
+
+    t = load(spark, sf_dir)
+    dim = 64
+    gram_rows = embed_gram_matrix(spark, sf_dir).collect()
+    n = t.embeddings.count()
+    g = np.zeros((dim, dim))
+    for r in gram_rows:
+        g[r["i"] - 1, r["j"] - 1] = r["gram"]
+        g[r["j"] - 1, r["i"] - 1] = r["gram"]
+    cov = g / n  # uncentered (2nd-moment) PCA: embeddings are ~zero-mean
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1]
+    pcs = []
+    for k in range(2):
+        v = vecs[:, order[k]]
+        if abs(v.min()) > abs(v.max()):  # canonical sign
+            v = -v
+        pcs.append(v)
+
+    def project(v: list[float]):
+        arr = F.array(*[F.lit(float(x)) for x in v])
+        return F.aggregate(
+            F.zip_with(F.col("embedding"), arr, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    return t.embeddings.select(
+        "vec_id",
+        "label",
+        F.round(project(pcs[0]), 6).alias("pc1"),
+        F.round(project(pcs[1]), 6).alias("pc2"),
+    )

@@ -515,3 +515,42 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_bucket.groupBy("o_orderpriority").agg(
         F.expr("CAST(SUM(bitmap_count(bm)) AS BIGINT)").alias("n_customers")
     )
+
+
+@register(
+    "agg_grouping_id",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS ret_flag,
+           COALESCE(l_linestatus, 'ALL') AS line_status,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with GROUPING flags: subtotal rows are distinguishable from
+    real NULL group keys (grouping(col)=1 marks 'aggregated over', not
+    'value was NULL') — the disambiguation every report layer needs
+    before it can render 'ALL' rows. One Expand-based aggregate, same
+    plan family as agg_grouping_sets / rollup_time_hierarchy."""
+    t = load(spark, sf_dir)
+    return (
+        t.lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("bigint").alias("g_flag"),
+            F.grouping("l_linestatus").cast("bigint").alias("g_status"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("ret_flag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("line_status"),
+            "g_flag",
+            "g_status",
+            "n",
+            "sum_qty",
+        )
+    )

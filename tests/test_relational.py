@@ -130,3 +130,27 @@ def test_ann_recall_multiprobe_dominates(spark, sf_dir):
         assert multi["ann_hits"] >= single["ann_hits"]
     again = {(r["variant"], r["query_id"]): r["ann_hits"] for r in fn(spark, sf_dir).collect()}
     assert again == {(r["variant"], r["query_id"]): r["ann_hits"] for r in rows}
+
+
+def test_pca_projection_invariants(spark, sf_dir):
+    """embed_pca_project is rows-only (no SQL eigensolve), so pin the
+    linear-algebra contract instead: projections are deterministic
+    across runs, the two components are uncorrelated (orthogonal
+    directions => ~zero dot of projection vectors over the data), and
+    pc1 captures at least as much energy as pc2."""
+    from data_ingestion_poc_spark import registry
+
+    fn = registry.get("embed_pca_project").fn
+    rows = {r["vec_id"]: (r["pc1"], r["pc2"]) for r in fn(spark, sf_dir).collect()}
+    again = {r["vec_id"]: (r["pc1"], r["pc2"]) for r in fn(spark, sf_dir).collect()}
+    assert rows == again
+    import math
+
+    n = len(rows)
+    e1 = sum(p1 * p1 for p1, _ in rows.values())
+    e2 = sum(p2 * p2 for _, p2 in rows.values())
+    cross = sum(p1 * p2 for p1, p2 in rows.values())
+    assert e1 >= e2 > 0
+    # uncentered PCA on (near) zero-mean data: cross-energy ~ 0 relative
+    # to the component energies
+    assert abs(cross) < 0.01 * math.sqrt(e1 * e2), (cross, e1, e2)
