@@ -392,3 +392,63 @@ def corpus_pack_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
         last_block.cast("bigint").alias("last_block"),
         (last_block - first_block + 1).cast("bigint").alias("n_blocks"),
     )
+
+
+@register(
+    "corpus_pack_manifest",
+    oracle="""
+    WITH lens AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok_len
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, tok_len,
+             SUM(tok_len) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_off
+      FROM lens
+    ),
+    spans AS (
+      SELECT doc_id, tok_len,
+             CAST(end_off - tok_len AS BIGINT) AS start_off,
+             CAST(end_off AS BIGINT) AS end_off,
+             unnest(range(CAST(FLOOR((end_off - tok_len) / 512) AS BIGINT),
+                          CAST(FLOOR((end_off - 1) / 512) AS BIGINT) + 1))
+               AS block_id
+      FROM c
+    )
+    SELECT block_id,
+           CAST(COUNT(*) AS BIGINT)  AS n_docs,
+           MIN(doc_id)               AS first_doc,
+           MAX(doc_id)               AS last_doc,
+           CAST(SUM(LEAST(end_off, (block_id + 1) * 512)
+                    - GREATEST(start_off, block_id * 512)) AS BIGINT)
+                                     AS n_tokens
+    FROM spans
+    GROUP BY block_id
+    """,
+)
+def corpus_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The block-side view of corpus_pack_blocks: one manifest row per
+    512-token training block — how many docs it spans, which ones, and
+    its exact token fill (512 everywhere except the final partial block;
+    the invariant a data-loader shards against). Built by exploding each
+    doc's block range from the same two-phase prefix sum and aggregating
+    per block; the explode emits end-start+1 rows per doc (~tok_len/512),
+    so total fan-out stays O(total_tokens / 512) — one manifest row's
+    worth of work per block, not per token."""
+    packed = corpus_pack_blocks(spark, sf_dir)
+    spans = packed.select(
+        "doc_id",
+        "start_off",
+        (F.col("start_off") + F.col("tok_len")).alias("end_off"),
+        F.explode(F.sequence("first_block", "last_block")).alias("block_id"),
+    )
+    overlap = F.least(
+        F.col("end_off"), (F.col("block_id") + 1) * 512
+    ) - F.greatest(F.col("start_off"), F.col("block_id") * 512)
+    return spans.groupBy("block_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+        F.sum(overlap).alias("n_tokens"),
+    )
