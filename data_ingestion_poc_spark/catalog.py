@@ -37,9 +37,23 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Set the load-bearing runtime confs on whatever session we are handed.
+
+    The engine cannot assume its own ``session.builder()`` built the session
+    (the correctness driver constructs a vanilla one): events.parquet is
+    parquet TIMESTAMP(NANOS) which Spark only reads with nanosAsLong, and
+    datetime-emitting queries compare against a UTC DuckDB oracle. Both are
+    runtime-settable, so pin them at every catalog entry point.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         df = normalize_event_ts(df)

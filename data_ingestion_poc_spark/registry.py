@@ -76,12 +76,30 @@ _LOADED = False
 
 
 def register(name: str, oracle: str | None = None):
-    """Decorator: register fn(spark, sf_dir) -> DataFrame under `name`."""
+    """Decorator: register fn(spark, sf_dir) -> DataFrame under `name`.
+
+    Every query is wrapped so that the load-bearing runtime confs
+    (nanosAsLong for the TIMESTAMP(NANOS) events table, UTC session
+    timezone for oracle datetime parity) are pinned on WHATEVER session the
+    caller provides — the correctness driver builds its own vanilla
+    SparkSession, so correctness must not depend on ``session.builder()``
+    having run (VERDICT r1 item 1/3).
+    """
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        _REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, doc=fn.__doc__)
+
+        import functools
+
+        from .catalog import ensure_session_confs
+
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ensure_session_confs(spark)
+            return fn(spark, sf_dir)
+
+        _REGISTRY[name] = Query(name=name, fn=wrapped, oracle=oracle, doc=fn.__doc__)
         return fn
 
     return deco

@@ -49,9 +49,29 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default=os.environ.get("DIP_SF_DIR", "/root/testdata/sf0.01"))
     ap.add_argument("names", nargs="*")
+    ap.add_argument(
+        "--vanilla",
+        action="store_true",
+        help="use a bare SparkSession (no session.builder confs) to simulate "
+        "the correctness driver's environment",
+    )
+    ap.add_argument("--first", type=int, default=0,
+                    help="check only the first N entries of the driver-ordered "
+                    "queries() dict (0 = all requested)")
     args = ap.parse_args()
 
-    spark = get_spark(shuffle_partitions=8)
+    if args.vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("check-oracle-vanilla")
+            .config("spark.sql.shuffle.partitions", "8")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark(shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -59,7 +79,12 @@ def main() -> int:
         )
 
     qs = registry.all_queries()
-    names = args.names or sorted(qs)
+    if args.first:
+        import __spark_entry__ as entry
+
+        names = list(entry.queries())[: args.first]
+    else:
+        names = args.names or sorted(qs)
     n_pass = n_fail = n_rowsonly = 0
     for name in names:
         q = qs[name]
