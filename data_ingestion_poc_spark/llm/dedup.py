@@ -136,6 +136,28 @@ MINHASH_BANDS = 8
 _ROWS_PER_BAND = MINHASH_K // MINHASH_BANDS
 
 
+#: One persisted shingle-set DataFrame per (Spark application, sf_dir):
+#: repeated dedup_minhash calls in a session (recall eval, bench --all, the
+#: oracle harness) must reuse the cache instead of stacking a fresh
+#: persisted copy per call, which grows executor storage for the session.
+_SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _shingled_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _SHINGLE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    t = load(spark, sf_dir)
+    docs = t.documents.select("doc_id", F.split(F.lower("text"), " ").alias("words"))
+    shingled = docs.select(
+        "doc_id",
+        F.array_distinct(shingle_array(F.col("words"), 3)).alias("shingles"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    _SHINGLE_CACHE[key] = shingled
+    return shingled
+
+
 @register("dedup_minhash", oracle=None)  # LSH candidate set: rows-only
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded MinHash LSH near-dup pairs, all in JVM Column expressions:
@@ -150,12 +172,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     where the exact inverted index (dedup_ngram_jaccard) gets too hot.
     Emitted pairs are exact Jaccard >= 0.30 among LSH candidates (same
     threshold as the exact operator, so recall is directly measurable)."""
-    t = load(spark, sf_dir)
-    docs = t.documents.select("doc_id", F.split(F.lower("text"), " ").alias("words"))
-    shingled = docs.select(
-        "doc_id",
-        F.array_distinct(shingle_array(F.col("words"), 3)).alias("shingles"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    shingled = _shingled_persisted(spark, sf_dir)
     def _minhash(i: int):
         # NB: the seed must be captured via an outer function, NOT a
         # `lambda s, i=i:` default arg — PySpark infers higher-order-fn

@@ -480,6 +480,8 @@ def embed_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def partial_gram(batches):
         for pdf in batches:
+            if not len(pdf):  # empty Arrow batch: np.array([]) is 1-D
+                continue
             x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
             g = x.T @ x
             yield pd.DataFrame(

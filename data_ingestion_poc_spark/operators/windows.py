@@ -490,9 +490,10 @@ def win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_ratio_to_report",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           ROUND(o_totalprice / SUM(o_totalprice) OVER (PARTITION BY o_custkey), 6)
-             AS spend_share,
-           ROUND(o_totalprice / SUM(o_totalprice) OVER (), 10) AS global_share
+           ROUND(o_totalprice / CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                 OVER (PARTITION BY o_custkey) AS DOUBLE), 6) AS spend_share,
+           ROUND(o_totalprice / CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                 OVER () AS DOUBLE), 10) AS global_share
     FROM orders
     """,
 )
@@ -503,18 +504,24 @@ def win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     over an unordered frame — Spark computes it as a single-partition
     aggregate of the tiny per-partition partials, not a global sort, so
     it is scale-safe despite the empty PARTITION BY (no ORDER BY = no
-    sort requirement). DECIMAL sums keep both denominators exact; the
-    division is the only double step."""
+    sort requirement). Both denominators are summed as DECIMAL(18,2)
+    (order-independent, exact) and only then cast to double, so the sole
+    float step is one division — no cross-engine float-sum dependence."""
     t = load(spark, sf_dir)
     w_cust = Window.partitionBy("o_custkey")
     w_all = Window.partitionBy()
+    price_dec = F.col("o_totalprice").cast("decimal(18,2)")
     return t.orders.select(
         "o_custkey",
         "o_orderkey",
         F.round(
-            F.col("o_totalprice") / F.sum("o_totalprice").over(w_cust), 6
+            F.col("o_totalprice")
+            / F.sum(price_dec).over(w_cust).cast("double"),
+            6,
         ).alias("spend_share"),
         F.round(
-            F.col("o_totalprice") / F.sum("o_totalprice").over(w_all), 10
+            F.col("o_totalprice")
+            / F.sum(price_dec).over(w_all).cast("double"),
+            10,
         ).alias("global_share"),
     )

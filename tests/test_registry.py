@@ -45,9 +45,22 @@ def test_oracles_reference_known_views():
                 r"([a-z_][a-z_0-9]*)\s*(?:\([^()]*\))?\s+AS\s*\(", q.oracle, re.I
             )
         )
-        # derived-table aliases: `) alias` — also catches the false match
-        # of `IS NOT DISTINCT FROM x.k` (x is an alias, not a table)
-        aliases = set(re.findall(r"\)\s+(?:AS\s+)?([a-z_][a-z_0-9]*)\b", q.oracle))
+        # derived-table aliases: only `FROM (subquery) alias` / `JOIN
+        # (subquery) alias` count — paren-match from each FROM/JOIN (so a
+        # stray `COUNT(*) AS n` cannot whitelist `n` as a table name)
+        aliases = set()
+        for m in re.finditer(r"(?:FROM|JOIN)\s*\(", q.oracle, re.I):
+            depth, i = 1, m.end()
+            while i < len(q.oracle) and depth:
+                depth += {"(": 1, ")": -1}.get(q.oracle[i], 0)
+                i += 1
+            tail = re.match(
+                r"\s*(?:AS\s+)?([a-z_][a-z_0-9]*)\b", q.oracle[i:], re.I
+            )
+            if tail:
+                aliases.add(tail.group(1).lower())
+        # `IS NOT DISTINCT FROM x.k` / `FROM x.y`: dotted refs are alias
+        # uses, not table reads — treated below via the \b word boundary
         # builtin DuckDB table functions usable without any registration
         table_fns = {"range", "unnest", "generate_series"}
         for tbl in re.findall(r"(?:FROM|JOIN)\s+([a-z_][a-z_0-9]*)\b", q.oracle):
