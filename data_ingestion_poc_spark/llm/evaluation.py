@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..catalog import load
 from ..registry import register
 from .dedup import dedup_minhash, dedup_ngram_jaccard
 from .similarity import sim_search_ann, sim_search_ann_multiprobe, sim_search_knn
@@ -97,3 +98,66 @@ def sim_search_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "variant", "query_id", "exact_k", "ann_hits", "recall_pct"
     ).orderBy("variant", "query_id")
+
+
+def _embedding_recall_oracle() -> str:
+    from .dedup import _cosine_dup_oracle
+
+    return f"""
+    WITH lsh AS ({_cosine_dup_oracle()}),
+    exact AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings) a
+      JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings) b
+        ON a.vec_id < b.vec_id
+      WHERE list_dot_product(a.emb, b.emb)
+            / (sqrt(list_dot_product(a.emb, a.emb))
+             * sqrt(list_dot_product(b.emb, b.emb))) >= 0.30
+    )
+    SELECT (SELECT COUNT(*) FROM exact) AS exact_pairs,
+           (SELECT COUNT(*) FROM lsh) AS lsh_pairs,
+           (SELECT COUNT(*) FROM exact) - (SELECT COUNT(*) FROM lsh)
+             AS missed_pairs,
+           ROUND((SELECT COUNT(*) FROM lsh) * 100.0
+                 / (SELECT COUNT(*) FROM exact), 2) AS recall_pct
+"""
+
+
+@register("dedup_embedding_recall", oracle=_embedding_recall_oracle())
+def dedup_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of banded sign-LSH semantic dedup vs brute-force cosine.
+
+    Ground truth = every pair with cosine >= 0.30 (quadratic — the
+    evaluation harness runs it on the test corpus / a sample at scale, per
+    the module docstring). Candidate set = dedup_embedding_cosine, whose
+    post-verify threshold matches, so its pairs are a subset and recall is
+    |lsh| / |exact|. Unlike the xxhash64-based recalls above, BOTH sides
+    are SQL-expressible (the hyperplane signs are plan literals), so this
+    one carries a full DuckDB oracle replaying pipeline AND ground truth.
+    """
+    from .dedup import dedup_embedding_cosine, dot_double
+
+    t = load(spark, sf_dir)
+    emb = t.embeddings.select("vec_id", "embedding")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    cos = dot_double(F.col("ea"), F.col("eb")) / (
+        F.sqrt(dot_double(F.col("ea"), F.col("ea")))
+        * F.sqrt(dot_double(F.col("eb"), F.col("eb")))
+    )
+    exact = (
+        F.broadcast(a)
+        .join(b, F.col("vec_a") < F.col("vec_b"))
+        .where(cos >= 0.30)
+        .select("vec_a", "vec_b")
+    )
+    lsh = dedup_embedding_cosine(spark, sf_dir).select("vec_a", "vec_b")
+    hit = exact.join(
+        lsh.withColumn("hit", F.lit(1)), on=["vec_a", "vec_b"], how="left"
+    )
+    return hit.agg(
+        F.count(F.lit(1)).alias("exact_pairs"),
+        F.count("hit").alias("lsh_pairs"),
+        (F.count(F.lit(1)) - F.count("hit")).alias("missed_pairs"),
+        F.round(F.count("hit") * 100.0 / F.count(F.lit(1)), 2).alias("recall_pct"),
+    )

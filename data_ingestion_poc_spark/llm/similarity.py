@@ -15,7 +15,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import load
 from ..registry import register
-from .dedup import dot_double
+from .dedup import _splitmix_bit, dot_double  # noqa: F401
 
 _KNN_ORACLE = """
     WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
@@ -82,21 +82,6 @@ def sim_search_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ANN_DIM, _ANN_NBITS = 64, 5
 
 
-def _splitmix_bit(b: int, i: int) -> int:
-    """Avalanche-mixed bit for hyperplane b, dimension i (plan-build time).
-
-    A linear combine like ``bit7(b*A ^ i*B)`` is separable
-    (= bit7(b*A) XOR bit7(i*B)), which collapses every hyperplane into the
-    same one up to sign — the whole corpus lands in 2 buckets. splitmix64
-    finalization avalanches every input bit into every output bit, so the
-    planes are independent.
-    """
-    m = (1 << 64) - 1
-    x = ((b << 32) | i) & m
-    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & m
-    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & m
-    x ^= x >> 31
-    return (x >> 17) & 1
 
 
 def _hyperplane_bucket():

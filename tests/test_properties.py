@@ -131,11 +131,15 @@ def test_minhash_finds_planted_near_dups(spark, data):
         return orig(self, name)
 
     cat.Tables.__getattr__ = fake
+    # the per-(app, sf_dir) shingle memo must not serve a previous
+    # example's (or the real fixture's) documents while the stub is up
+    dd._SHINGLE_CACHE.clear()
     try:
         res = get("dedup_minhash").fn(spark, "/root/testdata/sf0.001")
         got = {(r["doc_a"], r["doc_b"]) for r in res.collect()}
     finally:
         cat.Tables.__getattr__ = orig
+        dd._SHINGLE_CACHE.clear()
     assert expected_pairs <= got, (expected_pairs, got)
     assert all(a < 100 and b < 100 for a, b in got), got
 

@@ -154,3 +154,50 @@ def test_pca_projection_invariants(spark, sf_dir):
     # uncentered PCA on (near) zero-mean data: cross-energy ~ 0 relative
     # to the component energies
     assert abs(cross) < 0.01 * math.sqrt(e1 * e2), (cross, e1, e2)
+
+
+def test_fuzzy_name_blocking_is_complete(spark, sf_dir):
+    """SymSpell deletion-neighborhood blocking must reproduce the exact
+    brute-force edit-distance pair set (the deletion-variant guarantee:
+    ed(a,b) <= t implies a shared <=t-deletion variant), and the candidate
+    join must be an equi hash join — no BroadcastNestedLoopJoin."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_poc_spark.catalog import load
+
+    fn = registry.get("dedup_fuzzy_name").fn
+    got = {tuple(r) for r in fn(spark, sf_dir).collect()}
+    t = load(spark, sf_dir)
+    a = t.customer.select(
+        F.col("c_custkey").alias("key_a"), F.col("c_name").alias("name_a")
+    )
+    b = t.customer.select(
+        F.col("c_custkey").alias("key_b"), F.col("c_name").alias("name_b")
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    brute = {
+        tuple(r)
+        for r in F.broadcast(a)
+        .join(b, F.col("key_a") < F.col("key_b"))
+        .where(dist <= 2)
+        .select("key_a", "key_b", dist.cast("int").alias("edit_dist"))
+        .collect()
+    }
+    assert got == brute and got
+    plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_cosine_lsh_subset_and_recall(spark, sf_dir):
+    """Banded sign-LSH semantic dedup: every emitted pair must be a true
+    cosine>=0.30 pair (post-verify), the recall report must account
+    exactly, and the candidate join must be an equi join (no BNLJ)."""
+    pairs = registry.get("dedup_embedding_cosine").fn(spark, sf_dir)
+    rows = pairs.collect()
+    assert rows and all(r["cosine"] >= 0.30 for r in rows)
+    rep = registry.get("dedup_embedding_recall").fn(spark, sf_dir).collect()[0]
+    assert rep["lsh_pairs"] == len(rows)
+    assert rep["lsh_pairs"] + rep["missed_pairs"] == rep["exact_pairs"]
+    assert rep["recall_pct"] >= 50.0  # 8x4-band curve at the 0.30 boundary
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
