@@ -382,7 +382,46 @@ def _simhash_batch(texts: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
-@register("dedup_simhash", oracle=None)  # custom signature: rows-only
+#: The word hashes are md5 (deterministic, engine-portable), so the WHOLE
+#: signature is SQL-expressible: per (doc, word) counts, a 64-way bit
+#: vote decoded nibble-by-nibble from the md5 hex, and the sign-majority
+#: reassembled into the signed int64 Spark emits. Verified bit-exact
+#: against the pandas UDF.
+_SIMHASH_ORACLE = """
+    WITH words AS (
+      SELECT doc_id, w, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+            FROM documents)
+      GROUP BY doc_id, w
+    ),
+    bits AS (
+      SELECT doc_id, bb.b AS b,
+             SUM(CASE WHEN ((strpos('0123456789abcdef',
+                                    substr(md5(w), 16 - (bb.b // 4), 1)) - 1)
+                            >> (bb.b % 4)) & 1 = 1
+                 THEN c ELSE -c END) AS acc
+      FROM words CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bb
+      GROUP BY doc_id, bb.b
+    ),
+    sig AS (
+      SELECT doc_id,
+             SUM(CASE WHEN acc > 0
+                 THEN CAST(1::UBIGINT << b AS HUGEINT) ELSE 0 END) AS usig
+      FROM bits GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN usig >= 9223372036854775808
+                THEN usig - 18446744073709551616 ELSE usig END
+                AS BIGINT) AS simhash,
+           CAST((CAST(usig AS UBIGINT) >> 0)  & 65535 AS BIGINT) AS band0,
+           CAST((CAST(usig AS UBIGINT) >> 16) & 65535 AS BIGINT) AS band1,
+           CAST((CAST(usig AS UBIGINT) >> 32) & 65535 AS BIGINT) AS band2,
+           CAST((CAST(usig AS UBIGINT) >> 48) & 65535 AS BIGINT) AS band3
+    FROM sig
+"""
+
+
+@register("dedup_simhash", oracle=_SIMHASH_ORACLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash signatures (Arrow-batched pandas UDF — the documented
     slow-path exception; everything around it stays JVM-side). Near-dup =

@@ -59,7 +59,54 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_search_recall", oracle=None)  # LSH-bucketed side: rows-only
+
+def _sim_recall_oracle() -> str:
+    """Both sides of the ANN recall are SQL-expressible (brute-force knn +
+    the sign-literal LSH pipelines), so the recall report itself carries a
+    full two-sided oracle."""
+    from .similarity import _ann_oracle
+
+    return f"""
+    WITH exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 list_dot_product(q.e, c.e)
+                   / (sqrt(list_dot_product(q.e, q.e))
+                    * sqrt(list_dot_product(c.e, c.e))) DESC,
+                 c.vec_id) AS rk
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings WHERE vec_id < 5) q
+        JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings) c ON q.vec_id <> c.vec_id
+      ) WHERE rk <= 10
+    ),
+    ann1 AS (SELECT query_id, neighbor_id FROM ({_ann_oracle(False)}) x1),
+    ann2 AS (SELECT query_id, neighbor_id FROM ({_ann_oracle(True)}) x2),
+    r1 AS (
+      SELECT 'single_probe' AS variant, e.query_id,
+             COUNT(*) AS exact_k, COUNT(a.neighbor_id) AS ann_hits,
+             ROUND(COUNT(a.neighbor_id) * 100.0 / COUNT(*), 2) AS recall_pct
+      FROM exact e LEFT JOIN ann1 a
+        ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+      GROUP BY e.query_id
+    ),
+    r2 AS (
+      SELECT 'multi_probe' AS variant, e.query_id,
+             COUNT(*) AS exact_k, COUNT(a.neighbor_id) AS ann_hits,
+             ROUND(COUNT(a.neighbor_id) * 100.0 / COUNT(*), 2) AS recall_pct
+      FROM exact e LEFT JOIN ann2 a
+        ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+      GROUP BY e.query_id
+    )
+    SELECT variant, query_id, exact_k, ann_hits, recall_pct FROM r1
+    UNION ALL
+    SELECT variant, query_id, exact_k, ann_hits, recall_pct FROM r2
+    ORDER BY variant, query_id
+"""
+
+
+@register("sim_search_recall", oracle=_sim_recall_oracle())
 def sim_search_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of the random-hyperplane ANN variants vs brute-force
     cosine top-10.

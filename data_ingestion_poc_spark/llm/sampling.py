@@ -3,11 +3,19 @@ B10 extension family): corpus subsampling, stratified class balancing,
 and train/validation splits are the standard steps between 'cleaned
 corpus' and 'training mix'.
 
-All three are rows-only checks: Spark's samplers are deterministic given
-(seed, input partitioning) — the same plan yields the same sample, which
-is exactly the reproducibility property a training pipeline needs — but
-the accept/reject stream is Spark-specific, so no cross-engine SQL can
-reproduce it. Tests pin determinism and statistical bounds instead.
+All three sample by CONTENT HASH (md5 of the row key), not by an RNG
+stream: membership is a pure function of the row, so the sample is stable
+under repartitioning, re-runs, speculative retries, and incremental
+appends — the property that keeps a 100 TB corpus's subsample consistent
+across pipeline versions (Spark's seeded .sample() is deterministic only
+for a FIXED partitioning). Execution is still scan-local: each task
+accepts/rejects its own rows, no shuffle, no ORDER BY rand(). And because
+md5 is engine-portable, every query carries a full DuckDB oracle — the
+accept/reject decision reproduces bit-for-bit across engines.
+
+Thresholds compare the first two hex chars of the digest (256 buckets):
+fraction f maps to the first round(f*256) buckets. The hex alphabet sorts
+0-9a-f in both engines, so a plain string compare is the bucket test.
 """
 
 from __future__ import annotations
@@ -18,44 +26,72 @@ from pyspark.sql import functions as F
 from ..catalog import load
 from ..registry import register
 
-SEED = 42
+
+def _bucket(prefix: str, col: str = "doc_id"):
+    """First-byte md5 bucket ('00'..'ff') of prefix||key — the Spark side
+    of the portable hash sampler (oracles use substr(md5(...),1,2))."""
+    return F.substring(
+        F.md5(F.concat(F.lit(prefix), F.col(col).cast("string")).cast("binary")),
+        1,
+        2,
+    )
 
 
-@register("sample_bernoulli", oracle=None)
+@register(
+    "sample_bernoulli",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE substr(md5('b:' || CAST(doc_id AS VARCHAR)), 1, 2) < '33'
+    """,
+)
 def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bernoulli row sampling (~20%), seed-pinned. One scan, no shuffle:
-    each task accepts/rejects its own rows — the only sane way to
-    subsample 100 TB (never ORDER BY rand() LIMIT n, which is a global
-    sort)."""
+    """Bernoulli row sampling (~20%: 51/256 md5 buckets), hash-pinned.
+    One scan, no shuffle — the only sane way to subsample 100 TB."""
     t = load(spark, sf_dir)
-    return t.documents.sample(fraction=0.2, seed=SEED).select(
+    return t.documents.where(_bucket("b:") < "33").select(
         "doc_id", "lang", "n_chars"
     )
 
 
-@register("sample_stratified", oracle=None)
+@register(
+    "sample_stratified",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE substr(md5('s:' || CAST(doc_id AS VARCHAR)), 1, 2)
+          < CASE WHEN lang = 'en' THEN '80' ELSE '1a' END
+    """,
+)
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified sampling with per-language fractions (sampleBy): the
-    class-rebalancing step of a training mix. Same scan-local execution
-    as sample_bernoulli; fractions are the knob a data mixer tunes."""
+    """Stratified sampling with per-language fractions (en 50% = 128/256
+    buckets, others ~10% = 26/256): the class-rebalancing step of a
+    training mix. The per-stratum threshold is one CASE over the same
+    scan-local hash — no sampleBy RNG stream, no distinct-strata collect
+    on the driver."""
     t = load(spark, sf_dir)
-    langs = [r["lang"] for r in t.documents.select("lang").distinct().collect()]
-    fractions = {lang: (0.5 if lang == "en" else 0.1) for lang in langs}
-    return t.documents.sampleBy("lang", fractions=fractions, seed=SEED).select(
+    threshold = F.when(F.col("lang") == "en", F.lit("80")).otherwise(F.lit("1a"))
+    return t.documents.where(_bucket("s:") < threshold).select(
         "doc_id", "lang", "source"
     )
 
 
-@register("sample_train_split", oracle=None)
+@register(
+    "sample_train_split",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN substr(md5('t:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                THEN 'train' ELSE 'valid' END AS split
+    FROM documents
+    """,
+)
 def sample_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic train/validation assignment via content-hash ranges
-    (hash mod 100 < 90 => train): unlike randomSplit, membership is a
-    PURE FUNCTION of the row, so it is stable under repartitioning,
-    re-runs, and incremental appends — the property that keeps a 100 TB
-    corpus's split consistent across pipeline versions."""
+    """Deterministic train/validation assignment via content-hash buckets
+    (first md5 byte < 0xe6 => train, ~90% = 230/256): unlike randomSplit,
+    membership is a PURE FUNCTION of the row, stable under
+    repartitioning, re-runs, and incremental appends."""
     t = load(spark, sf_dir)
-    bucket = F.pmod(F.xxhash64("doc_id"), F.lit(100))
     return t.documents.select(
         "doc_id",
-        F.when(bucket < 90, "train").otherwise("valid").alias("split"),
+        F.when(_bucket("t:") < "e6", "train").otherwise("valid").alias("split"),
     )

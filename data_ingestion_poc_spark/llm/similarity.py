@@ -84,6 +84,63 @@ _ANN_DIM, _ANN_NBITS = 64, 5
 
 
 
+
+def _plane_signs_sql(plane: int) -> str:
+    """Sign literals of hyperplane `plane` as a DuckDB DOUBLE[] literal."""
+    return ", ".join(
+        "1.0" if _splitmix_bit(plane, i) else "-1.0" for i in range(_ANN_DIM)
+    )
+
+
+def _bucket_sql() -> str:
+    """DuckDB expression for the _ANN_NBITS-bit sign bucket over `emb` —
+    the same deterministic hyperplanes _hyperplane_bucket() folds into the
+    Spark plan, so the oracle replays the identical bucketing."""
+    return " + ".join(
+        f"(CASE WHEN list_dot_product(emb, [{_plane_signs_sql(b)}]) > 0 "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b in range(_ANN_NBITS)
+    )
+
+
+def _ann_oracle(multiprobe: bool) -> str:
+    if multiprobe:
+        probes = ", ".join(
+            ["q0.bucket"] + [f"xor(q0.bucket, {1 << b})" for b in range(_ANN_NBITS)]
+        )
+        q_cte = f"""
+    q AS (SELECT query_id, qe, unnest([{probes}]) AS bucket
+          FROM (SELECT vec_id AS query_id, emb AS qe, bucket
+                FROM sig WHERE vec_id < 5) q0)"""
+    else:
+        q_cte = """
+    q AS (SELECT vec_id AS query_id, emb AS qe, bucket
+          FROM sig WHERE vec_id < 5)"""
+    return f"""
+    WITH sig AS (
+      SELECT vec_id, emb, {_bucket_sql()} AS bucket
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+    ),{q_cte},
+    cand AS (
+      SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id, q.qe, c.emb AS ce
+      FROM q JOIN sig c ON c.bucket = q.bucket AND c.vec_id <> q.query_id
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             list_dot_product(qe, ce)
+               / (sqrt(list_dot_product(qe, qe))
+                * sqrt(list_dot_product(ce, ce))) AS cosine
+      FROM cand
+    )
+    SELECT query_id, neighbor_id, ROUND(cosine, 4) AS cosine, rk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= 10
+"""
+
+
 def _hyperplane_bucket():
     """Sign signature (``_ANN_NBITS`` bits) as a Column over ``embedding``.
 
@@ -113,7 +170,7 @@ def _hyperplane_bucket():
     return sum([plane_bit(b) * (1 << b) for b in range(_ANN_NBITS)]).cast("long")
 
 
-@register("sim_search_ann", oracle=None)  # approximate: rows-only check
+@register("sim_search_ann", oracle=_ann_oracle(multiprobe=False))
 def sim_search_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via random-hyperplane LSH: fixed signed projections
     -> sign bits -> bucket key; candidates = same bucket only, then exact
@@ -151,7 +208,7 @@ def sim_search_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_search_ann_multiprobe", oracle=None)  # approximate: rows-only
+@register("sim_search_ann_multiprobe", oracle=_ann_oracle(multiprobe=True))
 def sim_search_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe upgrade of sim_search_ann: each query also probes every
     bucket at Hamming distance 1 from its own signature (one hyperplane

@@ -200,7 +200,28 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stream_watermark_late", oracle=None)  # semantics doc'd; rows-only
+@register(
+    "stream_watermark_late",
+    # Closed-form watermark semantics (same derivation as
+    # stream_append_mode's oracle): the staged late file arrives after the
+    # filter watermark has passed 2024-01-06, so ALL pre-cutoff rows are
+    # dropped; append mode then emits exactly the hourly windows over the
+    # surviving rows whose end <= max(surviving ts) - 10min (AvailableNow's
+    # closing no-data batch flushes state up to the final watermark).
+    oracle="""
+    WITH ev AS (
+      SELECT ts FROM events WHERE ts >= TIMESTAMP '2024-01-06 00:00:00'
+    ),
+    mx AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS wm FROM ev),
+    w AS (
+      SELECT date_trunc('hour', ts) AS ws, COUNT(*) AS n_events
+      FROM ev GROUP BY date_trunc('hour', ts)
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, n_events
+    FROM w, mx
+    WHERE ws + INTERVAL 1 HOUR <= wm
+    """,
+)
 def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark + late-data drop, made observable: the events table is
     restaged as THREE files (recent data split in two, stragglers last)
@@ -211,9 +232,10 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     reaches max(first recent half) - 10min, batch 1 promotes it to the
     late-event filter, and batch 2's pre-cutoff stragglers are finally
     DROPPED from the tumbling aggregation. Append mode emits only
-    watermark-finalized windows. Rows-only check by design — the result
-    is defined by watermark semantics, not by a SQL equivalent
-    (tests/test_streaming.py pins the drop behavior)."""
+    watermark-finalized windows. The oracle encodes the closed form of
+    these semantics (all pre-cutoff rows dropped, windows finalized up to
+    max(ts)-10min); tests/test_streaming.py additionally pins the drop
+    behavior batch by batch."""
     import os
     import tempfile
 
