@@ -525,3 +525,94 @@ def win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             10,
         ).alias("global_share"),
     )
+
+
+@register(
+    "win_sessionize_salted",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id,
+           CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS session_no
+    FROM flagged
+    """,
+)
+def win_sessionize_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-immune sessionization: identical semantics (and oracle) to
+    win_sessionize, but the heavy window runs on (user_id, hour-bucket)
+    instead of user_id alone, so ONE HOT USER spreads over as many tasks
+    as their timeline spans hours — the regime where the plain per-user
+    window serializes onto a single straggler core (AQE's skew splitting
+    only rewrites joins; a window partition cannot be split adaptively,
+    which is exactly why this rewrite exists).
+
+    Phase 1: per (user, hour) local session numbering (the big shuffle,
+    hot-key-free since the bucket width 1h > the 30min gap keeps the
+    stitch logic one-hop). Phase 2: per-user window over the per-bucket
+    SUMMARY rows (first/last ts, local session count) — data shrunk by
+    the events-per-bucket factor — computes whether each bucket's first
+    local session continues the previous bucket's last one, and the
+    cumulative global session offset. Phase 3: join the offsets back on
+    (user, bucket): global_no = cum_prev + local_no - merge. Two extra
+    tiny shuffles buy the removal of the per-user straggler; see the
+    events-skew probe in BASELINE.md for the measured effect."""
+    t = load(spark, sf_dir)
+    gap_us = 1_800_000_000
+    ev = t.events.select(
+        "user_id", "event_id", "ts", F.date_trunc("hour", F.col("ts")).alias("bkt")
+    )
+    wl = Window.partitionBy("user_id", "bkt").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(wl)
+    local_break = F.when(
+        prev_ts.isNull()
+        | (F.unix_micros("ts") - F.unix_micros(prev_ts) > gap_us),
+        1,
+    ).otherwise(0)
+    local = ev.withColumn(
+        "local_no",
+        F.sum(local_break).over(
+            wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    summary = local.groupBy("user_id", "bkt").agg(
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.max("local_no").alias("n_local"),
+    )
+    ws = Window.partitionBy("user_id").orderBy("bkt")
+    prev_last = F.lag("last_ts").over(ws)
+    merge = F.when(
+        prev_last.isNotNull()
+        & (F.unix_micros("first_ts") - F.unix_micros(prev_last) <= gap_us),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    offsets = summary.withColumn("merge", merge).withColumn(
+        "cum_prev",
+        F.coalesce(
+            F.sum(F.col("n_local") - F.col("merge")).over(
+                ws.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    return (
+        local.join(
+            offsets.select("user_id", "bkt", "merge", "cum_prev"),
+            ["user_id", "bkt"],
+        )
+        .select(
+            "user_id",
+            "event_id",
+            (F.col("cum_prev") + F.col("local_no") - F.col("merge")).alias(
+                "session_no"
+            ),
+        )
+    )

@@ -68,6 +68,16 @@ EVENT_PROBES = [
     "win_ignore_nulls",      # 3 IGNORE NULLS navigations, one window sort
 ]
 
+#: Skew probes: ONE hot user owns ~50% of all events (--events-skew remaps
+#: half the rows to user_id -1 while scaling timelines deeper). The plain
+#: per-user window serializes the hot user onto one core (AQE skew
+#: splitting rewrites JOINS only — a window partition cannot be split
+#: adaptively), so the time-chunked rewrite is the fix to measure.
+EVENT_SKEW_PROBES = [
+    "win_sessionize",         # per-user window: hot-user straggler
+    "win_sessionize_salted",  # (user, hour) chunked + stitch: spreads it
+]
+
 
 def _scale_tables(spark, out: str, mult: int, scaled: dict[str, list[str]]) -> None:
     for tbl, keys in scaled.items():
@@ -97,7 +107,7 @@ def build(spark, mult: int, mode: str = "facts") -> str:
     ~quadratically in K (C(K,2) collisions per original) — deliberately
     the adversarial regime for dedup probes."""
     prefix = {"facts": "m", "corpus": "docs", "events": "ev",
-              "events_deep": "evd"}[mode]
+              "events_deep": "evd", "events_skew": "evs"}[mode]
     out = f"{ROOT}/{prefix}{mult}"
     if os.path.exists(os.path.join(out, "_DONE")):
         return out
@@ -110,10 +120,23 @@ def build(spark, mult: int, mode: str = "facts") -> str:
         # deep: only event_id offset => same users, K x longer per-user
         # timelines — the window-state / sort-depth stress axis
         "events_deep": {"events": ["event_id"]},
+        "events_skew": {"events": ["event_id"]},
     }[mode]
     for d in [t for t in DIMS + ["orders", "lineitem", "events"] if t not in scaled]:
         shutil.copy(f"{BASE}/{d}.parquet", f"{out}/{d}.parquet")
     _scale_tables(spark, out, mult, scaled)
+    if mode == "events_skew":
+        # remap a deterministic half of all events onto one hot user
+        ev = spark.read.parquet(f"{out}/events.parquet")
+        skewed = ev.withColumn(
+            "user_id",
+            F.when(F.pmod(F.xxhash64("event_id"), F.lit(2)) == 0, F.lit(-1))
+            .otherwise(F.col("user_id")),
+        )
+        tmp = f"{out}/events_skewed.parquet"
+        skewed.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(f"{out}/events.parquet", ignore_errors=True)
+        os.replace(tmp, f"{out}/events.parquet")
     open(os.path.join(out, "_DONE"), "w").write("ok")
     return out
 
@@ -128,12 +151,17 @@ def main() -> None:
     ap.add_argument("--events-deep", action="store_true",
                     help="scale events vertically (same users, K x longer "
                          "timelines) and run the window probes")
+    ap.add_argument("--events-skew", action="store_true",
+                    help="one hot user owns ~50% of events; compare the "
+                         "plain vs time-chunked sessionize windows")
     args = ap.parse_args()
     mults = [int(m) for m in args.mults.split(",")]
     mode = ("corpus" if args.corpus else "events" if args.events
-            else "events_deep" if args.events_deep else "facts")
+            else "events_deep" if args.events_deep
+            else "events_skew" if args.events_skew else "facts")
     probes = {"corpus": DOC_PROBES, "events": EVENT_PROBES,
-              "events_deep": EVENT_PROBES, "facts": PROBES}[mode]
+              "events_deep": EVENT_PROBES, "events_skew": EVENT_SKEW_PROBES,
+              "facts": PROBES}[mode]
     spark = get_spark(app_name="dip-scale-probe")
     qs = registry.all_queries()
 
