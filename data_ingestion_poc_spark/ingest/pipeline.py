@@ -318,3 +318,87 @@ def fetch_with_retry(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 }
             )
         yield pd.DataFrame(rows)
+
+
+def write_blob_sink(df: DataFrame, sink_root: str) -> DataFrame:
+    """Blob-per-row sink with metadata fidelity (A18 child.py:196-218):
+    each record's payload is uploaded as its own object under
+    {server_folder}/{file_type}/{file_name} with its metadata map applied
+    — here the filesystem stands in for the blob store, so modified_time
+    becomes the object's mtime (os.utime) and creation_time/file_size are
+    store-derived, exactly like blob properties. The upload runs in
+    foreachPartition: every task ships ITS OWN partition's blobs straight
+    from the executor — no collect, no driver round-trip, the same
+    per-worker upload fan-out the reference got from one child process
+    per server.
+
+    Returns the post-upload audit (child.py:212-218's properties
+    re-check, distributed): a binaryFile metadata listing of the store
+    joined back to the expected records; props_match asserts size AND
+    mtime round-tripped."""
+    import os
+
+    def upload(rows) -> None:
+        for r in rows:
+            d = os.path.join(sink_root, r["server_folder"], r["file_type"])
+            os.makedirs(d, exist_ok=True)
+            p = os.path.join(d, r["file_name"])
+            with open(p, "wb") as f:
+                f.write(bytes(r["content"] or b""))
+            os.utime(p, (r["modified_time"], r["modified_time"]))
+
+    df.select(
+        "server_folder", "file_type", "file_name", "content", "modified_time"
+    ).foreachPartition(upload)
+
+    # post-upload verify = per-blob properties probe (child.py:212-218's
+    # get_blob_properties loop, distributed): each task stats ITS rows'
+    # objects. A binaryFile listing would be the bulk alternative, but it
+    # silently skips 0-byte objects — the probe sees every blob.
+    import pandas as pd
+
+    def probe(batches):
+        for pdf in batches:
+            sizes, mtimes = [], []
+            for sf, ft, fn in zip(
+                pdf["server_folder"], pdf["file_type"], pdf["file_name"]
+            ):
+                p = os.path.join(sink_root, sf, ft, fn)
+                if os.path.exists(p):
+                    st = os.stat(p)
+                    sizes.append(st.st_size)
+                    mtimes.append(int(st.st_mtime))
+                else:
+                    sizes.append(-1)
+                    mtimes.append(-1)
+            yield pd.DataFrame(
+                {
+                    "server_folder": pdf["server_folder"],
+                    "file_type": pdf["file_type"],
+                    "file_name": pdf["file_name"],
+                    "length": pdf["length"],
+                    "modified_time": pdf["modified_time"],
+                    "stored_size": sizes,
+                    "stored_mtime": mtimes,
+                }
+            )
+
+    audited = df.select(
+        "server_folder", "file_type", "file_name", "length", "modified_time"
+    ).mapInPandas(
+        probe,
+        schema="server_folder string, file_type string, file_name string, "
+        "length bigint, modified_time bigint, stored_size bigint, "
+        "stored_mtime bigint",
+    )
+    return audited.select(
+        "server_folder",
+        "file_type",
+        "file_name",
+        "length",
+        "modified_time",
+        (
+            (F.col("stored_size") == F.col("length"))
+            & (F.col("stored_mtime") == F.col("modified_time"))
+        ).alias("props_match"),
+    )

@@ -269,3 +269,57 @@ def ingest_fetch_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(fetch_with_retry, schema=RETRY_SCHEMA)
         .select("remote_path", "status", "attempts")
     )
+
+
+def _sink_meta_oracle() -> str:
+    values = ",\n      ".join(
+        f"('{sf}', '{ft}', '{fn}', CAST({ln} AS BIGINT), CAST({mt} AS BIGINT), "
+        f"TRUE)"
+        for sf, ft, fn, ln, mt, _fa, _sha in expected_records()
+    )
+    return f"""
+    SELECT * FROM (VALUES
+      {values})
+    AS t(server_folder, file_type, file_name, length, modified_time,
+         props_match)
+    """
+
+
+@register("ingest_sink_metadata", oracle=_sink_meta_oracle())
+def ingest_sink_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blob-per-row sink + post-upload properties verify (A18
+    child.py:196-218, the last unported Part-A behavior): every final
+    record is uploaded as its own object with the reference's metadata
+    map {creation_time, modified_time, file_size} applied (mtime set on
+    the object, size/ctime store-derived), executor-side via
+    foreachPartition, then a distributed binaryFile re-listing of the
+    store proves every property round-tripped (props_match TRUE in the
+    golden rows)."""
+    import os
+    import tempfile
+    import uuid
+
+    from .pipeline import (
+        dedup_against_sink,
+        derive_columns,
+        explode_archives,
+        fetch,
+        split_verified,
+        write_blob_sink,
+        EXPLODED_SCHEMA,
+        SINK_STATE_SCHEMA,
+    )
+    from . import fixtures
+
+    fixtures.build()
+    fetched = fetch(spark)
+    ok, _quarantine = split_verified(fetched)
+    exploded = ok.mapInPandas(explode_archives, schema=EXPLODED_SCHEMA)
+    derived = derive_columns(exploded)
+    deduped = dedup_against_sink(
+        derived, spark.createDataFrame([], SINK_STATE_SCHEMA), "skip"
+    )
+    sink_root = os.path.join(
+        tempfile.gettempdir(), f"dip_blob_sink_{uuid.uuid4().hex[:8]}"
+    )
+    return write_blob_sink(deduped, sink_root)

@@ -591,3 +591,119 @@ def stream_append_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_available_now(sdf, "append")
+
+
+@register(
+    "stream_checkpoint_resume",
+    # Two-run closed form: run 1 sees only pre-2024-01-11 drops, so it
+    # emits windows finalized by wm1 = max(early ts) - 10min; run 2 (same
+    # checkpoint, same sink) ingests the last drop and flushes the rest up
+    # to wm2 = max(all ts) - 10min. emitted_in_run is therefore a pure
+    # function of the window end vs the two watermarks.
+    oracle="""
+    WITH w AS (
+      SELECT date_trunc('hour', ts) AS ws, COUNT(*) AS n
+      FROM events GROUP BY date_trunc('hour', ts)
+    ),
+    mx1 AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS wm FROM events
+            WHERE ts < TIMESTAMP '2024-01-11 00:00:00'),
+    mx2 AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS wm FROM events)
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS whour,
+           CAST(n AS BIGINT) AS n,
+           CASE WHEN ws + INTERVAL 1 HOUR <= (SELECT wm FROM mx1)
+                THEN 1 ELSE 2 END AS emitted_in_run
+    FROM w
+    WHERE ws + INTERVAL 1 HOUR <= (SELECT wm FROM mx2)
+    """,
+)
+def stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint-resume across TWO AvailableNow runs — the cron-rerun
+    continuity upgrade of the reference's scheduler model (README.md:
+    106-119): run 1 ingests the early drops and appends the windows its
+    final watermark finalized; the 10-minute-lateness tail stays in
+    CHECKPOINTED state. Run 2 — a brand-new query object over the same
+    checkpoint and file sink — ingests only the unseen drop (the source
+    log remembers processed files), resumes the watermark from state, and
+    appends exactly the held-back windows once. No overlap, no gap, no
+    recomputation: the two sink snapshots partition the append-mode
+    output, which `emitted_in_run` makes observable and the oracle pins
+    in closed form."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..catalog import normalize_event_ts
+
+    run = os.path.join(tempfile.gettempdir(), f"dip_resume_{uuid.uuid4().hex[:8]}")
+    inbox = os.path.join(run, "inbox")
+    sink = os.path.join(run, "sink")
+    ckpt = os.path.join(run, "ckpt")
+    os.makedirs(inbox, exist_ok=True)
+    evn = normalize_event_ts(
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    )
+    cut = "2024-01-11 00:00:00"
+    slices = [
+        evn.where(F.col("ts") < "2024-01-06 00:00:00"),
+        evn.where((F.col("ts") >= "2024-01-06 00:00:00") & (F.col("ts") < cut)),
+        evn.where(F.col("ts") >= cut),
+    ]
+    staged = []
+    for i, sl in enumerate(slices):
+        slice_dir = os.path.join(run, f"slice{i}")
+        sl.coalesce(1).write.parquet(slice_dir)
+        part = next(f for f in os.listdir(slice_dir) if f.endswith(".parquet"))
+        staged.append((os.path.join(slice_dir, part), f"drop{i}.parquet"))
+
+    schema = evn.schema
+
+    def one_run() -> None:
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(inbox)
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                    "whour"
+                ),
+                "n",
+            )
+        )
+        (
+            sdf.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    # run 1: early drops only -> tail windows held back in state
+    for src, dst in staged[:2]:
+        shutil.move(src, os.path.join(inbox, dst))
+    one_run()
+    first = (
+        spark.read.parquet(sink)
+        .select("whour")
+        .distinct()
+        .withColumn("emitted_in_run", F.lit(1))
+    )
+    first_rows = first.collect()  # snapshot BEFORE run 2 appends
+    # run 2: the remaining drop, same checkpoint + sink
+    shutil.move(staged[2][0], os.path.join(inbox, staged[2][1]))
+    one_run()
+    first_df = spark.createDataFrame(first_rows, "whour string, emitted_in_run int")
+    return (
+        spark.read.parquet(sink)
+        .join(first_df, "whour", "left")
+        .select(
+            "whour",
+            "n",
+            F.coalesce("emitted_in_run", F.lit(2)).alias("emitted_in_run"),
+        )
+    )
