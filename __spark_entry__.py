@@ -35,38 +35,64 @@ def entry(spark: SparkSession) -> DataFrame:
 # (windows, TPC-H composites, LLM dedup/similarity, streaming, text),
 # then the remaining unjudged entries, and the r1-green queries last.
 _PRIORITY = [
-    # -- fixed this round (r1 FAIL -> expect green) --
-    "join_asof_time", "join_asof_forward", "join_asof_tolerance",
-    "join_asof_nearest", "scan_json_roundtrip", "rollup_time_hierarchy",
-    "agg_approx_top_k",
-    # -- windows (never judged) --
-    "win_rank", "win_topk_per_group", "win_running_sum", "win_lag_lead",
-    "win_range_frame", "win_first_last_nth", "win_moving_frame",
-    "win_time_range", "win_sessionize", "win_gapfill_locf",
-    "win_ignore_nulls", "win_ratio_to_report",
-    # -- TPC-H-shaped composites (never judged) --
-    "q_shipping_priority", "q_order_priority", "q_promo_revenue",
-    "q_market_share", "q_yearly_growth", "q_funnel_conversion",
-    "q_retention_cohorts", "q_top_supplier",
-    # -- LLM dedup (never judged) --
-    "dedup_exact_hash", "dedup_ngram_jaccard", "dedup_minhash",
-    "dedup_clusters", "dedup_simhash", "dedup_embedding_cosine",
-    "dedup_fuzzy_name", "dedup_minhash_recall",
-    # -- similarity search (never judged) --
-    "sim_search_knn", "sim_search_ann", "sim_search_ann_multiprobe",
-    "sim_search_ivf", "sim_search_recall",
-    # -- streaming (never judged) --
-    "stream_tumbling_agg", "stream_sliding_agg", "stream_session_window",
-    "stream_dedup", "stream_stateful", "stream_append_mode",
-    # -- text analysis (never judged) --
-    "text_stats", "text_tokenize_tf", "text_tfidf", "text_pii_scrub",
+    # -- r3 window: every name below has NO driver verdict yet (or only a
+    # rows-only one that gained a real oracle this round). The driver judges
+    # the first ~50, so the order within this list is the judging order. --
+    # re-judge: golden oracle added in r2 (753b16f)
+    "scan_binary_meta",
+    # scalar/collection function surface (functions/*.py, never judged)
+    "fn_string", "fn_collation", "fn_url", "fn_datetime",
+    "fn_datetime_calendar", "fn_math", "fn_bitwise", "fn_try_arith",
+    "fn_array", "fn_array_hof", "fn_map", "fn_map_hof", "fn_json",
+    "fn_variant", "fn_hash", "fn_hash_native", "fn_aes_crypt",
+    "fn_struct", "fn_struct_array", "fn_conditional",
+    # set operations (setops.py, never judged)
+    "set_union_all", "set_union_distinct", "set_intersect", "set_except",
+    "set_intersect_all", "set_except_distinct",
+    # sorts / limits (sorts.py, never judged)
+    "sort_multi_key", "limit_topk",
+    # scalar/correlated subquery composites (subqueries.py, never judged)
+    "q_customer_distribution", "q_priority_lines", "q_small_qty_revenue",
+    "q_idle_rich_customers", "q_min_cost_supplier", "q_important_part_value",
+    # ingest pipeline family (Part A port, never judged)
+    "ingest_pipeline_e2e", "ingest_dedup_skip", "ingest_quarantine",
+    "ingest_audit", "ingest_dedup_rename", "ingest_observe",
+    "ingest_fetch_retry", "ingest_sink_metadata",
+    # multimodal trio (golden-VALUES oracles added this round)
+    "multimodal_binary", "multimodal_framesample", "multimodal_resize",
+    # skew-safe sessionization pair + grouping id
+    "win_sessionize_salted", "agg_grouping_id",
+    # streaming tail (never judged)
+    "stream_watermark_late", "stream_stream_join",
+    "stream_foreach_batch_sink", "stream_file_ingest_clean",
+    "stream_rollup_upsert", "stream_checkpoint_resume",
+    # ---- ~position 58: next round's window starts here ----
+    "udf_surface", "udtf_explode", "udf_cogrouped",
+    "corpus_dedup_keep", "corpus_quality_filter", "corpus_decontaminate",
+    "corpus_pack_blocks", "corpus_pack_manifest",
+    "sample_bernoulli", "sample_stratified", "sample_train_split",
+    "text_quality_score", "text_lang_id", "text_fingerprint",
+    "text_ngrams", "text_bpe_pairs",
+    "q_product_profit", "q_supplier_part_counts", "q_dominant_suppliers",
+    "q_sole_late_shippers",
+    "q_local_supplier_volume", "q_returned_items", "q_large_volume_customer",
+    "q_forecast_revenue", "q_discounted_brand_revenue",
+    "q_nation_trade_volume",
+    "join_skew_salted", "join_bucketed_colocated", "agg_percentile",
+    "agg_approx_quantile", "agg_pivot", "win_distribution",
+    "scan_range_clustered", "scan_zorder_clustered", "scan_cbo_stats",
+    "sql_cte_subquery", "sql_recursive_cte", "join_lateral_topk",
+    "profile_table", "agg_histogram",
+    "embed_centroids", "embed_kmeans", "embed_gram_matrix",
+    "embed_pca_project",
+    "dedup_embedding_recall", "scan_python_datasource",
+    "dedup_ngram_jaccard",  # re-judge: df-cap rewrite this round
 ]
 
-# r1 driver verdicts exist for registration positions 1-50 (scan_* through
-# agg_grouping_id): push those to the back so the driver's window keeps
-# reaching unjudged queries.
-_R1_JUDGED = {
-    "scan_parquet", "scan_manifest", "scan_binary_meta", "sink_partitioned",
+# Names with a full driver verdict from r1/r2 (CORRECTNESS_r01/r02.json):
+# push them to the back so the window keeps reaching unjudged queries.
+_JUDGED = {
+    "scan_parquet", "scan_manifest", "sink_partitioned",
     "scan_csv_roundtrip", "scan_json_roundtrip", "scan_orc_roundtrip",
     "scan_partition_pruned", "scan_schema_evolution",
     "sink_compact_small_files", "scan_csv_malformed", "scan_synthetic_gen",
@@ -81,7 +107,21 @@ _R1_JUDGED = {
     "agg_dedup_keyed", "agg_stats_corr", "agg_hll_sketch",
     "rollup_time_hierarchy", "agg_unpivot", "agg_arg_extrema",
     "agg_string_concat", "agg_boolean", "agg_mode", "agg_approx_top_k",
-    "agg_regr", "agg_bitmap_distinct", "agg_grouping_id",
+    "agg_regr", "agg_bitmap_distinct",
+    "win_rank", "win_topk_per_group", "win_running_sum", "win_lag_lead",
+    "win_range_frame", "win_first_last_nth", "win_moving_frame",
+    "win_time_range", "win_sessionize", "win_gapfill_locf",
+    "win_ignore_nulls", "win_ratio_to_report",
+    "q_shipping_priority", "q_order_priority", "q_promo_revenue",
+    "q_market_share", "q_yearly_growth", "q_funnel_conversion",
+    "q_retention_cohorts", "q_top_supplier",
+    "dedup_exact_hash", "dedup_minhash", "dedup_clusters", "dedup_simhash",
+    "dedup_embedding_cosine", "dedup_fuzzy_name", "dedup_minhash_recall",
+    "sim_search_knn", "sim_search_ann", "sim_search_ann_multiprobe",
+    "sim_search_ivf", "sim_search_recall",
+    "stream_tumbling_agg", "stream_sliding_agg", "stream_session_window",
+    "stream_dedup", "stream_stateful", "stream_append_mode",
+    "text_stats", "text_tokenize_tf", "text_tfidf", "text_pii_scrub",
 }
 
 
@@ -90,9 +130,9 @@ def _ordered() -> dict[str, registry.Query]:
     front = [n for n in _PRIORITY if n in all_q]
     seen = set(front)
     middle = [
-        n for n in all_q if n not in seen and n not in _R1_JUDGED
+        n for n in all_q if n not in seen and n not in _JUDGED
     ]
-    back = [n for n in all_q if n not in seen and n in _R1_JUDGED]
+    back = [n for n in all_q if n not in seen and n in _JUDGED]
     return {n: all_q[n] for n in front + middle + back}
 
 
