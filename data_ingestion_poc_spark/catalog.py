@@ -27,13 +27,26 @@ TABLES = (
 
 
 def normalize_event_ts(df: DataFrame) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS); with
-    spark.sql.legacy.parquet.nanosAsLong it arrives as long ns. Convert to
-    TimestampType via INTEGER ns->us division (values ~1.7e18 overflow
-    double precision, so never divide as float). The data is us-aligned:
-    lossless."""
-    if dict(df.dtypes).get("ts") == "bigint":
+    """Normalize events.ts to TimestampType regardless of how the fixture
+    generation wrote it. Two physical encodings have been observed across
+    driver rounds:
+
+    - parquet TIMESTAMP(NANOS): with spark.sql.legacy.parquet.nanosAsLong
+      it arrives as long ns. Convert via INTEGER ns->us division (values
+      ~1.7e18 overflow double precision, so never divide as float). The
+      data is us-aligned: lossless.
+    - parquet timestamp[us] without isAdjustedToUTC: Spark reads it as
+      TIMESTAMP_NTZ, which unix_micros()/window() time arithmetic rejects.
+      Cast to TimestampType — the session zone is pinned UTC
+      (ensure_session_confs), so the wall-clock reinterpretation is
+      identity and matches the DuckDB oracle's naive timestamps.
+    """
+    ensure_session_confs(df.sparkSession)
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -40,10 +40,47 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("fn_hash_native", oracle=None)  # xxhash64/crc32: no DuckDB analog
+def _hash_native_oracle() -> str | None:
+    """Golden VALUES: DuckDB has no xxhash64/murmur3 analog, so the oracle
+    replays Spark's exact hash algorithms in pure Python (pyhash.py, pinned
+    bit-exact against the JVM by test_pyhash_matches_spark) over the same
+    documents fixture, computed from disk at import time so TESTDATA
+    regeneration cannot stale it."""
+    import zlib
+
+    from ..goldens import ORACLE_SF_DIR, values_oracle
+    from .pyhash import spark_hash_columns, xxh64
+
+    try:
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(
+            f"{ORACLE_SF_DIR}/documents.parquet", columns=["doc_id", "text", "lang"]
+        ).to_pylist()
+    except Exception:
+        return None
+    rows = [
+        (
+            r["doc_id"],
+            xxh64(r["text"].encode()),
+            zlib.crc32(r["text"].encode()),
+            spark_hash_columns([r["text"].encode(), r["lang"].encode()]),
+        )
+        for r in tbl
+    ]
+    return values_oracle(
+        rows,
+        ["doc_id", "text_xxh64", "text_crc32", "row_hash32"],
+        casts={"doc_id": "BIGINT", "text_xxh64": "BIGINT", "text_crc32": "BIGINT",
+               "row_hash32": "INTEGER"},
+    )
+
+
+@register("fn_hash_native", oracle=_hash_native_oracle())
 def fn_hash_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Non-cryptographic engine hashes — xxhash64 is the cheap shuffle-key
-    / dedup-key at scale (8 bytes, JVM-side, no UDF)."""
+    / dedup-key at scale (8 bytes, JVM-side, no UDF). Oracle: golden
+    VALUES from the pure-Python ports in pyhash.py."""
     t = load(spark, sf_dir)
     return t.documents.select(
         "doc_id",

@@ -74,46 +74,104 @@ def _resolve_local(server: str, remote_path: str) -> str:
     return root + remote_path
 
 
-def fetch_local(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Fetch stage (A6-A8): pre-stat size/mtime then read bytes; per-file
-    try/except emits an error column instead of failing the task (A21).
-    This local resolver stands in for the pycurl FTP/SFTP client — the
-    protocol client is the only non-portable piece (child.py:67-81).
-    'bad_size' files get a deliberately wrong expected_length: the fault
-    injection for the A9 integrity check."""
-    for pdf in batches:
-        rows = []
-        for server, rpath in zip(pdf["server"], pdf["remote_path"]):
-            row = {
-                "server": server,
-                "remote_path": rpath,
-                "content": None,
-                "length": None,
-                "expected_length": None,
-                "modified_time": None,
-                "error": None,
-            }
-            try:
-                local = _resolve_local(server, rpath)
-                st = os.stat(local)  # pre-stat: size (A6) + mtime (A7)
-                expected = st.st_size + (1 if "bad_size" in rpath else 0)
-                with open(local, "rb") as f:
-                    content = f.read()  # download (A8)
-                row.update(
-                    content=bytearray(content),
-                    length=len(content),
-                    expected_length=expected,
-                    modified_time=int(st.st_mtime),
-                )
-            except Exception as e:  # error channel (A21)
-                row["error"] = f"{type(e).__name__}: {e}"
-            rows.append(row)
-        yield pd.DataFrame(rows)
+class Fetcher:
+    """Pluggable protocol client for the fetch stage (reference
+    child.py:35-81: pycurl FTP/SFTP). Implementations run INSIDE executor
+    tasks (the instance is pickled into the mapInPandas closure), so they
+    must be serializable and open connections lazily per task, never in
+    the driver.
+
+    ``stat`` = the A6/A7 pre-stat probe (expected byte size, mtime epoch
+    seconds); ``read`` = the A8 download. Raising from either routes the
+    file to the error channel (A21) — it never kills the batch.
+    """
+
+    def stat(self, server: str, remote_path: str) -> tuple[int, int]:
+        raise NotImplementedError
+
+    def read(self, server: str, remote_path: str) -> bytes:
+        raise NotImplementedError
 
 
-def fetch(spark: SparkSession, manifest=None, n_batches: int = 8) -> DataFrame:
+class LocalFilesystemFetcher(Fetcher):
+    """Test-environment Fetcher: resolves (server, path) onto the pinned
+    local fixture tree (fixtures.HOST_ROOTS). 'bad_size' files get a
+    deliberately wrong expected_length — the fault injection for the A9
+    integrity check."""
+
+    def stat(self, server: str, remote_path: str) -> tuple[int, int]:
+        st = os.stat(_resolve_local(server, remote_path))
+        expected = st.st_size + (1 if "bad_size" in remote_path else 0)
+        return expected, int(st.st_mtime)
+
+    def read(self, server: str, remote_path: str) -> bytes:
+        with open(_resolve_local(server, remote_path), "rb") as f:
+            return f.read()
+
+
+class CurlFetcher(Fetcher):
+    """The production FTP/SFTP client slot (reference child.py:67-81,
+    pycurl with CURLOPT_FILETIME + NOBODY pre-probe). This sandbox has no
+    network and no pycurl, so the implementation is a guarded stub — the
+    contract (same FETCHED_SCHEMA, same error channel) is what the
+    pipeline depends on, and LocalFilesystemFetcher proves it end-to-end.
+    """
+
+    def stat(self, server: str, remote_path: str) -> tuple[int, int]:  # pragma: no cover
+        raise NotImplementedError("network protocol client requires pycurl + network")
+
+    def read(self, server: str, remote_path: str) -> bytes:  # pragma: no cover
+        raise NotImplementedError("network protocol client requires pycurl + network")
+
+
+def make_fetch_stage(fetcher: Fetcher):
+    """Build the mapInPandas fetch stage around any Fetcher (A6-A8):
+    pre-stat size/mtime then read bytes; per-file try/except emits an
+    error column instead of failing the task (A21)."""
+
+    def fetch_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for server, rpath in zip(pdf["server"], pdf["remote_path"]):
+                row = {
+                    "server": server,
+                    "remote_path": rpath,
+                    "content": None,
+                    "length": None,
+                    "expected_length": None,
+                    "modified_time": None,
+                    "error": None,
+                }
+                try:
+                    expected, mtime = fetcher.stat(server, rpath)  # A6/A7
+                    content = fetcher.read(server, rpath)  # A8
+                    row.update(
+                        content=bytearray(content),
+                        length=len(content),
+                        expected_length=expected,
+                        modified_time=mtime,
+                    )
+                except Exception as e:  # error channel (A21)
+                    row["error"] = f"{type(e).__name__}: {e}"
+                rows.append(row)
+            yield pd.DataFrame(rows)
+
+    return fetch_stage
+
+
+#: Default stage over the fixture tree (name kept for existing callers).
+fetch_local = make_fetch_stage(LocalFilesystemFetcher())
+
+
+def fetch(
+    spark: SparkSession,
+    manifest=None,
+    n_batches: int = 8,
+    fetcher: Fetcher | None = None,
+) -> DataFrame:
+    stage = make_fetch_stage(fetcher) if fetcher is not None else fetch_local
     return manifest_df(spark, manifest, n_batches).mapInPandas(
-        fetch_local, schema=FETCHED_SCHEMA
+        stage, schema=FETCHED_SCHEMA
     )
 
 

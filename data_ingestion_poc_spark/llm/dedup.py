@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 from pyspark.storagelevel import StorageLevel
@@ -80,17 +80,32 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_JACCARD_ORACLE = """
-    WITH sh AS (
+#: Document-frequency cap on the inverted shingle index: a shingle shared
+#: by f docs yields f(f-1)/2 candidate rows in the self-join, so one hot
+#: stopword 3-gram ("one of the") turns the join quadratic. Dropping
+#: shingles with df > cap bounds each shingle's candidate fan-out at
+#: cap^2/2 regardless of corpus size. 256 is far above any real near-dup
+#: cluster (max observed df is 25 at sf0.1) and far below stopword-shingle
+#: df at corpus scale — near-dup pairs share many RARE shingles, so
+#: recall loss is ~0 (pinned by test_jaccard_df_cap_keeps_planted_pairs).
+JACCARD_DF_CAP = 256
+
+_JACCARD_ORACLE = f"""
+    WITH sh0 AS (
       SELECT DISTINCT doc_id, shingle
       FROM (
         SELECT doc_id,
                unnest([array_to_string(words[i:i+2], ' ')
                        FOR i IN range(1, len(words) - 1)]) AS shingle
         FROM (SELECT doc_id, string_split(lower(text), ' ') AS words
-              FROM documents WHERE doc_id < 200)
+              FROM documents)
       )
     ),
+    keep AS (
+      SELECT shingle FROM sh0 GROUP BY shingle
+      HAVING COUNT(*) <= {JACCARD_DF_CAP}
+    ),
+    sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep USING (shingle)),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
@@ -109,17 +124,27 @@ _JACCARD_ORACLE = """
 @register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs via an inverted shingle index:
-    explode shingles -> self equi-join on shingle (NOT all pairs) ->
-    intersection counts -> Jaccard >= 0.30. The equi-join on shingle is
-    the scalable trick: candidate generation is output-bound, and hot
-    shingles can be dropped (df cap) to kill skew at scale."""
+    explode shingles -> df-cap hot shingles -> self equi-join on shingle
+    (NOT all pairs) -> intersection counts -> Jaccard >= 0.30 over the
+    rare-shingle universe. The equi-join on shingle makes candidate
+    generation output-bound, and the df cap (JACCARD_DF_CAP) bounds the
+    fan-out of any single shingle at cap^2/2 rows, so a stopword-heavy
+    3-gram cannot turn the join quadratic at corpus scale. The cap is
+    computed with a count window over the same shingle partitioning the
+    self-join shuffles on, so it adds no extra Exchange."""
     t = load(spark, sf_dir)
-    docs = t.documents.where(F.col("doc_id") < 200).select(
+    docs = t.documents.select(
         "doc_id", F.split(F.lower("text"), " ").alias("words")
     )
     shingles = docs.select(
         "doc_id", F.explode(shingle_array(F.col("words"), 3)).alias("shingle")
     ).dropDuplicates(["doc_id", "shingle"])
+    w_shingle = Window.partitionBy("shingle")
+    shingles = (
+        shingles.withColumn("df", F.count(F.lit(1)).over(w_shingle))
+        .where(F.col("df") <= JACCARD_DF_CAP)
+        .drop("df")
+    )
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = shingles.alias("a")
     b = shingles.alias("b")
@@ -249,17 +274,22 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: convergence long before.
 _CC_MAX_ITERS = 50
 
-_CLUSTERS_ORACLE = """
-    WITH RECURSIVE sh AS (
+_CLUSTERS_ORACLE = f"""
+    WITH RECURSIVE sh0 AS (
       SELECT DISTINCT doc_id, shingle
       FROM (
         SELECT doc_id,
                unnest([array_to_string(words[i:i+2], ' ')
                        FOR i IN range(1, len(words) - 1)]) AS shingle
         FROM (SELECT doc_id, string_split(lower(text), ' ') AS words
-              FROM documents WHERE doc_id < 200)
+              FROM documents)
       )
     ),
+    keep AS (
+      SELECT shingle FROM sh0 GROUP BY shingle
+      HAVING COUNT(*) <= {JACCARD_DF_CAP}
+    ),
+    sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep USING (shingle)),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common

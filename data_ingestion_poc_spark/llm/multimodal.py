@@ -84,17 +84,55 @@ def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(rows)
 
 
-@register("multimodal_binary", oracle=None)  # binary plumbing: rows-only
+def _read_fixture_blobs() -> list[tuple[str, bytes]]:
+    from ..goldens import fixture_parquets
+
+    out = []
+    for p in fixture_parquets():
+        with open(p, "rb") as fh:
+            out.append((p.rsplit("/", 1)[-1], fh.read()))
+    return out
+
+
+def _binary_oracle() -> str | None:
+    """Golden VALUES: replay _fake_decode in plain Python over the same
+    fixture bytes the binaryFile scan reads. Computed from disk at import
+    so TESTDATA regeneration between rounds cannot stale it. This checks
+    the ENTIRE Spark path (binaryFile scan -> Arrow batching ->
+    mapInPandas -> schema projection) against an engine-free reference —
+    the strongest oracle available for a non-SQL pipeline."""
+    from ..goldens import values_oracle
+
+    try:
+        blobs = _read_fixture_blobs()
+    except OSError:
+        return None
+    rows = []
+    for name, blob in blobs:
+        w, h, crc = _fake_decode(blob)
+        rows.append((name, len(blob), blob[:4].hex(), w, h, crc))
+    return values_oracle(
+        rows,
+        ["file_name", "length", "magic_hex", "fake_width", "fake_height", "feature_crc"],
+        order_by="file_name",
+        casts={"length": "BIGINT", "feature_crc": "BIGINT"},
+    )
+
+
+@register("multimodal_binary", oracle=_binary_oracle())
 def multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media-as-rows pipeline: binaryFile scan -> mapInPandas feature
-    extraction -> typed metadata struct. Uses the parquet fixtures
-    themselves as opaque blobs (any bytes work — that is the point of the
-    opaque-binary model)."""
+    extraction (typed FEATURE_SCHEMA) -> flat feature columns. Uses the
+    parquet fixtures themselves as opaque blobs (any bytes work — that is
+    the point of the opaque-binary model). Output is flattened (no struct
+    column) so the golden oracle can value-hash it engine-neutrally; the
+    typed metadata lives in FEATURE_SCHEMA."""
     files = spark.read.format("binaryFile").load(f"{sf_dir}/*.parquet")
     feats = files.mapInPandas(extract_features, schema=FEATURE_SCHEMA)
     return feats.select(
         "file_name",
-        F.struct("length", "magic_hex").alias("meta"),
+        "length",
+        "magic_hex",
         "fake_width",
         "fake_height",
         "feature_crc",
@@ -146,7 +184,28 @@ def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(rows)
 
 
-@register("multimodal_framesample", oracle=None)  # binary plumbing: rows-only
+def _framesample_oracle() -> str | None:
+    """Golden VALUES replay of the 1->N frame fan-out (see _binary_oracle
+    rationale)."""
+    from ..goldens import values_oracle
+
+    try:
+        blobs = _read_fixture_blobs()
+    except OSError:
+        return None
+    rows = []
+    for name, blob in blobs:
+        for idx, ts_ms, frame in _fake_frames(blob):
+            rows.append((name, idx, ts_ms, hashlib.md5(frame).hexdigest()))
+    return values_oracle(
+        rows,
+        ["file_name", "frame_idx", "frame_ts_ms", "frame_digest"],
+        order_by="file_name, frame_idx",
+        casts={"frame_ts_ms": "BIGINT"},
+    )
+
+
+@register("multimodal_framesample", oracle=_framesample_oracle())
 def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-frame sampling pipeline: binaryFile scan -> mapInPandas
     frame fan-out (stubbed codec, real plumbing) -> per-frame rows ready
@@ -222,7 +281,30 @@ def make_thumbnails(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(rows)
 
 
-@register("multimodal_resize", oracle=None)  # binary plumbing: rows-only
+def _resize_oracle() -> str | None:
+    """Golden VALUES replay of the aspect-preserving resize math (see
+    _binary_oracle rationale)."""
+    from ..goldens import values_oracle
+
+    try:
+        blobs = _read_fixture_blobs()
+    except OSError:
+        return None
+    rows = []
+    for name, blob in blobs:
+        src_w, src_h, dst_w, dst_h, scale, thumb = _fake_resize(blob, RESIZE_LONGEST_EDGE)
+        rows.append(
+            (name, src_w, src_h, dst_w, dst_h, scale, hashlib.md5(thumb).hexdigest())
+        )
+    return values_oracle(
+        rows,
+        ["file_name", "src_width", "src_height", "dst_width", "dst_height", "scale", "thumb_digest"],
+        order_by="file_name",
+        casts={"scale": "DOUBLE"},
+    )
+
+
+@register("multimodal_resize", oracle=_resize_oracle())
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-resize pipeline (thumbnail generation): binaryFile scan ->
     mapInPandas aspect-preserving resize (stubbed codec; the target-dim

@@ -63,29 +63,22 @@ def scan_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("server", F.explode("remote_paths").alias("remote_path"))
 
 
-@register(
-    "scan_binary_meta",
-    # golden VALUES: the driver's correctness gate runs at sf0.01, whose
-    # fixture files these are (byte sizes pinned from the generated
-    # parquet; regenerating TESTDATA invalidates them on purpose — the
-    # scan must report exactly what is on disk).
-    oracle="""
-    SELECT file_name, CAST(length AS BIGINT) AS length
-    FROM (VALUES
-      ('customer.parquet',   33827),
-      ('documents.parquet',  65049),
-      ('embeddings.parquet', 193638),
-      ('events.parquet',     230821),
-      ('lineitem.parquet',   1039711),
-      ('nation.parquet',     2738),
-      ('orders.parquet',     278780),
-      ('part.parquet',       26366),
-      ('region.parquet',     1885),
-      ('supplier.parquet',   5227)
-    ) t(file_name, length)
-    ORDER BY file_name
-    """,
-)
+def _binary_meta_oracle() -> str | None:
+    """Golden VALUES from the byte sizes ON DISK at import time: the scan
+    must report exactly what is there, and deriving (not hardcoding) the
+    sizes keeps the oracle correct when the driver regenerates TESTDATA
+    between rounds (r2 pinned literals; r3's regeneration broke them)."""
+    from ..goldens import fixture_parquets, values_oracle
+
+    return values_oracle(
+        [(os.path.basename(p), os.path.getsize(p)) for p in fixture_parquets()],
+        ["file_name", "length"],
+        order_by="file_name",
+        casts={"length": "BIGINT"},
+    )
+
+
+@register("scan_binary_meta", oracle=_binary_meta_oracle())
 def scan_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File metadata scan: path/mtime/length without reading payloads
     (reference A6-A8 pre-stat probes, child.py:35-81). `content` is dropped

@@ -25,7 +25,7 @@ joins (SURVEY.md section 2 Part A, "explicitly absent").
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -254,10 +254,16 @@ def q_sole_late_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     correlated pair, decorrelated into per-order counts: nsupp > 1
     encodes the EXISTS, nlate = 1 (with this supplier late) encodes the
     NOT EXISTS. Lateness is l_shipdate > o_orderdate + 90 days (no
-    receipt/commit dates in the fixtures). Both aggregates group by
-    l_orderkey first, so the per-order rollup reuses the (orderkey,
-    suppkey) shuffle without a new Exchange; the supplier dimension joins
-    after both reductions. Deterministic top-20 by wait count."""
+    receipt/commit dates in the fixtures).
+
+    Shuffle plan (r3 rewrite, was 4 Exchanges): the per-order counts are
+    WINDOW aggregates over the (orderkey, suppkey) rollup instead of a
+    second groupBy + self-join. hashpartitioning(l_orderkey) from the
+    lineitem/orders sort-merge join satisfies the clustered distribution
+    of BOTH the (l_orderkey, l_suppkey) aggregate (subset key) and the
+    l_orderkey window, so the whole reduction chain runs with zero new
+    Exchanges: 2 (join sides) + 1 (final s_name agg) = 3 total, with
+    supplier broadcast. Deterministic top-20 by wait count."""
     t = load(spark, sf_dir)
     late_flag = F.max(
         F.when(
@@ -275,13 +281,19 @@ def q_sole_late_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "l_suppkey")
         .agg(late_flag)
     )
-    per_o = ls.groupBy(F.col("l_orderkey").alias("p_orderkey")).agg(
-        F.count(F.lit(1)).alias("nsupp"), F.sum("late").alias("nlate")
+    w_order = Window.partitionBy("l_orderkey")
+    flagged = ls.select(
+        "l_orderkey",
+        "l_suppkey",
+        "late",
+        F.count(F.lit(1)).over(w_order).alias("nsupp"),
+        F.sum("late").over(w_order).alias("nlate"),
     )
     return (
-        ls.join(per_o, F.col("p_orderkey") == F.col("l_orderkey"))
-        .where((F.col("late") == 1) & (F.col("nsupp") > 1) & (F.col("nlate") == 1))
-        .join(t.supplier, F.col("s_suppkey") == F.col("l_suppkey"))
+        flagged.where(
+            (F.col("late") == 1) & (F.col("nsupp") > 1) & (F.col("nlate") == 1)
+        )
+        .join(F.broadcast(t.supplier), F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")

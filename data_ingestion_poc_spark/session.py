@@ -49,5 +49,32 @@ def builder(
     )
 
 
+def enable_rocksdb_state_store(b: SparkSession.Builder) -> SparkSession.Builder:
+    """Switch Structured Streaming state to the RocksDB provider.
+
+    The default HDFS-backed store keeps every key in executor heap — fine
+    for the fixture-scale stream_* queries, fatal at 100 TB where a
+    watermarked dedup/session state (stream_dedup, stream_session_window,
+    stream_stateful) holds hundreds of millions of keys per executor.
+    RocksDB spills state to local SSD with changelog checkpointing, capping
+    heap at the block-cache size. Off by default here because local tests
+    measure plan shape, not state size, and the HDFS store starts faster;
+    flip it (or set DIP_ROCKSDB_STATE=1) for any long-watermark deploy.
+    """
+    return b.config(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    ).config(
+        # changelog checkpointing uploads per-batch deltas, not full
+        # SST snapshots — the difference between O(changed keys) and
+        # O(total state) per commit at scale.
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true",
+    )
+
+
 def get_spark(**kwargs) -> SparkSession:
-    return builder(**kwargs).getOrCreate()
+    b = builder(**kwargs)
+    if os.environ.get("DIP_ROCKSDB_STATE") == "1":
+        b = enable_rocksdb_state_store(b)
+    return b.getOrCreate()

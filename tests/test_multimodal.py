@@ -19,7 +19,7 @@ def test_feature_extract_one_row_per_file(spark, sf_dir):
     n_files = spark.read.format("binaryFile").load(f"{sf_dir}/*.parquet").count()
     assert len(rows) == n_files
     assert all(r["feature_crc"] is not None for r in rows)
-    assert all(r["meta"]["magic_hex"] == "50415231" for r in rows)  # 'PAR1'
+    assert all(r["magic_hex"] == "50415231" for r in rows)  # 'PAR1'
 
 
 def test_framesample_fanout(spark, sf_dir):

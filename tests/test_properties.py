@@ -194,3 +194,79 @@ def test_asof_forward_and_tolerance_match_bruteforce(spark, rights, lefts):
         t_cands = [r for r in rdata if r[0] == k and ts - 10 <= r[1] <= ts]
         want_t = max(t_cands, key=lambda r: (r[1], r[2]))[2] if t_cands else None
         assert got_t[lid] == want_t, ("tol", k, ts, lid, got_t[lid], want_t)
+
+
+def test_pyhash_matches_spark(spark):
+    """Pin the pure-Python ports of Spark's hash expressions (pyhash.py,
+    the fn_hash_native golden-oracle engine) bit-exact against the JVM:
+    empty/short/4-aligned/32+ byte inputs, non-ASCII (multi-byte UTF-8,
+    exercises the signed-byte tail), and multi-column seed chaining."""
+    import zlib
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_poc_spark.functions.pyhash import (
+        murmur3_32,
+        spark_hash_columns,
+        xxh64,
+    )
+
+    cases = [
+        "",
+        "a",
+        "abc",
+        "abcd",
+        "abcdefgh",
+        "exactly thirty-two bytes long!!!",
+        "a much longer string that comfortably exceeds the thirty-two byte "
+        "stripe threshold of XXH64 and spans several 8-byte words",
+        "café über straße ☃",
+    ]
+    df = spark.createDataFrame([(s,) for s in cases], "s string")
+    rows = df.select(
+        "s",
+        F.xxhash64("s").alias("x"),
+        F.hash("s").alias("m"),
+        F.hash("s", "s").alias("m2"),
+        F.crc32(F.col("s").cast("binary")).alias("c"),
+    ).collect()
+    assert len(rows) == len(cases)
+    for r in rows:
+        b = r["s"].encode()
+        assert xxh64(b) == r["x"]
+        assert murmur3_32(b) == r["m"]
+        assert spark_hash_columns([b, b]) == r["m2"]
+        assert zlib.crc32(b) == r["c"]
+
+
+def test_jaccard_df_cap_keeps_planted_pairs(spark, tmp_path):
+    """The hot-shingle df cap must kill quadratic candidates WITHOUT
+    losing true near-dup pairs: plant one shingle shared by every doc
+    (df >> cap if cap were small — here it stays under JACCARD_DF_CAP, so
+    we pass a corpus where a genuinely hot shingle exceeds the cap) plus
+    one true near-dup pair sharing many rare shingles. The pair must
+    survive; docs related ONLY through the hot shingle must not pair."""
+    from data_ingestion_poc_spark import registry
+    from data_ingestion_poc_spark.llm.dedup import JACCARD_DF_CAP
+
+    hot = "the of and " * 1  # one shared 3-gram 'the of and'
+    docs = []
+    # JACCARD_DF_CAP+10 docs that share ONLY the hot shingle (each gets
+    # unique filler words, so pairwise Jaccard via rare shingles is 0).
+    for i in range(JACCARD_DF_CAP + 10):
+        docs.append((i, f"{hot} u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f"))
+    # One planted near-dup pair built from rare shared shingles.
+    base = " ".join(f"rare{j}" for j in range(30))
+    docs.append((9000, base))
+    docs.append((9001, base + " tail"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    df = df.selectExpr(
+        "doc_id", "text", "'en' AS lang", "'test' AS source",
+        "CAST(length(text) AS LONG) AS n_chars",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    pairs = registry.get("dedup_ngram_jaccard").fn(spark, str(tmp_path))
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert (9000, 9001) in got, "df cap must not drop rare-shingle near-dups"
+    hot_only = [p for p in got if p[0] < 9000 and p[1] < 9000]
+    assert not hot_only, f"hot-shingle-only docs must not pair: {hot_only[:5]}"

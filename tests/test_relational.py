@@ -201,3 +201,46 @@ def test_embedding_cosine_lsh_subset_and_recall(spark, sf_dir):
     assert rep["recall_pct"] >= 50.0  # 8x4-band curve at the 0.30 boundary
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pluggable_fetcher_drives_fetch_stage(spark):
+    """The Fetcher protocol (reference child.py:35-81) must be swappable:
+    an in-memory fetcher runs through the SAME mapInPandas stage and
+    FETCHED_SCHEMA, with stat-vs-read size mismatches and raised errors
+    landing in the error channel, never failing the task."""
+    from data_ingestion_poc_spark.ingest.pipeline import (
+        FETCHED_SCHEMA,
+        Fetcher,
+        fetch,
+        split_verified,
+    )
+
+    class MemFetcher(Fetcher):
+        BLOBS = {"/ok.bin": b"hello", "/short.bin": b"xy"}
+
+        def stat(self, server, remote_path):
+            if remote_path == "/missing.bin":
+                raise FileNotFoundError(remote_path)
+            # /short.bin advertises 3 bytes but reads 2: A9 must catch it
+            return (5 if remote_path == "/ok.bin" else 3), 1700000000
+
+        def read(self, server, remote_path):
+            return self.BLOBS[remote_path]
+
+    manifest = [
+        ("ftp://u:p@host:21", "/ok.bin"),
+        ("ftp://u:p@host:21", "/short.bin"),
+        ("ftp://u:p@host:21", "/missing.bin"),
+    ]
+    fetched = fetch(spark, manifest=manifest, n_batches=2, fetcher=MemFetcher())
+    assert fetched.schema.simpleString() == (
+        "struct<" + FETCHED_SCHEMA.replace(" string", ":string")
+        .replace(" binary", ":binary").replace(" bigint", ":bigint")
+        .replace(", ", ",") + ">"
+    )
+    ok, quarantine = split_verified(fetched)
+    assert {r["remote_path"] for r in ok.collect()} == {"/ok.bin"}
+    q = {r["remote_path"]: r["error"] for r in quarantine.collect()}
+    assert set(q) == {"/short.bin", "/missing.bin"}
+    assert q["/short.bin"] == "size mismatch"
+    assert q["/missing.bin"].startswith("FileNotFoundError")

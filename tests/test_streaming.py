@@ -74,3 +74,22 @@ def test_stream_stream_join_bounded_and_correct(spark, sf_dir):
     }
     assert got == want
     assert want, "fixture produced no purchase-click pairs"
+
+
+def test_rocksdb_state_store_toggle():
+    """enable_rocksdb_state_store must set the provider + changelog
+    checkpointing on the builder (checked via the builder's options, not a
+    live session — the shared test session already exists and a second
+    getOrCreate would just return it)."""
+    from data_ingestion_poc_spark.session import builder, enable_rocksdb_state_store
+
+    b = enable_rocksdb_state_store(builder(app_name="rocksdb-toggle-test"))
+    opts = b._options
+    assert (
+        opts["spark.sql.streaming.stateStore.providerClass"]
+        == "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    assert (
+        opts["spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"]
+        == "true"
+    )

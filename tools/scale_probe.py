@@ -78,6 +78,21 @@ EVENT_SKEW_PROBES = [
     "win_sessionize_salted",  # (user, hour) chunked + stitch: spreads it
 ]
 
+#: Hot-shingle probe (--jaccard-hot): every doc copy gets the same
+#: appended phrase, so its 3-grams reach df = n_docs. Without the
+#: JACCARD_DF_CAP filter the inverted-index self-join would produce
+#: C(n_docs, 2) candidate rows from those shingles alone (quadratic);
+#: with the cap they are dropped before the join and the probe should
+#: scale like the linear-reference digest dedup next to it.
+JACCARD_HOT_PROBES = [
+    "dedup_ngram_jaccard",   # df-capped inverted index: must stay linear
+    "dedup_exact_hash",      # linear reference: digest groupBy
+]
+
+#: The phrase appended to every doc in --jaccard-hot mode (4 words =>
+#: two shared 3-grams per doc).
+HOT_PHRASE = "one of the most"
+
 
 def _scale_tables(spark, out: str, mult: int, scaled: dict[str, list[str]]) -> None:
     for tbl, keys in scaled.items():
@@ -107,7 +122,8 @@ def build(spark, mult: int, mode: str = "facts") -> str:
     ~quadratically in K (C(K,2) collisions per original) — deliberately
     the adversarial regime for dedup probes."""
     prefix = {"facts": "m", "corpus": "docs", "events": "ev",
-              "events_deep": "evd", "events_skew": "evs"}[mode]
+              "events_deep": "evd", "events_skew": "evs",
+              "jaccard_hot": "doch"}[mode]
     out = f"{ROOT}/{prefix}{mult}"
     if os.path.exists(os.path.join(out, "_DONE")):
         return out
@@ -121,10 +137,21 @@ def build(spark, mult: int, mode: str = "facts") -> str:
         # timelines — the window-state / sort-depth stress axis
         "events_deep": {"events": ["event_id"]},
         "events_skew": {"events": ["event_id"]},
+        "jaccard_hot": {"documents": ["doc_id"], "embeddings": ["vec_id"]},
     }[mode]
     for d in [t for t in DIMS + ["orders", "lineitem", "events"] if t not in scaled]:
         shutil.copy(f"{BASE}/{d}.parquet", f"{out}/{d}.parquet")
     _scale_tables(spark, out, mult, scaled)
+    if mode == "jaccard_hot":
+        # plant the hot shingles: every doc ends with the same phrase
+        docs = spark.read.parquet(f"{out}/documents.parquet")
+        hot = docs.withColumn(
+            "text", F.concat(F.col("text"), F.lit(" " + HOT_PHRASE))
+        )
+        tmp = f"{out}/documents_hot.parquet"
+        hot.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(f"{out}/documents.parquet", ignore_errors=True)
+        os.replace(tmp, f"{out}/documents.parquet")
     if mode == "events_skew":
         # remap a deterministic half of all events onto one hot user
         ev = spark.read.parquet(f"{out}/events.parquet")
@@ -154,14 +181,18 @@ def main() -> None:
     ap.add_argument("--events-skew", action="store_true",
                     help="one hot user owns ~50% of events; compare the "
                          "plain vs time-chunked sessionize windows")
+    ap.add_argument("--jaccard-hot", action="store_true",
+                    help="plant a corpus-wide hot shingle; the df-capped "
+                         "inverted-index jaccard must stay linear")
     args = ap.parse_args()
     mults = [int(m) for m in args.mults.split(",")]
     mode = ("corpus" if args.corpus else "events" if args.events
             else "events_deep" if args.events_deep
-            else "events_skew" if args.events_skew else "facts")
+            else "events_skew" if args.events_skew
+            else "jaccard_hot" if args.jaccard_hot else "facts")
     probes = {"corpus": DOC_PROBES, "events": EVENT_PROBES,
               "events_deep": EVENT_PROBES, "events_skew": EVENT_SKEW_PROBES,
-              "facts": PROBES}[mode]
+              "jaccard_hot": JACCARD_HOT_PROBES, "facts": PROBES}[mode]
     spark = get_spark(app_name="dip-scale-probe")
     qs = registry.all_queries()
 
