@@ -115,3 +115,47 @@ def spark_hash_columns(values: list[bytes], seed: int = 42) -> int:
     for v in values:
         h = murmur3_32(v, h)
     return h
+
+
+def xxh64_int(value: int, seed: int) -> int:
+    """XXH64 of a single 32-bit int column value (Spark XXH64.hashInt):
+    the chained-seed step for multi-argument xxhash64(col, lit)."""
+    h = (seed + _P64_5 + 4) & _M64
+    h ^= ((value & _M32) * _P64_1) & _M64
+    h = (_rotl64(h, 23) * _P64_2 + _P64_3) & _M64
+    h ^= h >> 33
+    h = (h * _P64_2) & _M64
+    h ^= h >> 29
+    h = (h * _P64_3) & _M64
+    h ^= h >> 32
+    return h
+
+
+def xxh64_signed(data: bytes, seed: int = 42) -> int:
+    """xxh64 but accepting/propagating Spark's signed-long seeds."""
+    return xxh64(data, seed & _M64)
+
+
+def murmur3_long(value: int, seed: int) -> int:
+    """Murmur3_x86_32.hashLong: the long is hashed as its low then high
+    32-bit halves, fmix'd with length 8. Returns the signed int32."""
+    h1 = seed & _M32
+    h1 = _mix_h1(h1, _mix_k1(value & _M32))
+    h1 = _mix_h1(h1, _mix_k1((value >> 32) & _M32))
+    h1 ^= 8
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & _M32
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & _M32
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= 1 << 31 else h1
+
+
+def spark_hash_long_array(values: list[int], seed: int = 42) -> int:
+    """F.hash(array<long>) — Spark folds the element hash over the array,
+    each step a full hashLong (null elements are skipped)."""
+    h = seed
+    for v in values:
+        if v is not None:
+            h = murmur3_long(v & _M64, h)
+    return h

@@ -121,6 +121,34 @@ _JACCARD_ORACLE = f"""
 """
 
 
+#: One persisted capped-shingle inverted index per (application, sf_dir) —
+#: see _SHINGLE_CACHE for the policy rationale.
+_CAPPED_INDEX_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _capped_shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _CAPPED_INDEX_CACHE.get(key)
+    if cached is not None:
+        return cached
+    t = load(spark, sf_dir)
+    docs = t.documents.select(
+        "doc_id", F.split(F.lower("text"), " ").alias("words")
+    )
+    shingles = docs.select(
+        "doc_id", F.explode(shingle_array(F.col("words"), 3)).alias("shingle")
+    ).dropDuplicates(["doc_id", "shingle"])
+    w_shingle = Window.partitionBy("shingle")
+    capped = (
+        shingles.withColumn("df", F.count(F.lit(1)).over(w_shingle))
+        .where(F.col("df") <= JACCARD_DF_CAP)
+        .drop("df")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _CAPPED_INDEX_CACHE[key] = capped
+    return capped
+
+
 @register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs via an inverted shingle index:
@@ -131,20 +159,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-out of any single shingle at cap^2/2 rows, so a stopword-heavy
     3-gram cannot turn the join quadratic at corpus scale. The cap is
     computed with a count window over the same shingle partitioning the
-    self-join shuffles on, so it adds no extra Exchange."""
-    t = load(spark, sf_dir)
-    docs = t.documents.select(
-        "doc_id", F.split(F.lower("text"), " ").alias("words")
-    )
-    shingles = docs.select(
-        "doc_id", F.explode(shingle_array(F.col("words"), 3)).alias("shingle")
-    ).dropDuplicates(["doc_id", "shingle"])
-    w_shingle = Window.partitionBy("shingle")
-    shingles = (
-        shingles.withColumn("df", F.count(F.lit(1)).over(w_shingle))
-        .where(F.col("df") <= JACCARD_DF_CAP)
-        .drop("df")
-    )
+    self-join shuffles on, so it adds no extra Exchange. The capped index
+    is persisted per session: it feeds three consumers (both self-join
+    sides and the per-doc sizes), and materializing it once replaces
+    three explode+window recomputations — the same reuse a 100 TB run
+    would get by writing the inverted index to a bucketed table."""
+    shingles = _capped_shingle_index(spark, sf_dir)
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = shingles.alias("a")
     b = shingles.alias("b")
@@ -200,7 +220,89 @@ def _shingled_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shingled
 
 
-@register("dedup_minhash", oracle=None)  # LSH candidate set: rows-only
+def minhash_golden_pairs() -> list[tuple[int, int, float]] | None:
+    """Replay the ENTIRE banded-MinHash pipeline in pure Python over the
+    oracle fixture: same shingling, the same 32 chained xxhash64 values
+    per shingle (pyhash.py ports, pinned bit-exact vs the JVM), the same
+    8x4 band keys via Spark's array-fold murmur3, the same exact-Jaccard
+    verification of collided pairs. The result is the exact row set the
+    Spark operator must produce — turning the one 'rows-only by design'
+    LSH query into a golden-VALUES check. Memoized per import; per-shingle
+    signatures are shared across docs (~16k distinct shingles at sf0.01,
+    so the replay costs ~1-2 s once)."""
+    import pyarrow.parquet as pq
+
+    from ..functions.pyhash import spark_hash_long_array, xxh64, xxh64_int
+    from ..goldens import ORACLE_SF_DIR
+
+    try:
+        docs = pq.read_table(
+            f"{ORACLE_SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+        ).to_pylist()
+    except Exception:
+        return None
+
+    m64 = (1 << 64) - 1
+    sig_memo: dict[str, list[int]] = {}
+
+    def shingle_sig(sh: str) -> list[int]:
+        s = sig_memo.get(sh)
+        if s is None:
+            base = xxh64(sh.encode(), 42) & m64
+            s = []
+            for i in range(MINHASH_K):
+                v = xxh64_int(i, base)
+                s.append(v - (1 << 64) if v >= 1 << 63 else v)
+            sig_memo[sh] = s
+        return s
+
+    shingle_sets: dict[int, set[str]] = {}
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for r in docs:
+        words = r["text"].lower().split(" ")
+        if len(words) < 3:
+            continue
+        shingles = {" ".join(words[i : i + 3]) for i in range(len(words) - 2)}
+        shingle_sets[r["doc_id"]] = shingles
+        sig = [min(c) for c in zip(*(shingle_sig(sh) for sh in shingles))]
+        for b in range(MINHASH_BANDS):
+            key = spark_hash_long_array(sig[b * _ROWS_PER_BAND : (b + 1) * _ROWS_PER_BAND])
+            buckets.setdefault((b, key), []).append(r["doc_id"])
+
+    from decimal import ROUND_HALF_UP, Decimal
+
+    candidates: set[tuple[int, int]] = set()
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                candidates.add((a, b))
+    out = []
+    for a, b in sorted(candidates):
+        sa, sb = shingle_sets[a], shingle_sets[b]
+        jac = len(sa & sb) / len(sa | sb)
+        if jac >= 0.30:
+            rounded = float(
+                Decimal(repr(jac)).quantize(Decimal("0.0001"), ROUND_HALF_UP)
+            )
+            out.append((a, b, rounded))
+    return out
+
+
+def _minhash_oracle() -> str | None:
+    from ..goldens import values_oracle
+
+    pairs = minhash_golden_pairs()
+    if pairs is None:
+        return None
+    return values_oracle(
+        pairs,
+        ["doc_a", "doc_b", "jaccard_sim"],
+        casts={"doc_a": "BIGINT", "doc_b": "BIGINT", "jaccard_sim": "DOUBLE"},
+    )
+
+
+@register("dedup_minhash", oracle=_minhash_oracle())
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded MinHash LSH near-dup pairs, all in JVM Column expressions:
     shingle -> 32 seeded xxhash64 minhashes -> 8 band keys -> self

@@ -32,7 +32,30 @@ from .dedup import dedup_minhash, dedup_ngram_jaccard
 from .similarity import sim_search_ann, sim_search_ann_multiprobe, sim_search_knn
 
 
-@register("dedup_minhash_recall", oracle=None)  # xxhash64 side: rows-only
+def _minhash_recall_oracle() -> str | None:
+    """Two-sided oracle: the exact ground truth replays in SQL (the
+    dedup_ngram_jaccard oracle) and the LSH candidate side is the golden
+    pair set from the pure-Python pipeline replay (dedup.py
+    minhash_golden_pairs) — so even the approximation-quality REPORT gets
+    a full value-hash check, not rows-only."""
+    from .dedup import _JACCARD_ORACLE, minhash_golden_pairs
+
+    pairs = minhash_golden_pairs()
+    if not pairs:
+        return None
+    vals = ",\n      ".join(f"({a}, {b})" for a, b, _ in pairs)
+    return f"""
+    WITH exact AS (SELECT doc_a, doc_b FROM ({_JACCARD_ORACLE}) x),
+    lsh AS (SELECT * FROM (VALUES {vals}) t(doc_a, doc_b))
+    SELECT CAST(COUNT(*) AS BIGINT) AS exact_pairs,
+           CAST(COUNT(l.doc_a) AS BIGINT) AS lsh_pairs,
+           CAST(COUNT(*) - COUNT(l.doc_a) AS BIGINT) AS missed_pairs,
+           ROUND(COUNT(l.doc_a) * 100.0 / COUNT(*), 2) AS recall_pct
+    FROM exact e LEFT JOIN lsh l ON l.doc_a = e.doc_a AND l.doc_b = e.doc_b
+    """
+
+
+@register("dedup_minhash_recall", oracle=_minhash_recall_oracle())
 def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall of banded MinHash LSH vs the exact shingle-Jaccard dedup.
 

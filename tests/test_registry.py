@@ -78,3 +78,16 @@ def test_output_columns_unique_and_named(spark, sf_dir, name):
     assert len(cols) == len(set(cols)), (name, cols)
     for c in cols:
         assert re.fullmatch(r"[A-Za-z][A-Za-z0-9_]*", c), (name, c)
+
+
+def test_rows_only_queries_have_rationale():
+    """Every oracle=None query needs a written rationale in
+    registry.ROWS_ONLY_RATIONALE (and no stale entries for queries that
+    since gained an oracle) — the checklist that keeps rows-only checks an
+    explicit, justified exception rather than silent verification debt."""
+    rows_only = {n for n, q in registry.all_queries().items() if q.oracle is None}
+    documented = set(registry.ROWS_ONLY_RATIONALE)
+    assert rows_only == documented, (
+        f"missing rationale: {sorted(rows_only - documented)}; "
+        f"stale rationale: {sorted(documented - rows_only)}"
+    )
