@@ -66,7 +66,13 @@ _PRIORITY = [
     "stream_watermark_late", "stream_stream_join",
     "stream_foreach_batch_sink", "stream_file_ingest_clean",
     "stream_rollup_upsert", "stream_checkpoint_resume",
-    # ---- ~position 58: next round's window starts here ----
+    # re-judge: rows-only -> golden VALUES upgrades this round (pure-
+    # Python replay of the banded-LSH pipeline, pyhash.py)
+    "dedup_minhash", "dedup_minhash_recall",
+    # new r3 operators (training-mix / quality / hygiene family)
+    "corpus_mix_weighted", "corpus_token_budget", "text_repetition_filter",
+    "text_boilerplate_ngrams", "embed_norm_stats",
+    # ---- ~position 63: next round's window starts here ----
     "udf_surface", "udtf_explode", "udf_cogrouped",
     "corpus_dedup_keep", "corpus_quality_filter", "corpus_decontaminate",
     "corpus_pack_blocks", "corpus_pack_manifest",

@@ -452,3 +452,179 @@ def corpus_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("doc_id").alias("last_doc"),
         F.sum(overlap).alias("n_tokens"),
     )
+
+
+#: Per-language keep fractions for the weighted training mix, expressed
+#: as md5 first-byte bucket thresholds (fraction f ~ first round(f*256)
+#: buckets, the sampling.py convention): rebalance a web-crawl-shaped
+#: corpus toward the target language distribution.
+MIX_WEIGHTS = [
+    ("en", "80"),  # 128/256 = 0.50
+    ("de", "c0"),  # 192/256 = 0.75
+    ("es", "80"),  # 128/256 = 0.50
+    ("fr", "40"),  #  64/256 = 0.25
+    ("zh", "1a"),  #  26/256 ~ 0.10
+]
+
+
+@register(
+    "corpus_mix_weighted",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 2) <
+          CASE lang WHEN 'en' THEN '80' WHEN 'de' THEN 'c0'
+                    WHEN 'es' THEN '80' WHEN 'fr' THEN '40'
+                    WHEN 'zh' THEN '1a' ELSE '00' END
+    """,
+)
+def corpus_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted multi-source corpus mixing (the Pile / CC-mix recipe):
+    each language keeps a different deterministic fraction of its docs,
+    rebalancing the raw crawl toward a target training distribution.
+    Membership is a pure md5-bucket function of the row (sampling.py's
+    convention) — stable under repartitioning, retries, and incremental
+    appends, engine-portable for the oracle, and executed as one
+    scan-local filter: no shuffle, no RNG, no ORDER BY rand() at 100 TB."""
+    t = load(spark, sf_dir)
+    bucket = F.substring(
+        F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")).cast("binary")),
+        1,
+        2,
+    )
+    threshold = F.lit("00")
+    for lang, thresh in reversed(MIX_WEIGHTS):
+        threshold = F.when(F.col("lang") == lang, thresh).otherwise(threshold)
+    return t.documents.where(bucket < threshold).select("doc_id", "lang", "source")
+
+
+#: Token budget for the greedy selection demo: ~half the sf0.01 corpus.
+TOKEN_BUDGET = 10_000
+
+
+@register(
+    "corpus_token_budget",
+    oracle=f"""
+    WITH lens AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok_len,
+             n_chars
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, tok_len,
+             SUM(tok_len) OVER (ORDER BY n_chars DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      FROM lens
+    )
+    SELECT doc_id, tok_len, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c WHERE cum_tokens <= {TOKEN_BUDGET}
+    """,
+)
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget selection (data-constrained training): rank
+    docs by a quality proxy (n_chars, longest first; doc_id tie-break)
+    and keep the prefix whose cumulative token count fits the budget.
+
+    The cumulative sum is over a TOTAL order — the same
+    single-partition-window trap corpus_pack_blocks documents. Same cure:
+    bucket by contiguous ranges of the SORT KEY (n_chars), compute
+    per-bucket token totals (tiny), fold exclusive bucket offsets back as
+    a literal map, and run the running sum per-bucket under one
+    hash(bucket) Exchange. Docs sharing an n_chars value always share a
+    bucket, so the bucket-local order extends to the global order."""
+    t = load(spark, sf_dir)
+    lens = t.documents.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("tok_len"),
+        "n_chars",
+    )
+    n_buckets = 8
+    bounds = lens.agg(
+        F.min("n_chars").alias("lo"), F.max("n_chars").alias("hi")
+    ).collect()[0]
+    span = max(1, (bounds["hi"] - bounds["lo"] + n_buckets) // n_buckets)
+    # bucket 0 = longest docs (first in the global order)
+    bucketed = lens.withColumn(
+        "bucket", F.floor((F.lit(bounds["hi"]) - F.col("n_chars")) / span)
+    )
+    partials = {
+        r["bucket"]: r["total"]
+        for r in bucketed.groupBy("bucket")
+        .agg(F.sum("tok_len").alias("total"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for b in sorted(partials):
+        offsets[b] = acc
+        acc += partials[b]
+    offset_map = F.create_map(
+        *[F.lit(x) for b in sorted(offsets) for x in (b, offsets[b])]
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("n_chars").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = bucketed.select(
+        "doc_id",
+        "tok_len",
+        (F.sum("tok_len").over(w) + offset_map[F.col("bucket")]).alias("cum_tokens"),
+    )
+    return c.where(F.col("cum_tokens") <= TOKEN_BUDGET).select(
+        "doc_id", "tok_len", F.col("cum_tokens").cast("bigint").alias("cum_tokens")
+    )
+
+
+#: A 3-gram is "boilerplate" when it appears in at least this many
+#: distinct documents (df threshold, NOT capped — boilerplate detection
+#: wants exactly the hot tail the jaccard df cap drops).
+BOILERPLATE_MIN_DOCS = 4
+
+
+@register(
+    "text_boilerplate_ngrams",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, shingle
+      FROM (
+        SELECT doc_id,
+               unnest([array_to_string(words[i:i+2], ' ')
+                       FOR i IN range(1, len(words) - 1)]) AS shingle
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS words
+              FROM documents)
+      )
+    )
+    SELECT shingle,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(doc_id)              AS first_doc
+    FROM sh GROUP BY shingle
+    HAVING COUNT(*) >= {BOILERPLATE_MIN_DOCS}
+    """,
+)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detection: 3-gram shingles occurring in
+    >= BOILERPLATE_MIN_DOCS distinct docs (headers, footers, license
+    blurbs — the text every crawl pipeline strips before training). One
+    explode + per-doc distinct + one count aggregate whose shuffle
+    carries (shingle, partial count) pairs; hot shingles are exactly the
+    signal here, and partial aggregation absorbs them map-side (unlike
+    the jaccard SELF-JOIN, where the same hot keys explode quadratically
+    and must be df-capped)."""
+    t = load(spark, sf_dir)
+    sh = (
+        t.documents.select(
+            "doc_id",
+            F.explode(
+                shingle_array(F.split(F.lower("text"), " "), 3)
+            ).alias("shingle"),
+        )
+        .dropDuplicates(["doc_id", "shingle"])
+    )
+    return (
+        sh.groupBy("shingle")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .where(F.col("n_docs") >= BOILERPLATE_MIN_DOCS)
+    )

@@ -585,3 +585,43 @@ def embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(project(pcs[0]), 6).alias("pc1"),
         F.round(project(pcs[1]), 6).alias("pc2"),
     )
+
+
+@register(
+    "embed_norm_stats",
+    oracle="""
+    WITH norms AS (
+      SELECT vec_id, label,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    ),
+    stats AS (SELECT AVG(nrm) AS mu, STDDEV_SAMP(nrm) AS sd FROM norms)
+    SELECT vec_id, label,
+           ROUND(nrm, 6)                 AS l2_norm,
+           ROUND((nrm - mu) / sd, 3) + 0 AS z_score,
+           (abs(nrm - mu) > 2 * sd)      AS is_outlier
+    FROM norms, stats
+    """,
+)
+def embed_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-norm hygiene check — the standard pre-index validation
+    for a vector corpus (degenerate near-zero vectors and runaway norms
+    break cosine ANN recall). Per-row L2 norms are one JVM Column
+    expression; the global mean/stddev is a 1-row aggregate broadcast
+    back via cross join (the scalar-subquery shape subqueries.py uses),
+    so the corpus scans twice and never shuffles row data. z > |2| flags
+    outliers."""
+    t = load(spark, sf_dir)
+    nrm = F.sqrt(dot_double(F.col("embedding"), F.col("embedding")))
+    norms = t.embeddings.select("vec_id", "label", nrm.alias("nrm"))
+    stats = norms.agg(
+        F.avg("nrm").alias("mu"), F.stddev_samp("nrm").alias("sd")
+    )
+    return norms.crossJoin(F.broadcast(stats)).select(
+        "vec_id",
+        "label",
+        F.round("nrm", 6).alias("l2_norm"),
+        (F.round((F.col("nrm") - F.col("mu")) / F.col("sd"), 3) + F.lit(0.0)).alias("z_score"),
+        (F.abs(F.col("nrm") - F.col("mu")) > 2 * F.col("sd")).alias("is_outlier"),
+    )

@@ -302,3 +302,90 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 3)
         .select("doc_id", "word", "tf", "df", "tfidf", "rk")
     )
+
+
+#: Gopher-style repetition thresholds (Rae et al. 2021 table A1 shape,
+#: tuned to the synthetic fixture corpus): a doc whose single most
+#: frequent word exceeds 20% of tokens, or whose most frequent word
+#: bigram exceeds 18% of bigrams, is repetition spam.
+TOP_WORD_FRAC_MAX = 0.20
+TOP_BIGRAM_FRAC_MAX = 0.18
+
+
+@register(
+    "text_repetition_filter",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+      FROM documents
+    ),
+    wtot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words
+             FROM words GROUP BY doc_id),
+    wtop AS (
+      SELECT doc_id, MAX(c) AS top_word FROM (
+        SELECT doc_id, COUNT(*) AS c FROM words GROUP BY doc_id, w
+      ) GROUP BY doc_id
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest([array_to_string(ws[i:i+1], ' ')
+                     FOR i IN range(1, len(ws))]) AS g
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws
+            FROM documents)
+    ),
+    gtot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+             FROM grams GROUP BY doc_id),
+    gtop AS (
+      SELECT doc_id, MAX(c) AS top_gram FROM (
+        SELECT doc_id, COUNT(*) AS c FROM grams GROUP BY doc_id, g
+      ) GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           ROUND(CAST(wt.top_word AS DOUBLE) / w.n_words, 4) AS top_word_frac,
+           ROUND(CAST(gt.top_gram AS DOUBLE) / g.n_grams, 4) AS top_bigram_frac,
+           (CAST(wt.top_word AS DOUBLE) / w.n_words <= {TOP_WORD_FRAC_MAX}
+            AND CAST(gt.top_gram AS DOUBLE) / g.n_grams <= {TOP_BIGRAM_FRAC_MAX})
+             AS keep
+    FROM wtot w
+    JOIN wtop wt USING (doc_id)
+    JOIN gtot g USING (doc_id)
+    JOIN gtop gt USING (doc_id)
+    """,
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filter (the Gopher rules): fraction of
+    tokens taken by the single most frequent word, and of bigrams by the
+    most frequent bigram; docs above either threshold are repetition spam
+    (keep = false). Two explode+count aggregates whose shuffles carry
+    (doc_id, gram, partial count) — per-doc gram cardinality is bounded
+    by doc length, so the reduction is map-side-heavy and the plan is the
+    same one-scan-two-aggregates shape at any corpus size."""
+    from .dedup import shingle_array
+
+    t = load(spark, sf_dir)
+    words = t.documents.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    )
+    wcounts = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    wstats = wcounts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"), F.max("c").alias("top_word")
+    )
+    grams = t.documents.select(
+        "doc_id",
+        F.explode(shingle_array(F.split(F.lower("text"), " "), 2)).alias("g"),
+    )
+    gcounts = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    gstats = gcounts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"), F.max("c").alias("top_gram")
+    )
+    top_word_frac = F.col("top_word").cast("double") / F.col("n_words")
+    top_bigram_frac = F.col("top_gram").cast("double") / F.col("n_grams")
+    return wstats.join(gstats, "doc_id").select(
+        "doc_id",
+        F.round(top_word_frac, 4).alias("top_word_frac"),
+        F.round(top_bigram_frac, 4).alias("top_bigram_frac"),
+        (
+            (top_word_frac <= TOP_WORD_FRAC_MAX)
+            & (top_bigram_frac <= TOP_BIGRAM_FRAC_MAX)
+        ).alias("keep"),
+    )

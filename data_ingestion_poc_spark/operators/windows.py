@@ -290,7 +290,18 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     1..k. ONE shuffle on user_id serves both window passes (same
     partitioning, same ordering — Spark plans a single Exchange + sort).
     This is the batch twin of stream_session_window's session_window();
-    identical gap rule, so the two can be cross-checked."""
+    identical gap rule, so the two can be cross-checked.
+
+    Skew note: this plain per-user window is the canonical form for
+    roughly balanced timelines. Under hot-key skew (one user owning a
+    large share of events) it serializes onto one core and goes
+    superlinear — measured in BASELINE.md (events-skew probe, crossover
+    ~5 M events on the hot key). Past that, use win_sessionize_salted:
+    identical semantics AND oracle, with the heavy window keyed on
+    (user_id, hour-bucket) so the hot timeline spreads across tasks. At
+    100 TB, switch on a per-key count threshold from stats (the same
+    signal AQE uses for join skew — windows cannot be split adaptively,
+    so the rewrite must be chosen at plan-build time)."""
     t = load(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev_ts = F.lag("ts").over(w)
