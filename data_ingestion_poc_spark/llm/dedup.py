@@ -376,6 +376,23 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: convergence long before.
 _CC_MAX_ITERS = 50
 
+#: Materialized near-dup pair graph per (application, sf_dir). Three
+#: registered queries consume the exact pairs (dedup_clusters,
+#: corpus_dedup_keep via clusters, dedup_minhash_recall): at 100 TB the
+#: pair graph is a build artifact you write once and share, so the
+#: session-scoped checkpoint is the honest local analog (same policy as
+#: the shingle caches above).
+_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def jaccard_pairs_checkpointed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _PAIRS_CACHE.get(key)
+    if cached is None:
+        cached = dedup_ngram_jaccard(spark, sf_dir).localCheckpoint()
+        _PAIRS_CACHE[key] = cached
+    return cached
+
 _CLUSTERS_ORACLE = f"""
     WITH RECURSIVE sh0 AS (
       SELECT DISTINCT doc_id, shingle
@@ -448,31 +465,44 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Generalizes the reference's dedup decision (child.py:174-191: per-file
     keep/rename) from per-pair to per-cluster. Oracle: recursive-CTE
     transitive closure; cluster_id = LEAST(src, MIN(reachable))."""
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = jaccard_pairs_checkpointed(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    # Size the CC working set to the EDGE count (cheap on the
+    # checkpointed pair graph), not the session's corpus-scale
+    # shuffle.partitions: the graph is output-bound (near-dup pairs,
+    # orders of magnitude smaller than the corpus), and per-iteration
+    # fixed costs (empty tasks x rounds) otherwise dominate the loop.
     edges = edges.localCheckpoint()
+    n_parts = max(1, min(int(spark.conf.get("spark.sql.shuffle.partitions")),
+                         edges.count() // 100_000 + 1))
+    edges = edges.repartition(n_parts, "dst").localCheckpoint()
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .select("doc_id", F.col("doc_id").alias("lbl"))
         .localCheckpoint()
     )
-    for _ in range(_CC_MAX_ITERS):
+
+    def propagate(lbls: DataFrame) -> DataFrame:
         nbr_min = (
             edges.join(
-                labels.select(F.col("doc_id").alias("dst_id"), "lbl"),
+                lbls.select(F.col("doc_id").alias("dst_id"), "lbl"),
                 F.col("dst") == F.col("dst_id"),
             )
             .groupBy("src")
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
-        new_labels = (
-            labels.join(nbr_min, F.col("doc_id") == F.col("src"))
-            .select("doc_id", F.least("lbl", "nbr_lbl").alias("lbl"))
-            .localCheckpoint()
+        return lbls.join(nbr_min, F.col("doc_id") == F.col("src")).select(
+            "doc_id", F.least("lbl", "nbr_lbl").alias("lbl")
         )
+
+    for _ in range(0, _CC_MAX_ITERS, 2):
+        # two propagation hops per materialization + convergence check:
+        # halves the driver-side actions for the same fixpoint (checking
+        # after every single hop buys nothing — labels are monotone)
+        new_labels = propagate(propagate(labels)).localCheckpoint()
         changed = (
             new_labels.select("doc_id", F.col("lbl").alias("new_lbl"))
             .join(labels, "doc_id")

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..registry import register
-from .dedup import dedup_minhash, dedup_ngram_jaccard
+from .dedup import dedup_minhash
 from .similarity import sim_search_ann, sim_search_ann_multiprobe, sim_search_knn
 
 
@@ -68,7 +68,9 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the S-curve miss mass below s~0.5, see dedup.py band-probability
     note). One output row: counts plus recall in percent.
     """
-    exact = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    from .dedup import jaccard_pairs_checkpointed
+
+    exact = jaccard_pairs_checkpointed(spark, sf_dir).select("doc_a", "doc_b")
     lsh = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
     # Left join ground truth -> candidate set; a match marks a recalled pair.
     hit = exact.join(
