@@ -69,9 +69,10 @@ _PRIORITY = [
     # re-judge: rows-only -> golden VALUES upgrades this round (pure-
     # Python replay of the banded-LSH pipeline, pyhash.py)
     "dedup_minhash", "dedup_minhash_recall",
-    # new r3 operators (training-mix / quality / hygiene family)
+    # new r3 operators (training-mix / quality / hygiene / sink family)
     "corpus_mix_weighted", "corpus_token_budget", "text_repetition_filter",
-    "text_boilerplate_ngrams", "embed_norm_stats",
+    "text_boilerplate_ngrams", "embed_norm_stats", "corpus_mix_report",
+    "sink_merge_upsert", "stream_stateful_rocksdb",
     # ---- ~position 63: next round's window starts here ----
     "udf_surface", "udtf_explode", "udf_cogrouped",
     "corpus_dedup_keep", "corpus_quality_filter", "corpus_decontaminate",

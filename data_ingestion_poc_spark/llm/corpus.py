@@ -628,3 +628,48 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_docs") >= BOILERPLATE_MIN_DOCS)
     )
+
+
+@register(
+    "corpus_mix_report",
+    oracle="""
+    WITH kept AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept
+      FROM documents
+      WHERE substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 2) <
+            CASE lang WHEN 'en' THEN '80' WHEN 'de' THEN 'c0'
+                      WHEN 'es' THEN '80' WHEN 'fr' THEN '40'
+                      WHEN 'zh' THEN '1a' ELSE '00' END
+      GROUP BY lang
+    ),
+    tot AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_total
+      FROM documents GROUP BY lang
+    )
+    SELECT t.lang, t.n_total, COALESCE(k.n_kept, 0) AS n_kept,
+           ROUND(COALESCE(k.n_kept, 0) * 1.0 / t.n_total, 4) AS achieved_frac
+    FROM tot t LEFT JOIN kept k USING (lang)
+    """,
+)
+def corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Achieved-vs-target audit for the weighted mix: per-language totals,
+    kept counts, and the realized keep fraction (hash sampling converges
+    on the target as 1/sqrt(n) — the report is how a pipeline verifies
+    its mix before training). Composes corpus_mix_weighted's kept set
+    with a per-language total in one aggregated join of two tiny
+    lang-cardinality frames."""
+    t = load(spark, sf_dir)
+    kept = (
+        corpus_mix_weighted(spark, sf_dir)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    tot = t.documents.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    return tot.join(kept, "lang", "left").select(
+        "lang",
+        "n_total",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.round(F.coalesce("n_kept", F.lit(0)) * 1.0 / F.col("n_total"), 4).alias(
+            "achieved_frac"
+        ),
+    )

@@ -220,6 +220,9 @@ def _shingled_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shingled
 
 
+_MINHASH_GOLDEN: dict[str, list[tuple[int, int, float]] | None] = {}
+
+
 def minhash_golden_pairs() -> list[tuple[int, int, float]] | None:
     """Replay the ENTIRE banded-MinHash pipeline in pure Python over the
     oracle fixture: same shingling, the same 32 chained xxhash64 values
@@ -235,11 +238,15 @@ def minhash_golden_pairs() -> list[tuple[int, int, float]] | None:
     from ..functions.pyhash import spark_hash_long_array, xxh64, xxh64_int
     from ..goldens import ORACLE_SF_DIR
 
+    if ORACLE_SF_DIR in _MINHASH_GOLDEN:  # two oracles consume the replay
+        return _MINHASH_GOLDEN[ORACLE_SF_DIR]
+
     try:
         docs = pq.read_table(
             f"{ORACLE_SF_DIR}/documents.parquet", columns=["doc_id", "text"]
         ).to_pylist()
     except Exception:
+        _MINHASH_GOLDEN[ORACLE_SF_DIR] = None
         return None
 
     m64 = (1 << 64) - 1
@@ -286,6 +293,7 @@ def minhash_golden_pairs() -> list[tuple[int, int, float]] | None:
                 Decimal(repr(jac)).quantize(Decimal("0.0001"), ROUND_HALF_UP)
             )
             out.append((a, b, rounded))
+    _MINHASH_GOLDEN[ORACLE_SF_DIR] = out
     return out
 
 

@@ -405,3 +405,68 @@ def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spark.read.schema(schema).option("rowTag", "nation").format("xml").load(out)
     )
+
+
+@register(
+    "sink_merge_upsert",
+    oracle="""
+    WITH updates AS (
+      SELECT c_custkey,
+             'ACCOUNT RECONCILED'              AS c_name,
+             ROUND(c_acctbal + 100.0, 2)       AS c_acctbal
+      FROM customer WHERE c_custkey % 7 = 0
+    ),
+    inserts AS (
+      SELECT c_custkey + 1000000 AS c_custkey,
+             'NEW ACCOUNT'       AS c_name,
+             CAST(0.0 AS DOUBLE) AS c_acctbal
+      FROM customer WHERE c_custkey % 101 = 0
+    )
+    SELECT b.c_custkey,
+           COALESCE(u.c_name, b.c_name)                    AS c_name,
+           ROUND(COALESCE(u.c_acctbal, b.c_acctbal), 2)    AS c_acctbal,
+           (u.c_custkey IS NOT NULL)                       AS was_updated
+    FROM customer b LEFT JOIN updates u USING (c_custkey)
+    UNION ALL
+    SELECT c_custkey, c_name, c_acctbal, FALSE FROM inserts
+    """,
+)
+def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-shaped keyed upsert (SCD type 1): an updates stream modifies
+    matched rows in place and appends unmatched ones — the reference's
+    A16/A17 keep-vs-replace decision generalized to column-level updates.
+    Spark's parquet tables have no MERGE INTO, so this is the portable
+    plan every lakehouse MERGE lowers to anyway: updates-side broadcast
+    (or shuffle-hash on the key at scale) left join + coalesce per
+    column, plus a union of the not-matched inserts. On Delta/Iceberg the
+    same logic ships as `MERGE INTO sink USING updates ON key ...`, with
+    file-level pruning replacing the full-snapshot rewrite."""
+    t = load(spark, sf_dir)
+    base = t.customer.select("c_custkey", "c_name", "c_acctbal")
+    updates = (
+        base.where(F.col("c_custkey") % 7 == 0)
+        .select(
+            "c_custkey",
+            F.lit("ACCOUNT RECONCILED").alias("u_name"),
+            F.round(F.col("c_acctbal") + 100.0, 2).alias("u_acctbal"),
+        )
+    )
+    inserts = (
+        base.where(F.col("c_custkey") % 101 == 0)
+        .select(
+            (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+            F.lit("NEW ACCOUNT").alias("c_name"),
+            F.lit(0.0).alias("c_acctbal"),
+            F.lit(False).alias("was_updated"),
+        )
+    )
+    merged = (
+        base.join(F.broadcast(updates), "c_custkey", "left")
+        .select(
+            "c_custkey",
+            F.coalesce("u_name", "c_name").alias("c_name"),
+            F.round(F.coalesce("u_acctbal", "c_acctbal"), 2).alias("c_acctbal"),
+            F.col("u_name").isNotNull().alias("was_updated"),
+        )
+    )
+    return merged.unionByName(inserts)

@@ -707,3 +707,54 @@ def stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("emitted_in_run", F.lit(2)).alias("emitted_in_run"),
         )
     )
+
+
+@register(
+    "stream_stateful_rocksdb",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_purchases
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_stateful_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_stateful executed on the RocksDB state-store provider
+    (session.enable_rocksdb_state_store's runtime-settable half): state
+    spills to local disk with changelog checkpointing instead of living
+    in executor heap — the 100 TB configuration, where a watermarked
+    dedup/session state holds hundreds of millions of keys per executor.
+    Same oracle as stream_stateful: the provider swap must be invisible
+    to results. The conf is restored afterward so sibling stream queries
+    keep the default provider."""
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        sdf = events_stream(spark, sf_dir)
+        counters = sdf.groupBy("user_id").applyInPandasWithState(
+            _user_counters,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        final = run_available_now(counters, "update")
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+    return final.select(
+        "user_id",
+        "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
+        "n_purchases",
+    )
