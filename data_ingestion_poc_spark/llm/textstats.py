@@ -356,24 +356,25 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition-based quality filter (the Gopher rules): fraction of
     tokens taken by the single most frequent word, and of bigrams by the
     most frequent bigram; docs above either threshold are repetition spam
-    (keep = false). Two explode+count aggregates whose shuffles carry
-    (doc_id, gram, partial count) — per-doc gram cardinality is bounded
-    by doc length, so the reduction is map-side-heavy and the plan is the
-    same one-scan-two-aggregates shape at any corpus size."""
+    (keep = false). Shuffle plan: each branch repartitions the COMPACT
+    doc rows on doc_id once, BEFORE exploding — hash(doc_id) satisfies
+    the clustered distribution of the (doc_id, gram) aggregate (subset
+    key), the doc_id rollup, and the final stats join, so the whole
+    chain after the two doc-row Exchanges is shuffle-free (4 -> 2
+    Exchanges vs aggregating the exploded gram stream directly, and the
+    shuffled rows are docs, not grams)."""
     from .dedup import shingle_array
 
     t = load(spark, sf_dir)
-    words = t.documents.select(
-        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
-    )
+    docs = t.documents.select(
+        "doc_id", F.split(F.lower("text"), " ").alias("ws")
+    ).repartition("doc_id")
+    words = docs.select("doc_id", F.explode("ws").alias("w"))
     wcounts = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
     wstats = wcounts.groupBy("doc_id").agg(
         F.sum("c").alias("n_words"), F.max("c").alias("top_word")
     )
-    grams = t.documents.select(
-        "doc_id",
-        F.explode(shingle_array(F.split(F.lower("text"), " "), 2)).alias("g"),
-    )
+    grams = docs.select("doc_id", F.explode(shingle_array(F.col("ws"), 2)).alias("g"))
     gcounts = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
     gstats = gcounts.groupBy("doc_id").agg(
         F.sum("c").alias("n_grams"), F.max("c").alias("top_gram")

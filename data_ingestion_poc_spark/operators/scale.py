@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import tempfile
 from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame, SparkSession
@@ -384,3 +385,49 @@ def scan_cbo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE n_name IN ('NATION_3', 'NATION_7') AND c_acctbal > 0
         GROUP BY n_name
     """)
+
+
+@register(
+    "join_dpp_pruned",
+    oracle="""
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderstatus
+    """,
+)
+def join_dpp_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact side is a sink PARTITIONED BY
+    o_orderstatus (A18 layout); joining it to a dim filtered to one
+    status lets Spark push the dim's build-side keys into the fact scan
+    at RUNTIME, so only matching partition directories are read — the
+    difference between scanning 100 TB and scanning one status's slice
+    when the pruning key is only known at join time. The plan carries a
+    `dynamicpruningexpression` on the fact scan
+    (tests/test_scale.py::test_dpp_plan_prunes_partitions pins it).
+    Oracle: the join is a semantically plain status filter."""
+    t = load(spark, sf_dir)
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    out = os.path.join(tempfile.gettempdir(), f"dip_spark_dpp_orders_{tag}")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        t.orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    facts = spark.read.parquet(out)
+    # the dim must carry a SELECTIVE FILTER for the PartitionPruning rule
+    # to insert the runtime subquery on the fact scan (a bare literal
+    # relation is not considered worth pruning against)
+    dim = spark.createDataFrame(
+        [("F", "finished"), ("O", "open"), ("P", "pending")],
+        "status string, status_name string",
+    ).where(F.col("status_name") == "finished")
+    return (
+        facts.join(dim, facts["o_orderstatus"] == dim["status"])
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )

@@ -470,3 +470,44 @@ def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return merged.unionByName(inserts)
+
+
+def _metadata_cols_oracle() -> str | None:
+    """Golden VALUES from the parquet footer + stat of the file the scan
+    reads (import-time, regeneration-proof — see goldens.py)."""
+    from ..goldens import ORACLE_SF_DIR, values_oracle
+
+    try:
+        import pyarrow.parquet as pq
+
+        path = os.path.join(ORACLE_SF_DIR, "lineitem.parquet")
+        n_rows = pq.ParquetFile(path).metadata.num_rows
+        size = os.path.getsize(path)
+    except Exception:
+        return None
+    return values_oracle(
+        [("lineitem.parquet", size, n_rows)],
+        ["file_name", "file_size", "n_rows"],
+        casts={"file_size": "BIGINT", "n_rows": "BIGINT"},
+    )
+
+
+@register("scan_metadata_columns", oracle=_metadata_cols_oracle())
+def scan_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden `_metadata` columns on file scans: per-row provenance
+    (file name/size) surfaced as ordinary columns — Spark's built-in
+    answer to the reference's hand-carried lineage (from_archive,
+    source-file audit A19/A25). At 100 TB this is how a pipeline answers
+    'which input file produced this bad row' without bookkeeping joins:
+    the values come from the scan's own split metadata, zero extra IO.
+    Aggregating per file also proves the scan's row accounting against
+    the parquet footer."""
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        df.select(
+            F.col("_metadata.file_name").alias("file_name"),
+            F.col("_metadata.file_size").alias("file_size"),
+        )
+        .groupBy("file_name", "file_size")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )

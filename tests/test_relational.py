@@ -244,3 +244,57 @@ def test_pluggable_fetcher_drives_fetch_stage(spark):
     assert set(q) == {"/short.bin", "/missing.bin"}
     assert q["/short.bin"] == "size mismatch"
     assert q["/missing.bin"].startswith("FileNotFoundError")
+
+
+def test_token_budget_is_greedy_prefix(spark, sf_dir):
+    """corpus_token_budget invariants: the kept set is exactly the
+    longest-first prefix (every kept doc ranks above every dropped doc in
+    (n_chars DESC, doc_id)), the cumulative sums are internally
+    consistent, the budget holds, and the NEXT doc would break it."""
+    from data_ingestion_poc_spark.catalog import load
+    from data_ingestion_poc_spark.llm.corpus import TOKEN_BUDGET
+
+    kept = {
+        r["doc_id"]: r
+        for r in registry.get("corpus_token_budget").fn(spark, sf_dir).collect()
+    }
+    assert kept, "budget should admit at least one doc"
+    docs = load(spark, sf_dir).documents.selectExpr(
+        "doc_id", "n_chars", "size(split(text, ' ')) AS tok_len"
+    ).collect()
+    order = sorted(docs, key=lambda r: (-r["n_chars"], r["doc_id"]))
+    cum = 0
+    for i, d in enumerate(order):
+        cum += d["tok_len"]
+        if cum <= TOKEN_BUDGET:
+            assert d["doc_id"] in kept, f"rank-{i} doc missing from prefix"
+            assert kept[d["doc_id"]]["cum_tokens"] == cum
+        else:
+            assert d["doc_id"] not in kept
+            break  # first overflow ends the prefix; rest must also be absent
+    assert len(kept) == sum(
+        1 for i in range(len(order))
+        if sum(d["tok_len"] for d in order[: i + 1]) <= TOKEN_BUDGET
+    )
+
+
+def test_mix_report_consistent_with_mix(spark, sf_dir):
+    """corpus_mix_report must account exactly for corpus_mix_weighted's
+    kept rows, and achieved fractions must be within hash-sampling noise
+    of the configured targets (3-sigma binomial bound)."""
+    from data_ingestion_poc_spark.llm.corpus import MIX_WEIGHTS
+
+    kept_rows = registry.get("corpus_mix_weighted").fn(spark, sf_dir).collect()
+    by_lang: dict[str, int] = {}
+    for r in kept_rows:
+        by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + 1
+    report = {
+        r["lang"]: r
+        for r in registry.get("corpus_mix_report").fn(spark, sf_dir).collect()
+    }
+    targets = {lang: int(t, 16) / 256 for lang, t in MIX_WEIGHTS}
+    for lang, row in report.items():
+        assert row["n_kept"] == by_lang.get(lang, 0)
+        p = targets[lang]
+        sigma = (p * (1 - p) / row["n_total"]) ** 0.5
+        assert abs(row["achieved_frac"] - p) <= 3 * sigma + 1 / row["n_total"]

@@ -237,3 +237,14 @@ def test_pack_blocks_distributed_prefix_sum(spark, sf_dir):
         assert r["first_block"] == r["start_off"] // 512
         assert r["last_block"] == (r["start_off"] + r["tok_len"] - 1) // 512
         off += r["tok_len"]
+
+
+def test_dpp_plan_prunes_partitions(spark, sf_dir):
+    """join_dpp_pruned's fact scan must carry a runtime
+    dynamicpruningexpression on the partition column (the feature under
+    test — without it the join would scan every status partition)."""
+    from data_ingestion_poc_spark import registry
+
+    df = registry.get("join_dpp_pruned").fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString().lower()
+    assert "dynamicpruning" in plan

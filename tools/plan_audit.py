@@ -93,6 +93,15 @@ AUDITED = [
     "win_ignore_nulls",
     "text_tfidf",
     "text_pii_scrub",
+    # r3 additions
+    "dedup_ngram_jaccard",
+    "corpus_mix_weighted",
+    "corpus_mix_report",
+    "corpus_token_budget",
+    "text_repetition_filter",
+    "text_boilerplate_ngrams",
+    "embed_norm_stats",
+    "sink_merge_upsert",
     "corpus_decontaminate",
     "sim_search_ann_multiprobe",
     "join_lateral_topk",
