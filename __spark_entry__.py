@@ -73,7 +73,7 @@ _PRIORITY = [
     "corpus_mix_weighted", "corpus_token_budget", "text_repetition_filter",
     "text_boilerplate_ngrams", "embed_norm_stats", "corpus_mix_report",
     "sink_merge_upsert", "stream_stateful_rocksdb",
-    "join_dpp_pruned", "scan_metadata_columns",
+    "join_dpp_pruned", "scan_metadata_columns", "sample_reservoir_group",
     # ---- ~position 63: next round's window starts here ----
     "udf_surface", "udtf_explode", "udf_cogrouped",
     "corpus_dedup_keep", "corpus_quality_filter", "corpus_decontaminate",

@@ -95,3 +95,47 @@ def sample_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.when(_bucket("t:") < "e6", "train").otherwise("valid").alias("split"),
     )
+
+
+#: Exact per-stratum sample size for sample_reservoir_group.
+RESERVOIR_K = 20
+
+
+@register(
+    "sample_reservoir_group",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars
+    FROM (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('r:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents
+    ) WHERE rk <= {RESERVOIR_K}
+    """,
+)
+def sample_reservoir_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-stratum sampling (eval-set construction: k docs per
+    language, uniformly at random but DETERMINISTIC): rank rows inside
+    each stratum by a content hash and keep the top k. The hash order is
+    a uniform random permutation that is a pure function of the rows —
+    the same k survive any repartitioning, retry, or re-run (a true
+    reservoir's outcome depends on encounter order, so this is the
+    distributed-safe equivalent). One window shuffle on the stratum key;
+    Spark plans rk<=k as WindowGroupLimit, so each task keeps k rows per
+    stratum, never the full sort."""
+    t = load(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.lit("r:"), F.col("doc_id").cast("string")).cast("binary")),
+        "doc_id",
+    )
+    return (
+        t.documents.select(
+            "doc_id", "lang", "n_chars", F.row_number().over(w).alias("rk")
+        )
+        .where(F.col("rk") <= RESERVOIR_K)
+        .select("doc_id", "lang", "n_chars")
+    )

@@ -270,3 +270,31 @@ def test_jaccard_df_cap_keeps_planted_pairs(spark, tmp_path):
     assert (9000, 9001) in got, "df cap must not drop rare-shingle near-dups"
     hot_only = [p for p in got if p[0] < 9000 and p[1] < 9000]
     assert not hot_only, f"hot-shingle-only docs must not pair: {hot_only[:5]}"
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=0, max_codepoint=0x2FFF),
+            max_size=80,
+        ),
+        min_size=1,
+        max_size=20,
+        unique=True,
+    )
+)
+def test_pyhash_property_matches_spark(spark, texts):
+    """Property version of test_pyhash_matches_spark: arbitrary unicode
+    strings (multi-byte UTF-8 exercises every tail-length path of both
+    algorithms) must hash identically in the JVM and the pure-Python
+    ports that power the golden oracles."""
+    from data_ingestion_poc_spark.functions.pyhash import murmur3_32, xxh64
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i int, s string"
+    ).select("i", "s", F.xxhash64("s").alias("x"), F.hash("s").alias("m"))
+    for r in df.collect():
+        b = r["s"].encode()
+        assert xxh64(b) == r["x"], r["s"]
+        assert murmur3_32(b) == r["m"], r["s"]
