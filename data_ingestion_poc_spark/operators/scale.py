@@ -431,3 +431,62 @@ def join_dpp_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_price"),
         )
     )
+
+
+@register(
+    "join_bloom_pruned",
+    oracle="""
+    SELECT l_linestatus, CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY l_linestatus
+    """,
+)
+def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter join pruning — DPP's row-level sibling for
+    UNPARTITIONED join keys: the filtered build side publishes a Bloom
+    filter of its join keys, and the probe side applies might_contain()
+    AT THE SCAN, so non-matching fact rows die before the shuffle instead
+    of after it. At 100 TB this turns 'shuffle everything, join, drop
+    90%' into 'drop 90% at the scan'. Fires for shuffle joins when the
+    build side carries a selective filter; the application-side size
+    gate (default 10 GB — real clusters keep it) is lowered here so the
+    fixture-scale plan demonstrates the rewrite
+    (tests/test_scale.py::test_bloom_filter_in_plan pins might_contain).
+    Semantically a no-op: the oracle is the plain filtered join."""
+    # Two gates model the 100 TB regime at fixture scale: the application
+    # side must look big (size gate -> 0) and the creation side must NOT
+    # be broadcastable (broadcast -1) — when the build side broadcasts,
+    # the rule skips bloom injection because the broadcast hash join
+    # already filters at the probe. Both confs are optimizer-time; they
+    # are restored after the plan is resolved.
+    gates = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in gates}
+    for k, v in gates.items():
+        spark.conf.set(k, v)
+    try:
+        t = load(spark, sf_dir)
+        urgent = t.orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+            "o_orderkey"
+        )
+        joined = t.lineitem.join(urgent, F.col("o_orderkey") == F.col("l_orderkey"))
+        out = joined.groupBy("l_linestatus").agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        # force plan resolution under the lowered gates before restoring
+        out._jdf.queryExecution().executedPlan()
+    finally:
+        for k, was in prev.items():
+            if was is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, was)
+    return out

@@ -248,3 +248,13 @@ def test_dpp_plan_prunes_partitions(spark, sf_dir):
     df = registry.get("join_dpp_pruned").fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString().lower()
     assert "dynamicpruning" in plan
+
+
+def test_bloom_filter_in_plan(spark, sf_dir):
+    """join_bloom_pruned's probe-side scan must carry the runtime
+    might_contain() Bloom predicate (the feature under test)."""
+    from data_ingestion_poc_spark import registry
+
+    df = registry.get("join_bloom_pruned").fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString().lower()
+    assert "might_contain" in plan
