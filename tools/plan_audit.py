@@ -102,6 +102,10 @@ AUDITED = [
     "text_boilerplate_ngrams",
     "embed_norm_stats",
     "sink_merge_upsert",
+    "join_dpp_pruned",
+    "join_bloom_pruned",
+    "scan_metadata_columns",
+    "sample_reservoir_group",
     "corpus_decontaminate",
     "sim_search_ann_multiprobe",
     "join_lateral_topk",
