@@ -673,3 +673,49 @@ def corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "achieved_frac"
         ),
     )
+
+
+@register(
+    "corpus_shard_assign",
+    oracle="""
+    SELECT strpos('0123456789abcdef',
+                  substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+             AS shard_id,
+           CAST(COUNT(*) AS BIGINT)                          AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           MIN(doc_id)                                       AS min_doc,
+           MAX(doc_id)                                       AS max_doc
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def corpus_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 16-way shard manifest for training data loaders
+    (webdataset-style): shard = hash bucket of the doc key, so shard
+    membership is a pure function of the row — stable under repartition,
+    retries, and incremental appends, and every loader rank can recompute
+    its own shard list without coordination. Output is the per-shard
+    manifest (doc/token counts + key range) a loader consumes. The
+    bucket is the first hex nibble of md5 (engine-portable, the
+    sampling.py convention); one scan + one 16-group aggregate."""
+    t = load(spark, sf_dir)
+    nibble = F.substring(
+        F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string")).cast("binary")),
+        1,
+        1,
+    )
+    shard = (F.instr(F.lit("0123456789abcdef"), nibble) - 1).alias("shard_id")
+    return (
+        t.documents.select(
+            shard,
+            "doc_id",
+            F.size(F.split("text", " ")).alias("tok"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok").cast("bigint").alias("n_tokens"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )

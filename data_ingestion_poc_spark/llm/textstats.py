@@ -390,3 +390,56 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (top_bigram_frac <= TOP_BIGRAM_FRAC_MAX)
         ).alias("keep"),
     )
+
+
+@register(
+    "text_entropy",
+    oracle="""
+    WITH wc AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+            FROM documents)
+      GROUP BY doc_id, w
+    ),
+    stats AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT)          AS n_words,
+             CAST(COUNT(*) AS BIGINT)        AS n_distinct,
+             SUM(c * log2(c))                AS clog
+      FROM wc GROUP BY doc_id
+    )
+    SELECT doc_id, n_words, n_distinct,
+           ROUND(log2(n_words) - clog / n_words, 4) AS word_entropy_bits,
+           ROUND((log2(n_words) - clog / n_words)
+                 / log2(GREATEST(n_distinct, 2)), 4) AS entropy_ratio
+    FROM stats
+    """,
+)
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document word-distribution entropy — the information-density
+    quality signal (near-zero bits = repeated-token spam; the ratio
+    normalizes by the max achievable log2(n_distinct), so 1.0 = perfectly
+    uniform usage). Computed with the H = log2(n) - (1/n)*sum(c*log2(c))
+    identity: one (doc, word) count aggregate plus a per-doc rollup, no
+    per-row probability column materialized. Rounding to 4 dp absorbs
+    cross-engine libm log2 ulps (the text_tfidf convention)."""
+    t = load(spark, sf_dir)
+    words = t.documents.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    )
+    wc = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    stats = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.col("c") * F.log2("c")).alias("clog"),
+    )
+    h = F.log2("n_words") - F.col("clog") / F.col("n_words")
+    return stats.select(
+        "doc_id",
+        "n_words",
+        "n_distinct",
+        F.round(h, 4).alias("word_entropy_bits"),
+        F.round(h / F.log2(F.greatest("n_distinct", F.lit(2))), 4).alias(
+            "entropy_ratio"
+        ),
+    )
