@@ -298,3 +298,22 @@ def test_mix_report_consistent_with_mix(spark, sf_dir):
         p = targets[lang]
         sigma = (p * (1 - p) / row["n_total"]) ** 0.5
         assert abs(row["achieved_frac"] - p) <= 3 * sigma + 1 / row["n_total"]
+
+
+def test_shard_assign_partitions_corpus(spark, sf_dir):
+    """corpus_shard_assign invariants: 16 shards, doc counts sum to the
+    corpus size, token counts sum to the corpus token total, and no
+    shard is empty or pathologically skewed (binomial 5-sigma bound)."""
+    from data_ingestion_poc_spark.catalog import load
+
+    rows = registry.get("corpus_shard_assign").fn(spark, sf_dir).collect()
+    docs = load(spark, sf_dir).documents
+    n_total = docs.count()
+    tok_total = docs.selectExpr("sum(size(split(text, ' '))) AS t").collect()[0]["t"]
+    assert len(rows) == 16
+    assert sum(r["n_docs"] for r in rows) == n_total
+    assert sum(r["n_tokens"] for r in rows) == tok_total
+    mean = n_total / 16
+    bound = 5 * (mean * (1 - 1 / 16)) ** 0.5 + 1
+    for r in rows:
+        assert abs(r["n_docs"] - mean) <= bound, (r["shard_id"], r["n_docs"])

@@ -258,3 +258,19 @@ def test_bloom_filter_in_plan(spark, sf_dir):
     df = registry.get("join_bloom_pruned").fn(spark, sf_dir)
     plan = df._jdf.queryExecution().optimizedPlan().toString().lower()
     assert "might_contain" in plan
+
+
+def test_bloom_pruned_restores_session_confs(spark, sf_dir):
+    """join_bloom_pruned temporarily rewires optimizer gates; sibling
+    queries in the same session (the driver runs hundreds) must see the
+    original confs afterward."""
+    from data_ingestion_poc_spark import registry
+
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+    ]
+    before = {k: spark.conf.get(k) for k in keys}
+    registry.get("join_bloom_pruned").fn(spark, sf_dir)
+    after = {k: spark.conf.get(k) for k in keys}
+    assert before == after
