@@ -54,6 +54,10 @@ DOC_PROBES = [
     "text_tokenize_tf",      # explode + word count: linear in tokens
     "text_quality_score",    # pure per-row exprs: linear
     "sim_search_ivf",        # IVF ANN: probe-list re-rank over 10x vectors
+    # r3 additions: gram-explode aggregates must stay linear in tokens
+    "text_repetition_filter",
+    "text_entropy",
+    "text_boilerplate_ngrams",
 ]
 
 #: Event-time probes: events grow horizontally (event_id AND user_id
