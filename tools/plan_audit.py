@@ -106,6 +106,8 @@ AUDITED = [
     "join_bloom_pruned",
     "scan_metadata_columns",
     "sample_reservoir_group",
+    "text_entropy",
+    "corpus_shard_assign",
     "corpus_decontaminate",
     "sim_search_ann_multiprobe",
     "join_lateral_topk",
