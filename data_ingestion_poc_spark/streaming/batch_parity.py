@@ -758,3 +758,44 @@ def stream_stateful_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("sum_value", 2).alias("sum_value"),
         "n_purchases",
     )
+
+
+@register(
+    "stream_static_join",
+    oracle="""
+    WITH dim AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS lifetime_events,
+             ROUND(SUM(value), 2) AS lifetime_value
+      FROM events GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id, e.event_type,
+           d.lifetime_events, d.lifetime_value
+    FROM events e JOIN dim d USING (user_id)
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — the third join regime next to
+    stream_stream_join (both sides moving) and batch joins (neither):
+    each micro-batch joins against a STATIC dimension snapshot, no
+    watermark or join state needed because the static side is re-read
+    per batch (Spark re-plans it each micro-batch — which is also why a
+    slowly-changing dim picks up updates between batches). The standard
+    enrichment topology: events stream x per-user profile table. The
+    dim here is itself derived from the batch events table, so the
+    oracle is closed-form SQL."""
+    from ..catalog import load
+
+    dim = (
+        load(spark, sf_dir)
+        .events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("lifetime_events"),
+            F.round(F.sum("value"), 2).alias("lifetime_value"),
+        )
+    )
+    sdf = events_stream(spark, sf_dir).where(F.col("event_type") == "purchase")
+    joined = sdf.join(dim, "user_id").select(
+        "event_id", "user_id", "event_type", "lifetime_events", "lifetime_value"
+    )
+    return run_available_now(joined, "append")
