@@ -120,3 +120,48 @@ def fn_aes_crypt(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ECB+PKCS ciphertext length is closed-form: next 16-byte block
         F.length(cipher).cast("bigint").alias("cipher_len"),
     )
+
+
+@register(
+    "fn_uuid_content",
+    oracle="""
+    SELECT doc_id,
+           concat(
+             substr(md5('doc:' || CAST(doc_id AS VARCHAR) || ':' || text), 1, 8), '-',
+             substr(md5('doc:' || CAST(doc_id AS VARCHAR) || ':' || text), 9, 4), '-',
+             substr(md5('doc:' || CAST(doc_id AS VARCHAR) || ':' || text), 13, 4), '-',
+             substr(md5('doc:' || CAST(doc_id AS VARCHAR) || ':' || text), 17, 4), '-',
+             substr(md5('doc:' || CAST(doc_id AS VARCHAR) || ':' || text), 21, 12)
+           ) AS content_uuid,
+           substr(md5('doc:' || CAST(doc_id AS VARCHAR) || ':' || text), 1, 16)
+             AS short_id
+    FROM documents
+    """,
+)
+def fn_uuid_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-addressed ID minting (the uuid5 idea with an
+    engine-portable digest): IDs derive from a namespace prefix + key +
+    content, so re-ingesting the same document always mints the same ID —
+    across runs, partitionings, and engines — unlike uuid()/rand()-based
+    IDs, which break idempotent re-ingestion (the A16/A17 dedup contract
+    depends on stable identities). Formatted as the familiar 8-4-4-4-12
+    UUID shape plus a 16-hex short id for log lines."""
+    t = load(spark, sf_dir)
+    digest = F.md5(
+        F.concat(
+            F.lit("doc:"), F.col("doc_id").cast("string"), F.lit(":"), F.col("text")
+        ).cast("binary")
+    )
+    uuid = F.concat_ws(
+        "-",
+        F.substring(digest, 1, 8),
+        F.substring(digest, 9, 4),
+        F.substring(digest, 13, 4),
+        F.substring(digest, 17, 4),
+        F.substring(digest, 21, 12),
+    )
+    return t.documents.select(
+        "doc_id",
+        uuid.alias("content_uuid"),
+        F.substring(digest, 1, 16).alias("short_id"),
+    )
