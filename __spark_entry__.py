@@ -75,7 +75,7 @@ _PRIORITY = [
     "sink_merge_upsert", "stream_stateful_rocksdb",
     "join_dpp_pruned", "scan_metadata_columns", "sample_reservoir_group",
     "join_bloom_pruned", "text_entropy", "corpus_shard_assign",
-    "stream_static_join", "fn_uuid_content",
+    "stream_static_join", "fn_uuid_content", "win_session_stats",
     # ---- ~position 63: next round's window starts here ----
     "udf_surface", "udtf_explode", "udf_cogrouped",
     "corpus_dedup_keep", "corpus_quality_filter", "corpus_decontaminate",

@@ -627,3 +627,61 @@ def win_sessionize_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "win_session_stats",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_id, ts, value,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           CAST(COUNT(*) AS BIGINT)                      AS n_events,
+           epoch_us(MAX(ts)) - epoch_us(MIN(ts))         AS duration_us,
+           ROUND(SUM(value), 2)                          AS sum_value
+    FROM sess
+    GROUP BY user_id, session_no
+    """,
+)
+def win_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-level rollup — the report sessionization exists to feed
+    (events per session, dwell time, per-session value): win_sessionize's
+    gap-islands numbering followed by a (user, session) aggregate. The
+    aggregate's clustered distribution is satisfied by the window's
+    hash(user_id) partitioning (subset key), so the rollup adds ZERO
+    Exchanges on top of the one sessionization shuffle — the two-level
+    window-then-aggregate chain runs in a single partitioning."""
+    t = load(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev_ts.isNull()
+        | (F.unix_micros("ts") - F.unix_micros(prev_ts) > 1_800_000_000),
+        1,
+    ).otherwise(0)
+    sess = t.events.select(
+        "user_id",
+        "ts",
+        "value",
+        F.sum(new_sess)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_no"),
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+            "duration_us"
+        ),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
