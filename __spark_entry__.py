@@ -76,6 +76,7 @@ _PRIORITY = [
     "join_dpp_pruned", "scan_metadata_columns", "sample_reservoir_group",
     "join_bloom_pruned", "text_entropy", "corpus_shard_assign",
     "stream_static_join", "fn_uuid_content", "win_session_stats",
+    "q_fulfillment_latency",
     # ---- ~position 63: next round's window starts here ----
     "udf_surface", "udtf_explode", "udf_cogrouped",
     "corpus_dedup_keep", "corpus_quality_filter", "corpus_decontaminate",

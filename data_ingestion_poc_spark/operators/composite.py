@@ -656,3 +656,52 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("active_users"))
     )
+
+
+@register(
+    "q_fulfillment_latency",
+    oracle="""
+    WITH fill AS (
+      SELECT o.o_orderkey, o.o_orderpriority,
+             date_diff('day', o.o_orderdate, MAX(l.l_shipdate)) AS days_to_ship
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT)                       AS n_orders,
+           ROUND(quantile_cont(days_to_ship, 0.50), 1)    AS p50_days,
+           ROUND(quantile_cont(days_to_ship, 0.95), 1)    AS p95_days,
+           CAST(MAX(days_to_ship) AS BIGINT)              AS max_days
+    FROM fill
+    GROUP BY o_orderpriority
+    """,
+)
+def q_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-fulfillment latency report: days from order to LAST line
+    shipment per order, then p50/p95/max per priority class — the SLA
+    dashboard shape (join -> per-entity reduction -> per-class percentile).
+    The per-order aggregate groups on the join key, so it reuses the
+    lineitem/orders shuffle partitioning; the percentile aggregate then
+    reduces ~orders/priority-class rows — exact percentiles are fine
+    here because the SECOND aggregate's groups are small; at 100 TB the
+    first-stage reduction is what keeps them small."""
+    t = load(spark, sf_dir)
+    fill = (
+        t.orders.select("o_orderkey", "o_orderpriority", "o_orderdate")
+        .join(
+            t.lineitem.select("l_orderkey", "l_shipdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .select(
+            "o_orderpriority",
+            F.datediff(F.col("last_ship"), F.col("o_orderdate")).alias("days_to_ship"),
+        )
+    )
+    return fill.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.percentile("days_to_ship", F.lit(0.50)), 1).alias("p50_days"),
+        F.round(F.percentile("days_to_ship", F.lit(0.95)), 1).alias("p95_days"),
+        F.max("days_to_ship").cast("bigint").alias("max_days"),
+    )
