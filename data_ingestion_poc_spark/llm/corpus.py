@@ -678,9 +678,9 @@ def corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "corpus_shard_assign",
     oracle="""
-    SELECT strpos('0123456789abcdef',
+    SELECT CAST(strpos('0123456789abcdef',
                   substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1
-             AS shard_id,
+             AS INTEGER) AS shard_id,
            CAST(COUNT(*) AS BIGINT)                          AS n_docs,
            CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
            MIN(doc_id)                                       AS min_doc,

@@ -109,6 +109,56 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_approx_distinct_bound",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT)  AS exact_parts,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           TRUE AS within_parts,
+           TRUE AS within_orders
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_approx_distinct_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable bound contract for the HLL++ estimate: the same
+    query computes the approximate AND the exact distinct count and emits
+    `within_* = |approx - exact| / exact <= 5 * rsd` (rsd=0.02, so a 10%
+    band — 5 standard errors; a correct sketch fails this with
+    probability ~1e-6, a broken one deterministically). The exact counts
+    are hard-matched values, so the row is not vacuously true. This keeps
+    `agg_approx_distinct` itself rows-only (the estimate has no golden
+    value) while giving the correctness gate a real verdict on the
+    sketch. The exact side uses Expand-based COUNT DISTINCT — fine here;
+    at 100 TB you would run the bound audit on a sampled partition, not
+    the full fact table."""
+    t = load(spark, sf_dir)
+    tol = 5 * 0.02
+
+    def within(approx: str, exact: str):
+        return (
+            F.abs(F.col(approx) - F.col(exact)) / F.col(exact) <= F.lit(tol)
+        )
+
+    return (
+        t.lineitem.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+            F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            "exact_orders",
+            within("approx_parts", "exact_parts").alias("within_parts"),
+            within("approx_orders", "exact_orders").alias("within_orders"),
+        )
+    )
+
+
+@register(
     "agg_grouping_sets",
     oracle="""
     SELECT l_returnflag, l_linestatus,
@@ -216,6 +266,47 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sketches"),
         F.sum("n_rows").alias("n_customers"),
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_distinct"),
+    )
+
+
+@register(
+    "agg_hll_sketch_bound",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_sketches,
+           CAST(COUNT(DISTINCT c_custkey) AS BIGINT)   AS exact_distinct,
+           TRUE AS within_tolerance
+    FROM customer
+    """,
+)
+def agg_hll_sketch_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bound contract for the DataSketches HLL merge path: build the
+    per-nation sketches, union-merge them, and compare the merged
+    estimate against the exact global distinct computed in the SAME
+    query. lgConfigK=12 gives rsd ~= 1.04/sqrt(4096) ~= 1.6%;
+    `within_tolerance` uses 5x that (8%), so a correct merge practically
+    cannot fail and a broken one (double counting, dropped sketch)
+    deterministically does. n_sketches and exact_distinct are
+    hard-matched values — the row carries real data, the boolean carries
+    the sketch verdict."""
+    t = load(spark, sf_dir)
+    per_nation = t.customer.groupBy("c_nationkey").agg(
+        F.hll_sketch_agg("c_custkey", 12).alias("sk")
+    )
+    exact = t.customer.agg(
+        F.countDistinct("c_custkey").alias("exact_distinct")
+    )
+    merged = per_nation.agg(
+        F.count(F.lit(1)).alias("n_sketches"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+    )
+    return merged.crossJoin(exact).select(
+        "n_sketches",
+        "exact_distinct",
+        (
+            F.abs(F.col("est") - F.col("exact_distinct"))
+            / F.col("exact_distinct")
+            <= F.lit(5 * 0.016)
+        ).alias("within_tolerance"),
     )
 
 

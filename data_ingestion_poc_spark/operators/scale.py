@@ -28,6 +28,22 @@ from ..registry import register
 SALT_BUCKETS = 8
 
 
+def _content_fingerprint(path: str) -> str:
+    """size+mtime identity of a source parquet (file or directory), so
+    cached derived sinks are keyed to the CONTENT they were built from —
+    a fixture dir regenerated in place gets a fresh cache key."""
+    if os.path.isdir(path):
+        total, latest = 0, 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                st = os.stat(os.path.join(root, f))
+                total += st.st_size
+                latest = max(latest, st.st_mtime_ns)
+        return f"{latest // 1_000_000}_{total}"
+    st = os.stat(path)
+    return f"{st.st_mtime_ns // 1_000_000}_{st.st_size}"
+
+
 @register(
     "join_skew_salted",
     oracle="""
@@ -167,6 +183,55 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p50_approx"
         ),
         F.approx_count_distinct("o_custkey", 0.01).alias("n_cust_approx"),
+    )
+
+
+@register(
+    "agg_approx_quantile_bound",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS within_tolerance
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_approx_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable rank contract for approx_percentile
+    (Greenwald-Khanna): any returned value whose TRUE rank lies within
+    eps*n of the target rank is a correct answer, so instead of pinning a
+    value we verify the guarantee itself. The per-group median estimate
+    is joined back (broadcast — it is GROUPS rows, tiny at any scale) and
+    the group is rescanned once to count rows strictly below / at-or-below
+    the estimate; `within_tolerance` asserts the estimate's rank interval
+    [cnt_lt+1, cnt_le] intersects [floor((0.5-eps)n)-1, ceil((0.5+eps)n)+1]
+    with eps = 1/accuracy (the GK bound) and one row of slack for the
+    rank-rounding convention. n_rows is a hard-matched value. Two scans,
+    one broadcast, no extra shuffle — the audit shape you would run on a
+    sample at 100 TB."""
+    t = load(spark, sf_dir)
+    acc = 10000
+    stats = t.orders.groupBy("o_orderpriority").agg(
+        F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(acc)).alias("ap"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    joined = t.orders.select("o_orderpriority", "o_totalprice").join(
+        F.broadcast(stats), "o_orderpriority"
+    )
+    eps = 1.0 / acc
+    ranked = joined.groupBy("o_orderpriority").agg(
+        F.first("n_rows").alias("n_rows"),
+        F.sum((F.col("o_totalprice") < F.col("ap")).cast("long")).alias("cnt_lt"),
+        F.sum((F.col("o_totalprice") <= F.col("ap")).cast("long")).alias("cnt_le"),
+    )
+    lo = F.floor((0.5 - eps) * F.col("n_rows")) - 1
+    hi = F.ceil((0.5 + eps) * F.col("n_rows")) + 1
+    return ranked.select(
+        "o_orderpriority",
+        "n_rows",
+        ((F.col("cnt_le") >= lo) & (F.col("cnt_lt") + 1 <= hi)).alias(
+            "within_tolerance"
+        ),
     )
 
 
@@ -409,7 +474,12 @@ def join_dpp_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: the join is a semantically plain status filter."""
     t = load(spark, sf_dir)
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
-    out = os.path.join(tempfile.gettempdir(), f"dip_spark_dpp_orders_{tag}")
+    # Key the cached sink by a content fingerprint of the SOURCE parquet,
+    # not just the sf-dir name: the test harness regenerates fixture dirs
+    # in place between sessions, and a stale partitioned copy would
+    # otherwise serve old rows against a freshly-regenerated oracle.
+    fp = _content_fingerprint(os.path.join(sf_dir, "orders.parquet"))
+    out = os.path.join(tempfile.gettempdir(), f"dip_spark_dpp_orders_{tag}_{fp}")
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):
         t.orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)

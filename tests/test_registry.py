@@ -84,9 +84,26 @@ def test_rows_only_queries_have_rationale():
     """Every oracle=None query needs a written rationale in
     registry.ROWS_ONLY_RATIONALE (and no stale entries for queries that
     since gained an oracle) — the checklist that keeps rows-only checks an
-    explicit, justified exception rather than silent verification debt."""
+    explicit, justified exception rather than silent verification debt.
+
+    Golden-VALUES oracles are computed from the fixture dir at import and
+    degrade to None when it is absent; on a machine without the fixtures
+    the exact-set assertion is meaningless, so only assert the documented
+    names are a subset and skip the staleness half."""
+    import os
+
+    from data_ingestion_poc_spark.goldens import ORACLE_SF_DIR
+
     rows_only = {n for n, q in registry.all_queries().items() if q.oracle is None}
     documented = set(registry.ROWS_ONLY_RATIONALE)
+    if not os.path.isdir(ORACLE_SF_DIR):
+        assert documented <= rows_only, (
+            f"stale rationale: {sorted(documented - rows_only)}"
+        )
+        pytest.skip(
+            f"fixture dir {ORACLE_SF_DIR} missing — golden-oracle queries "
+            "degrade to rows-only, exact-set check not meaningful"
+        )
     assert rows_only == documented, (
         f"missing rationale: {sorted(rows_only - documented)}; "
         f"stale rationale: {sorted(documented - rows_only)}"

@@ -19,9 +19,34 @@ import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from data_ingestion_poc_spark import registry
-from data_ingestion_poc_spark.catalog import TABLES
-from data_ingestion_poc_spark.session import get_spark
+
+def _dtype_kind(dt: str) -> str:
+    """Collapse a pandas dtype string to its comparison KIND. Driver
+    evidence across r1-r3 (win_rank, text_stats, fn_string all passed
+    schema_match with Spark int32 vs DuckDB int64) shows integer/float
+    WIDTH differences are tolerated; what has actually bitten is
+    cross-kind drift (decimal-as-object vs double, int vs float)."""
+    if dt.startswith(("int", "uint", "Int", "UInt")):
+        return "int"
+    if dt.startswith(("float", "Float")):
+        return "float"
+    if dt.startswith("datetime64"):
+        return "datetime"
+    return dt
+
+
+def dtype_mismatches(sp: pd.DataFrame, du: pd.DataFrame) -> tuple[list[str], list[str]]:
+    """(hard, soft) dtype differences column by column: hard = different
+    KIND (fails the check), soft = same kind, different width (warn
+    only — the driver tolerates these)."""
+    hard, soft = [], []
+    for col in sorted(set(sp.columns) & set(du.columns)):
+        a, b = str(sp[col].dtype), str(du[col].dtype)
+        if a == b:
+            continue
+        diff = f"{col}: spark={a} duckdb={b}"
+        (soft if _dtype_kind(a) == _dtype_kind(b) else hard).append(diff)
+    return hard, soft
 
 
 def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -60,6 +85,26 @@ def main() -> int:
                     "queries() dict (0 = all requested)")
     args = ap.parse_args()
 
+    # Import-time goldens (goldens.py / pyhash.py) are computed against
+    # ORACLE_SF_DIR; align it with --sf BEFORE the registry import so a
+    # non-default scale never silently compares against sf0.01 fixtures.
+    if "SPARK_GRAFT_ORACLE_SF_DIR" not in os.environ:
+        os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = args.sf
+    elif os.path.abspath(os.environ["SPARK_GRAFT_ORACLE_SF_DIR"]) != os.path.abspath(
+        args.sf
+    ):
+        print(
+            f"WARNING: --sf {args.sf} != SPARK_GRAFT_ORACLE_SF_DIR="
+            f"{os.environ['SPARK_GRAFT_ORACLE_SF_DIR']}; golden-VALUES oracles "
+            "will be computed from the latter",
+            file=sys.stderr,
+        )
+
+    global registry, TABLES, get_spark
+    from data_ingestion_poc_spark import registry
+    from data_ingestion_poc_spark.catalog import TABLES
+    from data_ingestion_poc_spark.session import get_spark
+
     if args.vanilla:
         from pyspark.sql import SparkSession
 
@@ -96,6 +141,11 @@ def main() -> int:
                 print(f"  ROWS-ONLY {name}: {len(sp)} rows [{time.time()-t0:.1f}s]")
                 continue
             du = con.execute(q.oracle).df()
+            hard_diff, soft_diff = dtype_mismatches(sp, du)
+            if hard_diff:
+                raise AssertionError(f"dtype mismatch: {'; '.join(hard_diff)}")
+            if soft_diff:
+                print(f"  width?    {name}: {'; '.join(soft_diff)}")
             a, b = canonicalize(sp), canonicalize(du)
             if sorted(a.columns) != sorted(b.columns):
                 raise AssertionError(f"columns differ: {list(a.columns)} vs {list(b.columns)}")
