@@ -35,74 +35,87 @@ def entry(spark: SparkSession) -> DataFrame:
 # (windows, TPC-H composites, LLM dedup/similarity, streaming, text),
 # then the remaining unjudged entries, and the r1-green queries last.
 _PRIORITY = [
-    # -- r3 window: every name below has NO driver verdict yet (or only a
-    # rows-only one that gained a real oracle this round). The driver judges
-    # the first ~50, so the order within this list is the judging order. --
-    # re-judge: golden oracle added in r2 (753b16f)
-    "scan_binary_meta",
-    # scalar/collection function surface (functions/*.py, never judged)
-    "fn_string", "fn_collation", "fn_url", "fn_datetime",
-    "fn_datetime_calendar", "fn_math", "fn_bitwise", "fn_try_arith",
-    "fn_array", "fn_array_hof", "fn_map", "fn_map_hof", "fn_json",
-    "fn_variant", "fn_hash", "fn_hash_native", "fn_aes_crypt",
+    # -- r4 window: the first ~50 entries are the driver's judging window;
+    # every name below position 1-50 has NO full driver verdict yet. --
+    # re-judge: the r2 verdict was rows-only; the golden oracles (pyhash.py
+    # pure-Python replay of the banded-LSH pipeline) landed in r3 but the
+    # r3 window ended before reaching them.
+    "dedup_minhash", "dedup_minhash_recall",
+    # sketch bound contracts (new in r4): approximate estimate checked
+    # against the exact aggregate computed in the SAME query, emitting
+    # within_tolerance booleans with hard-matched exact columns.
+    "agg_approx_distinct_bound", "agg_hll_sketch_bound",
+    "agg_approx_quantile_bound",
+    # python UDF surface (functions/udfs.py, never judged)
+    "udf_surface", "udtf_explode", "udf_cogrouped",
+    # corpus/training-mix family (never judged)
+    "corpus_dedup_keep", "corpus_quality_filter", "corpus_decontaminate",
+    "corpus_pack_blocks", "corpus_pack_manifest", "corpus_mix_weighted",
+    # sampling family (never judged)
+    "sample_bernoulli", "sample_stratified", "sample_train_split",
+    # text-analysis tail (never judged)
+    "text_quality_score", "text_lang_id", "text_fingerprint",
+    "text_ngrams", "text_bpe_pairs", "text_repetition_filter",
+    "text_boilerplate_ngrams",
+    # TPC-H composites without a driver verdict
+    "q_product_profit", "q_supplier_part_counts", "q_sole_late_shippers",
+    "q_large_volume_customer", "q_forecast_revenue",
+    "q_discounted_brand_revenue",
+    # scale-technique joins (never judged)
+    "join_skew_salted", "join_bucketed_colocated", "join_bloom_pruned",
+    "join_lateral_topk",
+    # percentile/pivot/profile family (never judged)
+    "agg_percentile", "agg_pivot", "agg_histogram", "profile_table",
+    "win_distribution",
+    # scan/stats tail (never judged)
+    "scan_cbo_stats", "scan_metadata_columns", "scan_python_datasource",
+    # SQL surface (never judged)
+    "sql_cte_subquery", "sql_recursive_cte",
+    # embedding analytics (never judged)
+    "embed_centroids", "embed_kmeans", "embed_gram_matrix",
+    # file-based streaming tail (never judged)
+    "stream_foreach_batch_sink", "stream_file_ingest_clean",
+    "stream_rollup_upsert",
+    # ---- ~position 50: next round's window starts here ----
+    "stream_checkpoint_resume", "stream_stateful_rocksdb",
+    "embed_norm_stats", "dedup_embedding_recall", "corpus_mix_report",
+    # judge-spot-checked in r3 (independent differential PASS recorded in
+    # VERDICT.md, still awaiting a driver verdict)
+    "corpus_token_budget", "corpus_shard_assign", "sample_reservoir_group",
+    "sink_merge_upsert", "join_dpp_pruned", "text_entropy",
+    "stream_static_join", "fn_uuid_content", "win_session_stats",
+    "q_fulfillment_latency", "q_dominant_suppliers",
+    "q_local_supplier_volume", "q_returned_items", "q_nation_trade_volume",
+    # rows-only by design (registry.ROWS_ONLY_RATIONALE) — a driver
+    # verdict can only ever be rows-only for these
+    "agg_approx_quantile", "embed_pca_project", "scan_range_clustered",
+    "scan_zorder_clustered",
+]
+
+# Names with a full driver verdict from r1/r2/r3 (CORRECTNESS_r0*.json):
+# push them to the back so the window keeps reaching unjudged queries.
+# (dedup_minhash / dedup_minhash_recall are deliberately NOT here: their
+# only verdict is a stale r2 rows-only from before their golden oracles
+# existed, so they lead the r4 window for a re-judge.)
+_JUDGED = {
+    # r3 full passes (CORRECTNESS_r03.json: 50/50)
+    "scan_binary_meta", "fn_string", "fn_collation", "fn_url",
+    "fn_datetime", "fn_datetime_calendar", "fn_math", "fn_bitwise",
+    "fn_try_arith", "fn_array", "fn_array_hof", "fn_map", "fn_map_hof",
+    "fn_json", "fn_variant", "fn_hash", "fn_hash_native", "fn_aes_crypt",
     "fn_struct", "fn_struct_array", "fn_conditional",
-    # set operations (setops.py, never judged)
     "set_union_all", "set_union_distinct", "set_intersect", "set_except",
     "set_intersect_all", "set_except_distinct",
-    # sorts / limits (sorts.py, never judged)
     "sort_multi_key", "limit_topk",
-    # scalar/correlated subquery composites (subqueries.py, never judged)
     "q_customer_distribution", "q_priority_lines", "q_small_qty_revenue",
     "q_idle_rich_customers", "q_min_cost_supplier", "q_important_part_value",
-    # ingest pipeline family (Part A port, never judged)
     "ingest_pipeline_e2e", "ingest_dedup_skip", "ingest_quarantine",
     "ingest_audit", "ingest_dedup_rename", "ingest_observe",
     "ingest_fetch_retry", "ingest_sink_metadata",
-    # multimodal trio (golden-VALUES oracles added this round)
     "multimodal_binary", "multimodal_framesample", "multimodal_resize",
-    # skew-safe sessionization pair + grouping id
     "win_sessionize_salted", "agg_grouping_id",
-    # streaming tail (never judged)
     "stream_watermark_late", "stream_stream_join",
-    "stream_foreach_batch_sink", "stream_file_ingest_clean",
-    "stream_rollup_upsert", "stream_checkpoint_resume",
-    # re-judge: rows-only -> golden VALUES upgrades this round (pure-
-    # Python replay of the banded-LSH pipeline, pyhash.py)
-    "dedup_minhash", "dedup_minhash_recall",
-    # new r3 operators (training-mix / quality / hygiene / sink family)
-    "corpus_mix_weighted", "corpus_token_budget", "text_repetition_filter",
-    "text_boilerplate_ngrams", "embed_norm_stats", "corpus_mix_report",
-    "sink_merge_upsert", "stream_stateful_rocksdb",
-    "join_dpp_pruned", "scan_metadata_columns", "sample_reservoir_group",
-    "join_bloom_pruned", "text_entropy", "corpus_shard_assign",
-    "stream_static_join", "fn_uuid_content", "win_session_stats",
-    "q_fulfillment_latency",
-    # ---- ~position 63: next round's window starts here ----
-    "udf_surface", "udtf_explode", "udf_cogrouped",
-    "corpus_dedup_keep", "corpus_quality_filter", "corpus_decontaminate",
-    "corpus_pack_blocks", "corpus_pack_manifest",
-    "sample_bernoulli", "sample_stratified", "sample_train_split",
-    "text_quality_score", "text_lang_id", "text_fingerprint",
-    "text_ngrams", "text_bpe_pairs",
-    "q_product_profit", "q_supplier_part_counts", "q_dominant_suppliers",
-    "q_sole_late_shippers",
-    "q_local_supplier_volume", "q_returned_items", "q_large_volume_customer",
-    "q_forecast_revenue", "q_discounted_brand_revenue",
-    "q_nation_trade_volume",
-    "join_skew_salted", "join_bucketed_colocated", "agg_percentile",
-    "agg_approx_quantile", "agg_pivot", "win_distribution",
-    "scan_range_clustered", "scan_zorder_clustered", "scan_cbo_stats",
-    "sql_cte_subquery", "sql_recursive_cte", "join_lateral_topk",
-    "profile_table", "agg_histogram",
-    "embed_centroids", "embed_kmeans", "embed_gram_matrix",
-    "embed_pca_project",
-    "dedup_embedding_recall", "scan_python_datasource",
-    "dedup_ngram_jaccard",  # re-judge: df-cap rewrite this round
-]
-
-# Names with a full driver verdict from r1/r2 (CORRECTNESS_r01/r02.json):
-# push them to the back so the window keeps reaching unjudged queries.
-_JUDGED = {
+    # r1/r2 verdicts
     "scan_parquet", "scan_manifest", "sink_partitioned",
     "scan_csv_roundtrip", "scan_json_roundtrip", "scan_orc_roundtrip",
     "scan_partition_pruned", "scan_schema_evolution",
@@ -126,8 +139,8 @@ _JUDGED = {
     "q_shipping_priority", "q_order_priority", "q_promo_revenue",
     "q_market_share", "q_yearly_growth", "q_funnel_conversion",
     "q_retention_cohorts", "q_top_supplier",
-    "dedup_exact_hash", "dedup_minhash", "dedup_clusters", "dedup_simhash",
-    "dedup_embedding_cosine", "dedup_fuzzy_name", "dedup_minhash_recall",
+    "dedup_exact_hash", "dedup_clusters", "dedup_simhash",
+    "dedup_embedding_cosine", "dedup_fuzzy_name", "dedup_ngram_jaccard",
     "sim_search_knn", "sim_search_ann", "sim_search_ann_multiprobe",
     "sim_search_ivf", "sim_search_recall",
     "stream_tumbling_agg", "stream_sliding_agg", "stream_session_window",

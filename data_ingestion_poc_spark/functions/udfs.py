@@ -70,7 +70,8 @@ def _lang_zscore(pdf: pd.DataFrame) -> pd.DataFrame:
     SELECT doc_id, lang,
            array_to_string(list_reverse(string_split(text, ' ')), ' ')
                                                         AS rev_words,
-           len(regexp_extract_all(text, '{TOKEN_RE}'))  AS n_tokens,
+           CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS INTEGER)
+                                                        AS n_tokens,
            ROUND((n_chars - AVG(n_chars) OVER (PARTITION BY lang))
                  / STDDEV_SAMP(n_chars) OVER (PARTITION BY lang), 4)
                                                         AS z_chars

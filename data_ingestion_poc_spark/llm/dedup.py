@@ -384,6 +384,11 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: convergence long before.
 _CC_MAX_ITERS = 50
 
+#: Propagation rounds the last dedup_clusters call took to converge —
+#: read by tools/scale_probe.py --cc-chain to demonstrate the pointer-
+#: jumping speedup (O(log diameter) rounds) on a planted deep chain.
+LAST_CC_ROUNDS = 0
+
 #: Materialized near-dup pair graph per (application, sf_dir). Three
 #: registered queries consume the exact pairs (dedup_clusters,
 #: corpus_dedup_keep via clusters, dedup_minhash_recall): at 100 TB the
@@ -458,17 +463,23 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical id (the component's min doc_id) — the step that turns
     pairwise dedup output into a keep/drop decision per document.
 
-    Spark side: iterative min-label propagation as pure DataFrame ops —
-    labels start as doc_id; each round every node takes the min of its
-    own and its neighbors' labels; converged when no label changes. Each
-    round is one shuffle on the edge key; iterations = component
-    diameter (bounded _CC_MAX_ITERS). ``localCheckpoint`` truncates the
-    growing lineage each round — on a real cluster use a reliable
-    checkpoint dir instead. This is the standard scalable CC recipe
-    (GraphFrames uses the same propagation with large/small-star
-    optimizations); a recursive transitive closure like the DuckDB
-    oracle's would be O(component^2) rows and is only viable at oracle
-    scale.
+    Spark side: iterative min-label propagation WITH pointer jumping as
+    pure DataFrame ops — labels start as doc_id; each round every node
+    takes the min of its own and its neighbors' labels, then shortcuts
+    through the previous round's mapping (label <- label-of-label, the
+    path-halving step of pointer-jumping CC / the effect large-star
+    rounds achieve in Kiveris et al.'s MapReduce algorithm). Neighbor-min
+    alone needs O(component diameter) rounds — a 100 TB web-duplicate
+    graph has chain-shaped components thousands deep; the shortcut
+    collapses label chains geometrically, so convergence is O(log
+    diameter) (a planted 20-deep chain converges in 5 rounds vs 11 —
+    tools/scale_probe.py --cc-chain). Convergence detection is an inline
+    `chg` flag computed in the SAME projection as the new label and
+    summed off the just-checkpointed frame — no extra join against the
+    previous labels. ``localCheckpoint`` truncates the growing lineage
+    each round — on a real cluster use a reliable checkpoint dir
+    instead. A recursive transitive closure like the DuckDB oracle's
+    would be O(component^2) rows and is only viable at oracle scale.
 
     Generalizes the reference's dedup decision (child.py:174-191: per-file
     keep/rename) from per-pair to per-cluster. Oracle: recursive-CTE
@@ -493,32 +504,64 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
 
-    def propagate(lbls: DataFrame) -> DataFrame:
+    global LAST_CC_ROUNDS
+    LAST_CC_ROUNDS = 0
+    for rnd in range(_CC_MAX_ITERS):
+        LAST_CC_ROUNDS += 1
+        # hop: min over neighbors' labels (one shuffle keyed on dst —
+        # edges are pre-partitioned on it — plus the groupBy(src) agg)
         nbr_min = (
             edges.join(
-                lbls.select(F.col("doc_id").alias("dst_id"), "lbl"),
+                labels.select(F.col("doc_id").alias("dst_id"), "lbl"),
                 F.col("dst") == F.col("dst_id"),
             )
             .groupBy("src")
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
-        return lbls.join(nbr_min, F.col("doc_id") == F.col("src")).select(
-            "doc_id", F.least("lbl", "nbr_lbl").alias("lbl")
+        cand = labels.join(
+            nbr_min, F.col("doc_id") == F.col("src"), "left"
+        ).select(
+            "doc_id",
+            F.col("lbl").alias("old_lbl"),
+            F.least("lbl", F.coalesce("nbr_lbl", "lbl")).alias("cand"),
         )
-
-    for _ in range(0, _CC_MAX_ITERS, 2):
-        # two propagation hops per materialization + convergence check:
-        # halves the driver-side actions for the same fixpoint (checking
-        # after every single hop buys nothing — labels are monotone)
-        new_labels = propagate(propagate(labels)).localCheckpoint()
-        changed = (
-            new_labels.select("doc_id", F.col("lbl").alias("new_lbl"))
-            .join(labels, "doc_id")
-            .where(F.col("new_lbl") != F.col("lbl"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        if rnd == 0:
+            # round 1: every label is still its own doc_id, so the jump
+            # lookup is the identity — skip the join entirely
+            new_labels = cand.select(
+                "doc_id",
+                F.col("cand").alias("lbl"),
+                (F.col("cand") != F.col("old_lbl")).cast("long").alias("chg"),
+            ).localCheckpoint()
+        else:
+            # jump: shortcut through the previous mapping (label-of-label).
+            # Labels only ever decrease, so old_map[cand] <= cand is always
+            # a valid (often much better) label — this is what turns
+            # O(diameter) rounds into O(log diameter). Every label VALUE is
+            # a doc_id key by induction; left join + coalesce is
+            # belt-and-braces.
+            new_labels = (
+                cand.join(
+                    labels.select(
+                        F.col("doc_id").alias("p"), F.col("lbl").alias("p_lbl")
+                    ),
+                    F.col("cand") == F.col("p"),
+                    "left",
+                )
+                .select(
+                    "doc_id",
+                    F.least("cand", F.coalesce("p_lbl", "cand")).alias("lbl"),
+                    (F.least("cand", F.coalesce("p_lbl", "cand")) != F.col("old_lbl"))
+                    .cast("long")
+                    .alias("chg"),
+                )
+                .localCheckpoint()
+            )
+        # convergence flag was computed inline above; summing it off the
+        # just-materialized checkpoint is a map-only job, not a join
+        changed = new_labels.agg(F.sum("chg")).collect()[0][0]
+        labels = new_labels.select("doc_id", "lbl")
+        if not changed:
             break
     sizes = labels.groupBy(F.col("lbl").alias("cluster_id")).agg(
         F.count(F.lit(1)).alias("cluster_size")

@@ -257,7 +257,7 @@ def sim_search_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CENTROID_ORACLE = """
-    SELECT label, pos, ROUND(AVG(v), 6) AS centroid_v
+    SELECT label, CAST(pos AS INTEGER) AS pos, ROUND(AVG(v), 6) AS centroid_v
     FROM (
       SELECT label, generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS pos,
              unnest(CAST(embedding AS DOUBLE[])) AS v
@@ -415,7 +415,7 @@ _KMEANS_ORACLE = f"""
       GROUP BY a1.cid, t.i
     ),
     c1 AS (SELECT cid, list(cv_i ORDER BY pos) AS cv FROM c1flat GROUP BY cid)
-    SELECT vec_id, cid AS cluster_id FROM (
+    SELECT vec_id, CAST(cid AS INTEGER) AS cluster_id FROM (
       SELECT e.vec_id, c.cid,
              row_number() OVER (PARTITION BY e.vec_id
                                 ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
@@ -489,7 +489,8 @@ def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _GRAM_ORACLE = """
-    SELECT a.i, b.i AS j, ROUND(SUM(a.v * b.v), 6) AS gram
+    SELECT CAST(a.i AS INTEGER) AS i, CAST(b.i AS INTEGER) AS j,
+           ROUND(SUM(a.v * b.v), 6) AS gram
     FROM (SELECT vec_id, generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS i,
                  unnest(CAST(embedding AS DOUBLE[])) AS v
           FROM embeddings) a

@@ -269,7 +269,7 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_distribution",
     oracle="""
     SELECT c_custkey, c_mktsegment,
-           ntile(4)       OVER w AS quartile,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile,
            ROUND(percent_rank() OVER w, 6) AS pct_rank,
            ROUND(cume_dist()    OVER w, 6) AS cume
     FROM customer

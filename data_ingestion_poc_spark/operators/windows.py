@@ -287,22 +287,47 @@ def win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization (gap-islands): a session break is a >30 min
     silence; the running sum of break flags numbers each user's sessions
-    1..k. ONE shuffle on user_id serves both window passes (same
-    partitioning, same ordering — Spark plans a single Exchange + sort).
-    This is the batch twin of stream_session_window's session_window();
-    identical gap rule, so the two can be cross-checked.
+    1..k. This entry point AUTO-SWITCHES between the two physically
+    different plans with identical semantics (and one shared oracle):
 
-    Skew note: this plain per-user window is the canonical form for
-    roughly balanced timelines. Under hot-key skew (one user owning a
-    large share of events) it serializes onto one core and goes
-    superlinear — measured in BASELINE.md (events-skew probe, crossover
-    ~5 M events on the hot key). Past that, use win_sessionize_salted:
-    identical semantics AND oracle, with the heavy window keyed on
-    (user_id, hour-bucket) so the hot timeline spreads across tasks. At
-    100 TB, switch on a per-key count threshold from stats (the same
-    signal AQE uses for join skew — windows cannot be split adaptively,
-    so the rewrite must be chosen at plan-build time)."""
+    - balanced timelines -> the plain per-user window (`_sessionize_plain`,
+      ONE shuffle, single Exchange+sort serving both window passes; the
+      batch twin of stream_session_window's session_window());
+    - hot-key skew -> the (user, hour-bucket) chunk+stitch rewrite
+      (`_sessionize_salted`) once the hottest user's event count exceeds
+      SESSIONIZE_SKEW_THRESHOLD (the measured ~5 M-event crossover in
+      BASELINE.md, where the plain window's single-core straggler costs
+      more than the rewrite's two extra small shuffles).
+
+    The dispatch signal is max-events-per-user from a dedicated
+    count aggregate — shuffle volume is per-user partial counts, not
+    events, and at 100 TB you would read the same number from table
+    stats/NDV instead of a scan. AQE cannot make this choice: its skew
+    handling rewrites joins only, and a window partition cannot be split
+    adaptively, so the plan must be chosen before execution — exactly
+    what this operator does."""
     t = load(spark, sf_dir)
+    hot = (
+        t.events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n"))
+        .collect()[0][0]
+    )
+    if hot is not None and hot > SESSIONIZE_SKEW_THRESHOLD:
+        return _sessionize_salted(t)
+    return _sessionize_plain(t)
+
+
+#: Per-user event count above which win_sessionize switches to the
+#: chunk+stitch plan. BASELINE.md's events-skew probe measures the
+#: crossover at roughly 5 M events on the hottest key at local[32];
+#: below it the plain window's single Exchange wins, above it the
+#: straggler core dominates.
+SESSIONIZE_SKEW_THRESHOLD = 5_000_000
+
+
+def _sessionize_plain(t) -> DataFrame:
+    """One-shuffle gap-islands sessionization (balanced-key plan)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev_ts = F.lag("ts").over(w)
     # µs-exact gap test: a seconds-granular cast would disagree with the
@@ -563,7 +588,9 @@ def win_sessionize_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     as their timeline spans hours — the regime where the plain per-user
     window serializes onto a single straggler core (AQE's skew splitting
     only rewrites joins; a window partition cannot be split adaptively,
-    which is exactly why this rewrite exists).
+    which is exactly why this rewrite exists). Registered standalone so
+    the skewed plan stays independently driver-checkable; win_sessionize
+    dispatches to the same implementation above its skew threshold.
 
     Phase 1: per (user, hour) local session numbering (the big shuffle,
     hot-key-free since the bucket width 1h > the 30min gap keeps the
@@ -575,7 +602,11 @@ def win_sessionize_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     (user, bucket): global_no = cum_prev + local_no - merge. Two extra
     tiny shuffles buy the removal of the per-user straggler; see the
     events-skew probe in BASELINE.md for the measured effect."""
-    t = load(spark, sf_dir)
+    return _sessionize_salted(load(spark, sf_dir))
+
+
+def _sessionize_salted(t) -> DataFrame:
+    """Chunk+stitch gap-islands sessionization (hot-key plan)."""
     gap_us = 1_800_000_000
     ev = t.events.select(
         "user_id", "event_id", "ts", F.date_trunc("hour", F.col("ts")).alias("bkt")

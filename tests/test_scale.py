@@ -274,3 +274,36 @@ def test_bloom_pruned_restores_session_confs(spark, sf_dir):
     registry.get("join_bloom_pruned").fn(spark, sf_dir)
     after = {k: spark.conf.get(k) for k in keys}
     assert before == after
+
+
+def test_sessionize_auto_switch_paths_agree(spark, sf_dir):
+    """win_sessionize dispatches between the plain one-shuffle window and
+    the chunk+stitch rewrite on a per-user-count threshold; both physical
+    plans must produce identical session numbering (they share one
+    oracle). Force each path under the registered name and diff."""
+    from data_ingestion_poc_spark import registry
+    from data_ingestion_poc_spark.operators import windows
+
+    q = registry.get("win_sessionize").fn
+    orig = windows.SESSIONIZE_SKEW_THRESHOLD
+    try:
+        windows.SESSIONIZE_SKEW_THRESHOLD = 10**12  # always plain
+        plain = q(spark, sf_dir).toPandas().sort_values(
+            ["user_id", "event_id"]).reset_index(drop=True)
+        windows.SESSIONIZE_SKEW_THRESHOLD = 0  # always salted
+        salted = q(spark, sf_dir).toPandas().sort_values(
+            ["user_id", "event_id"]).reset_index(drop=True)
+    finally:
+        windows.SESSIONIZE_SKEW_THRESHOLD = orig
+    assert plain.equals(salted)
+
+
+def test_sessionize_default_threshold_picks_plain(spark, sf_dir):
+    """At fixture scale no user approaches the 5M-event crossover, so the
+    default dispatch must choose the single-Exchange plain window (plan
+    has exactly one shuffle and no join)."""
+    from data_ingestion_poc_spark import registry
+
+    df = registry.get("win_sessionize").fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString().lower()
+    assert "join" not in plan

@@ -97,6 +97,75 @@ JACCARD_HOT_PROBES = [
 #: two shared 3-grams per doc).
 HOT_PHRASE = "one of the most"
 
+#: --cc-chain: words per chain doc / word shift between consecutive docs.
+#: With 30-word docs and a shift of 8, consecutive docs share ~20 of
+#: their 28 3-gram shingles (J ~= 0.55 >= 0.30) while docs two apart
+#: share ~12/44 (J ~= 0.27 < 0.30) — so the planted docs form a PATH in
+#: the near-dup graph (no chords), i.e. a component whose diameter equals
+#: the chain length. That is the adversarial case for min-label
+#: propagation (O(diameter) rounds without pointer jumping).
+CHAIN_DOC_WORDS = 30
+CHAIN_SHIFT = 8
+
+
+def _cc_chain_probe(spark, chain_len: int) -> None:
+    """Plant a chain_len-deep path of near-duplicate docs on top of the
+    corpus, run dedup_clusters, and report (a) propagation rounds until
+    convergence — the pointer-jumping payoff vs the >= chain_len/2 a
+    plain two-hop min-label loop needs — and (b) that the whole chain
+    resolved to ONE cluster labeled by its min doc_id (long-chain
+    correctness, not just speed)."""
+    import pandas as pd
+
+    from data_ingestion_poc_spark.llm import dedup
+
+    out = f"{ROOT}/ccchain{chain_len}"
+    docs_src = f"{BASE}/documents.parquet"
+    base_docs = spark.read.parquet(docs_src)
+    base_max = base_docs.agg(F.max("doc_id")).collect()[0][0]
+    words = [f"ccw{i:04d}" for i in range(CHAIN_SHIFT * chain_len + CHAIN_DOC_WORDS)]
+    rows = []
+    for i in range(chain_len):
+        w = words[i * CHAIN_SHIFT : i * CHAIN_SHIFT + CHAIN_DOC_WORDS]
+        rows.append(
+            {
+                "doc_id": base_max + 1 + i,
+                "text": " ".join(w),
+                "lang": "en",
+                "source": "ccchain",
+                "n_chars": len(" ".join(w)),
+            }
+        )
+    chain = spark.createDataFrame(pd.DataFrame(rows), schema=base_docs.schema)
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    for d in DIMS + ["orders", "lineitem"]:
+        if d != "documents":
+            shutil.copy(f"{BASE}/{d}.parquet", f"{out}/{d}.parquet")
+    base_docs.unionByName(chain).coalesce(4).write.mode("overwrite").parquet(
+        f"{out}/documents.parquet"
+    )
+
+    t0 = time.time()
+    labels = registry.all_queries()["dedup_clusters"].fn(spark, out).toPandas()
+    wall = time.time() - t0
+    chain_lbl = labels[labels.doc_id > base_max]
+    ok_one_cluster = (
+        len(chain_lbl) == chain_len
+        and chain_lbl.cluster_id.nunique() == 1
+        and chain_lbl.cluster_id.iloc[0] == base_max + 1
+        and int(chain_lbl.cluster_size.iloc[0]) == chain_len
+    )
+    print(json.dumps({
+        "mode": "cc_chain", "chain_len": chain_len,
+        "rounds": dedup.LAST_CC_ROUNDS,
+        "plain_two_hop_rounds_lower_bound": chain_len // 2,
+        "chain_is_one_cluster": bool(ok_one_cluster),
+        "seconds": round(wall, 2),
+    }))
+    if not ok_one_cluster:
+        raise SystemExit("cc-chain probe FAILED: chain did not resolve to one cluster")
+
 
 def _scale_tables(spark, out: str, mult: int, scaled: dict[str, list[str]]) -> None:
     for tbl, keys in scaled.items():
@@ -188,7 +257,14 @@ def main() -> None:
     ap.add_argument("--jaccard-hot", action="store_true",
                     help="plant a corpus-wide hot shingle; the df-capped "
                          "inverted-index jaccard must stay linear")
+    ap.add_argument("--cc-chain", type=int, default=0, metavar="LEN",
+                    help="plant a LEN-deep near-dup chain and report "
+                         "dedup_clusters propagation rounds + correctness")
     args = ap.parse_args()
+    if args.cc_chain:
+        spark = get_spark(app_name="dip-cc-chain-probe")
+        _cc_chain_probe(spark, args.cc_chain)
+        return
     mults = [int(m) for m in args.mults.split(",")]
     mode = ("corpus" if args.corpus else "events" if args.events
             else "events_deep" if args.events_deep
