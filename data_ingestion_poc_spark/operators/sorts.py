@@ -36,7 +36,25 @@ from ..registry import register
 def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global multi-key sort with mixed asc/desc and explicit NULLS LAST
     placement (nulls manufactured via nullif). sort_pos pins the ordering
-    into the values so the order-insensitive hash still checks it."""
+    into the values so the order-insensitive hash still checks it.
+
+    ``row_number().over(Window.orderBy(...))`` would move the whole table
+    into ONE partition (WindowExec warns exactly that; the r4 plan audit
+    flagged it), so the global position is assigned distributedly
+    instead — the classic two-phase recipe:
+
+    1. range-partition on the sort keys + sort within partitions (the
+       one full-data exchange a global sort needs anyway);
+    2. ``monotonically_increasing_id`` encodes (partition index << 33) +
+       local row position — computed in place, no shuffle, deterministic
+       here because the tiebreak on unique o_orderkey makes the sort a
+       total order;
+    3. per-partition row counts (one row per range partition) get a
+       prefix-sum offset via a tiny window and broadcast-join back;
+       sort_pos = offset + local position.
+
+    The only SinglePartition exchange left is the prefix-sum over the
+    partition-count frame — bounded at one row per range partition."""
     t = load(spark, sf_dir)
     base = t.orders.where(F.col("o_orderkey") < 2000).select(
         "o_orderkey",
@@ -48,9 +66,30 @@ def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").desc(),
         F.col("o_orderkey").asc(),
     ]
-    return base.withColumn(
-        "sort_pos", F.row_number().over(Window.orderBy(*order))
-    ).orderBy(*order)
+    ranged = (
+        base.repartitionByRange(8, *order)
+        .sortWithinPartitions(*order)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn("_pid", F.shiftrightunsigned("_mid", 33))
+        .withColumn("_local", F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1)))
+    )
+    offsets = (
+        ranged.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .withColumn(
+            "_off",
+            F.sum("_cnt").over(Window.orderBy("_pid")) - F.col("_cnt"),
+        )
+        .select("_pid", "_off")
+    )
+    return (
+        ranged.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            "sort_pos", (F.col("_off") + F.col("_local") + 1).cast("int")
+        )
+        .select("o_orderkey", "pri", "o_totalprice", "sort_pos")
+        .sortWithinPartitions(*order)
+    )
 
 
 @register(

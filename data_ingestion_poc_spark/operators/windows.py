@@ -536,18 +536,20 @@ def win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
 def win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ratio_to_report: each order's share of its customer's spend and of
     global spend (the BI contribution metric). The per-customer ratio is
-    one hash window; the GLOBAL denominator is an unpartitioned window
-    over an unordered frame — Spark computes it as a single-partition
-    aggregate of the tiny per-partition partials, not a global sort, so
-    it is scale-safe despite the empty PARTITION BY (no ORDER BY = no
-    sort requirement). Both denominators are summed as DECIMAL(18,2)
-    (order-independent, exact) and only then cast to double, so the sole
-    float step is one division — no cross-engine float-sum dependence."""
+    one hash window. The GLOBAL denominator is deliberately NOT an
+    unpartitioned window — ``sum().over(Window.partitionBy())`` makes
+    WindowExec move the ENTIRE table into one partition (the r4 plan
+    audit caught exactly that) — but a 1-row scalar aggregate
+    cross-joined back as a broadcast: the only SinglePartition exchange
+    left carries one partial-sum row per upstream partition. Both
+    denominators are summed as DECIMAL(18,2) (order-independent, exact)
+    and only then cast to double, so the sole float step is one
+    division — no cross-engine float-sum dependence."""
     t = load(spark, sf_dir)
     w_cust = Window.partitionBy("o_custkey")
-    w_all = Window.partitionBy()
     price_dec = F.col("o_totalprice").cast("decimal(18,2)")
-    return t.orders.select(
+    total = t.orders.agg(F.sum(price_dec).alias("_g_total"))
+    return t.orders.crossJoin(F.broadcast(total)).select(
         "o_custkey",
         "o_orderkey",
         F.round(
@@ -556,8 +558,7 @@ def win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("spend_share"),
         F.round(
-            F.col("o_totalprice")
-            / F.sum(price_dec).over(w_all).cast("double"),
+            F.col("o_totalprice") / F.col("_g_total").cast("double"),
             10,
         ).alias("global_share"),
     )

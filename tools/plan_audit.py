@@ -1,12 +1,22 @@
-"""Physical-plan audit: dump scale-relevant plan properties for the bench
-headline queries into PLANS.md.
+"""Physical-plan audit: dump scale-relevant plan properties for EVERY
+registered batch query into PLANS.md, and enforce two hard invariants:
+
+  1. no ``CartesianProduct`` anywhere (the only nested-loop joins allowed
+     are broadcast ones, and those must come from 1-row scalar subqueries);
+  2. no ``Exchange SinglePartition`` outside the documented allowlist
+     below (each entry is a bounded driver-side reduction: a 1-row scalar
+     subquery, a global top-k that Spark already limits before the
+     exchange, or a tiny stats frame).
 
 For each query: exchange (shuffle) count, broadcast usage, join
 strategies, parquet pushdown evidence (PushedFilters / ReadSchema), and
 whole-stage-codegen span count. This is the '.explain and iterate' loop
 made repeatable — re-run after any operator change and diff PLANS.md.
+``tests/test_plans.py`` re-parses the committed PLANS.md and pins both
+invariants, so a regression shows up as a test failure, not just a diff.
 
-Usage: python tools/plan_audit.py [--sf SF_DIR] [-o PLANS.md]
+Usage: python tools/plan_audit.py [--sf SF_DIR] [-o PLANS.md] [--only NAME ...]
+Exit status is non-zero if either invariant is violated.
 """
 
 from __future__ import annotations
@@ -21,109 +31,58 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from data_ingestion_poc_spark import registry
 from data_ingestion_poc_spark.session import get_spark
 
-# Streaming queries execute via their own sink; their micro-batch plans are
-# not reachable from the returned (memory-table) DataFrame, so audit the
-# batch-relational headliners only.
-AUDITED = [
-    "scan_parquet",
-    "agg_hash_group",
-    "agg_distinct",
-    "agg_grouping_sets",
-    "agg_pivot",
-    "join_inner_hash",
-    "join_broadcast",
-    "join_sort_merge",
-    "join_anti",
-    "join_asof_time",
-    "join_skew_salted",
-    "join_bucketed_colocated",
-    "q_shipping_priority",
-    "q_order_priority",
-    "q_local_supplier_volume",
-    "q_returned_items",
-    "q_promo_revenue",
-    "q_large_volume_customer",
-    "q_forecast_revenue",
-    "q_discounted_brand_revenue",
-    "q_customer_distribution",
-    "q_priority_lines",
-    "q_top_supplier",
-    "q_small_qty_revenue",
-    "q_idle_rich_customers",
-    "q_min_cost_supplier",
-    "q_important_part_value",
-    "q_product_profit",
-    "q_supplier_part_counts",
-    "q_dominant_suppliers",
-    "q_sole_late_shippers",
-    "join_range_bucketed",
-    "scan_partition_pruned",
-    "scan_schema_evolution",
-    "scan_orc_roundtrip",
-    "rollup_time_hierarchy",
-    "agg_unpivot",
-    "agg_arg_extrema",
-    "corpus_quality_filter",
-    "join_asof_forward",
-    "win_moving_frame",
-    "fn_bitwise",
-    "fn_datetime_calendar",
-    "win_time_range",
-    "join_null_safe",
-    "agg_histogram",
-    "agg_string_concat",
-    "dedup_fuzzy_name",
-    "dedup_embedding_cosine",
-    "dedup_embedding_recall",
-    "win_sessionize_salted",
-    "ingest_sink_metadata",
-    "sql_cte_subquery",
-    "profile_table",
-    "win_topk_per_group",
-    "win_distribution",
-    "limit_topk",
-    "text_stats",
-    "text_tokenize_tf",
-    "dedup_exact_hash",
-    "dedup_minhash",
-    "sim_search_knn",
-    "sim_search_ivf",
-    "embed_centroids",
-    "win_gapfill_locf",
-    "win_ignore_nulls",
-    "text_tfidf",
-    "text_pii_scrub",
-    # r3 additions
-    "dedup_ngram_jaccard",
-    "corpus_mix_weighted",
-    "corpus_mix_report",
-    "corpus_token_budget",
-    "text_repetition_filter",
-    "text_boilerplate_ngrams",
-    "embed_norm_stats",
-    "sink_merge_upsert",
-    "join_dpp_pruned",
-    "join_bloom_pruned",
-    "scan_metadata_columns",
-    "sample_reservoir_group",
-    "text_entropy",
-    "corpus_shard_assign",
-    "corpus_decontaminate",
-    "sim_search_ann_multiprobe",
-    "join_lateral_topk",
-    "sql_recursive_cte",
-    "scan_cbo_stats",
-    "q_funnel_conversion",
-    "corpus_pack_blocks",
-    "agg_regr",
-    "agg_bitmap_distinct",
-    "agg_mode",
-    "win_ratio_to_report",
-    "join_existence_or",
-    "embed_gram_matrix",
-    "scan_python_datasource",
-    "agg_approx_top_k",
-]
+# Streaming queries execute via their own micro-batch sink; the plan of the
+# returned (memory-table) DataFrame is just a table scan, so auditing it
+# would claim coverage the audit doesn't have. They are listed in the
+# report's exclusion note instead.
+EXCLUDED_PREFIXES = ("stream_",)
+
+# Queries allowed to contain `Exchange SinglePartition`, with the bounded
+# reason. Anything else with a SinglePartition exchange fails the audit —
+# at 100 TB an undocumented single-partition stage is a driver-shaped
+# bottleneck hiding in a distributed plan.
+SINGLE_PARTITION_OK: dict[str, str] = {
+    # 1-row scalar-subquery broadcasts (global aggregate reduced to one
+    # row, then broadcast back — the input to the exchange is one row per
+    # upstream partition, i.e. partial aggregates, not data rows).
+    "q_promo_revenue": "1-row scalar aggregate (promo share denominator)",
+    "q_important_part_value": "1-row scalar aggregate (avg part value threshold)",
+    "q_idle_rich_customers": "1-row scalar aggregate (avg balance threshold)",
+    "q_forecast_revenue": "1-row scalar aggregate (yearly total for share)",
+    "q_market_share": "1-row scalar aggregate per year (share denominator)",
+    "embed_norm_stats": "1-row global stats frame broadcast back to corpus",
+    "sim_search_recall": "1-row recall summary (exact vs ANN set compare)",
+    "dedup_embedding_recall": "1-row recall summary",
+    "dedup_minhash_recall": "1-row recall summary",
+    "agg_approx_distinct_bound": "1-row sketch-vs-exact contract frame",
+    "agg_hll_sketch_bound": "1-row sketch-vs-exact contract frame",
+    "agg_approx_quantile_bound": "1-row sketch-vs-exact contract frame",
+    "profile_table": "fixed-width profile summary (one row per column)",
+    "corpus_mix_report": "per-source mix shares need the 1-row corpus total",
+    "corpus_token_budget": "bounded bucket-offset prefix-sum frame",
+    "corpus_pack_manifest": "bounded bucket-offset prefix-sum frame",
+    "corpus_pack_blocks": "bounded bucket-offset prefix-sum frame",
+    "text_tfidf": "1-row corpus doc-count for the idf denominator",
+    "q_yearly_growth": "1-row base-year revenue for the growth ratio",
+    "win_distribution": "unpartitioned ntile/cume_dist exhibit over bounded group frame",
+    "q_funnel_conversion": "funnel stage totals: one row per stage",
+    "embed_gram_matrix": "dim x dim Gram frame (64x64), corpus never single-partitions",
+    "embed_pca_project": "dim x dim Gram frame feeding driver eigh",
+    "scan_cbo_stats": "ANALYZE TABLE stats summary (catalog metadata rows)",
+    # global scalar aggregates: the SinglePartition exchange carries one
+    # PARTIAL-aggregate row per upstream partition (map-side combine has
+    # already run), never data rows — the standard, scale-safe shape of
+    # any global SUM/MAX/sketch-merge.
+    "agg_hll_sketch": "global sketch merge: partial HLL states, one per partition",
+    "agg_approx_top_k": "global approx_top_k merge: partial sketch states",
+    "q_discounted_brand_revenue": "1-row global revenue sum (partial rows only)",
+    "q_top_supplier": "1-row MAX(total_revenue) scalar subquery",
+    "q_small_qty_revenue": "1-row global sum after per-part avg broadcast",
+    "join_bloom_pruned": "bloom-filter build: partial bloom states, one per partition",
+    "sql_cte_subquery": "1-row scalar subquery inside the CTE",
+    "win_ratio_to_report": "1-row global spend denominator (crossJoin broadcast)",
+    "sort_multi_key": "prefix-sum over the partition-count frame (one row per range partition)",
+}
 
 
 def audit(df) -> dict:
@@ -143,6 +102,10 @@ def audit(df) -> dict:
         "shuffles": len(
             re.findall(r"Exchange (?:hash|range|SinglePartition)", exec_lines)
         ),
+        "single_partition": len(
+            re.findall(r"Exchange SinglePartition", exec_lines)
+        ),
+        "cartesian": "CartesianProduct" in plan,
         "broadcasts": plan.count("BroadcastExchange"),
         "joins": sorted(set(re.findall(r"(\w+Join)\b", plan)) - {"LateralJoin"}),
         # non-empty on AT LEAST one scan (a dimension scanned in full must
@@ -162,42 +125,81 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("-o", "--out", default=os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"))
+    ap.add_argument("--only", nargs="*", help="audit just these query names (skips writing PLANS.md)")
     args = ap.parse_args()
     spark = get_spark(app_name="dip-plan-audit")
     qs = registry.all_queries()
 
+    audited = [
+        n for n in qs if not n.startswith(EXCLUDED_PREFIXES)
+    ]
+    excluded = sorted(n for n in qs if n.startswith(EXCLUDED_PREFIXES))
+    if args.only:
+        audited = [n for n in audited if n in set(args.only)]
+
     lines = [
-        "# PLANS — physical-plan audit of headline queries",
+        "# PLANS — physical-plan audit of every registered batch query",
         "",
         f"Generated by `python tools/plan_audit.py --sf {args.sf}` "
         "(re-run after operator changes; see tools/plan_audit.py).",
         "",
-        "Columns: shuffles = `Exchange hash/range` nodes (the scale cost driver);",
-        "bcast = BroadcastExchange nodes (map-side joins, no big-side shuffle);",
-        "pushdown = non-empty parquet PushedFilters; wscg = distinct",
-        "whole-stage-codegen spans; notes = plan facts worth knowing.",
+        "Columns: shuffles = `Exchange hash/range/SinglePartition` nodes (the",
+        "scale cost driver); 1part = `Exchange SinglePartition` nodes, allowed",
+        "only with a documented bounded-size reason (tools/plan_audit.py",
+        "SINGLE_PARTITION_OK); bcast = BroadcastExchange nodes (map-side joins,",
+        "no big-side shuffle); pushdown = non-empty parquet PushedFilters;",
+        "wscg = distinct whole-stage-codegen spans; notes = plan facts worth",
+        "knowing. `CartesianProduct` anywhere fails the audit.",
         "",
-        "| query | shuffles | bcast | joins | pushdown | wscg | notes |",
-        "|---|---|---|---|---|---|---|",
+        f"Excluded (micro-batch sinks, plan not reachable from the returned",
+        f"DataFrame): {', '.join('`%s`' % n for n in excluded)}.",
+        "",
+        "| query | shuffles | 1part | bcast | joins | pushdown | wscg | notes |",
+        "|---|---|---|---|---|---|---|---|",
     ]
-    for name in AUDITED:
+    violations: list[str] = []
+    for name in audited:
         df = qs[name].fn(spark, args.sf)
-        a = audit(df)
+        try:
+            a = audit(df)
+        except Exception as exc:  # noqa: BLE001 - report which query broke
+            violations.append(f"{name}: audit failed: {exc}")
+            continue
         notes = []
         if a["take_ordered"]:
             notes.append("top-k via TakeOrderedAndProject")
         if a["bucketed_scan"]:
             notes.append("bucketed scan, zero-shuffle join")
+        if a["cartesian"]:
+            violations.append(f"{name}: CartesianProduct in executed plan")
+            notes.append("CARTESIAN (VIOLATION)")
+        if a["single_partition"]:
+            reason = SINGLE_PARTITION_OK.get(name)
+            if reason is None:
+                violations.append(
+                    f"{name}: {a['single_partition']} undocumented "
+                    "Exchange SinglePartition node(s)"
+                )
+                notes.append("SinglePartition (VIOLATION)")
+            else:
+                notes.append(f"1part ok: {reason}")
         lines.append(
-            f"| `{name}` | {a['shuffles']} | {a['broadcasts']} | "
+            f"| `{name}` | {a['shuffles']} | {a['single_partition']} | "
+            f"{a['broadcasts']} | "
             f"{', '.join(a['joins']) or '—'} | "
             f"{'yes' if a['pushed_filters'] else '—'} | {a['codegen_spans']} | "
             f"{'; '.join(notes) or '—'} |"
         )
+    if violations:
+        lines += ["", "## VIOLATIONS", ""] + [f"- {v}" for v in violations]
     out = "\n".join(lines) + "\n"
-    with open(args.out, "w") as f:
-        f.write(out)
+    if not args.only:
+        with open(args.out, "w") as f:
+            f.write(out)
     print(out)
+    if violations:
+        print(f"PLAN AUDIT FAILED: {len(violations)} violation(s)", file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -260,6 +260,9 @@ def main() -> None:
     ap.add_argument("--cc-chain", type=int, default=0, metavar="LEN",
                     help="plant a LEN-deep near-dup chain and report "
                          "dedup_clusters propagation rounds + correctness")
+    ap.add_argument("--probes", nargs="*", default=None,
+                    help="restrict to these probe queries (keeps very "
+                         "large mults, e.g. --mults 1,16,100, bounded)")
     args = ap.parse_args()
     if args.cc_chain:
         spark = get_spark(app_name="dip-cc-chain-probe")
@@ -273,6 +276,8 @@ def main() -> None:
     probes = {"corpus": DOC_PROBES, "events": EVENT_PROBES,
               "events_deep": EVENT_PROBES, "events_skew": EVENT_SKEW_PROBES,
               "jaccard_hot": JACCARD_HOT_PROBES, "facts": PROBES}[mode]
+    if args.probes:
+        probes = [q for q in probes if q in set(args.probes)] or args.probes
     spark = get_spark(app_name="dip-scale-probe")
     qs = registry.all_queries()
 
