@@ -277,7 +277,7 @@ def main() -> None:
               "events_deep": EVENT_PROBES, "events_skew": EVENT_SKEW_PROBES,
               "jaccard_hot": JACCARD_HOT_PROBES, "facts": PROBES}[mode]
     if args.probes:
-        probes = [q for q in probes if q in set(args.probes)] or args.probes
+        probes = args.probes  # any registered query, regardless of mode
     spark = get_spark(app_name="dip-scale-probe")
     qs = registry.all_queries()
 
