@@ -164,7 +164,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides and the per-doc sizes), and materializing it once replaces
     three explode+window recomputations — the same reuse a 100 TB run
     would get by writing the inverted index to a bucketed table."""
-    shingles = _capped_shingle_index(spark, sf_dir)
+    return jaccard_pairs_from_index(_capped_shingle_index(spark, sf_dir))
+
+
+def jaccard_pairs_from_index(shingles: DataFrame) -> DataFrame:
+    """The inverted-index Jaccard join shape, shared by the registered
+    (df-capped) operator and the uncapped ground-truth side of
+    dedup_jaccard_recall: shingle equi-self-join -> intersection counts
+    -> Jaccard >= 0.30 over whatever shingle universe `shingles` holds."""
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = shingles.alias("a")
     b = shingles.alias("b")
@@ -186,6 +193,21 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(jac >= 0.30)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
+
+
+def uncapped_shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full (no df cap) inverted shingle index. ONLY for the recall
+    evaluation's ground-truth side — at corpus scale the uncapped
+    self-join is quadratic in hot-shingle df, which is exactly what the
+    registered operator's cap exists to prevent; a 100 TB recall run
+    samples docs before calling this (see evaluation.py scale note)."""
+    t = load(spark, sf_dir)
+    docs = t.documents.select(
+        "doc_id", F.split(F.lower("text"), " ").alias("words")
+    )
+    return docs.select(
+        "doc_id", F.explode(shingle_array(F.col("words"), 3)).alias("shingle")
+    ).dropDuplicates(["doc_id", "shingle"])
 
 
 #: MinHash signature size and banding: 32 hashes in 8 bands of 4. A pair

@@ -233,3 +233,108 @@ def dedup_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) - F.count("hit")).alias("missed_pairs"),
         F.round(F.count("hit") * 100.0 / F.count(F.lit(1)), 2).alias("recall_pct"),
     )
+
+
+def _jaccard_recall_oracle() -> str:
+    """Both sides are plain SQL (capped and uncapped inverted-index
+    Jaccard), so the cap-quality report carries a full value oracle."""
+    from .dedup import JACCARD_DF_CAP
+
+    return f"""
+    WITH sh0 AS (
+      SELECT DISTINCT doc_id, shingle
+      FROM (
+        SELECT doc_id,
+               unnest([array_to_string(words[i:i+2], ' ')
+                       FOR i IN range(1, len(words) - 1)]) AS shingle
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS words
+              FROM documents)
+      )
+    ),
+    keep AS (
+      SELECT shingle FROM sh0 GROUP BY shingle
+      HAVING COUNT(*) <= {JACCARD_DF_CAP}
+    ),
+    shc AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep USING (shingle)),
+    ex_sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh0 GROUP BY doc_id),
+    ex_inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh0 a JOIN sh0 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    exact AS (
+      SELECT doc_a, doc_b FROM ex_inter
+      JOIN ex_sizes sa ON sa.doc_id = doc_a
+      JOIN ex_sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.30
+    ),
+    c_sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
+    c_inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    capped AS (
+      SELECT doc_a, doc_b FROM c_inter
+      JOIN c_sizes sa ON sa.doc_id = doc_a
+      JOIN c_sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.30
+    ),
+    j AS (
+      SELECT e.doc_a AS ea, c.doc_a AS ca
+      FROM exact e FULL OUTER JOIN capped c
+        ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b
+    )
+    SELECT CAST(COUNT(ea) AS BIGINT) AS exact_pairs,
+           CAST(COUNT(ca) AS BIGINT) AS capped_pairs,
+           CAST(SUM(CASE WHEN ea IS NOT NULL AND ca IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+           ROUND(SUM(CASE WHEN ea IS NOT NULL AND ca IS NOT NULL
+                          THEN 1 ELSE 0 END) * 100.0 / COUNT(ea), 2)
+             AS recall_pct,
+           ROUND(SUM(CASE WHEN ea IS NOT NULL AND ca IS NOT NULL
+                          THEN 1 ELSE 0 END) * 100.0 / COUNT(ca), 2)
+             AS precision_pct
+    FROM j
+    """
+
+
+@register("dedup_jaccard_recall", oracle=_jaccard_recall_oracle())
+def dedup_jaccard_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall AND precision of the df-capped Jaccard dedup vs the
+    uncapped exact pair set.
+
+    The r4 docs100 probe (BASELINE.md) showed the JACCARD_DF_CAP is
+    two-sided: it bounds the inverted-index self-join quadratically AND
+    throttles pairs whose overlap lives only in hot (df > cap) shingles —
+    pairs can be missed (recall < 100) and, because capping shrinks both
+    doc sizes and intersections, borderline pairs can tip over the 0.30
+    threshold in either direction (precision < 100 is possible too).
+    This query measures both on the live corpus: one row with pair
+    counts, hits, recall_pct and precision_pct. At the test fixtures'
+    max df (~25 << 256) capped == uncapped, so the golden expectation is
+    100/100 — the regression this guards is an accidental cap tightening
+    or shingle-universe drift. At 100 TB the uncapped ground-truth side
+    runs on a doc SAMPLE (see module scale note); the report shape is
+    unchanged."""
+    from .dedup import (
+        _capped_shingle_index,
+        jaccard_pairs_from_index,
+        uncapped_shingle_index,
+    )
+
+    exact = jaccard_pairs_from_index(
+        uncapped_shingle_index(spark, sf_dir)
+    ).select("doc_a", "doc_b", F.lit(1).alias("e"))
+    capped = jaccard_pairs_from_index(
+        _capped_shingle_index(spark, sf_dir)
+    ).select("doc_a", "doc_b", F.lit(1).alias("c"))
+    j = exact.join(capped, ["doc_a", "doc_b"], "full_outer")
+    both = F.when(F.col("e").isNotNull() & F.col("c").isNotNull(), 1).otherwise(0)
+    return j.agg(
+        F.count("e").alias("exact_pairs"),
+        F.count("c").alias("capped_pairs"),
+        F.sum(both).alias("hits"),
+        F.round(F.sum(both) * 100.0 / F.count("e"), 2).alias("recall_pct"),
+        F.round(F.sum(both) * 100.0 / F.count("c"), 2).alias("precision_pct"),
+    )

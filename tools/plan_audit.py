@@ -54,6 +54,7 @@ SINGLE_PARTITION_OK: dict[str, str] = {
     "sim_search_recall": "1-row recall summary (exact vs ANN set compare)",
     "dedup_embedding_recall": "1-row recall summary",
     "dedup_minhash_recall": "1-row recall summary",
+    "dedup_jaccard_recall": "1-row recall/precision summary",
     "agg_approx_distinct_bound": "1-row sketch-vs-exact contract frame",
     "agg_hll_sketch_bound": "1-row sketch-vs-exact contract frame",
     "agg_approx_quantile_bound": "1-row sketch-vs-exact contract frame",
@@ -126,7 +127,12 @@ def main() -> None:
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("-o", "--out", default=os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"))
     ap.add_argument("--only", nargs="*", help="audit just these query names (skips writing PLANS.md)")
+    ap.add_argument("--update", nargs="*", metavar="NAME",
+                    help="audit just these queries and patch their rows "
+                         "into the existing PLANS.md (replace or append)")
     args = ap.parse_args()
+    if args.update:
+        args.only = args.update
     spark = get_spark(app_name="dip-plan-audit")
     qs = registry.all_queries()
 
@@ -193,7 +199,33 @@ def main() -> None:
     if violations:
         lines += ["", "## VIOLATIONS", ""] + [f"- {v}" for v in violations]
     out = "\n".join(lines) + "\n"
-    if not args.only:
+    if args.update and not violations:
+        # patch the audited rows into the committed table in place
+        with open(args.out) as f:
+            existing = f.read().splitlines()
+        new_rows = {
+            ln.split("`")[1]: ln
+            for ln in lines
+            if ln.startswith("| `")
+        }
+        patched, seen = [], set()
+        last_row_idx = 0
+        for i, ln in enumerate(existing):
+            if ln.startswith("| `"):
+                name = ln.split("`")[1]
+                last_row_idx = i
+                if name in new_rows:
+                    patched.append(new_rows[name])
+                    seen.add(name)
+                    continue
+            patched.append(ln)
+        appended = [new_rows[n] for n in new_rows if n not in seen]
+        if appended:
+            insert_at = last_row_idx + 1
+            patched[insert_at:insert_at] = appended
+        with open(args.out, "w") as f:
+            f.write("\n".join(patched) + "\n")
+    elif not args.only:
         with open(args.out, "w") as f:
             f.write(out)
     print(out)
