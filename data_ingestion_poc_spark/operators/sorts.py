@@ -66,8 +66,24 @@ def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").desc(),
         F.col("o_orderkey").asc(),
     ]
+    return (
+        global_row_number(base, order, "sort_pos", num_partitions=8)
+        .select("o_orderkey", "pri", "o_totalprice", "sort_pos")
+        .sortWithinPartitions(*order)
+    )
+
+
+def global_row_number(
+    df: DataFrame, order: list, pos_col: str, num_partitions: int = 8
+) -> DataFrame:
+    """Assign a 1-based global row number under `order` WITHOUT moving the
+    table into one partition (the two-phase distributed recipe — see
+    sort_multi_key's docstring). `order` must be a TOTAL order (include a
+    unique tiebreak column) or the assignment is nondeterministic within
+    ties. Output keeps all input columns plus `pos_col` (int), range-
+    partitioned and locally sorted by `order`."""
     ranged = (
-        base.repartitionByRange(8, *order)
+        df.repartitionByRange(num_partitions, *order)
         .sortWithinPartitions(*order)
         .withColumn("_mid", F.monotonically_increasing_id())
         .withColumn("_pid", F.shiftrightunsigned("_mid", 33))
@@ -85,10 +101,9 @@ def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ranged.join(F.broadcast(offsets), "_pid")
         .withColumn(
-            "sort_pos", (F.col("_off") + F.col("_local") + 1).cast("int")
+            pos_col, (F.col("_off") + F.col("_local") + 1).cast("int")
         )
-        .select("o_orderkey", "pri", "o_totalprice", "sort_pos")
-        .sortWithinPartitions(*order)
+        .drop("_mid", "_pid", "_local", "_off")
     )
 
 

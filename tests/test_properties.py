@@ -298,3 +298,31 @@ def test_pyhash_property_matches_spark(spark, texts):
         b = r["s"].encode()
         assert xxh64(b) == r["x"], r["s"]
         assert murmur3_32(b) == r["m"], r["s"]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(  # (group value with ties, unique tiebreak id)
+        st.tuples(st.integers(-5, 5), st.integers(0, 9999)),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[1],
+    ),
+    st.integers(1, 6),  # partition counts, incl. more partitions than rows
+)
+def test_global_row_number_matches_sorted_model(spark, rows, nparts):
+    """The distributed two-phase row number (sorts.global_row_number) must
+    equal the position in a plain Python sort, for ANY partition count —
+    including empty range partitions and heavy ties in the leading key."""
+    from data_ingestion_poc_spark.operators.sorts import global_row_number
+
+    df = spark.createDataFrame(rows, "v int, id int")
+    order = [F.col("v").desc(), F.col("id").asc()]
+    got = {
+        (r["v"], r["id"]): r["pos"]
+        for r in global_row_number(df, order, "pos", nparts).collect()
+    }
+    expected = sorted(rows, key=lambda t: (-t[0], t[1]))
+    assert len(got) == len(rows)
+    for i, (v, rid) in enumerate(expected, start=1):
+        assert got[(v, rid)] == i, (v, rid, got[(v, rid)], i)
