@@ -93,3 +93,33 @@ def test_rocksdb_state_store_toggle():
         opts["spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"]
         == "true"
     )
+
+
+def test_transform_with_state_guard_or_parity(spark, sf_dir):
+    """stream_transform_with_state is env-gated (its state server needs
+    google.protobuf, absent here). Without protobuf the guard must raise
+    a clear NotImplementedError BEFORE starting a stream; with protobuf
+    present the result must match the batch aggregate."""
+    import pytest
+
+    from data_ingestion_poc_spark.streaming.batch_parity import (
+        stream_transform_with_state,
+    )
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            stream_transform_with_state(spark, sf_dir)
+        return
+    got = stream_transform_with_state(spark, sf_dir)
+    from data_ingestion_poc_spark.catalog import load
+    from pyspark.sql import functions as F
+
+    ev = load(spark, sf_dir).events
+    exp = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.round(F.max("value"), 2).alias("max_value"),
+    )
+    assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
