@@ -139,3 +139,57 @@ def sample_reservoir_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= RESERVOIR_K)
         .select("doc_id", "lang", "n_chars")
     )
+
+
+def _leakage_safe_oracle() -> str:
+    from .dedup import _CLUSTERS_ORACLE
+
+    return f"""
+    WITH clusters AS (
+      SELECT doc_id, cluster_id FROM ({_CLUSTERS_ORACLE}) c
+    ),
+    labeled AS (
+      SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN clusters c USING (doc_id)
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN substr(md5('t:' || CAST(cluster_id AS VARCHAR)), 1, 2) < 'e6'
+                THEN 'train' ELSE 'valid' END AS split
+    FROM labeled
+    """
+
+
+@register("sample_split_leakage_safe", oracle=_leakage_safe_oracle())
+def sample_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/validation split with NEAR-DUP LEAKAGE protection: the hash
+    bucket is keyed by the document's duplicate-CLUSTER id (dedup_clusters
+    connected components; singletons key by their own doc_id), so every
+    group of mutually-similar documents lands on the SAME side. A plain
+    per-doc split (sample_train_split) leaks: a near-copy of a training
+    document in the validation set inflates eval scores — the
+    contamination mode decontamination-against-external-evals
+    (corpus_decontaminate) cannot catch because both copies are internal.
+    Same 90/10 md5 bucketing as sample_train_split, same determinism
+    guarantees (pure function of cluster_id, stable under repartition,
+    re-runs, and appends — and stable for UNCHANGED clusters when new
+    docs only create new clusters). split is a pure function of
+    cluster_id, so intra-cluster consistency holds by construction; the
+    cluster map is the near-dup pair graph's node set — orders of
+    magnitude smaller than the corpus, so the left join broadcasts or
+    AQE-plans cheaply at scale."""
+    from .dedup import dedup_clusters
+
+    clusters = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    t = load(spark, sf_dir)
+    labeled = (
+        t.documents.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col("doc_id")))
+    )
+    return labeled.select(
+        "doc_id",
+        "cluster_id",
+        F.when(_bucket("t:", "cluster_id") < "e6", "train")
+        .otherwise("valid")
+        .alias("split"),
+    )
