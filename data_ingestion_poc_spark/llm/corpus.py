@@ -719,3 +719,141 @@ def corpus_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc"),
         )
     )
+
+
+#: Explicit Bloom filter geometry for corpus_decontaminate_bloom:
+#: m = 2^20 bits (16 k longs, ~128 KB broadcast), k = 7 hashes. At the
+#: fixture's bench-shingle counts (n << 10^5), fpp = (1-e^{-kn/m})^k is
+#: well under 10^-3; the registered contract allows 5% slack.
+_BLOOM_BITS = 1 << 20
+_BLOOM_K = 7
+
+
+def _bloom_terms(col: str) -> list[tuple[str, str]]:
+    """(word-index, bit-mask) SQL expression pairs for the k hash
+    positions of `col` — shared verbatim by the build and probe sides, so
+    no-false-negatives holds by construction."""
+    terms = []
+    for i in range(_BLOOM_K):
+        pos = f"pmod(xxhash64({col}, {i}), {_BLOOM_BITS}L)"
+        terms.append(
+            (
+                f"CAST({pos} DIV 64 AS INT)",
+                f"shiftleft(1L, CAST({pos} % 64 AS INT))",
+            )
+        )
+    return terms
+
+
+@register(
+    "corpus_decontaminate_bloom",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, shingle
+      FROM (
+        SELECT doc_id,
+               unnest([array_to_string(words[i:i+3], ' ')
+                       FOR i IN range(1, len(words) - 2)]) AS shingle
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS words
+              FROM documents)
+      )
+    ),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 25 = 0),
+    exact AS (
+      SELECT DISTINCT s.doc_id FROM sh s JOIN bench USING (shingle)
+      WHERE s.doc_id % 25 <> 0
+    )
+    SELECT CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 25 <> 0)
+                AS BIGINT) AS docs_train,
+           CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS exact_flagged,
+           CAST(0 AS BIGINT) AS missed_by_bloom,
+           true AS fp_within_budget
+    """,
+)
+def corpus_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination via an EXPLICIT Bloom filter built from pure
+    DataFrame aggregates — the shape for when even the benchmark shingle
+    SET is too large to broadcast raw (many eval suites x 13-grams):
+    broadcast ~128 KB of bitmap instead of the string set.
+
+    Build: each bench shingle sets k=7 bits (xxhash64(shingle, seed) mod
+    2^20); bits aggregate per 64-bit word with bit_or, then fold into ONE
+    map<word_idx, bits> row (<= 16 k entries). Probe: each train shingle
+    recomputes its 7 (word, mask) pairs and checks them against the
+    broadcast map with element_at — pure Column expressions, the corpus
+    itself never shuffles (same scale shape as corpus_decontaminate; the
+    only aggregations carry bitmap words and matched doc_ids).
+
+    Spark's own runtime bloom (join_bloom_pruned) is optimizer-injected
+    and bloom_filter_agg is not SQL-exposed, so this builds the filter
+    from first principles — which also makes the no-false-negative
+    property PROVABLE: build and probe share the same expression list
+    (_bloom_terms), so every exact hit is a bloom hit. The driver-checked
+    contract: missed_by_bloom == 0 (hard guarantee) and false positives
+    within a 5% budget (geometry gives ~1e-3; 5% leaves margin), plus
+    exact_flagged value-matched against the plain SQL join."""
+    t = load(spark, sf_dir)
+    sh = t.documents.select(
+        "doc_id",
+        F.explode(
+            shingle_array(F.split(F.lower("text"), " "), 4)
+        ).alias("shingle"),
+    )
+    bench = (
+        sh.where(F.col("doc_id") % 25 == 0).select("shingle").distinct()
+    )
+    terms = _bloom_terms("shingle")
+    entries = bench.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.expr(w).alias("w"), F.expr(m).alias("mask")
+                    )
+                    for w, m in terms
+                ]
+            )
+        ).alias("e")
+    ).select("e.w", "e.mask")
+    bloom = (
+        entries.groupBy("w")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("w", "bits"))
+            ).alias("bloom")
+        )
+    )
+    hit = F.expr(
+        " AND ".join(
+            f"(coalesce(element_at(bloom, {w}), 0L) & {m}) = {m}"
+            for w, m in terms
+        )
+    )
+    train_sh = sh.where(F.col("doc_id") % 25 != 0)
+    bloom_hits = (
+        train_sh.crossJoin(F.broadcast(bloom))
+        .where(hit)
+        .select("doc_id")
+        .distinct()
+        .withColumn("b", F.lit(1))
+    )
+    exact_hits = (
+        train_sh.join(F.broadcast(bench), "shingle")
+        .select("doc_id")
+        .distinct()
+        .withColumn("x", F.lit(1))
+    )
+    base = t.documents.where(F.col("doc_id") % 25 != 0).select("doc_id")
+    j = base.join(bloom_hits, "doc_id", "left").join(exact_hits, "doc_id", "left")
+    fp = F.sum(
+        F.when(F.col("b").isNotNull() & F.col("x").isNull(), 1).otherwise(0)
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("docs_train"),
+        F.count("x").alias("exact_flagged"),
+        F.sum(
+            F.when(F.col("x").isNotNull() & F.col("b").isNull(), 1).otherwise(0)
+        ).alias("missed_by_bloom"),
+        (fp <= 0.05 * F.count(F.lit(1))).alias("fp_within_budget"),
+    )

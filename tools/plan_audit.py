@@ -55,6 +55,9 @@ SINGLE_PARTITION_OK: dict[str, str] = {
     "dedup_embedding_recall": "1-row recall summary",
     "dedup_minhash_recall": "1-row recall summary",
     "dedup_jaccard_recall": "1-row recall/precision summary",
+    "corpus_decontaminate_bloom": (
+        "bitmap fold (<=16k words -> one map row) + 1-row contract frame"
+    ),
     "agg_approx_distinct_bound": "1-row sketch-vs-exact contract frame",
     "agg_hll_sketch_bound": "1-row sketch-vs-exact contract frame",
     "agg_approx_quantile_bound": "1-row sketch-vs-exact contract frame",
