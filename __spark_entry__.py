@@ -41,6 +41,10 @@ _PRIORITY = [
     # pure-Python replay of the banded-LSH pipeline) landed in r3 but the
     # r3 window ended before reaching them.
     "dedup_minhash", "dedup_minhash_recall",
+    # re-judge: dedup_ngram_jaccard's only pass predates the r3 df-cap
+    # rewrite (the r3 window never reached it) — refresh the verdict on
+    # the operator as it ships now.
+    "dedup_ngram_jaccard",
     # sketch bound contracts (new in r4): approximate estimate checked
     # against the exact aggregate computed in the SAME query, emitting
     # within_tolerance booleans with hard-matched exact columns.
@@ -77,6 +81,10 @@ _PRIORITY = [
     "stream_foreach_batch_sink", "stream_file_ingest_clean",
     "stream_rollup_upsert",
     # ---- ~position 50: next round's window starts here ----
+    # r4 additions with driver-checkable oracles, first in line for r5
+    # (the jaccard re-judge above displaced them from the r4 window):
+    "dedup_jaccard_recall", "sample_split_leakage_safe",
+    "corpus_decontaminate_bloom",
     "stream_checkpoint_resume", "stream_stateful_rocksdb",
     "embed_norm_stats", "dedup_embedding_recall", "corpus_mix_report",
     # judge-spot-checked in r3 (independent differential PASS recorded in
@@ -139,8 +147,11 @@ _JUDGED = {
     "q_shipping_priority", "q_order_priority", "q_promo_revenue",
     "q_market_share", "q_yearly_growth", "q_funnel_conversion",
     "q_retention_cohorts", "q_top_supplier",
+    # (dedup_ngram_jaccard deliberately NOT here: its r2 pass predates
+    # the r3 df-cap rewrite, so it re-enters the r4 window for a fresh
+    # verdict.)
     "dedup_exact_hash", "dedup_clusters", "dedup_simhash",
-    "dedup_embedding_cosine", "dedup_fuzzy_name", "dedup_ngram_jaccard",
+    "dedup_embedding_cosine", "dedup_fuzzy_name",
     "sim_search_knn", "sim_search_ann", "sim_search_ann_multiprobe",
     "sim_search_ivf", "sim_search_recall",
     "stream_tumbling_agg", "stream_sliding_agg", "stream_session_window",

@@ -131,13 +131,7 @@ def _capped_shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _CAPPED_INDEX_CACHE.get(key)
     if cached is not None:
         return cached
-    t = load(spark, sf_dir)
-    docs = t.documents.select(
-        "doc_id", F.split(F.lower("text"), " ").alias("words")
-    )
-    shingles = docs.select(
-        "doc_id", F.explode(shingle_array(F.col("words"), 3)).alias("shingle")
-    ).dropDuplicates(["doc_id", "shingle"])
+    shingles = uncapped_shingle_index(spark, sf_dir)
     w_shingle = Window.partitionBy("shingle")
     capped = (
         shingles.withColumn("df", F.count(F.lit(1)).over(w_shingle))
@@ -196,11 +190,14 @@ def jaccard_pairs_from_index(shingles: DataFrame) -> DataFrame:
 
 
 def uncapped_shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full (no df cap) inverted shingle index. ONLY for the recall
-    evaluation's ground-truth side — at corpus scale the uncapped
-    self-join is quadratic in hot-shingle df, which is exactly what the
-    registered operator's cap exists to prevent; a 100 TB recall run
-    samples docs before calling this (see evaluation.py scale note)."""
+    """The full (no df cap) inverted shingle index — the single source of
+    the shingle universe: _capped_shingle_index derives from this by
+    df-filtering, so the capped-vs-uncapped comparison in
+    dedup_jaccard_recall can never drift on shingling/normalization.
+    Self-joining it UNCAPPED is quadratic in hot-shingle df (what the
+    registered operator's cap exists to prevent) — only the recall
+    evaluation's ground-truth side does that, and a 100 TB recall run
+    samples docs first (see evaluation.py scale note)."""
     t = load(spark, sf_dir)
     docs = t.documents.select(
         "doc_id", F.split(F.lower("text"), " ").alias("words")

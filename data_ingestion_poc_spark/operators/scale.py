@@ -482,6 +482,13 @@ def join_dpp_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(tempfile.gettempdir(), f"dip_spark_dpp_orders_{tag}_{fp}")
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):
+        # drop superseded fingerprints for this tag so regenerated
+        # fixtures don't accumulate one stale sink copy per regeneration
+        prefix = f"dip_spark_dpp_orders_{tag}_"
+        tmp = tempfile.gettempdir()
+        for d in os.listdir(tmp):
+            if d.startswith(prefix) and d != os.path.basename(out):
+                shutil.rmtree(os.path.join(tmp, d), ignore_errors=True)
         t.orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
     facts = spark.read.parquet(out)
     # the dim must carry a SELECTIVE FILTER for the PartitionPruning rule

@@ -876,12 +876,13 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     ROUND(MAX(value),2) per user)."""
     try:
         from google.protobuf import descriptor  # noqa: F401
+        from pyspark.sql.streaming.stateful_processor import StatefulProcessor
     except ImportError as exc:
         raise NotImplementedError(
-            "transformWithState requires google.protobuf in the worker "
-            "environment (state-server protocol); not available here"
+            "transformWithState requires Spark 4's StatefulProcessor API "
+            "and google.protobuf in the worker environment (state-server "
+            "protocol); not available here"
         ) from exc
-    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
     # subclass created here so importing this module never requires the
     # Spark-4-only base class
