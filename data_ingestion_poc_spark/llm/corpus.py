@@ -857,3 +857,115 @@ def corpus_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("missed_by_bloom"),
         (fp <= 0.05 * F.count(F.lit(1))).alias("fp_within_budget"),
     )
+
+
+#: Temperature-sampling exponent and output budget for
+#: corpus_mix_temperature: q_l ∝ p_l^alpha flattens the language
+#: distribution (alpha=1 keeps it, alpha=0 makes it uniform); the budget
+#: caps expected output at half the corpus.
+MIX_TEMP_ALPHA = 0.5
+MIX_TEMP_BUDGET = 0.5
+
+
+@register(
+    "corpus_mix_temperature",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT SUM(n_docs) AS n FROM counts),
+    wts AS (
+      SELECT lang, n_docs, POW(n_docs * 1.0 / n, 0.5) AS w
+      FROM counts, tot
+    ),
+    wsum AS (SELECT SUM(w) AS ws FROM wts),
+    rates AS (
+      SELECT lang, n_docs,
+             LEAST(1.0, ROUND((0.5 * n * (w / ws)) / n_docs, 6)) AS keep_rate
+      FROM wts, wsum, tot
+    ),
+    kept AS (
+      SELECT d.lang, COUNT(*) AS n_kept
+      FROM documents d JOIN rates r USING (lang)
+      WHERE substr(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 4) <
+            lower(lpad(to_hex(CAST(floor(r.keep_rate * 65536) AS INT)), 4, '0'))
+      GROUP BY d.lang
+    )
+    SELECT r.lang, r.n_docs, r.keep_rate,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+    FROM rates r LEFT JOIN kept k USING (lang)
+    """,
+)
+def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language rebalancing (mT5 / XLM-R recipe):
+    sample language l with probability q_l ∝ p_l^alpha, alpha=0.5 —
+    boosting low-resource languages without the hand-tuned per-language
+    table corpus_mix_weighted uses. keep_rate_l = min(1, budget·N·q_l /
+    n_l) targets each language's share of a half-corpus output budget;
+    per-doc membership is the same deterministic md5 bucket discipline
+    (16-bit buckets here for rate resolution), so the mix is stable
+    under repartitioning, retries, and appends — no RNG, no ORDER BY
+    rand().
+
+    Scale shape: one per-language count aggregate (shuffle carries
+    #langs partial rows), two 1-row scalar reductions (corpus total,
+    weight sum — partial-row exchanges only), the ≤#langs rates frame
+    broadcast back, and the kept-count probe is scan-local filter +
+    per-lang aggregate: the corpus never shuffles rows. keep_rate is
+    rounded to 6 dp BEFORE the 16-bit threshold floor so the float
+    pow/sum noise between engines (~1e-15) cannot flip a bucket
+    boundary. Output: one row per language with n_docs, keep_rate, and
+    the realized n_kept."""
+    t = load(spark, sf_dir)
+    counts = t.documents.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    tot = counts.agg(F.sum("n_docs").alias("n"))
+    wts = counts.crossJoin(F.broadcast(tot)).withColumn(
+        "w", F.pow(F.col("n_docs") / F.col("n"), F.lit(MIX_TEMP_ALPHA))
+    )
+    wsum = wts.agg(F.sum("w").alias("ws"))
+    rates = (
+        wts.crossJoin(F.broadcast(wsum))
+        .withColumn(
+            "keep_rate",
+            F.least(
+                F.lit(1.0),
+                F.round(
+                    (F.lit(MIX_TEMP_BUDGET) * F.col("n") * (F.col("w") / F.col("ws")))
+                    / F.col("n_docs"),
+                    6,
+                ),
+            ),
+        )
+        .select("lang", "n_docs", "keep_rate")
+    )
+    bucket = F.substring(
+        F.md5(
+            F.concat(F.lit("temp:"), F.col("doc_id").cast("string")).cast("binary")
+        ),
+        1,
+        4,
+    )
+    thr = F.lower(
+        F.lpad(
+            F.hex(F.floor(F.col("keep_rate") * 65536).cast("int")), 4, "0"
+        )
+    )
+    kept = (
+        t.documents.select("doc_id", "lang")
+        .join(F.broadcast(rates), "lang")
+        .where(bucket < thr)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        rates.join(kept, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            "keep_rate",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )

@@ -63,6 +63,9 @@ SINGLE_PARTITION_OK: dict[str, str] = {
     "agg_approx_quantile_bound": "1-row sketch-vs-exact contract frame",
     "profile_table": "fixed-width profile summary (one row per column)",
     "corpus_mix_report": "per-source mix shares need the 1-row corpus total",
+    "corpus_mix_temperature": (
+        "1-row corpus total + 1-row weight-sum scalars (partial rows only)"
+    ),
     "corpus_token_budget": "bounded bucket-offset prefix-sum frame",
     "corpus_pack_manifest": "bounded bucket-offset prefix-sum frame",
     "corpus_pack_blocks": "bounded bucket-offset prefix-sum frame",
