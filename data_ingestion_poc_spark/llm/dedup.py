@@ -329,6 +329,44 @@ def _minhash_oracle() -> str | None:
     )
 
 
+def band_keys(shingled: DataFrame) -> DataFrame:
+    """(doc_id, band, key) banded-MinHash index rows for a shingle-set
+    frame — the ONE implementation of the signature+banding math, shared
+    by dedup_minhash (full self-join), dedup_minhash_incremental
+    (delta-vs-history join), and, via the bit-exact pyhash replay, the
+    golden oracles. 32 seeded xxhash64 minhashes -> 8 band keys via
+    Spark's array-fold murmur3 `hash` over each 4-hash slice."""
+
+    def _minhash(i: int):
+        # NB: the seed must be captured via an outer function, NOT a
+        # `lambda s, i=i:` default arg — PySpark infers higher-order-fn
+        # arity from the signature, so a two-parameter lambda makes
+        # transform() bind the second param to the ELEMENT INDEX and the
+        # seed silently becomes position-in-array (one effective hash
+        # function instead of 32; caught by hypothesis in
+        # test_minhash_finds_planted_near_dups).
+        return F.array_min(
+            F.transform(F.col("shingles"), lambda s: F.xxhash64(s, F.lit(i)))
+        )
+
+    minhashes = F.array(*[_minhash(i) for i in range(MINHASH_K)])
+    sig = shingled.select("doc_id", minhashes.alias("sig"))
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(F.slice(F.col("sig"), b * _ROWS_PER_BAND + 1, _ROWS_PER_BAND)).alias("key"),
+                    )
+                    for b in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+
+
 @register("dedup_minhash", oracle=_minhash_oracle())
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded MinHash LSH near-dup pairs, all in JVM Column expressions:
@@ -344,34 +382,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Emitted pairs are exact Jaccard >= 0.30 among LSH candidates (same
     threshold as the exact operator, so recall is directly measurable)."""
     shingled = _shingled_persisted(spark, sf_dir)
-    def _minhash(i: int):
-        # NB: the seed must be captured via an outer function, NOT a
-        # `lambda s, i=i:` default arg — PySpark infers higher-order-fn
-        # arity from the signature, so a two-parameter lambda makes
-        # transform() bind the second param to the ELEMENT INDEX and the
-        # seed silently becomes position-in-array (one effective hash
-        # function instead of 32; caught by hypothesis in
-        # test_minhash_finds_planted_near_dups).
-        return F.array_min(
-            F.transform(F.col("shingles"), lambda s: F.xxhash64(s, F.lit(i)))
-        )
-
-    minhashes = F.array(*[_minhash(i) for i in range(MINHASH_K)])
-    sig = shingled.select("doc_id", minhashes.alias("sig"))
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.hash(F.slice(F.col("sig"), b * _ROWS_PER_BAND + 1, _ROWS_PER_BAND)).alias("key"),
-                    )
-                    for b in range(MINHASH_BANDS)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.key")
+    bands = band_keys(shingled)
     a, b = bands.alias("a"), bands.alias("b")
     candidates = (
         a.join(
@@ -906,4 +917,70 @@ def dedup_fuzzy_name(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.cast("int").alias("edit_dist"),
         )
         .dropDuplicates(["key_a", "key_b"])
+    )
+
+
+def _minhash_incremental_oracle() -> str | None:
+    """Golden pairs derived from the SAME pyhash full-pipeline replay as
+    dedup_minhash's oracle, restricted to pairs with exactly one endpoint
+    in the delta (doc_id % 5 == 4) and re-oriented as (new_doc, old_doc)."""
+    from ..goldens import values_oracle
+
+    pairs = minhash_golden_pairs()
+    if pairs is None:
+        return None
+    rows = []
+    for a, b, jac in pairs:
+        da, db = a % 5 == 4, b % 5 == 4
+        if da == db:
+            continue
+        new, old = (a, b) if da else (b, a)
+        rows.append((new, old, jac))
+    return values_oracle(
+        sorted(rows),
+        ["new_doc", "old_doc", "jaccard_sim"],
+        casts={"new_doc": "BIGINT", "old_doc": "BIGINT", "jaccard_sim": "DOUBLE"},
+    )
+
+
+@register("dedup_minhash_incremental", oracle=_minhash_incremental_oracle())
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup detection: dedup a NEW BATCH (the delta,
+    here docs with doc_id % 5 == 4 standing in for today's crawl)
+    against the EXISTING corpus — the production mode at 100 TB, where
+    re-running the full self-join per ingest would rescan history every
+    day. The historical banded-MinHash index is a write-once artifact
+    (here derived in-session from the same fixture via the shared
+    band_keys machinery; a deployment reads it from its bucketed table —
+    same policy note as the _PAIRS_CACHE pair graph): per ingest only
+    the DELTA is shingled and hashed, and the join probes delta band
+    keys against historical band keys. Cost per ingest scales with
+    |delta| x collision rate, not |corpus|. Intra-delta duplicates are
+    deliberately out of scope (run dedup_minhash over the batch for
+    those); candidates are verified with exact Jaccard >= 0.30 like the
+    full operator, so the output is (new_doc, old_doc, jaccard_sim) —
+    the drop/link decision for each incoming doc. Oracle: the bit-exact
+    pyhash pipeline replay filtered to delta-history pairs."""
+    shingled = _shingled_persisted(spark, sf_dir)
+    bands = band_keys(shingled)
+    is_delta = F.col("doc_id") % 5 == 4
+    delta = bands.where(is_delta).select(
+        F.col("doc_id").alias("new_doc"), "band", "key"
+    )
+    hist = bands.where(~is_delta).select(
+        F.col("doc_id").alias("old_doc"), "band", "key"
+    )
+    candidates = (
+        delta.join(hist, ["band", "key"])
+        .select("new_doc", "old_doc")
+        .dropDuplicates(["new_doc", "old_doc"])
+    )
+    sn = shingled.select(F.col("doc_id").alias("new_doc"), F.col("shingles").alias("sn"))
+    so = shingled.select(F.col("doc_id").alias("old_doc"), F.col("shingles").alias("so"))
+    pairs = candidates.join(sn, "new_doc").join(so, "old_doc")
+    jac = F.size(F.array_intersect("sn", "so")) / F.size(
+        F.array_union("sn", "so")
+    ).cast("double")
+    return pairs.where(jac >= 0.30).select(
+        "new_doc", "old_doc", F.round(jac, 4).alias("jaccard_sim")
     )
