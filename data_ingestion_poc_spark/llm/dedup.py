@@ -984,3 +984,48 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.where(jac >= 0.30).select(
         "new_doc", "old_doc", F.round(jac, 4).alias("jaccard_sim")
     )
+
+
+@register(
+    "dedup_exact_incremental",
+    oracle="""
+    WITH hist AS (
+      SELECT sha256(lower(text)) AS content_hash, MIN(doc_id) AS keeper_doc
+      FROM documents
+      GROUP BY sha256(lower(text))
+    ),
+    delta AS (
+      SELECT doc_id + 1000000 AS new_doc, sha256(lower(text)) AS content_hash
+      FROM documents WHERE doc_id % 7 = 3
+    )
+    SELECT d.new_doc, h.keeper_doc
+    FROM delta d JOIN hist h USING (content_hash)
+    """,
+)
+def dedup_exact_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate check for an incoming batch against corpus
+    history — the cheap first rung of the incremental ladder
+    dedup_minhash_incremental tops: hash only the DELTA, equi-join its
+    digests against the historical (content_hash -> keeper) table, which
+    at 100 TB is a maintained build artifact (the output of
+    dedup_exact_hash, merged per ingest), not something recomputed.
+    The fixture corpus carries no exact duplicates at oracle scale, so
+    the incoming batch is synthesized in-query (the text_pii_scrub
+    enrichment idiom): every 7th doc re-arrives under a new id — a
+    perfect re-crawl, the dominant real-world case. Output: each new doc
+    with the canonical keeper it must defer to (A16 'first writer
+    wins'). The join key is the 32-byte digest, so the shuffle carries
+    (digest, id) pairs only; at deployment the history side is bucketed
+    on content_hash and the probe is co-located."""
+    t = load(spark, sf_dir)
+    digest = F.sha2(F.lower("text").cast("binary"), 256)
+    hist = (
+        t.documents.select(digest.alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keeper_doc"))
+    )
+    delta = t.documents.where(F.col("doc_id") % 7 == 3).select(
+        (F.col("doc_id") + 1_000_000).alias("new_doc"),
+        digest.alias("content_hash"),
+    )
+    return delta.join(hist, "content_hash").select("new_doc", "keeper_doc")
