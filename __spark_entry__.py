@@ -86,6 +86,7 @@ _PRIORITY = [
     "dedup_jaccard_recall", "sample_split_leakage_safe",
     "corpus_decontaminate_bloom", "corpus_mix_temperature",
     "dedup_minhash_incremental", "dedup_exact_incremental",
+    "text_length_trim",
     "stream_checkpoint_resume", "stream_stateful_rocksdb",
     "embed_norm_stats", "dedup_embedding_recall", "corpus_mix_report",
     # judge-spot-checked in r3 (independent differential PASS recorded in

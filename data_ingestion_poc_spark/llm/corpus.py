@@ -969,3 +969,55 @@ def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         )
     )
+
+
+@register(
+    "text_length_trim",
+    oracle="""
+    WITH pct AS (
+      SELECT lang,
+             ROUND(quantile_cont(n_chars, 0.05), 4) AS p05,
+             ROUND(quantile_cont(n_chars, 0.95), 4) AS p95,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY lang
+    ),
+    kept AS (
+      SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_kept
+      FROM documents d JOIN pct USING (lang)
+      WHERE d.n_chars >= pct.p05 AND d.n_chars <= pct.p95
+      GROUP BY d.lang
+    )
+    SELECT p.lang, p.p05, p.p95, p.n_docs,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+    FROM pct p LEFT JOIN kept k USING (lang)
+    """,
+)
+def text_length_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-based length trimming (the Gopher/RefinedWeb tail-cut,
+    complementing corpus_quality_filter's FIXED thresholds): per-language
+    p05/p95 of n_chars define the keep band, so the cut adapts to each
+    language's length distribution instead of hard-coding one corpus's
+    constants. Spark's exact `percentile` interpolates identically to
+    DuckDB's quantile_cont (verified bit-exact on the fixtures), so even
+    the float thresholds value-match. Scale shape: one per-lang exact
+    percentile aggregate (at 100 TB swap in approx_percentile and the
+    agg_approx_quantile_bound contract guards the error), thresholds
+    broadcast back, band filter is scan-local. Output: one row per
+    language with thresholds, corpus count, and kept count."""
+    t = load(spark, sf_dir)
+    pct = t.documents.groupBy("lang").agg(
+        F.round(F.expr("percentile(n_chars, 0.05)"), 4).alias("p05"),
+        F.round(F.expr("percentile(n_chars, 0.95)"), 4).alias("p95"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    kept = (
+        t.documents.select("lang", "n_chars")
+        .join(F.broadcast(pct.select("lang", "p05", "p95")), "lang")
+        .where((F.col("n_chars") >= F.col("p05")) & (F.col("n_chars") <= F.col("p95")))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return pct.join(kept, "lang", "left").select(
+        "lang", "p05", "p95", "n_docs",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+    )
