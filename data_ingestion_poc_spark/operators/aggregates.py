@@ -645,3 +645,113 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_qty",
         )
     )
+
+
+@register(
+    "rollup_ohlc_bars",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type,
+             strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bar,
+             value,
+             row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts, event_id)        AS rn_open,
+             row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_close
+      FROM events
+    )
+    SELECT event_type, bar,
+           ROUND(MAX(CASE WHEN rn_open  = 1 THEN value END), 2) AS open,
+           ROUND(MAX(value), 2)                                 AS high,
+           ROUND(MIN(value), 2)                                 AS low,
+           ROUND(MAX(CASE WHEN rn_close = 1 THEN value END), 2) AS close,
+           CAST(COUNT(*) AS BIGINT)                             AS n_events,
+           ROUND(SUM(value), 2)                                 AS volume
+    FROM ranked
+    GROUP BY event_type, bar
+    """,
+)
+def rollup_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC time-bar rollup (the financial-candlestick / TimescaleDB
+    continuous-aggregate shape): per (event_type, hour) the first, max,
+    min, and last `value` plus count and sum. First/last are `min_by` /
+    `max_by` over a (ts, event_id) struct key — tie-broken, and unlike
+    the window-rank formulation they are MAP-SIDE COMBINABLE partials, so
+    the shuffle carries one partial row per (group, partition) no matter
+    how many events the hour holds. The oracle uses the row_number form
+    precisely to prove the two formulations agree."""
+    t = load(spark, sf_dir)
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    bar = F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+    return (
+        t.events.select("event_type", bar.alias("bar"), "ts", "event_id", "value")
+        .groupBy("event_type", "bar")
+        .agg(
+            F.round(F.min_by("value", key), 2).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(F.max_by("value", key), 2).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("volume"),
+        )
+    )
+
+
+#: Equi-depth bucket count. 7 interior boundaries at ranks i/8.
+EQUIDEPTH_BUCKETS = 8
+
+_EQUIDEPTH_PROBS = [i / EQUIDEPTH_BUCKETS for i in range(1, EQUIDEPTH_BUCKETS)]
+
+
+@register(
+    "agg_histogram_equidepth",
+    oracle=f"""
+    WITH b AS (
+      SELECT [floor(q * 100) / 100
+              FOR q IN quantile_cont(l_extendedprice,
+                                     {_EQUIDEPTH_PROBS!r})] AS bounds
+      FROM lineitem
+    )
+    SELECT CAST(1 + len(list_filter(bounds,
+                                    q -> q < l_extendedprice)) AS INTEGER)
+             AS bucket,
+           CAST(COUNT(*) AS BIGINT)          AS n_rows,
+           ROUND(MIN(l_extendedprice), 2)    AS lo,
+           ROUND(MAX(l_extendedprice), 2)    AS hi
+    FROM lineitem, b
+    GROUP BY bucket
+    """,
+)
+def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram (the CBO column-statistics build, complement
+    of agg_histogram's equi-width): exact interpolated quantiles at ranks
+    i/8 form the bucket boundaries, every row is banded against them, and
+    per-bucket counts verify the depth balance. Two-pass shape that scales:
+    pass 1 reduces the fact to ONE row of 7 boundaries (exact `percentile`
+    here; `approx_percentile` at 100 TB — same plan), broadcast back via a
+    1-row cross join (scalar-subquery shape, like embed_norm_stats); pass
+    2 is a scan-local band assignment + hash aggregate. Boundaries are
+    floored to cents so the banding comparison is engine-stable against
+    the 2-dp price domain."""
+    t = load(spark, sf_dir)
+    li = t.lineitem.select("l_extendedprice")
+    probs = ", ".join(str(p) for p in _EQUIDEPTH_PROBS)
+    bounds = li.agg(
+        F.transform(
+            F.expr(f"percentile(l_extendedprice, array({probs}))"),
+            lambda q: F.floor(q * 100) / 100,
+        ).alias("bounds")
+    )
+    price = F.col("l_extendedprice")
+    bucket = (
+        F.size(F.filter("bounds", lambda q: q < price)) + 1
+    ).alias("bucket")
+    return (
+        li.crossJoin(F.broadcast(bounds))
+        .groupBy(bucket)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min(price), 2).alias("lo"),
+            F.round(F.max(price), 2).alias("hi"),
+        )
+    )

@@ -13,7 +13,7 @@ import os
 import shutil
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -510,4 +510,81 @@ def scan_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("file_name", "file_size")
         .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+@register(
+    "sink_scd2_history",
+    oracle="""
+    WITH versions AS (
+      SELECT c_custkey, c_mktsegment, ROUND(c_acctbal, 2) AS c_acctbal,
+             '1995-01-01' AS valid_from
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, 'REASSIGNED', ROUND(c_acctbal + 50.0, 2),
+             '1996-06-01'
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey, 'PREMIUM', ROUND(c_acctbal + 150.0, 2),
+             '1997-01-01'
+      FROM customer WHERE c_custkey % 20 = 0
+    )
+    SELECT c_custkey, c_mktsegment, c_acctbal, valid_from,
+           lead(valid_from) OVER (PARTITION BY c_custkey
+                                  ORDER BY valid_from)      AS valid_to,
+           lead(valid_from) OVER (PARTITION BY c_custkey
+                                  ORDER BY valid_from) IS NULL AS is_current
+    FROM versions
+    """,
+)
+def sink_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 versioned dimension history: where sink_merge_upsert
+    (SCD1) overwrites matched rows, this keeps every version with a
+    [valid_from, valid_to) interval and an is_current flag — the
+    time-travel dimension a warehouse joins facts against AS OF any date.
+    Two deterministic update generations (segment reassignments at
+    1996-06-01 and 1997-01-01) are unioned with the base snapshot; one
+    window over the natural key closes each version with the next
+    version's effective date. The window partitions on c_custkey —
+    millions of small partitions, the shape window engines love; at
+    100 TB the history table is additionally bucketed on the key so the
+    next merge reuses the layout without a shuffle."""
+    t = load(spark, sf_dir)
+    base = t.customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        F.lit("1995-01-01").alias("valid_from"),
+    )
+    gen1 = (
+        t.customer.where(F.col("c_custkey") % 10 == 0)
+        .select(
+            "c_custkey",
+            F.lit("REASSIGNED").alias("c_mktsegment"),
+            F.round(F.col("c_acctbal") + 50.0, 2).alias("c_acctbal"),
+            F.lit("1996-06-01").alias("valid_from"),
+        )
+    )
+    gen2 = (
+        t.customer.where(F.col("c_custkey") % 20 == 0)
+        .select(
+            "c_custkey",
+            F.lit("PREMIUM").alias("c_mktsegment"),
+            F.round(F.col("c_acctbal") + 150.0, 2).alias("c_acctbal"),
+            F.lit("1997-01-01").alias("valid_from"),
+        )
+    )
+    w = Window.partitionBy("c_custkey").orderBy("valid_from")
+    nxt = F.lead("valid_from").over(w)
+    return (
+        base.unionByName(gen1)
+        .unionByName(gen2)
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            "c_acctbal",
+            "valid_from",
+            nxt.alias("valid_to"),
+            nxt.isNull().alias("is_current"),
+        )
     )

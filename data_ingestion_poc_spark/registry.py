@@ -57,6 +57,7 @@ MODULES = [
     "data_ingestion_poc_spark.llm.sampling",
     "data_ingestion_poc_spark.llm.corpus",
     "data_ingestion_poc_spark.llm.evaluation",
+    "data_ingestion_poc_spark.llm.spans",
     "data_ingestion_poc_spark.streaming.batch_parity",
     "data_ingestion_poc_spark.ingest.pipeline_queries",
     "data_ingestion_poc_spark.ingest.pydatasource",

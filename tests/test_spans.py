@@ -1,0 +1,181 @@
+"""Planted-fixture tests for the span-level curation operators
+(llm/spans.py): segment dedup keeps/drops the right segments, the
+substring-span detector finds exactly the planted runs, the Spark BPE
+fold matches its pure-Python spec, OHLC tie-breaks deterministically,
+SCD2 intervals partition time, and equi-depth buckets balance."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from data_ingestion_poc_spark import registry
+from data_ingestion_poc_spark.llm.spans import (
+    BPE_JOIN,
+    MIN_SPAN,
+    SEGMENT_DUP_MIN_DOCS,
+    SEGMENT_WIDTH,
+    bpe_merges_python,
+)
+
+from conftest import SF_SMOKE
+
+
+def _write_documents(spark, tmp_path, docs):
+    df = spark.createDataFrame(docs, "doc_id long, text string").selectExpr(
+        "doc_id",
+        "text",
+        "'en' AS lang",
+        "'test' AS source",
+        "CAST(length(text) AS LONG) AS n_chars",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+
+def test_segment_dedup_flags_planted_boilerplate(spark, tmp_path):
+    """A 12-word segment planted at position 0 of SEGMENT_DUP_MIN_DOCS
+    docs must be flagged in each of them; a doc made of unique words
+    keeps every word."""
+    boiler = " ".join(f"b{j}" for j in range(SEGMENT_WIDTH))
+    docs = []
+    for i in range(SEGMENT_DUP_MIN_DOCS):
+        tail = " ".join(f"u{i}x{j}" for j in range(SEGMENT_WIDTH))
+        docs.append((i, f"{boiler} {tail}"))
+    docs.append((100, " ".join(f"solo{j}" for j in range(30))))
+    _write_documents(spark, tmp_path, docs)
+    out = {
+        r["doc_id"]: r
+        for r in registry.get("text_segment_dedup")
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    for i in range(SEGMENT_DUP_MIN_DOCS):
+        assert out[i]["n_segments"] == 2
+        assert out[i]["n_dup_segments"] == 1
+        assert out[i]["n_kept_words"] == SEGMENT_WIDTH
+    assert out[100]["n_dup_segments"] == 0
+    assert out[100]["n_kept_words"] == 30
+
+
+def test_substring_span_finds_planted_run(spark, tmp_path):
+    """Two docs sharing a 20-token run at DIFFERENT offsets must pair
+    with max_shared_span == 20; a pair sharing only a 10-token run
+    (< MIN_SPAN) must not appear."""
+    run = " ".join(f"r{j}" for j in range(20))
+    short = " ".join(f"s{j}" for j in range(10))
+    docs = [
+        (1, f"{run} " + " ".join(f"a{j}" for j in range(15))),
+        (2, " ".join(f"c{j}" for j in range(7)) + f" {run}"),
+        (3, f"{short} " + " ".join(f"d{j}" for j in range(15))),
+        (4, f"{short} " + " ".join(f"e{j}" for j in range(15))),
+    ]
+    _write_documents(spark, tmp_path, docs)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["max_shared_span"]
+        for r in registry.get("dedup_substring_span")
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert got == {(1, 2): 20}, got
+    assert MIN_SPAN > 10  # the (3,4) exclusion above tests the threshold
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1, max_size=12
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_bpe_fold_matches_python_spec(spark, corpora):
+    """Property test: the Spark greedy-merge fold must reproduce the
+    pure-Python left-to-right scan on tiny adversarial corpora (repeated
+    symbols like 'aa aa aa' exercise the non-overlapping greedy step)."""
+    texts = [" ".join(toks) for toks in corpora]
+    expected = bpe_merges_python(texts)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).selectExpr(
+        "doc_id", "text", "'en' AS lang", "'t' AS source",
+        "CAST(length(text) AS LONG) AS n_chars",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        got = [
+            (r["merge_rank"], r["left_sym"], r["right_sym"], r["pair_count"])
+            for r in registry.get("text_bpe_train").fn(spark, d).collect()
+        ]
+    assert got == expected
+
+
+def test_bpe_merged_symbols_chain():
+    """Round r+1 can merge a symbol produced in round r (the defining BPE
+    property): 'a b c' repeated makes (a,b) win round 1 and (a_b, c)
+    win round 2."""
+    rows = bpe_merges_python(["a b c", "a b c", "a b c"], rounds=2)
+    assert rows[0][1:3] == ("a", "b")
+    assert rows[1][1:3] == ("a" + BPE_JOIN + "b", "c")
+
+
+def test_ohlc_open_close_tiebreak(spark, tmp_path):
+    """Duplicate timestamps inside a bar: open/close must tie-break on
+    event_id, matching the oracle's (ts, event_id) row_number order."""
+    ts = datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (2, ts, 1, "click", 5.0, "{}"),
+        (1, ts, 1, "click", 9.0, "{}"),  # same ts, lower id -> open
+        (3, datetime(2024, 1, 1, 10, 30, 0), 1, "click", 7.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = registry.get("rollup_ohlc_bars").fn(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    bar = out[0]
+    assert bar["open"] == 9.0 and bar["close"] == 7.0
+    assert bar["high"] == 9.0 and bar["low"] == 5.0 and bar["n_events"] == 3
+
+
+def test_scd2_intervals_partition_time(spark):
+    """Per key: versions are contiguous (valid_to == next valid_from),
+    exactly one open version, and the version count follows the
+    deterministic update generations."""
+    out = registry.get("sink_scd2_history").fn(spark, SF_SMOKE).collect()
+    by_key: dict[int, list] = {}
+    for r in out:
+        by_key.setdefault(r["c_custkey"], []).append(r)
+    for key, versions in by_key.items():
+        versions.sort(key=lambda r: r["valid_from"])
+        expect = 1 + (key % 10 == 0) + (key % 20 == 0)
+        assert len(versions) == expect, (key, versions)
+        assert sum(v["is_current"] for v in versions) == 1
+        assert versions[-1]["is_current"] and versions[-1]["valid_to"] is None
+        for a, b in zip(versions, versions[1:]):
+            assert a["valid_to"] == b["valid_from"]
+
+
+def test_equidepth_buckets_balanced(spark):
+    """8 buckets, counts sum to the table size, each bucket within 2% of
+    n/8 (exact interpolated boundaries => near-perfect depth balance),
+    and bucket value ranges are ordered and disjoint."""
+    out = sorted(
+        registry.get("agg_histogram_equidepth").fn(spark, SF_SMOKE).collect(),
+        key=lambda r: r["bucket"],
+    )
+    assert [r["bucket"] for r in out] == list(range(1, 9))
+    total = sum(r["n_rows"] for r in out)
+    target = total / 8
+    for r in out:
+        assert abs(r["n_rows"] - target) <= max(2.0, 0.02 * target), out
+    for a, b in zip(out, out[1:]):
+        assert a["hi"] <= b["lo"]

@@ -70,6 +70,10 @@ SINGLE_PARTITION_OK: dict[str, str] = {
     "corpus_pack_manifest": "bounded bucket-offset prefix-sum frame",
     "corpus_pack_blocks": "bounded bucket-offset prefix-sum frame",
     "text_tfidf": "1-row corpus doc-count for the idf denominator",
+    "agg_histogram_equidepth": (
+        "1-row boundary frame: exact percentile merges per-partition "
+        "partial buffers (approx_percentile sketch partials at 100 TB)"
+    ),
     "q_yearly_growth": "1-row base-year revenue for the growth ratio",
     "win_distribution": "unpartitioned ntile/cume_dist exhibit over bounded group frame",
     "q_funnel_conversion": "funnel stage totals: one row per stage",
