@@ -588,3 +588,87 @@ def sink_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             nxt.isNull().alias("is_current"),
         )
     )
+
+
+@register(
+    "sink_change_feed",
+    oracle="""
+    WITH new_snap AS (
+      SELECT c_custkey,
+             ROUND(CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 25.0
+                        ELSE c_acctbal END, 2) AS c_acctbal
+      FROM customer WHERE c_custkey % 101 <> 0
+      UNION ALL
+      SELECT c_custkey + 2000000, CAST(500.0 AS DOUBLE)
+      FROM customer WHERE c_custkey % 97 = 0
+    ),
+    base AS (SELECT c_custkey, ROUND(c_acctbal, 2) AS c_acctbal FROM customer)
+    SELECT COALESCE(b.c_custkey, n.c_custkey) AS c_custkey,
+           CASE WHEN b.c_custkey IS NULL THEN 'insert'
+                WHEN n.c_custkey IS NULL THEN 'delete'
+                ELSE 'update' END             AS op,
+           b.c_acctbal                        AS old_acctbal,
+           n.c_acctbal                        AS new_acctbal
+    FROM base b FULL OUTER JOIN new_snap n USING (c_custkey)
+    WHERE b.c_custkey IS NULL OR n.c_custkey IS NULL
+       OR b.c_acctbal <> n.c_acctbal
+    """,
+)
+def sink_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed between two table snapshots (Delta CDF / Iceberg
+    changelog shape): diff the base snapshot against a deterministically
+    evolved one (every 7th key's balance bumped, every 101st key deleted,
+    inserts keyed off every 97th) and emit one row per change with op
+    insert/update/delete plus before/after values — the feed downstream
+    incremental consumers (the incremental-dedup ladder, streaming
+    upserts) subscribe to instead of re-reading 100 TB. One full outer
+    join on the key; at scale both snapshots are bucketed on the key so
+    the diff is a zero-Exchange sort-merge join, and unchanged rows die
+    in the join's residual filter, never reaching the feed."""
+    t = load(spark, sf_dir)
+    base = t.customer.select(
+        "c_custkey", F.round("c_acctbal", 2).alias("c_acctbal")
+    )
+    survivors = (
+        t.customer.where(F.col("c_custkey") % 101 != 0)
+        .select(
+            "c_custkey",
+            F.round(
+                F.when(
+                    F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 25.0
+                ).otherwise(F.col("c_acctbal")),
+                2,
+            ).alias("c_acctbal"),
+        )
+    )
+    inserts = (
+        t.customer.where(F.col("c_custkey") % 97 == 0)
+        .select(
+            (F.col("c_custkey") + 2_000_000).alias("c_custkey"),
+            F.lit(500.0).alias("c_acctbal"),
+        )
+    )
+    new_snap = survivors.unionByName(inserts)
+    b = base.select(
+        F.col("c_custkey"), F.col("c_acctbal").alias("old_acctbal")
+    )
+    n = new_snap.select(
+        F.col("c_custkey"), F.col("c_acctbal").alias("new_acctbal")
+    )
+    return (
+        b.join(n, "c_custkey", "full_outer")
+        .where(
+            F.col("old_acctbal").isNull()
+            | F.col("new_acctbal").isNull()
+            | (F.col("old_acctbal") != F.col("new_acctbal"))
+        )
+        .select(
+            "c_custkey",
+            F.when(F.col("old_acctbal").isNull(), "insert")
+            .when(F.col("new_acctbal").isNull(), "delete")
+            .otherwise("update")
+            .alias("op"),
+            "old_acctbal",
+            "new_acctbal",
+        )
+    )
