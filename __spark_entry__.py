@@ -90,7 +90,7 @@ _PRIORITY = [
     # r4b additions (this session), all with value oracles:
     "text_segment_dedup", "dedup_substring_span", "text_bpe_train",
     "rollup_ohlc_bars", "agg_histogram_equidepth", "sink_scd2_history",
-    "graph_pagerank", "sink_change_feed",
+    "graph_pagerank", "sink_change_feed", "win_ewma",
     "stream_checkpoint_resume", "stream_stateful_rocksdb",
     "embed_norm_stats", "dedup_embedding_recall", "corpus_mix_report",
     # judge-spot-checked in r3 (independent differential PASS recorded in

@@ -717,3 +717,82 @@ def win_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+#: EWMA frame width and the decay. HALF decay is load-bearing for the
+#: oracle: 0.5^k and the weight sum 2 - 2^(1-n) are EXACT dyadic doubles,
+#: and x * 0.5^k is a pure exponent shift (no mantissa rounding) — so as
+#: long as both engines fold the frame in the same order, the EWMA is
+#: bit-identical cross-engine with NO float-tolerance escape hatch. A
+#: production α comes from a half-life; the plan is unchanged.
+EWMA_FRAME = 16
+
+
+@register(
+    "win_ewma",
+    oracle=f"""
+    WITH framed AS (
+      SELECT event_id, user_id,
+             strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+             ROUND(value, 2) AS value,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN {EWMA_FRAME - 1} PRECEDING
+                                        AND CURRENT ROW) AS frame
+      FROM events
+    )
+    SELECT event_id, user_id, ts, value,
+           ROUND(
+             list_sum([frame[i + 1] * pow(0.5, len(frame) - 1 - i)
+                       FOR i IN range(len(frame))])
+             / (2 - pow(0.5, len(frame) - 1)), 6) AS ewma
+    FROM framed
+    """,
+)
+def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average over a bounded trailing
+    frame (the monitoring/forecasting smoother; pandas ewm with
+    adjust=True, truncated to the last {EWMA_FRAME} rows per user).
+
+    The frame is collected per row by the SAME windowing machinery as
+    any ROWS frame (one user_id shuffle + sort, shared with every other
+    per-user window), then the weighted fold is a pure Column expression
+    — no UDF, no second shuffle. The unbounded-history EWMA recursion
+    does not distribute (each row depends on all predecessors);
+    truncating at {EWMA_FRAME} terms discards weight < 0.5^{EWMA_FRAME}
+    ≈ 1.5e-5 of the mass, which is the standard streaming-systems
+    tradeoff that turns the recursion into a frame aggregate."""
+    t = load(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(EWMA_FRAME - 1), Window.currentRow)
+    )
+    framed = t.events.select(
+        "event_id", "user_id", "ts", "value",
+        F.collect_list("value").over(w).alias("frame"),
+    ).select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        F.round("value", 2).alias("value"),
+        "frame",
+    )
+    frame = F.col("frame")
+    n = F.size(frame)
+    weighted = F.aggregate(
+        F.zip_with(
+            frame,
+            F.sequence(F.lit(0), n - 1),
+            lambda x, i: x * F.pow(F.lit(0.5), (n - 1 - i).cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wsum = F.lit(2.0) - F.pow(F.lit(0.5), (n - 1).cast("double"))
+    return framed.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.round(weighted / wsum, 6).alias("ewma"),
+    )

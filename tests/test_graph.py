@@ -66,3 +66,31 @@ def test_change_feed_classifies_every_rule(spark):
     assert by_op["update"] == {
         k for k in keys if k % 7 == 0 and k % 101 != 0
     }
+
+
+def test_ewma_closed_form_on_planted_series(spark, tmp_path):
+    """win_ewma with half decay: constant series stays constant; [0, 2]
+    gives (0.5*0 + 1*2) / 1.5 = 1.333333 at the second row (adjust=True
+    normalization)."""
+    from datetime import datetime
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0, 0), 1, "a", 0.0, "{}"),
+        (2, datetime(2024, 1, 1, 0, 1, 0), 1, "a", 2.0, "{}"),
+        (3, datetime(2024, 1, 1, 0, 0, 0), 2, "a", 5.0, "{}"),
+        (4, datetime(2024, 1, 1, 0, 1, 0), 2, "a", 5.0, "{}"),
+        (5, datetime(2024, 1, 1, 0, 2, 0), 2, "a", 5.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r["event_id"]: r["ewma"]
+        for r in registry.get("win_ewma").fn(spark, str(tmp_path)).collect()
+    }
+    assert out[1] == 0.0
+    assert abs(out[2] - 4.0 / 3.0) < 1e-6
+    assert out[3] == out[4] == out[5] == 5.0
