@@ -91,6 +91,7 @@ _PRIORITY = [
     "text_segment_dedup", "dedup_substring_span", "text_bpe_train",
     "rollup_ohlc_bars", "agg_histogram_equidepth", "sink_scd2_history",
     "graph_pagerank", "sink_change_feed", "win_ewma",
+    "sql_pipe_syntax", "udf_map_in_arrow",
     "stream_checkpoint_resume", "stream_stateful_rocksdb",
     "embed_norm_stats", "dedup_embedding_recall", "corpus_mix_report",
     # judge-spot-checked in r3 (independent differential PASS recorded in

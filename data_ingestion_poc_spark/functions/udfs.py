@@ -196,3 +196,51 @@ def udf_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
             _merge_asof_group, schema="event_id long, user_id long, click_id long"
         )
     )
+
+
+@register(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT vec_id, label,
+           ROUND(sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                                FOR x IN embedding])), 6) AS l2_norm,
+           CAST(len(embedding) AS INTEGER)                AS dim
+    FROM embeddings
+    """,
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: the zero-copy rung below mapInPandas — the UDF receives
+    raw pyarrow RecordBatches (no pandas conversion, no index/NaN
+    semantics), which is what a vectorized C++/GPU kernel or a
+    tensor-library bridge consumes. The batch computes per-row L2 norms
+    of the embedding column; the float64 accumulation runs in LIST ORDER
+    so the DuckDB oracle's sequential list_sum reproduces it bit-for-bit
+    before the 6-dp round."""
+    import pyarrow as pa
+
+    def norms(batches):
+        for batch in batches:
+            vec_ids = batch.column("vec_id")
+            labels = batch.column("label")
+            embs = batch.column("embedding").to_pylist()
+            out = []
+            for v in embs:
+                s = 0.0
+                for x in v:
+                    x = float(x)
+                    s += x * x
+                out.append(round(s**0.5, 6))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    vec_ids,
+                    labels,
+                    pa.array(out, type=pa.float64()),
+                    pa.array([len(v) for v in embs], type=pa.int32()),
+                ],
+                names=["vec_id", "label", "l2_norm", "dim"],
+            )
+
+    t = load(spark, sf_dir)
+    return t.embeddings.mapInArrow(
+        norms, "vec_id long, label int, l2_norm double, dim int"
+    )

@@ -99,3 +99,41 @@ def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-at-a-time semantics."""
     register_views(spark, sf_dir)
     return spark.sql(_LATERAL_SQL)
+
+
+#: The pipe query and its classic-SQL equivalent compute the same report;
+#: DuckDB runs the classic text (pipe syntax is Spark's), so parity here
+#: proves the |> surface lowers to the same semantics.
+_PIPE_SQL = """
+    FROM lineitem
+    |> WHERE l_quantity >= 30
+    |> EXTEND l_extendedprice * (1 - l_discount) AS disc_price
+    |> AGGREGATE ROUND(SUM(disc_price), 2) AS revenue,
+                 COUNT(*) AS n_lines
+       GROUP BY l_returnflag, l_linestatus
+    |> WHERE n_lines > 100
+    |> SELECT l_returnflag, l_linestatus, revenue, n_lines
+"""
+
+_PIPE_CLASSIC = """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT)                          AS n_lines
+    FROM lineitem
+    WHERE l_quantity >= 30
+    GROUP BY l_returnflag, l_linestatus
+    HAVING COUNT(*) > 100
+"""
+
+
+@register("sql_pipe_syntax", oracle=_PIPE_CLASSIC)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL pipe syntax (SPARK-49555): the |> operator chain
+    (FROM |> WHERE |> EXTEND |> AGGREGATE ... GROUP BY |> WHERE |>
+    SELECT) — each stage consumes the previous stage's table, reading
+    top-to-bottom in dataflow order like the DataFrame API. Catalyst
+    lowers it to exactly the classic GROUP BY/HAVING plan the oracle
+    runs, so this is pure surface: same pushdown, same partial
+    aggregation, same exchanges."""
+    register_views(spark, sf_dir)
+    return spark.sql(_PIPE_SQL)
