@@ -25,6 +25,17 @@ def builder(
 ) -> SparkSession.Builder:
     cpus = str(cpus or os.environ.get("SPARK_GRAFT_CPUS") or "32")
     sp = str(shuffle_partitions or os.environ.get("DIP_SHUFFLE_PARTITIONS") or "32")
+    # The preloading daemon (daemon_preload.py) is resolved by the worker
+    # python via PYTHONPATH; the JVM (and hence the daemon it spawns)
+    # inherits this process's environment, so export the package root
+    # before the gateway starts. On a real cluster the same is done with
+    # --py-files + spark.executorEnv.PYTHONPATH.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
+        )
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -46,6 +57,13 @@ def builder(
         # and accurate broadcast sizing (scan_cbo_stats demo).
         .config("spark.sql.cbo.enabled", "true")
         .config("spark.sql.cbo.joinReorder.enabled", "true")
+        # Fork workers from a daemon that has pandas/pyarrow/numpy already
+        # imported (COW-shared) instead of paying ~3 CPU-s of import per
+        # worker per pool — see daemon_preload.py for the cluster story.
+        .config(
+            "spark.python.daemon.module",
+            "data_ingestion_poc_spark.daemon_preload",
+        )
     )
 
 
