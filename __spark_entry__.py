@@ -92,6 +92,10 @@ _PRIORITY = [
     "rollup_ohlc_bars", "agg_histogram_equidepth", "sink_scd2_history",
     "graph_pagerank", "sink_change_feed", "win_ewma",
     "sql_pipe_syntax", "udf_map_in_arrow",
+    # r4c additions (this session), all with value oracles:
+    "sim_search_pq", "sim_search_pq_recall", "text_perplexity_ngram",
+    "graph_triangle_count", "agg_countmin_sketch", "win_zscore_anomaly",
+    "sample_weighted", "corpus_interleave_epochs",
     "stream_checkpoint_resume", "stream_stateful_rocksdb",
     "embed_norm_stats", "dedup_embedding_recall", "corpus_mix_report",
     # judge-spot-checked in r3 (independent differential PASS recorded in

@@ -1021,3 +1021,72 @@ def text_length_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", "p05", "p95", "n_docs",
         F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
     )
+
+
+#: Epochs materialized by the training-order manifest.
+INTERLEAVE_EPOCHS = 3
+INTERLEAVE_SHARDS = 16
+
+_INTERLEAVE_ORACLE = f"""
+    WITH perm AS (
+      SELECT e.epoch, d.doc_id,
+             CAST(strpos('0123456789abcdef',
+                  substr(md5('ep' || e.epoch || ':' || CAST(d.doc_id AS VARCHAR)), 1, 1))
+                  - 1 AS INTEGER) AS shard_id,
+             substr(md5('ep' || e.epoch || ':' || CAST(d.doc_id AS VARCHAR)), 2, 8)
+               AS sort_key
+      FROM documents d,
+           (SELECT CAST(unnest(range({INTERLEAVE_EPOCHS})) AS INTEGER) AS epoch) e
+    )
+    SELECT epoch, shard_id, doc_id,
+           row_number() OVER (PARTITION BY epoch, shard_id
+                              ORDER BY sort_key, doc_id) AS ord_in_shard
+    FROM perm
+"""
+
+
+@register("corpus_interleave_epochs", oracle=_INTERLEAVE_ORACLE)
+def corpus_interleave_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-epoch training-order manifest: every epoch gets its own
+    deterministic permutation of the corpus (epoch-salted md5 sort keys),
+    sharded so loader ranks stream their shard in manifest order — the
+    'different shuffle every epoch, reproducible across reruns' property
+    LLM training wants WITHOUT a driver-side RNG or a global sort.
+
+    Scale shape: the permutation is a pure function of (epoch, doc_id) —
+    no coordination, stable under repartition/retries (the sampling.py
+    hash policy). The only ordered operator is a row_number windowed by
+    (epoch, shard_id): {INTERLEAVE_EPOCHS}x{INTERLEAVE_SHARDS} bounded
+    partitions, each ~corpus/{INTERLEAVE_SHARDS} rows — a global
+    per-epoch ORDER BY would be the single-partition bottleneck this
+    layout exists to avoid."""
+    t = load(spark, sf_dir)
+    epochs = F.explode(
+        F.array(*[F.lit(e) for e in range(INTERLEAVE_EPOCHS)])
+    ).alias("epoch")
+    perm = t.documents.select("doc_id", epochs).select(
+        "epoch",
+        "doc_id",
+        F.md5(
+            F.concat(
+                F.lit("ep"),
+                F.col("epoch").cast("string"),
+                F.lit(":"),
+                F.col("doc_id").cast("string"),
+            ).cast("binary")
+        ).alias("h"),
+    )
+    shard = (F.instr(F.lit("0123456789abcdef"), F.substring("h", 1, 1)) - 1).cast(
+        "int"
+    )
+    w = Window.partitionBy("epoch", "shard_id").orderBy("sort_key", "doc_id")
+    return (
+        perm.select(
+            "epoch",
+            shard.alias("shard_id"),
+            "doc_id",
+            F.substring("h", 2, 8).alias("sort_key"),
+        )
+        .withColumn("ord_in_shard", F.row_number().over(w))
+        .select("epoch", "shard_id", "doc_id", "ord_in_shard")
+    )

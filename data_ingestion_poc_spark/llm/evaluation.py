@@ -338,3 +338,83 @@ def dedup_jaccard_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(both) * 100.0 / F.count("e"), 2).alias("recall_pct"),
         F.round(F.sum(both) * 100.0 / F.count("c"), 2).alias("precision_pct"),
     )
+
+
+def _pq_recall_oracle() -> str:
+    """PQ is deterministic end to end (fixed codebook, bit-reproducible
+    float folds), so its recall report gets a full two-sided oracle too:
+    the exact-knn CTE and the whole PQ pipeline replayed inline."""
+    from .similarity import _PQ_ORACLE
+
+    return f"""
+    WITH exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 list_distance(q.e, c.e), c.vec_id) AS rk
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings WHERE vec_id < 5) q
+        JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings) c ON q.vec_id <> c.vec_id
+      ) WHERE rk <= 10
+    ),
+    pq AS (SELECT query_id, neighbor_id FROM ({_PQ_ORACLE}) p)
+    SELECT e.query_id,
+           COUNT(*) AS exact_k, COUNT(a.neighbor_id) AS pq_hits,
+           ROUND(COUNT(a.neighbor_id) * 100.0 / COUNT(*), 2) AS recall_pct
+    FROM exact e LEFT JOIN pq a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    ORDER BY e.query_id
+    """
+
+
+@register("sim_search_pq_recall", oracle=_pq_recall_oracle())
+def sim_search_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of product-quantization ANN vs exact EUCLIDEAN top-10
+    (PQ approximates squared L2, so the ground truth here is
+    list_distance order, not the cosine order the LSH eval uses). The
+    per-query recall quantifies what the ~100x compression costs — the
+    number a 100 TB deployment watches when tuning PQ_M/PQ_K."""
+    from .similarity import sim_search_pq
+
+    t = load(spark, sf_dir)
+    emb = t.embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    from .dedup import dot_double
+
+    pairs = emb.crossJoin(F.broadcast(q)).where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    d2 = (
+        dot_double(F.col("qe"), F.col("qe"))
+        - 2 * dot_double(F.col("qe"), F.col("e"))
+        + dot_double(F.col("e"), F.col("e"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.sqrt(d2), "vec_id")
+    exact = (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 10)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    pq = sim_search_pq(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    j = exact.join(pq, ["query_id", "neighbor_id"], "left")
+    return (
+        j.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("exact_k"),
+            F.count("hit").alias("pq_hits"),
+            F.round(F.count("hit") * 100.0 / F.count(F.lit(1)), 2).alias(
+                "recall_pct"
+            ),
+        )
+        .orderBy("query_id")
+    )

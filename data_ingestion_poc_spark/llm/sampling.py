@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import load
 from ..registry import register
@@ -192,4 +193,73 @@ def sample_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(_bucket("t:", "cluster_id") < "e6", "train")
         .otherwise("valid")
         .alias("split"),
+    )
+
+
+#: Weighted-sample size for sample_weighted.
+WEIGHTED_K = 100
+
+_WEIGHTED_ORACLE = f"""
+    WITH keyed AS (
+      SELECT o_orderkey, o_totalprice AS weight,
+             ln((CAST('0x' || substr(md5('ws:' || CAST(o_orderkey AS VARCHAR)),
+                                     1, 8) AS BIGINT) + 1) / 4294967297.0)
+               / o_totalprice AS es_key
+      FROM orders
+    )
+    SELECT o_orderkey, ROUND(weight, 2) AS weight,
+           ROUND(es_key, 9) + 0 AS es_key, rk
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY es_key DESC, o_orderkey) AS rk
+      FROM keyed
+    ) WHERE rk <= {WEIGHTED_K}
+"""
+
+
+@register("sample_weighted", oracle=_WEIGHTED_ORACLE)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the Efraimidis-Spirakis
+    exponential-key trick (Inf. Proc. Letters 2006): each row draws
+    u ~ U(0,1), its key is u^(1/w) — keep the k largest keys and you have
+    an exact weight-proportional sample. Comparing ln(u)/w (monotone in
+    u^(1/w)) avoids the fractional power.
+
+    u comes from md5 of the row key, not an RNG stream (the module-wide
+    hash-sampler policy: membership is a pure function of the row, so
+    the sample survives repartitioning, retries, and incremental appends;
+    every training-mix builder that upsamples high-quality sources by
+    weight needs exactly this stability). The top-k runs as
+    TakeOrderedAndProject — per-partition heaps then a k-row merge, no
+    global sort, no shuffle of the data — so the plan is one scan at any
+    corpus size. The 32-bit hash-to-uniform has 1/2^32 granularity;
+    (o_orderkey) tiebreaks make the selection total-ordered."""
+    t = load(spark, sf_dir)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("ws:"), F.col("o_orderkey").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        + 1
+    ) / F.lit(4294967297.0)
+    keyed = t.orders.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("weight"),
+        (F.log(u) / F.col("o_totalprice")).alias("es_key"),
+    )
+    topk = keyed.orderBy(F.col("es_key").desc(), "o_orderkey").limit(WEIGHTED_K)
+    w = Window.orderBy(F.col("es_key").desc(), "o_orderkey")
+    return topk.select(
+        "o_orderkey",
+        F.round("weight", 2).alias("weight"),
+        (F.round("es_key", 9) + F.lit(0.0)).alias("es_key"),
+        F.row_number().over(w).alias("rk"),
     )

@@ -626,3 +626,150 @@ def embed_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round((F.col("nrm") - F.col("mu")) / F.col("sd"), 3) + F.lit(0.0)).alias("z_score"),
         (F.abs(F.col("nrm") - F.col("mu")) > 2 * F.col("sd")).alias("is_outlier"),
     )
+
+
+#: Product quantization geometry: 64-dim embeddings split into M=4
+#: 16-dim subspaces, each quantized against K=8 codewords, so a vector
+#: compresses to 4 x 3 bits and the asymmetric-distance join touches a
+#: 4xK lookup table per query instead of the raw vectors. The codebook
+#: here is the first K vectors' subvectors (deterministic, so DuckDB can
+#: replay the whole pipeline); a production build would run
+#: embed_kmeans per subspace instead - same plan shape, trained input.
+PQ_M = 4
+PQ_SUBDIM = 16
+PQ_K = 8
+
+#: Squared L2 between two equal-length double arrays as a sequential
+#: left-to-right fold - bit-identical to the DuckDB replay below, which
+#: matters because the encode argmin compares these floats for ordering.
+_SQL2_DUCK = (
+    "list_sum(list_transform(list_zip({a}, {b}),"
+    " x -> (x[1] - x[2]) * (x[1] - x[2])))"
+)
+
+
+def sq_l2(a, b):
+    """sum((a_i-b_i)^2) as a Column fold (same add order as the oracle)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+_PQ_ORACLE = f"""
+    WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    sub AS (
+      SELECT vec_id, m, v[m * {PQ_SUBDIM} + 1 : (m + 1) * {PQ_SUBDIM}] AS sv
+      FROM emb, (SELECT unnest(range({PQ_M})) AS m)
+    ),
+    cb AS (SELECT m, vec_id AS code, sv AS cw FROM sub WHERE vec_id < {PQ_K}),
+    enc AS (
+      SELECT vec_id, m, code FROM (
+        SELECT s.vec_id, s.m, c.code,
+               row_number() OVER (
+                 PARTITION BY s.vec_id, s.m
+                 ORDER BY {_SQL2_DUCK.format(a='s.sv', b='c.cw')}, c.code) AS rn
+        FROM sub s JOIN cb c USING (m)
+      ) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT q.vec_id AS query_id, c.m, c.code,
+             {_SQL2_DUCK.format(a='q.sv', b='c.cw')} AS d2
+      FROM sub q JOIN cb c USING (m)
+      WHERE q.vec_id < 5
+    ),
+    scored AS (
+      SELECT l.query_id, e.vec_id AS neighbor_id, SUM(d2) AS adist
+      FROM enc e JOIN lut l ON l.m = e.m AND l.code = e.code
+      WHERE e.vec_id <> l.query_id
+      GROUP BY l.query_id, e.vec_id
+    )
+    SELECT query_id, neighbor_id, ROUND(adist, 4) AS approx_dist2, rk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adist, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= 10
+"""
+
+
+@register("sim_search_pq", oracle=_PQ_ORACLE)
+def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jegou et al., "Product Quantization for
+    Nearest Neighbor Search", TPAMI 2011) - the third ANN family next to
+    sim_search_ann's LSH and sim_search_ivf's inverted lists, and the one
+    that actually shrinks the CORPUS: each 64-dim double vector becomes
+    PQ_M codes, so a 100 TB embedding table compresses ~100x and the
+    scan side of the search never touches raw floats.
+
+    Plan shape (all broadcast, corpus scans once, one shuffle):
+    1. codebook = subvectors of the first PQ_K vectors (PQ_M x PQ_K rows,
+       broadcast) - deterministic stand-in for per-subspace k-means;
+    2. encode: posexplode each vector into PQ_M subvectors, broadcast-join
+       the codebook, min_by(struct(dist, code)) per (vec_id, subspace) -
+       partial-aggregatable, so the shuffle carries one row per vector x
+       subspace, never the KxM candidate fan-out;
+    3. query LUT = squared L2 from each query subvector to every codeword
+       (5 x PQ_M x PQ_K rows, broadcast);
+    4. asymmetric distance = SUM over subspaces of LUT[code] - a
+       broadcast-join + groupBy(query, neighbor) whose input is the
+       compact CODES table, not the embeddings;
+    5. top-10 per query by (approx_dist2, neighbor_id).
+
+    The float fold in sq_l2 adds left-to-right exactly like the oracle's
+    list_sum(list_transform(...)), so encode argmins and distance sums
+    are bit-comparable across engines."""
+    t = load(spark, sf_dir)
+    emb = t.embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    subs = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[
+                F.slice("v", m * PQ_SUBDIM + 1, PQ_SUBDIM) for m in range(PQ_M)
+            ])
+        ).alias("m", "sv"),
+    )
+    cb = subs.where(F.col("vec_id") < PQ_K).select(
+        "m", F.col("vec_id").alias("code"), F.col("sv").alias("cw")
+    )
+    enc = (
+        subs.join(F.broadcast(cb), "m")
+        .groupBy("vec_id", "m")
+        .agg(
+            F.min(
+                F.struct(sq_l2(F.col("sv"), F.col("cw")).alias("d2"), "code")
+            ).alias("best")
+        )
+        .select("vec_id", "m", F.col("best.code").alias("code"))
+    )
+    lut = (
+        subs.where(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), "m", "sv")
+        .join(F.broadcast(cb), "m")
+        .select(
+            "query_id", "m", "code", sq_l2(F.col("sv"), F.col("cw")).alias("d2")
+        )
+    )
+    scored = (
+        enc.join(
+            F.broadcast(lut),
+            (enc.m == lut.m) & (enc.code == lut.code)
+            & (enc.vec_id != lut.query_id),
+        )
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d2").alias("adist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 10)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("adist", 4).alias("approx_dist2"),
+            "rk",
+        )
+    )

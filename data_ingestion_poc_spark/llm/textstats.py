@@ -443,3 +443,94 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "entropy_ratio"
         ),
     )
+
+
+_PPL_ORACLE = """
+    WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+    toks AS (SELECT doc_id, unnest(ws) AS w FROM d),
+    uni AS (SELECT w, COUNT(*) AS cu FROM toks GROUP BY w),
+    tot AS (SELECT SUM(cu) AS n_total, COUNT(*) AS vocab FROM uni),
+    bi AS (SELECT doc_id, ws[i] AS u, ws[i + 1] AS w
+           FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM d)),
+    bic AS (SELECT u, w, COUNT(*) AS cb FROM bi GROUP BY u, w),
+    lp1 AS (
+      SELECT doc_id, log2((cu + 1.0) / (n_total + vocab)) AS lp
+      FROM (SELECT doc_id, ws[1] AS w FROM d) f JOIN uni USING (w), tot
+    ),
+    lp2 AS (
+      SELECT b.doc_id, log2((cb + 1.0) / (cu + vocab)) AS lp
+      FROM bi b JOIN uni ON uni.w = b.u
+      JOIN bic ON bic.u = b.u AND bic.w = b.w, tot
+    ),
+    allp AS (SELECT * FROM lp1 UNION ALL SELECT * FROM lp2)
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           ROUND(-SUM(lp) / COUNT(*), 4) AS bits_per_token,
+           ROUND(POWER(2, -SUM(lp) / COUNT(*)), 2) AS ppl
+    FROM allp GROUP BY doc_id
+"""
+
+
+@register("text_perplexity_ngram", oracle=_PPL_ORACLE)
+def text_perplexity_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity per document — the CCNet-style quality
+    signal (Wenzek et al. 2020 filter CommonCrawl by LM perplexity;
+    low-ppl = fluent, high-ppl = noise/boilerplate/garbled). Model =
+    add-one-smoothed bigram LM trained on the corpus itself: first token
+    scored by the unigram distribution, every next token by
+    P(w|u) = (c(u,w)+1)/(c(u)+V).
+
+    Plan shape at 100 TB: unigram and bigram COUNT aggregates are
+    map-side combinable (the shuffle carries (ngram, partial) rows, not
+    token streams); the trained model joins back to the token stream on
+    the ngram key — count tables are corpus-vocabulary-sized, so these
+    are plain shuffle joins that AQE can turn into broadcasts when a
+    domain's vocab is small. The 1-row (N, V) total broadcasts. A
+    production CCNet run trains the LM on a CLEAN reference corpus and
+    scores the dirty one; same plan, two inputs. Rounding at 4 dp
+    absorbs cross-engine libm log2 ulps (text_entropy convention)."""
+    t = load(spark, sf_dir)
+    d = t.documents.select(
+        "doc_id", F.split(F.lower("text"), " ").alias("ws")
+    )
+    toks = d.select("doc_id", F.explode("ws").alias("w"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+    tot = uni.agg(
+        F.sum("cu").alias("n_total"), F.count(F.lit(1)).alias("vocab")
+    )
+    n = F.size("ws")
+    bi = d.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("ws", 1, n - 1),
+                F.slice("ws", 2, n - 1),
+                lambda a, b: F.struct(a.alias("u"), b.alias("w")),
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.u").alias("u"), F.col("bg.w").alias("w"))
+    bic = bi.groupBy("u", "w").agg(F.count(F.lit(1)).alias("cb"))
+    lp1 = (
+        d.select("doc_id", F.col("ws")[0].alias("w"))
+        .join(uni, "w")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.log2((F.col("cu") + 1.0) / (F.col("n_total") + F.col("vocab"))).alias("lp"),
+        )
+    )
+    lp2 = (
+        bi.join(uni.select(F.col("w").alias("u"), "cu"), "u")
+        .join(bic, ["u", "w"])
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.log2((F.col("cb") + 1.0) / (F.col("cu") + F.col("vocab"))).alias("lp"),
+        )
+    )
+    allp = lp1.unionByName(lp2)
+    bits = -F.sum("lp") / F.count(F.lit(1))
+    return allp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(bits, 4).alias("bits_per_token"),
+        F.round(F.pow(F.lit(2.0), bits), 2).alias("ppl"),
+    )

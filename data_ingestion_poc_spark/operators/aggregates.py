@@ -755,3 +755,112 @@ def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(price), 2).alias("hi"),
         )
     )
+
+
+#: Count-min geometry: CM_DEPTH independent hash rows x CM_WIDTH buckets.
+#: Estimate = min over rows of the bucket counter; never underestimates,
+#: overestimates by colliding keys' mass (expected N/CM_WIDTH per row,
+#: min over CM_DEPTH rows shrinks the tail exponentially).
+CM_DEPTH = 4
+CM_WIDTH = 256
+
+_CM_HEX = "0123456789abcdef"
+
+
+def _cm_bucket_spark(key, r):
+    """md5('cm{r}:'||key) first byte as 0..255 — the engine-portable
+    bucket (two applications of the corpus_shard_assign nibble idiom)."""
+    h = F.md5(
+        F.concat(F.lit("cm"), r.cast("string"), F.lit(":"), key).cast("binary")
+    )
+    n1 = F.instr(F.lit(_CM_HEX), F.substring(h, 1, 1)) - 1
+    n2 = F.instr(F.lit(_CM_HEX), F.substring(h, 2, 1)) - 1
+    return (n1 * 16 + n2).cast("int")
+
+
+def _cm_bucket_duck(key: str, r: str) -> str:
+    h = f"md5('cm' || {r} || ':' || {key})"
+    return (
+        f"CAST((strpos('{_CM_HEX}', substr({h}, 1, 1)) - 1) * 16"
+        f" + (strpos('{_CM_HEX}', substr({h}, 2, 1)) - 1) AS INTEGER)"
+    )
+
+
+_CM_ORACLE = f"""
+    WITH keys AS (SELECT CAST(l_suppkey AS VARCHAR) AS k FROM lineitem),
+    rs AS (SELECT CAST(unnest(range({CM_DEPTH})) AS INTEGER) AS r),
+    cells AS (
+      SELECT r, {_cm_bucket_duck('k', 'r')} AS b, COUNT(*) AS c
+      FROM keys, rs GROUP BY 1, 2
+    ),
+    probes AS (
+      SELECT l_suppkey, CAST(l_suppkey AS VARCHAR) AS k,
+             COUNT(*) AS exact_n
+      FROM lineitem WHERE l_suppkey < 20 GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT p.l_suppkey, p.exact_n, MIN(c.c) AS est_n
+      FROM probes p
+      CROSS JOIN rs
+      JOIN cells c ON c.r = rs.r AND c.b = {_cm_bucket_duck('p.k', 'rs.r')}
+      GROUP BY p.l_suppkey, p.exact_n
+    )
+    SELECT l_suppkey, CAST(exact_n AS BIGINT) AS exact_n,
+           CAST(est_n AS BIGINT) AS est_n,
+           est_n >= exact_n AS no_underestimate
+    FROM est
+"""
+
+
+@register("agg_countmin_sketch", oracle=_CM_ORACLE)
+def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency sketch (Cormode & Muthukrishnan 2005) built
+    and probed as pure relational algebra, with the ESTIMATES themselves
+    value-checked: the md5-derived bucket functions are deterministic
+    and engine-portable, so DuckDB replays sketch construction bit for
+    bit — stronger than the tolerance contracts the HLL/GK sketches get
+    (their estimates are implementation-defined; this one is algebra).
+
+    Scale shape: the sketch build is one groupBy over a CM_DEPTH-way
+    map-side fan-out — the shuffle carries at most DEPTH x WIDTH = 1024
+    partial cells per map task regardless of input rows (this is WHY
+    count-min exists: heavy-hitter counting with O(1) state). The probe
+    side broadcasts the 1024-cell sketch to the 20 probe keys. The
+    `no_underestimate` column states the CM one-sided error guarantee;
+    it can only be false if the sketch math is broken."""
+    t = load(spark, sf_dir)
+    keys = t.lineitem.select(F.col("l_suppkey").cast("string").alias("k"))
+    rows = keys.select(
+        "k", F.explode(F.array(*[F.lit(r) for r in range(CM_DEPTH)])).alias("r")
+    )
+    cells = (
+        rows.select("r", _cm_bucket_spark(F.col("k"), F.col("r")).alias("b"))
+        .groupBy("r", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    probes = (
+        t.lineitem.where(F.col("l_suppkey") < 20)
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .select("l_suppkey", F.col("l_suppkey").cast("string").alias("k"), "exact_n")
+    )
+    probe_rows = probes.select(
+        "l_suppkey",
+        "exact_n",
+        F.explode(F.array(*[F.lit(r) for r in range(CM_DEPTH)])).alias("r"),
+        F.col("k"),
+    ).select(
+        "l_suppkey", "exact_n", "r",
+        _cm_bucket_spark(F.col("k"), F.col("r")).alias("b"),
+    )
+    est = (
+        probe_rows.join(F.broadcast(cells), ["r", "b"])
+        .groupBy("l_suppkey", "exact_n")
+        .agg(F.min("c").alias("est_n"))
+    )
+    return est.select(
+        "l_suppkey",
+        "exact_n",
+        "est_n",
+        (F.col("est_n") >= F.col("exact_n")).alias("no_underestimate"),
+    )

@@ -796,3 +796,77 @@ def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.round(weighted / wsum, 6).alias("ewma"),
     )
+
+
+#: Rolling-baseline geometry for the anomaly detector: each event is
+#: scored against the user's previous ZSCORE_LOOKBACK events (current row
+#: EXCLUDED — scoring a point against a baseline that contains it dilutes
+#: the signal), and a score only counts once the baseline has
+#: ZSCORE_MIN_N points (stddev over 3 events is noise, not a baseline).
+ZSCORE_LOOKBACK = 20
+ZSCORE_MIN_N = 10
+ZSCORE_CUTOFF = 3.0
+
+_ZSCORE_ORACLE = f"""
+    WITH scored AS (
+      SELECT event_id, user_id, ts, value,
+             COUNT(*)      OVER w AS n_baseline,
+             AVG(value)    OVER w AS mu,
+             STDDEV_SAMP(value) OVER w AS sd
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN {ZSCORE_LOOKBACK} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           ROUND(value, 6) AS value,
+           CAST(n_baseline AS BIGINT) AS n_baseline,
+           ROUND((value - mu) / sd, 3) AS z
+    FROM scored
+    WHERE n_baseline >= {ZSCORE_MIN_N} AND sd > 0
+      AND abs((value - mu) / sd) > {ZSCORE_CUTOFF}
+"""
+
+
+@register("win_zscore_anomaly", oracle=_ZSCORE_ORACLE)
+def win_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection — each event scored against the
+    mean/stddev of the SAME USER's trailing ZSCORE_LOOKBACK events
+    (strictly preceding frame, so the point never contaminates its own
+    baseline), emitting only |z| > 3 outliers past a minimum baseline
+    size. The metric-monitoring primitive (fraud spikes, sensor faults,
+    engagement anomalies) as one window pass.
+
+    Scale shape: one shuffle on user_id, then a bounded ROWS frame —
+    per-partition state is O(LOOKBACK) however long a user's history
+    gets, and the (ts, event_id) tiebreak makes the frame deterministic
+    under shuffle nondeterminism. Output is outliers only, so the
+    result is tiny however big the input."""
+    t = load(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-ZSCORE_LOOKBACK, -1)
+    )
+    scored = t.events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.count(F.lit(1)).over(w).alias("n_baseline"),
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sd"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return scored.where(
+        (F.col("n_baseline") >= ZSCORE_MIN_N)
+        & (F.col("sd") > 0)
+        & (F.abs(z) > ZSCORE_CUTOFF)
+    ).select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.round("value", 6).alias("value"),
+        "n_baseline",
+        F.round(z, 3).alias("z"),
+    )

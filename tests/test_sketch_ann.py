@@ -1,0 +1,178 @@
+"""Tests for the round-4c additions: PQ ANN semantics, count-min
+guarantees, triangle counting on a planted graph, LM perplexity
+ordering, weighted sampling proportionality, and epoch interleaving."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from data_ingestion_poc_spark import registry
+from data_ingestion_poc_spark.llm.similarity import PQ_K, PQ_M
+
+from conftest import SF_SMOKE
+
+SF_MID = "/root/testdata/sf0.01"
+
+
+def test_pq_codes_are_valid_and_topk_shape(spark):
+    out = registry.get("sim_search_pq").fn(spark, SF_MID).collect()
+    by_q: dict[int, list] = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for q, rows in by_q.items():
+        assert len(rows) == 10
+        rks = sorted(r["rk"] for r in rows)
+        assert rks == list(range(1, 11))
+        # distances non-decreasing in rank, self excluded
+        dists = [r["approx_dist2"] for r in sorted(rows, key=lambda r: r["rk"])]
+        assert dists == sorted(dists)
+        assert all(r["neighbor_id"] != q for r in rows)
+
+
+def test_pq_exact_for_codebook_vectors(spark, tmp_path):
+    """A codebook vector's own subvectors quantize to themselves, so the
+    PQ approximate distance between two CODEBOOK vectors is the true
+    squared L2. 11 vectors total => every neighbor is in the top-10, so
+    the (2, 4) pair is guaranteed present."""
+    import random
+
+    rng = random.Random(7)
+    vecs = [
+        (i, [rng.uniform(-1, 1) for _ in range(64)], f"l{i % 3}")
+        for i in range(11)
+    ]
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>, label string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    true_d2 = sum((a - b) ** 2 for a, b in zip(vecs[2][1], vecs[4][1]))
+    out = registry.get("sim_search_pq").fn(spark, str(tmp_path)).collect()
+    row = [r for r in out if r["query_id"] == 2 and r["neighbor_id"] == 4]
+    assert row, "with 11 vectors every neighbor is in top-10"
+    assert math.isclose(row[0]["approx_dist2"], true_d2, rel_tol=1e-6, abs_tol=1e-4)
+
+
+def test_pq_recall_bounds(spark):
+    rows = registry.get("sim_search_pq_recall").fn(spark, SF_MID).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["exact_k"] == 10
+        assert 0 <= r["pq_hits"] <= 10
+        assert abs(r["recall_pct"] - r["pq_hits"] * 10.0) < 1e-9
+
+
+def test_countmin_never_underestimates_and_depth_helps(spark):
+    rows = registry.get("agg_countmin_sketch").fn(spark, SF_MID).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["no_underestimate"], r
+        assert r["est_n"] >= r["exact_n"]
+        # CM error is bounded by colliding mass; with N=60k rows over
+        # 256 buckets a row's expected extra mass is ~234 rows x count
+        # scale — sanity-bound the min-over-depth estimate at 3x exact
+        assert r["est_n"] <= 3 * r["exact_n"] + 2000
+
+
+def test_triangle_count_on_planted_graph(spark, tmp_path):
+    """K4 on suppliers 1-4 (4 triangles, each node in 3) plus a pendant
+    edge 4-5 (no triangle): plant one part per needed edge."""
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    li = []
+    for i, (a, b) in enumerate(edges):
+        li.append((100 + i, a))
+        li.append((100 + i, b))
+    spark.createDataFrame(
+        li, "l_partkey long, l_suppkey long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    out = {
+        r["node"]: r["n_triangles"]
+        for r in registry.get("graph_triangle_count")
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_perplexity_flags_shuffled_text_higher(spark, tmp_path):
+    """A corpus of one repeated fluent sentence + one scrambled doc: the
+    scrambled doc must score strictly higher perplexity (its bigrams are
+    rare under the corpus LM)."""
+    fluent = "the quick brown fox jumps over the lazy dog"
+    docs = [(i, fluent) for i in range(20)] + [
+        (99, "dog the over fox quick jumps brown lazy the")
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    rows = {
+        r["doc_id"]: r["ppl"]
+        for r in registry.get("text_perplexity_ngram")
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert rows[99] > rows[0]
+    assert all(rows[i] == rows[0] for i in range(20))
+
+
+def test_weighted_sample_prefers_heavy_rows(spark, tmp_path):
+    """1000 rows, 10 with 1000x weight: E-S sampling of k=100 must pick
+    essentially all heavy rows (each heavy row's inclusion probability
+    is ~1)."""
+    rows = [(i, 500000.0 if i < 10 else 500.0) for i in range(1000)]
+    spark.createDataFrame(rows, "o_orderkey long, o_totalprice double").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "orders.parquet"))
+    out = registry.get("sample_weighted").fn(spark, str(tmp_path)).collect()
+    assert len(out) == 100
+    heavy = [r for r in out if r["o_orderkey"] < 10]
+    assert len(heavy) >= 9
+
+
+def test_interleave_epochs_permutations_differ_and_cover(spark):
+    from data_ingestion_poc_spark.llm.corpus import INTERLEAVE_EPOCHS
+
+    out = registry.get("corpus_interleave_epochs").fn(spark, SF_SMOKE).collect()
+    by_epoch: dict[int, dict[int, tuple]] = {}
+    for r in out:
+        by_epoch.setdefault(r["epoch"], {})[r["doc_id"]] = (
+            r["shard_id"],
+            r["ord_in_shard"],
+        )
+    assert set(by_epoch) == set(range(INTERLEAVE_EPOCHS))
+    docs0 = set(by_epoch[0])
+    # every epoch covers the same full corpus exactly once
+    for e in by_epoch:
+        assert set(by_epoch[e]) == docs0
+    # at least one doc changes position between epochs (different salt
+    # => different permutation)
+    assert any(by_epoch[0][d] != by_epoch[1][d] for d in docs0)
+    # ord_in_shard is dense 1..n per (epoch, shard)
+    per_shard: dict[tuple, list] = {}
+    for r in out:
+        per_shard.setdefault((r["epoch"], r["shard_id"]), []).append(
+            r["ord_in_shard"]
+        )
+    for k, v in per_shard.items():
+        assert sorted(v) == list(range(1, len(v) + 1)), k
+
+
+def test_zscore_anomaly_on_planted_spike(spark, tmp_path):
+    """Flat series with one spike: only the spike is flagged, with the
+    right sign and a huge z."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(40):
+        v = 1000.0 if i == 30 else 10.0 + (i % 3) * 0.5
+        rows.append((i, base + datetime.timedelta(minutes=i), 7, "view", v, None))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = registry.get("win_zscore_anomaly").fn(spark, str(tmp_path)).collect()
+    assert [r["event_id"] for r in out] == [30]
+    assert out[0]["z"] > 100

@@ -70,6 +70,9 @@ SINGLE_PARTITION_OK: dict[str, str] = {
     "corpus_pack_manifest": "bounded bucket-offset prefix-sum frame",
     "corpus_pack_blocks": "bounded bucket-offset prefix-sum frame",
     "text_tfidf": "1-row corpus doc-count for the idf denominator",
+    "text_perplexity_ngram": (
+        "1-row (N, vocab) LM normalizer broadcast to both scoring branches"
+    ),
     "agg_histogram_equidepth": (
         "1-row boundary frame: exact percentile merges per-partition "
         "partial buffers (approx_percentile sketch partials at 100 TB)"
