@@ -864,3 +864,73 @@ def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est_n",
         (F.col("est_n") >= F.col("exact_n")).alias("no_underestimate"),
     )
+
+
+#: Fixed shift for the central-moment power sums: statistically the
+#: moments are shift-invariant, numerically the shift is load-bearing —
+#: raw sums of x^4 at price scale (~5e4^4 per row) hit catastrophic
+#: cancellation in the m2 = E[x^2]-E[x]^2 step (ten digits gone), while
+#: sums of (x - 4e4)^k keep every term small. A LITERAL shift (not a
+#: data-dependent mean) keeps the query single-pass on both engines.
+MOMENTS_SHIFT = 40000.0
+
+_MOMENTS_ORACLE = f"""
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             SUM(l_extendedprice - {MOMENTS_SHIFT})                          AS s1,
+             SUM(POWER(l_extendedprice - {MOMENTS_SHIFT}, 2))               AS s2,
+             SUM(POWER(l_extendedprice - {MOMENTS_SHIFT}, 3))               AS s3,
+             SUM(POWER(l_extendedprice - {MOMENTS_SHIFT}, 4))               AS s4
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           ROUND(s1 / n + {MOMENTS_SHIFT}, 2) AS mean_price,
+           ROUND(s2 / n - POWER(s1 / n, 2), 2) AS var_pop,
+           ROUND((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * POWER(s1 / n, 3))
+                 / POWER(s2 / n - POWER(s1 / n, 2), 1.5), 5) AS skewness,
+           ROUND((s4 / n - 4 * (s1 / n) * (s3 / n)
+                  + 6 * POWER(s1 / n, 2) * (s2 / n) - 3 * POWER(s1 / n, 4))
+                 / POWER(s2 / n - POWER(s1 / n, 2), 2) - 3, 5) AS excess_kurtosis
+    FROM s
+"""
+
+
+@register("agg_moments", oracle=_MOMENTS_ORACLE)
+def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shape profile per group: population mean/variance/
+    skewness/excess-kurtosis from SHIFTED power sums. Built-in
+    skewness()/kurtosis() differ across engines (sample-vs-population
+    corrections), so the profile is computed from first principles —
+    four SUM aggregates per group, all map-side combinable, one shuffle
+    carrying 6 numbers per (group, partition). The literal MOMENTS_SHIFT
+    is the numerical-conditioning trick that makes single-pass moment
+    computation viable at all (see constant's comment); a two-pass
+    mean-centered version would scan the fact table twice at 100 TB for
+    digits the report rounds away."""
+    t = load(spark, sf_dir)
+    x = F.col("l_extendedprice") - MOMENTS_SHIFT
+    s = t.lineitem.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("s1"),
+        F.sum(F.pow(x, 2)).alias("s2"),
+        F.sum(F.pow(x, 3)).alias("s3"),
+        F.sum(F.pow(x, 4)).alias("s4"),
+    )
+    m1 = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n") - F.pow(m1, 2)
+    m3 = F.col("s3") / F.col("n") - 3 * m1 * (F.col("s2") / F.col("n")) + 2 * F.pow(m1, 3)
+    m4 = (
+        F.col("s4") / F.col("n")
+        - 4 * m1 * (F.col("s3") / F.col("n"))
+        + 6 * F.pow(m1, 2) * (F.col("s2") / F.col("n"))
+        - 3 * F.pow(m1, 4)
+    )
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(m1 + MOMENTS_SHIFT, 2).alias("mean_price"),
+        F.round(m2, 2).alias("var_pop"),
+        F.round(m3 / F.pow(m2, 1.5), 5).alias("skewness"),
+        F.round(m4 / F.pow(m2, 2) - 3, 5).alias("excess_kurtosis"),
+    )

@@ -705,3 +705,98 @@ def q_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("days_to_ship", F.lit(0.95)), 1).alias("p95_days"),
         F.max("days_to_ship").cast("bigint").alias("max_days"),
     )
+
+
+#: Max distinct items per basket admitted to the pair join: a basket of
+#: f items emits f(f-1)/2 pair rows, so one degenerate mega-order would
+#: dominate the shuffle. 64 is far above TPC-H order widths.
+BASKET_CAP = 64
+
+_BASKET_ORACLE = f"""
+    WITH baskets AS (
+      SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS item
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    sized AS (
+      SELECT okey, item FROM baskets
+      QUALIFY COUNT(*) OVER (PARTITION BY okey) <= {BASKET_CAP}
+    ),
+    n AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM sized),
+    items AS (SELECT item, COUNT(*) AS n_item FROM sized GROUP BY item),
+    pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS n_pair
+      FROM sized a JOIN sized b ON a.okey = b.okey AND a.item < b.item
+      GROUP BY a.item, b.item
+    )
+    SELECT item_a, item_b,
+           CAST(n_pair AS BIGINT) AS n_pair,
+           ROUND(n_pair * 1.0 / n_orders, 6) AS support,
+           ROUND(n_pair * 1.0 / ia.n_item, 6) AS conf_a_to_b,
+           ROUND(n_pair * 1.0 * n_orders / (ia.n_item * ib.n_item), 6) AS lift
+    FROM pairs
+    JOIN items ia ON ia.item = item_a
+    JOIN items ib ON ib.item = item_b
+    CROSS JOIN n
+    WHERE n_pair >= 5
+"""
+
+
+@register("q_market_basket", oracle=_BASKET_ORACLE)
+def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity (association rules): for every brand pair
+    co-occurring in an order, exact support, confidence and lift — the
+    co-purchase analytics staple (and the exact counting core an Apriori
+    / FP-growth run reduces to once candidate pairs are fixed).
+
+    Scale shape: baskets = one distinct-project off the lineitem⨝part
+    join (part dimension broadcasts); the pair self-join is keyed on
+    l_orderkey, so fan-out is per-basket C(f,2) with f capped at
+    BASKET_CAP by a count window over the SAME okey partitioning the
+    join shuffles on (no extra Exchange) — the jaccard df-cap policy
+    applied to baskets. Item totals and the 1-row basket count broadcast
+    back onto the (item, item) pair table."""
+    t = load(spark, sf_dir)
+    baskets = (
+        t.lineitem.join(
+            F.broadcast(
+                t.part.select(
+                    F.col("p_partkey").alias("l_partkey"), "p_brand"
+                )
+            ),
+            "l_partkey",
+        )
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("item"))
+        .distinct()
+    )
+    w_okey = Window.partitionBy("okey")
+    sized = (
+        baskets.withColumn("f", F.count(F.lit(1)).over(w_okey))
+        .where(F.col("f") <= BASKET_CAP)
+        .drop("f")
+    )
+    n = sized.agg(F.countDistinct("okey").alias("n_orders"))
+    items = sized.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
+    b2 = sized.select(F.col("okey"), F.col("item").alias("item_b"))
+    pairs = (
+        sized.join(b2, (sized.okey == b2.okey) & (sized.item < b2.item_b))
+        .groupBy(F.col("item").alias("item_a"), "item_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .where(F.col("n_pair") >= 5)
+    )
+    ia = items.select(F.col("item").alias("item_a"), F.col("n_item").alias("na"))
+    ib = items.select(F.col("item").alias("item_b"), F.col("n_item").alias("nb"))
+    return (
+        pairs.join(F.broadcast(ia), "item_a")
+        .join(F.broadcast(ib), "item_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "item_a",
+            "item_b",
+            "n_pair",
+            F.round(F.col("n_pair") / F.col("n_orders"), 6).alias("support"),
+            F.round(F.col("n_pair") / F.col("na"), 6).alias("conf_a_to_b"),
+            F.round(
+                F.col("n_pair") * F.col("n_orders") / (F.col("na") * F.col("nb")), 6
+            ).alias("lift"),
+        )
+    )

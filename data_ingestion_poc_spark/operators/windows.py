@@ -870,3 +870,44 @@ def win_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_baseline",
         F.round(z, 3).alias("z"),
     )
+
+
+_DISTINCT_ROLLING_ORACLE = """
+    SELECT event_id, user_id,
+           CAST(COUNT(DISTINCT event_type) OVER w AS BIGINT)
+             AS distinct_types_20,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_frame
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("win_distinct_rolling", oracle=_DISTINCT_ROLLING_ORACLE)
+def win_distinct_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct count over a moving ROWS frame — behavioral-diversity
+    scoring (how many distinct event types in the user's last 20
+    actions). Spark's window aggregates reject DISTINCT outright, so the
+    operator composes it: collect_set over the frame, then size() — the
+    engine-gap pattern this repo exists to catalogue. State cost is the
+    frame's distinct set per row, bounded by min(frame width, type
+    cardinality); the plan stays one user_id shuffle + per-partition
+    sort, identical to any other bounded ROWS frame. (For wide frames
+    over high-cardinality values, swap the exact set for approx: a
+    per-frame HLL via aggregate-then-join.) The oracle uses DuckDB's
+    native COUNT(DISTINCT) OVER — same semantics, different engine
+    affordance."""
+    t = load(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, 0)
+    )
+    return t.events.select(
+        "event_id",
+        "user_id",
+        F.size(F.collect_set("event_type").over(w)).cast("bigint").alias(
+            "distinct_types_20"
+        ),
+        F.count(F.lit(1)).over(w).alias("n_frame"),
+    )

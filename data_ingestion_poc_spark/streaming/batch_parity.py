@@ -919,3 +919,143 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_types",
         F.round("max_value", 2).alias("max_value"),
     )
+
+
+@register(
+    "stream_outer_join_watermark",
+    oracle="""
+    WITH mx AS (
+      SELECT LEAST(
+        (SELECT MAX(ts) FROM events WHERE event_type = 'purchase'),
+        (SELECT MAX(ts) FROM events WHERE event_type = 'click')) AS m
+    ),
+    p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts
+          FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT event_id AS click_id, user_id AS c_user, ts AS c_ts
+          FROM events WHERE event_type = 'click')
+    SELECT p.purchase_id, p.user_id,
+           strftime(p.p_ts, '%Y-%m-%d %H:%M:%S') AS p_ts_s,
+           c.click_id,
+           c.click_id IS NOT NULL AS matched
+    FROM p
+    LEFT JOIN c ON p.user_id = c.c_user
+      AND c.c_ts >= p.p_ts - INTERVAL '10 minutes' AND c.c_ts <= p.p_ts
+    CROSS JOIN mx
+    WHERE p.p_ts <= mx.m - INTERVAL '11 minutes'
+    """,
+)
+def stream_outer_join_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER stream-stream join with watermark-driven null emission:
+    purchases joined to same-user clicks in the preceding 10 minutes;
+    a purchase with NO click in its window is emitted null-extended only
+    once the watermark proves no future click can match — the semantics
+    that make funnel drop-off computable on an unbounded stream.
+
+    The stream is staged as three files consumed one per micro-batch
+    (the stream_watermark_late pattern) so the watermark actually
+    advances across batches and state eviction/null emission happen the
+    way they would in production, not as an end-of-stream artifact;
+    Trigger.AvailableNow then flushes the final watermark's remaining
+    state (measured: every unmatched purchase outside the last watermark
+    window emits).
+
+    Both the streamed result and the batch oracle are restricted to the
+    FINALIZED region p_ts <= min(max purchase ts, max click ts) - 11 min.
+    Why that bound: each withWatermark node tracks the max event time of
+    the rows that flow THROUGH it (post-filter), and the query's global
+    watermark is the MIN over nodes — measured here: the final flush
+    evicts left state up to min(max_click, max_purchase) - 10 min, so
+    the last trailing purchase (beyond the purchase-side max - 10 min)
+    stays in state forever on this finite stream. Rows inside the region
+    are provably past eviction; the 1-minute guard keeps millisecond
+    watermark truncation off the contract boundary. State note: each
+    side's state is bounded by (watermark delay + join window) of data
+    per user — without the time bound in the join condition, left-outer
+    join state never evicts."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from ..catalog import load
+
+    batch = load(spark, sf_dir).events
+    t1, t2 = "2024-01-12 00:00:00", "2024-01-25 00:00:00"
+    src = os.path.join(sf_dir, "events.parquet")
+    ident = f"{int(os.path.getmtime(src))}_{os.path.getsize(src)}"
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"dip_stream_loj3_{os.path.basename(sf_dir.rstrip('/'))}_{ident}",
+    )
+    in_dir = os.path.join(stage, "in")
+    if not os.path.exists(os.path.join(stage, "_STAGED")):
+        parts = [
+            ("a", F.col("ts") < t1),
+            ("b", (F.col("ts") >= t1) & (F.col("ts") < t2)),
+            ("c", F.col("ts") >= t2),
+        ]
+        for i, (sub, cond) in enumerate(parts):
+            batch.where(cond).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(stage, sub)
+            )
+        os.makedirs(in_dir, exist_ok=True)
+        for i, (sub, _) in enumerate(parts):
+            for f in glob.glob(os.path.join(stage, sub, "*.parquet")):
+                dst = os.path.join(in_dir, f"{i}_{sub}.parquet")
+                shutil.copy(f, dst)
+                mtime = 1_000_000 * (i + 1)
+                os.utime(dst, (mtime, mtime))
+        open(os.path.join(stage, "_STAGED"), "w").close()
+
+    from ..catalog import normalize_event_ts
+
+    sdf = normalize_event_ts(
+        spark.readStream.schema(spark.read.parquet(in_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    clicks = (
+        sdf.where(F.col("event_type") == "click")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    purchases = (
+        sdf.where(F.col("event_type") == "purchase")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "leftOuter",
+    )
+    out = run_available_now(
+        joined.select("purchase_id", "user_id", "p_ts", "click_id"), "append"
+    )
+    mx = batch.groupBy().agg(
+        F.least(
+            F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+            F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+        ).alias("m")
+    )
+    return (
+        out.crossJoin(F.broadcast(mx))
+        .where(F.col("p_ts") <= F.col("m") - F.expr("INTERVAL 11 MINUTES"))
+        .select(
+            "purchase_id",
+            "user_id",
+            F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("p_ts_s"),
+            "click_id",
+            F.col("click_id").isNotNull().alias("matched"),
+        )
+    )

@@ -176,3 +176,50 @@ def test_zscore_anomaly_on_planted_spike(spark, tmp_path):
     out = registry.get("win_zscore_anomaly").fn(spark, str(tmp_path)).collect()
     assert [r["event_id"] for r in out] == [30]
     assert out[0]["z"] > 100
+
+
+def test_moments_match_numpy(spark):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(SF_MID + "/lineitem.parquet", columns=["l_returnflag", "l_extendedprice"]).to_pandas()
+    rows = registry.get("agg_moments").fn(spark, SF_MID).collect()
+    for r in rows:
+        x = tbl[tbl.l_returnflag == r["l_returnflag"]].l_extendedprice.values
+        assert r["n"] == len(x)
+        assert abs(r["mean_price"] - x.mean()) < 0.02
+        assert abs(r["var_pop"] - x.var()) / x.var() < 1e-6
+        m2 = x.var()
+        skew = ((x - x.mean()) ** 3).mean() / m2 ** 1.5
+        kurt = ((x - x.mean()) ** 4).mean() / m2 ** 2 - 3
+        assert abs(r["skewness"] - skew) < 1e-4
+        assert abs(r["excess_kurtosis"] - kurt) < 1e-4
+
+
+def test_market_basket_invariants(spark):
+    rows = registry.get("q_market_basket").fn(spark, SF_MID).collect()
+    assert rows
+    for r in rows:
+        assert r["item_a"] < r["item_b"]
+        assert r["n_pair"] >= 5
+        assert 0 < r["support"] <= 1
+        assert 0 < r["conf_a_to_b"] <= 1
+        assert r["lift"] > 0
+
+
+def test_distinct_rolling_bounds(spark):
+    rows = registry.get("win_distinct_rolling").fn(spark, SF_MID).collect()
+    for r in rows[:2000]:
+        assert 1 <= r["distinct_types_20"] <= min(r["n_frame"], 5)
+
+
+def test_stream_outer_join_emits_unmatched(spark):
+    out = registry.get("stream_outer_join_watermark").fn(spark, SF_MID).collect()
+    matched = [r for r in out if r["matched"]]
+    nulls = [r for r in out if not r["matched"]]
+    assert matched and nulls
+    for r in nulls:
+        assert r["click_id"] is None
+    # every purchase appears at most once as unmatched
+    ids = [r["purchase_id"] for r in nulls]
+    assert len(ids) == len(set(ids))

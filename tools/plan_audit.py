@@ -73,6 +73,7 @@ SINGLE_PARTITION_OK: dict[str, str] = {
     "text_perplexity_ngram": (
         "1-row (N, vocab) LM normalizer broadcast to both scoring branches"
     ),
+    "q_market_basket": "1-row basket-count denominator for support/lift",
     "agg_histogram_equidepth": (
         "1-row boundary frame: exact percentile merges per-partition "
         "partial buffers (approx_percentile sketch partials at 100 TB)"
