@@ -769,10 +769,16 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     w_okey = Window.partitionBy("okey")
+    # Materialize the capped basket table once: it feeds BOTH sides of
+    # the pair self-join plus the item/basket totals, and the window
+    # subtree would otherwise recompute per consumer (the same
+    # build-once policy as dedup's _capped_shingle_index persist) — at
+    # 100 TB this is the bucketed intermediate table you'd write.
     sized = (
         baskets.withColumn("f", F.count(F.lit(1)).over(w_okey))
         .where(F.col("f") <= BASKET_CAP)
         .drop("f")
+        .localCheckpoint()
     )
     n = sized.agg(F.countDistinct("okey").alias("n_orders"))
     items = sized.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
