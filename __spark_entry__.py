@@ -97,7 +97,8 @@ _PRIORITY = [
     "graph_triangle_count", "agg_countmin_sketch", "win_zscore_anomaly",
     "sample_weighted", "corpus_interleave_epochs",
     "stream_outer_join_watermark", "agg_moments", "q_market_basket",
-    "win_distinct_rolling",
+    "win_distinct_rolling", "embed_pq_train", "sql_scalar_udf",
+    "multimodal_audio_framestats",
     "stream_checkpoint_resume", "stream_stateful_rocksdb",
     "embed_norm_stats", "dedup_embedding_recall", "corpus_mix_report",
     # judge-spot-checked in r3 (independent differential PASS recorded in

@@ -313,3 +313,130 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     files = spark.read.format("binaryFile").load(f"{sf_dir}/*.parquet")
     thumbs = files.mapInPandas(make_thumbnails, schema=RESIZE_SCHEMA)
     return thumbs.orderBy("file_name")
+
+
+# ---------------------------------------------------------------------------
+# Audio: frame-level signal stats over opaque binary blobs (round 4c)
+# ---------------------------------------------------------------------------
+
+AUDIO_FRAME = 512  # samples per analysis frame (hop = frame, no overlap)
+
+AUDIO_SCHEMA = (
+    "file_name string, frame_idx int, n_samples int, "
+    "sum_sq long, peak_abs int, zero_crossings int, rms double"
+)
+
+
+def decode_audio(content: bytes):  # pragma: no cover - stub by design
+    """REAL audio decode hook — needs an audio codec (ffmpeg/soundfile)
+    not installed in this container. frame_stats() consumes an int16
+    sample array however it was produced."""
+    raise NotImplementedError("audio codec not available in this environment")
+
+
+def _fake_samples(content: bytes):
+    """Deterministic stand-in for decode_audio: reinterpret the blob's
+    bytes as little-endian int16 PCM (dropping a trailing odd byte).
+    Codec-free but shape-faithful: a real decoder returns exactly this
+    (an int16 array), so the frame analytics below are the REAL part."""
+    n = len(content) // 2
+    return [
+        int.from_bytes(content[2 * i : 2 * i + 2], "little", signed=True)
+        for i in range(n)
+    ]
+
+
+def _frame_rows(name: str, samples) -> list[tuple]:
+    rows = []
+    for f in range(len(samples) // AUDIO_FRAME):
+        chunk = samples[f * AUDIO_FRAME : (f + 1) * AUDIO_FRAME]
+        ss = sum(x * x for x in chunk)
+        zc = sum(
+            1
+            for a, b in zip(chunk, chunk[1:])
+            if (a >= 0) != (b >= 0)
+        )
+        rms = round((ss / AUDIO_FRAME) ** 0.5, 4)
+        rows.append((name, f, AUDIO_FRAME, ss, max(abs(x) for x in chunk), zc, rms))
+    return rows
+
+
+def audio_frame_stats(batches):
+    """mapInArrow stage: binaryFile RecordBatches -> frame-stat rows with
+    NO pandas materialization — the Arrow-native path a real DSP kernel
+    (C/ffmpeg) would consume. All oracle-checked stats are exact int64
+    (sum of int16 squares <= 512 * 2^30 fits comfortably), so there is
+    no float-summation-order parity risk; rms derives from the same
+    integers at the end."""
+    import pyarrow as pa
+
+    out_schema = pa.schema(
+        [
+            ("file_name", pa.string()),
+            ("frame_idx", pa.int32()),
+            ("n_samples", pa.int32()),
+            ("sum_sq", pa.int64()),
+            ("peak_abs", pa.int32()),
+            ("zero_crossings", pa.int32()),
+            ("rms", pa.float64()),
+        ]
+    )
+    for batch in batches:
+        paths = batch.column("path").to_pylist()
+        blobs = batch.column("content").to_pylist()
+        rows: list[tuple] = []
+        for path, blob in zip(paths, blobs):
+            name = path.rsplit("/", 1)[-1]
+            rows.extend(_frame_rows(name, _fake_samples(bytes(blob))))
+        cols = list(zip(*rows)) if rows else [[] for _ in range(7)]
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(c, type=t.type) for c, t in zip(cols, out_schema)],
+            schema=out_schema,
+        )
+
+
+def _audio_oracle() -> str | None:
+    """Golden VALUES: pure-Python replay of the same int16 framing over
+    the fixture bytes (the multimodal_binary oracle discipline)."""
+    from ..goldens import values_oracle
+
+    try:
+        blobs = _read_fixture_blobs()
+    except OSError:
+        return None
+    rows = []
+    for name, blob in blobs:
+        rows.extend(_frame_rows(name, _fake_samples(blob)))
+    return values_oracle(
+        rows,
+        [
+            "file_name",
+            "frame_idx",
+            "n_samples",
+            "sum_sq",
+            "peak_abs",
+            "zero_crossings",
+            "rms",
+        ],
+        order_by="file_name, frame_idx",
+        casts={"sum_sq": "BIGINT"},
+    )
+
+
+@register("multimodal_audio_framestats", oracle=_audio_oracle())
+def multimodal_audio_framestats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio frame analytics over opaque binary columns: binaryFile scan
+    -> mapInArrow framing/stats (stubbed codec, real plumbing) -> one row
+    per 512-sample frame with RMS / peak / zero-crossing rate — the
+    silence-trim + energy-gate front end of a speech-data pipeline.
+
+    The fourth multimodal eval-type exhibit: binary/image/video use
+    mapInPandas; this one uses mapInArrow, the zero-copy batch bridge a
+    native DSP kernel consumes (no pandas conversion of megabyte blobs).
+    Frames per task = its own blobs' frames — blob bytes never shuffle,
+    only fixed-width stat rows move on."""
+    files = spark.read.format("binaryFile").load(f"{sf_dir}/*.parquet")
+    stats = files.select("path", "content").mapInArrow(
+        audio_frame_stats, schema=AUDIO_SCHEMA
+    )
+    return stats.orderBy("file_name", "frame_idx")

@@ -773,3 +773,115 @@ def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rk",
         )
     )
+
+
+_PQ_TRAIN_ORACLE = f"""
+    WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    sub AS (
+      SELECT vec_id, m, v[m * {PQ_SUBDIM} + 1 : (m + 1) * {PQ_SUBDIM}] AS sv
+      FROM emb, (SELECT unnest(range({PQ_M})) AS m)
+    ),
+    cb AS (SELECT m, vec_id AS code, sv AS cw FROM sub WHERE vec_id < {PQ_K}),
+    enc AS (
+      SELECT vec_id, m, code, sv, cw FROM (
+        SELECT s.vec_id, s.m, c.code, s.sv, c.cw,
+               row_number() OVER (
+                 PARTITION BY s.vec_id, s.m
+                 ORDER BY {_SQL2_DUCK.format(a='s.sv', b='c.cw')}, c.code) AS rn
+        FROM sub s JOIN cb c USING (m)
+      ) WHERE rn = 1
+    ),
+    elems AS (
+      SELECT m, code, i, AVG(sv[i]) AS mu, ANY_VALUE(cw[i]) AS old_i
+      FROM enc, (SELECT unnest(range(1, {PQ_SUBDIM} + 1)) AS i)
+      GROUP BY m, code, i
+    ),
+    cent AS (
+      SELECT m, code,
+             sqrt(SUM(mu * mu)) AS nrm,
+             sqrt(SUM((mu - old_i) * (mu - old_i))) AS drift
+      FROM elems GROUP BY m, code
+    ),
+    counts AS (SELECT m, code, COUNT(*) AS n_assigned FROM enc GROUP BY m, code)
+    SELECT c.m, c.code, CAST(n.n_assigned AS BIGINT) AS n_assigned,
+           ROUND(c.nrm, 6) AS centroid_norm,
+           ROUND(c.drift, 6) AS centroid_drift
+    FROM cent c JOIN counts n ON n.m = c.m AND n.code = c.code
+"""
+
+
+@register("embed_pq_train", oracle=_PQ_TRAIN_ORACLE)
+def embed_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd round of per-subspace PQ codebook training — the step
+    that turns sim_search_pq's deterministic seed codebook into a
+    data-fitted one (train -> encode -> search -> recall is the full PQ
+    lifecycle; production runs this loop to convergence per subspace).
+    Emits per-(subspace, codeword): assignment count, new-centroid norm,
+    and drift from the seed — the numbers a training loop watches.
+
+    Scale shape: assignment reuses the encode plan (broadcast codebook +
+    partial-aggregatable argmin); the centroid update is an elementwise
+    AVG keyed by (subspace, code, dim) — map-side combinable, shuffle
+    carries PQ_M x PQ_K x PQ_SUBDIM partial cells however big the
+    corpus. No driver-side centroid state at all (contrast: embed_kmeans
+    collects k x dim centroids per round; per-subspace PQ training never
+    needs to, because the codebook lives in the plan as data)."""
+    t = load(spark, sf_dir)
+    emb = t.embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    subs = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[
+                F.slice("v", m * PQ_SUBDIM + 1, PQ_SUBDIM) for m in range(PQ_M)
+            ])
+        ).alias("m", "sv"),
+    )
+    cb = subs.where(F.col("vec_id") < PQ_K).select(
+        "m", F.col("vec_id").alias("code"), F.col("sv").alias("cw")
+    )
+    enc = (
+        subs.join(F.broadcast(cb), "m")
+        .groupBy("vec_id", "m")
+        .agg(
+            F.min(
+                F.struct(
+                    sq_l2(F.col("sv"), F.col("cw")).alias("d2"),
+                    "code",
+                    "sv",
+                    "cw",
+                )
+            ).alias("best")
+        )
+        .select(
+            "m",
+            F.col("best.code").alias("code"),
+            F.col("best.sv").alias("sv"),
+            F.col("best.cw").alias("cw"),
+        )
+    )
+    elems = (
+        enc.select(
+            "m", "code", F.posexplode(F.arrays_zip("sv", "cw")).alias("i", "p")
+        )
+        .groupBy("m", "code", "i")
+        .agg(
+            F.avg(F.col("p.sv")).alias("mu"),
+            F.first(F.col("p.cw")).alias("old_i"),
+        )
+    )
+    cent = elems.groupBy("m", "code").agg(
+        F.sqrt(F.sum(F.col("mu") * F.col("mu"))).alias("nrm"),
+        F.sqrt(
+            F.sum((F.col("mu") - F.col("old_i")) * (F.col("mu") - F.col("old_i")))
+        ).alias("drift"),
+    )
+    counts = enc.groupBy("m", "code").agg(F.count(F.lit(1)).alias("n_assigned"))
+    return cent.join(counts, ["m", "code"]).select(
+        "m",
+        "code",
+        "n_assigned",
+        F.round("nrm", 6).alias("centroid_norm"),
+        F.round("drift", 6).alias("centroid_drift"),
+    )

@@ -137,3 +137,50 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation, same exchanges."""
     register_views(spark, sf_dir)
     return spark.sql(_PIPE_SQL)
+
+
+_SQL_UDF_ORACLE = """
+    SELECT c_mktsegment,
+           CASE WHEN c_acctbal < 0 THEN 'negative'
+                WHEN c_acctbal < 5000 THEN 'standard'
+                ELSE 'premium' END AS tier,
+           COUNT(*) AS n_customers,
+           ROUND(SUM(c_acctbal * (1 - 0.05)), 2) AS discounted_balance
+    FROM customer
+    GROUP BY 1, 2
+"""
+
+
+@register("sql_scalar_udf", oracle=_SQL_UDF_ORACLE)
+def sql_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined scalar functions (Spark 4 CREATE FUNCTION ... RETURNS
+    ... RETURN expr, SPARK-46246 SQL UDFs): business logic named once in
+    the catalog and reused across queries — WITHOUT the Python-worker
+    round trip a pyspark UDF costs. Catalyst INLINES the function body
+    into the calling plan, so `tier(c_acctbal)` groups and filters with
+    full codegen/pushdown, indistinguishable from writing the CASE
+    inline (the oracle IS the inlined text — passing proves the
+    inlining). This is the 100 TB answer to 'we need reusable business
+    logic': SQL UDFs stay JVM-side and optimizer-visible; reach for
+    Python only when the logic genuinely cannot be expressed
+    relationally (functions/udfs.py measures that cliff)."""
+    register_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION cust_tier(b DOUBLE) "
+        "RETURNS STRING RETURN CASE WHEN b < 0 THEN 'negative' "
+        "WHEN b < 5000 THEN 'standard' ELSE 'premium' END"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION after_fee(b DOUBLE) "
+        "RETURNS DOUBLE RETURN b * (1 - 0.05)"
+    )
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               cust_tier(c_acctbal) AS tier,
+               COUNT(*) AS n_customers,
+               ROUND(SUM(after_fee(c_acctbal)), 2) AS discounted_balance
+        FROM customer
+        GROUP BY 1, 2
+        """
+    )

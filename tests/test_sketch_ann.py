@@ -223,3 +223,52 @@ def test_stream_outer_join_emits_unmatched(spark):
     # every purchase appears at most once as unmatched
     ids = [r["purchase_id"] for r in nulls]
     assert len(ids) == len(set(ids))
+
+
+def test_pq_train_assignment_partition(spark):
+    from data_ingestion_poc_spark.llm.similarity import PQ_K, PQ_M
+
+    rows = registry.get("embed_pq_train").fn(spark, SF_MID).collect()
+    assert len(rows) == PQ_M * PQ_K
+    n_vecs = spark.read.parquet(SF_MID + "/embeddings.parquet").count()
+    by_m: dict[int, int] = {}
+    for r in rows:
+        by_m[r["m"]] = by_m.get(r["m"], 0) + r["n_assigned"]
+        assert r["n_assigned"] >= 1  # each codeword claims at least itself
+        assert r["centroid_norm"] > 0
+        assert r["centroid_drift"] >= 0
+    # every vector's subvector is assigned exactly once per subspace
+    assert by_m == {m: n_vecs for m in range(PQ_M)}
+
+
+def test_sql_scalar_udf_inlines(spark):
+    df = registry.get("sql_scalar_udf").fn(spark, SF_MID)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    rows = df.collect()
+    assert {r["tier"] for r in rows} <= {"negative", "standard", "premium"}
+
+
+def test_audio_framestats_exact_on_planted_pcm(spark, tmp_path):
+    """Synthesize a known int16 square wave as the 'blob' (written as a
+    file binaryFile picks up) and check frame stats exactly."""
+    import struct
+
+    from data_ingestion_poc_spark.llm.multimodal import AUDIO_FRAME
+
+    samples = ([1000] * 8 + [-1000] * 8) * 64  # 1024 samples, period 16
+    blob = b"".join(struct.pack("<h", s) for s in samples)
+    p = tmp_path / "tone.parquet"  # extension only matters for the glob
+    p.write_bytes(blob)
+    out = registry.get("multimodal_audio_framestats").fn(
+        spark, str(tmp_path)
+    ).collect()
+    assert len(out) == 1024 // AUDIO_FRAME
+    for r in out:
+        assert r["n_samples"] == AUDIO_FRAME
+        assert r["sum_sq"] == 1000 * 1000 * AUDIO_FRAME
+        assert r["peak_abs"] == 1000
+        # 2 flips per 16-sample period, minus the frame-final pair that
+        # has no successor inside the frame
+        assert r["zero_crossings"] == AUDIO_FRAME // 8 - 1
+        assert abs(r["rms"] - 1000.0) < 1e-9
