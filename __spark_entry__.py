@@ -98,7 +98,8 @@ _PRIORITY = [
     "sample_weighted", "corpus_interleave_epochs",
     "stream_outer_join_watermark", "agg_moments", "q_market_basket",
     "win_distinct_rolling", "embed_pq_train", "sql_scalar_udf",
-    "multimodal_audio_framestats",
+    "multimodal_audio_framestats", "agg_ols_two_factor",
+    "win_median_rolling",
     "stream_checkpoint_resume", "stream_stateful_rocksdb",
     "embed_norm_stats", "dedup_embedding_recall", "corpus_mix_report",
     # judge-spot-checked in r3 (independent differential PASS recorded in

@@ -934,3 +934,84 @@ def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(m3 / F.pow(m2, 1.5), 5).alias("skewness"),
         F.round(m4 / F.pow(m2, 2) - 3, 5).alias("excess_kurtosis"),
     )
+
+
+_OLS_ORACLE = f"""
+    WITH s AS (
+      SELECT COUNT(*) * 1.0 AS n,
+             SUM(l_quantity)                 AS sx1,
+             SUM(l_discount)                 AS sx2,
+             SUM(l_extendedprice)            AS sy,
+             SUM(l_quantity * l_quantity)    AS sx1x1,
+             SUM(l_quantity * l_discount)    AS sx1x2,
+             SUM(l_discount * l_discount)    AS sx2x2,
+             SUM(l_quantity * l_extendedprice) AS sx1y,
+             SUM(l_discount * l_extendedprice) AS sx2y
+      FROM lineitem
+    ),
+    solved AS (
+      SELECT n,
+             (n * sx1x1 - sx1 * sx1)   AS a11,
+             (n * sx1x2 - sx1 * sx2)   AS a12,
+             (n * sx2x2 - sx2 * sx2)   AS a22,
+             (n * sx1y  - sx1 * sy)    AS b1,
+             (n * sx2y  - sx2 * sy)    AS b2,
+             sx1, sx2, sy
+      FROM s
+    )
+    SELECT ROUND((b1 * a22 - b2 * a12) / (a11 * a22 - a12 * a12), 4) AS beta_qty,
+           ROUND((b2 * a11 - b1 * a12) / (a11 * a22 - a12 * a12), 4) AS beta_disc,
+           ROUND((sy - (b1 * a22 - b2 * a12) / (a11 * a22 - a12 * a12) * sx1
+                     - (b2 * a11 - b1 * a12) / (a11 * a22 - a12 * a12) * sx2)
+                 / n, 4) AS intercept,
+           CAST(n AS BIGINT) AS n
+    FROM solved
+"""
+
+
+@register("agg_ols_two_factor", oracle=_OLS_ORACLE)
+def agg_ols_two_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature ordinary least squares (extendedprice ~ quantity +
+    discount) fitted ENTIRELY as one aggregation pass: the normal
+    equations need only the 9 sufficient statistics (sums of products),
+    and a 2x2 system solves in closed form by Cramer's rule — so the
+    regression is a map-side-combinable aggregate plus arithmetic on ONE
+    row. This is how distributed OLS actually scales: the fact table
+    streams through once, the shuffle carries 9 numbers per partition,
+    and no iterative optimizer touches the data (contrast gradient
+    descent: a full pass PER STEP). agg_regr covers the single-feature
+    builtin; this is the multivariate generalization engines leave to
+    the user. Centered determinants (n*Sxx - Sx*Sx) keep the
+    conditioning workable at price scale; for many features you would
+    accumulate X'X upper-triangular the same way and solve k x k on the
+    driver (k^2 numbers, not data)."""
+    t = load(spark, sf_dir)
+    q, d, y = F.col("l_quantity"), F.col("l_discount"), F.col("l_extendedprice")
+    s = t.lineitem.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(q).alias("sx1"),
+        F.sum(d).alias("sx2"),
+        F.sum(y).alias("sy"),
+        F.sum(q * q).alias("sx1x1"),
+        F.sum(q * d).alias("sx1x2"),
+        F.sum(d * d).alias("sx2x2"),
+        F.sum(q * y).alias("sx1y"),
+        F.sum(d * y).alias("sx2y"),
+    )
+    n = F.col("n")
+    a11 = n * F.col("sx1x1") - F.col("sx1") * F.col("sx1")
+    a12 = n * F.col("sx1x2") - F.col("sx1") * F.col("sx2")
+    a22 = n * F.col("sx2x2") - F.col("sx2") * F.col("sx2")
+    b1 = n * F.col("sx1y") - F.col("sx1") * F.col("sy")
+    b2 = n * F.col("sx2y") - F.col("sx2") * F.col("sy")
+    det = a11 * a22 - a12 * a12
+    beta1 = (b1 * a22 - b2 * a12) / det
+    beta2 = (b2 * a11 - b1 * a12) / det
+    return s.select(
+        F.round(beta1, 4).alias("beta_qty"),
+        F.round(beta2, 4).alias("beta_disc"),
+        F.round(
+            (F.col("sy") - beta1 * F.col("sx1") - beta2 * F.col("sx2")) / n, 4
+        ).alias("intercept"),
+        n.cast("bigint").alias("n"),
+    )

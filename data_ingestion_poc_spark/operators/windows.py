@@ -911,3 +911,44 @@ def win_distinct_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).over(w).alias("n_frame"),
     )
+
+
+_MEDIAN_ROLLING_ORACLE = """
+    SELECT event_id, user_id,
+           ROUND(MEDIAN(value) OVER w, 6) AS med_21,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_frame
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 20 PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("win_median_rolling", oracle=_MEDIAN_ROLLING_ORACLE)
+def win_median_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling median over a 21-row trailing frame — the robust
+    smoother monitoring pipelines prefer over moving averages (one
+    outlier moves a mean, not a median). Spark window aggregates cannot
+    compute percentiles over a frame, so the operator composes it:
+    collect_list over the frame -> array_sort -> midpoint pick (even
+    frames average the two middle elements, matching MEDIAN()). Same
+    composed-frame family as win_distinct_rolling/win_ewma: one user_id
+    shuffle, O(frame) state per row, and the engine-gap documented
+    rather than papered over. For wide frames swap the exact sort for
+    two approx_percentile passes."""
+    t = load(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, 0)
+    )
+    arr = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(arr)
+    mid_hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    mid_lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    med = F.when(n % 2 == 1, mid_hi).otherwise((mid_lo + mid_hi) / 2.0)
+    return t.events.select(
+        "event_id",
+        "user_id",
+        F.round(med, 6).alias("med_21"),
+        F.count(F.lit(1)).over(w).alias("n_frame"),
+    )

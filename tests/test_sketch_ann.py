@@ -272,3 +272,44 @@ def test_audio_framestats_exact_on_planted_pcm(spark, tmp_path):
         # has no successor inside the frame
         assert r["zero_crossings"] == AUDIO_FRAME // 8 - 1
         assert abs(r["rms"] - 1000.0) < 1e-9
+
+
+def test_ols_recovers_planted_coefficients(spark, tmp_path):
+    """y = 3 + 2*q - 50*d exactly (no noise): OLS must recover the
+    coefficients to rounding precision."""
+    rows = [
+        (float(q), d / 10.0, 3.0 + 2.0 * q - 50.0 * (d / 10.0))
+        for q in range(1, 21)
+        for d in range(0, 5)
+    ]
+    spark.createDataFrame(
+        rows, "l_quantity double, l_discount double, l_extendedprice double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    r = registry.get("agg_ols_two_factor").fn(spark, str(tmp_path)).collect()[0]
+    assert abs(r["beta_qty"] - 2.0) < 1e-3
+    assert abs(r["beta_disc"] + 50.0) < 1e-3
+    assert abs(r["intercept"] - 3.0) < 1e-3
+    assert r["n"] == 100
+
+
+def test_rolling_median_is_robust_to_outlier(spark, tmp_path):
+    """Constant series with one huge outlier: the rolling median stays at
+    the constant for every frame (the outlier never wins a 21-row
+    median), which is exactly why it beats the mean for monitoring."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, base + datetime.timedelta(minutes=i), 1, "view",
+         9999.0 if i == 25 else 7.0, None)
+        for i in range(60)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = registry.get("win_median_rolling").fn(spark, str(tmp_path)).collect()
+    for r in out:
+        if r["event_id"] != 25 or r["n_frame"] > 2:
+            assert r["med_21"] == 7.0, r

@@ -74,6 +74,10 @@ SINGLE_PARTITION_OK: dict[str, str] = {
         "1-row (N, vocab) LM normalizer broadcast to both scoring branches"
     ),
     "q_market_basket": "1-row basket-count denominator for support/lift",
+    "agg_ols_two_factor": (
+        "1-row sufficient-statistics frame (9 numbers); the regression IS "
+        "the global aggregate"
+    ),
     "agg_histogram_equidepth": (
         "1-row boundary frame: exact percentile merges per-partition "
         "partial buffers (approx_percentile sketch partials at 100 TB)"
