@@ -1090,3 +1090,47 @@ def corpus_interleave_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("ord_in_shard", F.row_number().over(w))
         .select("epoch", "shard_id", "doc_id", "ord_in_shard")
     )
+
+
+_LENGTH_BUCKETS_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+    ),
+    bucketed AS (
+      SELECT doc_id, n_tok,
+             CAST(POWER(2, CEIL(log2(GREATEST(n_tok, 8)))) AS BIGINT) AS bucket
+      FROM toks
+    )
+    SELECT bucket,
+           COUNT(*)                         AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT)       AS real_tokens,
+           CAST(SUM(bucket - n_tok) AS BIGINT) AS pad_tokens,
+           ROUND(SUM(bucket - n_tok) * 100.0 / SUM(bucket), 2) AS pad_pct
+    FROM bucketed GROUP BY bucket
+"""
+
+
+@register("corpus_length_buckets", oracle=_LENGTH_BUCKETS_ORACLE)
+def corpus_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length bucketing report: docs binned to power-of-two
+    token buckets (floor 8) with real-vs-padding token counts per bucket
+    — the batching-efficiency audit behind every padded-batch training
+    loader (pad_pct IS the fraction of FLOPs wasted if you batch by
+    bucket; compare against corpus_pack_blocks, which packs instead of
+    padding and wastes ~0). Pure scan + 16-ish-group aggregate: the
+    bucket is a closed-form row expression, the corpus never shuffles
+    row data."""
+    t = load(spark, sf_dir)
+    n_tok = F.size(F.split("text", " "))
+    bucket = F.pow(
+        F.lit(2.0), F.ceil(F.log2(F.greatest(n_tok, F.lit(8))))
+    ).cast("bigint")
+    b = t.documents.select(n_tok.alias("n_tok"), bucket.alias("bucket"))
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("real_tokens"),
+        F.sum(F.col("bucket") - F.col("n_tok")).cast("bigint").alias("pad_tokens"),
+        F.round(
+            F.sum(F.col("bucket") - F.col("n_tok")) * 100.0 / F.sum("bucket"), 2
+        ).alias("pad_pct"),
+    )

@@ -418,3 +418,88 @@ def sim_search_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+_ALIGNMENT_ORACLE = """
+    WITH d AS (SELECT doc_id, n_chars FROM documents),
+    e AS (SELECT vec_id,
+                 list_sum(CAST(embedding AS DOUBLE[])) AS proj
+          FROM embeddings),
+    j AS (SELECT d.doc_id, d.n_chars, e.proj
+          FROM d JOIN e ON e.vec_id = d.doc_id),
+    s AS (
+      SELECT COUNT(*) * 1.0 AS n,
+             SUM(n_chars * 1.0) AS sx, SUM(proj) AS sy,
+             SUM(n_chars * 1.0 * n_chars) AS sxx,
+             SUM(proj * proj) AS syy,
+             SUM(n_chars * proj) AS sxy
+      FROM j
+    )
+    SELECT (SELECT COUNT(*) FROM d) AS n_docs,
+           (SELECT COUNT(*) FROM e) AS n_vecs,
+           (SELECT COUNT(*) FROM j) AS n_paired,
+           (SELECT COUNT(*) FROM d
+            WHERE doc_id NOT IN (SELECT vec_id FROM e)) AS docs_unembedded,
+           (SELECT COUNT(*) FROM e
+            WHERE vec_id NOT IN (SELECT doc_id FROM d)) AS vecs_orphaned,
+           ROUND((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)),
+                 4) AS corr_len_proj
+    FROM s
+"""
+
+
+@register("embed_text_alignment", oracle=_ALIGNMENT_ORACLE)
+def embed_text_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal referential-integrity audit: documents vs their
+    embedding table — paired count, unembedded docs, orphaned vectors,
+    and the correlation between doc length and the embedding's
+    ones-vector projection (norms are degenerate on a unit-normalized
+    corpus — measured sigma 4e-8 here — so the audit scalar must be a
+    projection with real variance; a drifting corr is the canary for a
+    re-embedding run that silently processed the wrong corpus
+    snapshot). This is the join-level audit every two-table
+    (text, vector) pipeline needs before ANN results mean anything.
+
+    Plan: one equi-join on the id plus two anti-join counts — all
+    shuffle joins on the same key — and Pearson's r from the same
+    centered-determinant sufficient statistics agg_ols_two_factor uses
+    (6 numbers, map-side combinable)."""
+    t = load(spark, sf_dir)
+    d = t.documents.select("doc_id", F.col("n_chars").cast("double").alias("x"))
+    e = t.embeddings.select(
+        "vec_id",
+        F.aggregate(
+            F.col("embedding").cast("array<double>"),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("y"),
+    )
+    j = d.join(e, d.doc_id == e.vec_id)
+    s = j.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n")
+    corr = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    counts = (
+        d.agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(e.agg(F.count(F.lit(1)).alias("n_vecs")))
+        .crossJoin(j.agg(F.count(F.lit(1)).alias("n_paired")))
+        .crossJoin(
+            d.join(e, d.doc_id == e.vec_id, "left_anti")
+            .agg(F.count(F.lit(1)).alias("docs_unembedded"))
+        )
+        .crossJoin(
+            e.join(d, d.doc_id == e.vec_id, "left_anti")
+            .agg(F.count(F.lit(1)).alias("vecs_orphaned"))
+        )
+    )
+    return counts.crossJoin(s.select(F.round(corr, 4).alias("corr_len_proj")))

@@ -313,3 +313,24 @@ def test_rolling_median_is_robust_to_outlier(spark, tmp_path):
     for r in out:
         if r["event_id"] != 25 or r["n_frame"] > 2:
             assert r["med_21"] == 7.0, r
+
+
+def test_length_buckets_conserve_docs_and_tokens(spark):
+    import pyarrow.parquet as pq
+
+    rows = registry.get("corpus_length_buckets").fn(spark, SF_MID).collect()
+    total_docs = sum(r["n_docs"] for r in rows)
+    assert total_docs == 500
+    for r in rows:
+        # power-of-two buckets, floor 8
+        assert r["bucket"] >= 8 and (r["bucket"] & (r["bucket"] - 1)) == 0
+        assert r["pad_tokens"] >= 0
+        assert 0 <= r["pad_pct"] < 100
+
+
+def test_alignment_audit_counts(spark):
+    r = registry.get("embed_text_alignment").fn(spark, SF_MID).collect()[0]
+    assert r["n_docs"] == 500 and r["n_vecs"] == 500
+    assert r["n_paired"] == r["n_docs"] - r["docs_unembedded"]
+    assert r["n_paired"] == r["n_vecs"] - r["vecs_orphaned"]
+    assert -1.0 <= r["corr_len_proj"] <= 1.0
