@@ -503,3 +503,131 @@ def embed_text_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return counts.crossJoin(s.select(F.round(corr, 4).alias("corr_len_proj")))
+
+
+#: Hamming cutoff for the simhash leg of the consensus report (64-bit
+#: signatures, 16-bit bands: a pair must share a band AND differ in at
+#: most this many bits overall).
+CONSENSUS_SIMHASH_HAM = 8
+
+
+def _consensus_oracle() -> str | None:
+    from .dedup import _JACCARD_ORACLE, _SIMHASH_ORACLE, _minhash_oracle
+
+    mh = _minhash_oracle()
+    if mh is None:
+        return None
+    return f"""
+    WITH hashed AS (
+      SELECT doc_id, sha256(lower(text)) AS h FROM documents
+    ),
+    exact_p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM hashed a JOIN hashed b ON a.h = b.h AND a.doc_id < b.doc_id
+    ),
+    jac AS (SELECT doc_a, doc_b FROM ({_JACCARD_ORACLE}) j),
+    mh AS (SELECT doc_a, doc_b FROM ({mh}) m),
+    sh AS (SELECT * FROM ({_SIMHASH_ORACLE}) s),
+    sh_pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       AND (a.band0 = b.band0 OR a.band1 = b.band1
+            OR a.band2 = b.band2 OR a.band3 = b.band3)
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= {CONSENSUS_SIMHASH_HAM}
+    ),
+    allp AS (
+      SELECT doc_a, doc_b FROM exact_p
+      UNION SELECT doc_a, doc_b FROM jac
+      UNION SELECT doc_a, doc_b FROM mh
+      UNION SELECT doc_a, doc_b FROM sh_pairs
+    )
+    SELECT p.doc_a, p.doc_b,
+           e.doc_a IS NOT NULL AS by_exact,
+           j.doc_a IS NOT NULL AS by_jaccard,
+           m.doc_a IS NOT NULL AS by_minhash,
+           s.doc_a IS NOT NULL AS by_simhash,
+           CAST((e.doc_a IS NOT NULL)::INT + (j.doc_a IS NOT NULL)::INT
+              + (m.doc_a IS NOT NULL)::INT
+              + (s.doc_a IS NOT NULL)::INT AS BIGINT) AS n_methods
+    FROM allp p
+    LEFT JOIN exact_p e ON e.doc_a = p.doc_a AND e.doc_b = p.doc_b
+    LEFT JOIN jac j ON j.doc_a = p.doc_a AND j.doc_b = p.doc_b
+    LEFT JOIN mh m ON m.doc_a = p.doc_a AND m.doc_b = p.doc_b
+    LEFT JOIN sh_pairs s ON s.doc_a = p.doc_a AND s.doc_b = p.doc_b
+    """
+
+
+@register("dedup_consensus", oracle=_consensus_oracle())
+def dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Method-consensus report across the dedup ladder: every candidate
+    pair any detector fires on, with per-method flags (exact hash,
+    3-gram Jaccard, banded MinHash, SimHash-Hamming) and the agreement
+    count — the evaluation artifact that tells a curation team where
+    detectors AGREE (safe auto-drop), where only fuzzy methods fire
+    (human-review band), and whether a method is dead weight. Most
+    builds stop at running detectors side by side; the disagreement
+    matrix is what makes thresholds tunable.
+
+    Scale shape: each leg is its detector's own bounded-candidate plan
+    (inverted index / banded LSH — never all-pairs); the simhash leg
+    joins on exploded (band_idx, band_value) keys then verifies
+    popcount(xor) <= {CONSENSUS_SIMHASH_HAM} JVM-side. The merge is a
+    4-way full-outer-style union + left joins on (doc_a, doc_b) — pair
+    tables, orders of magnitude smaller than the corpus."""
+    from .dedup import dedup_minhash, dedup_ngram_jaccard, dedup_simhash
+
+    t = load(spark, sf_dir)
+    hashed = t.documents.select(
+        "doc_id", F.sha2(F.lower("text").cast("binary"), 256).alias("h")
+    )
+    h2 = hashed.select(F.col("doc_id").alias("doc_b"), F.col("h"))
+    exact_p = hashed.join(
+        h2, (hashed.h == h2.h) & (hashed.doc_id < h2.doc_b)
+    ).select(F.col("doc_id").alias("doc_a"), "doc_b")
+    jac = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    mh = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    sig = dedup_simhash(spark, sf_dir)
+    keyed = sig.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(F.array("band0", "band1", "band2", "band3")).alias(
+            "bi", "bv"
+        ),
+    )
+    k2 = keyed.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sim_b"),
+        "bi",
+        "bv",
+    )
+    sh_pairs = (
+        keyed.join(k2, ["bi", "bv"])
+        .where(F.col("doc_id") < F.col("doc_b"))
+        .where(
+            F.bit_count(
+                F.col("simhash").bitwiseXOR(F.col("sim_b"))
+            ) <= CONSENSUS_SIMHASH_HAM
+        )
+        .select(F.col("doc_id").alias("doc_a"), "doc_b")
+        .distinct()
+    )
+    def flag(df, name):
+        return df.withColumn(name, F.lit(True))
+
+    allp = (
+        exact_p.unionByName(jac).unionByName(mh).unionByName(sh_pairs).distinct()
+    )
+    out = (
+        allp.join(flag(exact_p, "by_exact"), ["doc_a", "doc_b"], "left")
+        .join(flag(jac, "by_jaccard"), ["doc_a", "doc_b"], "left")
+        .join(flag(mh, "by_minhash"), ["doc_a", "doc_b"], "left")
+        .join(flag(sh_pairs, "by_simhash"), ["doc_a", "doc_b"], "left")
+    )
+    cols = ["by_exact", "by_jaccard", "by_minhash", "by_simhash"]
+    out = out.select(
+        "doc_a",
+        "doc_b",
+        *[F.coalesce(F.col(c), F.lit(False)).alias(c) for c in cols],
+    )
+    n = sum(F.col(c).cast("int") for c in cols)
+    return out.withColumn("n_methods", n.cast("bigint"))

@@ -386,3 +386,112 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     schema = "merge_rank int, left_sym string, right_sym string, pair_count long"
     return spark.createDataFrame(rows, schema)
+
+
+def bpe_encode_python(texts: list[str], rounds: int = BPE_ROUNDS) -> list[tuple]:
+    """Pure-Python replay of train-then-encode: per-doc token counts
+    before/after applying the learned merges in rank order (doc order =
+    input order; caller supplies doc ids)."""
+    docs = [t.split(" ") for t in texts]
+    before = [len(d) for d in docs]
+    for rank, left, right, _n in bpe_merges_python(texts, rounds):
+        merged = left + BPE_JOIN + right
+        new_docs = []
+        for toks in docs:
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == left and toks[i + 1] == right:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            new_docs.append(out)
+        docs = new_docs
+    return [
+        (b, len(d), b - len(d), round(len(d) / b, 4) if b else 1.0)
+        for b, d in zip(before, docs)
+    ]
+
+
+def _bpe_encode_golden() -> str | None:
+    import os
+
+    from ..goldens import ORACLE_SF_DIR, values_oracle
+
+    path = os.path.join(ORACLE_SF_DIR, "documents.parquet")
+    if not os.path.exists(path):
+        return None
+    import duckdb
+
+    pairs = (
+        duckdb.connect()
+        .execute(f"SELECT doc_id, lower(text) FROM '{path}' ORDER BY doc_id")
+        .fetchall()
+    )
+    stats = bpe_encode_python([t for _, t in pairs])
+    rows = [
+        (doc_id, b, a, m, c)
+        for (doc_id, _), (b, a, m, c) in zip(pairs, stats)
+    ]
+    return values_oracle(
+        rows,
+        ["doc_id", "n_tok_before", "n_tok_after", "n_merges_applied", "ratio"],
+        casts={"n_tok_before": "BIGINT", "n_tok_after": "BIGINT",
+               "n_merges_applied": "BIGINT"},
+    )
+
+
+@register("text_bpe_encode", oracle=_bpe_encode_golden())
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION at corpus scale: re-learn the BPE_ROUNDS
+    merge table (text_bpe_train's loop) and encode every document with
+    it, emitting per-doc token counts before/after and the compression
+    ratio — the train -> encode round trip a tokenizer pipeline ships
+    (HuggingFace tokenizers does exactly this pair of passes; the ratio
+    column is the tokens-per-word statistic that prices a training run).
+
+    Scale shape: training is BPE_ROUNDS bounded 1-row driver fetches
+    (see text_bpe_train); ENCODING is zero extra shuffles — each merge
+    is a pure Column fold applied scan-local, so the corpus streams
+    through the chained projections once. Applying a 32k-merge
+    production vocabulary this way would chain too many projections;
+    the documented path is the same fold inside ONE mapInPandas stage
+    with the merge table broadcast."""
+    t = load(spark, sf_dir)
+    toks = t.documents.select(
+        "doc_id", F.split(F.lower("text"), " ").alias("tokens")
+    )
+    before = toks.select("doc_id", F.size("tokens").alias("n_tok_before"))
+    for rank in range(1, BPE_ROUNDS + 1):
+        top = (
+            toks.select(F.explode(_pairs(F.col("tokens"))).alias("p"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        toks = toks.select(
+            "doc_id",
+            _apply_merge(F.col("tokens"), top[0]["l"], top[0]["r"]).alias(
+                "tokens"
+            ),
+        )
+    after = toks.select("doc_id", F.size("tokens").alias("n_tok_after"))
+    return (
+        before.join(after, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_tok_before").cast("bigint").alias("n_tok_before"),
+            F.col("n_tok_after").cast("bigint").alias("n_tok_after"),
+            (F.col("n_tok_before") - F.col("n_tok_after"))
+            .cast("bigint")
+            .alias("n_merges_applied"),
+            F.round(F.col("n_tok_after") / F.col("n_tok_before"), 4).alias(
+                "ratio"
+            ),
+        )
+    )

@@ -334,3 +334,27 @@ def test_alignment_audit_counts(spark):
     assert r["n_paired"] == r["n_docs"] - r["docs_unembedded"]
     assert r["n_paired"] == r["n_vecs"] - r["vecs_orphaned"]
     assert -1.0 <= r["corr_len_proj"] <= 1.0
+
+
+def test_bpe_encode_counts_consistent(spark):
+    rows = registry.get("text_bpe_encode").fn(spark, SF_MID).collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert r["n_tok_after"] <= r["n_tok_before"]
+        assert r["n_merges_applied"] == r["n_tok_before"] - r["n_tok_after"]
+        assert 0 < r["ratio"] <= 1.0
+    # the learned merges must fire somewhere
+    assert sum(r["n_merges_applied"] for r in rows) > 0
+
+
+def test_consensus_flags_consistent(spark):
+    rows = registry.get("dedup_consensus").fn(spark, SF_MID).collect()
+    assert rows
+    for r in rows:
+        flags = [r["by_exact"], r["by_jaccard"], r["by_minhash"], r["by_simhash"]]
+        assert r["n_methods"] == sum(flags)
+        assert r["n_methods"] >= 1  # every emitted pair fired somewhere
+        assert r["doc_a"] < r["doc_b"]
+        # exact dup implies jaccard dup (identical shingle sets)
+        if r["by_exact"]:
+            assert r["by_jaccard"]
