@@ -87,3 +87,135 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+_EXPECTATIONS_ORACLE = """
+    SELECT 'orders_pk_not_null' AS expectation,
+           CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey IS NULL)
+                AS BIGINT) AS n_violations,
+           (SELECT COUNT(*) FROM orders WHERE o_orderkey IS NULL) = 0 AS passed
+    UNION ALL
+    SELECT 'orders_pk_unique',
+           CAST((SELECT COUNT(*) FROM
+                  (SELECT o_orderkey FROM orders
+                   GROUP BY o_orderkey HAVING COUNT(*) > 1)) AS BIGINT),
+           (SELECT COUNT(*) FROM
+             (SELECT o_orderkey FROM orders
+              GROUP BY o_orderkey HAVING COUNT(*) > 1)) = 0
+    UNION ALL
+    SELECT 'orders_custkey_fk',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT),
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) = 0
+    UNION ALL
+    SELECT 'lineitem_orderkey_fk',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT),
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)) = 0
+    UNION ALL
+    SELECT 'lineitem_qty_range',
+           CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE l_quantity < 1 OR l_quantity > 50) AS BIGINT),
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_quantity < 1 OR l_quantity > 50) = 0
+    UNION ALL
+    SELECT 'lineitem_discount_range',
+           CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE l_discount < 0 OR l_discount > 0.5) AS BIGINT),
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_discount < 0 OR l_discount > 0.5) = 0
+    UNION ALL
+    SELECT 'orders_price_positive',
+           CAST((SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0)
+                AS BIGINT),
+           (SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0) = 0
+"""
+
+
+@register("quality_expectations", oracle=_EXPECTATIONS_ORACLE)
+def quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations (the Delta Live Tables /
+    Great Expectations shape): named constraints — PK non-null, PK
+    unique, two referential-integrity checks, and two value-range rules — each emitting (violations, passed). The gate a
+    pipeline evaluates before PUBLISHING a new snapshot (see the WAP
+    pattern): a failed row blocks promotion instead of poisoning
+    downstream consumers.
+
+    Scale shape: null/range/date rules fuse into per-table single-scan
+    conditional sums; uniqueness is one hash aggregate on the key;
+    referential integrity is two left-anti joins on their join keys —
+    all map-side-combinable or broadcast-eligible, no rule scans a
+    table twice (the per-table rules share one pass via conditional
+    aggregation)."""
+    t = load(spark, sf_dir)
+    o = t.orders.agg(
+        F.sum(F.col("o_orderkey").isNull().cast("long")).alias("pk_null"),
+        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias("price_bad"),
+    )
+    dup = (
+        t.orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+        .agg(F.count(F.lit(1)).alias("pk_dup"))
+    )
+    cust_fk = (
+        t.orders.join(
+            t.customer.select(F.col("c_custkey").alias("o_custkey")),
+            "o_custkey",
+            "left_anti",
+        ).agg(F.count(F.lit(1)).alias("cust_orphans"))
+    )
+    li_fk = (
+        t.lineitem.join(
+            t.orders.select(F.col("o_orderkey").alias("l_orderkey")),
+            "l_orderkey",
+            "left_anti",
+        ).agg(F.count(F.lit(1)).alias("li_orphans"))
+    )
+    li = t.lineitem.agg(
+        F.sum(
+            ((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).cast("long")
+        ).alias("qty_bad"),
+        F.sum(
+            ((F.col("l_discount") < 0) | (F.col("l_discount") > 0.5)).cast("long")
+        ).alias("disc_bad"),
+    )
+    scalars = (
+        o.crossJoin(F.broadcast(dup))
+        .crossJoin(F.broadcast(cust_fk))
+        .crossJoin(F.broadcast(li_fk))
+        .crossJoin(F.broadcast(li))
+    )
+    rules = [
+        ("orders_pk_not_null", "pk_null"),
+        ("orders_pk_unique", "pk_dup"),
+        ("orders_custkey_fk", "cust_orphans"),
+        ("lineitem_orderkey_fk", "li_orphans"),
+        ("lineitem_qty_range", "qty_bad"),
+        ("lineitem_discount_range", "disc_bad"),
+        ("orders_price_positive", "price_bad"),
+    ]
+    stacked = scalars.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(name).alias("expectation"),
+                    F.col(col).cast("bigint").alias("n_violations"),
+                )
+                for name, col in rules
+            ])
+        ).alias("r")
+    )
+    return stacked.select(
+        F.col("r.expectation").alias("expectation"),
+        F.col("r.n_violations").alias("n_violations"),
+        (F.col("r.n_violations") == 0).alias("passed"),
+    )

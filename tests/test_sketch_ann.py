@@ -358,3 +358,49 @@ def test_consensus_flags_consistent(spark):
         # exact dup implies jaccard dup (identical shingle sets)
         if r["by_exact"]:
             assert r["by_jaccard"]
+
+
+def test_expectations_catch_planted_violations(spark, tmp_path):
+    """Corpus with a duplicate PK, an orphan FK, and an out-of-range
+    quantity: exactly those rules fail with the right counts."""
+    orders = [(1, 10, "O", 100.0), (2, 10, "O", 200.0), (2, 11, "F", 300.0),
+              (3, 99, "F", 400.0)]  # dup PK 2; custkey 99 missing
+    cust = [(10, "a"), (11, "b")]
+    li = [(1, 5.0), (1, 99.0), (7, 10.0)]  # qty 99 out of range; okey 7 orphan
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(cust, "c_custkey long, c_name string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "customer.parquet"))
+    spark.createDataFrame(
+        li, "l_orderkey long, l_quantity double"
+    ).withColumn("l_discount", F.lit(0.0)).write.mode("overwrite").parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    out = {
+        r["expectation"]: (r["n_violations"], r["passed"])
+        for r in registry.get("quality_expectations")
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert out["orders_pk_unique"] == (1, False)
+    assert out["orders_custkey_fk"] == (1, False)
+    assert out["lineitem_orderkey_fk"] == (1, False)
+    assert out["lineitem_qty_range"] == (1, False)
+    assert out["orders_pk_not_null"] == (0, True)
+    assert out["orders_price_positive"] == (0, True)
+
+
+def test_wap_publish_idempotent_and_complete(spark):
+    df1 = registry.get("sink_wap_publish").fn(spark, SF_MID)
+    rows1 = {r["o_orderstatus"]: r["n_orders"] for r in df1.collect()}
+    # re-running reads the already-published snapshot (no double publish)
+    rows2 = {
+        r["o_orderstatus"]: r["n_orders"]
+        for r in registry.get("sink_wap_publish").fn(spark, SF_MID).collect()
+    }
+    assert rows1 == rows2
+    total = spark.read.parquet(SF_MID + "/orders.parquet").count()
+    assert sum(rows1.values()) == total

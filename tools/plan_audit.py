@@ -74,6 +74,10 @@ SINGLE_PARTITION_OK: dict[str, str] = {
         "1-row (N, vocab) LM normalizer broadcast to both scoring branches"
     ),
     "q_market_basket": "1-row basket-count denominator for support/lift",
+    "quality_expectations": (
+        "five 1-row rule scalars (conditional sums / anti-join counts) "
+        "cross-joined into the 7-row expectations report"
+    ),
     "embed_text_alignment": (
         "six 1-row audit scalars (table counts, anti-join counts, corr "
         "sufficient stats) cross-joined into the single report row"
