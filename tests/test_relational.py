@@ -196,7 +196,10 @@ def test_embedding_cosine_lsh_subset_and_recall(spark, sf_dir):
     rows = pairs.collect()
     assert rows and all(r["cosine"] >= 0.30 for r in rows)
     rep = registry.get("dedup_embedding_recall").fn(spark, sf_dir).collect()[0]
-    assert rep["lsh_pairs"] == len(rows)
+    from data_ingestion_poc_spark.llm.evaluation import EMB_RECALL_ANCHOR_MOD
+
+    anchored = [r for r in rows if r["vec_a"] % EMB_RECALL_ANCHOR_MOD == 0]
+    assert rep["lsh_pairs"] == len(anchored)
     assert rep["lsh_pairs"] + rep["missed_pairs"] == rep["exact_pairs"]
     assert rep["recall_pct"] >= 50.0  # 8x4-band curve at the 0.30 boundary
     plan = pairs._jdf.queryExecution().executedPlan().toString()
