@@ -750,3 +750,39 @@ def sink_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_price",
         F.lit(True).alias("published"),
     )
+
+
+_CACHED_ORACLE = """
+    WITH dim AS (
+      SELECT n_nationkey, n_name, n_regionkey FROM nation
+    )
+    SELECT r.r_name AS region_name,
+           COUNT(*) AS n_nations,
+           (SELECT COUNT(*) FROM dim) AS dim_rows
+    FROM dim d JOIN region r ON r.r_regionkey = d.n_regionkey
+    GROUP BY r.r_name
+"""
+
+
+@register("scan_cached_table", oracle=_CACHED_ORACLE)
+def scan_cached_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit dataset caching surface: a dimension is .cache()d and
+    consumed by TWO branches of the same query (the join and a scalar
+    count), so the physical plan reads the parquet ONCE and serves both
+    from InMemoryRelation — the building block of interactive/dashboard
+    workloads where a hot dim is hit by every query. The test pins
+    InMemoryTableScan in the executed plan; at 100 TB you cache the
+    SMALL side only (executor storage is the budget) and rely on
+    StorageLevel MEMORY_AND_DISK spill, which is the default here."""
+    t = load(spark, sf_dir)
+    dim = t.nation.select("n_nationkey", "n_name", "n_regionkey").cache()
+    dim_count = dim.agg(F.count(F.lit(1)).alias("dim_rows"))
+    joined = (
+        dim.join(
+            t.region.select("r_regionkey", "r_name"),
+            dim.n_regionkey == F.col("r_regionkey"),
+        )
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+    )
+    return joined.crossJoin(F.broadcast(dim_count))

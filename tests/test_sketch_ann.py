@@ -404,3 +404,12 @@ def test_wap_publish_idempotent_and_complete(spark):
     assert rows1 == rows2
     total = spark.read.parquet(SF_MID + "/orders.parquet").count()
     assert sum(rows1.values()) == total
+
+
+def test_cached_table_serves_both_branches(spark):
+    df = registry.get("scan_cached_table").fn(spark, SF_MID)
+    rows = df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+    assert all(r["dim_rows"] == 25 for r in rows)
+    assert sum(r["n_nations"] for r in rows) == 25

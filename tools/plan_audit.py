@@ -74,6 +74,7 @@ SINGLE_PARTITION_OK: dict[str, str] = {
         "1-row (N, vocab) LM normalizer broadcast to both scoring branches"
     ),
     "q_market_basket": "1-row basket-count denominator for support/lift",
+    "scan_cached_table": "1-row cached-dim count scalar (25-row dim)",
     "quality_expectations": (
         "five 1-row rule scalars (conditional sums / anti-join counts) "
         "cross-joined into the 7-row expectations report"
