@@ -806,3 +806,76 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+_RFM_ORACLE = """
+    WITH per_cust AS (
+      SELECT o_custkey,
+             MAX(o_orderdate)            AS last_order,
+             COUNT(*)                    AS frequency,
+             ROUND(SUM(o_totalprice), 2) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    cuts AS (
+      SELECT quantile_cont(epoch(last_order), 0.5) AS r_cut,
+             quantile_cont(frequency * 1.0, 0.5)   AS f_cut,
+             quantile_cont(monetary, 0.5)          AS m_cut
+      FROM per_cust
+    ),
+    scored AS (
+      SELECT CASE WHEN epoch(last_order) >= r_cut THEN 'R1' ELSE 'R0' END
+               || CASE WHEN frequency * 1.0 >= f_cut THEN 'F1' ELSE 'F0' END
+               || CASE WHEN monetary >= m_cut THEN 'M1' ELSE 'M0' END AS segment,
+             frequency, monetary
+      FROM per_cust, cuts
+    )
+    SELECT segment,
+           COUNT(*)                     AS n_customers,
+           CAST(SUM(frequency) AS BIGINT) AS total_orders,
+           ROUND(SUM(monetary), 2)      AS total_spend
+    FROM scored GROUP BY segment
+"""
+
+
+@register("q_rfm_segmentation", oracle=_RFM_ORACLE)
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the warehouse-classic recency /
+    frequency / monetary split, each dimension cut at its MEDIAN into 8
+    segments (R1F1M1 = best customers ... R0F0M0 = churned low-value).
+
+    Scale-safe banding: the naive recipe is ntile() over the whole
+    customer table — a single-partition global sort. Here the three
+    medians reduce to ONE 3-number row (exact percentile locally;
+    approx_percentile at 100 TB — agg_histogram_equidepth's documented
+    swap) broadcast back over the per-customer aggregate, so band
+    assignment is scan-local and the only shuffles are the per-customer
+    groupBy and the 8-group rollup. Median epoch-seconds keeps the
+    recency cut engine-portable (timestamp quantile interpolation
+    differs across engines; epoch doubles do not)."""
+    t = load(spark, sf_dir)
+    per_cust = t.orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    epoch = F.unix_timestamp("last_order").cast("double")
+    cuts = per_cust.agg(
+        F.percentile(epoch, F.lit(0.5)).alias("r_cut"),
+        F.percentile(F.col("frequency").cast("double"), F.lit(0.5)).alias("f_cut"),
+        F.percentile("monetary", F.lit(0.5)).alias("m_cut"),
+    )
+    seg = F.concat(
+        F.when(epoch >= F.col("r_cut"), "R1").otherwise("R0"),
+        F.when(F.col("frequency") >= F.col("f_cut"), "F1").otherwise("F0"),
+        F.when(F.col("monetary") >= F.col("m_cut"), "M1").otherwise("M0"),
+    )
+    return (
+        per_cust.crossJoin(F.broadcast(cuts))
+        .select(seg.alias("segment"), "frequency", "monetary")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("frequency").cast("bigint").alias("total_orders"),
+            F.round(F.sum("monetary"), 2).alias("total_spend"),
+        )
+    )

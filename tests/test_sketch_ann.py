@@ -413,3 +413,24 @@ def test_cached_table_serves_both_branches(spark):
     assert "InMemoryTableScan" in plan
     assert all(r["dim_rows"] == 25 for r in rows)
     assert sum(r["n_nations"] for r in rows) == 25
+
+
+def test_rfm_segments_partition_customers(spark):
+    rows = registry.get("q_rfm_segmentation").fn(spark, SF_MID).collect()
+    segs = {r["segment"] for r in rows}
+    assert segs <= {
+        a + b + c
+        for a in ("R0", "R1")
+        for b in ("F0", "F1")
+        for c in ("M0", "M1")
+    }
+    n_cust = (
+        spark.read.parquet(SF_MID + "/orders.parquet")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    # median cuts put the >= side at at least half on each dimension
+    top = sum(r["n_customers"] for r in rows if r["segment"].startswith("R1"))
+    assert top >= n_cust // 2

@@ -75,6 +75,10 @@ SINGLE_PARTITION_OK: dict[str, str] = {
     ),
     "q_market_basket": "1-row basket-count denominator for support/lift",
     "scan_cached_table": "1-row cached-dim count scalar (25-row dim)",
+    "q_rfm_segmentation": (
+        "1-row median-cuts frame (exact percentile locally; "
+        "approx_percentile sketch partials at 100 TB)"
+    ),
     "quality_expectations": (
         "five 1-row rule scalars (conditional sums / anti-join counts) "
         "cross-joined into the 7-row expectations report"
