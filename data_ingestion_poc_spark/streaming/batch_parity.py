@@ -1059,3 +1059,83 @@ def stream_outer_join_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("click_id").isNotNull().alias("matched"),
         )
     )
+
+
+@register(
+    "stream_session_dynamic_gap",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN event_type = 'purchase'
+                  THEN INTERVAL '60 minutes' ELSE INTERVAL '15 minutes'
+             END AS gap
+      FROM events
+    ),
+    ends AS (SELECT *, ts + gap AS w_end FROM g),
+    flagged AS (
+      SELECT *, CASE WHEN prev_end IS NULL OR ts > prev_end
+                     THEN 1 ELSE 0 END AS new_session
+      FROM (
+        SELECT *, MAX(w_end) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS prev_end
+        FROM ends
+      )
+    ),
+    numbered AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f')    AS session_start,
+           strftime(MAX(w_end), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchases
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a DYNAMIC, per-event gap (Spark 3.2+
+    session_window with a Column gap): purchases hold the session open
+    for 60 minutes, everything else for 15 — the 'a conversion extends
+    engagement' semantics product analytics actually wants, impossible
+    with a fixed gap. Each event contributes [ts, ts+gap(event)); the
+    state store merges overlapping windows per user, so session end =
+    MAX(ts + gap) over the merged events.
+
+    Batch-parity oracle: the gap-islands rewrite generalized to variable
+    gaps — a session break is ts > running MAX of all previous events'
+    window ends (a plain lag(ts) diff is WRONG here: an old long-gap
+    purchase can bridge over a short-gap event). Complete mode; state
+    per user bounded by the watermark as in stream_session_window."""
+    sdf = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    # string durations (not INTERVAL literals): session_window's dynamic
+    # gap requires CalendarIntervalType, which string gaps parse to
+    gap = F.when(F.col("event_type") == "purchase", "60 minutes").otherwise(
+        "15 minutes"
+    )
+    agg = (
+        sdf.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("event_type") == "purchase").cast("long")).alias(
+                "n_purchases"
+            ),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            F.date_format(F.col("w.end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_end"
+            ),
+            "n_events",
+            "n_purchases",
+        )
+    )
+    return run_available_now(agg, "complete")

@@ -37,10 +37,16 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..catalog import normalize_event_ts
 
     # The file stream source requires a DIRECTORY; stage one containing a
-    # symlink to the events parquet (zero-copy).
+    # symlink to the events parquet (zero-copy). Keyed by a digest of the
+    # ABSOLUTE source path: two different sf_dirs sharing a basename
+    # (pytest tmp fixtures) must never share a staging dir.
+    import hashlib
+
     src = os.path.join(sf_dir, "events.parquet")
+    path_key = hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:12]
     stage = os.path.join(
-        tempfile.gettempdir(), f"dip_stream_src_{os.path.basename(sf_dir.rstrip('/'))}"
+        tempfile.gettempdir(),
+        f"dip_stream_src_{os.path.basename(sf_dir.rstrip('/'))}_{path_key}",
     )
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")

@@ -123,3 +123,60 @@ def test_transform_with_state_guard_or_parity(spark, sf_dir):
         F.round(F.max("value"), 2).alias("max_value"),
     )
     assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+
+
+def test_dynamic_gap_purchase_bridges_session(spark, tmp_path):
+    """A purchase's 60-min window must bridge a 40-min silence that a
+    15-min view gap would break: plant view(t0), purchase(t0+5m),
+    view(t0+45m) -> ONE session; without the purchase -> TWO."""
+    import datetime
+
+    from data_ingestion_poc_spark import registry
+
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def write(events, path):
+        # single parquet FILE (the driver's testdata layout) — the file
+        # stream source does not recurse into Spark-written directories
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pdf = pd.DataFrame(
+            events,
+            columns=[
+                "event_id", "ts", "user_id", "event_type", "value", "props"
+            ],
+        )
+        pdf["props"] = pdf["props"].astype("string")
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False),
+            str(path / "events.parquet"),
+        )
+
+    d1 = tmp_path / "with_purchase"
+    d1.mkdir()
+    write(
+        [
+            (1, base, 1, "view", 1.0, None),
+            (2, base + datetime.timedelta(minutes=5), 1, "purchase", 9.0, None),
+            (3, base + datetime.timedelta(minutes=45), 1, "view", 1.0, None),
+        ],
+        d1,
+    )
+    out1 = registry.get("stream_session_dynamic_gap").fn(spark, str(d1)).collect()
+    assert len(out1) == 1 and out1[0]["n_events"] == 3
+    assert out1[0]["n_purchases"] == 1
+
+    d2 = tmp_path / "views_only"
+    d2.mkdir()
+    write(
+        [
+            (1, base, 1, "view", 1.0, None),
+            (2, base + datetime.timedelta(minutes=5), 1, "view", 1.0, None),
+            (3, base + datetime.timedelta(minutes=45), 1, "view", 1.0, None),
+        ],
+        d2,
+    )
+    out2 = registry.get("stream_session_dynamic_gap").fn(spark, str(d2)).collect()
+    assert len(out2) == 2
