@@ -102,7 +102,7 @@ _PRIORITY = [
     "win_median_rolling", "corpus_length_buckets", "embed_text_alignment",
     "text_bpe_encode", "dedup_consensus", "quality_expectations",
     "sink_wap_publish", "scan_cached_table", "q_rfm_segmentation",
-    "stream_session_dynamic_gap",
+    "stream_session_dynamic_gap", "scan_text_roundtrip",
     "stream_checkpoint_resume", "stream_stateful_rocksdb",
     "embed_norm_stats", "dedup_embedding_recall", "corpus_mix_report",
     # judge-spot-checked in r3 (independent differential PASS recorded in

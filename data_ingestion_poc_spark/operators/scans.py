@@ -786,3 +786,41 @@ def scan_cached_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_nations"))
     )
     return joined.crossJoin(F.broadcast(dim_count))
+
+
+@register(
+    "scan_text_roundtrip",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents
+    """,
+)
+def scan_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-oriented text source/sink round trip (the log-file format):
+    documents flattened to tab-delimited lines, written with the `text`
+    writer (one string column per row), read back with the `text` reader
+    and re-parsed with split() — the raw-ingest path for data that
+    arrives as lines, not as a typed columnar format. Lossless for the
+    projected columns; the parse is a scan-local Column expression, so
+    reading a 100 TB line corpus is exactly as parallel as its file
+    split count. (Avro is the one mainstream format absent here: its
+    module is an external jar not shipped in this environment — the
+    reader would be spark.read.format('avro') with the same roundtrip
+    shape.)"""
+    t = load(spark, sf_dir)
+    out = os.path.join(tempfile.gettempdir(), "dip_spark_sink_textlines")
+    lines = t.documents.select(
+        F.concat_ws(
+            "\t",
+            F.col("doc_id").cast("string"),
+            "lang",
+            F.col("n_chars").cast("string"),
+        ).alias("value")
+    )
+    lines.write.mode("overwrite").text(out)
+    back = spark.read.text(out)
+    parts = F.split("value", "\t")
+    return back.select(
+        parts[0].cast("bigint").alias("doc_id"),
+        parts[1].alias("lang"),
+        parts[2].cast("bigint").alias("n_chars"),
+    )
