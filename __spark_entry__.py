@@ -103,6 +103,7 @@ _PRIORITY = [
     "text_bpe_encode", "dedup_consensus", "quality_expectations",
     "sink_wap_publish", "scan_cached_table", "q_rfm_segmentation",
     "stream_session_dynamic_gap", "scan_text_roundtrip",
+    "multimodal_image_dedup", "win_cusum_drift",
     "stream_checkpoint_resume", "stream_stateful_rocksdb",
     "embed_norm_stats", "dedup_embedding_recall", "corpus_mix_report",
     # judge-spot-checked in r3 (independent differential PASS recorded in

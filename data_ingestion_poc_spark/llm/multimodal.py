@@ -440,3 +440,162 @@ def multimodal_audio_framestats(spark: SparkSession, sf_dir: str) -> DataFrame:
         audio_frame_stats, schema=AUDIO_SCHEMA
     )
     return stats.orderBy("file_name", "frame_idx")
+
+
+# ---------------------------------------------------------------------------
+# Image near-dup: perceptual average-hash + banded Hamming pairing (round 4c)
+# ---------------------------------------------------------------------------
+
+#: aHash geometry: 64 sample points -> 64-bit signature; pairs sharing a
+#: 16-bit band are verified at Hamming <= AHASH_HAM. At threshold 3 the
+#: 4-band blocking is EXACT by pigeonhole: <= 3 differing bits cannot
+#: touch all 4 bands, so every qualifying pair shares a clean band.
+AHASH_POINTS = 64
+AHASH_HAM = 3
+
+
+def _fake_pixels(content: bytes) -> list[int]:
+    """Deterministic stand-in for decode+grayscale+8x8 downsample: 64
+    evenly-strided bytes of the blob (a real codec returns exactly this
+    shape — 64 luma values — so the hash/banding below is the REAL
+    part)."""
+    n = len(content)
+    if n == 0:
+        return [0] * AHASH_POINTS
+    stride = max(1, n // AHASH_POINTS)
+    return [content[min((i * stride), n - 1)] for i in range(AHASH_POINTS)]
+
+
+def _ahash(content: bytes) -> int:
+    """Average hash: bit i set iff sample i >= mean of samples."""
+    px = _fake_pixels(content)
+    mean = sum(px) / len(px)
+    sig = 0
+    for i, v in enumerate(px):
+        if v >= mean:
+            sig |= 1 << i
+    return sig - (1 << 64) if sig >= (1 << 63) else sig  # signed 64
+
+
+def _reencoded(blob: bytes) -> bytes:
+    """Deterministic stand-in for a re-encode of the same media: same
+    length, last byte perturbed — a real re-encode (quality change)
+    moves a few luma samples; the perceptual hash must still match."""
+    if not blob:
+        return blob
+    return blob[:-1] + bytes([blob[-1] ^ 0xFF])
+
+
+def _ahash_variants(blobs: list[tuple[str, bytes]]) -> list[tuple[str, int]]:
+    """Each file contributes its original AND its re-encoded variant —
+    the planted positives the detector must pair (cross-file collisions
+    remain possible and are scored identically)."""
+    out = []
+    for name, blob in blobs:
+        out.append((name, _ahash(blob)))
+        out.append((name + "#v", _ahash(_reencoded(blob))))
+    return out
+
+
+def _ahash_rows() -> list[tuple]:
+    blobs = _read_fixture_blobs()
+    sigs = _ahash_variants(blobs)
+    out = []
+    for i, (na, sa) in enumerate(sigs):
+        for nb, sb in sigs[i + 1 :]:
+            a, b = (na, nb) if na < nb else (nb, na)
+            ham = bin((sa ^ sb) & ((1 << 64) - 1)).count("1")
+            shares_band = any(
+                ((sa >> (16 * k)) & 0xFFFF) == ((sb >> (16 * k)) & 0xFFFF)
+                for k in range(4)
+            )
+            if shares_band and ham <= AHASH_HAM:
+                out.append((a, b, ham))
+    return sorted(out)
+
+
+def _image_dedup_oracle() -> str | None:
+    from ..goldens import values_oracle
+
+    try:
+        rows = _ahash_rows()
+    except OSError:
+        return None
+    return values_oracle(
+        rows,
+        ["file_a", "file_b", "hamming"],
+        order_by="file_a, file_b",
+        casts={"hamming": "BIGINT"},
+    )
+
+
+def ahash_batches(batches):
+    """mapInArrow: binaryFile batches -> (file_name, ahash) rows — one
+    row for the original and one for its re-encoded variant."""
+    import pyarrow as pa
+
+    schema = pa.schema([("file_name", pa.string()), ("ahash", pa.int64())])
+    for batch in batches:
+        paths = batch.column("path").to_pylist()
+        blobs = batch.column("content").to_pylist()
+        pairs = _ahash_variants(
+            [(p.rsplit("/", 1)[-1], bytes(b)) for p, b in zip(paths, blobs)]
+        )
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array([n for n, _ in pairs]),
+                pa.array([s for _, s in pairs], type=pa.int64()),
+            ],
+            schema=schema,
+        )
+
+
+@register("multimodal_image_dedup", oracle=_image_dedup_oracle())
+def multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup: average-hash signatures (stubbed
+    decode, real hash/banding) paired by banded Hamming — the image-side
+    twin of dedup_simhash, and the standard web-image dedup recipe
+    (aHash/pHash + LSH). Every file is hashed twice — original and a
+    deterministic re-encode stand-in — so the detector provably fires on
+    the planted same-image pairs. Candidates = pairs sharing any 16-bit
+    band (EXACT for Hamming <= 3 by pigeonhole: 3 flipped bits cannot
+    touch all 4 bands); verify = JVM popcount on the xor.
+
+    Scale shape: signatures stream out of a mapInArrow stage (blob bytes
+    never shuffle); the pair join is an equi-join on exploded
+    (band_idx, band_value) keys — bounded fan-out per bucket, no
+    all-pairs anywhere. Golden oracle replays hash + banding + Hamming
+    in pure Python over the same fixture bytes."""
+    files = spark.read.format("binaryFile").load(f"{sf_dir}/*.parquet")
+    sigs = files.select("path", "content").mapInArrow(
+        ahash_batches, schema="file_name string, ahash long"
+    )
+    keyed = sigs.select(
+        "file_name",
+        "ahash",
+        F.posexplode(
+            F.array(*[
+                F.shiftrightunsigned(F.col("ahash"), 16 * k).bitwiseAND(0xFFFF)
+                for k in range(4)
+            ])
+        ).alias("bi", "bv"),
+    )
+    k2 = keyed.select(
+        F.col("file_name").alias("file_b"),
+        F.col("ahash").alias("hash_b"),
+        "bi",
+        "bv",
+    )
+    return (
+        keyed.join(k2, ["bi", "bv"])
+        .where(F.col("file_name") < F.col("file_b"))
+        .select(
+            F.col("file_name").alias("file_a"),
+            "file_b",
+            F.bit_count(F.col("ahash").bitwiseXOR(F.col("hash_b"))).cast(
+                "bigint"
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= AHASH_HAM)
+        .distinct()
+    )

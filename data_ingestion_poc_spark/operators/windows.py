@@ -952,3 +952,83 @@ def win_median_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(med, 6).alias("med_21"),
         F.count(F.lit(1)).over(w).alias("n_frame"),
     )
+
+
+#: CUSUM drift detector: reference level (drift target + slack) and the
+#: decision threshold, in value units. Tuned so the synthetic events
+#: corpus produces a meaningful (nonempty, selective) alarm set.
+CUSUM_K = 60.0
+CUSUM_H = 400.0
+
+_CUSUM_ORACLE = f"""
+    WITH d AS (
+      SELECT user_id, event_id, ts, value - {CUSUM_K} AS dev
+      FROM events
+    ),
+    p AS (
+      SELECT *, SUM(dev) OVER w AS prefix
+      FROM d
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    s AS (
+      SELECT *,
+             prefix - LEAST(COALESCE(MIN(prefix) OVER wprev, 0), 0) AS cusum
+      FROM p
+      WINDOW wprev AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           ROUND(cusum, 4) AS cusum
+    FROM s WHERE cusum > {CUSUM_H}
+"""
+
+
+@register("win_cusum_drift", oracle=_CUSUM_ORACLE)
+def win_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detection (Page 1954) per user: alarms when
+    the cumulative excess over the reference level CUSUM_K exceeds
+    CUSUM_H — the change-point detector that catches SLOW drifts a
+    per-point z-score (win_zscore_anomaly) misses entirely.
+
+    The CUSUM recursion S_i = max(0, S_{{i-1}} + dev_i) looks
+    sequential, but distributes via the prefix-min identity:
+    S_i = P_i - min(0, min_{{j<i}} P_j) where P is the running sum of
+    deviations — TWO cumulative frames over the same (user_id) window
+    shuffle, no UDF, no per-row recursion. (The strictly-preceding min
+    can undershoot the textbook S_i only when P_i is itself the prefix
+    minimum — where S_i = 0 — so on the emitted cusum > H rows the two
+    definitions are exactly equal.) Both engines evaluate the prefix
+    sums over the identical (ts, event_id) order, so the floats agree
+    to rounding."""
+    t = load(spark, sf_dir)
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    p = t.events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.col("value") - CUSUM_K).alias("dev"),
+    ).withColumn("prefix", F.sum("dev").over(w_cum))
+    cusum = F.col("prefix") - F.least(
+        F.coalesce(F.min("prefix").over(w_prev), F.lit(0.0)), F.lit(0.0)
+    )
+    return (
+        p.withColumn("cusum", cusum)
+        .where(F.col("cusum") > CUSUM_H)
+        .select(
+            "user_id",
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            F.round("cusum", 4).alias("cusum"),
+        )
+    )

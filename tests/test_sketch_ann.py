@@ -434,3 +434,46 @@ def test_rfm_segments_partition_customers(spark):
     # median cuts put the >= side at at least half on each dimension
     top = sum(r["n_customers"] for r in rows if r["segment"].startswith("R1"))
     assert top >= n_cust // 2
+
+
+def test_image_dedup_pairs_every_reencode(spark):
+    rows = registry.get("multimodal_image_dedup").fn(spark, SF_MID).collect()
+    pairs = {(r["file_a"], r["file_b"]) for r in rows}
+    # every fixture file must pair with its planted re-encode variant
+    from data_ingestion_poc_spark.goldens import fixture_parquets
+
+    for p in fixture_parquets():
+        name = p.rsplit("/", 1)[-1]
+        assert (name, name + "#v") in pairs, name
+    for r in rows:
+        assert 0 <= r["hamming"] <= 3
+
+
+def test_cusum_catches_slow_drift_zscore_misses(spark, tmp_path):
+    """A +15 step change (well under the 3-sigma z-score bar for noise
+    sigma ~5) accumulates into a CUSUM alarm — the complementary-detector
+    claim made executable."""
+    import datetime
+
+    from data_ingestion_poc_spark.operators.windows import CUSUM_H, CUSUM_K
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(300):
+        # mean 50 before the change point, 75 after (drift +15 over K=60)
+        mean = 50.0 if i < 100 else 75.0
+        v = mean + (i % 7 - 3)  # bounded "noise"
+        rows.append((i, base + datetime.timedelta(minutes=i), 1, "view", v, None))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = registry.get("win_cusum_drift").fn(spark, str(tmp_path)).collect()
+    assert out, "drift must trigger the CUSUM alarm"
+    # alarms only after the change point, and cusum grows past H
+    assert all(r["event_id"] >= 100 for r in out)
+    assert max(r["cusum"] for r in out) > CUSUM_H
+    # z-score detector stays silent on the same data (no 3-sigma point)
+    z = registry.get("win_zscore_anomaly").fn(spark, str(tmp_path)).collect()
+    assert [r for r in z if r["event_id"] < 100] == []
