@@ -103,7 +103,8 @@ _PRIORITY = [
     "text_bpe_encode", "dedup_consensus", "quality_expectations",
     "sink_wap_publish", "scan_cached_table", "q_rfm_segmentation",
     "stream_session_dynamic_gap", "scan_text_roundtrip",
-    "multimodal_image_dedup", "win_cusum_drift",
+    "multimodal_image_dedup", "win_cusum_drift", "agg_cube",
+    "win_ntile_quartiles",
     "stream_checkpoint_resume", "stream_stateful_rocksdb",
     "embed_norm_stats", "dedup_embedding_recall", "corpus_mix_report",
     # judge-spot-checked in r3 (independent differential PASS recorded in

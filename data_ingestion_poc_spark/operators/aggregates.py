@@ -1015,3 +1015,36 @@ def agg_ols_two_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("intercept"),
         n.cast("bigint").alias("n"),
     )
+
+
+_CUBE_ORACLE = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@register("agg_cube", oracle=_CUBE_ORACLE)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation — all 2^k grouping combinations in one pass
+    (completes the grouping-analytics triple: agg_grouping_sets picks
+    explicit sets, rollup_time_hierarchy does the prefix chain, CUBE
+    does the powerset). GROUPING() flags disambiguate real NULL keys
+    from subtotal rows. Physically one Expand node multiplies each input
+    row into its 4 grouping streams BEFORE the shuffle, so partial
+    aggregation still applies per stream — the shuffle carries one
+    partial per (stream, group, partition), never 4x the data."""
+    t = load(spark, sf_dir)
+    return (
+        t.lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            F.grouping("l_returnflag").cast("bigint").alias("g_flag"),
+            F.grouping("l_linestatus").cast("bigint").alias("g_status"),
+        )
+    )

@@ -1032,3 +1032,34 @@ def win_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cusum", 4).alias("cusum"),
         )
     )
+
+
+_NTILE_ORACLE = """
+    SELECT c_custkey, c_mktsegment,
+           ROUND(c_acctbal, 2) AS c_acctbal,
+           CAST(NTILE(4) OVER (PARTITION BY c_mktsegment
+                               ORDER BY c_acctbal, c_custkey) AS BIGINT)
+             AS balance_quartile
+    FROM customer
+"""
+
+
+@register("win_ntile_quartiles", oracle=_NTILE_ORACLE)
+def win_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment balance quartiles via NTILE(4) — bucketing WITHIN each
+    market segment, so every window partition is one segment, not the
+    whole table (the global-ntile single-partition trap
+    q_rfm_segmentation's broadcast-cuts design exists to avoid; with a
+    bounded segment count this partitioned form is fine at any scale).
+    The (c_acctbal, c_custkey) tiebreak makes bucket boundaries
+    deterministic — NTILE splits remainder rows to the LOWEST buckets in
+    strict order, so an ambiguous order would flip assignments between
+    engines."""
+    t = load(spark, sf_dir)
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return t.customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        F.ntile(4).over(w).cast("bigint").alias("balance_quartile"),
+    )

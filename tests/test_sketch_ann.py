@@ -477,3 +477,28 @@ def test_cusum_catches_slow_drift_zscore_misses(spark, tmp_path):
     # z-score detector stays silent on the same data (no 3-sigma point)
     z = registry.get("win_zscore_anomaly").fn(spark, str(tmp_path)).collect()
     assert [r for r in z if r["event_id"] < 100] == []
+
+
+def test_cube_covers_all_grouping_streams(spark):
+    rows = registry.get("agg_cube").fn(spark, SF_MID).collect()
+    streams = {(r["g_flag"], r["g_status"]) for r in rows}
+    assert streams == {(0, 0), (0, 1), (1, 0), (1, 1)}
+    total = [r for r in rows if r["g_flag"] == 1 and r["g_status"] == 1]
+    assert len(total) == 1
+    detail_sum = sum(
+        r["n_rows"] for r in rows if (r["g_flag"], r["g_status"]) == (0, 0)
+    )
+    assert detail_sum == total[0]["n_rows"]
+
+
+def test_ntile_buckets_balanced_per_segment(spark):
+    rows = registry.get("win_ntile_quartiles").fn(spark, SF_MID).collect()
+    per_seg: dict[str, dict[int, int]] = {}
+    for r in rows:
+        per_seg.setdefault(r["c_mktsegment"], {}).setdefault(
+            r["balance_quartile"], 0
+        )
+        per_seg[r["c_mktsegment"]][r["balance_quartile"]] += 1
+    for seg, buckets in per_seg.items():
+        assert set(buckets) == {1, 2, 3, 4}, seg
+        assert max(buckets.values()) - min(buckets.values()) <= 1, seg
