@@ -420,7 +420,13 @@ def sim_search_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy("query_id").orderBy(F.sqrt(d2), "vec_id")
+    # Order by d2 directly (monotone with sqrt): the expanded
+    # q.q - 2q.e + e.e form can cancel to a tiny NEGATIVE value for
+    # near-identical vectors, and sqrt(negative) = NaN, which Spark
+    # sorts LAST while the oracle's list_distance (always >= 0) sorts
+    # the same pair FIRST. Raw d2 keeps near-zero distances first on
+    # both engines regardless of the sign of the cancellation noise.
+    w = Window.partitionBy("query_id").orderBy(d2, "vec_id")
     exact = (
         pairs.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= 10)

@@ -208,7 +208,9 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     # staging key includes the source file's identity so regenerated
     # fixtures can never pair with stale staging
     src = os.path.join(sf_dir, "orders.parquet")
-    ident = f"{int(os.path.getmtime(src))}_{os.path.getsize(src)}"
+    # nanosecond mtime: a regenerated fixture of identical size within
+    # the same second must NOT reuse stale staging (ADVICE r4)
+    ident = f"{os.stat(src).st_mtime_ns}_{os.path.getsize(src)}"
     out = os.path.join(
         tempfile.gettempdir(),
         f"dip_spark_sink_pruned_{os.path.basename(sf_dir.rstrip('/'))}_{ident}",
@@ -710,7 +712,9 @@ def sink_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load(spark, sf_dir)
     src = os.path.join(sf_dir, "orders.parquet")
-    ident = f"{int(os.path.getmtime(src))}_{os.path.getsize(src)}"
+    # nanosecond mtime: a regenerated fixture of identical size within
+    # the same second must NOT reuse stale staging (ADVICE r4)
+    ident = f"{os.stat(src).st_mtime_ns}_{os.path.getsize(src)}"
     root = os.path.join(
         tempfile.gettempdir(),
         f"dip_wap_{os.path.basename(sf_dir.rstrip('/'))}_{ident}",
@@ -737,7 +741,15 @@ def sink_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).collect()[0]
         src_rows = t.orders.count()
         if audit["total_rows"] == src_rows and audit["null_keys"] == 0:
-            os.replace(staging, published)  # atomic promote
+            try:
+                os.replace(staging, published)  # atomic promote
+            except OSError:
+                # two concurrent first-runs raced the promote; whichever
+                # won published an audit-passing snapshot of the SAME
+                # fingerprinted source, so an existing published dir is
+                # success, not failure (ADVICE r4)
+                if not os.path.exists(published):
+                    raise
         else:  # pragma: no cover - audit failure path
             raise RuntimeError(
                 f"WAP audit failed: staged={audit['total_rows']} "
@@ -807,7 +819,17 @@ def scan_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     reader would be spark.read.format('avro') with the same roundtrip
     shape.)"""
     t = load(spark, sf_dir)
-    out = os.path.join(tempfile.gettempdir(), "dip_spark_sink_textlines")
+    # key the sink dir by the absolute sf_dir so two sessions reading
+    # different scale factors never overwrite each other between the
+    # write and the read-back (ADVICE r4 staging-collision class)
+    import hashlib
+
+    sf_key = hashlib.md5(
+        os.path.abspath(sf_dir).encode("utf-8")
+    ).hexdigest()[:12]
+    out = os.path.join(
+        tempfile.gettempdir(), f"dip_spark_sink_textlines_{sf_key}"
+    )
     lines = t.documents.select(
         F.concat_ws(
             "\t",

@@ -1044,22 +1044,89 @@ _NTILE_ORACLE = """
 """
 
 
+#: Target rows per range bucket for the two-phase exact NTILE: caps the
+#: per-task sort at a constant regardless of table size (bucket count
+#: grows with the data instead).
+_NTILE_BUCKET_ROWS = 2048
+
+
 @register("win_ntile_quartiles", oracle=_NTILE_ORACLE)
 def win_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-segment balance quartiles via NTILE(4) — bucketing WITHIN each
-    market segment, so every window partition is one segment, not the
-    whole table (the global-ntile single-partition trap
-    q_rfm_segmentation's broadcast-cuts design exists to avoid; with a
-    bounded segment count this partitioned form is fine at any scale).
-    The (c_acctbal, c_custkey) tiebreak makes bucket boundaries
-    deterministic — NTILE splits remainder rows to the LOWEST buckets in
-    strict order, so an ambiguous order would flip assignments between
-    engines."""
+    """Per-segment balance quartiles, exact NTILE(4) semantics WITHOUT a
+    table-scale window partition. A naive
+    ``Window.partitionBy(c_mktsegment)`` has parallelism = |segments| = 5
+    and each window partition holds ~20% of the TABLE — partition SIZE
+    grows linearly with data even though partition COUNT is bounded, so
+    at 100x it is five single-task sorts of the whole customer table.
+
+    Two-phase form instead (corpus_token_budget's prefix-sum shape):
+    (1) range-bucket every row by its sort key — ``floor((c_acctbal -
+    lo) / span)``, a pure function of the VALUE, so acctbal ties always
+    share a bucket and bucket-local order extends to the global
+    per-segment order; (2) count rows per (segment, bucket) — a tiny
+    map-side-combinable aggregate — and fold EXCLUSIVE per-segment
+    offsets + segment totals on the driver (|segments| x n_buckets rows,
+    KBs at any corpus size); (3) broadcast-join the offsets back and run
+    ``row_number`` under ``Window.partitionBy(segment, bucket)`` — each
+    window task sorts <= ~_NTILE_BUCKET_ROWS rows — then assign the tile
+    with NTILE's exact closed form: base = N div 4, rem = N mod 4, the
+    first ``rem`` tiles get base+1 rows (remainder rows go to the LOWEST
+    tiles in strict order, which is why the (c_acctbal, c_custkey)
+    tiebreak must be total). Caveat shared with every range-bucket
+    prefix-sum here: a single acctbal VALUE holding most of a segment
+    would concentrate its bucket; balances are near-uniform, and the
+    skew cure would be the win_sessionize_salted sub-split with
+    offset re-fold."""
     t = load(spark, sf_dir)
-    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
-    return t.customer.select(
+    cust = t.customer.select("c_custkey", "c_mktsegment", "c_acctbal")
+    b = cust.agg(
+        F.min("c_acctbal").alias("lo"),
+        F.max("c_acctbal").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    n_buckets = max(8, min(4096, int(b["n"]) // _NTILE_BUCKET_ROWS + 1))
+    span = max((float(b["hi"]) - float(b["lo"])) / n_buckets, 1e-9)
+    bucket = F.least(
+        F.floor((F.col("c_acctbal") - float(b["lo"])) / span),
+        F.lit(n_buckets - 1),
+    ).alias("bucket")
+    bucketed = cust.select("c_custkey", "c_mktsegment", "c_acctbal", bucket)
+    counts = (
+        bucketed.groupBy("c_mktsegment", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    per_seg: dict[str, list] = {}
+    for r in counts:
+        per_seg.setdefault(r["c_mktsegment"], []).append((r["bucket"], r["cnt"]))
+    offs_rows = []
+    for seg, bl in per_seg.items():
+        seg_n = sum(c for _, c in bl)
+        acc = 0
+        for bkt, c in sorted(bl):
+            offs_rows.append((seg, bkt, acc, seg_n))
+            acc += c
+    offs = spark.createDataFrame(
+        offs_rows, "c_mktsegment string, bucket bigint, off bigint, seg_n bigint"
+    )
+    w = Window.partitionBy("c_mktsegment", "bucket").orderBy(
+        "c_acctbal", "c_custkey"
+    )
+    ranked = bucketed.join(
+        F.broadcast(offs), ["c_mktsegment", "bucket"]
+    ).withColumn("rk0", F.row_number().over(w) - 1 + F.col("off"))
+    base = F.floor(F.col("seg_n") / 4)
+    rem = F.col("seg_n") % 4
+    tile = F.when(
+        F.col("rk0") < rem * (base + 1), F.floor(F.col("rk0") / (base + 1)) + 1
+    ).otherwise(
+        rem
+        + 1
+        + F.floor((F.col("rk0") - rem * (base + 1)) / F.greatest(base, F.lit(1)))
+    )
+    return ranked.select(
         "c_custkey",
         "c_mktsegment",
         F.round("c_acctbal", 2).alias("c_acctbal"),
-        F.ntile(4).over(w).cast("bigint").alias("balance_quartile"),
+        tile.cast("bigint").alias("balance_quartile"),
     )

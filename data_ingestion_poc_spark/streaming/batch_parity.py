@@ -247,7 +247,9 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     # staging key includes the source file's identity so regenerated
     # fixtures can never pair with stale staging
     src = os.path.join(sf_dir, "events.parquet")
-    ident = f"{int(os.path.getmtime(src))}_{os.path.getsize(src)}"
+    # nanosecond mtime: a regenerated fixture of identical size within
+    # the same second must NOT reuse stale staging (ADVICE r4)
+    ident = f"{os.stat(src).st_mtime_ns}_{os.path.getsize(src)}"
     stage = os.path.join(
         tempfile.gettempdir(),
         f"dip_stream_late3_{os.path.basename(sf_dir)}_{ident}",
@@ -982,7 +984,9 @@ def stream_outer_join_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = load(spark, sf_dir).events
     t1, t2 = "2024-01-12 00:00:00", "2024-01-25 00:00:00"
     src = os.path.join(sf_dir, "events.parquet")
-    ident = f"{int(os.path.getmtime(src))}_{os.path.getsize(src)}"
+    # nanosecond mtime: a regenerated fixture of identical size within
+    # the same second must NOT reuse stale staging (ADVICE r4)
+    ident = f"{os.stat(src).st_mtime_ns}_{os.path.getsize(src)}"
     stage = os.path.join(
         tempfile.gettempdir(),
         f"dip_stream_loj3_{os.path.basename(sf_dir.rstrip('/'))}_{ident}",

@@ -502,3 +502,24 @@ def test_ntile_buckets_balanced_per_segment(spark):
     for seg, buckets in per_seg.items():
         assert set(buckets) == {1, 2, 3, 4}, seg
         assert max(buckets.values()) - min(buckets.values()) <= 1, seg
+
+
+def test_ntile_window_partition_is_bounded(spark):
+    """Scale pin (VERDICT r4 item 2): the NTILE rewrite must not window
+    on c_mktsegment alone — cardinality 5, so each window partition
+    would hold ~20% of the TABLE and grow linearly with data. Every
+    window spec in the executed plan has to include the range `bucket`
+    key, which caps the per-task sort at ~_NTILE_BUCKET_ROWS rows
+    regardless of table size."""
+    df = registry.get("win_ntile_quartiles").fn(spark, SF_MID)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    specs = [
+        ln for ln in plan.splitlines() if "windowspecdefinition(" in ln
+    ]
+    assert specs, "expected a Window node in the NTILE plan"
+    for ln in specs:
+        spec = ln[ln.index("windowspecdefinition(") :]
+        assert "bucket#" in spec, (
+            "window partition keys must include the range bucket — a "
+            f"segment-only window scales with table size: {spec[:200]}"
+        )
