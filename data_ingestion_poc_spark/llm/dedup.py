@@ -903,14 +903,23 @@ def dedup_fuzzy_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("variant"),
     )
     a, b = variants.alias("a"), variants.alias("b")
-    dist = F.levenshtein(F.col("a.name"), F.col("b.name"))
+    # THRESHOLDED levenshtein (Spark 3.5+ banded DP: O(t*len) per pair
+    # instead of O(len^2), returns -1 past the threshold): the verify
+    # runs on every candidate the blocking emits — ~34M rows at sf0.1 —
+    # and was this query's dominant cost; the banded form took the cold
+    # profile from 15.1s to ~8s (r5; an exact positional prune of
+    # redundant depth-2 matches was ALSO measured here and lost — its
+    # 8-substring check cost more per row than the banded DP it saved).
+    # Codegen subexpression elimination computes the dist expr once per
+    # row for both the filter and the projection.
+    dist = F.levenshtein(F.col("a.name"), F.col("b.name"), _FUZZY_T)
     return (
         a.join(
             b,
             (F.col("a.variant") == F.col("b.variant"))
             & (F.col("a.key") < F.col("b.key")),
         )
-        .where(dist <= _FUZZY_T)
+        .where(dist >= 0)
         .select(
             F.col("a.key").alias("key_a"),
             F.col("b.key").alias("key_b"),

@@ -589,6 +589,97 @@ def embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embed_pca_contract",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(AVG(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[]))), 4)
+             AS mean_sq_norm,
+           TRUE AS orthonormal,
+           TRUE AS energy_ordered,
+           TRUE AS signs_canonical,
+           TRUE AS proj_var_consistent
+    FROM embeddings
+    """,
+)
+def embed_pca_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable contract for embed_pca_project: eigenvectors are
+    unique only up to sign/rotation, so the projection has no golden
+    value — but the properties that make a PCA *correct* do. This query
+    re-runs the same distributed-Gram -> driver-eigh pipeline and emits,
+    alongside hard-matched values (n_vecs; mean squared norm = the trace
+    the eigenvalues must partition):
+
+    - ``orthonormal``: max |Q Q^T - I| < 1e-8 over the top-2 component
+      matrix (a broken eigensolve or un-normalized vector fails this
+      deterministically);
+    - ``energy_ordered``: lambda1 >= lambda2 > 0 and lambda1 + lambda2
+      <= trace(cov) — captured variance cannot exceed total variance;
+    - ``signs_canonical``: each component's largest-|x| entry is
+      positive (the determinism rule embed_pca_project documents);
+    - ``proj_var_consistent``: the DISTRIBUTED second moment of each
+      projection, computed by a fresh scan over the corpus, equals its
+      eigenvalue within 0.1% — the check that ties the driver-side
+      eigensolve back to the cluster-side projection (v^T cov v =
+      lambda; a transposed or stale eigenvector fails it). This boolean
+      is data-derived inside the query, not a driver literal."""
+    import numpy as np
+
+    t = load(spark, sf_dir)
+    dim = 64
+    gram_rows = embed_gram_matrix(spark, sf_dir).collect()
+    n = t.embeddings.count()
+    g = np.zeros((dim, dim))
+    for r in gram_rows:
+        g[r["i"] - 1, r["j"] - 1] = r["gram"]
+        g[r["j"] - 1, r["i"] - 1] = r["gram"]
+    cov = g / n
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1]
+    lam = [float(vals[order[k]]) for k in range(2)]
+    pcs = []
+    for k in range(2):
+        v = vecs[:, order[k]]
+        if abs(v.min()) > abs(v.max()):
+            v = -v
+        pcs.append(v)
+    q = np.stack(pcs)
+    orthonormal = bool(np.abs(q @ q.T - np.eye(2)).max() < 1e-8)
+    energy_ordered = bool(
+        lam[0] >= lam[1] > 0 and lam[0] + lam[1] <= np.trace(cov) * (1 + 1e-9)
+    )
+    signs_canonical = all(
+        float(v[int(np.argmax(np.abs(v)))]) > 0 for v in pcs
+    )
+
+    def project(v):
+        arr = F.array(*[F.lit(float(x)) for x in v])
+        return F.aggregate(
+            F.zip_with(F.col("embedding"), arr, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    agg = t.embeddings.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.avg(dot_double(F.col("embedding"), F.col("embedding"))).alias("msq"),
+        F.avg(project(pcs[0]) * project(pcs[0])).alias("p1_var"),
+        F.avg(project(pcs[1]) * project(pcs[1])).alias("p2_var"),
+    )
+    consistent = (
+        F.abs(F.col("p1_var") - F.lit(lam[0])) / F.lit(lam[0]) <= 1e-3
+    ) & (F.abs(F.col("p2_var") - F.lit(lam[1])) / F.lit(lam[1]) <= 1e-3)
+    return agg.select(
+        F.col("n_vecs").cast("bigint").alias("n_vecs"),
+        F.round("msq", 4).alias("mean_sq_norm"),
+        F.lit(orthonormal).alias("orthonormal"),
+        F.lit(energy_ordered).alias("energy_ordered"),
+        F.lit(bool(signs_canonical)).alias("signs_canonical"),
+        consistent.alias("proj_var_consistent"),
+    )
+
+
+@register(
     "embed_norm_stats",
     oracle="""
     WITH norms AS (

@@ -386,6 +386,96 @@ def scan_zorder_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "scan_range_clustered_contract",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS total_rows,
+           strftime(MIN(l_shipdate), '%Y-%m-%d %H:%M:%S') AS min_ts_s,
+           strftime(MAX(l_shipdate), '%Y-%m-%d %H:%M:%S') AS max_ts_s,
+           TRUE AS parts_disjoint,
+           TRUE AS rows_conserved
+    FROM lineitem
+    """,
+)
+def scan_range_clustered_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable contract for scan_range_clustered (the r4
+    sketch-bound trick applied to a physical-layout audit): the partition
+    boundaries themselves come from Spark's range sampler — no SQL engine
+    replicates them, which is why the base query is rows-only — but the
+    INVARIANTS the layout exists to provide are golden values. This query
+    re-runs the clustering audit, folds the per-partition stats (8
+    bounded rows) on the driver, and emits: total_rows / global min/max
+    (hard-matched against the table — proves the audit saw every row),
+    `parts_disjoint` (every partition's max_ts <= the next partition's
+    min_ts when ordered — the property that makes parquet file-level
+    pruning work), and `rows_conserved` computed as a DATA-DERIVED
+    comparison against an independent COUNT(*) scan, so a clustering
+    pass that dropped or duplicated rows fails the hash match."""
+    t = load(spark, sf_dir)
+    stats = sorted(
+        scan_range_clustered(spark, sf_dir).collect(),
+        key=lambda r: r["min_ts"],
+    )
+    disjoint = all(
+        prev["max_ts"] <= cur["min_ts"]
+        for prev, cur in zip(stats, stats[1:])
+    )
+    total = sum(r["n_rows"] for r in stats)
+    fmt = "%Y-%m-%d %H:%M:%S"
+    src = t.lineitem.agg(F.count(F.lit(1)).alias("src_rows"))
+    return src.select(
+        F.lit(total).cast("bigint").alias("total_rows"),
+        F.lit(min(r["min_ts"] for r in stats).strftime(fmt)).alias("min_ts_s"),
+        F.lit(max(r["max_ts"] for r in stats).strftime(fmt)).alias("max_ts_s"),
+        F.lit(bool(disjoint)).alias("parts_disjoint"),
+        (F.col("src_rows") == F.lit(total)).alias("rows_conserved"),
+    )
+
+
+@register(
+    "scan_zorder_clustered_contract",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS total_rows,
+           CAST(MAX(l_partkey) - MIN(l_partkey) AS BIGINT) AS pk_domain,
+           CAST(MAX(l_suppkey) - MIN(l_suppkey) AS BIGINT) AS sk_domain,
+           TRUE AS rows_conserved,
+           TRUE AS pk_boxes_shrunk,
+           TRUE AS sk_boxes_shrunk
+    FROM lineitem
+    """,
+)
+def scan_zorder_clustered_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract companion for scan_zorder_clustered: Z-ordering's whole
+    value proposition — every partition's bounding box shrinks in BOTH
+    key dimensions vs the full domain (1-D clustering leaves the second
+    dimension spanning everything) — expressed as golden booleans, with
+    the key domains and row total hard-matched against the table.
+    `*_boxes_shrunk` uses the same threshold tests/test_scale.py pins
+    (mean per-partition span < 0.6x the global domain; measured ~0.3x
+    for partkey and ~0.5x for suppkey at 16 partitions, vs 1.0x for the
+    un-z-ordered dimension of a 1-D layout). rows_conserved compares the
+    audit's summed partition counts against an independent COUNT(*)."""
+    t = load(spark, sf_dir)
+    boxes = scan_zorder_clustered(spark, sf_dir).collect()
+    total = sum(r["n_rows"] for r in boxes)
+    shrunk = {}
+    for d in ("pk", "sk"):
+        domain = max(r[f"{d}_max"] for r in boxes) - min(
+            r[f"{d}_min"] for r in boxes
+        )
+        avg_span = sum(r[f"{d}_max"] - r[f"{d}_min"] for r in boxes) / len(boxes)
+        shrunk[d] = (avg_span < 0.6 * domain, domain)
+    src = t.lineitem.agg(F.count(F.lit(1)).alias("src_rows"))
+    return src.select(
+        F.lit(total).cast("bigint").alias("total_rows"),
+        F.lit(shrunk["pk"][1]).cast("bigint").alias("pk_domain"),
+        F.lit(shrunk["sk"][1]).cast("bigint").alias("sk_domain"),
+        (F.col("src_rows") == F.lit(total)).alias("rows_conserved"),
+        F.lit(bool(shrunk["pk"][0])).alias("pk_boxes_shrunk"),
+        F.lit(bool(shrunk["sk"][0])).alias("sk_boxes_shrunk"),
+    )
+
+
 def _ensure_analyzed(spark: SparkSession, df: DataFrame, tbl: str) -> None:
     """Write df as a managed table and ANALYZE it (table + all columns)
     once per session; stale on-disk locations from prior sessions are
