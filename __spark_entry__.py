@@ -35,78 +35,51 @@ def entry(spark: SparkSession) -> DataFrame:
 # (windows, TPC-H composites, LLM dedup/similarity, streaming, text),
 # then the remaining unjudged entries, and the r1-green queries last.
 _PRIORITY = [
-    # -- r4 window: the first ~50 entries are the driver's judging window;
-    # every name below position 1-50 has NO full driver verdict yet. --
-    # re-judge: the r2 verdict was rows-only; the golden oracles (pyhash.py
-    # pure-Python replay of the banded-LSH pipeline) landed in r3 but the
-    # r3 window ended before reaching them.
-    "dedup_minhash", "dedup_minhash_recall",
-    # re-judge: dedup_ngram_jaccard's only pass predates the r3 df-cap
-    # rewrite (the r3 window never reached it) — refresh the verdict on
-    # the operator as it ships now.
-    "dedup_ngram_jaccard",
-    # sketch bound contracts (new in r4): approximate estimate checked
-    # against the exact aggregate computed in the SAME query, emitting
-    # within_tolerance booleans with hard-matched exact columns.
-    "agg_approx_distinct_bound", "agg_hll_sketch_bound",
-    "agg_approx_quantile_bound",
-    # python UDF surface (functions/udfs.py, never judged)
-    "udf_surface", "udtf_explode", "udf_cogrouped",
-    # corpus/training-mix family (never judged)
-    "corpus_dedup_keep", "corpus_quality_filter", "corpus_decontaminate",
-    "corpus_pack_blocks", "corpus_pack_manifest", "corpus_mix_weighted",
-    # sampling family (never judged)
-    "sample_bernoulli", "sample_stratified", "sample_train_split",
-    # text-analysis tail (never judged)
-    "text_quality_score", "text_lang_id", "text_fingerprint",
-    "text_ngrams", "text_bpe_pairs", "text_repetition_filter",
-    "text_boilerplate_ngrams",
-    # TPC-H composites without a driver verdict
-    "q_product_profit", "q_supplier_part_counts", "q_sole_late_shippers",
-    "q_large_volume_customer", "q_forecast_revenue",
-    "q_discounted_brand_revenue",
-    # scale-technique joins (never judged)
-    "join_skew_salted", "join_bucketed_colocated", "join_bloom_pruned",
-    "join_lateral_topk",
-    # percentile/pivot/profile family (never judged)
-    "agg_percentile", "agg_pivot", "agg_histogram", "profile_table",
-    "win_distribution",
-    # scan/stats tail (never judged)
-    "scan_cbo_stats", "scan_metadata_columns", "scan_python_datasource",
-    # SQL surface (never judged)
-    "sql_cte_subquery", "sql_recursive_cte",
-    # embedding analytics (never judged)
-    "embed_centroids", "embed_kmeans", "embed_gram_matrix",
-    # file-based streaming tail (never judged)
-    "stream_foreach_batch_sink", "stream_file_ingest_clean",
+    # -- r5 window: the first ~50 entries are the driver's judging window
+    # (every prior round judged exactly the first 50). Every name in
+    # positions 1-50 has NO full driver verdict yet, except the five
+    # re-judges leading the list, whose implementations changed in r5. --
+    # Re-judge first: queries whose code changed this round (two-phase
+    # NTILE rewrite; exact-KNN d2-ordering fix; staging-collision and
+    # fingerprint fixes; banded-levenshtein verify):
+    "win_ntile_quartiles", "sim_search_pq_recall", "scan_text_roundtrip",
+    "sink_wap_publish", "dedup_fuzzy_name",
+    # New r5 bound contracts (the r4 sketch-bound trick extended to the
+    # eigendecomposition + physical-layout audits; rows-only census
+    # 6 -> 3, the irreducible sketch trio):
+    "embed_pca_contract", "scan_range_clustered_contract",
+    "scan_zorder_clustered_contract",
+    # Missed the r4 window by one position:
     "stream_rollup_upsert",
-    # ---- ~position 50: next round's window starts here ----
-    # r4 additions with driver-checkable oracles, first in line for r5
-    # (the jaccard re-judge above displaced them from the r4 window):
+    # r4 additions with driver-checkable oracles, never driver-judged
+    # (the jaccard re-judge displaced them from the r4 window):
     "dedup_jaccard_recall", "sample_split_leakage_safe",
     "corpus_decontaminate_bloom", "corpus_mix_temperature",
     "dedup_minhash_incremental", "dedup_exact_incremental",
     "text_length_trim",
-    # r4b additions (this session), all with value oracles:
+    # r4b additions, all with value oracles:
     "text_segment_dedup", "dedup_substring_span", "text_bpe_train",
     "rollup_ohlc_bars", "agg_histogram_equidepth", "sink_scd2_history",
     "graph_pagerank", "sink_change_feed", "win_ewma",
     "sql_pipe_syntax", "udf_map_in_arrow",
-    # r4c additions (this session), all with value oracles:
-    "sim_search_pq", "sim_search_pq_recall", "text_perplexity_ngram",
-    "graph_triangle_count", "agg_countmin_sketch", "win_zscore_anomaly",
-    "sample_weighted", "corpus_interleave_epochs",
-    "stream_outer_join_watermark", "agg_moments", "q_market_basket",
-    "win_distinct_rolling", "embed_pq_train", "sql_scalar_udf",
-    "multimodal_audio_framestats", "agg_ols_two_factor",
-    "win_median_rolling", "corpus_length_buckets", "embed_text_alignment",
-    "text_bpe_encode", "dedup_consensus", "quality_expectations",
-    "sink_wap_publish", "scan_cached_table", "q_rfm_segmentation",
-    "stream_session_dynamic_gap", "scan_text_roundtrip",
-    "multimodal_image_dedup", "win_cusum_drift", "agg_cube",
-    "win_ntile_quartiles",
+    # VERDICT r4 item 1's named stragglers:
     "stream_checkpoint_resume", "stream_stateful_rocksdb",
     "embed_norm_stats", "dedup_embedding_recall", "corpus_mix_report",
+    # stream_outer_join_watermark also had its staging fingerprint
+    # switched to st_mtime_ns this round — judge it with the r4c batch:
+    "stream_outer_join_watermark",
+    # r4c additions, all with value oracles:
+    "sim_search_pq", "text_perplexity_ngram", "graph_triangle_count",
+    "agg_countmin_sketch", "win_zscore_anomaly", "sample_weighted",
+    "corpus_interleave_epochs", "agg_moments", "q_market_basket",
+    "win_distinct_rolling", "embed_pq_train", "sql_scalar_udf",
+    "multimodal_audio_framestats", "agg_ols_two_factor",
+    "win_median_rolling", "corpus_length_buckets",
+    # ---- ~position 50: next round's window starts here ----
+    "embed_text_alignment", "text_bpe_encode", "dedup_consensus",
+    "quality_expectations", "scan_cached_table", "q_rfm_segmentation",
+    "stream_session_dynamic_gap", "multimodal_image_dedup",
+    "win_cusum_drift", "agg_cube",
     # judge-spot-checked in r3 (independent differential PASS recorded in
     # VERDICT.md, still awaiting a driver verdict)
     "corpus_token_budget", "corpus_shard_assign", "sample_reservoir_group",
@@ -120,12 +93,34 @@ _PRIORITY = [
     "scan_zorder_clustered",
 ]
 
-# Names with a full driver verdict from r1/r2/r3 (CORRECTNESS_r0*.json):
+# Names with a full driver verdict from r1/r2/r3/r4 (CORRECTNESS_r0*.json):
 # push them to the back so the window keeps reaching unjudged queries.
-# (dedup_minhash / dedup_minhash_recall are deliberately NOT here: their
-# only verdict is a stale r2 rows-only from before their golden oracles
-# existed, so they lead the r4 window for a re-judge.)
+# (Five r4-judged names re-enter the r5 window at the top of _PRIORITY
+# because their implementations changed this round — front placement
+# wins over membership here.)
 _JUDGED = {
+    # r4 full passes (CORRECTNESS_r04.json: 50/50)
+    "dedup_minhash", "dedup_minhash_recall", "dedup_ngram_jaccard",
+    "agg_approx_distinct_bound", "agg_hll_sketch_bound",
+    "agg_approx_quantile_bound",
+    "udf_surface", "udtf_explode", "udf_cogrouped",
+    "corpus_dedup_keep", "corpus_quality_filter", "corpus_decontaminate",
+    "corpus_pack_blocks", "corpus_pack_manifest", "corpus_mix_weighted",
+    "sample_bernoulli", "sample_stratified", "sample_train_split",
+    "text_quality_score", "text_lang_id", "text_fingerprint",
+    "text_ngrams", "text_bpe_pairs", "text_repetition_filter",
+    "text_boilerplate_ngrams",
+    "q_product_profit", "q_supplier_part_counts", "q_sole_late_shippers",
+    "q_large_volume_customer", "q_forecast_revenue",
+    "q_discounted_brand_revenue",
+    "join_skew_salted", "join_bucketed_colocated", "join_bloom_pruned",
+    "join_lateral_topk",
+    "agg_percentile", "agg_pivot", "agg_histogram", "profile_table",
+    "win_distribution",
+    "scan_cbo_stats", "scan_metadata_columns", "scan_python_datasource",
+    "sql_cte_subquery", "sql_recursive_cte",
+    "embed_centroids", "embed_kmeans", "embed_gram_matrix",
+    "stream_foreach_batch_sink", "stream_file_ingest_clean",
     # r3 full passes (CORRECTNESS_r03.json: 50/50)
     "scan_binary_meta", "fn_string", "fn_collation", "fn_url",
     "fn_datetime", "fn_datetime_calendar", "fn_math", "fn_bitwise",

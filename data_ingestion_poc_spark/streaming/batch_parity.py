@@ -864,18 +864,20 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream_stateful_rocksdb). Batch parity: per-user event count,
     distinct event-type count (MapState keys), and max value.
 
-    NOT registered as a driver query: the transformWithState state
-    server speaks protobuf between the JVM and the Python worker, and
-    `google.protobuf` is absent from this environment (no pip installs),
-    so the stream fails at worker init — the same env-constraint class
-    as pycurl (CurlFetcher) and the multimodal codecs. The guard below
-    raises a clear NotImplementedError without protobuf;
-    tests/test_streaming.py skips accordingly, and the registered
-    stream_stateful / stream_stateful_rocksdb pair covers the same
-    semantics on the applyInPandasWithState surface with a full oracle
-    (identical expected output shape: see oracle in this docstring's
-    batch-parity note — COUNT(*), COUNT(DISTINCT event_type),
-    ROUND(MAX(value),2) per user)."""
+    Registered via a FEATURE PROBE (module bottom): the
+    transformWithState state server speaks protobuf between the JVM and
+    the Python worker, and `google.protobuf` is absent from this
+    environment (no pip installs), so the stream would fail at worker
+    init — the same env-constraint class as pycurl (CurlFetcher) and the
+    multimodal codecs. On an environment where the probe finds protobuf
+    + the Spark-4 StatefulProcessor API, the query self-registers with
+    the batch-parity oracle below; here the guard raises a clear
+    NotImplementedError and the name stays out of the registry.
+    tests/test_streaming.py exercises whichever side the env provides,
+    and the registered stream_stateful / stream_stateful_rocksdb pair
+    covers the same semantics on the applyInPandasWithState surface with
+    a full oracle (identical expected output shape: COUNT(*),
+    COUNT(DISTINCT event_type), ROUND(MAX(value),2) per user)."""
     try:
         from google.protobuf import descriptor  # noqa: F401
         from pyspark.sql.streaming.stateful_processor import StatefulProcessor
@@ -1143,3 +1145,32 @@ def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_available_now(agg, "complete")
+
+
+def _transform_with_state_available() -> bool:
+    """Feature probe for the transformWithState surface: the Spark-4
+    StatefulProcessor API plus google.protobuf in the worker environment
+    (the JVM<->Python state-server protocol). See the
+    stream_transform_with_state docstring for why this is env-gated."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        from pyspark.sql.streaming.stateful_processor import (  # noqa: F401
+            StatefulProcessor,
+        )
+    except ImportError:
+        return False
+    return True
+
+
+if _transform_with_state_available():  # pragma: no cover - env-dependent
+    register(
+        "stream_transform_with_state",
+        oracle="""
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+               ROUND(MAX(value), 2) AS max_value
+        FROM events
+        GROUP BY user_id
+        """,
+    )(stream_transform_with_state)
