@@ -102,18 +102,21 @@ ROWS_ONLY_RATIONALE: dict[str, str] = {
         "rotation and the projection sums are float-order-dependent, so a "
         "cross-engine value hash would pin numerical noise, not "
         "semantics. Orthogonality, variance ordering, and determinism are "
-        "pinned in tests."
+        "pinned in tests, and the driver-checkable embed_pca_contract "
+        "companion (r5) gives the family a value-level verdict."
     ),
     "scan_range_clustered": (
         "Audits the PHYSICAL partition layout (spark_partition_id after "
         "repartitionByRange): partition boundaries come from Spark's "
         "range sampler, which no SQL engine replicates. Per-partition "
-        "range disjointness is pinned in tests."
+        "range disjointness is pinned in tests and in the driver-"
+        "checkable scan_range_clustered_contract companion (r5)."
     ),
     "scan_zorder_clustered": (
         "Same physical-layout audit as scan_range_clustered, over the "
         "z-value: bounding-box shrinkage vs 1-D clustering is pinned in "
-        "tests."
+        "tests and in the driver-checkable "
+        "scan_zorder_clustered_contract companion (r5)."
     ),
 }
 

@@ -114,6 +114,11 @@ SINGLE_PARTITION_OK: dict[str, str] = {
     "sql_cte_subquery": "1-row scalar subquery inside the CTE",
     "win_ratio_to_report": "1-row global spend denominator (crossJoin broadcast)",
     "sort_multi_key": "prefix-sum over the partition-count frame (one row per range partition)",
+    # r5 bound contracts: each is a 1-row verdict frame — the exchange
+    # carries one partial-aggregate row per upstream partition.
+    "embed_pca_contract": "1-row contract frame (global count/avg partials)",
+    "scan_range_clustered_contract": "1-row contract frame (independent COUNT(*) partials)",
+    "scan_zorder_clustered_contract": "1-row contract frame (independent COUNT(*) partials)",
 }
 
 
