@@ -68,14 +68,18 @@ _PRIORITY = [
     # stream_outer_join_watermark also had its staging fingerprint
     # switched to st_mtime_ns this round — judge it with the r4c batch:
     "stream_outer_join_watermark",
+    # Brand-new r5 operators (containment dedup, Matryoshka-truncation
+    # recall, versioned time-travel read) — zero verdicts of any kind
+    # yet, so they outrank the judge-verified r4c tail for window slots:
+    "dedup_containment", "embed_matryoshka_recall", "scan_time_travel",
     # r4c additions, all with value oracles:
     "sim_search_pq", "text_perplexity_ngram", "graph_triangle_count",
     "agg_countmin_sketch", "win_zscore_anomaly", "sample_weighted",
     "corpus_interleave_epochs", "agg_moments", "q_market_basket",
     "win_distinct_rolling", "embed_pq_train", "sql_scalar_udf",
     "multimodal_audio_framestats", "agg_ols_two_factor",
-    "win_median_rolling", "corpus_length_buckets",
     # ---- ~position 50: next round's window starts here ----
+    "win_median_rolling", "corpus_length_buckets",
     "embed_text_alignment", "text_bpe_encode", "dedup_consensus",
     "quality_expectations", "scan_cached_table", "q_rfm_segmentation",
     "stream_session_dynamic_gap", "multimodal_image_dedup",

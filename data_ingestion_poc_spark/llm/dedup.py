@@ -161,6 +161,82 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs_from_index(_capped_shingle_index(spark, sf_dir))
 
 
+#: Containment threshold: fraction of the SMALLER doc's shingles that
+#: must appear in the larger doc. 0.9 catches subset/quote relationships
+#: (a tweet embedded in an article scores containment ~1.0 but Jaccard
+#: ~|tweet|/|article| ~ 0.02 — invisible to the Jaccard operator).
+CONTAINMENT_THRESHOLD = 0.90
+
+_CONTAINMENT_ORACLE = f"""
+    WITH sh0 AS (
+      SELECT DISTINCT doc_id, shingle
+      FROM (
+        SELECT doc_id,
+               unnest([array_to_string(words[i:i+2], ' ')
+                       FOR i IN range(1, len(words) - 1)]) AS shingle
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS words
+              FROM documents)
+      )
+    ),
+    keep AS (
+      SELECT shingle FROM sh0 GROUP BY shingle
+      HAVING COUNT(*) <= {JACCARD_DF_CAP}
+    ),
+    sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_common AS DOUBLE) / LEAST(sa.n, sb.n), 4)
+             AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / LEAST(sa.n, sb.n)
+          >= {CONTAINMENT_THRESHOLD}
+"""
+
+
+@register("dedup_containment", oracle=_CONTAINMENT_ORACLE)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup detection: n-gram containment of the smaller
+    doc in the larger — |A∩B| / min(|A|,|B|) >= 0.9 — the r5 addition
+    that catches subset relationships Jaccard structurally misses (a doc
+    quoted whole inside a much larger doc has Jaccard ≈ |small|/|large|
+    but containment ≈ 1.0; every serious crawl pipeline runs BOTH — cf.
+    the (Jaccard, containment) pair in Broder's resemblance/containment
+    paper and Dolma's quote-dedup pass). Same plan skeleton and the same
+    persisted capped shingle index as dedup_ngram_jaccard (one extra
+    consumer of the session-cached index, zero extra explode), same
+    df-cap scale bound: one hot shingle can never turn the self-join
+    quadratic; the cap's recall trade is priced by dedup_jaccard_recall
+    on the shared index."""
+    shingles = _capped_shingle_index(spark, sf_dir)
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = shingles.alias("a"), shingles.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    cont = F.col("n_common").cast("double") / F.least(F.col("na"), F.col("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(cont >= CONTAINMENT_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(cont, 4).alias("containment"))
+    )
+
+
 def jaccard_pairs_from_index(shingles: DataFrame) -> DataFrame:
     """The inverted-index Jaccard join shape, shared by the registered
     (df-capped) operator and the uncapped ground-truth side of

@@ -660,3 +660,112 @@ def dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = sum(F.col(c).cast("int") for c in cols)
     return out.withColumn("n_methods", n.cast("bigint"))
+
+
+#: Matryoshka truncation: keep only the first MRL_DIM of 64 dimensions.
+#: 16/64 = 4x index shrink; the recall query below prices what it costs.
+MRL_DIM = 16
+
+_MRL_ORACLE = f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+      FROM embeddings WHERE vec_id < 5
+    ),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    fr AS (
+      SELECT q.query_id, c.vec_id,
+             ROW_NUMBER() OVER (PARTITION BY q.query_id
+               ORDER BY list_distance(q.qe, c.e), c.vec_id) AS rk
+      FROM q JOIN c ON c.vec_id != q.query_id
+    ),
+    tr AS (
+      SELECT q.query_id, c.vec_id,
+             ROW_NUMBER() OVER (PARTITION BY q.query_id
+               ORDER BY list_distance(q.qe[1:{MRL_DIM}], c.e[1:{MRL_DIM}]),
+                        c.vec_id) AS rk
+      FROM q JOIN c ON c.vec_id != q.query_id
+    ),
+    e10 AS (SELECT query_id, vec_id FROM fr WHERE rk <= 10),
+    t10 AS (SELECT query_id, vec_id, 1 AS hit FROM tr WHERE rk <= 10)
+    SELECT e10.query_id,
+           CAST(COUNT(*) AS BIGINT) AS exact_k,
+           CAST(COUNT(t10.hit) AS BIGINT) AS trunc_hits,
+           ROUND(COUNT(t10.hit) * 100.0 / COUNT(*), 2) AS recall_pct
+    FROM e10 LEFT JOIN t10 USING (query_id, vec_id)
+    GROUP BY e10.query_id
+    ORDER BY e10.query_id
+"""
+
+
+@register("embed_matryoshka_recall", oracle=_MRL_ORACLE)
+def embed_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of TRUNCATED-dimension search vs full-dimension exact
+    top-10 — the Matryoshka (MRL) trade: serve ANN from the first
+    MRL_DIM=16 of 64 dims (4x smaller index, 4x less dot-product work)
+    and measure what the truncation costs per query. This is the
+    dimension-reduction sibling of sim_search_pq_recall's subspace
+    quantization; a 100 TB vector deployment typically tiers BOTH
+    (truncated coarse search -> full-dim re-rank) and watches exactly
+    these recall numbers when choosing the truncation point.
+
+    Parity notes: distances are computed as a pairwise (a-b)^2 fold —
+    NOT the expanded q.q - 2q.e + e.e form — so Spark accumulates the
+    same nonnegative per-element terms DuckDB's list_distance does
+    (the ADVICE r4 cancellation lesson applied structurally: identical
+    rounding, no NaN risk, raw d2 ordering is monotone with the sqrt).
+    The HOF folds run on |queries| x |corpus| = 5 x 500 rows at sf0.01 —
+    a broadcast of 5 query vectors against one corpus scan, never a
+    corpus self-join; at 100 TB the query panel stays broadcast-sized
+    and the scan stays linear."""
+    t = load(spark, sf_dir)
+    emb = t.embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    pairs = emb.crossJoin(F.broadcast(q)).where(
+        F.col("vec_id") != F.col("query_id")
+    )
+
+    def d2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    from pyspark.sql.window import Window
+
+    full_w = Window.partitionBy("query_id").orderBy(
+        d2(F.col("qe"), F.col("e")), "vec_id"
+    )
+    trunc_w = Window.partitionBy("query_id").orderBy(
+        d2(
+            F.slice(F.col("qe"), 1, MRL_DIM),
+            F.slice(F.col("e"), 1, MRL_DIM),
+        ),
+        "vec_id",
+    )
+    e10 = (
+        pairs.withColumn("rk", F.row_number().over(full_w))
+        .where(F.col("rk") <= 10)
+        .select("query_id", "vec_id")
+    )
+    t10 = (
+        pairs.withColumn("rk", F.row_number().over(trunc_w))
+        .where(F.col("rk") <= 10)
+        .select("query_id", "vec_id", F.lit(1).alias("hit"))
+    )
+    j = e10.join(t10, ["query_id", "vec_id"], "left")
+    return (
+        j.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("exact_k"),
+            F.count("hit").alias("trunc_hits"),
+            F.round(F.count("hit") * 100.0 / F.count(F.lit(1)), 2).alias(
+                "recall_pct"
+            ),
+        )
+        .orderBy("query_id")
+    )

@@ -846,3 +846,95 @@ def scan_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         parts[1].alias("lang"),
         parts[2].cast("bigint").alias("n_chars"),
     )
+
+
+_TIME_TRAVEL_ORACLE = """
+    WITH v1 AS (
+      SELECT o_orderstatus, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS tp
+      FROM orders WHERE o_orderkey % 2 = 0 GROUP BY o_orderstatus
+    ),
+    v2 AS (
+      SELECT o_orderstatus, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS tp
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT CAST(1 AS BIGINT) AS version_read, o_orderstatus,
+           CAST(n AS BIGINT) AS n_orders, tp AS total_price
+    FROM v1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), o_orderstatus, CAST(n AS BIGINT), tp
+    FROM v2
+"""
+
+
+@register("scan_time_travel", oracle=_TIME_TRAVEL_ORACLE)
+def scan_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel on a versioned snapshot store (r5): the read-side
+    surface Delta's `versionAsOf` / Iceberg's `snapshot-id` provide,
+    on plain parquet — immutable numbered snapshot directories
+    (`v=1`, `v=2`) plus a `_LATEST` pointer file whose atomic rewrite is
+    the commit. Snapshot v1 is the orders rollup over half the keys
+    (simulating state before an append), v2 over all keys; the query
+    reads BOTH an explicitly-addressed historical version and the
+    pointer-resolved latest in one result, tagged by `version_read` — the
+    audit/debug/reproduce-training-run workflow ("what did this table
+    look like when shard 7 was packed?").
+
+    Writes happen once per source fingerprint (st_mtime_ns + size, the
+    r5 staging convention) and publish via os.replace so a concurrent
+    first-run cannot expose a half-written snapshot. At 100 TB the
+    snapshot dirs become manifest lists (data files are shared across
+    versions, only metadata is copied) and `_LATEST` becomes the catalog
+    pointer — same protocol, same two-version read shape. Cited
+    reference seam: the sink's overwrite-with-metadata (child.py:160-208)
+    keeps only the newest blob; this operator is what replaces that
+    destructive overwrite when consumers need history."""
+    t = load(spark, sf_dir)
+    src = os.path.join(sf_dir, "orders.parquet")
+    ident = f"{os.stat(src).st_mtime_ns}_{os.path.getsize(src)}"
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"dip_time_travel_{os.path.basename(sf_dir.rstrip('/'))}_{ident}",
+    )
+    pointer = os.path.join(root, "_LATEST")
+
+    def rollup(df):
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+
+    if not os.path.exists(pointer):
+        os.makedirs(root, exist_ok=True)
+        versions = {
+            1: rollup(t.orders.where(F.col("o_orderkey") % 2 == 0)),
+            2: rollup(t.orders),
+        }
+        for v, df in versions.items():
+            stage = os.path.join(root, f".staging_v{v}")
+            final = os.path.join(root, f"v={v}")
+            if not os.path.exists(final):
+                df.write.mode("overwrite").parquet(stage)
+                try:
+                    os.replace(stage, final)
+                except OSError:
+                    if not os.path.exists(final):
+                        raise
+        tmp_ptr = pointer + ".tmp"
+        with open(tmp_ptr, "w") as fh:
+            fh.write("2")
+        os.replace(tmp_ptr, pointer)
+    with open(pointer) as fh:
+        latest = int(fh.read().strip())
+    as_of_v1 = spark.read.parquet(os.path.join(root, "v=1")).select(
+        F.lit(1).cast("bigint").alias("version_read"),
+        "o_orderstatus",
+        "n_orders",
+        "total_price",
+    )
+    latest_df = spark.read.parquet(os.path.join(root, f"v={latest}")).select(
+        F.lit(latest).cast("bigint").alias("version_read"),
+        "o_orderstatus",
+        "n_orders",
+        "total_price",
+    )
+    return as_of_v1.unionByName(latest_df)

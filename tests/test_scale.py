@@ -307,3 +307,24 @@ def test_sessionize_default_threshold_picks_plain(spark, sf_dir):
     df = registry.get("win_sessionize").fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString().lower()
     assert "join" not in plan
+
+
+def test_time_travel_versions_are_consistent(spark, sf_dir):
+    """v1 (half the orderkeys) must be dominated by v2 (all orders) per
+    status, the pointer must resolve to v2, and a second read must see
+    the identical published snapshots (immutability)."""
+    from data_ingestion_poc_spark import registry
+
+    fn = registry.get("scan_time_travel").fn
+    first = fn(spark, sf_dir).collect()
+    v1 = {r["o_orderstatus"]: r["n_orders"] for r in first if r["version_read"] == 1}
+    v2 = {r["o_orderstatus"]: r["n_orders"] for r in first if r["version_read"] == 2}
+    assert set(first[0].asDict()) == {
+        "version_read", "o_orderstatus", "n_orders", "total_price"
+    }
+    assert v1 and v2 and set(v1) <= set(v2)
+    for status, n in v1.items():
+        assert n <= v2[status]
+    assert sorted(map(tuple, fn(spark, sf_dir).collect())) == sorted(
+        map(tuple, first)
+    )

@@ -523,3 +523,40 @@ def test_ntile_window_partition_is_bounded(spark):
             "window partition keys must include the range bucket — a "
             f"segment-only window scales with table size: {spec[:200]}"
         )
+
+
+def test_containment_catches_subset_docs_jaccard_misses(spark, tmp_path):
+    """The r5 asymmetric operator's reason to exist: a small doc quoted
+    whole inside a much larger doc must pair under containment (~1.0)
+    while staying far below the Jaccard threshold."""
+    small = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"word{i}" for i in range(200))
+    rows = [
+        (1, "en", "web", small, len(small)),
+        (2, "en", "web", filler + " " + small, len(filler) + len(small) + 1),
+        (3, "en", "web", "totally unrelated text about nothing", 36),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, lang string, source string, text string, n_chars bigint"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    cont = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in registry.get("dedup_containment").fn(spark, str(tmp_path)).collect()
+    }
+    assert cont.get((1, 2)) == 1.0
+    jac = {
+        (r["doc_a"], r["doc_b"])
+        for r in registry.get("dedup_ngram_jaccard").fn(spark, str(tmp_path)).collect()
+    }
+    assert (1, 2) not in jac, "Jaccard should miss the subset pair"
+
+
+def test_matryoshka_recall_accounting(spark):
+    rows = registry.get("embed_matryoshka_recall").fn(spark, SF_MID).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["exact_k"] == 10
+        assert 0 <= r["trunc_hits"] <= 10
+        assert r["recall_pct"] == round(r["trunc_hits"] * 100.0 / 10, 2)
+    # truncation to a quarter of the dims must still retrieve something
+    assert sum(r["trunc_hits"] for r in rows) > 0
