@@ -19,6 +19,18 @@ from pyspark.sql import functions as F
 from ..catalog import load
 from ..registry import register
 
+def _sink_dir(name: str, sf_dir: str) -> str:
+    """Per-(operator, source) scratch sink path: keyed by a digest of the
+    absolute sf_dir so two concurrent sessions reading DIFFERENT scale
+    factors can never overwrite each other between a sink write and its
+    read-back (the ADVICE r4 staging-collision class, fixed for every
+    roundtrip sink, not just the text one it was reported against)."""
+    import hashlib
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode("utf-8")).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"{name}_{key}")
+
+
 # Reference SOURCES manifest shape: {server_url: [remote_path, ...]}
 # (README.md:73-82); server URLs carry scheme/credentials/host/port.
 MANIFEST: list[tuple[str, list[str]]] = [
@@ -105,7 +117,7 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     Partition columns become directory keys, giving partition pruning on
     every later read; the re-scan proves the round-trip is lossless."""
     t = load(spark, sf_dir)
-    out = os.path.join(tempfile.gettempdir(), "dip_spark_sink_partitioned")
+    out = _sink_dir("dip_spark_sink_partitioned", sf_dir)
     df = t.orders.select(
         "o_orderkey",
         "o_custkey",
@@ -131,7 +143,7 @@ def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     text round-trip because Spark writes shortest-roundtrip decimal
     strings. Generalizes A8/A18 to a text wire format."""
     t = load(spark, sf_dir)
-    out = os.path.join(tempfile.gettempdir(), "dip_spark_sink_csv")
+    out = _sink_dir("dip_spark_sink_csv", sf_dir)
     df = t.customer.select(
         "c_custkey",
         "c_name",
@@ -157,7 +169,7 @@ def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     trap, and the engine's convention is epoch longs or formatted strings
     on text wires (fn_datetime)."""
     t = load(spark, sf_dir)
-    out = os.path.join(tempfile.gettempdir(), "dip_spark_sink_json")
+    out = _sink_dir("dip_spark_sink_json", sf_dir)
     df = t.events.select(
         "event_id", "user_id", "event_type", F.round("value", 4).alias("value")
     )
@@ -181,7 +193,7 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     read for symmetry with the text formats (ORC self-describes, but a
     declared schema pins column ordering for the comparison)."""
     t = load(spark, sf_dir)
-    out = os.path.join(tempfile.gettempdir(), "dip_spark_sink_orc")
+    out = _sink_dir("dip_spark_sink_orc", sf_dir)
     df = t.part.select(
         "p_partkey", "p_brand", "p_size", F.round("p_retailprice", 2).alias("p_retailprice")
     )
@@ -299,8 +311,8 @@ def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole table."""
     t = load(spark, sf_dir)
     src = t.lineitem.where(F.col("l_orderkey") < 8000)
-    frag_dir = os.path.join(tempfile.gettempdir(), "dip_compact_frag")
-    comp_dir = os.path.join(tempfile.gettempdir(), "dip_compact_out")
+    frag_dir = _sink_dir("dip_compact_frag", sf_dir)
+    comp_dir = _sink_dir("dip_compact_out", sf_dir)
     src.repartition(COMPACT_FRAGMENT_FILES).write.mode("overwrite").parquet(frag_dir)
     frag = spark.read.parquet(frag_dir)
     frag.coalesce(COMPACT_TARGET_FILES).write.mode("overwrite").parquet(comp_dir)
@@ -396,7 +408,7 @@ def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink family started — the format a surprising number of enterprise
     feeds still speak."""
     t = load(spark, sf_dir)
-    out = os.path.join(tempfile.gettempdir(), "dip_spark_sink_xml")
+    out = _sink_dir("dip_spark_sink_xml", sf_dir)
     df = t.nation.select(
         F.col("n_nationkey").cast("bigint").alias("n_nationkey"),
         "n_name",
@@ -819,17 +831,7 @@ def scan_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     reader would be spark.read.format('avro') with the same roundtrip
     shape.)"""
     t = load(spark, sf_dir)
-    # key the sink dir by the absolute sf_dir so two sessions reading
-    # different scale factors never overwrite each other between the
-    # write and the read-back (ADVICE r4 staging-collision class)
-    import hashlib
-
-    sf_key = hashlib.md5(
-        os.path.abspath(sf_dir).encode("utf-8")
-    ).hexdigest()[:12]
-    out = os.path.join(
-        tempfile.gettempdir(), f"dip_spark_sink_textlines_{sf_key}"
-    )
+    out = _sink_dir("dip_spark_sink_textlines", sf_dir)
     lines = t.documents.select(
         F.concat_ws(
             "\t",

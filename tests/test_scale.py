@@ -145,9 +145,10 @@ def test_compaction_reduces_files_losslessly(spark, sf_dir):
         for r in registry.get("sink_compact_small_files").fn(spark, sf_dir).collect()
     }
     assert rows["fragmented"] == rows["compacted"] > 0
-    tmp = tempfile.gettempdir()
-    n_frag = len(glob.glob(os.path.join(tmp, "dip_compact_frag", "*.parquet")))
-    n_comp = len(glob.glob(os.path.join(tmp, "dip_compact_out", "*.parquet")))
+    from data_ingestion_poc_spark.operators.scans import _sink_dir
+
+    n_frag = len(glob.glob(os.path.join(_sink_dir("dip_compact_frag", sf_dir), "*.parquet")))
+    n_comp = len(glob.glob(os.path.join(_sink_dir("dip_compact_out", sf_dir), "*.parquet")))
     assert n_frag == COMPACT_FRAGMENT_FILES
     assert n_comp == COMPACT_TARGET_FILES
 
