@@ -731,7 +731,10 @@ def sink_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(),
         f"dip_wap_{os.path.basename(sf_dir.rstrip('/'))}_{ident}",
     )
-    staging = os.path.join(root, "staging")
+    # per-process staging: concurrent first-runs must not interleave
+    # writes into one staging dir (the promote-race fix alone would
+    # publish whichever mixed dir won)
+    staging = os.path.join(root, f"staging_{os.getpid()}")
     published = os.path.join(root, "published")
     rollup = (
         t.orders.groupBy("o_orderstatus")
@@ -826,10 +829,9 @@ def scan_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrives as lines, not as a typed columnar format. Lossless for the
     projected columns; the parse is a scan-local Column expression, so
     reading a 100 TB line corpus is exactly as parallel as its file
-    split count. (Avro is the one mainstream format absent here: its
-    module is an external jar not shipped in this environment — the
-    reader would be spark.read.format('avro') with the same roundtrip
-    shape.)"""
+    split count. (Avro: see scan_avro_roundtrip — the external jar is
+    not shipped here, so the OCF wire format is implemented from the
+    public spec in pure Python and driven through mapInPandas.)"""
     t = load(spark, sf_dir)
     out = _sink_dir("dip_spark_sink_textlines", sf_dir)
     lines = t.documents.select(
@@ -912,13 +914,18 @@ def scan_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             2: rollup(t.orders),
         }
         for v, df in versions.items():
-            stage = os.path.join(root, f".staging_v{v}")
+            # per-process staging path: two concurrent first-runs must
+            # never write into the SAME staging dir (a shared path could
+            # publish a mixed half-written snapshot); whoever loses the
+            # os.replace race just discards its staging
+            stage = os.path.join(root, f".staging_v{v}_{os.getpid()}")
             final = os.path.join(root, f"v={v}")
             if not os.path.exists(final):
                 df.write.mode("overwrite").parquet(stage)
                 try:
                     os.replace(stage, final)
                 except OSError:
+                    shutil.rmtree(stage, ignore_errors=True)
                     if not os.path.exists(final):
                         raise
         tmp_ptr = pointer + ".tmp"
@@ -940,3 +947,73 @@ def scan_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_price",
     )
     return as_of_v1.unionByName(latest_df)
+
+
+@register(
+    "scan_avro_roundtrip",
+    oracle="""
+    SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS c_acctbal
+    FROM customer
+    """,
+)
+def scan_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro container-file sink + source round-trip WITHOUT the external
+    spark-avro jar (absent in this environment — the format-matrix gap
+    SURVEY.md documents): the OCF wire format is implemented from the
+    public Avro spec in pure Python (ingest/avro_ocf.py — magic,
+    schema-carrying metadata map, zigzag-varint longs, sync-framed
+    blocks, null codec) and driven the Spark-idiomatic way: the ENCODE
+    stage is a mapInPandas over Arrow batches writing one .avro file per
+    partition (the same file-per-partition layout spark-avro's writer
+    produces), the DECODE stage rides the binaryFile reader and parses
+    blobs back to rows inside mapInPandas. Executors do all row work;
+    the driver only sees one (path, n_rows) summary row per partition.
+    On a real cluster the per-partition writes land on shared storage
+    exactly like any file sink; with the jar present the reader side
+    collapses to spark.read.format('avro') with the same roundtrip
+    shape. Lossless for the projected nullable scalars; a corrupt block
+    fails loudly on the sync-marker check."""
+    import pandas as pd
+
+    from ..ingest.avro_ocf import read_ocf, record_schema, write_ocf
+
+    t = load(spark, sf_dir)
+    out = _sink_dir("dip_spark_sink_avro", sf_dir)
+    schema = record_schema(
+        "customer",
+        [("c_custkey", "long"), ("c_name", "string"), ("c_acctbal", "double")],
+    )
+    df = t.customer.select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal")
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+
+    def encode(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        rows = []
+        for pdf in batches:
+            rows.extend(pdf.to_dict("records"))
+        blob = write_ocf(rows, schema)
+        path = os.path.join(out, f"part-{pid:05d}.avro")
+        with open(path, "wb") as fh:
+            fh.write(blob)
+        yield pd.DataFrame([{"path": path, "n_rows": len(rows)}])
+
+    # force the distributed encode; one summary row per partition
+    df.mapInPandas(encode, schema="path string, n_rows long").collect()
+
+    def decode(batches):
+        for pdf in batches:
+            for blob in pdf["content"]:
+                _schema, rows = read_ocf(bytes(blob))
+                yield pd.DataFrame(
+                    rows, columns=["c_custkey", "c_name", "c_acctbal"]
+                )
+
+    back = spark.read.format("binaryFile").load(os.path.join(out, "*.avro"))
+    return back.select("content").mapInPandas(
+        decode, schema="c_custkey long, c_name string, c_acctbal double"
+    )

@@ -329,3 +329,35 @@ def test_time_travel_versions_are_consistent(spark, sf_dir):
     assert sorted(map(tuple, fn(spark, sf_dir).collect())) == sorted(
         map(tuple, first)
     )
+
+
+def test_avro_ocf_codec_roundtrip_and_corruption():
+    """Pure-Python OCF codec: nullable scalars roundtrip exactly, empty
+    row sets produce a header-only file, and a corrupted block fails the
+    sync-marker check loudly."""
+    import pytest
+
+    from data_ingestion_poc_spark.ingest.avro_ocf import (
+        read_ocf,
+        record_schema,
+        write_ocf,
+    )
+
+    schema = record_schema(
+        "t", [("k", "long"), ("s", "string"), ("x", "double")]
+    )
+    rows = [
+        {"k": 0, "s": "", "x": 0.0},
+        {"k": -(2**40), "s": "héllo\tworld", "x": -1.5e300},
+        {"k": 2**40, "s": None, "x": None},
+        {"k": None, "s": "z", "x": 3.141592653589793},
+    ]
+    blob = write_ocf(rows, schema)
+    got_schema, got = read_ocf(blob)
+    assert got == rows and got_schema == schema
+    _, empty = read_ocf(write_ocf([], schema))
+    assert empty == []
+    with pytest.raises(ValueError, match="sync"):
+        read_ocf(blob[:-1] + bytes([blob[-1] ^ 0xFF]))
+    with pytest.raises(ValueError, match="container"):
+        read_ocf(b"PAR1" + blob)
