@@ -1130,3 +1130,89 @@ def win_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("c_acctbal", 2).alias("c_acctbal"),
         tile.cast("bigint").alias("balance_quartile"),
     )
+
+
+#: Robust-anomaly knobs: consistency constant sigma ~= 1.4826 * MAD for
+#: Gaussian data; 3.5 is the conventional robust-z cutoff (Iglewicz &
+#: Hoaglin's modified z-score uses 3.5 on 0.6745*(x-med)/MAD, which is
+#: the same test written with the reciprocal constant).
+MAD_SIGMA = 1.4826
+MAD_CUTOFF = 3.5
+
+_MAD_ORACLE = f"""
+    WITH f AS (
+      SELECT event_id, user_id, value, list(value) OVER w AS frame
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 20 PRECEDING AND CURRENT ROW)
+    ),
+    m AS (
+      SELECT event_id, user_id, value,
+             list_aggregate(frame, 'median') AS med,
+             list_aggregate(
+               list_transform(frame,
+                              x -> abs(x - list_aggregate(frame, 'median'))),
+               'median') AS mad
+      FROM f
+    )
+    SELECT event_id, user_id,
+           ROUND(med, 6) AS med_21,
+           ROUND(mad, 6) AS mad_21,
+           ROUND((value - med) / ({MAD_SIGMA} * mad), 3) AS robust_z
+    FROM m
+    WHERE mad > 0 AND abs(value - med) > {MAD_CUTOFF} * {MAD_SIGMA} * mad
+"""
+
+
+@register("win_mad_anomaly", oracle=_MAD_ORACLE)
+def win_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation anomaly flags over a trailing 21-row
+    frame (r5) — the ROBUST sibling of win_zscore_anomaly: mean/stddev
+    move with the outlier being tested (masking: one huge spike inflates
+    sigma enough to hide the next one), while median/MAD have a 50%
+    breakdown point, so repeated spikes keep getting flagged. Flag when
+    |value - med| > 3.5 * 1.4826 * MAD (the Iglewicz-Hoaglin modified
+    z-score test), skipping frames with MAD = 0 (a flat frame makes any
+    deviation infinite-z; zscore's sd>0 guard, same policy).
+
+    Composition: Spark window aggregates cannot compute percentiles over
+    a frame, so the frame is collected once (collect_list over ONE
+    user_id window — single shuffle) and both medians come from the
+    sorted array: med by midpoint pick, MAD by re-sorting the absolute
+    deviations (per-row O(w log w), the win_median_rolling family's
+    documented trade; wide frames would swap in a two-pass approx). The
+    oracle reproduces the exact same composition with DuckDB's
+    list()-over-window + list_aggregate('median')."""
+    t = load(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, 0)
+    )
+
+    def arr_median(arr):
+        n = F.size(arr)
+        hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+        lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+        return F.when(n % 2 == 1, hi).otherwise((lo + hi) / 2.0)
+
+    frame = F.array_sort(F.collect_list("value").over(w))
+    base = t.events.select(
+        "event_id", "user_id", "value", frame.alias("frame")
+    ).withColumn("med", arr_median(F.col("frame")))
+    devs = F.array_sort(
+        F.transform(F.col("frame"), lambda x: F.abs(x - F.col("med")))
+    )
+    scored = base.withColumn("mad", arr_median(devs))
+    return scored.where(
+        (F.col("mad") > 0)
+        & (F.abs(F.col("value") - F.col("med")) > MAD_CUTOFF * MAD_SIGMA * F.col("mad"))
+    ).select(
+        "event_id",
+        "user_id",
+        F.round("med", 6).alias("med_21"),
+        F.round("mad", 6).alias("mad_21"),
+        F.round(
+            (F.col("value") - F.col("med")) / (MAD_SIGMA * F.col("mad")), 3
+        ).alias("robust_z"),
+    )

@@ -326,3 +326,38 @@ def test_global_row_number_matches_sorted_model(spark, rows, nparts):
     assert len(got) == len(rows)
     for i, (v, rid) in enumerate(expected, start=1):
         assert got[(v, rid)] == i, (v, rid, got[(v, rid)], i)
+
+
+@given(
+    st.lists(
+        st.fixed_dictionaries(
+            {
+                "k": st.one_of(
+                    st.none(), st.integers(min_value=-(2**62), max_value=2**62)
+                ),
+                "s": st.one_of(st.none(), st.text(max_size=40)),
+                "x": st.one_of(
+                    st.none(),
+                    st.floats(allow_nan=False, width=64),
+                ),
+            }
+        ),
+        max_size=50,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_avro_ocf_roundtrip_property(rows):
+    """Pure-Python OCF codec: arbitrary nullable (long, string, double)
+    rows — including infinities, signed zeros, huge ints, and non-ASCII
+    text — survive the write/read roundtrip exactly. (NaN is excluded:
+    NaN != NaN makes equality meaningless, and the engine's wire
+    convention nulls NaNs before text/binary sinks.)"""
+    from data_ingestion_poc_spark.ingest.avro_ocf import (
+        read_ocf,
+        record_schema,
+        write_ocf,
+    )
+
+    schema = record_schema("t", [("k", "long"), ("s", "string"), ("x", "double")])
+    _schema, got = read_ocf(write_ocf(rows, schema))
+    assert got == rows

@@ -560,3 +560,36 @@ def test_matryoshka_recall_accounting(spark):
         assert r["recall_pct"] == round(r["trunc_hits"] * 100.0 / 10, 2)
     # truncation to a quarter of the dims must still retrieve something
     assert sum(r["trunc_hits"] for r in rows) > 0
+
+
+def test_mad_flags_repeated_spikes_zscore_masks(spark, tmp_path):
+    """Robustness rationale made concrete: a burst of FIVE equal spikes
+    inside 60 events inflates mean/stddev enough that the plain z-score
+    detector misses some or all of them, while median/MAD (50% breakdown
+    point) flags every spike and nothing else."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    spikes = {20, 25, 30, 35, 40}
+    rows = []
+    for i in range(60):
+        v = 500.0 if i in spikes else 10.0 + (i % 5) * 0.3
+        rows.append((i, base + datetime.timedelta(minutes=i), 7, "view", v, None))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    mad = {
+        r["event_id"]
+        for r in registry.get("win_mad_anomaly").fn(spark, str(tmp_path)).collect()
+    }
+    assert mad == spikes
+    z = {
+        r["event_id"]
+        for r in registry.get("win_zscore_anomaly").fn(spark, str(tmp_path)).collect()
+    }
+    assert len(z & spikes) < len(spikes), (
+        "z-score should mask at least one repeated spike (sigma inflated "
+        f"by earlier spikes); flagged {sorted(z)}"
+    )
