@@ -1017,3 +1017,72 @@ def scan_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select("content").mapInPandas(
         decode, schema="c_custkey long, c_name string, c_acctbal double"
     )
+
+
+_AGG_PUSHDOWN_ORACLE = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(MIN(l_quantity), 2) AS min_qty,
+           ROUND(MAX(l_quantity), 2) AS max_qty,
+           CAST(COUNT(l_partkey) AS BIGINT) AS n_partkeys,
+           TRUE AS agg_pushed
+    FROM lineitem
+"""
+
+
+@register("scan_agg_pushdown", oracle=_AGG_PUSHDOWN_ORACLE)
+def scan_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet AGGREGATE pushdown (r5): COUNT/MIN/MAX answered from file
+    footer statistics — zero data pages read. At 100 TB this is the
+    difference between a metadata-only operation and a full scan for
+    the row-count/bounds probes every pipeline runs constantly (the
+    reference's pre-stat size/mtime probes, child.py:35-65, are this
+    idea at file granularity). Needs the DataSource V2 parquet path
+    (``spark.sql.sources.useV1SourceList`` cleared) plus
+    ``spark.sql.parquet.aggregatePushdown``; both confs are scoped to
+    this query and RESTORED afterward — flipping the session to V2
+    globally would silently change every other query's scan planning,
+    and V2 pushdown only fires for statistics-safe aggregates anyway
+    (a filter or a non-min/max/count aggregate falls back to a normal
+    scan). Because conf restoration must not race the driver's lazy
+    collect, the 1-row result is materialized INSIDE the guarded block
+    (bounded driver fetch) and returned as a local frame; ``agg_pushed``
+    is derived from the executed plan's PushedAggregation marker, so a
+    regression to a data-reading scan fails the value hash."""
+    v1_key = "spark.sql.sources.useV1SourceList"
+    push_key = "spark.sql.parquet.aggregatePushdown"
+    prev_v1 = spark.conf.get(v1_key, None)
+    prev_push = spark.conf.get(push_key, None)
+    spark.conf.set(v1_key, "")
+    spark.conf.set(push_key, "true")
+    try:
+        li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        agg = li.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min("l_quantity"), 2).alias("min_qty"),
+            F.round(F.max("l_quantity"), 2).alias("max_qty"),
+            F.count("l_partkey").alias("n_partkeys"),
+        )
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        row = agg.collect()[0]
+    finally:
+        if prev_v1 is None:
+            spark.conf.unset(v1_key)
+        else:
+            spark.conf.set(v1_key, prev_v1)
+        if prev_push is None:
+            spark.conf.unset(push_key)
+        else:
+            spark.conf.set(push_key, prev_push)
+    return spark.createDataFrame(
+        [
+            (
+                row["n_rows"],
+                row["min_qty"],
+                row["max_qty"],
+                row["n_partkeys"],
+                "PushedAggregation: [COUNT(*)" in plan,
+            )
+        ],
+        "n_rows bigint, min_qty double, max_qty double, n_partkeys bigint,"
+        " agg_pushed boolean",
+    )
