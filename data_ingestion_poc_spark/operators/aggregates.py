@@ -1048,3 +1048,120 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping("l_linestatus").cast("bigint").alias("g_status"),
         )
     )
+
+
+#: Poisson(1) inverse-CDF thresholds on the first 4 md5 hex digits
+#: (u < cdf(k) <=> hex4 < floor(cdf(k)*65536) as a 4-digit hex string):
+#: the engine-portable Poisson draw behind the one-pass bootstrap.
+_POIS_THRESHOLDS = ["5e2d", "bc5a", "eb71", "fb23", "ff10", "ffd9", "fffa"]
+#: Number of bootstrap replicates maintained in the single pass.
+BOOT_REPS = 8
+
+
+def _boot_hex_sql(b: int) -> str:
+    return (
+        f"substr(md5('boot{b}:' || CAST(l_orderkey AS VARCHAR) || '_' "
+        f"|| CAST(l_linenumber AS VARCHAR)), 1, 4)"
+    )
+
+
+def _boot_w_sql(b: int) -> str:
+    h = _boot_hex_sql(b)
+    cases = " ".join(
+        f"WHEN {h} < '{t}' THEN {k}" for k, t in enumerate(_POIS_THRESHOLDS)
+    )
+    return f"(CASE {cases} ELSE {len(_POIS_THRESHOLDS)} END)"
+
+
+def _bootstrap_oracle() -> str:
+    sums = ",\n             ".join(
+        f"SUM({_boot_w_sql(b)} * l_extendedprice) AS sx{b},\n"
+        f"             CAST(SUM({_boot_w_sql(b)}) AS DOUBLE) AS sw{b}"
+        for b in range(BOOT_REPS)
+    )
+    reps = ", ".join(f"sx{b} / sw{b}" for b in range(BOOT_REPS))
+    return f"""
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n_rows,
+             AVG(l_extendedprice) AS mean_price,
+             {sums}
+      FROM lineitem
+      GROUP BY l_returnflag
+    ),
+    r AS (
+      SELECT l_returnflag, n_rows, mean_price, [{reps}] AS reps
+      FROM s
+    )
+    SELECT l_returnflag, CAST(n_rows AS BIGINT) AS n_rows,
+           ROUND(mean_price, 4) AS mean_price,
+           ROUND(stddev_samp(x.r), 2) AS boot_se,
+           ROUND(mean_price - 1.96 * stddev_samp(x.r), 2) AS ci_lo,
+           ROUND(mean_price + 1.96 * stddev_samp(x.r), 2) AS ci_hi
+    FROM r, unnest(r.reps) AS x(r)
+    GROUP BY l_returnflag, n_rows, mean_price
+    """
+
+
+@register("agg_bootstrap_ci", oracle=_bootstrap_oracle())
+def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-PASS Poisson-bootstrap confidence interval for a grouped mean
+    (r5; Chamandy et al., "Estimating Uncertainty for Massive Data
+    Streams" — Google's streaming bootstrap; also the Bag-of-Little-
+    Bootstraps regime): classical bootstrap resamples the data B times
+    — B full shuffles at 100 TB — while the Poisson trick observes that
+    a multinomial resample is approximated by giving every row an
+    independent Poisson(1) weight PER REPLICATE, so all B=8 replicate
+    means are just extra conditional SUMs maintained in the SAME
+    single-scan aggregate. The standard deviation ACROSS replicate means
+    estimates the sampling SE of the mean; the 1.96-SE normal interval
+    is the CI a dashboard needs next to every big aggregate.
+
+    Engine-portable randomness: the Poisson draw inverts the CDF on the
+    first 4 md5 hex digits of (replicate, row-key) — deterministic,
+    retry/repartition-stable (the sampling.py hash convention), and
+    replayed exactly by the DuckDB oracle, so even the bootstrap's
+    randomness is value-checked. The cost at scale is B extra
+    sum-columns in one map-side-combinable aggregate: no extra scan, no
+    extra shuffle, no RNG state."""
+    t = load(spark, sf_dir)
+
+    def w(b: int):
+        h = F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"boot{b}:"),
+                    F.col("l_orderkey").cast("string"),
+                    F.lit("_"),
+                    F.col("l_linenumber").cast("string"),
+                ).cast("binary")
+            ),
+            1,
+            4,
+        )
+        expr = F.when(h < _POIS_THRESHOLDS[0], 0)
+        for k, thr in enumerate(_POIS_THRESHOLDS[1:], start=1):
+            expr = expr.when(h < thr, k)
+        return expr.otherwise(len(_POIS_THRESHOLDS))
+
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.avg("l_extendedprice").alias("mean_price"),
+    ]
+    for b in range(BOOT_REPS):
+        wb = w(b)
+        aggs.append(F.sum(wb * F.col("l_extendedprice")).alias(f"sx{b}"))
+        aggs.append(F.sum(wb).cast("double").alias(f"sw{b}"))
+    s = t.lineitem.groupBy("l_returnflag").agg(*aggs)
+    reps = [F.col(f"sx{b}") / F.col(f"sw{b}") for b in range(BOOT_REPS)]
+    m = sum(reps) / BOOT_REPS
+    var = sum((r - m) * (r - m) for r in reps) / (BOOT_REPS - 1)
+    se = F.sqrt(var)
+    return s.select(
+        "l_returnflag",
+        "n_rows",
+        F.round("mean_price", 4).alias("mean_price"),
+        F.round(se, 2).alias("boot_se"),
+        F.round(F.col("mean_price") - 1.96 * se, 2).alias("ci_lo"),
+        F.round(F.col("mean_price") + 1.96 * se, 2).alias("ci_hi"),
+    )

@@ -593,3 +593,28 @@ def test_mad_flags_repeated_spikes_zscore_masks(spark, tmp_path):
         "z-score should mask at least one repeated spike (sigma inflated "
         f"by earlier spikes); flagged {sorted(z)}"
     )
+
+
+def test_bootstrap_se_tracks_analytic_se(spark):
+    """The Poisson-bootstrap SE must estimate the classical analytic
+    standard error of the mean (sd/sqrt(n)). B=8 replicates makes the
+    estimator noisy (chi-square with 7 dof: sd ~ 27% of truth), so bound
+    it loosely within [0.4x, 2.5x] — a broken weighting (all-equal
+    weights -> SE ~ 0, or per-replicate correlated draws -> SE inflated)
+    lands far outside."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    rows = registry.get("agg_bootstrap_ci").fn(spark, SF_MID).collect()
+    tbl = pq.read_table(
+        SF_MID + "/lineitem.parquet", columns=["l_returnflag", "l_extendedprice"]
+    ).to_pandas()
+    assert len(rows) == 3
+    for r in rows:
+        x = tbl[tbl.l_returnflag == r["l_returnflag"]].l_extendedprice
+        analytic = x.std(ddof=1) / math.sqrt(len(x))
+        assert 0.4 * analytic < r["boot_se"] < 2.5 * analytic, (
+            r["l_returnflag"], r["boot_se"], analytic
+        )
+        assert r["ci_lo"] < r["mean_price"] < r["ci_hi"]
