@@ -73,7 +73,7 @@ _PRIORITY = [
     # yet, so they outrank the judge-verified r4c tail for window slots:
     "dedup_containment", "embed_matryoshka_recall", "scan_time_travel",
     "scan_avro_roundtrip", "win_mad_anomaly", "scan_agg_pushdown",
-    "agg_bootstrap_ci",
+    "agg_bootstrap_ci", "text_gopher_rules",
     # r4c additions, all with value oracles:
     "sim_search_pq", "text_perplexity_ngram", "graph_triangle_count",
     "agg_countmin_sketch", "win_zscore_anomaly", "sample_weighted",

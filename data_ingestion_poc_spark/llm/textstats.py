@@ -534,3 +534,107 @@ def text_perplexity_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(bits, 4).alias("bits_per_token"),
         F.round(F.pow(F.lit(2.0), bits), 2).alias("ppl"),
     )
+
+
+#: Gopher required stopwords (Rae et al. 2021, App. A): a doc must
+#: contain at least 2 of these to pass the rule.
+GOPHER_REQ_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+_GOPHER_ORACLE = f"""
+    WITH w AS (
+      SELECT doc_id, text, string_split(text, ' ') AS words
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, text, words,
+             len(words) AS wc,
+             list_aggregate(list_transform(words, x -> len(x)), 'sum')
+               / CAST(len(words) AS DOUBLE) AS mwl,
+             len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]')))
+               / CAST(len(words) AS DOUBLE) AS alpha_frac,
+             ((len(text) - len(replace(text, '#', '')))
+              + (len(text) - len(replace(text, '...', ''))) / 3)
+               / CAST(len(words) AS DOUBLE) AS sym_ratio,
+             len(list_filter(['the','be','to','of','and','that','have','with'],
+                             s -> list_contains(words, s))) AS n_req_stops
+      FROM w
+    )
+    SELECT doc_id,
+           CAST(wc AS BIGINT) AS wc,
+           floor(mwl * 10000) / 10000 AS mean_word_len,
+           wc BETWEEN 50 AND 100000        AS ok_word_count,
+           mwl >= 3 AND mwl <= 10          AS ok_mean_word_len,
+           sym_ratio <= 0.1                AS ok_symbol_ratio,
+           alpha_frac >= 0.8               AS ok_alpha_words,
+           n_req_stops >= 2                AS ok_req_stopwords,
+           (wc BETWEEN 50 AND 100000) AND (mwl >= 3 AND mwl <= 10)
+             AND sym_ratio <= 0.1 AND alpha_frac >= 0.8
+             AND n_req_stops >= 2          AS keep
+    FROM m
+"""
+
+
+@register("text_gopher_rules", oracle=_GOPHER_ORACLE)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality-rule battery (r5; Rae et al. 2021 Appendix A —
+    the named filter set MassiveText introduced and Dolma/FineWeb/RedPajama
+    descend from), as per-document per-RULE booleans plus the combined
+    keep decision: word-count band [50, 100k], mean word length in
+    [3, 10], symbol-to-word ratio (# and ellipsis) <= 0.1, >= 80% of
+    words containing an alphabetic character, and >= 2 of the 8 required
+    stopwords. Emitting each rule separately (not just `keep`) is the
+    operational form: curation teams track WHICH rule fires to tune
+    thresholds per source. The doc-level line-based rules (bullet-start /
+    ellipsis-end fractions) are omitted — this corpus is single-line —
+    and would be two more list_filter ratios over split(text, '\\n') in
+    the same single-scan shape.
+
+    All rules are one projection of Column expressions over one scan —
+    no shuffle, no UDF; the per-word HOFs (length sum, alpha filter)
+    are per-row bounded work, and at 100 TB this is the cheapest pass in
+    the curation pipeline (contrast the model-based scorers it gates)."""
+    t = load(spark, sf_dir)
+    words = F.split("text", " ")
+    wc = F.size(words)
+    wcd = wc.cast("double")
+    mwl = (
+        F.aggregate(
+            F.transform(words, lambda w: F.length(w)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        / wcd
+    )
+    alpha_frac = (
+        F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]"))) / wcd
+    )
+    sym_ratio = (
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"), F.lit(""))))
+        + (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))
+        )
+        / 3
+    ) / wcd
+    n_req = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_REQ_STOPS]),
+            lambda s: F.array_contains(words, s),
+        )
+    )
+    ok_wc = (wc >= 50) & (wc <= 100000)
+    ok_mwl = (mwl >= 3) & (mwl <= 10)
+    ok_sym = sym_ratio <= 0.1
+    ok_alpha = alpha_frac >= 0.8
+    ok_stops = n_req >= 2
+    return t.documents.select(
+        "doc_id",
+        wc.cast("bigint").alias("wc"),
+        (F.floor(mwl * 10000) / 10000).alias("mean_word_len"),
+        ok_wc.alias("ok_word_count"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_sym.alias("ok_symbol_ratio"),
+        ok_alpha.alias("ok_alpha_words"),
+        ok_stops.alias("ok_req_stopwords"),
+        (ok_wc & ok_mwl & ok_sym & ok_alpha & ok_stops).alias("keep"),
+    )

@@ -179,3 +179,38 @@ def test_equidepth_buckets_balanced(spark):
         assert abs(r["n_rows"] - target) <= max(2.0, 0.02 * target), out
     for a, b in zip(out, out[1:]):
         assert a["hi"] <= b["lo"]
+
+
+def test_gopher_rules_fire_individually(spark, tmp_path):
+    """Each Gopher rule must fire on its designed violation and ONLY
+    that rule (plus keep=False), pinning rule independence."""
+    from data_ingestion_poc_spark import registry
+
+    good = "the quick brown fox and that dog have fun with words " * 5
+    docs = [
+        (1, good),                                  # passes everything
+        (2, "the short and that text"),             # word count < 50
+        (3, ("the of and that be to have with "
+             + "a b c d e f g h i j " * 10)),       # mean word len < 3
+        (4, good.replace("fox", "fox###")),         # symbol ratio > 0.1
+        (5, good.replace("fun", "123 456 789")),    # 15/60 digit words
+        (6, " ".join(["zz"] * 60)),                 # no required stopwords
+    ]
+    rows = [(i, "en", "web", t.strip(), len(t)) for i, t in docs]
+    spark.createDataFrame(
+        rows, "doc_id bigint, lang string, source string, text string, n_chars bigint"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["doc_id"]: r
+        for r in registry.get("text_gopher_rules").fn(spark, str(tmp_path)).collect()
+    }
+    assert out[1]["keep"]
+    assert not out[2]["ok_word_count"] and not out[2]["keep"]
+    assert not out[3]["ok_mean_word_len"] and not out[3]["keep"]
+    assert not out[4]["ok_symbol_ratio"] and not out[4]["keep"]
+    # alpha rule: 15 of 60 words are pure digits -> 75% alpha < 80%
+    assert not out[5]["ok_alpha_words"] and not out[5]["keep"]
+    assert out[5]["ok_word_count"] and out[5]["ok_req_stopwords"]
+    assert not out[6]["ok_req_stopwords"] and not out[6]["keep"]
+    # rule independence: doc 2's only failure is word count
+    assert out[2]["ok_mean_word_len"] and out[2]["ok_req_stopwords"]
