@@ -78,9 +78,9 @@ _PRIORITY = [
     "sim_search_pq", "text_perplexity_ngram", "graph_triangle_count",
     "agg_countmin_sketch", "win_zscore_anomaly", "sample_weighted",
     "corpus_interleave_epochs", "agg_moments", "q_market_basket",
+    # ---- position 50 ends here: next round's window starts below ----
     "win_distinct_rolling", "embed_pq_train", "sql_scalar_udf",
     "multimodal_audio_framestats", "agg_ols_two_factor",
-    # ---- ~position 50: next round's window starts here ----
     "win_median_rolling", "corpus_length_buckets",
     "embed_text_alignment", "text_bpe_encode", "dedup_consensus",
     "quality_expectations", "scan_cached_table", "q_rfm_segmentation",
