@@ -140,7 +140,13 @@ def read_ocf(blob: bytes) -> tuple[dict, list[dict]]:
         n_entries = _zigzag_decode(buf)
         if n_entries == 0:
             break
-        for _ in range(abs(n_entries)):
+        if n_entries < 0:
+            # spec: a negative block count is followed by the block's
+            # byte size (a fast-skip aid); consume it, then |count|
+            # entries
+            _zigzag_decode(buf)
+            n_entries = -n_entries
+        for _ in range(n_entries):
             klen = _zigzag_decode(buf)
             k = buf.read(klen).decode("utf-8")
             vlen = _zigzag_decode(buf)

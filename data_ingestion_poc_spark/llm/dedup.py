@@ -90,7 +90,11 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: recall loss is ~0 (pinned by test_jaccard_df_cap_keeps_planted_pairs).
 JACCARD_DF_CAP = 256
 
-_JACCARD_ORACLE = f"""
+#: Shared CTE prefix of the capped-shingle-index pair oracles: the
+#: shingling/normalization/df-cap/self-join skeleton is ONE string so
+#: the Jaccard and containment oracles (which are documented to share
+#: one index) can never drift apart.
+_CAPPED_PAIRS_CTE = f"""
     WITH sh0 AS (
       SELECT DISTINCT doc_id, shingle
       FROM (
@@ -112,6 +116,10 @@ _JACCARD_ORACLE = f"""
       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     )
+"""
+
+_JACCARD_ORACLE = f"""
+    {_CAPPED_PAIRS_CTE}
     SELECT doc_a, doc_b,
            ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 4) AS jaccard
     FROM inter
@@ -168,27 +176,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 CONTAINMENT_THRESHOLD = 0.90
 
 _CONTAINMENT_ORACLE = f"""
-    WITH sh0 AS (
-      SELECT DISTINCT doc_id, shingle
-      FROM (
-        SELECT doc_id,
-               unnest([array_to_string(words[i:i+2], ' ')
-                       FOR i IN range(1, len(words) - 1)]) AS shingle
-        FROM (SELECT doc_id, string_split(lower(text), ' ') AS words
-              FROM documents)
-      )
-    ),
-    keep AS (
-      SELECT shingle FROM sh0 GROUP BY shingle
-      HAVING COUNT(*) <= {JACCARD_DF_CAP}
-    ),
-    sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep USING (shingle)),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-    )
+    {_CAPPED_PAIRS_CTE}
     SELECT doc_a, doc_b,
            ROUND(CAST(n_common AS DOUBLE) / LEAST(sa.n, sb.n), 4)
              AS containment
@@ -214,34 +202,23 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     df-cap scale bound: one hot shingle can never turn the self-join
     quadratic; the cap's recall trade is priced by dedup_jaccard_recall
     on the shared index."""
-    shingles = _capped_shingle_index(spark, sf_dir)
-    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = shingles.alias("a"), shingles.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    cont = F.col("n_common").cast("double") / F.least(F.col("na"), F.col("nb"))
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .where(cont >= CONTAINMENT_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(cont, 4).alias("containment"))
+    return scored_pairs_from_index(
+        _capped_shingle_index(spark, sf_dir),
+        lambda c, na, nb: c / F.least(na, nb),
+        CONTAINMENT_THRESHOLD,
+        "containment",
     )
 
 
-def jaccard_pairs_from_index(shingles: DataFrame) -> DataFrame:
-    """The inverted-index Jaccard join shape, shared by the registered
-    (df-capped) operator and the uncapped ground-truth side of
-    dedup_jaccard_recall: shingle equi-self-join -> intersection counts
-    -> Jaccard >= 0.30 over whatever shingle universe `shingles` holds."""
+def scored_pairs_from_index(
+    shingles: DataFrame, score, threshold: float, out_name: str
+) -> DataFrame:
+    """The inverted-index pair-scoring skeleton every set-similarity
+    operator here shares (mirrors _CAPPED_PAIRS_CTE on the oracle side):
+    shingle equi-self-join -> intersection counts -> per-pair score from
+    (n_common, |A|, |B|) -> threshold filter. `score` is a callable over
+    those three Columns, so Jaccard and containment are ONE pipeline
+    with two formulas and can never drift structurally."""
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = shingles.alias("a")
     b = shingles.alias("b")
@@ -256,12 +233,21 @@ def jaccard_pairs_from_index(shingles: DataFrame) -> DataFrame:
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    sc = score(F.col("n_common").cast("double"), F.col("na"), F.col("nb"))
     return (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .where(jac >= 0.30)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .where(sc >= threshold)
+        .select("doc_a", "doc_b", F.round(sc, 4).alias(out_name))
+    )
+
+
+def jaccard_pairs_from_index(shingles: DataFrame) -> DataFrame:
+    """Jaccard >= 0.30 instantiation of scored_pairs_from_index, shared
+    by the registered (df-capped) operator and the uncapped ground-truth
+    side of dedup_jaccard_recall."""
+    return scored_pairs_from_index(
+        shingles, lambda c, na, nb: c / (na + nb - c), 0.30, "jaccard"
     )
 
 

@@ -408,24 +408,25 @@ def sim_search_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
     )
-    from .dedup import dot_double
-
     pairs = emb.crossJoin(F.broadcast(q)).where(
         F.col("vec_id") != F.col("query_id")
     )
-    d2 = (
-        dot_double(F.col("qe"), F.col("qe"))
-        - 2 * dot_double(F.col("qe"), F.col("e"))
-        + dot_double(F.col("e"), F.col("e"))
+    # Pairwise (a-b)^2 fold, NOT the expanded q.q - 2q.e + e.e form: the
+    # expansion can cancel to a tiny NEGATIVE value for near-identical
+    # vectors (sqrt of which is NaN, sorted opposite to the oracle), and
+    # even after dropping the sqrt its rounding differs from the
+    # oracle's pairwise list_distance, so near-tied neighbors straddling
+    # the rank-10 cutoff could rank differently cross-engine. The fold
+    # accumulates the same nonnegative per-element terms DuckDB does —
+    # identical rounding, monotone with the sqrt (the ADVICE r4 lesson,
+    # structural; same form as embed_matryoshka_recall).
+    d2 = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("e"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
     )
     from pyspark.sql.window import Window
 
-    # Order by d2 directly (monotone with sqrt): the expanded
-    # q.q - 2q.e + e.e form can cancel to a tiny NEGATIVE value for
-    # near-identical vectors, and sqrt(negative) = NaN, which Spark
-    # sorts LAST while the oracle's list_distance (always >= 0) sorts
-    # the same pair FIRST. Raw d2 keeps near-zero distances first on
-    # both engines regardless of the sign of the cancellation noise.
     w = Window.partitionBy("query_id").orderBy(d2, "vec_id")
     exact = (
         pairs.withColumn("rk", F.row_number().over(w))

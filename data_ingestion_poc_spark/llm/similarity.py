@@ -539,19 +539,14 @@ def embed_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("embed_pca_project", oracle=None)  # eigendecomposition: rows-only
-def embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PCA projection onto the top-2 principal components — the full
-    distributed-linear-algebra loop, structured exactly like MLlib's PCA:
-    (1) distributed Gram/covariance contraction (embed_gram_matrix's
-    mapInPandas partials — the only stage that touches all rows), (2)
-    driver-side eigendecomposition of the tiny 64x64 matrix (numpy eigh;
-    O(dim^3) is nothing), (3) distributed projection with the two
-    eigenvectors folded into the plan as literal arrays — a second
-    linear scan, no shuffle at all. Signs are canonicalized (largest
-    |component| positive) so the output is deterministic; tests pin
-    orthogonality and the variance ordering. Rows-only: no SQL engine
-    can express the eigensolve."""
+def _pca_top2(spark: SparkSession, sf_dir: str):
+    """Shared distributed-Gram -> driver-eigh pipeline for the PCA pair:
+    returns (n, [lambda1, lambda2], [pc1, pc2]) with sign-canonicalized
+    components (largest-|x| entry positive). embed_pca_project (the
+    projection) and embed_pca_contract (its certificate) MUST run the
+    identical computation — a divergence would make the contract certify
+    something the operator does not do, which is why this is one
+    function and not two copies."""
     import numpy as np
 
     t = load(spark, sf_dir)
@@ -565,26 +560,46 @@ def embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov = g / n  # uncentered (2nd-moment) PCA: embeddings are ~zero-mean
     vals, vecs = np.linalg.eigh(cov)
     order = np.argsort(vals)[::-1]
+    lam = [float(vals[order[k]]) for k in range(2)]
     pcs = []
     for k in range(2):
         v = vecs[:, order[k]]
         if abs(v.min()) > abs(v.max()):  # canonical sign
             v = -v
         pcs.append(v)
+    return n, lam, pcs, cov
 
-    def project(v: list[float]):
-        arr = F.array(*[F.lit(float(x)) for x in v])
-        return F.aggregate(
-            F.zip_with(F.col("embedding"), arr, lambda a, b: a.cast("double") * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
 
+def _project_expr(v):
+    """Shuffle-free projection of `embedding` onto a literal vector."""
+    arr = F.array(*[F.lit(float(x)) for x in v])
+    return F.aggregate(
+        F.zip_with(F.col("embedding"), arr, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+@register("embed_pca_project", oracle=None)  # eigendecomposition: rows-only
+def embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection onto the top-2 principal components — the full
+    distributed-linear-algebra loop, structured exactly like MLlib's PCA:
+    (1) distributed Gram/covariance contraction (embed_gram_matrix's
+    mapInPandas partials — the only stage that touches all rows), (2)
+    driver-side eigendecomposition of the tiny 64x64 matrix (numpy eigh;
+    O(dim^3) is nothing), (3) distributed projection with the two
+    eigenvectors folded into the plan as literal arrays — a second
+    linear scan, no shuffle at all. Signs are canonicalized (largest
+    |component| positive) so the output is deterministic; tests pin
+    orthogonality and the variance ordering. Rows-only: no SQL engine
+    can express the eigensolve."""
+    t = load(spark, sf_dir)
+    _n, _lam, pcs, _cov = _pca_top2(spark, sf_dir)
     return t.embeddings.select(
         "vec_id",
         "label",
-        F.round(project(pcs[0]), 6).alias("pc1"),
-        F.round(project(pcs[1]), 6).alias("pc2"),
+        F.round(_project_expr(pcs[0]), 6).alias("pc1"),
+        F.round(_project_expr(pcs[1]), 6).alias("pc2"),
     )
 
 
@@ -626,23 +641,8 @@ def embed_pca_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     t = load(spark, sf_dir)
-    dim = 64
-    gram_rows = embed_gram_matrix(spark, sf_dir).collect()
-    n = t.embeddings.count()
-    g = np.zeros((dim, dim))
-    for r in gram_rows:
-        g[r["i"] - 1, r["j"] - 1] = r["gram"]
-        g[r["j"] - 1, r["i"] - 1] = r["gram"]
-    cov = g / n
-    vals, vecs = np.linalg.eigh(cov)
-    order = np.argsort(vals)[::-1]
-    lam = [float(vals[order[k]]) for k in range(2)]
-    pcs = []
-    for k in range(2):
-        v = vecs[:, order[k]]
-        if abs(v.min()) > abs(v.max()):
-            v = -v
-        pcs.append(v)
+    # the SAME pipeline the operator runs — see _pca_top2's docstring
+    _n, lam, pcs, cov = _pca_top2(spark, sf_dir)
     q = np.stack(pcs)
     orthonormal = bool(np.abs(q @ q.T - np.eye(2)).max() < 1e-8)
     energy_ordered = bool(
@@ -651,20 +651,11 @@ def embed_pca_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     signs_canonical = all(
         float(v[int(np.argmax(np.abs(v)))]) > 0 for v in pcs
     )
-
-    def project(v):
-        arr = F.array(*[F.lit(float(x)) for x in v])
-        return F.aggregate(
-            F.zip_with(F.col("embedding"), arr, lambda a, b: a.cast("double") * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
     agg = t.embeddings.agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.avg(dot_double(F.col("embedding"), F.col("embedding"))).alias("msq"),
-        F.avg(project(pcs[0]) * project(pcs[0])).alias("p1_var"),
-        F.avg(project(pcs[1]) * project(pcs[1])).alias("p2_var"),
+        F.avg(_project_expr(pcs[0]) * _project_expr(pcs[0])).alias("p1_var"),
+        F.avg(_project_expr(pcs[1]) * _project_expr(pcs[1])).alias("p2_var"),
     )
     consistent = (
         F.abs(F.col("p1_var") - F.lit(lam[0])) / F.lit(lam[0]) <= 1e-3

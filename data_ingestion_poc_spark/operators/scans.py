@@ -762,9 +762,13 @@ def sink_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # two concurrent first-runs raced the promote; whichever
                 # won published an audit-passing snapshot of the SAME
                 # fingerprinted source, so an existing published dir is
-                # success, not failure (ADVICE r4)
+                # success, not failure (ADVICE r4) — and the loser's
+                # staging has no forensic value, so don't leak it
+                # (the audit-FAILURE path above deliberately retains
+                # staging; this path is a success)
                 if not os.path.exists(published):
                     raise
+                shutil.rmtree(staging, ignore_errors=True)
         else:  # pragma: no cover - audit failure path
             raise RuntimeError(
                 f"WAP audit failed: staged={audit['total_rows']} "
@@ -992,14 +996,27 @@ def scan_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     def encode(batches):
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         rows = []
         for pdf in batches:
-            rows.extend(pdf.to_dict("records"))
+            # NULL fidelity through the Arrow->pandas bridge: a null
+            # long/double arrives as NaN (float), which would take the
+            # value branch and corrupt the union encoding (int(NaN)
+            # raises; a null double would encode as NaN). Map NaN back
+            # to None BEFORE the codec sees the rows.
+            clean = pdf.astype(object).where(pdf.notna(), None)
+            rows.extend(clean.to_dict("records"))
         blob = write_ocf(rows, schema)
         path = os.path.join(out, f"part-{pid:05d}.avro")
-        with open(path, "wb") as fh:
+        # task-attempt commit protocol: retries/speculation must never
+        # interleave writes into the final path — write a per-attempt
+        # temp file and publish with an atomic rename (same-fs replace),
+        # last-finisher-wins with identical content.
+        tmp = f"{path}.inprogress-{ctx.taskAttemptId()}"
+        with open(tmp, "wb") as fh:
             fh.write(blob)
+        os.replace(tmp, path)
         yield pd.DataFrame([{"path": path, "n_rows": len(rows)}])
 
     # force the distributed encode; one summary row per partition
@@ -1009,8 +1026,12 @@ def scan_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             for blob in pdf["content"]:
                 _schema, rows = read_ocf(bytes(blob))
+                # object-dtype frame keeps decoded None as a true null
+                # for Arrow (a numeric dtype would smuggle it back in
+                # as NaN)
                 yield pd.DataFrame(
-                    rows, columns=["c_custkey", "c_name", "c_acctbal"]
+                    rows, columns=["c_custkey", "c_name", "c_acctbal"],
+                    dtype=object,
                 )
 
     back = spark.read.format("binaryFile").load(os.path.join(out, "*.avro"))

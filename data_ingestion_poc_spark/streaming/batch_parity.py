@@ -878,15 +878,16 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     covers the same semantics on the applyInPandasWithState surface with
     a full oracle (identical expected output shape: COUNT(*),
     COUNT(DISTINCT event_type), ROUND(MAX(value),2) per user)."""
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-        from pyspark.sql.streaming.stateful_processor import StatefulProcessor
-    except ImportError as exc:
+    # single source of truth with the registration probe at module
+    # bottom: the registry gate and this runtime guard can never
+    # disagree on what "available" means
+    if not _transform_with_state_available():
         raise NotImplementedError(
             "transformWithState requires Spark 4's StatefulProcessor API "
             "and google.protobuf in the worker environment (state-server "
             "protocol); not available here"
-        ) from exc
+        )
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
     # subclass created here so importing this module never requires the
     # Spark-4-only base class

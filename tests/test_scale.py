@@ -361,3 +361,27 @@ def test_avro_ocf_codec_roundtrip_and_corruption():
         read_ocf(blob[:-1] + bytes([blob[-1] ^ 0xFF]))
     with pytest.raises(ValueError, match="container"):
         read_ocf(b"PAR1" + blob)
+
+
+def test_avro_roundtrip_preserves_nulls_through_arrow(spark, tmp_path):
+    """The reviewed r5 bug class: a null long/double crosses the
+    Arrow->pandas bridge as NaN, which must be mapped back to the null
+    union branch before encoding (int(NaN) crashes; a NaN double would
+    silently replace SQL NULL). Run the REGISTERED query over a table
+    with planted nulls and require exact null fidelity."""
+    rows = [
+        (1, "alpha", 10.5),
+        (2, None, -3.25),
+        (3, "gamma", None),
+        (None, "delta", 7.0),
+    ]
+    spark.createDataFrame(
+        rows, "c_custkey bigint, c_name string, c_acctbal double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    from data_ingestion_poc_spark import registry
+
+    got = {
+        tuple(r)
+        for r in registry.get("scan_avro_roundtrip").fn(spark, str(tmp_path)).collect()
+    }
+    assert got == set(rows)
