@@ -1,0 +1,210 @@
+"""Corpus-curation scoring operators beyond the Gopher battery.
+
+Reference parity: the reference repo (an 802-LoC file-ETL) has no text
+analytics; these extend SURVEY.md section 2 Part C's LLM-pipeline
+surface with the statistical quality signals curation teams layer on
+top of rule batteries: readability (Flesch), rank-frequency (Zipf) fit
+per source, and lexical diversity (type-token ratio / hapax fraction).
+
+All three are single-scan shapes: per-document Column expressions or
+explode -> map-side-combinable COUNT aggregates. Nothing here shuffles
+document text; shuffles carry (doc_id|source, word, count) rows only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load
+from ..registry import register
+
+#: Vowel-group regex: one syllable per maximal [aeiouy]+ run. The
+#: standard cheap heuristic (true syllabification needs a dictionary);
+#: consistent across engines because both regex these exact runs.
+SYLLABLE_RE = "[aeiouy]+"
+
+#: Zipf fit uses the top-K ranks per source; the classic power law only
+#: holds for head ranks, and a fixed K makes the OLS deterministic.
+ZIPF_TOP_K = 100
+
+_READABILITY_ORACLE = f"""
+    WITH m AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS wc,
+             greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS sc,
+             len(regexp_extract_all(lower(text), '{SYLLABLE_RE}')) AS syl
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(wc AS BIGINT) AS wc,
+           CAST(sc AS BIGINT) AS n_sentences,
+           CAST(syl AS BIGINT) AS n_syllables,
+           ROUND(206.835 - 1.015 * (wc / CAST(sc AS DOUBLE))
+                 - 84.6 * (syl / CAST(wc AS DOUBLE)), 4) AS flesch_ease,
+           ROUND(0.39 * (wc / CAST(sc AS DOUBLE))
+                 + 11.8 * (syl / CAST(wc AS DOUBLE)) - 15.59, 4)
+             AS fk_grade
+    FROM m
+"""
+
+
+@register("text_readability", oracle=_READABILITY_ORACLE)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease + Flesch-Kincaid grade per document, with the
+    vowel-group syllable heuristic (one syllable per maximal [aeiouy]+
+    run) and sentence count from terminal-punctuation runs (floor 1 —
+    this synthetic corpus is unpunctuated, so every doc is one
+    "sentence" and the words-per-sentence term degenerates to word
+    count; on punctuated text the same expression splits properly).
+    Readability is a standard curation feature: C4/FineWeb-class
+    pipelines bucket documents by grade level to tune mixtures.
+
+    Scale shape: one scan, zero shuffles — three regexp counts and two
+    arithmetic scores per row, all JVM Column expressions inside one
+    WholeStageCodegen span. The cheapest kind of corpus pass."""
+    t = load(spark, sf_dir)
+    words = F.split("text", " ")
+    wc = F.size(words)
+    sc = F.greatest(
+        F.lit(1), F.size(F.regexp_extract_all("text", F.lit("[.!?]+"), F.lit(0)))
+    )
+    syl = F.size(
+        F.regexp_extract_all(F.lower("text"), F.lit(SYLLABLE_RE), F.lit(0))
+    )
+    wps = wc.cast("double") / sc.cast("double")
+    spw = syl.cast("double") / wc.cast("double")
+    return t.documents.select(
+        "doc_id",
+        wc.cast("bigint").alias("wc"),
+        sc.cast("bigint").alias("n_sentences"),
+        syl.cast("bigint").alias("n_syllables"),
+        F.round(206.835 - 1.015 * wps - 84.6 * spw, 4).alias("flesch_ease"),
+        F.round(0.39 * wps + 11.8 * spw - 15.59, 4).alias("fk_grade"),
+    )
+
+
+_ZIPF_ORACLE = f"""
+    WITH tok AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS w
+      FROM documents
+    ),
+    freq AS (
+      SELECT source, w, COUNT(*) AS cnt
+      FROM tok WHERE w <> '' GROUP BY source, w
+    ),
+    ranked AS (
+      SELECT source, w, cnt,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY cnt DESC, w) AS rnk,
+             COUNT(*) OVER (PARTITION BY source) AS vocab
+      FROM freq
+    )
+    SELECT source,
+           CAST(MAX(vocab) AS BIGINT) AS vocab,
+           CAST(COUNT(*) AS BIGINT) AS n_ranks,
+           ROUND(regr_slope(ln(cnt), ln(rnk)), 4) AS zipf_slope,
+           ROUND(regr_intercept(ln(cnt), ln(rnk)), 4) AS zipf_intercept,
+           ROUND(regr_r2(ln(cnt), ln(rnk)), 4) AS zipf_r2
+    FROM ranked
+    WHERE rnk <= {ZIPF_TOP_K}
+    GROUP BY source
+"""
+
+
+@register("text_zipf_fit", oracle=_ZIPF_ORACLE)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit per source: token rank-frequency tables, then an
+    OLS of ln(count) on ln(rank) over the top-ZIPF_TOP_K ranks — slope near -1
+    with high R² is the signature of natural language; a flat or ragged
+    fit flags boilerplate-heavy, templated, or machine-generated
+    sources. A corpus-health diagnostic run per ingest source
+    (Heaps/Zipf checks appear in C4 and CCNet postmortems).
+
+    Scale shape: explode -> (source, word) COUNT is map-side combinable
+    (the shuffle carries partial counts, never token streams); the
+    rank window partitions by source over the VOCABULARY table (bounded
+    by corpus vocab, not corpus size); the regression aggregates 100
+    points per source via Spark's native regr_* aggregates. The
+    (cnt DESC, w) tiebreak makes ranks deterministic cross-engine."""
+    t = load(spark, sf_dir)
+    toks = t.documents.select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    ).where(F.col("w") != "")
+    freq = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    rw = Window.partitionBy("source").orderBy(F.desc("cnt"), F.asc("w"))
+    ranked = freq.select(
+        "source",
+        "cnt",
+        F.row_number().over(rw).alias("rnk"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("vocab"),
+    )
+    ly, lx = F.log(F.col("cnt").cast("double")), F.log(
+        F.col("rnk").cast("double")
+    )
+    return (
+        ranked.where(F.col("rnk") <= ZIPF_TOP_K)
+        .groupBy("source")
+        .agg(
+            F.max("vocab").cast("bigint").alias("vocab"),
+            F.count(F.lit(1)).alias("n_ranks"),
+            F.round(F.regr_slope(ly, lx), 4).alias("zipf_slope"),
+            F.round(F.regr_intercept(ly, lx), 4).alias("zipf_intercept"),
+            F.round(F.regr_r2(ly, lx), 4).alias("zipf_r2"),
+        )
+    )
+
+
+_TTR_ORACLE = """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+      FROM documents
+    ),
+    freq AS (
+      SELECT doc_id, w, COUNT(*) AS cnt
+      FROM tok WHERE w <> '' GROUP BY doc_id, w
+    )
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hapax,
+           ROUND(COUNT(*) / CAST(SUM(cnt) AS DOUBLE), 4) AS ttr,
+           ROUND(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 4) AS hapax_frac
+    FROM freq
+    GROUP BY doc_id
+"""
+
+
+@register("text_ttr", oracle=_TTR_ORACLE)
+def text_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity per document: type-token ratio (distinct words
+    over total words) and hapax-legomena fraction (share of the doc's
+    vocabulary used exactly once). Low TTR flags keyword-stuffed or
+    looping machine text (the signal text_repetition_filter thresholds;
+    this emits the raw score for mixture tuning), while hapax fraction
+    near 1 on a LONG doc flags word-salad.
+
+    Scale shape: explode -> (doc_id, word) COUNT with map-side partial
+    aggregation, then a doc-level re-aggregate of the count table —
+    two combinable aggregations, shuffle rows bounded by per-doc vocab.
+    No text ever shuffles, no UDFs, no windows."""
+    t = load(spark, sf_dir)
+    toks = t.documents.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    ).where(F.col("w") != "")
+    freq = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    one = F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+    return freq.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        one.cast("bigint").alias("n_hapax"),
+        F.round(F.count(F.lit(1)) / F.sum("cnt").cast("double"), 4).alias(
+            "ttr"
+        ),
+        F.round(one / F.count(F.lit(1)).cast("double"), 4).alias(
+            "hapax_frac"
+        ),
+    )

@@ -57,6 +57,7 @@ MODULES = [
     "data_ingestion_poc_spark.llm.multimodal",
     "data_ingestion_poc_spark.llm.sampling",
     "data_ingestion_poc_spark.llm.corpus",
+    "data_ingestion_poc_spark.llm.curation",
     "data_ingestion_poc_spark.llm.evaluation",
     "data_ingestion_poc_spark.llm.spans",
     "data_ingestion_poc_spark.streaming.batch_parity",

@@ -214,3 +214,58 @@ def test_gopher_rules_fire_individually(spark, tmp_path):
     assert not out[6]["ok_req_stopwords"] and not out[6]["keep"]
     # rule independence: doc 2's only failure is word count
     assert out[2]["ok_mean_word_len"] and out[2]["ok_req_stopwords"]
+
+
+def _write_docs(spark, tmp_path, docs):
+    rows = [(i, "en", src, t, len(t)) for i, src, t in docs]
+    spark.createDataFrame(
+        rows, "doc_id bigint, lang string, source string, text string, n_chars bigint"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+
+def test_readability_known_values(spark, tmp_path):
+    """Hand-computed Flesch scores: 'the cat sat . the dog ran .' has
+    8 space-words, 2 sentence runs, 6 vowel groups."""
+    from data_ingestion_poc_spark import registry
+
+    _write_docs(spark, tmp_path, [(1, "s", "the cat sat . the dog ran .")])
+    r = registry.get("text_readability").fn(spark, str(tmp_path)).collect()[0]
+    assert r["wc"] == 8 and r["n_sentences"] == 2 and r["n_syllables"] == 6
+    wps, spw = 8 / 2, 6 / 8
+    assert abs(r["flesch_ease"] - (206.835 - 1.015 * wps - 84.6 * spw)) < 1e-9
+    assert abs(r["fk_grade"] - (0.39 * wps + 11.8 * spw - 15.59)) < 1e-9
+
+
+def test_zipf_fit_recovers_power_law(spark, tmp_path):
+    """A corpus built as count(rank k) = floor(120/k) must fit slope
+    ~ -1 with near-perfect R^2; a uniform corpus must fit slope ~ 0."""
+    from data_ingestion_poc_spark import registry
+
+    zipf_words = []
+    for k in range(1, 21):
+        zipf_words += [f"w{k:02d}"] * (120 // k)
+    flat_words = [f"u{k:02d}" for k in range(1, 21)] * 6
+    _write_docs(
+        spark,
+        tmp_path,
+        [(1, "zipfy", " ".join(zipf_words)), (2, "flat", " ".join(flat_words))],
+    )
+    out = {
+        r["source"]: r
+        for r in registry.get("text_zipf_fit").fn(spark, str(tmp_path)).collect()
+    }
+    assert out["zipfy"]["vocab"] == 20 and out["zipfy"]["n_ranks"] == 20
+    assert -1.1 < out["zipfy"]["zipf_slope"] < -0.9
+    assert out["zipfy"]["zipf_r2"] > 0.98
+    assert abs(out["flat"]["zipf_slope"]) < 1e-6
+
+
+def test_ttr_and_hapax(spark, tmp_path):
+    """'a a b c' -> 4 tokens, 3 types, 2 hapax; ttr 0.75, hapax 2/3."""
+    from data_ingestion_poc_spark import registry
+
+    _write_docs(spark, tmp_path, [(1, "s", "a a b c")])
+    r = registry.get("text_ttr").fn(spark, str(tmp_path)).collect()[0]
+    assert (r["n_tokens"], r["n_types"], r["n_hapax"]) == (4, 3, 2)
+    assert abs(r["ttr"] - 0.75) < 1e-9
+    assert abs(r["hapax_frac"] - round(2 / 3, 4)) < 1e-9
