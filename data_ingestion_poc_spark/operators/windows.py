@@ -1216,3 +1216,130 @@ def win_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("value") - F.col("med")) / (MAD_SIGMA * F.col("mad")), 3
         ).alias("robust_z"),
     )
+
+
+_DRAWDOWN_ORACLE = """
+    WITH p AS (
+      SELECT event_id, user_id, ts, value,
+             MAX(value) OVER w AS peak
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    d AS (
+      SELECT *, (peak - value) / peak AS dd FROM p
+    )
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           ROUND(value, 6) AS value,
+           ROUND(peak, 6) AS peak,
+           ROUND(dd, 6) AS drawdown,
+           ROUND(MAX(dd) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW), 6) AS max_drawdown
+    FROM d
+"""
+
+
+@register("win_drawdown", oracle=_DRAWDOWN_ORACLE)
+def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running maximum drawdown per user: each event's value scored
+    against the user's all-time running peak, with the cumulative worst
+    relative drop carried alongside. The canonical risk/health metric
+    for any monotone-hoped series (portfolio equity, engagement score,
+    throughput) — "how far below the best-so-far are we, and what is
+    the worst it has ever been".
+
+    The sequential-looking recursion (peak depends on all history,
+    max-drawdown on all drawdowns) distributes as two stacked
+    cumulative frames over ONE user_id shuffle — the same prefix-
+    identity trick as win_cusum_drift: running MAX(value) gives the
+    peak, then running MAX over the derived drawdown column gives the
+    worst-case, both in the same window sort. State per partition is
+    O(1); the (ts, event_id) tiebreak pins cross-engine order. Values
+    are strictly positive in this schema, so relative drawdown
+    (peak-value)/peak is well-defined; a production variant over signed
+    P&L would switch to absolute peak-value."""
+    t = load(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    peak = F.max("value").over(w)
+    d = t.events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        peak.alias("peak"),
+    ).withColumn("dd", (F.col("peak") - F.col("value")) / F.col("peak"))
+    return d.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.round("value", 6).alias("value"),
+        F.round("peak", 6).alias("peak"),
+        F.round("dd", 6).alias("drawdown"),
+        F.round(F.max("dd").over(w), 6).alias("max_drawdown"),
+    )
+
+
+_VSHAPE_ORACLE = """
+    WITH s AS (
+      SELECT event_id, user_id, ts, value,
+             LAG(value) OVER w AS v_prev,
+             LEAD(value) OVER w AS v_next
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           ROUND(v_prev, 6) AS v_prev,
+           ROUND(value, 6) AS v_trough,
+           ROUND(v_next, 6) AS v_next,
+           ROUND(least(v_prev, v_next) - value, 6) AS depth,
+           ROUND(v_next - value, 6) AS rebound
+    FROM s
+    WHERE v_prev > value AND v_next > value
+"""
+
+
+@register("win_pattern_vshape", oracle=_VSHAPE_ORACLE)
+def win_pattern_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-pattern matching, MATCH_RECOGNIZE-style: detect the simplest
+    interesting pattern — PATTERN (DOWN UP), a strict local minimum
+    (prev > trough < next) — per user over event time, emitting one row
+    per match with the matched triple and its measures (depth, rebound).
+    Spark has no MATCH_RECOGNIZE clause (Flink CEP / Snowflake do);
+    fixed-length patterns compile exactly to lag/lead predicates like
+    this, and variable-length patterns (A B+ C) compile to the
+    run-boundary + prefix-count composition win_sessionize already
+    demonstrates — this registers the fixed-length half of that story.
+
+    One user_id shuffle, one window sort, two O(1) frame lookups per
+    row; matches-only output keeps the result tiny at any scale. The
+    (ts, event_id) tiebreak pins which rows are neighbors, so the match
+    set is deterministic under shuffle nondeterminism."""
+    t = load(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = t.events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.lag("value").over(w).alias("v_prev"),
+        F.lead("value").over(w).alias("v_next"),
+    )
+    return s.where(
+        (F.col("v_prev") > F.col("value")) & (F.col("v_next") > F.col("value"))
+    ).select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.round("v_prev", 6).alias("v_prev"),
+        F.round("value", 6).alias("v_trough"),
+        F.round("v_next", 6).alias("v_next"),
+        F.round(F.least("v_prev", "v_next") - F.col("value"), 6).alias("depth"),
+        F.round(F.col("v_next") - F.col("value"), 6).alias("rebound"),
+    )

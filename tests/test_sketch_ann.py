@@ -618,3 +618,45 @@ def test_bootstrap_se_tracks_analytic_se(spark):
             r["l_returnflag"], r["boot_se"], analytic
         )
         assert r["ci_lo"] < r["mean_price"] < r["ci_hi"]
+
+
+def _write_events(spark, tmp_path, values, user_id=1):
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, base + datetime.timedelta(minutes=i), user_id, "view", float(v), None)
+        for i, v in enumerate(values)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+
+def test_drawdown_tracks_peak_and_worst(spark, tmp_path):
+    """Series 100 -> 80 -> 120 -> 60: peak follows the running max, the
+    60 tick is a 50% drawdown, and max_drawdown never decreases."""
+    _write_events(spark, tmp_path, [100, 80, 120, 60])
+    out = sorted(
+        registry.get("win_drawdown").fn(spark, str(tmp_path)).collect(),
+        key=lambda r: r["event_id"],
+    )
+    assert [r["peak"] for r in out] == [100.0, 100.0, 120.0, 120.0]
+    assert [r["drawdown"] for r in out] == [0.0, 0.2, 0.0, 0.5]
+    assert [r["max_drawdown"] for r in out] == [0.0, 0.2, 0.2, 0.5]
+
+
+def test_vshape_matches_strict_local_minima_only(spark, tmp_path):
+    """Plateaus and endpoints must not match; the two strict troughs
+    must, with depth = the SHALLOWER side of the V."""
+    #         idx: 0    1   2    3   4   4->troughs at idx 1 and 4
+    _write_events(spark, tmp_path, [10, 4, 12, 12, 5, 9])
+    out = {
+        r["event_id"]: r
+        for r in registry.get("win_pattern_vshape").fn(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {1, 4}
+    assert out[1]["depth"] == 6.0 and out[1]["rebound"] == 8.0
+    assert out[4]["depth"] == 4.0 and out[4]["rebound"] == 4.0
