@@ -1,0 +1,142 @@
+"""Geospatial radius join via grid-cell bucketing.
+
+Reference parity: the reference ETL (child.py) has no spatial surface;
+this extends SURVEY.md section 2 Part C with the standard Spark recipe
+for "join points within R km" — the workload class (store/courier
+matching, POI conflation, geo dedup) that naive engines write as a
+cross join. The testdata carries no coordinates, so both sides DERIVE
+deterministic lat/lon from integer keys with pure modular arithmetic —
+exactly reproducible in the DuckDB oracle, which runs the brute-force
+quadratic haversine and thereby PROVES the grid join drops no pairs.
+
+Coverage argument (why grid + 1-cell neighborhood is exact here):
+latitudes are clamped to (-60, 60), so one degree of longitude is at
+least 111.32*cos(60) = 55.66 km. With GEO_CELL_DEG = 4 a pair within
+GEO_RADIUS_KM = 200 km is at most 200/55.66 = 3.6 degrees apart in
+longitude and 1.8 in latitude — strictly less than one cell — so
+matching partners always sit in the same or an adjacent cell. Longitudes
+are clamped to (-170, 170), so neighborhoods never wrap the antimeridian.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+
+GEO_RADIUS_KM = 200.0
+GEO_CELL_DEG = 4
+EARTH_RADIUS_KM = 6371.0
+
+#: Deterministic coordinate derivation (same expressions in the oracle):
+#: multiplier primes decorrelate the two tables' grids.
+_LAT_C = "((c_custkey * 7919) % 12000) / 100.0 - 60.0"
+_LON_C = "((c_custkey * 104729) % 34000) / 100.0 - 170.0"
+_LAT_S = "((s_suppkey * 6007) % 12000) / 100.0 - 60.0"
+_LON_S = "((s_suppkey * 31337) % 34000) / 100.0 - 170.0"
+
+
+def _haversine_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    return (
+        f"2 * {EARTH_RADIUS_KM} * asin(sqrt("
+        f"  sin(radians(({lat2}) - ({lat1})) / 2) ^ 2"
+        f"  + cos(radians({lat1})) * cos(radians({lat2}))"
+        f"    * sin(radians(({lon2}) - ({lon1})) / 2) ^ 2))"
+    )
+
+
+_GEO_ORACLE = f"""
+    WITH c AS (
+      SELECT c_custkey, {_LAT_C} AS lat_c, {_LON_C} AS lon_c FROM customer
+    ),
+    s AS (
+      SELECT s_suppkey, {_LAT_S} AS lat_s, {_LON_S} AS lon_s FROM supplier
+    ),
+    pairs AS (
+      SELECT c_custkey, s_suppkey,
+             {_haversine_sql("lat_c", "lon_c", "lat_s", "lon_s")} AS dist
+      FROM c CROSS JOIN s
+    )
+    SELECT c_custkey, s_suppkey, ROUND(dist, 4) AS dist_km
+    FROM pairs WHERE dist <= {GEO_RADIUS_KM}
+"""
+
+
+def _haversine(lat1, lon1, lat2, lon2):
+    dlat = F.radians(lat2 - lat1) / 2
+    dlon = F.radians(lon2 - lon1) / 2
+    a = (
+        F.sin(dlat) * F.sin(dlat)
+        + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2))
+        * F.sin(dlon) * F.sin(dlon)
+    )
+    return 2 * EARTH_RADIUS_KM * F.asin(F.sqrt(a))
+
+
+@register("join_geo_distance", oracle=_GEO_ORACLE)
+def join_geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All (customer, supplier) pairs within GEO_RADIUS_KM great-circle
+    km, via grid-cell bucketing: each side keys on its floor(lat/4°,
+    lon/4°) cell, the SMALL side (suppliers) replicates into its 3x3
+    cell neighborhood, and an equi-join on the cell key feeds the exact
+    haversine verify. The module docstring carries the proof that the
+    1-cell neighborhood covers the radius on this latitude band, so
+    this plan is EXACTLY the brute-force cross join the oracle runs —
+    candidate generation only ever discards.
+
+    Scale shape: the quadratic cross join becomes one equi-join whose
+    key (the cell) has bounded collision sets; the 9x replication lands
+    on the small side only. Here Spark broadcasts the replicated
+    supplier side (query-sized), so customers never shuffle at all; at
+    two-big-tables scale the same plan degrades gracefully to a
+    shuffle-hash join on the cell key, and skewed megacity cells get
+    AQE skew-split or a finer GEO_CELL_DEG. Spatial libraries (Sedona)
+    generalize this to R-tree partitioning; for fixed-radius point
+    joins the flat grid is the right tool."""
+    t = load(spark, sf_dir)
+    cust = t.customer.select(
+        "c_custkey",
+        F.expr(_LAT_C).alias("lat_c"),
+        F.expr(_LON_C).alias("lon_c"),
+    ).withColumns(
+        {
+            "cell_lat": F.floor(F.col("lat_c") / GEO_CELL_DEG),
+            "cell_lon": F.floor(F.col("lon_c") / GEO_CELL_DEG),
+        }
+    )
+    neighbor = F.array(*[F.lit(d) for d in (-1, 0, 1)])
+    supp = (
+        t.supplier.select(
+            "s_suppkey",
+            F.expr(_LAT_S).alias("lat_s"),
+            F.expr(_LON_S).alias("lon_s"),
+        )
+        .withColumn("dlat", F.explode(neighbor))
+        .withColumn("dlon", F.explode(neighbor))
+        .select(
+            "s_suppkey",
+            "lat_s",
+            "lon_s",
+            (F.floor(F.col("lat_s") / GEO_CELL_DEG) + F.col("dlat")).alias(
+                "cell_lat"
+            ),
+            (F.floor(F.col("lon_s") / GEO_CELL_DEG) + F.col("dlon")).alias(
+                "cell_lon"
+            ),
+        )
+    )
+    dist = _haversine(
+        F.col("lat_c"), F.col("lon_c"), F.col("lat_s"), F.col("lon_s")
+    )
+    return (
+        cust.join(F.broadcast(supp), ["cell_lat", "cell_lon"])
+        .withColumn("dist", dist)
+        .where(F.col("dist") <= GEO_RADIUS_KM)
+        .select(
+            "c_custkey",
+            "s_suppkey",
+            F.round("dist", 4).alias("dist_km"),
+        )
+    )

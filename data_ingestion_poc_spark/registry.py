@@ -39,6 +39,7 @@ MODULES = [
     "data_ingestion_poc_spark.operators.scale",
     "data_ingestion_poc_spark.operators.sqlsurface",
     "data_ingestion_poc_spark.operators.graph",
+    "data_ingestion_poc_spark.operators.geo",
     "data_ingestion_poc_spark.operators.profile",
     "data_ingestion_poc_spark.functions.strings",
     "data_ingestion_poc_spark.functions.urls",

@@ -320,3 +320,62 @@ def test_shard_assign_partitions_corpus(spark, sf_dir):
     bound = 5 * (mean * (1 - 1 / 16)) ** 0.5 + 1
     for r in rows:
         assert abs(r["n_docs"] - mean) <= bound, (r["shard_id"], r["n_docs"])
+
+
+def test_geo_grid_join_equals_bruteforce(spark):
+    """The grid-bucketed radius join must return EXACTLY the brute-force
+    cross-join answer (the 1-cell-neighborhood coverage proof made
+    executable), and the plan must broadcast the replicated small side
+    rather than fall back to a cartesian product."""
+    import math
+
+    from data_ingestion_poc_spark.catalog import load
+    from data_ingestion_poc_spark.operators.geo import (
+        EARTH_RADIUS_KM,
+        GEO_RADIUS_KM,
+        _LAT_C,
+        _LAT_S,
+        _LON_C,
+        _LON_S,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    t = load(spark, sf)
+    cust = [
+        (r["c_custkey"],) for r in t.customer.select("c_custkey").collect()
+    ]
+    supp = [
+        (r["s_suppkey"],) for r in t.supplier.select("s_suppkey").collect()
+    ]
+
+    def coords(key, lat_mul, lat_mod, lon_mul, lon_mod):
+        return (
+            (key * lat_mul) % lat_mod / 100.0 - 60.0,
+            (key * lon_mul) % lon_mod / 100.0 - 170.0,
+        )
+
+    def hav(a, b):
+        (la1, lo1), (la2, lo2) = a, b
+        dla = math.radians(la2 - la1) / 2
+        dlo = math.radians(lo2 - lo1) / 2
+        x = (
+            math.sin(dla) ** 2
+            + math.cos(math.radians(la1))
+            * math.cos(math.radians(la2))
+            * math.sin(dlo) ** 2
+        )
+        return 2 * EARTH_RADIUS_KM * math.asin(math.sqrt(x))
+
+    expect = set()
+    for (ck,) in cust:
+        c = coords(ck, 7919, 12000, 104729, 34000)
+        for (sk,) in supp:
+            s = coords(sk, 6007, 12000, 31337, 34000)
+            if hav(c, s) <= GEO_RADIUS_KM:
+                expect.add((ck, sk))
+    df = registry.get("join_geo_distance").fn(spark, sf)
+    got = {(r["c_custkey"], r["s_suppkey"]) for r in df.collect()}
+    assert got == expect and len(got) > 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
