@@ -1100,3 +1100,126 @@ def dedup_exact_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         digest.alias("content_hash"),
     )
     return delta.join(hist, "content_hash").select("new_doc", "keeper_doc")
+
+
+#: SemDeDup cell count and prune threshold. k=8 keeps the fixture's
+#: cells ~60 vectors; production sets k proportional to corpus size so
+#: cell cardinality (and the quadratic within-cell pair space) stays
+#: bounded. 0.40 sits just above this synthetic corpus's within-cell
+#: cosine p99.9 (max observed 0.493), mirroring the 0.30 convention of
+#: dedup_embedding_cosine.
+SEMDEDUP_K = 8
+SEMDEDUP_TAU = 0.40
+
+_SEMANTIC_ORACLE = f"""
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    seeds AS (
+      SELECT vec_id AS cid, v AS cv FROM emb ORDER BY vec_id LIMIT {SEMDEDUP_K}
+    ),
+    a AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, s.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY list_distance(e.v, s.cv), s.cid)
+                 AS rn
+        FROM emb e CROSS JOIN seeds s
+      ) t WHERE rn = 1
+    ),
+    cand AS (
+      SELECT y.vec_id AS vec_id, x.vec_id AS earlier_id,
+             list_dot_product(x.v, y.v)
+               / (sqrt(list_dot_product(x.v, x.v))
+                  * sqrt(list_dot_product(y.v, y.v))) AS cos
+      FROM a x JOIN a y ON x.cid = y.cid AND y.vec_id > x.vec_id
+    ),
+    dup AS (
+      SELECT vec_id, earlier_id, cos FROM (
+        SELECT vec_id, earlier_id, cos,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, earlier_id) AS rn
+        FROM cand WHERE cos >= {SEMDEDUP_TAU}
+      ) t WHERE rn = 1
+    )
+    SELECT a.vec_id,
+           CAST(a.cid AS BIGINT) AS cell,
+           d.vec_id IS NOT NULL AS is_dup,
+           d.earlier_id AS dup_of,
+           ROUND(d.cos, 4) AS dup_cos
+    FROM a LEFT JOIN dup d USING (vec_id)
+"""
+
+
+@register("dedup_semantic", oracle=_SEMANTIC_ORACLE)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    the embedding space coarsely, then prune any vector whose cosine to
+    an earlier-kept vector IN THE SAME CELL exceeds SEMDEDUP_TAU — the
+    "remove semantic duplicates the lexical dedups can't see" stage that
+    sits between MinHash (surface overlap) and model-based filtering in
+    a modern curation stack. Two deliberate simplifications keep every
+    step SQL-checkable: the quantizer is a one-shot assignment to the
+    SEMDEDUP_K smallest-id seed vectors (the paper's k-means converges to
+    an arbitrary local optimum anyway; embed_kmeans registers the
+    iterated version), and keep-priority is smallest-vec-id (the paper
+    keeps an arbitrary representative per neighborhood).
+
+    Scale shape: seeds broadcast (k x dim); assignment is one scan with
+    a per-row k-way argmin, shuffling only (vec_id, cell) + the vector
+    once onto its cell; the within-cell pair join is the quadratic the
+    operator family always bounds — here by cell count k scaling with N
+    (SemDeDup's own control), the same role JACCARD_DF_CAP plays for
+    shingles. Raw vectors never leave their cell's partition; the
+    emitted verdict table is one row per vector."""
+    t = load(spark, sf_dir)
+    emb = t.embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    seeds = (
+        emb.orderBy("vec_id")
+        .limit(SEMDEDUP_K)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    assigned = (
+        emb.crossJoin(F.broadcast(seeds))
+        .select("vec_id", "v", "cid", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "v", F.col("cid").alias("cell"))
+    )
+    lhs = assigned.select(
+        F.col("vec_id").alias("earlier_id"), F.col("v").alias("va"), "cell"
+    )
+    rhs = assigned.select("vec_id", F.col("v").alias("vb"), "cell")
+    cos = dot_double(F.col("va"), F.col("vb")) / (
+        F.sqrt(dot_double(F.col("va"), F.col("va")))
+        * F.sqrt(dot_double(F.col("vb"), F.col("vb")))
+    )
+    cand = (
+        lhs.join(rhs, "cell")
+        .where(F.col("vec_id") > F.col("earlier_id"))
+        .select("vec_id", "earlier_id", cos.alias("cos"))
+        .where(F.col("cos") >= SEMDEDUP_TAU)
+    )
+    w_dup = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("earlier_id")
+    )
+    dup = (
+        cand.withColumn("rn", F.row_number().over(w_dup))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "earlier_id", "cos")
+    )
+    return assigned.join(dup, "vec_id", "left").select(
+        "vec_id",
+        F.col("cell").cast("bigint").alias("cell"),
+        F.col("earlier_id").isNotNull().alias("is_dup"),
+        F.col("earlier_id").alias("dup_of"),
+        F.round("cos", 4).alias("dup_cos"),
+    )

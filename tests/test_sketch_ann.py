@@ -660,3 +660,41 @@ def test_vshape_matches_strict_local_minima_only(spark, tmp_path):
     assert set(out) == {1, 4}
     assert out[1]["depth"] == 6.0 and out[1]["rebound"] == 8.0
     assert out[4]["depth"] == 4.0 and out[4]["rebound"] == 4.0
+
+
+def test_semdedup_prunes_planted_semantic_dup(spark, tmp_path):
+    """Two near-identical vectors (cos ~ 1) must resolve as keep-earlier
+    / prune-later with dup_of pointing at the earlier id; orthogonal
+    vectors must all be kept."""
+    import random
+
+    rng = random.Random(7)
+    dim = 64
+
+    def noisy(base, eps):
+        return [v + rng.uniform(-eps, eps) for v in base]
+
+    base = [rng.uniform(-1, 1) for _ in range(dim)]
+    rows = []
+    # 12 well-separated "distinct" vectors (random directions)
+    for i in range(12):
+        rows.append((i, [rng.uniform(-1, 1) for _ in range(dim)], 0))
+    # planted near-dup pair: ids 100 and 200 (same direction, tiny noise)
+    rows.append((100, noisy(base, 0.01), 1))
+    rows.append((200, noisy(base, 0.01), 1))
+    spark.createDataFrame(
+        [(i, [float(x) for x in v], lbl) for i, v, lbl in rows],
+        "vec_id long, embedding array<float>, label int",
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    out = {
+        r["vec_id"]: r
+        for r in registry.get("dedup_semantic").fn(spark, str(tmp_path)).collect()
+    }
+    assert len(out) == 14
+    assert not out[100]["is_dup"]
+    assert out[200]["is_dup"] and out[200]["dup_of"] == 100
+    assert out[200]["dup_cos"] > 0.99
+    # same direction => same nearest seed cell
+    assert out[100]["cell"] == out[200]["cell"]
+    # random directions in 64-d are near-orthogonal: none pruned
+    assert all(not out[i]["is_dup"] for i in range(12))
