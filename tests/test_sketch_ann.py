@@ -698,3 +698,29 @@ def test_semdedup_prunes_planted_semantic_dup(spark, tmp_path):
     assert out[100]["cell"] == out[200]["cell"]
     # random directions in 64-d are near-orthogonal: none pruned
     assert all(not out[i]["is_dup"] for i in range(12))
+
+
+def test_ivfpq_scores_probed_cell_monotonically(spark):
+    """Every neighbor must come from the probed cell, distances must be
+    non-decreasing in rank, and each of the 5 queries returns a full
+    top-10 (cells hold ~60 vectors at sf0.01)."""
+    from data_ingestion_poc_spark.catalog import load
+
+    rows = registry.get("sim_search_ivfpq").fn(spark, SF_MID).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in load(spark, SF_MID).embeddings.select("vec_id", "label").collect()
+    }
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rk"])
+        assert len(rs) == 10
+        assert all(r["probe_label"] == rs[0]["probe_label"] for r in rs)
+        for r in rs:
+            assert labels[r["neighbor_id"]] == r["probe_label"]
+            assert r["neighbor_id"] != q
+        dists = [r["approx_dist2"] for r in rs]
+        assert dists == sorted(dists)
