@@ -1223,3 +1223,124 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("earlier_id").alias("dup_of"),
         F.round("cos", 4).alias("dup_cos"),
     )
+
+
+#: Tracking parameters stripped by URL canonicalization (the standard
+#: crawl-dedup blocklist: Google Analytics utm_*, bare referrer tags,
+#: Facebook click ids). Content-bearing params (page=) survive.
+URL_TRACKING_RE = "^(utm_[a-z]+|ref|fbclid)="
+
+#: Deterministic messy-URL derivation from doc_id/source (the testdata
+#: carries no URL column): groups of 4 docs share one canonical page,
+#: decorated per-doc with case/www/port/tracking/fragment noise. The
+#: SAME arithmetic appears in the oracle, so canonicalization is
+#: value-checked end to end.
+_RAW_URL_DUCK = """
+    (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END)
+    || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.Site' ELSE 'site' END)
+    || CAST(doc_id // 40 AS VARCHAR) || '.example.com'
+    || (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END)
+    || '/articles/' || CAST(doc_id // 4 AS VARCHAR)
+    || (CASE doc_id % 4 WHEN 1 THEN '?utm_source=feed&page=2'
+                        WHEN 2 THEN '?utm_medium=email&utm_term=a'
+                        WHEN 3 THEN '?ref=rss' ELSE '' END)
+    || (CASE WHEN doc_id % 6 = 0 THEN '#section2' ELSE '' END)
+"""
+
+_URL_CANON_ORACLE = f"""
+    WITH raw AS (
+      SELECT doc_id, {_RAW_URL_DUCK} AS url FROM documents
+    ),
+    parts AS (
+      SELECT doc_id, url,
+             lower(regexp_extract(url, '^https?://(?:WWW\\.|www\\.)?([^/:?#]+)', 1))
+               AS host,
+             regexp_extract(url, '^https?://[^/]+(/[^?#]*)', 1) AS path,
+             regexp_extract(url, '\\?([^#]*)', 1) AS qs
+      FROM raw
+    ),
+    canon AS (
+      SELECT doc_id, url,
+             'https://' || host || path ||
+             CASE WHEN kept = '' THEN '' ELSE '?' || kept END AS canonical_url
+      FROM (
+        SELECT *, COALESCE(array_to_string(list_sort(list_filter(
+                 string_split(qs, '&'),
+                 t -> t <> '' AND NOT regexp_matches(t, '{URL_TRACKING_RE}'))),
+               '&'), '') AS kept
+        FROM parts)
+    )
+    SELECT doc_id, url, canonical_url,
+           doc_id <> MIN(doc_id) OVER (PARTITION BY canonical_url) AS is_dup,
+           CASE WHEN doc_id <> MIN(doc_id) OVER (PARTITION BY canonical_url)
+                THEN MIN(doc_id) OVER (PARTITION BY canonical_url) END
+             AS dup_of
+    FROM canon
+"""
+
+
+@register("dedup_url_canonical", oracle=_URL_CANON_ORACLE)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the FIRST stage of every web-crawl
+    pipeline (before any content hashing): normalize scheme to https,
+    lowercase the host and strip `www.`, drop the default port and the
+    fragment, and remove tracking parameters (URL_TRACKING_RE:
+    utm_*/ref/fbclid) while KEEPING content-bearing ones (a `page=2`
+    survives and correctly refuses to merge with page 1); then dedup on
+    the canonical form with min-doc_id keep priority. The testdata has
+    no URL column, so both engines derive the same messy URLs from
+    doc_id arithmetic — groups of four docs share a canonical page under
+    different decorations, and the differential check proves the
+    normalizer folds exactly those together.
+
+    Scale shape: canonicalization is per-row Column work (regexps + an
+    array filter/sort over query params, all JVM-side); the dedup is one
+    window over the canonical key — the same single-shuffle verdict
+    shape as dedup_exact_hash, with the canonical URL as the hash."""
+    t = load(spark, sf_dir)
+    did = F.col("doc_id")
+    url = F.concat(
+        F.when(did % 2 == 0, F.lit("https://")).otherwise(F.lit("http://")),
+        F.when(did % 3 == 0, F.lit("WWW.Site")).otherwise(F.lit("site")),
+        F.floor(did / 40).cast("string"),
+        F.lit(".example.com"),
+        F.when(did % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/articles/"),
+        F.floor(did / 4).cast("string"),
+        F.when(did % 4 == 1, F.lit("?utm_source=feed&page=2"))
+        .when(did % 4 == 2, F.lit("?utm_medium=email&utm_term=a"))
+        .when(did % 4 == 3, F.lit("?ref=rss"))
+        .otherwise(F.lit("")),
+        F.when(did % 6 == 0, F.lit("#section2")).otherwise(F.lit("")),
+    )
+    raw = t.documents.select("doc_id", url.alias("url"))
+    host = F.lower(
+        F.regexp_extract("url", r"^https?://(?:WWW\.|www\.)?([^/:?#]+)", 1)
+    )
+    path = F.regexp_extract("url", r"^https?://[^/]+(/[^?#]*)", 1)
+    qs = F.regexp_extract("url", r"\?([^#]*)", 1)
+    kept = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(qs, "&"),
+                lambda tok: (tok != "") & ~tok.rlike(URL_TRACKING_RE),
+            )
+        ),
+        "&",
+    )
+    canonical = F.concat(
+        F.lit("https://"),
+        host,
+        path,
+        F.when(kept == "", F.lit("")).otherwise(F.concat(F.lit("?"), kept)),
+    )
+    canon = raw.select("doc_id", "url", canonical.alias("canonical_url"))
+    w = Window.partitionBy("canonical_url")
+    keeper = F.min("doc_id").over(w)
+    return canon.select(
+        "doc_id",
+        "url",
+        "canonical_url",
+        (did != keeper).alias("is_dup"),
+        F.when(did != keeper, keeper).alias("dup_of"),
+    )

@@ -269,3 +269,25 @@ def test_ttr_and_hapax(spark, tmp_path):
     assert (r["n_tokens"], r["n_types"], r["n_hapax"]) == (4, 3, 2)
     assert abs(r["ttr"] - 0.75) < 1e-9
     assert abs(r["hapax_frac"] - round(2 / 3, 4)) < 1e-9
+
+
+def test_url_canonical_dedup_strips_tracking_keeps_content(spark, tmp_path):
+    """docs 0-3 share /articles/0: 0 (www+port+fragment noise), 2 (utm_*)
+    and 3 (ref) must fold onto doc 0; doc 1 keeps its content-bearing
+    page=2 param and must NOT merge."""
+    from data_ingestion_poc_spark import registry
+
+    _write_docs(spark, tmp_path, [(i, "s", f"doc {i}") for i in range(8)])
+    out = {
+        r["doc_id"]: r
+        for r in registry.get("dedup_url_canonical").fn(spark, str(tmp_path)).collect()
+    }
+    base = "https://site0.example.com/articles/0"
+    assert out[0]["canonical_url"] == base and not out[0]["is_dup"]
+    assert out[0]["url"].startswith("https://WWW.Site0.example.com:443/")
+    assert out[1]["canonical_url"] == base + "?page=2" and not out[1]["is_dup"]
+    for d in (2, 3):
+        assert out[d]["canonical_url"] == base
+        assert out[d]["is_dup"] and out[d]["dup_of"] == 0
+    # the next group of four folds onto doc 4
+    assert out[6]["dup_of"] == 4 and out[5]["canonical_url"].endswith("?page=2")
