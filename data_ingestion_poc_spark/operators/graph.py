@@ -268,3 +268,92 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(tris.select(F.col("c").alias("node")))
     )
     return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+#: Keep emitted similarity pairs meaningful: at least 2 shared
+#: customers (a single co-purchase is noise at any scale).
+JACCARD_MIN_COMMON = 2
+
+_NEIGHBOR_JACCARD_ORACLE = """
+    WITH e AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    deg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY s),
+    co AS (
+      SELECT a.s AS supp_a, b.s AS supp_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM e a JOIN e b ON a.c = b.c AND a.s < b.s
+      GROUP BY a.s, b.s
+    )
+    SELECT supp_a, supp_b, n_common,
+           da.n AS n_a, db.n AS n_b,
+           floor(CAST(n_common AS DOUBLE)
+                 / (da.n + db.n - n_common) * 10000) / 10000 AS jaccard
+    FROM co
+    JOIN deg da ON da.s = supp_a
+    JOIN deg db ON db.s = supp_b
+    WHERE n_common >= 2
+"""
+
+
+@register("graph_jaccard_neighbors", oracle=_NEIGHBOR_JACCARD_ORACLE)
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood Jaccard similarity between supplier nodes of the
+    customer<->supplier bipartite graph: |shared customers| over
+    |either's customers| — the link-prediction / item-item
+    collaborative-filtering primitive ("suppliers with overlapping
+    customer bases"), and the graph twin of dedup_ngram_jaccard's
+    set-overlap scoring.
+
+    Direction matters at scale: pairs generate through the BOUNDED side
+    (each customer's supplier list, ~32 here), so the co-occurrence
+    space is sum-over-customers deg^2 — NOT through the 100-supplier
+    side, whose hub fan-out would be sum-over-suppliers of
+    thousands-squared (measured 11.7M vs 0.74M pair rows on this same
+    fixture). That is exactly the df-cap lesson from the shingle index:
+    explode through the low-cardinality neighbor lists, aggregate
+    map-side, and a customer whose degree explodes gets capped/sampled
+    the way JACCARD_DF_CAP handles stopword shingles. One distinct
+    projection, one co-count shuffle keyed on pairs, two broadcast-size
+    degree joins."""
+    t = load(spark, sf_dir)
+    e = (
+        t.lineitem.join(
+            t.orders, F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        .select(
+            F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+        )
+        .distinct()
+    )
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("n"))
+    a = e.select("c", F.col("s").alias("supp_a"))
+    b = e.select("c", F.col("s").alias("supp_b"))
+    co = (
+        a.join(b, "c")
+        .where(F.col("supp_a") < F.col("supp_b"))
+        .groupBy("supp_a", "supp_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .where(F.col("n_common") >= JACCARD_MIN_COMMON)
+    )
+    da = deg.select(F.col("s").alias("supp_a"), F.col("n").alias("n_a"))
+    db = deg.select(F.col("s").alias("supp_b"), F.col("n").alias("n_b"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    return (
+        co.join(F.broadcast(da), "supp_a")
+        .join(F.broadcast(db), "supp_b")
+        .select(
+            "supp_a",
+            "supp_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            # floor, not round: integer ratios make exact .00005 ties
+            # common, and Spark rounds HALF_UP where DuckDB rounds
+            # HALF_EVEN (the gopher mean_word_len convention)
+            (F.floor(jac * 10000) / 10000).alias("jaccard"),
+        )
+    )

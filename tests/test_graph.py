@@ -94,3 +94,36 @@ def test_ewma_closed_form_on_planted_series(spark, tmp_path):
     assert out[1] == 0.0
     assert abs(out[2] - 4.0 / 3.0) < 1e-6
     assert out[3] == out[4] == out[5] == 5.0
+
+
+def test_neighbor_jaccard_on_planted_bipartite(spark, tmp_path):
+    """Suppliers 1,2 share customers {10,20} of {10,20,30} ∪ {10,20,40}
+    -> jaccard 2/4 = 0.5; supplier 3 shares only one customer with
+    anyone, below JACCARD_MIN_COMMON -> no pair emitted."""
+    from data_ingestion_poc_spark import registry
+
+    # edges via one order per (cust, supp) line
+    orders, lines = [], []
+    ok = 0
+    for supp, custs in ((1, [10, 20, 30]), (2, [10, 20, 40]), (3, [10])):
+        for c in custs:
+            ok += 1
+            orders.append((ok, c))
+            lines.append((ok, supp))
+    spark.createDataFrame(
+        [(o, c, "O", 1.0, "1995-01-01", "p") for o, c in orders],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [(o, 1, s, 1.0, 1.0, 0.0, 0.0, "N", "O", "1995-01-02") for o, s in lines],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_quantity double,"
+        " l_extendedprice double, l_discount double, l_tax double,"
+        " l_returnflag string, l_linestatus string, l_shipdate string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    rows = registry.get("graph_jaccard_neighbors").fn(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["supp_a"], r["supp_b"]) == (1, 2)
+    assert (r["n_common"], r["n_a"], r["n_b"]) == (2, 3, 3)
+    assert abs(r["jaccard"] - 0.5) < 1e-9
