@@ -208,3 +208,119 @@ def text_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hapax_frac"
         ),
     )
+
+
+#: Heaps'-law fit: vocabulary growth sampled at HEAPS_BUCKETS points of
+#: the doc_id-ordered corpus prefix.
+HEAPS_BUCKETS = 10
+
+_HEAPS_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id, text,
+             row_number() OVER (ORDER BY doc_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM documents
+    ),
+    db AS (
+      SELECT doc_id, text,
+             CAST((rn - 1) * {HEAPS_BUCKETS} // n + 1 AS BIGINT) AS bucket
+      FROM d
+    ),
+    tok AS (
+      SELECT bucket, unnest(string_split(lower(text), ' ')) AS w FROM db
+    ),
+    toks AS (SELECT bucket, w FROM tok WHERE w <> ''),
+    bt AS (SELECT bucket, COUNT(*) AS n_tokens FROM toks GROUP BY bucket),
+    fw AS (SELECT w, MIN(bucket) AS fb FROM toks GROUP BY w),
+    nv AS (SELECT fb AS bucket, COUNT(*) AS n_new FROM fw GROUP BY fb),
+    cum AS (
+      SELECT bt.bucket,
+             SUM(bt.n_tokens) OVER (ORDER BY bt.bucket) AS cum_tokens,
+             SUM(COALESCE(nv.n_new, 0)) OVER (ORDER BY bt.bucket)
+               AS cum_vocab
+      FROM bt LEFT JOIN nv ON nv.bucket = bt.bucket
+    ),
+    fit AS (
+      SELECT regr_slope(ln(cum_vocab), ln(cum_tokens)) AS beta,
+             exp(regr_intercept(ln(cum_vocab), ln(cum_tokens))) AS k
+      FROM cum
+    )
+    SELECT bucket,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           CAST(cum_vocab AS BIGINT) AS cum_vocab,
+           ROUND(beta, 4) AS heaps_beta,
+           ROUND(k, 4) AS heaps_k
+    FROM cum, fit
+"""
+
+
+@register("corpus_heaps_law", oracle=_HEAPS_ORACLE)
+def corpus_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve with fitted exponent: the
+    corpus is cut into HEAPS_BUCKETS prefix buckets in doc_id order,
+    each bucket reports CUMULATIVE tokens and CUMULATIVE distinct
+    vocabulary, and an OLS of ln(V) on ln(T) estimates V = k * T^beta
+    (natural language: beta ~ 0.5-0.8; a saturating curve flags a
+    closed template vocabulary, runaway beta ~ 1 flags id-like token
+    noise). With text_zipf_fit this completes the pair of corpus-scale
+    health diagnostics CCNet-class pipelines run per crawl snapshot.
+
+    The distributed trick is counting cumulative DISTINCTs without
+    rescanning prefixes: a word's contribution is its FIRST bucket
+    (min over one map-side-combinable aggregate), so cumulative vocab
+    is a running sum over per-bucket first-occurrence counts — the
+    shuffle carries (word, min_bucket) once, never per-prefix sets.
+    Token counts shuffle as {HEAPS_BUCKETS} partials; the final window
+    and regression run over {HEAPS_BUCKETS} rows."""
+    t = load(spark, sf_dir)
+    wn = Window.orderBy("doc_id")
+    d = t.documents.select(
+        "doc_id",
+        "text",
+        F.row_number().over(wn).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy()
+        ).alias("n"),
+    )
+    db = d.select(
+        "text",
+        (
+            F.floor((F.col("rn") - 1) * HEAPS_BUCKETS / F.col("n")) + 1
+        ).cast("bigint").alias("bucket"),
+    )
+    toks = db.select(
+        "bucket", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    ).where(F.col("w") != "")
+    bt = toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_tokens"))
+    nv = (
+        toks.groupBy("w")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    wcum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = (
+        bt.join(nv, "bucket", "left")
+        .select(
+            "bucket",
+            F.sum("n_tokens").over(wcum).alias("cum_tokens"),
+            F.sum(F.coalesce(F.col("n_new"), F.lit(0))).over(wcum).alias(
+                "cum_vocab"
+            ),
+        )
+    )
+    ly = F.log(F.col("cum_vocab").cast("double"))
+    lx = F.log(F.col("cum_tokens").cast("double"))
+    fit = cum.agg(
+        F.regr_slope(ly, lx).alias("beta"),
+        F.exp(F.regr_intercept(ly, lx)).alias("k"),
+    )
+    return cum.crossJoin(F.broadcast(fit)).select(
+        "bucket",
+        F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+        F.col("cum_vocab").cast("bigint").alias("cum_vocab"),
+        F.round("beta", 4).alias("heaps_beta"),
+        F.round("k", 4).alias("heaps_k"),
+    )

@@ -291,3 +291,30 @@ def test_url_canonical_dedup_strips_tracking_keeps_content(spark, tmp_path):
         assert out[d]["is_dup"] and out[d]["dup_of"] == 0
     # the next group of four folds onto doc 4
     assert out[6]["dup_of"] == 4 and out[5]["canonical_url"].endswith("?page=2")
+
+
+def test_heaps_law_exact_extremes(spark, tmp_path):
+    """All-unique corpus: V = T at every prefix, so the fit is exactly
+    beta=1, k=1. Closed-vocabulary corpus: V constant, so beta=0."""
+    from data_ingestion_poc_spark import registry
+
+    uniq = [
+        (i, "s", " ".join(f"w{i:03d}_{j}" for j in range(10)))
+        for i in range(20)
+    ]
+    _write_docs(spark, tmp_path, uniq)
+    out = sorted(
+        registry.get("corpus_heaps_law").fn(spark, str(tmp_path)).collect(),
+        key=lambda r: r["bucket"],
+    )
+    assert [r["bucket"] for r in out] == list(range(1, 11))
+    assert all(r["cum_tokens"] == r["cum_vocab"] for r in out)
+    assert out[-1]["cum_tokens"] == 200
+    assert abs(out[0]["heaps_beta"] - 1.0) < 1e-9
+    assert abs(out[0]["heaps_k"] - 1.0) < 1e-9
+
+    closed = [(i, "s", "a b c d e") for i in range(20)]
+    _write_docs(spark, tmp_path, closed)
+    out = registry.get("corpus_heaps_law").fn(spark, str(tmp_path)).collect()
+    assert all(r["cum_vocab"] == 5 for r in out)
+    assert abs(out[0]["heaps_beta"]) < 1e-9
