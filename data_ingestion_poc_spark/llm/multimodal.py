@@ -20,6 +20,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..registry import register
 
@@ -598,4 +599,141 @@ def multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("hamming") <= AHASH_HAM)
         .distinct()
+    )
+
+
+SCENECUT_SCHEMA = (
+    "file_name string, frame_idx int, frame_ts_ms bigint, frame_mean double"
+)
+
+#: Scene boundary when the mean frame intensity jumps by more than this
+#: between consecutive sampled frames (real detectors threshold a frame
+#: histogram/SSIM delta; the fake decode exposes mean byte value).
+SCENECUT_DELTA = 8.0
+
+
+def _frame_mean(frame: bytes) -> float:
+    return (sum(frame) / len(frame)) if frame else 0.0
+
+
+def frame_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage: blob -> one row per sampled frame with its mean
+    intensity. Same 1->N fan-out as sample_frames; the blob never leaves
+    the executor, only fixed-width (file, idx, ts, mean) rows shuffle."""
+    for pdf in batches:
+        rows = []
+        for path, content in zip(pdf["path"], pdf["content"]):
+            blob = bytes(content)
+            for idx, ts_ms, frame in _fake_frames(blob):
+                rows.append(
+                    {
+                        "file_name": str(path).rsplit("/", 1)[-1],
+                        "frame_idx": idx,
+                        "frame_ts_ms": ts_ms,
+                        "frame_mean": _frame_mean(frame),
+                    }
+                )
+        yield pd.DataFrame(rows)
+
+
+def _scene_rows(name: str, blob: bytes) -> list[tuple]:
+    """Pure-Python replay of the scenecut pipeline for one blob (golden
+    oracle + the logic contract a real codec must reproduce)."""
+    import math
+
+    means = [_frame_mean(f) for _, _, f in _fake_frames(blob)]
+    out = []
+    scene = 1
+    for idx, m in enumerate(means):
+        cut = idx > 0 and abs(m - means[idx - 1]) > SCENECUT_DELTA
+        if cut:
+            scene += 1
+        out.append(
+            (
+                name,
+                idx,
+                idx * FRAME_INTERVAL_MS,
+                math.floor(m * 10000) / 10000,
+                cut,
+                scene,
+            )
+        )
+    return out
+
+
+def _scenecut_oracle() -> str | None:
+    """Golden VALUES replay of frame-stat + cut detection (see
+    _binary_oracle rationale)."""
+    from ..goldens import values_oracle
+
+    try:
+        blobs = _read_fixture_blobs()
+    except OSError:
+        return None
+    rows = []
+    for name, blob in blobs:
+        rows.extend(_scene_rows(name, blob))
+    return values_oracle(
+        rows,
+        [
+            "file_name",
+            "frame_idx",
+            "frame_ts_ms",
+            "frame_mean",
+            "is_cut",
+            "scene_id",
+        ],
+        order_by="file_name, frame_idx",
+        casts={
+            "frame_ts_ms": "BIGINT",
+            "frame_mean": "DOUBLE",
+            "scene_id": "INTEGER",
+        },
+    )
+
+
+@register("multimodal_video_scenecut", oracle=_scenecut_oracle())
+def multimodal_video_scenecut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video scene segmentation: binaryFile scan -> mapInPandas frame
+    stats (stubbed codec, real Arrow plumbing) -> WINDOW-side cut
+    detection and scene numbering. The detector itself is deliberately
+    in DataFrame land, not in the UDF: consecutive-frame deltas are a
+    lag() over (file, frame_idx) and scene ids are a running sum of cut
+    flags — so the Python stage stays an embarrassingly parallel 1->N
+    map, and the sequential-looking segmentation distributes as one
+    bounded window per file (the win_sessionize boundary-flag shape).
+
+    At 100 TB of video the frame-stat rows are ~10 bytes/frame while
+    the blobs never shuffle; a real detector swaps _frame_mean for a
+    histogram distance inside the same mapInPandas signature. Mean is
+    floored at 4 dp: byte-means are k/256 rationals, which hit exact
+    4-dp round-half ties on 1/16 of frames (HALF_UP Spark vs HALF_EVEN
+    Python would diverge)."""
+    files = spark.read.format("binaryFile").load(f"{sf_dir}/*.parquet")
+    stats = files.mapInPandas(frame_stats, schema=SCENECUT_SCHEMA)
+    w = Window.partitionBy("file_name").orderBy("frame_idx")
+    prev = F.lag("frame_mean").over(w)
+    is_cut = prev.isNotNull() & (
+        F.abs(F.col("frame_mean") - prev) > SCENECUT_DELTA
+    )
+    wc = Window.partitionBy("file_name").orderBy("frame_idx").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        stats.withColumn("is_cut", is_cut)
+        .withColumn(
+            "scene_id",
+            (F.lit(1) + F.sum(F.col("is_cut").cast("int")).over(wc)).cast(
+                "int"
+            ),
+        )
+        .select(
+            "file_name",
+            "frame_idx",
+            "frame_ts_ms",
+            (F.floor(F.col("frame_mean") * 10000) / 10000).alias("frame_mean"),
+            "is_cut",
+            "scene_id",
+        )
+        .orderBy("file_name", "frame_idx")
     )

@@ -47,3 +47,33 @@ def test_resize_quarantines_bad_blob():
     src_w, src_h, dst_w, dst_h, scale, thumb = _fake_resize(b"x", 128)
     assert dst_w >= 1 and dst_h >= 1
     assert max(dst_w, dst_h) == 128
+
+
+def test_scenecut_matches_python_replay_and_fires(spark):
+    """Spark window segmentation must equal the pure-Python replay for
+    every fixture blob, and the threshold must actually fire (a silent
+    detector would still hash-match a degenerate golden)."""
+    from data_ingestion_poc_spark import registry
+    from data_ingestion_poc_spark.goldens import ORACLE_SF_DIR
+    from data_ingestion_poc_spark.llm.multimodal import (
+        _read_fixture_blobs,
+        _scene_rows,
+    )
+
+    sf = ORACLE_SF_DIR
+    got = [
+        (r["file_name"], r["frame_idx"], r["frame_ts_ms"], r["frame_mean"],
+         r["is_cut"], r["scene_id"])
+        for r in registry.get("multimodal_video_scenecut").fn(spark, sf).collect()
+    ]
+    expect = []
+    for name, blob in _read_fixture_blobs():
+        expect.extend(_scene_rows(name, blob))
+    assert sorted(got) == sorted(expect)
+    assert any(r[4] for r in got), "no scene cut fired on the fixtures"
+    # scene ids restart per file and only advance on cuts
+    for name in {r[0] for r in got}:
+        frames = sorted(r for r in got if r[0] == name)
+        assert frames[0][5] == 1
+        for a, b in zip(frames, frames[1:]):
+            assert b[5] - a[5] == (1 if b[4] else 0)
