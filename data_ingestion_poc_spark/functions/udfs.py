@@ -244,3 +244,75 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.embeddings.mapInArrow(
         norms, "vec_id long, label int, l2_norm double, dim int"
     )
+
+
+#: Integer decay recursion: score = value_units + (9 * prev_score) // 10.
+#: Fixed-point on purpose (the graph_pagerank determinism rule): the
+#: floor inside the recursion is what makes it NON-associative, so no
+#: window algebra can express it — and integer states make the Python
+#: recursion and the oracle's WITH RECURSIVE bit-identical.
+DECAY_NUM, DECAY_DEN = 9, 10
+DECAY_UNIT = 1_000_000
+
+
+def _decay_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+    s = 0
+    out = []
+    for v in pdf["v"]:
+        s = int(v) + (DECAY_NUM * s) // DECAY_DEN
+        out.append(s)
+    pdf["decay_units"] = out
+    return pdf[["event_id", "user_id", "decay_units"]]
+
+
+@register(
+    "udf_stateful_decay",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+      SELECT event_id, user_id,
+             CAST(floor(value * {DECAY_UNIT}) AS BIGINT) AS v,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    r AS (
+      SELECT event_id, user_id, rn, v AS s FROM e WHERE rn = 1
+      UNION ALL
+      SELECT e.event_id, e.user_id, e.rn,
+             e.v + ({DECAY_NUM} * r.s) // {DECAY_DEN}
+      FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1
+    )
+    SELECT event_id, user_id, s AS decay_units FROM r
+    """,
+)
+def udf_stateful_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-decayed engagement score as a STATEFUL
+    per-key recursion: score_i = value_i + floor(9 * score_{{i-1}} / 10)
+    over the user's events in time order — the recsys/feature-store
+    accumulator ("recent activity counts more") in its
+    production-realistic integer form. The floor inside the recursion
+    makes it non-associative, so NO window-function identity can
+    express it (contrast win_ewma, whose float closed form factorizes;
+    and win_cusum_drift, whose prefix-min identity rescues max(0, .)) —
+    this is the documented escape hatch: applyInPandas over groups,
+    each user's history iterated ONCE in sorted order.
+
+    Scale shape: one shuffle on user_id, per-group state is a single
+    integer, output rows = input rows. The Arrow batch carries
+    (event_id, user_id, v) ints only. Skewed mega-users stream through
+    one task each — the same bound any per-key sequential semantics
+    implies (Flink keyed state, Spark transformWithState). The oracle
+    replays the identical recursion as a WITH RECURSIVE chain, joined
+    on rn = prev.rn + 1 per user — integer states, so cross-engine
+    equality is exact, not approximate."""
+    t = load(spark, sf_dir)
+    base = t.events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * DECAY_UNIT).cast("bigint").alias("v"),
+    )
+    return base.groupBy("user_id").applyInPandas(
+        _decay_group, schema="event_id long, user_id long, decay_units long"
+    )

@@ -271,18 +271,19 @@ def corpus_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a running sum over per-bucket first-occurrence counts — the
     shuffle carries (word, min_bucket) once, never per-prefix sets.
     Token counts shuffle as {HEAPS_BUCKETS} partials; the final window
-    and regression run over {HEAPS_BUCKETS} rows."""
+    and regression run over {HEAPS_BUCKETS} rows. Bucket assignment
+    ranks docs with sorts.global_row_number (two-phase range partition
+    + broadcast offsets), NOT a global-ORDER BY window — the audit
+    would rightly flag that Exchange SinglePartition; the corpus total
+    is a 1-row aggregate broadcast back."""
+    from ..operators.sorts import global_row_number
+
     t = load(spark, sf_dir)
-    wn = Window.orderBy("doc_id")
-    d = t.documents.select(
-        "doc_id",
-        "text",
-        F.row_number().over(wn).alias("rn"),
-        F.count(F.lit(1)).over(
-            Window.partitionBy()
-        ).alias("n"),
+    n1 = t.documents.agg(F.count(F.lit(1)).alias("n"))
+    d = global_row_number(
+        t.documents.select("doc_id", "text"), ["doc_id"], "rn"
     )
-    db = d.select(
+    db = d.crossJoin(F.broadcast(n1)).select(
         "text",
         (
             F.floor((F.col("rn") - 1) * HEAPS_BUCKETS / F.col("n")) + 1
@@ -323,4 +324,90 @@ def corpus_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cum_vocab").cast("bigint").alias("cum_vocab"),
         F.round("beta", 4).alias("heaps_beta"),
         F.round("k", 4).alias("heaps_k"),
+    )
+
+
+#: Novelty n-gram width: 3-shingles over whitespace tokens (the
+#: dedup_ngram_jaccard shingle, reused as a novelty unit).
+NOVELTY_N = 3
+
+_NOVELTY_ORACLE = f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS g
+      FROM tok, LATERAL (
+        SELECT unnest(range(1, len(ws) - {NOVELTY_N} + 2)) AS i)
+      WHERE len(ws) >= {NOVELTY_N}
+    ),
+    dsh AS (SELECT DISTINCT doc_id, g FROM sh),
+    firstg AS (SELECT g, MIN(doc_id) AS first_doc FROM dsh GROUP BY g)
+    SELECT d.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN f.first_doc = d.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           floor(SUM(CASE WHEN f.first_doc = d.doc_id THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE) * 10000) / 10000 AS novelty
+    FROM dsh d JOIN firstg f ON f.g = d.g
+    GROUP BY d.doc_id
+"""
+
+
+@register("text_ngram_novelty", oracle=_NOVELTY_ORACLE)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's distinct word
+    3-grams whose FIRST appearance (in doc_id order) is in this doc —
+    "how much content does this document add to the corpus so far".
+    Novelty ~ 0 marks late near-copies and boilerplate carriers
+    (complementing dedup_ngram_jaccard, which scores PAIRS — novelty is
+    the cheaper corpus-ORDER signal dedup-aware samplers weight by:
+    RefinedWeb-style pipelines prefer high-novelty docs when trimming
+    to a token budget).
+
+    Scale shape: the same shingle explode as the dedup family, then two
+    map-side-combinable aggregates — MIN(doc_id) per gram (the
+    first-occurrence table, corpus-vocabulary-sized) joined back on the
+    gram key, and a per-doc conditional count. No quadratic pair space
+    anywhere: novelty is a property of the (gram, first_doc) index, so
+    hot boilerplate grams cost one index row however often they recur.
+    Ratio floored at 4 dp (integer-ratio tie convention)."""
+    t = load(spark, sf_dir)
+    ws = F.split(F.lower("text"), " ")
+    n = F.size(ws)
+    grams = (
+        t.documents.select("doc_id", ws.alias("ws"))
+        .where(F.size("ws") >= NOVELTY_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - NOVELTY_N + 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("ws", i),
+                        F.element_at("ws", i + 1),
+                        F.element_at("ws", i + 2),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    firstg = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        grams.join(firstg, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            novel.alias("n_novel"),
+            (
+                F.floor(novel / F.count(F.lit(1)).cast("double") * 10000)
+                / 10000
+            ).alias("novelty"),
+        )
     )

@@ -379,3 +379,29 @@ def test_geo_grid_join_equals_bruteforce(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_stateful_decay_recursion_exact(spark, tmp_path):
+    """Three constant-value events: hand-computed integer recursion
+    10e6 -> 19e6 -> 27.1e6 (floor division at each step)."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, base + datetime.timedelta(minutes=i), 1, "view", 10.0, None)
+        for i in range(3)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = sorted(
+        registry.get("udf_stateful_decay").fn(spark, str(tmp_path)).collect(),
+        key=lambda r: r["event_id"],
+    )
+    assert [r["decay_units"] for r in out] == [
+        10_000_000,
+        19_000_000,
+        27_100_000,
+    ]

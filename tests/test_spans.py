@@ -318,3 +318,28 @@ def test_heaps_law_exact_extremes(spark, tmp_path):
     out = registry.get("corpus_heaps_law").fn(spark, str(tmp_path)).collect()
     assert all(r["cum_vocab"] == 5 for r in out)
     assert abs(out[0]["heaps_beta"]) < 1e-9
+
+
+def test_ngram_novelty_planted(spark, tmp_path):
+    """Doc 0 is all-novel; doc 1 repeats doc 0 exactly (novelty 0);
+    doc 2 shares one gram with doc 0 and adds one new."""
+    from data_ingestion_poc_spark import registry
+
+    _write_docs(
+        spark,
+        tmp_path,
+        [
+            (0, "s", "a b c d"),      # grams: "a b c", "b c d"  (2 novel)
+            (1, "s", "a b c d"),      # same grams, later doc -> 0 novel
+            (2, "s", "b c d e"),      # "b c d" seen, "c d e" novel
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in registry.get("text_ngram_novelty").fn(spark, str(tmp_path)).collect()
+    }
+    assert out[0]["n_grams"] == 2 and out[0]["n_novel"] == 2
+    assert out[0]["novelty"] == 1.0
+    assert out[1]["n_novel"] == 0 and out[1]["novelty"] == 0.0
+    assert out[2]["n_grams"] == 2 and out[2]["n_novel"] == 1
+    assert abs(out[2]["novelty"] - 0.5) < 1e-9

@@ -117,6 +117,10 @@ SINGLE_PARTITION_OK: dict[str, str] = {
     # r5 bound contracts: each is a 1-row verdict frame — the exchange
     # carries one partial-aggregate row per upstream partition.
     "embed_pca_contract": "1-row contract frame (global count/avg partials)",
+    "corpus_heaps_law": (
+        "bounded 10-row bucket frame (cumulative sums + regr fit) plus "
+        "global_row_number's partition-count prefix sum; 1-row corpus total"
+    ),
     "scan_range_clustered_contract": "1-row contract frame (independent COUNT(*) partials)",
     "scan_zorder_clustered_contract": "1-row contract frame (independent COUNT(*) partials)",
 }
