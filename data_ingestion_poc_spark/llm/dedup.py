@@ -1344,3 +1344,104 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         (did != keeper).alias("is_dup"),
         F.when(did != keeper, keeper).alias("dup_of"),
     )
+
+
+#: Prefix-filtering Jaccard threshold (shared with the df-cap operator's
+#: 0.30 so the two candidate-generation strategies are comparable).
+PREFIX_TAU = 0.30
+
+_PREFIX_FILTER_ORACLE = """
+    WITH sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest([array_to_string(words[i:i+2], ' ')
+                       FOR i IN range(1, len(words) - 1)]) AS shingle
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS words
+              FROM documents)
+      )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 4)
+             AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.30
+"""
+
+
+@register("dedup_prefix_filter", oracle=_PREFIX_FILTER_ORACLE)
+def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard similarity join via prefix filtering (Chaudhuri et
+    al. ICDE'06 / Xiao et al. PPJoin) — the third candidate-generation
+    strategy in the family, with a different guarantee: dedup_ngram_jaccard
+    df-caps hot shingles (bounded work, recall priced by an eval query)
+    and dedup_minhash gambles on banding probability; prefix filtering is
+    LOSSLESS. Order every doc's shingles by a global rarity order
+    (df ASC, shingle), emit only the first |x| - ceil(tau*|x|) + 1 as
+    join keys: two sets with J >= tau MUST collide on at least one
+    prefix token, so the equi-join on prefix tokens generates a complete
+    candidate set — the oracle is the full brute-force self-join, and
+    the differential check IS the completeness proof on this corpus.
+
+    Scale shape: df table + rarity ranking are vocabulary-sized
+    aggregates; the candidate join fans out only on RARE tokens (rank
+    orders hot shingles to the suffix, exactly inverse to the df-cap's
+    discard), then exact verification joins the inverted index back on
+    the candidate pairs. The prefix join's worst case is still the
+    rarity distribution's head — production PPJoin adds the positional
+    filter; the Spark shape (explode -> rank -> equi-join -> verify) is
+    unchanged by that refinement."""
+    sh = uncapped_shingle_index(spark, sf_dir)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w_doc = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .withColumn("rn", F.row_number().over(w_doc))
+        .withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+        )
+    )
+    prefix = ranked.where(
+        F.col("rn") <= F.col("n") - F.ceil(F.lit(PREFIX_TAU) * F.col("n")) + 1
+    ).select("doc_id", "shingle")
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")),
+            "doc_b",
+        )
+        .where(jac >= PREFIX_TAU)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )

@@ -361,3 +361,39 @@ def test_avro_ocf_roundtrip_property(rows):
     schema = record_schema("t", [("k", "long"), ("s", "string"), ("x", "double")])
     _schema, got = read_ocf(write_ocf(rows, schema))
     assert got == rows
+
+
+def test_prefix_filter_is_lossless_vs_python_bruteforce(spark):
+    """Prefix filtering must return EXACTLY the brute-force Jaccard>=0.30
+    pair set (completeness + no spurious pairs), checked against an
+    independent pure-Python quadratic over sf0.001."""
+    from data_ingestion_poc_spark import registry
+    from data_ingestion_poc_spark.llm.dedup import PREFIX_TAU
+
+    sf = "/root/testdata/sf0.001"
+    docs = {
+        r["doc_id"]: r["text"].lower().split(" ")
+        for r in spark.read.parquet(f"{sf}/documents.parquet").collect()
+    }
+    sets = {
+        d: {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+        for d, ws in docs.items()
+        if len(ws) >= 3
+    }
+    expect = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            if not inter:
+                continue
+            j = inter / (len(sets[a]) + len(sets[b]) - inter)
+            if j >= PREFIX_TAU:
+                expect[(a, b)] = round(j, 4)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in registry.get("dedup_prefix_filter").fn(spark, sf).collect()
+    }
+    assert set(got) == set(expect)
+    for k in got:
+        assert abs(got[k] - expect[k]) < 1e-9, (k, got[k], expect[k])
