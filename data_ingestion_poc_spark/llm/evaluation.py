@@ -770,3 +770,165 @@ def embed_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+def _ivfpq_recall_oracle() -> str:
+    """IVF-PQ is deterministic end to end (label centroids, residual
+    codebook, bit-reproducible folds), so its recall report replays the
+    whole pipeline inline against the exact-knn CTE."""
+    from .similarity import _IVFPQ_ORACLE
+
+    return f"""
+    WITH exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 list_distance(q.e, c.e), c.vec_id) AS rk
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings WHERE vec_id < 5) q
+        JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings) c ON q.vec_id <> c.vec_id
+      ) WHERE rk <= 10
+    ),
+    ivfpq AS (SELECT query_id, neighbor_id FROM ({_IVFPQ_ORACLE}) p)
+    SELECT e.query_id,
+           COUNT(*) AS exact_k, COUNT(a.neighbor_id) AS ivfpq_hits,
+           ROUND(COUNT(a.neighbor_id) * 100.0 / COUNT(*), 2) AS recall_pct
+    FROM exact e LEFT JOIN ivfpq a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    ORDER BY e.query_id
+    """
+
+
+@register("sim_search_ivfpq_recall", oracle=_ivfpq_recall_oracle())
+def sim_search_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of IVF-PQ vs exact euclidean top-10 — pricing BOTH of
+    the composition's approximations at once: the nprobe=1 cell
+    restriction (misses neighbors living in unprobed cells, the
+    dominant loss) and the residual-code distance distortion. Compare
+    with sim_search_pq_recall (code distortion only) to read off how
+    much the cell gamble costs — the exact tuning conversation (nprobe
+    vs latency) a production deployment has. Same broadcast exact-truth
+    shape as the other recall evals; one 1-row-per-query report."""
+    from .similarity import sim_search_ivfpq
+
+    t = load(spark, sf_dir)
+    emb = t.embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    pairs = emb.crossJoin(F.broadcast(q)).where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("e"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(d2, "vec_id")
+    exact = (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 10)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    approx = sim_search_ivfpq(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    j = exact.join(approx, ["query_id", "neighbor_id"], "left")
+    return (
+        j.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("exact_k"),
+            F.count("hit").alias("ivfpq_hits"),
+            F.round(F.count("hit") * 100.0 / F.count(F.lit(1)), 2).alias(
+                "recall_pct"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _semantic_recall_oracle() -> str:
+    """Semantic dedup is deterministic (seed cells, id keep-priority), so
+    the recall report replays the pipeline inline against the full
+    quadratic cosine ground truth."""
+    from .dedup import SEMDEDUP_TAU, _SEMANTIC_ORACLE
+
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    truth AS (
+      SELECT DISTINCT y.vec_id
+      FROM emb x JOIN emb y ON y.vec_id > x.vec_id
+      WHERE list_dot_product(x.v, y.v)
+            / (sqrt(list_dot_product(x.v, x.v))
+               * sqrt(list_dot_product(y.v, y.v))) >= {SEMDEDUP_TAU}
+    ),
+    flagged AS (
+      SELECT vec_id FROM ({_SEMANTIC_ORACLE}) s WHERE s.is_dup
+    )
+    SELECT (SELECT COUNT(*) FROM truth) AS n_true_dups,
+           (SELECT COUNT(*) FROM flagged) AS n_flagged,
+           ROUND((SELECT COUNT(*) FROM flagged) * 100.0
+                 / GREATEST((SELECT COUNT(*) FROM truth), 1), 2)
+             AS recall_pct
+    """
+
+
+@register("dedup_semantic_recall", oracle=_semantic_recall_oracle())
+def dedup_semantic_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level recall of dedup_semantic vs the FULL quadratic cosine
+    truth: of the vectors that have ANY earlier neighbor at cosine >=
+    tau anywhere in the corpus, how many did the cell-blocked operator
+    flag? What it prices is exactly the cell boundary: a near-dup pair
+    split across two seed cells is invisible to SemDeDup (the paper
+    accepts this; k trades pair-space cost against boundary misses).
+    Every flagged vector is guaranteed a true dup (within-cell verify
+    is exact cosine), so precision is 1 by construction and one number
+    tells the whole story. Quadratic ground truth is the EVAL's cost,
+    not the operator's, and a 100 TB run samples anchors first — the
+    dedup_embedding_recall convention."""
+    from .dedup import SEMDEDUP_TAU, dedup_semantic
+
+    t = load(spark, sf_dir)
+    emb = t.embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    lhs = emb.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"))
+    rhs = emb.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"))
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cos = dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(dot(F.col("va"), F.col("va")))
+        * F.sqrt(dot(F.col("vb"), F.col("vb")))
+    )
+    truth = (
+        lhs.crossJoin(rhs)
+        .where(F.col("ib") > F.col("ia"))
+        .where(cos >= SEMDEDUP_TAU)
+        .select("ib")
+        .distinct()
+    )
+    flagged = dedup_semantic(spark, sf_dir).where(F.col("is_dup")).select(
+        "vec_id"
+    )
+    nt = truth.agg(F.count(F.lit(1)).alias("n_true_dups"))
+    nf = flagged.agg(F.count(F.lit(1)).alias("n_flagged"))
+    return nt.crossJoin(nf).select(
+        "n_true_dups",
+        "n_flagged",
+        F.round(
+            F.col("n_flagged") * 100.0
+            / F.greatest(F.col("n_true_dups"), F.lit(1)),
+            2,
+        ).alias("recall_pct"),
+    )

@@ -1343,3 +1343,107 @@ def win_pattern_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.least("v_prev", "v_next") - F.col("value"), 6).alias("depth"),
         F.round(F.col("v_next") - F.col("value"), 6).alias("rebound"),
     )
+
+
+#: Rolling-trend frame: OLS over the user's trailing 20 events, emitted
+#: once the frame holds at least 5 points.
+TREND_FRAME = 20
+TREND_MIN_N = 5
+
+_ROLLING_REGR_ORACLE = f"""
+    WITH seq AS (
+      SELECT event_id, user_id,
+             CAST(round(value * 100) AS BIGINT) AS vu,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    sums AS (
+      SELECT event_id, user_id,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n,
+             SUM(rn) OVER w AS sx,
+             SUM(vu) OVER w AS sy,
+             SUM(rn * vu) OVER w AS sxy,
+             SUM(rn * rn) OVER w AS sxx
+      FROM seq
+      WINDOW w AS (PARTITION BY user_id ORDER BY rn
+                   ROWS BETWEEN {TREND_FRAME - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id,
+           n AS n_frame,
+           floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE) / 100 * 10000)
+             / 10000 AS trend_slope,
+           floor((CAST(sy AS DOUBLE) / 100
+                  - CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE) / 100
+                    * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE) * 10000) / 10000 AS trend_intercept
+    FROM sums
+    WHERE n >= {TREND_MIN_N}
+"""
+
+
+@register("win_rolling_regression", oracle=_ROLLING_REGR_ORACLE)
+def win_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling OLS trend per user: slope/intercept of value against the
+    user's event sequence number over a trailing TREND_FRAME-row frame —
+    the "is this metric trending up" primitive behind burn-rate alerts
+    and engagement trajectories, strictly stronger than a moving-average
+    delta (it weights the whole frame, not two endpoints).
+
+    Engine-gap exhibit: DuckDB evaluates regr_slope natively OVER a
+    window; Spark's regr_* are grouped-only, so the operator composes
+    the regression from five frame sums (n, Sx, Sy, Sxy, Sxx) in ONE
+    window pass and applies the closed form — same single user_id
+    shuffle + sort as any bounded frame, O(1) state per row. The
+    regressor is the per-user ROW INDEX, not epoch seconds, keeping
+    x-magnitudes tiny (Sx^2 ~ 1e5, not 1e21) so the closed form is
+    well-conditioned. Cross-engine parity is engineered in two steps,
+    both measured necessary: DuckDB's native regr_* window accumulator
+    is Welford-style and drifts from naive sums at the 4th decimal, so
+    the oracle replays the same five-sums closed form — and even then
+    Spark's sliding-frame summation vs DuckDB's segment tree differ by
+    ulps that occasionally straddle a rounding boundary, so the sums
+    are made EXACT by scaling the 2-dp values to integer cents (the
+    graph_pagerank fixed-point rule applied to regression): BIGINT
+    sums, doubles only in the final division."""
+    t = load(spark, sf_dir)
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t.events.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("vu"),
+        F.row_number().over(wseq).alias("rn"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("rn")
+        .rowsBetween(-(TREND_FRAME - 1), 0)
+    )
+    x, y = F.col("rn"), F.col("vu")
+    n = F.count(F.lit(1)).over(w)
+    sx = F.sum(x).over(w)
+    sy = F.sum(y).over(w)
+    sxy = F.sum(x * y).over(w)
+    sxx = F.sum(x * x).over(w)
+    # all five sums are BIGINT-exact, so the two engines agree bit-for-
+    # bit; doubles appear only in the final two divisions (slope is in
+    # value units: /100 undoes the cent scaling), and floor-at-4dp maps
+    # identical doubles identically (round ties would not).
+    num = (n * sxy - sx * sy).cast("double")
+    den = (n * sxx - sx * sx).cast("double")
+    slope = num / den / 100
+    intercept = (
+        sy.cast("double") / 100 - slope * sx.cast("double")
+    ) / n.cast("double")
+    return (
+        seq.select(
+            "event_id",
+            "user_id",
+            n.cast("bigint").alias("n_frame"),
+            (F.floor(slope * 10000) / 10000).alias("trend_slope"),
+            (F.floor(intercept * 10000) / 10000).alias("trend_intercept"),
+        )
+        .where(F.col("n_frame") >= TREND_MIN_N)
+    )

@@ -724,3 +724,32 @@ def test_ivfpq_scores_probed_cell_monotonically(spark):
             assert r["neighbor_id"] != q
         dists = [r["approx_dist2"] for r in rs]
         assert dists == sorted(dists)
+
+
+def test_rolling_regression_recovers_exact_line(spark, tmp_path):
+    """Values on the exact line v = 2.25 + 0.25*rn must fit slope 0.25 /
+    intercept 2.25 at every emitted row (integer-cent arithmetic keeps
+    this exact, no tolerance needed beyond the 4-dp floor)."""
+    _write_events(spark, tmp_path, [2.25 + 0.25 * (i + 1) for i in range(10)])
+    out = sorted(
+        registry.get("win_rolling_regression").fn(spark, str(tmp_path)).collect(),
+        key=lambda r: r["event_id"],
+    )
+    assert [r["n_frame"] for r in out] == [5, 6, 7, 8, 9, 10]
+    for r in out:
+        assert r["trend_slope"] == 0.25
+        assert r["trend_intercept"] == 2.25
+
+
+def test_ivfpq_and_semantic_recall_reports(spark):
+    """Recall reports are well-formed: exact_k = 10 per query, hits
+    bounded by k, and the semantic report's flagged count never exceeds
+    the quadratic truth (precision 1 by construction)."""
+    rows = registry.get("sim_search_ivfpq_recall").fn(spark, SF_MID).collect()
+    assert [r["query_id"] for r in rows] == [0, 1, 2, 3, 4]
+    for r in rows:
+        assert r["exact_k"] == 10 and 0 <= r["ivfpq_hits"] <= 10
+        assert r["recall_pct"] == round(r["ivfpq_hits"] * 10.0, 2)
+    (s,) = registry.get("dedup_semantic_recall").fn(spark, SF_MID).collect()
+    assert s["n_flagged"] <= s["n_true_dups"]
+    assert 0 <= s["recall_pct"] <= 100

@@ -55,6 +55,7 @@ SINGLE_PARTITION_OK: dict[str, str] = {
     "dedup_embedding_recall": "1-row recall summary",
     "dedup_minhash_recall": "1-row recall summary",
     "dedup_jaccard_recall": "1-row recall/precision summary",
+    "dedup_semantic_recall": "1-row recall summary",
     "corpus_decontaminate_bloom": (
         "bitmap fold (<=16k words -> one map row) + 1-row contract frame"
     ),
