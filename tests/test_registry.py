@@ -108,3 +108,17 @@ def test_rows_only_queries_have_rationale():
         f"missing rationale: {sorted(rows_only - documented)}; "
         f"stale rationale: {sorted(documented - rows_only)}"
     )
+
+
+def test_cli_list_and_unknown_query(capsys):
+    """`list` prints every registered query with its oracle kind;
+    `run` with an unknown name exits 2 without starting Spark."""
+    from data_ingestion_poc_spark import registry
+    from data_ingestion_poc_spark.__main__ import main
+
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    for name in ("agg_hash_group", "dedup_minhash", "join_geo_distance"):
+        assert name in out
+    assert out.count("\n") == len(registry.all_queries())
+    assert main(["run", "no_such_query"]) == 2
