@@ -1165,3 +1165,78 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("mean_price") - 1.96 * se, 2).alias("ci_lo"),
         F.round(F.col("mean_price") + 1.96 * se, 2).alias("ci_hi"),
     )
+
+
+#: Welch two-sample t-test groups: the experimentation primitive runs on
+#: the two comparable monetized event streams.
+TTEST_A, TTEST_B = "purchase", "click"
+
+_TTEST_ORACLE = f"""
+    WITH g AS (
+      SELECT event_type,
+             COUNT(*) AS n, AVG(value) AS m, VAR_SAMP(value) AS v
+      FROM events
+      WHERE event_type IN ('{TTEST_A}', '{TTEST_B}')
+      GROUP BY event_type
+    ),
+    ab AS (
+      SELECT
+        (SELECT n FROM g WHERE event_type = '{TTEST_A}') AS na,
+        (SELECT m FROM g WHERE event_type = '{TTEST_A}') AS ma,
+        (SELECT v FROM g WHERE event_type = '{TTEST_A}') AS va,
+        (SELECT n FROM g WHERE event_type = '{TTEST_B}') AS nb,
+        (SELECT m FROM g WHERE event_type = '{TTEST_B}') AS mb,
+        (SELECT v FROM g WHERE event_type = '{TTEST_B}') AS vb
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           ROUND(ma, 4) AS mean_a, ROUND(mb, 4) AS mean_b,
+           ROUND((ma - mb) / sqrt(va / na + vb / nb), 4) AS t_stat,
+           ROUND(POWER(va / na + vb / nb, 2)
+                 / (POWER(va / na, 2) / (na - 1)
+                    + POWER(vb / nb, 2) / (nb - 1)), 2) AS welch_df,
+           abs((ma - mb) / sqrt(va / na + vb / nb)) > 1.96 AS significant
+    FROM ab
+"""
+
+
+@register("agg_t_test", oracle=_TTEST_ORACLE)
+def agg_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t-test between the purchase and click value
+    distributions — the A/B-experimentation primitive (unequal
+    variances, Welch-Satterthwaite degrees of freedom, |t| > 1.96 for
+    the 5% two-sided call). Every input is a map-side-combinable
+    grouped aggregate (n, mean, var per arm), so at 100 TB the test
+    costs one scan + a 2-row shuffle; the statistic itself is driver-
+    free arithmetic on the 1-row pivoted frame. agg_bootstrap_ci is the
+    nonparametric sibling; this is the classic parametric form."""
+    t = load(spark, sf_dir)
+    g = (
+        t.events.where(F.col("event_type").isin(TTEST_A, TTEST_B))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("value").alias("m"),
+            F.var_samp("value").alias("v"),
+        )
+    )
+    a = g.where(F.col("event_type") == TTEST_A).select(
+        F.col("n").alias("na"), F.col("m").alias("ma"), F.col("v").alias("va")
+    )
+    b = g.where(F.col("event_type") == TTEST_B).select(
+        F.col("n").alias("nb"), F.col("m").alias("mb"), F.col("v").alias("vb")
+    )
+    se2 = F.col("va") / F.col("na") + F.col("vb") / F.col("nb")
+    tstat = (F.col("ma") - F.col("mb")) / F.sqrt(se2)
+    df = F.pow(se2, 2) / (
+        F.pow(F.col("va") / F.col("na"), 2) / (F.col("na") - 1)
+        + F.pow(F.col("vb") / F.col("nb"), 2) / (F.col("nb") - 1)
+    )
+    return a.crossJoin(b).select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.round("ma", 4).alias("mean_a"),
+        F.round("mb", 4).alias("mean_b"),
+        F.round(tstat, 4).alias("t_stat"),
+        F.round(df, 2).alias("welch_df"),
+        (F.abs(tstat) > 1.96).alias("significant"),
+    )

@@ -879,3 +879,80 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("monetary"), 2).alias("total_spend"),
         )
     )
+
+
+_ABANDON_ORACLE = """
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_id, ts, event_type,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clicks,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchases,
+           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) > 0
+             AND SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 0
+             AS abandoned
+    FROM sess
+    GROUP BY user_id, session_no
+"""
+
+
+@register("q_browse_abandonment", oracle=_ABANDON_ORACLE)
+def q_browse_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-level abandonment report: sessionize each user's events
+    on a 30-minute silence gap (win_sessionize's gap-islands recursion),
+    then roll each session up to its click/purchase counts and flag
+    sessions that clicked but never purchased — the conversion-funnel
+    twin of q_funnel_conversion at SESSION grain instead of user grain
+    (the grain merchandising teams actually action).
+
+    One user_id shuffle serves the lag flag, the running session
+    number, AND the session rollup (groupBy on a prefix of the window
+    key re-uses the partitioning); output is one row per session. At
+    hot-key scale the sessionize stage swaps to the chunk+stitch
+    rewrite exactly as win_sessionize documents."""
+    t = load(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    flagged = t.events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0).alias(
+            "new_sess"
+        ),
+    )
+    sess = flagged.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.sum("new_sess")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_no"),
+    )
+    clicks = F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+    buys = F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+    return sess.groupBy("user_id", "session_no").agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        F.count(F.lit(1)).alias("n_events"),
+        clicks.alias("n_clicks"),
+        buys.alias("n_purchases"),
+        ((clicks > 0) & (buys == 0)).alias("abandoned"),
+    )

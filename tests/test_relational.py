@@ -405,3 +405,53 @@ def test_stateful_decay_recursion_exact(spark, tmp_path):
         19_000_000,
         27_100_000,
     ]
+
+
+def test_welch_t_test_known_values(spark, tmp_path):
+    """purchase=[10,12,14] vs click=[10,10,10]: t = 2/sqrt(4/3) and the
+    Welch df collapses to n_a-1 = 2 when one arm has zero variance."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i, v in enumerate([10.0, 12.0, 14.0]):
+        rows.append((i, base + datetime.timedelta(minutes=i), 1, "purchase", v, None))
+    for i, v in enumerate([10.0, 10.0, 10.0]):
+        rows.append((10 + i, base + datetime.timedelta(minutes=i), 2, "click", v, None))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    (r,) = registry.get("agg_t_test").fn(spark, str(tmp_path)).collect()
+    assert (r["n_a"], r["n_b"]) == (3, 3)
+    assert (r["mean_a"], r["mean_b"]) == (12.0, 10.0)
+    assert abs(r["t_stat"] - round(2 / (4 / 3) ** 0.5, 4)) < 1e-9
+    assert r["welch_df"] == 2.0
+    assert not r["significant"]
+
+
+def test_browse_abandonment_sessions(spark, tmp_path):
+    """Session 1 (click, view, no purchase) is abandoned; after a 40-min
+    gap session 2 (click then purchase) is not."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    evs = [
+        (0, base, "click"),
+        (1, base + datetime.timedelta(minutes=5), "view"),
+        (2, base + datetime.timedelta(minutes=50), "click"),
+        (3, base + datetime.timedelta(minutes=55), "purchase"),
+    ]
+    spark.createDataFrame(
+        [(i, ts, 1, et, 1.0, None) for i, ts, et in evs],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r["session_no"]: r
+        for r in registry.get("q_browse_abandonment").fn(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {1, 2}
+    assert out[1]["abandoned"] and out[1]["n_clicks"] == 1 and out[1]["n_purchases"] == 0
+    assert not out[2]["abandoned"] and out[2]["n_purchases"] == 1

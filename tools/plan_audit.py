@@ -88,6 +88,10 @@ SINGLE_PARTITION_OK: dict[str, str] = {
         "six 1-row audit scalars (table counts, anti-join counts, corr "
         "sufficient stats) cross-joined into the single report row"
     ),
+    "agg_t_test": (
+        "1-row Welch statistic frame: two 3-number arm summaries "
+        "(n/mean/var partials) cross-joined"
+    ),
     "agg_ols_two_factor": (
         "1-row sufficient-statistics frame (9 numbers); the regression IS "
         "the global aggregate"
