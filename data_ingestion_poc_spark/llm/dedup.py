@@ -1102,21 +1102,28 @@ def dedup_exact_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return delta.join(hist, "content_hash").select("new_doc", "keeper_doc")
 
 
-#: SemDeDup cell count and prune threshold. k=8 keeps the fixture's
-#: cells ~60 vectors; production sets k proportional to corpus size so
-#: cell cardinality (and the quadratic within-cell pair space) stays
-#: bounded. 0.40 sits just above this synthetic corpus's within-cell
-#: cosine p99.9 (max observed 0.493), mirroring the 0.30 convention of
-#: dedup_embedding_cosine.
-SEMDEDUP_K = 8
+#: SemDeDup cell count scales as ceil(sqrt(N)) with a floor of
+#: SEMDEDUP_K_MIN — the IVF nlist rule — so BOTH the per-vector
+#: assignment work (N*k) and the within-cell pair space (N * N/k) grow
+#: as N^1.5 instead of one of them going quadratic; a FIXED k would be
+#: exactly the win_ntile disease (bounded partition count, unbounded
+#: partition size). 0.40 sits just above this synthetic corpus's
+#: within-cell cosine p99.9 (max observed 0.493), mirroring the 0.30
+#: convention of dedup_embedding_cosine.
+SEMDEDUP_K_MIN = 8
 SEMDEDUP_TAU = 0.40
 
 _SEMANTIC_ORACLE = f"""
     WITH emb AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
+    kk AS (
+      SELECT GREATEST({SEMDEDUP_K_MIN},
+                      CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) AS k
+      FROM emb
+    ),
     seeds AS (
-      SELECT vec_id AS cid, v AS cv FROM emb ORDER BY vec_id LIMIT {SEMDEDUP_K}
+      SELECT vec_id AS cid, v AS cv FROM emb JOIN kk ON vec_id < kk.k
     ),
     a AS (
       SELECT vec_id, v, cid FROM (
@@ -1160,7 +1167,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     sits between MinHash (surface overlap) and model-based filtering in
     a modern curation stack. Two deliberate simplifications keep every
     step SQL-checkable: the quantizer is a one-shot assignment to the
-    SEMDEDUP_K smallest-id seed vectors (the paper's k-means converges to
+    ceil(sqrt(N)) smallest-id seed vectors (the paper's k-means converges to
     an arbitrary local optimum anyway; embed_kmeans registers the
     iterated version), and keep-priority is smallest-vec-id (the paper
     keeps an arbitrary representative per neighborhood).
@@ -1176,9 +1183,20 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t.embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+    # k = ceil(sqrt(N)); seeds = the k smallest ids, selected as
+    # vec_id < k (this fixture's ids are dense from 0 — the same
+    # assumption the PQ codebooks lean on; arbitrary-id corpora would
+    # take a two-phase top-k via TakeOrderedAndProject instead). The
+    # 1-row (k) frame broadcasts — no global window, no collect.
+    kk = emb.agg(
+        F.greatest(
+            F.lit(SEMDEDUP_K_MIN),
+            F.ceil(F.sqrt(F.count(F.lit(1)))).cast("bigint"),
+        ).alias("k")
+    )
     seeds = (
-        emb.orderBy("vec_id")
-        .limit(SEMDEDUP_K)
+        emb.crossJoin(F.broadcast(kk))
+        .where(F.col("vec_id") < F.col("k"))
         .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
     )
     d2 = F.aggregate(
