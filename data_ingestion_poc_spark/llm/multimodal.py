@@ -737,3 +737,112 @@ def multimodal_video_scenecut(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("file_name", "frame_idx")
     )
+
+
+#: VAD energy gate: a frame is "speech" when its mean square power
+#: (sum_sq / n_samples) clears this. Integer comparison against
+#: sum_sq >= VAD_MEAN_SQ * AUDIO_FRAME — exact in both engines. The
+#: constant sits at the fixture frames' median so segmentation
+#: exercises both states.
+VAD_MEAN_SQ = 300_000_000
+
+
+def _vad_rows(name: str, samples) -> list[tuple]:
+    """Pure-Python replay of the VAD segmentation for one blob: energy
+    gate per frame, then run-length merge of consecutive active frames."""
+    segs = []
+    cur = None
+    for r in _frame_rows(name, samples):
+        frame_idx, sum_sq = r[1], r[3]
+        active = sum_sq >= VAD_MEAN_SQ * AUDIO_FRAME
+        if not active:
+            continue
+        if cur is not None and frame_idx == cur[2] + 1:
+            cur = (cur[0], cur[1], frame_idx, cur[3] + 1, cur[4] + sum_sq)
+        else:
+            if cur is not None:
+                segs.append(cur)
+            cur = (name, frame_idx, frame_idx, 1, sum_sq)
+    if cur is not None:
+        segs.append(cur)
+    return [
+        (name, i + 1, s[1], s[2], s[3], s[4])
+        for i, s in enumerate(segs)
+    ]
+
+
+def _vad_oracle() -> str | None:
+    """Golden VALUES replay of energy gate + run-length segmentation."""
+    from ..goldens import values_oracle
+
+    try:
+        blobs = _read_fixture_blobs()
+    except OSError:
+        return None
+    rows = []
+    for name, blob in blobs:
+        rows.extend(_vad_rows(name, _fake_samples(blob)))
+    return values_oracle(
+        rows,
+        [
+            "file_name",
+            "seg_id",
+            "start_frame",
+            "end_frame",
+            "n_frames",
+            "seg_sum_sq",
+        ],
+        order_by="file_name, seg_id",
+        casts={
+            "seg_id": "INTEGER",
+            "n_frames": "INTEGER",
+            "seg_sum_sq": "BIGINT",
+        },
+    )
+
+
+@register("multimodal_audio_vad", oracle=_vad_oracle())
+def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity segments over opaque audio blobs: the mapInArrow
+    frame stats (multimodal_audio_framestats' stage, unchanged) feed an
+    integer energy gate and a gap-islands merge — consecutive active
+    frames coalesce into segments with exact int64 energy totals. The
+    audio twin of multimodal_video_scenecut, closing the segmentation
+    pair: scene cuts SPLIT on change, VAD MERGES on persistence, and
+    both are the win_sessionize boundary-flag recursion over UDF-stage
+    output rather than logic buried in Python.
+
+    Plan: blobs never shuffle (stat rows only); active-frame filter
+    happens BEFORE the window, so the per-file sort handles only speech
+    frames; a run boundary is frame_idx > lag(frame_idx) + 1 and
+    segment ids are the running boundary sum. Everything compared or
+    summed is an integer (the audio family's no-float-parity-risk
+    discipline), so the golden replay is exact."""
+    files = spark.read.format("binaryFile").load(f"{sf_dir}/*.parquet")
+    stats = files.mapInArrow(audio_frame_stats, schema=AUDIO_SCHEMA)
+    active = stats.where(
+        F.col("sum_sq")
+        >= F.lit(VAD_MEAN_SQ).cast("long") * F.col("n_samples").cast("long")
+    )
+    w = Window.partitionBy("file_name").orderBy("frame_idx")
+    prev = F.lag("frame_idx").over(w)
+    flagged = active.withColumn(
+        "new_seg",
+        F.when(prev.isNull() | (F.col("frame_idx") > prev + 1), 1).otherwise(0),
+    )
+    wc = Window.partitionBy("file_name").orderBy("frame_idx").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    segged = flagged.withColumn(
+        "seg_id", F.sum("new_seg").over(wc).cast("int")
+    )
+    return (
+        segged.groupBy("file_name", "seg_id")
+        .agg(
+            F.min("frame_idx").alias("start_frame"),
+            F.max("frame_idx").alias("end_frame"),
+            F.count(F.lit(1)).cast("int").alias("n_frames"),
+            F.sum("sum_sq").alias("seg_sum_sq"),
+        )
+        .orderBy("file_name", "seg_id")
+    )

@@ -77,3 +77,34 @@ def test_scenecut_matches_python_replay_and_fires(spark):
         assert frames[0][5] == 1
         for a, b in zip(frames, frames[1:]):
             assert b[5] - a[5] == (1 if b[4] else 0)
+
+
+def test_audio_vad_matches_python_replay(spark):
+    """Spark VAD segmentation equals the pure-Python replay, finds at
+    least one segment, and every segment is a maximal active run."""
+    from data_ingestion_poc_spark import registry
+    from data_ingestion_poc_spark.goldens import ORACLE_SF_DIR
+    from data_ingestion_poc_spark.llm.multimodal import (
+        _fake_samples,
+        _read_fixture_blobs,
+        _vad_rows,
+    )
+
+    got = [
+        (r["file_name"], r["seg_id"], r["start_frame"], r["end_frame"],
+         r["n_frames"], r["seg_sum_sq"])
+        for r in registry.get("multimodal_audio_vad").fn(spark, ORACLE_SF_DIR).collect()
+    ]
+    expect = []
+    for name, blob in _read_fixture_blobs():
+        expect.extend(_vad_rows(name, _fake_samples(blob)))
+    assert sorted(got) == sorted(expect)
+    assert got, "threshold produced no segments on the fixtures"
+    by_file = {}
+    for r in sorted(got):
+        by_file.setdefault(r[0], []).append(r)
+    for segs in by_file.values():
+        for a, b in zip(segs, segs[1:]):
+            assert b[2] > a[3] + 1  # a silent gap separates segments
+        for s in segs:
+            assert s[3] - s[2] + 1 == s[4]
