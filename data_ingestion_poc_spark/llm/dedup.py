@@ -1364,9 +1364,16 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Prefix-filtering Jaccard threshold (shared with the df-cap operator's
-#: 0.30 so the two candidate-generation strategies are comparable).
-PREFIX_TAU = 0.30
+#: Prefix-filtering Jaccard threshold. 0.80 on purpose, NOT the df-cap
+#: operator's 0.30: prefix length is |x| - ceil(tau*|x|) + 1, so at 0.3
+#: the "prefix" keeps ~70% of every doc's tokens and the candidate join
+#: degenerates toward the full inverted index (measured 648k candidates
+#: for 256 true pairs at sf0.1), while at 0.8 it keeps ~20%. Prefix
+#: filtering is the HIGH-threshold tool of the family — near-exact-copy
+#: detection after MinHash/df-cap handle the fuzzy 0.3 regime. On this
+#: corpus every J>=0.3 pair is also J>=0.8 (near-exact copies), so the
+#: two thresholds return the same pair set.
+PREFIX_TAU = 0.80
 
 _PREFIX_FILTER_ORACLE = """
     WITH sh AS (
@@ -1390,7 +1397,7 @@ _PREFIX_FILTER_ORACLE = """
     FROM inter
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.30
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.80
 """
 
 
@@ -1428,11 +1435,17 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prefix = ranked.where(
         F.col("rn") <= F.col("n") - F.ceil(F.lit(PREFIX_TAU) * F.col("n")) + 1
-    ).select("doc_id", "shingle")
+    ).select("doc_id", "shingle", "n")
+    # size filter (SSJoin): J >= tau forces tau*|x| <= |y| <= |x|/tau,
+    # so size-incompatible collisions drop before the distinct/verify.
     cand = (
         prefix.alias("a")
         .join(prefix.alias("b"), "shingle")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .where(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("b.n") >= PREFIX_TAU * F.col("a.n"))
+            & (F.col("a.n") >= PREFIX_TAU * F.col("b.n"))
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
