@@ -1240,3 +1240,107 @@ def agg_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(df, 2).alias("welch_df"),
         (F.abs(tstat) > 1.96).alias("significant"),
     )
+
+
+_MWU_ORACLE = f"""
+    WITH ev AS (
+      SELECT event_type, value FROM events
+      WHERE event_type IN ('{TTEST_A}', '{TTEST_B}')
+    ),
+    vg AS (
+      SELECT value,
+             COUNT(*) AS c,
+             SUM(CASE WHEN event_type = '{TTEST_A}' THEN 1 ELSE 0 END) AS ca
+      FROM ev GROUP BY value
+    ),
+    ranked AS (
+      SELECT value, c, ca,
+             SUM(c) OVER (ORDER BY value
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS cum,
+             COALESCE(SUM(c) OVER (ORDER BY value
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) + (c + 1) / 2.0 AS avg_rank
+      FROM vg
+    ),
+    s AS (
+      SELECT SUM(ca) AS na, SUM(c - ca) AS nb,
+             SUM(ca * avg_rank) AS ra,
+             SUM(CAST(c AS DOUBLE) * c * c - c) AS tie_term
+      FROM ranked
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           ROUND(ra - na * (na + 1) / 2.0, 1) AS u_a,
+           floor((ra - na * (na + 1) / 2.0 - na * nb / 2.0)
+                 / sqrt(na * nb / 12.0
+                        * ((na + nb + 1)
+                           - tie_term / ((na + nb) * (na + nb - 1.0))))
+                 * 10000) / 10000 AS z_stat,
+           abs((ra - na * (na + 1) / 2.0 - na * nb / 2.0)
+               / sqrt(na * nb / 12.0
+                      * ((na + nb + 1)
+                         - tie_term / ((na + nb) * (na + nb - 1.0)))))
+             > 1.96 AS significant
+    FROM s
+"""
+
+
+@register("agg_mann_whitney", oracle=_MWU_ORACLE)
+def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) between the purchase and click
+    value distributions — the NONPARAMETRIC sibling of agg_t_test
+    (rank-based, so heavy tails and outliers cannot fake or mask a
+    shift), with midrank tie handling and the tie-corrected normal
+    approximation for z.
+
+    The distributed trick: ranks are never assigned per ROW. Grouping by
+    VALUE first makes the rank table bounded by the value DOMAIN (2-dp
+    money in [0.01, 490.02] — at most ~49k rows at ANY corpus size), and
+    each distinct value's midrank is cum_preceding + (count+1)/2 from
+    one cumulative window over that bounded table. Rank sums are then
+    combinable SUMs of count * midrank. Parity note: midranks are
+    dyadic rationals (x.0 or x.5) and counts are ints, so every sum is
+    EXACT in both engines regardless of order — the z statistic's
+    divisions are the only inexact ops, and they are identical
+    single expressions (floor-at-4dp for the decimal-tie convention)."""
+    t = load(spark, sf_dir)
+    ev = t.events.where(F.col("event_type").isin(TTEST_A, TTEST_B))
+    vg = ev.groupBy("value").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(F.when(F.col("event_type") == TTEST_A, 1).otherwise(0)).alias(
+            "ca"
+        ),
+    )
+    wcum = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = vg.select(
+        "c",
+        "ca",
+        (
+            F.coalesce(F.sum("c").over(wcum), F.lit(0))
+            + (F.col("c") + 1) / 2.0
+        ).alias("avg_rank"),
+    )
+    s = ranked.agg(
+        F.sum("ca").alias("na"),
+        F.sum(F.col("c") - F.col("ca")).alias("nb"),
+        F.sum(F.col("ca") * F.col("avg_rank")).alias("ra"),
+        F.sum(
+            F.col("c").cast("double") * F.col("c") * F.col("c") - F.col("c")
+        ).alias("tie_term"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    u_a = F.col("ra") - na * (na + 1) / 2.0
+    sigma = F.sqrt(
+        na * nb / 12.0
+        * ((na + nb + 1) - F.col("tie_term") / ((na + nb) * (na + nb - 1.0)))
+    )
+    z = (u_a - na * nb / 2.0) / sigma
+    return s.select(
+        na.cast("bigint").alias("n_a"),
+        nb.cast("bigint").alias("n_b"),
+        F.round(u_a, 1).alias("u_a"),
+        (F.floor(z * 10000) / 10000).alias("z_stat"),
+        (F.abs(z) > 1.96).alias("significant"),
+    )

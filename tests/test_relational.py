@@ -455,3 +455,36 @@ def test_browse_abandonment_sessions(spark, tmp_path):
     assert set(out) == {1, 2}
     assert out[1]["abandoned"] and out[1]["n_clicks"] == 1 and out[1]["n_purchases"] == 0
     assert not out[2]["abandoned"] and out[2]["n_purchases"] == 1
+
+
+def test_mann_whitney_known_values(spark, tmp_path):
+    """a=[1,2,3] vs b=[4,5,6]: U_a = 0, z = -4.5/sqrt(5.25); with ties
+    a=[1,1] vs b=[1,2] the midrank rule gives U_a = 1."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+
+    def write(avals, bvals):
+        rows = []
+        for i, v in enumerate(avals):
+            rows.append((i, base + datetime.timedelta(minutes=i), 1, "purchase", float(v), None))
+        for i, v in enumerate(bvals):
+            rows.append((100 + i, base + datetime.timedelta(minutes=i), 2, "click", float(v), None))
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    write([1, 2, 3], [4, 5, 6])
+    (r,) = registry.get("agg_mann_whitney").fn(spark, str(tmp_path)).collect()
+    assert r["u_a"] == 0.0
+    import math
+
+    z = -4.5 / math.sqrt(5.25)
+    assert abs(r["z_stat"] - math.floor(z * 10000) / 10000) < 1e-9
+    assert r["significant"] == (abs(z) > 1.96)
+
+    write([1, 1], [1, 2])
+    (r,) = registry.get("agg_mann_whitney").fn(spark, str(tmp_path)).collect()
+    assert r["u_a"] == 1.0 and not r["significant"]
