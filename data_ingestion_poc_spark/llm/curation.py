@@ -248,8 +248,8 @@ _HEAPS_ORACLE = f"""
     SELECT bucket,
            CAST(cum_tokens AS BIGINT) AS cum_tokens,
            CAST(cum_vocab AS BIGINT) AS cum_vocab,
-           ROUND(beta, 4) AS heaps_beta,
-           ROUND(k, 4) AS heaps_k
+           ROUND(beta, 4) + 0 AS heaps_beta,
+           ROUND(k, 4) + 0 AS heaps_k
     FROM cum, fit
 """
 
@@ -322,8 +322,10 @@ def corpus_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
         F.col("cum_vocab").cast("bigint").alias("cum_vocab"),
-        F.round("beta", 4).alias("heaps_beta"),
-        F.round("k", 4).alias("heaps_k"),
+        # + 0.0 folds IEEE negative zero (a saturated-vocab slope is an
+        # ~1e-17 epsilon whose SIGN depends on parallel summation order)
+        (F.round("beta", 4) + 0.0).alias("heaps_beta"),
+        (F.round("k", 4) + 0.0).alias("heaps_k"),
     )
 
 

@@ -56,6 +56,9 @@ SINGLE_PARTITION_OK: dict[str, str] = {
     "dedup_minhash_recall": "1-row recall summary",
     "dedup_jaccard_recall": "1-row recall/precision summary",
     "dedup_semantic_recall": "1-row recall summary",
+    "dedup_semantic": (
+        "1-row k = ceil(sqrt(N)) cell-count scalar (count partials only)"
+    ),
     "corpus_decontaminate_bloom": (
         "bitmap fold (<=16k words -> one map row) + 1-row contract frame"
     ),
