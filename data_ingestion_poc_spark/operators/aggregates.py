@@ -1344,3 +1344,97 @@ def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(z * 10000) / 10000).alias("z_stat"),
         (F.abs(z) > 1.96).alias("significant"),
     )
+
+
+_KS_ORACLE = f"""
+    WITH ev AS (
+      SELECT event_type, value FROM events
+      WHERE event_type IN ('{TTEST_A}', '{TTEST_B}')
+    ),
+    vg AS (
+      SELECT value,
+             SUM(CASE WHEN event_type = '{TTEST_A}' THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN event_type = '{TTEST_B}' THEN 1 ELSE 0 END) AS cb
+      FROM ev GROUP BY value
+    ),
+    cum AS (
+      SELECT value,
+             SUM(ca) OVER (ORDER BY value
+                           ROWS UNBOUNDED PRECEDING) AS cca,
+             SUM(cb) OVER (ORDER BY value
+                           ROWS UNBOUNDED PRECEDING) AS ccb,
+             SUM(ca) OVER () AS na,
+             SUM(cb) OVER () AS nb
+      FROM vg
+    ),
+    s AS (
+      SELECT MAX(na) AS na, MAX(nb) AS nb,
+             MAX(abs(CAST(cca AS DOUBLE) / na
+                     - CAST(ccb AS DOUBLE) / nb)) AS d
+      FROM cum
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           floor(d * 10000) / 10000 AS d_stat,
+           floor(1.36 * sqrt((na + nb) / (CAST(na AS DOUBLE) * nb))
+                 * 10000) / 10000 AS d_crit,
+           d > 1.36 * sqrt((na + nb) / (CAST(na AS DOUBLE) * nb))
+             AS significant
+    FROM s
+"""
+
+
+@register("agg_ks_test", oracle=_KS_ORACLE)
+def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test between the purchase and click
+    value distributions: D = sup |ECDF_a - ECDF_b|, compared to the 5%
+    large-sample critical value 1.36 * sqrt((na+nb)/(na*nb)). Completes
+    the experimentation trio — agg_t_test asks "did the MEAN move",
+    agg_mann_whitney "did the DISTRIBUTION shift", KS "did the SHAPE
+    change anywhere" (it catches variance/tail changes both rank tests
+    miss).
+
+    Same bounded-domain recipe as agg_mann_whitney: group by VALUE
+    first, so both ECDFs are cumulative sums over the <=49k-row value
+    domain, never per-row ranks; the sup is a MAX over that bounded
+    table. Cumulative counts are exact integers — the only doubles are
+    the two final divisions per domain row, identical expressions in
+    both engines."""
+    t = load(spark, sf_dir)
+    ev = t.events.where(F.col("event_type").isin(TTEST_A, TTEST_B))
+    vg = ev.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == TTEST_A, 1).otherwise(0)).alias(
+            "ca"
+        ),
+        F.sum(F.when(F.col("event_type") == TTEST_B, 1).otherwise(0)).alias(
+            "cb"
+        ),
+    )
+    wcum = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    cum = vg.select(
+        F.sum("ca").over(wcum).alias("cca"),
+        F.sum("cb").over(wcum).alias("ccb"),
+        F.sum("ca").over(wall).alias("na"),
+        F.sum("cb").over(wall).alias("nb"),
+    )
+    s = cum.agg(
+        F.max("na").alias("na"),
+        F.max("nb").alias("nb"),
+        F.max(
+            F.abs(
+                F.col("cca").cast("double") / F.col("na")
+                - F.col("ccb").cast("double") / F.col("nb")
+            )
+        ).alias("d"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    crit = 1.36 * F.sqrt((na + nb) / (na.cast("double") * nb))
+    return s.select(
+        na.cast("bigint").alias("n_a"),
+        nb.cast("bigint").alias("n_b"),
+        (F.floor(F.col("d") * 10000) / 10000).alias("d_stat"),
+        (F.floor(crit * 10000) / 10000).alias("d_crit"),
+        (F.col("d") > crit).alias("significant"),
+    )

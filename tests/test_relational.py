@@ -488,3 +488,30 @@ def test_mann_whitney_known_values(spark, tmp_path):
     write([1, 1], [1, 2])
     (r,) = registry.get("agg_mann_whitney").fn(spark, str(tmp_path)).collect()
     assert r["u_a"] == 1.0 and not r["significant"]
+
+
+def test_ks_test_known_values(spark, tmp_path):
+    """a=[1,2,3,4] vs b=[3,4,5,6]: ECDFs diverge most at value 2 where
+    F_a=0.5, F_b=0 -> D=0.5; crit = 1.36*sqrt(8/16) ~ 0.9617 -> not
+    significant at these tiny n."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i, v in enumerate([1, 2, 3, 4]):
+        rows.append((i, base + datetime.timedelta(minutes=i), 1, "purchase", float(v), None))
+    for i, v in enumerate([3, 4, 5, 6]):
+        rows.append((10 + i, base + datetime.timedelta(minutes=i), 2, "click", float(v), None))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    (r,) = registry.get("agg_ks_test").fn(spark, str(tmp_path)).collect()
+    assert (r["n_a"], r["n_b"]) == (4, 4)
+    assert r["d_stat"] == 0.5
+    import math
+
+    crit = 1.36 * math.sqrt(8 / 16)
+    assert abs(r["d_crit"] - math.floor(crit * 10000) / 10000) < 1e-9
+    assert not r["significant"]

@@ -91,6 +91,10 @@ SINGLE_PARTITION_OK: dict[str, str] = {
         "six 1-row audit scalars (table counts, anti-join counts, corr "
         "sufficient stats) cross-joined into the single report row"
     ),
+    "agg_ks_test": (
+        "ECDF table bounded by the 2-dp value DOMAIN (<=49k rows) + "
+        "1-row statistic frame"
+    ),
     "agg_mann_whitney": (
         "rank table bounded by the 2-dp value DOMAIN (<=49k rows at any "
         "corpus size) + 1-row statistic frame"
