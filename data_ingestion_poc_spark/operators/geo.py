@@ -29,6 +29,7 @@ from ..registry import register
 GEO_RADIUS_KM = 200.0
 GEO_CELL_DEG = 4
 EARTH_RADIUS_KM = 6371.0
+GEO_KNN_K = 3
 
 #: Deterministic coordinate derivation (same expressions in the oracle):
 #: multiplier primes decorrelate the two tables' grids.
@@ -138,5 +139,104 @@ def join_geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey",
             "s_suppkey",
             F.round("dist", 4).alias("dist_km"),
+        )
+    )
+
+
+_GEO_KNN_ORACLE = f"""
+    WITH c AS (
+      SELECT c_custkey, {_LAT_C} AS lat_c, {_LON_C} AS lon_c FROM customer
+    ),
+    s AS (
+      SELECT s_suppkey, {_LAT_S} AS lat_s, {_LON_S} AS lon_s FROM supplier
+    ),
+    pairs AS (
+      SELECT c_custkey, s_suppkey,
+             {_haversine_sql("lat_c", "lon_c", "lat_s", "lon_s")} AS dist
+      FROM c CROSS JOIN s
+    ),
+    ranked AS (
+      SELECT c_custkey, s_suppkey, dist,
+             ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                ORDER BY dist, s_suppkey) AS rnk
+      FROM pairs WHERE dist <= {GEO_RADIUS_KM}
+    )
+    SELECT c_custkey, s_suppkey, ROUND(dist, 4) AS dist_km,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= {GEO_KNN_K}
+"""
+
+
+@register("join_geo_knn", oracle=_GEO_KNN_ORACLE)
+def join_geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius-bounded k-nearest-neighbor join: for each customer, the
+    GEO_KNN_K nearest suppliers within GEO_RADIUS_KM (courier
+    assignment, nearest-warehouse routing). "Within R" is what makes a
+    grid kNN EXACT without ring expansion: the module docstring's
+    coverage proof guarantees every supplier inside R sits in the 3x3
+    cell neighborhood, so ranking the radius-join candidates per
+    customer IS the true bounded kNN — the same candidates the oracle's
+    brute-force cross join ranks. (Unbounded kNN would need iterative
+    ring growth for customers whose neighborhood is empty; bounding by
+    R is the form that stays one-pass and is what dispatch/matching
+    workloads actually ask.)
+
+    Scale shape: candidate generation is join_geo_distance's broadcast
+    grid join (customers never shuffle); the per-customer top-k runs
+    under Window.partitionBy(c_custkey) — millions of independent
+    partitions each bounded by the 3x3-cell supplier density, never a
+    table-scale sort. Tie/determinism note: ranking orders by the raw
+    double distance with the supplier key as total tiebreak; distances
+    of distinct synthetic points are separated by far more than the
+    1-ulp libm divergence Spark/DuckDB trig can exhibit."""
+    t = load(spark, sf_dir)
+    cust = t.customer.select(
+        "c_custkey",
+        F.expr(_LAT_C).alias("lat_c"),
+        F.expr(_LON_C).alias("lon_c"),
+    ).withColumns(
+        {
+            "cell_lat": F.floor(F.col("lat_c") / GEO_CELL_DEG),
+            "cell_lon": F.floor(F.col("lon_c") / GEO_CELL_DEG),
+        }
+    )
+    neighbor = F.array(*[F.lit(d) for d in (-1, 0, 1)])
+    supp = (
+        t.supplier.select(
+            "s_suppkey",
+            F.expr(_LAT_S).alias("lat_s"),
+            F.expr(_LON_S).alias("lon_s"),
+        )
+        .withColumn("dlat", F.explode(neighbor))
+        .withColumn("dlon", F.explode(neighbor))
+        .select(
+            "s_suppkey",
+            "lat_s",
+            "lon_s",
+            (F.floor(F.col("lat_s") / GEO_CELL_DEG) + F.col("dlat")).alias(
+                "cell_lat"
+            ),
+            (F.floor(F.col("lon_s") / GEO_CELL_DEG) + F.col("dlon")).alias(
+                "cell_lon"
+            ),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    dist = _haversine(
+        F.col("lat_c"), F.col("lon_c"), F.col("lat_s"), F.col("lon_s")
+    )
+    w = Window.partitionBy("c_custkey").orderBy("dist", "s_suppkey")
+    return (
+        cust.join(F.broadcast(supp), ["cell_lat", "cell_lon"])
+        .withColumn("dist", dist)
+        .where(F.col("dist") <= GEO_RADIUS_KM)
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= GEO_KNN_K)
+        .select(
+            "c_custkey",
+            "s_suppkey",
+            F.round("dist", 4).alias("dist_km"),
+            F.col("rnk").cast("bigint").alias("rnk"),
         )
     )

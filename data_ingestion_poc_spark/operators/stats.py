@@ -1,0 +1,524 @@
+"""Categorical / distributional statistics: chi-squared independence,
+Gini concentration, Benford first-digit conformance.
+
+Reference parity: the reference ETL (child.py) has no statistics
+surface; this extends SURVEY.md section 2 Part C's experimentation
+family (agg_t_test / agg_mann_whitney / agg_ks_test compare two NUMERIC
+samples) with the three remaining everyday questions a data-quality or
+analytics pipeline asks: are two CATEGORICAL columns independent
+(chi-squared + Cramer's V), how CONCENTRATED is a measure within a
+group (Gini), and do the raw magnitudes look ORGANIC or fabricated
+(Benford's law — the standard anomaly screen for financial and
+synthetic-data audits).
+
+Cross-engine determinism doctrine (same as the rank tests): every SUM
+is a sum of exact integers (counts, cents, integer ranks), so it is
+order-independent and bit-identical in Spark and DuckDB; doubles appear
+only in final single-expression divisions written identically on both
+sides, or in per-cell terms over a DOMAIN-BOUNDED table whose rounded
+values are summed on an exact decimal lattice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load
+from ..registry import register
+
+#: 5% critical value of the chi-squared distribution at 8 degrees of
+#: freedom — the (5 priorities x 3 statuses) contingency table's
+#: (r-1)(c-1). A literal because neither engine ships an inverse-CDF;
+#: the dof is also emitted so a reader can check the pairing.
+CHI2_CRIT_DOF8 = 15.5073
+
+_CHI2_ORACLE = f"""
+    WITH ct AS (
+      SELECT o_orderpriority, o_orderstatus, COUNT(*) AS obs
+      FROM orders GROUP BY o_orderpriority, o_orderstatus
+    ),
+    m AS (
+      SELECT o_orderpriority, o_orderstatus, obs,
+             SUM(obs) OVER (PARTITION BY o_orderpriority) AS row_t,
+             SUM(obs) OVER (PARTITION BY o_orderstatus) AS col_t,
+             SUM(obs) OVER () AS n_total
+      FROM ct
+    ),
+    cells AS (
+      SELECT o_orderpriority, o_orderstatus, obs, row_t, col_t, n_total,
+             (row_t * col_t) / CAST(n_total AS DOUBLE) AS expected
+      FROM m
+    ),
+    terms AS (
+      SELECT *,
+             ROUND((obs - expected) * (obs - expected) / expected, 4)
+               AS chi2_term
+      FROM cells
+    )
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(obs AS BIGINT) AS obs,
+           ROUND(expected, 4) AS expected,
+           chi2_term,
+           ROUND(SUM(chi2_term) OVER (), 4) AS chi2_total,
+           CAST((SELECT (COUNT(DISTINCT o_orderpriority) - 1)
+                        * (COUNT(DISTINCT o_orderstatus) - 1)
+                 FROM orders) AS BIGINT) AS dof,
+           ROUND(sqrt(SUM(chi2_term) OVER ()
+                      / (MAX(n_total) OVER ()
+                         * ((SELECT LEAST(COUNT(DISTINCT o_orderpriority),
+                                          COUNT(DISTINCT o_orderstatus))
+                             FROM orders) - 1))), 4) AS cramers_v,
+           SUM(chi2_term) OVER () > {CHI2_CRIT_DOF8} AS dependent
+    FROM terms
+"""
+
+
+@register("agg_chi_squared", oracle=_CHI2_ORACLE)
+def agg_chi_squared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-squared test of independence between order priority
+    and order status, with Cramer's V effect size — the categorical
+    sibling of agg_t_test. Emits the full contingency table (observed,
+    expected, per-cell contribution) plus the table-level statistic on
+    every row, so a consumer sees WHICH cells drive the dependence.
+
+    Scale shape: one map-side-combinable groupBy over orders reduces
+    100 TB to a DOMAIN-BOUNDED table (|priorities| x |statuses| = 15
+    rows at any corpus size); every window below runs on that bounded
+    frame, so its single-partition exchanges move 15 rows. Determinism:
+    obs/marginals/N are exact integers, each cell's expected and term
+    are single identical expressions of those integers, and the
+    chi2_total is a sum over the 4-dp ROUNDED terms — an exact decimal
+    lattice sum, immune to ordering. Cramer's V takes a sqrt (IEEE
+    correctly-rounded) of an on-lattice ratio."""
+    t = load(spark, sf_dir)
+    ct = t.orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("obs")
+    )
+    wr = Window.partitionBy("o_orderpriority")
+    wc = Window.partitionBy("o_orderstatus")
+    wall = Window.partitionBy()
+    m = ct.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        "obs",
+        F.sum("obs").over(wr).alias("row_t"),
+        F.sum("obs").over(wc).alias("col_t"),
+        F.sum("obs").over(wall).alias("n_total"),
+    )
+    expected = (F.col("row_t") * F.col("col_t")) / F.col("n_total").cast(
+        "double"
+    )
+    term = F.round(
+        (F.col("obs") - expected) * (F.col("obs") - expected) / expected, 4
+    )
+    cells = m.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.col("obs").cast("bigint").alias("obs"),
+        F.round(expected, 4).alias("expected"),
+        term.alias("chi2_term"),
+        F.col("n_total").alias("n_total"),
+    )
+    nr = F.size(F.collect_set("o_orderpriority").over(wall))
+    nc = F.size(F.collect_set("o_orderstatus").over(wall))
+    chi2 = F.sum("chi2_term").over(wall)
+    return cells.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        "obs",
+        "expected",
+        "chi2_term",
+        F.round(chi2, 4).alias("chi2_total"),
+        ((nr - 1) * (nc - 1)).cast("bigint").alias("dof"),
+        F.round(
+            F.sqrt(
+                chi2
+                / (F.col("n_total") * (F.least(nr, nc) - 1).cast("double"))
+            ),
+            4,
+        ).alias("cramers_v"),
+        (chi2 > CHI2_CRIT_DOF8).alias("dependent"),
+    )
+
+
+#: Rows per range bucket for the two-phase Gini rank fold — same sizing
+#: doctrine as windows._NTILE_BUCKET_ROWS (each window task sorts at
+#: most ~this many rows regardless of corpus size).
+_GINI_BUCKET_ROWS = 2048
+
+_GINI_ORACLE = """
+    WITH r AS (
+      SELECT o_orderpriority,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS rk
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           ROUND(SUM(cents) / 100.0, 2) AS total_price,
+           ROUND(2.0 * SUM(rk * cents) / (COUNT(*) * CAST(SUM(cents) AS DOUBLE))
+                 - (COUNT(*) + 1.0) / COUNT(*), 4) AS gini
+    FROM r GROUP BY o_orderpriority
+"""
+
+
+@register("agg_gini", oracle=_GINI_ORACLE)
+def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration coefficient of order value within each order
+    priority — the inequality measure behind "is our revenue
+    concentrated in a few whale orders?" (0 = all orders equal, ->1 =
+    one order carries everything). Uses the exact rank formula
+    G = 2*sum(rank_i * x_i) / (n * sum(x)) - (n+1)/n.
+
+    The distributed trick is the win_ntile_quartiles two-phase shape —
+    ranks WITHOUT a table-scale window partition: (1) range-bucket rows
+    by value (pure function of the value, so ties share a bucket);
+    (2) count rows per (priority, bucket) — a tiny combinable aggregate
+    folded into EXCLUSIVE per-priority offsets on the driver
+    (|priorities| x n_buckets rows, KBs at any scale); (3) broadcast
+    the offsets back, rank bucket-locally (each window task sorts
+    <= ~_GINI_BUCKET_ROWS rows), global rank = offset + local rank.
+
+    Determinism: money is folded to integer CENTS, ranks and counts are
+    integers, so every SUM (rank*cents, cents, n) is exact and
+    order-independent in both engines (Spark long / DuckDB int128 —
+    production at 100 TB would lift S to decimal(38,0); sf-scale sums
+    sit far below 2^63); the Gini expression is one identical
+    double-division formula over those exact sums. Tied values
+    contribute rank-sum * value over the tie block, which is invariant
+    to how row_number breaks the tie."""
+    t = load(spark, sf_dir)
+    o = t.orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    b = o.agg(
+        F.min("cents").alias("lo"),
+        F.max("cents").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    n_buckets = max(8, min(4096, int(b["n"]) // _GINI_BUCKET_ROWS + 1))
+    span = max((int(b["hi"]) - int(b["lo"])) // n_buckets, 1)
+    bucket = F.least(
+        F.floor((F.col("cents") - int(b["lo"])) / span),
+        F.lit(n_buckets - 1),
+    ).alias("bucket")
+    bucketed = o.select("o_orderkey", "o_orderpriority", "cents", bucket)
+    counts = (
+        bucketed.groupBy("o_orderpriority", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    per_p: dict[str, list] = {}
+    for r in counts:
+        per_p.setdefault(r["o_orderpriority"], []).append(
+            (r["bucket"], r["cnt"])
+        )
+    offs_rows = []
+    for pri, bl in per_p.items():
+        acc = 0
+        for bkt, c in sorted(bl):
+            offs_rows.append((pri, bkt, acc))
+            acc += c
+    offs = spark.createDataFrame(
+        offs_rows, "o_orderpriority string, bucket bigint, off bigint"
+    )
+    w = Window.partitionBy("o_orderpriority", "bucket").orderBy(
+        "cents", "o_orderkey"
+    )
+    ranked = bucketed.join(
+        F.broadcast(offs), ["o_orderpriority", "bucket"]
+    ).withColumn("rk", F.row_number().over(w) + F.col("off"))
+    g = ranked.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("t_cents"),
+        F.sum(F.col("rk") * F.col("cents")).alias("s_rank"),
+    )
+    return g.select(
+        "o_orderpriority",
+        "n",
+        F.round(F.col("t_cents") / 100.0, 2).alias("total_price"),
+        F.round(
+            2.0 * F.col("s_rank")
+            / (F.col("n") * F.col("t_cents").cast("double"))
+            - (F.col("n") + 1.0) / F.col("n"),
+            4,
+        ).alias("gini"),
+    )
+
+
+#: Benford's law expected first-significant-digit shares,
+#: log10(1 + 1/d) for d = 1..9, as 5-dp LITERALS so neither engine's
+#: log10 implementation enters the comparison.
+BENFORD = {
+    1: 0.30103,
+    2: 0.17609,
+    3: 0.12494,
+    4: 0.09691,
+    5: 0.07918,
+    6: 0.06695,
+    7: 0.05799,
+    8: 0.05115,
+    9: 0.04576,
+}
+
+_BENFORD_CASE = (
+    "CASE digit "
+    + " ".join(f"WHEN '{d}' THEN {p}" for d, p in BENFORD.items())
+    + " END"
+)
+
+_BENFORD_ORACLE = f"""
+    WITH d AS (
+      SELECT SUBSTR(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                         AS VARCHAR), 1, 1) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ),
+    c AS (
+      SELECT digit, COUNT(*) AS n, SUM(COUNT(*)) OVER () AS n_total
+      FROM d GROUP BY digit
+    )
+    SELECT digit, CAST(n AS BIGINT) AS n,
+           ROUND(n / CAST(n_total AS DOUBLE), 4) AS obs_share,
+           {_BENFORD_CASE} AS benford_share,
+           ROUND(abs(n / CAST(n_total AS DOUBLE) - ({_BENFORD_CASE})), 4)
+             AS abs_dev,
+           ROUND(SUM(ROUND(abs(n / CAST(n_total AS DOUBLE)
+                               - ({_BENFORD_CASE})), 4)) OVER () / 9, 4)
+             AS mad
+    FROM c
+"""
+
+
+@register("agg_benford", oracle=_BENFORD_ORACLE)
+def agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit screen over order totals —
+    the standard forensic test for fabricated or truncated magnitude
+    data (organic multiplicative processes put ~30.1% of values on
+    leading digit 1; uniform synthetics put ~11.1%). Emits per-digit
+    observed vs expected shares and the mean-absolute-deviation
+    conformance score (Nigrini's MAD; < 0.006 is "close conformance").
+
+    Determinism: the first significant digit is taken from the STRING
+    of the integer CENTS value (cents = value*100 shares the value's
+    leading digit) — integer-to-string is exact in both engines,
+    whereas floor(x/10^floor(log10 x)) risks libm divergence at powers
+    of ten. Expected shares are 5-dp literals, not engine log10 calls.
+    One combinable groupBy bounds the table at 9 rows; shares are
+    single identical divisions of exact counts; MAD sums 4-dp-rounded
+    lattice values. Scale: one scan, O(1) state."""
+    t = load(spark, sf_dir)
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+        1,
+        1,
+    ).alias("digit")
+    c = (
+        t.orders.where(F.col("o_totalprice") > 0)
+        .select(digit)
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wall = Window.partitionBy()
+    share = F.col("n") / F.sum("n").over(wall).cast("double")
+    bexp = F.expr(_BENFORD_CASE).cast("double")
+    dev = F.round(F.abs(share - bexp), 4)
+    return c.select(
+        "digit",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(share, 4).alias("obs_share"),
+        bexp.alias("benford_share"),
+        dev.alias("abs_dev"),
+        F.round(F.sum(dev).over(wall) / 9, 4).alias("mad"),
+    )
+
+
+_MI_ORACLE = """
+    WITH ct AS (
+      SELECT o_orderpriority, o_orderstatus, COUNT(*) AS obs
+      FROM orders GROUP BY o_orderpriority, o_orderstatus
+    ),
+    m AS (
+      SELECT o_orderpriority, o_orderstatus, obs,
+             SUM(obs) OVER (PARTITION BY o_orderpriority) AS row_t,
+             SUM(obs) OVER (PARTITION BY o_orderstatus) AS col_t,
+             SUM(obs) OVER () AS n_total
+      FROM ct
+    ),
+    terms AS (
+      SELECT *,
+             ROUND(log2((obs * n_total) / (CAST(row_t AS DOUBLE) * col_t)), 4)
+               AS pmi,
+             ROUND((obs / CAST(n_total AS DOUBLE))
+                   * log2((obs * n_total)
+                          / (CAST(row_t AS DOUBLE) * col_t)), 6) AS mi_term
+      FROM m
+    ),
+    hr AS (
+      SELECT SUM(ROUND(-(row_t / CAST(n_total AS DOUBLE))
+                       * log2(row_t / CAST(n_total AS DOUBLE)), 6)) AS h
+      FROM (SELECT DISTINCT o_orderpriority, row_t, n_total FROM m)
+    ),
+    hc AS (
+      SELECT SUM(ROUND(-(col_t / CAST(n_total AS DOUBLE))
+                       * log2(col_t / CAST(n_total AS DOUBLE)), 6)) AS h
+      FROM (SELECT DISTINCT o_orderstatus, col_t, n_total FROM m)
+    )
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(obs AS BIGINT) AS obs, pmi,
+           ROUND(SUM(mi_term) OVER (), 6) AS mi_bits,
+           ROUND((SELECT h FROM hr), 6) AS h_priority,
+           ROUND((SELECT h FROM hc), 6) AS h_status,
+           ROUND(SUM(mi_term) OVER ()
+                 / sqrt((SELECT h FROM hr) * (SELECT h FROM hc)), 4) AS nmi
+    FROM terms
+"""
+
+
+@register("agg_mutual_info", oracle=_MI_ORACLE)
+def agg_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between order priority and status, with
+    per-cell pointwise MI and the sqrt-normalized NMI in [0,1] — the
+    information-theoretic view of the same association agg_chi_squared
+    tests (chi2 asks "is there dependence"; MI says "how many BITS does
+    knowing one column give about the other" — the feature-selection /
+    redundant-column screen).
+
+    Same bounded-frame shape as agg_chi_squared: one combinable groupBy
+    to the 15-row contingency table, windows only over that frame.
+    Determinism: every log2 argument is a single division of exact
+    integer products, identical expressions both engines; per-cell
+    terms are 6-dp rounded before the lattice-exact sum (sub-1e-6 libm
+    log differences collapse at the rounding, the text_tfidf
+    convention); marginal entropies fold over the DISTINCT 5-row /
+    3-row marginal frames."""
+    t = load(spark, sf_dir)
+    ct = t.orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("obs")
+    )
+    wr = Window.partitionBy("o_orderpriority")
+    wc = Window.partitionBy("o_orderstatus")
+    wall = Window.partitionBy()
+    m = ct.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        "obs",
+        F.sum("obs").over(wr).alias("row_t"),
+        F.sum("obs").over(wc).alias("col_t"),
+        F.sum("obs").over(wall).alias("n_total"),
+    )
+    ratio = (F.col("obs") * F.col("n_total")) / (
+        F.col("row_t").cast("double") * F.col("col_t")
+    )
+    p = F.col("obs") / F.col("n_total").cast("double")
+    terms = m.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        "obs",
+        F.round(F.log2(ratio), 4).alias("pmi"),
+        F.round(p * F.log2(ratio), 6).alias("mi_term"),
+    )
+
+    def _marginal_entropy(key: str, alias: str):
+        g = t.orders.groupBy(key).agg(F.count(F.lit(1)).alias("c"))
+        tot = F.sum("c").over(Window.partitionBy())
+        pm = F.col("c") / tot.cast("double")
+        return (
+            g.select(F.round(-pm * F.log2(pm), 6).alias("term"))
+            .agg(F.round(F.sum("term"), 6).alias(alias))
+        )
+
+    hr = _marginal_entropy("o_orderpriority", "h_priority")
+    hc = _marginal_entropy("o_orderstatus", "h_status")
+    mi = F.round(F.sum("mi_term").over(wall), 6)
+    return (
+        terms.crossJoin(F.broadcast(hr))
+        .crossJoin(F.broadcast(hc))
+        .select(
+            "o_orderpriority",
+            "o_orderstatus",
+            F.col("obs").cast("bigint").alias("obs"),
+            "pmi",
+            mi.alias("mi_bits"),
+            "h_priority",
+            "h_status",
+            F.round(
+                mi / F.sqrt(F.col("h_priority") * F.col("h_status")), 4
+            ).alias("nmi"),
+        )
+    )
+
+
+_HHI_ORACLE = """
+    WITH rev AS (
+      SELECT o_custkey,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    seg AS (
+      SELECT c_mktsegment, cents FROM rev
+      JOIN customer ON c_custkey = o_custkey
+    )
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           ROUND(SUM(cents) / 100.0, 2) AS total_rev,
+           ROUND(10000.0 * SUM(cents * cents)
+                 / (CAST(SUM(cents) AS DOUBLE) * SUM(cents)), 4) AS hhi,
+           ROUND((CAST(SUM(cents) AS DOUBLE) * SUM(cents))
+                 / SUM(cents * cents), 2) AS effective_n
+    FROM seg GROUP BY c_mktsegment
+"""
+
+
+@register("agg_hhi", oracle=_HHI_ORACLE)
+def agg_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration index of customer revenue
+    within each market segment (0-10000 scale; >2500 = highly
+    concentrated under the DOJ convention) plus the equivalent number
+    of equal-sized customers (1/sum(share^2)) — the
+    "how dependent is this segment on a few accounts?" risk metric.
+
+    The share-free identity is what makes it scale: HHI =
+    10000 * sum(rev^2) / (sum(rev))^2, so no per-customer share (and
+    hence no segment-total broadcast or second pass) is ever computed
+    — two combinable aggregates and one equi-join on custkey. Money in
+    integer cents; sum(cents^2) runs in DECIMAL(38,0) (Spark) /
+    int128 (DuckDB) — exact and order-independent at any scale where
+    a long would overflow — and the final ratios are identical
+    single expressions over those exact sums."""
+    t = load(spark, sf_dir)
+    rev = (
+        t.orders.select(
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    seg = rev.join(
+        t.customer.select("c_custkey", "c_mktsegment"),
+        rev.o_custkey == F.col("c_custkey"),
+    )
+    g = seg.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").alias("t_cents"),
+        F.sum(
+            F.col("cents").cast("decimal(38,0)")
+            * F.col("cents").cast("decimal(38,0)")
+        ).alias("s_sq"),
+    )
+    td = F.col("t_cents").cast("double")
+    sd = F.col("s_sq").cast("double")
+    return g.select(
+        "c_mktsegment",
+        "n_customers",
+        F.round(F.col("t_cents") / 100.0, 2).alias("total_rev"),
+        F.round(10000.0 * sd / (td * td), 4).alias("hhi"),
+        F.round((td * td) / sd, 2).alias("effective_n"),
+    )

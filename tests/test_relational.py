@@ -515,3 +515,191 @@ def test_ks_test_known_values(spark, tmp_path):
     crit = 1.36 * math.sqrt(8 / 16)
     assert abs(r["d_crit"] - math.floor(crit * 10000) / 10000) < 1e-9
     assert not r["significant"]
+
+
+def _write_orders(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+
+
+def test_chi_squared_known_values(spark, tmp_path):
+    """2x2 table [[30,10],[10,30]]: all expected cells are 20, chi2 =
+    4 * 10^2/20 = 20, dof = 1, Cramer's V = sqrt(20/80) = 0.5. The
+    'dependent' flag compares against the fixture table's dof-8
+    critical constant, so 20 > 15.5073 -> True."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    k = 0
+    for pri, sta, n in [("A", "X", 30), ("A", "Y", 10), ("B", "X", 10), ("B", "Y", 30)]:
+        for _ in range(n):
+            rows.append((k, 1, sta, 100.0, base, pri))
+            k += 1
+    _write_orders(spark, tmp_path, rows)
+    out = registry.get("agg_chi_squared").fn(spark, str(tmp_path)).collect()
+    assert len(out) == 4
+    r = out[0]
+    assert r["chi2_total"] == 20.0
+    assert r["dof"] == 1
+    assert r["cramers_v"] == 0.5
+    assert r["dependent"]
+    by_cell = {(x["o_orderpriority"], x["o_orderstatus"]): x for x in out}
+    assert by_cell[("A", "X")]["obs"] == 30
+    assert by_cell[("A", "X")]["expected"] == 20.0
+    assert by_cell[("A", "X")]["chi2_term"] == 5.0
+
+
+def test_gini_known_values(spark, tmp_path):
+    """Equal values -> Gini 0; [1,1,1,97] -> 2*394/400 - 5/4 = 0.72."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [(i, 1, "O", 5.0, base, "EQ") for i in range(10)]
+    rows += [
+        (100 + i, 1, "O", v, base, "SKEW")
+        for i, v in enumerate([1.0, 1.0, 1.0, 97.0])
+    ]
+    _write_orders(spark, tmp_path, rows)
+    out = {
+        r["o_orderpriority"]: r
+        for r in registry.get("agg_gini").fn(spark, str(tmp_path)).collect()
+    }
+    assert out["EQ"]["gini"] == 0.0
+    assert out["EQ"]["n"] == 10 and out["EQ"]["total_price"] == 50.0
+    assert out["SKEW"]["gini"] == 0.72
+    assert out["SKEW"]["total_price"] == 100.0
+
+
+def test_benford_known_values(spark, tmp_path):
+    """Leading digits from CENTS strings: 1.00->1, 25.00->2, 123.45->1,
+    9.99->9; shares .5/.25/.25 and MAD = (|.5-.30103| + |.25-.17609| +
+    |.25-.04576|)/9 = 0.053."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    vals = [1.00, 25.00, 123.45, 9.99]
+    rows = [(i, 1, "O", v, base, "P") for i, v in enumerate(vals)]
+    _write_orders(spark, tmp_path, rows)
+    out = {
+        r["digit"]: r
+        for r in registry.get("agg_benford").fn(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {"1", "2", "9"}
+    assert out["1"]["n"] == 2 and out["1"]["obs_share"] == 0.5
+    assert out["1"]["benford_share"] == 0.30103
+    assert out["1"]["abs_dev"] == 0.199
+    assert out["9"]["abs_dev"] == 0.2042
+    assert out["1"]["mad"] == out["9"]["mad"] == 0.053
+
+
+def test_geo_knn_matches_bruteforce_topk(spark):
+    """join_geo_knn must return exactly the brute-force per-customer
+    top-3-within-R ranking, and keep the broadcast grid plan."""
+    import math
+
+    from data_ingestion_poc_spark.catalog import load
+    from data_ingestion_poc_spark.operators.geo import (
+        EARTH_RADIUS_KM,
+        GEO_KNN_K,
+        GEO_RADIUS_KM,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    t = load(spark, sf)
+    cust = [r["c_custkey"] for r in t.customer.select("c_custkey").collect()]
+    supp = [r["s_suppkey"] for r in t.supplier.select("s_suppkey").collect()]
+
+    def coords(key, lat_mul, lon_mul):
+        return (
+            (key * lat_mul) % 12000 / 100.0 - 60.0,
+            (key * lon_mul) % 34000 / 100.0 - 170.0,
+        )
+
+    def hav(a, b):
+        (la1, lo1), (la2, lo2) = a, b
+        dla = math.radians(la2 - la1) / 2
+        dlo = math.radians(lo2 - lo1) / 2
+        x = (
+            math.sin(dla) ** 2
+            + math.cos(math.radians(la1))
+            * math.cos(math.radians(la2))
+            * math.sin(dlo) ** 2
+        )
+        return 2 * EARTH_RADIUS_KM * math.asin(math.sqrt(x))
+
+    expect = set()
+    for ck in cust:
+        c = coords(ck, 7919, 104729)
+        cands = sorted(
+            (hav(c, coords(sk, 6007, 31337)), sk)
+            for sk in supp
+            if hav(c, coords(sk, 6007, 31337)) <= GEO_RADIUS_KM
+        )
+        for rnk, (_, sk) in enumerate(cands[:GEO_KNN_K], start=1):
+            expect.add((ck, sk, rnk))
+    df = registry.get("join_geo_knn").fn(spark, sf)
+    got = {(r["c_custkey"], r["s_suppkey"], r["rnk"]) for r in df.collect()}
+    assert got == expect and len(got) > 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_mutual_info_known_values(spark, tmp_path):
+    """Independent 2x2 [[25,25],[25,25]] -> MI = 0, NMI = 0; perfectly
+    dependent [[30,0],[0,30]] -> MI = 1 bit, NMI = 1."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+
+    def write(cells):
+        rows, k = [], 0
+        for pri, sta, n in cells:
+            for _ in range(n):
+                rows.append((k, 1, sta, 100.0, base, pri))
+                k += 1
+        _write_orders(spark, tmp_path, rows)
+
+    write([("A", "X", 25), ("A", "Y", 25), ("B", "X", 25), ("B", "Y", 25)])
+    out = registry.get("agg_mutual_info").fn(spark, str(tmp_path)).collect()
+    assert len(out) == 4
+    assert out[0]["mi_bits"] == 0.0 and out[0]["nmi"] == 0.0
+    assert out[0]["h_priority"] == out[0]["h_status"] == 1.0
+    assert all(r["pmi"] == 0.0 for r in out)
+
+    write([("A", "X", 30), ("B", "Y", 30)])
+    out = registry.get("agg_mutual_info").fn(spark, str(tmp_path)).collect()
+    assert len(out) == 2
+    assert out[0]["mi_bits"] == 1.0 and out[0]["nmi"] == 1.0
+    assert all(r["pmi"] == 1.0 for r in out)
+
+
+def test_hhi_known_values(spark, tmp_path):
+    """One segment, two customers with revenue 3:1 -> HHI =
+    10000*(9+1)/16 = 6250, effective_n = 1.6."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    _write_orders(
+        spark,
+        tmp_path,
+        [
+            (1, 10, "O", 2.00, base, "P"),
+            (2, 10, "O", 1.00, base, "P"),
+            (3, 20, "O", 1.00, base, "P"),
+        ],
+    )
+    spark.createDataFrame(
+        [(10, "cust-a", 1, 0.0, "SEG"), (20, "cust-b", 1, 0.0, "SEG")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double,"
+        " c_mktsegment string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    (r,) = registry.get("agg_hhi").fn(spark, str(tmp_path)).collect()
+    assert r["c_mktsegment"] == "SEG"
+    assert r["n_customers"] == 2 and r["total_rev"] == 4.0
+    assert r["hhi"] == 6250.0 and r["effective_n"] == 1.6

@@ -103,6 +103,16 @@ SINGLE_PARTITION_OK: dict[str, str] = {
         "1-row Welch statistic frame: two 3-number arm summaries "
         "(n/mean/var partials) cross-joined"
     ),
+    "agg_chi_squared": (
+        "contingency table bounded by the category DOMAIN "
+        "(n_priorities x n_statuses = 15 rows at any corpus size)"
+    ),
+    "agg_benford": (
+        "digit table bounded by the 9-value first-digit domain"
+    ),
+    "agg_mutual_info": (
+        "15-row contingency frame + 1-row marginal-entropy frames"
+    ),
     "agg_ols_two_factor": (
         "1-row sufficient-statistics frame (9 numbers); the regression IS "
         "the global aggregate"
