@@ -126,3 +126,61 @@ def limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(100)
     )
+
+
+_SKYLINE_ORACLE = """
+    SELECT q.p_partkey, q.p_retailprice, CAST(q.p_size AS BIGINT) AS p_size
+    FROM part q
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part p
+      WHERE p.p_retailprice <= q.p_retailprice AND p.p_size <= q.p_size
+        AND (p.p_retailprice < q.p_retailprice OR p.p_size < q.p_size)
+    )
+"""
+
+
+@register("sort_pareto_skyline", oracle=_SKYLINE_ORACLE)
+def sort_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto skyline (dominance / maximal-vector) query: the parts not
+    STRICTLY dominated on (minimize retail price, minimize size) — the
+    preference-query operator behind "show me the options where nothing
+    else is both cheaper and smaller" (Borzsony/Kossmann/Stocker's
+    SKYLINE OF, which naive engines write as the quadratic NOT EXISTS
+    self-join the oracle runs). Points tied on both dimensions dominate
+    neither, so identical (price, size) twins both survive.
+
+    Distributed 2-D form, zero quadratic work: (1) one combinable
+    groupBy collapses parts to min-size per price — bounded by the
+    PRICE DOMAIN (1-dp lattice on [900, 999.9]: <=1000 rows at any
+    corpus size, the agg_mann_whitney bounded-domain argument); (2) a
+    strict-preceding running MIN over that bounded frame gives the best
+    size among all strictly-cheaper prices, so a price's min-size row
+    is skyline iff it beats that prefix; (3) the surviving (price,
+    min_size) chain is monotone decreasing in size — at most |size
+    domain| = 50 rows — broadcast back, and an equi-join on (price,
+    size) pulls every surviving part row. The quadratic dominance test
+    is the ORACLE's cost, never the operator's."""
+    t = load(spark, sf_dir)
+    pp = t.part.groupBy("p_retailprice").agg(
+        F.min("p_size").alias("ms")
+    )
+    w = Window.orderBy("p_retailprice").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    sky = (
+        pp.withColumn("pm", F.min("ms").over(w))
+        .where(F.col("pm").isNull() | (F.col("pm") > F.col("ms")))
+        .select("p_retailprice", "ms")
+    )
+    return (
+        t.part.join(
+            F.broadcast(sky),
+            (t.part.p_retailprice == sky.p_retailprice)
+            & (t.part.p_size == sky.ms),
+        )
+        .select(
+            "p_partkey",
+            t.part.p_retailprice,
+            F.col("p_size").cast("bigint").alias("p_size"),
+        )
+    )
