@@ -65,14 +65,18 @@ def main(argv: list[str] | None = None) -> int:
             print(f"{name:36s} {kind:10s} {head}")
         return 0
 
-    from .session import get_spark
-
-    spark = get_spark()
     if args.cmd == "run":
+        # Validate the name BEFORE the Spark session: `run <unknown>`
+        # exits 2 without paying JVM startup for an error message.
         q = registry.all_queries().get(args.query)
         if q is None:
             print(f"unknown query: {args.query}", file=sys.stderr)
             return 2
+
+    from .session import get_spark
+
+    spark = get_spark()
+    if args.cmd == "run":
         df = q.fn(spark, args.sf)
         if args.explain:
             df.explain("formatted")

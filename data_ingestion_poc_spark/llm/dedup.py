@@ -1102,36 +1102,63 @@ def dedup_exact_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return delta.join(hist, "content_hash").select("new_doc", "keeper_doc")
 
 
-#: SemDeDup cell count scales as ceil(sqrt(N)) with a floor of
-#: SEMDEDUP_K_MIN — the IVF nlist rule — so BOTH the per-vector
-#: assignment work (N*k) and the within-cell pair space (N * N/k) grow
-#: as N^1.5 instead of one of them going quadratic; a FIXED k would be
-#: exactly the win_ntile disease (bounded partition count, unbounded
-#: partition size). 0.40 sits just above this synthetic corpus's
-#: within-cell cosine p99.9 (max observed 0.493), mirroring the 0.30
-#: convention of dedup_embedding_cosine.
+#: SemDeDup cell-count control: TOTAL cells k = ceil(N / CELL_ROWS)
+#: (floor SEMDEDUP_K_MIN), i.e. k grows PROPORTIONALLY to N so the
+#: expected cell SIZE stays constant — the paper's own production
+#: control, and the fix for r5's ceil(sqrt(N)) posture whose within-cell
+#: pair work totalled O(N^1.5) (VERDICT r5 item 4). A k ∝ N flat
+#: quantizer would make the per-vector assignment O(N·k) = O(N²/S), so
+#: assignment is HIERARCHICAL: ceil(sqrt(k)) coarse seeds (broadcast,
+#: sqrt(k)·dim stays tiny at any N), then up to ceil(k/k1) sub-seeds
+#: WITHIN each coarse cell, equi-joined on the coarse cell id — per-row
+#: work O(sqrt(k)) at each level, O(N·sqrt(k)) total, and no broadcast
+#: ever exceeds sqrt(k)·dim. 0.40 sits just above this synthetic
+#: corpus's within-cell cosine p99.9 (max observed 0.493), mirroring
+#: the 0.30 convention of dedup_embedding_cosine.
 SEMDEDUP_K_MIN = 8
 SEMDEDUP_TAU = 0.40
+SEMDEDUP_CELL_ROWS = 64
 
 _SEMANTIC_ORACLE = f"""
     WITH emb AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
     kk AS (
-      SELECT GREATEST({SEMDEDUP_K_MIN},
-                      CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) AS k
-      FROM emb
+      SELECT k, CAST(ceil(sqrt(k)) AS BIGINT) AS k1,
+             CAST(ceil(k / ceil(sqrt(k))) AS BIGINT) AS k2
+      FROM (
+        SELECT GREATEST({SEMDEDUP_K_MIN},
+                        CAST(ceil(COUNT(*) / {SEMDEDUP_CELL_ROWS}.0)
+                             AS BIGINT)) AS k
+        FROM emb
+      )
     ),
-    seeds AS (
-      SELECT vec_id AS cid, v AS cv FROM emb JOIN kk ON vec_id < kk.k
+    coarse AS (
+      SELECT vec_id AS cid1, v AS cv1 FROM emb JOIN kk ON vec_id < kk.k1
+    ),
+    a1 AS (
+      SELECT vec_id, v, cid1 FROM (
+        SELECT e.vec_id, e.v, c.cid1,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY list_distance(e.v, c.cv1), c.cid1)
+                 AS rn
+        FROM emb e CROSS JOIN coarse c
+      ) t WHERE rn = 1
+    ),
+    sub AS (
+      SELECT cid1, vec_id AS cid2, v AS cv2 FROM (
+        SELECT cid1, vec_id, v,
+               row_number() OVER (PARTITION BY cid1 ORDER BY vec_id) AS rs
+        FROM a1
+      ) t JOIN kk ON rs <= kk.k2
     ),
     a AS (
-      SELECT vec_id, v, cid FROM (
-        SELECT e.vec_id, e.v, s.cid,
-               row_number() OVER (PARTITION BY e.vec_id
-                                  ORDER BY list_distance(e.v, s.cv), s.cid)
+      SELECT vec_id, v, cell FROM (
+        SELECT x.vec_id, x.v, s.cid2 AS cell,
+               row_number() OVER (PARTITION BY x.vec_id
+                                  ORDER BY list_distance(x.v, s.cv2), s.cid2)
                  AS rn
-        FROM emb e CROSS JOIN seeds s
+        FROM a1 x JOIN sub s ON x.cid1 = s.cid1
       ) t WHERE rn = 1
     ),
     cand AS (
@@ -1139,7 +1166,7 @@ _SEMANTIC_ORACLE = f"""
              list_dot_product(x.v, y.v)
                / (sqrt(list_dot_product(x.v, x.v))
                   * sqrt(list_dot_product(y.v, y.v))) AS cos
-      FROM a x JOIN a y ON x.cid = y.cid AND y.vec_id > x.vec_id
+      FROM a x JOIN a y ON x.cell = y.cell AND y.vec_id > x.vec_id
     ),
     dup AS (
       SELECT vec_id, earlier_id, cos FROM (
@@ -1150,7 +1177,7 @@ _SEMANTIC_ORACLE = f"""
       ) t WHERE rn = 1
     )
     SELECT a.vec_id,
-           CAST(a.cid AS BIGINT) AS cell,
+           CAST(a.cell AS BIGINT) AS cell,
            d.vec_id IS NOT NULL AS is_dup,
            d.earlier_id AS dup_of,
            ROUND(d.cos, 4) AS dup_cos
@@ -1161,56 +1188,89 @@ _SEMANTIC_ORACLE = f"""
 @register("dedup_semantic", oracle=_SEMANTIC_ORACLE)
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
-    the embedding space coarsely, then prune any vector whose cosine to
-    an earlier-kept vector IN THE SAME CELL exceeds SEMDEDUP_TAU — the
+    the embedding space, then prune any vector whose cosine to an
+    earlier-kept vector IN THE SAME CELL exceeds SEMDEDUP_TAU — the
     "remove semantic duplicates the lexical dedups can't see" stage that
     sits between MinHash (surface overlap) and model-based filtering in
     a modern curation stack. Two deliberate simplifications keep every
-    step SQL-checkable: the quantizer is a one-shot assignment to the
-    ceil(sqrt(N)) smallest-id seed vectors (the paper's k-means converges to
-    an arbitrary local optimum anyway; embed_kmeans registers the
-    iterated version), and keep-priority is smallest-vec-id (the paper
-    keeps an arbitrary representative per neighborhood).
+    step SQL-checkable: the quantizer seeds are smallest-id vectors (the
+    paper's k-means converges to an arbitrary local optimum anyway;
+    embed_kmeans registers the iterated version), and keep-priority is
+    smallest-vec-id (the paper keeps an arbitrary representative).
 
-    Scale shape: seeds broadcast (k x dim); assignment is one scan with
-    a per-row k-way argmin, shuffling only (vec_id, cell) + the vector
-    once onto its cell; the within-cell pair join is the quadratic the
-    operator family always bounds — here by cell count k scaling with N
-    (SemDeDup's own control), the same role JACCARD_DF_CAP plays for
-    shingles. Raw vectors never leave their cell's partition; the
-    emitted verdict table is one row per vector."""
+    Scale shape (the r6 rework — see SEMDEDUP_CELL_ROWS): k = ceil(N/S)
+    total cells keeps the expected cell SIZE constant, so the
+    within-cell pair join totals O(N·S) — LINEAR in the corpus, not the
+    r5 posture's O(N^1.5). Assignment is hierarchical so k ∝ N never
+    means k-way argmin per row: level 1 assigns each vector to one of
+    ceil(sqrt(k)) coarse seeds (broadcast, sqrt(k)·dim bytes); level 2
+    re-assigns within the coarse cell to one of <= ceil(k/k1) sub-seeds
+    via an EQUI-join on the coarse cell id — sub-seeds shuffle (they
+    are k rows, never broadcast), vectors shuffle once per level, and
+    per-row work is O(sqrt(k)) at each level. Raw vectors never leave
+    their final cell's partition; the verdict table is one row per
+    vector."""
     t = load(spark, sf_dir)
     emb = t.embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    # k = ceil(sqrt(N)); seeds = the k smallest ids, selected as
-    # vec_id < k (this fixture's ids are dense from 0 — the same
-    # assumption the PQ codebooks lean on; arbitrary-id corpora would
+    # k = ceil(N / CELL_ROWS); k1 = ceil(sqrt(k)) coarse seeds; k2 =
+    # ceil(k/k1) sub-seeds per coarse cell. Seeds are smallest-id
+    # vectors, selected as vec_id < k1 (this fixture's ids are dense
+    # from 0 — the PQ codebooks' assumption; arbitrary-id corpora would
     # take a two-phase top-k via TakeOrderedAndProject instead). The
-    # 1-row (k) frame broadcasts — no global window, no collect.
+    # 1-row (k, k1, k2) frame broadcasts — no global window, no collect.
+    k = F.greatest(
+        F.lit(SEMDEDUP_K_MIN),
+        F.ceil(F.count(F.lit(1)) / SEMDEDUP_CELL_ROWS).cast("bigint"),
+    )
     kk = emb.agg(
-        F.greatest(
-            F.lit(SEMDEDUP_K_MIN),
-            F.ceil(F.sqrt(F.count(F.lit(1)))).cast("bigint"),
-        ).alias("k")
+        k.alias("k"),
+        F.ceil(F.sqrt(k)).cast("bigint").alias("k1"),
+        F.ceil(k / F.ceil(F.sqrt(k))).cast("bigint").alias("k2"),
     )
-    seeds = (
+    coarse = (
         emb.crossJoin(F.broadcast(kk))
-        .where(F.col("vec_id") < F.col("k"))
-        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+        .where(F.col("vec_id") < F.col("k1"))
+        .select(F.col("vec_id").alias("cid1"), F.col("v").alias("cv1"))
     )
-    d2 = F.aggregate(
-        F.zip_with(F.col("v"), F.col("cv"), lambda x, c: (x - c) * (x - c)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy("d2", "cid")
-    assigned = (
-        emb.crossJoin(F.broadcast(seeds))
-        .select("vec_id", "v", "cid", d2.alias("d2"))
-        .withColumn("rn", F.row_number().over(w_assign))
+
+    def _d2(vec_col: str, seed_col: str):
+        return F.aggregate(
+            F.zip_with(
+                F.col(vec_col), F.col(seed_col), lambda x, c: (x - c) * (x - c)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    w1 = Window.partitionBy("vec_id").orderBy("d2", "cid1")
+    a1 = (
+        emb.crossJoin(F.broadcast(coarse))
+        .select("vec_id", "v", "cid1", _d2("v", "cv1").alias("d2"))
+        .withColumn("rn", F.row_number().over(w1))
         .where(F.col("rn") == 1)
-        .select("vec_id", "v", F.col("cid").alias("cell"))
+        .select("vec_id", "v", "cid1")
+    )
+    # Sub-seeds: the k2 smallest-id members of each coarse cell. The
+    # window runs partitioned by cid1 (cells are ~balanced by the
+    # smallest-id seeding; a production corpus would salt a hot cell).
+    sub = (
+        a1.withColumn(
+            "rs",
+            F.row_number().over(Window.partitionBy("cid1").orderBy("vec_id")),
+        )
+        .crossJoin(F.broadcast(kk.select("k2")))
+        .where(F.col("rs") <= F.col("k2"))
+        .select("cid1", F.col("vec_id").alias("cid2"), F.col("v").alias("cv2"))
+    )
+    w2 = Window.partitionBy("vec_id").orderBy("d2", "cid2")
+    assigned = (
+        a1.join(sub, "cid1")
+        .select("vec_id", "v", "cid2", _d2("v", "cv2").alias("d2"))
+        .withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "v", F.col("cid2").alias("cell"))
     )
     lhs = assigned.select(
         F.col("vec_id").alias("earlier_id"), F.col("v").alias("va"), "cell"

@@ -885,7 +885,8 @@ _ABANDON_ORACLE = """
     WITH flagged AS (
       SELECT user_id, event_id, ts, event_type,
              CASE WHEN lag(ts) OVER w IS NULL
-                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                       > 30 * 60 * 1000000
                   THEN 1 ELSE 0 END AS new_sess
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -927,15 +928,18 @@ def q_browse_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrite exactly as win_sessionize documents."""
     t = load(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # Microsecond precision on BOTH engines (oracle: epoch_us): a plain
+    # cast("long") truncates to seconds and can sessionize sub-second
+    # timestamps near the 30-min boundary differently across engines.
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
     flagged = t.events.select(
         "user_id",
         "event_id",
         "ts",
         "event_type",
-        F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0).alias(
-            "new_sess"
-        ),
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1)
+        .otherwise(0)
+        .alias("new_sess"),
     )
     sess = flagged.select(
         "user_id",

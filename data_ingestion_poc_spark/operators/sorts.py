@@ -167,20 +167,27 @@ def sort_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("p_retailprice").rowsBetween(
         Window.unboundedPreceding, -1
     )
+    # Alias both sides: `sky` derives from t.part, so an unqualified
+    # broadcast-back join would resolve both sides' attributes to the
+    # same lineage (MISSING_ATTRIBUTES AnalysisException).
     sky = (
         pp.withColumn("pm", F.min("ms").over(w))
         .where(F.col("pm").isNull() | (F.col("pm") > F.col("ms")))
-        .select("p_retailprice", "ms")
+        .select(
+            F.col("p_retailprice").alias("sky_price"),
+            F.col("ms").alias("sky_size"),
+        )
     )
     return (
-        t.part.join(
-            F.broadcast(sky),
-            (t.part.p_retailprice == sky.p_retailprice)
-            & (t.part.p_size == sky.ms),
+        t.part.alias("p")
+        .join(
+            F.broadcast(sky.alias("k")),
+            (F.col("p.p_retailprice") == F.col("k.sky_price"))
+            & (F.col("p.p_size") == F.col("k.sky_size")),
         )
         .select(
-            "p_partkey",
-            t.part.p_retailprice,
-            F.col("p_size").cast("bigint").alias("p_size"),
+            "p.p_partkey",
+            "p.p_retailprice",
+            F.col("p.p_size").cast("bigint").alias("p_size"),
         )
     )

@@ -28,11 +28,20 @@ from pyspark.sql.window import Window
 from ..catalog import load
 from ..registry import register
 
-#: 5% critical value of the chi-squared distribution at 8 degrees of
-#: freedom — the (5 priorities x 3 statuses) contingency table's
-#: (r-1)(c-1). A literal because neither engine ships an inverse-CDF;
-#: the dof is also emitted so a reader can check the pairing.
-CHI2_CRIT_DOF8 = 15.5073
+#: 5% critical values of the chi-squared distribution by degrees of
+#: freedom (1..12) — literals because neither engine ships an
+#: inverse-CDF. The `dependent` verdict selects the value matching the
+#: ACTUAL emitted dof (and is null for a dof outside the table), so a
+#: 2x2 slice is judged against 3.8415, not the 5x3 table's 15.5073.
+CHI2_CRIT_BY_DOF = {
+    1: 3.8415, 2: 5.9915, 3: 7.8147, 4: 9.4877, 5: 11.0705,
+    6: 12.5916, 7: 14.0671, 8: 15.5073, 9: 16.9190, 10: 18.3070,
+    11: 19.6751, 12: 21.0261,
+}
+
+_CHI2_CRIT_SQL_CASE = "CASE dof " + " ".join(
+    f"WHEN {d} THEN {c}" for d, c in CHI2_CRIT_BY_DOF.items()
+) + " END"
 
 _CHI2_ORACLE = f"""
     WITH ct AS (
@@ -57,21 +66,26 @@ _CHI2_ORACLE = f"""
                AS chi2_term
       FROM cells
     )
-    SELECT o_orderpriority, o_orderstatus,
-           CAST(obs AS BIGINT) AS obs,
-           ROUND(expected, 4) AS expected,
-           chi2_term,
-           ROUND(SUM(chi2_term) OVER (), 4) AS chi2_total,
-           CAST((SELECT (COUNT(DISTINCT o_orderpriority) - 1)
-                        * (COUNT(DISTINCT o_orderstatus) - 1)
-                 FROM orders) AS BIGINT) AS dof,
-           ROUND(sqrt(SUM(chi2_term) OVER ()
-                      / (MAX(n_total) OVER ()
-                         * ((SELECT LEAST(COUNT(DISTINCT o_orderpriority),
-                                          COUNT(DISTINCT o_orderstatus))
-                             FROM orders) - 1))), 4) AS cramers_v,
-           SUM(chi2_term) OVER () > {CHI2_CRIT_DOF8} AS dependent
-    FROM terms
+    ,fin AS (
+      SELECT o_orderpriority, o_orderstatus,
+             CAST(obs AS BIGINT) AS obs,
+             ROUND(expected, 4) AS expected,
+             chi2_term,
+             SUM(chi2_term) OVER () AS chi2_raw,
+             CAST((SELECT (COUNT(DISTINCT o_orderpriority) - 1)
+                          * (COUNT(DISTINCT o_orderstatus) - 1)
+                   FROM orders) AS BIGINT) AS dof,
+             ROUND(sqrt(SUM(chi2_term) OVER ()
+                        / (MAX(n_total) OVER ()
+                           * ((SELECT LEAST(COUNT(DISTINCT o_orderpriority),
+                                            COUNT(DISTINCT o_orderstatus))
+                               FROM orders) - 1))), 4) AS cramers_v
+      FROM terms
+    )
+    SELECT o_orderpriority, o_orderstatus, obs, expected, chi2_term,
+           ROUND(chi2_raw, 4) AS chi2_total, dof, cramers_v,
+           chi2_raw > {_CHI2_CRIT_SQL_CASE} AS dependent
+    FROM fin
 """
 
 
@@ -124,6 +138,10 @@ def agg_chi_squared(spark: SparkSession, sf_dir: str) -> DataFrame:
     nr = F.size(F.collect_set("o_orderpriority").over(wall))
     nc = F.size(F.collect_set("o_orderstatus").over(wall))
     chi2 = F.sum("chi2_term").over(wall)
+    dof = ((nr - 1) * (nc - 1)).cast("bigint")
+    crit = F.lit(None).cast("double")
+    for d, c in CHI2_CRIT_BY_DOF.items():
+        crit = F.when(dof == d, F.lit(c)).otherwise(crit)
     return cells.select(
         "o_orderpriority",
         "o_orderstatus",
@@ -131,7 +149,7 @@ def agg_chi_squared(spark: SparkSession, sf_dir: str) -> DataFrame:
         "expected",
         "chi2_term",
         F.round(chi2, 4).alias("chi2_total"),
-        ((nr - 1) * (nc - 1)).cast("bigint").alias("dof"),
+        dof.alias("dof"),
         F.round(
             F.sqrt(
                 chi2
@@ -139,7 +157,7 @@ def agg_chi_squared(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             4,
         ).alias("cramers_v"),
-        (chi2 > CHI2_CRIT_DOF8).alias("dependent"),
+        (chi2 > crit).alias("dependent"),
     )
 
 
@@ -280,9 +298,15 @@ _BENFORD_ORACLE = f"""
                          AS VARCHAR), 1, 1) AS digit
       FROM orders WHERE o_totalprice > 0
     ),
+    c0 AS (
+      SELECT digit, COUNT(*) AS n FROM d GROUP BY digit
+    ),
     c AS (
-      SELECT digit, COUNT(*) AS n, SUM(COUNT(*)) OVER () AS n_total
-      FROM d GROUP BY digit
+      SELECT dom.digit, COALESCE(c0.n, 0) AS n,
+             SUM(COALESCE(c0.n, 0)) OVER () AS n_total
+      FROM (VALUES ('1'),('2'),('3'),('4'),('5'),('6'),('7'),('8'),('9'))
+           dom(digit)
+      LEFT JOIN c0 ON dom.digit = c0.digit
     )
     SELECT digit, CAST(n AS BIGINT) AS n,
            ROUND(n / CAST(n_total AS DOUBLE), 4) AS obs_share,
@@ -312,18 +336,26 @@ def agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     of ten. Expected shares are 5-dp literals, not engine log10 calls.
     One combinable groupBy bounds the table at 9 rows; shares are
     single identical divisions of exact counts; MAD sums 4-dp-rounded
-    lattice values. Scale: one scan, O(1) state."""
+    lattice values. Digits ABSENT from the data still contribute their
+    full expected share to the MAD (zero-filled via a left join from
+    the 9-digit literal domain) — a fabricated distribution that skips
+    a digit must read as LESS conformant, not more. Scale: one scan,
+    O(1) state."""
     t = load(spark, sf_dir)
     digit = F.substring(
         F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
         1,
         1,
     ).alias("digit")
-    c = (
+    c0 = (
         t.orders.where(F.col("o_totalprice") > 0)
         .select(digit)
         .groupBy("digit")
         .agg(F.count(F.lit(1)).alias("n"))
+    )
+    dom = spark.range(1, 10).select(F.col("id").cast("string").alias("digit"))
+    c = dom.join(F.broadcast(c0), "digit", "left").select(
+        "digit", F.coalesce("n", F.lit(0)).alias("n")
     )
     wall = Window.partitionBy()
     share = F.col("n") / F.sum("n").over(wall).cast("double")

@@ -529,8 +529,9 @@ def _write_orders(spark, tmp_path, rows):
 def test_chi_squared_known_values(spark, tmp_path):
     """2x2 table [[30,10],[10,30]]: all expected cells are 20, chi2 =
     4 * 10^2/20 = 20, dof = 1, Cramer's V = sqrt(20/80) = 0.5. The
-    'dependent' flag compares against the fixture table's dof-8
-    critical constant, so 20 > 15.5073 -> True."""
+    'dependent' flag selects the critical value matching the EMITTED
+    dof (r6 ADVICE fix), so this 2x2 table is judged against the dof-1
+    critical value: 20 > 3.8415 -> True."""
     import datetime
 
     base = datetime.datetime(2024, 1, 1)
@@ -577,8 +578,11 @@ def test_gini_known_values(spark, tmp_path):
 
 def test_benford_known_values(spark, tmp_path):
     """Leading digits from CENTS strings: 1.00->1, 25.00->2, 123.45->1,
-    9.99->9; shares .5/.25/.25 and MAD = (|.5-.30103| + |.25-.17609| +
-    |.25-.04576|)/9 = 0.053."""
+    9.99->9; shares .5/.25/.25. ALL NINE digits are emitted — digits
+    absent from the data contribute their full expected share to the
+    MAD (zero-filled domain join, the r6 ADVICE fix), so MAD =
+    (0.199 + 0.0739 + 0.2042 + 0.1249 + 0.0969 + 0.0792 + 0.067
+     + 0.058 + 0.0512)/9 = 0.106."""
     import datetime
 
     base = datetime.datetime(2024, 1, 1)
@@ -589,12 +593,13 @@ def test_benford_known_values(spark, tmp_path):
         r["digit"]: r
         for r in registry.get("agg_benford").fn(spark, str(tmp_path)).collect()
     }
-    assert set(out) == {"1", "2", "9"}
+    assert set(out) == {str(d) for d in range(1, 10)}
     assert out["1"]["n"] == 2 and out["1"]["obs_share"] == 0.5
     assert out["1"]["benford_share"] == 0.30103
     assert out["1"]["abs_dev"] == 0.199
     assert out["9"]["abs_dev"] == 0.2042
-    assert out["1"]["mad"] == out["9"]["mad"] == 0.053
+    assert out["3"]["n"] == 0 and out["3"]["abs_dev"] == 0.1249
+    assert out["1"]["mad"] == out["3"]["mad"] == 0.106
 
 
 def test_geo_knn_matches_bruteforce_topk(spark):

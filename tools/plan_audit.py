@@ -57,7 +57,7 @@ SINGLE_PARTITION_OK: dict[str, str] = {
     "dedup_jaccard_recall": "1-row recall/precision summary",
     "dedup_semantic_recall": "1-row recall summary",
     "dedup_semantic": (
-        "1-row k = ceil(sqrt(N)) cell-count scalar (count partials only)"
+        "1-row (k, k1, k2) cell-count scalar (count partials only)"
     ),
     "corpus_decontaminate_bloom": (
         "bitmap fold (<=16k words -> one map row) + 1-row contract frame"
@@ -140,6 +140,10 @@ SINGLE_PARTITION_OK: dict[str, str] = {
     "sql_cte_subquery": "1-row scalar subquery inside the CTE",
     "win_ratio_to_report": "1-row global spend denominator (crossJoin broadcast)",
     "sort_multi_key": "prefix-sum over the partition-count frame (one row per range partition)",
+    "sort_pareto_skyline": (
+        "prefix-min window over the price-domain frame (1-dp lattice on "
+        "[900, 999.9]: <=1000 rows at any corpus size)"
+    ),
     # r5 bound contracts: each is a 1-row verdict frame — the exchange
     # carries one partial-aggregate row per upstream partition.
     "embed_pca_contract": "1-row contract frame (global count/avg partials)",

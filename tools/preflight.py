@@ -1,0 +1,133 @@
+"""Round-close gate: run BEFORE the snapshot commit so the final batch of
+operators can never outrun its artifacts again (r4 shipped a stale PLANS
+exclusion list; r5 shipped a never-executed operator — both were
+last-commit verification holes this gate closes).
+
+What it does, in order:
+
+  1. figures out which registered queries have no artifacts yet:
+       - batch queries missing a PLANS.md row (new since the last
+         plan-audit regen),
+       - streaming queries with no driver verdict in any committed
+         CORRECTNESS_r0*.json,
+       - plus anything passed via --changed (names whose implementation
+         was edited without being renamed — PLANS rows go stale silently);
+  2. runs tools/check_oracle.py (Spark-vs-DuckDB differential) over that
+     set — a query that does not RUN or does not MATCH fails here, not in
+     next round's VERDICT;
+  3. runs tools/plan_audit.py --update over the new batch names, patching
+     their rows into PLANS.md (and failing on CartesianProduct /
+     undocumented SinglePartition);
+  4. runs the full pytest suite.
+
+Usage: python tools/preflight.py [--sf SF_DIR] [--changed NAME ...]
+                                 [--skip-pytest]
+Exit status is non-zero if any step fails. Document of record: README.md
+"Round-close preflight" section.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _plans_names() -> set[str]:
+    names: set[str] = set()
+    try:
+        with open(os.path.join(REPO, "PLANS.md")) as f:
+            for ln in f:
+                if ln.startswith("| `"):
+                    names.add(ln.split("`")[1])
+    except OSError:
+        pass
+    return names
+
+
+def _driver_judged() -> set[str]:
+    judged: set[str] = set()
+    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as f:
+                judged.update(json.load(f).keys())
+        except (OSError, ValueError):
+            continue
+    return judged
+
+
+def _run(desc: str, cmd: list[str]) -> bool:
+    print(f"\n=== preflight: {desc}\n    $ {' '.join(cmd)}", flush=True)
+    res = subprocess.run(cmd, cwd=REPO)
+    ok = res.returncode == 0
+    print(f"=== {'OK' if ok else 'FAILED'}: {desc}", flush=True)
+    return ok
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default=os.environ.get("DIP_SF_DIR", "/root/testdata/sf0.01"))
+    ap.add_argument("--changed", nargs="*", default=[],
+                    help="names whose implementation changed this round "
+                         "(forces an oracle re-run + PLANS row refresh)")
+    ap.add_argument("--skip-pytest", action="store_true")
+    args = ap.parse_args()
+
+    from data_ingestion_poc_spark import registry
+
+    all_q = set(registry.all_queries())
+    unknown = [n for n in args.changed if n not in all_q]
+    if unknown:
+        print(f"preflight: unknown --changed names: {unknown}", file=sys.stderr)
+        return 2
+
+    plans = _plans_names()
+    judged = _driver_judged()
+    new_batch = sorted(
+        n for n in all_q if not n.startswith("stream_") and n not in plans
+    )
+    new_stream = sorted(
+        n for n in all_q if n.startswith("stream_") and n not in judged
+    )
+    to_check = sorted(set(new_batch) | set(new_stream) | set(args.changed))
+    to_audit = sorted(
+        set(new_batch) | {n for n in args.changed if not n.startswith("stream_")}
+    )
+    print(f"preflight: {len(new_batch)} batch query(ies) missing a PLANS row, "
+          f"{len(new_stream)} streaming query(ies) without a driver verdict, "
+          f"{len(args.changed)} explicitly changed")
+
+    failures: list[str] = []
+    py = sys.executable
+    if to_check:
+        if not _run(
+            f"oracle differential over {len(to_check)} query(ies)",
+            [py, "tools/check_oracle.py", "--sf", args.sf, *to_check],
+        ):
+            failures.append("check_oracle")
+    if to_audit:
+        if not _run(
+            f"plan audit + PLANS.md row refresh for {len(to_audit)} query(ies)",
+            [py, "tools/plan_audit.py", "--update", *to_audit],
+        ):
+            failures.append("plan_audit")
+    if not args.skip_pytest:
+        if not _run("full pytest suite", [py, "-m", "pytest", "tests/", "-q"]):
+            failures.append("pytest")
+
+    if failures:
+        print(f"\nPREFLIGHT FAILED: {', '.join(failures)}", file=sys.stderr)
+        return 1
+    print("\nPREFLIGHT GREEN: safe to commit")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
