@@ -46,6 +46,18 @@ _CHANGED_THIS_ROUND = [
     "agg_chi_squared",
     "agg_benford",
     "q_browse_abandonment",
+    # r6 new operators (zero verdicts of any kind yet):
+    "agg_anova_oneway",
+    "agg_ratio_delta_ci",
+    "q_attribution_last_touch",
+    "win_holt_linear",
+    "dedup_soft_reweight",
+    "fn_geohash",
+    "graph_label_propagation",
+    "agg_survival_km",
+    "win_kalman_1d",
+    "dedup_cluster_histogram",
+    "q_pattern_funnel_path",
 ]
 
 

@@ -498,7 +498,10 @@ def jaccard_pairs_checkpointed(spark: SparkSession, sf_dir: str) -> DataFrame:
         _PAIRS_CACHE[key] = cached
     return cached
 
-_CLUSTERS_ORACLE = f"""
+#: Shared recursive-closure CTE prefix: dedup_clusters' oracle and the
+#: dedup_cluster_histogram consumer derive from ONE string so the
+#: clustering definition can never drift between them.
+_CLUSTERS_CTE = f"""
     WITH RECURSIVE sh0 AS (
       SELECT DISTINCT doc_id, shingle
       FROM (
@@ -541,11 +544,17 @@ _CLUSTERS_ORACLE = f"""
       SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
       FROM reach GROUP BY src
     )
+"""
+
+_CLUSTERS_ORACLE = (
+    _CLUSTERS_CTE
+    + """
     SELECT l.doc_id, l.cluster_id, c.n AS cluster_size
     FROM lbl l
     JOIN (SELECT cluster_id, COUNT(*) AS n FROM lbl GROUP BY cluster_id) c
       USING (cluster_id)
 """
+)
 
 
 @register("dedup_clusters", oracle=_CLUSTERS_ORACLE)
@@ -1535,4 +1544,159 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(jac >= PREFIX_TAU)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+_SOFT_REWEIGHT_ORACLE = """
+    WITH sh AS (
+      SELECT DISTINCT doc_id, shingle
+      FROM (
+        SELECT doc_id,
+               unnest([array_to_string(words[i:i+2], ' ')
+                       FOR i IN range(1, len(words) - 1)]) AS shingle
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS words
+              FROM documents)
+      )
+    ),
+    dfs AS (
+      SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle
+    ),
+    per_doc AS (
+      SELECT sh.doc_id,
+             COUNT(*) AS n_shingles,
+             SUM(ROUND(log2(df), 6)) AS s_log
+      FROM sh JOIN dfs USING (shingle)
+      GROUP BY sh.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+           ROUND(p.s_log / p.n_shingles, 4) AS commonness,
+           COALESCE(ROUND(1.0 / (1.0 + p.s_log / p.n_shingles), 4), 1.0)
+             AS sample_weight
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+@register("dedup_soft_reweight", oracle=_SOFT_REWEIGHT_ORACLE)
+def dedup_soft_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOFT deduplication by reweighting instead of dropping (the
+    SoftDedup idea, He et al. 2024: down-weight common data in the
+    training objective rather than discarding it — hard thresholds lose
+    the information that a document was *mildly* duplicated). Each doc
+    gets a commonness score = mean log2(document frequency) over its
+    3-word shingles (0 when every shingle is unique corpus-wide) and a
+    sampling weight 1/(1 + commonness) for the training mix; a perfect
+    second copy of a doc pushes every shingle df to 2 and the weight to
+    1/2. Shingle-less docs (< 3 words) keep weight 1.0 with null
+    commonness.
+
+    Scale shape: rides the SAME uncapped shingle universe as the
+    Jaccard/containment family (uncapped_shingle_index) but never
+    self-joins it — only two combinable hash aggregates (df per
+    shingle, mean per doc) and a join-back keyed on the shingle, so hot
+    boilerplate shingles cost partial-aggregate rows, never candidate
+    pairs. Per-term log2 is rounded to 6dp before the lattice-exact
+    per-doc sum (the text_tfidf libm convention).
+
+    Reference: no statistics surface in the reference ETL (SURVEY
+    section 2 Part C extension, dedup family)."""
+    t = load(spark, sf_dir)
+    sh = uncapped_shingle_index(spark, sf_dir)
+    dfs = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        sh.join(dfs, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.round(F.log2("df"), 6)).alias("s_log"),
+        )
+    )
+    commonness = F.col("s_log") / F.col("n_shingles")
+    return (
+        t.documents.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).cast("bigint").alias(
+                "n_shingles"
+            ),
+            F.round(commonness, 4).alias("commonness"),
+            F.coalesce(
+                F.round(1.0 / (1.0 + commonness), 4), F.lit(1.0)
+            ).alias("sample_weight"),
+        )
+    )
+
+
+_CLUSTER_HIST_ORACLE = (
+    _CLUSTERS_CTE
+    + """
+    , per_cluster AS (
+      SELECT cluster_id, COUNT(*) AS n FROM lbl GROUP BY cluster_id
+    ),
+    hist AS (
+      SELECT n AS cluster_size, COUNT(*) AS n_clusters,
+             SUM(n) AS n_docs
+      FROM per_cluster GROUP BY n
+      UNION ALL
+      SELECT 1,
+             (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM lbl),
+             (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM lbl)
+    )
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(n_clusters AS BIGINT) AS n_clusters,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           ROUND(n_docs / (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents), 4)
+             AS pct_corpus
+    FROM hist
+"""
+)
+
+
+@register("dedup_cluster_histogram", oracle=_CLUSTER_HIST_ORACLE)
+def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution — the corpus-health report a
+    curation run publishes after clustering (RefinedWeb/Falcon-style
+    "how much of the corpus is duplicated, and in how big groups"):
+    one row per cluster size with cluster count, doc count, and corpus
+    share; singletons (docs in NO near-dup pair) are the size-1 row, so
+    the n_docs column sums to the corpus.
+
+    Plan: consumes dedup_clusters' labels (the pair graph + CC run once
+    per session via the shared checkpoint cache) and reduces them with
+    two combinable aggregates — cluster sizes, then size histogram —
+    plus a 1-row corpus total; output is bounded by the largest cluster
+    size. Cites dedup_clusters for the clustering definition; the
+    oracle derives from the SAME recursive-closure CTE prefix."""
+    t = load(spark, sf_dir)
+    lbl = dedup_clusters(spark, sf_dir)
+    per_cluster = lbl.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n"))
+    hist = per_cluster.groupBy(F.col("n").alias("cluster_size")).agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("n").alias("n_docs"),
+    )
+    totals = t.documents.agg(
+        F.count(F.lit(1)).alias("corpus_n")
+    ).crossJoin(lbl.agg(F.count(F.lit(1)).alias("clustered_n")))
+    singleton = totals.select(
+        F.lit(1).cast("bigint").alias("cluster_size"),
+        (F.col("corpus_n") - F.col("clustered_n")).alias("n_clusters"),
+        (F.col("corpus_n") - F.col("clustered_n")).alias("n_docs"),
+    )
+    return (
+        hist.select(
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+            F.col("n_clusters").cast("bigint").alias("n_clusters"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+        )
+        .unionByName(singleton)
+        .crossJoin(F.broadcast(totals.select("corpus_n")))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            "n_docs",
+            F.round(
+                F.col("n_docs") / F.col("corpus_n").cast("double"), 4
+            ).alias("pct_corpus"),
+        )
     )

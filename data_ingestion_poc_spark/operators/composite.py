@@ -960,3 +960,166 @@ def q_browse_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
         buys.alias("n_purchases"),
         ((clicks > 0) & (buys == 0)).alias("abandoned"),
     )
+
+
+#: Attribution lookback: a purchase is credited to the user's most
+#: recent click no older than this (microseconds).
+ATTRIB_LOOKBACK_US = 7 * 86400 * 1_000_000
+
+_ATTRIB_ORACLE = f"""
+    WITH e AS (
+      SELECT event_id, user_id, ts, event_type,
+             CASE WHEN event_type = 'click' THEN epoch_us(ts) END AS cts,
+             CASE WHEN event_type = 'click' THEN event_id END AS cid
+      FROM events
+    ),
+    lastc AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS pts,
+             last_value(cts IGNORE NULLS) OVER w AS last_ts,
+             last_value(cid IGNORE NULLS) OVER w AS last_id
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id AS purchase_id, user_id,
+           CASE WHEN pts - last_ts <= {ATTRIB_LOOKBACK_US}
+                THEN last_id END AS click_id,
+           CASE WHEN pts - last_ts <= {ATTRIB_LOOKBACK_US}
+                THEN pts - last_ts END AS gap_us,
+           COALESCE(pts - last_ts <= {ATTRIB_LOOKBACK_US}, FALSE)
+             AS attributed
+    FROM lastc WHERE event_type = 'purchase'
+"""
+
+
+@register("q_attribution_last_touch", oracle=_ATTRIB_ORACLE)
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase is credited to
+    the same user's MOST RECENT prior click within a 7-day lookback —
+    the default attribution model every ads/analytics warehouse
+    computes before graduating to multi-touch. Purchases with no click
+    in the window stay unattributed (organic).
+
+    Plan: ONE user_id shuffle serves everything — the "last preceding
+    click" is last(click_cols, ignorenulls) over a strictly-preceding
+    ROWS frame (no self-join, no as-of join against a second copy of
+    events); click id and timestamp are nulled on non-click rows, and
+    because they null TOGETHER the two ignore-nulls navigations always
+    read the same click row. Gap math at microsecond precision on both
+    engines (the q_browse_abandonment lesson). At a hot-user corpus the
+    same chunk+stitch rewrite as win_sessionize applies."""
+    t = load(spark, sf_dir)
+    us = F.unix_micros(F.col("ts"))
+    e = t.events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "click", us).alias("cts"),
+        F.when(F.col("event_type") == "click", F.col("event_id")).alias(
+            "cid"
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lastc = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        us.alias("pts"),
+        F.last("cts", ignorenulls=True).over(w).alias("last_ts"),
+        F.last("cid", ignorenulls=True).over(w).alias("last_id"),
+    )
+    gap = F.col("pts") - F.col("last_ts")
+    hit = gap <= ATTRIB_LOOKBACK_US
+    return lastc.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.when(hit, F.col("last_id")).alias("click_id"),
+        F.when(hit, gap).alias("gap_us"),
+        F.coalesce(hit, F.lit(False)).alias("attributed"),
+    )
+
+
+_FUNNEL_PATH_ORACLE = """
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+    ),
+    s1 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'view' THEN us END)
+                  OVER (PARTITION BY user_id) AS v1
+      FROM e
+    ),
+    s2 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'click' AND us > v1 THEN us END)
+                  OVER (PARTITION BY user_id) AS c1
+      FROM s1
+    ),
+    s3 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'purchase' AND us > c1 THEN us END)
+                  OVER (PARTITION BY user_id) AS p1
+      FROM s2
+    )
+    SELECT user_id, MIN(v1) AS view_us, MIN(c1) AS click_us,
+           MIN(p1) AS purchase_us,
+           MIN(p1) IS NOT NULL AS completed,
+           MIN(p1) - MIN(v1) AS elapsed_us
+    FROM s3 GROUP BY user_id
+"""
+
+
+@register("q_pattern_funnel_path", oracle=_FUNNEL_PATH_ORACLE)
+def q_pattern_funnel_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered sequential-pattern match (the MATCH_RECOGNIZE / funnel-
+    path shape): per user, the EARLIEST strictly-ordered completion of
+    view -> click -> purchase — first view, first click strictly after
+    it, first purchase strictly after that — with the end-to-end
+    elapsed time. q_funnel_conversion counts stage membership; this
+    emits the matched PATH, the semantics a product-analytics
+    MATCH_RECOGNIZE query or an eventstream funnel engine implements.
+    Greedy earliest-match is the deterministic canonical choice.
+
+    Plan: three STACKED conditional-min windows over ONE user_id
+    shuffle (each projection feeds the next; Catalyst plans a single
+    Exchange and three Window nodes over the same partitioning — the
+    q_funnel_conversion precedent), then the per-user rollup reuses the
+    same partitioning. Timestamps compare at microsecond precision on
+    both engines; no self-joins, no per-stage rescans of the events
+    table."""
+    t = load(spark, sf_dir)
+    wu = Window.partitionBy("user_id")
+    us = F.unix_micros(F.col("ts"))
+    e = t.events.select("user_id", "event_type", us.alias("us"))
+    s1 = e.withColumn(
+        "v1",
+        F.min(F.when(F.col("event_type") == "view", F.col("us"))).over(wu),
+    )
+    s2 = s1.withColumn(
+        "c1",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("us") > F.col("v1")),
+                F.col("us"),
+            )
+        ).over(wu),
+    )
+    s3 = s2.withColumn(
+        "p1",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("us") > F.col("c1")),
+                F.col("us"),
+            )
+        ).over(wu),
+    )
+    return s3.groupBy("user_id").agg(
+        F.min("v1").alias("view_us"),
+        F.min("c1").alias("click_us"),
+        F.min("p1").alias("purchase_us"),
+        F.min("p1").isNotNull().alias("completed"),
+        (F.min("p1") - F.min("v1")).alias("elapsed_us"),
+    )

@@ -240,3 +240,111 @@ def join_geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("bigint").alias("rnk"),
         )
     )
+
+
+#: Standard geohash base32 (no a/i/l/o) and quantization depth: 20 bits
+#: per axis -> 40 interleaved bits -> 8 characters (~19 m cell height).
+GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+_GH_BITS = 20
+
+#: Closed-form bit math shared verbatim by both engines: every shift is
+#: floor(x / 2^k) arithmetic (exact — the operands are integer-valued
+#: doubles below 2^53 and powers of two are exact), so no engine's
+#: bitwise-operator semantics enter the comparison.
+_GH40_SQL = """
+    CAST(list_sum(list_transform(range(0, 40), p ->
+      (floor((CASE WHEN p % 2 = 0 THEN lon_q ELSE lat_q END)
+              / pow(2, 19 - p // 2))
+       - 2 * floor((CASE WHEN p % 2 = 0 THEN lon_q ELSE lat_q END)
+                   / pow(2, 20 - p // 2)))
+      * pow(2, 39 - p))) AS BIGINT)
+"""
+
+_GEOHASH_ORACLE = f"""
+    WITH pts AS (
+      SELECT c_custkey,
+             {_LAT_C} AS lat, {_LON_C} AS lon,
+             CAST(floor((({_LAT_C}) + 90.0) / 180.0 * 1048576) AS BIGINT)
+               AS lat_q,
+             CAST(floor((({_LON_C}) + 180.0) / 360.0 * 1048576) AS BIGINT)
+               AS lon_q
+      FROM customer
+    ),
+    gh AS (
+      SELECT c_custkey, lat, lon, {_GH40_SQL} AS gh40 FROM pts
+    )
+    SELECT c_custkey, lat, lon,
+           (SELECT string_agg(
+              substr('{GEOHASH_ALPHABET}',
+                     CAST(floor(gh40 / pow(2, 35 - 5 * j))
+                          - 32 * floor(gh40 / pow(2, 40 - 5 * j))
+                          AS INT) + 1, 1), '' ORDER BY j)
+            FROM range(0, 8) t(j)) AS geohash,
+           (SELECT string_agg(
+              substr('{GEOHASH_ALPHABET}',
+                     CAST(floor(gh40 / pow(2, 35 - 5 * j))
+                          - 32 * floor(gh40 / pow(2, 40 - 5 * j))
+                          AS INT) + 1, 1), '' ORDER BY j)
+            FROM range(0, 4) t(j)) AS gh_prefix4
+    FROM gh
+"""
+
+
+@register("fn_geohash", oracle=_GEOHASH_ORACLE)
+def fn_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash encoding (Niemeyer's interleaved-bit base32) of the
+    derived customer coordinates — the standard prefix-joinable spatial
+    bucketing key (a shared k-char prefix bounds the distance between
+    two points, so geohash prefixes are the portable alternative to
+    this module's explicit grid cells, and the layout key spatial
+    tables cluster on). 20 bits per axis -> 40 interleaved bits -> 8
+    base32 chars; gh_prefix4 is the ~20 km join/cluster granularity.
+
+    Everything is pure Column arithmetic: quantization is one floor per
+    axis, bit interleaving is a 40-term fold of floor-division shifts
+    (exact dyadic doubles — no engine bitwise ops), characters index a
+    literal alphabet array. One scan, zero shuffles, zero UDFs; the
+    same expressions run verbatim in the oracle."""
+    t = load(spark, sf_dir)
+    # cast: Spark parses the SQL literals in _LAT_C as DECIMAL; the
+    # oracle computes in DOUBLE, and the quantization floor must see the
+    # same binary value on both engines.
+    lat = F.expr(_LAT_C).cast("double")
+    lon = F.expr(_LON_C).cast("double")
+    pts = t.customer.select(
+        "c_custkey",
+        lat.alias("lat"),
+        lon.alias("lon"),
+        F.floor((lat + 90.0) / 180.0 * (1 << _GH_BITS)).alias("lat_q"),
+        F.floor((lon + 180.0) / 360.0 * (1 << _GH_BITS)).alias("lon_q"),
+    )
+
+    def _bit_term(p):
+        src = F.when(p % 2 == 0, F.col("lon_q")).otherwise(F.col("lat_q"))
+        hi = F.floor(src / F.pow(F.lit(2.0), 19 - F.floor(p / 2)))
+        hi2 = F.floor(src / F.pow(F.lit(2.0), 20 - F.floor(p / 2)))
+        return (hi - 2 * hi2) * F.pow(F.lit(2.0), 39 - p)
+
+    gh40 = F.aggregate(
+        F.sequence(F.lit(0), F.lit(39)),
+        F.lit(0.0),
+        lambda acc, p: acc + _bit_term(p),
+    ).cast("bigint")
+    alphabet = F.array(*[F.lit(c) for c in GEOHASH_ALPHABET])
+
+    def _char(j):
+        code = (
+            F.floor(F.col("gh40") / F.pow(F.lit(2.0), F.lit(float(35 - 5 * j))))
+            - 32
+            * F.floor(F.col("gh40") / F.pow(F.lit(2.0), F.lit(float(40 - 5 * j))))
+        ).cast("int")
+        return F.element_at(alphabet, code + 1)
+
+    gh = pts.withColumn("gh40", gh40)
+    return gh.select(
+        "c_custkey",
+        "lat",
+        "lon",
+        F.concat(*[_char(j) for j in range(8)]).alias("geohash"),
+        F.concat(*[_char(j) for j in range(4)]).alias("gh_prefix4"),
+    )

@@ -357,3 +357,115 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(jac * 10000) / 10000).alias("jaccard"),
         )
     )
+
+
+LABELPROP_ITERS = 3
+
+
+def _lp_step_sql(prev: str, out: str) -> str:
+    """One unrolled synchronous label-propagation round as SQL CTEs.
+    Each node also votes its CURRENT label once (weight 1): without the
+    self-vote, synchronous LPA 2-colors a bipartite graph and
+    oscillates forever (customers adopt supplier labels while suppliers
+    adopt customer labels) — the standard stabilization."""
+    return f"""
+    cand_{out} AS (
+      SELECT node, label, SUM(w) AS wsum FROM (
+        SELECT e.dst AS node, l.label AS label, e.w AS w
+        FROM edges e JOIN {prev} l ON l.node = e.src
+        UNION ALL
+        SELECT node, label, 1 AS w FROM {prev}
+      ) GROUP BY node, label
+    ),
+    {out} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY wsum DESC, label) AS rn
+        FROM cand_{out}
+      ) t WHERE rn = 1
+    )
+"""
+
+
+_LABELPROP_ORACLE = (
+    "WITH "
+    + _EDGES_SQL
+    + ",\n    l0 AS (SELECT node, node AS label FROM nodes),"
+    + _lp_step_sql("l0", "l1")
+    + ","
+    + _lp_step_sql("l1", "l2")
+    + ","
+    + _lp_step_sql("l2", "l3")
+    + """
+    SELECT node, label AS community,
+           COUNT(*) OVER (PARTITION BY label) AS community_size
+    FROM l3
+    """
+)
+
+
+@register("graph_label_propagation", oracle=_LABELPROP_ORACLE)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous weighted label propagation
+    (Raghavan et al. 2007) over the same customer<->supplier purchase
+    graph as graph_pagerank — the near-linear community primitive
+    behind spam-cluster and link-farm detection in crawl curation.
+    Each round every node adopts the label carrying the LARGEST total
+    edge weight among its neighbors PLUS a weight-1 self-vote for its
+    current label (tie -> smallest label string, so the sync update is
+    fully deterministic — plain LPA's random tie-breaking cannot be
+    value-pinned, and without the self-vote synchronous LPA oscillates
+    on bipartite graphs like this one); 3 fixed rounds, no convergence
+    collect, the graph_pagerank doctrine.
+
+    Plan shape per round: edges join labels on src (edge partitioning
+    reused every round), a map-side-combinable (dst, label) weight sum,
+    then a per-node argmax via row_number over the candidate frame —
+    each node's candidate count is bounded by its degree. Labels stay
+    (node, label) string pairs; integer weights make every wsum exact,
+    so both engines pick identical winners every round."""
+    t = load(spark, sf_dir)
+    e0 = (
+        t.lineitem.join(
+            t.orders, F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    ).persist()
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w_pick = Window.partitionBy("node").orderBy(
+        F.col("wsum").desc(), F.col("label")
+    )
+    for _ in range(LABELPROP_ITERS):
+        cand = (
+            edges.join(labels, edges.src == labels.node)
+            .select(F.col("dst").alias("node"), "label", "w")
+            .unionByName(
+                labels.select(
+                    "node", "label", F.lit(1).cast("long").alias("w")
+                )
+            )
+            .groupBy("node", "label")
+            .agg(F.sum("w").alias("wsum"))
+        )
+        labels = (
+            cand.withColumn("rn", F.row_number().over(w_pick))
+            .where(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    return labels.select(
+        "node",
+        F.col("label").alias("community"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("label"))
+        .alias("community_size"),
+    )

@@ -554,3 +554,297 @@ def agg_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(10000.0 * sd / (td * td), 4).alias("hhi"),
         F.round((td * td) / sd, 2).alias("effective_n"),
     )
+
+
+#: 5% critical values of F(dof1, infinity) = chi2_crit(dof1)/dof1 — the
+#: asymptotic the ANOVA verdict uses; exact because the denominator dof
+#: (N - k) is in the tens of thousands at every tested scale (the F
+#: distribution's dof2 dependence is < 1e-4 there). Null verdict for a
+#: dof1 outside the table, the agg_chi_squared convention.
+F_CRIT_INF_BY_DOF1 = {
+    d: round(c / d, 4) for d, c in CHI2_CRIT_BY_DOF.items()
+}
+
+_F_CRIT_SQL_CASE = "CASE dof1 " + " ".join(
+    f"WHEN {d} THEN {c}" for d, c in F_CRIT_INF_BY_DOF1.items()
+) + " END"
+
+_ANOVA_ORACLE = f"""
+    WITH g AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             ROUND(SUM(value), 2) AS s1,
+             ROUND(SUM(value * value), 2) AS s2
+      FROM events GROUP BY event_type
+    ),
+    tot AS (
+      SELECT SUM(n) AS nn, SUM(s1) AS ss1, COUNT(*) AS k,
+             SUM(s1 * s1 / n) AS sb_raw,
+             SUM(s2 - s1 * s1 / n) AS ssw
+      FROM g
+    ),
+    fin AS (
+      SELECT g.event_type, g.n, g.s1,
+             t.k, t.nn,
+             t.sb_raw - t.ss1 * t.ss1 / t.nn AS ssb,
+             t.ssw AS ssw
+      FROM g CROSS JOIN tot t
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           ROUND(s1 / n, 4) AS mean_value,
+           ROUND((ssb / (k - 1)) / (ssw / (nn - k)), 4) AS f_stat,
+           CAST(k - 1 AS BIGINT) AS dof1,
+           CAST(nn - k AS BIGINT) AS dof2,
+           ROUND(ssb / (ssb + ssw), 4) AS eta_sq,
+           (ssb / (k - 1)) / (ssw / (nn - k))
+             > (SELECT {_F_CRIT_SQL_CASE}
+                FROM (SELECT k - 1 AS dof1 FROM tot)) AS significant
+    FROM fin
+"""
+
+
+@register("agg_anova_oneway", oracle=_ANOVA_ORACLE)
+def agg_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA across ALL event types on the event value — the
+    k-group generalization of agg_t_test ("did ANY arm's mean move"),
+    with the eta-squared effect size and the dof1-matched 5% verdict
+    (F at dof2 = N - k ~ infinity; null for an untabled dof1, the
+    agg_chi_squared lesson applied on arrival). Emits one row per group
+    (n, mean) with the table-level statistic replicated, the family's
+    bounded-frame shape.
+
+    Determinism: per-group sufficient statistics (n, sum, sum-of-
+    squares) are 2-dp ROUNDED before any cross-group arithmetic, so
+    SSB/SSW are exact-lattice sums over the |event types|-row frame and
+    every downstream division is a single identical expression in both
+    engines. Scale: one map-side-combinable scan to a domain-bounded
+    frame; the statistic costs nothing more at 100 TB."""
+    t = load(spark, sf_dir)
+    g = t.events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("s1"),
+        F.round(F.sum(F.col("value") * F.col("value")), 2).alias("s2"),
+    )
+    wall = Window.partitionBy()
+    nn = F.sum("n").over(wall)
+    ss1 = F.sum("s1").over(wall)
+    k = F.count(F.lit(1)).over(wall)
+    sb_raw = F.sum(F.col("s1") * F.col("s1") / F.col("n")).over(wall)
+    ssw = F.sum(F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")).over(
+        wall
+    )
+    ssb = sb_raw - ss1 * ss1 / nn
+    fstat = (ssb / (k - 1)) / (ssw / (nn - k))
+    dof1 = (k - 1).cast("bigint")
+    crit = F.lit(None).cast("double")
+    for d, c in F_CRIT_INF_BY_DOF1.items():
+        crit = F.when(dof1 == d, F.lit(c)).otherwise(crit)
+    return g.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("s1") / F.col("n"), 4).alias("mean_value"),
+        F.round(fstat, 4).alias("f_stat"),
+        dof1.alias("dof1"),
+        (nn - k).cast("bigint").alias("dof2"),
+        F.round(ssb / (ssb + ssw), 4).alias("eta_sq"),
+        (fstat > crit).alias("significant"),
+    )
+
+
+_RATIO_CI_ORACLE = """
+    WITH per_user AS (
+      SELECT user_id,
+             ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value
+                            ELSE 0 END), 2) AS x,
+             COUNT(*) AS y
+      FROM events GROUP BY user_id
+    ),
+    s AS (
+      SELECT COUNT(*) AS n,
+             AVG(x) AS mx, AVG(CAST(y AS DOUBLE)) AS my,
+             VAR_SAMP(x) AS vx, VAR_SAMP(CAST(y AS DOUBLE)) AS vy,
+             COVAR_SAMP(x, CAST(y AS DOUBLE)) AS cxy
+      FROM per_user
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           ROUND(mx / my, 6) AS ratio,
+           ROUND(sqrt((vx - 2 * (mx / my) * cxy
+                       + (mx / my) * (mx / my) * vy) / n) / my, 6) AS se,
+           ROUND(mx / my - 1.96 * sqrt((vx - 2 * (mx / my) * cxy
+                 + (mx / my) * (mx / my) * vy) / n) / my, 6) AS ci_lo,
+           ROUND(mx / my + 1.96 * sqrt((vx - 2 * (mx / my) * cxy
+                 + (mx / my) * (mx / my) * vy) / n) / my, 6) AS ci_hi
+    FROM s
+"""
+
+
+@register("agg_ratio_delta_ci", oracle=_RATIO_CI_ORACLE)
+def agg_ratio_delta_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method confidence interval for a RATIO metric (purchase
+    revenue per event) with the USER as the randomization unit — the
+    experimentation-platform staple (Deng et al., KDD 2018 practice):
+    per-event CIs are wrong when events cluster within users, so the
+    variance comes from per-user aggregates via the delta method:
+    var(X/Y) ~ (vx - 2R*cxy + R^2*vy) / (n * my^2).
+
+    Scale shape: ONE user_id shuffle reduces events to a per-user
+    (x, y) frame (map-side-combinable sums), then one 1-row moment
+    aggregate; the CI is driver-free arithmetic on that row. Per-user x
+    is 2-dp rounded so the moment inputs sit on the same lattice in
+    both engines; remaining var/cov float noise is absorbed by the 6-dp
+    output rounding (the agg_t_test precedent)."""
+    t = load(spark, sf_dir)
+    per_user = t.events.groupBy("user_id").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("value"))
+                .otherwise(0.0)
+            ),
+            2,
+        ).alias("x"),
+        F.count(F.lit(1)).alias("y"),
+    )
+    s = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("x").alias("mx"),
+        F.avg(F.col("y").cast("double")).alias("my"),
+        F.var_samp("x").alias("vx"),
+        F.var_samp(F.col("y").cast("double")).alias("vy"),
+        F.covar_samp("x", F.col("y").cast("double")).alias("cxy"),
+    )
+    r = F.col("mx") / F.col("my")
+    se = (
+        F.sqrt(
+            (F.col("vx") - 2 * r * F.col("cxy") + r * r * F.col("vy"))
+            / F.col("n")
+        )
+        / F.col("my")
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        F.round(r, 6).alias("ratio"),
+        F.round(se, 6).alias("se"),
+        F.round(r - 1.96 * se, 6).alias("ci_lo"),
+        F.round(r + 1.96 * se, 6).alias("ci_hi"),
+    )
+
+
+#: Kaplan-Meier administrative-censoring horizon (days from order to
+#: first shipment): orders not shipped within this window are censored
+#: AT the horizon — the standard right-censoring a fulfillment or
+#: retention analysis applies at its observation cutoff.
+KM_HORIZON_DAYS = 60
+
+_KM_ORACLE = f"""
+    WITH durs AS (
+      SELECT o.o_orderkey,
+             LEAST(date_diff('day', o.o_orderdate, MIN(l.l_shipdate)),
+                   {KM_HORIZON_DAYS}) AS t,
+             CASE WHEN date_diff('day', o.o_orderdate, MIN(l.l_shipdate))
+                       <= {KM_HORIZON_DAYS} THEN 1 ELSE 0 END AS ev
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderdate
+    ),
+    tt AS (
+      SELECT t, SUM(ev) AS d, SUM(1 - ev) AS c FROM durs GROUP BY t
+    ),
+    r AS (
+      SELECT t, d, c,
+             SUM(d + c) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior,
+             SUM(d + c) OVER () AS total
+      FROM tt
+    ),
+    s AS (
+      SELECT t, d, c, total - COALESCE(prior, 0) AS n_risk,
+             CASE WHEN d < total - COALESCE(prior, 0)
+                  THEN ROUND(ln(1 - d / CAST(total - COALESCE(prior, 0)
+                                             AS DOUBLE)), 6) END AS lterm,
+             CASE WHEN d >= total - COALESCE(prior, 0) THEN 1 ELSE 0 END
+               AS dead
+      FROM r
+    )
+    SELECT CAST(t AS BIGINT) AS t_days,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS n_events,
+           CAST(c AS BIGINT) AS n_censored,
+           CASE WHEN MAX(dead) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) = 1
+                THEN 0.0
+                ELSE ROUND(exp(SUM(lterm) OVER (ORDER BY t
+                                                ROWS UNBOUNDED PRECEDING)), 4)
+           END AS survival
+    FROM s
+"""
+
+
+@register("agg_survival_km", oracle=_KM_ORACLE)
+def agg_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of order fulfillment latency (days
+    from order to FIRST shipment, right-censored at KM_HORIZON_DAYS) —
+    the survival-analysis primitive behind "what fraction of orders is
+    still unshipped after t days", and the same estimator a retention
+    analysis runs on churn times. Emits the full risk table
+    (n_risk / events / censored per distinct day) plus the product-
+    limit survival estimate S(t) = prod(1 - d_s/n_s).
+
+    Scale shape: one join + per-order MIN reduces the facts to one
+    (duration, event) row per order; a second combinable groupBy bounds
+    everything downstream by the TIME DOMAIN (<= horizon+1 distinct
+    values at any corpus size — the agg_ks_test argument), so the KM
+    product is a window over a <= 61-row frame. Determinism: counts are
+    exact integers; the product runs as exp(sum(6-dp-rounded log
+    terms)) — a lattice-exact cumulation (the text_tfidf libm
+    convention); a time where every at-risk order fails pins S to an
+    exact 0 rather than exp(ln 0)."""
+    t = load(spark, sf_dir)
+    durs = (
+        t.orders.join(
+            t.lineitem, F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.min("l_shipdate").alias("first_ship"))
+        .select(
+            F.datediff("first_ship", "o_orderdate").alias("dur")
+        )
+    )
+    tt = durs.select(
+        F.least(F.col("dur"), F.lit(KM_HORIZON_DAYS)).alias("t"),
+        F.when(F.col("dur") <= KM_HORIZON_DAYS, 1).otherwise(0).alias("ev"),
+    ).groupBy("t").agg(
+        F.sum("ev").alias("d"), F.sum(1 - F.col("ev")).alias("c")
+    )
+    w_prior = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.partitionBy()
+    w_cum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    r = tt.select(
+        "t",
+        "d",
+        "c",
+        (
+            F.sum(F.col("d") + F.col("c")).over(w_all)
+            - F.coalesce(
+                F.sum(F.col("d") + F.col("c")).over(w_prior), F.lit(0)
+            )
+        ).alias("n_risk"),
+    )
+    lterm = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.round(
+            F.log(1 - F.col("d") / F.col("n_risk").cast("double")), 6
+        ),
+    )
+    dead = F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0)
+    s = r.select("t", "d", "c", "n_risk", lterm.alias("lterm"), dead.alias("dead"))
+    return s.select(
+        F.col("t").cast("bigint").alias("t_days"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d").cast("bigint").alias("n_events"),
+        F.col("c").cast("bigint").alias("n_censored"),
+        F.when(F.max("dead").over(w_cum) == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.sum("lterm").over(w_cum)), 4))
+        .alias("survival"),
+    )

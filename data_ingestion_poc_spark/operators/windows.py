@@ -1447,3 +1447,173 @@ def win_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_frame") >= TREND_MIN_N)
     )
+
+
+#: Holt's linear smoothing parameters — DYADIC rationals (1/2, 1/4,
+#: 3/4 are exact doubles), so every fold step is exact IEEE arithmetic
+#: applied in the same order in both engines: the fold is bit-identical
+#: cross-engine BEFORE the display rounding, the win_ewma doctrine.
+HOLT_FRAME_ROWS = 16
+
+_HOLT_ORACLE = """
+    WITH framed AS (
+      SELECT user_id, event_id,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)
+               AS frame
+      FROM events
+    ),
+    folded AS (
+      SELECT user_id, event_id,
+             list_reduce(list_transform(frame, x -> [x, 0.0]),
+               (acc, e) -> [
+                 e[1] * 0.5 + (acc[1] + acc[2]) * 0.5,
+                 (e[1] * 0.5 + (acc[1] + acc[2]) * 0.5 - acc[1]) * 0.25
+                   + acc[2] * 0.75
+               ]) AS st
+      FROM framed
+    )
+    SELECT user_id, event_id,
+           floor(st[1] * 1000000) / 1000000 AS holt_level,
+           floor(st[2] * 1000000) / 1000000 AS holt_trend,
+           floor((st[1] + st[2]) * 1000000) / 1000000 AS forecast_next
+    FROM folded
+"""
+
+
+@register("win_holt_linear", oracle=_HOLT_ORACLE)
+def win_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (double-exponential) smoothing over a bounded
+    trailing frame — the trend-aware upgrade of win_ewma (which damps
+    level only and lags any trending series): level l = a*x + (1-a)(l+t)
+    and trend t = b*(l-l_prev) + (1-b)*t with a=1/2, b=1/4, initialized
+    at the frame's first observation (l0 = x0, t0 = 0, the standard
+    init); forecast_next = l + t is the one-step-ahead forecast a
+    monitoring/capacity pipeline alerts on. The recursion over an
+    unbounded history does not distribute; the 16-row frame truncation
+    is the same trade win_ewma documents (geometric decay makes the
+    discarded mass < 2^-16 of the weight).
+
+    Plan: one user_id shuffle; collect_list over the ROWS frame (O(16)
+    state per row), then a pure Column fold — zip each value with a
+    zero trend seed, aggregate() threads the [level, trend] pair, NO
+    UDF. Dyadic coefficients make the fold exact IEEE arithmetic in
+    fold order, so Spark and DuckDB (list_reduce) agree bit-for-bit
+    before the 6-dp display rounding."""
+    t = load(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(HOLT_FRAME_ROWS - 1), 0)
+    )
+    framed = t.events.select(
+        "user_id",
+        "event_id",
+        F.collect_list("value").over(w).alias("frame"),
+    )
+    pairs = F.transform(F.col("frame"), lambda x: F.array(x, F.lit(0.0)))
+
+    def _step(acc, e):
+        new_l = e[0] * 0.5 + (acc[0] + acc[1]) * 0.5
+        new_t = (new_l - acc[0]) * 0.25 + acc[1] * 0.75
+        return F.array(new_l, new_t)
+
+    st = F.aggregate(
+        F.slice(pairs, F.lit(2), F.greatest(F.size(pairs) - 1, F.lit(0))),
+        F.element_at(pairs, 1),
+        _step,
+    )
+    # floor-scaling instead of ROUND: the fold's exact-dyadic outputs sit
+    # ON half-ulp decimal boundaries where Spark's BigDecimal HALF_UP and
+    # DuckDB's double-multiply rounding disagree; floor of the identical
+    # double product is deterministic (the agg_mann_whitney z_stat trick).
+    return framed.select(
+        "user_id",
+        "event_id",
+        (F.floor(st[0] * 1_000_000) / 1_000_000).alias("holt_level"),
+        (F.floor(st[1] * 1_000_000) / 1_000_000).alias("holt_trend"),
+        (F.floor((st[0] + st[1]) * 1_000_000) / 1_000_000).alias(
+            "forecast_next"
+        ),
+    )
+
+
+#: 1-D Kalman filter noise parameters — process noise q=1/4, observation
+#: noise r=1 (dyadic / unit, so the only inexact steps are the gain
+#: division and its products, computed as the SAME IEEE ops in the same
+#: fold order on both engines — bit-identical results, floor-scaled
+#: outputs like win_holt_linear).
+KALMAN_Q = 0.25
+
+_KALMAN_ORACLE = """
+    WITH framed AS (
+      SELECT user_id, event_id,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)
+               AS frame
+      FROM events
+    ),
+    folded AS (
+      SELECT user_id, event_id,
+             list_reduce(list_transform(frame, x -> [x, 1.0]),
+               (acc, e) -> [
+                 acc[1] + ((acc[2] + 0.25) / (acc[2] + 0.25 + 1.0))
+                            * (e[1] - acc[1]),
+                 (1.0 - (acc[2] + 0.25) / (acc[2] + 0.25 + 1.0))
+                   * (acc[2] + 0.25)
+               ]) AS st
+      FROM framed
+    )
+    SELECT user_id, event_id,
+           floor(st[1] * 1000000) / 1000000 AS kalman_x,
+           floor(st[2] * 1000000) / 1000000 AS kalman_p
+    FROM folded
+"""
+
+
+@register("win_kalman_1d", oracle=_KALMAN_ORACLE)
+def win_kalman_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D random-walk Kalman filter per user over the trailing 16-row
+    frame — the optimal-under-Gaussian-noise smoother that ADAPTS its
+    gain (win_ewma's alpha is fixed; the Kalman gain k = p/(p+r) starts
+    high while the state is uncertain and settles to the steady-state
+    EWMA as p converges — the standard sensor/metric denoiser). State
+    per step: estimate x and error variance p; predict p+q, gain
+    k = (p+q)/(p+q+r), update x += k*(z-x), p = (1-k)(p+q); init at the
+    first observation with p = 1 (the observation-noise prior).
+
+    Plan: identical machinery to win_holt_linear — one user_id shuffle,
+    collect_list ROWS frame, pure Column fold threading the [x, p] pair
+    (no UDF), frame truncation discards geometrically-decayed history.
+    Both engines run the same IEEE ops in the same order, so the fold
+    is bit-exact; outputs are floor-scaled (the half-ulp ROUND lesson
+    from win_holt_linear)."""
+    t = load(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(HOLT_FRAME_ROWS - 1), 0)
+    )
+    framed = t.events.select(
+        "user_id",
+        "event_id",
+        F.collect_list("value").over(w).alias("frame"),
+    )
+    pairs = F.transform(F.col("frame"), lambda x: F.array(x, F.lit(1.0)))
+
+    def _step(acc, e):
+        p_pred = acc[1] + KALMAN_Q
+        k = p_pred / (p_pred + 1.0)
+        return F.array(acc[0] + k * (e[0] - acc[0]), (1.0 - k) * p_pred)
+
+    st = F.aggregate(
+        F.slice(pairs, F.lit(2), F.greatest(F.size(pairs) - 1, F.lit(0))),
+        F.element_at(pairs, 1),
+        _step,
+    )
+    return framed.select(
+        "user_id",
+        "event_id",
+        (F.floor(st[0] * 1_000_000) / 1_000_000).alias("kalman_x"),
+        (F.floor(st[1] * 1_000_000) / 1_000_000).alias("kalman_p"),
+    )

@@ -1,0 +1,340 @@
+"""Semantics tests for the round-6 additions: one-way ANOVA,
+delta-method ratio CI, last-touch attribution, Holt linear smoothing,
+soft dedup reweighting. Oracle parity is covered by check_oracle /
+the driver; these pin hand-computable values and edge behavior."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from data_ingestion_poc_spark import registry
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from data_ingestion_poc_spark.session import get_spark
+
+    return get_spark(shuffle_partitions=4)
+
+
+def _write_events(spark, tmp_path, rows):
+    """rows: (event_id, minutes_offset, user_id, event_type, value)."""
+    base = datetime.datetime(2024, 1, 1)
+    data = [
+        (eid, base + datetime.timedelta(minutes=m), uid, et, float(v), None)
+        for eid, m, uid, et, v in rows
+    ]
+    spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+
+def _write_documents(spark, tmp_path, docs):
+    spark.createDataFrame(docs, "doc_id long, text string").selectExpr(
+        "doc_id",
+        "text",
+        "'en' AS lang",
+        "'test' AS source",
+        "CAST(length(text) AS LONG) AS n_chars",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+
+def test_anova_separated_groups_significant(spark, tmp_path):
+    """Groups A=(1,1,2,2) B=(3,3,4,4) C=(5,5,6,6): SSW = 1 per group
+    (3 total), group means 1.5/3.5/5.5, grand 3.5, SSB = 4*(4+0+4) = 32,
+    F = (32/2)/(3/9) = 48, eta^2 = 32/35; dof1=2 -> crit 2.9957 ->
+    significant."""
+    rows = []
+    eid = 0
+    for et, vals in [("a", [1, 1, 2, 2]), ("b", [3, 3, 4, 4]),
+                     ("c", [5, 5, 6, 6])]:
+        for v in vals:
+            rows.append((eid, eid, 1, et, v))
+            eid += 1
+    _write_events(spark, tmp_path, rows)
+    out = {
+        r["event_type"]: r
+        for r in registry.get("agg_anova_oneway")
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert set(out) == {"a", "b", "c"}
+    r = out["a"]
+    assert r["n"] == 4 and r["mean_value"] == 1.5
+    assert r["f_stat"] == 48.0
+    assert r["dof1"] == 2 and r["dof2"] == 9
+    assert r["eta_sq"] == round(32 / 35, 4)
+    assert r["significant"]
+
+
+def test_anova_identical_groups_not_significant(spark, tmp_path):
+    """Identical distributions in both arms: SSB = 0 -> F = 0."""
+    rows = [(i, i, 1, "a", v) for i, v in enumerate([1, 2, 3, 4])]
+    rows += [(10 + i, 10 + i, 1, "b", v) for i, v in enumerate([1, 2, 3, 4])]
+    _write_events(spark, tmp_path, rows)
+    out = registry.get("agg_anova_oneway").fn(spark, str(tmp_path)).collect()
+    assert all(r["f_stat"] == 0.0 and not r["significant"] for r in out)
+
+
+def test_ratio_delta_ci_brackets_ratio(spark, tmp_path):
+    """3 users: (purchase sums, event counts) = (10,2), (20,3), (30,4):
+    ratio = 60/9; CI must bracket the ratio symmetrically (se > 0)."""
+    rows = [
+        (0, 0, 1, "purchase", 10), (1, 1, 1, "view", 0),
+        (2, 2, 2, "purchase", 20), (3, 3, 2, "view", 0), (4, 4, 2, "view", 0),
+        (5, 5, 3, "purchase", 30), (6, 6, 3, "view", 0), (7, 7, 3, "view", 0),
+        (8, 8, 3, "view", 0),
+    ]
+    _write_events(spark, tmp_path, rows)
+    (r,) = registry.get("agg_ratio_delta_ci").fn(spark, str(tmp_path)).collect()
+    assert r["n_users"] == 3
+    assert r["ratio"] == round(60 / 9, 6)
+    assert r["se"] > 0
+    assert r["ci_lo"] < r["ratio"] < r["ci_hi"]
+    assert round(r["ratio"] - r["ci_lo"], 4) == round(r["ci_hi"] - r["ratio"], 4)
+
+
+def test_attribution_last_touch_window(spark, tmp_path):
+    """Purchase 10 min after the LAST of two clicks credits that click;
+    a purchase 8 days after its only click is organic; a click AFTER the
+    purchase never attributes (strictly-preceding frame)."""
+    day = 1440
+    rows = [
+        # user 1: click(e0) at t0, click(e1) at t5, purchase(e2) at t15
+        (0, 0, 1, "click", 0), (1, 5, 1, "click", 0), (2, 15, 1, "purchase", 9),
+        # user 2: click at t0, purchase 8 days later -> outside lookback
+        (3, 0, 2, "click", 0), (4, 8 * day, 2, "purchase", 5),
+        # user 3: purchase first, click later -> organic
+        (5, 0, 3, "purchase", 7), (6, 10, 3, "click", 0),
+    ]
+    _write_events(spark, tmp_path, rows)
+    out = {
+        r["purchase_id"]: r
+        for r in registry.get("q_attribution_last_touch")
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert set(out) == {2, 4, 5}
+    assert out[2]["attributed"] and out[2]["click_id"] == 1
+    assert out[2]["gap_us"] == 10 * 60 * 1_000_000
+    assert not out[4]["attributed"] and out[4]["click_id"] is None
+    assert out[4]["gap_us"] is None
+    assert not out[5]["attributed"] and out[5]["click_id"] is None
+
+
+def test_holt_linear_constant_and_ramp(spark, tmp_path):
+    """Constant series: level = the constant, trend = 0 everywhere.
+    Linear ramp v_t = t: the trend estimate is positive and the
+    forecast always leads the level."""
+    rows = [(i, i, 1, "view", 5.0) for i in range(6)]
+    rows += [(10 + i, 10 + i, 2, "view", float(i)) for i in range(8)]
+    _write_events(spark, tmp_path, rows)
+    out = registry.get("win_holt_linear").fn(spark, str(tmp_path)).collect()
+    const = [r for r in out if r["user_id"] == 1]
+    ramp = sorted(
+        (r for r in out if r["user_id"] == 2), key=lambda r: r["event_id"]
+    )
+    assert all(r["holt_level"] == 5.0 and r["holt_trend"] == 0.0 for r in const)
+    assert all(r["forecast_next"] == 5.0 for r in const)
+    # after a couple of warmup rows the ramp's trend is strictly positive
+    assert all(r["holt_trend"] > 0 for r in ramp[2:])
+    assert all(r["forecast_next"] > r["holt_level"] for r in ramp[2:])
+
+
+def test_soft_reweight_duplicate_halves_weight(spark, tmp_path):
+    """Two identical docs (every shingle df=2): commonness = 1 bit ->
+    weight 0.5. A unique doc: commonness 0 -> weight 1. A 2-word doc has
+    no shingles -> weight 1 with null commonness."""
+    docs = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delta"),
+        (3, "unique words only here now"),
+        (4, "too short"),
+    ]
+    _write_documents(spark, tmp_path, docs)
+    out = {
+        r["doc_id"]: r
+        for r in registry.get("dedup_soft_reweight")
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1]["n_shingles"] == 2 and out[1]["commonness"] == 1.0
+    assert out[1]["sample_weight"] == 0.5
+    assert out[2]["sample_weight"] == 0.5
+    assert out[3]["commonness"] == 0.0 and out[3]["sample_weight"] == 1.0
+    assert out[4]["n_shingles"] == 0 and out[4]["commonness"] is None
+    assert out[4]["sample_weight"] == 1.0
+
+
+def test_geohash_known_point(spark, tmp_path, monkeypatch=None):
+    """c_custkey = 1 derives lat = ((7919 % 12000)/100 - 60) = 19.19,
+    lon = ((104729 % 34000)/100 - 170) = -142.71 — encode must match a
+    reference geohash implementation bit for bit."""
+    spark.createDataFrame(
+        [(1, "x", "addr", 0, "p", 0.0, "mkt", "c")],
+        "c_custkey long, c_name string, c_address string, c_nationkey long,"
+        " c_phone string, c_acctbal double, c_mktsegment string,"
+        " c_comment string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    (r,) = registry.get("fn_geohash").fn(spark, str(tmp_path)).collect()
+    assert r["lat"] == 19.19 and r["lon"] == -142.71
+
+    # pure-python reference encoder
+    def ref_geohash(lat, lon, length=8):
+        alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+        lat_q = int((lat + 90.0) / 180.0 * (1 << 20))
+        lon_q = int((lon + 180.0) / 360.0 * (1 << 20))
+        bits = 0
+        for p in range(40):
+            src = lon_q if p % 2 == 0 else lat_q
+            bit = (src >> (19 - p // 2)) & 1
+            bits = (bits << 1) | bit
+        return "".join(
+            alphabet[(bits >> (35 - 5 * j)) & 31] for j in range(length)
+        )
+
+    assert r["geohash"] == ref_geohash(19.19, -142.71)
+    assert r["gh_prefix4"] == r["geohash"][:4]
+
+
+def test_label_propagation_two_cliques(spark, tmp_path):
+    """Two disconnected purchase cliques (customers 1,2 x suppliers
+    10,20 and customers 5,6 x suppliers 50,60) must converge to two
+    communities labeled by each clique's smallest node string."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    orders, lines = [], []
+    ok = 0
+    for custs, supps in [((1, 2), (10, 20)), ((5, 6), (50, 60))]:
+        for c in custs:
+            for s in supps:
+                ok += 1
+                orders.append((ok, c, "O", 1.0, base, "P"))
+                lines.append((ok, s, 1, 1.0, 0.0, base, "N", 1, 1.0))
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        lines,
+        "l_orderkey long, l_suppkey long, l_quantity long,"
+        " l_extendedprice double, l_discount double, l_shipdate timestamp,"
+        " l_returnflag string, l_linenumber long, l_tax double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    out = {
+        r["node"]: r
+        for r in registry.get("graph_label_propagation")
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert len(out) == 8
+    com_a = {out[n]["community"] for n in ["c1", "c2", "s10", "s20"]}
+    com_b = {out[n]["community"] for n in ["c5", "c6", "s50", "s60"]}
+    assert len(com_a) == 1 and len(com_b) == 1
+    assert com_a != com_b
+    assert all(r["community_size"] == 4 for r in out.values())
+
+
+def test_kalman_constant_series_converges(spark, tmp_path):
+    """Constant observations: the estimate equals the constant at every
+    step and the error variance p strictly decreases toward the
+    steady-state value of the (q=1/4, r=1) filter."""
+    rows = [(i, i, 1, "view", 7.5) for i in range(10)]
+    _write_events(spark, tmp_path, rows)
+    out = sorted(
+        registry.get("win_kalman_1d").fn(spark, str(tmp_path)).collect(),
+        key=lambda r: r["event_id"],
+    )
+    assert all(r["kalman_x"] == 7.5 for r in out)
+    ps = [r["kalman_p"] for r in out]
+    assert all(a >= b for a, b in zip(ps, ps[1:]))
+    # steady state p* solves p = (1-k)(p+q): ~0.39 for q=.25, r=1
+    assert 0.3 < ps[-1] < 0.5
+
+
+def test_survival_km_hand_computed(spark, tmp_path):
+    """4 orders shipping after 1, 1, 2, and 70 days (the last censored
+    at the 60-day horizon): S(1) = 1 - 2/4 = 0.5, S(2) = 0.5 * (1 - 1/2)
+    = 0.25, then one censored row at t=60 with survival unchanged."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    orders, lines = [], []
+    for ok, days in [(1, 1), (2, 1), (3, 2), (4, 70)]:
+        orders.append((ok, 1, "O", 1.0, base, "P"))
+        lines.append(
+            (ok, 1, 1, 1.0, 0.0, base + datetime.timedelta(days=days),
+             "N", 1, 1.0)
+        )
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        lines,
+        "l_orderkey long, l_suppkey long, l_quantity long,"
+        " l_extendedprice double, l_discount double, l_shipdate timestamp,"
+        " l_returnflag string, l_linenumber long, l_tax double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    out = {
+        r["t_days"]: r
+        for r in registry.get("agg_survival_km").fn(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {1, 2, 60}
+    assert out[1]["n_risk"] == 4 and out[1]["n_events"] == 2
+    assert out[1]["survival"] == 0.5
+    assert out[2]["n_risk"] == 2 and out[2]["survival"] == 0.25
+    assert out[60]["n_censored"] == 1 and out[60]["n_events"] == 0
+    assert out[60]["survival"] == 0.25
+
+
+def test_funnel_path_strict_order(spark, tmp_path):
+    """User 1 completes view->click->purchase in order (elapsed = 10
+    min); user 2's purchase PRECEDES the click so the path must not
+    complete; user 3's click precedes the first view so only the view
+    matches."""
+    rows = [
+        (0, 0, 1, "view", 0), (1, 5, 1, "click", 0), (2, 10, 1, "purchase", 1),
+        (3, 0, 2, "view", 0), (4, 5, 2, "purchase", 1), (5, 10, 2, "click", 0),
+        (6, 0, 3, "click", 0), (7, 5, 3, "view", 0),
+    ]
+    _write_events(spark, tmp_path, rows)
+    out = {
+        r["user_id"]: r
+        for r in registry.get("q_pattern_funnel_path")
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert out[1]["completed"] and out[1]["elapsed_us"] == 10 * 60 * 1_000_000
+    assert not out[2]["completed"] and out[2]["purchase_us"] is None
+    assert out[2]["click_us"] is not None  # click after view matches stage 2
+    assert not out[3]["completed"] and out[3]["click_us"] is None
+
+
+def test_cluster_histogram_counts_singletons(spark, tmp_path):
+    """Two identical docs form one size-2 cluster; the unrelated doc is
+    the singleton row; n_docs sums to the corpus and pct to 1."""
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),
+        (3, "completely different words in this document here"),
+    ]
+    _write_documents(spark, tmp_path, docs)
+    out = {
+        r["cluster_size"]: r
+        for r in registry.get("dedup_cluster_histogram")
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert set(out) == {1, 2}
+    assert out[2]["n_clusters"] == 1 and out[2]["n_docs"] == 2
+    assert out[1]["n_clusters"] == 1 and out[1]["n_docs"] == 1
+    assert out[2]["pct_corpus"] == 0.6667 and out[1]["pct_corpus"] == 0.3333

@@ -144,6 +144,22 @@ SINGLE_PARTITION_OK: dict[str, str] = {
         "prefix-min window over the price-domain frame (1-dp lattice on "
         "[900, 999.9]: <=1000 rows at any corpus size)"
     ),
+    "agg_anova_oneway": (
+        "SSB/SSW windows over the k-event-types group frame "
+        "(domain-bounded after the combinable sufficient-stats groupBy)"
+    ),
+    "agg_ratio_delta_ci": (
+        "1-row moment frame (n/mean/var/cov partials per user-level "
+        "partition, never event rows)"
+    ),
+    "agg_survival_km": (
+        "KM product windows over the time-DOMAIN frame (<= horizon+1 = "
+        "61 rows at any corpus size)"
+    ),
+    "dedup_cluster_histogram": (
+        "1-row corpus/clustered totals + the size histogram frame "
+        "(bounded by the largest cluster size, not the corpus)"
+    ),
     # r5 bound contracts: each is a 1-row verdict frame — the exchange
     # carries one partial-aggregate row per upstream partition.
     "embed_pca_contract": "1-row contract frame (global count/avg partials)",
