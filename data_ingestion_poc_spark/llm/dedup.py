@@ -1669,7 +1669,11 @@ def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     size. Cites dedup_clusters for the clustering definition; the
     oracle derives from the SAME recursive-closure CTE prefix."""
     t = load(spark, sf_dir)
-    lbl = dedup_clusters(spark, sf_dir)
+    # Checkpoint the labels ONCE: the histogram fans out to three
+    # consumers (sizes, clustered count, pct denominator), and without
+    # this each consumer re-executes the whole pair-graph + CC lineage
+    # (measured 3x the clustering cost at docs10 before the fix).
+    lbl = dedup_clusters(spark, sf_dir).localCheckpoint()
     per_cluster = lbl.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n"))
     hist = per_cluster.groupBy(F.col("n").alias("cluster_size")).agg(
         F.count(F.lit(1)).alias("n_clusters"),
