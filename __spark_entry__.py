@@ -58,6 +58,10 @@ _CHANGED_THIS_ROUND = [
     "win_kalman_1d",
     "dedup_cluster_histogram",
     "q_pattern_funnel_path",
+    "agg_hll_intersection_bound",
+    "corpus_dedup_manifest",
+    "sim_search_bq",
+    "sim_search_bq_recall",
 ]
 
 

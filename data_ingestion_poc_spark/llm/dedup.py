@@ -1704,3 +1704,75 @@ def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pct_corpus"),
         )
     )
+
+
+_DEDUP_MANIFEST_ORACLE = (
+    _CLUSTERS_CTE
+    + """
+    , ex AS (
+      SELECT doc_id,
+             MIN(doc_id) OVER (PARTITION BY sha256(lower(text))) AS keeper
+      FROM documents
+    )
+    SELECT d.doc_id,
+           CASE WHEN e.keeper <> d.doc_id THEN 'drop_exact'
+                WHEN l.cluster_id IS NOT NULL AND l.cluster_id <> d.doc_id
+                  THEN 'drop_near'
+                ELSE 'keep' END AS action,
+           CASE WHEN e.keeper <> d.doc_id THEN e.keeper
+                WHEN l.cluster_id IS NOT NULL AND l.cluster_id <> d.doc_id
+                  THEN l.cluster_id
+                ELSE d.doc_id END AS canonical_id
+    FROM documents d
+    JOIN ex e ON e.doc_id = d.doc_id
+    LEFT JOIN lbl l ON l.doc_id = d.doc_id
+"""
+)
+
+
+@register("corpus_dedup_manifest", oracle=_DEDUP_MANIFEST_ORACLE)
+def corpus_dedup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE deliverable of a dedup run: one row per document with its
+    keep/drop verdict and the canonical id it defers to — what the
+    downstream training-mix builder actually consumes (the pairwise and
+    cluster operators are this manifest's evidence). Ladder semantics:
+    exact content twins drop first (canonical = the hash group's min
+    doc_id, A16 first-writer-wins); surviving docs inside a near-dup
+    cluster defer to the cluster's min doc_id. Those two canonicals
+    compose cleanly: identical docs share every shingle, so a cluster's
+    min doc_id is always itself an exact keeper.
+
+    Plan: the sha256 groupBy keeper join (dedup_exact_hash's shape) +
+    ONE left join against dedup_clusters' labels (session-cached pair
+    graph; labels are the output-bound frame, not the corpus). Output
+    is exactly one row per input doc."""
+    t = load(spark, sf_dir)
+    digest = F.sha2(F.lower("text").cast("binary"), 256)
+    ex = (
+        t.documents.select("doc_id", digest.alias("h"))
+        .withColumn(
+            "keeper", F.min("doc_id").over(Window.partitionBy("h"))
+        )
+        .select("doc_id", "keeper")
+    )
+    lbl = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    near = F.col("cluster_id").isNotNull() & (
+        F.col("cluster_id") != F.col("doc_id")
+    )
+    exact = F.col("keeper") != F.col("doc_id")
+    return (
+        t.documents.select("doc_id")
+        .join(ex, "doc_id")
+        .join(lbl, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(exact, F.lit("drop_exact"))
+            .when(near, F.lit("drop_near"))
+            .otherwise(F.lit("keep"))
+            .alias("action"),
+            F.when(exact, F.col("keeper"))
+            .when(near, F.col("cluster_id"))
+            .otherwise(F.col("doc_id"))
+            .alias("canonical_id"),
+        )
+    )

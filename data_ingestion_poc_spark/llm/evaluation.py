@@ -932,3 +932,99 @@ def dedup_semantic_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("recall_pct"),
     )
+
+
+def _bq_recall_oracle() -> str:
+    """BQ is deterministic end to end (closed-form sign packing, exact
+    integer Hamming, bit-reproducible cosine folds), so like PQ it gets
+    the full two-sided oracle: exact COSINE top-10 (BQ re-ranks by
+    cosine, so that is its ground truth) vs the whole BQ pipeline
+    replayed inline."""
+    from .similarity import _BQ_ORACLE
+
+    return f"""
+    WITH exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 list_dot_product(q.e, c.e)
+                   / (sqrt(list_dot_product(q.e, q.e))
+                      * sqrt(list_dot_product(c.e, c.e))) DESC,
+                 c.vec_id) AS rk
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings WHERE vec_id < 5) q
+        JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings) c ON q.vec_id <> c.vec_id
+      ) WHERE rk <= 10
+    ),
+    bq AS (SELECT query_id, neighbor_id FROM ({_BQ_ORACLE}) b)
+    SELECT e.query_id,
+           COUNT(*) AS exact_k, COUNT(a.neighbor_id) AS bq_hits,
+           ROUND(COUNT(a.neighbor_id) * 100.0 / COUNT(*), 2) AS recall_pct
+    FROM exact e LEFT JOIN bq a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    ORDER BY e.query_id
+    """
+
+
+@register("sim_search_bq_recall", oracle=_bq_recall_oracle())
+def sim_search_bq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of binary-quantization ANN vs exact COSINE top-10 —
+    prices what the 32x sign-bit compression costs after Hamming
+    candidate selection + raw-vector rescoring, per query; the number a
+    deployment tunes BQ_CAND_K against (more candidates -> higher
+    recall, more rescoring IO)."""
+    from .similarity import sim_search_bq
+
+    t = load(spark, sf_dir)
+    emb = t.embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    pairs = emb.crossJoin(F.broadcast(q)).where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("e"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    qq = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("qe"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    ee = F.aggregate(
+        F.zip_with(F.col("e"), F.col("e"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cosine = dot / (F.sqrt(qq) * F.sqrt(ee))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        cosine.desc(), F.col("vec_id")
+    )
+    exact = (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 10)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    bq = sim_search_bq(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    j = exact.join(bq, ["query_id", "neighbor_id"], "left")
+    return (
+        j.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("exact_k"),
+            F.count("hit").alias("bq_hits"),
+            F.round(F.count("hit") * 100.0 / F.count(F.lit(1)), 2).alias(
+                "recall_pct"
+            ),
+        )
+        .orderBy("query_id")
+    )

@@ -1155,3 +1155,161 @@ def sim_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rk",
         )
     )
+
+
+#: Binary quantization: one SIGN BIT per dimension (axis-aligned, not
+#: random hyperplanes — embeddings are ~zero-centered so sign(x_i)
+#: preserves angular structure; the 2024-25 "BQ" recipe shipped by
+#: vector stores for 32x index compression). 64 dims pack into two
+#: 32-bit words so the codes stay in portable BIGINT arithmetic
+#: (1 << 63 would overflow signed 64-bit in either engine).
+BQ_WORD_BITS = 32
+BQ_CAND_K = 32
+
+_BQ_WORDS_SQL = {
+    "w0": "list_sum(list_transform(range(1, 33), i -> "
+          "CASE WHEN emb[i] > 0 THEN pow(2, i - 1) ELSE 0 END))",
+    "w1": "list_sum(list_transform(range(33, 65), i -> "
+          "CASE WHEN emb[i] > 0 THEN pow(2, i - 33) ELSE 0 END))",
+}
+
+_BQ_ORACLE = f"""
+    WITH codes AS (
+      SELECT vec_id, emb,
+             CAST({_BQ_WORDS_SQL['w0']} AS BIGINT) AS w0,
+             CAST({_BQ_WORDS_SQL['w1']} AS BIGINT) AS w1
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+    ),
+    q AS (
+      SELECT vec_id AS query_id, emb AS qe, w0 AS qw0, w1 AS qw1
+      FROM codes WHERE vec_id < 5
+    ),
+    ham AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id, q.qe, c.emb AS ce,
+             bit_count(xor(q.qw0, c.w0)) + bit_count(xor(q.qw1, c.w1))
+               AS hamming
+      FROM q JOIN codes c ON c.vec_id <> q.query_id
+    ),
+    cand AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY hamming, neighbor_id) AS hrk
+        FROM ham
+      ) WHERE hrk <= {BQ_CAND_K}
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id, hamming,
+             list_dot_product(qe, ce)
+               / (sqrt(list_dot_product(qe, qe))
+                  * sqrt(list_dot_product(ce, ce))) AS cosine
+      FROM cand
+    )
+    SELECT query_id, neighbor_id, CAST(hamming AS BIGINT) AS hamming,
+           ROUND(cosine, 4) AS cosine, rk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= 10
+"""
+
+
+def _bq_words():
+    """(w0, w1) sign-bit words over `embedding` as Column exprs —
+    closed-form pow-of-two sums (exact dyadic doubles -> BIGINT), the
+    fn_geohash arithmetic so no engine bitwise packing enters."""
+
+    def word(lo: int):
+        return F.aggregate(
+            F.sequence(F.lit(lo), F.lit(lo + BQ_WORD_BITS - 1)),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + F.when(
+                F.element_at(F.col("embedding"), i + 1).cast("double") > 0,
+                F.pow(F.lit(2.0), (i - lo).cast("double")),
+            ).otherwise(F.lit(0.0)),
+        ).cast("bigint")
+
+    return word(0), word(BQ_WORD_BITS)
+
+
+@register("sim_search_bq", oracle=_BQ_ORACLE)
+def sim_search_bq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization ANN — the fourth ANN family next to
+    hyperplane LSH (bucketing), IVF (inverted lists), and PQ (subspace
+    codes): each vector compresses to ONE SIGN BIT PER DIMENSION (64
+    dims -> 8 bytes, 32x smaller than float32), search scans the CODES
+    with XOR+popcount Hamming distance, keeps the BQ_CAND_K closest as
+    candidates, and re-ranks only those against the raw vectors (the
+    standard BQ rescoring step every production vector store runs).
+    Unlike the LSH bucket join, Hamming search has no bucket-miss
+    failure mode — it degrades smoothly — at the cost of scanning all
+    codes per query.
+
+    Scale shape: the codes table (vec_id, w0, w1 — 3 BIGINTs) is the
+    only thing the per-query scan touches; 5 broadcast queries x codes
+    scan, TopK per query via row_number, then the rescoring join pulls
+    raw vectors for 5 x BQ_CAND_K ids only. Sign packing is the
+    fn_geohash closed-form pow-of-two fold, so DuckDB replays the codes
+    bit-for-bit; Hamming = two XOR+bit_count BIGINT ops, exact in both
+    engines."""
+    t = load(spark, sf_dir)
+    w0, w1 = _bq_words()
+    codes = t.embeddings.select(
+        "vec_id", "embedding", w0.alias("w0"), w1.alias("w1")
+    )
+    q = codes.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("w0").alias("qw0"),
+        F.col("w1").alias("qw1"),
+    )
+    # Hamming scan touches CODES ONLY (ids + two words); raw vectors
+    # re-enter below, for the 5 x BQ_CAND_K survivors.
+    ham = (
+        codes.select("vec_id", "w0", "w1")
+        .crossJoin(F.broadcast(q.select("query_id", "qw0", "qw1")))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                F.bit_count(F.col("qw0").bitwiseXOR(F.col("w0")))
+                + F.bit_count(F.col("qw1").bitwiseXOR(F.col("w1")))
+            ).alias("hamming"),
+        )
+    )
+    wh = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    cand = (
+        ham.withColumn("hrk", F.row_number().over(wh))
+        .where(F.col("hrk") <= BQ_CAND_K)
+        .select("query_id", "neighbor_id", "hamming")
+    )
+    rescored = cand.join(
+        t.embeddings.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("ce"),
+        ),
+        "neighbor_id",
+    ).join(F.broadcast(q.select("query_id", "qe")), "query_id")
+    cos = dot_double(F.col("qe"), F.col("ce")) / (
+        F.sqrt(dot_double(F.col("qe"), F.col("qe")))
+        * F.sqrt(dot_double(F.col("ce"), F.col("ce")))
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        rescored.select(
+            "query_id", "neighbor_id", "hamming", cos.alias("cosine")
+        )
+        .withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") <= 10)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("hamming").cast("bigint").alias("hamming"),
+            F.round("cosine", 4).alias("cosine"),
+            "rk",
+        )
+    )

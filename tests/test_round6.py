@@ -338,3 +338,89 @@ def test_cluster_histogram_counts_singletons(spark, tmp_path):
     assert out[2]["n_clusters"] == 1 and out[2]["n_docs"] == 2
     assert out[1]["n_clusters"] == 1 and out[1]["n_docs"] == 1
     assert out[2]["pct_corpus"] == 0.6667 and out[1]["pct_corpus"] == 0.3333
+
+
+def test_hll_intersection_bound_identity(spark):
+    """On the sf0.001 fixture: exact_intersection must equal
+    a + b - union by identity, and the sketch verdict must hold."""
+    (r,) = (
+        registry.get("agg_hll_intersection_bound")
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert r["exact_intersection"] == r["exact_a"] + r["exact_b"] - r["exact_union"]
+    assert 0 <= r["exact_intersection"] <= min(r["exact_a"], r["exact_b"])
+    assert r["within_tolerance"]
+
+
+def test_dedup_manifest_ladder(spark, tmp_path):
+    """Doc 2 is an exact copy of doc 1 -> drop_exact(1); doc 3 is a
+    near-dup of doc 1 (one word changed) -> drop_near(1); doc 4 is
+    unrelated -> keep."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [
+        (1, base),
+        (2, base),
+        (3, base.replace("kappa", "lambda")),
+        (4, "totally unrelated words fill this separate document body"),
+    ]
+    _write_documents(spark, tmp_path, docs)
+    out = {
+        r["doc_id"]: r
+        for r in registry.get("corpus_dedup_manifest")
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert len(out) == 4
+    assert out[1]["action"] == "keep" and out[1]["canonical_id"] == 1
+    assert out[2]["action"] == "drop_exact" and out[2]["canonical_id"] == 1
+    assert out[3]["action"] == "drop_near" and out[3]["canonical_id"] == 1
+    assert out[4]["action"] == "keep" and out[4]["canonical_id"] == 4
+
+
+def test_bq_hamming_zero_for_identical_sign_pattern(spark, tmp_path):
+    """A vector and its positive scaling share every sign bit ->
+    Hamming 0 and cosine 1; an all-negated copy is at Hamming 64. BQ's
+    candidate set must surface the scaled twin at rank 1."""
+    import random
+
+    rng = random.Random(3)
+    dim = 64
+    base = [rng.uniform(-1, 1) or 0.1 for _ in range(dim)]
+    rows = [
+        (0, [float(x) for x in base], 0),
+        (100, [float(2.5 * x) for x in base], 0),       # same signs
+        (200, [float(-x) for x in base], 0),            # all signs flipped
+    ] + [
+        (10 + i, [float(rng.uniform(-1, 1)) for _ in range(dim)], 0)
+        for i in range(12)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    out = [
+        r
+        for r in registry.get("sim_search_bq").fn(spark, str(tmp_path)).collect()
+        if r["query_id"] == 0
+    ]
+    by_rank = {r["rk"]: r for r in out}
+    assert by_rank[1]["neighbor_id"] == 100
+    assert by_rank[1]["hamming"] == 0
+    assert by_rank[1]["cosine"] == 1.0
+    flipped = [r for r in out if r["neighbor_id"] == 200]
+    if flipped:  # if 200 survives candidate selection it's Hamming 64
+        assert flipped[0]["hamming"] == 64
+
+
+def test_bq_recall_bounds(spark):
+    """Recall per query is in [0, 100] and exact_k = 10 on the smoke
+    fixture; with rescoring over 32 candidates recall should be high."""
+    rows = (
+        registry.get("sim_search_bq_recall")
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert len(rows) == 5
+    assert all(r["exact_k"] == 10 for r in rows)
+    assert all(0 <= r["recall_pct"] <= 100 for r in rows)
+    assert sum(r["bq_hits"] for r in rows) >= 25  # >= 50% aggregate recall

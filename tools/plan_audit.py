@@ -160,6 +160,10 @@ SINGLE_PARTITION_OK: dict[str, str] = {
         "1-row corpus/clustered totals + the size histogram frame "
         "(bounded by the largest cluster size, not the corpus)"
     ),
+    "agg_hll_intersection_bound": (
+        "1-row contract frame: 2-row cohort-sketch fold + 1-row exact "
+        "union scalar (partial-aggregate rows only)"
+    ),
     # r5 bound contracts: each is a 1-row verdict frame — the exchange
     # carries one partial-aggregate row per upstream partition.
     "embed_pca_contract": "1-row contract frame (global count/avg partials)",
