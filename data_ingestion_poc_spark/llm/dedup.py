@@ -1755,7 +1755,15 @@ def corpus_dedup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "keeper")
     )
-    lbl = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    # Materialize the labels (the dedup_cluster_histogram lesson): even a
+    # single downstream join can re-execute the pair-graph + CC lineage
+    # through AQE's staged re-planning — measured 2x the clustering cost
+    # at docs10 before this checkpoint.
+    lbl = (
+        dedup_clusters(spark, sf_dir)
+        .select("doc_id", "cluster_id")
+        .localCheckpoint()
+    )
     near = F.col("cluster_id").isNotNull() & (
         F.col("cluster_id") != F.col("doc_id")
     )
