@@ -62,6 +62,8 @@ _CHANGED_THIS_ROUND = [
     "corpus_dedup_manifest",
     "sim_search_bq",
     "sim_search_bq_recall",
+    "q_basket_sequence_rules",
+    "agg_power_analysis",
 ]
 
 

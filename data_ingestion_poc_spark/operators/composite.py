@@ -1123,3 +1123,106 @@ def q_pattern_funnel_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("p1").isNotNull().alias("completed"),
         (F.min("p1") - F.min("v1")).alias("elapsed_us"),
     )
+
+
+_SEQ_RULES_ORACLE = """
+    WITH nxt AS (
+      SELECT o_custkey, o_orderkey,
+             lead(o_orderkey) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey)
+               AS next_orderkey
+      FROM orders
+    ),
+    ob AS (
+      SELECT DISTINCT l.l_orderkey, p.p_brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    pair_orders AS (
+      SELECT o_orderkey, next_orderkey FROM nxt
+      WHERE next_orderkey IS NOT NULL
+    ),
+    rules AS (
+      SELECT a.p_brand AS brand_then, b.p_brand AS brand_next,
+             COUNT(*) AS n_pairs
+      FROM pair_orders po
+      JOIN ob a ON a.l_orderkey = po.o_orderkey
+      JOIN ob b ON b.l_orderkey = po.next_orderkey
+      GROUP BY a.p_brand, b.p_brand
+    ),
+    lhs AS (
+      SELECT a.p_brand AS brand_then, COUNT(*) AS n_lhs
+      FROM pair_orders po JOIN ob a ON a.l_orderkey = po.o_orderkey
+      GROUP BY a.p_brand
+    )
+    SELECT r.brand_then, r.brand_next,
+           CAST(r.n_pairs AS BIGINT) AS n_pairs,
+           ROUND(r.n_pairs / CAST(l.n_lhs AS DOUBLE), 4) AS confidence
+    FROM rules r JOIN lhs l USING (brand_then)
+    WHERE r.n_pairs >= 5
+"""
+
+
+@register("q_basket_sequence_rules", oracle=_SEQ_RULES_ORACLE)
+def q_basket_sequence_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENTIAL association rules over consecutive orders: "customers
+    who bought brand A last time buy brand B next time" with
+    confidence = P(B in next | A in current) — the temporal upgrade of
+    q_market_basket's same-basket affinity (the counting core of a
+    GSP/PrefixSpan sequence-mining run restricted to length-2 patterns,
+    which is what product recommendation actually deploys first).
+
+    Scale shape, all linear: consecutive order pairs come from ONE lead
+    window per customer (n_orders - 1 pairs, never a per-customer cross
+    join); order -> distinct brand sets ride a broadcast part join; the
+    rule join fans out |brands(o1)| x |brands(o2)| per pair — bounded
+    by basket width, the q_market_basket cap argument; rule and LHS
+    counts are map-side-combinable aggregates over the BRAND-pair
+    domain (<= |brands|^2 rows at any corpus size). Support floor 5
+    keeps the emitted rule table denoised and deterministic."""
+    t = load(spark, sf_dir)
+    nxt = t.orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lead("o_orderkey")
+        .over(
+            Window.partitionBy("o_custkey").orderBy(
+                "o_orderdate", "o_orderkey"
+            )
+        )
+        .alias("next_orderkey"),
+    ).where(F.col("next_orderkey").isNotNull())
+    ob = (
+        t.lineitem.join(
+            F.broadcast(t.part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = ob.select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.col("p_brand").alias("brand_then"),
+    )
+    b = ob.select(
+        F.col("l_orderkey").alias("next_orderkey"),
+        F.col("p_brand").alias("brand_next"),
+    )
+    pairs = nxt.join(a, "o_orderkey").join(b, "next_orderkey")
+    rules = pairs.groupBy("brand_then", "brand_next").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    lhs = nxt.join(a, "o_orderkey").groupBy("brand_then").agg(
+        F.count(F.lit(1)).alias("n_lhs")
+    )
+    return (
+        rules.join(lhs, "brand_then")
+        .where(F.col("n_pairs") >= 5)
+        .select(
+            "brand_then",
+            "brand_next",
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            F.round(
+                F.col("n_pairs") / F.col("n_lhs").cast("double"), 4
+            ).alias("confidence"),
+        )
+    )

@@ -848,3 +848,71 @@ def agg_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(F.exp(F.sum("lterm").over(w_cum)), 4))
         .alias("survival"),
     )
+
+
+#: Power-analysis constants: (z_{alpha/2} + z_{power})^2 for the 5%
+#: two-sided test at 80% power — (1.96 + 0.8416)^2, a 4-dp literal so
+#: neither engine's inverse-normal enters; MDE is a 5% relative lift.
+POWER_Z2 = 7.8489
+POWER_MDE_REL = 0.05
+
+_POWER_ORACLE = f"""
+    WITH g AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             ROUND(SUM(value), 2) AS s1,
+             ROUND(SUM(value * value), 2) AS s2
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_observed,
+           ROUND(s1 / n, 4) AS mean_value,
+           ROUND(sqrt((s2 - s1 * s1 / n) / (n - 1)), 4) AS stddev,
+           ROUND({POWER_MDE_REL} * s1 / n, 4) AS mde_abs,
+           CAST(ceil(2 * {POWER_Z2} * ((s2 - s1 * s1 / n) / (n - 1))
+                     / (({POWER_MDE_REL} * s1 / n)
+                        * ({POWER_MDE_REL} * s1 / n))) AS BIGINT)
+             AS n_required_per_arm,
+           CAST(ceil(2 * {POWER_Z2} * ((s2 - s1 * s1 / n) / (n - 1))
+                     / (({POWER_MDE_REL} * s1 / n)
+                        * ({POWER_MDE_REL} * s1 / n))) AS BIGINT) <= n
+             AS powered_today
+    FROM g
+"""
+
+
+@register("agg_power_analysis", oracle=_POWER_ORACLE)
+def agg_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment sample-size calculator per metric (event type): the
+    n per arm needed to detect a 5% relative lift of the mean at
+    alpha = 0.05 / power = 0.8 — n = 2 (z_a + z_b)^2 sigma^2 / delta^2,
+    the pre-registration step of the experimentation trio (agg_t_test
+    runs the test; this says whether the test CAN run yet), plus a
+    powered_today verdict against the observed volume.
+
+    Same determinism doctrine as agg_anova_oneway: per-group (n, sum,
+    sum-of-squares) rounded to the 2-dp lattice before any arithmetic;
+    everything downstream is identical single expressions of lattice
+    values over the |event types|-row domain-bounded frame. One
+    combinable scan; O(1) statistic cost at any corpus size."""
+    t = load(spark, sf_dir)
+    g = t.events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("s1"),
+        F.round(F.sum(F.col("value") * F.col("value")), 2).alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    mde = POWER_MDE_REL * mean
+    n_req = F.ceil(2 * POWER_Z2 * var / (mde * mde)).cast("bigint")
+    return g.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_observed"),
+        F.round(mean, 4).alias("mean_value"),
+        F.round(F.sqrt(var), 4).alias("stddev"),
+        F.round(mde, 4).alias("mde_abs"),
+        n_req.alias("n_required_per_arm"),
+        (n_req <= F.col("n")).alias("powered_today"),
+    )

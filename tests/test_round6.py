@@ -424,3 +424,64 @@ def test_bq_recall_bounds(spark):
     assert all(r["exact_k"] == 10 for r in rows)
     assert all(0 <= r["recall_pct"] <= 100 for r in rows)
     assert sum(r["bq_hits"] for r in rows) >= 25  # >= 50% aggregate recall
+
+
+def test_sequence_rules_confidence(spark, tmp_path):
+    """Customer buys brand A (order 1) then brand B (order 2), repeated
+    across 6 customers -> rule (A -> B) with confidence 1; reverse rule
+    must not exist (strictly consecutive, ordered)."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    orders, lines = [], []
+    ok = 0
+    for c in range(1, 7):
+        for day, part in [(0, 1), (10, 2)]:  # part 1 = brand A, 2 = brand B
+            ok += 1
+            orders.append(
+                (ok, c, "O", 1.0, base + datetime.timedelta(days=day), "P")
+            )
+            lines.append((ok, 1, 1, 1.0, 0.0, base, "N", part, 1.0))
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    # lineitem needs l_partkey; reuse l_linenumber slot order: write with
+    # explicit schema naming partkey
+    spark.createDataFrame(
+        [(o, 1, 1, 1.0, 0.0, base, "N", p, 1.0) for (o, _, _, _, _, _, _, p, _) in lines],
+        "l_orderkey long, l_suppkey long, l_quantity long,"
+        " l_extendedprice double, l_discount double, l_shipdate timestamp,"
+        " l_returnflag string, l_partkey long, l_tax double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame(
+        [(1, "Brand#A"), (2, "Brand#B")], "p_partkey long, p_brand string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "part.parquet"))
+    out = {
+        (r["brand_then"], r["brand_next"]): r
+        for r in registry.get("q_basket_sequence_rules")
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert ("Brand#A", "Brand#B") in out
+    r = out[("Brand#A", "Brand#B")]
+    assert r["n_pairs"] == 6 and r["confidence"] == 1.0
+    assert ("Brand#B", "Brand#A") not in out
+
+
+def test_power_analysis_scales_with_variance(spark, tmp_path):
+    """Low-variance metric needs fewer samples than a high-variance one
+    with the same mean; a metric with huge n_observed is powered."""
+    rows = [(i, i, 1, "tight", 100 + (i % 2)) for i in range(40)]
+    rows += [(100 + i, 100 + i, 1, "wide", 100 + 50 * (i % 2)) for i in range(40)]
+    _write_events(spark, tmp_path, rows)
+    out = {
+        r["event_type"]: r
+        for r in registry.get("agg_power_analysis")
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert out["tight"]["n_required_per_arm"] < out["wide"]["n_required_per_arm"]
+    assert not out["wide"]["powered_today"]
+    assert out["tight"]["stddev"] < 1.0
