@@ -64,6 +64,13 @@ _CHANGED_THIS_ROUND = [
     "sim_search_bq_recall",
     "q_basket_sequence_rules",
     "agg_power_analysis",
+    "agg_cuped_adjustment",
+    "win_seasonal_baseline",
+    "win_theil_sen",
+    "graph_bfs_distance",
+    "embed_hard_negatives",
+    "text_source_drift",
+    "agg_winsorized_mean",
 ]
 
 

@@ -1313,3 +1313,75 @@ def sim_search_bq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rk",
         )
     )
+
+
+#: Hard-negative mining band: candidates more similar than this are
+#: treated as positives/near-dups (the SEMDEDUP_TAU convention) and
+#: excluded; the top HARD_NEG_K below the band are the hard negatives.
+HARD_NEG_TAU = 0.40
+HARD_NEG_K = 5
+
+_HARD_NEG_ORACLE = f"""
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    q AS (SELECT vec_id AS anchor_id, v AS qv FROM emb WHERE vec_id < 5),
+    scored AS (
+      SELECT q.anchor_id, c.vec_id AS negative_id,
+             list_dot_product(q.qv, c.v)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(c.v, c.v))) AS cos
+      FROM q JOIN emb c ON c.vec_id <> q.anchor_id
+    )
+    SELECT anchor_id, negative_id, ROUND(cos, 4) AS cos, rk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                   ORDER BY cos DESC, negative_id) AS rk
+      FROM scored WHERE cos < {HARD_NEG_TAU}
+    ) WHERE rk <= {HARD_NEG_K}
+"""
+
+
+@register("embed_hard_negatives", oracle=_HARD_NEG_ORACLE)
+def embed_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (the DPR/SimCSE
+    data-prep step): per anchor, the most-similar corpus vectors that
+    are NOT near-duplicates — cosine just BELOW the dedup band
+    (HARD_NEG_TAU, shared with dedup_semantic so "positive" means the
+    same thing across the stack). Random negatives are too easy;
+    these maximize training signal, and mining them is a corpus-scale
+    batch job — exactly this query.
+
+    Plan: 5 broadcast anchors x one corpus scan, threshold filter, then
+    per-anchor top-k via row_number — the sim_search_knn shape with an
+    upper cosine band. At production scale the scan side narrows to an
+    ANN candidate set first (sim_search_ivf/bq); the mining semantics
+    are unchanged."""
+    t = load(spark, sf_dir)
+    emb = t.embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("anchor_id"), F.col("v").alias("qv")
+    )
+    pairs = emb.crossJoin(F.broadcast(q)).where(
+        F.col("vec_id") != F.col("anchor_id")
+    )
+    cos = dot_double(F.col("qv"), F.col("v")) / (
+        F.sqrt(dot_double(F.col("qv"), F.col("qv")))
+        * F.sqrt(dot_double(F.col("v"), F.col("v")))
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos").desc(), F.col("negative_id")
+    )
+    return (
+        pairs.select(
+            "anchor_id",
+            F.col("vec_id").alias("negative_id"),
+            cos.alias("cos"),
+        )
+        .where(F.col("cos") < HARD_NEG_TAU)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= HARD_NEG_K)
+        .select("anchor_id", "negative_id", F.round("cos", 4).alias("cos"), "rk")
+    )

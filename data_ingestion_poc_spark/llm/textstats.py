@@ -638,3 +638,95 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok_stops.alias("ok_req_stopwords"),
         (ok_wc & ok_mwl & ok_sym & ok_alpha & ok_stops).alias("keep"),
     )
+
+
+#: Source pair for the drift monitor (deterministic literals; the
+#: fixture's sources are uniform src0..src19 at every SF) and the 5%
+#: two-sample KS critical coefficient c(alpha) = 1.358 as a literal.
+DRIFT_SRC_A, DRIFT_SRC_B = "src0", "src1"
+KS_CRIT_COEF = 1.358
+
+_SOURCE_DRIFT_ORACLE = f"""
+    WITH s AS (
+      SELECT source, n_chars FROM documents
+      WHERE source IN ('{DRIFT_SRC_A}', '{DRIFT_SRC_B}')
+    ),
+    vg AS (
+      SELECT n_chars AS x,
+             SUM(CASE WHEN source = '{DRIFT_SRC_A}' THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN source = '{DRIFT_SRC_B}' THEN 1 ELSE 0 END) AS cb
+      FROM s GROUP BY n_chars
+    ),
+    r AS (
+      SELECT x,
+             SUM(ca) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS cum_a,
+             SUM(cb) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS cum_b,
+             SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb
+      FROM vg
+    )
+    SELECT CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
+           ROUND(MAX(abs(cum_a / CAST(na AS DOUBLE)
+                         - cum_b / CAST(nb AS DOUBLE))), 4) AS ks_d,
+           MAX(abs(cum_a / CAST(na AS DOUBLE) - cum_b / CAST(nb AS DOUBLE)))
+             > {KS_CRIT_COEF} * sqrt((MAX(na) + MAX(nb))
+                                     / (CAST(MAX(na) AS DOUBLE) * MAX(nb)))
+             AS drift_detected
+    FROM r
+"""
+
+
+@register("text_source_drift", oracle=_SOURCE_DRIFT_ORACLE)
+def text_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift monitor: two-sample Kolmogorov-Smirnov test between
+    two sources' document-length distributions — the check a corpus
+    refresh runs before mixing a re-crawled source back in ("did this
+    source's content profile shift?"), and the agg_ks_test machinery
+    applied to the CORPUS table. Emits the KS D statistic and the 5%
+    decision against the c(alpha) sqrt((n+m)/nm) critical value
+    (literal coefficient, no inverse-CDF).
+
+    Scale shape: one combinable groupBy bounds everything by the
+    n_chars VALUE DOMAIN; the ECDF windows run over that bounded frame.
+    Determinism: counts exact; each ECDF ratio is one division of exact
+    integers computed identically in both engines, so the max-gap D is
+    exact before its display rounding."""
+    t = load(spark, sf_dir)
+    s = t.documents.where(
+        F.col("source").isin(DRIFT_SRC_A, DRIFT_SRC_B)
+    ).select("source", "n_chars")
+    vg = s.groupBy(F.col("n_chars").alias("x")).agg(
+        F.sum(
+            F.when(F.col("source") == DRIFT_SRC_A, 1).otherwise(0)
+        ).alias("ca"),
+        F.sum(
+            F.when(F.col("source") == DRIFT_SRC_B, 1).otherwise(0)
+        ).alias("cb"),
+    )
+    w_cum = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    r = vg.select(
+        F.sum("ca").over(w_cum).alias("cum_a"),
+        F.sum("cb").over(w_cum).alias("cum_b"),
+        F.sum("ca").over(w_all).alias("na"),
+        F.sum("cb").over(w_all).alias("nb"),
+    )
+    gap = F.abs(
+        F.col("cum_a") / F.col("na").cast("double")
+        - F.col("cum_b") / F.col("nb").cast("double")
+    )
+    crit = KS_CRIT_COEF * F.sqrt(
+        (F.col("na") + F.col("nb"))
+        / (F.col("na").cast("double") * F.col("nb"))
+    )
+    agg = r.agg(
+        F.max("na").alias("na"),
+        F.max("nb").alias("nb"),
+        F.max(gap).alias("d"),
+        F.max(gap > crit).alias("drift"),
+    )
+    return agg.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.round("d", 4).alias("ks_d"),
+        F.col("drift").alias("drift_detected"),
+    )

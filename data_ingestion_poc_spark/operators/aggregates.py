@@ -1518,3 +1518,66 @@ def agg_hll_intersection_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_int.cast("bigint").alias("exact_intersection"),
         (F.abs(est_int - exact_int) <= tol).alias("within_tolerance"),
     )
+
+
+_WINSOR_ORACLE = """
+    WITH cuts AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.05) AS lo,
+             quantile_cont(l_extendedprice, 0.95) AS hi
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(l.l_extendedprice), 2) AS raw_mean,
+           ROUND(AVG(LEAST(GREATEST(l.l_extendedprice, c.lo), c.hi)), 2)
+             AS winsorized_mean,
+           ROUND(c.lo, 2) AS p05, ROUND(c.hi, 2) AS p95
+    FROM lineitem l JOIN cuts c USING (l_returnflag)
+    GROUP BY l.l_returnflag, c.lo, c.hi
+"""
+
+
+@register("agg_winsorized_mean", oracle=_WINSOR_ORACLE)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per return flag: clamp the measure to its own
+    [p5, p95] band before averaging — the standard heavy-tail guard for
+    revenue-per-user style metrics (a single whale order cannot move
+    the reported mean by more than the p95 clamp; pairs with the
+    experimentation suite, where winsorization is what actually ships
+    before a t-test on revenue). Emits raw vs winsorized means so the
+    tail influence is visible.
+
+    Scale shape: pass 1 reduces the facts to a |flags|-row cut frame
+    (exact percentile per group — approx_percentile sketch partials at
+    100 TB, the q_rfm_segmentation note); the frame broadcasts back and
+    pass 2 is one combinable clamped average. Exact-percentile
+    interpolation is bit-identical to DuckDB's quantile_cont (the
+    text_length_trim precedent); means are 2-dp rounded (t-test
+    doctrine)."""
+    t = load(spark, sf_dir)
+    cuts = t.lineitem.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.05)).alias("lo"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("hi"),
+    )
+    clamped = F.least(
+        F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi")
+    )
+    return (
+        t.lineitem.select("l_returnflag", "l_extendedprice")
+        .join(F.broadcast(cuts), "l_returnflag")
+        .groupBy("l_returnflag", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.avg("l_extendedprice"), 2).alias("raw_mean"),
+            F.round(F.avg(clamped), 2).alias("winsorized_mean"),
+        )
+        .select(
+            "l_returnflag",
+            "n",
+            "raw_mean",
+            "winsorized_mean",
+            F.round("lo", 2).alias("p05"),
+            F.round("hi", 2).alias("p95"),
+        )
+    )

@@ -469,3 +469,104 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.partitionBy("label"))
         .alias("community_size"),
     )
+
+
+#: Multi-source BFS seed set and round budget. Seeds are the three
+#: smallest supplier node labels — deterministic, and supplier-side so
+#: distances alternate sides of the bipartite purchase graph.
+BFS_SEEDS = ("s1", "s2", "s3")
+BFS_ROUNDS = 3
+
+
+def _bfs_step_sql(prev: str, out: str) -> str:
+    """One unrolled BFS relaxation round as SQL CTEs: dist(n) =
+    min(dist(n), min over in-neighbors dist + 1)."""
+    return f"""
+    relax_{out} AS (
+      SELECT e.dst AS node, MIN(d.dist + 1) AS nd
+      FROM edges e JOIN {prev} d ON d.node = e.src
+      GROUP BY e.dst
+    ),
+    {out} AS (
+      SELECT n.node,
+             LEAST(COALESCE(p.dist, 999), COALESCE(r.nd, 999)) AS dist
+      FROM nodes n
+      LEFT JOIN {prev} p ON p.node = n.node
+      LEFT JOIN relax_{out} r ON r.node = n.node
+    )
+"""
+
+
+_BFS_ORACLE = (
+    "WITH "
+    + _EDGES_SQL
+    + f""",
+    d0 AS (
+      SELECT node, 0 AS dist FROM nodes
+      WHERE node IN ('{BFS_SEEDS[0]}', '{BFS_SEEDS[1]}', '{BFS_SEEDS[2]}')
+    ),"""
+    + _bfs_step_sql("d0", "d1")
+    + ","
+    + _bfs_step_sql("d1", "d2")
+    + ","
+    + _bfs_step_sql("d2", "d3")
+    + """
+    SELECT node, CAST(dist AS BIGINT) AS dist
+    FROM d3 WHERE dist < 999
+    """
+)
+
+
+@register("graph_bfs_distance", oracle=_BFS_ORACLE)
+def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS distance over the purchase graph: hop count
+    from the nearest of three seed suppliers, the "distance from a
+    trusted/flagged seed set" primitive behind TrustRank-style crawl
+    quality propagation and fraud blast-radius queries. BFS_ROUNDS
+    fixed relaxation rounds (nodes still unreached emit nothing), the
+    graph_pagerank unrolled-iteration doctrine — no convergence
+    collect, every round is one edges-join-frontier + combinable MIN.
+
+    Scale: per round the join shuffles (node, dist) pairs against the
+    re-used edge partitioning; distances are exact integers so both
+    engines relax identically. At web scale the same loop runs
+    frontier-only (join against the rows whose dist changed) with
+    periodic checkpoints — the dedup_clusters discipline."""
+    t = load(spark, sf_dir)
+    e0 = (
+        t.lineitem.join(
+            t.orders, F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    ).select("src", "dst").persist()
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    dist = nodes.where(F.col("node").isin(*BFS_SEEDS)).select(
+        "node", F.lit(0).alias("dist")
+    )
+    for _ in range(BFS_ROUNDS):
+        relax = (
+            edges.join(dist, edges.src == dist.node)
+            .groupBy(F.col("dst").alias("rnode"))
+            .agg(F.min(F.col("dist") + 1).alias("nd"))
+        )
+        dist = (
+            nodes.join(dist, "node", "left")
+            .join(relax, F.col("node") == F.col("rnode"), "left")
+            .select(
+                "node",
+                F.least(
+                    F.coalesce("dist", F.lit(999)),
+                    F.coalesce("nd", F.lit(999)),
+                ).alias("dist"),
+            )
+        )
+    return dist.where(F.col("dist") < 999).select(
+        "node", F.col("dist").cast("bigint").alias("dist")
+    )

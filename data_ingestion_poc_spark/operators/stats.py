@@ -916,3 +916,83 @@ def agg_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_req.alias("n_required_per_arm"),
         (n_req <= F.col("n")).alias("powered_today"),
     )
+
+
+#: CUPED pre/post split point over the fixture's January window.
+CUPED_SPLIT = "2024-01-16"
+
+_CUPED_ORACLE = f"""
+    WITH per_user AS (
+      SELECT user_id,
+             ROUND(SUM(CASE WHEN ts < TIMESTAMP '{CUPED_SPLIT}'
+                            THEN value ELSE 0 END), 2) AS x,
+             ROUND(SUM(CASE WHEN ts >= TIMESTAMP '{CUPED_SPLIT}'
+                              AND event_type = 'purchase'
+                            THEN value ELSE 0 END), 2) AS y
+      FROM events GROUP BY user_id
+    ),
+    s AS (
+      SELECT COUNT(*) AS n,
+             VAR_SAMP(x) AS vx, VAR_SAMP(y) AS vy,
+             COVAR_SAMP(x, y) AS cxy
+      FROM per_user
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           ROUND(cxy / vx, 6) AS theta,
+           ROUND(vy, 4) AS var_y,
+           ROUND(vy - cxy * cxy / vx, 4) AS var_adjusted,
+           ROUND((cxy * cxy / vx) / vy * 100, 2) AS var_reduction_pct
+    FROM s
+"""
+
+
+@register("agg_cuped_adjustment", oracle=_CUPED_ORACLE)
+def agg_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM 2013 — the standard
+    experimentation-platform trick): regress each user's POST-period
+    purchase value on their PRE-period activity, adjust
+    Y' = Y - theta (X - mean X) with theta = cov(X,Y)/var(X), and
+    report how much metric variance the adjustment removes —
+    var_reduction_pct IS the experiment-duration saving (30% less
+    variance = 30% fewer samples for the same power; pairs with
+    agg_power_analysis). Completes the experimentation suite:
+    power -> test (t/MWU) -> ratio CI -> variance reduction.
+
+    Scale shape: one user_id shuffle to the per-user (x, y) frame
+    (map-side-combinable conditional sums, 2-dp lattice), one 1-row
+    moment aggregate; theta and the variance identities are arithmetic
+    on that row. Same determinism posture as agg_ratio_delta_ci."""
+    t = load(spark, sf_dir)
+    split = F.lit(CUPED_SPLIT).cast("timestamp")
+    per_user = t.events.groupBy("user_id").agg(
+        F.round(
+            F.sum(F.when(F.col("ts") < split, F.col("value")).otherwise(0.0)),
+            2,
+        ).alias("x"),
+        F.round(
+            F.sum(
+                F.when(
+                    (F.col("ts") >= split)
+                    & (F.col("event_type") == "purchase"),
+                    F.col("value"),
+                ).otherwise(0.0)
+            ),
+            2,
+        ).alias("y"),
+    )
+    s = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.var_samp("x").alias("vx"),
+        F.var_samp("y").alias("vy"),
+        F.covar_samp("x", "y").alias("cxy"),
+    )
+    explained = F.col("cxy") * F.col("cxy") / F.col("vx")
+    return s.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        F.round(F.col("cxy") / F.col("vx"), 6).alias("theta"),
+        F.round("vy", 4).alias("var_y"),
+        F.round(F.col("vy") - explained, 4).alias("var_adjusted"),
+        F.round(explained / F.col("vy") * 100, 2).alias(
+            "var_reduction_pct"
+        ),
+    )

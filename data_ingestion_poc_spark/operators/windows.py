@@ -1617,3 +1617,189 @@ def win_kalman_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(st[0] * 1_000_000) / 1_000_000).alias("kalman_x"),
         (F.floor(st[1] * 1_000_000) / 1_000_000).alias("kalman_p"),
     )
+
+
+_SEASONAL_ORACLE = """
+    WITH hod AS (
+      SELECT event_type, hour(ts) AS hour_of_day,
+             COUNT(*) AS n,
+             ROUND(SUM(value), 2) AS s1,
+             ROUND(SUM(value * value), 2) AS s2
+      FROM events GROUP BY event_type, hour(ts)
+    ),
+    base AS (
+      SELECT event_type, hour_of_day,
+             s1 / n AS mu,
+             sqrt((s2 - s1 * s1 / n) / (n - 1)) AS sigma,
+             n
+      FROM hod
+    )
+    SELECT e.event_id, e.event_type,
+           CAST(b.hour_of_day AS BIGINT) AS hour_of_day,
+           e.value,
+           floor(b.mu * 10000) / 10000 AS seasonal_mean,
+           floor((e.value - b.mu) * 10000) / 10000 AS residual,
+           b.n >= 30 AND abs(e.value - b.mu) > 3 * b.sigma AS is_anomaly
+    FROM events e
+    JOIN base b ON b.event_type = e.event_type
+                AND b.hour_of_day = hour(e.ts)
+"""
+
+
+@register("win_seasonal_baseline", oracle=_SEASONAL_ORACLE)
+def win_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly detection: score every event against
+    the mean/stddev of ITS OWN (event type, hour-of-day) cell — the
+    decomposition-lite monitor that catches "value is normal for 3 am
+    but wild for 3 pm", which the trailing-window detectors
+    (win_zscore_anomaly, win_mad_anomaly) structurally cannot (their
+    baseline mixes hours). Cells need >= 30 observations before they
+    may flag (cold-cell guard).
+
+    Scale shape: the baseline is a map-side-combinable groupBy bounded
+    by the SEASONAL DOMAIN (|event types| x 24 rows at any corpus
+    size), broadcast back onto one scan — NO per-user shuffle at all,
+    the cheapest anomaly plan in the family. Determinism: cell
+    sufficient stats on the 2-dp lattice (the agg_anova_oneway
+    doctrine); residuals are single identical expressions; the sigma
+    gate compares identically computed doubles."""
+    t = load(spark, sf_dir)
+    hod = F.hour("ts")
+    cells = t.events.groupBy(
+        "event_type", hod.alias("hour_of_day")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("s1"),
+        F.round(F.sum(F.col("value") * F.col("value")), 2).alias("s2"),
+    )
+    mu = F.col("s1") / F.col("n")
+    sigma = F.sqrt(
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    base = cells.select(
+        F.col("event_type").alias("bt"),
+        "hour_of_day",
+        mu.alias("mu"),
+        sigma.alias("sigma"),
+        "n",
+    )
+    return (
+        t.events.select("event_id", "event_type", hod.alias("hod"), "value")
+        .join(
+            F.broadcast(base),
+            (F.col("event_type") == F.col("bt"))
+            & (F.col("hod") == F.col("hour_of_day")),
+        )
+        .select(
+            "event_id",
+            "event_type",
+            F.col("hour_of_day").cast("bigint").alias("hour_of_day"),
+            "value",
+            (F.floor(F.col("mu") * 10_000) / 10_000).alias("seasonal_mean"),
+            (
+                F.floor((F.col("value") - F.col("mu")) * 10_000) / 10_000
+            ).alias("residual"),
+            (
+                (F.col("n") >= 30)
+                & (F.abs(F.col("value") - F.col("mu")) > 3 * F.col("sigma"))
+            ).alias("is_anomaly"),
+        )
+    )
+
+
+#: Theil-Sen frame: 9 trailing rows -> C(9,2) = 36 pairwise slopes per
+#: row, a constant bounded by the frame, never the partition.
+THEIL_SEN_FRAME = 9
+
+_THEIL_SEN_ORACLE = f"""
+    WITH framed AS (
+      SELECT user_id, event_id,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN {THEIL_SEN_FRAME - 1} PRECEDING
+                               AND CURRENT ROW) AS a
+      FROM events
+    ),
+    slopes AS (
+      SELECT user_id, event_id, a,
+             list_sort(flatten(list_transform(range(1, len(a)), i ->
+               list_transform(range(i + 1, len(a) + 1), j ->
+                 (a[j] - a[i]) / (j - i))))) AS s
+      FROM framed
+    )
+    SELECT user_id, event_id,
+           CAST(len(s) AS BIGINT) AS n_slopes,
+           CASE WHEN len(s) = 0 THEN NULL
+                WHEN len(s) % 2 = 1
+                  THEN floor(s[(len(s) + 1) // 2] * 1000000) / 1000000
+                ELSE floor((s[len(s) // 2] + s[len(s) // 2 + 1]) / 2
+                           * 1000000) / 1000000
+           END AS theil_sen_slope
+    FROM slopes
+"""
+
+
+@register("win_theil_sen", oracle=_THEIL_SEN_ORACLE)
+def win_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend estimate per event: the MEDIAN of all
+    pairwise slopes over the trailing 9-row frame — up to 29.3%
+    contaminated points cannot move it (win_rolling_regression's OLS
+    slope chases a single spike; this is the robust-statistics sibling,
+    same family as win_mad_anomaly vs win_zscore_anomaly). Positions
+    inside the frame serve as the x axis, so the slope is per-STEP.
+
+    Scale shape: one user_id shuffle; per row the C(9,2) = 36 slopes
+    come from a nested transform + flatten + array_sort — pure Column
+    exprs, state bounded by the FRAME (never the partition), no UDF.
+    Determinism: each slope is one division of identically-computed
+    doubles (bit-equal both engines), sorting bit-equal values is
+    order-stable, and outputs are floor-scaled (the win_holt_linear
+    half-ulp lesson)."""
+    t = load(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(THEIL_SEN_FRAME - 1), 0)
+    )
+    framed = t.events.select(
+        "user_id",
+        "event_id",
+        F.collect_list("value").over(w).alias("a"),
+    )
+    n = F.size(F.col("a"))
+    # guard n = 1: Spark's sequence(1, 0) DESCENDS instead of emitting
+    # empty (DuckDB's range(1, 1) is empty) — a cross-engine trap.
+    slopes = F.when(
+        n >= 2,
+        F.array_sort(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), n - 1),
+                    lambda i: F.transform(
+                        F.sequence(i + 1, n),
+                        lambda j: (
+                            F.element_at(F.col("a"), j)
+                            - F.element_at(F.col("a"), i)
+                        )
+                        / (j - i).cast("double"),
+                    ),
+                )
+            )
+        ),
+    ).otherwise(F.array().cast("array<double>"))
+    s = framed.select("user_id", "event_id", slopes.alias("s"))
+    ln = F.size(F.col("s"))
+    mid_odd = F.element_at(F.col("s"), ((ln + 1) / 2).cast("int"))
+    mid_even = (
+        F.element_at(F.col("s"), (ln / 2).cast("int"))
+        + F.element_at(F.col("s"), (ln / 2 + 1).cast("int"))
+    ) / 2
+    med = F.when(ln == 0, F.lit(None).cast("double")).otherwise(
+        F.when(ln % 2 == 1, mid_odd).otherwise(mid_even)
+    )
+    return s.select(
+        "user_id",
+        "event_id",
+        ln.cast("bigint").alias("n_slopes"),
+        (F.floor(med * 1_000_000) / 1_000_000).alias("theil_sen_slope"),
+    )

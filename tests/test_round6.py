@@ -485,3 +485,160 @@ def test_power_analysis_scales_with_variance(spark, tmp_path):
     assert out["tight"]["n_required_per_arm"] < out["wide"]["n_required_per_arm"]
     assert not out["wide"]["powered_today"]
     assert out["tight"]["stddev"] < 1.0
+
+
+def test_cuped_perfect_covariate(spark, tmp_path):
+    """Post-period purchase value = 2x pre-period activity per user:
+    the covariate explains ~all variance -> theta ~= 2, reduction ~100%."""
+    rows = []
+    eid = 0
+    for u in range(1, 9):
+        rows.append((eid, 0, u, "view", 10.0 * u)); eid += 1          # pre
+        rows.append((eid, 30 * 1440, u, "purchase", 20.0 * u)); eid += 1  # post
+    _write_events(spark, tmp_path, rows)
+    (r,) = registry.get("agg_cuped_adjustment").fn(spark, str(tmp_path)).collect()
+    assert r["n_users"] == 8
+    assert abs(r["theta"] - 2.0) < 1e-6
+    assert r["var_reduction_pct"] > 99.9
+    assert r["var_adjusted"] < r["var_y"]
+
+
+def test_seasonal_baseline_flags_wrong_hour_value(spark, tmp_path):
+    """35 events at hour 0 valued ~10 plus one at 500: the spike is
+    anomalous FOR THAT HOUR; a 10-obs cell never flags (cold guard)."""
+    rows = [(i, i % 50, 1, "view", 10.0 + (i % 3)) for i in range(35)]
+    rows.append((100, 7, 1, "view", 500.0))
+    rows += [(200 + i, 6 * 60 + i, 1, "click", 100.0 * (i % 2)) for i in range(10)]
+    _write_events(spark, tmp_path, rows)
+    out = {
+        r["event_id"]: r
+        for r in registry.get("win_seasonal_baseline")
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert out[100]["is_anomaly"]
+    assert not any(out[200 + i]["is_anomaly"] for i in range(10))
+    assert all(not out[i]["is_anomaly"] for i in range(35))
+
+
+def test_theil_sen_robust_to_spike(spark, tmp_path):
+    """Pure ramp v_t = 3t: every pairwise slope is 3 -> median 3. With
+    one spiked point the median slope stays exactly 3 (OLS would not)."""
+    rows = [(i, i, 1, "view", 3.0 * i) for i in range(9)]
+    spiked = [(10 + i, 10 + i, 2, "view", 3.0 * i if i != 4 else 500.0)
+              for i in range(9)]
+    _write_events(spark, tmp_path, rows + spiked)
+    out = sorted(
+        registry.get("win_theil_sen").fn(spark, str(tmp_path)).collect(),
+        key=lambda r: r["event_id"],
+    )
+    ramp_last = [r for r in out if r["user_id"] == 1][-1]
+    assert ramp_last["n_slopes"] == 36
+    assert ramp_last["theil_sen_slope"] == 3.0
+    spike_last = [r for r in out if r["user_id"] == 2][-1]
+    assert spike_last["theil_sen_slope"] == 3.0
+    first = [r for r in out if r["user_id"] == 1][0]
+    assert first["n_slopes"] == 0 and first["theil_sen_slope"] is None
+
+
+def test_bfs_distance_rounds_bound(spark, tmp_path):
+    """c10-s1 edge puts c10 at dist 1 from seed s1; a chain hanging off
+    it (s99-c11-s98) reaches dist 2 and 3; nodes further than 3 hops
+    (c12 via s98) stay unreported within the 3-round budget."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    # edges via orders: customer -> supplier
+    links = [(10, 1), (11, 99), (11, 98), (12, 98)]
+    # wait: need chain s1 - c10 - s99 - c11 - s98 - c12
+    links = [(10, 1), (10, 99), (11, 99), (11, 98), (12, 98), (12, 97)]
+    orders, lines = [], []
+    for ok, (c, s) in enumerate(links, start=1):
+        orders.append((ok, c, "O", 1.0, base, "P"))
+        lines.append((ok, s, 1, 1.0, 0.0, base, "N", 1, 1.0))
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        lines,
+        "l_orderkey long, l_suppkey long, l_quantity long,"
+        " l_extendedprice double, l_discount double, l_shipdate timestamp,"
+        " l_returnflag string, l_linenumber long, l_tax double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    out = {
+        r["node"]: r["dist"]
+        for r in registry.get("graph_bfs_distance").fn(spark, str(tmp_path)).collect()
+    }
+    # chain: s1(0) - c10(1) - s99(2) - c11(3) - s98(4: beyond budget)
+    assert out["s1"] == 0
+    assert out["c10"] == 1
+    assert out["s99"] == 2
+    assert out["c11"] == 3
+    assert "s98" not in out and "c12" not in out and "s97" not in out
+
+
+def test_hard_negatives_exclude_near_dups(spark, tmp_path):
+    """A planted near-duplicate of the anchor (cos ~ 1) must NOT appear
+    as a hard negative; the returned set is the top-5 below the band
+    and every cos is < 0.40."""
+    import random
+
+    rng = random.Random(11)
+    dim = 64
+    base = [rng.uniform(-1, 1) for _ in range(dim)]
+    rows = [(0, [float(x) for x in base], 0),
+            (99, [float(x + rng.uniform(-0.01, 0.01)) for x in base], 0)]
+    rows += [
+        (10 + i, [float(rng.uniform(-1, 1)) for _ in range(dim)], 0)
+        for i in range(20)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    out = [
+        r
+        for r in registry.get("embed_hard_negatives")
+        .fn(spark, str(tmp_path))
+        .collect()
+        if r["anchor_id"] == 0
+    ]
+    assert len(out) == 5
+    assert all(r["cos"] < 0.40 for r in out)
+    assert all(r["negative_id"] != 99 for r in out)
+
+
+def test_source_drift_detects_shifted_lengths(spark, tmp_path):
+    """src0 docs ~40 chars, src1 docs ~400 chars: KS D ~= 1 ->
+    drift_detected; identical distributions -> no drift."""
+    docs = [(i, "a" * 40) for i in range(30)]
+    docs += [(100 + i, "b" * 400) for i in range(30)]
+    rows = [(d, t, "en", "src0" if d < 100 else "src1", len(t)) for d, t in docs]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    (r,) = registry.get("text_source_drift").fn(spark, str(tmp_path)).collect()
+    assert r["n_a"] == 30 and r["n_b"] == 30
+    assert r["ks_d"] == 1.0 and r["drift_detected"]
+
+
+def test_winsorized_mean_caps_whale(spark, tmp_path):
+    """19 line items at 100 plus one whale at 10000: the raw mean is
+    dragged to ~595 while the winsorized mean stays near 100 (clamped
+    at p95); winsorized <= raw always."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    lines = [(i, 1, 1, 100.0, 0.0, base, "N", 1, 1.0) for i in range(19)]
+    lines.append((19, 1, 1, 10000.0, 0.0, base, "N", 1, 1.0))
+    spark.createDataFrame(
+        lines,
+        "l_orderkey long, l_suppkey long, l_quantity long,"
+        " l_extendedprice double, l_discount double, l_shipdate timestamp,"
+        " l_returnflag string, l_linenumber long, l_tax double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    (r,) = registry.get("agg_winsorized_mean").fn(spark, str(tmp_path)).collect()
+    assert r["raw_mean"] == 595.0
+    assert r["winsorized_mean"] < r["raw_mean"]
+    assert r["winsorized_mean"] < 600

@@ -160,6 +160,14 @@ SINGLE_PARTITION_OK: dict[str, str] = {
         "1-row corpus/clustered totals + the size histogram frame "
         "(bounded by the largest cluster size, not the corpus)"
     ),
+    "text_source_drift": (
+        "ECDF windows + 1-row max-gap frame over the n_chars "
+        "value-DOMAIN-bounded table"
+    ),
+    "agg_cuped_adjustment": (
+        "1-row moment frame (n/var/cov partials per user-level "
+        "partition, never event rows)"
+    ),
     "agg_hll_intersection_bound": (
         "1-row contract frame: 2-row cohort-sketch fold + 1-row exact "
         "union scalar (partial-aggregate rows only)"
