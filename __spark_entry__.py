@@ -71,6 +71,8 @@ _CHANGED_THIS_ROUND = [
     "embed_hard_negatives",
     "text_source_drift",
     "agg_winsorized_mean",
+    "win_bollinger",
+    "win_rsi",
 ]
 
 

@@ -1803,3 +1803,187 @@ def win_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         ln.cast("bigint").alias("n_slopes"),
         (F.floor(med * 1_000_000) / 1_000_000).alias("theil_sen_slope"),
     )
+
+
+#: Bollinger geometry: the classic 20-row mid band with K = 2 sigma
+#: envelopes. Bands are null until the frame is FULL (n = BOLL_FRAME)
+#: — a half-warm band is a different statistic, not a noisier one.
+BOLL_FRAME = 20
+BOLL_K = 2
+
+_BOLL_ORACLE = f"""
+    WITH c AS (
+      SELECT event_id, user_id, ts, ROUND(value * 100) AS vc
+      FROM events
+    ),
+    f AS (
+      SELECT event_id, user_id, vc,
+             COUNT(vc) OVER w AS n,
+             SUM(vc) OVER w AS s1,
+             SUM(vc * vc) OVER w AS s2
+      FROM c
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN {BOLL_FRAME - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, vc / 100 AS value,
+           CASE WHEN n = {BOLL_FRAME}
+                THEN floor(s1 / 100 / n * 10000) / 10000 END AS boll_mid,
+           CASE WHEN n = {BOLL_FRAME}
+                THEN floor((s1 / 100 / n + {BOLL_K} * sqrt(GREATEST(
+                       (s2 / 10000 - (s1 / 100) * (s1 / 100) / n) / (n - 1),
+                       0))) * 10000) / 10000
+           END AS boll_upper,
+           CASE WHEN n = {BOLL_FRAME}
+                THEN floor((s1 / 100 / n - {BOLL_K} * sqrt(GREATEST(
+                       (s2 / 10000 - (s1 / 100) * (s1 / 100) / n) / (n - 1),
+                       0))) * 10000) / 10000
+           END AS boll_lower,
+           CASE WHEN n = {BOLL_FRAME}
+                 AND sqrt(GREATEST((s2 / 10000 - (s1 / 100) * (s1 / 100) / n)
+                                   / (n - 1), 0)) > 0
+                THEN floor((vc / 100 - (s1 / 100 / n - {BOLL_K} * sqrt(GREATEST(
+                       (s2 / 10000 - (s1 / 100) * (s1 / 100) / n) / (n - 1),
+                       0))))
+                     / (2 * {BOLL_K} * sqrt(GREATEST(
+                       (s2 / 10000 - (s1 / 100) * (s1 / 100) / n) / (n - 1),
+                       0))) * 10000) / 10000
+           END AS pct_b
+    FROM f
+"""
+
+
+@register("win_bollinger", oracle=_BOLL_ORACLE)
+def win_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands per user: trailing-{BOLL_FRAME} mean with
+    +/- {BOLL_K} sigma envelopes and %B (where the current value sits
+    inside the band: < 0 below, > 1 above) — the volatility-envelope
+    monitor for metric streams (win_zscore_anomaly flags points; this
+    tracks the evolving band itself, the squeeze/expansion signal).
+    Bands are null until the frame is FULL.
+
+    Scale shape: one user_id shuffle shared with the whole win_ family.
+    Determinism: the value quantizes to integer CENTS first, so the
+    frame sums s1 = sum(vc) and s2 = sum(vc^2) are sums of exact
+    integer-valued doubles — EXACT and association-order-independent
+    in both engines (no segment-tree-vs-sequential ulp; the 2-dp ROUND
+    of raw-double sums collided on a half-up boundary in testing).
+    Mean/sigma are then identical expressions over bit-equal inputs;
+    variance clamps at 0 before sqrt; outputs floor-scaled (the
+    win_holt_linear half-ulp lesson)."""
+    t = load(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(BOLL_FRAME - 1), 0)
+    )
+    c = t.events.select(
+        "event_id", "user_id", "ts", F.round(F.col("value") * 100).alias("vc")
+    )
+    f = c.select(
+        "event_id",
+        "user_id",
+        "vc",
+        F.count("vc").over(w).alias("n"),
+        F.sum("vc").over(w).alias("s1"),
+        F.sum(F.col("vc") * F.col("vc")).over(w).alias("s2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1") / 100, F.col("s2") / 10_000
+    mid = s1 / n
+    sigma = F.sqrt(F.greatest((s2 - s1 * s1 / n) / (n - 1), F.lit(0.0)))
+    full = n == BOLL_FRAME
+    fs = lambda c: F.floor(c * 10_000) / 10_000  # noqa: E731
+    return f.select(
+        "event_id",
+        "user_id",
+        (F.col("vc") / 100).alias("value"),
+        F.when(full, fs(mid)).alias("boll_mid"),
+        F.when(full, fs(mid + BOLL_K * sigma)).alias("boll_upper"),
+        F.when(full, fs(mid - BOLL_K * sigma)).alias("boll_lower"),
+        F.when(
+            full & (sigma > 0),
+            fs((F.col("vc") / 100 - (mid - BOLL_K * sigma)) / (2 * BOLL_K * sigma)),
+        ).alias("pct_b"),
+    )
+
+
+#: RSI lookback: Cutler's simple-average variant over the trailing 14
+#: one-step differences (Wilder's smoothed variant is the unbounded
+#: recursion the win_ewma docstring rules out; Cutler's is the standard
+#: frame-expressible form). Null until 14 diffs exist in the frame.
+RSI_FRAME = 14
+
+_RSI_ORACLE = f"""
+    WITH d AS (
+      SELECT event_id, user_id, ts,
+             ROUND(value - lag(value) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id), 2)
+               AS diff
+      FROM events
+    ),
+    f AS (
+      SELECT event_id, user_id,
+             COUNT(diff) OVER w AS n_diffs,
+             ROUND(SUM(CASE WHEN diff > 0 THEN diff ELSE 0 END) OVER w, 2)
+               AS sg,
+             ROUND(SUM(CASE WHEN diff < 0 THEN -diff ELSE 0 END) OVER w, 2)
+               AS sl
+      FROM d
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN {RSI_FRAME - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, CAST(n_diffs AS BIGINT) AS n_diffs,
+           CASE WHEN n_diffs = {RSI_FRAME} AND sg + sl > 0
+                THEN floor(100 * sg / (sg + sl) * 10000) / 10000
+           END AS rsi,
+           COALESCE(CASE WHEN n_diffs = {RSI_FRAME} AND sg + sl > 0
+                         THEN 100 * sg / (sg + sl) > 70 END, FALSE)
+             AS is_overbought,
+           COALESCE(CASE WHEN n_diffs = {RSI_FRAME} AND sg + sl > 0
+                         THEN 100 * sg / (sg + sl) < 30 END, FALSE)
+             AS is_oversold
+    FROM f
+"""
+
+
+@register("win_rsi", oracle=_RSI_ORACLE)
+def win_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative Strength Index per user (Cutler's simple-average RSI
+    over the trailing {RSI_FRAME} one-step differences): the
+    momentum-regime indicator — RSI > 70 = overbought (rises dominate
+    the lookback), < 30 = oversold. On metric streams this reads as
+    "sustained one-directional drift", complementing win_cusum_drift
+    (cumulative shift) with a bounded 0-100 scale.
+
+    Scale shape: the diff is one lag on the shared user_id shuffle;
+    gain/loss sums are combinable frame aggregates on the 2-dp lattice
+    (diffs of 2-dp values rounded back onto it); warmup is gated by
+    COUNT(diff) — null-skipping in BOTH engines, so the first
+    {RSI_FRAME} rows per user emit null RSI identically. The regime
+    flags compare the same unfloored ratio in both engines; the
+    emitted RSI is floor-scaled."""
+    t = load(spark, sf_dir)
+    wl = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = wl.rowsBetween(-(RSI_FRAME - 1), 0)
+    diff = F.round(F.col("value") - F.lag("value").over(wl), 2)
+    d = t.events.select("event_id", "user_id", "ts", diff.alias("diff"))
+    f = d.select(
+        "event_id",
+        "user_id",
+        F.count("diff").over(w).alias("n_diffs"),
+        F.round(
+            F.sum(F.when(F.col("diff") > 0, F.col("diff")).otherwise(0.0)).over(w), 2
+        ).alias("sg"),
+        F.round(
+            F.sum(F.when(F.col("diff") < 0, -F.col("diff")).otherwise(0.0)).over(w), 2
+        ).alias("sl"),
+    )
+    ready = (F.col("n_diffs") == RSI_FRAME) & (F.col("sg") + F.col("sl") > 0)
+    rsi = 100 * F.col("sg") / (F.col("sg") + F.col("sl"))
+    return f.select(
+        "event_id",
+        "user_id",
+        F.col("n_diffs").cast("bigint").alias("n_diffs"),
+        F.when(ready, F.floor(rsi * 10_000) / 10_000).alias("rsi"),
+        F.when(ready, rsi > 70).otherwise(F.lit(False)).alias("is_overbought"),
+        F.when(ready, rsi < 30).otherwise(F.lit(False)).alias("is_oversold"),
+    )

@@ -642,3 +642,42 @@ def test_winsorized_mean_caps_whale(spark, tmp_path):
     assert r["raw_mean"] == 595.0
     assert r["winsorized_mean"] < r["raw_mean"]
     assert r["winsorized_mean"] < 600
+
+
+def test_bollinger_constant_then_jump(spark, tmp_path):
+    """19 constant values -> bands null (frame not full); at row 20 the
+    frame is full and sigma = 0 -> bands collapse onto the mid, %B null.
+    A later +100 jump widens the band and puts the jump row above it."""
+    rows = [(i, i, 1, "view", 50.0) for i in range(25)]
+    rows.append((25, 25, 1, "view", 150.0))
+    _write_events(spark, tmp_path, rows)
+    out = {
+        r["event_id"]: r
+        for r in registry.get("win_bollinger").fn(spark, str(tmp_path)).collect()
+    }
+    assert out[18]["boll_mid"] is None
+    assert out[19]["boll_mid"] == 50.0
+    assert out[19]["boll_upper"] == 50.0 and out[19]["boll_lower"] == 50.0
+    assert out[19]["pct_b"] is None
+    jump = out[25]
+    assert jump["boll_mid"] == 55.0  # 19 * 50 + 150 over 20
+    assert jump["boll_upper"] > 55.0 and jump["boll_lower"] < 55.0
+    assert jump["pct_b"] > 1.0  # above the upper band
+
+
+def test_rsi_monotonic_ramp_saturates(spark, tmp_path):
+    """Strictly rising values: every diff is a gain -> RSI 100 and
+    overbought once 14 diffs exist; strictly falling -> RSI 0 and
+    oversold. Warmup rows (< 14 diffs) emit null RSI, false flags."""
+    up = [(i, i, 1, "view", 10.0 + i) for i in range(20)]
+    down = [(100 + i, i, 2, "view", 100.0 - i) for i in range(20)]
+    _write_events(spark, tmp_path, up + down)
+    out = {
+        r["event_id"]: r
+        for r in registry.get("win_rsi").fn(spark, str(tmp_path)).collect()
+    }
+    assert out[13]["rsi"] is None and not out[13]["is_overbought"]
+    assert out[14]["n_diffs"] == 14 and out[14]["rsi"] == 100.0
+    assert out[19]["is_overbought"] and not out[19]["is_oversold"]
+    assert out[114]["rsi"] == 0.0
+    assert out[119]["is_oversold"] and not out[119]["is_overbought"]
