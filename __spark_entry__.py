@@ -73,6 +73,8 @@ _CHANGED_THIS_ROUND = [
     "agg_winsorized_mean",
     "win_bollinger",
     "win_rsi",
+    "agg_srm_check",
+    "quality_freshness",
 ]
 
 

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import load
 from ..registry import register
@@ -218,4 +219,61 @@ def quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.expectation").alias("expectation"),
         F.col("r.n_violations").alias("n_violations"),
         (F.col("r.n_violations") == 0).alias("passed"),
+    )
+
+
+#: Freshness SLO: an event type whose newest event lags the table's
+#: global high-water mark by more than a day is stale (a dead logger /
+#: stuck upstream partition), the standard ingestion health gate.
+FRESHNESS_SLO_MINUTES = 1440
+
+
+@register(
+    "quality_freshness",
+    oracle=f"""
+    WITH per_type AS (
+      SELECT event_type,
+             COUNT(*) AS n_events,
+             MAX(epoch_us(ts)) AS last_us
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, CAST(n_events AS BIGINT) AS n_events,
+           strftime(make_timestamp(last_us), '%Y-%m-%d %H:%M:%S')
+             AS last_event_at,
+           CAST((MAX(last_us) OVER () - last_us) // 60000000 AS BIGINT)
+             AS minutes_behind,
+           (MAX(last_us) OVER () - last_us) // 60000000
+             > {FRESHNESS_SLO_MINUTES} AS is_stale
+    FROM per_type
+    """,
+)
+def quality_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type freshness audit: how far each type's newest event
+    lags the table's global high-water mark — the ingestion health gate
+    that catches a dead logger or a stuck upstream partition BEFORE the
+    stale type silently vanishes from downstream aggregates. Stale =
+    more than FRESHNESS_SLO_MINUTES behind.
+
+    Scale shape: one map-side-combinable (count, max) aggregate bounds
+    the frame at |event types| rows; the high-water comparison is a
+    window over that domain-bounded frame (SINGLE_PARTITION_OK).
+    Determinism: all math on exact integer MICROSECONDS (unix_micros /
+    epoch_us, the q_browse_abandonment precision lesson); the display
+    timestamp is second-truncated strftime in both engines."""
+    t = load(spark, sf_dir)
+    per_type = t.events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(F.unix_micros("ts")).alias("last_us"),
+    )
+    w = Window.partitionBy()
+    behind_min = (F.max("last_us").over(w) - F.col("last_us")) / F.lit(60_000_000)
+    behind = F.floor(behind_min)
+    return per_type.select(
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.date_format(
+            F.timestamp_micros(F.col("last_us")), "yyyy-MM-dd HH:mm:ss"
+        ).alias("last_event_at"),
+        behind.cast("bigint").alias("minutes_behind"),
+        (behind > FRESHNESS_SLO_MINUTES).alias("is_stale"),
     )

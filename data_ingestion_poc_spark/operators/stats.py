@@ -996,3 +996,70 @@ def agg_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "var_reduction_pct"
         ),
     )
+
+
+_SRM_ORACLE = """
+    WITH arms AS (
+      SELECT CASE WHEN instr('01234567',
+                        substr(md5('srm:' || CAST(user_id AS VARCHAR)), 1, 1)
+                      ) > 0
+                  THEN 'treatment' ELSE 'control' END AS arm,
+             user_id
+      FROM events GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT arm, COUNT(*) AS n FROM arms GROUP BY arm
+    ),
+    s AS (
+      SELECT arm, n,
+             SUM(n) OVER () AS n_total
+      FROM c
+    )
+    SELECT arm, CAST(n AS BIGINT) AS n_users,
+           ROUND(n / CAST(n_total AS DOUBLE), 6) AS ratio,
+           ROUND(SUM((n - n_total / 2.0) * (n - n_total / 2.0)
+                     / (n_total / 2.0)) OVER (), 6) AS chi2,
+           SUM((n - n_total / 2.0) * (n - n_total / 2.0)
+               / (n_total / 2.0)) OVER () > 3.8415 AS srm_detected
+    FROM s
+"""
+
+
+@register("agg_srm_check", oracle=_SRM_ORACLE)
+def agg_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check — the experiment-platform tripwire
+    that runs BEFORE any metric test: users hash-assigned 50/50 to
+    treatment/control (first md5 nibble, the corpus_shard_assign
+    engine-portable convention), then a dof-1 chi-squared
+    goodness-of-fit of observed arm counts against the expected even
+    split. An SRM verdict means the assignment or logging pipeline is
+    broken and every downstream readout (agg_t_test, agg_cuped_...) is
+    invalid — which is why it ships as its own operator. Completes the
+    experimentation suite: SRM gate -> power -> test -> CUPED.
+
+    Scale shape: one user_id-distinct aggregate (map-side combinable)
+    collapses the facts to one row per user, then a 2-row arm frame;
+    the chi-squared is arithmetic on two exact integers, identical in
+    both engines. Crit 3.8415 = the CHI2_CRIT_BY_DOF dof-1 literal."""
+    t = load(spark, sf_dir)
+    nibble = F.substring(
+        F.md5(F.concat(F.lit("srm:"), F.col("user_id").cast("string")).cast("binary")),
+        1,
+        1,
+    )
+    arm = F.when(
+        F.instr(F.lit("01234567"), nibble) > 0, F.lit("treatment")
+    ).otherwise(F.lit("control"))
+    arms = t.events.select(arm.alias("arm"), "user_id").distinct()
+    c = arms.groupBy("arm").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy()
+    n_total = F.sum("n").over(w)
+    dev = F.col("n") - n_total / 2.0
+    chi2 = F.sum(dev * dev / (n_total / 2.0)).over(w)
+    return c.select(
+        "arm",
+        F.col("n").cast("bigint").alias("n_users"),
+        F.round(F.col("n") / n_total.cast("double"), 6).alias("ratio"),
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > CHI2_CRIT_BY_DOF[1]).alias("srm_detected"),
+    )

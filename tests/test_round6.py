@@ -681,3 +681,37 @@ def test_rsi_monotonic_ramp_saturates(spark, tmp_path):
     assert out[19]["is_overbought"] and not out[19]["is_oversold"]
     assert out[114]["rsi"] == 0.0
     assert out[119]["is_oversold"] and not out[119]["is_overbought"]
+
+
+def test_srm_detects_lopsided_assignment(spark, tmp_path):
+    """The md5-nibble split is ~50/50 on many users (no SRM on 400
+    balanced users); chi2 and ratio are consistent with the counts."""
+    rows = [(i, i % 60, i % 400, "view", 1.0) for i in range(800)]
+    _write_events(spark, tmp_path, rows)
+    out = {
+        r["arm"]: r
+        for r in registry.get("agg_srm_check").fn(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {"treatment", "control"}
+    n = sum(r["n_users"] for r in out.values())
+    assert n == 400
+    for r in out.values():
+        assert abs(r["ratio"] - r["n_users"] / n) < 1e-9
+    assert not out["treatment"]["srm_detected"]  # balanced hash split
+    assert out["treatment"]["chi2"] == out["control"]["chi2"]
+
+
+def test_freshness_flags_dead_logger(spark, tmp_path):
+    """'click' stops 3 days before the high-water mark -> stale;
+    'view' IS the high-water mark -> 0 minutes behind, fresh."""
+    rows = [(i, i * 1440, 1, "view", 1.0) for i in range(10)]       # days 0..9
+    rows += [(100 + i, i * 1440, 2, "click", 1.0) for i in range(7)]  # stops day 6
+    _write_events(spark, tmp_path, rows)
+    out = {
+        r["event_type"]: r
+        for r in registry.get("quality_freshness").fn(spark, str(tmp_path)).collect()
+    }
+    assert not out["view"]["is_stale"] and out["view"]["minutes_behind"] == 0
+    assert out["click"]["is_stale"]
+    assert out["click"]["minutes_behind"] == 3 * 1440
+    assert out["view"]["last_event_at"].startswith("2024-01-10")

@@ -168,6 +168,14 @@ SINGLE_PARTITION_OK: dict[str, str] = {
         "1-row moment frame (n/var/cov partials per user-level "
         "partition, never event rows)"
     ),
+    "agg_srm_check": (
+        "2-row arm-count frame (chi-squared window over the arm "
+        "DOMAIN, never user rows)"
+    ),
+    "quality_freshness": (
+        "high-water window over the event-type-DOMAIN-bounded "
+        "(count, max) frame"
+    ),
     "agg_hll_intersection_bound": (
         "1-row contract frame: 2-row cohort-sketch fold + 1-row exact "
         "union scalar (partial-aggregate rows only)"
