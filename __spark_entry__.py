@@ -75,6 +75,8 @@ _CHANGED_THIS_ROUND = [
     "win_rsi",
     "agg_srm_check",
     "quality_freshness",
+    "graph_hits",
+    "graph_kcore",
 ]
 
 

@@ -570,3 +570,210 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist.where(F.col("dist") < 999).select(
         "node", F.col("dist").cast("bigint").alias("dist")
     )
+
+
+#: HITS scale: scores live in integer units with the round's maximum
+#: pinned to HITS_SCALE (L-infinity normalization by integer floor
+#: division — no sqrt, no doubles, same exact-BIGINT doctrine as
+#: graph_pagerank's micro-units). Two full hub->auth->hub rounds.
+HITS_SCALE = 1_000_000
+HITS_ROUNDS = 2
+
+
+def _hits_round_sql(h_prev: str, a_out: str, h_out: str) -> str:
+    """One full HITS round (auth update then hub update, each L-inf
+    normalized) as SQL CTEs over the DIRECTED customer->supplier edges."""
+    return f"""
+    araw_{a_out} AS (
+      SELECT e.dst AS node, SUM(e.w * h.units) AS raw
+      FROM edges0 e JOIN {h_prev} h ON h.node = e.src
+      GROUP BY e.dst
+    ),
+    {a_out} AS (
+      SELECT node, (raw * {HITS_SCALE}) // (SELECT MAX(raw) FROM araw_{a_out})
+               AS units
+      FROM araw_{a_out}
+    ),
+    hraw_{h_out} AS (
+      SELECT e.src AS node, SUM(e.w * a.units) AS raw
+      FROM edges0 e JOIN {a_out} a ON a.node = e.dst
+      GROUP BY e.src
+    ),
+    {h_out} AS (
+      SELECT node, (raw * {HITS_SCALE}) // (SELECT MAX(raw) FROM hraw_{h_out})
+               AS units
+      FROM hraw_{h_out}
+    )
+"""
+
+
+_HITS_ORACLE = (
+    "WITH "
+    + _EDGES_SQL
+    + f""",
+    h0 AS (
+      SELECT DISTINCT src AS node, CAST({HITS_SCALE} AS BIGINT) AS units
+      FROM edges0
+    ),"""
+    + _hits_round_sql("h0", "a1", "h1")
+    + ","
+    + _hits_round_sql("h1", "a2", "h2")
+    + """
+    SELECT node, 'hub' AS role, CAST(units AS BIGINT) AS score_units FROM h2
+    UNION ALL
+    SELECT node, 'authority', CAST(units AS BIGINT) FROM a2
+    """
+)
+
+
+@register("graph_hits", oracle=_HITS_ORACLE)
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg) over the DIRECTED
+    customer->supplier purchase graph: customers are pure hubs ("buys
+    from the important suppliers"), suppliers pure authorities ("bought
+    by the important customers") — the mutually-recursive importance
+    pair that PageRank's single score collapses; on web/citation data
+    this is the link-spam and survey-page detector. Two full unrolled
+    rounds, scores converging toward the principal singular vectors of
+    the weighted biadjacency matrix.
+
+    Determinism/scale: the graph_pagerank doctrine — exact BIGINT unit
+    arithmetic with L-INFINITY normalization by integer floor division
+    (the round max is a 1-row scalar broadcast), so no sqrt, no
+    doubles, no cross-engine drift; per half-round one edges-join-
+    scores shuffle (edge partitioning reused) + a combinable integer
+    SUM. Fixed round count, no convergence collect."""
+    t = load(spark, sf_dir)
+    e0 = (
+        t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .persist()
+    )
+
+    def _half(scores: DataFrame, edge_key: str, group_key: str) -> DataFrame:
+        # persist + fetch the round max as a bounded 1-row driver scalar
+        # (the graph_pagerank nodes.count() discipline): leaving it as a
+        # lazy broadcast chains 4 nested broadcast jobs whose planning
+        # replays the whole upstream lineage — 42s -> ~8s at sf0.01.
+        raw = (
+            e0.join(scores, F.col(edge_key) == F.col("node"))
+            .groupBy(F.col(group_key).alias("gnode"))
+            .agg(F.sum(F.col("w") * F.col("units")).alias("raw"))
+            .persist()
+        )
+        mx = raw.agg(F.max("raw")).first()[0]
+        return raw.select(
+            F.col("gnode").alias("node"),
+            F.expr(f"(raw * {HITS_SCALE}) div {mx}").alias("units"),
+        )
+
+    hubs = e0.select("src").distinct().select(
+        F.col("src").alias("node"), F.lit(HITS_SCALE).cast("long").alias("units")
+    )
+    auths = None
+    for _ in range(HITS_ROUNDS):
+        auths = _half(hubs, "src", "dst")
+        hubs = _half(auths, "dst", "src")
+    return hubs.select(
+        "node", F.lit("hub").alias("role"), F.col("units").cast("bigint").alias("score_units")
+    ).unionByName(
+        auths.select(
+            "node",
+            F.lit("authority").alias("role"),
+            F.col("units").cast("bigint").alias("score_units"),
+        )
+    )
+
+
+#: k-core threshold and peel budget: 3 fixed peeling rounds toward the
+#: KCORE_K-core (an over-approximation from above — a node the full
+#: peel would eventually drop can survive a truncated budget; the
+#: graph_bfs_distance fixed-round contract).
+KCORE_K = 4
+KCORE_ROUNDS = 3
+
+
+def _kcore_step_sql(prev: str, out: str) -> str:
+    """One peeling round: recount degrees inside the surviving
+    subgraph, keep nodes with degree >= KCORE_K."""
+    return f"""
+    deg_{out} AS (
+      SELECT e.src AS node, COUNT(*) AS deg
+      FROM edges e
+      JOIN {prev} a1 ON a1.node = e.src
+      JOIN {prev} a2 ON a2.node = e.dst
+      GROUP BY e.src
+    ),
+    {out} AS (SELECT node FROM deg_{out} WHERE deg >= {KCORE_K})
+"""
+
+
+_KCORE_ORACLE = (
+    "WITH "
+    + _EDGES_SQL
+    + ","
+    + _kcore_step_sql("nodes", "k1").replace("a1.node = e.src", "a1.node = e.src")
+    + ","
+    + _kcore_step_sql("k1", "k2")
+    + ","
+    + _kcore_step_sql("k2", "k3")
+    + f"""
+    SELECT e.src AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM edges e
+    JOIN k3 a1 ON a1.node = e.src
+    JOIN k3 a2 ON a2.node = e.dst
+    GROUP BY e.src
+    HAVING COUNT(*) >= {KCORE_K}
+    """
+)
+
+
+@register("graph_kcore", oracle=_KCORE_ORACLE)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{KCORE_K}-core extraction by iterative peeling ({KCORE_ROUNDS}
+    fixed rounds): repeatedly drop nodes with fewer than {KCORE_K}
+    surviving neighbors and recount — the dense-subgraph primitive
+    behind community cores, spam-farm detection, and graph
+    summarization (what survives is the mutually-dense backbone no
+    single hub can fake). Emits surviving nodes with their final
+    within-core degree; a truncated budget over-approximates the true
+    core from above, monotonically shrinking per round.
+
+    Scale shape: per round, one self-restricted degree count — edges
+    semi-joined against the survivor set on BOTH endpoints (survivors
+    are the small shrinking side; the edge partitioning is reused) and
+    a combinable COUNT. Exact integer degrees, no floats anywhere."""
+    t = load(spark, sf_dir)
+    e0 = (
+        t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = (
+        e0.select("src", "dst")
+        .unionByName(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .persist()
+    )
+    alive = edges.select(F.col("src").alias("node")).distinct()
+    for _ in range(KCORE_ROUNDS):
+        deg = (
+            edges.join(alive.withColumnRenamed("node", "src"), "src", "semi")
+            .join(alive.withColumnRenamed("node", "dst"), "dst", "semi")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        alive = deg.where(F.col("deg") >= KCORE_K).select("node")
+    return (
+        edges.join(alive.withColumnRenamed("node", "src"), "src", "semi")
+        .join(alive.withColumnRenamed("node", "dst"), "dst", "semi")
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
+        .where(F.col("core_degree") >= KCORE_K)
+    )

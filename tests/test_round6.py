@@ -548,9 +548,7 @@ def test_bfs_distance_rounds_bound(spark, tmp_path):
     import datetime
 
     base = datetime.datetime(2024, 1, 1)
-    # edges via orders: customer -> supplier
-    links = [(10, 1), (11, 99), (11, 98), (12, 98)]
-    # wait: need chain s1 - c10 - s99 - c11 - s98 - c12
+    # chain s1 - c10 - s99 - c11 - s98 - c12 - s97 via (custkey, suppkey)
     links = [(10, 1), (10, 99), (11, 99), (11, 98), (12, 98), (12, 97)]
     orders, lines = [], []
     for ok, (c, s) in enumerate(links, start=1):
@@ -715,3 +713,63 @@ def test_freshness_flags_dead_logger(spark, tmp_path):
     assert out["click"]["is_stale"]
     assert out["click"]["minutes_behind"] == 3 * 1440
     assert out["view"]["last_event_at"].startswith("2024-01-10")
+
+
+def _write_purchase_graph(spark, tmp_path, links):
+    """links: (custkey, suppkey) pairs, repeats = edge weight."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    orders, lines = [], []
+    for ok, (c, s) in enumerate(links, start=1):
+        orders.append((ok, c, "O", 1.0, base, "P"))
+        lines.append((ok, s, 1, 1.0, 0.0, base, "N", 1, 1.0))
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        lines,
+        "l_orderkey long, l_suppkey long, l_quantity long,"
+        " l_extendedprice double, l_discount double, l_shipdate timestamp,"
+        " l_returnflag string, l_linenumber long, l_tax double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+
+
+def test_hits_hub_and_authority_ordering(spark, tmp_path):
+    """c1 buys 3x from s1; c2 buys once each from s1, s2. s1 is the
+    stronger authority (more weighted in-links from the stronger hub),
+    c1 the stronger hub; round maxima pin to HITS_SCALE exactly."""
+    from data_ingestion_poc_spark.operators.graph import HITS_SCALE
+
+    _write_purchase_graph(
+        spark, tmp_path, [(1, 1), (1, 1), (1, 1), (2, 1), (2, 2)]
+    )
+    out = {
+        (r["role"], r["node"]): r["score_units"]
+        for r in registry.get("graph_hits").fn(spark, str(tmp_path)).collect()
+    }
+    assert out[("hub", "c1")] == HITS_SCALE
+    assert out[("authority", "s1")] == HITS_SCALE
+    assert out[("hub", "c2")] < out[("hub", "c1")]
+    assert out[("authority", "s2")] < out[("authority", "s1")]
+    assert all(v > 0 for v in out.values())
+
+
+def test_kcore_peels_pendant_keeps_clique(spark, tmp_path):
+    """Complete bipartite 4x4 (every node degree 4) survives the
+    4-core; a pendant customer c9-s1 dies in round 1 and s1 falls back
+    to degree 4 once it does. All 8 core nodes report degree 4."""
+    links = [(c, s) for c in (1, 2, 3, 4) for s in (1, 2, 3, 4)]
+    links.append((9, 1))
+    _write_purchase_graph(spark, tmp_path, links)
+    out = {
+        r["node"]: r["core_degree"]
+        for r in registry.get("graph_kcore").fn(spark, str(tmp_path)).collect()
+    }
+    assert "c9" not in out
+    assert set(out) == {f"c{i}" for i in (1, 2, 3, 4)} | {
+        f"s{i}" for i in (1, 2, 3, 4)
+    }
+    assert all(v == 4 for v in out.values())
