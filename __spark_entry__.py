@@ -77,6 +77,8 @@ _CHANGED_THIS_ROUND = [
     "quality_freshness",
     "graph_hits",
     "graph_kcore",
+    "profile_fd_audit",
+    "q_stickiness_dau_mau",
 ]
 
 

@@ -1226,3 +1226,63 @@ def q_basket_sequence_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("confidence"),
         )
     )
+
+
+_STICKINESS_ORACLE = """
+    WITH du AS (
+      SELECT DISTINCT strftime(ts, '%Y-%m') AS month,
+             strftime(ts, '%Y-%m-%d') AS day, user_id
+      FROM events
+    ),
+    daily AS (
+      SELECT month,
+             COUNT(*) AS dau_sum,
+             COUNT(DISTINCT day) AS n_days
+      FROM du GROUP BY month
+    ),
+    monthly AS (
+      SELECT month, COUNT(DISTINCT user_id) AS mau FROM du GROUP BY month
+    )
+    SELECT d.month,
+           CAST(d.n_days AS BIGINT) AS n_days,
+           ROUND(d.dau_sum / CAST(d.n_days AS DOUBLE), 4) AS avg_dau,
+           CAST(m.mau AS BIGINT) AS mau,
+           ROUND(d.dau_sum / CAST(d.n_days AS DOUBLE) / m.mau, 4)
+             AS stickiness
+    FROM daily d JOIN monthly m USING (month)
+"""
+
+
+@register("q_stickiness_dau_mau", oracle=_STICKINESS_ORACLE)
+def q_stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per month — the product-health ratio ("what
+    fraction of the month's users show up on an average day"): mean
+    daily active users over monthly active users. 1.0 = everyone daily,
+    1/days = everyone exactly once; the single most-watched engagement
+    ratio next to retention (q_retention_cohorts gives the cohort view,
+    this the calendar view).
+
+    Scale shape: ONE distinct aggregate reduces events to (month, day,
+    user) visit rows (map-side combinable); both the daily sum and the
+    MAU re-aggregate that frame, joined back on the tiny month domain.
+    Determinism: ratios are single divisions of exact integers computed
+    identically in both engines, rounded for display."""
+    t = load(spark, sf_dir)
+    du = t.events.select(
+        F.date_format("ts", "yyyy-MM").alias("month"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "user_id",
+    ).distinct()
+    daily = du.groupBy("month").agg(
+        F.count(F.lit(1)).alias("dau_sum"),
+        F.countDistinct("day").alias("n_days"),
+    )
+    monthly = du.groupBy("month").agg(F.countDistinct("user_id").alias("mau"))
+    avg_dau = F.col("dau_sum") / F.col("n_days").cast("double")
+    return daily.join(monthly, "month").select(
+        "month",
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.round(avg_dau, 4).alias("avg_dau"),
+        F.col("mau").cast("bigint").alias("mau"),
+        F.round(avg_dau / F.col("mau"), 4).alias("stickiness"),
+    )

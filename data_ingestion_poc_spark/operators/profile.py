@@ -277,3 +277,66 @@ def quality_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         behind.cast("bigint").alias("minutes_behind"),
         (behind > FRESHNESS_SLO_MINUTES).alias("is_stale"),
     )
+
+
+#: Candidate functional dependencies to audit: (name, table, lhs, rhs).
+#: The first is a schema-guaranteed FD (regression canary: it must
+#: hold); the others are plausible-but-false assumptions a modeler
+#: might bake into a join or a dedup key — the audit quantifies them.
+FD_CANDIDATES = (
+    ("nation_to_region", "nation", "n_nationkey", "n_regionkey"),
+    ("cust_nation_to_segment", "customer", "c_nationkey", "c_mktsegment"),
+    ("order_to_shipdate", "lineitem", "l_orderkey", "l_shipdate"),
+    ("supp_nation_to_name", "supplier", "s_nationkey", "s_name"),
+)
+
+
+def _fd_oracle(name: str, table: str, lhs: str, rhs: str) -> str:
+    return f"""
+    SELECT '{name}' AS fd,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating,
+           SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS holds
+    FROM (SELECT {lhs}, COUNT(DISTINCT {rhs}) AS nd
+          FROM {table} GROUP BY {lhs})"""
+
+
+@register(
+    "profile_fd_audit",
+    oracle="\nUNION ALL\n".join(_fd_oracle(*fd) for fd in FD_CANDIDATES),
+)
+def profile_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit: for each candidate FD "lhs
+    determines rhs", count the lhs groups where more than one rhs value
+    actually occurs — the schema-inference check run before trusting a
+    column as a join/dedup key or denormalizing on it (a violated FD
+    silently duplicates or drops rows downstream). One schema-true FD
+    rides along as the canary; the rest quantify plausible-but-false
+    modeler assumptions.
+
+    Scale shape: per FD one two-phase distinct aggregate (partial
+    per-partition distinct on (lhs, rhs), then the group verdict —
+    never a row-level collect), unioned over the FD list; each audited
+    table is scanned once with only the two audited columns read."""
+    t = load(spark, sf_dir)
+    parts = []
+    for name, table, lhs, rhs in FD_CANDIDATES:
+        g = (
+            getattr(t, table)
+            .groupBy(lhs)
+            .agg(F.countDistinct(rhs).alias("nd"))
+        )
+        viol = F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+        parts.append(
+            g.agg(
+                F.lit(name).alias("fd"),
+                F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+                viol.cast("bigint").alias("n_violating"),
+                (viol == 0).alias("holds"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

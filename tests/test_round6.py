@@ -773,3 +773,58 @@ def test_kcore_peels_pendant_keeps_clique(spark, tmp_path):
         f"s{i}" for i in (1, 2, 3, 4)
     }
     assert all(v == 4 for v in out.values())
+
+
+def test_fd_audit_canary_holds_violations_counted(spark, tmp_path):
+    """nation_to_region (schema-true) holds; supp_nation_to_name is
+    violated by two same-nation suppliers with different names, and the
+    violating-group count is exactly the one shared nation."""
+    spark.createDataFrame(
+        [(i, f"n{i}", i % 3, "c") for i in range(6)],
+        "n_nationkey long, n_name string, n_regionkey long, n_comment string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "nation.parquet"))
+    spark.createDataFrame(
+        [(1, "acme", "a", 7, "p", 0.0, "c"), (2, "other", "a", 7, "p", 0.0, "c"),
+         (3, "solo", "a", 8, "p", 0.0, "c")],
+        "s_suppkey long, s_name string, s_address string, s_nationkey long,"
+        " s_phone string, s_acctbal double, s_comment string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "supplier.parquet"))
+    spark.createDataFrame(
+        [(1, "x", "a", 0, "p", 0.0, "BUILDING", "c")],
+        "c_custkey long, c_name string, c_address string, c_nationkey long,"
+        " c_phone string, c_acctbal double, c_mktsegment string, c_comment string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    spark.createDataFrame(
+        [(1, 1, 1, 1.0, 0.0, datetime.datetime(2024, 1, 1), "N", 1, 0.0)],
+        "l_orderkey long, l_suppkey long, l_quantity long,"
+        " l_extendedprice double, l_discount double, l_shipdate timestamp,"
+        " l_returnflag string, l_linenumber long, l_tax double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    out = {
+        r["fd"]: r
+        for r in registry.get("profile_fd_audit").fn(spark, str(tmp_path)).collect()
+    }
+    assert out["nation_to_region"]["holds"]
+    assert out["nation_to_region"]["n_violating"] == 0
+    supp = out["supp_nation_to_name"]
+    assert not supp["holds"]
+    assert supp["n_groups"] == 2 and supp["n_violating"] == 1
+
+
+def test_stickiness_bounds(spark, tmp_path):
+    """User 1 active all 4 observed days, user 2 on one day:
+    DAU sum = 5 over 4 days, MAU 2 -> stickiness 0.625. A month where
+    everyone shows up daily scores exactly 1.0."""
+    rows = [(i, i * 1440, 1, "view", 1.0) for i in range(4)]       # Jan, u1 daily
+    rows.append((10, 2 * 1440, 2, "view", 1.0))                    # u2 once
+    rows += [(20 + i, 45 * 1440 + i * 1440, j, "view", 1.0)
+             for i in range(3) for j in (5, 6)]                    # Feb: both daily
+    _write_events(spark, tmp_path, rows)
+    out = {
+        r["month"]: r
+        for r in registry.get("q_stickiness_dau_mau").fn(spark, str(tmp_path)).collect()
+    }
+    jan, feb = out["2024-01"], out["2024-02"]
+    assert jan["n_days"] == 4 and jan["mau"] == 2
+    assert jan["avg_dau"] == 1.25 and jan["stickiness"] == 0.625
+    assert feb["stickiness"] == 1.0

@@ -168,6 +168,10 @@ SINGLE_PARTITION_OK: dict[str, str] = {
         "1-row moment frame (n/var/cov partials per user-level "
         "partition, never event rows)"
     ),
+    "profile_fd_audit": (
+        "4 x 1-row FD verdict aggregates (group-level partials per "
+        "audited table, never data rows)"
+    ),
     "agg_srm_check": (
         "2-row arm-count frame (chi-squared window over the arm "
         "DOMAIN, never user rows)"
