@@ -79,6 +79,8 @@ _CHANGED_THIS_ROUND = [
     "graph_kcore",
     "profile_fd_audit",
     "q_stickiness_dau_mau",
+    "text_bigram_lm",
+    "embed_outlier_centroid",
 ]
 
 

@@ -1385,3 +1385,102 @@ def embed_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= HARD_NEG_K)
         .select("anchor_id", "negative_id", F.round("cos", 4).alias("cos"), "rk")
     )
+
+
+#: Outlier gate: a vector whose centroid-cosine sits more than 3 sigma
+#: BELOW the corpus mean is flagged (one-sided — far-from-mass means
+#: corrupt/off-distribution; unusually close to the centroid is fine).
+OUTLIER_Z = 3.0
+
+_OUTLIER_ORACLE = """
+    WITH dims AS (
+      SELECT generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS pos,
+             unnest(CAST(embedding AS DOUBLE[])) AS v
+      FROM embeddings),
+    cent AS (SELECT list(m ORDER BY pos) AS ce
+             FROM (SELECT pos, ROUND(AVG(v), 6) AS m FROM dims GROUP BY pos)),
+    scored AS (
+      SELECT e.vec_id,
+             CAST(floor(list_dot_product(CAST(e.embedding AS DOUBLE[]), c.ce)
+                  / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                           CAST(e.embedding AS DOUBLE[])))
+                     * sqrt(list_dot_product(c.ce, c.ce)))
+                  * 1000000) AS BIGINT) AS cu
+      FROM embeddings e, cent c
+    ),
+    m AS (
+      SELECT COUNT(*) AS n, SUM(cu) AS s1, SUM(cu * cu) AS s2 FROM scored
+    )
+    SELECT s.vec_id,
+           s.cu / 1000000.0 AS cos_centroid,
+           floor((s.cu - m.s1 / CAST(m.n AS DOUBLE))
+                 / sqrt(GREATEST((m.s2 - m.s1 * (m.s1 / CAST(m.n AS DOUBLE)))
+                                 / (m.n - 1), 1e-12))
+                 * 10000) / 10000 AS z,
+           (s.cu - m.s1 / CAST(m.n AS DOUBLE))
+             / sqrt(GREATEST((m.s2 - m.s1 * (m.s1 / CAST(m.n AS DOUBLE)))
+                             / (m.n - 1), 1e-12)) < -3.0 AS is_outlier
+    FROM scored s, m
+"""
+
+
+@register("embed_outlier_centroid", oracle=_OUTLIER_ORACLE)
+def embed_outlier_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outlier screen: each vector's cosine to the GLOBAL
+    corpus centroid, z-scored over the corpus — the cheap corrupt-
+    embedding / off-distribution detector run before any ANN index
+    build or SemDeDup pass (a zeroed, truncated, or wrong-model vector
+    lands far from the mass and poisons centroids and cluster
+    assignments downstream). One-sided OUTLIER_Z sigma gate.
+
+    Scale/determinism: pass 1 = the embed_centroids posexplode
+    aggregate (shuffle O(dims), centroid 6-dp-quantized so both
+    engines share bit-equal inputs); pass 2 = one broadcast-centroid
+    scan computing each cosine, quantized to integer MICRO-UNITS so
+    pass 3's corpus moments are EXACT integer sums (order-independent,
+    the graph_pagerank doctrine); the z is then identical arithmetic
+    on two exact integers, variance floored at 1e-12 for the
+    degenerate all-equal corpus. z floor-scaled; the flag compares the
+    unfloored z in both engines."""
+    t = load(spark, sf_dir)
+    dims = t.embeddings.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v")
+    )
+    cent = (
+        dims.groupBy("pos")
+        .agg(F.round(F.avg("v"), 6).alias("m"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda x: x["m"],
+            ).alias("ce")
+        )
+    )
+    e = t.embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("ve")
+    ).crossJoin(F.broadcast(cent))
+    cos = dot_double(F.col("ve"), F.col("ce")) / (
+        F.sqrt(dot_double(F.col("ve"), F.col("ve")))
+        * F.sqrt(dot_double(F.col("ce"), F.col("ce")))
+    )
+    scored = e.select(
+        "vec_id", F.floor(cos * 1_000_000).cast("bigint").alias("cu")
+    )
+    m = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cu").alias("s1"),
+        F.sum(F.col("cu") * F.col("cu")).alias("s2"),
+    )
+    mu = F.col("s1") / F.col("n").cast("double")
+    sd = F.sqrt(
+        F.greatest(
+            (F.col("s2") - F.col("s1") * mu) / (F.col("n") - 1), F.lit(1e-12)
+        )
+    )
+    z = (F.col("cu") - mu) / sd
+    return scored.crossJoin(F.broadcast(m)).select(
+        "vec_id",
+        (F.col("cu") / 1_000_000.0).alias("cos_centroid"),
+        (F.floor(z * 10_000) / 10_000).alias("z"),
+        (z < -OUTLIER_Z).alias("is_outlier"),
+    )

@@ -730,3 +730,107 @@ def text_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("d", 4).alias("ks_d"),
         F.col("drift").alias("drift_detected"),
     )
+
+
+#: Bigram LM scoring in integer MICRO-BITS: each bigram's log2
+#: probability quantizes to an exact integer before the per-doc sum,
+#: so document scores are order-independent in both engines (the
+#: graph_pagerank micro-unit doctrine applied to floats-from-log2).
+LM_MICRO = 1_000_000
+
+_BIGRAM_LM_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS a FROM documents
+    ),
+    big AS (
+      SELECT doc_id, a[i] AS w1, a[i + 1] AS w2
+      FROM toks, unnest(range(1, len(a))) AS t(i)
+    ),
+    cb AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2),
+    cu AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1),
+    v AS (SELECT COUNT(DISTINCT w) AS vocab
+          FROM (SELECT unnest(a) AS w FROM toks)),
+    scored AS (
+      SELECT b.doc_id,
+             CAST(ROUND(log2((cb.c12 + 1)
+                             / CAST(cu.c1 + v.vocab AS DOUBLE))
+                        * {LM_MICRO}) AS BIGINT) AS lp
+      FROM big b
+      JOIN cb ON cb.w1 = b.w1 AND cb.w2 = b.w2
+      JOIN cu ON cu.w1 = b.w1
+      CROSS JOIN v
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           floor(SUM(lp) / CAST(COUNT(*) AS DOUBLE) / {LM_MICRO} * 10000)
+             / 10000 AS avg_log2p,
+           floor(pow(2.0, -(SUM(lp) / CAST(COUNT(*) AS DOUBLE) / {LM_MICRO}))
+                 * 100) / 100 AS perplexity
+    FROM scored GROUP BY doc_id
+"""
+
+
+@register("text_bigram_lm", oracle=_BIGRAM_LM_ORACLE)
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under a corpus-trained add-one-smoothed
+    word-bigram language model — the classic KenLM-style quality score
+    a pretraining pipeline computes at corpus scale (CCNet/Gopher: keep
+    documents a reference LM finds unsurprising; boilerplate and
+    gibberish both land in the tails). The corpus IS the training set
+    here; production swaps the count tables for a held-out reference
+    corpus and the machinery is unchanged. P(w2|w1) = (c12+1)/(c1+V),
+    scored as avg log2 P over each doc's bigrams, ppl = 2^-avg.
+
+    Scale shape: one token explode feeds three combinable count
+    aggregates (bigram table O(bigram vocab), context table O(vocab),
+    V scalar); scoring re-joins the doc bigram stream against both
+    count tables on their token keys — shuffle O(corpus bigrams), the
+    honest cost of LM scoring, with the count tables broadcast when
+    they fit. Determinism: counts exact, each log2 runs on identical
+    doubles, and per-bigram scores quantize to integer MICRO-BITS so
+    doc sums are exact integer sums (order-independent both engines);
+    display values floor-scaled. Docs with < 2 tokens have no bigrams
+    and drop out (scoring is undefined, not zero)."""
+    t = load(spark, sf_dir)
+    toks = t.documents.select(
+        "doc_id", F.split(F.lower("text"), " ").alias("a")
+    )
+    # guard single-token docs: Spark's sequence(1, 0) DESCENDS instead
+    # of emitting empty (the win_theil_sen cross-engine trap).
+    pairs = F.when(
+        F.size("a") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("a") - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("a"), i).alias("w1"),
+                F.element_at(F.col("a"), i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    big = toks.select("doc_id", F.explode(pairs).alias("bg")).select(
+        "doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
+    cb = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    cu = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (
+        toks.select(F.explode("a").alias("w"))
+        .agg(F.countDistinct("w").alias("vocab"))
+    )
+    lp = F.round(
+        F.log2(
+            (F.col("c12") + 1) / (F.col("c1") + F.col("vocab")).cast("double")
+        )
+        * LM_MICRO
+    ).cast("bigint")
+    scored = (
+        big.join(cb, ["w1", "w2"])
+        .join(cu.withColumnRenamed("w1", "w1j"), F.col("w1") == F.col("w1j"))
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", lp.alias("lp"))
+    )
+    avg_bits = F.sum("lp") / F.count(F.lit(1)).cast("double") / LM_MICRO
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        (F.floor(avg_bits * 10_000) / 10_000).alias("avg_log2p"),
+        (F.floor(F.pow(F.lit(2.0), -avg_bits) * 100) / 100).alias("perplexity"),
+    )

@@ -828,3 +828,49 @@ def test_stickiness_bounds(spark, tmp_path):
     assert jan["n_days"] == 4 and jan["mau"] == 2
     assert jan["avg_dau"] == 1.25 and jan["stickiness"] == 0.625
     assert feb["stickiness"] == 1.0
+
+
+def test_bigram_lm_repetition_scores_higher(spark, tmp_path):
+    """A doc that repeats the corpus's dominant bigram is less
+    surprising (higher avg log2 P, lower perplexity) than one made of
+    bigrams seen only once; ppl = 2^-avg_log2p within floor error; a
+    one-token doc has no bigrams and is absent."""
+    docs = [
+        (1, "the cat the cat the cat the cat"),
+        (2, "a dog runs far away today"),
+        (3, "solo"),
+    ]
+    _write_documents(spark, tmp_path, docs)
+    out = {
+        r["doc_id"]: r
+        for r in registry.get("text_bigram_lm").fn(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {1, 2}
+    assert out[1]["n_bigrams"] == 7 and out[2]["n_bigrams"] == 5
+    assert out[1]["avg_log2p"] > out[2]["avg_log2p"]
+    assert out[1]["perplexity"] < out[2]["perplexity"]
+    for r in out.values():
+        assert abs(r["perplexity"] - 2 ** (-r["avg_log2p"])) < 0.05
+
+
+def test_embed_outlier_flags_far_vector(spark, tmp_path):
+    """19 vectors near [1, 0] and one at [-1, 0]: the antipode's
+    centroid-cosine z-score is far below the pack -> flagged; the pack
+    is not."""
+    import math
+
+    vecs = []
+    for i in range(19):
+        a = 0.05 * math.sin(i)  # small wiggle so sigma > 0
+        vecs.append((i, [math.cos(a), math.sin(a)], "p"))
+    vecs.append((99, [-1.0, 0.0], "p"))
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>, label string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    out = {
+        r["vec_id"]: r
+        for r in registry.get("embed_outlier_centroid").fn(spark, str(tmp_path)).collect()
+    }
+    assert out[99]["is_outlier"] and out[99]["z"] < -3
+    assert not any(out[i]["is_outlier"] for i in range(19))
+    assert all(-1.0 <= r["cos_centroid"] <= 1.0 for r in out.values())

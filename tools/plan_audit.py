@@ -168,6 +168,14 @@ SINGLE_PARTITION_OK: dict[str, str] = {
         "1-row moment frame (n/var/cov partials per user-level "
         "partition, never event rows)"
     ),
+    "text_bigram_lm": (
+        "1-row vocabulary-size scalar broadcast (distinct-count "
+        "partials, never token rows)"
+    ),
+    "embed_outlier_centroid": (
+        "dim-bounded centroid collect + 1-row corpus-moment frame "
+        "(exact integer micro-unit partials)"
+    ),
     "profile_fd_audit": (
         "4 x 1-row FD verdict aggregates (group-level partials per "
         "audited table, never data rows)"
