@@ -81,6 +81,8 @@ _CHANGED_THIS_ROUND = [
     "q_stickiness_dau_mau",
     "text_bigram_lm",
     "embed_outlier_centroid",
+    "agg_autocorr",
+    "corpus_curriculum_phases",
 ]
 
 

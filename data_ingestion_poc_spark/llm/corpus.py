@@ -1134,3 +1134,91 @@ def corpus_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("bucket") - F.col("n_tok")) * 100.0 / F.sum("bucket"), 2
         ).alias("pad_pct"),
     )
+
+
+#: Curriculum phases: quartiles of document length (shortest first —
+#: the standard length-based curriculum; swap the difficulty column
+#: for a model-based score and the machinery is unchanged).
+CURRICULUM_PHASES = 4
+
+_CURRICULUM_ORACLE = """
+    WITH cuts AS (
+      SELECT quantile_cont(n_chars, 0.25) AS q1,
+             quantile_cont(n_chars, 0.50) AS q2,
+             quantile_cont(n_chars, 0.75) AS q3
+      FROM documents
+    ),
+    assigned AS (
+      SELECT CAST(1 + CAST(d.n_chars > c.q1 AS INTEGER)
+                    + CAST(d.n_chars > c.q2 AS INTEGER)
+                    + CAST(d.n_chars > c.q3 AS INTEGER) AS BIGINT) AS phase,
+             d.n_chars,
+             len(string_split(d.text, ' ')) AS n_tok
+      FROM documents d, cuts c
+    )
+    SELECT phase,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS len_lo,
+           CAST(MAX(n_chars) AS BIGINT) AS len_hi,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           ROUND(SUM(n_tok) / CAST((SELECT SUM(len(string_split(text, ' ')))
+                                    FROM documents) AS DOUBLE), 4)
+             AS token_share
+    FROM assigned GROUP BY phase
+"""
+
+
+@register("corpus_curriculum_phases", oracle=_CURRICULUM_ORACLE)
+def corpus_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum schedule report: the corpus split into
+    CURRICULUM_PHASES length-quartile phases (shortest documents train
+    first — the standard length curriculum; a model-based difficulty
+    column drops into the same cuts). Emits per-phase doc counts,
+    length range, and token share — what the training scheduler
+    consumes to budget steps per phase, and the sanity check that the
+    phases actually differ in difficulty mass.
+
+    Scale shape: pass 1 reduces the corpus to a 1-row exact-percentile
+    cut frame (approx_percentile partials at 100 TB — the
+    agg_winsorized_mean note); the cuts broadcast back onto one scan
+    and phase assignment is three integer comparisons; the report is
+    one combinable aggregate over the 4-phase domain. Percentile
+    interpolation is bit-identical to quantile_cont (the
+    text_length_trim precedent); everything else is exact integers."""
+    t = load(spark, sf_dir)
+    cuts = t.documents.agg(
+        F.percentile("n_chars", F.lit(0.25)).alias("q1"),
+        F.percentile("n_chars", F.lit(0.50)).alias("q2"),
+        F.percentile("n_chars", F.lit(0.75)).alias("q3"),
+    )
+    assigned = t.documents.crossJoin(F.broadcast(cuts)).select(
+        (
+            1
+            + (F.col("n_chars") > F.col("q1")).cast("int")
+            + (F.col("n_chars") > F.col("q2")).cast("int")
+            + (F.col("n_chars") > F.col("q3")).cast("int")
+        ).cast("bigint").alias("phase"),
+        "n_chars",
+        F.size(F.split("text", " ")).alias("n_tok"),
+    )
+    total = assigned.agg(F.sum("n_tok").alias("tot"))
+    return (
+        assigned.groupBy("phase")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("n_chars").cast("bigint").alias("len_lo"),
+            F.max("n_chars").cast("bigint").alias("len_hi"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "phase",
+            "n_docs",
+            "len_lo",
+            "len_hi",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("tot").cast("double"), 4).alias(
+                "token_share"
+            ),
+        )
+    )

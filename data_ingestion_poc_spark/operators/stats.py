@@ -1063,3 +1063,96 @@ def agg_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi2, 6).alias("chi2"),
         (chi2 > CHI2_CRIT_BY_DOF[1]).alias("srm_detected"),
     )
+
+
+#: Autocorrelation lags to report. Pairs pool ACROSS user series (each
+#: user's stream supplies its own (x_t, x_{t-k}) pairs), so the
+#: estimate distributes and no single global sort exists.
+ACF_LAGS = (1, 2, 3, 4, 5)
+
+_ACF_PAIRS_SQL = "\n    UNION ALL\n".join(
+    f"SELECT {k} AS lag, vc AS x, l{k} AS y FROM lagged WHERE l{k} IS NOT NULL"
+    for k in ACF_LAGS
+)
+
+_ACF_ORACLE = f"""
+    WITH c AS (
+      SELECT user_id, ts, event_id, ROUND(value * 100) AS vc FROM events
+    ),
+    lagged AS (
+      SELECT vc,
+             {", ".join(
+                 f"lag(vc, {k}) OVER (PARTITION BY user_id "
+                 f"ORDER BY ts, event_id) AS l{k}"
+                 for k in ACF_LAGS
+             )}
+      FROM c
+    ),
+    pairs AS (
+      {_ACF_PAIRS_SQL}
+    ),
+    s AS (
+      SELECT lag, COUNT(*) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx,
+             CAST(SUM(y * y) AS DOUBLE) AS syy
+      FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+           floor((sxy / n - (sx / n) * (sy / n))
+                 / sqrt((sxx / n - (sx / n) * (sx / n))
+                        * (syy / n - (sy / n) * (sy / n)))
+                 * 1000000) / 1000000 AS acf
+    FROM s
+"""
+
+
+@register("agg_autocorr", oracle=_ACF_ORACLE)
+def agg_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pooled lag-k autocorrelation of the event value stream (lags
+    1-{ACF_LAGS[-1]}): Pearson correlation between (x_t, x_t-k) pairs
+    taken WITHIN each user's time-ordered series and pooled across all
+    users — the series-memory diagnostic that tells a forecaster
+    whether win_ewma/win_holt_linear have anything to smooth (ACF ~ 0
+    = white noise; slow decay = momentum; alternating sign =
+    mean-reversion).
+
+    Scale shape: pooling across user series is what makes ACF
+    distribute — one user_id window computes all {len(ACF_LAGS)} lag
+    columns in a single pass (no global sort anywhere), the pair
+    stream stacks and reduces to 5 sufficient-stat rows via a
+    combinable aggregate. Determinism: values quantize to integer
+    CENTS so every sum is an exact integer (max |sum| ~ 3e14 << 2^53,
+    order-independent); the correlation is then identical arithmetic
+    both engines, floor-scaled for display."""
+    t = load(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    c = t.events.select(
+        "user_id", "ts", "event_id", F.round(F.col("value") * 100).alias("vc")
+    )
+    lagged = c.select(
+        "vc", *[F.lag("vc", k).over(w).alias(f"l{k}") for k in ACF_LAGS]
+    )
+    stack = ", ".join(f"{k}, vc, l{k}" for k in ACF_LAGS)
+    pairs = lagged.selectExpr(
+        f"stack({len(ACF_LAGS)}, {stack}) AS (lag, x, y)"
+    ).where(F.col("y").isNotNull())
+    s = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    mx, my = F.col("sx") / n, F.col("sy") / n
+    acf = (F.col("sxy") / n - mx * my) / F.sqrt(
+        (F.col("sxx") / n - mx * mx) * (F.col("syy") / n - my * my)
+    )
+    return s.select(
+        F.col("lag").cast("bigint").alias("lag"),
+        F.col("n").cast("bigint").alias("n_pairs"),
+        (F.floor(acf * 1_000_000) / 1_000_000).alias("acf"),
+    )

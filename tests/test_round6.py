@@ -874,3 +874,41 @@ def test_embed_outlier_flags_far_vector(spark, tmp_path):
     assert out[99]["is_outlier"] and out[99]["z"] < -3
     assert not any(out[i]["is_outlier"] for i in range(19))
     assert all(-1.0 <= r["cos_centroid"] <= 1.0 for r in out.values())
+
+
+def test_autocorr_alternating_series(spark, tmp_path):
+    """A strictly alternating series 0,10,0,10,...: lag-1 ACF = -1,
+    lag-2 ACF = +1 (exact, every pair identical in the pooled frame)."""
+    rows = [(i, i, 1, "view", 10.0 * (i % 2)) for i in range(40)]
+    _write_events(spark, tmp_path, rows)
+    out = {
+        r["lag"]: r
+        for r in registry.get("agg_autocorr").fn(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5}
+    # floor-scaled display: an exact +/-1 may land one micro-step low
+    assert abs(out[1]["acf"] + 1) <= 2e-6 and abs(out[2]["acf"] - 1) <= 2e-6
+    assert abs(out[3]["acf"] + 1) <= 2e-6 and abs(out[4]["acf"] - 1) <= 2e-6
+    assert out[1]["n_pairs"] == 39 and out[5]["n_pairs"] == 35
+
+
+def test_curriculum_phases_partition_corpus(spark, tmp_path):
+    """16 docs with lengths spread over 4 clear tiers: each quartile
+    phase gets 4 docs, phases are length-disjoint and ordered, doc and
+    token shares sum to the corpus."""
+    docs = [
+        (i, " ".join(["w"] * (10 * (1 + i // 4) + i % 4))) for i in range(16)
+    ]
+    _write_documents(spark, tmp_path, docs)
+    out = sorted(
+        registry.get("corpus_curriculum_phases").fn(spark, str(tmp_path)).collect(),
+        key=lambda r: r["phase"],
+    )
+    assert [r["phase"] for r in out] == [1, 2, 3, 4]
+    assert all(r["n_docs"] == 4 for r in out)
+    for a, b in zip(out, out[1:]):
+        assert a["len_hi"] < b["len_lo"]
+    assert abs(sum(r["token_share"] for r in out) - 1.0) < 0.001
+    assert sum(r["n_tokens"] for r in out) == sum(
+        10 * (1 + i // 4) + i % 4 for i in range(16)
+    )

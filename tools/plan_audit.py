@@ -168,6 +168,10 @@ SINGLE_PARTITION_OK: dict[str, str] = {
         "1-row moment frame (n/var/cov partials per user-level "
         "partition, never event rows)"
     ),
+    "corpus_curriculum_phases": (
+        "1-row percentile-cut + 1-row token-total scalars and the "
+        "4-phase report frame (aggregate partials only)"
+    ),
     "text_bigram_lm": (
         "1-row vocabulary-size scalar broadcast (distinct-count "
         "partials, never token rows)"
