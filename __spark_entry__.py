@@ -83,6 +83,8 @@ _CHANGED_THIS_ROUND = [
     "embed_outlier_centroid",
     "agg_autocorr",
     "corpus_curriculum_phases",
+    "win_changepoint_scan",
+    "sink_expire_snapshots",
 ]
 
 

@@ -1107,3 +1107,153 @@ def scan_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows bigint, min_qty double, max_qty double, n_partkeys bigint,"
         " agg_pushed boolean",
     )
+
+
+#: Snapshot-expiry retention: keep the newest EXPIRE_RETAIN_LAST
+#: snapshots live; a data file referenced by NO live snapshot is the
+#: vacuum set. Snapshots rewrite some partitions and SHARE the rest
+#: (the Iceberg/Delta metadata-only-copy property the report audits).
+EXPIRE_RETAIN_LAST = 2
+
+_EXPIRE_ORACLE = f"""
+    WITH half AS (
+      SELECT o_orderpriority AS pr, COUNT(*) AS n FROM orders
+      WHERE o_orderkey % 2 = 0 GROUP BY o_orderpriority
+    ),
+    full_t AS (
+      SELECT o_orderpriority AS pr, COUNT(*) AS n FROM orders
+      GROUP BY o_orderpriority
+    ),
+    m1 AS (SELECT 1 AS snap, 'v1/' || pr AS file_id, n FROM half),
+    m2 AS (
+      SELECT 2 AS snap,
+             CASE WHEN pr IN ('1-URGENT', '2-HIGH')
+                  THEN 'v2/' || pr ELSE 'v1/' || pr END AS file_id,
+             CASE WHEN pr IN ('1-URGENT', '2-HIGH')
+                  THEN (SELECT n FROM full_t f WHERE f.pr = half.pr)
+                  ELSE n END AS n
+      FROM half
+    ),
+    m3 AS (
+      SELECT 3 AS snap,
+             CASE WHEN pr = '3-MEDIUM' THEN 'v3/' || pr ELSE file_id END
+               AS file_id,
+             CASE WHEN pr = '3-MEDIUM'
+                  THEN (SELECT n FROM full_t f WHERE f.pr = m2.pr)
+                  ELSE n END AS n
+      FROM (SELECT *, regexp_extract(file_id, '/(.*)$', 1) AS pr FROM m2)
+        AS m2
+    ),
+    refs AS (
+      SELECT snap, file_id, n FROM m1
+      UNION ALL SELECT snap, file_id, n FROM m2
+      UNION ALL SELECT snap, file_id, n FROM m3
+    )
+    SELECT file_id,
+           CAST(MAX(n) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN snap > 3 - {EXPIRE_RETAIN_LAST}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS live_refs,
+           CAST(SUM(CASE WHEN snap <= 3 - {EXPIRE_RETAIN_LAST}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS expired_refs,
+           CASE WHEN SUM(CASE WHEN snap > 3 - {EXPIRE_RETAIN_LAST}
+                              THEN 1 ELSE 0 END) = 0
+                THEN 'delete' ELSE 'keep' END AS action
+    FROM refs GROUP BY file_id
+"""
+
+
+@register("sink_expire_snapshots", oracle=_EXPIRE_ORACLE)
+def sink_expire_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot expiry / vacuum planning (Iceberg expire_snapshots,
+    Delta VACUUM): over a 3-snapshot store whose manifests SHARE
+    unchanged data files (v2 rewrites only the URGENT/HIGH partitions,
+    v3 only MEDIUM), retain the newest {EXPIRE_RETAIN_LAST} snapshots
+    and report, per data file, how many live and expired snapshots
+    reference it — `delete` iff NO live snapshot does. Getting this set
+    exactly right is THE correctness-critical lakehouse maintenance
+    job: deleting a shared file corrupts history, keeping orphans
+    leaks storage forever.
+
+    The manifests are real files: written once to the snapshot store
+    (fingerprinted like scan_time_travel), read back, and reduced by
+    ONE combinable aggregate over (file_id) — reference counting is
+    metadata-scale work (manifest rows, never data rows), which is why
+    vacuum stays cheap at 100 TB. Cited reference seam: child.py's
+    overwrite-only sink (child.py:160-208) has no history to expire;
+    this is the maintenance half that versioned retention requires."""
+    t = load(spark, sf_dir)
+    root = _sink_dir("dip_spark_expire_snapshots", sf_dir)
+    manifest_dir = os.path.join(root, "manifests")
+    done = os.path.join(root, "_PUBLISHED")
+    if not os.path.exists(done):
+        half = (
+            t.orders.where(F.col("o_orderkey") % 2 == 0)
+            .groupBy(F.col("o_orderpriority").alias("pr"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        full = t.orders.groupBy(F.col("o_orderpriority").alias("pr")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        rewritten2 = F.col("pr").isin("1-URGENT", "2-HIGH")
+        m1 = half.select(
+            F.lit(1).alias("snap"),
+            F.concat(F.lit("v1/"), F.col("pr")).alias("file_id"),
+            "n",
+            "pr",
+        )
+        m2 = (
+            half.withColumnRenamed("n", "nh")
+            .join(full.withColumnRenamed("n", "nf"), "pr")
+            .select(
+                F.lit(2).alias("snap"),
+                F.when(rewritten2, F.concat(F.lit("v2/"), F.col("pr")))
+                .otherwise(F.concat(F.lit("v1/"), F.col("pr")))
+                .alias("file_id"),
+                F.when(rewritten2, F.col("nf")).otherwise(F.col("nh")).alias("n"),
+                "pr",
+            )
+        )
+        m3 = (
+            m2.drop("snap")
+            .join(full.withColumnRenamed("n", "nf"), "pr")
+            .select(
+                F.lit(3).alias("snap"),
+                F.when(
+                    F.col("pr") == "3-MEDIUM",
+                    F.concat(F.lit("v3/"), F.col("pr")),
+                )
+                .otherwise(F.col("file_id"))
+                .alias("file_id"),
+                F.when(F.col("pr") == "3-MEDIUM", F.col("nf"))
+                .otherwise(F.col("n"))
+                .alias("n"),
+                "pr",
+            )
+        )
+        stage = manifest_dir + f".staging_{os.getpid()}"
+        m1.unionByName(m2).unionByName(m3).drop("pr").write.mode(
+            "overwrite"
+        ).parquet(stage)
+        try:
+            os.replace(stage, manifest_dir)
+        except OSError:
+            shutil.rmtree(stage, ignore_errors=True)
+            if not os.path.exists(manifest_dir):
+                raise
+        tmp = done + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write("3")
+        os.replace(tmp, done)
+    refs = spark.read.parquet(manifest_dir)
+    live = F.sum(
+        F.when(F.col("snap") > 3 - EXPIRE_RETAIN_LAST, 1).otherwise(0)
+    )
+    expired = F.sum(
+        F.when(F.col("snap") <= 3 - EXPIRE_RETAIN_LAST, 1).otherwise(0)
+    )
+    return refs.groupBy("file_id").agg(
+        F.max("n").cast("bigint").alias("n_rows"),
+        live.cast("bigint").alias("live_refs"),
+        expired.cast("bigint").alias("expired_refs"),
+        F.when(live == 0, F.lit("delete")).otherwise(F.lit("keep")).alias("action"),
+    )

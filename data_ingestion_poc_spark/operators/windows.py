@@ -1987,3 +1987,125 @@ def win_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ready, rsi > 70).otherwise(F.lit(False)).alias("is_overbought"),
         F.when(ready, rsi < 30).otherwise(F.lit(False)).alias("is_oversold"),
     )
+
+
+#: Changepoint scan geometry: the LATEST CP_WINDOW events per user,
+#: splits with at least CP_MIN_SIDE points per side, and the scan
+#: statistic threshold (in pooled-sigma units) for the detection flag.
+CP_WINDOW = 32
+CP_MIN_SIDE = 4
+CP_THRESHOLD = 3.0
+
+_CP_ORACLE = f"""
+    WITH ranked AS (
+      SELECT user_id, ts, event_id, ROUND(value * 100) AS vc,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ),
+    win AS (
+      SELECT user_id, list(vc ORDER BY ts, event_id) AS a
+      FROM ranked WHERE rn <= {CP_WINDOW} GROUP BY user_id
+    ),
+    scanned AS (
+      SELECT user_id, len(a) AS n,
+             list_sum(a) AS tot,
+             list_sum([x * x FOR x IN a]) AS tot2,
+             list_max([
+               CAST(floor(
+                 abs(list_sum(a[1:s]) / CAST(s AS DOUBLE)
+                     - (list_sum(a) - list_sum(a[1:s]))
+                       / CAST(len(a) - s AS DOUBLE))
+                 * sqrt(s * (len(a) - s) / CAST(len(a) AS DOUBLE))
+                 * 1000000) AS BIGINT) * 64 + (63 - s)
+               FOR s IN range({CP_MIN_SIDE}, len(a) - {CP_MIN_SIDE} + 1)])
+               AS best_key
+      FROM win WHERE len(a) >= {2 * CP_MIN_SIDE}
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n,
+           CAST(63 - best_key % 64 AS BIGINT) AS split_pos,
+           (best_key // 64) / 100000000.0 AS scan_stat,
+           (best_key // 64) / 1000000.0 / 100.0
+             > {CP_THRESHOLD} * sqrt(GREATEST(
+                 (tot2 - tot * (tot / CAST(n AS DOUBLE))) / (n - 1), 1e-9))
+               / 100.0 AS changepoint_detected
+    FROM scanned
+"""
+
+
+@register("win_changepoint_scan", oracle=_CP_ORACLE)
+def win_changepoint_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-changepoint scan per user (binary segmentation, round 1):
+    over the user's latest {CP_WINDOW} events, find the split
+    maximizing |mean(before) - mean(after)| * sqrt(s(n-s)/n) — the
+    two-sample scan statistic whose max is the classic mean-shift
+    changepoint estimator. Flags when the max exceeds
+    {CP_THRESHOLD} pooled sigmas: win_cusum_drift answers "is the
+    level drifting NOW", this answers "WHERE did the level break" —
+    the localization step an incident review runs after the alert.
+
+    Scale/determinism: one user_id shuffle; the window array is
+    ts-ordered integer CENTS so every prefix sum is exact; the
+    argmax packs floor-scaled stat and split into ONE BIGINT key
+    (stat * 64 + (63 - s), preferring larger stat then EARLIER split)
+    so cross-engine tie-breaks are integer comparisons, never float
+    ones. The detection flag compares the micro-unit stat against the
+    pooled sigma from exact (sum, sumsq); users with fewer than
+    {2 * CP_MIN_SIDE} points emit nothing (no valid split)."""
+    t = load(spark, sf_dir)
+    wdesc = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = t.events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).alias("vc"),
+        F.row_number().over(wdesc).alias("rn"),
+    ).where(F.col("rn") <= CP_WINDOW)
+    win = ranked.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "vc"))),
+            lambda x: x["vc"],
+        ).alias("a")
+    )
+    a = F.col("a")
+    n = F.size(a)
+    tot = F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x)
+    tot2 = F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+
+    def _key(s):
+        p = F.aggregate(F.slice(a, 1, s), F.lit(0.0), lambda acc, x: acc + x)
+        gap = F.abs(
+            p / s.cast("double") - (tot - p) / (n - s).cast("double")
+        ) * F.sqrt(s * (n - s) / n.cast("double"))
+        return F.floor(gap * 1_000_000).cast("bigint") * 64 + (63 - s)
+
+    keys = F.transform(
+        F.sequence(F.lit(CP_MIN_SIDE), n - CP_MIN_SIDE), _key
+    )
+    scanned = win.where(n >= 2 * CP_MIN_SIDE).select(
+        "user_id",
+        n.alias("n"),
+        tot.alias("tot"),
+        tot2.alias("tot2"),
+        F.array_max(keys).alias("best_key"),
+    )
+    stat_u = F.col("best_key").cast("bigint") / 64
+    stat_cents = F.floor(stat_u) / 1_000_000.0
+    sigma = F.sqrt(
+        F.greatest(
+            (F.col("tot2") - F.col("tot") * (F.col("tot") / F.col("n").cast("double")))
+            / (F.col("n") - 1),
+            F.lit(1e-9),
+        )
+    )
+    return scanned.select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n"),
+        (63 - F.col("best_key") % 64).cast("bigint").alias("split_pos"),
+        (F.floor(stat_u) / 100_000_000.0).alias("scan_stat"),
+        (stat_cents / 100.0 > CP_THRESHOLD * sigma / 100.0).alias(
+            "changepoint_detected"
+        ),
+    )

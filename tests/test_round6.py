@@ -912,3 +912,57 @@ def test_curriculum_phases_partition_corpus(spark, tmp_path):
     assert sum(r["n_tokens"] for r in out) == sum(
         10 * (1 + i // 4) + i % 4 for i in range(16)
     )
+
+
+def test_changepoint_locates_level_shift(spark, tmp_path):
+    """User 1: 10 values at 10 then 10 at 200 -> split at position 10
+    with a detected shift. User 2: constant -> nothing detected. User 3:
+    7 events (< 2 * CP_MIN_SIDE) emits no row."""
+    rows = [(i, i, 1, "view", 10.0) for i in range(10)]
+    rows += [(10 + i, 10 + i, 1, "view", 200.0) for i in range(10)]
+    rows += [(100 + i, i, 2, "view", 50.0) for i in range(12)]
+    rows += [(200 + i, i, 3, "view", float(i)) for i in range(7)]
+    _write_events(spark, tmp_path, rows)
+    out = {
+        r["user_id"]: r
+        for r in registry.get("win_changepoint_scan").fn(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {1, 2}
+    assert out[1]["split_pos"] == 10 and out[1]["changepoint_detected"]
+    assert not out[2]["changepoint_detected"]
+    assert out[2]["scan_stat"] == 0.0
+
+
+def test_expire_snapshots_vacuum_set(spark, tmp_path):
+    """4 orders per priority (2 even keys): v1 files over half the
+    rows; URGENT/HIGH rewritten in v2, MEDIUM in v3. Retaining the
+    last 2 snapshots, only v1's URGENT/HIGH files lose every live
+    reference -> delete; v1's shared LOW/NOT files and every rewrite
+    stay keep."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    pris = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    orders = [
+        (4 * p + i, 1, "O", 10.0, base, pri)
+        for p, pri in enumerate(pris)
+        for i in range(4)
+    ]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    out = {
+        r["file_id"]: r
+        for r in registry.get("sink_expire_snapshots").fn(spark, str(tmp_path)).collect()
+    }
+    assert out["v1/1-URGENT"]["action"] == "delete"
+    assert out["v1/2-HIGH"]["action"] == "delete"
+    assert out["v1/1-URGENT"]["live_refs"] == 0
+    assert out["v1/5-LOW"]["action"] == "keep"
+    assert out["v1/5-LOW"]["live_refs"] == 2
+    assert out["v2/1-URGENT"]["action"] == "keep"
+    assert out["v3/3-MEDIUM"]["action"] == "keep"
+    assert out["v2/1-URGENT"]["n_rows"] == 4  # rewrite covers ALL keys
+    assert out["v1/5-LOW"]["n_rows"] == 2     # shared half-key file
