@@ -85,6 +85,8 @@ _CHANGED_THIS_ROUND = [
     "corpus_curriculum_phases",
     "win_changepoint_scan",
     "sink_expire_snapshots",
+    "udf_grouped_trimmed_mean",
+    "corpus_importance_weights",
 ]
 
 

@@ -316,3 +316,74 @@ def udf_stateful_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.groupBy("user_id").applyInPandas(
         _decay_group, schema="event_id long, user_id long, decay_units long"
     )
+
+
+#: Trim fraction for the grouped-agg UDF: floor(n/10) rows clipped from
+#: EACH side of the sorted per-group values (exact integer trim counts,
+#: so both engines drop the same multiset).
+TRIM_TENTH = 10
+
+_TRIMMED_ORACLE = f"""
+    WITH c AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS vc FROM events
+    ),
+    r AS (
+      SELECT event_type, vc,
+             row_number() OVER (PARTITION BY event_type ORDER BY vc) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM c
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           floor(CAST(SUM(vc) AS DOUBLE) / 100.0 / COUNT(*) * 10000) / 10000
+             AS trimmed_mean
+    FROM r
+    WHERE rn > n // {TRIM_TENTH} AND rn <= n - n // {TRIM_TENTH}
+    GROUP BY event_type
+"""
+
+
+@register("udf_grouped_trimmed_mean", oracle=_TRIMMED_ORACLE)
+def udf_grouped_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GROUPED_AGG pandas UDF flavor (Series -> scalar inside
+    groupBy().agg(), the one Arrow UDF rung udf_surface/udf_cogrouped/
+    udf_map_in_arrow do not touch): a 10%-per-side trimmed mean of the
+    event value per type — the robust location estimate metric
+    pipelines ship when winsorizing (agg_winsorized_mean) is too
+    aggressive. The UDF receives each group's value Series as ONE Arrow
+    batch; Spark's partial-aggregation machinery does NOT apply to
+    grouped-agg UDFs (whole group materializes per key), which is the
+    honest scale caveat: at 100 TB you pre-reduce per partition or use
+    the SQL rewrite; here the UDF plumbing is what is under test.
+
+    Determinism: values quantize to integer CENTS inside the UDF; trim
+    counts are exact integer floor(n/10); the kept multiset is
+    order-free; Python's exact int sum then converts and divides in
+    the same sequence as the oracle; output floor-scaled."""
+    import math
+
+    from pyspark.sql.types import DoubleType
+
+    @F.pandas_udf(DoubleType())
+    def _trimmed(v: pd.Series) -> float:
+        vc = sorted(int(round(x * 100)) for x in v)
+        k = len(vc) // TRIM_TENTH
+        kept = vc[k : len(vc) - k]
+        return math.floor(sum(kept) / 100.0 / len(kept) * 10_000) / 10_000
+
+    t = load(spark, sf_dir)
+    # grouped-agg pandas UDFs cannot mix with plain aggregates in one
+    # agg() (INVALID_PANDAS_UDF_PLACEMENT): counts come from a separate
+    # combinable aggregate joined back on the tiny type domain.
+    means = t.events.groupBy("event_type").agg(
+        _trimmed("value").alias("trimmed_mean")
+    )
+    n = F.count(F.lit(1))
+    counts = t.events.groupBy("event_type").agg(
+        n.cast("bigint").alias("n"),
+        (n - 2 * F.floor(n / TRIM_TENTH)).cast("bigint").alias("n_kept"),
+    )
+    return counts.join(F.broadcast(means), "event_type").select(
+        "event_type", "n", "n_kept", "trimmed_mean"
+    )

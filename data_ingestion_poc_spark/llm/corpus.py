@@ -1222,3 +1222,90 @@ def corpus_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+#: Importance-sampling bucket width over document length (shared with
+#: corpus_length_buckets' convention): the feature whose corpus
+#: distribution is reweighted toward the target mix.
+IMPORTANCE_BUCKET_CHARS = 100
+
+_IMPORTANCE_ORACLE = f"""
+    WITH b AS (
+      SELECT n_chars // {IMPORTANCE_BUCKET_CHARS} AS bucket,
+             COUNT(*) AS n
+      FROM documents GROUP BY 1
+    ),
+    s AS (
+      SELECT bucket, n,
+             SUM(n) OVER () AS n_total,
+             COUNT(*) OVER () AS n_buckets
+      FROM b
+    ),
+    w AS (
+      SELECT bucket, n, n_total, n_buckets,
+             (1.0 / n_buckets) / (n / CAST(n_total AS DOUBLE)) AS wt
+      FROM s
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(n AS BIGINT) AS n_docs,
+           ROUND(n / CAST(n_total AS DOUBLE), 6) AS corpus_share,
+           ROUND(1.0 / n_buckets, 6) AS target_share,
+           ROUND(wt, 6) AS weight,
+           ROUND(SUM(n * wt) OVER () * SUM(n * wt) OVER ()
+                 / (SUM(n * wt * wt) OVER () * MAX(n_total) OVER ()), 4)
+             AS ess_fraction
+    FROM w
+"""
+
+
+@register("corpus_importance_weights", oracle=_IMPORTANCE_ORACLE)
+def corpus_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-sampling weights for domain adaptation (the DSIR /
+    data-selection shape): reweight the corpus's length-bucket
+    distribution toward a uniform target mix — weight = target share /
+    corpus share per bucket — and report the effective-sample-size
+    fraction (Kish ESS = (sum w)^2 / (n sum w^2)): low ESS means the
+    target mix is too far from the corpus and reweighted training will
+    ride on few effective documents. Swap the uniform target for any
+    literal mix and the machinery is unchanged.
+
+    Scale shape: one combinable groupBy bounds everything at the
+    length-bucket DOMAIN; shares/weights/ESS are windows over that
+    bounded frame (SINGLE_PARTITION_OK). Determinism: every ratio is a
+    single division of exact integers computed identically in both
+    engines; ESS terms multiply exact-int products of those identical
+    doubles."""
+    t = load(spark, sf_dir)
+    b = (
+        t.documents.groupBy(
+            F.floor(F.col("n_chars") / IMPORTANCE_BUCKET_CHARS).alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_all = Window.partitionBy()
+    n_total = F.sum("n").over(w_all)
+    n_buckets = F.count(F.lit(1)).over(w_all)
+    s = b.select(
+        "bucket",
+        "n",
+        n_total.alias("n_total"),
+        n_buckets.alias("n_buckets"),
+    )
+    wt = (1.0 / F.col("n_buckets")) / (
+        F.col("n") / F.col("n_total").cast("double")
+    )
+    w = s.select("bucket", "n", "n_total", "n_buckets", wt.alias("wt"))
+    sw = F.sum(F.col("n") * F.col("wt")).over(w_all)
+    sw2 = F.sum(F.col("n") * F.col("wt") * F.col("wt")).over(w_all)
+    return w.select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.round(F.col("n") / F.col("n_total").cast("double"), 6).alias(
+            "corpus_share"
+        ),
+        F.round(1.0 / F.col("n_buckets"), 6).alias("target_share"),
+        F.round("wt", 6).alias("weight"),
+        F.round(
+            sw * sw / (sw2 * F.max("n_total").over(w_all)), 4
+        ).alias("ess_fraction"),
+    )

@@ -966,3 +966,34 @@ def test_expire_snapshots_vacuum_set(spark, tmp_path):
     assert out["v3/3-MEDIUM"]["action"] == "keep"
     assert out["v2/1-URGENT"]["n_rows"] == 4  # rewrite covers ALL keys
     assert out["v1/5-LOW"]["n_rows"] == 2     # shared half-key file
+
+
+def test_trimmed_mean_resists_tail(spark, tmp_path):
+    """20 values at 10 plus outliers 0 and 1000: floor(22/10) = 2 per
+    side trims both extremes -> mean exactly 10. Counts line up."""
+    rows = [(i, i, 1, "view", 10.0) for i in range(20)]
+    rows += [(100, 100, 1, "view", 0.0), (101, 101, 1, "view", 1000.0)]
+    _write_events(spark, tmp_path, rows)
+    (r,) = registry.get("udf_grouped_trimmed_mean").fn(spark, str(tmp_path)).collect()
+    assert r["n"] == 22 and r["n_kept"] == 18
+    assert r["trimmed_mean"] == 10.0
+
+
+def test_importance_weights_uniform_target(spark, tmp_path):
+    """Buckets with 6/2 docs (shares .75/.25, target .5 each): weights
+    2/3 and 2; Kish ESS fraction = 64/(6*4/9+2*4)/8 = 0.75."""
+    docs = [(i, "x" * 150) for i in range(6)] + [(10 + i, "y" * 250) for i in range(2)]
+    spark.createDataFrame(docs, "doc_id long, text string").selectExpr(
+        "doc_id", "text", "'en' AS lang", "'s' AS source",
+        "CAST(length(text) AS LONG) AS n_chars",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["bucket"]: r
+        for r in registry.get("corpus_importance_weights").fn(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {1, 2}
+    assert out[1]["n_docs"] == 6 and out[1]["corpus_share"] == 0.75
+    assert out[1]["target_share"] == 0.5
+    assert abs(out[1]["weight"] - 2 / 3) < 1e-6
+    assert out[2]["weight"] == 2.0
+    assert all(r["ess_fraction"] == 0.75 for r in out.values())

@@ -168,6 +168,10 @@ SINGLE_PARTITION_OK: dict[str, str] = {
         "1-row moment frame (n/var/cov partials per user-level "
         "partition, never event rows)"
     ),
+    "corpus_importance_weights": (
+        "share/weight/ESS windows over the length-bucket-DOMAIN-"
+        "bounded count frame"
+    ),
     "corpus_curriculum_phases": (
         "1-row percentile-cut + 1-row token-total scalars and the "
         "4-phase report frame (aggregate partials only)"
