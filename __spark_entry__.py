@@ -87,6 +87,8 @@ _CHANGED_THIS_ROUND = [
     "sink_expire_snapshots",
     "udf_grouped_trimmed_mean",
     "corpus_importance_weights",
+    "text_code_detect",
+    "embed_scalar_quant",
 ]
 
 

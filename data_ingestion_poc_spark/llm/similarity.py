@@ -1484,3 +1484,99 @@ def embed_outlier_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(z * 10_000) / 10_000).alias("z"),
         (z < -OUTLIER_Z).alias("is_outlier"),
     )
+
+
+_SQ8_ORACLE = """
+    WITH dims AS (
+      SELECT vec_id,
+             generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS pos,
+             unnest(CAST(embedding AS DOUBLE[])) AS v
+      FROM embeddings
+    ),
+    params AS (
+      SELECT pos, MIN(v) AS lo, (MAX(v) - MIN(v)) / 255.0 AS scale
+      FROM dims GROUP BY pos
+    ),
+    coded AS (
+      SELECT d.vec_id, d.pos, d.v, p.lo, p.scale,
+             CASE WHEN p.scale > 0
+                  THEN p.lo + ROUND((d.v - p.lo) / p.scale) * p.scale
+                  ELSE p.lo END AS recon
+      FROM dims d JOIN params p USING (pos)
+    ),
+    errs AS (
+      SELECT vec_id, abs(v - recon) AS err,
+             CAST(floor((v - recon) * (v - recon) * 1e12) AS BIGINT) AS e2u,
+             CAST(err <= scale / 2 OR scale = 0 AS INTEGER) AS ok
+      FROM coded
+    )
+    SELECT vec_id,
+           CAST(COUNT(*) AS BIGINT) AS dims,
+           floor(MAX(err) * 1000000) / 1000000 AS max_abs_err,
+           SUM(e2u) / COUNT(*) / 1e12 AS mse,
+           SUM(ok) = COUNT(*) AS within_half_step
+    FROM errs GROUP BY vec_id
+"""
+
+
+@register("embed_scalar_quant", oracle=_SQ8_ORACLE)
+def embed_scalar_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization contract — the 5th compression family
+    beside LSH buckets / IVF lists / PQ codes / BQ sign bits, and the
+    one FAISS ships as SQ8: per DIMENSION the corpus min and a
+    (max-min)/255 step train the codebook, each value rounds to its
+    nearest step, and the operator reports per-vector reconstruction
+    error (max abs + MSE) with the `within_half_step` guarantee flag
+    that every dimension's error is <= step/2 — the property that makes
+    SQ8 distance estimates admissible. 4x compression vs float32 with
+    near-lossless recall is why it is the default first squeeze.
+
+    Scale shape: params = one posexplode aggregate bounded by the DIM
+    domain, broadcast back onto a second exploded scan; the per-vector
+    report is one combinable aggregate keyed by vec_id. Determinism:
+    min/max exact; every step/code/recon is identical arithmetic in
+    both engines; squared errors quantize to exact integer e-12 units
+    before the sum (order-independent), max is order-free."""
+    t = load(spark, sf_dir)
+    dims = t.embeddings.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "v"),
+    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "v")
+    params = dims.groupBy("pos").agg(
+        F.min("v").alias("lo"),
+        ((F.max("v") - F.min("v")) / 255.0).alias("scale"),
+    )
+    coded = dims.join(F.broadcast(params), "pos").select(
+        "vec_id",
+        "v",
+        "lo",
+        "scale",
+        F.when(
+            F.col("scale") > 0,
+            F.col("lo")
+            + F.round((F.col("v") - F.col("lo")) / F.col("scale"))
+            * F.col("scale"),
+        )
+        .otherwise(F.col("lo"))
+        .alias("recon"),
+    )
+    err = F.abs(F.col("v") - F.col("recon"))
+    errs = coded.select(
+        "vec_id",
+        err.alias("err"),
+        F.floor(
+            (F.col("v") - F.col("recon")) * (F.col("v") - F.col("recon")) * 1e12
+        )
+        .cast("bigint")
+        .alias("e2u"),
+        ((err <= F.col("scale") / 2) | (F.col("scale") == 0))
+        .cast("int")
+        .alias("ok"),
+    )
+    n = F.count(F.lit(1))
+    return errs.groupBy("vec_id").agg(
+        n.cast("bigint").alias("dims"),
+        (F.floor(F.max("err") * 1_000_000) / 1_000_000).alias("max_abs_err"),
+        (F.sum("e2u") / n / 1e12).alias("mse"),
+        (F.sum("ok") == n).alias("within_half_step"),
+    )

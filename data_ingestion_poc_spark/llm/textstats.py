@@ -834,3 +834,77 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(avg_bits * 10_000) / 10_000).alias("avg_log2p"),
         (F.floor(F.pow(F.lit(2.0), -avg_bits) * 100) / 100).alias("perplexity"),
     )
+
+
+#: Code-detection gates (rule-of-thumb router thresholds): symbol-char
+#: share, code-keyword hits, and line-structure evidence vote 2-of-3.
+CODE_SYMBOLS = "{}()[];=<>"
+CODE_KEYWORDS = (
+    "def", "return", "import", "class", "void", "function", "var",
+    "const", "if", "else", "for", "while", "int", "public",
+)
+CODE_SYM_TAU = 0.03
+CODE_KW_MIN = 2
+
+_CODE_KW_SQL = ", ".join(f"'{k}'" for k in CODE_KEYWORDS)
+
+_CODE_DETECT_ORACLE = f"""
+    WITH feats AS (
+      SELECT doc_id,
+             length(text) AS n_chars_t,
+             length(text) - length(
+               regexp_replace(text, '[{{}}()\\[\\];=<>]', '', 'g'))
+               AS n_sym,
+             len(list_filter(string_split(lower(text), ' '),
+                             w -> w IN ({_CODE_KW_SQL}))) AS n_kw,
+             len(string_split(text, chr(10))) AS n_lines
+      FROM documents
+    )
+    SELECT doc_id,
+           ROUND(n_sym / CAST(n_chars_t AS DOUBLE), 4) AS symbol_ratio,
+           CAST(n_kw AS BIGINT) AS keyword_hits,
+           CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(n_sym / CAST(n_chars_t AS DOUBLE) >= {CODE_SYM_TAU} AS INTEGER)
+             + CAST(n_kw >= {CODE_KW_MIN} AS INTEGER)
+             + CAST(n_lines >= 3 AS INTEGER) >= 2 AS is_code
+    FROM feats
+"""
+
+
+@register("text_code_detect", oracle=_CODE_DETECT_ORACLE)
+def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose router: per document, symbol-character share,
+    code-keyword hits, and multi-line structure vote 2-of-3 on an
+    `is_code` verdict — the pretraining router that decides whether a
+    document flows to the code tokenizer/quality stack or the prose one
+    (mixing them poisons both pipelines' quality filters; StarCoder-
+    style pipelines run exactly this gate first). A trained classifier
+    replaces the vote at quality-critical scale; the routing machinery
+    is unchanged.
+
+    Scale shape: pure per-row Column expressions over one scan — no
+    shuffle, no UDF, linear to 100 TB by construction. Determinism:
+    counts are exact integers (regexp strip length for symbols, list
+    filter for keywords, newline split for lines); the vote compares
+    one identical ratio against literals."""
+    t = load(spark, sf_dir)
+    n_chars_t = F.length("text")
+    n_sym = n_chars_t - F.length(
+        F.regexp_replace("text", r"[{}()\[\];=<>]", "")
+    )
+    words = F.split(F.lower("text"), " ")
+    n_kw = F.size(F.filter(words, lambda w: w.isin(*CODE_KEYWORDS)))
+    n_lines = F.size(F.split("text", "\n"))
+    ratio = n_sym / n_chars_t.cast("double")
+    vote = (
+        (ratio >= CODE_SYM_TAU).cast("int")
+        + (n_kw >= CODE_KW_MIN).cast("int")
+        + (n_lines >= 3).cast("int")
+    )
+    return t.documents.select(
+        "doc_id",
+        F.round(ratio, 4).alias("symbol_ratio"),
+        n_kw.cast("bigint").alias("keyword_hits"),
+        n_lines.cast("bigint").alias("n_lines"),
+        (vote >= 2).alias("is_code"),
+    )

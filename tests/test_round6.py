@@ -997,3 +997,47 @@ def test_importance_weights_uniform_target(spark, tmp_path):
     assert abs(out[1]["weight"] - 2 / 3) < 1e-6
     assert out[2]["weight"] == 2.0
     assert all(r["ess_fraction"] == 0.75 for r in out.values())
+
+
+def test_code_detect_routes_code_vs_prose(spark, tmp_path):
+    """A snippet with braces, keywords, and multiple lines routes to
+    code; plain prose (no symbols, one line) does not; two weak signals
+    alone (multi-line prose) stay below the 2-of-3 vote."""
+    docs = [
+        (1, "def f(x) {\n return x; \n}\n var y = f(2);"),
+        (2, "the cat sat on a mat and looked at the dog"),
+        (3, "a plain line\nanother plain line\na third plain line"),
+    ]
+    _write_documents(spark, tmp_path, docs)
+    out = {
+        r["doc_id"]: r
+        for r in registry.get("text_code_detect").fn(spark, str(tmp_path)).collect()
+    }
+    assert out[1]["is_code"]
+    assert out[1]["keyword_hits"] >= 2 and out[1]["symbol_ratio"] > 0.03
+    assert not out[2]["is_code"] and out[2]["keyword_hits"] == 0
+    assert not out[3]["is_code"] and out[3]["n_lines"] == 3
+
+
+def test_scalar_quant_half_step_bound(spark, tmp_path):
+    """Vectors spanning [0, 255] per dim: step = 1, every value an
+    integer -> zero reconstruction error; a value at x.5 errs exactly
+    half a step and the bound flag still holds. A constant dim has
+    scale 0 and contributes no error."""
+    vecs = [
+        (1, [0.0, 0.0, 7.0], "a"),
+        (2, [255.0, 0.0, 7.0], "a"),
+        (3, [100.0, 0.0, 7.0], "a"),
+        (4, [12.5, 0.0, 7.0], "a"),
+    ]
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>, label string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    out = {
+        r["vec_id"]: r
+        for r in registry.get("embed_scalar_quant").fn(spark, str(tmp_path)).collect()
+    }
+    assert all(r["within_half_step"] for r in out.values())
+    assert out[1]["max_abs_err"] == 0.0 and out[1]["mse"] == 0.0
+    assert out[3]["max_abs_err"] == 0.0
+    assert abs(out[4]["max_abs_err"] - 0.5) < 1e-6  # exact half-step
