@@ -89,6 +89,8 @@ _CHANGED_THIS_ROUND = [
     "corpus_importance_weights",
     "text_code_detect",
     "embed_scalar_quant",
+    "agg_seasonal_strength",
+    "graph_assortativity",
 ]
 
 

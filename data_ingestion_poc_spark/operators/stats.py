@@ -1156,3 +1156,84 @@ def agg_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_pairs"),
         (F.floor(acf * 1_000_000) / 1_000_000).alias("acf"),
     )
+
+
+_SEASONAL_STRENGTH_ORACLE = """
+    WITH c AS (
+      SELECT event_type, hour(ts) AS h, CAST(ROUND(value * 100) AS BIGINT) AS vc
+      FROM events
+    ),
+    cells AS (
+      SELECT event_type, h, COUNT(*) AS n,
+             SUM(vc) AS s1, SUM(vc * vc) AS s2
+      FROM c GROUP BY event_type, h
+    ),
+    terms AS (
+      SELECT event_type, n, s1, s2,
+             CAST(floor((CAST(s2 AS DOUBLE) / 10000.0
+                         - (CAST(s1 AS DOUBLE) / 100.0)
+                           * (CAST(s1 AS DOUBLE) / 100.0) / n) * 1000000)
+                  AS BIGINT) AS ssw_u
+      FROM cells
+    )
+    SELECT event_type,
+           CAST(SUM(n) AS BIGINT) AS n,
+           floor((CAST(SUM(s2) AS DOUBLE) / 10000.0
+                  - (CAST(SUM(s1) AS DOUBLE) / 100.0)
+                    * (CAST(SUM(s1) AS DOUBLE) / 100.0) / SUM(n))
+                 / SUM(n) * 1000000) / 1000000 AS var_total,
+           floor(SUM(ssw_u) / 1e6 / SUM(n) * 1000000) / 1000000 AS var_resid,
+           GREATEST(0, floor((1 - (SUM(ssw_u) / 1e6)
+                 / ((CAST(SUM(s2) AS DOUBLE) / 10000.0
+                     - (CAST(SUM(s1) AS DOUBLE) / 100.0)
+                       * (CAST(SUM(s1) AS DOUBLE) / 100.0) / SUM(n))))
+                 * 10000) / 10000) AS seasonal_strength
+    FROM terms GROUP BY event_type
+"""
+
+
+@register("agg_seasonal_strength", oracle=_SEASONAL_STRENGTH_ORACLE)
+def agg_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality strength per event type (the STL-style diagnostic
+    1 - Var(residual)/Var(total) over the hour-of-day decomposition):
+    ~0 = the hourly profile explains nothing (win_seasonal_baseline
+    would be flagging noise), ~1 = the metric IS its daily cycle. The
+    one-number screen that decides whether the seasonal monitors and
+    hour-aware forecasts are worth their baseline joins.
+
+    Scale shape: everything reduces to the (type, hour) cell frame —
+    one map-side-combinable aggregate, domain-bounded at types x 24.
+    Determinism: cell sums are exact integer cents (order-free); each
+    cell's within-SS quantizes to exact integer micro-units before the
+    per-type sum (the embed_outlier_centroid doctrine), so no
+    cross-engine summation-order drift anywhere; outputs floor-scaled
+    and clamped at 0 (sampling noise can push raw strength slightly
+    negative)."""
+    t = load(spark, sf_dir)
+    c = t.events.select(
+        "event_type",
+        F.hour("ts").alias("h"),
+        F.round(F.col("value") * 100).cast("bigint").alias("vc"),
+    )
+    cells = c.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vc").alias("s1"),
+        F.sum(F.col("vc") * F.col("vc")).alias("s2"),
+    )
+    s1d = F.col("s1").cast("double") / 100.0
+    s2d = F.col("s2").cast("double") / 10_000.0
+    ssw_u = F.floor((s2d - s1d * s1d / F.col("n")) * 1_000_000).cast("bigint")
+    terms = cells.select("event_type", "n", "s1", "s2", ssw_u.alias("ssw_u"))
+    n_t = F.sum("n")
+    s1_t = F.sum("s1").cast("double") / 100.0
+    s2_t = F.sum("s2").cast("double") / 10_000.0
+    sst = s2_t - s1_t * s1_t / n_t
+    ssw = F.sum("ssw_u") / 1e6
+    return terms.groupBy("event_type").agg(
+        n_t.cast("bigint").alias("n"),
+        (F.floor(sst / n_t * 1_000_000) / 1_000_000).alias("var_total"),
+        (F.floor(ssw / n_t * 1_000_000) / 1_000_000).alias("var_resid"),
+        F.greatest(
+            F.lit(0.0), F.floor((1 - ssw / sst) * 10_000) / 10_000
+        ).alias("seasonal_strength"),
+    )

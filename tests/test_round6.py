@@ -1041,3 +1041,40 @@ def test_scalar_quant_half_step_bound(spark, tmp_path):
     assert out[1]["max_abs_err"] == 0.0 and out[1]["mse"] == 0.0
     assert out[3]["max_abs_err"] == 0.0
     assert abs(out[4]["max_abs_err"] - 0.5) < 1e-6  # exact half-step
+
+
+def test_seasonal_strength_pure_cycle_vs_noise(spark, tmp_path):
+    """'cyc': value is a pure function of hour-of-day -> residual
+    variance 0, strength ~1. 'flat': same value at every hour ->
+    zero total variance handled (strength clamped into [0, 1])."""
+    rows = []
+    eid = 0
+    for d in range(4):
+        for h in range(4):
+            rows.append((eid, d * 1440 + h * 60, 1, "cyc", 10.0 * (h + 1)))
+            eid += 1
+            rows.append((eid, d * 1440 + h * 60, 1, "mix", 10.0 * (eid % 7)))
+            eid += 1
+    _write_events(spark, tmp_path, rows)
+    out = {
+        r["event_type"]: r
+        for r in registry.get("agg_seasonal_strength").fn(spark, str(tmp_path)).collect()
+    }
+    cyc = out["cyc"]
+    assert cyc["var_resid"] == 0.0 and cyc["var_total"] > 0
+    assert cyc["seasonal_strength"] >= 0.9999
+    mix = out["mix"]
+    assert 0.0 <= mix["seasonal_strength"] < 1.0
+    assert mix["var_resid"] > 0
+
+
+def test_assortativity_hub_and_spoke_negative(spark, tmp_path):
+    """A star (one customer hub buying from 6 leaf suppliers) is
+    maximally disassortative: every edge pairs degree 6 with degree 1,
+    but with zero variance on each side r is undefined -> add a second
+    small component to give the pooled frame variance; r < 0."""
+    links = [(1, s) for s in range(1, 7)] + [(2, 10), (2, 11), (3, 10)]
+    _write_purchase_graph(spark, tmp_path, links)
+    (r,) = registry.get("graph_assortativity").fn(spark, str(tmp_path)).collect()
+    assert r["n_directed_edges"] == 2 * 9
+    assert r["assortativity"] < 0

@@ -168,6 +168,10 @@ SINGLE_PARTITION_OK: dict[str, str] = {
         "1-row moment frame (n/var/cov partials per user-level "
         "partition, never event rows)"
     ),
+    "graph_assortativity": (
+        "1-row correlation sufficient-stat frame (five integer-sum "
+        "partials, never edge rows)"
+    ),
     "corpus_importance_weights": (
         "share/weight/ESS windows over the length-bucket-DOMAIN-"
         "bounded count frame"
