@@ -91,6 +91,8 @@ _CHANGED_THIS_ROUND = [
     "embed_scalar_quant",
     "agg_seasonal_strength",
     "graph_assortativity",
+    "agg_markov_transitions",
+    "q_revenue_deciles",
 ]
 
 

@@ -1237,3 +1237,53 @@ def agg_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0), F.floor((1 - ssw / sst) * 10_000) / 10_000
         ).alias("seasonal_strength"),
     )
+
+
+_MARKOV_ORACLE = """
+    WITH seq AS (
+      SELECT event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    c AS (
+      SELECT cur, nxt, COUNT(*) AS n FROM seq
+      WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    )
+    SELECT cur, nxt, CAST(n AS BIGINT) AS n,
+           ROUND(n / CAST(SUM(n) OVER (PARTITION BY cur) AS DOUBLE), 6)
+             AS p_transition
+    FROM c
+"""
+
+
+@register("agg_markov_transitions", oracle=_MARKOV_ORACLE)
+def agg_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types over user
+    journeys: P(next type | current type) from consecutive event pairs
+    within each user's timeline — the user-flow model behind funnel
+    design ("what actually follows a view?"), next-action prediction
+    baselines, and journey anomaly screens (a transition whose
+    probability collapses release-over-release is a broken UI path).
+
+    Scale shape: one lead() on the shared user_id shuffle produces the
+    pair stream; counts reduce map-side-combinably onto the TYPE x TYPE
+    domain (bounded at |types|^2 rows at any corpus size), and the row
+    normalization is a window over that bounded frame. Determinism:
+    exact integer counts, one identical division per cell."""
+    t = load(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t.events.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).where(F.col("nxt").isNotNull())
+    c = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    wrow = Window.partitionBy("cur")
+    return c.select(
+        "cur",
+        "nxt",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(
+            F.col("n") / F.sum("n").over(wrow).cast("double"), 6
+        ).alias("p_transition"),
+    )

@@ -1078,3 +1078,49 @@ def test_assortativity_hub_and_spoke_negative(spark, tmp_path):
     (r,) = registry.get("graph_assortativity").fn(spark, str(tmp_path)).collect()
     assert r["n_directed_edges"] == 2 * 9
     assert r["assortativity"] < 0
+
+
+def test_markov_transitions_rows_normalize(spark, tmp_path):
+    """User journey v->c->v->c->p: transitions v->c x2, c->v, c->p.
+    Row v sums to 1 with P(c|v) = 1; row c splits 0.5/0.5."""
+    rows = [
+        (0, 0, 1, "v", 1.0), (1, 1, 1, "c", 1.0), (2, 2, 1, "v", 1.0),
+        (3, 3, 1, "c", 1.0), (4, 4, 1, "p", 1.0),
+    ]
+    _write_events(spark, tmp_path, rows)
+    out = {
+        (r["cur"], r["nxt"]): r
+        for r in registry.get("agg_markov_transitions").fn(spark, str(tmp_path)).collect()
+    }
+    assert out[("v", "c")]["n"] == 2 and out[("v", "c")]["p_transition"] == 1.0
+    assert out[("c", "v")]["p_transition"] == 0.5
+    assert out[("c", "p")]["p_transition"] == 0.5
+    assert ("p", "v") not in out  # p is terminal; no wraparound pair
+
+
+def test_revenue_deciles_concentration(spark, tmp_path):
+    """20 customers, one order each, revenues 1..19 plus a 1000 whale:
+    every decile holds 2 customers; the top decile carries most of the
+    revenue; cumulative share is monotone ending at 1."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    revs = list(range(1, 20)) + [1000]
+    orders = [
+        (i, i, "O", float(r), base, "P") for i, r in enumerate(revs)
+    ]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    out = sorted(
+        registry.get("q_revenue_deciles").fn(spark, str(tmp_path)).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in out] == list(range(1, 11))
+    assert all(r["n_customers"] == 2 for r in out)
+    shares = [r["cum_revenue_share"] for r in out]
+    assert all(a < b for a, b in zip(shares, shares[1:]))
+    assert abs(shares[-1] - 1.0) < 1e-9
+    assert out[-1]["revenue"] / sum(r["revenue"] for r in out) > 0.8

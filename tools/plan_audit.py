@@ -168,6 +168,10 @@ SINGLE_PARTITION_OK: dict[str, str] = {
         "1-row moment frame (n/var/cov partials per user-level "
         "partition, never event rows)"
     ),
+    "q_revenue_deciles": (
+        "1-row percentile-cut scalar + Lorenz windows over the 10-row "
+        "decile DOMAIN frame"
+    ),
     "graph_assortativity": (
         "1-row correlation sufficient-stat frame (five integer-sum "
         "partials, never edge rows)"
