@@ -93,6 +93,8 @@ _CHANGED_THIS_ROUND = [
     "graph_assortativity",
     "agg_markov_transitions",
     "q_revenue_deciles",
+    "q_repurchase_interval",
+    "corpus_tokenizer_fertility",
 ]
 
 

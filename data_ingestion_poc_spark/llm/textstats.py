@@ -908,3 +908,50 @@ def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_lines.cast("bigint").alias("n_lines"),
         (vote >= 2).alias("is_code"),
     )
+
+
+_FERTILITY_ORACLE = f"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_words,
+           CAST(SUM(len(regexp_extract_all(text, '{TOKEN_RE}')))
+                AS BIGINT) AS n_tokens,
+           ROUND(SUM(len(regexp_extract_all(text, '{TOKEN_RE}')))
+                 / CAST(SUM(len(string_split(text, ' '))) AS DOUBLE), 4)
+             AS fertility,
+           ROUND(SUM(length(text))
+                 / CAST(SUM(len(regexp_extract_all(text, '{TOKEN_RE}')))
+                        AS DOUBLE), 4) AS chars_per_token
+    FROM documents GROUP BY source
+"""
+
+
+@register("corpus_tokenizer_fertility", oracle=_FERTILITY_ORACLE)
+def corpus_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per source: tokens-per-word and
+    chars-per-token under the engine's BPE-ish tokenizer (TOKEN_RE) —
+    the metric that prices a tokenizer against a corpus (fertility
+    near 1 = efficient encoding; high fertility on a source = its
+    text fragments into many pieces, inflating training cost and
+    shrinking the effective context window; THE standard table in any
+    tokenizer-retraining decision, computed per source so a drifting
+    source stands out).
+
+    Scale shape: pure per-row counting expressions folded into one
+    map-side-combinable aggregate on the source domain — no shuffle
+    beyond the |sources|-key exchange, no UDF. Determinism: all counts
+    exact integers; two identical divisions per row."""
+    t = load(spark, sf_dir)
+    n_words = F.size(F.split("text", " "))
+    n_tokens = F.size(F.regexp_extract_all("text", F.lit(TOKEN_RE), 0))
+    return t.documents.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(n_words).cast("bigint").alias("n_words"),
+        F.sum(n_tokens).cast("bigint").alias("n_tokens"),
+        F.round(
+            F.sum(n_tokens) / F.sum(n_words).cast("double"), 4
+        ).alias("fertility"),
+        F.round(
+            F.sum(F.length("text")) / F.sum(n_tokens).cast("double"), 4
+        ).alias("chars_per_token"),
+    )

@@ -1367,3 +1367,68 @@ def q_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("revenue").over(w_cum) / F.sum("revenue").over(w_all), 6
         ).alias("cum_revenue_share"),
     )
+
+
+_REPURCHASE_ORACLE = """
+    WITH gaps AS (
+      SELECT c.c_mktsegment AS segment,
+             date_diff('day',
+                       lag(o.o_orderdate) OVER (PARTITION BY o.o_custkey
+                                                ORDER BY o.o_orderdate,
+                                                         o.o_orderkey),
+                       o.o_orderdate) AS gap_days
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    )
+    SELECT segment,
+           CAST(COUNT(gap_days) AS BIGINT) AS n_gaps,
+           ROUND(quantile_cont(gap_days, 0.25), 2) AS p25_days,
+           ROUND(quantile_cont(gap_days, 0.50), 2) AS median_days,
+           ROUND(quantile_cont(gap_days, 0.75), 2) AS p75_days,
+           ROUND(AVG(gap_days), 4) AS mean_days
+    FROM gaps WHERE gap_days IS NOT NULL
+    GROUP BY segment
+"""
+
+
+@register("q_repurchase_interval", oracle=_REPURCHASE_ORACLE)
+def q_repurchase_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repurchase-interval distribution per market segment: day gaps
+    between each customer's consecutive orders, summarized as
+    p25/median/p75/mean — the metric that sets reorder-reminder timing,
+    churn-risk cutoffs ("3x the median gap = at risk"), and inventory
+    cadence; the calendar-free companion to q_retention_cohorts.
+
+    Scale shape: one custkey window computes the gaps (orders are
+    already the fact stream; the customer dim broadcasts for the
+    segment label), then one aggregate per segment — exact percentiles
+    over the segment-DOMAIN-bounded grouping (approx_percentile at
+    100 TB, the q_rfm_segmentation note). Determinism: day gaps are
+    exact integers (date arithmetic), percentile interpolation
+    bit-identical, mean = one division of exact ints."""
+    t = load(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        t.orders.join(
+            F.broadcast(
+                t.customer.select(
+                    F.col("c_custkey").alias("o_custkey"),
+                    F.col("c_mktsegment").alias("segment"),
+                )
+            ),
+            "o_custkey",
+        )
+        .select(
+            "segment",
+            F.datediff(
+                "o_orderdate", F.lag("o_orderdate").over(w)
+            ).alias("gap_days"),
+        )
+        .where(F.col("gap_days").isNotNull())
+    )
+    return gaps.groupBy("segment").agg(
+        F.count("gap_days").cast("bigint").alias("n_gaps"),
+        F.round(F.percentile("gap_days", F.lit(0.25)), 2).alias("p25_days"),
+        F.round(F.percentile("gap_days", F.lit(0.50)), 2).alias("median_days"),
+        F.round(F.percentile("gap_days", F.lit(0.75)), 2).alias("p75_days"),
+        F.round(F.avg("gap_days"), 4).alias("mean_days"),
+    )

@@ -1124,3 +1124,55 @@ def test_revenue_deciles_concentration(spark, tmp_path):
     assert all(a < b for a, b in zip(shares, shares[1:]))
     assert abs(shares[-1] - 1.0) < 1e-9
     assert out[-1]["revenue"] / sum(r["revenue"] for r in out) > 0.8
+
+
+def test_repurchase_interval_quartiles(spark, tmp_path):
+    """One BUILDING customer ordering on days 0/10/30/60: gaps
+    10/20/30 -> median 20, mean 20; a single-order customer
+    contributes no gap."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    orders = [
+        (i, 1, "O", 5.0, base + datetime.timedelta(days=d), "P")
+        for i, d in enumerate([0, 10, 30, 60])
+    ]
+    orders.append((9, 2, "O", 5.0, base, "P"))
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [(1, "x", "a", 0, "p", 0.0, "BUILDING", "c"),
+         (2, "y", "a", 0, "p", 0.0, "BUILDING", "c")],
+        "c_custkey long, c_name string, c_address string, c_nationkey long,"
+        " c_phone string, c_acctbal double, c_mktsegment string, c_comment string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    (r,) = registry.get("q_repurchase_interval").fn(spark, str(tmp_path)).collect()
+    assert r["segment"] == "BUILDING" and r["n_gaps"] == 3
+    assert r["median_days"] == 20.0 and r["mean_days"] == 20.0
+    assert r["p25_days"] == 15.0 and r["p75_days"] == 25.0
+
+
+def test_tokenizer_fertility_punctuation_inflates(spark, tmp_path):
+    """'clean': 4 plain words -> 4 tokens / 4 words = fertility 1.
+    'noisy': each word carries punctuation that splits into extra
+    tokens -> fertility 2."""
+    docs = [(1, "alpha beta gamma delta")]
+    spark.createDataFrame(docs, "doc_id long, text string").selectExpr(
+        "doc_id", "text", "'en' AS lang", "'clean' AS source",
+        "CAST(length(text) AS LONG) AS n_chars",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    d2 = [(2, "alpha! beta? gamma; delta,")]
+    spark.createDataFrame(d2, "doc_id long, text string").selectExpr(
+        "doc_id", "text", "'en' AS lang", "'noisy' AS source",
+        "CAST(length(text) AS LONG) AS n_chars",
+    ).write.mode("append").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["source"]: r
+        for r in registry.get("corpus_tokenizer_fertility").fn(spark, str(tmp_path)).collect()
+    }
+    assert out["clean"]["fertility"] == 1.0
+    assert out["noisy"]["fertility"] == 2.0
+    assert out["clean"]["n_words"] == 4 and out["noisy"]["n_tokens"] == 8
