@@ -95,6 +95,8 @@ _CHANGED_THIS_ROUND = [
     "q_revenue_deciles",
     "q_repurchase_interval",
     "corpus_tokenizer_fertility",
+    "q_cohort_ltv",
+    "agg_category_drift",
 ]
 
 

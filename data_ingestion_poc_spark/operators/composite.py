@@ -1432,3 +1432,83 @@ def q_repurchase_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("gap_days", F.lit(0.75)), 2).alias("p75_days"),
         F.round(F.avg("gap_days"), 4).alias("mean_days"),
     )
+
+
+_COHORT_LTV_ORACLE = """
+    WITH firsts AS (
+      SELECT user_id, MIN(strftime(ts, '%Y-%m')) AS cohort
+      FROM events GROUP BY user_id
+    ),
+    spend AS (
+      SELECT f.cohort,
+             (CAST(substr(strftime(e.ts, '%Y-%m'), 1, 4) AS INTEGER) * 12
+              + CAST(substr(strftime(e.ts, '%Y-%m'), 6, 2) AS INTEGER))
+             - (CAST(substr(f.cohort, 1, 4) AS INTEGER) * 12
+                + CAST(substr(f.cohort, 6, 2) AS INTEGER)) AS age_months,
+             CAST(ROUND(e.value * 100) AS BIGINT) AS vc
+      FROM events e JOIN firsts f USING (user_id)
+      WHERE e.event_type = 'purchase'
+    ),
+    sizes AS (SELECT cohort, COUNT(*) AS n_users FROM firsts GROUP BY cohort),
+    cells AS (
+      SELECT cohort, age_months, SUM(vc) AS rev_c
+      FROM spend GROUP BY cohort, age_months
+    )
+    SELECT c.cohort, CAST(c.age_months AS BIGINT) AS age_months,
+           CAST(s.n_users AS BIGINT) AS cohort_users,
+           ROUND(c.rev_c / 100.0, 2) AS revenue,
+           ROUND(SUM(c.rev_c) OVER (PARTITION BY c.cohort ORDER BY c.age_months
+                                    ROWS UNBOUNDED PRECEDING)
+                 / 100.0 / s.n_users, 4) AS cum_ltv_per_user
+    FROM cells c JOIN sizes s USING (cohort)
+"""
+
+
+@register("q_cohort_ltv", oracle=_COHORT_LTV_ORACLE)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: users grouped by first-seen month,
+    purchase revenue accumulated by cohort AGE (months since joining),
+    reported as cumulative LTV per cohort user — the table a growth
+    team reads to see whether newer cohorts monetize faster, and the
+    payback-period input for acquisition spend; the revenue-weighted
+    sibling of q_retention_cohorts' presence counts.
+
+    Scale shape: one user_id aggregate pins each user's cohort; the
+    broadcast-joinable cohort frame rides back onto the purchase scan;
+    everything then reduces onto the (cohort x age) DOMAIN, with the
+    cumulative LTV a window over that bounded frame. Determinism:
+    month arithmetic is exact integers, revenue sums are exact integer
+    CENTS (order-free), per-user division identical both engines."""
+    t = load(spark, sf_dir)
+    month = F.date_format("ts", "yyyy-MM")
+    firsts = t.events.groupBy("user_id").agg(F.min(month).alias("cohort"))
+    mnum = lambda c: (  # noqa: E731
+        F.substring(c, 1, 4).cast("int") * 12 + F.substring(c, 6, 2).cast("int")
+    )
+    spend = (
+        t.events.where(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .select(
+            "cohort",
+            (mnum(month) - mnum(F.col("cohort"))).alias("age_months"),
+            F.round(F.col("value") * 100).cast("bigint").alias("vc"),
+        )
+    )
+    sizes = firsts.groupBy("cohort").agg(F.count(F.lit(1)).alias("n_users"))
+    cells = spend.groupBy("cohort", "age_months").agg(
+        F.sum("vc").alias("rev_c")
+    )
+    w_cum = (
+        Window.partitionBy("cohort")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return cells.join(F.broadcast(sizes), "cohort").select(
+        "cohort",
+        F.col("age_months").cast("bigint").alias("age_months"),
+        F.col("n_users").cast("bigint").alias("cohort_users"),
+        F.round(F.col("rev_c") / 100.0, 2).alias("revenue"),
+        F.round(
+            F.sum("rev_c").over(w_cum) / 100.0 / F.col("n_users"), 4
+        ).alias("cum_ltv_per_user"),
+    )

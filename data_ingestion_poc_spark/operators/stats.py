@@ -1287,3 +1287,70 @@ def agg_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n") / F.sum("n").over(wrow).cast("double"), 6
         ).alias("p_transition"),
     )
+
+
+#: Categorical-drift split point (the CUPED fixture convention): the
+#: event-type MIX before vs after this date is the monitored pair.
+DRIFT_SPLIT = "2024-01-16"
+
+_CATEGORY_DRIFT_ORACLE = f"""
+    WITH c AS (
+      SELECT event_type,
+             SUM(CASE WHEN ts <  TIMESTAMP '{DRIFT_SPLIT}' THEN 1 ELSE 0 END)
+               AS na,
+             SUM(CASE WHEN ts >= TIMESTAMP '{DRIFT_SPLIT}' THEN 1 ELSE 0 END)
+               AS nb
+      FROM events GROUP BY event_type
+    ),
+    s AS (
+      SELECT event_type, na, nb,
+             SUM(na) OVER () AS ta, SUM(nb) OVER () AS tb
+      FROM c
+    )
+    SELECT event_type,
+           CAST(na AS BIGINT) AS n_before, CAST(nb AS BIGINT) AS n_after,
+           ROUND(na / CAST(ta AS DOUBLE), 6) AS share_before,
+           ROUND(nb / CAST(tb AS DOUBLE), 6) AS share_after,
+           ROUND(SUM(abs(na / CAST(ta AS DOUBLE) - nb / CAST(tb AS DOUBLE)))
+                   OVER () / 2, 6) AS tv_distance,
+           SUM(abs(na / CAST(ta AS DOUBLE) - nb / CAST(tb AS DOUBLE)))
+             OVER () / 2 > 0.05 AS drift_detected
+    FROM s
+"""
+
+
+@register("agg_category_drift", oracle=_CATEGORY_DRIFT_ORACLE)
+def agg_category_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical-mix drift monitor: the event-type distribution
+    before vs after the split date, scored by TOTAL-VARIATION distance
+    (half the L1 gap between the two share vectors — the fraction of
+    probability mass that moved) with a 5% alert line. The categorical
+    sibling of text_source_drift's numeric KS test: release gates and
+    feature-distribution monitors run exactly this pair.
+
+    Scale shape: ONE conditional-count aggregate bounds everything at
+    the event-type domain; shares and the TV fold are windows over
+    that bounded frame. Determinism: counts exact; every share is one
+    identical division; the TV sum folds <= |types| identical doubles
+    (and is displayed rounded; the flag compares the same unrounded
+    value in both engines)."""
+    t = load(spark, sf_dir)
+    split = F.lit(DRIFT_SPLIT).cast("timestamp")
+    c = t.events.groupBy("event_type").agg(
+        F.sum(F.when(F.col("ts") < split, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("ts") >= split, 1).otherwise(0)).alias("nb"),
+    )
+    w = Window.partitionBy()
+    pa = F.col("na") / F.sum("na").over(w).cast("double")
+    pb = F.col("nb") / F.sum("nb").over(w).cast("double")
+    s = c.select("event_type", "na", "nb", pa.alias("pa"), pb.alias("pb"))
+    tv = F.sum(F.abs(F.col("pa") - F.col("pb"))).over(w) / 2
+    return s.select(
+        "event_type",
+        F.col("na").cast("bigint").alias("n_before"),
+        F.col("nb").cast("bigint").alias("n_after"),
+        F.round("pa", 6).alias("share_before"),
+        F.round("pb", 6).alias("share_after"),
+        F.round(tv, 6).alias("tv_distance"),
+        (tv > 0.05).alias("drift_detected"),
+    )

@@ -1176,3 +1176,46 @@ def test_tokenizer_fertility_punctuation_inflates(spark, tmp_path):
     assert out["clean"]["fertility"] == 1.0
     assert out["noisy"]["fertility"] == 2.0
     assert out["clean"]["n_words"] == 4 and out["noisy"]["n_tokens"] == 8
+
+
+def test_cohort_ltv_accumulates_per_user(spark, tmp_path):
+    """Jan cohort: 2 users; purchases 10 (Jan) and 30 (Feb) -> LTV/user
+    5.0 then 20.0. Feb cohort: 1 user buying 8 in Feb (age 0). A
+    non-purchase event never adds revenue."""
+    rows = [
+        (0, 0, 1, "purchase", 10.0),
+        (1, 10, 2, "view", 999.0),            # Jan cohort, no revenue
+        (2, 40 * 1440, 1, "purchase", 30.0),  # Feb, age 1
+        (3, 40 * 1440, 3, "purchase", 8.0),   # Feb cohort, age 0
+    ]
+    _write_events(spark, tmp_path, rows)
+    out = {
+        (r["cohort"], r["age_months"]): r
+        for r in registry.get("q_cohort_ltv").fn(spark, str(tmp_path)).collect()
+    }
+    jan0 = out[("2024-01", 0)]
+    assert jan0["cohort_users"] == 2 and jan0["revenue"] == 10.0
+    assert jan0["cum_ltv_per_user"] == 5.0
+    jan1 = out[("2024-01", 1)]
+    assert jan1["revenue"] == 30.0 and jan1["cum_ltv_per_user"] == 20.0
+    feb0 = out[("2024-02", 0)]
+    assert feb0["cohort_users"] == 1 and feb0["cum_ltv_per_user"] == 8.0
+
+
+def test_category_drift_mix_shift(spark, tmp_path):
+    """Before: 8 views + 2 clicks; after: 2 views + 8 clicks -> TV
+    distance = 0.6, well over the 5% line."""
+    rows = [(i, i, 1, "view", 1.0) for i in range(8)]
+    rows += [(10 + i, i, 1, "click", 1.0) for i in range(2)]
+    rows += [(20 + i, 20 * 1440 + i, 1, "view", 1.0) for i in range(2)]
+    rows += [(30 + i, 20 * 1440 + i, 1, "click", 1.0) for i in range(8)]
+    _write_events(spark, tmp_path, rows)
+    out = {
+        r["event_type"]: r
+        for r in registry.get("agg_category_drift").fn(spark, str(tmp_path)).collect()
+    }
+    v = out["view"]
+    assert v["n_before"] == 8 and v["n_after"] == 2
+    assert v["share_before"] == 0.8 and v["share_after"] == 0.2
+    assert v["tv_distance"] == 0.6
+    assert all(r["drift_detected"] for r in out.values())

@@ -168,6 +168,10 @@ SINGLE_PARTITION_OK: dict[str, str] = {
         "1-row moment frame (n/var/cov partials per user-level "
         "partition, never event rows)"
     ),
+    "agg_category_drift": (
+        "share/TV windows over the event-type-DOMAIN-bounded "
+        "conditional-count frame"
+    ),
     "q_revenue_deciles": (
         "1-row percentile-cut scalar + Lorenz windows over the 10-row "
         "decile DOMAIN frame"
