@@ -97,6 +97,8 @@ _CHANGED_THIS_ROUND = [
     "corpus_tokenizer_fertility",
     "q_cohort_ltv",
     "agg_category_drift",
+    "dedup_lsh_tuning",
+    "win_rescaled_range",
 ]
 
 

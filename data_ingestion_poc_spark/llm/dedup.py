@@ -1784,3 +1784,143 @@ def corpus_dedup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("canonical_id"),
         )
     )
+
+
+#: Banding configs to price, all with r*b = 32 hashes and power-of-two
+#: r/b so the collision curve computes by EXACT repeated squaring (no
+#: pow(), whose integer-exponent rounding is not pinned cross-engine).
+LSH_TUNING_CONFIGS = ((2, 16), (4, 8), (8, 4))
+LSH_TUNING_FLOOR = 0.02
+LSH_DUP_TAU = 0.30
+
+
+def _sq_sql(expr: str, k: int) -> str:
+    """expr^k as repeated squaring text, k a power of two."""
+    while k > 1:
+        expr = f"({expr} * {expr})"
+        k //= 2
+    return expr
+
+
+def _lsh_p_sql(r: int, b: int) -> str:
+    s_r = _sq_sql("s", r)
+    miss = _sq_sql(f"(1 - {s_r})", b)
+    return f"1 - {miss}"
+
+
+_LSH_TUNING_ORACLE = f"""
+    {_CAPPED_PAIRS_CTE},
+    scored AS (
+      SELECT ROUND(CAST(n_common AS DOUBLE)
+                   / (sa.n + sb.n - n_common), 4) AS s
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common)
+            >= {LSH_TUNING_FLOOR}
+    ),
+    pu AS (
+      SELECT s,
+             {", ".join(
+                 f"CAST(floor(({_lsh_p_sql(r, b)}) * 1000000) AS BIGINT)"
+                 f" AS p_r{r}b{b}"
+                 for r, b in LSH_TUNING_CONFIGS
+             )}
+      FROM scored
+    )
+    {" UNION ALL ".join(
+        f'''SELECT 'r{r}b{b}' AS config,
+           CAST({r} AS BIGINT) AS rows_per_band, CAST({b} AS BIGINT) AS bands,
+           CAST(SUM(CASE WHEN s >= {LSH_DUP_TAU} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_pairs,
+           CASE WHEN SUM(CASE WHEN s >= {LSH_DUP_TAU} THEN 1 ELSE 0 END) > 0
+                THEN ROUND(SUM(CASE WHEN s >= {LSH_DUP_TAU}
+                               THEN p_r{r}b{b} ELSE 0 END)
+                     / 1e6 / SUM(CASE WHEN s >= {LSH_DUP_TAU} THEN 1 ELSE 0 END),
+                     4) END AS exp_recall_dups,
+           CAST(SUM(CASE WHEN s < {LSH_DUP_TAU} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_near_pairs,
+           CASE WHEN SUM(CASE WHEN s < {LSH_DUP_TAU} THEN 1 ELSE 0 END) > 0
+                THEN ROUND(SUM(CASE WHEN s < {LSH_DUP_TAU}
+                               THEN p_r{r}b{b} ELSE 0 END)
+                     / 1e6 / SUM(CASE WHEN s < {LSH_DUP_TAU} THEN 1 ELSE 0 END),
+                     4) END AS exp_candidate_rate_near
+        FROM pu'''
+        for r, b in LSH_TUNING_CONFIGS
+    )}
+"""
+
+
+@register("dedup_lsh_tuning", oracle=_LSH_TUNING_ORACLE)
+def dedup_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding tuner: price the (rows-per-band, bands) tradeoff at
+    a fixed 32-hash budget AGAINST THIS CORPUS — for each config, the
+    expected candidate recall over the observed duplicate pairs
+    (Jaccard >= {LSH_DUP_TAU}) and the expected false-candidate rate
+    over the observed near-miss band ({LSH_TUNING_FLOOR}-{LSH_DUP_TAU}),
+    using the analytic collision curve p = 1-(1-s^r)^b evaluated at
+    each REAL pair's similarity. This is how dedup_minhash's (4, 8)
+    setting is justified by measurement instead of folklore: more rows
+    per band = sharper curve = fewer false candidates but colder recall.
+
+    Determinism/scale: pair similarities come from the shared capped
+    inverted index (one equi-join, output-bound); the collision curve
+    computes by EXACT repeated squaring of the 4-dp-rounded s (both
+    engines multiply the same doubles in the same tree — no pow());
+    per-pair probabilities quantize to integer micro-units so the
+    per-config means are exact integer sums. Output: 3 config rows."""
+    pairs = scored_pairs_from_index(
+        _capped_shingle_index(spark, sf_dir),
+        lambda c, na, nb: c / (na + nb - c),
+        LSH_TUNING_FLOOR,
+        "s",
+    )
+
+    def _sq(col, k):
+        while k > 1:
+            col = col * col
+            k //= 2
+        return col
+
+    cols = []
+    for r, b in LSH_TUNING_CONFIGS:
+        p = 1 - _sq(1 - _sq(F.col("s"), r), b)
+        cols.append(
+            F.floor(p * 1_000_000).cast("bigint").alias(f"p_r{r}b{b}")
+        )
+    pu = pairs.select("s", *cols).persist()
+    frames = []
+    for r, b in LSH_TUNING_CONFIGS:
+        is_dup = F.col("s") >= LSH_DUP_TAU
+        pcol = F.col(f"p_r{r}b{b}")
+        n_dup = F.sum(is_dup.cast("long"))
+        n_near = F.sum((~is_dup).cast("long"))
+        frames.append(
+            pu.agg(
+                F.lit(f"r{r}b{b}").alias("config"),
+                F.lit(r).cast("bigint").alias("rows_per_band"),
+                F.lit(b).cast("bigint").alias("bands"),
+                n_dup.cast("bigint").alias("n_dup_pairs"),
+                F.when(
+                    n_dup > 0,
+                    F.round(
+                        F.sum(F.when(is_dup, pcol).otherwise(0)) / 1e6 / n_dup,
+                        4,
+                    ),
+                ).alias("exp_recall_dups"),
+                n_near.cast("bigint").alias("n_near_pairs"),
+                F.when(
+                    n_near > 0,
+                    F.round(
+                        F.sum(F.when(~is_dup, pcol).otherwise(0))
+                        / 1e6
+                        / n_near,
+                        4,
+                    ),
+                ).alias("exp_candidate_rate_near"),
+            )
+        )
+    out = frames[0]
+    for fdf in frames[1:]:
+        out = out.unionByName(fdf)
+    return out

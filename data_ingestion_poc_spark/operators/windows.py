@@ -2109,3 +2109,137 @@ def win_changepoint_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "changepoint_detected"
         ),
     )
+
+
+#: Rescaled-range geometry: the two-point Hurst estimate compares R/S
+#: on the user's latest RS_WINDOW events vs its trailing half.
+RS_WINDOW = 32
+
+_RS_EXPR_SQL = """
+      list_transform(range(1, len({a}) + 1),
+        i -> list_sum({a}[1:i]) - i * (list_sum({a}) / len({a})))
+"""
+
+
+def _rs_sql(a: str) -> str:
+    devs = _RS_EXPR_SQL.format(a=a)
+    return f"""
+      CASE WHEN sqrt(GREATEST(
+             (list_sum([x * x FOR x IN {a}])
+              - list_sum({a}) * (list_sum({a}) / len({a}))) / len({a}), 0))
+             > 0
+           THEN (list_max({devs}) - list_min({devs}))
+                / sqrt(GREATEST(
+                    (list_sum([x * x FOR x IN {a}])
+                     - list_sum({a}) * (list_sum({a}) / len({a})))
+                    / len({a}), 0))
+      END
+"""
+
+
+_RS_ORACLE = f"""
+    WITH ranked AS (
+      SELECT user_id, ts, event_id, ROUND(value * 100) AS vc,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ),
+    win AS (
+      SELECT user_id, list(vc ORDER BY ts, event_id) AS a
+      FROM ranked WHERE rn <= {RS_WINDOW} GROUP BY user_id
+      HAVING COUNT(*) = {RS_WINDOW}
+    ),
+    halves AS (
+      SELECT user_id, a, a[{RS_WINDOW // 2 + 1}:{RS_WINDOW}] AS h FROM win
+    )
+    SELECT user_id,
+           floor(({_rs_sql("h")}) * 10000) / 10000 AS rs_half,
+           floor(({_rs_sql("a")}) * 10000) / 10000 AS rs_full,
+           floor(log2(({_rs_sql("a")}) / ({_rs_sql("h")})) * 10000) / 10000
+             AS hurst
+    FROM halves
+    WHERE ({_rs_sql("a")}) IS NOT NULL AND ({_rs_sql("h")}) IS NOT NULL
+      AND ({_rs_sql("h")}) > 0
+"""
+
+
+@register("win_rescaled_range", oracle=_RS_ORACLE)
+def win_rescaled_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-point Hurst estimate per user via rescaled-range (R/S)
+    analysis over the latest {RS_WINDOW} events: R/S on the full
+    window vs its trailing half, H = log2(RS_full / RS_half) — the
+    long-memory fingerprint (H ~ 0.5 random walk / white noise,
+    H > 0.5 trending/persistent, H < 0.5 mean-reverting), the
+    multi-scale companion of agg_autocorr's fixed-lag view. Users
+    without a full window, or with a degenerate (zero-variance) half,
+    emit nothing.
+
+    Determinism/scale: one user_id shuffle; the window array is
+    ts-ordered integer CENTS so list prefix sums are exact integers,
+    cumulative deviations are identical expressions over them, and
+    both engines compute bit-equal R and S before one log2 on equal
+    doubles (the agg_mutual_info precedent); outputs floor-scaled."""
+    t = load(spark, sf_dir)
+    wdesc = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    win = (
+        t.events.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.round(F.col("value") * 100).alias("vc"),
+            F.row_number().over(wdesc).alias("rn"),
+        )
+        .where(F.col("rn") <= RS_WINDOW)
+        .groupBy("user_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "vc"))),
+                lambda x: x["vc"],
+            ).alias("a"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .where(F.col("n") == RS_WINDOW)
+        .select(
+            "user_id",
+            "a",
+            F.slice("a", RS_WINDOW // 2 + 1, RS_WINDOW // 2).alias("h"),
+        )
+    )
+
+    def _rs(a):
+        # ANSI mode: divisions must be safe even on rows the count
+        # filter will drop — Catalyst can evaluate this projection
+        # before that filter, and an empty half-slice has size 0.
+        n = F.greatest(F.size(a), F.lit(1))
+        tot = F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x)
+        tot2 = F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+        mean = tot / n
+        devs = F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.aggregate(
+                F.slice(a, 1, i), F.lit(0.0), lambda acc, x: acc + x
+            )
+            - i * mean,
+        )
+        sd = F.sqrt(F.greatest((tot2 - tot * mean) / n, F.lit(0.0)))
+        return F.when(
+            sd > 0, (F.array_max(devs) - F.array_min(devs)) / sd
+        )
+
+    rs_f = _rs(F.col("a"))
+    rs_h = _rs(F.col("h"))
+    return (
+        win.select("user_id", rs_h.alias("rsh"), rs_f.alias("rsf"))
+        .where(F.col("rsh").isNotNull() & F.col("rsf").isNotNull() & (F.col("rsh") > 0))
+        .select(
+            "user_id",
+            (F.floor(F.col("rsh") * 10_000) / 10_000).alias("rs_half"),
+            (F.floor(F.col("rsf") * 10_000) / 10_000).alias("rs_full"),
+            F.when(
+                F.col("rsh") > 0,
+                F.floor(F.log2(F.col("rsf") / F.col("rsh")) * 10_000) / 10_000,
+            ).alias("hurst"),
+        )
+    )

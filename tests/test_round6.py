@@ -1219,3 +1219,45 @@ def test_category_drift_mix_shift(spark, tmp_path):
     assert v["share_before"] == 0.8 and v["share_after"] == 0.2
     assert v["tv_distance"] == 0.6
     assert all(r["drift_detected"] for r in out.values())
+
+
+def test_lsh_tuning_tradeoff_ordering(spark, tmp_path):
+    """Near-exact duplicate pairs (s ~ 1) are caught by every config;
+    sharper configs (more rows per band) recall near-threshold pairs
+    less. With dup pairs at s ~ 0.5: recall(r2b16) > recall(r8b4)."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    w = base.split()
+    docs = [(1, base), (2, base)]                      # s = 1 pair
+    half = " ".join(w[:5] + ["x1", "x2", "x3", "x4", "x5"])
+    docs += [(3, base), (4, half)]                     # partial overlap
+    docs += [(10 + i, f"unique{i} " * 5) for i in range(3)]
+    _write_documents(spark, tmp_path, docs)
+    out = {
+        r["config"]: r
+        for r in registry.get("dedup_lsh_tuning").fn(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {"r2b16", "r4b8", "r8b4"}
+    assert out["r2b16"]["n_dup_pairs"] == out["r8b4"]["n_dup_pairs"]
+    for r in out.values():
+        assert r["exp_recall_dups"] is None or 0 <= r["exp_recall_dups"] <= 1
+    # wider bands (fewer rows per band) always recall at least as much
+    assert out["r2b16"]["exp_recall_dups"] >= out["r4b8"]["exp_recall_dups"]
+    assert out["r4b8"]["exp_recall_dups"] >= out["r8b4"]["exp_recall_dups"]
+
+
+def test_rescaled_range_trend_vs_alternation(spark, tmp_path):
+    """A monotone ramp (persistent, H near 1) scores a higher Hurst
+    than a strict alternation (anti-persistent, H near 0); both users
+    carry exactly 32 events; a 10-event user emits nothing."""
+    rows = [(i, i, 1, "view", 10.0 + i) for i in range(32)]
+    rows += [(100 + i, i, 2, "view", 10.0 * (i % 2)) for i in range(32)]
+    rows += [(200 + i, i, 3, "view", float(i)) for i in range(10)]
+    _write_events(spark, tmp_path, rows)
+    out = {
+        r["user_id"]: r
+        for r in registry.get("win_rescaled_range").fn(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {1, 2}
+    assert out[1]["hurst"] > 0.8
+    assert out[2]["hurst"] < out[1]["hurst"]
+    assert out[1]["rs_full"] > out[1]["rs_half"]

@@ -168,6 +168,10 @@ SINGLE_PARTITION_OK: dict[str, str] = {
         "1-row moment frame (n/var/cov partials per user-level "
         "partition, never event rows)"
     ),
+    "dedup_lsh_tuning": (
+        "3 x 1-row config frames over micro-unit probability partials "
+        "(pair-level sums, never shingle rows)"
+    ),
     "agg_category_drift": (
         "share/TV windows over the event-type-DOMAIN-bounded "
         "conditional-count frame"
