@@ -99,6 +99,8 @@ _CHANGED_THIS_ROUND = [
     "agg_category_drift",
     "dedup_lsh_tuning",
     "win_rescaled_range",
+    "privacy_k_anonymity",
+    "privacy_l_diversity",
 ]
 
 

@@ -1,0 +1,157 @@
+"""Privacy / governance audits (round 6): re-identification risk
+measurement over quasi-identifier combinations — the checks a data-
+release or training-data governance gate runs BEFORE publishing a
+table (text_pii_scrub removes direct identifiers; these quantify what
+the remaining columns still leak in combination).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load
+from ..registry import register
+
+#: Quasi-identifier set for the customer table: nation + market segment
+#: + account-balance band (bucketed so the QI is categorical, the
+#: standard generalization step), and the k-anonymity alert line.
+K_ANON_MIN = 5
+ACCTBAL_BAND = 1000
+
+_QI_SQL = (
+    "c_nationkey, c_mktsegment, "
+    f"CAST(floor(c_acctbal / {ACCTBAL_BAND}) AS BIGINT) AS bal_band"
+)
+
+_K_ANON_ORACLE = f"""
+    WITH classes AS (
+      SELECT {_QI_SQL}, COUNT(*) AS k
+      FROM customer GROUP BY 1, 2, 3
+    )
+    SELECT CAST(k AS BIGINT) AS class_size,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(k) AS BIGINT) AS n_rows,
+           k < {K_ANON_MIN} AS at_risk,
+           ROUND(SUM(SUM(k)) FILTER (WHERE k < {K_ANON_MIN}) OVER ()
+                 / CAST(SUM(SUM(k)) OVER () AS DOUBLE), 6) AS risk_row_share,
+           CAST(MIN(MIN(k)) OVER () AS BIGINT) AS k_anonymity
+    FROM classes GROUP BY k
+"""
+
+
+@register("privacy_k_anonymity", oracle=_K_ANON_ORACLE)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the customer quasi-identifier set
+    (nation, segment, balance band): the class-size histogram, the
+    share of rows in classes smaller than {K_ANON_MIN} (re-identifiable
+    by QI intersection), and the table's k-anonymity (the MINIMUM class
+    size — the number Sweeney's definition asks for). The release gate
+    reads `k_anonymity >= {K_ANON_MIN}`; the histogram says how far the
+    generalization has to coarsen to get there.
+
+    Scale shape: one combinable groupBy to the QI classes, one more to
+    the class-SIZE histogram (bounded by the largest class, not the
+    table); the risk share and global minimum are windows over that
+    bounded frame. All exact integers and one exact-ratio division."""
+    t = load(spark, sf_dir)
+    classes = t.customer.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / ACCTBAL_BAND).cast("bigint").alias(
+            "bal_band"
+        ),
+    ).agg(F.count(F.lit(1)).alias("k"))
+    hist = classes.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum("k").alias("n_rows"),
+        F.min("k").alias("mn"),
+    )
+    w = Window.partitionBy()
+    risk_rows = F.sum(
+        F.when(F.col("k") < K_ANON_MIN, F.col("n_rows")).otherwise(0)
+    ).over(w)
+    return hist.select(
+        F.col("k").cast("bigint").alias("class_size"),
+        F.col("n_classes").cast("bigint").alias("n_classes"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        (F.col("k") < K_ANON_MIN).alias("at_risk"),
+        F.round(
+            risk_rows / F.sum("n_rows").over(w).cast("double"), 6
+        ).alias("risk_row_share"),
+        F.min("mn").over(w).cast("bigint").alias("k_anonymity"),
+    )
+
+
+#: l-diversity: the sensitive attribute audited within each QI class.
+#: A class where every member shares one sensitive value leaks it to
+#: anyone who can place a person in the class, however large k is.
+L_DIV_MIN = 2
+
+_L_DIV_ORACLE = f"""
+    WITH classes AS (
+      SELECT {_QI_SQL},
+             COUNT(*) AS k,
+             COUNT(DISTINCT o_orderpriority) AS l
+      FROM customer JOIN orders ON o_custkey = c_custkey
+      GROUP BY 1, 2, 3
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(MIN(l) AS BIGINT) AS l_diversity,
+           CAST(SUM(CASE WHEN l < {L_DIV_MIN} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_homogeneous_classes,
+           ROUND(SUM(CASE WHEN l < {L_DIV_MIN} THEN k ELSE 0 END)
+                 / CAST(SUM(k) AS DOUBLE), 6) AS homogeneous_row_share,
+           MIN(l) >= {L_DIV_MIN} AS passes
+    FROM classes
+"""
+
+
+@register("privacy_l_diversity", oracle=_L_DIV_ORACLE)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al.): within each customer
+    QI class, how many DISTINCT values of the sensitive attribute
+    (order priority, standing in for any sensitive label) appear —
+    k-anonymity's blind spot is the homogeneous class whose members all
+    share one sensitive value, which this measures directly. Emits the
+    table's l (minimum distinct count), the homogeneous-class count and
+    row share, and the release verdict l >= {L_DIV_MIN}.
+
+    Scale shape: facts join the broadcastable dim, then ONE two-phase
+    distinct aggregate per QI class and a 1-row fold — the same
+    distinct-count machinery as profile_fd_audit pointed at a
+    governance question. Exact integers end to end."""
+    t = load(spark, sf_dir)
+    classes = (
+        t.orders.join(
+            F.broadcast(
+                t.customer.select(
+                    F.col("c_custkey").alias("o_custkey"),
+                    "c_nationkey",
+                    "c_mktsegment",
+                    F.floor(F.col("c_acctbal") / ACCTBAL_BAND)
+                    .cast("bigint")
+                    .alias("bal_band"),
+                )
+            ),
+            "o_custkey",
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.countDistinct("o_orderpriority").alias("l"),
+        )
+    )
+    homo = F.sum(F.when(F.col("l") < L_DIV_MIN, 1).otherwise(0))
+    return classes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.min("l").cast("bigint").alias("l_diversity"),
+        homo.cast("bigint").alias("n_homogeneous_classes"),
+        F.round(
+            F.sum(F.when(F.col("l") < L_DIV_MIN, F.col("k")).otherwise(0))
+            / F.sum("k").cast("double"),
+            6,
+        ).alias("homogeneous_row_share"),
+        (F.min("l") >= L_DIV_MIN).alias("passes"),
+    )

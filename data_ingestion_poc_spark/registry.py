@@ -41,6 +41,7 @@ MODULES = [
     "data_ingestion_poc_spark.operators.graph",
     "data_ingestion_poc_spark.operators.geo",
     "data_ingestion_poc_spark.operators.profile",
+    "data_ingestion_poc_spark.operators.privacy",
     "data_ingestion_poc_spark.operators.stats",
     "data_ingestion_poc_spark.functions.strings",
     "data_ingestion_poc_spark.functions.urls",

@@ -1261,3 +1261,55 @@ def test_rescaled_range_trend_vs_alternation(spark, tmp_path):
     assert out[1]["hurst"] > 0.8
     assert out[2]["hurst"] < out[1]["hurst"]
     assert out[1]["rs_full"] > out[1]["rs_half"]
+
+
+def _write_customers(spark, tmp_path, rows):
+    """rows: (custkey, nationkey, mktsegment, acctbal)."""
+    spark.createDataFrame(
+        [(ck, f"c{ck}", "a", nk, "p", float(b), seg, "x")
+         for ck, nk, seg, b in rows],
+        "c_custkey long, c_name string, c_address string, c_nationkey long,"
+        " c_phone string, c_acctbal double, c_mktsegment string, c_comment string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+
+
+def test_k_anonymity_flags_singleton_class(spark, tmp_path):
+    """6 customers share one QI class, one customer is alone in
+    another: k-anonymity = 1, the singleton's row is the at-risk
+    share 1/7."""
+    rows = [(i, 1, "B", 100.0) for i in range(6)]
+    rows.append((9, 2, "M", 100.0))
+    _write_customers(spark, tmp_path, rows)
+    out = {
+        r["class_size"]: r
+        for r in registry.get("privacy_k_anonymity").fn(spark, str(tmp_path)).collect()
+    }
+    assert out[6]["n_classes"] == 1 and not out[6]["at_risk"]
+    assert out[1]["at_risk"]
+    assert all(r["k_anonymity"] == 1 for r in out.values())
+    assert abs(out[1]["risk_row_share"] - 1 / 7) < 1e-6
+
+
+def test_l_diversity_homogeneous_class_fails(spark, tmp_path):
+    """Class A's two customers only ever order priority P1 ->
+    homogeneous (l = 1, fails); class B's orders span two
+    priorities."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    _write_customers(spark, tmp_path, [(1, 1, "B", 0.0), (2, 1, "B", 0.0),
+                                       (3, 2, "M", 0.0)])
+    orders = [
+        (1, 1, "O", 1.0, base, "P1"), (2, 2, "O", 1.0, base, "P1"),
+        (3, 3, "O", 1.0, base, "P1"), (4, 3, "O", 1.0, base, "P2"),
+    ]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    (r,) = registry.get("privacy_l_diversity").fn(spark, str(tmp_path)).collect()
+    assert r["n_classes"] == 2
+    assert r["l_diversity"] == 1 and not r["passes"]
+    assert r["n_homogeneous_classes"] == 1
+    assert abs(r["homogeneous_row_share"] - 0.5) < 1e-9

@@ -168,6 +168,14 @@ SINGLE_PARTITION_OK: dict[str, str] = {
         "1-row moment frame (n/var/cov partials per user-level "
         "partition, never event rows)"
     ),
+    "privacy_k_anonymity": (
+        "risk/min windows over the class-SIZE-bounded histogram frame "
+        "(QI-class partials, never customer rows)"
+    ),
+    "privacy_l_diversity": (
+        "1-row verdict fold over QI-class partials (distinct-count "
+        "aggregates, never order rows)"
+    ),
     "dedup_lsh_tuning": (
         "3 x 1-row config frames over micro-unit probability partials "
         "(pair-level sums, never shingle rows)"
