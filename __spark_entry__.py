@@ -101,6 +101,8 @@ _CHANGED_THIS_ROUND = [
     "win_rescaled_range",
     "privacy_k_anonymity",
     "privacy_l_diversity",
+    "privacy_dp_counts",
+    "q_growth_accounting",
 ]
 
 

@@ -1512,3 +1512,73 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("rev_c").over(w_cum) / 100.0 / F.col("n_users"), 4
         ).alias("cum_ltv_per_user"),
     )
+
+
+_GROWTH_ORACLE = """
+    WITH um AS (
+      SELECT DISTINCT user_id, strftime(ts, '%Y-%m') AS month FROM events
+    ),
+    flagged AS (
+      SELECT user_id, month,
+             month = MIN(month) OVER (PARTITION BY user_id) AS is_new,
+             lag(month) OVER (PARTITION BY user_id ORDER BY month)
+               AS prev_month,
+             (CAST(substr(month, 1, 4) AS INTEGER) * 12
+              + CAST(substr(month, 6, 2) AS INTEGER)) AS mnum
+      FROM um
+    ),
+    states AS (
+      SELECT month,
+             CASE WHEN is_new THEN 'new'
+                  WHEN (CAST(substr(prev_month, 1, 4) AS INTEGER) * 12
+                        + CAST(substr(prev_month, 6, 2) AS INTEGER))
+                       = mnum - 1 THEN 'retained'
+                  ELSE 'resurrected' END AS state
+      FROM flagged
+    )
+    SELECT month, state, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM states GROUP BY month, state
+"""
+
+
+@register("q_growth_accounting", oracle=_GROWTH_ORACLE)
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly growth accounting: every active user classified as NEW
+    (first month ever), RETAINED (also active the month before), or
+    RESURRECTED (returning after a gap) — the standard MAU
+    decomposition (churn is the prior month's actives missing from the
+    current, derivable as prev_MAU - retained) that tells a growth team
+    whether MAU grows from acquisition or from retention; the
+    month-over-month flow view beside q_retention_cohorts' triangle
+    and q_stickiness_dau_mau's intensity ratio.
+
+    Scale shape: ONE distinct aggregate to (user, month) visit rows,
+    then per-user min/lag windows on a second user_id shuffle and a
+    combinable count onto the (month x state) domain. Determinism:
+    month strings and integer month numbers are exact; no floats at
+    all."""
+    t = load(spark, sf_dir)
+    um = t.events.select(
+        "user_id", F.date_format("ts", "yyyy-MM").alias("month")
+    ).distinct()
+    wu = Window.partitionBy("user_id")
+    wl = Window.partitionBy("user_id").orderBy("month")
+    mnum = lambda c: (  # noqa: E731
+        F.substring(c, 1, 4).cast("int") * 12 + F.substring(c, 6, 2).cast("int")
+    )
+    flagged = um.select(
+        "month",
+        (F.col("month") == F.min("month").over(wu)).alias("is_new"),
+        F.lag("month").over(wl).alias("prev_month"),
+        mnum(F.col("month")).alias("mn"),
+    )
+    state = (
+        F.when(F.col("is_new"), "new")
+        .when(mnum(F.col("prev_month")) == F.col("mn") - 1, "retained")
+        .otherwise("resurrected")
+    )
+    return (
+        flagged.select("month", state.alias("state"))
+        .groupBy("month", "state")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )

@@ -155,3 +155,89 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("homogeneous_row_share"),
         (F.min("l") >= L_DIV_MIN).alias("passes"),
     )
+
+
+#: DP release parameters: epsilon 1.0 on a count query (sensitivity 1)
+#: means Laplace scale b = 1/epsilon. The noise is SEEDED — derived
+#: from md5 of the release label + group key — so the release is
+#: reproducible and cross-engine verifiable; a production run swaps in
+#: a cryptographic RNG and the plan is unchanged.
+DP_EPSILON = 1.0
+DP_RELEASE = "r6"
+
+
+@register(
+    "privacy_dp_counts",
+    oracle=f"""
+    WITH g AS (
+      SELECT c_nationkey, COUNT(*) AS true_n FROM customer GROUP BY c_nationkey
+    ),
+    u AS (
+      SELECT c_nationkey, true_n,
+             (CAST(('0x' || substr(md5('{DP_RELEASE}:'
+                    || CAST(c_nationkey AS VARCHAR)), 1, 8)) AS BIGINT)
+              % 1000000) / 1000000.0 - 0.5 AS s
+      FROM g
+    )
+    SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+           CAST(GREATEST(0, CAST(ROUND(true_n
+                 - (1.0 / {DP_EPSILON})
+                   * (CASE WHEN s >= 0 THEN 1 ELSE -1 END)
+                   * ln(1 - 2 * abs(s))) AS BIGINT)) AS BIGINT)
+             AS dp_count,
+           {DP_EPSILON} AS epsilon,
+           ROUND(1.0 / {DP_EPSILON}, 4) AS laplace_scale
+    FROM u
+    """,
+)
+def privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release (epsilon = {DP_EPSILON},
+    Laplace mechanism): per-nation customer counts with
+    Laplace(1/epsilon) noise via inverse-CDF sampling, clamped at 0 —
+    the aggregate-release shape a governance gate requires when even
+    exact small counts leak membership (pairs with privacy_k_anonymity:
+    that audits the raw table, this is how you publish from it anyway).
+    The uniform draw is SEEDED from md5(release || group) — the
+    engine-portable corpus_shard_assign convention — so the release is
+    REPRODUCIBLE (same epsilon, same release tag, same noise), which is
+    both what makes it oracle-verifiable and what a real redaction
+    pipeline wants (re-runs must not leak fresh noise draws: each
+    re-release with new noise spends more privacy budget).
+
+    Scale shape: one combinable count per group, then pure per-row
+    noise arithmetic — release cost is O(groups). Determinism: the md5
+    nibble-hex parse is exact integer work; sign/ln run on identical
+    doubles (agg_mutual_info precedent); the final count rounds to
+    integer in both engines."""
+    t = load(spark, sf_dir)
+    g = t.customer.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("true_n"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{DP_RELEASE}:"),
+                        F.col("c_nationkey").cast("string"),
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1_000_000
+    ) / 1_000_000.0 - 0.5
+    noise = (
+        (1.0 / DP_EPSILON)
+        * F.when(u >= 0, 1).otherwise(-1)
+        * F.log(1 - 2 * F.abs(u))
+    )
+    return g.select(
+        F.col("c_nationkey").cast("bigint").alias("c_nationkey"),
+        F.greatest(
+            F.lit(0), F.round(F.col("true_n") - noise).cast("bigint")
+        ).cast("bigint").alias("dp_count"),
+        F.lit(DP_EPSILON).alias("epsilon"),
+        F.round(F.lit(1.0 / DP_EPSILON), 4).alias("laplace_scale"),
+    )

@@ -1313,3 +1313,45 @@ def test_l_diversity_homogeneous_class_fails(spark, tmp_path):
     assert r["l_diversity"] == 1 and not r["passes"]
     assert r["n_homogeneous_classes"] == 1
     assert abs(r["homogeneous_row_share"] - 0.5) < 1e-9
+
+
+def test_dp_counts_reproducible_and_bounded(spark, tmp_path):
+    """Seeded noise: two runs release identical counts; the noise
+    magnitude on a 100-customer nation is Laplace(1)-sized (within a
+    loose 15 of truth at these seeds), never negative."""
+    rows = [(i, i % 3, "B", 0.0) for i in range(300)]
+    _write_customers(spark, tmp_path, rows)
+    run1 = {
+        r["c_nationkey"]: r["dp_count"]
+        for r in registry.get("privacy_dp_counts").fn(spark, str(tmp_path)).collect()
+    }
+    run2 = {
+        r["c_nationkey"]: r["dp_count"]
+        for r in registry.get("privacy_dp_counts").fn(spark, str(tmp_path)).collect()
+    }
+    assert run1 == run2  # reproducible release
+    assert set(run1) == {0, 1, 2}
+    for nk, n in run1.items():
+        assert n >= 0 and abs(n - 100) <= 15
+
+
+def test_growth_accounting_states(spark, tmp_path):
+    """u1 active Jan+Feb (retained), u2 Jan only, u3 Jan then a gap to
+    Mar (resurrected), u4 joins Feb (new)."""
+    day = 1440
+    rows = [
+        (0, 0, 1, "v", 1.0), (1, 35 * day, 1, "v", 1.0),
+        (2, 0, 2, "v", 1.0),
+        (3, 0, 3, "v", 1.0), (4, 65 * day, 3, "v", 1.0),
+        (5, 35 * day, 4, "v", 1.0),
+    ]
+    _write_events(spark, tmp_path, rows)
+    out = {
+        (r["month"], r["state"]): r["n_users"]
+        for r in registry.get("q_growth_accounting").fn(spark, str(tmp_path)).collect()
+    }
+    assert out[("2024-01", "new")] == 3
+    assert out[("2024-02", "retained")] == 1
+    assert out[("2024-02", "new")] == 1
+    assert out[("2024-03", "resurrected")] == 1
+    assert ("2024-03", "retained") not in out
