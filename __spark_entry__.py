@@ -103,6 +103,8 @@ _CHANGED_THIS_ROUND = [
     "privacy_l_diversity",
     "privacy_dp_counts",
     "q_growth_accounting",
+    "corpus_dedup_best_keeper",
+    "agg_hill_tail_index",
 ]
 
 

@@ -1309,3 +1309,87 @@ def corpus_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             sw * sw / (sw2 * F.max("n_total").over(w_all)), 4
         ).alias("ess_fraction"),
     )
+
+
+_BEST_KEEPER_ORACLE = f"""
+    WITH RECURSIVE {_CLUSTER_CTES},
+    labels AS (
+      SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+      FROM reach GROUP BY src
+    ),
+    q AS (
+      SELECT doc_id,
+             floor((
+               0.4 * least(len(string_split(text, ' ')) / 200.0, 1.0)
+             + 0.3 * (len(list_filter(string_split(text, ' '),
+                                      w -> w IN ({_STOP_SQL})))
+                      / CAST(len(string_split(text, ' ')) AS DOUBLE))
+             + 0.3 * (len(list_distinct(string_split(text, ' ')))
+                      / CAST(len(string_split(text, ' ')) AS DOUBLE)))
+                   * 10000) / 10000 AS quality
+      FROM documents
+    )
+    SELECT l.doc_id,
+           CAST(l.cluster_id AS BIGINT) AS cluster_id,
+           q.quality,
+           first_value(l.doc_id) OVER w AS keeper_id,
+           first_value(q.quality) OVER w AS keeper_quality,
+           first_value(l.doc_id) OVER w = l.doc_id AS is_keeper
+    FROM labels l JOIN q USING (doc_id)
+    WINDOW w AS (PARTITION BY l.cluster_id
+                 ORDER BY q.quality DESC, l.doc_id)
+"""
+
+
+@register("corpus_dedup_best_keeper", oracle=_BEST_KEEPER_ORACLE)
+def corpus_dedup_best_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup canonicalization: within each dedup
+    cluster, keep the HIGHEST-QUALITY member (text_quality_score,
+    doc_id tiebreak) instead of corpus_dedup_manifest's min-doc_id
+    convention — when near-dups differ (one crawl of the page is
+    truncated, one carries boilerplate), canonical choice is a real
+    quality lever on the surviving corpus, which is why RefinedWeb-
+    style pipelines rank cluster members before dropping. Emits every
+    cluster member with its quality, the chosen keeper, and the
+    is_keeper verdict.
+
+    Plan: dedup_clusters' session-cached labels (localCheckpointed —
+    the corpus_dedup_manifest lesson) join the one-scan quality
+    expressions, then ONE window over clusters (bounded by the largest
+    cluster). Determinism: quality is floor-scaled onto a lattice in
+    both engines, so the ORDER BY tie-breaks identically; everything
+    else is exact."""
+    from .dedup import dedup_clusters as _clusters
+
+    t = load(spark, sf_dir)
+    lbl = (
+        _clusters(spark, sf_dir)
+        .select("doc_id", "cluster_id")
+        .localCheckpoint()
+    )
+    words = F.split("text", " ")
+    n_words = F.size(words).cast("double")
+    n_stop = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+    n_distinct = F.size(F.array_distinct(words))
+    raw = (
+        0.4 * F.least(F.size(words) / F.lit(200.0), F.lit(1.0))
+        + 0.3 * (n_stop / n_words)
+        + 0.3 * (n_distinct / n_words)
+    )
+    q = t.documents.select(
+        "doc_id", (F.floor(raw * 10000) / 10000).alias("quality")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), "doc_id"
+    )
+    return (
+        lbl.join(q, "doc_id")
+        .select(
+            "doc_id",
+            F.col("cluster_id").cast("bigint").alias("cluster_id"),
+            "quality",
+            F.first("doc_id").over(w).alias("keeper_id"),
+            F.first("quality").over(w).alias("keeper_quality"),
+            (F.first("doc_id").over(w) == F.col("doc_id")).alias("is_keeper"),
+        )
+    )

@@ -1354,3 +1354,68 @@ def agg_category_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(tv, 6).alias("tv_distance"),
         (tv > 0.05).alias("drift_detected"),
     )
+
+
+#: Hill estimator tail: order statistics above the exact p99 of order
+#: totals (k is then data-determined, not a magic constant).
+HILL_TAIL_P = 0.99
+
+_HILL_ORACLE = f"""
+    WITH cut AS (
+      SELECT quantile_cont(o_totalprice, {HILL_TAIL_P}) AS xk
+      FROM orders
+    ),
+    tail AS (
+      SELECT CAST(ROUND(ln(o.o_totalprice / c.xk) * 1000000) AS BIGINT) AS lr
+      FROM orders o, cut c WHERE o.o_totalprice > c.xk
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_tail,
+           ROUND((SELECT xk FROM cut), 2) AS tail_cutoff,
+           floor(1e6 * COUNT(*) / CAST(SUM(lr) AS DOUBLE) * 10000) / 10000
+             AS hill_alpha,
+           1e6 * COUNT(*) / CAST(SUM(lr) AS DOUBLE) <= 2
+             AS infinite_variance
+    FROM tail
+"""
+
+
+@register("agg_hill_tail_index", oracle=_HILL_ORACLE)
+def agg_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the revenue tail index: alpha =
+    1 / mean(ln(x_i / x_k)) over order totals above the exact p99 —
+    the heavy-tail diagnostic that says WHICH guard the metric needs
+    (alpha <= 2 = infinite variance, t-tests and means are meaningless,
+    reach for agg_winsorized_mean / quantiles; alpha > 4 = tame).
+    Pairs with agg_gini/q_revenue_deciles: they describe concentration,
+    this classifies the distribution family generating it.
+
+    Scale shape: the cutoff is a 1-row exact-percentile frame broadcast
+    back (approx_percentile at 100 TB); the tail scan keeps ~1% of
+    rows; the estimate is one combinable aggregate. Determinism: each
+    log-ratio runs on identical doubles (the cutoff is bit-identical
+    cross-engine, the agg_mutual_info log precedent) and quantizes to
+    integer MICRO-units before the sum, so the tail mean is exact
+    integer arithmetic; output floor-scaled, verdict on the unfloored
+    value in both engines."""
+    t = load(spark, sf_dir)
+    cut = t.orders.agg(
+        F.percentile("o_totalprice", F.lit(HILL_TAIL_P)).alias("xk")
+    )
+    tail = (
+        t.orders.select("o_totalprice")
+        .crossJoin(F.broadcast(cut))
+        .where(F.col("o_totalprice") > F.col("xk"))
+        .select(
+            F.round(F.log(F.col("o_totalprice") / F.col("xk")) * 1_000_000)
+            .cast("bigint")
+            .alias("lr"),
+            "xk",
+        )
+    )
+    alpha = 1e6 * F.count(F.lit(1)) / F.sum("lr").cast("double")
+    return tail.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tail"),
+        F.round(F.max("xk"), 2).alias("tail_cutoff"),
+        (F.floor(alpha * 10_000) / 10_000).alias("hill_alpha"),
+        (alpha <= 2).alias("infinite_variance"),
+    )

@@ -1355,3 +1355,51 @@ def test_growth_accounting_states(spark, tmp_path):
     assert out[("2024-02", "new")] == 1
     assert out[("2024-03", "resurrected")] == 1
     assert ("2024-03", "retained") not in out
+
+
+def test_best_keeper_prefers_quality(spark, tmp_path):
+    """Two near-dup docs where doc 2 is longer (higher quality score):
+    the cluster keeps doc 2 even though doc 1 has the lower id (the
+    min-id manifest would keep doc 1)."""
+    base = ("the cat and the dog walked to the park and sat on a mat "
+            "near the old oak tree by the river bank today")
+    docs = [
+        (1, base),
+        (2, base + " then more careful unique prose extends this copy "
+            "with extra informative detail about the afternoon"),
+        (9, "entirely different text about other topics"),
+    ]
+    _write_documents(spark, tmp_path, docs)
+    out = {
+        r["doc_id"]: r
+        for r in registry.get("corpus_dedup_best_keeper").fn(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {1, 2}  # only cluster members emit
+    assert out[2]["quality"] > out[1]["quality"]
+    assert out[1]["keeper_id"] == 2 and out[2]["is_keeper"]
+    assert not out[1]["is_keeper"]
+    assert out[1]["keeper_quality"] == out[2]["quality"]
+
+
+def test_hill_alpha_pareto_vs_bounded(spark, tmp_path):
+    """Orders drawn from a deterministic Pareto(alpha = 2) quantile
+    grid: Hill recovers alpha ~ 2 (infinite-variance verdict true at
+    the boundary); the estimator needs only the tail scan."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    n = 2000
+    # x_i = (1 - u)^(-1/2) for u on a uniform grid -> exact Pareto(2)
+    orders = [
+        (i, 1, "O", (1 - (i + 0.5) / n) ** -0.5 * 100.0, base, "P")
+        for i in range(n)
+    ]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    (r,) = registry.get("agg_hill_tail_index").fn(spark, str(tmp_path)).collect()
+    assert r["n_tail"] == 20
+    assert 1.5 < r["hill_alpha"] < 2.6
+    assert r["infinite_variance"] == (r["hill_alpha"] <= 2)

@@ -168,6 +168,10 @@ SINGLE_PARTITION_OK: dict[str, str] = {
         "1-row moment frame (n/var/cov partials per user-level "
         "partition, never event rows)"
     ),
+    "agg_hill_tail_index": (
+        "1-row percentile-cut scalar + 1-row tail-estimate fold "
+        "(micro-unit log-ratio partials, never order rows)"
+    ),
     "privacy_k_anonymity": (
         "risk/min windows over the class-SIZE-bounded histogram frame "
         "(QI-class partials, never customer rows)"
