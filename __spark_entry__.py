@@ -105,6 +105,8 @@ _CHANGED_THIS_ROUND = [
     "q_growth_accounting",
     "corpus_dedup_best_keeper",
     "agg_hill_tail_index",
+    "scan_partition_evolution",
+    "quality_calendar_gaps",
 ]
 
 

@@ -340,3 +340,77 @@ def profile_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+_CALENDAR_GAPS_ORACLE = """
+    WITH span AS (
+      SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1
+      FROM events
+    ),
+    expected AS (
+      SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+               AS day
+      FROM span
+    ),
+    observed AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day FROM events
+    ),
+    flags AS (
+      SELECT strftime(e.day, '%Y-%m') AS month,
+             CASE WHEN o.day IS NULL THEN 1 ELSE 0 END AS missing
+      FROM expected e LEFT JOIN observed o ON o.day = e.day
+    )
+    SELECT month,
+           CAST(COUNT(*) AS BIGINT) AS expected_days,
+           CAST(COUNT(*) - SUM(missing) AS BIGINT) AS observed_days,
+           CAST(SUM(missing) AS BIGINT) AS missing_days,
+           ROUND((COUNT(*) - SUM(missing)) / CAST(COUNT(*) AS DOUBLE), 4)
+             AS completeness,
+           SUM(missing) = 0 AS complete
+    FROM flags GROUP BY month
+"""
+
+
+@register("quality_calendar_gaps", oracle=_CALENDAR_GAPS_ORACLE)
+def quality_calendar_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar completeness audit: generate the full day spine between
+    the table's first and last event, anti-check it against the days
+    that actually have data, and report per-month missing-day counts —
+    the ingestion-health view that catches SILENT daily-feed gaps
+    (quality_freshness catches a feed that STOPPED; this catches one
+    that skipped last Tuesday and resumed). The day spine is the same
+    generated-dimension trick win_gapfill_locf uses for values, applied
+    to existence.
+
+    Scale shape: the spine is a sequence() explode off a 1-row min/max
+    frame (O(days), trivially small at any data size); observed days =
+    one distinct aggregate; one broadcast-able join day-to-day and a
+    month-domain rollup. Exact integers + one exact ratio."""
+    t = load(spark, sf_dir)
+    span = t.events.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    expected = span.select(
+        F.explode(
+            F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    observed = (
+        t.events.select(F.col("ts").cast("date").alias("day"))
+        .distinct()
+        .withColumn("present", F.lit(1))
+    )
+    flags = expected.join(F.broadcast(observed), "day", "left").select(
+        F.date_format("day", "yyyy-MM").alias("month"),
+        F.when(F.col("present").isNull(), 1).otherwise(0).alias("missing"),
+    )
+    n = F.count(F.lit(1))
+    miss = F.sum("missing")
+    return flags.groupBy("month").agg(
+        n.cast("bigint").alias("expected_days"),
+        (n - miss).cast("bigint").alias("observed_days"),
+        miss.cast("bigint").alias("missing_days"),
+        F.round((n - miss) / n.cast("double"), 4).alias("completeness"),
+        (miss == 0).alias("complete"),
+    )

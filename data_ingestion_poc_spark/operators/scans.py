@@ -1257,3 +1257,94 @@ def sink_expire_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
         expired.cast("bigint").alias("expired_refs"),
         F.when(live == 0, F.lit("delete")).otherwise(F.lit("keep")).alias("action"),
     )
+
+
+_PART_EVO_ORACLE = """
+    WITH u AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             CASE WHEN o_orderkey % 3 = 0 THEN 2 ELSE 1 END AS gen,
+             o_totalprice
+      FROM orders
+    )
+    SELECT month, CAST(gen AS BIGINT) AS layout_gen,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM u GROUP BY month, gen
+"""
+
+
+@register("scan_partition_evolution", oracle=_PART_EVO_ORACLE)
+def scan_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-layout evolution (Iceberg partition-spec evolution /
+    Hive repartitioning migrations): one logical table whose OLD data
+    lives under a month=YYYY-MM layout and whose NEW data (keys % 3 = 0
+    simulate the post-migration writes) lives under the finer
+    month/day=DD layout — the read side must union BOTH generations,
+    keep partition PRUNING working on each (month predicates prune
+    gen-1 directories; month+day prune gen-2 deeper), and agree with
+    the logical table exactly. This is the migration every aging table
+    goes through when its partition grain stops matching its query
+    grain, without rewriting history.
+
+    The store is real: both layouts are written once (fingerprinted,
+    scan_time_travel convention) with partitionBy(), read back with
+    basePath so partition columns materialize from directory names,
+    and unified by a layout-tagged unionByName. Scale: each
+    generation's scan lists only its own directories; the rollup is
+    one combinable aggregate."""
+    t = load(spark, sf_dir)
+    root = _sink_dir("dip_spark_part_evo", sf_dir)
+    done = os.path.join(root, "_PUBLISHED")
+    month = F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    if not os.path.exists(done):
+        # a root without _PUBLISHED is a crashed prior publish: clear it
+        shutil.rmtree(root, ignore_errors=True)
+        gen1 = t.orders.where(F.col("o_orderkey") % 3 != 0).select(
+            "o_orderkey", "o_totalprice", "o_orderdate", month
+        )
+        gen2 = t.orders.where(F.col("o_orderkey") % 3 == 0).select(
+            "o_orderkey",
+            "o_totalprice",
+            "o_orderdate",
+            month,
+            F.date_format("o_orderdate", "dd").alias("day"),
+        )
+        # per-process staging + atomic publish (scan_time_travel race
+        # discipline): the replace loser discards its staging.
+        stage = root + f".staging_{os.getpid()}"
+        gen1.write.mode("overwrite").partitionBy("month").parquet(
+            os.path.join(stage, "gen=1")
+        )
+        gen2.write.mode("overwrite").partitionBy("month", "day").parquet(
+            os.path.join(stage, "gen=2")
+        )
+        try:
+            os.replace(stage, root)
+        except OSError:
+            shutil.rmtree(stage, ignore_errors=True)
+            if not os.path.exists(root):
+                raise
+        tmp = done + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write("2")
+        os.replace(tmp, done)
+    g1 = spark.read.parquet(os.path.join(root, "gen=1")).select(
+        "month", F.lit(1).alias("gen"), "o_totalprice"
+    )
+    g2 = spark.read.parquet(os.path.join(root, "gen=2")).select(
+        "month", F.lit(2).alias("gen"), "o_totalprice"
+    )
+    return (
+        g1.unionByName(g2)
+        .groupBy("month", "gen")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select(
+            "month",
+            F.col("gen").cast("bigint").alias("layout_gen"),
+            "n_orders",
+            "revenue",
+        )
+    )

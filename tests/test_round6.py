@@ -1403,3 +1403,40 @@ def test_hill_alpha_pareto_vs_bounded(spark, tmp_path):
     assert r["n_tail"] == 20
     assert 1.5 < r["hill_alpha"] < 2.6
     assert r["infinite_variance"] == (r["hill_alpha"] <= 2)
+
+
+def test_partition_evolution_unifies_layouts(spark, tmp_path):
+    """Orders split by key % 3 across two physical layouts must
+    reassemble into the logical table exactly: per (month, gen) counts
+    sum to the input, and both generations appear."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    orders = [
+        (k, 1, "O", 10.0, base + datetime.timedelta(days=k % 40), "P")
+        for k in range(60)
+    ]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    out = registry.get("scan_partition_evolution").fn(spark, str(tmp_path)).collect()
+    assert sum(r["n_orders"] for r in out) == 60
+    gens = {r["layout_gen"] for r in out}
+    assert gens == {1, 2}
+    g2 = sum(r["n_orders"] for r in out if r["layout_gen"] == 2)
+    assert g2 == 20  # keys % 3 == 0
+
+
+def test_calendar_gaps_finds_missing_tuesday(spark, tmp_path):
+    """Events on 10 consecutive days except day 4: one missing day,
+    completeness 0.9, complete = False."""
+    rows = [(i, d * 1440, 1, "v", 1.0) for i, d in enumerate(
+        [0, 1, 2, 3, 5, 6, 7, 8, 9])]
+    _write_events(spark, tmp_path, rows)
+    (r,) = registry.get("quality_calendar_gaps").fn(spark, str(tmp_path)).collect()
+    assert r["month"] == "2024-01"
+    assert r["expected_days"] == 10 and r["observed_days"] == 9
+    assert r["missing_days"] == 1 and not r["complete"]
+    assert r["completeness"] == 0.9

@@ -220,6 +220,10 @@ SINGLE_PARTITION_OK: dict[str, str] = {
         "2-row arm-count frame (chi-squared window over the arm "
         "DOMAIN, never user rows)"
     ),
+    "quality_calendar_gaps": (
+        "day-spine explode off a 1-row min/max frame (O(days) rows at "
+        "any data size)"
+    ),
     "quality_freshness": (
         "high-water window over the event-type-DOMAIN-bounded "
         "(count, max) frame"
