@@ -107,6 +107,8 @@ _CHANGED_THIS_ROUND = [
     "agg_hill_tail_index",
     "scan_partition_evolution",
     "quality_calendar_gaps",
+    "sim_search_mips",
+    "q_price_elasticity",
 ]
 
 

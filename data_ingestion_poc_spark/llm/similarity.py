@@ -1580,3 +1580,99 @@ def embed_scalar_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("e2u") / n / 1e12).alias("mse"),
         (F.sum("ok") == n).alias("within_half_step"),
     )
+
+
+_MIPS_ORACLE = """
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    mx AS (
+      SELECT MAX(sqrt(list_dot_product(v, v))) AS m FROM emb
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, c.vec_id,
+             list_dot_product(q.qv, c.v) AS ip,
+             list_dot_product(q.qv, c.v)
+               / sqrt(mx.m * mx.m - list_dot_product(c.v, c.v)
+                      + list_dot_product(c.v, c.v)
+                      + (mx.m * mx.m - list_dot_product(c.v, c.v)))
+               AS aug_cos_num
+      FROM q JOIN emb c ON c.vec_id <> q.query_id CROSS JOIN mx
+    ),
+    best AS (
+      SELECT query_id,
+             first(vec_id ORDER BY ip DESC, vec_id) AS ip_top1,
+             first(vec_id ORDER BY aug_cos_num DESC, vec_id) AS aug_top1,
+             ROUND(MAX(ip), 4) AS best_ip
+      FROM scored GROUP BY query_id
+    )
+    SELECT query_id, ip_top1, aug_top1, best_ip,
+           ip_top1 = aug_top1 AS transform_preserves_top1
+    FROM best
+"""
+
+
+@register("sim_search_mips", oracle=_MIPS_ORACLE)
+def sim_search_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product search via the cosine reduction (the
+    Bachrach et al. / Shrivastava-Li asymmetric transform): augment
+    every corpus vector with one extra coordinate
+    sqrt(M^2 - |v|^2) (M = the corpus max norm) so that, against a
+    zero-padded query, augmented-space COSINE order equals raw
+    INNER-PRODUCT order — the trick that lets every cosine ANN index
+    in this engine (LSH/IVF/PQ/BQ/SQ8) serve recommendation-style MIPS
+    workloads unchanged. The operator verifies the contract per query:
+    exact IP top-1 vs augmented-cosine top-1, plus the preservation
+    flag (argmax_ip == argmax_aug for EVERY query or the reduction is
+    wrong).
+
+    Scale/determinism: M is a 1-row exact fold broadcast back; both
+    scores per pair are identical-expression arithmetic over the same
+    dot products (dot_double fold order shared), so ranking ties break
+    identically by vec_id in both engines."""
+    t = load(spark, sf_dir)
+    emb = t.embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    mx = emb.agg(
+        F.max(F.sqrt(dot_double(F.col("v"), F.col("v")))).alias("m")
+    )
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    pairs = (
+        emb.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .crossJoin(F.broadcast(mx))
+    )
+    ip = dot_double(F.col("qv"), F.col("v"))
+    nv2 = dot_double(F.col("v"), F.col("v"))
+    m2 = F.col("m") * F.col("m")
+    # augmented-space cosine numerator order: ip / sqrt(m2 - |v|^2 +
+    # |v|^2 + (m2 - |v|^2)) — written exactly as the oracle writes it
+    # so the doubles match bit for bit.
+    aug = ip / F.sqrt(m2 - nv2 + nv2 + (m2 - nv2))
+    scored = pairs.select(
+        "query_id", "vec_id", ip.alias("ip"), aug.alias("aug")
+    )
+    w_ip = Window.partitionBy("query_id").orderBy(
+        F.col("ip").desc(), "vec_id"
+    )
+    w_aug = Window.partitionBy("query_id").orderBy(
+        F.col("aug").desc(), "vec_id"
+    )
+    ranked = scored.select(
+        "query_id",
+        "ip",
+        F.first("vec_id").over(w_ip).alias("ip_top1"),
+        F.first("vec_id").over(w_aug).alias("aug_top1"),
+    )
+    return ranked.groupBy("query_id").agg(
+        F.min("ip_top1").cast("bigint").alias("ip_top1"),
+        F.min("aug_top1").cast("bigint").alias("aug_top1"),
+        F.round(F.max("ip"), 4).alias("best_ip"),
+        (F.min("ip_top1") == F.min("aug_top1")).alias(
+            "transform_preserves_top1"
+        ),
+    )

@@ -1440,3 +1440,57 @@ def test_calendar_gaps_finds_missing_tuesday(spark, tmp_path):
     assert r["expected_days"] == 10 and r["observed_days"] == 9
     assert r["missing_days"] == 1 and not r["complete"]
     assert r["completeness"] == 0.9
+
+
+def test_mips_transform_contract_holds(spark, tmp_path):
+    """MIPS vs cosine disagree on raw vectors (a long vector beats a
+    same-direction short one on IP), but the augmented transform must
+    make cosine order match IP order for every query."""
+    import math
+
+    vecs = [(0, [1.0, 0.0], "q")]
+    vecs += [(1, [0.9, 0.1], "c"), (2, [3.0, 1.0], "c"),
+             (3, [0.1, 2.9], "c"), (4, [2.0, -0.5], "c")]
+    vecs += [(10 + i, [math.cos(i), math.sin(i)], "c") for i in range(6)]
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>, label string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    out = {
+        r["query_id"]: r
+        for r in registry.get("sim_search_mips").fn(spark, str(tmp_path)).collect()
+    }
+    assert all(r["transform_preserves_top1"] for r in out.values())
+    assert out[0]["ip_top1"] == 2  # the long vector wins on IP
+
+
+def test_price_elasticity_recovers_slope(spark, tmp_path):
+    """Lineitems built on an exact log-log line (quantity quarters as
+    price quadruples): the estimator recovers slope -1 and flags the
+    brand elastic; a flat brand (same q at every price) scores ~0."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    lines = []
+    # exact log-log line: (p, q) = (1, 16), (4, 4), (16, 1) -> slope -1
+    for i, (p, q) in enumerate([(1.0, 16), (4.0, 4), (16.0, 1)]):
+        lines.append((i, 1, q, p * q, 0.0, base, "N", 1, 0.0))
+    for i, q in enumerate([7, 7, 7]):
+        lines.append((10 + i, 2, q, (2.0 ** i) * q, 0.0, base, "N", 1, 0.0))
+    spark.createDataFrame(
+        lines,
+        "l_orderkey long, l_partkey long, l_quantity long,"
+        " l_extendedprice double, l_discount double, l_shipdate timestamp,"
+        " l_returnflag string, l_linenumber long, l_tax double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame(
+        [(1, "ELASTIC", 0.0), (2, "FLAT", 0.0)],
+        "p_partkey long, p_brand string, p_retailprice double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "part.parquet"))
+    out = {
+        r["p_brand"]: r
+        for r in registry.get("q_price_elasticity").fn(spark, str(tmp_path)).collect()
+    }
+    assert abs(out["ELASTIC"]["elasticity"] + 1.0) < 0.001
+    assert out["ELASTIC"]["is_elastic"]
+    assert abs(out["FLAT"]["elasticity"]) < 0.001
+    assert not out["FLAT"]["is_elastic"]

@@ -168,6 +168,10 @@ SINGLE_PARTITION_OK: dict[str, str] = {
         "1-row moment frame (n/var/cov partials per user-level "
         "partition, never event rows)"
     ),
+    "sim_search_mips": (
+        "1-row max-norm scalar fold broadcast back onto the scored "
+        "scan (aggregate partial, never vector rows)"
+    ),
     "agg_hill_tail_index": (
         "1-row percentile-cut scalar + 1-row tail-estimate fold "
         "(micro-unit log-ratio partials, never order rows)"
