@@ -109,6 +109,8 @@ _CHANGED_THIS_ROUND = [
     "quality_calendar_gaps",
     "sim_search_mips",
     "q_price_elasticity",
+    "q_abc_classification",
+    "udf_scalar_iter",
 ]
 
 

@@ -22,6 +22,8 @@ no shuffle at all, pipeline-parallel per input split.
 
 from __future__ import annotations
 
+from typing import Iterator, Tuple
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -386,4 +388,61 @@ def udf_grouped_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return counts.join(F.broadcast(means), "event_type").select(
         "event_type", "n", "n_kept", "trimmed_mean"
+    )
+
+
+#: "Model weights" for the iterator UDF: a fixed quality-scoring
+#: polynomial, stood in for the real model an inference pass loads
+#: once per WORKER and reuses across every Arrow batch.
+ITER_MODEL_W = (0.5, 3.0, -0.02)
+
+_SCALAR_ITER_ORACLE = f"""
+    SELECT doc_id,
+           floor(({ITER_MODEL_W[0]}
+                  + {ITER_MODEL_W[1]} * ln(1 + n_chars)
+                  + {ITER_MODEL_W[2]} * len(string_split(text, ' ')))
+                 * 10000) / 10000 AS model_score
+    FROM documents
+"""
+
+
+@register("udf_scalar_iter", oracle=_SCALAR_ITER_ORACLE)
+def udf_scalar_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALAR_ITER pandas UDF flavor (Iterator[Series] -> Iterator
+    [Series]) — the rung built for model inference: the "model" (here
+    a literal scoring polynomial; in production gigabytes of weights)
+    loads ONCE per Python worker, outside the batch loop, and every
+    Arrow batch reuses it. With plain scalar pandas UDFs the init cost
+    lands per batch; with this shape it amortizes across the worker's
+    whole partition stream — the difference between reloading an
+    embedding model thousands of times and once per executor. Last
+    missing Arrow UDF rung after udf_surface / udf_cogrouped /
+    udf_map_in_arrow / udf_grouped_trimmed_mean.
+
+    Determinism: the polynomial runs on (n_chars, word count) integers
+    with one ln on identical doubles (agg_mutual_info precedent),
+    NumPy's vectorized ln matching libm's scalar results here;
+    floor-scaled output. Scale: pure map, no shuffle, linear."""
+    import numpy as np
+    from pyspark.sql.types import DoubleType
+
+    # the Iterator[...] type hints are what select the SCALAR_ITER
+    # evaluation mode (plain Series -> Series hints mean per-batch init)
+    @F.pandas_udf(DoubleType())
+    def _score(
+        batches: Iterator[Tuple[pd.Series, pd.Series]],
+    ) -> Iterator[pd.Series]:
+        w0, w1, w2 = ITER_MODEL_W  # "load the model" once per worker
+        for n_chars, n_words in batches:
+            yield np.floor(
+                (w0 + w1 * np.log1p(n_chars) + w2 * n_words) * 10_000
+            ) / 10_000
+
+    t = load(spark, sf_dir)
+    return t.documents.select(
+        "doc_id",
+        _score(
+            F.col("n_chars").cast("double"),
+            F.size(F.split("text", " ")).cast("double"),
+        ).alias("model_score"),
     )

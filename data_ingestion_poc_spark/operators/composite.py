@@ -1668,3 +1668,71 @@ def q_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(slope * 10_000) / 10_000).alias("elasticity"),
         (slope < -0.5).alias("is_elastic"),
     )
+
+
+_ABC_ORACLE = """
+    WITH rev AS (
+      SELECT p.p_brand, ROUND(SUM(l.l_extendedprice), 2) AS revenue
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY p.p_brand
+    ),
+    ranked AS (
+      SELECT p_brand, revenue,
+             SUM(revenue) OVER (ORDER BY revenue DESC, p_brand
+                                ROWS UNBOUNDED PRECEDING)
+               / SUM(revenue) OVER () AS cum_share,
+             revenue / SUM(revenue) OVER () AS share
+      FROM rev
+    )
+    SELECT p_brand, revenue,
+           ROUND(cum_share, 6) AS cum_share,
+           CASE WHEN cum_share - share < 0.5 THEN 'A'
+                WHEN cum_share - share < 0.8 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked
+"""
+
+
+@register("q_abc_classification", oracle=_ABC_ORACLE)
+def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification by brand: brands ranked by revenue,
+    class A = the head carrying the first 50% of cumulative revenue
+    (the brand that CROSSES a boundary stays in the head class),
+    B = to 80%, C = the long tail — the Pareto working-capital
+    segmentation operations teams run before setting stocking policy
+    (A items get tight control, C items get bulk rules); the
+    named-class cousin of q_revenue_deciles' neutral bands.
+
+    Scale shape: facts reduce to ONE revenue row per brand (combinable,
+    part dim broadcast), so the ranking window runs over the BRAND
+    CATALOG domain — bounded by the product catalog, never by order
+    volume, which is what keeps the global cumulative sort legitimate
+    at 100 TB (SINGLE_PARTITION_OK: catalog-scale frame). Determinism:
+    revenue on the 2-dp lattice; ties rank by brand; cumulative shares
+    are identical divisions of lattice sums."""
+    t = load(spark, sf_dir)
+    rev = (
+        t.lineitem.join(
+            F.broadcast(
+                t.part.select(F.col("p_partkey").alias("l_partkey"), "p_brand")
+            ),
+            "l_partkey",
+        )
+        .groupBy("p_brand")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("revenue"))
+    )
+    w_cum = Window.orderBy(F.col("revenue").desc(), "p_brand").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy()
+    total = F.sum("revenue").over(w_all)
+    cum = F.sum("revenue").over(w_cum) / total
+    prev = cum - F.col("revenue") / total
+    return rev.select(
+        "p_brand",
+        "revenue",
+        F.round(cum, 6).alias("cum_share"),
+        F.when(prev < 0.5, "A").when(prev < 0.8, "B").otherwise("C").alias(
+            "abc_class"
+        ),
+    )

@@ -1494,3 +1494,58 @@ def test_price_elasticity_recovers_slope(spark, tmp_path):
     assert out["ELASTIC"]["is_elastic"]
     assert abs(out["FLAT"]["elasticity"]) < 0.001
     assert not out["FLAT"]["is_elastic"]
+
+
+def test_abc_classes_partition_revenue(spark, tmp_path):
+    """One dominant brand (60% of revenue) is the whole A class (it
+    crosses the 50% line from below it); MID (prev 60%) and T1 (prev
+    79%, crossing 80%) are B; T2 (prev 90%) is C. cum_share ends at
+    1."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    brands = [("BIG", 60.0), ("MID", 19.0), ("T1", 11.0), ("T2", 10.0)]
+    lines, parts = [], []
+    for pk, (b, rev) in enumerate(brands, start=1):
+        parts.append((pk, b, 0.0))
+        lines.append((pk, pk, 1, rev, 0.0, base, "N", 1, 0.0))
+    spark.createDataFrame(
+        lines,
+        "l_orderkey long, l_partkey long, l_quantity long,"
+        " l_extendedprice double, l_discount double, l_shipdate timestamp,"
+        " l_returnflag string, l_linenumber long, l_tax double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame(
+        parts, "p_partkey long, p_brand string, p_retailprice double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "part.parquet"))
+    out = {
+        r["p_brand"]: r
+        for r in registry.get("q_abc_classification").fn(spark, str(tmp_path)).collect()
+    }
+    assert out["BIG"]["abc_class"] == "A"
+    assert out["MID"]["abc_class"] == "B"
+    assert out["T1"]["abc_class"] == "B"  # prev cum 0.79 crosses 0.8
+    assert out["T2"]["abc_class"] == "C"
+    assert abs(out["T2"]["cum_share"] - 1.0) < 1e-9
+
+
+def test_scalar_iter_udf_matches_formula(spark, tmp_path):
+    """The iterator UDF's score equals the closed-form polynomial on
+    (n_chars, n_words) for every doc."""
+    import math
+
+    docs = [(1, "one two three"), (2, "a much longer document " * 4)]
+    _write_documents(spark, tmp_path, docs)
+    out = {
+        r["doc_id"]: r["model_score"]
+        for r in registry.get("udf_scalar_iter").fn(spark, str(tmp_path)).collect()
+    }
+    from data_ingestion_poc_spark.functions.udfs import ITER_MODEL_W
+
+    w0, w1, w2 = ITER_MODEL_W
+    for doc_id, text in docs:
+        expect = math.floor(
+            (w0 + w1 * math.log1p(len(text)) + w2 * len(text.split(" ")))
+            * 10_000
+        ) / 10_000
+        assert out[doc_id] == expect

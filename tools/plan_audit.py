@@ -168,6 +168,10 @@ SINGLE_PARTITION_OK: dict[str, str] = {
         "1-row moment frame (n/var/cov partials per user-level "
         "partition, never event rows)"
     ),
+    "q_abc_classification": (
+        "Pareto ranking window over the BRAND-CATALOG-bounded revenue "
+        "frame (combinable partials, never line items)"
+    ),
     "sim_search_mips": (
         "1-row max-norm scalar fold broadcast back onto the scored "
         "scan (aggregate partial, never vector rows)"
