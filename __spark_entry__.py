@@ -111,6 +111,8 @@ _CHANGED_THIS_ROUND = [
     "q_price_elasticity",
     "q_abc_classification",
     "udf_scalar_iter",
+    "dedup_cross_source_matrix",
+    "agg_expected_shortfall",
 ]
 
 

@@ -1924,3 +1924,102 @@ def dedup_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     for fdf in frames[1:]:
         out = out.unionByName(fdf)
     return out
+
+
+_CROSS_SOURCE_ORACLE = f"""
+    {_CAPPED_PAIRS_CTE},
+    dup_pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.30
+    ),
+    tagged AS (
+      SELECT LEAST(da.source, db.source) AS source_a,
+             GREATEST(da.source, db.source) AS source_b
+      FROM dup_pairs p
+      JOIN documents da ON da.doc_id = p.doc_a
+      JOIN documents db ON db.doc_id = p.doc_b
+    ),
+    src_sizes AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source)
+    SELECT t.source_a, t.source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_pairs,
+           ROUND(COUNT(*) / CAST(LEAST(sa.n, sb.n) AS DOUBLE), 6)
+             AS overlap_rate,
+           t.source_a = t.source_b AS within_source
+    FROM tagged t
+    JOIN src_sizes sa ON sa.source = t.source_a
+    JOIN src_sizes sb ON sb.source = t.source_b
+    GROUP BY t.source_a, t.source_b, sa.n, sb.n
+"""
+
+
+@register("dedup_cross_source_matrix", oracle=_CROSS_SOURCE_ORACLE)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: near-dup pairs (the
+    dedup_ngram_jaccard >= 0.30 band) rolled up by the SOURCE pair of
+    their endpoints, normalized by the smaller source's size — the
+    provenance question a corpus audit asks before weighting sources
+    ("is source X substantially a mirror of source Y? which sources
+    self-plagiarize?"). A high off-diagonal cell means two feeds carry
+    the same content and their mix weights double-count it; the
+    within_source diagonal is each feed's internal redundancy.
+
+    Scale shape: rides the shared capped inverted index (pair
+    generation is output-bound, the dedup_ngram_jaccard plan); the
+    source tags join against the broadcastable (doc -> source)
+    projection and the matrix reduces onto the SOURCE x SOURCE domain.
+    Exact counts, one exact-ratio division per cell."""
+    t = load(spark, sf_dir)
+    pairs = jaccard_pairs_from_index(_capped_shingle_index(spark, sf_dir))
+    src = t.documents.select("doc_id", "source")
+    tagged = (
+        pairs.join(
+            F.broadcast(
+                src.select(
+                    F.col("doc_id").alias("doc_a"),
+                    F.col("source").alias("sa"),
+                )
+            ),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(
+                src.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("source").alias("sb"),
+                )
+            ),
+            "doc_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+    )
+    sizes = t.documents.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        tagged.groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_pairs"))
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("source_a"),
+                                     F.col("n").alias("na"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("source_b"),
+                                     F.col("n").alias("nb"))),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_dup_pairs",
+            F.round(
+                F.col("n_dup_pairs")
+                / F.least("na", "nb").cast("double"),
+                6,
+            ).alias("overlap_rate"),
+            (F.col("source_a") == F.col("source_b")).alias("within_source"),
+        )
+    )

@@ -1419,3 +1419,68 @@ def agg_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(alpha * 10_000) / 10_000).alias("hill_alpha"),
         (alpha <= 2).alias("infinite_variance"),
     )
+
+
+#: Expected-shortfall tail probability: CVaR at the 95% level over the
+#: day-over-day change in daily revenue.
+ES_P = 0.95
+
+_ES_ORACLE = f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS rev_c
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    chg AS (
+      SELECT rev_c - lag(rev_c) OVER (ORDER BY day) AS d
+      FROM daily
+    ),
+    cut AS (
+      SELECT quantile_cont(-d, {ES_P}) AS var_c FROM chg WHERE d IS NOT NULL
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND((SELECT var_c FROM cut) / 100.0, 2) AS var_95,
+           ROUND(AVG(CASE WHEN -d >= (SELECT var_c FROM cut)
+                          THEN -d END) / 100.0, 4) AS cvar_95,
+           CAST(SUM(CASE WHEN -d >= (SELECT var_c FROM cut)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_tail_days
+    FROM chg WHERE d IS NOT NULL
+"""
+
+
+@register("agg_expected_shortfall", oracle=_ES_ORACLE)
+def agg_expected_shortfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-at-Risk and expected shortfall (CVaR) of day-over-day
+    revenue swings: VaR95 = the loss only 5% of days exceed, CVaR95 =
+    the MEAN loss on those worst days — the coherent tail-risk pair
+    (Basel/FRTB moved from VaR to ES precisely because the mean-beyond
+    is subadditive and sees tail shape; agg_hill_tail_index classifies
+    the tail family, this prices it). "Loss" = negative day-over-day
+    revenue change.
+
+    Scale shape: the fact stream reduces to one exact-integer-cents
+    row per DAY (combinable), so the change series, the exact VaR
+    percentile, and the tail mean all run on a calendar-bounded frame
+    (SINGLE_PARTITION_OK at any corpus size). Determinism: changes are
+    exact integers; the percentile interpolates bit-identically; the
+    tail mean divides exact integer sums."""
+    t = load(spark, sf_dir)
+    daily = (
+        t.events.where(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("rev_c"))
+    )
+    w = Window.orderBy("day")
+    chg = daily.select(
+        (F.col("rev_c") - F.lag("rev_c").over(w)).alias("d")
+    ).where(F.col("d").isNotNull())
+    cut = chg.agg(F.percentile(-F.col("d"), F.lit(ES_P)).alias("var_c"))
+    tail = -F.col("d") >= F.col("var_c")
+    return chg.crossJoin(F.broadcast(cut)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.round(F.max("var_c") / 100.0, 2).alias("var_95"),
+        F.round(
+            F.avg(F.when(tail, -F.col("d"))) / 100.0, 4
+        ).alias("cvar_95"),
+        F.sum(tail.cast("long")).cast("bigint").alias("n_tail_days"),
+    )

@@ -1549,3 +1549,47 @@ def test_scalar_iter_udf_matches_formula(spark, tmp_path):
             * 10_000
         ) / 10_000
         assert out[doc_id] == expect
+
+
+def test_cross_source_matrix_finds_mirror(spark, tmp_path):
+    """Source m2 mirrors m1's two docs verbatim: the (m1, m2) cell
+    carries 2 pairs at overlap_rate 1.0; the unique source u never
+    appears in any pair."""
+    texts = ["alpha beta gamma delta epsilon zeta",
+             "one two three four five six seven"]
+    docs = []
+    for i, txt in enumerate(texts):
+        docs.append((i, txt, "m1"))
+        docs.append((10 + i, txt, "m2"))
+    docs.append((20, "totally unrelated content here now", "u"))
+    spark.createDataFrame(docs, "doc_id long, text string, source string").selectExpr(
+        "doc_id", "text", "'en' AS lang", "source",
+        "CAST(length(text) AS LONG) AS n_chars",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        (r["source_a"], r["source_b"]): r
+        for r in registry.get("dedup_cross_source_matrix").fn(spark, str(tmp_path)).collect()
+    }
+    cell = out[("m1", "m2")]
+    assert cell["n_dup_pairs"] == 2 and cell["overlap_rate"] == 1.0
+    assert not cell["within_source"]
+    assert not any("u" in k for k in out)
+
+
+def test_expected_shortfall_tail_mean(spark, tmp_path):
+    """Daily purchase revenue 100, 100, ..., with one crash day (-80
+    swing) among small ±10 swings: CVaR95 equals the worst loss and
+    exceeds VaR95; the tail holds exactly one day."""
+    rows = []
+    eid = 0
+    revs = [100, 110, 100, 110, 100, 110, 100, 110, 100, 110,
+            100, 110, 100, 110, 100, 110, 100, 110, 100, 20]
+    for d, r in enumerate(revs):
+        rows.append((eid, d * 1440, 1, "purchase", float(r)))
+        eid += 1
+    _write_events(spark, tmp_path, rows)
+    (r,) = registry.get("agg_expected_shortfall").fn(spark, str(tmp_path)).collect()
+    assert r["n_days"] == 19
+    assert r["n_tail_days"] == 1
+    assert r["cvar_95"] == 80.0
+    assert r["var_95"] <= r["cvar_95"]

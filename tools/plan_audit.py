@@ -176,6 +176,10 @@ SINGLE_PARTITION_OK: dict[str, str] = {
         "1-row max-norm scalar fold broadcast back onto the scored "
         "scan (aggregate partial, never vector rows)"
     ),
+    "agg_expected_shortfall": (
+        "change-series window + VaR/ES folds over the calendar-DAY-"
+        "bounded daily-revenue frame"
+    ),
     "agg_hill_tail_index": (
         "1-row percentile-cut scalar + 1-row tail-estimate fold "
         "(micro-unit log-ratio partials, never order rows)"
