@@ -113,6 +113,8 @@ _CHANGED_THIS_ROUND = [
     "udf_scalar_iter",
     "dedup_cross_source_matrix",
     "agg_expected_shortfall",
+    "corpus_post_dedup_mix",
+    "q_activity_streaks",
 ]
 
 

@@ -1393,3 +1393,111 @@ def corpus_dedup_best_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.first("doc_id").over(w) == F.col("doc_id")).alias("is_keeper"),
         )
     )
+
+
+_POST_DEDUP_MIX_ORACLE = f"""
+    WITH RECURSIVE {_CLUSTER_CTES},
+    labels AS (
+      SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+      FROM reach GROUP BY src
+    ),
+    ex AS (
+      SELECT doc_id,
+             MIN(doc_id) OVER (PARTITION BY sha256(lower(text))) AS keeper
+      FROM documents
+    ),
+    verdicts AS (
+      SELECT d.doc_id, d.source,
+             len(string_split(d.text, ' ')) AS n_tok,
+             NOT (e.keeper <> d.doc_id
+                  OR (l.cluster_id IS NOT NULL
+                      AND l.cluster_id <> d.doc_id)) AS kept
+      FROM documents d
+      JOIN ex e ON e.doc_id = d.doc_id
+      LEFT JOIN labels l ON l.doc_id = d.doc_id
+    ),
+    mix AS (
+      SELECT source,
+             SUM(n_tok) AS raw_tok,
+             SUM(CASE WHEN kept THEN n_tok ELSE 0 END) AS kept_tok
+      FROM verdicts GROUP BY source
+    )
+    SELECT source,
+           CAST(raw_tok AS BIGINT) AS raw_tokens,
+           CAST(kept_tok AS BIGINT) AS kept_tokens,
+           ROUND(kept_tok / CAST(raw_tok AS DOUBLE), 4) AS survival_rate,
+           ROUND(raw_tok / CAST(SUM(raw_tok) OVER () AS DOUBLE), 6)
+             AS raw_share,
+           ROUND(kept_tok / CAST(SUM(kept_tok) OVER () AS DOUBLE), 6)
+             AS kept_share
+    FROM mix
+"""
+
+
+@register("corpus_post_dedup_mix", oracle=_POST_DEDUP_MIX_ORACLE)
+def corpus_post_dedup_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source mix AFTER dedup: per source, raw vs surviving token
+    counts under the corpus_dedup_manifest ladder (exact keeper, then
+    cluster canonical) and the before/after mix shares — the number
+    the training-mix builder must weight with, because a source that
+    loses 40% of its tokens to dedup contributes far less than its raw
+    share claims (and a heavily-mirrored source's loss IS the
+    dedup_cross_source_matrix signal, priced in tokens). Closes the
+    dedup story: pairs -> clusters -> manifest -> corrected mix.
+
+    Plan: the manifest's two verdict joins (sha256 keeper window +
+    session-cached cluster labels, localCheckpointed) + token counts
+    in the SAME scan, reduced onto the source domain with share
+    windows over that bounded frame. Exact integers + exact ratios."""
+    from .dedup import dedup_clusters as _clusters
+
+    t = load(spark, sf_dir)
+    wq = Window.partitionBy(F.sha2(F.lower("text").cast("binary"), 256))
+    lbl = (
+        _clusters(spark, sf_dir)
+        .select("doc_id", "cluster_id")
+        .localCheckpoint()
+    )
+    verdicts = (
+        t.documents.select(
+            "doc_id",
+            "source",
+            F.size(F.split("text", " ")).alias("n_tok"),
+            F.min("doc_id").over(wq).alias("keeper"),
+        )
+        .join(F.broadcast(lbl), "doc_id", "left")
+        .select(
+            "source",
+            "n_tok",
+            (
+                ~(
+                    (F.col("keeper") != F.col("doc_id"))
+                    | (
+                        F.col("cluster_id").isNotNull()
+                        & (F.col("cluster_id") != F.col("doc_id"))
+                    )
+                )
+            ).alias("kept"),
+        )
+    )
+    mix = verdicts.groupBy("source").agg(
+        F.sum("n_tok").alias("raw_tok"),
+        F.sum(F.when(F.col("kept"), F.col("n_tok")).otherwise(0)).alias(
+            "kept_tok"
+        ),
+    )
+    w = Window.partitionBy()
+    return mix.select(
+        "source",
+        F.col("raw_tok").cast("bigint").alias("raw_tokens"),
+        F.col("kept_tok").cast("bigint").alias("kept_tokens"),
+        F.round(
+            F.col("kept_tok") / F.col("raw_tok").cast("double"), 4
+        ).alias("survival_rate"),
+        F.round(
+            F.col("raw_tok") / F.sum("raw_tok").over(w).cast("double"), 6
+        ).alias("raw_share"),
+        F.round(
+            F.col("kept_tok") / F.sum("kept_tok").over(w).cast("double"), 6
+        ).alias("kept_share"),
+    )

@@ -1736,3 +1736,88 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             "abc_class"
         ),
     )
+
+
+_STREAKS_ORACLE = """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    islands AS (
+      SELECT user_id, day,
+             day - CAST(row_number() OVER (PARTITION BY user_id
+                                           ORDER BY day) AS INTEGER)
+               AS grp
+      FROM days
+    ),
+    runs AS (
+      SELECT user_id, COUNT(*) AS len,
+             MIN(day) AS streak_start, MAX(day) AS streak_end
+      FROM islands GROUP BY user_id, grp
+    ),
+    best AS (
+      SELECT user_id, len, streak_start, streak_end,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY len DESC, streak_start) AS rk,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_streaks
+      FROM runs
+    )
+    SELECT user_id,
+           CAST(len AS BIGINT) AS longest_streak_days,
+           strftime(streak_start, '%Y-%m-%d') AS streak_start,
+           strftime(streak_end, '%Y-%m-%d') AS streak_end,
+           CAST(n_streaks AS BIGINT) AS n_streaks
+    FROM best WHERE rk = 1
+"""
+
+
+@register("q_activity_streaks", oracle=_STREAKS_ORACLE)
+def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the classic
+    GAPS-AND-ISLANDS pattern (day minus dense row position is constant
+    within a run of consecutive days, so the difference IS the island
+    key), the engagement metric behind every streak badge and the
+    canonical interview-question shape the engine should express
+    natively. Emits each user's longest run, its span, and how many
+    separate runs they have (earliest run wins length ties).
+
+    Scale shape: ONE distinct aggregate to (user, day) rows, then two
+    windows on the same user_id shuffle — the island trick needs no
+    self-join and no iteration. Determinism: pure integer date
+    arithmetic; ties break on streak_start."""
+    t = load(spark, sf_dir)
+    days = t.events.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = days.select(
+        "user_id",
+        "day",
+        F.date_sub("day", F.row_number().over(w)).alias("grp"),
+    )
+    runs = islands.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("len"),
+        F.min("day").alias("streak_start"),
+        F.max("day").alias("streak_end"),
+    )
+    wb = Window.partitionBy("user_id").orderBy(
+        F.col("len").desc(), "streak_start"
+    )
+    wu = Window.partitionBy("user_id")
+    return (
+        runs.select(
+            "user_id",
+            "len",
+            "streak_start",
+            "streak_end",
+            F.row_number().over(wb).alias("rk"),
+            F.count(F.lit(1)).over(wu).alias("n_streaks"),
+        )
+        .where(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("len").cast("bigint").alias("longest_streak_days"),
+            F.date_format("streak_start", "yyyy-MM-dd").alias("streak_start"),
+            F.date_format("streak_end", "yyyy-MM-dd").alias("streak_end"),
+            F.col("n_streaks").cast("bigint").alias("n_streaks"),
+        )
+    )

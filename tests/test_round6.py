@@ -1593,3 +1593,45 @@ def test_expected_shortfall_tail_mean(spark, tmp_path):
     assert r["n_tail_days"] == 1
     assert r["cvar_95"] == 80.0
     assert r["var_95"] <= r["cvar_95"]
+
+
+def test_post_dedup_mix_survival(spark, tmp_path):
+    """Source 'dup' is two identical docs (one survives -> 50% token
+    survival); source 'uniq' keeps everything; kept shares re-normalize
+    over surviving tokens."""
+    docs = [
+        (1, "alpha beta gamma delta epsilon", "dup"),
+        (2, "alpha beta gamma delta epsilon", "dup"),
+        (3, "one two three four five six", "uniq"),
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string, source string").selectExpr(
+        "doc_id", "text", "'en' AS lang", "source",
+        "CAST(length(text) AS LONG) AS n_chars",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["source"]: r
+        for r in registry.get("corpus_post_dedup_mix").fn(spark, str(tmp_path)).collect()
+    }
+    dup = out["dup"]
+    assert dup["raw_tokens"] == 10 and dup["kept_tokens"] == 5
+    assert dup["survival_rate"] == 0.5
+    uniq = out["uniq"]
+    assert uniq["survival_rate"] == 1.0
+    assert abs(dup["kept_share"] + uniq["kept_share"] - 1.0) < 1e-9
+    assert dup["raw_share"] == 0.625  # 10 of 16 raw tokens
+
+
+def test_activity_streaks_islands(spark, tmp_path):
+    """User 1 active days 0-2 and 5-9 (two islands, longest 5 days
+    starting day 5); user 2 active once -> streak 1, one island."""
+    rows = [(i, d * 1440, 1, "v", 1.0) for i, d in enumerate([0, 1, 2, 5, 6, 7, 8, 9])]
+    rows.append((50, 3 * 1440, 2, "v", 1.0))
+    _write_events(spark, tmp_path, rows)
+    out = {
+        r["user_id"]: r
+        for r in registry.get("q_activity_streaks").fn(spark, str(tmp_path)).collect()
+    }
+    u1 = out[1]
+    assert u1["longest_streak_days"] == 5 and u1["n_streaks"] == 2
+    assert u1["streak_start"] == "2024-01-06" and u1["streak_end"] == "2024-01-10"
+    assert out[2]["longest_streak_days"] == 1 and out[2]["n_streaks"] == 1

@@ -208,6 +208,10 @@ SINGLE_PARTITION_OK: dict[str, str] = {
         "1-row correlation sufficient-stat frame (five integer-sum "
         "partials, never edge rows)"
     ),
+    "corpus_post_dedup_mix": (
+        "share windows over the SOURCE-DOMAIN-bounded token-mix frame "
+        "(combinable partials, never document rows)"
+    ),
     "corpus_importance_weights": (
         "share/weight/ESS windows over the length-bucket-DOMAIN-"
         "bounded count frame"
