@@ -115,6 +115,8 @@ _CHANGED_THIS_ROUND = [
     "agg_expected_shortfall",
     "corpus_post_dedup_mix",
     "q_activity_streaks",
+    "q_full_star_rollup",
+    "agg_sprt_monitor",
 ]
 
 

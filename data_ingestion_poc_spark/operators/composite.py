@@ -1821,3 +1821,73 @@ def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_streaks").cast("bigint").alias("n_streaks"),
         )
     )
+
+
+_FULL_STAR_ORACLE = """
+    SELECT r.r_name AS region,
+           p.p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
+           CAST(COUNT(DISTINCT s.s_suppkey) AS BIGINT) AS n_suppliers,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    GROUP BY r.r_name, p.p_brand
+"""
+
+
+@register("q_full_star_rollup", oracle=_FULL_STAR_ORACLE)
+def q_full_star_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full-star stress query: every table in the schema joined in
+    one plan (region -> nation -> customer -> orders -> lineitem ->
+    part -> supplier), rolled up to revenue and distinct-entity counts
+    per (region, brand) — the widest join breadth any report here
+    exercises, and the plan-shape exhibit for Catalyst's join layering:
+    every dimension is broadcast (region/nation/customer/part/supplier
+    are all catalog-scale), so the ONLY shuffle the facts pay is the
+    orders⨝lineitem key exchange plus the final rollup — at 100 TB the
+    star resolves as one pipelined scan of lineitem through five
+    broadcast hash joins. Distinct counts ride the same two-phase
+    machinery as profile_fd_audit.
+
+    Determinism: money on the 2-dp lattice, counts exact."""
+    t = load(spark, sf_dir)
+    df = (
+        t.lineitem.join(
+            t.orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(t.customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t.nation.select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(t.region.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .join(
+            F.broadcast(t.part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            F.broadcast(t.supplier.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+    )
+    return df.groupBy(F.col("r_name").alias("region"), "p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.countDistinct("c_custkey").cast("bigint").alias("n_customers"),
+        F.countDistinct("s_suppkey").cast("bigint").alias("n_suppliers"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )

@@ -1484,3 +1484,110 @@ def agg_expected_shortfall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cvar_95"),
         F.sum(tail.cast("long")).cast("bigint").alias("n_tail_days"),
     )
+
+
+#: SPRT design: H0 conversion p0 vs H1 = p0 * (1 + SPRT_MDE) minimum
+#: detectable lift, alpha = beta = 0.05 -> log boundaries ln(19).
+SPRT_P0 = 0.30
+SPRT_MDE = 0.20
+SPRT_BOUND = 2.9444  # ln((1-0.05)/0.05), 4-dp literal both engines
+
+_SPRT_ORACLE = f"""
+    WITH assigned AS (
+      SELECT CAST(ts AS DATE) AS day, user_id,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events
+      WHERE instr('01234567',
+                  substr(md5('srm:' || CAST(user_id AS VARCHAR)), 1, 1)) > 0
+      GROUP BY 1, 2
+    ),
+    daily AS (
+      SELECT day, COUNT(*) AS n, SUM(converted) AS x FROM assigned GROUP BY day
+    ),
+    llr AS (
+      SELECT day, n, x,
+             CAST(ROUND((x * ln({SPRT_P0 * (1 + SPRT_MDE)} / {SPRT_P0})
+                   + (n - x) * ln((1 - {SPRT_P0 * (1 + SPRT_MDE)})
+                                  / (1 - {SPRT_P0}))) * 1000000) AS BIGINT)
+               AS llr_u
+      FROM daily
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(SUM(n) OVER w AS BIGINT) AS cum_n,
+           CAST(SUM(x) OVER w AS BIGINT) AS cum_conversions,
+           floor(SUM(llr_u) OVER w / 1e6 * 10000) / 10000 AS cum_llr,
+           CASE WHEN SUM(llr_u) OVER w / 1e6 >= {SPRT_BOUND}
+                  THEN 'accept_h1'
+                WHEN SUM(llr_u) OVER w / 1e6 <= -{SPRT_BOUND}
+                  THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM llr
+    WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
+"""
+
+
+@register("agg_sprt_monitor", oracle=_SPRT_ORACLE)
+def agg_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential probability ratio test monitor (Wald's SPRT — the
+    always-valid peeking alternative to fixed-horizon agg_t_test):
+    the treatment arm's daily conversion outcomes accumulate a
+    log-likelihood ratio of H1 (p = p0(1+{SPRT_MDE})) against
+    H0 (p = {SPRT_P0}); the cumulative walk crossing +/-ln(19) decides
+    at 5%/5% error rates, else 'continue'. This is the dashboard an
+    experiment owner may legally watch daily — fixed-horizon tests are
+    invalidated by exactly that peeking. Arm assignment reuses
+    agg_srm_check's md5-nibble hash, closing the suite:
+    SRM -> power -> SPRT (or t-test) -> CUPED.
+
+    Scale/determinism: one user-day conditional aggregate (combinable)
+    -> one DAY-domain frame; each day's LLR increment is counts times
+    two literal-argument logs, quantized to integer micro-units so the
+    cumulative walk is an exact integer prefix sum; decisions compare
+    identically computed values to a 4-dp literal boundary."""
+    t = load(spark, sf_dir)
+    nibble = F.substring(
+        F.md5(
+            F.concat(F.lit("srm:"), F.col("user_id").cast("string")).cast(
+                "binary"
+            )
+        ),
+        1,
+        1,
+    )
+    assigned = (
+        t.events.where(F.instr(F.lit("01234567"), nibble) > 0)
+        .groupBy(
+            F.col("ts").cast("date").alias("day"),
+            "user_id",
+        )
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted")
+        )
+    )
+    daily = assigned.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("x")
+    )
+    import math
+
+    p1 = SPRT_P0 * (1 + SPRT_MDE)
+    win = math.log(p1 / SPRT_P0)
+    lose = math.log((1 - p1) / (1 - SPRT_P0))
+    llr_u = F.round(
+        (F.col("x") * win + (F.col("n") - F.col("x")) * lose) * 1_000_000
+    ).cast("bigint")
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    llr = daily.select("day", "n", "x", llr_u.alias("llr_u"))
+    cum = F.sum("llr_u").over(w) / 1e6
+    return llr.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.sum("n").over(w).cast("bigint").alias("cum_n"),
+        F.sum("x").over(w).cast("bigint").alias("cum_conversions"),
+        (F.floor(cum * 10_000) / 10_000).alias("cum_llr"),
+        F.when(cum >= SPRT_BOUND, "accept_h1")
+        .when(cum <= -SPRT_BOUND, "accept_h0")
+        .otherwise("continue")
+        .alias("decision"),
+    )

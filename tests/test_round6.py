@@ -1635,3 +1635,68 @@ def test_activity_streaks_islands(spark, tmp_path):
     assert u1["longest_streak_days"] == 5 and u1["n_streaks"] == 2
     assert u1["streak_start"] == "2024-01-06" and u1["streak_end"] == "2024-01-10"
     assert out[2]["longest_streak_days"] == 1 and out[2]["n_streaks"] == 1
+
+
+def test_full_star_rollup_reconciles(spark, tmp_path):
+    """A tiny fully-specified star: 2 lineitems for one customer in
+    region R1 reconcile revenue and distinct counts exactly."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    spark.createDataFrame([(1, "R1", "c")], "r_regionkey long, r_name string, r_comment string").write.mode("overwrite").parquet(str(tmp_path / "region.parquet"))
+    spark.createDataFrame([(1, "N1", 1, "c")], "n_nationkey long, n_name string, n_regionkey long, n_comment string").write.mode("overwrite").parquet(str(tmp_path / "nation.parquet"))
+    spark.createDataFrame(
+        [(1, "cu", "a", 1, "p", 0.0, "B", "c")],
+        "c_custkey long, c_name string, c_address string, c_nationkey long,"
+        " c_phone string, c_acctbal double, c_mktsegment string, c_comment string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    spark.createDataFrame(
+        [(1, 1, "O", 1.0, base, "P")],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [(1, 1, 1, 2, 100.0, 0.1, base, "N", 1, 0.0),
+         (1, 1, 2, 1, 50.0, 0.0, base, "N", 2, 0.0)],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_quantity long,"
+        " l_extendedprice double, l_discount double, l_shipdate timestamp,"
+        " l_returnflag string, l_linenumber long, l_tax double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame(
+        [(1, "BR1", 0.0)], "p_partkey long, p_brand string, p_retailprice double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "part.parquet"))
+    spark.createDataFrame(
+        [(1, "s1", "a", 1, "p", 0.0, "c"), (2, "s2", "a", 1, "p", 0.0, "c")],
+        "s_suppkey long, s_name string, s_address string, s_nationkey long,"
+        " s_phone string, s_acctbal double, s_comment string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "supplier.parquet"))
+    (r,) = registry.get("q_full_star_rollup").fn(spark, str(tmp_path)).collect()
+    assert r["region"] == "R1" and r["p_brand"] == "BR1"
+    assert r["n_lines"] == 2 and r["n_customers"] == 1 and r["n_suppliers"] == 2
+    assert r["revenue"] == 140.0  # 100*0.9 + 50
+
+
+def test_sprt_walk_decides_h1_on_high_conversion(spark, tmp_path):
+    """Treatment users (md5-nibble arm) converting at ~100% daily push
+    the LLR walk up; after enough days it crosses +ln(19) and the
+    decision flips to accept_h1 and stays there; the walk is monotone
+    here (every day adds positive evidence)."""
+    import hashlib
+
+    treat = [u for u in range(200)
+             if hashlib.md5(f"srm:{u}".encode()).hexdigest()[0] in "01234567"]
+    rows, eid = [], 0
+    for d in range(6):
+        for u in treat[:20]:
+            rows.append((eid, d * 1440, u, "purchase", 1.0)); eid += 1
+    _write_events(spark, tmp_path, rows)
+    out = sorted(
+        registry.get("agg_sprt_monitor").fn(spark, str(tmp_path)).collect(),
+        key=lambda r: r["day"],
+    )
+    llrs = [r["cum_llr"] for r in out]
+    assert all(a < b for a, b in zip(llrs, llrs[1:]))
+    assert out[0]["cum_n"] == 20 and out[-1]["cum_n"] == 120
+    assert out[-1]["decision"] == "accept_h1"
+    first_h1 = next(i for i, r in enumerate(out) if r["decision"] == "accept_h1")
+    assert all(r["decision"] == "accept_h1" for r in out[first_h1:])

@@ -176,6 +176,10 @@ SINGLE_PARTITION_OK: dict[str, str] = {
         "1-row max-norm scalar fold broadcast back onto the scored "
         "scan (aggregate partial, never vector rows)"
     ),
+    "agg_sprt_monitor": (
+        "LLR prefix-sum window over the calendar-DAY-bounded daily "
+        "conversion frame (user-day partials, never event rows)"
+    ),
     "agg_expected_shortfall": (
         "change-series window + VaR/ES folds over the calendar-DAY-"
         "bounded daily-revenue frame"
