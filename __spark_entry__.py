@@ -117,6 +117,8 @@ _CHANGED_THIS_ROUND = [
     "q_activity_streaks",
     "q_full_star_rollup",
     "agg_sprt_monitor",
+    "agg_calibration_ece",
+    "agg_gumbel_maxima",
 ]
 
 

@@ -1591,3 +1591,153 @@ def agg_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("continue")
         .alias("decision"),
     )
+
+
+#: Calibration fixture: a deterministic pseudo-score (logistic of the
+#: event value) stands in for a model's predicted purchase
+#: probability; production swaps in a real score column unchanged.
+CALIB_BUCKETS = 10
+
+_CALIB_ORACLE = f"""
+    WITH scored AS (
+      SELECT CAST(event_type = 'purchase' AS INTEGER) AS y,
+             CAST(floor(LEAST(1 / (1 + exp(-(value - 50) / 20.0)),
+                              0.9999999) * {CALIB_BUCKETS}) AS BIGINT)
+               AS bucket,
+             CAST(ROUND(1 / (1 + exp(-(value - 50) / 20.0)) * 1000000)
+                  AS BIGINT) AS p_u
+      FROM events
+    ),
+    b AS (
+      SELECT bucket, COUNT(*) AS n, SUM(y) AS pos, SUM(p_u) AS sp
+      FROM scored GROUP BY bucket
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(n AS BIGINT) AS n,
+           ROUND(sp / 1e6 / n, 6) AS mean_predicted,
+           ROUND(pos / CAST(n AS DOUBLE), 6) AS actual_rate,
+           ROUND(SUM(n * abs(sp / 1e6 / n - pos / CAST(n AS DOUBLE)))
+                   OVER () / SUM(n) OVER (), 6) AS ece
+    FROM b
+"""
+
+
+@register("agg_calibration_ece", oracle=_CALIB_ORACLE)
+def agg_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-calibration report (reliability diagram + expected
+    calibration error): predicted purchase probabilities bucketed into
+    {CALIB_BUCKETS} bins, each bin's mean prediction vs actual outcome
+    rate, and ECE = the n-weighted mean absolute gap — the standard
+    check that a scoring model's probabilities MEAN what they say
+    before anyone thresholds them (quality filters, routing gates, and
+    ad ranking all assume calibrated scores). The score here is a
+    deterministic logistic of the event value; a real model column
+    drops in unchanged.
+
+    Scale/determinism: one combinable aggregate onto the BUCKET domain;
+    predictions quantize to integer micro-units so bin sums are exact;
+    the logistic's exp runs on identical doubles (agg_mutual_info
+    precedent); ECE is a window fold over the bounded bin frame."""
+    t = load(spark, sf_dir)
+    p = 1 / (1 + F.exp(-(F.col("value") - 50) / 20.0))
+    scored = t.events.select(
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+        F.floor(F.least(p, F.lit(0.9999999)) * CALIB_BUCKETS)
+        .cast("bigint")
+        .alias("bucket"),
+        F.round(p * 1_000_000).cast("bigint").alias("p_u"),
+    )
+    b = scored.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("pos"),
+        F.sum("p_u").alias("sp"),
+    )
+    w = Window.partitionBy()
+    mean_pred = F.col("sp") / 1e6 / F.col("n")
+    rate = F.col("pos") / F.col("n").cast("double")
+    ece = F.sum(F.col("n") * F.abs(mean_pred - rate)).over(w) / F.sum("n").over(w)
+    return b.select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(mean_pred, 6).alias("mean_predicted"),
+        F.round(rate, 6).alias("actual_rate"),
+        F.round(ece, 6).alias("ece"),
+    )
+
+
+#: Euler-Mascheroni and pi as shared literals (no engine constants).
+EULER_GAMMA = 0.5772156649
+PI_LIT = 3.14159265358979
+GUMBEL_RETURN_BLOCKS = 100
+
+_GUMBEL_ORACLE = f"""
+    WITH maxima AS (
+      SELECT CAST(ts AS DATE) AS day,
+             MAX(CAST(ROUND(value * 100) AS BIGINT)) AS mx
+      FROM events GROUP BY 1
+    ),
+    s AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(mx) AS DOUBLE) AS s1,
+             CAST(SUM(mx * mx) AS DOUBLE) AS s2
+      FROM maxima
+    )
+    SELECT CAST(n AS BIGINT) AS n_blocks,
+           floor((s1 / n) / 100 * 10000) / 10000 AS block_max_mean,
+           floor(sqrt((s2 - s1 * (s1 / n)) / (n - 1)) * sqrt(6)
+                 / {PI_LIT} / 100 * 10000) / 10000 AS gumbel_beta,
+           floor((s1 / n - {EULER_GAMMA} * sqrt((s2 - s1 * (s1 / n))
+                   / (n - 1)) * sqrt(6) / {PI_LIT}) / 100 * 10000) / 10000
+             AS gumbel_mu,
+           floor(((s1 / n - {EULER_GAMMA} * sqrt((s2 - s1 * (s1 / n))
+                    / (n - 1)) * sqrt(6) / {PI_LIT})
+                  - sqrt((s2 - s1 * (s1 / n)) / (n - 1)) * sqrt(6)
+                    / {PI_LIT}
+                    * ln(-ln(1 - 1.0 / {GUMBEL_RETURN_BLOCKS})))
+                 / 100 * 10000) / 10000 AS return_level_100
+    FROM s
+"""
+
+
+@register("agg_gumbel_maxima", oracle=_GUMBEL_ORACLE)
+def agg_gumbel_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extreme-value analysis by block maxima (Gumbel fit via the
+    method of moments): daily maxima of the event value fit a Gumbel
+    (beta = s * sqrt(6)/pi, mu = mean - gamma * beta), emitting the
+    {GUMBEL_RETURN_BLOCKS}-block RETURN LEVEL — "the value exceeded
+    once per {GUMBEL_RETURN_BLOCKS} days", the capacity-planning /
+    SLO-sizing number that tail quantiles of the RAW distribution
+    cannot give (maxima of many draws follow EVT, not the parent
+    distribution; pairs with agg_hill_tail_index which studies the
+    parent's tail directly).
+
+    Scale/determinism: block maxima are exact integer CENTS from one
+    combinable (day, max) aggregate; moments come from exact integer
+    sums over the calendar-bounded block frame; gamma/pi are shared
+    4-dp-plus literals, sqrt/ln run on identical doubles; outputs
+    floor-scaled."""
+    t = load(spark, sf_dir)
+    maxima = t.events.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.max(F.round(F.col("value") * 100).cast("bigint")).alias("mx")
+    )
+    s = maxima.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("mx").cast("double").alias("s1"),
+        F.sum(F.col("mx") * F.col("mx")).cast("double").alias("s2"),
+    )
+    n = F.col("n")
+    mean = F.col("s1") / n
+    sd = F.sqrt((F.col("s2") - F.col("s1") * mean) / (n - 1))
+    beta = sd * F.sqrt(F.lit(6.0)) / PI_LIT
+    mu = mean - EULER_GAMMA * beta
+    ret = mu - beta * F.log(
+        -F.log(F.lit(1 - 1.0 / GUMBEL_RETURN_BLOCKS))
+    )
+    fs = lambda c: F.floor(c / 100 * 10_000) / 10_000  # noqa: E731
+    return s.select(
+        n.cast("bigint").alias("n_blocks"),
+        fs(mean).alias("block_max_mean"),
+        fs(beta).alias("gumbel_beta"),
+        fs(mu).alias("gumbel_mu"),
+        fs(ret).alias("return_level_100"),
+    )

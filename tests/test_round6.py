@@ -1700,3 +1700,44 @@ def test_sprt_walk_decides_h1_on_high_conversion(spark, tmp_path):
     assert out[-1]["decision"] == "accept_h1"
     first_h1 = next(i for i, r in enumerate(out) if r["decision"] == "accept_h1")
     assert all(r["decision"] == "accept_h1" for r in out[first_h1:])
+
+
+def test_calibration_perfect_vs_off(spark, tmp_path):
+    """Events at value 50 score p = 0.5 exactly: if exactly half of
+    them are purchases the 0.5-bucket is perfectly calibrated and ECE
+    ~ 0; flipping all outcomes to non-purchase pushes ECE to ~0.5."""
+    rows = [(i, i, 1, "purchase" if i % 2 == 0 else "view", 50.0)
+            for i in range(40)]
+    _write_events(spark, tmp_path, rows)
+    out = registry.get("agg_calibration_ece").fn(spark, str(tmp_path)).collect()
+    (r,) = out
+    assert r["bucket"] == 5 and r["n"] == 40
+    assert r["mean_predicted"] == 0.5 and r["actual_rate"] == 0.5
+    assert r["ece"] == 0.0
+    rows2 = [(i, i, 1, "view", 50.0) for i in range(40)]
+    _write_events(spark, tmp_path, rows2)
+    (r2,) = registry.get("agg_calibration_ece").fn(spark, str(tmp_path)).collect()
+    assert r2["actual_rate"] == 0.0 and r2["ece"] == 0.5
+
+
+def test_gumbel_return_level_exceeds_mean(spark, tmp_path):
+    """Daily maxima over 30 days with modest spread: the fitted
+    100-day return level sits well above the block-max mean, and
+    beta/mu recover the moment identities."""
+    import math
+
+    rows = []
+    eid = 0
+    for d in range(30):
+        for k in range(5):
+            rows.append((eid, d * 1440 + k, 1, "view",
+                         100.0 + 10.0 * ((d * 7 + k) % 13)))
+            eid += 1
+    _write_events(spark, tmp_path, rows)
+    (r,) = registry.get("agg_gumbel_maxima").fn(spark, str(tmp_path)).collect()
+    assert r["n_blocks"] == 30
+    assert r["return_level_100"] > r["block_max_mean"]
+    assert r["gumbel_beta"] > 0
+    # moment identity: mu = mean - gamma * beta (within floor error)
+    assert abs(r["gumbel_mu"]
+               - (r["block_max_mean"] - 0.5772156649 * r["gumbel_beta"])) < 0.001

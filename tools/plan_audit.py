@@ -176,6 +176,14 @@ SINGLE_PARTITION_OK: dict[str, str] = {
         "1-row max-norm scalar fold broadcast back onto the scored "
         "scan (aggregate partial, never vector rows)"
     ),
+    "agg_calibration_ece": (
+        "ECE window over the 10-bin calibration frame (micro-unit "
+        "prediction partials, never event rows)"
+    ),
+    "agg_gumbel_maxima": (
+        "1-row moment fold over the calendar-DAY-bounded block-maxima "
+        "frame"
+    ),
     "agg_sprt_monitor": (
         "LLR prefix-sum window over the calendar-DAY-bounded daily "
         "conversion frame (user-day partials, never event rows)"
