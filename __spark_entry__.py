@@ -119,6 +119,8 @@ _CHANGED_THIS_ROUND = [
     "agg_sprt_monitor",
     "agg_calibration_ece",
     "agg_gumbel_maxima",
+    "win_spc_rules",
+    "text_oov_rate",
 ]
 
 

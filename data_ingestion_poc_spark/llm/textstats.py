@@ -955,3 +955,79 @@ def corpus_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.length("text")) / F.sum(n_tokens).cast("double"), 4
         ).alias("chars_per_token"),
     )
+
+
+#: OOV vocabulary: the TOP_VOCAB_K most frequent corpus tokens (count
+#: then doc-frequency then alphabetical tie-break — fully ordered, so
+#: both engines pick the identical vocabulary).
+TOP_VOCAB_K = 1000
+
+_OOV_ORACLE = f"""
+    WITH tf AS (
+      SELECT word, COUNT(*) AS c, COUNT(DISTINCT doc_id) AS df
+      FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+            FROM documents)
+      GROUP BY word
+    ),
+    vocab AS (
+      SELECT word FROM tf
+      ORDER BY c DESC, df DESC, word LIMIT {TOP_VOCAB_K}
+    ),
+    toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+      FROM documents
+    ),
+    flags AS (
+      SELECT t.doc_id,
+             CASE WHEN v.word IS NULL THEN 1 ELSE 0 END AS oov
+      FROM toks t LEFT JOIN vocab v ON v.word = t.word
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(oov) AS BIGINT) AS n_oov,
+           ROUND(SUM(oov) / CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate,
+           SUM(oov) / CAST(COUNT(*) AS DOUBLE) > 0.5 AS mostly_oov
+    FROM flags GROUP BY doc_id
+"""
+
+
+@register("text_oov_rate", oracle=_OOV_ORACLE)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus's own
+    top-{TOP_VOCAB_K} token vocabulary — the tokenizer-coverage /
+    domain-mismatch screen (a doc that is mostly OOV against the
+    working vocabulary is foreign-language, code, or garbage relative
+    to the corpus the tokenizer was fit on; pairs with
+    corpus_tokenizer_fertility, which prices the tokens that DO exist).
+    The mostly_oov flag is the routing verdict.
+
+    Scale shape: vocabulary = one combinable token count + a top-k cut
+    (K rows broadcast — the vocabulary table is ALWAYS broadcastable);
+    the corpus token stream then left-probes it with no shuffle beyond
+    the vocab count's own. Determinism: counts exact; the vocabulary
+    cut is fully ordered (count, df, word) so both engines select the
+    identical word set."""
+    t = load(spark, sf_dir)
+    toks = t.documents.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word")
+    )
+    tf = toks.groupBy("word").agg(
+        F.count(F.lit(1)).alias("c"), F.countDistinct("doc_id").alias("df")
+    )
+    vocab = (
+        tf.orderBy(F.col("c").desc(), F.col("df").desc(), "word")
+        .limit(TOP_VOCAB_K)
+        .select("word", F.lit(1).alias("in_vocab"))
+    )
+    flags = toks.join(F.broadcast(vocab), "word", "left").select(
+        "doc_id",
+        F.when(F.col("in_vocab").isNull(), 1).otherwise(0).alias("oov"),
+    )
+    n = F.count(F.lit(1))
+    oov = F.sum("oov")
+    return flags.groupBy("doc_id").agg(
+        n.cast("bigint").alias("n_tokens"),
+        oov.cast("bigint").alias("n_oov"),
+        F.round(oov / n.cast("double"), 6).alias("oov_rate"),
+        (oov / n.cast("double") > 0.5).alias("mostly_oov"),
+    )

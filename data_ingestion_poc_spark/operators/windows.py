@@ -2243,3 +2243,133 @@ def win_rescaled_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hurst"),
         )
     )
+
+
+#: SPC rule frames (Western Electric): rule 1 = point beyond 3 sigma;
+#: rule 2 = 2 of 3 consecutive beyond 2 sigma (same side); rule 4 =
+#: 8 consecutive on one side of the center line.
+SPC_RUN = 8
+
+_SPC_ORACLE = f"""
+    WITH base AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS s1,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)
+                 * CAST(ROUND(value * 100) AS BIGINT)) AS s2
+      FROM events GROUP BY event_type
+    ),
+    lim AS (
+      SELECT event_type,
+             s1 / 100.0 / n AS mu,
+             sqrt((s2 / 10000.0 - (s1 / 100.0) * (s1 / 100.0) / n)
+                  / (n - 1)) AS sigma
+      FROM base
+    ),
+    scored AS (
+      SELECT e.event_id, e.event_type, e.user_id,
+             CASE WHEN e.value > l.mu THEN 1
+                  WHEN e.value < l.mu THEN -1 ELSE 0 END AS side,
+             CAST(abs(e.value - l.mu) > 3 * l.sigma AS INTEGER) AS beyond3,
+             CASE WHEN e.value - l.mu > 2 * l.sigma THEN 1
+                  WHEN l.mu - e.value > 2 * l.sigma THEN -1
+                  ELSE 0 END AS beyond2,
+             row_number() OVER w AS rn
+      FROM events e JOIN lim l USING (event_type)
+      WINDOW w AS (PARTITION BY e.user_id, e.event_type
+                   ORDER BY e.ts, e.event_id)
+    ),
+    rules AS (
+      SELECT event_id, event_type, user_id,
+             beyond3 = 1 AS rule1_beyond_3s,
+             (SUM(CASE WHEN beyond2 = 1 THEN 1 ELSE 0 END) OVER w3 >= 2
+              OR SUM(CASE WHEN beyond2 = -1 THEN 1 ELSE 0 END) OVER w3 >= 2)
+               AS rule2_two_of_three,
+             (SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) OVER w8 = {SPC_RUN}
+              OR SUM(CASE WHEN side = -1 THEN 1 ELSE 0 END) OVER w8
+                 = {SPC_RUN}) AND rn >= {SPC_RUN} AS rule4_run_of_8
+      FROM scored
+      WINDOW w3 AS (PARTITION BY user_id, event_type ORDER BY rn
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+             w8 AS (PARTITION BY user_id, event_type ORDER BY rn
+                    ROWS BETWEEN {SPC_RUN - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, event_type, user_id,
+           rule1_beyond_3s, rule2_two_of_three, rule4_run_of_8,
+           rule1_beyond_3s OR rule2_two_of_three OR rule4_run_of_8
+             AS out_of_control
+    FROM rules
+"""
+
+
+@register("win_spc_rules", oracle=_SPC_ORACLE)
+def win_spc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical process control (Western Electric rules) per user
+    stream against each event type's global control limits: rule 1 =
+    one point beyond 3 sigma, rule 2 = two of three consecutive beyond
+    2 sigma on the same side, rule 4 = {SPC_RUN} consecutive on one
+    side of the center line — the PATTERN-based monitor that catches
+    shifts win_zscore_anomaly's single-point threshold misses (a
+    process can drift out of control without any one point being
+    extreme; that is exactly what rules 2 and 4 exist for).
+
+    Scale/determinism: control limits come from exact integer-CENTS
+    sufficient stats on the TYPE domain, broadcast back; the rule
+    windows are short ROWS frames over the shared (user, type) shuffle
+    counting exact -1/0/+1 side flags — integer comparisons end to
+    end, no float folds anywhere past the (identical) limit
+    arithmetic."""
+    t = load(spark, sf_dir)
+    vc = F.round(F.col("value") * 100).cast("bigint")
+    base = t.events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(vc).alias("s1"),
+        F.sum(vc * vc).alias("s2"),
+    )
+    mu = F.col("s1") / 100.0 / F.col("n")
+    sigma = F.sqrt(
+        (F.col("s2") / 10_000.0 - (F.col("s1") / 100.0) * (F.col("s1") / 100.0) / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    lim = base.select("event_type", mu.alias("mu"), sigma.alias("sigma"))
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    scored = t.events.join(F.broadcast(lim), "event_type").select(
+        "event_id",
+        "event_type",
+        "user_id",
+        F.when(F.col("value") > F.col("mu"), 1)
+        .when(F.col("value") < F.col("mu"), -1)
+        .otherwise(0)
+        .alias("side"),
+        (F.abs(F.col("value") - F.col("mu")) > 3 * F.col("sigma"))
+        .cast("int")
+        .alias("beyond3"),
+        F.when(F.col("value") - F.col("mu") > 2 * F.col("sigma"), 1)
+        .when(F.col("mu") - F.col("value") > 2 * F.col("sigma"), -1)
+        .otherwise(0)
+        .alias("beyond2"),
+        F.row_number().over(w).alias("rn"),
+    )
+    wr = Window.partitionBy("user_id", "event_type").orderBy("rn")
+    w3 = wr.rowsBetween(-2, 0)
+    w8 = wr.rowsBetween(-(SPC_RUN - 1), 0)
+    r1 = F.col("beyond3") == 1
+    r2 = (
+        F.sum(F.when(F.col("beyond2") == 1, 1).otherwise(0)).over(w3) >= 2
+    ) | (F.sum(F.when(F.col("beyond2") == -1, 1).otherwise(0)).over(w3) >= 2)
+    r4 = (
+        (F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).over(w8) == SPC_RUN)
+        | (
+            F.sum(F.when(F.col("side") == -1, 1).otherwise(0)).over(w8)
+            == SPC_RUN
+        )
+    ) & (F.col("rn") >= SPC_RUN)
+    return scored.select(
+        "event_id",
+        "event_type",
+        "user_id",
+        r1.alias("rule1_beyond_3s"),
+        r2.alias("rule2_two_of_three"),
+        r4.alias("rule4_run_of_8"),
+        (r1 | r2 | r4).alias("out_of_control"),
+    )

@@ -1741,3 +1741,48 @@ def test_gumbel_return_level_exceeds_mean(spark, tmp_path):
     # moment identity: mu = mean - gamma * beta (within floor error)
     assert abs(r["gumbel_mu"]
                - (r["block_max_mean"] - 0.5772156649 * r["gumbel_beta"])) < 0.001
+
+
+def test_spc_rules_fire_on_patterns(spark, tmp_path):
+    """Mixed series per type 'm': mostly 50s with wiggle; one extreme
+    spike trips rule 1; a run of 8 slightly-above-center points trips
+    rule 4 without any single point extreme."""
+    rows = []
+    eid = 0
+    # wiggle to set sigma, alternating around 50
+    for i in range(30):
+        rows.append((eid, eid, 1, "m", 50.0 + (3 if i % 2 else -3))); eid += 1
+    rows.append((100, 100, 1, "m", 500.0))             # rule 1 spike
+    for i in range(8):                                  # rule 4 run, user 2
+        rows.append((200 + i, 200 + i, 2, "m", 52.0))
+    _write_events(spark, tmp_path, rows)
+    out = {
+        r["event_id"]: r
+        for r in registry.get("win_spc_rules").fn(spark, str(tmp_path)).collect()
+    }
+    assert out[100]["rule1_beyond_3s"] and out[100]["out_of_control"]
+    assert out[207]["rule4_run_of_8"]            # 8th consecutive above center
+    assert not out[206]["rule4_run_of_8"]        # only 7 so far
+    assert not out[0]["out_of_control"]
+
+
+def test_oov_rate_flags_foreign_doc(spark, tmp_path):
+    """Common words fill the vocabulary; a doc of never-repeated junk
+    tokens is mostly OOV (vocab still admits them once if K is large,
+    so use K-saturating common words: here every word appears many
+    times except the junk doc's)."""
+    from data_ingestion_poc_spark.llm.textstats import TOP_VOCAB_K
+
+    # saturate the vocabulary with TOP_VOCAB_K distinct frequent words
+    common = [f"w{i}" for i in range(TOP_VOCAB_K)]
+    docs = [(d, " ".join(common[d * 100:(d + 1) * 100] * 3)) for d in range(10)]
+    docs.append((99, "zzq1 zzq2 zzq3 zzq4"))  # junk appears once each
+    _write_documents(spark, tmp_path, docs)
+    out = {
+        r["doc_id"]: r
+        for r in registry.get("text_oov_rate").fn(spark, str(tmp_path)).collect()
+    }
+    assert out[0]["oov_rate"] == 0.0 and not out[0]["mostly_oov"]
+    junk = out[99]
+    assert junk["n_tokens"] == 4 and junk["n_oov"] == 4
+    assert junk["oov_rate"] == 1.0 and junk["mostly_oov"]
