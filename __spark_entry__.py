@@ -121,6 +121,8 @@ _CHANGED_THIS_ROUND = [
     "agg_gumbel_maxima",
     "win_spc_rules",
     "text_oov_rate",
+    "sim_search_ivf_balance",
+    "agg_mann_kendall",
 ]
 
 

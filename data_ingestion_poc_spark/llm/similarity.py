@@ -1676,3 +1676,103 @@ def sim_search_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transform_preserves_top1"
         ),
     )
+
+
+_IVF_BALANCE_ORACLE = """
+    WITH dims AS (
+      SELECT label, generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS pos,
+             unnest(CAST(embedding AS DOUBLE[])) AS v
+      FROM embeddings),
+    cent AS (SELECT label, list(m ORDER BY pos) AS ce
+             FROM (SELECT label, pos, AVG(v) AS m FROM dims GROUP BY label, pos)
+             GROUP BY label),
+    scored AS (
+      SELECT e.vec_id, e.label AS own_label, c.label AS cand,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), c.ce)
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(c.ce, c.ce))) AS cq
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    assigned AS (
+      SELECT vec_id, own_label, cand AS list_id
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY cq DESC, cand) AS rn
+            FROM scored)
+      WHERE rn = 1
+    ),
+    lists AS (
+      SELECT list_id, COUNT(*) AS n,
+             SUM(CASE WHEN own_label <> list_id THEN 1 ELSE 0 END) AS spilled
+      FROM assigned GROUP BY list_id
+    )
+    SELECT list_id,
+           CAST(n AS BIGINT) AS n_vectors,
+           ROUND(n / CAST(SUM(n) OVER () AS DOUBLE), 6) AS share,
+           ROUND(MAX(n) OVER ()
+                 / (SUM(n) OVER () / CAST(COUNT(*) OVER () AS DOUBLE)), 4)
+             AS imbalance_factor,
+           ROUND(SUM(spilled) OVER () / CAST(SUM(n) OVER () AS DOUBLE), 6)
+             AS spill_rate
+    FROM lists
+"""
+
+
+@register("sim_search_ivf_balance", oracle=_IVF_BALANCE_ORACLE)
+def sim_search_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index-health report: every corpus vector assigned to its
+    true nearest coarse centroid, then per-list sizes, the imbalance
+    factor (largest list / mean list — THE number that predicts IVF
+    tail latency, since a probe into a hot list scans
+    imbalance-factor times the average), and the spill rate (vectors
+    whose nearest centroid is NOT their own label's — quantizer
+    disagreement with the labeling sim_search_ivf probes by). Run
+    before serving: a skewed or high-spill index needs re-training,
+    not more probes.
+
+    Scale/determinism: the centroid table is tiny and broadcasts; the
+    assignment is one corpus scan x k centroid cosines (the honest
+    IVF build cost) with identical-expression scores and label
+    tie-breaks; list stats are windows over the LIST-domain frame."""
+    t = load(spark, sf_dir)
+    cent = _centroid_vectors(t)
+    e = t.embeddings.select(
+        "vec_id",
+        F.col("label").alias("own_label"),
+        F.col("embedding").cast("array<double>").alias("ve"),
+    )
+    scored = e.crossJoin(F.broadcast(cent.withColumnRenamed("label", "cand")))
+    cq = dot_double(F.col("ve"), F.col("ce")) / (
+        F.sqrt(dot_double(F.col("ve"), F.col("ve")))
+        * F.sqrt(dot_double(F.col("ce"), F.col("ce")))
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("cq").desc(), "cand"
+    )
+    assigned = (
+        scored.select("vec_id", "own_label", "cand", cq.alias("cq"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "own_label", F.col("cand").alias("list_id"))
+    )
+    lists = assigned.groupBy("list_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (F.col("own_label") != F.col("list_id")).cast("long")
+        ).alias("spilled"),
+    )
+    w = Window.partitionBy()
+    tot = F.sum("n").over(w)
+    return lists.select(
+        "list_id",
+        F.col("n").cast("bigint").alias("n_vectors"),
+        F.round(F.col("n") / tot.cast("double"), 6).alias("share"),
+        F.round(
+            F.max("n").over(w)
+            / (tot / F.count(F.lit(1)).over(w).cast("double")),
+            4,
+        ).alias("imbalance_factor"),
+        F.round(F.sum("spilled").over(w) / tot.cast("double"), 6).alias(
+            "spill_rate"
+        ),
+    )

@@ -1741,3 +1741,80 @@ def agg_gumbel_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
         fs(mu).alias("gumbel_mu"),
         fs(ret).alias("return_level_100"),
     )
+
+
+#: Mann-Kendall 5% two-sided z critical value, shared literal.
+MK_Z_CRIT = 1.96
+
+_MK_ORACLE = f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS rev_c
+      FROM events GROUP BY 1
+    ),
+    pairs AS (
+      SELECT CASE WHEN b.rev_c > a.rev_c THEN 1
+                  WHEN b.rev_c < a.rev_c THEN -1 ELSE 0 END AS sgn
+      FROM daily a JOIN daily b ON b.day > a.day
+    ),
+    s AS (
+      SELECT SUM(sgn) AS mk_s,
+             (SELECT COUNT(*) FROM daily) AS n
+      FROM pairs
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST(mk_s AS BIGINT) AS mk_s,
+           floor((CASE WHEN mk_s > 0 THEN mk_s - 1
+                       WHEN mk_s < 0 THEN mk_s + 1 ELSE 0 END)
+                 / sqrt(n * (n - 1) * (2 * n + 5) / 18.0) * 10000) / 10000
+             AS mk_z,
+           abs((CASE WHEN mk_s > 0 THEN mk_s - 1
+                     WHEN mk_s < 0 THEN mk_s + 1 ELSE 0 END)
+               / sqrt(n * (n - 1) * (2 * n + 5) / 18.0)) > {MK_Z_CRIT}
+             AS trend_detected
+    FROM s
+"""
+
+
+@register("agg_mann_kendall", oracle=_MK_ORACLE)
+def agg_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test on daily revenue: S = the sum of signs
+    over ALL day pairs, z-scored with the no-ties variance
+    n(n-1)(2n+5)/18 and the continuity correction — the standard
+    non-parametric "is this series trending at all" verdict
+    (hydrology/monitoring's default). Completes the robust-trend pair:
+    win_theil_sen ESTIMATES the slope, this TESTS its existence —
+    neither assumes normality or linearity.
+
+    Scale/determinism: the facts reduce to one exact-integer-cents row
+    per DAY, so the O(days^2) pair join is over the CALENDAR-bounded
+    frame (a month = ~465 pairs; even a decade is ~6.7M — never the
+    fact table); S is an exact integer sum of -1/0/+1, the z identical
+    arithmetic, verdict on the unfloored value in both engines."""
+    t = load(spark, sf_dir)
+    daily = t.events.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("rev_c")
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = a.join(b, F.col("b.day") > F.col("a.day")).select(
+        F.when(F.col("b.rev_c") > F.col("a.rev_c"), 1)
+        .when(F.col("b.rev_c") < F.col("a.rev_c"), -1)
+        .otherwise(0)
+        .alias("sgn")
+    )
+    n_days = daily.count()  # bounded scalar: calendar days, never rows
+    s = pairs.agg(F.sum("sgn").alias("mk_s"))
+    n = F.lit(n_days)
+    corrected = (
+        F.when(F.col("mk_s") > 0, F.col("mk_s") - 1)
+        .when(F.col("mk_s") < 0, F.col("mk_s") + 1)
+        .otherwise(0)
+    )
+    z = corrected / F.sqrt(n * (n - 1) * (2 * n + 5) / 18.0)
+    return s.select(
+        n.cast("bigint").alias("n_days"),
+        F.col("mk_s").cast("bigint").alias("mk_s"),
+        (F.floor(z * 10_000) / 10_000).alias("mk_z"),
+        (F.abs(z) > MK_Z_CRIT).alias("trend_detected"),
+    )

@@ -1786,3 +1786,41 @@ def test_oov_rate_flags_foreign_doc(spark, tmp_path):
     junk = out[99]
     assert junk["n_tokens"] == 4 and junk["n_oov"] == 4
     assert junk["oov_rate"] == 1.0 and junk["mostly_oov"]
+
+
+def test_ivf_balance_skew_and_spill(spark, tmp_path):
+    """Labels A (8 tight vectors) and B (2 vectors, one of which sits
+    ON label A's centroid direction): the A list over-fills, the
+    imbalance factor exceeds 1, and the misplaced vector counts as
+    spill."""
+    import math
+
+    vecs = [(i, [math.cos(0.01 * i), math.sin(0.01 * i)], "A")
+            for i in range(8)]
+    vecs.append((20, [0.0, 1.0], "B"))
+    vecs.append((21, [1.0, 0.02], "B"))  # nearest centroid is A's
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>, label string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    out = {
+        r["list_id"]: r
+        for r in registry.get("sim_search_ivf_balance").fn(spark, str(tmp_path)).collect()
+    }
+    assert out["A"]["n_vectors"] == 9 and out["B"]["n_vectors"] == 1
+    assert out["A"]["imbalance_factor"] == 1.8  # 9 / mean(5)
+    assert abs(out["A"]["spill_rate"] - 0.1) < 1e-9
+    assert abs(sum(r["share"] for r in out.values()) - 1.0) < 1e-9
+
+
+def test_mann_kendall_monotone_vs_flat(spark, tmp_path):
+    """Strictly rising daily revenue: S = C(n,2), trend detected.
+    A constant series: S = 0, z = 0, no trend."""
+    rows = [(i, i * 1440, 1, "view", 10.0 * (i + 1)) for i in range(14)]
+    _write_events(spark, tmp_path, rows)
+    (r,) = registry.get("agg_mann_kendall").fn(spark, str(tmp_path)).collect()
+    assert r["n_days"] == 14 and r["mk_s"] == 14 * 13 // 2
+    assert r["trend_detected"] and r["mk_z"] > 1.96
+    rows2 = [(i, i * 1440, 1, "view", 10.0) for i in range(14)]
+    _write_events(spark, tmp_path, rows2)
+    (r2,) = registry.get("agg_mann_kendall").fn(spark, str(tmp_path)).collect()
+    assert r2["mk_s"] == 0 and r2["mk_z"] == 0.0 and not r2["trend_detected"]

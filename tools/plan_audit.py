@@ -176,6 +176,14 @@ SINGLE_PARTITION_OK: dict[str, str] = {
         "1-row max-norm scalar fold broadcast back onto the scored "
         "scan (aggregate partial, never vector rows)"
     ),
+    "agg_mann_kendall": (
+        "pair join + 1-row S fold over the calendar-DAY-bounded daily "
+        "frame (never fact rows)"
+    ),
+    "sim_search_ivf_balance": (
+        "share/imbalance windows over the LIST-domain frame "
+        "(assignment partials, never vector rows)"
+    ),
     "agg_calibration_ece": (
         "ECE window over the 10-bin calibration frame (micro-unit "
         "prediction partials, never event rows)"
