@@ -123,6 +123,8 @@ _CHANGED_THIS_ROUND = [
     "text_oov_rate",
     "sim_search_ivf_balance",
     "agg_mann_kendall",
+    "profile_join_skew",
+    "agg_overdispersion",
 ]
 
 

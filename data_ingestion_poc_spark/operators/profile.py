@@ -414,3 +414,70 @@ def quality_calendar_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((n - miss) / n.cast("double"), 4).alias("completeness"),
         (miss == 0).alias("complete"),
     )
+
+
+#: Skew advisory line: a hottest-key/mean ratio beyond this suggests
+#: salting (join_skew_salted) over a plain shuffle join on the key.
+SKEW_ADVISORY = 8.0
+
+_JOIN_SKEW_ORACLE = f"""
+    WITH k AS (
+      SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey
+    ),
+    s AS (
+      SELECT COUNT(*) AS n_keys,
+             SUM(n) AS n_rows,
+             MAX(n) AS max_per_key,
+             quantile_cont(n, 0.5) AS p50,
+             quantile_cont(n, 0.99) AS p99
+      FROM k
+    )
+    SELECT CAST(n_keys AS BIGINT) AS n_keys,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(max_per_key AS BIGINT) AS max_rows_per_key,
+           ROUND(p50, 2) AS p50_rows_per_key,
+           ROUND(p99, 2) AS p99_rows_per_key,
+           ROUND(max_per_key / (n_rows / CAST(n_keys AS DOUBLE)), 4)
+             AS skew_factor,
+           max_per_key / (n_rows / CAST(n_keys AS DOUBLE))
+             > {SKEW_ADVISORY} AS recommend_salting
+    FROM s
+"""
+
+
+@register("profile_join_skew", oracle=_JOIN_SKEW_ORACLE)
+def profile_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile for orders.o_custkey: rows-per-key
+    distribution (p50/p99/max) and the skew factor (hottest key over
+    the mean) with a salting advisory — the diagnostic an engine runs
+    BEFORE picking a join strategy, because one hot key serializes a
+    whole shuffle partition onto one task (the exact pathology
+    join_skew_salted exists to fix, and the measurement that justifies
+    paying its salt-explode cost). AQE's skew-join split handles this
+    at runtime for sort-merge joins; this profile is the PLANNING-time
+    view that also covers windows and aggregations AQE cannot split.
+
+    Scale shape: one combinable count per key, then a 1-row
+    distribution fold over the key frame (exact percentiles; at
+    100 TB the key frame is still one row PER KEY, and
+    approx_percentile swaps in). Exact integers + identical ratios."""
+    t = load(spark, sf_dir)
+    k = t.orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    s = k.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_per_key"),
+        F.percentile("n", F.lit(0.5)).alias("p50"),
+        F.percentile("n", F.lit(0.99)).alias("p99"),
+    )
+    mean = F.col("n_rows") / F.col("n_keys").cast("double")
+    skew = F.col("max_per_key") / mean
+    return s.select(
+        F.col("n_keys").cast("bigint").alias("n_keys"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("max_per_key").cast("bigint").alias("max_rows_per_key"),
+        F.round("p50", 2).alias("p50_rows_per_key"),
+        F.round("p99", 2).alias("p99_rows_per_key"),
+        F.round(skew, 4).alias("skew_factor"),
+        (skew > SKEW_ADVISORY).alias("recommend_salting"),
+    )

@@ -1818,3 +1818,65 @@ def agg_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(z * 10_000) / 10_000).alias("mk_z"),
         (F.abs(z) > MK_Z_CRIT).alias("trend_detected"),
     )
+
+
+_OVERDISP_ORACLE = """
+    WITH counts AS (
+      SELECT event_type, user_id, COUNT(*) AS c
+      FROM events GROUP BY event_type, user_id
+    ),
+    s AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(c) AS s1, SUM(c * c) AS s2
+      FROM counts GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_users,
+           ROUND(s1 / CAST(n AS DOUBLE), 4) AS mean_count,
+           ROUND((s2 - s1 * (s1 / CAST(n AS DOUBLE))) / (n - 1), 4)
+             AS var_count,
+           floor((s2 - s1 * (s1 / CAST(n AS DOUBLE))) / (n - 1)
+                 / (s1 / CAST(n AS DOUBLE)) * 10000) / 10000
+             AS dispersion_ratio,
+           (s2 - s1 * (s1 / CAST(n AS DOUBLE))) / (n - 1)
+             / (s1 / CAST(n AS DOUBLE)) > 1.5 AS overdispersed
+    FROM s
+"""
+
+
+@register("agg_overdispersion", oracle=_OVERDISP_ORACLE)
+def agg_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overdispersion diagnostic per event type: the variance-to-mean
+    ratio of per-user event counts — THE one-number check that decides
+    whether count data is Poisson-like (ratio ~ 1: Poisson models, CIs
+    and rate tests apply) or clumped (ratio >> 1: negative-binomial /
+    user-heterogeneity territory, and every Poisson-based CI is too
+    narrow). Analysts fit count models on exactly this table's verdict;
+    pairs with agg_power_analysis, whose sample sizes silently assume
+    the dispersion this measures.
+
+    Scale shape: one (type, user) combinable count, then a per-type
+    moment fold — counts are exact integers so every sum is exact and
+    order-free; the ratio is identical arithmetic both engines,
+    floor-scaled with the verdict on the unfloored value."""
+    t = load(spark, sf_dir)
+    counts = t.events.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    s = counts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    n = F.col("n")
+    mean = F.col("s1") / n.cast("double")
+    var = (F.col("s2") - F.col("s1") * mean) / (n - 1)
+    ratio = var / mean
+    return s.select(
+        "event_type",
+        n.cast("bigint").alias("n_users"),
+        F.round(mean, 4).alias("mean_count"),
+        F.round(var, 4).alias("var_count"),
+        (F.floor(ratio * 10_000) / 10_000).alias("dispersion_ratio"),
+        (ratio > 1.5).alias("overdispersed"),
+    )

@@ -1824,3 +1824,48 @@ def test_mann_kendall_monotone_vs_flat(spark, tmp_path):
     _write_events(spark, tmp_path, rows2)
     (r2,) = registry.get("agg_mann_kendall").fn(spark, str(tmp_path)).collect()
     assert r2["mk_s"] == 0 and r2["mk_z"] == 0.0 and not r2["trend_detected"]
+
+
+def test_join_skew_profile_flags_hot_key(spark, tmp_path):
+    """99 customers with 1 order each plus one whale with 100: mean
+    ~1.99, max 100 -> skew factor ~50, salting recommended. A uniform
+    table scores factor 1 and no advisory."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    orders = [(i, i, "O", 1.0, base, "P") for i in range(99)]
+    orders += [(1000 + i, 999, "O", 1.0, base, "P") for i in range(100)]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    (r,) = registry.get("profile_join_skew").fn(spark, str(tmp_path)).collect()
+    assert r["n_keys"] == 100 and r["max_rows_per_key"] == 100
+    assert r["skew_factor"] > 49 and r["recommend_salting"]
+    assert r["p50_rows_per_key"] == 1.0
+
+
+def test_overdispersion_clumped_vs_uniform(spark, tmp_path):
+    """'uniform': every user has exactly 3 events -> variance 0, ratio
+    0, not overdispersed. 'clumped': counts 1,1,1,1,16 -> var >> mean,
+    overdispersed."""
+    rows = []
+    eid = 0
+    for u in range(1, 6):
+        for _ in range(3):
+            rows.append((eid, eid, u, "uniform", 1.0)); eid += 1
+    for u, c in zip(range(1, 6), [1, 1, 1, 1, 16]):
+        for _ in range(c):
+            rows.append((eid, eid, u, "clumped", 1.0)); eid += 1
+    _write_events(spark, tmp_path, rows)
+    out = {
+        r["event_type"]: r
+        for r in registry.get("agg_overdispersion").fn(spark, str(tmp_path)).collect()
+    }
+    uni = out["uniform"]
+    assert uni["mean_count"] == 3.0 and uni["var_count"] == 0.0
+    assert uni["dispersion_ratio"] == 0.0 and not uni["overdispersed"]
+    clu = out["clumped"]
+    assert clu["mean_count"] == 4.0 and clu["overdispersed"]
+    assert clu["dispersion_ratio"] > 10

@@ -176,6 +176,14 @@ SINGLE_PARTITION_OK: dict[str, str] = {
         "1-row max-norm scalar fold broadcast back onto the scored "
         "scan (aggregate partial, never vector rows)"
     ),
+    "profile_join_skew": (
+        "1-row distribution fold over the per-KEY count frame "
+        "(combinable partials, never order rows)"
+    ),
+    "agg_overdispersion": (
+        "per-type moment fold over (type, user) count partials, "
+        "never event rows"
+    ),
     "agg_mann_kendall": (
         "pair join + 1-row S fold over the calendar-DAY-bounded daily "
         "frame (never fact rows)"
