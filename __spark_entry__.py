@@ -125,6 +125,8 @@ _CHANGED_THIS_ROUND = [
     "agg_mann_kendall",
     "profile_join_skew",
     "agg_overdispersion",
+    "agg_markov_stationary",
+    "sample_class_balance",
 ]
 
 

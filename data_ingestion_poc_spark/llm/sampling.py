@@ -263,3 +263,79 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("es_key", 9) + F.lit(0.0)).alias("es_key"),
         F.row_number().over(w).alias("rk"),
     )
+
+
+_CLASS_BALANCE_ORACLE = """
+    WITH sized AS (
+      SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+    ),
+    target AS (SELECT MIN(n) AS floor_n FROM sized),
+    ranked AS (
+      SELECT e.event_id, e.event_type,
+             row_number() OVER (PARTITION BY e.event_type
+                                ORDER BY md5('cb:' ||
+                                             CAST(e.event_id AS VARCHAR)),
+                                         e.event_id) AS rk
+      FROM events e
+    )
+    SELECT r.event_type,
+           CAST(s.n AS BIGINT) AS n_rows,
+           CAST(t.floor_n AS BIGINT) AS n_kept,
+           CAST(s.n - t.floor_n AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN r.rk <= t.floor_n THEN r.event_id ELSE 0 END)
+                AS BIGINT) AS kept_id_sum
+    FROM ranked r
+    JOIN sized s USING (event_type) CROSS JOIN target t
+    GROUP BY r.event_type, s.n, t.floor_n
+"""
+
+
+@register("sample_class_balance", oracle=_CLASS_BALANCE_ORACLE)
+def sample_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic class-balancing downsample: every event type is
+    cut to the MINORITY class's count, members chosen by md5 hash
+    order (the sampling.py content-hash convention — stable across
+    runs, partitions, and engines, unlike an RNG stream) — the
+    rebalancing step before training any classifier on skewed labels.
+    Emits the per-class manifest summary (kept/dropped) plus the
+    kept-member id-sum as the selection fingerprint (two engines that
+    picked different members cannot agree on it).
+
+    Scale shape: class sizes = one combinable count; the per-class
+    hash-order cut is one window over the class partitioning (the
+    honest cost — ranking within each class; at extreme scale the
+    rank swaps for a per-class hash-threshold estimated from the
+    counts, trading exactness of k for one less sort). Selection is
+    total-ordered (md5, then id) so the kept set is unique."""
+    t = load(spark, sf_dir)
+    sized = t.events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    target = sized.agg(F.min("n").alias("floor_n"))
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(
+            F.concat(F.lit("cb:"), F.col("event_id").cast("string")).cast(
+                "binary"
+            )
+        ),
+        "event_id",
+    )
+    ranked = t.events.select(
+        "event_id", "event_type", F.row_number().over(w).alias("rk")
+    )
+    return (
+        ranked.join(F.broadcast(sized), "event_type")
+        .crossJoin(F.broadcast(target))
+        .groupBy("event_type", "n", "floor_n")
+        .agg(
+            F.sum(
+                F.when(F.col("rk") <= F.col("floor_n"), F.col("event_id"))
+                .otherwise(0)
+            ).cast("bigint").alias("kept_id_sum")
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_rows"),
+            F.col("floor_n").cast("bigint").alias("n_kept"),
+            (F.col("n") - F.col("floor_n")).cast("bigint").alias("n_dropped"),
+            "kept_id_sum",
+        )
+    )

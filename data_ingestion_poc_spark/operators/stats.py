@@ -1880,3 +1880,108 @@ def agg_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(ratio * 10_000) / 10_000).alias("dispersion_ratio"),
         (ratio > 1.5).alias("overdispersed"),
     )
+
+
+#: Stationary-distribution iteration budget and mass scale (the
+#: graph_pagerank exact-integer doctrine on the TYPE domain).
+MARKOV_POWER_ITERS = 3
+MARKOV_MASS = 1_000_000_000_000
+
+
+def _markov_step_sql(prev: str, out: str) -> str:
+    """One distribution-times-matrix step: mass flows along observed
+    transition counts by integer floor division."""
+    return f"""
+    {out} AS (
+      SELECT t.nxt AS state,
+             CAST(SUM((p.mass * t.n) // rt.tot) AS BIGINT) AS mass
+      FROM trans t
+      JOIN {prev} p ON p.state = t.cur
+      JOIN row_tot rt ON rt.cur = t.cur
+      GROUP BY t.nxt
+    )
+"""
+
+
+_MARKOV_STAT_ORACLE = (
+    f"""
+    WITH seq AS (
+      SELECT event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    trans AS (
+      SELECT cur, nxt, COUNT(*) AS n FROM seq
+      WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ),
+    row_tot AS (SELECT cur, SUM(n) AS tot FROM trans GROUP BY cur),
+    states AS (SELECT DISTINCT cur AS state FROM trans),
+    d0 AS (
+      SELECT state,
+             CAST({MARKOV_MASS} // (SELECT COUNT(*) FROM states) AS BIGINT)
+               AS mass
+      FROM states
+    ),"""
+    + _markov_step_sql("d0", "d1")
+    + ","
+    + _markov_step_sql("d1", "d2")
+    + ","
+    + _markov_step_sql("d2", "d3")
+    + """
+    SELECT state, mass AS mass_units,
+           ROUND(mass / CAST((SELECT SUM(mass) FROM d3) AS DOUBLE), 6)
+             AS stationary_share
+    FROM d3
+"""
+)
+
+
+@register("agg_markov_stationary", oracle=_MARKOV_STAT_ORACLE)
+def agg_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain
+    ({MARKOV_POWER_ITERS} unrolled power-iteration steps from uniform):
+    where user attention settles if the observed transition dynamics
+    run forward — the long-run state mix that a funnel redesign shifts,
+    and the equilibrium companion of agg_markov_transitions' one-step
+    matrix (transitions say where you go NEXT; this says where you
+    LIVE). Fixed iteration count, graph_pagerank's exact-BIGINT
+    micro-unit doctrine on the TYPE-domain matrix — the entire chain
+    state is |types| rows, so each step is arithmetic on a broadcast-
+    sized frame however large the fact table.
+
+    Determinism: transition counts exact; mass flows by integer
+    multiply/floor-divide, so both engines hold IDENTICAL distributions
+    every step; the final share is one exact division."""
+    t = load(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t.events.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).where(F.col("nxt").isNotNull())
+    trans = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n")).persist()
+    row_tot = trans.groupBy("cur").agg(F.sum("n").alias("tot"))
+    states = trans.select(F.col("cur").alias("state")).distinct()
+    n_states = states.count()  # bounded scalar: |event types|
+    dist = states.select(
+        "state", F.lit(MARKOV_MASS // n_states).cast("long").alias("mass")
+    )
+    for _ in range(MARKOV_POWER_ITERS):
+        dist = (
+            trans.join(dist, trans.cur == dist.state)
+            .join(row_tot, "cur")
+            .select(
+                F.col("nxt").alias("state"),
+                F.expr("(mass * n) div tot").alias("flow"),
+            )
+            .groupBy("state")
+            .agg(F.sum("flow").cast("long").alias("mass"))
+        )
+    w_all = Window.partitionBy()
+    return dist.select(
+        "state",
+        F.col("mass").cast("bigint").alias("mass_units"),
+        F.round(
+            F.col("mass") / F.sum("mass").over(w_all).cast("double"), 6
+        ).alias("stationary_share"),
+    )

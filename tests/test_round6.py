@@ -1869,3 +1869,41 @@ def test_overdispersion_clumped_vs_uniform(spark, tmp_path):
     clu = out["clumped"]
     assert clu["mean_count"] == 4.0 and clu["overdispersed"]
     assert clu["dispersion_ratio"] > 10
+
+
+def test_markov_stationary_sink_state(spark, tmp_path):
+    """A chain where every state funnels into 'end' (which self-loops):
+    after 3 power steps nearly all mass sits on 'end'."""
+    rows = []
+    eid = 0
+    for u in range(1, 21):
+        for et in ("a", "b", "end", "end", "end", "end"):
+            rows.append((eid, eid, u, et, 1.0)); eid += 1
+    _write_events(spark, tmp_path, rows)
+    out = {
+        r["state"]: r
+        for r in registry.get("agg_markov_stationary").fn(spark, str(tmp_path)).collect()
+    }
+    assert out["end"]["stationary_share"] > 0.9
+    assert sum(r["stationary_share"] for r in out.values()) > 0.999
+
+
+def test_class_balance_cuts_to_minority(spark, tmp_path):
+    """Types with 30/10/5 rows each cut to 5 kept; the selection is
+    reproducible run-to-run (identical fingerprint)."""
+    rows = [(i, i, 1, "big", 1.0) for i in range(30)]
+    rows += [(100 + i, i, 1, "mid", 1.0) for i in range(10)]
+    rows += [(200 + i, i, 1, "small", 1.0) for i in range(5)]
+    _write_events(spark, tmp_path, rows)
+    run1 = {
+        r["event_type"]: r
+        for r in registry.get("sample_class_balance").fn(spark, str(tmp_path)).collect()
+    }
+    run2 = {
+        r["event_type"]: r["kept_id_sum"]
+        for r in registry.get("sample_class_balance").fn(spark, str(tmp_path)).collect()
+    }
+    assert run1["big"]["n_rows"] == 30 and run1["big"]["n_kept"] == 5
+    assert run1["big"]["n_dropped"] == 25
+    assert run1["small"]["n_dropped"] == 0
+    assert {k: v["kept_id_sum"] for k, v in run1.items()} == run2

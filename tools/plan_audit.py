@@ -176,6 +176,14 @@ SINGLE_PARTITION_OK: dict[str, str] = {
         "1-row max-norm scalar fold broadcast back onto the scored "
         "scan (aggregate partial, never vector rows)"
     ),
+    "agg_markov_stationary": (
+        "share window over the TYPE-domain-bounded stationary "
+        "distribution frame (matrix partials, never event rows)"
+    ),
+    "sample_class_balance": (
+        "1-row minority-count scalar broadcast (class-count partials, "
+        "never event rows)"
+    ),
     "profile_join_skew": (
         "1-row distribution fold over the per-KEY count frame "
         "(combinable partials, never order rows)"
