@@ -39,94 +39,34 @@ def entry(spark: SparkSession) -> DataFrame:
 # CORRECTNESS_r0*.json files — r5's hand-maintained 180-line _JUDGED list
 # is gone; drift there silently wasted window slots).
 _CHANGED_THIS_ROUND = [
-    # r6 fixes: broken self-join repaired (r5's one FAIL), dof-matched
-    # chi-squared verdict, zero-filled Benford digit domain,
-    # microsecond-precision sessionize gap.
-    "sort_pareto_skyline",
-    "agg_chi_squared",
-    "agg_benford",
-    "q_browse_abandonment",
-    # r6 new operators (zero verdicts of any kind yet):
-    "agg_anova_oneway",
-    "agg_ratio_delta_ci",
-    "q_attribution_last_touch",
-    "win_holt_linear",
-    "dedup_soft_reweight",
-    "fn_geohash",
-    "graph_label_propagation",
-    "agg_survival_km",
-    "win_kalman_1d",
-    "dedup_cluster_histogram",
-    "q_pattern_funnel_path",
-    "agg_hll_intersection_bound",
-    "corpus_dedup_manifest",
-    "sim_search_bq",
-    "sim_search_bq_recall",
-    "q_basket_sequence_rules",
-    "agg_power_analysis",
-    "agg_cuped_adjustment",
-    "win_seasonal_baseline",
-    "win_theil_sen",
-    "graph_bfs_distance",
-    "embed_hard_negatives",
-    "text_source_drift",
-    "agg_winsorized_mean",
-    "win_bollinger",
-    "win_rsi",
-    "agg_srm_check",
-    "quality_freshness",
-    "graph_hits",
-    "graph_kcore",
-    "profile_fd_audit",
-    "q_stickiness_dau_mau",
-    "text_bigram_lm",
-    "embed_outlier_centroid",
-    "agg_autocorr",
-    "corpus_curriculum_phases",
-    "win_changepoint_scan",
-    "sink_expire_snapshots",
-    "udf_grouped_trimmed_mean",
-    "corpus_importance_weights",
-    "text_code_detect",
-    "embed_scalar_quant",
-    "agg_seasonal_strength",
-    "graph_assortativity",
-    "agg_markov_transitions",
-    "q_revenue_deciles",
-    "q_repurchase_interval",
-    "corpus_tokenizer_fertility",
-    "q_cohort_ltv",
-    "agg_category_drift",
-    "dedup_lsh_tuning",
-    "win_rescaled_range",
-    "privacy_k_anonymity",
-    "privacy_l_diversity",
-    "privacy_dp_counts",
-    "q_growth_accounting",
-    "corpus_dedup_best_keeper",
-    "agg_hill_tail_index",
-    "scan_partition_evolution",
-    "quality_calendar_gaps",
+    # r7 new operator (no verdict of any kind yet):
+    "corpus_curate_e2e",
+    # r7 implementation changes that are ALSO driver-unjudged (ADVICE
+    # fixes: mips constant augmented norm, scalar_iter ln(1+x),
+    # dp_counts boundary clamp; de-broadcast of SF-scaling dims;
+    # aliased self-joins; url-canonicalization refactor):
     "sim_search_mips",
+    "udf_scalar_iter",
+    "privacy_dp_counts",
+    "dedup_consensus",
+    "privacy_k_anonymity",
+    "q_repurchase_interval",
     "q_price_elasticity",
     "q_abc_classification",
-    "udf_scalar_iter",
-    "dedup_cross_source_matrix",
-    "agg_expected_shortfall",
-    "corpus_post_dedup_mix",
-    "q_activity_streaks",
     "q_full_star_rollup",
-    "agg_sprt_monitor",
-    "agg_calibration_ece",
-    "agg_gumbel_maxima",
-    "win_spc_rules",
-    "text_oov_rate",
-    "sim_search_ivf_balance",
-    "agg_mann_kendall",
-    "profile_join_skew",
-    "agg_overdispersion",
-    "agg_markov_stationary",
-    "sample_class_balance",
+    "dedup_url_canonical",
+]
+
+# r7 implementation changes whose names ALREADY carry a driver verdict
+# (oracle re-verified locally this round): these lead the judged block
+# (positions 51+) so the 50-slot window stays fully spent on the 95
+# never-driver-judged names — the r6 VERDICT's top rotation ask.
+_CHANGED_JUDGED_THIS_ROUND = [
+    "udf_grouped_trimmed_mean",
+    "q_sole_late_shippers",
+    "q_basket_sequence_rules",
+    "graph_triangle_count",
+    "q_market_basket",
 ]
 
 
@@ -156,8 +96,12 @@ def _ordered() -> dict[str, registry.Query]:
         n for n in all_q
         if n not in seen and n not in judged and not all_q[n].oracle
     ]
+    changed_judged = [
+        n for n in _CHANGED_JUDGED_THIS_ROUND if n in all_q and n not in seen
+    ]
+    seen.update(changed_judged)
     back = [n for n in all_q if n not in seen and n in judged]
-    order = front + fresh_oracle + fresh_rows_only + back
+    order = front + fresh_oracle + fresh_rows_only + changed_judged + back
     return {n: all_q[n] for n in order}
 
 

@@ -1,10 +1,16 @@
 """Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
 local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
-{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+ "queries_mean": {...}, "runs": 3, "sf": ...}
 
 Each query is forced end-to-end with a noop sink (full computation, no
 driver collect bottleneck). A warmup run of the flagship absorbs JVM/codegen
 startup so numbers reflect steady-state execution.
+
+Each query runs BENCH_RUNS (default 3) times; "queries"/"value" carry the
+per-query MIN (the noise-robust steady-state number — cross-round
+adjudication showed single contended runs swing +-2 s/query on this host),
+"queries_mean" the mean. Set SPARK_GRAFT_BENCH_RUNS=1 for a quick pass.
 """
 
 from __future__ import annotations
@@ -132,18 +138,30 @@ def main() -> None:
 
     if "join_bucketed_colocated" in names:
         prepare_bucketed(spark, sf_dir)
-    times = {}
-    for name in names:
-        if name in qs:
-            times[name] = round(run(name), 3)
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    times: dict[str, float] = {}
+    means: dict[str, float] = {}
+    # run the whole set n_runs times in PASSES (not back-to-back per
+    # query) so a transient host stall hits one pass, not every sample
+    # of one query
+    samples: dict[str, list[float]] = {n: [] for n in names if n in qs}
+    for _ in range(n_runs):
+        for name in samples:
+            samples[name].append(run(name))
+    for name, ts in samples.items():
+        times[name] = round(min(ts), 3)
+        means[name] = round(sum(ts) / len(ts), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
             {
-                "metric": "headline query wall-clock, noop sink",
+                "metric": "headline query wall-clock, noop sink, min of "
+                f"{n_runs}",
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
                 "queries": times,
+                "queries_mean": means,
+                "runs": n_runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

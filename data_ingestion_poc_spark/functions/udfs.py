@@ -369,7 +369,9 @@ def udf_grouped_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.pandas_udf(DoubleType())
     def _trimmed(v: pd.Series) -> float:
-        vc = sorted(int(round(x * 100)) for x in v)
+        # half-UP cent quantization (DuckDB ROUND semantics) — Python's
+        # round() is banker's half-even and can disagree on exact .5
+        vc = sorted(int(math.floor(x * 100 + 0.5)) for x in v)
         k = len(vc) // TRIM_TENTH
         kept = vc[k : len(vc) - k]
         return math.floor(sum(kept) / 100.0 / len(kept) * 10_000) / 10_000
@@ -434,8 +436,11 @@ def udf_scalar_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) -> Iterator[pd.Series]:
         w0, w1, w2 = ITER_MODEL_W  # "load the model" once per worker
         for n_chars, n_words in batches:
+            # np.log(1+x), NOT log1p: the oracle computes ln(1+n) and
+            # log1p can differ by 1 ulp across libm implementations,
+            # enough to straddle the floor(x*1e4) boundary.
             yield np.floor(
-                (w0 + w1 * np.log1p(n_chars) + w2 * n_words) * 10_000
+                (w0 + w1 * np.log(1.0 + n_chars) + w2 * n_words) * 10_000
             ) / 10_000
 
     t = load(spark, sf_dir)

@@ -17,7 +17,12 @@ from pyspark.sql.window import Window
 
 from ..catalog import load
 from ..registry import register
-from .dedup import _CLUSTERS_ORACLE, dedup_clusters, shingle_array
+from .dedup import (
+    _CLUSTERS_ORACLE,
+    _URL_CANON_CTES,
+    dedup_clusters,
+    shingle_array,
+)
 from .textstats import _STOP_SQL, STOPWORDS
 
 # The near-dup cluster CTE chain, reusable inside larger oracles: strip the
@@ -1499,5 +1504,236 @@ def corpus_post_dedup_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("raw_share"),
         F.round(
             F.col("kept_tok") / F.sum("kept_tok").over(w).cast("double"), 6
+        ).alias("kept_share"),
+    )
+
+
+_CURATE_E2E_ORACLE = f"""
+    WITH RECURSIVE {_CLUSTER_CTES},
+    {_URL_CANON_CTES.strip()},
+    docs AS (
+      SELECT d.doc_id, d.source, c.canonical_url AS curl,
+             sha256(lower(d.text)) AS h,
+             len(string_split(d.text, ' ')) AS n_tok,
+             floor((
+               0.4 * least(len(string_split(d.text, ' ')) / 200.0, 1.0)
+             + 0.3 * (len(list_filter(string_split(d.text, ' '),
+                                      w -> w IN ({{stops}})))
+                      / CAST(len(string_split(d.text, ' ')) AS DOUBLE))
+             + 0.3 * (len(list_distinct(string_split(d.text, ' ')))
+                      / CAST(len(string_split(d.text, ' ')) AS DOUBLE)))
+               * 10000) / 10000 AS quality,
+             length(d.text) >= 100 AND length(d.text) <= 2000 AS len_ok
+      FROM documents d JOIN canon c ON c.doc_id = d.doc_id
+    ),
+    s1 AS (
+      SELECT *, doc_id <> MIN(doc_id) OVER (PARTITION BY curl) AS drop_url
+      FROM docs
+    ),
+    s2 AS (
+      SELECT *,
+             NOT drop_url AND doc_id <> MIN(CASE WHEN NOT drop_url
+                 THEN doc_id END) OVER (PARTITION BY h) AS drop_exact
+      FROM s1
+    ),
+    s3 AS (
+      SELECT s2.*, l.cluster_id
+      FROM s2 LEFT JOIN lbl l ON l.doc_id = s2.doc_id
+    ),
+    nk AS (
+      SELECT cluster_id, doc_id AS near_keeper FROM (
+        SELECT cluster_id, doc_id,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY quality DESC, doc_id) AS rn
+        FROM s3
+        WHERE NOT drop_url AND NOT drop_exact AND cluster_id IS NOT NULL
+      ) WHERE rn = 1
+    ),
+    s4 AS (
+      SELECT s3.*,
+             NOT drop_url AND NOT drop_exact AND s3.cluster_id IS NOT NULL
+               AND s3.doc_id <> nk.near_keeper AS drop_near
+      FROM s3 LEFT JOIN nk ON nk.cluster_id = s3.cluster_id
+    ),
+    v AS (
+      SELECT source, n_tok,
+             CASE WHEN drop_url THEN 'drop_url'
+                  WHEN drop_exact THEN 'drop_exact'
+                  WHEN drop_near THEN 'drop_near'
+                  WHEN NOT (quality >= 0.28 AND len_ok) THEN 'drop_quality'
+                  ELSE 'keep' END AS action
+      FROM s4
+    ),
+    mix AS (
+      SELECT source,
+             COUNT(*) AS n_docs,
+             SUM(CASE WHEN action = 'drop_url' THEN 1 ELSE 0 END) AS nu,
+             SUM(CASE WHEN action = 'drop_exact' THEN 1 ELSE 0 END) AS ne,
+             SUM(CASE WHEN action = 'drop_near' THEN 1 ELSE 0 END) AS nn,
+             SUM(CASE WHEN action = 'drop_quality' THEN 1 ELSE 0 END) AS nq,
+             SUM(CASE WHEN action = 'keep' THEN 1 ELSE 0 END) AS nk,
+             SUM(n_tok) AS raw_tok,
+             SUM(CASE WHEN action = 'keep' THEN n_tok ELSE 0 END) AS kept_tok
+      FROM v GROUP BY source
+    )
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(nu AS BIGINT) AS n_drop_url,
+           CAST(ne AS BIGINT) AS n_drop_exact,
+           CAST(nn AS BIGINT) AS n_drop_near,
+           CAST(nq AS BIGINT) AS n_drop_quality,
+           CAST(nk AS BIGINT) AS n_kept,
+           CAST(raw_tok AS BIGINT) AS raw_tokens,
+           CAST(kept_tok AS BIGINT) AS kept_tokens,
+           ROUND(kept_tok / CAST(raw_tok AS DOUBLE), 4) AS survival_rate,
+           ROUND(kept_tok / CAST(SUM(kept_tok) OVER () AS DOUBLE), 6)
+             AS kept_share
+    FROM mix
+""".replace("{stops}", _STOP_SQL)
+
+
+@register("corpus_curate_e2e", oracle=_CURATE_E2E_ORACLE)
+def corpus_curate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE curation ladder end to end, as ONE operator — the artifact a
+    training-data team actually ships: url-canonical dedup -> exact
+    content-hash collapse -> near-dup cluster resolution with the
+    BEST-KEEPER (quality-ranked) canonical -> quality/length gate, then
+    the post-dedup source mix. One row per source with the full funnel
+    (docs dropped per stage), surviving token counts, survival rate and
+    the corrected mix share. Stages run SEQUENTIALLY ON SURVIVORS (the
+    production order: cheapest verdict first — exact-collapse-first is
+    executable here, not a docstring note), so each stage's count is
+    the marginal cost of that rung, which is what makes the funnel a
+    tuning instrument rather than four overlapping percentages.
+
+    Plan: one scan of documents computes url canonical + content hash +
+    quality + token count as pure Column work; stage 1 and 2 are ONE
+    window each (canonical_url, then hash — the conditional-min trick
+    keeps stage 2 aware of stage-1 survivors without a join); stage 3
+    joins dedup_clusters' session-cached labels (localCheckpointed,
+    the corpus_dedup_manifest lesson) and picks each cluster's
+    quality-ranked keeper among survivors via a groupBy on the
+    PAIR-BOUNDED labeled frame, broadcast back; the rollup reduces onto
+    the source domain. Shuffle budget: 2 windows + 1 small groupBy + 1
+    domain-bounded rollup — the corpus shuffles twice, never the pair
+    graph. Determinism: quality on the 4-dp lattice (floor-scaled), so
+    keeper ranking ties break by doc_id identically in both engines;
+    counts and token sums exact integers; shares exact divisions."""
+    from .dedup import (
+        canonical_url_col,
+        dedup_clusters,
+        raw_url_col,
+    )
+
+    t = load(spark, sf_dir)
+    words = F.split("text", " ")
+    n_words = F.size(words).cast("double")
+    n_stop = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+    n_distinct = F.size(F.array_distinct(words))
+    raw_q = (
+        0.4 * F.least(F.size(words) / F.lit(200.0), F.lit(1.0))
+        + 0.3 * (n_stop / n_words)
+        + 0.3 * (n_distinct / n_words)
+    )
+    lbl = (
+        dedup_clusters(spark, sf_dir)
+        .select("doc_id", "cluster_id")
+        .localCheckpoint()
+    )
+    docs = t.documents.select(
+        "doc_id",
+        "source",
+        canonical_url_col(raw_url_col()).alias("curl"),
+        F.sha2(F.lower("text").cast("binary"), 256).alias("h"),
+        F.size(words).alias("n_tok"),
+        (F.floor(raw_q * 10000) / 10000).alias("quality"),
+        ((F.length("text") >= 100) & (F.length("text") <= 2000)).alias(
+            "len_ok"
+        ),
+    )
+    did = F.col("doc_id")
+    s1 = docs.withColumn(
+        "drop_url", did != F.min("doc_id").over(Window.partitionBy("curl"))
+    )
+    # stage 2 sees only stage-1 survivors via a conditional min — no
+    # survivor self-join needed
+    s2 = s1.withColumn(
+        "drop_exact",
+        ~F.col("drop_url")
+        & (
+            did
+            != F.min(F.when(~F.col("drop_url"), did)).over(
+                Window.partitionBy("h")
+            )
+        ),
+    )
+    s3 = s2.join(F.broadcast(lbl), "doc_id", "left")
+    surv2 = ~F.col("drop_url") & ~F.col("drop_exact")
+    nk = (
+        s3.where(surv2 & F.col("cluster_id").isNotNull())
+        .groupBy("cluster_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-(F.col("quality") * 10000).cast("long")).alias("nq"),
+                    did.alias("d"),
+                )
+            )["d"].alias("near_keeper")
+        )
+    )
+    s4 = s3.join(F.broadcast(nk), "cluster_id", "left").withColumn(
+        "drop_near",
+        surv2 & F.col("cluster_id").isNotNull() & (did != F.col("near_keeper")),
+    )
+    action = (
+        F.when(F.col("drop_url"), "drop_url")
+        .when(F.col("drop_exact"), "drop_exact")
+        .when(F.col("drop_near"), "drop_near")
+        .when(
+            ~((F.col("quality") >= 0.28) & F.col("len_ok")), "drop_quality"
+        )
+        .otherwise("keep")
+    )
+    v = s4.select("source", "n_tok", action.alias("action"))
+    mix = v.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum((F.col("action") == "drop_url").cast("long"))
+        .cast("bigint")
+        .alias("n_drop_url"),
+        F.sum((F.col("action") == "drop_exact").cast("long"))
+        .cast("bigint")
+        .alias("n_drop_exact"),
+        F.sum((F.col("action") == "drop_near").cast("long"))
+        .cast("bigint")
+        .alias("n_drop_near"),
+        F.sum((F.col("action") == "drop_quality").cast("long"))
+        .cast("bigint")
+        .alias("n_drop_quality"),
+        F.sum((F.col("action") == "keep").cast("long"))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.sum("n_tok").cast("bigint").alias("raw_tokens"),
+        F.sum(F.when(F.col("action") == "keep", F.col("n_tok")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_tokens"),
+    )
+    w_all = Window.partitionBy()
+    return mix.select(
+        "source",
+        "n_docs",
+        "n_drop_url",
+        "n_drop_exact",
+        "n_drop_near",
+        "n_drop_quality",
+        "n_kept",
+        "raw_tokens",
+        "kept_tokens",
+        F.round(
+            F.col("kept_tokens") / F.col("raw_tokens").cast("double"), 4
+        ).alias("survival_rate"),
+        F.round(
+            F.col("kept_tokens")
+            / F.sum("kept_tokens").over(w_all).cast("double"),
+            6,
         ).alias("kept_share"),
     )

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 from pyspark.storagelevel import StorageLevel
@@ -1366,6 +1366,82 @@ _URL_CANON_ORACLE = f"""
 """
 
 
+def raw_url_col() -> Column:
+    """The deterministic messy-URL derivation from doc_id (the Spark
+    mirror of _RAW_URL_DUCK): groups of 4 docs share one canonical
+    page under per-doc case/www/port/tracking/fragment noise."""
+    did = F.col("doc_id")
+    return F.concat(
+        F.when(did % 2 == 0, F.lit("https://")).otherwise(F.lit("http://")),
+        F.when(did % 3 == 0, F.lit("WWW.Site")).otherwise(F.lit("site")),
+        F.floor(did / 40).cast("string"),
+        F.lit(".example.com"),
+        F.when(did % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/articles/"),
+        F.floor(did / 4).cast("string"),
+        F.when(did % 4 == 1, F.lit("?utm_source=feed&page=2"))
+        .when(did % 4 == 2, F.lit("?utm_medium=email&utm_term=a"))
+        .when(did % 4 == 3, F.lit("?ref=rss"))
+        .otherwise(F.lit("")),
+        F.when(did % 6 == 0, F.lit("#section2")).otherwise(F.lit("")),
+    )
+
+
+def canonical_url_col(url: Column) -> Column:
+    """Canonicalize a URL Column: https scheme, lowercased de-www'd
+    host, default port + fragment dropped, tracking params
+    (URL_TRACKING_RE) removed, surviving params sorted. Pure JVM-side
+    Column work — shared by dedup_url_canonical and corpus_curate_e2e."""
+    host = F.lower(
+        F.regexp_extract(url, r"^https?://(?:WWW\.|www\.)?([^/:?#]+)", 1)
+    )
+    path = F.regexp_extract(url, r"^https?://[^/]+(/[^?#]*)", 1)
+    qs = F.regexp_extract(url, r"\?([^#]*)", 1)
+    kept = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(qs, "&"),
+                lambda tok: (tok != "") & ~tok.rlike(URL_TRACKING_RE),
+            )
+        ),
+        "&",
+    )
+    return F.concat(
+        F.lit("https://"),
+        host,
+        path,
+        F.when(kept == "", F.lit("")).otherwise(F.concat(F.lit("?"), kept)),
+    )
+
+
+#: Canonical-URL CTE text (raw + parts + canon), reusable inside larger
+#: oracles — yields `canon(doc_id, url, canonical_url)`.
+_URL_CANON_CTES = f"""
+    raw AS (
+      SELECT doc_id, {_RAW_URL_DUCK} AS url FROM documents
+    ),
+    parts AS (
+      SELECT doc_id, url,
+             lower(regexp_extract(url, '^https?://(?:WWW\\.|www\\.)?([^/:?#]+)', 1))
+               AS host,
+             regexp_extract(url, '^https?://[^/]+(/[^?#]*)', 1) AS path,
+             regexp_extract(url, '\\?([^#]*)', 1) AS qs
+      FROM raw
+    ),
+    canon AS (
+      SELECT doc_id, url,
+             'https://' || host || path ||
+             CASE WHEN kept = '' THEN '' ELSE '?' || kept END AS canonical_url
+      FROM (
+        SELECT *, COALESCE(array_to_string(list_sort(list_filter(
+                 string_split(qs, '&'),
+                 t -> t <> '' AND NOT regexp_matches(t, '{URL_TRACKING_RE}'))),
+               '&'), '') AS kept
+        FROM parts)
+    )
+"""
+
+
 @register("dedup_url_canonical", oracle=_URL_CANON_ORACLE)
 def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-canonicalization dedup — the FIRST stage of every web-crawl
@@ -1386,42 +1462,10 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape as dedup_exact_hash, with the canonical URL as the hash."""
     t = load(spark, sf_dir)
     did = F.col("doc_id")
-    url = F.concat(
-        F.when(did % 2 == 0, F.lit("https://")).otherwise(F.lit("http://")),
-        F.when(did % 3 == 0, F.lit("WWW.Site")).otherwise(F.lit("site")),
-        F.floor(did / 40).cast("string"),
-        F.lit(".example.com"),
-        F.when(did % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
-        F.lit("/articles/"),
-        F.floor(did / 4).cast("string"),
-        F.when(did % 4 == 1, F.lit("?utm_source=feed&page=2"))
-        .when(did % 4 == 2, F.lit("?utm_medium=email&utm_term=a"))
-        .when(did % 4 == 3, F.lit("?ref=rss"))
-        .otherwise(F.lit("")),
-        F.when(did % 6 == 0, F.lit("#section2")).otherwise(F.lit("")),
+    raw = t.documents.select("doc_id", raw_url_col().alias("url"))
+    canon = raw.select(
+        "doc_id", "url", canonical_url_col(F.col("url")).alias("canonical_url")
     )
-    raw = t.documents.select("doc_id", url.alias("url"))
-    host = F.lower(
-        F.regexp_extract("url", r"^https?://(?:WWW\.|www\.)?([^/:?#]+)", 1)
-    )
-    path = F.regexp_extract("url", r"^https?://[^/]+(/[^?#]*)", 1)
-    qs = F.regexp_extract("url", r"\?([^#]*)", 1)
-    kept = F.array_join(
-        F.array_sort(
-            F.filter(
-                F.split(qs, "&"),
-                lambda tok: (tok != "") & ~tok.rlike(URL_TRACKING_RE),
-            )
-        ),
-        "&",
-    )
-    canonical = F.concat(
-        F.lit("https://"),
-        host,
-        path,
-        F.when(kept == "", F.lit("")).otherwise(F.concat(F.lit("?"), kept)),
-    )
-    canon = raw.select("doc_id", "url", canonical.alias("canonical_url"))
     w = Window.partitionBy("canonical_url")
     keeper = F.min("doc_id").over(w)
     return canon.select(

@@ -610,10 +610,21 @@ def dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = t.documents.select(
         "doc_id", F.sha2(F.lower("text").cast("binary"), 256).alias("h")
     )
-    h2 = hashed.select(F.col("doc_id").alias("doc_b"), F.col("h"))
-    exact_p = hashed.join(
-        h2, (hashed.h == h2.h) & (hashed.doc_id < h2.doc_b)
-    ).select(F.col("doc_id").alias("doc_a"), "doc_b")
+    # self-join through explicit aliases: both sides share lineage, and
+    # unqualified attribute refs here are the defect class that broke
+    # r5's sort_pareto_skyline (MISSING_ATTRIBUTES on refactor).
+    exact_p = (
+        hashed.alias("ha")
+        .join(
+            hashed.alias("hb"),
+            (F.col("ha.h") == F.col("hb.h"))
+            & (F.col("ha.doc_id") < F.col("hb.doc_id")),
+        )
+        .select(
+            F.col("ha.doc_id").alias("doc_a"),
+            F.col("hb.doc_id").alias("doc_b"),
+        )
+    )
     jac = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     mh = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
     sig = dedup_simhash(spark, sf_dir)

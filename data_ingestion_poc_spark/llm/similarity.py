@@ -1594,8 +1594,7 @@ _MIPS_ORACLE = """
       SELECT q.query_id, c.vec_id,
              list_dot_product(q.qv, c.v) AS ip,
              list_dot_product(q.qv, c.v)
-               / sqrt(mx.m * mx.m - list_dot_product(c.v, c.v)
-                      + list_dot_product(c.v, c.v)
+               / sqrt(list_dot_product(c.v, c.v)
                       + (mx.m * mx.m - list_dot_product(c.v, c.v)))
                AS aug_cos_num
       FROM q JOIN emb c ON c.vec_id <> q.query_id CROSS JOIN mx
@@ -1649,10 +1648,12 @@ def sim_search_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
     ip = dot_double(F.col("qv"), F.col("v"))
     nv2 = dot_double(F.col("v"), F.col("v"))
     m2 = F.col("m") * F.col("m")
-    # augmented-space cosine numerator order: ip / sqrt(m2 - |v|^2 +
-    # |v|^2 + (m2 - |v|^2)) — written exactly as the oracle writes it
-    # so the doubles match bit for bit.
-    aug = ip / F.sqrt(m2 - nv2 + nv2 + (m2 - nv2))
+    # Augmented corpus vector is (v, sqrt(M^2 - |v|^2)); against a
+    # zero-padded query its cosine denominator is the CONSTANT
+    # sqrt(|v|^2 + (M^2 - |v|^2)) = M, which is what makes the
+    # augmented-cosine argmax equal the inner-product argmax.
+    # Written exactly as the oracle writes it so doubles match bitwise.
+    aug = ip / F.sqrt(nv2 + (m2 - nv2))
     scored = pairs.select(
         "query_id", "vec_id", ip.alias("ip"), aug.alias("aug")
     )

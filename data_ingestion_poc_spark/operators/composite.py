@@ -758,10 +758,9 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load(spark, sf_dir)
     baskets = (
         t.lineitem.join(
-            F.broadcast(
-                t.part.select(
-                    F.col("p_partkey").alias("l_partkey"), "p_brand"
-                )
+            # part scales with SF: no hard broadcast hint (AQE decides)
+            t.part.select(
+                F.col("p_partkey").alias("l_partkey"), "p_brand"
             ),
             "l_partkey",
         )
@@ -782,10 +781,19 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = sized.agg(F.countDistinct("okey").alias("n_orders"))
     items = sized.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
-    b2 = sized.select(F.col("okey"), F.col("item").alias("item_b"))
+    # aliased self-join (un-aliased same-lineage attribute refs are the
+    # r5 sort_pareto_skyline defect class)
     pairs = (
-        sized.join(b2, (sized.okey == b2.okey) & (sized.item < b2.item_b))
-        .groupBy(F.col("item").alias("item_a"), "item_b")
+        sized.alias("sa")
+        .join(
+            sized.alias("sb"),
+            (F.col("sa.okey") == F.col("sb.okey"))
+            & (F.col("sa.item") < F.col("sb.item")),
+        )
+        .groupBy(
+            F.col("sa.item").alias("item_a"),
+            F.col("sb.item").alias("item_b"),
+        )
         .agg(F.count(F.lit(1)).alias("n_pair"))
         .where(F.col("n_pair") >= 5)
     )
@@ -1193,7 +1201,9 @@ def q_basket_sequence_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("next_orderkey").isNotNull())
     ob = (
         t.lineitem.join(
-            F.broadcast(t.part.select("p_partkey", "p_brand")),
+            # part scales with SF: no hard broadcast hint — AQE
+            # broadcasts it while small, shuffles it at cluster scale
+            t.part.select("p_partkey", "p_brand"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .select("l_orderkey", "p_brand")
@@ -1409,11 +1419,10 @@ def q_repurchase_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     gaps = (
         t.orders.join(
-            F.broadcast(
-                t.customer.select(
-                    F.col("c_custkey").alias("o_custkey"),
-                    F.col("c_mktsegment").alias("segment"),
-                )
+            # customer scales with SF: no hard broadcast hint (AQE decides)
+            t.customer.select(
+                F.col("c_custkey").alias("o_custkey"),
+                F.col("c_mktsegment").alias("segment"),
             ),
             "o_custkey",
         )
@@ -1633,10 +1642,9 @@ def q_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0)
         )
         .join(
-            F.broadcast(
-                t.part.select(
-                    F.col("p_partkey").alias("l_partkey"), "p_brand"
-                )
+            # part scales with SF: no hard broadcast hint (AQE decides)
+            t.part.select(
+                F.col("p_partkey").alias("l_partkey"), "p_brand"
             ),
             "l_partkey",
         )
@@ -1713,9 +1721,8 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load(spark, sf_dir)
     rev = (
         t.lineitem.join(
-            F.broadcast(
-                t.part.select(F.col("p_partkey").alias("l_partkey"), "p_brand")
-            ),
+            # part scales with SF: no hard broadcast hint (AQE decides)
+            t.part.select(F.col("p_partkey").alias("l_partkey"), "p_brand"),
             "l_partkey",
         )
         .groupBy("p_brand")
@@ -1847,13 +1854,19 @@ def q_full_star_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     one plan (region -> nation -> customer -> orders -> lineitem ->
     part -> supplier), rolled up to revenue and distinct-entity counts
     per (region, brand) — the widest join breadth any report here
-    exercises, and the plan-shape exhibit for Catalyst's join layering:
-    every dimension is broadcast (region/nation/customer/part/supplier
-    are all catalog-scale), so the ONLY shuffle the facts pay is the
-    orders⨝lineitem key exchange plus the final rollup — at 100 TB the
-    star resolves as one pipelined scan of lineitem through five
-    broadcast hash joins. Distinct counts ride the same two-phase
-    machinery as profile_fd_audit.
+    exercises, and the plan-shape exhibit for Catalyst's join layering.
+    Broadcast policy: only the CONSTANT-cardinality dims (region=5,
+    nation=25 rows at every SF) carry a hard F.broadcast hint.
+    customer/part/supplier GROW LINEARLY with SF — at a genuine 100 TB
+    they are tens of GB and a hard hint (which Spark obeys regardless
+    of size) would OOM every executor — so those joins are left to AQE,
+    which broadcasts them while they fit under
+    spark.sql.autoBroadcastJoinThreshold and falls back to shuffle hash
+    / sort-merge beyond it. At fixture scale AQE picks broadcast for
+    all three, so the executed plan is identical to the old hinted one;
+    at cluster scale the plan degrades gracefully instead of failing.
+    Distinct counts ride the same two-phase machinery as
+    profile_fd_audit.
 
     Determinism: money on the 2-dp lattice, counts exact."""
     t = load(spark, sf_dir)
@@ -1863,7 +1876,8 @@ def q_full_star_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(
-            F.broadcast(t.customer.select("c_custkey", "c_nationkey")),
+            # SF-scaling dim: no hard hint — AQE broadcasts while small
+            t.customer.select("c_custkey", "c_nationkey"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .join(
@@ -1875,11 +1889,13 @@ def q_full_star_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_regionkey") == F.col("r_regionkey"),
         )
         .join(
-            F.broadcast(t.part.select("p_partkey", "p_brand")),
+            # SF-scaling dim: no hard hint — AQE broadcasts while small
+            t.part.select("p_partkey", "p_brand"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .join(
-            F.broadcast(t.supplier.select("s_suppkey")),
+            # SF-scaling dim: no hard hint — AQE broadcasts while small
+            t.supplier.select("s_suppkey"),
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
     )

@@ -230,10 +230,16 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("pf") <= TRIANGLE_PART_CAP)
         .drop("pf")
     )
-    b2 = bip.select(F.col("p"), F.col("s").alias("s2"))
+    # aliased self-join (same-lineage attribute refs are the r5
+    # sort_pareto_skyline defect class; `ba.p == bb.p` without aliases
+    # logs "trivially true equals predicate" and breaks on refactor)
     pairs = (
-        bip.join(b2, (bip.p == b2.p) & (bip.s < b2.s2))
-        .groupBy(F.col("s").alias("u"), F.col("s2").alias("v"))
+        bip.alias("ba")
+        .join(
+            bip.alias("bb"),
+            (F.col("ba.p") == F.col("bb.p")) & (F.col("ba.s") < F.col("bb.s")),
+        )
+        .groupBy(F.col("ba.s").alias("u"), F.col("bb.s").alias("v"))
         .agg(F.count(F.lit(1)).alias("shared"))
     )
     edges = pairs.orderBy(

@@ -125,7 +125,8 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load(spark, sf_dir)
     classes = (
         t.orders.join(
-            F.broadcast(
+            # customer scales with SF: no hard broadcast hint (AQE decides)
+            (
                 t.customer.select(
                     F.col("c_custkey").alias("o_custkey"),
                     "c_nationkey",
@@ -176,7 +177,7 @@ DP_RELEASE = "r6"
       SELECT c_nationkey, true_n,
              (CAST(('0x' || substr(md5('{DP_RELEASE}:'
                     || CAST(c_nationkey AS VARCHAR)), 1, 8)) AS BIGINT)
-              % 1000000) / 1000000.0 - 0.5 AS s
+              % 999999 + 0.5) / 1000000.0 - 0.5 AS s
       FROM g
     )
     SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
@@ -226,7 +227,11 @@ def privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             16,
             10,
         ).cast("bigint")
-        % 1_000_000
+        % 999_999
+        # +0.5 keeps |s| < 0.5 strictly: s = -0.5 exactly would make
+        # ln(1 - 2|s|) = -inf, which Spark clamps but DuckDB's
+        # CAST(ROUND(-inf) AS BIGINT) errors out.
+        + 0.5
     ) / 1_000_000.0 - 0.5
     noise = (
         (1.0 / DP_EPSILON)

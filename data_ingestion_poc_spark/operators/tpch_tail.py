@@ -293,7 +293,8 @@ def q_sole_late_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         flagged.where(
             (F.col("late") == 1) & (F.col("nsupp") > 1) & (F.col("nlate") == 1)
         )
-        .join(F.broadcast(t.supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        # supplier scales with SF: no hard broadcast hint (AQE decides)
+        .join(t.supplier, F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")

@@ -109,3 +109,57 @@ def test_allowlist_has_no_stale_entries(rows):
     names = set(registry.all_queries())
     stale = [n for n in SINGLE_PARTITION_OK if n not in names]
     assert not stale, f"SINGLE_PARTITION_OK entries no longer registered: {stale}"
+
+
+# --- r7 source lints: broadcast hints on SF-scaling tables + survey parity
+
+
+def test_broadcast_lint_tree_clean():
+    from tools.plan_audit import lint_broadcast_hints
+
+    pkg = os.path.join(REPO, "data_ingestion_poc_spark")
+    assert lint_broadcast_hints(pkg) == []
+
+
+def test_broadcast_lint_fires_on_deliberate_violation(tmp_path):
+    from tools.plan_audit import lint_broadcast_hints
+
+    bad = tmp_path / "bad.py"
+    bad.write_text(
+        'x = df.join(F.broadcast(t.customer.select("c_custkey")), "k")\n'
+    )
+    hits = lint_broadcast_hints(str(tmp_path))
+    assert len(hits) == 1 and "customer" in hits[0]
+
+
+def test_broadcast_lint_allows_reduced_lineage(tmp_path):
+    from tools.plan_audit import lint_broadcast_hints
+
+    ok = tmp_path / "ok.py"
+    ok.write_text(
+        "a = F.broadcast(t.region)\n"
+        'b = F.broadcast(t.customer.where(F.col("c_acctbal") > 0)'
+        '.select("c_custkey"))\n'
+        'c = F.broadcast(t.orders.groupBy("o_custkey").agg(F.count("*")))\n'
+    )
+    assert lint_broadcast_hints(str(tmp_path)) == []
+
+
+def test_survey_registry_parity():
+    from tools.preflight import survey_registry_gaps
+
+    from data_ingestion_poc_spark import registry
+
+    gaps = survey_registry_gaps(
+        os.path.join(REPO, "SURVEY.md"), set(registry.all_queries())
+    )
+    assert gaps == [], f"registered queries missing a SURVEY.md row: {gaps}"
+
+
+def test_survey_parity_detects_missing_name(tmp_path):
+    from tools.preflight import survey_registry_gaps
+
+    survey = tmp_path / "SURVEY.md"
+    survey.write_text("## 2\n| `agg_hash_group` | x |\n")
+    gaps = survey_registry_gaps(str(survey), {"agg_hash_group", "new_op"})
+    assert gaps == ["new_op"]

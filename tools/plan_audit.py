@@ -248,6 +248,10 @@ SINGLE_PARTITION_OK: dict[str, str] = {
         "share windows over the SOURCE-DOMAIN-bounded token-mix frame "
         "(combinable partials, never document rows)"
     ),
+    "corpus_curate_e2e": (
+        "kept-share window over the SOURCE-DOMAIN-bounded funnel frame "
+        "(combinable partials, never document rows)"
+    ),
     "corpus_importance_weights": (
         "share/weight/ESS windows over the length-bucket-DOMAIN-"
         "bounded count frame"
@@ -294,6 +298,58 @@ SINGLE_PARTITION_OK: dict[str, str] = {
     "scan_range_clustered_contract": "1-row contract frame (independent COUNT(*) partials)",
     "scan_zorder_clustered_contract": "1-row contract frame (independent COUNT(*) partials)",
 }
+
+
+#: TPC-H-ish tables whose row count scales with the fact axis (SF). A hard
+#: ``F.broadcast`` hint on one of these is obeyed by Spark REGARDLESS of
+#: size — fine on the test fixture, OOM on a genuine 100 TB run. Constant
+#: catalog dims (nation=25, region=5 at every SF) are exempt.
+SF_SCALING_TABLES = (
+    "customer", "supplier", "part", "orders", "lineitem",
+    "events", "documents", "embeddings",
+)
+
+#: chained DataFrame calls that REDUCE cardinality enough to justify a
+#: hint on an SF-scaling lineage (a filtered/aggregated/limited derivative
+#: is a query-sized frame, not the table).
+_REDUCING_CALLS = (
+    ".where(", ".filter(", ".groupBy(", ".agg(", ".limit(",
+    ".distinct()", ".dropDuplicates(",
+)
+
+
+def lint_broadcast_hints(pkg_root: str) -> list[str]:
+    """Source lint: flag every ``F.broadcast(t.<sf-scaling-table>...)``
+    whose argument chain never reduces cardinality (select/alias/cast
+    chains keep every row, so the hint forces a full-table broadcast at
+    any SF). Returns 'file:line: message' strings; empty means clean."""
+    out: list[str] = []
+    for dirpath, _dirs, files in os.walk(pkg_root):
+        for fname in files:
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fname)
+            with open(path) as f:
+                src = f.read()
+            for m in re.finditer(r"F\.broadcast\(", src):
+                # extract the balanced-paren argument
+                depth, i = 1, m.end()
+                while i < len(src) and depth:
+                    depth += {"(": 1, ")": -1}.get(src[i], 0)
+                    i += 1
+                arg = src[m.end():i - 1].strip()
+                tm = re.match(
+                    r"t\.(%s)\b" % "|".join(SF_SCALING_TABLES), arg
+                )
+                if tm and not any(c in arg for c in _REDUCING_CALLS):
+                    line = src[:m.start()].count("\n") + 1
+                    out.append(
+                        f"{os.path.relpath(path, pkg_root)}:{line}: hard "
+                        f"F.broadcast on SF-scaling table '{tm.group(1)}' "
+                        "with no cardinality-reducing call in the chain "
+                        "(drop the hint and let AQE decide, or filter first)"
+                    )
+    return out
 
 
 def audit(df) -> dict:
@@ -343,6 +399,16 @@ def main() -> None:
     args = ap.parse_args()
     if args.update:
         args.only = args.update
+    pkg = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "data_ingestion_poc_spark",
+    )
+    hint_violations = lint_broadcast_hints(pkg)
+    if hint_violations:
+        for v in hint_violations:
+            print(f"BROADCAST LINT: {v}", file=sys.stderr)
+        sys.exit(1)
+
     spark = get_spark(app_name="dip-plan-audit")
     qs = registry.all_queries()
 
