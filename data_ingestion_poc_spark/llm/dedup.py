@@ -589,14 +589,17 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    # Size the CC working set to the EDGE count (cheap on the
-    # checkpointed pair graph), not the session's corpus-scale
-    # shuffle.partitions: the graph is output-bound (near-dup pairs,
-    # orders of magnitude smaller than the corpus), and per-iteration
-    # fixed costs (empty tasks x rounds) otherwise dominate the loop.
-    edges = edges.localCheckpoint()
+    # Size the CC working set to the EDGE count, not the session's
+    # corpus-scale shuffle.partitions: the graph is output-bound
+    # (near-dup pairs, orders of magnitude smaller than the corpus),
+    # and per-iteration fixed costs (empty tasks x rounds) otherwise
+    # dominate the loop. The count comes off the PAIR frame — already
+    # checkpointed by jaccard_pairs_checkpointed — so the edge union is
+    # materialized exactly once (r7 profile: the old
+    # checkpoint-count-repartition-checkpoint shape wrote the edge set
+    # twice for no information gain; tools/profile_cc.py).
     n_parts = max(1, min(int(spark.conf.get("spark.sql.shuffle.partitions")),
-                         edges.count() // 100_000 + 1))
+                         (2 * pairs.count()) // 100_000 + 1))
     edges = edges.repartition(n_parts, "dst").localCheckpoint()
     labels = (
         edges.select(F.col("src").alias("doc_id"))
