@@ -339,3 +339,64 @@ def sample_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kept_id_sum",
         )
     )
+
+
+#: Systematic-sampling stride: keep every K-th row of the hash-ordered
+#: stream (a deterministic 1-in-K sample with EXACT per-class rates,
+#: unlike Bernoulli whose realized rate wobbles).
+SYSTEMATIC_K = 10
+
+_SYSTEMATIC_ORACLE = f"""
+    WITH ranked AS (
+      SELECT event_id, event_type,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY md5('sys:' ||
+                                             CAST(event_id AS VARCHAR)),
+                                         event_id) AS rk
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN (rk - 1) % {SYSTEMATIC_K} = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN (rk - 1) % {SYSTEMATIC_K} = 0
+                         THEN event_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+    FROM ranked GROUP BY event_type
+"""
+
+
+@register("sample_systematic", oracle=_SYSTEMATIC_ORACLE)
+def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic 1-in-{SYSTEMATIC_K} sample per event type: rows are
+    ordered by a content hash (md5 of the id under a fixed salt — the
+    sampling.py convention) and every {SYSTEMATIC_K}-th row is kept.
+    Versus sample_bernoulli this guarantees the EXACT per-class rate
+    (ceil(n/K), no realized-rate wobble) with perfectly even coverage
+    of the hash order — the classic survey-sampling design, and the
+    deterministic analog of evenly-strided shard reads. Emits the
+    per-class manifest summary with the kept-id-sum fingerprint
+    (engines that picked different members cannot agree on it).
+
+    Scale shape: one window over the class partitioning (the
+    sample_class_balance cost shape); selection is total-ordered
+    (md5, then id) so the kept set is unique and append-stable."""
+    t = load(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(
+            F.concat(F.lit("sys:"), F.col("event_id").cast("string")).cast(
+                "binary"
+            )
+        ),
+        "event_id",
+    )
+    ranked = t.events.select(
+        "event_id", "event_type", F.row_number().over(w).alias("rk")
+    )
+    kept = ((F.col("rk") - 1) % SYSTEMATIC_K) == 0
+    return ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum(F.when(kept, F.col("event_id")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_id_sum"),
+    )

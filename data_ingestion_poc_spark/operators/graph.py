@@ -875,3 +875,171 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_directed_edges"),
         (F.floor(r * 1_000_000) / 1_000_000).alias("assortativity"),
     )
+
+
+_CLUSTERING_COEF_ORACLE = f"""
+    WITH bip0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+    keep AS (SELECT p FROM bip0 GROUP BY p HAVING COUNT(*) <= {TRIANGLE_PART_CAP}),
+    bip AS (SELECT bip0.p, bip0.s FROM bip0 JOIN keep USING (p)),
+    pairs AS (
+      SELECT a.s AS u, b.s AS v, COUNT(*) AS shared
+      FROM bip a JOIN bip b ON a.p = b.p AND a.s < b.s
+      GROUP BY a.s, b.s
+    ),
+    edges AS (
+      SELECT u, v FROM pairs
+      ORDER BY shared DESC, u, v LIMIT {TRIANGLE_BACKBONE}
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+      ) GROUP BY node
+    ),
+    oriented AS (
+      SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS src,
+             CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS dst
+      FROM edges e
+      JOIN deg du ON du.node = e.u
+      JOIN deg dv ON dv.node = e.v
+    ),
+    tris AS (
+      SELECT o1.src AS a, o1.dst AS b, o2.dst AS c
+      FROM oriented o1
+      JOIN oriented o2 ON o2.src = o1.dst
+      JOIN oriented o3 ON o3.src = o1.src AND o3.dst = o2.dst
+    ),
+    tcnt AS (
+      SELECT node, COUNT(*) AS n_tri
+      FROM (SELECT a AS node FROM tris UNION ALL
+            SELECT b FROM tris UNION ALL SELECT c FROM tris)
+      GROUP BY node
+    )
+    SELECT deg.node, CAST(deg.d AS BIGINT) AS degree,
+           CAST(COALESCE(tcnt.n_tri, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN deg.d >= 2
+                THEN floor(2.0 * COALESCE(tcnt.n_tri, 0)
+                           / (deg.d * (deg.d - 1)) * 10000) / 10000
+           END AS local_cc
+    FROM deg LEFT JOIN tcnt USING (node)
+"""
+
+
+@register("graph_clustering_coefficient", oracle=_CLUSTERING_COEF_ORACLE)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node of the supplier
+    co-occurrence backbone: cc = triangles / C(degree, 2) — how close a
+    node's neighborhood is to a clique, THE community-tightness number
+    graph_triangle_count's raw counts feed (a hub with 100 triangles
+    over 50 neighbors is LOOSE at cc 0.08; a 5-neighbor node with 10 is
+    a clique). Null for degree-1 nodes (undefined denominator).
+
+    Scale/determinism: identical staged plan to graph_triangle_count
+    (capped bipartite -> top-K backbone -> degree-ordered orientation ->
+    two wedge equi-joins, graph.py:199 doctrine) plus one degree left
+    join on the BACKBONE-bounded node frame; cc floor-quantizes an
+    identical-ints division."""
+    t = load(spark, sf_dir)
+    tri = graph_triangle_count(spark, sf_dir).select(
+        "node", F.col("n_triangles").alias("n_tri")
+    )
+    # recompute the backbone degree frame (bounded by TRIANGLE_BACKBONE
+    # edges; all stages below TakeOrderedAndProject-sized)
+    bip0 = t.lineitem.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    w_part = Window.partitionBy("p")
+    bip = (
+        bip0.withColumn("pf", F.count(F.lit(1)).over(w_part))
+        .where(F.col("pf") <= TRIANGLE_PART_CAP)
+        .drop("pf")
+    )
+    pairs = (
+        bip.alias("ba")
+        .join(
+            bip.alias("bb"),
+            (F.col("ba.p") == F.col("bb.p")) & (F.col("ba.s") < F.col("bb.s")),
+        )
+        .groupBy(F.col("ba.s").alias("u"), F.col("bb.s").alias("v"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    edges = (
+        pairs.orderBy(F.col("shared").desc(), "u", "v")
+        .limit(TRIANGLE_BACKBONE)
+        .select("u", "v")
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    n_tri = F.coalesce(F.col("n_tri"), F.lit(0))
+    cc = F.when(
+        F.col("d") >= 2,
+        F.floor(
+            2.0 * n_tri / (F.col("d") * (F.col("d") - 1)) * 10_000
+        )
+        / 10_000,
+    )
+    return deg.join(F.broadcast(tri), "node", "left").select(
+        "node",
+        F.col("d").cast("bigint").alias("degree"),
+        n_tri.cast("bigint").alias("n_triangles"),
+        cc.alias("local_cc"),
+    )
+
+
+_DEGREE_POWERLAW_ORACLE = """
+    WITH bip AS (
+      SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+    ),
+    deg AS (SELECT s, COUNT(*) AS d FROM bip GROUP BY s),
+    hist AS (SELECT d AS degree, COUNT(*) AS n_nodes FROM deg GROUP BY d)
+    SELECT CAST(degree AS BIGINT) AS degree,
+           CAST(n_nodes AS BIGINT) AS n_nodes,
+           ROUND((SELECT regr_slope(ln(n_nodes * 1.0), ln(degree * 1.0))
+                  FROM hist), 4) AS powerlaw_slope,
+           ROUND((SELECT regr_r2(ln(n_nodes * 1.0), ln(degree * 1.0))
+                  FROM hist), 4) AS fit_r2
+    FROM hist
+"""
+
+
+@register("graph_degree_powerlaw", oracle=_DEGREE_POWERLAW_ORACLE)
+def graph_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the part->supplier bipartite graph's
+    supplier side, with a log-log OLS slope — the scale-free check
+    (straight log-log line with slope around -2..-3 = power law) that
+    decides whether hub-aware plans (degree-ordered triangle
+    orientation, df-caps, skew salting) are NEEDED on this graph or
+    merely defensive. The one-number topology classifier beside
+    graph_assortativity's mixing number.
+
+    Scale/determinism: degrees are one distinct + one combinable count;
+    the histogram is bounded by MAX DEGREE (not node count), and the
+    regression runs via native regr_* over that bounded frame
+    (text_zipf_fit doctrine — same aggregates, same 4-dp rounding)."""
+    t = load(spark, sf_dir)
+    deg = (
+        t.lineitem.select(
+            F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+        )
+        .distinct()
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    hist = deg.groupBy(F.col("d").alias("degree")).agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
+    ly = F.log(F.col("n_nodes").cast("double"))
+    lx = F.log(F.col("degree").cast("double"))
+    fit = hist.agg(
+        F.round(F.regr_slope(ly, lx), 4).alias("powerlaw_slope"),
+        F.round(F.regr_r2(ly, lx), 4).alias("fit_r2"),
+    )
+    return hist.crossJoin(F.broadcast(fit)).select(
+        F.col("degree").cast("bigint").alias("degree"),
+        F.col("n_nodes").cast("bigint").alias("n_nodes"),
+        "powerlaw_slope",
+        "fit_r2",
+    )

@@ -246,3 +246,159 @@ def privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(DP_EPSILON).alias("epsilon"),
         F.round(F.lit(1.0 / DP_EPSILON), 4).alias("laplace_scale"),
     )
+
+
+#: t-closeness release threshold (Li, Li & Venkatasubramanian 2007's
+#: illustrative t): a QI class whose sensitive-attribute distribution
+#: sits further than this EMD from the global one leaks attribute
+#: information even when k-anonymity and l-diversity both pass.
+T_CLOSE_MAX = 0.2
+
+_T_CLOSE_ORACLE = f"""
+    WITH joined AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / {ACCTBAL_BAND}) AS BIGINT) AS bal_band,
+             o_orderpriority
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    pr AS (SELECT DISTINCT o_orderpriority FROM joined),
+    cls AS (
+      SELECT DISTINCT c_nationkey, c_mktsegment, bal_band FROM joined
+    ),
+    cell AS (
+      SELECT cls.c_nationkey, cls.c_mktsegment, cls.bal_band,
+             pr.o_orderpriority,
+             COALESCE(j.c, 0) AS c
+      FROM cls CROSS JOIN pr
+      LEFT JOIN (
+        SELECT c_nationkey, c_mktsegment, bal_band, o_orderpriority,
+               COUNT(*) AS c
+        FROM joined GROUP BY 1, 2, 3, 4
+      ) j USING (c_nationkey, c_mktsegment, bal_band, o_orderpriority)
+    ),
+    gdist AS (
+      SELECT o_orderpriority, COUNT(*) AS g,
+             SUM(COUNT(*)) OVER () AS big_n,
+             COUNT(*) OVER () AS m
+      FROM joined GROUP BY o_orderpriority
+    ),
+    cum AS (
+      SELECT cell.c_nationkey, cell.c_mktsegment, cell.bal_band,
+             cell.o_orderpriority,
+             SUM(cell.c) OVER (PARTITION BY cell.c_nationkey,
+                               cell.c_mktsegment, cell.bal_band
+                               ORDER BY cell.o_orderpriority) AS cum_c,
+             SUM(cell.c) OVER (PARTITION BY cell.c_nationkey,
+                               cell.c_mktsegment, cell.bal_band) AS n_cls,
+             SUM(gdist.g) OVER (PARTITION BY cell.c_nationkey,
+                               cell.c_mktsegment, cell.bal_band
+                               ORDER BY cell.o_orderpriority) AS cum_g,
+             gdist.big_n, gdist.m
+      FROM cell JOIN gdist USING (o_orderpriority)
+    ),
+    emd AS (
+      SELECT c_nationkey, c_mktsegment, bal_band,
+             MAX(n_cls) AS n,
+             SUM(CASE WHEN o_orderpriority <> (SELECT MAX(o_orderpriority)
+                                               FROM pr)
+                      THEN abs(big_n * cum_c - n_cls * cum_g)
+                      ELSE 0 END) AS numer,
+             MAX(big_n) AS big_n, MAX(m) AS m
+      FROM cum GROUP BY 1, 2, 3
+    )
+    SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+           c_mktsegment,
+           bal_band,
+           CAST(n AS BIGINT) AS n,
+           ROUND(numer / (CAST(n AS DOUBLE) * big_n * (m - 1)), 6)
+             AS emd,
+           numer / (CAST(n AS DOUBLE) * big_n * (m - 1)) <= {T_CLOSE_MAX}
+             AS t_close_ok
+    FROM emd
+"""
+
+
+@register("privacy_t_closeness", oracle=_T_CLOSE_ORACLE)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit per QI class (nation, segment, balance band):
+    ordinal earth-mover's distance between each class's order-priority
+    distribution and the GLOBAL one, judged at t <= {T_CLOSE_MAX} — the
+    third rung of the release ladder (privacy_k_anonymity counts class
+    sizes, privacy_l_diversity counts distinct sensitive values; this
+    catches the skew attack both miss, where a class is big and diverse
+    but 90% one priority). For an ordered attribute EMD reduces to the
+    mean absolute difference of the cumulative distributions.
+
+    Scale/determinism: facts reduce to the (QI x priority)-DOMAIN cell
+    frame (combinable counts; the dense cross join is class-count x 5
+    rows); each cumulative-gap term is the EXACT INTEGER
+    |N*cumC - n*cumG| (common-denominator rationals, no float
+    accumulation), so the EMD is one exact integer fold per class
+    divided once at the end."""
+    t = load(spark, sf_dir)
+    joined = t.orders.join(
+        t.customer.select(
+            F.col("c_custkey").alias("o_custkey"),
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / ACCTBAL_BAND)
+            .cast("bigint")
+            .alias("bal_band"),
+        ),
+        "o_custkey",
+    ).select("c_nationkey", "c_mktsegment", "bal_band", "o_orderpriority")
+    qi = ["c_nationkey", "c_mktsegment", "bal_band"]
+    counts = joined.groupBy(*qi, "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    glob = joined.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("g"))
+    w_all = Window.partitionBy()
+    glob = glob.select(
+        "o_orderpriority",
+        "g",
+        F.sum("g").over(w_all).alias("big_n"),
+        F.count(F.lit(1)).over(w_all).alias("m"),
+        F.max("o_orderpriority").over(w_all).alias("last_p"),
+    )
+    cls = counts.select(*qi).distinct()
+    dense = cls.crossJoin(F.broadcast(glob)).join(
+        counts, [*qi, "o_orderpriority"], "left"
+    ).fillna({"c": 0})
+    w_cum = Window.partitionBy(*qi).orderBy("o_orderpriority")
+    w_cls = Window.partitionBy(*qi)
+    cum = dense.select(
+        *qi,
+        "o_orderpriority",
+        "big_n",
+        "m",
+        "last_p",
+        F.sum("c").over(w_cum).alias("cum_c"),
+        F.sum("c").over(w_cls).alias("n_cls"),
+        F.sum("g").over(w_cum).alias("cum_g"),
+    )
+    emd_units = F.sum(
+        F.when(
+            F.col("o_orderpriority") != F.col("last_p"),
+            F.abs(
+                F.col("big_n") * F.col("cum_c")
+                - F.col("n_cls") * F.col("cum_g")
+            ),
+        ).otherwise(F.lit(0))
+    )
+    out = cum.groupBy(*qi).agg(
+        F.max("n_cls").alias("n"),
+        emd_units.alias("numer"),
+        F.max("big_n").alias("big_n"),
+        F.max("m").alias("m"),
+    )
+    emd = F.col("numer") / (
+        F.col("n").cast("double") * F.col("big_n") * (F.col("m") - 1)
+    )
+    return out.select(
+        F.col("c_nationkey").cast("bigint").alias("c_nationkey"),
+        "c_mktsegment",
+        "bal_band",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(emd, 6).alias("emd"),
+        (emd <= T_CLOSE_MAX).alias("t_close_ok"),
+    )

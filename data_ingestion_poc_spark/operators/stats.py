@@ -1985,3 +1985,477 @@ def agg_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("mass") / F.sum("mass").over(w_all).cast("double"), 6
         ).alias("stationary_share"),
     )
+
+
+from .aggregates import MOMENTS_SHIFT  # noqa: E402  (shared conditioning shift)
+
+_JB_ORACLE = f"""
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             SUM(l_extendedprice - {{shift}})             AS s1,
+             SUM(POWER(l_extendedprice - {{shift}}, 2))   AS s2,
+             SUM(POWER(l_extendedprice - {{shift}}, 3))   AS s3,
+             SUM(POWER(l_extendedprice - {{shift}}, 4))   AS s4
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    m AS (
+      SELECT l_returnflag, n,
+             s1 / n AS m1,
+             s2 / n - POWER(s1 / n, 2) AS m2,
+             s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * POWER(s1 / n, 3) AS m3,
+             s4 / n - 4 * (s1 / n) * (s3 / n)
+                    + 6 * POWER(s1 / n, 2) * (s2 / n)
+                    - 3 * POWER(s1 / n, 4) AS m4
+      FROM s
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           ROUND(m3 / POWER(m2, 1.5), 4) AS skewness,
+           ROUND(m4 / POWER(m2, 2) - 3, 4) AS excess_kurtosis,
+           ROUND(n / 6.0 * (POWER(m3 / POWER(m2, 1.5), 2)
+                 + POWER(m4 / POWER(m2, 2) - 3, 2) / 4.0), 2) AS jb_stat,
+           n / 6.0 * (POWER(m3 / POWER(m2, 1.5), 2)
+                 + POWER(m4 / POWER(m2, 2) - 3, 2) / 4.0) <= 5.9915
+             AS looks_normal
+    FROM m
+"""
+
+
+@register(
+    "agg_jarque_bera",
+    oracle=_JB_ORACLE.replace("{shift}", str(MOMENTS_SHIFT)),
+)
+def agg_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test per return flag: JB = n/6 * (S^2 +
+    K^2/4) from the same shifted single-pass power sums as agg_moments,
+    judged against the chi-squared(2) 5% critical value 5.9915 — the
+    assumption gate in front of every z/t-based monitor in this engine
+    (agg_t_test, win_zscore_anomaly, win_bollinger assume roughly
+    normal inputs; JB is the cheap screen that says when they lie).
+    Price data is right-skewed, so the expected verdict here is NOT
+    normal — the test failing on real revenue is the point.
+
+    Scale/determinism: one combinable aggregate (4 power sums per
+    group, agg_moments' MOMENTS_SHIFT conditioning trick), arithmetic
+    on the group-domain frame; rounded at 4/2 dp like agg_moments."""
+    t = load(spark, sf_dir)
+    x = F.col("l_extendedprice") - MOMENTS_SHIFT
+    s = t.lineitem.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("s1"),
+        F.sum(F.pow(x, 2)).alias("s2"),
+        F.sum(F.pow(x, 3)).alias("s3"),
+        F.sum(F.pow(x, 4)).alias("s4"),
+    )
+    m1 = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n") - F.pow(m1, 2)
+    m3 = (
+        F.col("s3") / F.col("n")
+        - 3 * m1 * (F.col("s2") / F.col("n"))
+        + 2 * F.pow(m1, 3)
+    )
+    m4 = (
+        F.col("s4") / F.col("n")
+        - 4 * m1 * (F.col("s3") / F.col("n"))
+        + 6 * F.pow(m1, 2) * (F.col("s2") / F.col("n"))
+        - 3 * F.pow(m1, 4)
+    )
+    skew = m3 / F.pow(m2, 1.5)
+    exk = m4 / F.pow(m2, 2) - 3
+    jb = F.col("n") / 6.0 * (F.pow(skew, 2) + F.pow(exk, 2) / 4.0)
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(skew, 4).alias("skewness"),
+        F.round(exk, 4).alias("excess_kurtosis"),
+        F.round(jb, 2).alias("jb_stat"),
+        (jb <= 5.9915).alias("looks_normal"),
+    )
+
+
+#: F(k-1, inf) 5% critical value for k=5 groups (numerator dof 4): the
+#: denominator dof N-k is ~corpus-sized, so the F distribution is its
+#: chi2(4)/4 limit. Literal because neither engine ships an inverse CDF.
+LEVENE_F_CRIT_4_INF = 2.3719
+
+_LEVENE_ORACLE = f"""
+    WITH ev AS (
+      SELECT event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    med AS (
+      SELECT event_type, quantile_cont(cents * 1.0, 0.5) AS med
+      FROM ev GROUP BY event_type
+    ),
+    z AS (
+      SELECT ev.event_type, abs(cents - med) AS z
+      FROM ev JOIN med USING (event_type)
+    ),
+    g AS (
+      SELECT event_type, COUNT(*) AS nj, SUM(z) AS sz, SUM(z * z) AS szz
+      FROM z GROUP BY event_type
+    ),
+    tot AS (
+      SELECT SUM(nj) AS n, COUNT(*) AS k, SUM(sz) AS s_all FROM g
+    ),
+    parts AS (
+      SELECT (SELECT SUM(nj * POWER(sz / nj - s_all / n, 2))
+              FROM g, tot) AS ssb,
+             (SELECT SUM(szz - sz * sz / CAST(nj AS DOUBLE)) FROM g) AS ssw,
+             n, k
+      FROM tot
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(k AS BIGINT) AS k,
+           ROUND((n - k) / (k - 1.0) * ssb / ssw, 4) AS w_stat,
+           (n - k) / (k - 1.0) * ssb / ssw > {LEVENE_F_CRIT_4_INF}
+             AS variances_differ
+    FROM parts
+"""
+
+
+@register("agg_levene_test", oracle=_LEVENE_ORACLE)
+def agg_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe homogeneity-of-variance test across the event-type
+    arms (Levene's test with the MEDIAN center — the robust form):
+    W = ((N-k)/(k-1)) * SSB(z)/SSW(z) over z = |x - median_group|,
+    vs F(k-1, inf) at 5%. THE assumption check in front of
+    agg_anova_oneway (pooled-variance ANOVA is anticonservative under
+    heteroscedasticity) — ANOVA's own docstring assumes it; now it is
+    executable.
+
+    Scale/determinism: medians are exact .0/.5 values on the integer
+    CENTS lattice per group (interpolated percentile; approx_percentile
+    at 100 TB); z is an exact half-integer per row (< 2^53, so the
+    doubles are exact), making every SUM (z, z^2, counts) an order-free
+    exact fold; W is one identical double expression over the k-row
+    group frame."""
+    t = load(spark, sf_dir)
+    ev = t.events.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    # interpolated median (Spark percentile == DuckDB quantile_cont
+    # bit-identically — the agg_winsorized_mean precedent); on the
+    # integer cents lattice it is an exact .0/.5 double, so |x - med|
+    # and its square stay exact in both engines.
+    med = ev.groupBy("event_type").agg(
+        F.percentile("cents", F.lit(0.5)).alias("med")
+    )
+    z = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("cents") - F.col("med")).alias("z")
+    )
+    g = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nj"),
+        F.sum("z").alias("sz"),
+        F.sum(F.col("z") * F.col("z")).alias("szz"),
+    )
+    tot = g.agg(
+        F.sum("nj").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum("sz").alias("s_all"),
+    )
+    parts = g.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.col("nj")
+            * F.pow(
+                F.col("sz") / F.col("nj") - F.col("s_all") / F.col("n"), 2
+            )
+        ).alias("ssb"),
+        F.sum(
+            F.col("szz") - F.col("sz") * F.col("sz") / F.col("nj").cast("double")
+        ).alias("ssw"),
+        F.max("n").alias("n"),
+        F.max("k").alias("k"),
+    )
+    w = (F.col("n") - F.col("k")) / (F.col("k") - 1.0) * F.col("ssb") / F.col("ssw")
+    return parts.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("k").cast("bigint").alias("k"),
+        F.round(w, 4).alias("w_stat"),
+        (w > LEVENE_F_CRIT_4_INF).alias("variances_differ"),
+    )
+
+
+#: Cohen's conventional effect-size benchmarks (small/medium/large).
+COHEN_BENCH = ((0.8, "large"), (0.5, "medium"), (0.2, "small"))
+
+_COHENS_D_ORACLE = """
+    WITH g AS (
+      SELECT event_type, COUNT(*) AS n, AVG(value) AS m, VAR_SAMP(value) AS v
+      FROM events WHERE event_type IN ('purchase', 'click')
+      GROUP BY event_type
+    ),
+    p AS (
+      SELECT
+        (SELECT n FROM g WHERE event_type = 'purchase') AS na,
+        (SELECT m FROM g WHERE event_type = 'purchase') AS ma,
+        (SELECT v FROM g WHERE event_type = 'purchase') AS va,
+        (SELECT n FROM g WHERE event_type = 'click') AS nb,
+        (SELECT m FROM g WHERE event_type = 'click') AS mb,
+        (SELECT v FROM g WHERE event_type = 'click') AS vb
+    ),
+    d AS (
+      SELECT na, nb, ma, mb,
+             (ma - mb) / sqrt(((na - 1) * va + (nb - 1) * vb)
+                              / (na + nb - 2.0)) AS d
+      FROM p
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           ROUND(ma, 4) AS mean_a, ROUND(mb, 4) AS mean_b,
+           ROUND(d, 4) AS cohens_d,
+           CASE WHEN abs(d) >= 0.8 THEN 'large'
+                WHEN abs(d) >= 0.5 THEN 'medium'
+                WHEN abs(d) >= 0.2 THEN 'small'
+                ELSE 'negligible' END AS magnitude
+    FROM d
+"""
+
+
+@register("agg_cohens_d", oracle=_COHENS_D_ORACLE)
+def agg_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d effect size between the purchase and click value arms —
+    the number agg_t_test's significance verdict does NOT give you: at
+    fact-table sample sizes everything is "significant", and d (pooled
+    standard-deviation units) is what says whether the difference
+    MATTERS (0.2/0.5/0.8 = small/medium/large). agg_power_analysis
+    consumes exactly this quantity as its input assumption; now the
+    observed value is an operator.
+
+    Scale/determinism: same combinable (n, mean, var) arm summaries as
+    agg_t_test (one scan, 2-row frame); d is one identical double
+    expression; the magnitude label is a threshold CASE on the same
+    rounded lattice both engines compute."""
+    t = load(spark, sf_dir)
+    g = (
+        t.events.where(F.col("event_type").isin("purchase", "click"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("value").alias("m"),
+            F.var_samp("value").alias("v"),
+        )
+    )
+    a = g.where(F.col("event_type") == "purchase").select(
+        F.col("n").alias("na"), F.col("m").alias("ma"), F.col("v").alias("va")
+    )
+    b = g.where(F.col("event_type") == "click").select(
+        F.col("n").alias("nb"), F.col("m").alias("mb"), F.col("v").alias("vb")
+    )
+    pooled = F.sqrt(
+        ((F.col("na") - 1) * F.col("va") + (F.col("nb") - 1) * F.col("vb"))
+        / (F.col("na") + F.col("nb") - 2.0)
+    )
+    d = (F.col("ma") - F.col("mb")) / pooled
+    return a.crossJoin(b).select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.round("ma", 4).alias("mean_a"),
+        F.round("mb", 4).alias("mean_b"),
+        F.round(d, 4).alias("cohens_d"),
+        F.when(F.abs(d) >= 0.8, "large")
+        .when(F.abs(d) >= 0.5, "medium")
+        .when(F.abs(d) >= 0.2, "small")
+        .otherwise("negligible")
+        .alias("magnitude"),
+    )
+
+
+_THEIL_ORACLE = """
+    WITH ev AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value > 0
+    ),
+    dom AS (
+      SELECT event_type, cents, COUNT(*) AS c
+      FROM ev GROUP BY event_type, cents
+    ),
+    mu AS (
+      SELECT event_type, SUM(c * cents) AS s, SUM(c) AS n
+      FROM dom GROUP BY event_type
+    ),
+    cells AS (
+      SELECT d.event_type, d.c,
+             CAST(floor(d.c * (d.cents / (s / CAST(n AS DOUBLE)))
+                        * ln(d.cents / (s / CAST(n AS DOUBLE)))
+                        * 1000000) AS BIGINT) AS t_units
+      FROM dom d JOIN mu USING (event_type)
+    )
+    SELECT c.event_type,
+           CAST(m.n AS BIGINT) AS n,
+           ROUND(m.s / CAST(m.n AS DOUBLE) / 100.0, 4) AS mean_value,
+           ROUND(SUM(c.t_units) / 1000000.0 / m.n, 6) AS theil_t
+    FROM cells c JOIN mu m USING (event_type)
+    GROUP BY c.event_type, m.n, m.s
+"""
+
+
+@register("agg_theil_index", oracle=_THEIL_ORACLE)
+def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of event value per type — the
+    DECOMPOSABLE inequality measure (unlike agg_gini, Theil splits
+    exactly into within-group + between-group terms, which is why
+    economists use it to attribute concentration to segments). T =
+    (1/n) * sum((x/mu) * ln(x/mu)); 0 = perfectly equal, ln(n) = one
+    row holds everything.
+
+    Scale/determinism: rows reduce to the (type, cents)-DOMAIN frame
+    (<= 49k cells per type at any fact size — the agg_mann_whitney
+    bound); mu = exact integer sums' single division; each cell's
+    c*(x/mu)*ln(x/mu) term quantizes to integer MICRO-UNITS before the
+    sum, so the only cross-engine doubles are per-cell identical
+    expressions, and the fold is an exact integer sum (the stats-module
+    lattice doctrine)."""
+    t = load(spark, sf_dir)
+    dom = (
+        t.events.where(F.col("value") > 0)
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    mu = dom.groupBy("event_type").agg(
+        F.sum(F.col("c") * F.col("cents")).alias("s"),
+        F.sum("c").alias("n"),
+    )
+    ratio = F.col("cents") / (F.col("s") / F.col("n").cast("double"))
+    cells = dom.join(F.broadcast(mu), "event_type").select(
+        "event_type",
+        "n",
+        "s",
+        F.floor(F.col("c") * ratio * F.log(ratio) * 1_000_000)
+        .cast("bigint")
+        .alias("t_units"),
+    )
+    return cells.groupBy("event_type", "n", "s").agg(
+        F.sum("t_units").alias("tu")
+    ).select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("s") / F.col("n").cast("double") / 100.0, 4).alias(
+            "mean_value"
+        ),
+        F.round(F.col("tu") / 1_000_000.0 / F.col("n"), 6).alias("theil_t"),
+    )
+
+
+_SPEARMAN_ORACLE = """
+    WITH li AS (
+      SELECT l_returnflag AS flag,
+             CAST(l_quantity AS BIGINT) AS q,
+             CAST(ROUND(l_discount * 100) AS BIGINT) AS d
+      FROM lineitem
+    ),
+    mq AS (
+      SELECT flag, q,
+             2 * COALESCE(SUM(c) OVER (PARTITION BY flag ORDER BY q
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + c + 1 AS r2
+      FROM (SELECT flag, q, COUNT(*) AS c FROM li GROUP BY flag, q)
+    ),
+    md AS (
+      SELECT flag, d,
+             2 * COALESCE(SUM(c) OVER (PARTITION BY flag ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + c + 1 AS r2
+      FROM (SELECT flag, d, COUNT(*) AS c FROM li GROUP BY flag, d)
+    ),
+    joint AS (
+      SELECT flag, q, d, COUNT(*) AS c FROM li GROUP BY flag, q, d
+    ),
+    s AS (
+      SELECT j.flag,
+             SUM(j.c) AS n,
+             SUM(j.c * mq.r2) AS sx,
+             SUM(j.c * md.r2) AS sy,
+             SUM(j.c * mq.r2 * mq.r2) AS sxx,
+             SUM(j.c * md.r2 * md.r2) AS syy,
+             SUM(j.c * mq.r2 * md.r2) AS sxy
+      FROM joint j
+      JOIN mq ON mq.flag = j.flag AND mq.q = j.q
+      JOIN md ON md.flag = j.flag AND md.d = j.d
+      GROUP BY j.flag
+    )
+    SELECT flag AS l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                        * (CAST(n AS DOUBLE) * syy
+                           - CAST(sy AS DOUBLE) * sy)), 6) AS spearman_rho
+    FROM s
+"""
+
+
+@register("agg_spearman_corr", oracle=_SPEARMAN_ORACLE)
+def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between quantity and discount per
+    return flag — the MONOTONE-association measure (agg_stats_corr's
+    Pearson sees only linear relationships and is wrecked by heavy
+    tails; rank correlation is the robust default for fact data). Ties
+    get textbook AVERAGE ranks.
+
+    The distributed trick: both variables live on tiny DOMAINS
+    (quantity 1..50, discount 0..10 cents-of-rate), so average ranks
+    come from the cumulative marginal counts over those domain frames —
+    rank tables of <= 50/11 rows per flag, never a corpus-scale window.
+    DOUBLED average ranks (2*cum_before + c + 1) keep every rank an
+    INTEGER, so all six sufficient statistics are exact integer folds
+    over the <= 550-cell joint frame; Spark sums them as decimal(38,0)
+    (rank products reach ~4n^3, past 2^63 at sf >= 1) matching DuckDB's
+    int128, and rho is one identical double expression per flag."""
+    t = load(spark, sf_dir)
+    li = t.lineitem.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("d"),
+    )
+
+    def marg(col: str):
+        c = li.groupBy("flag", col).agg(F.count(F.lit(1)).alias("c"))
+        w = (
+            Window.partitionBy("flag")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return c.select(
+            "flag",
+            col,
+            (
+                2 * F.coalesce(F.sum("c").over(w), F.lit(0))
+                + F.col("c")
+                + 1
+            ).alias("r2"),
+        )
+
+    joint = li.groupBy("flag", "q", "d").agg(F.count(F.lit(1)).alias("c"))
+    dec = "decimal(38,0)"
+    s = (
+        joint.join(F.broadcast(marg("q")).withColumnRenamed("r2", "rx"), ["flag", "q"])
+        .join(F.broadcast(marg("d")).withColumnRenamed("r2", "ry"), ["flag", "d"])
+        .groupBy("flag")
+        .agg(
+            F.sum("c").alias("n"),
+            # cast to decimal BEFORE multiplying: the triple products
+            # reach ~4n^3 and would overflow LONG mid-expression at
+            # sf >= 1 if multiplied first
+            F.sum(F.col("c").cast(dec) * F.col("rx")).alias("sx"),
+            F.sum(F.col("c").cast(dec) * F.col("ry")).alias("sy"),
+            F.sum(F.col("c").cast(dec) * F.col("rx") * F.col("rx")).alias("sxx"),
+            F.sum(F.col("c").cast(dec) * F.col("ry") * F.col("ry")).alias("syy"),
+            F.sum(F.col("c").cast(dec) * F.col("rx") * F.col("ry")).alias("sxy"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    rho = (nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")) / F.sqrt(
+        (nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double"))
+        * (nd * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double"))
+    )
+    return s.select(
+        F.col("flag").alias("l_returnflag"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(rho, 6).alias("spearman_rho"),
+    )

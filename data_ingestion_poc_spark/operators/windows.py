@@ -2373,3 +2373,213 @@ def win_spc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4.alias("rule4_run_of_8"),
         (r1 | r2 | r4).alias("out_of_control"),
     )
+
+
+#: Stochastic-oscillator lookback (the classic 14) and %D smoothing (3).
+STOCH_N = 14
+STOCH_D = 3
+
+_STOCH_ORACLE = f"""
+    WITH c AS (
+      SELECT user_id, event_id, ts,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    k AS (
+      SELECT user_id, event_id,
+             CASE WHEN COUNT(*) OVER w = {STOCH_N}
+                       AND MAX(cents) OVER w > MIN(cents) OVER w
+                  THEN floor(100.0 * (cents - MIN(cents) OVER w)
+                             / (MAX(cents) OVER w - MIN(cents) OVER w)
+                             * 10000) / 10000
+             END AS pct_k,
+             ts
+      FROM c
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN {STOCH_N - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id, pct_k,
+           CASE WHEN COUNT(pct_k) OVER d = {STOCH_D}
+                THEN ROUND(AVG(pct_k) OVER d, 4) END AS pct_d
+    FROM k
+    WINDOW d AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN {STOCH_D - 1} PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("win_stochastic_oscillator", oracle=_STOCH_ORACLE)
+def win_stochastic_oscillator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stochastic oscillator %K/%D per user event stream: %K = position
+    of the current value inside its trailing {STOCH_N}-row min/max
+    channel (0 = at the low, 100 = at the high), %D = {STOCH_D}-period
+    average of %K — the RANGE-relative momentum gauge beside win_rsi's
+    gain/loss-relative one (RSI says how one-sided recent moves are;
+    %K says where the price sits in its recent envelope). Null until a
+    full lookback, and null %K when the channel is flat (max == min —
+    division undefined; both engines agree via the same guard).
+
+    Scale/determinism: one (user_id) shuffle, two stacked ROWS windows;
+    the channel min/max are exact integer cents, %K floor-quantizes to
+    the 4-dp lattice BEFORE %D averages it (3 exact lattice points ->
+    one identical division), the win_ewma doctrine."""
+    t = load(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    order = [F.col("ts"), F.col("event_id")]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(-(STOCH_N - 1), 0)
+    )
+    wd = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(-(STOCH_D - 1), 0)
+    )
+    c = t.events.select("user_id", "event_id", "ts", cents.alias("cents"))
+    hi, lo = F.max("cents").over(w), F.min("cents").over(w)
+    pct_k = F.when(
+        (F.count(F.lit(1)).over(w) == STOCH_N) & (hi > lo),
+        F.floor(
+            100.0 * (F.col("cents") - lo) / (hi - lo) * 10_000
+        )
+        / 10_000,
+    )
+    k = c.select("user_id", "event_id", "ts", pct_k.alias("pct_k"))
+    pct_d = F.when(
+        F.count("pct_k").over(wd) == STOCH_D,
+        F.round(F.avg("pct_k").over(wd), 4),
+    )
+    return k.select(
+        "user_id", "event_id", "pct_k", pct_d.alias("pct_d")
+    )
+
+
+#: Ulcer-index lookback (Peter Martin's 14-period convention).
+ULCER_N = 14
+
+_ULCER_ORACLE = f"""
+    WITH c AS (
+      SELECT user_id, event_id, ts,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    dd AS (
+      SELECT user_id, event_id, ts,
+             CAST(floor(
+               POWER(100.0 * (MAX(cents) OVER p - cents)
+                     / MAX(cents) OVER p, 2) * 10000) AS BIGINT) AS dd2_units
+      FROM c
+      WINDOW p AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id,
+           CASE WHEN COUNT(*) OVER w = {ULCER_N}
+                THEN ROUND(sqrt(SUM(dd2_units) OVER w
+                                / ({ULCER_N} * 10000.0)), 6)
+           END AS ulcer_index
+    FROM dd
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN {ULCER_N - 1} PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("win_ulcer_index", oracle=_ULCER_ORACLE)
+def win_ulcer_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ulcer index per user stream: root-mean-square of the trailing
+    {ULCER_N} percentage drawdowns from the running peak — the
+    DEPTH-AND-DURATION risk measure win_drawdown's single max-drawdown
+    number cannot give (two streams with the same max drawdown differ
+    enormously in how long they sat underwater; UI prices that). The
+    denominator convention is drawdown from the RUNNING peak, so UI is
+    monotone-invariant to scale.
+
+    Scale/determinism: one (user_id) shuffle, running-max + one ROWS
+    window on top; each squared-drawdown quantizes to integer 1e-4
+    units BEFORE the rolling sum (exact integer fold), sqrt of one
+    identical division at the end."""
+    t = load(spark, sf_dir)
+    order = [F.col("ts"), F.col("event_id")]
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(-(ULCER_N - 1), 0)
+    )
+    c = t.events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    peak = F.max("cents").over(wp)
+    dd2 = (
+        F.floor(
+            F.pow(100.0 * (peak - F.col("cents")) / peak, 2) * 10_000
+        )
+        .cast("bigint")
+        .alias("dd2_units")
+    )
+    dd = c.select("user_id", "event_id", "ts", dd2)
+    ui = F.when(
+        F.count(F.lit(1)).over(w) == ULCER_N,
+        F.round(
+            F.sqrt(F.sum("dd2_units").over(w) / (ULCER_N * 10_000.0)), 6
+        ),
+    )
+    return dd.select("user_id", "event_id", ui.alias("ulcer_index"))
+
+
+_VWAP_ORACLE = """
+    SELECT l_partkey, l_orderkey, l_linenumber,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) OVER w
+                AS BIGINT) AS cum_cents,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) OVER w AS BIGINT) AS cum_qty,
+           floor(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) OVER w
+                 / 100.0
+                 / SUM(CAST(l_quantity AS BIGINT)) OVER w * 10000) / 10000
+             AS vwap
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_partkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("win_vwap", oracle=_VWAP_ORACLE)
+def win_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running volume-weighted average price per part, in ship-date
+    order: cumulative revenue / cumulative quantity — the execution-
+    quality benchmark of every trading desk, mapped onto the catalog
+    ("what has a unit of this part actually sold for so far?"), and the
+    weighted complement of win_running_sum's unweighted prefix sums.
+    l_extendedprice IS price x quantity in TPC-H, so revenue/quantity
+    is the quantity-weighted unit price by construction.
+
+    Scale/determinism: one (l_partkey) shuffle — partitions are
+    catalog-keyed and shallow (per-part line counts are bounded by
+    order fan-in, no hot key); both prefix sums are exact integers
+    (cents, units); VWAP is their single division on the 4-dp round."""
+    t = load(spark, sf_dir)
+    w = (
+        Window.partitionBy("l_partkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    qty = F.col("l_quantity").cast("bigint")
+    cum_c = F.sum(cents).over(w)
+    cum_q = F.sum(qty).over(w)
+    return t.lineitem.select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        cum_c.cast("bigint").alias("cum_cents"),
+        cum_q.cast("bigint").alias("cum_qty"),
+        # floor-scaled, not round: the quotient can land a hair under
+        # a .5 lattice point where HALF_UP (Spark) and DuckDB disagree
+        (F.floor(cum_c / 100.0 / cum_q * 10_000) / 10_000).alias("vwap"),
+    )

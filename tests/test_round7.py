@@ -1,0 +1,283 @@
+"""Semantics tests for the round-7 additions: effect size, variance
+homogeneity, Theil index, rank correlation, t-closeness, stochastic
+oscillator, ulcer index, VWAP, clustering coefficient, degree power
+law, systematic sampling, and the end-to-end curation ladder. Oracle
+parity is covered by check_oracle / the driver; these pin
+hand-computable values and edge behavior."""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+import pytest
+
+from data_ingestion_poc_spark import registry
+
+SF001 = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from data_ingestion_poc_spark.session import get_spark
+
+    return get_spark(shuffle_partitions=4)
+
+
+def _write_events(spark, tmp_path, rows):
+    """rows: (event_id, minutes_offset, user_id, event_type, value)."""
+    base = datetime.datetime(2024, 1, 1)
+    data = [
+        (eid, base + datetime.timedelta(minutes=m), uid, et, float(v), None)
+        for eid, m, uid, et, v in rows
+    ]
+    spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+
+# --- agg_cohens_d
+
+
+def test_cohens_d_identical_arms_zero(spark, tmp_path):
+    rows = [(i, i, 1, "purchase", v) for i, v in enumerate([1, 2, 3])]
+    rows += [(10 + i, 10 + i, 1, "click", v) for i, v in enumerate([1, 2, 3])]
+    _write_events(spark, tmp_path, rows)
+    r = registry.get("agg_cohens_d").fn(spark, str(tmp_path)).collect()[0]
+    assert r["cohens_d"] == 0.0 and r["magnitude"] == "negligible"
+
+
+def test_cohens_d_separated_arms_large(spark, tmp_path):
+    """purchase (10,10,12,12): mean 11, var 4/3; click (1,1,3,3): mean 2,
+    var 4/3 -> pooled sd sqrt(4/3), d = 9/sqrt(4/3) = 7.7942 (large)."""
+    rows = [(i, i, 1, "purchase", v) for i, v in enumerate([10, 10, 12, 12])]
+    rows += [(10 + i, 10 + i, 1, "click", v) for i, v in enumerate([1, 1, 3, 3])]
+    _write_events(spark, tmp_path, rows)
+    r = registry.get("agg_cohens_d").fn(spark, str(tmp_path)).collect()[0]
+    assert r["n_a"] == 4 and r["n_b"] == 4
+    assert r["cohens_d"] == round(9 / math.sqrt(4 / 3), 4)
+    assert r["magnitude"] == "large"
+
+
+# --- agg_levene_test
+
+
+def test_levene_unequal_spread_flags(spark, tmp_path):
+    """a = (1,2,3): z = (1,0,1) in value units; b = (0,5,10): z =
+    (5,0,5). SSB = 32/3, SSW = 52/3, W = 4*32/52 = 2.4615 > 2.3719."""
+    rows = [(i, i, 1, "a", v) for i, v in enumerate([1, 2, 3])]
+    rows += [(10 + i, 10 + i, 1, "b", v) for i, v in enumerate([0, 5, 10])]
+    _write_events(spark, tmp_path, rows)
+    r = registry.get("agg_levene_test").fn(spark, str(tmp_path)).collect()[0]
+    assert r["n"] == 6 and r["k"] == 2
+    assert r["w_stat"] == round(4 * 32 / 52, 4)
+    assert r["variances_differ"]
+
+
+def test_levene_equal_spread_passes(spark, tmp_path):
+    rows = [(i, i, 1, "a", v) for i, v in enumerate([1, 2, 3])]
+    rows += [(10 + i, 10 + i, 1, "b", v) for i, v in enumerate([7, 8, 9])]
+    _write_events(spark, tmp_path, rows)
+    r = registry.get("agg_levene_test").fn(spark, str(tmp_path)).collect()[0]
+    assert r["w_stat"] == 0.0 and not r["variances_differ"]
+
+
+# --- agg_theil_index
+
+
+def test_theil_equal_values_zero(spark, tmp_path):
+    rows = [(i, i, 1, "a", 2.0) for i in range(4)]
+    _write_events(spark, tmp_path, rows)
+    r = registry.get("agg_theil_index").fn(spark, str(tmp_path)).collect()[0]
+    assert r["theil_t"] == 0.0
+
+
+def test_theil_two_point_value(spark, tmp_path):
+    """values (1, 3): mu = 2; T = (0.5*ln0.5 + 1.5*ln1.5)/2 with each
+    cell term floor-quantized at 1e-6 before the fold."""
+    _write_events(spark, tmp_path, [(0, 0, 1, "a", 1.0), (1, 1, 1, "a", 3.0)])
+    t1 = math.floor(0.5 * math.log(0.5) * 1e6)
+    t2 = math.floor(1.5 * math.log(1.5) * 1e6)
+    expected = (t1 + t2) / 1e6 / 2
+    r = registry.get("agg_theil_index").fn(spark, str(tmp_path)).collect()[0]
+    assert r["n"] == 2 and r["mean_value"] == 2.0
+    # engine rounds HALF_UP at 6 dp; Python round() is half-even, so
+    # compare within half an ulp of the lattice instead
+    assert r["theil_t"] == pytest.approx(expected, abs=5.1e-7)
+
+
+# --- agg_spearman_corr / agg_jarque_bera (real fixture sanity)
+
+
+def test_spearman_bounded(spark):
+    rows = registry.get("agg_spearman_corr").fn(spark, SF001).collect()
+    assert rows and all(-1.0 <= r["spearman_rho"] <= 1.0 for r in rows)
+
+
+def test_jarque_bera_nonnegative(spark):
+    rows = registry.get("agg_jarque_bera").fn(spark, SF001).collect()
+    assert rows and all(r["jb_stat"] >= 0 for r in rows)
+
+
+# --- privacy_t_closeness
+
+
+def _write_release_tables(spark, tmp_path, orders, customers):
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_orderpriority string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        customers,
+        "c_custkey long, c_nationkey long, c_mktsegment string,"
+        " c_acctbal double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+
+
+def test_t_closeness_skewed_class_fails(spark, tmp_path):
+    """Two classes, each 100% one priority while the global split is
+    50/50: ordinal EMD per class = |1 - 0.5| / (2 - 1) = 0.5 > 0.2."""
+    _write_release_tables(
+        spark,
+        tmp_path,
+        orders=[(1, 1, "1-URGENT"), (2, 1, "1-URGENT"),
+                (3, 2, "2-HIGH"), (4, 2, "2-HIGH")],
+        customers=[(1, 0, "AUTO", 100.0), (2, 1, "AUTO", 100.0)],
+    )
+    rows = registry.get("privacy_t_closeness").fn(spark, str(tmp_path)).collect()
+    assert len(rows) == 2
+    assert all(r["emd"] == 0.5 and not r["t_close_ok"] for r in rows)
+
+
+def test_t_closeness_matching_class_passes(spark, tmp_path):
+    """A class whose distribution equals the global one has EMD 0."""
+    _write_release_tables(
+        spark,
+        tmp_path,
+        orders=[(1, 1, "1-URGENT"), (2, 1, "2-HIGH"),
+                (3, 2, "1-URGENT"), (4, 2, "2-HIGH")],
+        customers=[(1, 0, "AUTO", 100.0), (2, 1, "AUTO", 100.0)],
+    )
+    rows = registry.get("privacy_t_closeness").fn(spark, str(tmp_path)).collect()
+    assert all(r["emd"] == 0.0 and r["t_close_ok"] for r in rows)
+
+
+# --- win_stochastic_oscillator / win_ulcer_index
+
+
+def test_stochastic_rising_stream_pegs_at_100(spark, tmp_path):
+    rows = [(i, i, 1, "view", float(i + 1)) for i in range(20)]
+    _write_events(spark, tmp_path, rows)
+    out = {
+        r["event_id"]: r
+        for r in registry.get("win_stochastic_oscillator")
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    # before a full 14-row lookback: null
+    assert out[5]["pct_k"] is None
+    # a strictly rising stream sits at the top of its channel
+    assert out[15]["pct_k"] == 100.0
+    assert out[19]["pct_d"] == 100.0
+
+
+def test_stochastic_flat_channel_null(spark, tmp_path):
+    rows = [(i, i, 1, "view", 5.0) for i in range(20)]
+    _write_events(spark, tmp_path, rows)
+    out = registry.get("win_stochastic_oscillator").fn(spark, str(tmp_path))
+    assert all(r["pct_k"] is None for r in out.collect())
+
+
+def test_ulcer_monotone_stream_zero(spark, tmp_path):
+    rows = [(i, i, 1, "view", float(i + 1)) for i in range(20)]
+    _write_events(spark, tmp_path, rows)
+    out = {
+        r["event_id"]: r["ulcer_index"]
+        for r in registry.get("win_ulcer_index").fn(spark, str(tmp_path)).collect()
+    }
+    assert out[5] is None  # warmup
+    assert out[19] == 0.0  # never below the running peak
+
+
+def test_ulcer_drawdown_positive(spark, tmp_path):
+    rows = [(i, i, 1, "view", 10.0) for i in range(14)]
+    rows += [(14 + i, 14 + i, 1, "view", 5.0) for i in range(6)]
+    _write_events(spark, tmp_path, rows)
+    out = {
+        r["event_id"]: r["ulcer_index"]
+        for r in registry.get("win_ulcer_index").fn(spark, str(tmp_path)).collect()
+    }
+    assert out[19] > 0.0
+
+
+# --- win_vwap
+
+
+def test_vwap_final_row_is_total_ratio(spark):
+    rows = registry.get("win_vwap").fn(spark, SF001).collect()
+    assert rows
+    last_per_part: dict = {}
+    for r in rows:
+        cur = last_per_part.get(r["l_partkey"])
+        if cur is None or r["cum_qty"] > cur["cum_qty"]:
+            last_per_part[r["l_partkey"]] = r
+    for r in last_per_part.values():
+        expected = math.floor(r["cum_cents"] / 100.0 / r["cum_qty"] * 1e4) / 1e4
+        assert r["vwap"] == expected
+
+
+# --- graph additions
+
+
+def test_clustering_coefficient_bounds(spark):
+    rows = registry.get("graph_clustering_coefficient").fn(spark, SF001).collect()
+    assert rows
+    for r in rows:
+        assert r["degree"] >= 1
+        if r["local_cc"] is not None:
+            assert 0.0 <= r["local_cc"] <= 1.0
+        else:
+            assert r["degree"] == 1
+
+
+def test_degree_powerlaw_fit_columns(spark):
+    rows = registry.get("graph_degree_powerlaw").fn(spark, SF001).collect()
+    assert rows
+    assert all(r["n_nodes"] >= 1 for r in rows)
+    r2 = rows[0]["fit_r2"]
+    assert r2 is None or 0.0 <= r2 <= 1.0
+
+
+# --- sample_systematic
+
+
+def test_systematic_exact_rate(spark, tmp_path):
+    rows = [(i, i, 1, "view", 1.0) for i in range(100)]
+    rows += [(100 + i, 100 + i, 1, "click", 1.0) for i in range(25)]
+    _write_events(spark, tmp_path, rows)
+    out = {
+        r["event_type"]: r
+        for r in registry.get("sample_systematic").fn(spark, str(tmp_path)).collect()
+    }
+    assert out["view"]["n_kept"] == 10  # exactly 1-in-10
+    assert out["click"]["n_kept"] == 3  # ceil(25/10)
+    assert 0 < out["view"]["kept_id_sum"] < sum(range(100))
+
+
+# --- corpus_curate_e2e funnel consistency
+
+
+def test_curate_e2e_funnel_adds_up(spark):
+    rows = registry.get("corpus_curate_e2e").fn(spark, SF001).collect()
+    assert rows
+    total_share = 0.0
+    for r in rows:
+        assert (
+            r["n_drop_url"] + r["n_drop_exact"] + r["n_drop_near"]
+            + r["n_drop_quality"] + r["n_kept"] == r["n_docs"]
+        )
+        assert 0 <= r["kept_tokens"] <= r["raw_tokens"]
+        assert 0.0 <= r["survival_rate"] <= 1.0
+        total_share += r["kept_share"]
+    assert abs(total_share - 1.0) < 1e-3

@@ -252,6 +252,18 @@ SINGLE_PARTITION_OK: dict[str, str] = {
         "kept-share window over the SOURCE-DOMAIN-bounded funnel frame "
         "(combinable partials, never document rows)"
     ),
+    "graph_degree_powerlaw": (
+        "1-row regr_slope/r2 fit over the MAX-DEGREE-bounded histogram "
+        "frame (count partials, never edge rows)"
+    ),
+    "privacy_t_closeness": (
+        "global-distribution windows over the 5-row PRIORITY-domain "
+        "frame (count partials, never order rows)"
+    ),
+    "agg_levene_test": (
+        "1-row N/k/s_all fold + 1-row SSB/SSW fold over the k-row arm "
+        "frame (moment partials, never event rows)"
+    ),
     "corpus_importance_weights": (
         "share/weight/ESS windows over the length-bucket-DOMAIN-"
         "bounded count frame"
