@@ -1777,3 +1777,177 @@ def sim_search_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "spill_rate"
         ),
     )
+
+
+_PURITY_ORACLE = f"""
+    WITH dims AS (
+      SELECT label, generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS pos,
+             unnest(CAST(embedding AS DOUBLE[])) AS v
+      FROM embeddings),
+    cent AS (SELECT label, list(m ORDER BY pos) AS ce
+             FROM (SELECT label, pos, AVG(v) AS m FROM dims GROUP BY label, pos)
+             GROUP BY label),
+    scored AS (
+      SELECT e.vec_id, e.label AS own_label, c.label AS cand,
+             {_COS.format(a="CAST(e.embedding AS DOUBLE[])", b="c.ce")} AS cq
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    assigned AS (
+      SELECT vec_id, own_label, cand AS cell
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY cq DESC, cand) AS rn
+            FROM scored)
+      WHERE rn = 1
+    ),
+    ct AS (
+      SELECT cell, own_label, COUNT(*) AS obs FROM assigned GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT cell, own_label, obs,
+             SUM(obs) OVER (PARTITION BY cell) AS cell_t,
+             SUM(obs) OVER (PARTITION BY own_label) AS lab_t,
+             SUM(obs) OVER () AS n
+      FROM ct
+    ),
+    mi AS (
+      SELECT SUM(CAST(floor(obs / CAST(n AS DOUBLE)
+                 * ln(obs * CAST(n AS DOUBLE) / (cell_t * CAST(lab_t AS DOUBLE)))
+                 * 1000000) AS BIGINT)) AS mi_units,
+             MAX(n) AS n
+      FROM m
+    ),
+    hc AS (
+      SELECT SUM(CAST(floor(-(cell_t / CAST(n AS DOUBLE))
+                 * ln(cell_t / CAST(n AS DOUBLE)) * 1000000) AS BIGINT))
+               AS h_units
+      FROM (SELECT DISTINCT cell, cell_t, n FROM m)
+    ),
+    hl AS (
+      SELECT SUM(CAST(floor(-(lab_t / CAST(n AS DOUBLE))
+                 * ln(lab_t / CAST(n AS DOUBLE)) * 1000000) AS BIGINT))
+               AS h_units
+      FROM (SELECT DISTINCT own_label, lab_t, n FROM m)
+    ),
+    pur AS (
+      SELECT SUM(mx) AS agree FROM (
+        SELECT cell, MAX(obs) AS mx FROM ct GROUP BY cell
+      )
+    )
+    SELECT CAST(mi.n AS BIGINT) AS n,
+           CAST((SELECT COUNT(DISTINCT cell) FROM ct) AS BIGINT) AS k_cells,
+           ROUND((SELECT agree FROM pur) / CAST(mi.n AS DOUBLE), 6)
+             AS purity,
+           ROUND(mi.mi_units
+                 / sqrt(CAST((SELECT h_units FROM hc) AS DOUBLE)
+                        * (SELECT h_units FROM hl)), 6) AS nmi
+    FROM mi
+"""
+
+
+@register("embed_cluster_purity", oracle=_PURITY_ORACLE)
+def embed_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External cluster-quality evaluation of the IVF coarse quantizer
+    against the corpus's ground-truth labels: PURITY (share of vectors
+    whose cell's majority label is their own) and sqrt-normalized NMI —
+    the two standard external clustering metrics, answering "do the
+    learned cells MEAN anything?" where sim_search_ivf_balance only
+    answers "are they load-balanced?". Low NMI with good balance says
+    re-train the quantizer; high NMI with bad balance says split hot
+    cells.
+
+    Scale/determinism: same broadcast-centroid x one-corpus-scan
+    assignment as sim_search_ivf_balance; metrics fold over the
+    (cell x label)-DOMAIN contingency frame. Every MI/entropy term is
+    floor-quantized to integer micro-units BEFORE its sum (the
+    agg_mutual_info lattice doctrine), so the folds are exact and the
+    final expressions identical in both engines."""
+    t = load(spark, sf_dir)
+    cent = _centroid_vectors(t)
+    e = t.embeddings.select(
+        "vec_id",
+        F.col("label").alias("own_label"),
+        F.col("embedding").cast("array<double>").alias("ve"),
+    )
+    scored = e.crossJoin(F.broadcast(cent.withColumnRenamed("label", "cand")))
+    cq = dot_double(F.col("ve"), F.col("ce")) / (
+        F.sqrt(dot_double(F.col("ve"), F.col("ve")))
+        * F.sqrt(dot_double(F.col("ce"), F.col("ce")))
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("cq").desc(), "cand")
+    assigned = (
+        scored.select("vec_id", "own_label", "cand", cq.alias("cq"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "own_label", F.col("cand").alias("cell"))
+    )
+    ct = assigned.groupBy("cell", "own_label").agg(
+        F.count(F.lit(1)).alias("obs")
+    )
+    w_cell = Window.partitionBy("cell")
+    w_lab = Window.partitionBy("own_label")
+    w_all = Window.partitionBy()
+    nd = F.col("n").cast("double")
+    m = ct.select(
+        "cell",
+        "own_label",
+        "obs",
+        F.sum("obs").over(w_cell).alias("cell_t"),
+        F.sum("obs").over(w_lab).alias("lab_t"),
+        F.sum("obs").over(w_all).alias("n"),
+    )
+    mi_units = F.floor(
+        F.col("obs") / nd
+        * F.log(
+            F.col("obs") * nd / (F.col("cell_t") * F.col("lab_t").cast("double"))
+        )
+        * 1_000_000
+    ).cast("bigint")
+    mi = m.agg(
+        F.sum(mi_units).alias("mi_units"),
+        F.max("n").alias("n"),
+        F.countDistinct("cell").alias("k_cells"),
+    )
+    hc = (
+        m.select("cell", "cell_t", "n")
+        .distinct()
+        .agg(
+            F.sum(
+                F.floor(
+                    -(F.col("cell_t") / nd) * F.log(F.col("cell_t") / nd)
+                    * 1_000_000
+                ).cast("bigint")
+            ).alias("hc_units")
+        )
+    )
+    hl = (
+        m.select("own_label", "lab_t", "n")
+        .distinct()
+        .agg(
+            F.sum(
+                F.floor(
+                    -(F.col("lab_t") / nd) * F.log(F.col("lab_t") / nd)
+                    * 1_000_000
+                ).cast("bigint")
+            ).alias("hl_units")
+        )
+    )
+    agree = ct.groupBy("cell").agg(F.max("obs").alias("mx")).agg(
+        F.sum("mx").alias("agree")
+    )
+    return (
+        mi.crossJoin(F.broadcast(hc))
+        .crossJoin(F.broadcast(hl))
+        .crossJoin(F.broadcast(agree))
+        .select(
+            F.col("n").cast("bigint").alias("n"),
+            F.col("k_cells").cast("bigint").alias("k_cells"),
+            F.round(F.col("agree") / nd, 6).alias("purity"),
+            F.round(
+                F.col("mi_units")
+                / F.sqrt(
+                    F.col("hc_units").cast("double") * F.col("hl_units")
+                ),
+                6,
+            ).alias("nmi"),
+        )
+    )

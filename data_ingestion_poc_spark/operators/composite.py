@@ -1907,3 +1907,82 @@ def q_full_star_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("revenue"),
     )
+
+
+_SEASONAL_HEATMAP_ORACLE = """
+    WITH cells AS (
+      SELECT CAST(month(o_orderdate) AS BIGINT) AS month,
+             CAST(isodow(o_orderdate) AS BIGINT) AS dow,
+             COUNT(*) AS n_orders,
+             CAST(ROUND(SUM(o_totalprice) * 100) AS BIGINT) AS rev_cents
+      FROM orders GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT month, dow, n_orders, rev_cents,
+             SUM(n_orders) OVER (PARTITION BY month) AS mt,
+             SUM(n_orders) OVER (PARTITION BY dow) AS dt,
+             SUM(n_orders) OVER () AS n
+      FROM cells
+    )
+    SELECT month, dow,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           ROUND(rev_cents / 100.0, 2) AS revenue,
+           ROUND(n_orders / CAST(n AS DOUBLE), 6) AS share,
+           ROUND(n_orders * CAST(n AS DOUBLE) / (mt * CAST(dt AS DOUBLE)), 4)
+             AS lift
+    FROM m
+"""
+
+
+@register("q_seasonal_order_heatmap", oracle=_SEASONAL_HEATMAP_ORACLE)
+def q_seasonal_order_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-seasonality heatmap: the (month x ISO weekday) grid of
+    order counts and revenue, each cell's corpus share, and its LIFT
+    against the independence expectation (row_total * col_total / N —
+    the chi-squared expected-cell machinery re-emitted as a planning
+    surface instead of a test statistic): lift > 1 = that weekday
+    over-indexes in that month. The staffing/inventory calendar view
+    every ops dashboard ships; agg_seasonal_strength says IF there is
+    seasonality, this says WHERE it lives.
+
+    Scale shape: facts reduce to the <= 84-cell (month x dow) DOMAIN
+    frame in one combinable aggregate; share/lift are windows over
+    that frame. Money on the cents lattice; counts exact; lift one
+    identical division."""
+    t = load(spark, sf_dir)
+    cells = t.orders.groupBy(
+        F.month("o_orderdate").cast("bigint").alias("month"),
+        # ISO weekday 1=Mon..7=Sun: Spark weekday() is 0=Mon..6=Sun,
+        # matching DuckDB isodow() after the +1
+        (F.expr("weekday(o_orderdate)") + 1).cast("bigint").alias("dow"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice") * 100).cast("bigint").alias("rev_cents"),
+    )
+    w_m = Window.partitionBy("month")
+    w_d = Window.partitionBy("dow")
+    w_all = Window.partitionBy()
+    m = cells.select(
+        "month",
+        "dow",
+        "n_orders",
+        "rev_cents",
+        F.sum("n_orders").over(w_m).alias("mt"),
+        F.sum("n_orders").over(w_d).alias("dt"),
+        F.sum("n_orders").over(w_all).alias("n"),
+    )
+    return m.select(
+        "month",
+        "dow",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.round(F.col("rev_cents") / 100.0, 2).alias("revenue"),
+        F.round(F.col("n_orders") / F.col("n").cast("double"), 6).alias(
+            "share"
+        ),
+        F.round(
+            F.col("n_orders")
+            * F.col("n").cast("double")
+            / (F.col("mt") * F.col("dt").cast("double")),
+            4,
+        ).alias("lift"),
+    )

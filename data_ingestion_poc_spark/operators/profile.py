@@ -481,3 +481,82 @@ def profile_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(skew, 4).alias("skew_factor"),
         (skew > SKEW_ADVISORY).alias("recommend_salting"),
     )
+
+
+#: Foreign-key edges audited by quality_fk_orphans:
+#: (fk name, child table, child column, parent table, parent key).
+FK_EDGES = (
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+     "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+     "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+     "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey",
+     "customer", "c_custkey"),
+)
+
+
+def _fk_oracle(fk: tuple) -> str:
+    name, child, ccol, parent, pcol = fk
+    return f"""
+    SELECT '{name}' AS fk,
+           CAST(COUNT(*) AS BIGINT) AS n_child_rows,
+           CAST(SUM(CASE WHEN p.{pcol} IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_orphans,
+           ROUND(1.0 - SUM(CASE WHEN p.{pcol} IS NULL THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS coverage,
+           SUM(CASE WHEN p.{pcol} IS NULL THEN 1 ELSE 0 END) = 0 AS intact
+    FROM {child} c LEFT JOIN {parent} p ON p.{pcol} = c.{ccol}"""
+
+
+@register(
+    "quality_fk_orphans",
+    oracle="\nUNION ALL\n".join(_fk_oracle(fk) for fk in FK_EDGES),
+)
+def quality_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the schema's four FK edges:
+    orphaned child rows (keys with no parent), coverage ratio, and the
+    intact verdict per edge — the load-gate check every warehouse runs
+    after ingest, and the one quality_expectations' value-rule battery
+    does not cover (an orphan passes every per-column rule; only the
+    JOIN sees it). A broken edge here invalidates every star join in
+    the engine, which is why it runs before anything else trusts a
+    drop.
+
+    Scale shape: one left join per edge, each orphan count a combinable
+    conditional sum (the anti-join count without a second scan); parent
+    sides are key-only projections, so at 100 TB each edge costs one
+    key shuffle (or a broadcast when the parent is a dim). Exact
+    integers + one exact division."""
+    t = load(spark, sf_dir)
+    tables = {
+        "lineitem": t.lineitem,
+        "orders": t.orders,
+        "part": t.part,
+        "supplier": t.supplier,
+        "customer": t.customer,
+    }
+    out = None
+    for name, child, ccol, parent, pcol in FK_EDGES:
+        c = tables[child].select(F.col(ccol).alias("ck"))
+        p = tables[parent].select(F.col(pcol).alias("pk")).distinct()
+        orphan = F.sum(F.when(F.col("pk").isNull(), 1).otherwise(0))
+        edge = (
+            c.join(p, F.col("ck") == F.col("pk"), "left")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                orphan.alias("o"),
+            )
+            .select(
+                F.lit(name).alias("fk"),
+                F.col("n").cast("bigint").alias("n_child_rows"),
+                F.col("o").cast("bigint").alias("n_orphans"),
+                F.round(
+                    1.0 - F.col("o") / F.col("n").cast("double"), 6
+                ).alias("coverage"),
+                (F.col("o") == 0).alias("intact"),
+            )
+        )
+        out = edge if out is None else out.unionByName(edge)
+    return out

@@ -2459,3 +2459,132 @@ def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         F.round(rho, 6).alias("spearman_rho"),
     )
+
+
+_KW_ORACLE = f"""
+    WITH ev AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    vg AS (
+      SELECT cents, COUNT(*) AS c FROM ev GROUP BY cents
+    ),
+    ranked AS (
+      SELECT cents, c,
+             2 * COALESCE(SUM(c) OVER (ORDER BY cents
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + c + 1 AS r2
+      FROM vg
+    ),
+    joint AS (
+      SELECT event_type, cents, COUNT(*) AS cj
+      FROM ev GROUP BY event_type, cents
+    ),
+    grp AS (
+      SELECT j.event_type, SUM(j.cj) AS nj, SUM(j.cj * r.r2) AS s2
+      FROM joint j JOIN ranked r USING (cents)
+      GROUP BY j.event_type
+    ),
+    tot AS (
+      SELECT SUM(nj) AS n, COUNT(*) AS k FROM grp
+    ),
+    ties AS (
+      SELECT SUM(CAST(c AS HUGEINT) * c * c - c) AS t3 FROM vg
+    ),
+    h AS (
+      SELECT (12.0 / (n * (n + 1.0)))
+             * (SELECT SUM(nj * POWER(s2 / (2.0 * nj) - (n + 1) / 2.0, 2))
+                FROM grp, tot)
+             / (1.0 - (SELECT t3 FROM ties)
+                      / (CAST(n AS DOUBLE) * n * n - n)) AS h_stat,
+             n, k
+      FROM tot
+    )
+    SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+           ROUND(h_stat, 4) AS h_stat,
+           h_stat > {{crit}} AS distributions_differ
+    FROM h
+"""
+
+
+@register(
+    "agg_kruskal_wallis",
+    oracle=_KW_ORACLE.replace("{crit}", str(CHI2_CRIT_BY_DOF[4])),
+)
+def agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test across ALL event-type arms — the k-group
+    generalization of agg_mann_whitney (and the rank-based alternative
+    agg_anova_oneway needs when agg_jarque_bera says the values are not
+    normal — which for revenue they are not): H from tie-corrected
+    average ranks, judged against chi2(k-1) at 5%.
+
+    Scale/determinism: the agg_mann_whitney machinery over the 2-dp
+    value DOMAIN (<=49k rank rows at any fact size): DOUBLED average
+    ranks keep the rank table integer; per-group rank sums are exact
+    integer folds over the (type, cents) joint frame; the tie term
+    sums c^3 - c as decimal(38,0) (c^3 passes 2^63 on hot lattice
+    points at 100 TB) matching DuckDB's HUGEINT; H is one identical
+    double expression on the k-row frame."""
+    t = load(spark, sf_dir)
+    ev = t.events.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    vg = ev.groupBy("cents").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = vg.select(
+        "cents",
+        "c",
+        (2 * F.coalesce(F.sum("c").over(w), F.lit(0)) + F.col("c") + 1).alias(
+            "r2"
+        ),
+    )
+    joint = ev.groupBy("event_type", "cents").agg(
+        F.count(F.lit(1)).alias("cj")
+    )
+    grp = (
+        joint.join(F.broadcast(ranked.select("cents", "r2")), "cents")
+        .groupBy("event_type")
+        .agg(
+            F.sum("cj").alias("nj"),
+            F.sum(F.col("cj") * F.col("r2")).alias("s2"),
+        )
+    )
+    tot = grp.agg(F.sum("nj").alias("n"), F.count(F.lit(1)).alias("k"))
+    ties = vg.agg(
+        F.sum(
+            F.col("c").cast("decimal(38,0)") * F.col("c") * F.col("c")
+            - F.col("c")
+        ).alias("t3")
+    )
+    nd = F.col("n").cast("double")
+    ssq = grp.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.col("nj")
+            * F.pow(
+                F.col("s2") / (2.0 * F.col("nj")) - (F.col("n") + 1) / 2.0, 2
+            )
+        ).alias("ss"),
+        F.max("n").alias("n"),
+        F.max("k").alias("k"),
+    )
+    h = (
+        ssq.crossJoin(F.broadcast(ties)).select(
+            "n",
+            "k",
+            (
+                (12.0 / (nd * (nd + 1.0)))
+                * F.col("ss")
+                / (
+                    1.0
+                    - F.col("t3").cast("double") / (nd * nd * nd - nd)
+                )
+            ).alias("h_stat"),
+        )
+    )
+    return h.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("k").cast("bigint").alias("k"),
+        F.round("h_stat", 4).alias("h_stat"),
+        (F.col("h_stat") > CHI2_CRIT_BY_DOF[4]).alias("distributions_differ"),
+    )

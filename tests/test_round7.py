@@ -281,3 +281,87 @@ def test_curate_e2e_funnel_adds_up(spark):
         assert 0.0 <= r["survival_rate"] <= 1.0
         total_share += r["kept_share"]
     assert abs(total_share - 1.0) < 1e-3
+
+
+# --- agg_kruskal_wallis
+
+
+def test_kruskal_identical_arms_near_zero(spark, tmp_path):
+    rows = [(i, i, 1, "a", v) for i, v in enumerate([1, 2, 3, 4])]
+    rows += [(10 + i, 10 + i, 1, "b", v) for i, v in enumerate([1, 2, 3, 4])]
+    _write_events(spark, tmp_path, rows)
+    r = registry.get("agg_kruskal_wallis").fn(spark, str(tmp_path)).collect()[0]
+    assert r["n"] == 8 and r["k"] == 2
+    assert r["h_stat"] == 0.0 and not r["distributions_differ"]
+
+
+def test_kruskal_separated_arms_flags(spark, tmp_path):
+    """a = ranks 1..5 (all smaller), b = ranks 6..10: maximal H for
+    n=10, k=2: H = 12/(10*11) * (5*(3-5.5)^2 + 5*(8-5.5)^2) = 6.818 —
+    above the chi2(4) 9.4877? No — but above chi2(1) 3.84. The
+    operator's verdict line is pinned at dof=4 (the 5-arm production
+    domain), so only assert the statistic value here."""
+    rows = [(i, i, 1, "a", float(v)) for i, v in enumerate([1, 2, 3, 4, 5])]
+    rows += [
+        (10 + i, 10 + i, 1, "b", float(v))
+        for i, v in enumerate([6, 7, 8, 9, 10])
+    ]
+    _write_events(spark, tmp_path, rows)
+    r = registry.get("agg_kruskal_wallis").fn(spark, str(tmp_path)).collect()[0]
+    assert r["h_stat"] == round(12 / 110 * (5 * 6.25 + 5 * 6.25), 4)
+
+
+# --- quality_fk_orphans
+
+
+def test_fk_orphans_clean_fixture_intact(spark):
+    rows = registry.get("quality_fk_orphans").fn(spark, SF001).collect()
+    assert len(rows) == 4
+    assert all(r["intact"] and r["coverage"] == 1.0 for r in rows)
+
+
+def test_fk_orphans_detects_break(spark, tmp_path):
+    spark.createDataFrame(
+        [(1, 10, "1-URGENT"), (2, 99, "2-HIGH")],
+        "o_orderkey long, o_custkey long, o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [(10, 0, "AUTO", 1.0)],
+        "c_custkey long, c_nationkey long, c_mktsegment string,"
+        " c_acctbal double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    # empty-but-valid other tables so the remaining edges still run
+    spark.createDataFrame(
+        [], "l_orderkey long, l_partkey long, l_suppkey long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame([], "p_partkey long").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "part.parquet"))
+    spark.createDataFrame([], "s_suppkey long").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "supplier.parquet"))
+    rows = {
+        r["fk"]: r
+        for r in registry.get("quality_fk_orphans").fn(spark, str(tmp_path)).collect()
+    }
+    edge = rows["orders.o_custkey->customer"]
+    assert edge["n_orphans"] == 1 and not edge["intact"]
+    assert edge["coverage"] == 0.5
+
+
+# --- embed_cluster_purity / q_seasonal_order_heatmap
+
+
+def test_cluster_purity_bounds(spark):
+    r = registry.get("embed_cluster_purity").fn(spark, SF001).collect()[0]
+    assert 0.0 < r["purity"] <= 1.0
+    assert 0.0 <= r["nmi"] <= 1.0 + 1e-6
+    assert r["k_cells"] >= 1
+
+
+def test_seasonal_heatmap_shares_sum_to_one(spark):
+    rows = registry.get("q_seasonal_order_heatmap").fn(spark, SF001).collect()
+    assert rows
+    assert all(1 <= r["month"] <= 12 and 1 <= r["dow"] <= 7 for r in rows)
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-3
+    assert all(r["lift"] > 0 for r in rows)

@@ -264,6 +264,22 @@ SINGLE_PARTITION_OK: dict[str, str] = {
         "1-row N/k/s_all fold + 1-row SSB/SSW fold over the k-row arm "
         "frame (moment partials, never event rows)"
     ),
+    "agg_kruskal_wallis": (
+        "global rank window over the 2-dp value-DOMAIN frame (<=49k "
+        "rows, the agg_mann_whitney bound) + 1-row H folds"
+    ),
+    "quality_fk_orphans": (
+        "four 1-row per-edge orphan folds (conditional-sum partials, "
+        "never child rows)"
+    ),
+    "embed_cluster_purity": (
+        "windows + 1-row metric folds over the (cell x label)-DOMAIN "
+        "contingency frame (count partials, never vector rows)"
+    ),
+    "q_seasonal_order_heatmap": (
+        "share/lift windows over the <=84-cell calendar-DOMAIN frame "
+        "(count partials, never order rows)"
+    ),
     "corpus_importance_weights": (
         "share/weight/ESS windows over the length-bucket-DOMAIN-"
         "bounded count frame"
