@@ -1737,3 +1737,124 @@ def corpus_curate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("kept_share"),
     )
+
+
+_MIX_KL_ORACLE = f"""
+    WITH RECURSIVE {_CLUSTER_CTES},
+    ex AS (
+      SELECT doc_id,
+             MIN(doc_id) OVER (PARTITION BY sha256(lower(text))) AS keeper
+      FROM documents
+    ),
+    verdicts AS (
+      SELECT d.doc_id, d.source,
+             len(string_split(d.text, ' ')) AS n_tok,
+             NOT (e.keeper <> d.doc_id
+                  OR (l.cluster_id IS NOT NULL
+                      AND l.cluster_id <> d.doc_id)) AS kept
+      FROM documents d
+      JOIN ex e ON e.doc_id = d.doc_id
+      LEFT JOIN lbl l ON l.doc_id = d.doc_id
+    ),
+    mix AS (
+      SELECT source,
+             SUM(n_tok) AS raw_tok,
+             SUM(CASE WHEN kept THEN n_tok ELSE 0 END) AS kept_tok
+      FROM verdicts GROUP BY source
+    ),
+    shares AS (
+      SELECT source, raw_tok, kept_tok,
+             raw_tok / CAST(SUM(raw_tok) OVER () AS DOUBLE) AS p_raw,
+             kept_tok / CAST(SUM(kept_tok) OVER () AS DOUBLE) AS p_kept
+      FROM mix
+    ),
+    terms AS (
+      SELECT source, p_raw, p_kept,
+             CAST(floor(p_kept * ln(p_kept / p_raw) * 1000000000) AS BIGINT)
+               AS kl_units
+      FROM shares
+    )
+    SELECT source,
+           ROUND(p_raw, 6) AS raw_share,
+           ROUND(p_kept, 6) AS kept_share,
+           ROUND(kl_units / 1000000000.0, 6) AS kl_term,
+           ROUND(SUM(kl_units) OVER () / 1000000000.0, 6) AS kl_total
+    FROM terms
+"""
+
+
+@register("corpus_mix_kl", oracle=_MIX_KL_ORACLE)
+def corpus_mix_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL divergence of the POST-dedup source mix from the raw one —
+    the single drift number that says how much deduplication has bent
+    the training mixture away from what was planned, with each source's
+    signed contribution (a heavily-mirrored source shows a large
+    negative kept-vs-raw term; the sources that absorb its share show
+    positive ones). corpus_post_dedup_mix emits the shares; this prices
+    their divergence — re-weight (corpus_mix_weighted) when kl_total
+    clears the team's tolerance.
+
+    Scale/determinism: rides the same manifest-verdict scan as
+    corpus_post_dedup_mix reduced to the SOURCE-domain frame; shares
+    are exact-integer-ratio doubles identical in both engines; each KL
+    term floor-quantizes to nano-units before the exact fold (stats
+    lattice doctrine, 1e-9 because mix shares are O(1e-2) and terms
+    O(1e-4))."""
+    from .dedup import dedup_clusters as _clusters
+
+    t = load(spark, sf_dir)
+    wq = Window.partitionBy(F.sha2(F.lower("text").cast("binary"), 256))
+    lbl = (
+        _clusters(spark, sf_dir)
+        .select("doc_id", "cluster_id")
+        .localCheckpoint()
+    )
+    verdicts = (
+        t.documents.select(
+            "doc_id",
+            "source",
+            F.size(F.split("text", " ")).alias("n_tok"),
+            F.min("doc_id").over(wq).alias("keeper"),
+        )
+        .join(F.broadcast(lbl), "doc_id", "left")
+        .select(
+            "source",
+            "n_tok",
+            (
+                ~(
+                    (F.col("keeper") != F.col("doc_id"))
+                    | (
+                        F.col("cluster_id").isNotNull()
+                        & (F.col("cluster_id") != F.col("doc_id"))
+                    )
+                )
+            ).alias("kept"),
+        )
+    )
+    mix = verdicts.groupBy("source").agg(
+        F.sum("n_tok").alias("raw_tok"),
+        F.sum(F.when(F.col("kept"), F.col("n_tok")).otherwise(0)).alias(
+            "kept_tok"
+        ),
+    )
+    w = Window.partitionBy()
+    p_raw = F.col("raw_tok") / F.sum("raw_tok").over(w).cast("double")
+    p_kept = F.col("kept_tok") / F.sum("kept_tok").over(w).cast("double")
+    shares = mix.select(
+        "source", p_raw.alias("p_raw"), p_kept.alias("p_kept")
+    )
+    kl_units = F.floor(
+        F.col("p_kept")
+        * F.log(F.col("p_kept") / F.col("p_raw"))
+        * 1_000_000_000
+    ).cast("bigint")
+    terms = shares.select("source", "p_raw", "p_kept", kl_units.alias("klu"))
+    return terms.select(
+        "source",
+        F.round("p_raw", 6).alias("raw_share"),
+        F.round("p_kept", 6).alias("kept_share"),
+        F.round(F.col("klu") / 1_000_000_000.0, 6).alias("kl_term"),
+        F.round(
+            F.sum("klu").over(w) / 1_000_000_000.0, 6
+        ).alias("kl_total"),
+    )

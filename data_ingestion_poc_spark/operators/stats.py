@@ -2588,3 +2588,163 @@ def agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("h_stat", 4).alias("h_stat"),
         (F.col("h_stat") > CHI2_CRIT_BY_DOF[4]).alias("distributions_differ"),
     )
+
+
+#: Process-capability spec band for event values, in VALUE units: the
+#: [LSL, USL] tolerance a monitoring gate declares for the metric. The
+#: synthetic corpus is ~uniform on [0, 490], so capability is expected
+#: LOW — Cp/Cpk near 0.3 — which is itself the point: the operator
+#: measures, the thresholds judge.
+CAPABILITY_LSL = 50.0
+CAPABILITY_USL = 450.0
+
+_CAPABILITY_ORACLE = f"""
+    WITH g AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             AVG(value) AS mu,
+             STDDEV_SAMP(value) AS sd
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           ROUND(mu, 4) AS mean_value,
+           ROUND(sd, 4) AS sd,
+           ROUND(({CAPABILITY_USL} - {CAPABILITY_LSL}) / (6 * sd), 4) AS cp,
+           ROUND(LEAST(({CAPABILITY_USL} - mu) / (3 * sd),
+                       (mu - {CAPABILITY_LSL}) / (3 * sd)), 4) AS cpk,
+           LEAST(({CAPABILITY_USL} - mu) / (3 * sd),
+                 (mu - {CAPABILITY_LSL}) / (3 * sd)) >= 1.33 AS capable
+    FROM g
+"""
+
+
+@register("agg_capability_index", oracle=_CAPABILITY_ORACLE)
+def agg_capability_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Process-capability indices Cp and Cpk per event type against the
+    [{CAPABILITY_LSL}, {CAPABILITY_USL}] spec band — the quality-
+    engineering summary that turns win_spc_rules' point alarms into ONE
+    planning number: Cp = spec width / 6 sigma (what the process COULD
+    hold if centered), Cpk = distance of the mean to the NEAREST limit
+    / 3 sigma (what it holds as-is); >= 1.33 is the classic capable
+    threshold. Cp >> Cpk = well-behaved but off-center: re-center, do
+    not re-engineer.
+
+    Scale/determinism: one combinable (n, mean, stddev) aggregate per
+    group — identical to agg_t_test's arm summaries — and two identical
+    double expressions on the group-domain frame."""
+    t = load(spark, sf_dir)
+    g = t.events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sd"),
+    )
+    cp = (CAPABILITY_USL - CAPABILITY_LSL) / (6 * F.col("sd"))
+    cpk = F.least(
+        (CAPABILITY_USL - F.col("mu")) / (3 * F.col("sd")),
+        (F.col("mu") - CAPABILITY_LSL) / (3 * F.col("sd")),
+    )
+    return g.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round("mu", 4).alias("mean_value"),
+        F.round("sd", 4).alias("sd"),
+        F.round(cp, 4).alias("cp"),
+        F.round(cpk, 4).alias("cpk"),
+        (cpk >= 1.33).alias("capable"),
+    )
+
+
+_ODDS_ORACLE = """
+    WITH flags AS (
+      SELECT o.o_orderkey,
+             o.o_orderpriority IN ('1-URGENT', '2-HIGH') AS exposed,
+             MAX(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) = 1
+               AS outcome
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderpriority
+    ),
+    cells AS (
+      SELECT SUM(CASE WHEN exposed AND outcome THEN 1 ELSE 0 END) AS a,
+             SUM(CASE WHEN exposed AND NOT outcome THEN 1 ELSE 0 END) AS b,
+             SUM(CASE WHEN NOT exposed AND outcome THEN 1 ELSE 0 END) AS c,
+             SUM(CASE WHEN NOT exposed AND NOT outcome THEN 1 ELSE 0 END) AS d
+      FROM flags
+    )
+    SELECT CAST(a AS BIGINT) AS n_exposed_outcome,
+           CAST(b AS BIGINT) AS n_exposed_clean,
+           CAST(c AS BIGINT) AS n_control_outcome,
+           CAST(d AS BIGINT) AS n_control_clean,
+           ROUND((a * CAST(d AS DOUBLE)) / (b * CAST(c AS DOUBLE)), 4)
+             AS odds_ratio,
+           ROUND(exp(ln((a * CAST(d AS DOUBLE)) / (b * CAST(c AS DOUBLE)))
+                     - 1.96 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)), 4)
+             AS ci_lo,
+           ROUND(exp(ln((a * CAST(d AS DOUBLE)) / (b * CAST(c AS DOUBLE)))
+                     + 1.96 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)), 4)
+             AS ci_hi,
+           NOT (exp(ln((a * CAST(d AS DOUBLE)) / (b * CAST(c AS DOUBLE)))
+                    - 1.96 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)) <= 1.0
+                AND 1.0 <= exp(ln((a * CAST(d AS DOUBLE))
+                                  / (b * CAST(c AS DOUBLE)))
+                    + 1.96 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)))
+             AS significant
+    FROM cells
+"""
+
+
+@register("agg_odds_ratio", oracle=_ODDS_ORACLE)
+def agg_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Odds ratio with the Woolf 95% CI over the 2x2 (high-priority
+    exposure x has-returned-line outcome) table — the effect measure
+    for BINARY outcomes that agg_cohens_d (continuous) and agg_t_test
+    cannot express, and the standard reporting shape of conversion/
+    defect-rate comparisons (OR > 1 with a CI excluding 1 = exposure
+    associated with outcome). ln-OR is asymptotically normal, so the
+    CI is exp(ln OR +/- 1.96 * sqrt(1/a + 1/b + 1/c + 1/d)).
+
+    Scale/determinism: one fact join reduced to ONE order-grain flag
+    row per order (combinable MAX), then the 2x2 cells as conditional
+    sums — a 1-row frame; OR and CI are identical double expressions
+    over four exact integers."""
+    t = load(spark, sf_dir)
+    flags = (
+        t.orders.select("o_orderkey", "o_orderpriority")
+        .join(
+            t.lineitem.select("l_orderkey", "l_returnflag"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            (
+                F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+                == 1
+            ).alias("outcome")
+        )
+        .select(
+            F.col("o_orderpriority")
+            .isin("1-URGENT", "2-HIGH")
+            .alias("exposed"),
+            "outcome",
+        )
+    )
+    cells = flags.agg(
+        F.sum(F.when(F.col("exposed") & F.col("outcome"), 1).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("exposed") & ~F.col("outcome"), 1).otherwise(0)).alias("b"),
+        F.sum(F.when(~F.col("exposed") & F.col("outcome"), 1).otherwise(0)).alias("c"),
+        F.sum(F.when(~F.col("exposed") & ~F.col("outcome"), 1).otherwise(0)).alias("d"),
+    )
+    a, b, c, d = (F.col(x).cast("double") for x in "abcd")
+    or_ = (a * d) / (b * c)
+    half = 1.96 * F.sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)
+    lo, hi = F.exp(F.log(or_) - half), F.exp(F.log(or_) + half)
+    return cells.select(
+        F.col("a").cast("bigint").alias("n_exposed_outcome"),
+        F.col("b").cast("bigint").alias("n_exposed_clean"),
+        F.col("c").cast("bigint").alias("n_control_outcome"),
+        F.col("d").cast("bigint").alias("n_control_clean"),
+        F.round(or_, 4).alias("odds_ratio"),
+        F.round(lo, 4).alias("ci_lo"),
+        F.round(hi, 4).alias("ci_hi"),
+        (~((lo <= 1.0) & (F.lit(1.0) <= hi))).alias("significant"),
+    )

@@ -365,3 +365,49 @@ def test_seasonal_heatmap_shares_sum_to_one(spark):
     assert all(1 <= r["month"] <= 12 and 1 <= r["dow"] <= 7 for r in rows)
     assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-3
     assert all(r["lift"] > 0 for r in rows)
+
+
+# --- batch 3: corpus_mix_kl / agg_capability_index / agg_odds_ratio
+
+
+def test_mix_kl_nonnegative_total(spark):
+    rows = registry.get("corpus_mix_kl").fn(spark, SF001).collect()
+    assert rows
+    # KL(kept || raw) >= 0 up to the 1e-9 per-term floor quantization
+    assert rows[0]["kl_total"] >= -1e-6 * len(rows)
+    assert abs(sum(r["kept_share"] for r in rows) - 1.0) < 1e-3
+
+
+def test_capability_centered_process(spark, tmp_path):
+    """values tightly centered at 250 inside [50, 450]: sd = 1 over
+    (249, 250, 251, 250) -> Cp = 400/6 = 66.67, comfortably capable."""
+    rows = [
+        (i, i, 1, "view", v) for i, v in enumerate([249.0, 250.0, 251.0, 250.0])
+    ]
+    _write_events(spark, tmp_path, rows)
+    r = registry.get("agg_capability_index").fn(spark, str(tmp_path)).collect()[0]
+    assert r["mean_value"] == 250.0
+    # sd = sqrt(var_samp) = sqrt(2/3); engine computes cp from the
+    # UNROUNDED sd, so compare against the exact expression
+    assert r["cp"] == pytest.approx(400 / (6 * math.sqrt(2 / 3)), abs=1e-3)
+    assert r["capable"]
+
+
+def test_odds_ratio_independent_near_one(spark, tmp_path):
+    """Balanced 2x2 (every exposure/outcome combination once): OR = 1
+    and the CI straddles 1 -> not significant."""
+    orders = [
+        (1, 1, "1-URGENT"), (2, 1, "1-URGENT"),
+        (3, 1, "5-LOW"), (4, 1, "5-LOW"),
+    ]
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_orderpriority string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    lines = [(1, "R"), (2, "N"), (3, "R"), (4, "N")]
+    spark.createDataFrame(
+        lines, "l_orderkey long, l_returnflag string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    r = registry.get("agg_odds_ratio").fn(spark, str(tmp_path)).collect()[0]
+    assert r["odds_ratio"] == 1.0
+    assert r["ci_lo"] < 1.0 < r["ci_hi"]
+    assert not r["significant"]

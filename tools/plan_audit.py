@@ -280,6 +280,14 @@ SINGLE_PARTITION_OK: dict[str, str] = {
         "share/lift windows over the <=84-cell calendar-DOMAIN frame "
         "(count partials, never order rows)"
     ),
+    "corpus_mix_kl": (
+        "share/KL windows over the SOURCE-DOMAIN-bounded token-mix "
+        "frame (combinable partials, never document rows)"
+    ),
+    "agg_odds_ratio": (
+        "1-row 2x2 cell frame (conditional-sum partials over "
+        "order-grain flags, never line rows)"
+    ),
     "corpus_importance_weights": (
         "share/weight/ESS windows over the length-bucket-DOMAIN-"
         "bounded count frame"
