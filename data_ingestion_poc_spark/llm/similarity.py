@@ -1951,3 +1951,114 @@ def embed_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nmi"),
         )
     )
+
+
+#: TwoNN intrinsic-dimension sample size: the estimator needs only a
+#: fixed-size sample, which is exactly what makes it viable at corpus
+#: scale — O(sample^2) distance pairs regardless of corpus size.
+TWONN_SAMPLE = 256
+
+_TWONN_ORACLE = f"""
+    WITH sampled AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM (
+        SELECT vec_id, embedding,
+               row_number() OVER (ORDER BY md5('id:' ||
+                   CAST(vec_id AS VARCHAR)), vec_id) AS rk
+        FROM embeddings
+      ) WHERE rk <= {TWONN_SAMPLE}
+    ),
+    d AS (
+      SELECT a.vec_id,
+             sqrt(list_dot_product(a.v, a.v) - 2 * list_dot_product(a.v, b.v)
+                  + list_dot_product(b.v, b.v)) AS dist
+      FROM sampled a JOIN sampled b ON a.vec_id <> b.vec_id
+    ),
+    nn AS (
+      SELECT vec_id, dist,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist, vec_id)
+               AS rn
+      FROM d
+    ),
+    mu AS (
+      SELECT a.vec_id,
+             CAST(floor(ln(b.dist / a.dist) * 1000000) AS BIGINT) AS lmu
+      FROM (SELECT vec_id, dist FROM nn WHERE rn = 1) a
+      JOIN (SELECT vec_id, dist FROM nn WHERE rn = 2) b USING (vec_id)
+      WHERE a.dist > 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sample,
+           ROUND(COUNT(*) / (SUM(lmu) / 1000000.0), 4) AS intrinsic_dim
+    FROM mu
+"""
+
+
+@register("embed_intrinsic_dim", oracle=_TWONN_ORACLE)
+def embed_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TwoNN intrinsic-dimension estimate (Facco et al. 2017) of the
+    embedding manifold: ID = n / sum(ln(r2/r1)) over each sampled
+    point's two nearest neighbors — the diagnostic that says how many
+    dimensions the vectors REALLY use (an ID far below the ambient dim
+    licenses aggressive PCA/Matryoshka truncation, embed_pca_contract's
+    question answered from geometry instead of variance; ID near
+    ambient says quantize, don't project).
+
+    Scale posture: the estimator is computed on a DETERMINISTIC
+    {TWONN_SAMPLE}-vector sample (md5 hash order, the sampling.py
+    convention) because TwoNN needs only a sample — the O(sample^2)
+    distance join is CONSTANT in corpus size, which is the honest way
+    to run it at 100 TB (the corpus-wide alternative is an all-pairs
+    knn nobody needs for one scalar). Determinism: distances are
+    identical-expression doubles on the same vectors; each ln(mu)
+    micro-unit-quantizes before the exact fold; zero-distance pairs
+    (exact duplicate vectors) are excluded in both engines."""
+    t = load(spark, sf_dir)
+    # distributed top-k (TakeOrderedAndProject), NOT a global
+    # row_number window: the hash-order sample must never single-
+    # partition the corpus at 100 TB
+    sampled = (
+        t.embeddings.select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("v"),
+            F.md5(
+                F.concat(F.lit("id:"), F.col("vec_id").cast("string")).cast(
+                    "binary"
+                )
+            ).alias("h"),
+        )
+        .orderBy("h", "vec_id")
+        .limit(TWONN_SAMPLE)
+        .drop("h")
+    )
+    a = sampled.alias("a")
+    b = sampled.alias("b")
+    dist = F.sqrt(
+        dot_double(F.col("a.v"), F.col("a.v"))
+        - 2 * dot_double(F.col("a.v"), F.col("b.v"))
+        + dot_double(F.col("b.v"), F.col("b.v"))
+    )
+    d = (
+        a.join(F.broadcast(b), F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("vec_id"), dist.alias("dist"))
+    )
+    w_nn = Window.partitionBy("vec_id").orderBy("dist", "vec_id")
+    nn = d.withColumn("rn", F.row_number().over(w_nn)).where(
+        F.col("rn") <= 2
+    )
+    r1 = nn.where(F.col("rn") == 1).select("vec_id", F.col("dist").alias("d1"))
+    r2 = nn.where(F.col("rn") == 2).select("vec_id", F.col("dist").alias("d2"))
+    mu = (
+        r1.join(r2, "vec_id")
+        .where(F.col("d1") > 0)
+        .select(
+            F.floor(F.log(F.col("d2") / F.col("d1")) * 1_000_000)
+            .cast("bigint")
+            .alias("lmu")
+        )
+    )
+    return mu.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sample"),
+        F.round(
+            F.count(F.lit(1)) / (F.sum("lmu") / 1_000_000.0), 4
+        ).alias("intrinsic_dim"),
+    )

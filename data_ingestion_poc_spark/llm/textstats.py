@@ -1031,3 +1031,79 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(oov / n.cast("double"), 6).alias("oov_rate"),
         (oov / n.cast("double") > 0.5).alias("mostly_oov"),
     )
+
+
+_LANG_MIX_ORACLE = """
+    WITH cells AS (
+      SELECT source, lang,
+             COUNT(*) AS n_docs,
+             SUM(len(string_split(text, ' '))) AS n_tok
+      FROM documents GROUP BY source, lang
+    ),
+    m AS (
+      SELECT source, lang, n_docs, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source) AS src_tok
+      FROM cells
+    ),
+    ent AS (
+      SELECT source,
+             SUM(CAST(floor(-(n_tok / CAST(src_tok AS DOUBLE))
+                   * ln(n_tok / CAST(src_tok AS DOUBLE)) / ln(2.0)
+                   * 1000000) AS BIGINT)) AS h_units,
+             MAX(src_tok) AS src_tok2
+      FROM m GROUP BY source
+    )
+    SELECT m.source, m.lang,
+           CAST(m.n_docs AS BIGINT) AS n_docs,
+           CAST(m.n_tok AS BIGINT) AS n_tokens,
+           ROUND(m.n_tok / CAST(m.src_tok AS DOUBLE), 6) AS lang_share,
+           ROUND(e.h_units / 1000000.0, 6) AS lang_entropy_bits
+    FROM m JOIN ent e ON e.source = m.source
+"""
+
+
+@register("text_language_mix", oracle=_LANG_MIX_ORACLE)
+def text_language_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language mix: token counts and share per (source,
+    lang) plus the source's language ENTROPY in bits — the routing
+    report a multilingual curation pipeline reads before assigning
+    tokenizers and per-language quality thresholds (an English-tuned
+    Gopher battery silently shreds a source whose entropy says it is
+    40% something else; text_lang_id guesses per-doc, this reports the
+    portfolio). Entropy 0 = monolingual source; high entropy = route
+    per-doc, not per-source.
+
+    Scale/determinism: one combinable aggregate onto the
+    (source x lang)-DOMAIN frame; shares are exact-integer-ratio
+    divisions; entropy terms micro-unit-quantize before the exact fold
+    (agg_mutual_info doctrine)."""
+    t = load(spark, sf_dir)
+    cells = t.documents.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tok"),
+    )
+    w_src = Window.partitionBy("source")
+    m = cells.select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tok",
+        F.sum("n_tok").over(w_src).alias("src_tok"),
+    )
+    share = F.col("n_tok") / F.col("src_tok").cast("double")
+    h_units = F.floor(
+        -share * F.log(share) / F.log(F.lit(2.0)) * 1_000_000
+    ).cast("bigint")
+    ent = m.select("source", h_units.alias("hu")).groupBy("source").agg(
+        F.sum("hu").alias("h_units")
+    )
+    return m.join(F.broadcast(ent), "source").select(
+        "source",
+        "lang",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_tok").cast("bigint").alias("n_tokens"),
+        F.round(share, 6).alias("lang_share"),
+        F.round(F.col("h_units") / 1_000_000.0, 6).alias(
+            "lang_entropy_bits"
+        ),
+    )

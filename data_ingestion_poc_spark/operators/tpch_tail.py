@@ -300,3 +300,153 @@ def q_sole_late_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )
+
+
+#: Wilson lower-bound confidence (z for 95%): the ranking score for
+#: "reliable supplier" that does not reward tiny samples the way a raw
+#: success rate does.
+WILSON_Z = 1.96
+
+_WILSON_ORACLE = f"""
+    WITH s AS (
+      SELECT l_suppkey,
+             COUNT(*) AS n,
+             SUM(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END) AS ok
+      FROM lineitem GROUP BY l_suppkey
+    ),
+    w AS (
+      SELECT l_suppkey, n, ok,
+             ok / CAST(n AS DOUBLE) AS p,
+             (ok / CAST(n AS DOUBLE) + {WILSON_Z} * {WILSON_Z} / (2.0 * n)
+              - {WILSON_Z} * sqrt((ok / CAST(n AS DOUBLE))
+                    * (1 - ok / CAST(n AS DOUBLE)) / n
+                    + {WILSON_Z} * {WILSON_Z} / (4.0 * n * n)))
+             / (1 + {WILSON_Z} * {WILSON_Z} / CAST(n AS DOUBLE)) AS wlb
+      FROM s
+    )
+    SELECT CAST(l_suppkey AS BIGINT) AS l_suppkey,
+           CAST(n AS BIGINT) AS n_lines,
+           CAST(ok AS BIGINT) AS n_clean,
+           ROUND(p, 6) AS clean_rate,
+           ROUND(wlb, 6) AS wilson_lower,
+           CAST(row_number() OVER (ORDER BY floor(wlb * 1000000) DESC,
+                                   l_suppkey) AS BIGINT) AS reliability_rank
+    FROM w
+"""
+
+
+@register("q_supplier_wilson_score", oracle=_WILSON_ORACLE)
+def q_supplier_wilson_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier reliability ranking by the WILSON LOWER BOUND of the
+    non-returned-line rate — the ranking statistic that fixes the two
+    classic failures of sorting by raw rate (a 2/2 supplier beats a
+    198/200 one) and by volume (big sellers win regardless of quality):
+    the lower confidence bound rewards both a high rate AND the
+    evidence for it. The e-commerce "sort by rating" algorithm applied
+    to the supply base.
+
+    Scale/determinism: one combinable (n, ok) aggregate per supplier;
+    the Wilson expression is identical arithmetic on exact integers;
+    the global ranking window orders by the score FLOORED to 1e-6 (ties
+    then break by key, so sub-lattice libm drift cannot reorder) over
+    the SUPPLIER-domain frame."""
+    t = load(spark, sf_dir)
+    s = t.lineitem.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("l_returnflag") != "R", 1).otherwise(0)).alias(
+            "ok"
+        ),
+    )
+    nd = F.col("n").cast("double")
+    p = F.col("ok") / nd
+    z2 = WILSON_Z * WILSON_Z
+    wlb = (
+        p + z2 / (2.0 * F.col("n"))
+        - WILSON_Z
+        * F.sqrt(p * (1 - p) / F.col("n") + z2 / (4.0 * F.col("n") * F.col("n")))
+    ) / (1 + z2 / nd)
+    w = Window.orderBy(F.floor(wlb * 1_000_000).desc(), "l_suppkey")
+    return s.select(
+        F.col("l_suppkey").cast("bigint").alias("l_suppkey"),
+        F.col("n").cast("bigint").alias("n_lines"),
+        F.col("ok").cast("bigint").alias("n_clean"),
+        F.round(p, 6).alias("clean_rate"),
+        F.round(wlb, 6).alias("wilson_lower"),
+        F.row_number().over(w).cast("bigint").alias("reliability_rank"),
+    )
+
+
+#: XYZ demand-variability classes on the weekly coefficient of
+#: variation (the standard inventory-planning cutoffs).
+XYZ_X_MAX = 0.5
+XYZ_Y_MAX = 1.0
+
+_XYZ_ORACLE = f"""
+    WITH wk AS (
+      SELECT p.p_brand,
+             date_trunc('week', l.l_shipdate) AS week,
+             SUM(CAST(l.l_quantity AS BIGINT)) AS qty
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT p_brand,
+             COUNT(*) AS n_weeks,
+             AVG(qty) AS mu,
+             STDDEV_SAMP(qty) AS sd
+      FROM wk GROUP BY p_brand
+    )
+    SELECT p_brand,
+           CAST(n_weeks AS BIGINT) AS n_weeks,
+           ROUND(mu, 4) AS mean_weekly_qty,
+           ROUND(sd / mu, 6) AS cv,
+           CASE WHEN sd / mu < {XYZ_X_MAX} THEN 'X'
+                WHEN sd / mu < {XYZ_Y_MAX} THEN 'Y'
+                ELSE 'Z' END AS xyz_class
+    FROM s
+"""
+
+
+@register("q_xyz_variability", oracle=_XYZ_ORACLE)
+def q_xyz_variability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XYZ demand-variability classification per brand: coefficient of
+    variation of WEEKLY shipped quantity — X (steady, forecastable,
+    cv < {XYZ_X_MAX}), Y (swinging, cv < {XYZ_Y_MAX}), Z (erratic).
+    The planning twin of q_abc_classification: ABC says how much a
+    brand MATTERS, XYZ says how PREDICTABLE it is; AX items get lean
+    stock, CZ items get make-to-order. Run together they are the
+    standard inventory-policy matrix.
+
+    Scale/determinism: facts reduce to the (brand x week)
+    calendar-DOMAIN frame (combinable integer qty sums on the part-dim
+    join), then one (n, mean, sd) fold per brand; cv is one identical
+    division on the brand-domain frame."""
+    t = load(spark, sf_dir)
+    wk = (
+        t.lineitem.join(
+            # part scales with SF: no hard broadcast hint (AQE decides)
+            t.part.select(F.col("p_partkey").alias("l_partkey"), "p_brand"),
+            "l_partkey",
+        )
+        .groupBy(
+            "p_brand",
+            F.date_trunc("week", F.col("l_shipdate")).alias("week"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("qty"))
+    )
+    s = wk.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_weeks"),
+        F.avg("qty").alias("mu"),
+        F.stddev_samp("qty").alias("sd"),
+    )
+    cv = F.col("sd") / F.col("mu")
+    return s.select(
+        "p_brand",
+        F.col("n_weeks").cast("bigint").alias("n_weeks"),
+        F.round("mu", 4).alias("mean_weekly_qty"),
+        F.round(cv, 6).alias("cv"),
+        F.when(cv < XYZ_X_MAX, "X")
+        .when(cv < XYZ_Y_MAX, "Y")
+        .otherwise("Z")
+        .alias("xyz_class"),
+    )

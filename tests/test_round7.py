@@ -411,3 +411,59 @@ def test_odds_ratio_independent_near_one(spark, tmp_path):
     assert r["odds_ratio"] == 1.0
     assert r["ci_lo"] < 1.0 < r["ci_hi"]
     assert not r["significant"]
+
+
+# --- batch 4: wilson / xyz / language mix / intrinsic dim
+
+
+def test_wilson_small_sample_ranks_below_big_evidence(spark, tmp_path):
+    """Supplier 1: 2/2 clean; supplier 2: 198/200 clean. Raw rate says
+    supplier 1 wins; the Wilson lower bound must rank supplier 2 first."""
+    lines = [(1, 1, "N"), (2, 1, "N")]
+    lines += [(100 + i, 2, "N" if i < 198 else "R") for i in range(200)]
+    spark.createDataFrame(
+        [(i + 1, s, f) for i, (_, s, f) in enumerate(lines)],
+        "l_orderkey long, l_suppkey long, l_returnflag string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    out = {
+        r["l_suppkey"]: r
+        for r in registry.get("q_supplier_wilson_score")
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert out[1]["clean_rate"] == 1.0
+    assert out[2]["clean_rate"] == 0.99
+    assert out[2]["wilson_lower"] > out[1]["wilson_lower"]
+    assert out[2]["reliability_rank"] == 1
+
+
+def test_xyz_classes_valid(spark):
+    rows = registry.get("q_xyz_variability").fn(spark, SF001).collect()
+    assert rows
+    for r in rows:
+        assert r["xyz_class"] in ("X", "Y", "Z")
+        assert r["cv"] >= 0
+        if r["cv"] < 0.5:
+            assert r["xyz_class"] == "X"
+
+
+def test_language_mix_shares_and_entropy(spark):
+    rows = registry.get("text_language_mix").fn(spark, SF001).collect()
+    assert rows
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for src_rows in by_src.values():
+        assert abs(sum(r["lang_share"] for r in src_rows) - 1.0) < 1e-3
+        ent = src_rows[0]["lang_entropy_bits"]
+        assert all(r["lang_entropy_bits"] == ent for r in src_rows)
+        n_langs = len(src_rows)
+        assert -1e-6 <= ent <= math.log2(max(n_langs, 2)) + 1e-6
+
+
+def test_intrinsic_dim_positive_and_below_ambient(spark):
+    r = registry.get("embed_intrinsic_dim").fn(spark, SF001).collect()[0]
+    assert r["n_sample"] > 0
+    # the fixture embeddings are 64-dim; a TwoNN estimate must be a
+    # positive number and cannot meaningfully exceed the ambient dim
+    assert 0 < r["intrinsic_dim"] < 128

@@ -288,6 +288,15 @@ SINGLE_PARTITION_OK: dict[str, str] = {
         "1-row 2x2 cell frame (conditional-sum partials over "
         "order-grain flags, never line rows)"
     ),
+    "q_supplier_wilson_score": (
+        "reliability-rank window over the SUPPLIER-domain frame "
+        "(combinable (n, ok) partials, never line rows)"
+    ),
+    "embed_intrinsic_dim": (
+        "nn windows + 1-row ID fold over the fixed 256-row sample "
+        "frame (corpus never single-partitions: sample is a "
+        "TakeOrderedAndProject)"
+    ),
     "corpus_importance_weights": (
         "share/weight/ESS windows over the length-bucket-DOMAIN-"
         "bounded count frame"
