@@ -2748,3 +2748,100 @@ def agg_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(hi, 4).alias("ci_hi"),
         (~((lo <= 1.0) & (F.lit(1.0) <= hi))).alias("significant"),
     )
+
+
+_RUNS_ORACLE = """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(ROUND(SUM(o_totalprice) * 100) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    med AS (SELECT quantile_cont(cents * 1.0, 0.5) AS m FROM daily),
+    signs AS (
+      SELECT d, CASE WHEN cents > m THEN 1 ELSE 0 END AS up
+      FROM daily CROSS JOIN med WHERE cents <> m
+    ),
+    flips AS (
+      SELECT up,
+             CASE WHEN lag(up) OVER (ORDER BY d) IS NULL
+                       OR lag(up) OVER (ORDER BY d) <> up
+                  THEN 1 ELSE 0 END AS new_run
+      FROM signs
+    ),
+    s AS (
+      SELECT SUM(new_run) AS runs,
+             SUM(up) AS n1,
+             SUM(1 - up) AS n2
+      FROM flips
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_above,
+           CAST(n2 AS BIGINT) AS n_below,
+           CAST(runs AS BIGINT) AS n_runs,
+           ROUND(1.0 + 2.0 * n1 * n2 / (n1 + n2), 4) AS expected_runs,
+           ROUND((runs - (1.0 + 2.0 * n1 * n2 / (n1 + n2)))
+                 / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))), 4)
+             AS z_stat,
+           abs((runs - (1.0 + 2.0 * n1 * n2 / (n1 + n2)))
+               / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                      / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0)))) > 1.96
+             AS nonrandom
+    FROM s
+"""
+
+
+@register("agg_runs_test", oracle=_RUNS_ORACLE)
+def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the daily-revenue sign sequence
+    (above/below the series median): too FEW runs = the series is
+    trending or regime-sticky, too MANY = oscillating — the RANDOMNESS
+    check that completes the time-series test kit (agg_mann_kendall
+    asks "is there a monotone trend?", agg_autocorr asks "is it
+    linearly self-correlated?", this asks "is the sign sequence random
+    AT ALL?", which catches patterns both miss). Exact-median days are
+    excluded, the textbook convention.
+
+    Scale/determinism: facts reduce to exact-cents rows on the
+    calendar-DAY-bounded frame; the run count is one lag over that
+    frame; n1/n2/runs are exact integers and the z statistic one
+    identical expression."""
+    t = load(spark, sf_dir)
+    daily = t.orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).agg(F.round(F.sum("o_totalprice") * 100).cast("bigint").alias("cents"))
+    med = daily.agg(F.percentile("cents", F.lit(0.5)).alias("m"))
+    signs = (
+        daily.crossJoin(F.broadcast(med))
+        .where(F.col("cents") != F.col("m"))
+        .select("d", F.when(F.col("cents") > F.col("m"), 1).otherwise(0).alias("up"))
+    )
+    w = Window.orderBy("d")
+    flips = signs.select(
+        "up",
+        F.when(
+            F.lag("up").over(w).isNull() | (F.lag("up").over(w) != F.col("up")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    s = flips.agg(
+        F.sum("new_run").alias("runs"),
+        F.sum("up").alias("n1"),
+        F.sum(1 - F.col("up")).alias("n2"),
+    )
+    n1, n2, runs = (F.col(x).cast("double") for x in ("n1", "n2", "runs"))
+    exp_r = 1.0 + 2.0 * n1 * n2 / (n1 + n2)
+    var_r = (
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))
+    )
+    z = (runs - exp_r) / F.sqrt(var_r)
+    return s.select(
+        F.col("n1").cast("bigint").alias("n_above"),
+        F.col("n2").cast("bigint").alias("n_below"),
+        F.col("runs").cast("bigint").alias("n_runs"),
+        F.round(exp_r, 4).alias("expected_runs"),
+        F.round(z, 4).alias("z_stat"),
+        (F.abs(z) > 1.96).alias("nonrandom"),
+    )

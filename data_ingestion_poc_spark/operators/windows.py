@@ -2583,3 +2583,70 @@ def win_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
         # a .5 lattice point where HALF_UP (Spark) and DuckDB disagree
         (F.floor(cum_c / 100.0 / cum_q * 10_000) / 10_000).alias("vwap"),
     )
+
+
+_PARKINSON_ORACLE = """
+    WITH bars AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             MAX(CAST(ROUND(value * 100) AS BIGINT)) AS hi,
+             MIN(CAST(ROUND(value * 100) AS BIGINT)) AS lo,
+             COUNT(*) AS n_events
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    t AS (
+      SELECT user_id, day, hi, lo, n_events,
+             CAST(floor(POWER(ln(hi / CAST(lo AS DOUBLE)), 2) * 100000000)
+                  AS BIGINT) AS lnhl2_units
+      FROM bars WHERE lo > 0 AND n_events >= 2
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(sqrt(SUM(lnhl2_units) / 100000000.0
+                      / (4.0 * ln(2.0) * COUNT(*))), 6)
+             AS parkinson_vol
+    FROM t GROUP BY user_id
+"""
+
+
+@register("win_parkinson_volatility", oracle=_PARKINSON_ORACLE)
+def win_parkinson_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parkinson range-based volatility per user: sigma_P =
+    sqrt(mean(ln(H/L)^2) / (4 ln 2)) over DAILY high/low value bars —
+    the estimator that extracts ~5x more information per bar than
+    close-to-close stddev by using the intraday RANGE (win_bollinger's
+    sigma sees only sampled closes; two streams with identical closes
+    but wildly different intra-day swings get the same Bollinger bands
+    and very different Parkinson vol). Single-event days are excluded
+    (no range).
+
+    Scale/determinism: events reduce to the (user x DAY) bar frame
+    with combinable integer-cents MIN/MAX; each ln^2 term quantizes to
+    1e-8 units before the exact per-user fold; one identical
+    sqrt-division at the end."""
+    t = load(spark, sf_dir)
+    bars = t.events.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.max(F.round(F.col("value") * 100).cast("bigint")).alias("hi"),
+        F.min(F.round(F.col("value") * 100).cast("bigint")).alias("lo"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    lnhl2 = F.floor(
+        F.pow(F.log(F.col("hi") / F.col("lo").cast("double")), 2)
+        * 100_000_000
+    ).cast("bigint")
+    tt = bars.where((F.col("lo") > 0) & (F.col("n_events") >= 2)).select(
+        "user_id", lnhl2.alias("lnhl2_units")
+    )
+    n = F.count(F.lit(1))
+    return tt.groupBy("user_id").agg(
+        n.cast("bigint").alias("n_days"),
+        F.round(
+            F.sqrt(
+                F.sum("lnhl2_units")
+                / 100_000_000.0
+                / (4.0 * F.log(F.lit(2.0)) * n)
+            ),
+            6,
+        ).alias("parkinson_vol"),
+    )

@@ -467,3 +467,62 @@ def test_intrinsic_dim_positive_and_below_ambient(spark):
     # the fixture embeddings are 64-dim; a TwoNN estimate must be a
     # positive number and cannot meaningfully exceed the ambient dim
     assert 0 < r["intrinsic_dim"] < 128
+
+
+# --- batch 5: runs test / Parkinson volatility
+
+
+def test_runs_alternating_sequence_oscillates(spark, tmp_path):
+    """Daily revenue alternating high/low around the median: maximal
+    runs -> large positive z (oscillating, nonrandom)."""
+    orders = [
+        (i, 1, "1-URGENT",
+         datetime.date(2024, 1, 1) + datetime.timedelta(days=i),
+         100.0 if i % 2 == 0 else 10.0)
+        for i in range(40)
+    ]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderpriority string,"
+        " o_orderdate date, o_totalprice double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    r = registry.get("agg_runs_test").fn(spark, str(tmp_path)).collect()[0]
+    assert r["n_runs"] == 40  # every day flips sign
+    assert r["z_stat"] > 1.96 and r["nonrandom"]
+
+
+def test_runs_block_sequence_trends(spark, tmp_path):
+    """20 low days then 20 high days: 2 runs -> large negative z."""
+    orders = [
+        (i, 1, "1-URGENT",
+         datetime.date(2024, 1, 1) + datetime.timedelta(days=i),
+         10.0 if i < 20 else 100.0)
+        for i in range(40)
+    ]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderpriority string,"
+        " o_orderdate date, o_totalprice double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    r = registry.get("agg_runs_test").fn(spark, str(tmp_path)).collect()[0]
+    assert r["n_runs"] == 2
+    assert r["z_stat"] < -1.96 and r["nonrandom"]
+
+
+def test_parkinson_flat_day_zero_vol(spark, tmp_path):
+    """All events the same value: ln(H/L) = 0 -> vol 0."""
+    rows = [(i, i, 1, "view", 5.0) for i in range(10)]
+    _write_events(spark, tmp_path, rows)
+    r = registry.get("win_parkinson_volatility").fn(spark, str(tmp_path)).collect()[0]
+    assert r["parkinson_vol"] == 0.0
+
+
+def test_parkinson_known_range(spark, tmp_path):
+    """One day, H = 200 cents, L = 100 cents: sigma = sqrt(ln(2)^2 /
+    (4 ln 2)) = sqrt(ln2/4), with the 1e-8 term quantization."""
+    rows = [(0, 0, 1, "view", 1.0), (1, 1, 1, "view", 2.0)]
+    _write_events(spark, tmp_path, rows)
+    r = registry.get("win_parkinson_volatility").fn(spark, str(tmp_path)).collect()[0]
+    units = math.floor(math.log(2.0) ** 2 * 1e8)
+    expected = math.sqrt(units / 1e8 / (4 * math.log(2.0)))
+    assert r["parkinson_vol"] == pytest.approx(expected, abs=5.1e-7)

@@ -297,6 +297,10 @@ SINGLE_PARTITION_OK: dict[str, str] = {
         "frame (corpus never single-partitions: sample is a "
         "TakeOrderedAndProject)"
     ),
+    "agg_runs_test": (
+        "sign-sequence lag + 1-row runs fold over the calendar-DAY-"
+        "bounded daily frame (cents partials, never order rows)"
+    ),
     "corpus_importance_weights": (
         "share/weight/ESS windows over the length-bucket-DOMAIN-"
         "bounded count frame"
