@@ -1348,3 +1348,71 @@ def scan_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue",
         )
     )
+
+
+_DYN_OVERWRITE_ORACLE = """
+    WITH base AS (
+      SELECT CAST(month(o_orderdate) AS BIGINT) AS month,
+             o_orderkey, o_totalprice
+      FROM orders
+    ),
+    kept AS (SELECT * FROM base WHERE month <> 3),
+    replaced AS (
+      SELECT month, o_orderkey, o_totalprice * 0.9 AS o_totalprice
+      FROM base WHERE month = 3
+    ),
+    final AS (SELECT * FROM kept UNION ALL SELECT * FROM replaced)
+    SELECT month,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(ROUND(SUM(o_totalprice) * 100) AS BIGINT) AS rev_cents,
+           month = 3 AS was_rewritten
+    FROM final GROUP BY month
+"""
+
+
+@register("sink_dynamic_partition_overwrite", oracle=_DYN_OVERWRITE_ORACLE)
+def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the lakehouse correction pattern:
+    rewrite ONLY the partitions present in the incoming batch (here:
+    month=3 re-priced at 90%) while every other partition's files stay
+    untouched. With the default STATIC mode the same write would DELETE
+    the other eleven months; partitionOverwriteMode=dynamic is the
+    one-conf fix, and this operator proves the semantics end to end by
+    re-reading the table and emitting per-month counts + revenue (month
+    3 changed, all others bit-identical). The idempotent-backfill
+    primitive under sink_scd2_history and stream_rollup_upsert's
+    batch cousin.
+
+    Scale shape: the rewrite job scans and shuffles ONLY the corrected
+    partition's rows; the table re-read prunes on the partition
+    column. Money on the cents lattice; counts exact."""
+    t = load(spark, sf_dir)
+    out = _sink_dir("dip_spark_dyn_overwrite", sf_dir)
+    base = t.orders.select(
+        F.month("o_orderdate").cast("bigint").alias("month"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    base.write.mode("overwrite").partitionBy("month").parquet(out)
+    correction = base.where(F.col("month") == 3).select(
+        "month", "o_orderkey", (F.col("o_totalprice") * 0.9).alias("o_totalprice")
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # dynamic mode: ONLY month=3's directory is replaced
+        correction.select("o_orderkey", "o_totalprice", "month").write.mode(
+            "overwrite"
+        ).partitionBy("month").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    back = spark.read.parquet(out)
+    return back.groupBy("month").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.round(F.sum("o_totalprice") * 100).cast("bigint").alias("rev_cents"),
+    ).select(
+        F.col("month").cast("bigint").alias("month"),
+        "n_rows",
+        "rev_cents",
+        (F.col("month") == 3).alias("was_rewritten"),
+    )

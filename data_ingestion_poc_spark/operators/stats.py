@@ -2845,3 +2845,104 @@ def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("z_stat"),
         (F.abs(z) > 1.96).alias("nonrandom"),
     )
+
+
+_ENTROPY_RATE_ORACLE = """
+    WITH seq AS (
+      SELECT event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    trans AS (
+      SELECT cur, nxt, COUNT(*) AS n FROM seq
+      WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ),
+    m AS (
+      SELECT cur, nxt, n,
+             SUM(n) OVER (PARTITION BY cur) AS row_t,
+             SUM(n) OVER () AS total
+      FROM trans
+    ),
+    cells AS (
+      SELECT cur,
+             CAST(floor(-(n / CAST(row_t AS DOUBLE))
+                   * ln(n / CAST(row_t AS DOUBLE)) / ln(2.0)
+                   * 1000000) AS BIGINT) AS h_units,
+             row_t, total
+      FROM m
+    ),
+    rows_h AS (
+      SELECT cur,
+             CAST(MAX(row_t) AS BIGINT) AS n_from,
+             SUM(h_units) AS hu,
+             MAX(total) AS total
+      FROM cells GROUP BY cur
+    )
+    SELECT cur AS from_type,
+           n_from,
+           ROUND(hu / 1000000.0, 6) AS conditional_entropy_bits,
+           ROUND(SUM(hu * (n_from / CAST(total AS DOUBLE))) OVER ()
+                 / 1000000.0, 6) AS entropy_rate_bits
+    FROM rows_h
+"""
+
+
+@register("agg_entropy_rate", oracle=_ENTROPY_RATE_ORACLE)
+def agg_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the user event-type chain: per-state conditional
+    entropy H(next | cur) in bits plus the transition-weighted overall
+    rate — how PREDICTABLE the next action is given the current one
+    (agg_markov_transitions gives the probabilities; this compresses
+    them into the one number that says whether a next-action model is
+    worth building: rate near 0 = deterministic flows, near log2(k) =
+    uniform chaos).
+
+    Scale/determinism: the same one-shuffle lead + combinable
+    transition counts as agg_markov_transitions, reduced onto the
+    TYPE x TYPE domain frame; each entropy term micro-unit-quantizes
+    before the exact fold (agg_mutual_info doctrine); the weighted
+    rate is one window over the k-row frame."""
+    t = load(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t.events.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).where(F.col("nxt").isNotNull())
+    trans = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    w_row = Window.partitionBy("cur")
+    w_all = Window.partitionBy()
+    m = trans.select(
+        "cur",
+        "n",
+        F.sum("n").over(w_row).alias("row_t"),
+        F.sum("n").over(w_all).alias("total"),
+    )
+    p = F.col("n") / F.col("row_t").cast("double")
+    h_units = F.floor(-p * F.log(p) / F.log(F.lit(2.0)) * 1_000_000).cast(
+        "bigint"
+    )
+    rows_h = (
+        m.select("cur", h_units.alias("hu"), "row_t", "total")
+        .groupBy("cur")
+        .agg(
+            F.max("row_t").cast("bigint").alias("n_from"),
+            F.sum("hu").alias("hu"),
+            F.max("total").alias("total"),
+        )
+    )
+    w_fin = Window.partitionBy()
+    return rows_h.select(
+        F.col("cur").alias("from_type"),
+        "n_from",
+        F.round(F.col("hu") / 1_000_000.0, 6).alias(
+            "conditional_entropy_bits"
+        ),
+        F.round(
+            F.sum(
+                F.col("hu") * (F.col("n_from") / F.col("total").cast("double"))
+            ).over(w_fin)
+            / 1_000_000.0,
+            6,
+        ).alias("entropy_rate_bits"),
+    )

@@ -2650,3 +2650,60 @@ def win_parkinson_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("parkinson_vol"),
     )
+
+
+_OBV_ORACLE = """
+    WITH c AS (
+      SELECT user_id, event_id, ts,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    sgn AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(cents) OVER w IS NULL THEN 0
+                  WHEN cents > lag(cents) OVER w THEN 1
+                  WHEN cents < lag(cents) OVER w THEN -1
+                  ELSE 0 END AS flow
+      FROM c
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id,
+           CAST(SUM(flow) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS obv
+    FROM sgn
+"""
+
+
+@register("win_obv", oracle=_OBV_ORACLE)
+def win_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-balance volume per user stream (unit-volume form): the
+    cumulative count of up-moves minus down-moves — the
+    accumulation/distribution pressure gauge whose DIVERGENCE from the
+    value level is the classic early-warning signal (value flat while
+    OBV climbs = pressure building; win_rsi measures magnitude
+    one-sidedness, OBV measures persistent direction). Flat ticks and
+    each stream's first row contribute zero.
+
+    Scale/determinism: one (user_id) shuffle shared by the lag and the
+    running sum (same ordering, subset frames); the flow is an exact
+    integer sign per row, so the prefix sum is an exact integer fold."""
+    t = load(spark, sf_dir)
+    order = [F.col("ts"), F.col("event_id")]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    w_run = w.rowsBetween(Window.unboundedPreceding, 0)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    c = t.events.select("user_id", "event_id", "ts", cents.alias("cents"))
+    prev = F.lag("cents").over(w)
+    flow = (
+        F.when(prev.isNull(), 0)
+        .when(F.col("cents") > prev, 1)
+        .when(F.col("cents") < prev, -1)
+        .otherwise(0)
+    )
+    sgn = c.select("user_id", "event_id", "ts", flow.alias("flow"))
+    return sgn.select(
+        "user_id",
+        "event_id",
+        F.sum("flow").over(w_run).cast("bigint").alias("obv"),
+    )

@@ -526,3 +526,68 @@ def test_parkinson_known_range(spark, tmp_path):
     units = math.floor(math.log(2.0) ** 2 * 1e8)
     expected = math.sqrt(units / 1e8 / (4 * math.log(2.0)))
     assert r["parkinson_vol"] == pytest.approx(expected, abs=5.1e-7)
+
+
+# --- batch 6: dynamic overwrite / OBV / entropy rate
+
+
+def test_dynamic_overwrite_only_touches_month3(spark):
+    rows = {
+        r["month"]: r
+        for r in registry.get("sink_dynamic_partition_overwrite")
+        .fn(spark, SF001)
+        .collect()
+    }
+    assert set(rows) == set(range(1, 13))
+    assert rows[3]["was_rewritten"]
+    # months other than 3 keep their original revenue; month 3 is 90%
+    import duckdb
+
+    exp = {
+        int(m): int(c)
+        for m, c in duckdb.sql(
+            "SELECT month(o_orderdate) m,"
+            " CAST(ROUND(SUM(o_totalprice)*100) AS BIGINT) c"
+            f" FROM '{SF001}/orders.parquet' GROUP BY 1"
+        ).fetchall()
+    }
+    for m in range(1, 13):
+        if m != 3:
+            assert rows[m]["rev_cents"] == exp[m]
+
+
+def test_obv_monotone_stream_counts_upmoves(spark, tmp_path):
+    rows = [(i, i, 1, "view", float(i + 1)) for i in range(10)]
+    _write_events(spark, tmp_path, rows)
+    out = {
+        r["event_id"]: r["obv"]
+        for r in registry.get("win_obv").fn(spark, str(tmp_path)).collect()
+    }
+    assert out[0] == 0 and out[9] == 9
+
+
+def test_entropy_rate_deterministic_chain_zero(spark, tmp_path):
+    """a -> b -> a -> b ...: each state has exactly one successor, so
+    every conditional entropy (and the rate) is 0 bits."""
+    rows = [(i, i, 1, "a" if i % 2 == 0 else "b", 1.0) for i in range(20)]
+    _write_events(spark, tmp_path, rows)
+    out = registry.get("agg_entropy_rate").fn(spark, str(tmp_path)).collect()
+    assert out
+    assert all(r["conditional_entropy_bits"] == 0.0 for r in out)
+    assert all(r["entropy_rate_bits"] == 0.0 for r in out)
+
+
+def test_entropy_rate_uniform_chain_one_bit(spark, tmp_path):
+    """From 'a' the successor alternates b/c evenly: H(next|a) = 1 bit
+    (up to the 1e-6 floor quantization)."""
+    seq = []
+    for i in range(40):
+        seq.append("a")
+        seq.append("b" if i % 2 == 0 else "c")
+    rows = [(i, i, 1, et, 1.0) for i, et in enumerate(seq)]
+    _write_events(spark, tmp_path, rows)
+    out = {
+        r["from_type"]: r
+        for r in registry.get("agg_entropy_rate").fn(spark, str(tmp_path)).collect()
+    }
+    assert out["a"]["conditional_entropy_bits"] == pytest.approx(1.0, abs=1e-5)

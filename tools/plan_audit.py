@@ -301,6 +301,10 @@ SINGLE_PARTITION_OK: dict[str, str] = {
         "sign-sequence lag + 1-row runs fold over the calendar-DAY-"
         "bounded daily frame (cents partials, never order rows)"
     ),
+    "agg_entropy_rate": (
+        "rate window over the TYPE x TYPE-domain transition frame "
+        "(combinable count partials, never event rows)"
+    ),
     "corpus_importance_weights": (
         "share/weight/ESS windows over the length-bucket-DOMAIN-"
         "bounded count frame"
