@@ -1175,3 +1175,107 @@ if _transform_with_state_available():  # pragma: no cover - env-dependent
         GROUP BY user_id
         """,
     )(stream_transform_with_state)
+
+
+from ..llm.textstats import _STOP_SQL as _QG_STOP_SQL  # noqa: E402
+
+_QUALITY_GATE_ORACLE = f"""
+    WITH scored AS (
+      SELECT source,
+             len(string_split(text, ' ')) AS n_tok,
+             floor((
+               0.4 * least(len(string_split(text, ' ')) / 200.0, 1.0)
+             + 0.3 * (len(list_filter(string_split(text, ' '),
+                                      w -> w IN ({_QG_STOP_SQL})))
+                      / CAST(len(string_split(text, ' ')) AS DOUBLE))
+             + 0.3 * (len(list_distinct(string_split(text, ' ')))
+                      / CAST(len(string_split(text, ' ')) AS DOUBLE)))
+               * 10000) / 10000 >= 0.28
+             AND length(text) BETWEEN 100 AND 2000 AS kept
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN kept THEN n_tok ELSE 0 END) AS BIGINT)
+             AS kept_tokens
+    FROM scored GROUP BY source
+"""
+
+
+@register("stream_quality_gate", oracle=_QUALITY_GATE_ORACLE)
+def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation quality gate AS A STREAM: documents land in an
+    inbox, each micro-batch scores them with the corpus_quality_filter
+    expressions (heuristic quality >= 0.28 AND length in [100, 2000])
+    and the sink accumulates per-source keep/drop counts + surviving
+    tokens — the continuous-ingest form of the batch gate, which is how
+    a crawl pipeline actually runs it (score-at-ingest, not
+    score-the-lake). Batch parity: the oracle is the SAME filter run as
+    one batch SQL, so the micro-batch boundary provably does not change
+    a single verdict (the per-row predicate is stateless — the easy,
+    and therefore safe, thing to stream).
+
+    Scale/state: the aggregate keeps one state row per source (bounded
+    by the source domain); the predicate itself needs no state at all.
+    Complete mode because the per-source totals ARE the contract."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    run = os.path.join(
+        tempfile.gettempdir(), f"dip_quality_gate_{uuid.uuid4().hex[:8]}"
+    )
+    inbox = os.path.join(run, "inbox")
+    os.makedirs(inbox, exist_ok=True)
+    shutil.copy(
+        os.path.join(sf_dir, "documents.parquet"),
+        os.path.join(inbox, "drop0.parquet"),
+    )
+    schema = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).schema
+    sdf = spark.readStream.schema(schema).parquet(inbox)
+
+    from ..llm.textstats import STOPWORDS
+
+    words = F.split("text", " ")
+    n_words = F.size(words).cast("double")
+    n_stop = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+    n_distinct = F.size(F.array_distinct(words))
+    raw = (
+        0.4 * F.least(F.size(words) / F.lit(200.0), F.lit(1.0))
+        + 0.3 * (n_stop / n_words)
+        + 0.3 * (n_distinct / n_words)
+    )
+    quality = F.floor(raw * 10000) / 10000
+    kept = (
+        (quality >= 0.28)
+        & (F.length("text") >= 100)
+        & (F.length("text") <= 2000)
+    )
+    scored = sdf.select(
+        "source",
+        F.size(words).alias("n_tok"),
+        kept.alias("kept"),
+    )
+    agg = scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("kept").cast("long")).cast("bigint").alias("n_kept"),
+        F.sum(F.when(F.col("kept"), F.col("n_tok")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_tokens"),
+    )
+    name = "mem_qgate_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(run, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(run, ignore_errors=True)
+    return spark.table(name)

@@ -591,3 +591,22 @@ def test_entropy_rate_uniform_chain_one_bit(spark, tmp_path):
         for r in registry.get("agg_entropy_rate").fn(spark, str(tmp_path)).collect()
     }
     assert out["a"]["conditional_entropy_bits"] == pytest.approx(1.0, abs=1e-5)
+
+
+# --- stream_quality_gate
+
+
+def test_stream_quality_gate_matches_batch_filter(spark):
+    """The streaming gate's per-source totals must equal the batch
+    corpus_quality_filter's verdicts on the same corpus."""
+    stream_rows = {
+        r["source"]: r
+        for r in registry.get("stream_quality_gate").fn(spark, SF001).collect()
+    }
+    batch_kept: dict = {}
+    for r in registry.get("corpus_quality_filter").fn(spark, SF001).collect():
+        batch_kept[r["source"]] = batch_kept.get(r["source"], 0) + 1
+    assert stream_rows
+    for src, r in stream_rows.items():
+        assert r["n_kept"] == batch_kept.get(src, 0)
+        assert 0 <= r["n_kept"] <= r["n_docs"]
