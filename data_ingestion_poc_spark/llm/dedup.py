@@ -2070,3 +2070,89 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("source_a") == F.col("source_b")).alias("within_source"),
         )
     )
+
+
+_SHINGLE_DF_ORACLE = f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest([array_to_string(words[i:i+2], ' ')
+                       FOR i IN range(1, len(words) - 1)]) AS shingle
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS words
+              FROM documents)
+      )
+    ),
+    dfs AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+    hist AS (
+      SELECT CAST(floor(ln(df) / ln(2.0)) AS BIGINT) AS df_bucket_log2,
+             COUNT(*) AS n_shingles,
+             SUM(df) AS n_postings,
+             SUM(CASE WHEN df > {JACCARD_DF_CAP} THEN 1 ELSE 0 END)
+               AS n_capped,
+             SUM(CASE WHEN df > {JACCARD_DF_CAP} THEN df ELSE 0 END)
+               AS postings_capped
+      FROM dfs GROUP BY 1
+    )
+    SELECT df_bucket_log2,
+           CAST(n_shingles AS BIGINT) AS n_shingles,
+           CAST(n_postings AS BIGINT) AS n_postings,
+           CAST(n_capped AS BIGINT) AS n_shingles_capped,
+           ROUND(SUM(postings_capped) OVER ()
+                 / CAST(SUM(n_postings) OVER () AS DOUBLE), 6)
+             AS postings_dropped_share
+    FROM hist
+"""
+
+
+@register("dedup_shingle_df_histogram", oracle=_SHINGLE_DF_ORACLE)
+def dedup_shingle_df_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-frequency histogram of the dedup shingle universe
+    (log2 buckets) with the share of index POSTINGS the
+    JACCARD_DF_CAP={JACCARD_DF_CAP} policy drops — the tuning
+    instrument for the cap every inverted-index operator in this module
+    rides (ngram_jaccard/containment/prefix_filter/soft_reweight):
+    the cap bounds the candidate join quadratically AND caps recall on
+    boilerplate-only overlaps, and this histogram is how you price that
+    trade on a NEW corpus before running the expensive joins (a fat
+    high-df tail = heavy boilerplate = the cap is doing real work; a
+    clean power law = the cap is dormant insurance).
+
+    Scale/determinism: one distinct + one combinable df count (the
+    exact first stage of the shared index build), reduced onto the
+    LOG2-bucket domain (<= ~30 rows at any corpus size); the dropped
+    share is one window over that frame. Exact integers + one exact
+    division."""
+    t = load(spark, sf_dir)
+    words = F.split(F.lower("text"), " ")
+    # k=3: DuckDB's words[i:i+2] slice is INCLUSIVE (three words) — the
+    # same 3-gram width every inverted-index operator in this module uses
+    sh = (
+        t.documents.select(
+            "doc_id", F.explode(shingle_array(words, 3)).alias("shingle")
+        )
+        .distinct()
+    )
+    dfs = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    bucket = F.floor(F.log("df") / F.log(F.lit(2.0))).cast("bigint")
+    hist = dfs.groupBy(bucket.alias("df_bucket_log2")).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum("df").alias("n_postings"),
+        F.sum(F.when(F.col("df") > JACCARD_DF_CAP, 1).otherwise(0)).alias(
+            "n_capped"
+        ),
+        F.sum(
+            F.when(F.col("df") > JACCARD_DF_CAP, F.col("df")).otherwise(0)
+        ).alias("postings_capped"),
+    )
+    w = Window.partitionBy()
+    return hist.select(
+        "df_bucket_log2",
+        F.col("n_shingles").cast("bigint").alias("n_shingles"),
+        F.col("n_postings").cast("bigint").alias("n_postings"),
+        F.col("n_capped").cast("bigint").alias("n_shingles_capped"),
+        F.round(
+            F.sum("postings_capped").over(w)
+            / F.sum("n_postings").over(w).cast("double"),
+            6,
+        ).alias("postings_dropped_share"),
+    )

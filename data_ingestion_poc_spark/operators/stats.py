@@ -2946,3 +2946,100 @@ def agg_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("entropy_rate_bits"),
     )
+
+
+#: McNemar lateness predicate: shipped more than this many days after
+#: the order date (the q_sole_late_shippers fixture convention — the
+#: schema carries no commit/receipt dates).
+MCNEMAR_LATE_DAYS = 90
+
+_MCNEMAR_ORACLE = f"""
+    WITH flags AS (
+      SELECT o.o_orderkey,
+             MAX(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) = 1
+               AS returned,
+             MAX(CASE WHEN l.l_shipdate > o.o_orderdate
+                           + INTERVAL {MCNEMAR_LATE_DAYS} DAY
+                      THEN 1 ELSE 0 END) = 1 AS late
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey
+    ),
+    cells AS (
+      SELECT SUM(CASE WHEN returned AND late THEN 1 ELSE 0 END) AS a,
+             SUM(CASE WHEN returned AND NOT late THEN 1 ELSE 0 END) AS b,
+             SUM(CASE WHEN NOT returned AND late THEN 1 ELSE 0 END) AS c,
+             SUM(CASE WHEN NOT returned AND NOT late THEN 1 ELSE 0 END) AS d
+      FROM flags
+    )
+    SELECT CAST(a AS BIGINT) AS n_both,
+           CAST(b AS BIGINT) AS n_returned_only,
+           CAST(c AS BIGINT) AS n_late_only,
+           CAST(d AS BIGINT) AS n_neither,
+           ROUND(POWER(b - c, 2) / CAST(b + c AS DOUBLE), 4) AS mcnemar_chi2,
+           POWER(b - c, 2) / CAST(b + c AS DOUBLE) > 3.8415
+             AS rates_differ
+    FROM cells
+"""
+
+
+@register("agg_mcnemar_test", oracle=_MCNEMAR_ORACLE)
+def agg_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test on PAIRED binary flags per order — returned vs
+    shipped-late — the within-subject comparison agg_chi_squared
+    (independent samples) gets WRONG on paired data: only the
+    DISCORDANT cells b (returned-only) and c (late-only) carry
+    information, chi2 = (b-c)^2/(b+c) vs 3.8415 (1 dof). The shape of
+    every before/after and flag-vs-flag defect comparison on the same
+    population.
+
+    Scale/determinism: one fact join reduced to one flag pair per
+    order (two combinable MAXes), then a 1-row 2x2 of conditional
+    sums; the statistic is one identical expression over exact
+    integers."""
+    t = load(spark, sf_dir)
+    flags = (
+        t.orders.select("o_orderkey", "o_orderdate")
+        .join(
+            t.lineitem.select("l_orderkey", "l_returnflag", "l_shipdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey")
+        .agg(
+            (
+                F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+                == 1
+            ).alias("returned"),
+            (
+                # timestamp + interval, NOT date_add: o_orderdate is a
+                # TIMESTAMP and date_add would drop its time-of-day,
+                # flipping boundary rows vs the oracle (tpch_tail Q21
+                # convention)
+                F.max(
+                    F.when(
+                        F.col("l_shipdate")
+                        > F.col("o_orderdate")
+                        + F.expr(f"INTERVAL {MCNEMAR_LATE_DAYS} DAYS"),
+                        1,
+                    ).otherwise(0)
+                )
+                == 1
+            ).alias("late"),
+        )
+    )
+    cells = flags.agg(
+        F.sum(F.when(F.col("returned") & F.col("late"), 1).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("returned") & ~F.col("late"), 1).otherwise(0)).alias("b"),
+        F.sum(F.when(~F.col("returned") & F.col("late"), 1).otherwise(0)).alias("c"),
+        F.sum(F.when(~F.col("returned") & ~F.col("late"), 1).otherwise(0)).alias("d"),
+    )
+    chi2 = F.pow(F.col("b") - F.col("c"), 2) / (
+        F.col("b") + F.col("c")
+    ).cast("double")
+    return cells.select(
+        F.col("a").cast("bigint").alias("n_both"),
+        F.col("b").cast("bigint").alias("n_returned_only"),
+        F.col("c").cast("bigint").alias("n_late_only"),
+        F.col("d").cast("bigint").alias("n_neither"),
+        F.round(chi2, 4).alias("mcnemar_chi2"),
+        (chi2 > 3.8415).alias("rates_differ"),
+    )

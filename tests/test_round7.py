@@ -610,3 +610,36 @@ def test_stream_quality_gate_matches_batch_filter(spark):
     for src, r in stream_rows.items():
         assert r["n_kept"] == batch_kept.get(src, 0)
         assert 0 <= r["n_kept"] <= r["n_docs"]
+
+
+# --- batch 7: shingle-df histogram / McNemar
+
+
+def test_shingle_df_histogram_consistent(spark):
+    rows = registry.get("dedup_shingle_df_histogram").fn(spark, SF001).collect()
+    assert rows
+    share = rows[0]["postings_dropped_share"]
+    assert all(r["postings_dropped_share"] == share for r in rows)
+    assert 0.0 <= share <= 1.0
+    for r in rows:
+        assert r["n_postings"] >= r["n_shingles"]  # df >= 1 per shingle
+        assert r["n_shingles_capped"] <= r["n_shingles"]
+
+
+def test_mcnemar_symmetric_discordance_zero(spark, tmp_path):
+    """b == c -> chi2 = 0, not significant. Order 1: returned only
+    (ships on time); order 2: late only (no return)."""
+    base = datetime.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [(1, base), (2, base)],
+        "o_orderkey long, o_orderdate timestamp",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    late = base + datetime.timedelta(days=120)
+    ontime = base + datetime.timedelta(days=10)
+    spark.createDataFrame(
+        [(1, "R", ontime), (2, "N", late)],
+        "l_orderkey long, l_returnflag string, l_shipdate timestamp",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    r = registry.get("agg_mcnemar_test").fn(spark, str(tmp_path)).collect()[0]
+    assert r["n_returned_only"] == 1 and r["n_late_only"] == 1
+    assert r["mcnemar_chi2"] == 0.0 and not r["rates_differ"]

@@ -305,6 +305,14 @@ SINGLE_PARTITION_OK: dict[str, str] = {
         "rate window over the TYPE x TYPE-domain transition frame "
         "(combinable count partials, never event rows)"
     ),
+    "dedup_shingle_df_histogram": (
+        "dropped-share window over the <=~30-row LOG2 df-bucket frame "
+        "(combinable df partials, never posting rows)"
+    ),
+    "agg_mcnemar_test": (
+        "1-row 2x2 cell frame (conditional-sum partials over "
+        "order-grain flag pairs, never line rows)"
+    ),
     "corpus_importance_weights": (
         "share/weight/ESS windows over the length-bucket-DOMAIN-"
         "bounded count frame"
