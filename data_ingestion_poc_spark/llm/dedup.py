@@ -2156,3 +2156,106 @@ def dedup_shingle_df_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("postings_dropped_share"),
     )
+
+
+#: Jaccard thresholds priced by the sweep (the fuzzy / moderate /
+#: near-exact operating points of the family).
+SWEEP_TAUS = (0.30, 0.50, 0.80)
+
+_SWEEP_ORACLE = f"""
+    {_CAPPED_PAIRS_CTE},
+    scored AS (
+      SELECT CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS j
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+    )
+    SELECT tau,
+           CAST((SELECT COUNT(*) FROM scored WHERE j >= tau) AS BIGINT)
+             AS n_pairs,
+           ROUND((SELECT COALESCE(SUM(floor(j * 10000)), 0) / 10000.0
+                         / NULLIF(COUNT(*), 0)
+                  FROM scored WHERE j >= tau), 6) AS mean_jaccard
+    FROM (VALUES {", ".join(f"({t})" for t in SWEEP_TAUS)}) AS taus(tau)
+"""
+
+
+@register("dedup_threshold_sweep", oracle=_SWEEP_ORACLE)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard threshold sweep from ONE index build: surviving pair
+    count and mean similarity at tau = {SWEEP_TAUS} — the operating-
+    curve a curation team reads to SET the dedup threshold before
+    running the pipeline (dedup_lsh_tuning prices the LSH banding for a
+    chosen tau; this prices the choice of tau itself: the knee where
+    the pair count explodes is where near-dups give way to topical
+    overlap). All three points come from the same candidate/verify
+    frame — no re-scan, no re-join per threshold.
+
+    Scale/determinism: rides the session-cached capped inverted index
+    (the dedup_ngram_jaccard plan exactly — output-bound candidates,
+    df-capped fan-out); the sweep is a tiny conditional aggregate per
+    tau over the scored pair frame, cross-joined from a 3-row literal.
+    Jaccards floor to 4 dp before the mean's sum so the fold is
+    lattice-exact."""
+    shingles = _capped_shingle_index(spark, sf_dir)
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        shingles.alias("sa")
+        .join(
+            shingles.alias("sb"),
+            (F.col("sa.shingle") == F.col("sb.shingle"))
+            & (F.col("sa.doc_id") < F.col("sb.doc_id")),
+        )
+        .groupBy(
+            F.col("sa.doc_id").alias("doc_a"),
+            F.col("sb.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    scored = (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            (
+                F.col("n_common")
+                / (F.col("na") + F.col("nb") - F.col("n_common")).cast(
+                    "double"
+                )
+            ).alias("j")
+        )
+    )
+    # ONE aggregation pass over the pair frame (a tau cross join would
+    # triple the scored-frame work — measured 122 s vs ~40 s at docs10),
+    # then a local 1-row -> 3-row unpivot via stack()
+    aggs = []
+    for t_ in SWEEP_TAUS:
+        tag = str(int(t_ * 100))
+        aggs.append(
+            F.sum(F.when(F.col("j") >= t_, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"n_{tag}")
+        )
+        aggs.append(
+            F.sum(
+                F.when(F.col("j") >= t_, F.floor(F.col("j") * 10_000))
+                .otherwise(0)
+            ).alias(f"s_{tag}")
+        )
+    one = scored.agg(*aggs)
+    stack_expr = "stack({}, {}) as (tau, n_pairs, j_sum)".format(
+        len(SWEEP_TAUS),
+        ", ".join(
+            f"CAST({t_} AS DOUBLE), n_{int(t_ * 100)}, s_{int(t_ * 100)}"
+            for t_ in SWEEP_TAUS
+        ),
+    )
+    return one.selectExpr(stack_expr).select(
+        "tau",
+        F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
+        F.round(
+            F.col("j_sum") / 10_000.0 / F.nullif(F.col("n_pairs"), F.lit(0)),
+            6,
+        ).alias("mean_jaccard"),
+    )

@@ -2062,3 +2062,99 @@ def embed_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)) / (F.sum("lmu") / 1_000_000.0), 4
         ).alias("intrinsic_dim"),
     )
+
+
+_DIM_SPECTRUM_ORACLE = """
+    WITH comp AS (
+      SELECT generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS pos,
+             CAST(ROUND(unnest(CAST(embedding AS DOUBLE[])) * 1000000)
+                  AS BIGINT) AS q
+      FROM embeddings
+    ),
+    s AS (
+      SELECT pos, COUNT(*) AS n, SUM(q) AS s1,
+             SUM(CAST(q AS HUGEINT) * q) AS s2
+      FROM comp GROUP BY pos
+    ),
+    v AS (
+      SELECT pos,
+             (s2 - CAST(s1 AS DOUBLE) * s1 / n) / CAST(n AS DOUBLE)
+               / 1000000000000.0 AS var_pop
+      FROM s
+    ),
+    ranked AS (
+      SELECT pos, var_pop,
+             row_number() OVER (ORDER BY floor(var_pop * 1000000000) DESC,
+                                pos) AS rk,
+             SUM(var_pop) OVER () AS tot
+      FROM v
+    )
+    SELECT CAST(rk AS BIGINT) AS var_rank,
+           CAST(pos AS BIGINT) AS dim,
+           ROUND(var_pop, 8) AS variance,
+           ROUND(SUM(var_pop) OVER (ORDER BY rk
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 / tot, 6) AS cum_explained
+    FROM ranked
+"""
+
+
+@register("embed_dim_variance_spectrum", oracle=_DIM_SPECTRUM_ORACLE)
+def embed_dim_variance_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension variance spectrum of the embedding corpus, sorted
+    with cumulative explained share — the PCA-lite diagnostic that
+    needs NO eigensolve (axis-aligned variance, fully SQL-able): a
+    spectrum where 16 of 64 raw dims carry 95% of the variance says
+    truncate/quantize aggressively; a flat one says the space is
+    isotropic and embed_pca_project's rotation is required to compress.
+    Complements embed_intrinsic_dim (geometry) with the cheap
+    second-moment view.
+
+    Scale/determinism: components quantize to integer micro-units, so
+    the per-dim (n, S1, S2) sums are exact folds (S2 as decimal /
+    HUGEINT — q^2 sums pass 2^63 at corpus scale); the spectrum frame
+    is DIM-bounded (64 rows); the rank orders by the 1e-9-FLOORED
+    variance so sub-lattice drift cannot reorder; shares are windows
+    over that frame."""
+    t = load(spark, sf_dir)
+    comp = t.embeddings.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos0", "v"
+        )
+    ).select(
+        (F.col("pos0") + 1).alias("pos"),
+        F.round(F.col("v") * 1_000_000).cast("bigint").alias("q"),
+    )
+    s = comp.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("s1"),
+        F.sum(F.col("q").cast("decimal(38,0)") * F.col("q")).alias("s2"),
+    )
+    var_pop = (
+        (
+            F.col("s2").cast("double")
+            - F.col("s1").cast("double") * F.col("s1") / F.col("n")
+        )
+        / F.col("n").cast("double")
+        / 1_000_000_000_000.0
+    )
+    v = s.select("pos", var_pop.alias("var_pop"))
+    w_rk = Window.orderBy(
+        F.floor(F.col("var_pop") * 1_000_000_000).desc(), "pos"
+    )
+    w_all = Window.partitionBy()
+    ranked = v.select(
+        "pos",
+        "var_pop",
+        F.row_number().over(w_rk).alias("rk"),
+        F.sum("var_pop").over(w_all).alias("tot"),
+    )
+    w_cum = Window.orderBy("rk").rowsBetween(Window.unboundedPreceding, 0)
+    return ranked.select(
+        F.col("rk").cast("bigint").alias("var_rank"),
+        F.col("pos").cast("bigint").alias("dim"),
+        F.round("var_pop", 8).alias("variance"),
+        F.round(F.sum("var_pop").over(w_cum) / F.col("tot"), 6).alias(
+            "cum_explained"
+        ),
+    )

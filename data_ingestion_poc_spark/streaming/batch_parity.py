@@ -1229,10 +1229,14 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     inbox = os.path.join(run, "inbox")
     os.makedirs(inbox, exist_ok=True)
-    shutil.copy(
-        os.path.join(sf_dir, "documents.parquet"),
-        os.path.join(inbox, "drop0.parquet"),
-    )
+    src = os.path.join(sf_dir, "documents.parquet")
+    dst = os.path.join(inbox, "drop0.parquet")
+    # testdata ships single parquet FILES; probe fixtures are
+    # Spark-written DIRECTORIES — stage either shape into the inbox
+    if os.path.isdir(src):
+        shutil.copytree(src, dst)
+    else:
+        shutil.copy(src, dst)
     schema = spark.read.parquet(
         os.path.join(sf_dir, "documents.parquet")
     ).schema

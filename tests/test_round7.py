@@ -643,3 +643,40 @@ def test_mcnemar_symmetric_discordance_zero(spark, tmp_path):
     r = registry.get("agg_mcnemar_test").fn(spark, str(tmp_path)).collect()[0]
     assert r["n_returned_only"] == 1 and r["n_late_only"] == 1
     assert r["mcnemar_chi2"] == 0.0 and not r["rates_differ"]
+
+
+# --- batch 8: threshold sweep / dim spectrum / median CI
+
+
+def test_threshold_sweep_monotone(spark):
+    rows = {
+        r["tau"]: r
+        for r in registry.get("dedup_threshold_sweep").fn(spark, SF001).collect()
+    }
+    assert set(rows) == {0.3, 0.5, 0.8}
+    # raising tau can only shrink the surviving pair set
+    assert rows[0.3]["n_pairs"] >= rows[0.5]["n_pairs"] >= rows[0.8]["n_pairs"]
+    for r in rows.values():
+        if r["n_pairs"] > 0:
+            assert r["mean_jaccard"] >= r["tau"] - 1e-4
+
+
+def test_dim_spectrum_shares(spark):
+    rows = sorted(
+        registry.get("embed_dim_variance_spectrum").fn(spark, SF001).collect(),
+        key=lambda r: r["var_rank"],
+    )
+    assert len(rows) == 64
+    assert all(r["variance"] >= 0 for r in rows)
+    # variance is sorted descending by rank; cumulative share ends at 1
+    for a, b in zip(rows, rows[1:]):
+        assert a["variance"] >= b["variance"] - 1e-9
+        assert a["cum_explained"] <= b["cum_explained"] + 1e-9
+    assert rows[-1]["cum_explained"] == pytest.approx(1.0, abs=1e-4)
+
+
+def test_median_ci_brackets_median(spark):
+    rows = registry.get("agg_median_ci").fn(spark, SF001).collect()
+    assert rows
+    for r in rows:
+        assert r["ci_lo"] <= r["median"] <= r["ci_hi"]

@@ -313,6 +313,14 @@ SINGLE_PARTITION_OK: dict[str, str] = {
         "1-row 2x2 cell frame (conditional-sum partials over "
         "order-grain flag pairs, never line rows)"
     ),
+    "dedup_threshold_sweep": (
+        "1-row sweep-sums fold over pair-frame partials + the 3-row "
+        "tau stack (never posting rows)"
+    ),
+    "embed_dim_variance_spectrum": (
+        "rank/share windows over the DIM-bounded (64-row) spectrum "
+        "frame (moment partials, never component rows)"
+    ),
     "corpus_importance_weights": (
         "share/weight/ESS windows over the length-bucket-DOMAIN-"
         "bounded count frame"
