@@ -1107,3 +1107,128 @@ def text_language_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang_entropy_bits"
         ),
     )
+
+
+#: PMI collocation parameters: minimum bigram support (denoise) and the
+#: emitted top-k.
+PMI_MIN_SUPPORT = 5
+PMI_TOP_K = 20
+
+_PMI_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents
+    ),
+    bigrams AS (
+      SELECT words[i] AS w1, words[i + 1] AS w2
+      FROM toks, unnest(range(1, len(words))) AS t(i)
+    ),
+    bg AS (
+      SELECT w1, w2, COUNT(*) AS n_pair FROM bigrams
+      WHERE w1 <> '' AND w2 <> '' GROUP BY w1, w2
+    ),
+    uni AS (
+      SELECT w, SUM(c) AS c FROM (
+        SELECT w1 AS w, COUNT(*) AS c FROM bigrams WHERE w1 <> '' GROUP BY w1
+        UNION ALL
+        SELECT w2, COUNT(*) FROM bigrams WHERE w2 <> '' GROUP BY w2
+      ) GROUP BY w
+    ),
+    tot AS (SELECT SUM(n_pair) AS n FROM bg),
+    scored AS (
+      SELECT bg.w1, bg.w2, bg.n_pair,
+             CAST(floor(ln(bg.n_pair * 2.0 * CAST(tot.n AS DOUBLE) * 2.0
+                           / (u1.c * CAST(u2.c AS DOUBLE))) * 1000000)
+                  AS BIGINT) AS pmi_units
+      FROM bg
+      JOIN uni u1 ON u1.w = bg.w1
+      JOIN uni u2 ON u2.w = bg.w2
+      CROSS JOIN tot
+      WHERE bg.n_pair >= {PMI_MIN_SUPPORT}
+    )
+    SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair,
+           ROUND(pmi_units / 1000000.0, 6) AS pmi
+    FROM scored
+    ORDER BY pmi_units DESC, w1, w2
+    LIMIT {PMI_TOP_K}
+"""
+
+
+@register("text_word_pmi", oracle=_PMI_ORACLE)
+def text_word_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{PMI_TOP_K} word collocations by pointwise mutual
+    information over adjacent token pairs (support >= {PMI_MIN_SUPPORT})
+    — the phrase-mining primitive behind tokenizer merge candidates and
+    stop-phrase lists (text_bpe_pairs counts raw adjacency; PMI
+    normalizes away word frequency, so "new york" outranks "of the").
+    Unigram mass is counted from BOTH bigram slots so the PMI
+    normalization is self-consistent on the pair universe.
+
+    Scale/determinism: bigram and unigram counts are combinable
+    explode+count aggregates (shuffle carries partial counts); PMI's
+    ln runs on a single division of exact integers and floor-quantizes
+    to micro-units BEFORE the global top-k (TakeOrderedAndProject), so
+    ranking ties break on words identically in both engines."""
+    t = load(spark, sf_dir)
+    words = F.split(F.lower("text"), " ")
+    toks = t.documents.select(words.alias("words"))
+    pairs = toks.select(
+        F.explode(
+            F.when(
+                F.size("words") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("words") - 1),
+                    lambda i: F.struct(
+                        F.element_at("words", i).alias("w1"),
+                        F.element_at("words", i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    bg = (
+        pairs.where((F.col("w1") != "") & (F.col("w2") != ""))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    uni = (
+        pairs.where(F.col("w1") != "")
+        .groupBy(F.col("w1").alias("w"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .unionByName(
+            pairs.where(F.col("w2") != "")
+            .groupBy(F.col("w2").alias("w"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        .groupBy("w")
+        .agg(F.sum("c").alias("c"))
+    )
+    tot = bg.agg(F.sum("n_pair").alias("n"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    pmi_units = F.floor(
+        F.log(
+            F.col("n_pair")
+            * 2.0
+            * F.col("n").cast("double")
+            * 2.0
+            / (F.col("c1") * F.col("c2").cast("double"))
+        )
+        * 1_000_000
+    ).cast("bigint")
+    scored = (
+        bg.where(F.col("n_pair") >= PMI_MIN_SUPPORT)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "n_pair", pmi_units.alias("pmi_units"))
+    )
+    return (
+        scored.orderBy(F.col("pmi_units").desc(), "w1", "w2")
+        .limit(PMI_TOP_K)
+        .select(
+            "w1",
+            "w2",
+            F.col("n_pair").cast("bigint").alias("n_pair"),
+            F.round(F.col("pmi_units") / 1_000_000.0, 6).alias("pmi"),
+        )
+    )

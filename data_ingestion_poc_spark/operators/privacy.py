@@ -402,3 +402,74 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(emd, 6).alias("emd"),
         (emd <= T_CLOSE_MAX).alias("t_close_ok"),
     )
+
+
+#: Generalization ladder: candidate account-balance band widths, from
+#: the shipped QI's 1000 to coarser releases.
+GENERALIZATION_BANDS = (500, 1000, 2000, 4000)
+
+_GEN_LADDER_ORACLE = f"""
+    WITH bands AS (
+      SELECT * FROM (VALUES {", ".join(f"({b})" for b in GENERALIZATION_BANDS)})
+        AS t(band_width)
+    ),
+    classes AS (
+      SELECT b.band_width, c.c_nationkey, c.c_mktsegment,
+             CAST(floor(c.c_acctbal / b.band_width) AS BIGINT) AS bal_band,
+             COUNT(*) AS k
+      FROM customer c CROSS JOIN bands b
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT band_width,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(MIN(k) AS BIGINT) AS k_anonymity,
+           ROUND(SUM(CASE WHEN k < {K_ANON_MIN} THEN k ELSE 0 END)
+                 / CAST(SUM(k) AS DOUBLE), 6) AS risk_row_share,
+           MIN(k) >= {K_ANON_MIN} AS releasable
+    FROM classes GROUP BY band_width
+"""
+
+
+@register("privacy_generalization_ladder", oracle=_GEN_LADDER_ORACLE)
+def privacy_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity across a LADDER of generalization levels (balance
+    band widths {GENERALIZATION_BANDS}) in one pass — the question
+    privacy_k_anonymity's single-level audit raises but cannot answer:
+    HOW FAR must the quasi-identifier coarsen before the table is
+    releasable (min class size >= {K_ANON_MIN})? One row per level
+    with its k, at-risk row share, and the release verdict — pick the
+    finest releasable rung and you have priced the utility cost of
+    privacy in band width.
+
+    Scale/determinism: the ladder cross join multiplies the CUSTOMER
+    scan by |bands| = {len(GENERALIZATION_BANDS)} (one combinable
+    aggregate per level, same shuffle); at 100 TB you'd band-assign all
+    levels in ONE projection pass the same way. Exact integers + one
+    exact division per rung."""
+    t = load(spark, sf_dir)
+    bands = spark.createDataFrame(
+        [(b,) for b in GENERALIZATION_BANDS], "band_width int"
+    )
+    classes = (
+        t.customer.select("c_nationkey", "c_mktsegment", "c_acctbal")
+        .crossJoin(F.broadcast(bands))
+        .groupBy(
+            "band_width",
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / F.col("band_width"))
+            .cast("bigint")
+            .alias("bal_band"),
+        )
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    return classes.groupBy("band_width").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.min("k").cast("bigint").alias("k_anonymity"),
+        F.round(
+            F.sum(F.when(F.col("k") < K_ANON_MIN, F.col("k")).otherwise(0))
+            / F.sum("k").cast("double"),
+            6,
+        ).alias("risk_row_share"),
+        (F.min("k") >= K_ANON_MIN).alias("releasable"),
+    )

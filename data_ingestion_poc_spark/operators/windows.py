@@ -2707,3 +2707,106 @@ def win_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.sum("flow").over(w_run).cast("bigint").alias("obv"),
     )
+
+
+#: Crossover frame lengths: the "fast" and "slow" truncated EWMAs (both
+#: alpha = 0.5 so every weight stays an exact dyadic, the win_ewma
+#: determinism trick — speed comes from the frame depth, not the decay).
+CROSS_FAST = 4
+CROSS_SLOW = 16
+
+
+def _ewma_sql(frame: int) -> str:
+    return f"""
+             list_sum([f{frame}[i + 1] * pow(0.5, len(f{frame}) - 1 - i)
+                       FOR i IN range(len(f{frame}))])
+             / (2 - pow(0.5, len(f{frame}) - 1))"""
+
+
+_CROSSOVER_ORACLE = f"""
+    WITH framed AS (
+      SELECT event_id, user_id, ts,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN {CROSS_FAST - 1} PRECEDING
+                                        AND CURRENT ROW) AS f{CROSS_FAST},
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN {CROSS_SLOW - 1} PRECEDING
+                                        AND CURRENT ROW) AS f{CROSS_SLOW}
+      FROM events
+    ),
+    sig AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN floor(({_ewma_sql(CROSS_FAST)}) * 10000)
+                       > floor(({_ewma_sql(CROSS_SLOW)}) * 10000) THEN 1
+                  WHEN floor(({_ewma_sql(CROSS_FAST)}) * 10000)
+                       < floor(({_ewma_sql(CROSS_SLOW)}) * 10000) THEN -1
+                  ELSE 0 END AS stance
+      FROM framed
+    )
+    SELECT event_id, user_id, stance,
+           CASE WHEN lag(stance) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) IS NOT NULL
+                     AND lag(stance) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) <> stance
+                     AND stance <> 0
+                THEN (CASE WHEN stance = 1 THEN 'golden_cross'
+                           ELSE 'death_cross' END)
+           END AS crossover
+    FROM sig
+"""
+
+
+@register("win_ewma_crossover", oracle=_CROSSOVER_ORACLE)
+def win_ewma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fast/slow EWMA crossover signal per user stream: stance = sign
+    of (EWMA-{CROSS_FAST} minus EWMA-{CROSS_SLOW}) on the 4-dp lattice,
+    with golden/death-cross events where the stance flips — the classic
+    trend-following trigger built from win_ewma's machinery (both
+    smoothers keep alpha = 1/2 so every weight is an exact DYADIC and
+    the fold is bit-stable cross-engine; fast-vs-slow comes from frame
+    DEPTH, which is the truncated-EWMA version of the 12/26 MACD split
+    whose non-dyadic decays cannot be pinned across engines).
+
+    Scale/determinism: one user_id shuffle; both frames collect off the
+    same window sort; the weighted folds are identical Column
+    expressions; stances compare FLOORED lattice values so sub-lattice
+    drift cannot flip a cross."""
+    t = load(spark, sf_dir)
+    order = [F.col("ts"), F.col("event_id")]
+
+    def ewma_col(frame_len: int):
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy(*order)
+            .rowsBetween(-(frame_len - 1), 0)
+        )
+        frame = F.collect_list("value").over(w)
+        n = F.size(frame)
+        weighted = F.aggregate(
+            F.zip_with(
+                frame,
+                F.sequence(F.lit(0), n - 1),
+                lambda x, i: x * F.pow(F.lit(0.5), (n - 1 - i).cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return weighted / (F.lit(2.0) - F.pow(F.lit(0.5), (n - 1).cast("double")))
+
+    fast = F.floor(ewma_col(CROSS_FAST) * 10_000)
+    slow = F.floor(ewma_col(CROSS_SLOW) * 10_000)
+    stance = (
+        F.when(fast > slow, 1).when(fast < slow, -1).otherwise(0)
+    )
+    sig = t.events.select(
+        "event_id", "user_id", "ts", stance.alias("stance")
+    )
+    w_lag = Window.partitionBy("user_id").orderBy(*order)
+    prev = F.lag("stance").over(w_lag)
+    crossover = F.when(
+        prev.isNotNull() & (prev != F.col("stance")) & (F.col("stance") != 0),
+        F.when(F.col("stance") == 1, "golden_cross").otherwise("death_cross"),
+    )
+    return sig.select(
+        "event_id", "user_id", "stance", crossover.alias("crossover")
+    )

@@ -680,3 +680,41 @@ def test_median_ci_brackets_median(spark):
     assert rows
     for r in rows:
         assert r["ci_lo"] <= r["median"] <= r["ci_hi"]
+
+
+# --- batch 9: generalization ladder / ewma crossover / word PMI
+
+
+def test_generalization_ladder_monotone(spark):
+    rows = {
+        r["band_width"]: r
+        for r in registry.get("privacy_generalization_ladder")
+        .fn(spark, SF001)
+        .collect()
+    }
+    assert set(rows) == {500, 1000, 2000, 4000}
+    # coarser bands can only merge classes: k never decreases, class
+    # count never increases
+    ks = [rows[b]["k_anonymity"] for b in (500, 1000, 2000, 4000)]
+    ns = [rows[b]["n_classes"] for b in (500, 1000, 2000, 4000)]
+    assert ks == sorted(ks)
+    assert ns == sorted(ns, reverse=True)
+
+
+def test_ewma_crossover_flags_flip(spark, tmp_path):
+    """A stream that dives then rallies must print a death cross on the
+    way down and a golden cross on the way back up."""
+    vals = [100.0] * 16 + [10.0] * 16 + [100.0] * 16
+    rows = [(i, i, 1, "view", v) for i, v in enumerate(vals)]
+    _write_events(spark, tmp_path, rows)
+    out = registry.get("win_ewma_crossover").fn(spark, str(tmp_path)).collect()
+    crosses = [r["crossover"] for r in out if r["crossover"]]
+    assert "death_cross" in crosses and "golden_cross" in crosses
+
+
+def test_word_pmi_ranked_and_supported(spark):
+    rows = registry.get("text_word_pmi").fn(spark, SF001).collect()
+    assert 0 < len(rows) <= 20
+    pmis = [r["pmi"] for r in rows]
+    assert pmis == sorted(pmis, reverse=True)
+    assert all(r["n_pair"] >= 5 for r in rows)

@@ -321,6 +321,10 @@ SINGLE_PARTITION_OK: dict[str, str] = {
         "rank/share windows over the DIM-bounded (64-row) spectrum "
         "frame (moment partials, never component rows)"
     ),
+    "text_word_pmi": (
+        "1-row total-bigram scalar broadcast (count partials, never "
+        "token rows); ranking is a TakeOrderedAndProject"
+    ),
     "corpus_importance_weights": (
         "share/weight/ESS windows over the length-bucket-DOMAIN-"
         "bounded count frame"
