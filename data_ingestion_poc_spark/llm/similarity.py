@@ -2158,3 +2158,104 @@ def embed_dim_variance_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_explained"
         ),
     )
+
+
+#: Quantizer-confidence alert line: vectors whose top-2 centroid
+#: cosines differ by less than this are "boundary" vectors that flip
+#: cells under retraining (and the ones multiprobe exists to catch).
+MARGIN_LOW = 0.02
+
+_CENTROID_MARGIN_ORACLE = f"""
+    WITH dims AS (
+      SELECT label, generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS pos,
+             unnest(CAST(embedding AS DOUBLE[])) AS v
+      FROM embeddings),
+    cent AS (SELECT label, list(m ORDER BY pos) AS ce
+             FROM (SELECT label, pos, AVG(v) AS m FROM dims GROUP BY label, pos)
+             GROUP BY label),
+    scored AS (
+      SELECT e.vec_id, c.label AS cand,
+             {_COS.format(a="CAST(e.embedding AS DOUBLE[])", b="c.ce")} AS cq
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    top2 AS (
+      SELECT vec_id, cand, cq,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cq DESC, cand) AS rn
+      FROM scored
+    ),
+    m AS (
+      SELECT a.vec_id, a.cand AS cell,
+             CAST(floor((a.cq - b.cq) * 1000000) AS BIGINT) AS margin_units
+      FROM (SELECT * FROM top2 WHERE rn = 1) a
+      JOIN (SELECT * FROM top2 WHERE rn = 2) b USING (vec_id)
+    )
+    SELECT cell,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           ROUND(SUM(margin_units) / 1000000.0 / COUNT(*), 6)
+             AS mean_margin,
+           CAST(SUM(CASE WHEN margin_units < {int(MARGIN_LOW * 1e6)}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary,
+           ROUND(SUM(CASE WHEN margin_units < {int(MARGIN_LOW * 1e6)}
+                          THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS boundary_share
+    FROM m GROUP BY cell
+"""
+
+
+@register("embed_centroid_margin", oracle=_CENTROID_MARGIN_ORACLE)
+def embed_centroid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantizer-confidence report per IVF cell: each vector's MARGIN
+    between its nearest and second-nearest centroid cosine, with the
+    share of boundary vectors (margin < {MARGIN_LOW}) — the number that
+    says how many assignments would FLIP under centroid retraining and
+    exactly which cells need multiprobe (sim_search_ann_multiprobe's
+    probe budget should go where this report says the boundaries are;
+    embed_cluster_purity says whether cells mean anything, this says
+    how crisply they separate).
+
+    Scale/determinism: broadcast centroids x one corpus scan (the IVF
+    build cost), top-2 via one per-vector window; margins floor to
+    micro-units before the per-cell fold, so means and boundary counts
+    are exact."""
+    t = load(spark, sf_dir)
+    cent = _centroid_vectors(t)
+    e = t.embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("ve")
+    )
+    scored = e.crossJoin(F.broadcast(cent.withColumnRenamed("label", "cand")))
+    cq = dot_double(F.col("ve"), F.col("ce")) / (
+        F.sqrt(dot_double(F.col("ve"), F.col("ve")))
+        * F.sqrt(dot_double(F.col("ce"), F.col("ce")))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cq").desc(), "cand")
+    top2 = (
+        scored.select("vec_id", "cand", cq.alias("cq"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+    )
+    a = top2.where(F.col("rn") == 1).select(
+        "vec_id", F.col("cand").alias("cell"), F.col("cq").alias("cq1")
+    )
+    b = top2.where(F.col("rn") == 2).select("vec_id", F.col("cq").alias("cq2"))
+    m = a.join(b, "vec_id").select(
+        "cell",
+        F.floor((F.col("cq1") - F.col("cq2")) * 1_000_000)
+        .cast("bigint")
+        .alias("margin_units"),
+    )
+    low = int(MARGIN_LOW * 1e6)
+    return m.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.round(
+            F.sum("margin_units") / 1_000_000.0 / F.count(F.lit(1)), 6
+        ).alias("mean_margin"),
+        F.sum(F.when(F.col("margin_units") < low, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_boundary"),
+        F.round(
+            F.sum(F.when(F.col("margin_units") < low, 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("boundary_share"),
+    )

@@ -1232,3 +1232,116 @@ def text_word_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("pmi_units") / 1_000_000.0, 6).alias("pmi"),
         )
     )
+
+
+#: Source-similarity vocabulary: JS divergence is computed over the
+#: corpus-wide top-K words so the distribution support is bounded and
+#: shared (rare-word tails are where sampling noise lives anyway).
+JS_VOCAB_K = 500
+
+_JS_ORACLE = f"""
+    WITH toks AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS w
+      FROM documents
+    ),
+    wc AS (
+      SELECT source, w, COUNT(*) AS c FROM toks WHERE w <> ''
+      GROUP BY source, w
+    ),
+    vocab AS (
+      SELECT w FROM (
+        SELECT w, SUM(c) AS tot,
+               row_number() OVER (ORDER BY SUM(c) DESC, w) AS rk
+        FROM wc GROUP BY w
+      ) WHERE rk <= {JS_VOCAB_K}
+    ),
+    sv AS (
+      SELECT s.source, v.w, COALESCE(wc.c, 0) AS c
+      FROM (SELECT DISTINCT source FROM wc) s
+      CROSS JOIN vocab v
+      LEFT JOIN wc ON wc.source = s.source AND wc.w = v.w
+    ),
+    dist AS (
+      SELECT source, w,
+             c / CAST(SUM(c) OVER (PARTITION BY source) AS DOUBLE) AS p
+      FROM sv
+    ),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(floor((
+               CASE WHEN a.p > 0
+                    THEN 0.5 * a.p * ln(a.p / ((a.p + b.p) / 2))
+                    ELSE 0 END
+             + CASE WHEN b.p > 0
+                    THEN 0.5 * b.p * ln(b.p / ((a.p + b.p) / 2))
+                    ELSE 0 END) * 1000000000) AS BIGINT) AS js_units
+      FROM dist a
+      JOIN dist b ON a.w = b.w AND a.source < b.source
+    )
+    SELECT source_a, source_b,
+           ROUND(SUM(js_units) / 1000000000.0, 6) AS js_divergence
+    FROM pairs GROUP BY source_a, source_b
+"""
+
+
+@register("text_source_similarity_js", oracle=_JS_ORACLE)
+def text_source_similarity_js(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between source unigram
+    distributions over the corpus top-{JS_VOCAB_K} vocabulary — the
+    source-redundancy matrix (0 = same distribution, ln 2 = disjoint):
+    two sources with near-zero JS are stylistic mirrors and should
+    share one mix weight (dedup_cross_source_matrix finds literal copy
+    overlap; this finds DISTRIBUTIONAL redundancy that survives
+    paraphrase). The standard corpus-cartography number.
+
+    Scale/determinism: word counts are combinable; the vocabulary is a
+    bounded global top-k; distributions live on the (source x vocab)
+    dense frame (|sources| x {JS_VOCAB_K} rows at any corpus size) and
+    the pair join is over that bounded frame only. Each JS term
+    floor-quantizes to nano-units before the exact per-pair fold
+    (shares are O(1e-3), terms O(1e-6))."""
+    t = load(spark, sf_dir)
+    toks = t.documents.select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    ).where(F.col("w") != "")
+    wc = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    vocab = (
+        wc.groupBy("w")
+        .agg(F.sum("c").alias("tot"))
+        .orderBy(F.col("tot").desc(), "w")
+        .limit(JS_VOCAB_K)
+        .select("w")
+    )
+    sources = wc.select("source").distinct()
+    sv = (
+        sources.crossJoin(F.broadcast(vocab))
+        .join(wc, ["source", "w"], "left")
+        .fillna({"c": 0})
+    )
+    w_src = Window.partitionBy("source")
+    dist = sv.select(
+        "source",
+        "w",
+        (F.col("c") / F.sum("c").over(w_src).cast("double")).alias("p"),
+    )
+    a = dist.alias("a")
+    b = dist.alias("b")
+    mid = (F.col("a.p") + F.col("b.p")) / 2
+    term = F.when(
+        F.col("a.p") > 0, 0.5 * F.col("a.p") * F.log(F.col("a.p") / mid)
+    ).otherwise(F.lit(0.0)) + F.when(
+        F.col("b.p") > 0, 0.5 * F.col("b.p") * F.log(F.col("b.p") / mid)
+    ).otherwise(F.lit(0.0))
+    pairs = a.join(
+        b,
+        (F.col("a.w") == F.col("b.w")) & (F.col("a.source") < F.col("b.source")),
+    ).select(
+        F.col("a.source").alias("source_a"),
+        F.col("b.source").alias("source_b"),
+        F.floor(term * 1_000_000_000).cast("bigint").alias("js_units"),
+    )
+    return pairs.groupBy("source_a", "source_b").agg(
+        F.round(F.sum("js_units") / 1_000_000_000.0, 6).alias(
+            "js_divergence"
+        )
+    )

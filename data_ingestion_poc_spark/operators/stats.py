@@ -3151,3 +3151,96 @@ def agg_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("lo_cents") / 100.0, 2).alias("ci_lo"),
         F.round(F.col("hi_cents") / 100.0, 2).alias("ci_hi"),
     )
+
+
+_WEIBULL_ORACLE = """
+    WITH gaps AS (
+      SELECT datediff('day',
+               lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey),
+               o_orderdate) AS t
+      FROM orders
+    ),
+    tg AS (SELECT t FROM gaps WHERE t IS NOT NULL AND t > 0),
+    dom AS (
+      SELECT t, COUNT(*) AS c FROM tg GROUP BY t
+    ),
+    cdf AS (
+      SELECT t,
+             SUM(c) OVER (ORDER BY t) AS cum,
+             SUM(c) OVER () AS n
+      FROM dom
+    ),
+    pts AS (
+      SELECT ln(CAST(t AS DOUBLE)) AS x,
+             ln(-ln(1 - (cum - 0.3) / (n + 0.4))) AS y
+      FROM cdf WHERE cum < n
+    )
+    SELECT CAST((SELECT MAX(n) FROM cdf) AS BIGINT) AS n_intervals,
+           ROUND(regr_slope(y, x), 4) AS weibull_shape,
+           ROUND(exp(AVG(x) - AVG(y) / regr_slope(y, x)), 4)
+             AS weibull_scale_days,
+           ROUND(regr_r2(y, x), 4) AS fit_r2,
+           regr_slope(y, x) > 1.0 AS hazard_increasing
+    FROM pts
+"""
+
+
+@register("agg_weibull_fit", oracle=_WEIBULL_ORACLE)
+def agg_weibull_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weibull fit of customer repurchase intervals by median-rank
+    regression (ln(-ln(1-F)) on ln t, Benard's approximation
+    (i-0.3)/(n+0.4)): the SHAPE parameter is the churn-model verdict —
+    shape < 1 = decreasing hazard (the longer since the last order, the
+    LESS likely a repurchase: win-back campaigns have a deadline),
+    shape > 1 = habituation. agg_survival_km draws the curve; this
+    compresses it into the two parameters a lifecycle model consumes,
+    plus the R^2 that says whether Weibull is even the right family.
+
+    Scale/determinism: one lag per customer on the orders shuffle, then
+    the empirical CDF on the day-DOMAIN frame (calendar-bounded); the
+    regression runs via native regr_* over that bounded frame
+    (text_zipf_fit doctrine); scale derives from slope and the point
+    means in one identical expression."""
+    t = load(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = t.orders.select(
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("t")
+    ).where(F.col("t").isNotNull() & (F.col("t") > 0))
+    dom = gaps.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = Window.orderBy("t")
+    w_all = Window.partitionBy()
+    cdf = dom.select(
+        "t",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    pts = cdf.where(F.col("cum") < F.col("n")).select(
+        "n",
+        F.log(F.col("t").cast("double")).alias("x"),
+        F.log(
+            -F.log(
+                1 - (F.col("cum") - 0.3) / (F.col("n") + 0.4)
+            )
+        ).alias("y"),
+    )
+    # avg(x - y/b) = avg(x) - avg(y)/b, so the scale derives from the
+    # three plain aggregates (an aggregate inside another is illegal)
+    fit = pts.agg(
+        F.max("n").cast("bigint").alias("n_intervals"),
+        F.regr_slope(F.col("y"), F.col("x")).alias("slope"),
+        F.round(F.regr_r2(F.col("y"), F.col("x")), 4).alias("fit_r2"),
+        F.avg("x").alias("ax"),
+        F.avg("y").alias("ay"),
+    )
+    return fit.select(
+        "n_intervals",
+        F.round("slope", 4).alias("weibull_shape"),
+        F.round(
+            F.exp(F.col("ax") - F.col("ay") / F.col("slope")), 4
+        ).alias("weibull_scale_days"),
+        "fit_r2",
+        (F.col("slope") > 1.0).alias("hazard_increasing"),
+    )

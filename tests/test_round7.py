@@ -718,3 +718,32 @@ def test_word_pmi_ranked_and_supported(spark):
     pmis = [r["pmi"] for r in rows]
     assert pmis == sorted(pmis, reverse=True)
     assert all(r["n_pair"] >= 5 for r in rows)
+
+
+# --- batch 10: centroid margin / source JS / Weibull
+
+
+def test_centroid_margin_bounds(spark):
+    rows = registry.get("embed_centroid_margin").fn(spark, SF001).collect()
+    assert rows
+    for r in rows:
+        assert r["mean_margin"] >= -1e-6  # top1 >= top2 by construction
+        assert 0 <= r["n_boundary"] <= r["n_vectors"]
+        assert 0.0 <= r["boundary_share"] <= 1.0
+
+
+def test_source_js_symmetric_bounds(spark):
+    rows = registry.get("text_source_similarity_js").fn(spark, SF001).collect()
+    assert rows
+    # JS divergence (natural log) lives in [0, ln 2]
+    for r in rows:
+        assert -1e-6 <= r["js_divergence"] <= math.log(2.0) + 1e-6
+        assert r["source_a"] < r["source_b"]
+
+
+def test_weibull_fit_sane(spark):
+    r = registry.get("agg_weibull_fit").fn(spark, SF001).collect()[0]
+    assert r["n_intervals"] > 0
+    assert r["weibull_shape"] > 0
+    assert r["weibull_scale_days"] > 0
+    assert 0.0 <= r["fit_r2"] <= 1.0

@@ -325,6 +325,10 @@ SINGLE_PARTITION_OK: dict[str, str] = {
         "1-row total-bigram scalar broadcast (count partials, never "
         "token rows); ranking is a TakeOrderedAndProject"
     ),
+    "agg_weibull_fit": (
+        "CDF window + 1-row regression fold over the day-DOMAIN "
+        "interval frame (count partials, never order rows)"
+    ),
     "corpus_importance_weights": (
         "share/weight/ESS windows over the length-bucket-DOMAIN-"
         "bounded count frame"
