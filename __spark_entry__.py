@@ -67,6 +67,8 @@ _CHANGED_JUDGED_THIS_ROUND = [
     "q_basket_sequence_rules",
     "graph_triangle_count",
     "q_market_basket",
+    # r7 profile fix: edge set materializes once (same output)
+    "dedup_clusters",
 ]
 
 
