@@ -85,15 +85,42 @@ def _driver_judged() -> set[str]:
     return judged
 
 
+#: Names first registered in r7 — the unjudged BACKLOG (r6 and older)
+#: outranks them in the fresh ordering so the 50-slot driver window
+#: retires the oldest names first (VERDICT r6 item 1); the new ops are
+#: all locally oracle-verified and queue right behind.
+_NEW_THIS_ROUND = {
+    "corpus_curate_e2e", "agg_jarque_bera", "agg_levene_test",
+    "agg_cohens_d", "agg_theil_index", "agg_spearman_corr",
+    "agg_kruskal_wallis", "agg_capability_index", "agg_odds_ratio",
+    "agg_runs_test", "agg_entropy_rate", "agg_mcnemar_test",
+    "agg_median_ci", "agg_weibull_fit", "privacy_t_closeness",
+    "privacy_generalization_ladder", "win_stochastic_oscillator",
+    "win_ulcer_index", "win_vwap", "win_parkinson_volatility",
+    "win_obv", "win_ewma_crossover", "graph_clustering_coefficient",
+    "graph_degree_powerlaw", "sample_systematic", "quality_fk_orphans",
+    "embed_cluster_purity", "embed_intrinsic_dim",
+    "embed_dim_variance_spectrum", "embed_centroid_margin",
+    "q_seasonal_order_heatmap", "q_supplier_wilson_score",
+    "q_xyz_variability", "corpus_mix_kl", "text_language_mix",
+    "text_word_pmi", "text_source_similarity_js",
+    "sink_dynamic_partition_overwrite", "stream_quality_gate",
+    "dedup_shingle_df_histogram", "dedup_threshold_sweep",
+}
+
+
 def _ordered() -> dict[str, registry.Query]:
     all_q = registry.all_queries()
     judged = _driver_judged()
     front = [n for n in _CHANGED_THIS_ROUND if n in all_q]
     seen = set(front)
-    fresh_oracle = [
-        n for n in all_q
-        if n not in seen and n not in judged and all_q[n].oracle
-    ]
+    fresh_oracle = sorted(
+        (
+            n for n in all_q
+            if n not in seen and n not in judged and all_q[n].oracle
+        ),
+        key=lambda n: (n in _NEW_THIS_ROUND, list(all_q).index(n)),
+    )
     fresh_rows_only = [
         n for n in all_q
         if n not in seen and n not in judged and not all_q[n].oracle
