@@ -1986,3 +1986,188 @@ def q_seasonal_order_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("lift"),
     )
+
+
+#: Spend-band migration: customers band by FIXED yearly-spend edges
+#: (cents), so the band definition is engine-portable and stable
+#: across years (quartile cuts would re-derive per year and muddy the
+#: migration signal with cut drift).
+BAND_EDGES_CENTS = (10_000_00, 20_000_00, 40_000_00)
+
+_BAND_MIGRATION_ORACLE = f"""
+    WITH yearly AS (
+      SELECT o_custkey, year(o_orderdate) AS yr,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY 1, 2
+    ),
+    banded AS (
+      SELECT o_custkey, yr,
+             CASE WHEN cents < {BAND_EDGES_CENTS[0]} THEN 'B1_low'
+                  WHEN cents < {BAND_EDGES_CENTS[1]} THEN 'B2_mid'
+                  WHEN cents < {BAND_EDGES_CENTS[2]} THEN 'B3_high'
+                  ELSE 'B4_top' END AS band
+      FROM yearly
+    ),
+    flows AS (
+      SELECT a.band AS band_from, b.band AS band_to, COUNT(*) AS n
+      FROM banded a
+      JOIN banded b ON b.o_custkey = a.o_custkey AND b.yr = a.yr + 1
+      GROUP BY 1, 2
+    )
+    SELECT band_from, band_to,
+           CAST(n AS BIGINT) AS n_customers,
+           ROUND(n / CAST(SUM(n) OVER (PARTITION BY band_from) AS DOUBLE), 6)
+             AS transition_share
+    FROM flows
+"""
+
+
+@register("q_customer_band_migration", oracle=_BAND_MIGRATION_ORACLE)
+def q_customer_band_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year spend-band migration matrix: customers band by
+    fixed yearly-spend edges, consecutive years join per customer, and
+    each (from, to) cell carries the count and row-normalized
+    transition share — the customer-value Markov matrix behind
+    upgrade/downgrade forecasting (q_growth_accounting counts
+    new/churned/retained; this says where the RETAINED went). Fixed
+    edges, not per-year quantiles, so migration is real movement and
+    not cut drift.
+
+    Scale/determinism: facts reduce to one (customer, year) cents row
+    (combinable), the year+1 self-join runs on the customer-year frame
+    (orders-bounded, never line items), and shares are windows over
+    the <=16-cell band-pair domain. Exact integers end to end."""
+    t = load(spark, sf_dir)
+    yearly = t.orders.groupBy(
+        "o_custkey", F.year("o_orderdate").alias("yr")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "cents"
+        )
+    )
+    band = (
+        F.when(F.col("cents") < BAND_EDGES_CENTS[0], "B1_low")
+        .when(F.col("cents") < BAND_EDGES_CENTS[1], "B2_mid")
+        .when(F.col("cents") < BAND_EDGES_CENTS[2], "B3_high")
+        .otherwise("B4_top")
+    )
+    banded = yearly.select("o_custkey", "yr", band.alias("band"))
+    flows = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("b.o_custkey") == F.col("a.o_custkey"))
+            & (F.col("b.yr") == F.col("a.yr") + 1),
+        )
+        .groupBy(
+            F.col("a.band").alias("band_from"),
+            F.col("b.band").alias("band_to"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("band_from")
+    return flows.select(
+        "band_from",
+        "band_to",
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.round(F.col("n") / F.sum("n").over(w).cast("double"), 6).alias(
+            "transition_share"
+        ),
+    )
+
+
+_LEAD_TIME_ORACLE = """
+    WITH lag AS (
+      SELECT l.l_suppkey,
+             datediff('day', o.o_orderdate, l.l_shipdate) AS lead_days
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    , dom AS (
+      SELECT l_suppkey, lead_days, COUNT(*) AS c
+      FROM lag GROUP BY l_suppkey, lead_days
+    ),
+    cum AS (
+      SELECT l_suppkey, lead_days, c,
+             SUM(c) OVER (PARTITION BY l_suppkey ORDER BY lead_days) AS cum_c,
+             SUM(c) OVER (PARTITION BY l_suppkey) AS n
+      FROM dom
+    )
+    SELECT CAST(l_suppkey AS BIGINT) AS l_suppkey,
+           CAST(MAX(n) AS BIGINT) AS n_lines,
+           CAST(MIN(CASE WHEN cum_c >= ceil(0.5 * n) THEN lead_days END)
+                AS BIGINT) AS p50_days,
+           CAST(MIN(CASE WHEN cum_c >= ceil(0.95 * n) THEN lead_days END)
+                AS BIGINT) AS p95_days,
+           CAST(MAX(lead_days) AS BIGINT) AS max_days,
+           ROUND(SUM(CASE WHEN lead_days > 90 THEN c ELSE 0 END)
+                 / CAST(MAX(n) AS DOUBLE), 6) AS late_share
+    FROM cum GROUP BY l_suppkey
+"""
+
+
+@register("q_supplier_lead_time", oracle=_LEAD_TIME_ORACLE)
+def q_supplier_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier lead-time scorecard: order-to-ship day percentiles
+    (p50/p95), worst case, and the >90-day late share per supplier —
+    the delivery-performance half of the vendor scorecard beside
+    q_supplier_wilson_score's quality half (a supplier can ship clean
+    goods slowly; procurement needs both axes). q_fulfillment_latency
+    profiles the same lag by PRIORITY class; this is the accountable-
+    party grain.
+
+    Scale/determinism: the join reduces to integer day lags keyed by
+    supplier; exact percentiles run per supplier over day-DOMAIN-
+    bounded groups (approx_percentile at 100 TB, the q_rfm note);
+    counts/shares exact."""
+    t = load(spark, sf_dir)
+    lag = t.lineitem.select("l_suppkey", "l_orderkey", "l_shipdate").join(
+        t.orders.select("o_orderkey", "o_orderdate"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    ).select(
+        "l_suppkey",
+        F.datediff("l_shipdate", "o_orderdate").alias("lead_days"),
+    )
+    # DISCRETE order-statistic percentiles (value at rank ceil(p*n))
+    # via the per-supplier day-DOMAIN cumulative frame — interpolated
+    # percentiles put an ulp-sensitive fraction under a 1-dp round,
+    # which flipped a boundary row cross-engine in testing; rank
+    # lookups are exact integers (the agg_median_ci machinery).
+    dom = lag.groupBy("l_suppkey", "lead_days").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_cum = Window.partitionBy("l_suppkey").orderBy("lead_days")
+    w_all = Window.partitionBy("l_suppkey")
+    cum = dom.select(
+        "l_suppkey",
+        "lead_days",
+        "c",
+        F.sum("c").over(w_cum).alias("cum_c"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    return cum.groupBy("l_suppkey").agg(
+        F.max("n").cast("bigint").alias("n_lines"),
+        F.min(
+            F.when(
+                F.col("cum_c") >= F.ceil(0.5 * F.col("n")), F.col("lead_days")
+            )
+        ).cast("bigint").alias("p50_days"),
+        F.min(
+            F.when(
+                F.col("cum_c") >= F.ceil(0.95 * F.col("n")),
+                F.col("lead_days"),
+            )
+        ).cast("bigint").alias("p95_days"),
+        F.max("lead_days").cast("bigint").alias("max_days"),
+        F.round(
+            F.sum(F.when(F.col("lead_days") > 90, F.col("c")).otherwise(0))
+            / F.max("n").cast("double"),
+            6,
+        ).alias("late_share"),
+    ).select(
+        F.col("l_suppkey").cast("bigint").alias("l_suppkey"),
+        "n_lines",
+        "p50_days",
+        "p95_days",
+        "max_days",
+        "late_share",
+    )

@@ -3244,3 +3244,64 @@ def agg_weibull_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fit_r2",
         (F.col("slope") > 1.0).alias("hazard_increasing"),
     )
+
+
+_POISSON_ORACLE = """
+    WITH days AS (
+      SELECT CAST((SELECT datediff('day', MIN(CAST(ts AS DATE)),
+                                   MAX(CAST(ts AS DATE))) + 1
+                   FROM events) AS DOUBLE) AS span
+    ),
+    g AS (
+      SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           CAST(span AS BIGINT) AS n_days,
+           ROUND(n / span, 4) AS rate_per_day,
+           ROUND((n - 1.96 * sqrt(CAST(n AS DOUBLE))) / span, 4)
+             AS rate_ci_lo,
+           ROUND((n + 1.96 * sqrt(CAST(n AS DOUBLE))) / span, 4)
+             AS rate_ci_hi
+    FROM g CROSS JOIN days
+"""
+
+
+@register("agg_poisson_rate_ci", oracle=_POISSON_ORACLE)
+def agg_poisson_rate_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event rate per day with the Poisson 95% CI per type (normal
+    approximation n +/- 1.96*sqrt(n) over the observed span) — the
+    interval behind every events-per-day dashboard number, and the
+    companion agg_overdispersion qualifies: when that operator's
+    variance-to-mean verdict says NOT Poisson, these intervals are
+    too narrow and the negative-binomial width applies instead (the
+    two operators together are the honest rate report).
+
+    Scale/determinism: one combinable count per type + a 1-row span
+    scalar; sqrt on an exact integer; three identical divisions."""
+    t = load(spark, sf_dir)
+    days = t.events.agg(
+        (
+            F.datediff(
+                F.max(F.col("ts").cast("date")),
+                F.min(F.col("ts").cast("date")),
+            )
+            + 1
+        )
+        .cast("double")
+        .alias("span")
+    )
+    g = t.events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    nd = F.col("n").cast("double")
+    return g.crossJoin(F.broadcast(days)).select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("span").cast("bigint").alias("n_days"),
+        F.round(nd / F.col("span"), 4).alias("rate_per_day"),
+        F.round((nd - 1.96 * F.sqrt(nd)) / F.col("span"), 4).alias(
+            "rate_ci_lo"
+        ),
+        F.round((nd + 1.96 * F.sqrt(nd)) / F.col("span"), 4).alias(
+            "rate_ci_hi"
+        ),
+    )

@@ -747,3 +747,33 @@ def test_weibull_fit_sane(spark):
     assert r["weibull_shape"] > 0
     assert r["weibull_scale_days"] > 0
     assert 0.0 <= r["fit_r2"] <= 1.0
+
+
+# --- batch 11: poisson rate / band migration / lead time
+
+
+def test_poisson_ci_brackets_rate(spark):
+    rows = registry.get("agg_poisson_rate_ci").fn(spark, SF001).collect()
+    assert rows
+    for r in rows:
+        assert r["rate_ci_lo"] <= r["rate_per_day"] <= r["rate_ci_hi"]
+        assert r["n_days"] >= 1
+
+
+def test_band_migration_shares_rowstochastic(spark):
+    rows = registry.get("q_customer_band_migration").fn(spark, SF001).collect()
+    assert rows
+    by_from: dict = {}
+    for r in rows:
+        by_from.setdefault(r["band_from"], 0.0)
+        by_from[r["band_from"]] += r["transition_share"]
+    for s in by_from.values():
+        assert abs(s - 1.0) < 1e-3
+
+
+def test_lead_time_percentile_order(spark):
+    rows = registry.get("q_supplier_lead_time").fn(spark, SF001).collect()
+    assert rows
+    for r in rows:
+        assert r["p50_days"] <= r["p95_days"] <= r["max_days"]
+        assert 0.0 <= r["late_share"] <= 1.0

@@ -329,6 +329,10 @@ SINGLE_PARTITION_OK: dict[str, str] = {
         "CDF window + 1-row regression fold over the day-DOMAIN "
         "interval frame (count partials, never order rows)"
     ),
+    "agg_poisson_rate_ci": (
+        "1-row observed-span scalar broadcast (min/max-date partials, "
+        "never event rows)"
+    ),
     "corpus_importance_weights": (
         "share/weight/ESS windows over the length-bucket-DOMAIN-"
         "bounded count frame"
