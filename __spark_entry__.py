@@ -106,6 +106,8 @@ _NEW_THIS_ROUND = {
     "text_word_pmi", "text_source_similarity_js",
     "sink_dynamic_partition_overwrite", "stream_quality_gate",
     "dedup_shingle_df_histogram", "dedup_threshold_sweep",
+    "agg_poisson_rate_ci", "q_customer_band_migration",
+    "q_supplier_lead_time",
 }
 
 
