@@ -107,7 +107,8 @@ _NEW_THIS_ROUND = {
     "sink_dynamic_partition_overwrite", "stream_quality_gate",
     "dedup_shingle_df_histogram", "dedup_threshold_sweep",
     "agg_poisson_rate_ci", "q_customer_band_migration",
-    "q_supplier_lead_time",
+    "q_supplier_lead_time", "agg_eb_shrinkage", "embed_isotropy",
+    "text_word_burstiness",
 }
 
 

@@ -2259,3 +2259,68 @@ def embed_centroid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("boundary_share"),
     )
+
+
+_ISOTROPY_ORACLE = """
+    WITH unit AS (
+      SELECT list_transform(CAST(embedding AS DOUBLE[]),
+               x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                              CAST(embedding AS DOUBLE[]))))
+               AS u
+      FROM embeddings
+    ),
+    dims AS (
+      SELECT generate_subscripts(u, 1) AS pos, unnest(u) AS v FROM unit
+    ),
+    sums AS (
+      SELECT pos, SUM(v) AS s FROM dims GROUP BY pos
+    ),
+    tot AS (
+      SELECT (SELECT SUM(s * s) FROM sums) AS sum_sq,
+             (SELECT COUNT(*) FROM unit) AS n
+    )
+    SELECT CAST(n AS BIGINT) AS n_vectors,
+           ROUND((sum_sq - n) / (n * (CAST(n AS DOUBLE) - 1)), 6)
+             AS mean_pairwise_cosine,
+           ROUND(sqrt(sum_sq) / n, 6) AS mean_vector_norm
+    FROM tot
+"""
+
+
+@register("embed_isotropy", oracle=_ISOTROPY_ORACLE)
+def embed_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotropy audit of the embedding space: the MEAN PAIRWISE COSINE
+    across all n^2 unit-vector pairs and the norm of the mean vector —
+    computed WITHOUT any pair join via the sum-vector identity
+    sum_{i != j} cos(i,j) = ||SUM u_i||^2 - n. A high mean cosine is
+    the classic anisotropy pathology (all embeddings share a dominant
+    direction; cosine similarities compress toward it and ANN recall
+    degrades) whose standard fix is mean-centering — this is the
+    one-number check that says whether to apply it, beside
+    embed_dim_variance_spectrum's per-axis view.
+
+    Scale/determinism: ONE scan — per-dimension component sums of the
+    normalized vectors (combinable, dim-bounded frame), then closed-
+    form arithmetic; the O(n^2) pair semantics costs O(n*d). Unit
+    normalization and the identity are identical expressions in both
+    engines."""
+    t = load(spark, sf_dir)
+    e = t.embeddings.select(F.col("embedding").cast("array<double>").alias("v"))
+    nrm = F.sqrt(dot_double(F.col("v"), F.col("v")))
+    unit = e.select(
+        F.transform(F.col("v"), lambda x: x / nrm).alias("u")
+    )
+    dims = unit.select(F.posexplode("u").alias("pos", "vv"))
+    sums = dims.groupBy("pos").agg(F.sum("vv").alias("s"))
+    n_row = unit.agg(F.count(F.lit(1)).alias("n"))
+    tot = sums.agg(F.sum(F.col("s") * F.col("s")).alias("sum_sq")).crossJoin(
+        F.broadcast(n_row)
+    )
+    nd = F.col("n").cast("double")
+    return tot.select(
+        F.col("n").cast("bigint").alias("n_vectors"),
+        F.round(
+            (F.col("sum_sq") - F.col("n")) / (F.col("n") * (nd - 1)), 6
+        ).alias("mean_pairwise_cosine"),
+        F.round(F.sqrt("sum_sq") / F.col("n"), 6).alias("mean_vector_norm"),
+    )

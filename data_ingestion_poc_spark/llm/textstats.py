@@ -1345,3 +1345,102 @@ def text_source_similarity_js(spark: SparkSession, sf_dir: str) -> DataFrame:
             "js_divergence"
         )
     )
+
+
+#: Burstiness vocabulary bound (same policy as JS_VOCAB_K): the
+#: variance-to-mean statistic needs enough occurrences to mean
+#: anything, and the top of the frequency table is where it lives.
+BURST_VOCAB_K = 200
+
+_BURSTINESS_ORACLE = f"""
+    WITH wc AS (
+      SELECT doc_id, w, COUNT(*) AS c FROM (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents
+      ) WHERE w <> '' GROUP BY doc_id, w
+    ),
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+    vocab AS (
+      SELECT w, tot FROM (
+        SELECT w, SUM(c) AS tot,
+               row_number() OVER (ORDER BY SUM(c) DESC, w) AS rk
+        FROM wc GROUP BY w
+      ) WHERE rk <= {BURST_VOCAB_K}
+    ),
+    stats AS (
+      SELECT v.w, v.tot,
+             COUNT(*) AS n_docs_with,
+             SUM(wc.c) AS s1,
+             SUM(CAST(wc.c AS HUGEINT) * wc.c) AS s2
+      FROM wc JOIN vocab v USING (w)
+      GROUP BY v.w, v.tot
+    )
+    SELECT w AS word,
+           CAST(tot AS BIGINT) AS n_occurrences,
+           CAST(n_docs_with AS BIGINT) AS n_docs_with,
+           ROUND((s2 - CAST(s1 AS DOUBLE) * s1 / nd.n_docs)
+                 / (nd.n_docs - 1.0)
+                 / (s1 / CAST(nd.n_docs AS DOUBLE)), 6) AS burstiness,
+           (s2 - CAST(s1 AS DOUBLE) * s1 / nd.n_docs) / (nd.n_docs - 1.0)
+             / (s1 / CAST(nd.n_docs AS DOUBLE)) > 2.0 AS content_like
+    FROM stats CROSS JOIN nd
+"""
+
+
+@register("text_word_burstiness", oracle=_BURSTINESS_ORACLE)
+def text_word_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word burstiness over the corpus top-{BURST_VOCAB_K} vocabulary:
+    the variance-to-mean ratio of per-document occurrence counts
+    (zeros included — a word appearing 10 times in one doc and never
+    elsewhere is maximally bursty; a function word sprinkles evenly at
+    ratio ~1, Poisson-like). The Church-Gale content/function-word
+    separator: bursty words are TOPICS (good keyword/index candidates),
+    smooth ones are GLUE (stopword candidates beyond any fixed list) —
+    the data-driven upgrade of the STOPWORDS constant the quality
+    scores hardcode.
+
+    Scale/determinism: per-(doc, word) counts are combinable; zeros
+    enter through the closed form (sum over missing docs contributes
+    0 to S1/S2, n_docs supplies the denominator) so no dense
+    doc x vocab frame materializes; exact integer sums (S2 as
+    decimal/HUGEINT), one identical expression per word over the
+    VOCAB-bounded frame."""
+    t = load(spark, sf_dir)
+    wc = (
+        t.documents.select(
+            "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+        )
+        .where(F.col("w") != "")
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_docs = t.documents.agg(F.count(F.lit(1)).alias("n_docs"))
+    vocab = (
+        wc.groupBy("w")
+        .agg(F.sum("c").alias("tot"))
+        .orderBy(F.col("tot").desc(), "w")
+        .limit(BURST_VOCAB_K)
+    )
+    stats = (
+        wc.join(F.broadcast(vocab), "w")
+        .groupBy("w", "tot")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_with"),
+            F.sum("c").alias("s1"),
+            F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("s2"),
+        )
+    )
+    ndd = F.col("n_docs").cast("double")
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1") / F.col("n_docs")
+    ) / (ndd - 1.0)
+    mean = F.col("s1") / ndd
+    burst = var / mean
+    return stats.crossJoin(F.broadcast(n_docs)).select(
+        F.col("w").alias("word"),
+        F.col("tot").cast("bigint").alias("n_occurrences"),
+        F.col("n_docs_with").cast("bigint").alias("n_docs_with"),
+        F.round(burst, 6).alias("burstiness"),
+        (burst > 2.0).alias("content_like"),
+    )

@@ -3305,3 +3305,78 @@ def agg_poisson_rate_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rate_ci_hi"
         ),
     )
+
+
+_EB_ORACLE = """
+    WITH s AS (
+      SELECT l_suppkey,
+             COUNT(*) AS n,
+             SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS x
+      FROM lineitem GROUP BY l_suppkey
+    ),
+    mom AS (
+      SELECT AVG(x / CAST(n AS DOUBLE)) AS m,
+             VAR_SAMP(x / CAST(n AS DOUBLE)) AS v
+      FROM s
+    ),
+    prior AS (
+      SELECT m, v,
+             m * (m * (1 - m) / v - 1) AS a,
+             (1 - m) * (m * (1 - m) / v - 1) AS b
+      FROM mom
+    )
+    SELECT CAST(s.l_suppkey AS BIGINT) AS l_suppkey,
+           CAST(s.n AS BIGINT) AS n_lines,
+           CAST(s.x AS BIGINT) AS n_returns,
+           ROUND(s.x / CAST(s.n AS DOUBLE), 6) AS raw_rate,
+           ROUND((p.a + s.x) / (p.a + p.b + s.n), 6) AS shrunk_rate,
+           ROUND(p.a, 4) AS prior_alpha,
+           ROUND(p.b, 4) AS prior_beta
+    FROM s CROSS JOIN prior p
+"""
+
+
+@register("agg_eb_shrinkage", oracle=_EB_ORACLE)
+def agg_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-supplier return rates: a Beta
+    prior is moment-matched from the population of raw rates, and each
+    supplier's estimate becomes the posterior mean (alpha + x) /
+    (alpha + beta + n) — small-sample suppliers shrink hard toward the
+    population rate, high-volume ones barely move. THE estimation-side
+    fix for the same small-sample pathology q_supplier_wilson_score
+    fixes on the RANKING side (Wilson bounds order entities; shrinkage
+    gives each one a usable rate number), and the standard first
+    Bayesian tool of every metrics team.
+
+    Scale/determinism: per-supplier (n, x) is one combinable aggregate;
+    the prior is a 1-row moment fold over the SUPPLIER-domain rate
+    frame broadcast back; posterior means are identical arithmetic per
+    row."""
+    t = load(spark, sf_dir)
+    s = t.lineitem.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias(
+            "x"
+        ),
+    )
+    rate = F.col("x") / F.col("n").cast("double")
+    mom = s.agg(
+        F.avg(rate).alias("m"), F.var_samp(rate).alias("v")
+    )
+    k = F.col("m") * (1 - F.col("m")) / F.col("v") - 1
+    prior = mom.select(
+        (F.col("m") * k).alias("a"),
+        ((1 - F.col("m")) * k).alias("b"),
+    )
+    return s.crossJoin(F.broadcast(prior)).select(
+        F.col("l_suppkey").cast("bigint").alias("l_suppkey"),
+        F.col("n").cast("bigint").alias("n_lines"),
+        F.col("x").cast("bigint").alias("n_returns"),
+        F.round(rate, 6).alias("raw_rate"),
+        F.round(
+            (F.col("a") + F.col("x")) / (F.col("a") + F.col("b") + F.col("n")),
+            6,
+        ).alias("shrunk_rate"),
+        F.round("a", 4).alias("prior_alpha"),
+        F.round("b", 4).alias("prior_beta"),
+    )

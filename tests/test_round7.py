@@ -777,3 +777,34 @@ def test_lead_time_percentile_order(spark):
     for r in rows:
         assert r["p50_days"] <= r["p95_days"] <= r["max_days"]
         assert 0.0 <= r["late_share"] <= 1.0
+
+
+# --- batch 12: EB shrinkage / isotropy / burstiness
+
+
+def test_eb_shrinkage_pulls_toward_prior(spark):
+    rows = registry.get("agg_eb_shrinkage").fn(spark, SF001).collect()
+    assert rows
+    a, b = rows[0]["prior_alpha"], rows[0]["prior_beta"]
+    assert a > 0 and b > 0
+    prior_mean = a / (a + b)
+    for r in rows:
+        # the posterior sits between the raw rate and the prior mean
+        lo, hi = sorted((r["raw_rate"], prior_mean))
+        assert lo - 1e-6 <= r["shrunk_rate"] <= hi + 1e-6
+
+
+def test_isotropy_bounds(spark):
+    r = registry.get("embed_isotropy").fn(spark, SF001).collect()[0]
+    assert r["n_vectors"] > 1
+    assert -1.0 <= r["mean_pairwise_cosine"] <= 1.0
+    assert 0.0 <= r["mean_vector_norm"] <= 1.0 + 1e-9
+
+
+def test_burstiness_positive(spark):
+    rows = registry.get("text_word_burstiness").fn(spark, SF001).collect()
+    assert rows
+    for r in rows:
+        assert r["burstiness"] >= 0
+        assert r["n_docs_with"] <= r["n_occurrences"]
+        assert r["content_like"] == (r["burstiness"] > 2.0)

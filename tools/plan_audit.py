@@ -333,6 +333,18 @@ SINGLE_PARTITION_OK: dict[str, str] = {
         "1-row observed-span scalar broadcast (min/max-date partials, "
         "never event rows)"
     ),
+    "agg_eb_shrinkage": (
+        "1-row Beta-prior moment fold over the SUPPLIER-domain rate "
+        "frame (rate partials, never line rows)"
+    ),
+    "embed_isotropy": (
+        "1-row sum-of-squares fold over the DIM-bounded component-sum "
+        "frame (vector-sum partials, never vector rows)"
+    ),
+    "text_word_burstiness": (
+        "1-row corpus doc-count scalar broadcast onto the "
+        "VOCAB-bounded stats frame (count partials, never token rows)"
+    ),
     "corpus_importance_weights": (
         "share/weight/ESS windows over the length-bucket-DOMAIN-"
         "bounded count frame"
