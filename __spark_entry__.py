@@ -108,7 +108,7 @@ _NEW_THIS_ROUND = {
     "dedup_shingle_df_histogram", "dedup_threshold_sweep",
     "agg_poisson_rate_ci", "q_customer_band_migration",
     "q_supplier_lead_time", "agg_eb_shrinkage", "embed_isotropy",
-    "text_word_burstiness",
+    "text_word_burstiness", "q_time_to_convert",
 }
 
 

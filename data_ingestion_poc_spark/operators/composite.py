@@ -2171,3 +2171,117 @@ def q_supplier_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_days",
         "late_share",
     )
+
+
+_TIME_TO_CONVERT_ORACLE = """
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+               AS first_purchase
+      FROM events GROUP BY user_id
+    ),
+    conv AS (
+      SELECT user_id,
+             CAST(floor((epoch_us(first_purchase) - epoch_us(first_view))
+                        / 60000000.0) AS BIGINT) AS mins
+      FROM firsts
+      WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+        AND first_purchase >= first_view
+    ),
+    dom AS (SELECT mins, COUNT(*) AS c FROM conv GROUP BY mins),
+    cum AS (
+      SELECT mins,
+             SUM(c) OVER (ORDER BY mins) AS cum_c,
+             SUM(c) OVER () AS n
+      FROM dom
+    ),
+    tot AS (
+      SELECT (SELECT COUNT(*) FROM firsts WHERE first_view IS NOT NULL)
+               AS n_viewers,
+             (SELECT MAX(n) FROM cum) AS n_converted
+    )
+    SELECT CAST(n_viewers AS BIGINT) AS n_viewers,
+           CAST(n_converted AS BIGINT) AS n_converted,
+           ROUND(n_converted / CAST(n_viewers AS DOUBLE), 6)
+             AS conversion_rate,
+           CAST((SELECT MIN(mins) FROM cum
+                 WHERE cum_c >= ceil(0.5 * n)) AS BIGINT) AS p50_minutes,
+           CAST((SELECT MIN(mins) FROM cum
+                 WHERE cum_c >= ceil(0.9 * n)) AS BIGINT) AS p90_minutes
+    FROM tot
+"""
+
+
+@register("q_time_to_convert", oracle=_TIME_TO_CONVERT_ORACLE)
+def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-view-to-first-purchase latency: conversion rate over all
+    viewers plus the p50/p90 minutes-to-convert among converters —
+    the funnel's TIME dimension, which q_funnel_conversion's stage
+    counts flatten away (two products with identical conversion rates
+    and 10 minutes vs 10 days to convert need opposite interventions:
+    friction removal vs nurture campaigns).
+
+    Scale/determinism: one conditional-MIN pair per user (combinable,
+    one user_id shuffle shared with every funnel operator), latencies
+    floored to integer MINUTES, and the percentiles are DISCRETE
+    order-statistic lookups on the minutes-DOMAIN cumulative frame
+    (the q_supplier_lead_time convention — no interpolation to drift
+    cross-engine)."""
+    t = load(spark, sf_dir)
+    firsts = t.events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        ),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("first_purchase"),
+    )
+    conv = firsts.where(
+        F.col("first_view").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_view"))
+    ).select(
+        F.floor(
+            (
+                F.unix_micros("first_purchase")
+                - F.unix_micros("first_view")
+            )
+            / 60_000_000.0
+        )
+        .cast("bigint")
+        .alias("mins")
+    )
+    dom = conv.groupBy("mins").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = Window.orderBy("mins")
+    w_all = Window.partitionBy()
+    cum = dom.select(
+        "mins",
+        F.sum("c").over(w_cum).alias("cum_c"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    pcts = cum.agg(
+        F.max("n").alias("n_converted"),
+        F.min(
+            F.when(
+                F.col("cum_c") >= F.ceil(0.5 * F.col("n")), F.col("mins")
+            )
+        ).cast("bigint").alias("p50_minutes"),
+        F.min(
+            F.when(
+                F.col("cum_c") >= F.ceil(0.9 * F.col("n")), F.col("mins")
+            )
+        ).cast("bigint").alias("p90_minutes"),
+    )
+    viewers = firsts.where(F.col("first_view").isNotNull()).agg(
+        F.count(F.lit(1)).alias("n_viewers")
+    )
+    return viewers.crossJoin(F.broadcast(pcts)).select(
+        F.col("n_viewers").cast("bigint").alias("n_viewers"),
+        F.col("n_converted").cast("bigint").alias("n_converted"),
+        F.round(
+            F.col("n_converted") / F.col("n_viewers").cast("double"), 6
+        ).alias("conversion_rate"),
+        "p50_minutes",
+        "p90_minutes",
+    )

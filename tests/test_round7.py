@@ -808,3 +808,21 @@ def test_burstiness_positive(spark):
         assert r["burstiness"] >= 0
         assert r["n_docs_with"] <= r["n_occurrences"]
         assert r["content_like"] == (r["burstiness"] > 2.0)
+
+
+# --- q_time_to_convert
+
+
+def test_time_to_convert_known_case(spark, tmp_path):
+    """User 1 views at t=0, purchases at t=30 min; user 2 views only.
+    Rate = 1/2, p50 = p90 = 30 minutes."""
+    rows = [
+        (0, 0, 1, "view", 1.0),
+        (1, 30, 1, "purchase", 1.0),
+        (2, 0, 2, "view", 1.0),
+    ]
+    _write_events(spark, tmp_path, rows)
+    r = registry.get("q_time_to_convert").fn(spark, str(tmp_path)).collect()[0]
+    assert r["n_viewers"] == 2 and r["n_converted"] == 1
+    assert r["conversion_rate"] == 0.5
+    assert r["p50_minutes"] == 30 and r["p90_minutes"] == 30

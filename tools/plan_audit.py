@@ -345,6 +345,10 @@ SINGLE_PARTITION_OK: dict[str, str] = {
         "1-row corpus doc-count scalar broadcast onto the "
         "VOCAB-bounded stats frame (count partials, never token rows)"
     ),
+    "q_time_to_convert": (
+        "CDF window + 1-row percentile/viewer folds over the "
+        "minutes-DOMAIN latency frame (user-grain partials)"
+    ),
     "corpus_importance_weights": (
         "share/weight/ESS windows over the length-bucket-DOMAIN-"
         "bounded count frame"
