@@ -2259,3 +2259,77 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_jaccard"),
     )
+
+
+_CANDIDATE_BUDGET_ORACLE = f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest([array_to_string(words[i:i+2], ' ')
+                       FOR i IN range(1, len(words) - 1)]) AS shingle
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS words
+              FROM documents)
+      )
+    ),
+    dfs AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle)
+    SELECT
+      CAST(SUM(df) AS BIGINT) AS n_postings,
+      CAST(SUM(CASE WHEN df <= {JACCARD_DF_CAP}
+                    THEN CAST(df AS HUGEINT) * (df - 1) / 2
+                    ELSE 0 END) AS BIGINT) AS candidates_capped,
+      CAST(SUM(CAST(df AS HUGEINT) * (df - 1) / 2) AS BIGINT)
+        AS candidates_uncapped,
+      ROUND(1.0 - SUM(CASE WHEN df <= {JACCARD_DF_CAP}
+                           THEN CAST(df AS DOUBLE) * (df - 1) / 2
+                           ELSE 0 END)
+                  / SUM(CAST(df AS DOUBLE) * (df - 1) / 2), 6)
+        AS volume_saved_share
+    FROM dfs
+"""
+
+
+@register("dedup_candidate_budget", oracle=_CANDIDATE_BUDGET_ORACLE)
+def dedup_candidate_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT candidate-pair budget of the inverted-index dedup join,
+    computed BEFORE running it: sum over shingles of C(df, 2) with and
+    without the JACCARD_DF_CAP — the number that says what the
+    candidate join will COST on this corpus and how much of that cost
+    the cap deletes (the capacity-planning complement to
+    dedup_shingle_df_histogram's distribution view: the histogram says
+    where the fat tail is, this prices it in join rows). Run it on a
+    new corpus and you know whether the jaccard family fits the
+    cluster budget without touching the expensive stage.
+
+    Scale/determinism: the df frame is the index build's own first
+    aggregate; C(df,2) sums run as decimal/HUGEINT (a df-10^6 hot
+    shingle contributes ~5e11 pairs — the uncapped sum passes 2^63
+    exactly when the number matters most); one exact division."""
+    t = load(spark, sf_dir)
+    words = F.split(F.lower("text"), " ")
+    sh = (
+        t.documents.select(
+            "doc_id", F.explode(shingle_array(words, 3)).alias("shingle")
+        )
+        .distinct()
+    )
+    dfs = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    pairs = F.col("df").cast("decimal(38,0)") * (F.col("df") - 1) / 2
+    capped = F.when(F.col("df") <= JACCARD_DF_CAP, pairs).otherwise(
+        F.lit(0).cast("decimal(38,6)")
+    )
+    out = dfs.agg(
+        F.sum("df").cast("bigint").alias("n_postings"),
+        F.sum(capped).cast("bigint").alias("candidates_capped"),
+        F.sum(pairs).cast("bigint").alias("candidates_uncapped"),
+    )
+    return out.select(
+        "n_postings",
+        "candidates_capped",
+        "candidates_uncapped",
+        F.round(
+            1.0
+            - F.col("candidates_capped")
+            / F.col("candidates_uncapped").cast("double"),
+            6,
+        ).alias("volume_saved_share"),
+    )

@@ -826,3 +826,13 @@ def test_time_to_convert_known_case(spark, tmp_path):
     assert r["n_viewers"] == 2 and r["n_converted"] == 1
     assert r["conversion_rate"] == 0.5
     assert r["p50_minutes"] == 30 and r["p90_minutes"] == 30
+
+
+# --- dedup_candidate_budget
+
+
+def test_candidate_budget_cap_never_grows(spark):
+    r = registry.get("dedup_candidate_budget").fn(spark, SF001).collect()[0]
+    assert 0 <= r["candidates_capped"] <= r["candidates_uncapped"]
+    assert 0.0 <= r["volume_saved_share"] <= 1.0
+    assert r["n_postings"] > 0

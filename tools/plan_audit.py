@@ -349,6 +349,10 @@ SINGLE_PARTITION_OK: dict[str, str] = {
         "CDF window + 1-row percentile/viewer folds over the "
         "minutes-DOMAIN latency frame (user-grain partials)"
     ),
+    "dedup_candidate_budget": (
+        "1-row budget fold over shingle-df partials (never posting "
+        "rows)"
+    ),
     "corpus_importance_weights": (
         "share/weight/ESS windows over the length-bucket-DOMAIN-"
         "bounded count frame"
