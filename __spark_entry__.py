@@ -109,7 +109,7 @@ _NEW_THIS_ROUND = {
     "agg_poisson_rate_ci", "q_customer_band_migration",
     "q_supplier_lead_time", "agg_eb_shrinkage", "embed_isotropy",
     "text_word_burstiness", "q_time_to_convert",
-    "dedup_candidate_budget",
+    "dedup_candidate_budget", "stream_hourly_active_users",
 }
 
 

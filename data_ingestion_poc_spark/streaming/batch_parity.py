@@ -1283,3 +1283,44 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     shutil.rmtree(run, ignore_errors=True)
     return spark.table(name)
+
+
+@register(
+    "stream_hourly_active_users",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users
+    FROM events GROUP BY 1
+    """,
+)
+def stream_hourly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly ACTIVE USERS as a stream — the realtime DAU-style tile.
+    Streaming COUNT(DISTINCT) is unsupported outright, and the exact
+    rewrite IS the lesson: dropDuplicates on (hour, user) — one state
+    row per pair, expired by the watermark — CHAINED into a plain
+    per-hour count (two stateful operators in one query, the Spark 3.4+
+    multi-stateful pipeline). approx_count_distinct is the sketch
+    alternative when +-2% is acceptable; this operator keeps the exact
+    semantics so the batch-parity oracle can hold bit-for-bit.
+
+    Scale/state: dedup state = (hour, user) pairs inside the watermark
+    horizon; the downstream count collapses them per hour. Append mode
+    out of the dedup, update-style final counts via the complete sink."""
+    sdf = events_stream(spark, sf_dir)
+    hours = (
+        sdf.withWatermark("ts", "2 hours")
+        .select(F.date_trunc("hour", "ts").alias("hour"), "user_id", "ts")
+        .dropDuplicates(["hour", "user_id"])
+    )
+    agg = (
+        hours.groupBy("hour")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("active_users"))
+        .select(
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "active_users",
+        )
+    )
+    return run_available_now(agg, "complete")

@@ -836,3 +836,26 @@ def test_candidate_budget_cap_never_grows(spark):
     assert 0 <= r["candidates_capped"] <= r["candidates_uncapped"]
     assert 0.0 <= r["volume_saved_share"] <= 1.0
     assert r["n_postings"] > 0
+
+
+# --- stream_hourly_active_users
+
+
+def test_stream_hourly_active_users_parity(spark):
+    import duckdb
+
+    stream_rows = {
+        r["window_start"]: r["active_users"]
+        for r in registry.get("stream_hourly_active_users")
+        .fn(spark, SF001)
+        .collect()
+    }
+    assert stream_rows
+    # spot-check the batch distinct for the busiest hour
+    exp = duckdb.sql(
+        "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S'),"
+        " COUNT(DISTINCT user_id)"
+        f" FROM '{SF001}/events.parquet' GROUP BY 1"
+    ).fetchall()
+    for ws, n in exp:
+        assert stream_rows.get(ws) == n
