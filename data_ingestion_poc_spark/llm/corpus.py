@@ -64,8 +64,12 @@ def corpus_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     members drop to the cluster canonical (dedup_clusters), everything
     else is kept. Exact beats near when both apply — the same precedence
     a real pipeline uses (exact dedup runs first because it is cheapest).
-    One hash window + one broadcast-sized flag join per drop reason; the
-    expensive cluster build is the dedup_clusters operator itself."""
+    One hash window + one flag left-join per drop reason; the expensive
+    cluster build is the dedup_clusters operator itself. The flag joins
+    carry NO broadcast hint: at web scale duplicates are 30-50% of the
+    corpus, so both drop lists are corpus-proportional frames — AQE
+    broadcasts them at fixture scale and falls back to a shuffle join
+    (same doc_id key both times, one exchange reused) when they grow."""
     t = load(spark, sf_dir)
     w = Window.partitionBy(F.sha2(F.lower("text").cast("binary"), 256)).orderBy(
         "doc_id"
@@ -84,8 +88,8 @@ def corpus_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         t.documents.select("doc_id")
-        .join(F.broadcast(exact_drop), "doc_id", "left")
-        .join(F.broadcast(near_drop), "doc_id", "left")
+        .join(exact_drop, "doc_id", "left")
+        .join(near_drop, "doc_id", "left")
         .select(
             "doc_id",
             F.when(F.col("is_exact"), "exact_dup")

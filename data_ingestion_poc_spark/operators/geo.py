@@ -89,13 +89,15 @@ def join_geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the quadratic cross join becomes one equi-join whose
     key (the cell) has bounded collision sets; the 9x replication lands
-    on the small side only. Here Spark broadcasts the replicated
-    supplier side (query-sized), so customers never shuffle at all; at
-    two-big-tables scale the same plan degrades gracefully to a
-    shuffle-hash join on the cell key, and skewed megacity cells get
-    AQE skew-split or a finer GEO_CELL_DEG. Spatial libraries (Sedona)
-    generalize this to R-tree partitioning; for fixed-radius point
-    joins the flat grid is the right tool."""
+    on the small side only. The join carries NO broadcast hint:
+    supplier is an SF-scaling table, so a hard hint would force a
+     9x-replicated full-table broadcast at any scale (the r7 OOM
+    class). AQE sizes the replicated side at runtime — it broadcasts
+    at fixture scale and degrades gracefully to a shuffle-hash join on
+    the cell key when suppliers outgrow the threshold; skewed megacity
+    cells get AQE skew-split or a finer GEO_CELL_DEG. Spatial
+    libraries (Sedona) generalize this to R-tree partitioning; for
+    fixed-radius point joins the flat grid is the right tool."""
     t = load(spark, sf_dir)
     cust = t.customer.select(
         "c_custkey",
@@ -132,7 +134,7 @@ def join_geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lat_c"), F.col("lon_c"), F.col("lat_s"), F.col("lon_s")
     )
     return (
-        cust.join(F.broadcast(supp), ["cell_lat", "cell_lon"])
+        cust.join(supp, ["cell_lat", "cell_lon"])
         .withColumn("dist", dist)
         .where(F.col("dist") <= GEO_RADIUS_KM)
         .select(
@@ -181,8 +183,9 @@ def join_geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     R is the form that stays one-pass and is what dispatch/matching
     workloads actually ask.)
 
-    Scale shape: candidate generation is join_geo_distance's broadcast
-    grid join (customers never shuffle); the per-customer top-k runs
+    Scale shape: candidate generation is join_geo_distance's grid join
+    (hint-free — AQE broadcasts the replicated supplier side at
+    fixture scale, shuffle-hash beyond); the per-customer top-k runs
     under Window.partitionBy(c_custkey) — millions of independent
     partitions each bounded by the 3x3-cell supplier density, never a
     table-scale sort. Tie/determinism note: ranking orders by the raw
@@ -228,7 +231,7 @@ def join_geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("c_custkey").orderBy("dist", "s_suppkey")
     return (
-        cust.join(F.broadcast(supp), ["cell_lat", "cell_lon"])
+        cust.join(supp, ["cell_lat", "cell_lon"])
         .withColumn("dist", dist)
         .where(F.col("dist") <= GEO_RADIUS_KM)
         .withColumn("rnk", F.row_number().over(w))

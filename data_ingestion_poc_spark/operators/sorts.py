@@ -157,9 +157,13 @@ def sort_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     size among all strictly-cheaper prices, so a price's min-size row
     is skyline iff it beats that prefix; (3) the surviving (price,
     min_size) chain is monotone decreasing in size — at most |size
-    domain| = 50 rows — broadcast back, and an equi-join on (price,
-    size) pulls every surviving part row. The quadratic dominance test
-    is the ORACLE's cost, never the operator's."""
+    domain| = 50 rows here — joined back on (price, size) to pull
+    every surviving part row. The join-back carries NO hard broadcast
+    hint: the skyline is domain-bounded on THIS fixture but a Pareto
+    front has no size guarantee in general, so AQE sizes it at
+    runtime (broadcast when tiny, shuffle join when not). The
+    quadratic dominance test is the ORACLE's cost, never the
+    operator's."""
     t = load(spark, sf_dir)
     pp = t.part.groupBy("p_retailprice").agg(
         F.min("p_size").alias("ms")
@@ -181,7 +185,7 @@ def sort_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t.part.alias("p")
         .join(
-            F.broadcast(sky.alias("k")),
+            sky.alias("k"),
             (F.col("p.p_retailprice") == F.col("k.sky_price"))
             & (F.col("p.p_size") == F.col("k.sky_size")),
         )
