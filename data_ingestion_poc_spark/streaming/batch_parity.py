@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..registry import register
-from .core import events_stream, run_available_now
+from .core import events_stream, finish_stream, run_available_now
 
 
 @register(
@@ -378,7 +378,7 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("checkpointLocation", sink + "_ckpt")
         .start()
     )
-    q.awaitTermination()
+    finish_stream(q)
     shutil.rmtree(sink + "_ckpt", ignore_errors=True)
     back = spark.read.parquet(sink)
     return back.groupBy("event_type").agg(
@@ -431,7 +431,7 @@ def stream_file_ingest_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    finish_stream(q)
     return spark.table(name)
 
 
@@ -514,7 +514,7 @@ def stream_rollup_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("checkpointLocation", os.path.join(run, "ckpt"))
         .start()
     )
-    q.awaitTermination()
+    finish_stream(q)
     final = spark.read.parquet(state["dir"]).select(
         "bhour",
         "event_type",
@@ -675,15 +675,15 @@ def stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n",
             )
         )
-        (
+        _q = (
             sdf.writeStream.format("parquet")
             .option("path", sink)
             .option("checkpointLocation", ckpt)
             .outputMode("append")
             .trigger(availableNow=True)
             .start()
-            .awaitTermination()
         )
+        finish_stream(_q)
 
     # run 1: early drops only -> tail windows held back in state
     for src, dst in staged[:2]:
@@ -1280,7 +1280,7 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    finish_stream(q)
     shutil.rmtree(run, ignore_errors=True)
     return spark.table(name)
 

@@ -57,6 +57,27 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_event_ts(sdf)
 
 
+#: Executed micro-batch physical plans of every streaming query finished
+#: in this process: (query_name, explainInternal text), appended at
+#: termination. The DataFrame a stream_* operator RETURNS is a memory-
+#: table scan, so a plan audit on it says nothing about the stream; the
+#: real executed plan (EventTimeWatermark, StateStoreSave, streaming
+#: joins, exchanges) only exists on the StreamingQuery handle, captured
+#: here. tools/plan_audit.py --streams drains this list to build the
+#: PLANS.md streaming table.
+STREAM_PLANS: list[tuple[str, str]] = []
+
+
+def finish_stream(q) -> None:
+    """Await a StreamingQuery and record its executed physical plan."""
+    q.awaitTermination()
+    try:
+        STREAM_PLANS.append((q.name or "", q._jsq.explainInternal(False)))
+    except Exception:
+        # plan capture is diagnostic, never load-bearing for results
+        pass
+
+
 def run_available_now(sdf: DataFrame, output_mode: str) -> DataFrame:
     """Execute a streaming DataFrame to completion with
     Trigger.AvailableNow into a uniquely-named memory sink and return the
@@ -71,5 +92,5 @@ def run_available_now(sdf: DataFrame, output_mode: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    finish_stream(q)
     return spark.table(name)

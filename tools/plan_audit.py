@@ -565,6 +565,94 @@ def audit(df) -> dict:
     }
 
 
+#: Stateful streaming operator nodes worth counting in an executed
+#: micro-batch plan (state store readers/writers and streaming-specific
+#: joins/dedup). Exchange counting reuses the batch regex.
+_STATEFUL_NODE_RE = re.compile(
+    r"\b(StateStoreSave|StateStoreRestore|SessionWindowStateStoreSave|"
+    r"SessionWindowStateStoreRestore|StreamingDeduplicate|"
+    r"StreamingSymmetricHashJoin|FlatMapGroupsInPandasWithState|"
+    r"TransformWithState\w*)\b"
+)
+
+
+def audit_streams(spark, sf: str, names: list[str]) -> tuple[list[str], list[str]]:
+    """Execute each stream_* query and audit the micro-batch plans its
+    StreamingQuery handles actually ran (streaming.core.STREAM_PLANS —
+    the returned memory-table DataFrame's plan is just a scan, so this
+    is the only honest plan evidence for streams). Returns (table rows,
+    violations)."""
+    from data_ingestion_poc_spark.streaming import core as stream_core
+
+    qs = registry.all_queries()
+    rows: list[str] = []
+    violations: list[str] = []
+    for name in names:
+        start = len(stream_core.STREAM_PLANS)
+        try:
+            qs[name].fn(spark, sf).collect()
+        except Exception as exc:  # noqa: BLE001 - report which query broke
+            violations.append(f"{name}: stream run failed: {exc}")
+            continue
+        plans = [p for _n, p in stream_core.STREAM_PLANS[start:]]
+        if not plans:
+            violations.append(f"{name}: no executed plan captured")
+            continue
+        text = "\n".join(plans)
+        exec_lines = "\n".join(
+            ln for ln in text.splitlines() if "ReusedExchange" not in ln
+        )
+        shuffles = len(
+            re.findall(r"Exchange (?:hash|range|SinglePartition)", exec_lines)
+        )
+        stateful = sorted(set(_STATEFUL_NODE_RE.findall(text)))
+        watermark = "EventTimeWatermark" in text
+        cartesian = "CartesianProduct" in text
+        notes = []
+        if cartesian:
+            violations.append(f"{name}: CartesianProduct in micro-batch plan")
+            notes.append("CARTESIAN (VIOLATION)")
+        rows.append(
+            f"| `{name}` | {len(plans)} | {shuffles} | "
+            f"{'yes' if watermark else '—'} | "
+            f"{', '.join(stateful) or '—'} | {'; '.join(notes) or '—'} |"
+        )
+    return rows, violations
+
+
+_STREAM_SECTION_HEADER = "## Streaming — executed micro-batch plans"
+
+
+def write_stream_section(out_path: str, rows: list[str], sf: str) -> None:
+    """Replace (or append) the streaming section of PLANS.md."""
+    section = [
+        _STREAM_SECTION_HEADER,
+        "",
+        f"Generated by `python tools/plan_audit.py --streams --sf {sf}`.",
+        "Each row audits the plans the operator's StreamingQuery handles",
+        "EXECUTED (captured at awaitTermination via explainInternal), not",
+        "the returned memory-table scan. Columns: qrs = micro-batch",
+        "queries launched by one call; shuffles = Exchange nodes across",
+        "those plans; wm = EventTimeWatermark present; stateful = state-",
+        "store / streaming-join operator nodes observed.",
+        "",
+        "| query | qrs | shuffles | wm | stateful operators | notes |",
+        "|---|---|---|---|---|---|",
+        *rows,
+    ]
+    with open(out_path) as f:
+        existing = f.read()
+    if _STREAM_SECTION_HEADER in existing:
+        head, _sep, tail = existing.partition(_STREAM_SECTION_HEADER)
+        nxt = re.search(r"\n## ", tail)
+        rest = tail[nxt.start():] if nxt else "\n"
+        existing = head.rstrip("\n") + "\n\n" + "\n".join(section) + rest
+    else:
+        existing = existing.rstrip("\n") + "\n\n" + "\n".join(section) + "\n"
+    with open(out_path, "w") as f:
+        f.write(existing)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
@@ -573,7 +661,26 @@ def main() -> None:
     ap.add_argument("--update", nargs="*", metavar="NAME",
                     help="audit just these queries and patch their rows "
                          "into the existing PLANS.md (replace or append)")
+    ap.add_argument("--streams", action="store_true",
+                    help="audit the executed micro-batch plans of every "
+                         "stream_* query and rewrite the streaming section "
+                         "of PLANS.md (batch table untouched)")
     args = ap.parse_args()
+    if args.streams:
+        spark = get_spark(app_name="dip-plan-audit-streams")
+        names = sorted(
+            n for n in registry.all_queries() if n.startswith("stream_")
+        )
+        if args.only:
+            names = [n for n in names if n in set(args.only)]
+        rows, violations = audit_streams(spark, args.sf, names)
+        write_stream_section(args.out, rows, args.sf)
+        print("\n".join(rows))
+        if violations:
+            for v in violations:
+                print(f"STREAM AUDIT: {v}", file=sys.stderr)
+            sys.exit(1)
+        return
     if args.update:
         args.only = args.update
     pkg = os.path.join(
