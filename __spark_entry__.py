@@ -39,36 +39,36 @@ def entry(spark: SparkSession) -> DataFrame:
 # CORRECTNESS_r0*.json files — r5's hand-maintained 180-line _JUDGED list
 # is gone; drift there silently wasted window slots).
 _CHANGED_THIS_ROUND = [
-    # r7 new operator (no verdict of any kind yet):
+    # r8 semantic implementation changes (VERDICT r7 items 1 & 3: the
+    # data-proportional F.broadcast hints dropped, the inverted-index
+    # candidate frame materialized once per session). Per VERDICT r7
+    # item 7, changed names LEAD the window even when they already
+    # carry a driver verdict (first eight below), capped at ~10; the
+    # last three are changed AND never driver-judged.
+    "corpus_dedup_keep",
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "dedup_clusters",
+    "join_geo_distance",
+    "join_geo_knn",
+    "sort_pareto_skyline",
     "corpus_curate_e2e",
-    # r7 implementation changes that are ALSO driver-unjudged (ADVICE
-    # fixes: mips constant augmented norm, scalar_iter ln(1+x),
-    # dp_counts boundary clamp; de-broadcast of SF-scaling dims;
-    # aliased self-joins; url-canonicalization refactor):
-    "sim_search_mips",
-    "udf_scalar_iter",
-    "privacy_dp_counts",
-    "dedup_consensus",
-    "privacy_k_anonymity",
-    "q_repurchase_interval",
-    "q_price_elasticity",
-    "q_abc_classification",
-    "q_full_star_rollup",
-    "dedup_url_canonical",
+    "dedup_threshold_sweep",
+    "dedup_lsh_tuning",
+    "dedup_cross_source_matrix",
 ]
 
-# r7 implementation changes whose names ALREADY carry a driver verdict
-# (oracle re-verified locally this round): these lead the judged block
-# (positions 51+) so the 50-slot window stays fully spent on the 95
-# never-driver-judged names — the r6 VERDICT's top rotation ask.
+# r8 diffs that touch function bodies WITHOUT changing semantics
+# (finish_stream plan capture replaced bare awaitTermination — output
+# identical, locally oracle-verified 7/7): beyond the ~10-name cap, so
+# they lead the judged block (positions 51+) instead of spending
+# backlog slots.
 _CHANGED_JUDGED_THIS_ROUND = [
-    "udf_grouped_trimmed_mean",
-    "q_sole_late_shippers",
-    "q_basket_sequence_rules",
-    "graph_triangle_count",
-    "q_market_basket",
-    # r7 profile fix: edge set materializes once (same output)
-    "dedup_clusters",
+    "stream_foreach_batch_sink",
+    "stream_file_ingest_clean",
+    "stream_rollup_upsert",
+    "stream_checkpoint_resume",
+    "stream_quality_gate",
 ]
 
 
@@ -85,32 +85,13 @@ def _driver_judged() -> set[str]:
     return judged
 
 
-#: Names first registered in r7 — the unjudged BACKLOG (r6 and older)
+#: Names first registered in r8 — the unjudged BACKLOG (r7 and older)
 #: outranks them in the fresh ordering so the 50-slot driver window
 #: retires the oldest names first (VERDICT r6 item 1); the new ops are
-#: all locally oracle-verified and queue right behind.
-_NEW_THIS_ROUND = {
-    "corpus_curate_e2e", "agg_jarque_bera", "agg_levene_test",
-    "agg_cohens_d", "agg_theil_index", "agg_spearman_corr",
-    "agg_kruskal_wallis", "agg_capability_index", "agg_odds_ratio",
-    "agg_runs_test", "agg_entropy_rate", "agg_mcnemar_test",
-    "agg_median_ci", "agg_weibull_fit", "privacy_t_closeness",
-    "privacy_generalization_ladder", "win_stochastic_oscillator",
-    "win_ulcer_index", "win_vwap", "win_parkinson_volatility",
-    "win_obv", "win_ewma_crossover", "graph_clustering_coefficient",
-    "graph_degree_powerlaw", "sample_systematic", "quality_fk_orphans",
-    "embed_cluster_purity", "embed_intrinsic_dim",
-    "embed_dim_variance_spectrum", "embed_centroid_margin",
-    "q_seasonal_order_heatmap", "q_supplier_wilson_score",
-    "q_xyz_variability", "corpus_mix_kl", "text_language_mix",
-    "text_word_pmi", "text_source_similarity_js",
-    "sink_dynamic_partition_overwrite", "stream_quality_gate",
-    "dedup_shingle_df_histogram", "dedup_threshold_sweep",
-    "agg_poisson_rate_ci", "q_customer_band_migration",
-    "q_supplier_lead_time", "agg_eb_shrinkage", "embed_isotropy",
-    "text_word_burstiness", "q_time_to_convert",
-    "dedup_candidate_budget", "stream_hourly_active_users",
-}
+#: all locally oracle-verified and queue right behind. (Older rounds'
+#: new-name sets need no list here: registration order already ages
+#: them correctly once the round closes.)
+_NEW_THIS_ROUND: set[str] = set()
 
 
 def _ordered() -> dict[str, registry.Query]:
