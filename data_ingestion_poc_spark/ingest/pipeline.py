@@ -109,19 +109,17 @@ class LocalFilesystemFetcher(Fetcher):
             return f.read()
 
 
-class CurlFetcher(Fetcher):
-    """The production FTP/SFTP client slot (reference child.py:67-81,
-    pycurl with CURLOPT_FILETIME + NOBODY pre-probe). This sandbox has no
-    network and no pycurl, so the implementation is a guarded stub — the
-    contract (same FETCHED_SCHEMA, same error channel) is what the
-    pipeline depends on, and LocalFilesystemFetcher proves it end-to-end.
-    """
+def __getattr__(name: str):
+    # The network clients (reference child.py:35-81) live in
+    # ingest.netfetch: FtplibFetcher (stdlib, always available) and
+    # CurlFetcher (the literal pycurl client, import-guarded). Lazy
+    # re-export keeps `pipeline.CurlFetcher` working for existing
+    # callers without a circular module-level import.
+    if name in ("CurlFetcher", "FtplibFetcher"):
+        from . import netfetch
 
-    def stat(self, server: str, remote_path: str) -> tuple[int, int]:  # pragma: no cover
-        raise NotImplementedError("network protocol client requires pycurl + network")
-
-    def read(self, server: str, remote_path: str) -> bytes:  # pragma: no cover
-        raise NotImplementedError("network protocol client requires pycurl + network")
+        return getattr(netfetch, name)
+    raise AttributeError(name)
 
 
 def make_fetch_stage(fetcher: Fetcher):
@@ -320,11 +318,14 @@ def run_pipeline(
     manifest=None,
     sink_state: DataFrame | None = None,
     policy: str = "skip",
+    fetcher: Fetcher | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Full pipeline -> (final_records, quarantine). Lazy end to end: one
-    job materializes everything when the caller acts."""
+    job materializes everything when the caller acts. ``fetcher`` swaps
+    the protocol client (netfetch.FtplibFetcher/CurlFetcher for real
+    servers); default is the local-fixture fetcher."""
     fixtures.build()
-    fetched = fetch(spark, manifest)
+    fetched = fetch(spark, manifest, fetcher=fetcher)
     ok, quarantine = split_verified(fetched)
     exploded = ok.mapInPandas(explode_archives, schema=EXPLODED_SCHEMA)
     derived = derive_columns(exploded)
