@@ -283,9 +283,23 @@ def capped_candidate_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _CANDIDATE_FRAME_CACHE.get(key)
     if cached is None:
-        cached = candidate_frame_from_index(
-            _capped_shingle_index(spark, sf_dir)
-        ).localCheckpoint()
+        # Keep only pairs at least one consumer can score in: the
+        # weakest thresholds across the five riders are jaccard >=
+        # LSH_TUNING_FLOOR (0.02, dedup_lsh_tuning) and containment >=
+        # CONTAINMENT_THRESHOLD (0.90, dedup_containment) — everything
+        # below both is unreachable junk. On the adversarial docs10
+        # corpus this drops the MATERIALIZED frame from 113M rows
+        # (1-2 shared shingles each) to the ~true-pair set; the join
+        # itself still streams all C(df,2) rows through one
+        # disk-spilling shuffle (output-bound by construction), but
+        # the checkpoint no longer pins them on the heap.
+        raw = candidate_frame_from_index(_capped_shingle_index(spark, sf_dir))
+        c = F.col("n_common").cast("double")
+        plausible = (
+            (c / (F.col("na") + F.col("nb") - c) >= LSH_TUNING_FLOOR)
+            | (c / F.least("na", "nb") >= CONTAINMENT_THRESHOLD)
+        )
+        cached = raw.where(plausible).localCheckpoint()
         _CANDIDATE_FRAME_CACHE[key] = cached
     return cached
 

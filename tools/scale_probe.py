@@ -167,6 +167,74 @@ def _cc_chain_probe(spark, chain_len: int) -> None:
         raise SystemExit("cc-chain probe FAILED: chain did not resolve to one cluster")
 
 
+def _pair_budget_probe(spark, mult: int) -> None:
+    """Predictor-vs-actual for the candidate join at docs{mult}
+    (VERDICT r7 item 5): run dedup_candidate_budget FIRST (the cheap
+    index-build aggregate), then build the shared capped candidate
+    frame and compare its actual posting-level join volume
+    (sum of n_common over candidate pairs == sum over shingles of
+    C(df,2), df<=cap) against the prediction. Exact match required —
+    both sides derive from the same shingle universe, so any drift is
+    a real bug in one of them. Also times the two output-bound riders
+    (corpus_curate_e2e, dedup_threshold_sweep) on the same corpus so
+    the wall numbers land next to the budget that predicted them."""
+    from data_ingestion_poc_spark.llm import dedup
+
+    sf_dir = build(spark, mult, mode="corpus")
+    qs = registry.all_queries()
+
+    t0 = time.time()
+    budget = qs["dedup_candidate_budget"].fn(spark, sf_dir).collect()[0]
+    t_budget = time.time() - t0
+
+    # actual join volume: stream-through aggregate over the RAW frame
+    # (no checkpoint — the 1e8-row adversarial frame never needs to be
+    # pinned; the shuffle spills and the agg reduces it to one row)
+    t0 = time.time()
+    raw = dedup.candidate_frame_from_index(
+        dedup._capped_shingle_index(spark, sf_dir)
+    )
+    actual = raw.agg(
+        F.count(F.lit(1)).alias("pairs"),
+        F.sum("n_common").cast("bigint").alias("join_rows"),
+    ).collect()[0]
+    t_raw = time.time() - t0
+
+    # the session-materialized frame the riders actually consume
+    # (plausibility-filtered before its checkpoint)
+    t0 = time.time()
+    kept = dedup.capped_candidate_frame(spark, sf_dir).count()
+    t_cand = time.time() - t0
+
+    walls = {}
+    for rider in ("dedup_threshold_sweep", "corpus_curate_e2e"):
+        t0 = time.time()
+        qs[rider].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        walls[rider] = round(time.time() - t0, 2)
+
+    ok = int(budget["candidates_capped"]) == int(actual["join_rows"])
+    print(json.dumps({
+        "mode": "pair_budget", "mult": mult,
+        "predicted_join_rows": int(budget["candidates_capped"]),
+        "actual_join_rows": int(actual["join_rows"]),
+        "predictor_exact_match": bool(ok),
+        "candidate_pairs": int(actual["pairs"]),
+        "materialized_pairs": int(kept),
+        "uncapped_join_rows": int(budget["candidates_uncapped"]),
+        "volume_saved_share": float(budget["volume_saved_share"]),
+        "budget_seconds": round(t_budget, 2),
+        "raw_volume_agg_seconds": round(t_raw, 2),
+        "materialize_seconds": round(t_cand, 2),
+        "rider_seconds": walls,
+    }))
+    if not ok:
+        raise SystemExit(
+            "pair-budget probe FAILED: predictor != actual join rows"
+        )
+
+
 def _scale_tables(spark, out: str, mult: int, scaled: dict[str, list[str]]) -> None:
     for tbl, keys in scaled.items():
         base = spark.read.parquet(f"{BASE}/{tbl}.parquet")
@@ -260,6 +328,11 @@ def main() -> None:
     ap.add_argument("--cc-chain", type=int, default=0, metavar="LEN",
                     help="plant a LEN-deep near-dup chain and report "
                          "dedup_clusters propagation rounds + correctness")
+    ap.add_argument("--pair-budget", type=int, default=0, metavar="MULT",
+                    help="docs{MULT} predictor-vs-actual: assert "
+                         "dedup_candidate_budget's capped join-row count "
+                         "equals the built candidate frame's, and time "
+                         "the output-bound riders on the same corpus")
     ap.add_argument("--probes", nargs="*", default=None,
                     help="restrict to these probe queries (keeps very "
                          "large mults, e.g. --mults 1,16,100, bounded)")
@@ -267,6 +340,10 @@ def main() -> None:
     if args.cc_chain:
         spark = get_spark(app_name="dip-cc-chain-probe")
         _cc_chain_probe(spark, args.cc_chain)
+        return
+    if args.pair_budget:
+        spark = get_spark(app_name="dip-pair-budget-probe")
+        _pair_budget_probe(spark, args.pair_budget)
         return
     mults = [int(m) for m in args.mults.split(",")]
     mode = ("corpus" if args.corpus else "events" if args.events
