@@ -43,6 +43,7 @@ MODULES = [
     "data_ingestion_poc_spark.operators.profile",
     "data_ingestion_poc_spark.operators.privacy",
     "data_ingestion_poc_spark.operators.stats",
+    "data_ingestion_poc_spark.operators.mlmetrics",
     "data_ingestion_poc_spark.functions.strings",
     "data_ingestion_poc_spark.functions.urls",
     "data_ingestion_poc_spark.functions.datetimes",

@@ -1,0 +1,138 @@
+"""Semantics tests for the round-8 additions: the binary-classifier
+evaluation family (AUC, Brier decomposition, log loss, PR thresholds,
+lift deciles). Oracle parity is covered by check_oracle / the driver;
+these pin hand-computable values and edge behavior."""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+import pytest
+
+from data_ingestion_poc_spark import registry
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from data_ingestion_poc_spark.session import get_spark
+
+    return get_spark(shuffle_partitions=4)
+
+
+def _write_events(spark, tmp_path, rows):
+    """rows: (event_id, user_id, event_type, value)."""
+    base = datetime.datetime(2024, 1, 1)
+    data = [
+        (eid, base + datetime.timedelta(minutes=eid), uid, et, float(v), None)
+        for eid, uid, et, v in rows
+    ]
+    spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+
+def _sep_rows(n=20):
+    """Perfectly separable: purchases at value 100, clicks at value 0."""
+    rows = [(i, 1, "purchase", 100.0) for i in range(n)]
+    rows += [(100 + i, 1, "click", 0.0) for i in range(n)]
+    return rows
+
+
+# --- agg_auc_roc
+
+
+def test_auc_perfect_separation(spark, tmp_path):
+    _write_events(spark, tmp_path, _sep_rows())
+    r = registry.get("agg_auc_roc").fn(spark, str(tmp_path)).collect()[0]
+    assert r["n_pos"] == 20 and r["n_neg"] == 20
+    assert r["auc"] == 1.0
+
+
+def test_auc_all_tied_is_half(spark, tmp_path):
+    rows = [(i, 1, "purchase", 50.0) for i in range(5)]
+    rows += [(10 + i, 1, "click", 50.0) for i in range(7)]
+    _write_events(spark, tmp_path, rows)
+    r = registry.get("agg_auc_roc").fn(spark, str(tmp_path)).collect()[0]
+    assert r["auc"] == 0.5
+
+
+# --- agg_brier_score
+
+
+def test_brier_murphy_identity(spark, tmp_path):
+    # two distinct scores => p constant within each bucket => the
+    # bucketed Murphy identity brier = rel - res + unc holds exactly
+    _write_events(spark, tmp_path, _sep_rows())
+    r = registry.get("agg_brier_score").fn(spark, str(tmp_path)).collect()[0]
+    assert r["n"] == 40
+    assert r["brier"] == pytest.approx(
+        r["reliability"] - r["resolution"] + r["uncertainty"], abs=2e-5
+    )
+    # base rate 0.5 => uncertainty 0.25
+    assert r["uncertainty"] == pytest.approx(0.25, abs=1e-6)
+
+
+# --- agg_log_loss
+
+
+def test_log_loss_constant_half_prediction(spark, tmp_path):
+    # value 50 => p = 0.5 exactly => log loss = ln 2; base rate 0.5
+    # => baseline entropy = ln 2 => skill = 0
+    rows = [(i, 1, "purchase", 50.0) for i in range(8)]
+    rows += [(10 + i, 1, "click", 50.0) for i in range(8)]
+    _write_events(spark, tmp_path, rows)
+    r = registry.get("agg_log_loss").fn(spark, str(tmp_path)).collect()[0]
+    assert r["log_loss"] == pytest.approx(math.log(2), abs=1e-5)
+    assert r["baseline_entropy"] == pytest.approx(math.log(2), abs=1e-5)
+    assert r["skill"] == pytest.approx(0.0, abs=1e-4)
+
+
+def test_log_loss_skill_positive_when_separating(spark, tmp_path):
+    _write_events(spark, tmp_path, _sep_rows())
+    r = registry.get("agg_log_loss").fn(spark, str(tmp_path)).collect()[0]
+    assert 0.0 < r["skill"] < 1.0
+    assert r["log_loss"] < r["baseline_entropy"]
+
+
+# --- agg_pr_thresholds
+
+
+def test_pr_thresholds_shape_and_monotonicity(spark, tmp_path):
+    _write_events(spark, tmp_path, _sep_rows())
+    rows = (
+        registry.get("agg_pr_thresholds")
+        .fn(spark, str(tmp_path))
+        .orderBy("tau")
+        .collect()
+    )
+    assert len(rows) == 9
+    recalls = [r["recall"] for r in rows]
+    assert recalls == sorted(recalls, reverse=True)
+    # score of positives is 1/(1+e^-2.5) ~ 0.924: every tau <= 0.9
+    # keeps all positives; negatives (~0.076) admitted only at tau 0.1 x
+    lo, hi = rows[0], rows[-1]
+    assert lo["recall"] == 1.0
+    assert hi["recall"] == 1.0 and hi["precision"] == 1.0
+
+
+# --- agg_lift_deciles
+
+
+def test_lift_deciles_partition_and_top_lift(spark, tmp_path):
+    _write_events(spark, tmp_path, _sep_rows())
+    rows = (
+        registry.get("agg_lift_deciles")
+        .fn(spark, str(tmp_path))
+        .orderBy("decile")
+        .collect()
+    )
+    assert sum(r["n"] for r in rows) == 40
+    # two tied score groups of 20 => two deciles: 0 (all positives,
+    # lift 2.0 over base rate 0.5) and 5 (all negatives, lift 0)
+    by_decile = {r["decile"]: r for r in rows}
+    assert by_decile[0]["response_rate"] == 1.0
+    assert by_decile[0]["lift"] == pytest.approx(2.0, abs=1e-4)
+    assert min(r["response_rate"] for r in rows) == 0.0

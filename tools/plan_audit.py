@@ -208,6 +208,23 @@ SINGLE_PARTITION_OK: dict[str, str] = {
         "1-row moment fold over the calendar-DAY-bounded block-maxima "
         "frame"
     ),
+    "agg_auc_roc": (
+        "rank window + 1-row fold over the micro-unit SCORE-domain "
+        "frame (<=1e6+1 rows; count partials, never event rows)"
+    ),
+    "agg_brier_score": (
+        "1-row decomposition fold over the 10-bucket reliability frame "
+        "(micro-unit partials, never event rows)"
+    ),
+    "agg_log_loss": "1-row scalar aggregate (count/sum partials only)",
+    "agg_pr_thresholds": (
+        "1-row conditional-aggregate scalar exploded onto the 9-row "
+        "threshold domain (count partials only, one exchange)"
+    ),
+    "agg_lift_deciles": (
+        "rank window over the micro-unit SCORE-domain frame "
+        "(<=1e6+1 rows; count partials, never event rows)"
+    ),
     "agg_sprt_monitor": (
         "LLR prefix-sum window over the calendar-DAY-bounded daily "
         "conversion frame (user-day partials, never event rows)"
