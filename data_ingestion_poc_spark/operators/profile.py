@@ -560,3 +560,113 @@ def quality_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = edge if out is None else out.unionByName(edge)
     return out
+
+
+_IQR_ORACLE = """
+    WITH cents AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS c
+      FROM events
+    ),
+    dom AS (
+      SELECT event_type, c, COUNT(*) AS ct FROM cents GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, c, ct,
+             SUM(ct) OVER (PARTITION BY event_type ORDER BY c) AS cum_ct,
+             SUM(ct) OVER (PARTITION BY event_type) AS n
+      FROM dom
+    ),
+    q AS (
+      SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+             MIN(CASE WHEN cum_ct >= CEIL(0.25 * n) THEN c END) AS q1,
+             MIN(CASE WHEN cum_ct >= CEIL(0.75 * n) THEN c END) AS q3
+      FROM cum GROUP BY event_type
+    )
+    SELECT q.event_type, q.n,
+           ROUND(q.q1 / 100.0, 2) AS q1,
+           ROUND(q.q3 / 100.0, 2) AS q3,
+           ROUND((q.q3 - q.q1) / 100.0, 2) AS iqr,
+           (10 * q.q1 - 15 * (q.q3 - q.q1)) / 1000.0 AS lo_fence,
+           (10 * q.q3 + 15 * (q.q3 - q.q1)) / 1000.0 AS hi_fence,
+           CAST(SUM(CASE WHEN 10 * d.c < 10 * q.q1 - 15 * (q.q3 - q.q1)
+                           OR 10 * d.c > 10 * q.q3 + 15 * (q.q3 - q.q1)
+                         THEN d.ct ELSE 0 END) AS BIGINT) AS n_outliers,
+           ROUND(SUM(CASE WHEN 10 * d.c < 10 * q.q1 - 15 * (q.q3 - q.q1)
+                            OR 10 * d.c > 10 * q.q3 + 15 * (q.q3 - q.q1)
+                          THEN d.ct ELSE 0 END) / CAST(q.n AS DOUBLE), 6)
+             AS outlier_share
+    FROM q JOIN dom d ON d.event_type = q.event_type
+    GROUP BY q.event_type, q.n, q.q1, q.q3
+"""
+
+
+@register("quality_outlier_iqr", oracle=_IQR_ORACLE)
+def quality_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey IQR outlier audit per event type: exact Q1/Q3 on the cents
+    domain, 1.5-IQR fences, and how many rows fall outside — the
+    distribution-free screen a data-quality gate runs before
+    z-score-based rules (win_zscore_anomaly assumes a mean/std that
+    outliers themselves corrupt; fences don't). Emitting the fences
+    beside the counts is the operational form: downstream filters reuse
+    them as literals.
+
+    Scale/determinism: DISCRETE order statistics (value at rank
+    ceil(p*n)) via the per-type cents-DOMAIN cumulative frame
+    (q_supplier_lead_time doctrine — no interpolation ulps); the
+    outlier count re-joins the domain frame, not the events; fences
+    land on the exact 0.5-cent lattice."""
+    t = load(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    dom = (
+        t.events.select("event_type", cents.alias("c"))
+        .groupBy("event_type", "c")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    w_cum = Window.partitionBy("event_type").orderBy("c")
+    w_all = Window.partitionBy("event_type")
+    cum = dom.select(
+        "event_type",
+        "c",
+        "ct",
+        F.sum("ct").over(w_cum).alias("cum_ct"),
+        F.sum("ct").over(w_all).alias("n"),
+    )
+    q = cum.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.min(
+            F.when(F.col("cum_ct") >= F.ceil(0.25 * F.col("n")), F.col("c"))
+        ).alias("q1c"),
+        F.min(
+            F.when(F.col("cum_ct") >= F.ceil(0.75 * F.col("n")), F.col("c"))
+        ).alias("q3c"),
+    )
+    # fences in exact integer MILLI-cents (1.5*IQR on int cents lands
+    # on a half-cent lattice whose 2-dp round is engine-sensitive)
+    iqr = F.col("q3c") - F.col("q1c")
+    lo_mc = 10 * F.col("q1c") - 15 * iqr
+    hi_mc = 10 * F.col("q3c") + 15 * iqr
+    out = (
+        q.join(dom, "event_type")
+        .groupBy("event_type", "n", "q1c", "q3c")
+        .agg(
+            F.sum(
+                F.when(
+                    (10 * F.col("c") < lo_mc) | (10 * F.col("c") > hi_mc),
+                    F.col("ct"),
+                ).otherwise(0)
+            ).cast("bigint").alias("n_outliers")
+        )
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.round(F.col("q1c") / 100.0, 2).alias("q1"),
+        F.round(F.col("q3c") / 100.0, 2).alias("q3"),
+        F.round(iqr / 100.0, 2).alias("iqr"),
+        (lo_mc / 1000.0).alias("lo_fence"),
+        (hi_mc / 1000.0).alias("hi_fence"),
+        "n_outliers",
+        F.round(
+            F.col("n_outliers") / F.col("n").cast("double"), 6
+        ).alias("outlier_share"),
+    )

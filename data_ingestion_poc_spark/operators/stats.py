@@ -3380,3 +3380,325 @@ def agg_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("a", 4).alias("prior_alpha"),
         F.round("b", 4).alias("prior_beta"),
     )
+
+
+_BARTLETT_ORACLE = f"""
+    WITH arms AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS s1,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)
+                 * CAST(ROUND(value * 100) AS BIGINT)) AS s2
+      FROM events GROUP BY event_type
+    ),
+    terms AS (
+      SELECT n,
+             CAST(FLOOR((s2 - s1 * (s1 / CAST(n AS DOUBLE)))) AS BIGINT)
+               AS a_i,
+             CAST(FLOOR((n - 1) * ln((s2 - s1 * (s1 / CAST(n AS DOUBLE)))
+                                     / (n - 1)) * 1000000) AS BIGINT)
+               AS b_u,
+             CAST(FLOOR(1e9 / (n - 1)) AS BIGINT) AS d_n
+      FROM arms
+    ),
+    s AS (
+      SELECT COUNT(*) AS k, CAST(SUM(n) AS BIGINT) AS nt,
+             CAST(SUM(a_i) AS BIGINT) AS sa,
+             CAST(SUM(b_u) AS BIGINT) AS sb,
+             CAST(SUM(d_n) AS BIGINT) AS sd
+      FROM terms
+    )
+    SELECT CAST(k AS BIGINT) AS k, nt AS n,
+           CAST(k - 1 AS BIGINT) AS dof,
+           ROUND(((nt - k) * ln(sa / CAST(nt - k AS DOUBLE)) - sb / 1e6)
+                 / (1 + (sd / 1e9 - 1.0 / (nt - k)) / (3.0 * (k - 1))),
+                 4) AS bartlett_t,
+           ((nt - k) * ln(sa / CAST(nt - k AS DOUBLE)) - sb / 1e6)
+             / (1 + (sd / 1e9 - 1.0 / (nt - k)) / (3.0 * (k - 1)))
+             > ({_CHI2_CRIT_SQL_CASE.replace("CASE dof", "CASE k - 1")})
+             AS heteroscedastic
+    FROM s
+"""
+
+
+@register("agg_bartlett_test", oracle=_BARTLETT_ORACLE)
+def agg_bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's test of variance homogeneity across the event-type
+    arms — the PARAMETRIC complement of agg_levene_test (Bartlett is
+    sharper when the arms are near-normal, Levene is the robust
+    fallback; a pipeline runs Bartlett first and falls back when its
+    normality premise fails, cf. agg_jarque_bera). The verdict gates
+    agg_anova_oneway's equal-variance assumption.
+
+    Scale/determinism: one combinable (n, sum, sumsq) pass per arm on
+    exact cents; per-arm sums-of-squares floor to integer cents^2 and
+    the ln terms to micro-units BEFORE the k-row fold, so every
+    cross-arm sum is an integer sum (stats.py doctrine: no
+    order-dependent double folds); the statistic is one closed-form
+    expression of those integers."""
+    t = load(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    arms = t.events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).cast("bigint").alias("s1"),
+        F.sum(cents * cents).alias("s2"),
+    )
+    ss = F.col("s2") - F.col("s1") * (F.col("s1") / F.col("n").cast("double"))
+    terms = arms.select(
+        "n",
+        F.floor(ss).cast("bigint").alias("a_i"),
+        F.floor((F.col("n") - 1) * F.log(ss / (F.col("n") - 1)) * 1_000_000)
+        .cast("bigint")
+        .alias("b_u"),
+        F.floor(1e9 / (F.col("n") - 1)).cast("bigint").alias("d_n"),
+    )
+    s = terms.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum("a_i").cast("bigint").alias("sa"),
+        F.sum("b_u").cast("bigint").alias("sb"),
+        F.sum("d_n").cast("bigint").alias("sd"),
+    )
+    nk = (F.col("nt") - F.col("k")).cast("double")
+    t_stat = (
+        (F.col("nt") - F.col("k")) * F.log(F.col("sa") / nk)
+        - F.col("sb") / 1e6
+    ) / (
+        1
+        + (F.col("sd") / 1e9 - 1.0 / nk) / (3.0 * (F.col("k") - 1))
+    )
+    crit = F.create_map(
+        *[F.lit(x) for kv in CHI2_CRIT_BY_DOF.items() for x in kv]
+    )[(F.col("k") - 1).cast("int")]
+    return s.select(
+        F.col("k").cast("bigint").alias("k"),
+        F.col("nt").alias("n"),
+        (F.col("k") - 1).cast("bigint").alias("dof"),
+        F.round(t_stat, 4).alias("bartlett_t"),
+        (t_stat > crit).alias("heteroscedastic"),
+    )
+
+
+_PARTIAL_CORR_ORACLE = """
+    WITH s AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                  AS HUGEINT) AS sy,
+             CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT)
+               AS sz,
+             CAST(SUM(CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS HUGEINT) AS sxx,
+             SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                      * CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                      AS HUGEINT)) AS syy,
+             CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)
+                      * CAST(ROUND(l_discount * 100) AS BIGINT)) AS HUGEINT)
+               AS szz,
+             CAST(SUM(CAST(l_quantity AS BIGINT)
+                      * CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                  AS HUGEINT) AS sxy,
+             CAST(SUM(CAST(l_quantity AS BIGINT)
+                      * CAST(ROUND(l_discount * 100) AS BIGINT)) AS HUGEINT)
+               AS sxz,
+             SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                      * CAST(ROUND(l_discount * 100) AS BIGINT) AS HUGEINT))
+               AS syz
+      FROM lineitem
+    ),
+    r AS (
+      SELECT n,
+             (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+               AS rxy,
+             (n * CAST(sxz AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE))
+               / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * sqrt(n * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)))
+               AS rxz,
+             (n * CAST(syz AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sz AS DOUBLE))
+               / (sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                  * sqrt(n * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)))
+               AS ryz
+      FROM s
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND(rxy, 6) AS r_qty_price,
+           ROUND(rxz, 6) AS r_qty_discount,
+           ROUND(ryz, 6) AS r_price_discount,
+           ROUND((rxy - rxz * ryz)
+                 / sqrt((1 - rxz * rxz) * (1 - ryz * ryz)), 6)
+             AS partial_r_qty_price
+    FROM r
+"""
+
+
+@register("agg_partial_corr", oracle=_PARTIAL_CORR_ORACLE)
+def agg_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial correlation of quantity and price CONTROLLING for
+    discount — r_xy.z = (rxy - rxz*ryz) / sqrt((1-rxz^2)(1-ryz^2)) —
+    the first confounder check an analyst runs when a raw correlation
+    (agg_stats_corr's quantity) might be driven by a third variable
+    both sides respond to. Emits the three raw correlations beside the
+    adjusted one so the reader sees what the control changed.
+
+    Scale/determinism: ONE scan, nine exact integer moment sums
+    (quantity units, price cents, discount centi-units; squares as
+    DECIMAL/HUGEINT — the cents^2 sum passes 2^63 at sf100); all three
+    r's and the partial are closed-form single expressions of those
+    integers (agg_regr doctrine)."""
+    t = load(spark, sf_dir)
+    x = F.col("l_quantity").cast("bigint")
+    y = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    z = F.round(F.col("l_discount") * 100).cast("bigint")
+    s = t.lineitem.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("bigint").alias("sx"),
+        F.sum(y).cast("decimal(38,0)").alias("sy"),
+        F.sum(z).cast("bigint").alias("sz"),
+        F.sum(x * x).cast("decimal(38,0)").alias("sxx"),
+        F.sum((y * y).cast("decimal(38,0)")).alias("syy"),
+        F.sum((z * z).cast("decimal(38,0)")).alias("szz"),
+        F.sum((x * y).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((x * z).cast("decimal(38,0)")).alias("sxz"),
+        F.sum((y * z).cast("decimal(38,0)")).alias("syz"),
+    )
+    n = F.col("n").cast("double")
+
+    def _r(spq, sp, sq, spp, sqq):
+        return (n * F.col(spq).cast("double")
+                - F.col(sp).cast("double") * F.col(sq).cast("double")) / (
+            F.sqrt(n * F.col(spp).cast("double")
+                   - F.col(sp).cast("double") * F.col(sp).cast("double"))
+            * F.sqrt(n * F.col(sqq).cast("double")
+                     - F.col(sq).cast("double") * F.col(sq).cast("double"))
+        )
+
+    rxy = _r("sxy", "sx", "sy", "sxx", "syy")
+    rxz = _r("sxz", "sx", "sz", "sxx", "szz")
+    ryz = _r("syz", "sy", "sz", "syy", "szz")
+    return s.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(rxy, 6).alias("r_qty_price"),
+        F.round(rxz, 6).alias("r_qty_discount"),
+        F.round(ryz, 6).alias("r_price_discount"),
+        F.round(
+            (rxy - rxz * ryz)
+            / F.sqrt((1 - rxz * rxz) * (1 - ryz * ryz)),
+            6,
+        ).alias("partial_r_qty_price"),
+    )
+
+
+_FRIEDMAN_ORACLE = f"""
+    WITH cell AS (
+      SELECT c.c_nationkey AS block, o.o_orderpriority AS treatment,
+             CAST(FLOOR(10000.0
+                        * SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                        / COUNT(*)) AS BIGINT) AS m_u
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    full_blocks AS (
+      SELECT block FROM cell GROUP BY block
+      HAVING COUNT(*) = (SELECT COUNT(DISTINCT treatment) FROM cell)
+    ),
+    ranked AS (
+      SELECT c.block, c.treatment,
+             2 * RANK() OVER (PARTITION BY c.block ORDER BY c.m_u)
+               + COUNT(*) OVER (PARTITION BY c.block, c.m_u) - 1
+               AS two_r
+      FROM cell c JOIN full_blocks USING (block)
+    ),
+    per_t AS (
+      SELECT treatment, CAST(SUM(two_r) AS BIGINT) AS two_rj,
+             COUNT(*) AS nb
+      FROM ranked GROUP BY treatment
+    ),
+    s AS (
+      SELECT COUNT(*) AS k, MAX(nb) AS nb,
+             CAST(SUM(two_rj * two_rj) AS BIGINT) AS s2r
+      FROM per_t
+    )
+    SELECT CAST(k AS BIGINT) AS k, CAST(nb AS BIGINT) AS n_blocks,
+           CAST(k - 1 AS BIGINT) AS dof,
+           ROUND(12.0 * (s2r / 4.0) / (nb * k * (k + 1))
+                 - 3.0 * nb * (k + 1), 4) AS friedman_q,
+           12.0 * (s2r / 4.0) / (nb * k * (k + 1)) - 3.0 * nb * (k + 1)
+             > ({_CHI2_CRIT_SQL_CASE.replace("CASE dof", "CASE k - 1")})
+             AS treatment_effect
+    FROM s
+"""
+
+
+@register("agg_friedman_test", oracle=_FRIEDMAN_ORACLE)
+def agg_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test over complete blocks: does order PRIORITY
+    shift mean order value consistently WITHIN nations? The
+    repeated-measures member of the rank-test family — Kruskal-Wallis
+    (agg_kruskal_wallis) compares arms across a pooled sample, Friedman
+    blocks out the nation effect first, which is exactly what a
+    marketplace asks when country mix confounds a raw comparison.
+
+    Scale/determinism: facts reduce to the (nation x priority) CELL
+    domain (<= 25x5 rows) before any ranking; cell means quantize to
+    integer 0.1-milli-cent units; average ranks use the doubled-rank
+    integer form 2*RANK + ties - 1 (agg_auc_roc doctrine) so the
+    rank-sum squares stay integers; incomplete blocks drop
+    deterministically (both engines filter count == k)."""
+    t = load(spark, sf_dir)
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    cell = (
+        t.orders.join(
+            t.customer, F.col("c_custkey") == F.col("o_custkey")
+        )
+        .groupBy(
+            F.col("c_nationkey").alias("block"),
+            F.col("o_orderpriority").alias("treatment"),
+        )
+        .agg(
+            F.floor(10000.0 * F.sum(cents) / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("m_u")
+        )
+    )
+    k_treat = cell.select("treatment").distinct().count()
+    full = (
+        cell.groupBy("block")
+        .agg(F.count(F.lit(1)).alias("ct"))
+        .where(F.col("ct") == k_treat)
+        .select("block")
+    )
+    w_rank = Window.partitionBy("block").orderBy("m_u")
+    w_tie = Window.partitionBy("block", "m_u")
+    ranked = cell.join(full, "block").select(
+        "treatment",
+        (
+            2 * F.rank().over(w_rank)
+            + F.count(F.lit(1)).over(w_tie)
+            - 1
+        ).alias("two_r"),
+    )
+    per_t = ranked.groupBy("treatment").agg(
+        F.sum("two_r").cast("bigint").alias("two_rj"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    s = per_t.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.max("nb").alias("nb"),
+        F.sum(F.col("two_rj") * F.col("two_rj")).cast("bigint").alias("s2r"),
+    )
+    q = (
+        12.0 * (F.col("s2r") / 4.0)
+        / (F.col("nb") * F.col("k") * (F.col("k") + 1))
+        - 3.0 * F.col("nb") * (F.col("k") + 1)
+    )
+    crit = F.create_map(
+        *[F.lit(x) for kv in CHI2_CRIT_BY_DOF.items() for x in kv]
+    )[(F.col("k") - 1).cast("int")]
+    return s.select(
+        F.col("k").cast("bigint").alias("k"),
+        F.col("nb").cast("bigint").alias("n_blocks"),
+        (F.col("k") - 1).cast("bigint").alias("dof"),
+        F.round(q, 4).alias("friedman_q"),
+        (q > crit).alias("treatment_effect"),
+    )

@@ -2810,3 +2810,95 @@ def win_ewma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sig.select(
         "event_id", "user_id", "stance", crossover.alias("crossover")
     )
+
+
+#: ATR smoothing span in daily bars (Wilder's classic 14).
+ATR_SPAN = 14
+
+_ATR_ORACLE = f"""
+    WITH c AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(ROUND(value * 100) AS BIGINT) AS c,
+             ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ),
+    bars AS (
+      SELECT event_type, day, MAX(c) AS hi, MIN(c) AS lo,
+             MAX(CASE WHEN rn = 1 THEN c END) AS cls
+      FROM c GROUP BY 1, 2
+    ),
+    tr AS (
+      SELECT event_type, day,
+             GREATEST(
+               hi - lo,
+               ABS(hi - LAG(cls) OVER w),
+               ABS(lo - LAG(cls) OVER w)
+             ) AS tr_c
+      FROM bars
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    )
+    SELECT event_type, CAST(day AS VARCHAR) AS day,
+           ROUND(tr_c / 100.0, 2) AS true_range,
+           ROUND(AVG(tr_c) OVER (PARTITION BY event_type ORDER BY day
+                                 ROWS BETWEEN {ATR_SPAN - 1} PRECEDING
+                                 AND CURRENT ROW) / 100.0, 4) AS atr
+    FROM tr WHERE tr_c IS NOT NULL
+"""
+
+
+@register("win_atr", oracle=_ATR_ORACLE)
+def win_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average True Range over daily value bars per event type
+    (Wilder's volatility unit, {ATR_SPAN}-bar simple smoothing): true
+    range = max(high-low, |high-prev_close|, |low-prev_close|) — the
+    gap-aware range that plain high-low misses, and the denominator
+    every breakout/stop-distance rule in the win_bollinger/win_rsi
+    family quotes. The first bar has no previous close, so its
+    TR is plain high-low (Wilder's own seeding; both engines'
+    GREATEST skips the null lag identically).
+
+    Scale/determinism: events reduce to the (type x DAY)-domain bar
+    frame via combinable min/max/min_by/max_by cents partials
+    (rollup_ohlc_bars doctrine) BEFORE any window; the lag and the
+    {ATR_SPAN}-row mean run on that bounded frame; integer cents
+    throughout, two final divisions."""
+    t = load(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    bars = (
+        t.events.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            "ts",
+            "event_id",
+            cents.alias("c"),
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.max("c").alias("hi"),
+            F.min("c").alias("lo"),
+            F.max_by("c", key).alias("cls"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    prev_cls = F.lag("cls").over(w)
+    tr_c = F.greatest(
+        F.col("hi") - F.col("lo"),
+        F.abs(F.col("hi") - prev_cls),
+        F.abs(F.col("lo") - prev_cls),
+    )
+    tr = bars.select(
+        "event_type", "day", tr_c.alias("tr_c")
+    ).where(F.col("tr_c").isNotNull())
+    w_atr = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-(ATR_SPAN - 1), 0)
+    )
+    return tr.select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        F.round(F.col("tr_c") / 100.0, 2).alias("true_range"),
+        F.round(F.avg("tr_c").over(w_atr) / 100.0, 4).alias("atr"),
+    )

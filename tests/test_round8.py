@@ -12,6 +12,8 @@ import pytest
 
 from data_ingestion_poc_spark import registry
 
+SF001 = "/root/testdata/sf0.001"
+
 
 @pytest.fixture(scope="session")
 def spark():
@@ -136,3 +138,80 @@ def test_lift_deciles_partition_and_top_lift(spark, tmp_path):
     assert by_decile[0]["response_rate"] == 1.0
     assert by_decile[0]["lift"] == pytest.approx(2.0, abs=1e-4)
     assert min(r["response_rate"] for r in rows) == 0.0
+
+
+# --- agg_bartlett_test
+
+
+def test_bartlett_identical_arms_low_t(spark, tmp_path):
+    # identical spreads in both arms => T ~ 0, verdict homoscedastic
+    vals = [10.0, 20.0, 30.0, 40.0, 50.0] * 4
+    rows = [(i, 1, "purchase", v) for i, v in enumerate(vals)]
+    rows += [(100 + i, 1, "click", v) for i, v in enumerate(vals)]
+    _write_events(spark, tmp_path, rows)
+    r = registry.get("agg_bartlett_test").fn(spark, str(tmp_path)).collect()[0]
+    assert r["k"] == 2 and r["dof"] == 1
+    assert abs(r["bartlett_t"]) < 0.01
+    assert not r["heteroscedastic"]
+
+
+def test_bartlett_wild_variance_gap_flags(spark, tmp_path):
+    rows = [(i, 1, "purchase", 50.0 + (i % 2)) for i in range(40)]
+    rows += [(100 + i, 1, "click", 50.0 + 200.0 * (i % 2)) for i in range(40)]
+    _write_events(spark, tmp_path, rows)
+    r = registry.get("agg_bartlett_test").fn(spark, str(tmp_path)).collect()[0]
+    assert r["heteroscedastic"]
+
+
+# --- quality_outlier_iqr
+
+
+def test_iqr_outliers_hand_case(spark, tmp_path):
+    # 20 values at 10..29 plus one wild 1000 => exactly one outlier
+    rows = [(i, 1, "view", float(10 + i)) for i in range(20)]
+    rows.append((99, 1, "view", 1000.0))
+    _write_events(spark, tmp_path, rows)
+    r = registry.get("quality_outlier_iqr").fn(spark, str(tmp_path)).collect()[0]
+    assert r["n"] == 21 and r["n_outliers"] == 1
+    assert r["lo_fence"] < 10 and 29 < r["hi_fence"] < 1000
+
+
+# --- win_atr
+
+
+def test_atr_gap_beats_plain_range(spark, tmp_path):
+    # day 1: values 10..20 (close 20); day 2: tight range 100..101 —
+    # true range on day 2 must span the gap from prev close (|101-20|)
+    rows = [(1, 1, "view", 10.0), (2, 1, "view", 20.0)]
+    rows += [(1500, 1, "view", 100.0), (1501, 1, "view", 101.0)]
+    _write_events(spark, tmp_path, rows)
+    out = {
+        r["day"]: r
+        for r in registry.get("win_atr").fn(spark, str(tmp_path)).collect()
+    }
+    # first bar seeds with plain high-low (Wilder); second bar's TR
+    # spans the gap from the previous close
+    assert out["2024-01-01"]["true_range"] == pytest.approx(10.0)
+    assert out["2024-01-02"]["true_range"] == pytest.approx(81.0)
+    assert out["2024-01-02"]["atr"] == pytest.approx(45.5)
+
+
+# --- agg_partial_corr / agg_friedman_test (shape on fixture data)
+
+
+def test_partial_corr_bounds(spark):
+    r = registry.get("agg_partial_corr").fn(spark, SF001).collect()[0]
+    for c in (
+        "r_qty_price",
+        "r_qty_discount",
+        "r_price_discount",
+        "partial_r_qty_price",
+    ):
+        assert -1.0 <= r[c] <= 1.0
+    assert r["n"] > 0
+
+
+def test_friedman_complete_blocks(spark):
+    r = registry.get("agg_friedman_test").fn(spark, SF001).collect()[0]
+    assert r["k"] >= 2 and r["n_blocks"] >= 2
+    assert r["dof"] == r["k"] - 1

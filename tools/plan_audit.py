@@ -217,6 +217,17 @@ SINGLE_PARTITION_OK: dict[str, str] = {
         "(micro-unit partials, never event rows)"
     ),
     "agg_log_loss": "1-row scalar aggregate (count/sum partials only)",
+    "agg_bartlett_test": (
+        "1-row fold over the ARM-domain (event-type) integer-quantized "
+        "term frame (arm partials, never event rows)"
+    ),
+    "agg_partial_corr": (
+        "1-row scalar aggregate (nine integer moment partials only)"
+    ),
+    "agg_friedman_test": (
+        "rank windows + 1-row fold over the (nation x priority) CELL "
+        "domain (<=125 rows; cell partials, never order rows)"
+    ),
     "agg_pr_thresholds": (
         "1-row conditional-aggregate scalar exploded onto the 9-row "
         "threshold domain (count partials only, one exchange)"
