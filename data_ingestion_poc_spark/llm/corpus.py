@@ -1862,3 +1862,62 @@ def corpus_mix_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("klu").over(w) / 1_000_000_000.0, 6
         ).alias("kl_total"),
     )
+
+
+#: Maximum token share any single language may hold after rebalancing.
+LANG_QUOTA_CAP = 0.25
+
+_LANG_QUOTA_ORACLE = f"""
+    WITH toks AS (
+      SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+               AS tokens,
+             CAST(COUNT(*) AS BIGINT) AS docs
+      FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS t FROM toks)
+    SELECT lang, docs, tokens,
+           ROUND(tokens / CAST(t AS DOUBLE), 6) AS raw_share,
+           CAST(LEAST(tokens, CAST(FLOOR({LANG_QUOTA_CAP} * t) AS BIGINT))
+                AS BIGINT) AS kept_tokens,
+           ROUND(LEAST(tokens, CAST(FLOOR({LANG_QUOTA_CAP} * t) AS BIGINT))
+                 / CAST(tokens AS DOUBLE), 6) AS sampling_rate,
+           tokens > FLOOR({LANG_QUOTA_CAP} * t) AS capped
+    FROM toks, tot
+"""
+
+
+@register("corpus_lang_quotas", oracle=_LANG_QUOTA_ORACLE)
+def corpus_lang_quotas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language quota plan: cap any language at {LANG_QUOTA_CAP:.0%} of
+    corpus tokens and emit the per-language sampling rate that enforces
+    it — the English-downsampling decision every multilingual
+    pretraining mix makes explicit (cf. the temperature approach in
+    corpus_mix_temperature: temperature reweights ALL languages
+    smoothly, a quota is the hard ceiling variant; teams state both and
+    pick one). The rates drive sample_bernoulli-style hash sampling so
+    the plan is reproducible.
+
+    Scale/determinism: one scan folds tokens to the LANGUAGE domain;
+    the quota is a 1-row total joined back to that bounded frame; all
+    token counts exact integers, two final divisions."""
+    t = load(spark, sf_dir)
+    toks = t.documents.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("docs"),
+    )
+    tot = toks.agg(F.sum("tokens").cast("bigint").alias("t"))
+    quota = F.floor(LANG_QUOTA_CAP * F.col("t")).cast("bigint")
+    kept = F.least(F.col("tokens"), quota)
+    return toks.crossJoin(tot).select(
+        "lang",
+        "docs",
+        "tokens",
+        F.round(F.col("tokens") / F.col("t").cast("double"), 6).alias(
+            "raw_share"
+        ),
+        kept.alias("kept_tokens"),
+        F.round(kept / F.col("tokens").cast("double"), 6).alias(
+            "sampling_rate"
+        ),
+        (F.col("tokens") > quota).alias("capped"),
+    )

@@ -2324,3 +2324,127 @@ def embed_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_pairwise_cosine"),
         F.round(F.sqrt("sum_sq") / F.col("n"), 6).alias("mean_vector_norm"),
     )
+
+
+#: Neighborhood size for the hubness audit.
+HUBNESS_K = 10
+
+_HUBNESS_ORACLE = f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))) AS cosine
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    ),
+    topk AS (
+      SELECT neighbor_id FROM (
+        SELECT neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rk
+        FROM scored
+      ) WHERE rk <= {HUBNESS_K}
+    ),
+    occ AS (
+      SELECT e.vec_id, CAST(COUNT(t.neighbor_id) AS BIGINT) AS k_occ
+      FROM e LEFT JOIN topk t ON t.neighbor_id = e.vec_id
+      GROUP BY e.vec_id
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(k_occ) AS BIGINT) AS s1,
+             CAST(SUM(k_occ * k_occ) AS BIGINT) AS s2,
+             CAST(SUM(k_occ * k_occ * k_occ) AS BIGINT) AS s3,
+             CAST(MAX(k_occ) AS BIGINT) AS mx,
+             CAST(SUM(CASE WHEN k_occ = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_antihubs,
+             CAST(SUM(CASE WHEN k_occ > 2 * {HUBNESS_K} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hubs
+      FROM occ
+    )
+    SELECT n, CAST({HUBNESS_K} AS BIGINT) AS k, mx AS max_k_occ,
+           n_antihubs, n_hubs,
+           ROUND((CAST(s3 AS DOUBLE) / n
+                  - 3.0 * (s1 / CAST(n AS DOUBLE))
+                        * (CAST(s2 AS DOUBLE) / n)
+                  + 2.0 * POWER(s1 / CAST(n AS DOUBLE), 3))
+                 / POWER(CAST(s2 AS DOUBLE) / n
+                         - POWER(s1 / CAST(n AS DOUBLE), 2), 1.5), 4)
+             AS k_occurrence_skewness
+    FROM m
+"""
+
+
+@register("embed_hubness", oracle=_HUBNESS_ORACLE)
+def embed_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness audit of the embedding space: the k-occurrence
+    distribution N_k (how often each vector appears in OTHER vectors'
+    top-{HUBNESS_K} cosine lists) summarized as its skewness plus
+    hub/antihub counts — the classic high-dimensional pathology
+    (Radovanovic et al. 2010): positive skew means a few "hub" vectors
+    crowd everyone's neighbor lists, which silently corrupts kNN dedup
+    and retrieval (embed_isotropy flags the related anisotropy; this
+    measures its nearest-neighbor consequence). A mean-center /
+    whitening fix is validated by this skew dropping.
+
+    Scale/determinism: brute-force all-pairs kNN at audit scale (the
+    sim_search_knn plan: per-query WindowGroupLimit, no data-sized
+    broadcast); at 100 TB the same k-occurrence counts come from the
+    IVF/PQ index's result lists instead (sample queries, identical
+    downstream fold). Dot products fold in list order (identical
+    doubles both engines); ranks tie-break on neighbor_id; the
+    skewness is a closed form of four exact integer moment sums."""
+    t = load(spark, sf_dir)
+    e = t.embeddings.select("vec_id", "embedding")
+    a = e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    b = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
+    )
+    cos = dot_double(F.col("qe"), F.col("ce")) / (
+        F.sqrt(dot_double(F.col("qe"), F.col("qe")))
+        * F.sqrt(dot_double(F.col("ce"), F.col("ce")))
+    )
+    scored = a.join(b, F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id", "neighbor_id", cos.alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), "neighbor_id"
+    )
+    topk = scored.select(
+        "neighbor_id", F.row_number().over(w).alias("rk")
+    ).where(F.col("rk") <= HUBNESS_K)
+    occ = (
+        e.select("vec_id")
+        .join(topk, topk.neighbor_id == F.col("vec_id"), "left")
+        .groupBy("vec_id")
+        .agg(F.count("neighbor_id").cast("bigint").alias("k_occ"))
+    )
+    x = F.col("k_occ")
+    m = occ.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x).cast("bigint").alias("s1"),
+        F.sum(x * x).cast("bigint").alias("s2"),
+        F.sum(x * x * x).cast("bigint").alias("s3"),
+        F.max(x).alias("max_k_occ"),
+        F.sum((x == 0).cast("int")).cast("bigint").alias("n_antihubs"),
+        F.sum((x > 2 * HUBNESS_K).cast("int")).cast("bigint").alias("n_hubs"),
+    )
+    nd = F.col("n").cast("double")
+    mu = F.col("s1") / nd
+    var = F.col("s2") / nd - mu * mu
+    skew = (
+        F.col("s3").cast("double") / nd
+        - 3.0 * mu * (F.col("s2").cast("double") / nd)
+        + 2.0 * F.pow(mu, 3)
+    ) / F.pow(var, 1.5)
+    return m.select(
+        "n",
+        F.lit(HUBNESS_K).cast("bigint").alias("k"),
+        "max_k_occ",
+        "n_antihubs",
+        "n_hubs",
+        F.round(skew, 4).alias("k_occurrence_skewness"),
+    )

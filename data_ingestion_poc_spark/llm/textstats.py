@@ -1444,3 +1444,102 @@ def text_word_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(burst, 6).alias("burstiness"),
         (burst > 2.0).alias("content_like"),
     )
+
+
+#: Vocabulary sizes priced by the coverage curve.
+VOCAB_CURVE_SIZES = (100, 1000, 10000)
+
+_VOCAB_COVERAGE_ORACLE = f"""
+    WITH w AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents
+    ),
+    freq AS (SELECT word, COUNT(*) AS f FROM w GROUP BY word),
+    ranked AS (
+      SELECT f,
+             ROW_NUMBER() OVER (ORDER BY f DESC, word) AS rk,
+             SUM(f) OVER () AS total
+      FROM freq
+    ),
+    cum AS (
+      SELECT rk, total,
+             SUM(f) OVER (ORDER BY rk
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum_f
+      FROM ranked
+    )
+    SELECT CAST(v AS BIGINT) AS vocab_size,
+           CAST(MAX(CASE WHEN rk <= v THEN cum_f END) AS BIGINT)
+             AS covered_occurrences,
+           CAST(MAX(total) AS BIGINT) AS total_occurrences,
+           ROUND(MAX(CASE WHEN rk <= v THEN cum_f END)
+                 / CAST(MAX(total) AS DOUBLE), 6) AS coverage
+    FROM cum,
+         (VALUES {", ".join(f"({v})" for v in VOCAB_CURVE_SIZES)}) AS vs(v)
+    GROUP BY v ORDER BY v
+"""
+
+
+@register("text_vocab_coverage", oracle=_VOCAB_COVERAGE_ORACLE)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: what share of all token OCCURRENCES
+    the top-{{100, 1k, 10k}} word types cover — the number that sizes a
+    tokenizer vocabulary or a stopword/embedding table before training
+    (text_oov_rate prices ONE fixed vocab; this is the curve you read
+    to CHOOSE the size; corpus_heaps_law gives the dual type-growth
+    view). Ties at a frequency break by word, documented and identical
+    in both engines.
+
+    Scale/determinism: one explode -> word-count aggregate (combinable
+    integer sums); ranking and the cumulative fold run on the
+    VOCAB-domain frequency frame (types, not tokens — Heaps' law keeps
+    it sublinear in the corpus; at web scale you'd df-floor it first);
+    coverage rows land on the bounded curve domain."""
+    t = load(spark, sf_dir)
+    freq = (
+        t.documents.select(
+            F.explode(F.split(F.lower("text"), " ")).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    w_rank = Window.orderBy(F.desc("f"), "word")
+    w_cum = Window.orderBy("rk").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    ranked = freq.select(
+        "f",
+        F.row_number().over(w_rank).alias("rk"),
+        F.sum("f").over(w_all).alias("total"),
+    )
+    cum = ranked.select(
+        "rk", "total", F.sum("f").over(w_cum).alias("cum_f")
+    )
+    sizes = F.explode(
+        F.array(*[F.lit(v) for v in VOCAB_CURVE_SIZES])
+    ).alias("vocab_size")
+    return (
+        cum.select("rk", "total", "cum_f")
+        .crossJoin(spark.range(1).select(sizes).select("vocab_size"))
+        .groupBy("vocab_size")
+        .agg(
+            F.max(
+                F.when(F.col("rk") <= F.col("vocab_size"), F.col("cum_f"))
+            ).cast("bigint").alias("covered_occurrences"),
+            F.max("total").cast("bigint").alias("total_occurrences"),
+            F.round(
+                F.max(
+                    F.when(
+                        F.col("rk") <= F.col("vocab_size"), F.col("cum_f")
+                    )
+                )
+                / F.max("total").cast("double"),
+                6,
+            ).alias("coverage"),
+        )
+        .select(
+            F.col("vocab_size").cast("bigint").alias("vocab_size"),
+            "covered_occurrences",
+            "total_occurrences",
+            "coverage",
+        )
+        .orderBy("vocab_size")
+    )

@@ -215,3 +215,61 @@ def test_friedman_complete_blocks(spark):
     r = registry.get("agg_friedman_test").fn(spark, SF001).collect()[0]
     assert r["k"] >= 2 and r["n_blocks"] >= 2
     assert r["dof"] == r["k"] - 1
+
+
+# --- corpus_lang_quotas
+
+
+def _write_docs(spark, tmp_path, rows):
+    """rows: (doc_id, text, lang, source)."""
+    data = [(i, txt, lang, src, len(txt)) for i, txt, lang, src in rows]
+    spark.createDataFrame(
+        data,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+
+def test_lang_quotas_caps_dominant_language(spark, tmp_path):
+    # en holds 8/11 tokens (73%) => capped at 25%; others untouched
+    rows = [(i, "a b c d", "en", "s") for i in range(2)]  # 8 en tokens
+    rows += [(10, "x y", "fr", "s"), (11, "u", "de", "s")]  # 3 others
+    _write_docs(spark, tmp_path, rows)
+    out = {
+        r["lang"]: r
+        for r in registry.get("corpus_lang_quotas")
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert out["en"]["capped"] and not out["fr"]["capped"]
+    assert out["en"]["kept_tokens"] == int(0.25 * 11)
+    assert out["fr"]["sampling_rate"] == 1.0
+    assert out["en"]["sampling_rate"] < 1.0
+
+
+# --- text_vocab_coverage
+
+
+def test_vocab_coverage_monotone_and_bounded(spark):
+    rows = (
+        registry.get("text_vocab_coverage")
+        .fn(spark, SF001)
+        .orderBy("vocab_size")
+        .collect()
+    )
+    assert [r["vocab_size"] for r in rows] == [100, 1000, 10000]
+    covs = [r["coverage"] for r in rows]
+    assert covs == sorted(covs) and covs[-1] <= 1.0
+    assert rows[0]["total_occurrences"] == rows[-1]["total_occurrences"]
+
+
+# --- embed_hubness
+
+
+def test_hubness_moments_consistent(spark):
+    r = registry.get("embed_hubness").fn(spark, SF001).collect()[0]
+    assert r["k"] == 10 and r["n"] > 0
+    # every query contributes exactly k occurrences => max >= k on any
+    # non-degenerate space, antihubs strictly fewer than n
+    assert r["max_k_occ"] >= r["k"]
+    assert 0 <= r["n_antihubs"] < r["n"]
+    assert r["k_occurrence_skewness"] is not None

@@ -217,6 +217,19 @@ SINGLE_PARTITION_OK: dict[str, str] = {
         "(micro-unit partials, never event rows)"
     ),
     "agg_log_loss": "1-row scalar aggregate (count/sum partials only)",
+    "corpus_lang_quotas": (
+        "1-row corpus token total joined back to the LANGUAGE-domain "
+        "frame (token partials, never doc rows)"
+    ),
+    "text_vocab_coverage": (
+        "rank/cumulative windows over the VOCAB-domain frequency frame "
+        "(types, not tokens — Heaps-sublinear; df-floor first at web "
+        "scale) + 1-row curve fold"
+    ),
+    "embed_hubness": (
+        "1-row moment fold over the per-vector k-occurrence counts "
+        "(count partials, never pair rows)"
+    ),
     "agg_bartlett_test": (
         "1-row fold over the ARM-domain (event-type) integer-quantized "
         "term frame (arm partials, never event rows)"
