@@ -1043,3 +1043,127 @@ def graph_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
         "powerlaw_slope",
         "fit_r2",
     )
+
+
+_MODULARITY_ORACLE = f"""
+    WITH bip0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+    keep AS (SELECT p FROM bip0 GROUP BY p HAVING COUNT(*) <= {TRIANGLE_PART_CAP}),
+    bip AS (SELECT bip0.p, bip0.s FROM bip0 JOIN keep USING (p)),
+    pairs AS (
+      SELECT a.s AS u, b.s AS v, COUNT(*) AS shared
+      FROM bip a JOIN bip b ON a.p = b.p AND a.s < b.s
+      GROUP BY a.s, b.s
+    ),
+    edges AS (
+      SELECT u, v FROM pairs
+      ORDER BY shared DESC, u, v LIMIT {TRIANGLE_BACKBONE}
+    ),
+    comm AS (SELECT s_suppkey AS node, s_nationkey AS c FROM supplier),
+    tagged AS (
+      SELECT cu.c AS cu, cv.c AS cv
+      FROM edges e
+      JOIN comm cu ON cu.node = e.u
+      JOIN comm cv ON cv.node = e.v
+    ),
+    m AS (SELECT COUNT(*) AS m FROM tagged),
+    within AS (
+      SELECT cu AS c, COUNT(*) AS e_in FROM tagged WHERE cu = cv GROUP BY cu
+    ),
+    degs AS (
+      SELECT c, COUNT(*) AS d_c FROM (
+        SELECT cu AS c FROM tagged UNION ALL SELECT cv FROM tagged
+      ) GROUP BY c
+    ),
+    cells AS (
+      SELECT d.c, COALESCE(w.e_in, 0) AS e_in, d.d_c, m.m
+      FROM degs d LEFT JOIN within w ON w.c = d.c, m
+    )
+    SELECT CAST(c AS BIGINT) AS community,
+           CAST(e_in AS BIGINT) AS within_edges,
+           CAST(d_c AS BIGINT) AS degree_sum,
+           ROUND(e_in / CAST(m AS DOUBLE)
+                 - POWER(d_c / (2.0 * m), 2), 6) AS q_term,
+           ROUND(SUM(e_in / CAST(m AS DOUBLE)
+                     - POWER(d_c / (2.0 * m), 2)) OVER (), 6) AS modularity
+    FROM cells
+"""
+
+
+@register("graph_modularity", oracle=_MODULARITY_ORACLE)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the NATION partition over the supplier
+    co-purchase backbone: Q = sum_c [e_c/m - (d_c/2m)^2] — does
+    geography explain the co-purchase structure? The quality score any
+    community assignment is judged by (graph_label_propagation FINDS
+    communities; this PRICES a given partition — here the natural
+    nation attribute, so the oracle stays deterministic), emitted
+    per-community so the reader sees which nations are real clusters
+    (positive q_term) vs diffuse.
+
+    Scale shape: the same df-capped top-K backbone as
+    graph_triangle_count (one equi-join, output-bound); community tags
+    join on the supplier dimension; everything after is exact integer
+    counts on the NATION-domain frame with two closed-form divisions."""
+    t = load(spark, sf_dir)
+    bip = (
+        t.lineitem.select(
+            F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+        )
+        .distinct()
+    )
+    keep = (
+        bip.groupBy("p")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .where(F.col("f") <= TRIANGLE_PART_CAP)
+        .select("p")
+    )
+    bipc = bip.join(keep, "p")
+    a = bipc.alias("a")
+    b = bipc.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")),
+        )
+        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    edges = pairs.orderBy(
+        F.desc("shared"), "u", "v"
+    ).limit(TRIANGLE_BACKBONE).select("u", "v")
+    comm = t.supplier.select(
+        F.col("s_suppkey").alias("node"), F.col("s_nationkey").alias("c")
+    )
+    tagged = (
+        edges.join(comm.withColumnRenamed("node", "u").withColumnRenamed("c", "cu"), "u")
+        .join(comm.withColumnRenamed("node", "v").withColumnRenamed("c", "cv"), "v")
+        .select("cu", "cv")
+    )
+    m = tagged.agg(F.count(F.lit(1)).alias("m"))
+    within = (
+        tagged.where(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("c"))
+        .agg(F.count(F.lit(1)).alias("e_in"))
+    )
+    degs = (
+        tagged.select(F.col("cu").alias("c"))
+        .unionAll(tagged.select(F.col("cv").alias("c")))
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).alias("d_c"))
+    )
+    cells = (
+        degs.join(within, "c", "left")
+        .na.fill({"e_in": 0})
+        .crossJoin(m)
+    )
+    q_term = F.col("e_in") / F.col("m").cast("double") - F.pow(
+        F.col("d_c") / (2.0 * F.col("m")), 2
+    )
+    w_all = Window.partitionBy()
+    return cells.select(
+        F.col("c").cast("bigint").alias("community"),
+        F.col("e_in").cast("bigint").alias("within_edges"),
+        F.col("d_c").cast("bigint").alias("degree_sum"),
+        F.round(q_term, 6).alias("q_term"),
+        F.round(F.sum(q_term).over(w_all), 6).alias("modularity"),
+    )

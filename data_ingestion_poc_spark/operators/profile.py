@@ -670,3 +670,105 @@ def quality_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_outliers") / F.col("n").cast("double"), 6
         ).alias("outlier_share"),
     )
+
+
+#: Categorical columns profiled by the entropy audit: (table, column).
+ENTROPY_COLUMNS = (
+    ("orders", "o_orderstatus"),
+    ("orders", "o_orderpriority"),
+    ("customer", "c_mktsegment"),
+    ("events", "event_type"),
+    ("documents", "lang"),
+)
+
+_COL_ENTROPY_ORACLE = """
+    WITH u AS (
+      SELECT 'orders.o_orderstatus' AS col, o_orderstatus AS val FROM orders
+      UNION ALL
+      SELECT 'orders.o_orderpriority', o_orderpriority FROM orders
+      UNION ALL
+      SELECT 'customer.c_mktsegment', c_mktsegment FROM customer
+      UNION ALL
+      SELECT 'events.event_type', event_type FROM events
+      UNION ALL
+      SELECT 'documents.lang', lang FROM documents
+    ),
+    cnt AS (
+      SELECT col, val, COUNT(*) AS c FROM u GROUP BY col, val
+    ),
+    tot AS (SELECT col, CAST(SUM(c) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct
+            FROM cnt GROUP BY col),
+    terms AS (
+      SELECT c.col,
+             CAST(FLOOR(-(c.c / CAST(t.n AS DOUBLE))
+                        * ln(c.c / CAST(t.n AS DOUBLE)) * 1000000000)
+                  AS BIGINT) AS h_n
+      FROM cnt c JOIN tot t USING (col)
+    )
+    SELECT t.col AS column_name, t.n, t.n_distinct,
+           ROUND(SUM(h_n) / 1e9, 6) AS entropy_nats,
+           ROUND(CASE WHEN t.n_distinct > 1
+                      THEN (SUM(h_n) / 1e9) / ln(t.n_distinct)
+                      ELSE 0 END, 6) AS normalized
+    FROM terms JOIN tot t USING (col)
+    GROUP BY t.col, t.n, t.n_distinct
+"""
+
+
+@register("profile_column_entropy", oracle=_COL_ENTROPY_ORACLE)
+def profile_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of every profiled categorical column (nats, plus
+    the 0-1 normalization by ln of the distinct count) — the one-number
+    balance check that catches a column silently collapsing toward a
+    constant (entropy -> 0) or exploding into an identifier (normalized
+    -> 1 with high cardinality) between snapshots. Complements
+    profile_table's null/min/max surface and agg_category_drift's
+    two-snapshot comparison with a single-snapshot health number.
+    agg_entropy_rate is the SEQUENCE entropy of one column; this is the
+    marginal entropy of many.
+
+    Scale/determinism: one combinable count per (column, value) — the
+    union of column projections scans each table once; per-value
+    entropy terms floor to nano-units before the value-domain fold
+    (theil doctrine); normalization is a closed form of exact counts."""
+    t = load(spark, sf_dir)
+    frames = []
+    for tbl, col in ENTROPY_COLUMNS:
+        frames.append(
+            getattr(t, tbl).select(
+                F.lit(f"{tbl}.{col}").alias("col"),
+                F.col(col).alias("val"),
+            )
+        )
+    u = frames[0]
+    for fr in frames[1:]:
+        u = u.unionByName(fr)
+    cnt = u.groupBy("col", "val").agg(F.count(F.lit(1)).alias("c"))
+    w_col = Window.partitionBy("col")
+    shares = cnt.select(
+        "col",
+        "c",
+        F.sum("c").over(w_col).alias("n"),
+        F.count(F.lit(1)).over(w_col).alias("n_distinct"),
+    )
+    p = F.col("c") / F.col("n").cast("double")
+    h_n = F.floor(-p * F.log(p) * 1_000_000_000).cast("bigint")
+    return (
+        shares.select("col", "n", "n_distinct", h_n.alias("h_n"))
+        .groupBy("col", "n", "n_distinct")
+        .agg(F.sum("h_n").alias("sh"))
+        .select(
+            F.col("col").alias("column_name"),
+            F.col("n").cast("bigint").alias("n"),
+            F.col("n_distinct").cast("bigint").alias("n_distinct"),
+            F.round(F.col("sh") / 1e9, 6).alias("entropy_nats"),
+            F.round(
+                F.when(
+                    F.col("n_distinct") > 1,
+                    (F.col("sh") / 1e9) / F.log(F.col("n_distinct").cast("double")),
+                ).otherwise(0.0),
+                6,
+            ).alias("normalized"),
+        )
+    )

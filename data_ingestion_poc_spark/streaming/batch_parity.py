@@ -1324,3 +1324,60 @@ def stream_hourly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_available_now(agg, "complete")
+
+
+#: Leaderboard depth for the windowed top-k stream.
+STREAM_TOPK = 3
+
+
+@register(
+    "stream_topk_per_window",
+    oracle=f"""
+    SELECT window_start, event_type, n_events, rk FROM (
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+               AS window_start,
+             event_type, COUNT(*) AS n_events,
+             ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts)
+                                ORDER BY COUNT(*) DESC, event_type) AS rk
+      FROM events GROUP BY date_trunc('hour', ts), event_type
+    ) WHERE rk <= {STREAM_TOPK}
+    """,
+)
+def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly top-{STREAM_TOPK} event types by count, as a stream — the
+    realtime leaderboard tile. Window functions are unsupported inside
+    a streaming query, and the split IS the lesson: the STREAM holds
+    only the per-(window, type) counts (stateful agg, complete mode —
+    bounded state: hours x types), and the RANK runs batch-side on the
+    sink table at read time, exactly where a dashboard would compute
+    it. Ties break by event_type so the leaderboard is stable
+    run-to-run.
+
+    Scale/state: state rows = (hour x event_type) — domain-bounded, not
+    event-bounded; the rank's window sorts the same bounded frame."""
+    sdf = events_stream(spark, sf_dir)
+    agg = (
+        sdf.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+        )
+    )
+    from pyspark.sql.window import Window
+
+    sunk = run_available_now(agg, "complete")
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n_events"), "event_type"
+    )
+    return sunk.select(
+        "window_start",
+        "event_type",
+        "n_events",
+        F.row_number().over(w).alias("rk"),
+    ).where(F.col("rk") <= STREAM_TOPK)

@@ -217,6 +217,10 @@ SINGLE_PARTITION_OK: dict[str, str] = {
         "(micro-unit partials, never event rows)"
     ),
     "agg_log_loss": "1-row scalar aggregate (count/sum partials only)",
+    "graph_modularity": (
+        "global-Q window over the NATION-domain community frame "
+        "(<=25 rows; edge-count partials, never edge rows)"
+    ),
     "corpus_lang_quotas": (
         "1-row corpus token total joined back to the LANGUAGE-domain "
         "frame (token partials, never doc rows)"
@@ -665,7 +669,23 @@ _STREAM_SECTION_HEADER = "## Streaming — executed micro-batch plans"
 
 
 def write_stream_section(out_path: str, rows: list[str], sf: str) -> None:
-    """Replace (or append) the streaming section of PLANS.md."""
+    """Merge rows (keyed by query name) into the streaming section of
+    PLANS.md — a partial --only run must never clobber the full table."""
+    with open(out_path) as f:
+        prior = f.read()
+    if _STREAM_SECTION_HEADER in prior:
+        tail = prior.partition(_STREAM_SECTION_HEADER)[2]
+        nxt = re.search(r"\n## ", tail)
+        body = tail[: nxt.start()] if nxt else tail
+        existing_rows = {
+            ln.split("|")[1].strip(): ln.rstrip()
+            for ln in body.splitlines()
+            if ln.startswith("| `")
+        }
+        existing_rows.update(
+            {ln.split("|")[1].strip(): ln for ln in rows}
+        )
+        rows = [existing_rows[k] for k in sorted(existing_rows)]
     section = [
         _STREAM_SECTION_HEADER,
         "",
