@@ -400,3 +400,117 @@ def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("kept_id_sum"),
     )
+
+
+#: Temporal split: train share of the observed time range, then an
+#: embargo gap before test (leakage control for time-series models).
+TEMPORAL_TRAIN_SHARE = 0.8
+TEMPORAL_EMBARGO_HOURS = 24
+
+_TEMPORAL_SPLIT_ORACLE = f"""
+    WITH span AS (
+      SELECT MIN(ts) AS lo, MAX(ts) AS hi FROM events
+    ),
+    cut AS (
+      SELECT date_trunc('hour',
+               lo + to_microseconds(CAST(FLOOR({TEMPORAL_TRAIN_SHARE}
+                 * epoch_us(hi - lo)) AS BIGINT))) AS t_cut
+      FROM span
+    ),
+    seg AS (
+      SELECT CASE
+               WHEN ts <= t_cut THEN 'train'
+               WHEN ts <= t_cut + INTERVAL {TEMPORAL_EMBARGO_HOURS} HOUR
+                 THEN 'embargo'
+               ELSE 'test'
+             END AS segment,
+             user_id
+      FROM events, cut
+    ),
+    spanning AS (
+      SELECT COUNT(*) AS overlap_users FROM (
+        SELECT user_id FROM seg WHERE segment = 'train'
+        INTERSECT
+        SELECT user_id FROM seg WHERE segment = 'test'
+      )
+    )
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(MAX(overlap_users) AS BIGINT) AS train_test_user_overlap
+    FROM seg, spanning
+    GROUP BY segment
+"""
+
+
+@register("sample_temporal_split", oracle=_TEMPORAL_SPLIT_ORACLE)
+def sample_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based train/embargo/test split: train = first
+    {TEMPORAL_TRAIN_SHARE:.0%} of the observed range (cut floored to the
+    hour), then a {TEMPORAL_EMBARGO_HOURS}h embargo gap, then test —
+    the split a forecasting/ranking model needs where
+    sample_train_split's hash split would leak the future into
+    training and sample_split_leakage_safe's group split would leak
+    time. The embargo absorbs label-window lookahead (an event at
+    t_cut carries a label computed from t_cut+24h). The
+    train/test USER overlap is emitted as context, not a defect —
+    temporal splits share users by design; the gap is in TIME.
+
+    Scale/determinism: the cut is a 1-row min/max fold applied as a
+    scalar; segments are one CASE over the scan; user counts are exact
+    distincts per segment."""
+    t = load(spark, sf_dir)
+    span = t.events.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    )
+    cut = span.select(
+        F.date_trunc(
+            "hour",
+            F.timestamp_micros(
+                F.unix_micros("lo")
+                + F.floor(
+                    TEMPORAL_TRAIN_SHARE
+                    * (F.unix_micros("hi") - F.unix_micros("lo"))
+                ).cast("bigint")
+            ),
+        ).alias("t_cut")
+    )
+    seg = t.events.crossJoin(cut).select(
+        F.when(F.col("ts") <= F.col("t_cut"), "train")
+        .when(
+            F.col("ts")
+            <= F.col("t_cut") + F.expr(
+                f"INTERVAL {TEMPORAL_EMBARGO_HOURS} HOURS"
+            ),
+            "embargo",
+        )
+        .otherwise("test")
+        .alias("segment"),
+        "user_id",
+    )
+    overlap = (
+        seg.where(F.col("segment") == "train")
+        .select("user_id")
+        .distinct()
+        .join(
+            seg.where(F.col("segment") == "test")
+            .select("user_id")
+            .distinct(),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("overlap_users"))
+    )
+    return (
+        seg.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .crossJoin(overlap)
+        .select(
+            "segment",
+            "n_events",
+            "n_users",
+            F.col("overlap_users").alias("train_test_user_overlap"),
+        )
+    )

@@ -351,3 +351,79 @@ def fn_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(*[_char(j) for j in range(8)]).alias("geohash"),
         F.concat(*[_char(j) for j in range(4)]).alias("gh_prefix4"),
     )
+
+
+#: Service-region rectangles derived from the nation key (bounded
+#: dimension: one box per nation; spans in whole degrees).
+_BOX_LAT0 = "((n_nationkey * 3571) % 9000) / 100.0 - 55.0"
+_BOX_LON0 = "((n_nationkey * 7177) % 30000) / 100.0 - 165.0"
+BOX_LAT_SPAN = 12.0
+BOX_LON_SPAN = 24.0
+
+_BBOX_ORACLE = f"""
+    WITH box AS (
+      SELECT n_nationkey AS region_id,
+             {_BOX_LAT0} AS lat0, {_BOX_LON0} AS lon0
+      FROM nation
+    ),
+    pts AS (
+      SELECT c_custkey, {_LAT_C} AS lat, {_LON_C} AS lon FROM customer
+    )
+    SELECT b.region_id,
+           ROUND(b.lat0, 2) AS lat0,
+           ROUND(b.lon0, 2) AS lon0,
+           CAST(COUNT(p.c_custkey) AS BIGINT) AS n_points
+    FROM box b LEFT JOIN pts p
+      ON p.lat >= b.lat0 AND p.lat < b.lat0 + {BOX_LAT_SPAN}
+     AND p.lon >= b.lon0 AND p.lon < b.lon0 + {BOX_LON_SPAN}
+    GROUP BY b.region_id, b.lat0, b.lon0
+"""
+
+
+@register("join_geo_bbox", oracle=_BBOX_ORACLE)
+def join_geo_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-rectangle containment join: customers assigned to the
+    nation-derived service boxes, counted per region — the
+    bounding-box primitive under every point-in-polygon workload (a
+    real polygon engine broad-phases with exactly this test, then
+    narrow-phases the survivors). Boxes may overlap and points may
+    match several or none; the LEFT join keeps empty regions visible.
+
+    Scale shape: the REGION table is dimension-bounded (one box per
+    nation — genuinely small, unlike the SF-scaling supplier frame the
+    r8 broadcast purge removed), so broadcasting it is the honest
+    plan: the theta-join predicate runs map-side against the broadcast
+    boxes and the only shuffle is the per-region count. At planetary
+    box counts the grid-cell bucketing of join_geo_distance takes
+    over."""
+    t = load(spark, sf_dir)
+    box = t.nation.select(
+        F.col("n_nationkey").alias("region_id"),
+        (((F.col("n_nationkey") * 3571) % 9000) / 100.0 - 55.0).alias("lat0"),
+        (((F.col("n_nationkey") * 7177) % 30000) / 100.0 - 165.0).alias(
+            "lon0"
+        ),
+    )
+    pts = t.customer.select(
+        "c_custkey",
+        (((F.col("c_custkey") * 7919) % 12000) / 100.0 - 60.0).alias("lat"),
+        (((F.col("c_custkey") * 104729) % 34000) / 100.0 - 170.0).alias(
+            "lon"
+        ),
+    )
+    joined = F.broadcast(box).join(
+        pts,
+        (F.col("lat") >= F.col("lat0"))
+        & (F.col("lat") < F.col("lat0") + BOX_LAT_SPAN)
+        & (F.col("lon") >= F.col("lon0"))
+        & (F.col("lon") < F.col("lon0") + BOX_LON_SPAN),
+        "left",
+    )
+    return joined.groupBy("region_id", "lat0", "lon0").agg(
+        F.count("c_custkey").cast("bigint").alias("n_points")
+    ).select(
+        "region_id",
+        F.round("lat0", 2).alias("lat0"),
+        F.round("lon0", 2).alias("lon0"),
+        "n_points",
+    )

@@ -2902,3 +2902,79 @@ def win_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("tr_c") / 100.0, 2).alias("true_range"),
         F.round(F.avg("tr_c").over(w_atr) / 100.0, 4).alias("atr"),
     )
+
+
+#: Donchian channel lookback in daily bars.
+DONCHIAN_SPAN = 20
+
+_DONCHIAN_ORACLE = f"""
+    WITH bars AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             MAX(CAST(ROUND(value * 100) AS BIGINT)) AS hi,
+             MIN(CAST(ROUND(value * 100) AS BIGINT)) AS lo
+      FROM events GROUP BY 1, 2
+    ),
+    chan AS (
+      SELECT event_type, day, hi, lo,
+             MAX(hi) OVER (PARTITION BY event_type ORDER BY day
+                           ROWS BETWEEN {DONCHIAN_SPAN} PRECEDING
+                           AND 1 PRECEDING) AS ch_hi,
+             MIN(lo) OVER (PARTITION BY event_type ORDER BY day
+                           ROWS BETWEEN {DONCHIAN_SPAN} PRECEDING
+                           AND 1 PRECEDING) AS ch_lo
+      FROM bars
+    )
+    SELECT event_type, CAST(day AS VARCHAR) AS day,
+           ROUND(ch_hi / 100.0, 2) AS channel_high,
+           ROUND(ch_lo / 100.0, 2) AS channel_low,
+           hi > ch_hi AS breakout_up,
+           lo < ch_lo AS breakout_down
+    FROM chan WHERE ch_hi IS NOT NULL
+"""
+
+
+@register("win_donchian", oracle=_DONCHIAN_ORACLE)
+def win_donchian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Donchian channel per event type: the trailing {DONCHIAN_SPAN}-day
+    high/low band EXCLUDING today, plus breakout flags when today's bar
+    escapes it — the oldest breakout system and the band win_bollinger
+    prices statistically, here as pure order statistics (no mean/std
+    assumption, so one wild day widens the channel for {DONCHIAN_SPAN}
+    days instead of inflating a std estimate). First day drops — an
+    empty trailing window has no channel.
+
+    Scale/determinism: events reduce to the (type x DAY)-domain bar
+    frame (combinable min/max cents) before the windows; the
+    1-PRECEDING frame end keeps today out of its own channel (the
+    classic off-by-one that turns a breakout rule into a tautology);
+    integer cents until two final divisions."""
+    t = load(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    bars = (
+        t.events.select(
+            "event_type", F.to_date("ts").alias("day"), cents.alias("c")
+        )
+        .groupBy("event_type", "day")
+        .agg(F.max("c").alias("hi"), F.min("c").alias("lo"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-DONCHIAN_SPAN, -1)
+    )
+    chan = bars.select(
+        "event_type",
+        "day",
+        "hi",
+        "lo",
+        F.max("hi").over(w).alias("ch_hi"),
+        F.min("lo").over(w).alias("ch_lo"),
+    )
+    return chan.where(F.col("ch_hi").isNotNull()).select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        F.round(F.col("ch_hi") / 100.0, 2).alias("channel_high"),
+        F.round(F.col("ch_lo") / 100.0, 2).alias("channel_low"),
+        (F.col("hi") > F.col("ch_hi")).alias("breakout_up"),
+        (F.col("lo") < F.col("ch_lo")).alias("breakout_down"),
+    )

@@ -334,3 +334,51 @@ def test_stream_topk_rank_depth(spark):
         assert ranks == list(range(1, len(rs) + 1))
         counts = [x["n_events"] for x in sorted(rs, key=lambda x: x["rk"])]
         assert counts == sorted(counts, reverse=True)
+
+
+# --- sample_temporal_split
+
+
+def test_temporal_split_segments(spark):
+    rows = {
+        r["segment"]: r
+        for r in registry.get("sample_temporal_split")
+        .fn(spark, SF001)
+        .collect()
+    }
+    assert set(rows) <= {"train", "embargo", "test"}
+    assert "train" in rows and "test" in rows
+    assert rows["train"]["n_events"] > rows["test"]["n_events"]
+    # overlap column is constant context on every row
+    ov = {r["train_test_user_overlap"] for r in rows.values()}
+    assert len(ov) == 1
+
+
+# --- join_geo_bbox
+
+
+def test_geo_bbox_counts_nonnegative_and_regions_complete(spark):
+    rows = registry.get("join_geo_bbox").fn(spark, SF001).collect()
+    assert len(rows) == 25  # one box per nation, empties kept
+    assert all(r["n_points"] >= 0 for r in rows)
+    assert any(r["n_points"] > 0 for r in rows)
+
+
+# --- win_donchian
+
+
+def test_donchian_excludes_today(spark, tmp_path):
+    # three days: 10, 50, 20 — day-2 channel is day-1's bar only, so
+    # its 50 breaks out; day-3 sits inside the widened channel
+    rows = [(1, 1, "view", 10.0), (1500, 1, "view", 50.0),
+            (3000, 1, "view", 20.0)]
+    _write_events(spark, tmp_path, rows)
+    out = {
+        r["day"]: r
+        for r in registry.get("win_donchian").fn(spark, str(tmp_path)).collect()
+    }
+    assert "2024-01-01" not in out  # empty trailing window drops
+    assert out["2024-01-02"]["channel_high"] == 10.0
+    assert out["2024-01-02"]["breakout_up"]
+    assert out["2024-01-03"]["channel_high"] == 50.0
+    assert not out["2024-01-03"]["breakout_up"]
