@@ -473,3 +473,108 @@ def privacy_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame
         ).alias("risk_row_share"),
         (F.min("k") >= K_ANON_MIN).alias("releasable"),
     )
+
+
+#: Pseudonymization salt. In production this is a managed secret; a
+#: literal here keeps both engines bit-identical.
+PSEUDO_SALT = "dip-pseudo-v1"
+
+_PSEUDO_ORACLE = f"""
+    WITH c AS (
+      SELECT c_custkey,
+             substr(sha256('{PSEUDO_SALT}' || CAST(c_custkey AS VARCHAR)),
+                    1, 16) AS token
+      FROM customer
+    ),
+    o AS (
+      SELECT o_custkey,
+             substr(sha256('{PSEUDO_SALT}' || CAST(o_custkey AS VARCHAR)),
+                    1, 16) AS token,
+             o_totalprice
+      FROM orders
+    ),
+    joined AS (
+      SELECT c.token, COUNT(o.o_custkey) AS n_orders,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM c LEFT JOIN o ON o.token = c.token
+      GROUP BY c.token
+    ),
+    audit AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(COUNT(DISTINCT token) AS BIGINT) AS n_distinct_tokens,
+             CAST(SUM(n_orders) AS BIGINT) AS joined_orders
+      FROM joined
+    )
+    SELECT j.token, CAST(j.n_orders AS BIGINT) AS n_orders,
+           ROUND(COALESCE(j.cents, 0) / 100.0, 2) AS revenue,
+           a.n_tokens = a.n_distinct_tokens AS tokens_collision_free,
+           a.joined_orders = (SELECT COUNT(*) FROM orders)
+             AS referential_integrity
+    FROM joined j, audit a
+    ORDER BY j.n_orders DESC, j.token LIMIT 20
+"""
+
+
+@register("privacy_pseudonymize", oracle=_PSEUDO_ORACLE)
+def privacy_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed pseudonymization with a referential-integrity proof: the
+    customer key is replaced by a salted SHA-256 token in BOTH the
+    customer and orders tables, then the per-token order rollup runs
+    ENTIRELY in token space — demonstrating the GDPR-style
+    pseudonymization contract (analyses still join; identities need
+    the salt) that privacy_k_anonymity's generalization ladder can't
+    give (it destroys joinability). The audit columns prove no token
+    collision and no orders dropped by tokenization.
+
+    Scale/determinism: tokenization is a per-row hash projection (no
+    shuffle added — the join shuffles on the token exactly as it would
+    on the raw key, same cardinality); SHA-256 of identical salted
+    strings is identical in both engines; top-20 by (n_orders, token)
+    is a bounded deterministic slice."""
+    t = load(spark, sf_dir)
+    tok = lambda c: F.substring(  # noqa: E731
+        F.sha2(F.concat(F.lit(PSEUDO_SALT), F.col(c).cast("string")), 256),
+        1,
+        16,
+    )
+    c = t.customer.select(tok("c_custkey").alias("token"))
+    o = t.orders.select(
+        tok("o_custkey").alias("token"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    joined = (
+        c.join(o, "token", "left")
+        .groupBy("token")
+        .agg(
+            F.count("cents").cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+    )
+    n_orders_total = t.orders.agg(
+        F.count(F.lit(1)).cast("bigint").alias("total_orders")
+    )
+    audit = joined.agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("token").alias("n_distinct_tokens"),
+        F.sum("n_orders").cast("bigint").alias("joined_orders"),
+    )
+    return (
+        joined.crossJoin(audit)
+        .crossJoin(n_orders_total)
+        .select(
+            "token",
+            "n_orders",
+            F.round(F.coalesce(F.col("sum_cents"), F.lit(0)) / 100.0, 2).alias(
+                "revenue"
+            ),
+            (F.col("n_tokens") == F.col("n_distinct_tokens")).alias(
+                "tokens_collision_free"
+            ),
+            (F.col("joined_orders") == F.col("total_orders")).alias(
+                "referential_integrity"
+            ),
+        )
+        .orderBy(F.desc("n_orders"), "token")
+        .limit(20)
+    )

@@ -2978,3 +2978,87 @@ def win_donchian(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("hi") > F.col("ch_hi")).alias("breakout_up"),
         (F.col("lo") < F.col("ch_lo")).alias("breakout_down"),
     )
+
+
+#: Pivot confirmation width: a bar is a pivot high/low when it beats
+#: the K bars on BOTH sides (so detection lags K days — the forward
+#: frame is the point of the operator).
+PIVOT_K = 3
+
+_PIVOT_ORACLE = f"""
+    WITH bars AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             MAX(CAST(ROUND(value * 100) AS BIGINT)) AS hi,
+             MIN(CAST(ROUND(value * 100) AS BIGINT)) AS lo
+      FROM events GROUP BY 1, 2
+    ),
+    flags AS (
+      SELECT event_type, day, hi, lo,
+             COUNT(*) OVER w AS n_win,
+             MAX(hi) OVER w AS max_hi, MIN(lo) OVER w AS min_lo,
+             SUM(CASE WHEN 1=1 THEN 1 END)
+               OVER (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN {PIVOT_K} PRECEDING AND 1 PRECEDING)
+               AS n_before
+      FROM bars
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN {PIVOT_K} PRECEDING
+                   AND {PIVOT_K} FOLLOWING)
+    )
+    SELECT event_type, CAST(day AS VARCHAR) AS day,
+           ROUND(hi / 100.0, 2) AS high,
+           ROUND(lo / 100.0, 2) AS low,
+           hi = max_hi AS pivot_high,
+           lo = min_lo AS pivot_low
+    FROM flags
+    WHERE n_win = 2 * {PIVOT_K} + 1
+"""
+
+
+@register("win_pivot_points", oracle=_PIVOT_ORACLE)
+def win_pivot_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractal pivot highs/lows per event type: a day whose bar beats
+    the {PIVOT_K} days on BOTH sides — the swing points every
+    support/resistance and zig-zag construction starts from, and the
+    family's one FORWARD-frame exemplar (win_pattern_vshape looks back;
+    a pivot is only confirmable {PIVOT_K} days late, which the
+    FOLLOWING frame makes explicit rather than hiding behind a lagged
+    join). Edge days without a full two-sided window drop — a pivot
+    claim needs all 2K+1 bars.
+
+    Scale/determinism: the (type x DAY)-domain bar frame (combinable
+    min/max cents) carries one symmetric ROWS window; the completeness
+    guard counts window rows, so both engines drop the same edges;
+    ties (equal max in the window) CONFIRM the pivot on both bars,
+    documented and identical."""
+    t = load(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    bars = (
+        t.events.select(
+            "event_type", F.to_date("ts").alias("day"), cents.alias("c")
+        )
+        .groupBy("event_type", "day")
+        .agg(F.max("c").alias("hi"), F.min("c").alias("lo"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-PIVOT_K, PIVOT_K)
+    )
+    flags = bars.select(
+        "event_type",
+        "day",
+        "hi",
+        "lo",
+        F.count(F.lit(1)).over(w).alias("n_win"),
+        F.max("hi").over(w).alias("max_hi"),
+        F.min("lo").over(w).alias("min_lo"),
+    )
+    return flags.where(F.col("n_win") == 2 * PIVOT_K + 1).select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        F.round(F.col("hi") / 100.0, 2).alias("high"),
+        F.round(F.col("lo") / 100.0, 2).alias("low"),
+        (F.col("hi") == F.col("max_hi")).alias("pivot_high"),
+        (F.col("lo") == F.col("min_lo")).alias("pivot_low"),
+    )

@@ -382,3 +382,50 @@ def test_donchian_excludes_today(spark, tmp_path):
     assert out["2024-01-02"]["breakout_up"]
     assert out["2024-01-03"]["channel_high"] == 50.0
     assert not out["2024-01-03"]["breakout_up"]
+
+
+# --- win_pivot_points
+
+
+def test_pivot_points_hand_case(spark, tmp_path):
+    # 7 days with a clear peak on day 4: only day 4 is a pivot high
+    vals = [10, 20, 30, 90, 30, 20, 10]
+    rows = [(i * 1500 + 1, 1, "view", float(v)) for i, v in enumerate(vals)]
+    _write_events(spark, tmp_path, rows)
+    out = registry.get("win_pivot_points").fn(spark, str(tmp_path)).collect()
+    # with K=3, only the middle day has a complete two-sided window
+    assert len(out) == 1
+    assert out[0]["day"] == "2024-01-04"
+    assert out[0]["pivot_high"] and not out[0]["pivot_low"]
+
+
+# --- privacy_pseudonymize
+
+
+def test_pseudonymize_integrity(spark):
+    rows = registry.get("privacy_pseudonymize").fn(spark, SF001).collect()
+    assert rows
+    assert all(r["tokens_collision_free"] for r in rows)
+    assert all(r["referential_integrity"] for r in rows)
+    assert all(len(r["token"]) == 16 for r in rows)
+
+
+# --- fn_business_days
+
+
+def test_business_days_closed_form(spark):
+    import datetime as dt
+
+    rows = registry.get("fn_business_days").fn(spark, SF001).collect()
+    assert rows
+    for r in rows[:50]:
+        d0 = dt.date.fromisoformat(r["order_date"])
+        d1 = dt.date.fromisoformat(r["ship_date"])
+        sign = 1 if d1 >= d0 else -1
+        lo, hi = min(d0, d1), max(d0, d1)
+        expect = sign * sum(
+            1
+            for i in range(1, (hi - lo).days + 1)
+            if (lo + dt.timedelta(days=i)).isoweekday() <= 5
+        )
+        assert r["business_days"] == expect

@@ -217,6 +217,10 @@ SINGLE_PARTITION_OK: dict[str, str] = {
         "(micro-unit partials, never event rows)"
     ),
     "agg_log_loss": "1-row scalar aggregate (count/sum partials only)",
+    "privacy_pseudonymize": (
+        "1-row collision/integrity audit folds (token-count partials) "
+        "+ top-20 TakeOrdered slice"
+    ),
     "sample_temporal_split": (
         "1-row min/max span fold (the cut scalar) + 1-row train/test "
         "user-overlap count (distinct partials, never event rows)"
