@@ -91,7 +91,16 @@ def _driver_judged() -> set[str]:
 #: all locally oracle-verified and queue right behind. (Older rounds'
 #: new-name sets need no list here: registration order already ages
 #: them correctly once the round closes.)
-_NEW_THIS_ROUND: set[str] = set()
+_NEW_THIS_ROUND: set[str] = {
+    "agg_auc_roc", "agg_brier_score", "agg_log_loss",
+    "agg_pr_thresholds", "agg_lift_deciles", "agg_bartlett_test",
+    "agg_partial_corr", "agg_friedman_test", "quality_outlier_iqr",
+    "win_atr", "win_donchian", "win_pivot_points",
+    "corpus_lang_quotas", "text_vocab_coverage", "embed_hubness",
+    "graph_modularity", "profile_column_entropy",
+    "stream_topk_per_window", "sample_temporal_split", "join_geo_bbox",
+    "privacy_pseudonymize", "fn_business_days",
+}
 
 
 def _ordered() -> dict[str, registry.Query]:
