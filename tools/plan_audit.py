@@ -688,7 +688,7 @@ def write_stream_section(out_path: str, rows: list[str], sf: str) -> None:
         existing_rows = {
             ln.split("|")[1].strip(): ln.rstrip()
             for ln in body.splitlines()
-            if ln.startswith("| `")
+            if ln.startswith("| `stream_")
         }
         existing_rows.update(
             {ln.split("|")[1].strip(): ln for ln in rows}
@@ -839,10 +839,17 @@ def main() -> None:
         }
         patched, seen = [], set()
         last_row_idx = 0
+        in_stream_section = False
         for i, ln in enumerate(existing):
+            if ln.startswith(_STREAM_SECTION_HEADER):
+                in_stream_section = True
             if ln.startswith("| `"):
                 name = ln.split("`")[1]
-                last_row_idx = i
+                if not in_stream_section:
+                    # append anchor: the BATCH table only — appending
+                    # after a streaming row once landed batch rows
+                    # inside the streaming section
+                    last_row_idx = i
                 if name in new_rows:
                     patched.append(new_rows[name])
                     seen.add(name)
