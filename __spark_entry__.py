@@ -100,6 +100,7 @@ _NEW_THIS_ROUND: set[str] = {
     "graph_modularity", "profile_column_entropy",
     "stream_topk_per_window", "sample_temporal_split", "join_geo_bbox",
     "privacy_pseudonymize", "fn_business_days",
+    "privacy_suppression_smallcell", "agg_benjamini_hochberg",
 }
 
 

@@ -578,3 +578,104 @@ def privacy_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_orders"), "token")
         .limit(20)
     )
+
+
+#: Small-cell suppression threshold (the census-style "rule of 5").
+SUPPRESS_MIN_CELL = 5
+
+_SUPPRESS_ORACLE = f"""
+    WITH cells AS (
+      SELECT c.c_nationkey AS nation, o.o_orderpriority AS priority,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    flagged AS (
+      SELECT nation, priority, n, cents,
+             n < {SUPPRESS_MIN_CELL} AS primary_suppressed
+      FROM cells
+    ),
+    rowstat AS (
+      SELECT nation,
+             SUM(CASE WHEN primary_suppressed THEN 1 ELSE 0 END) AS n_supp
+      FROM flagged GROUP BY nation
+    ),
+    marked AS (
+      SELECT f.nation, f.priority, f.n, f.cents, f.primary_suppressed,
+             -- complementary suppression: if EXACTLY ONE cell in the row
+             -- is primary-suppressed, the row total would reveal it, so
+             -- the smallest unsuppressed sibling suppresses too
+             (NOT f.primary_suppressed) AND r.n_supp = 1
+               AND f.n = (SELECT MIN(g.n) FROM flagged g
+                          WHERE g.nation = f.nation
+                            AND NOT g.primary_suppressed)
+               AS complementary_suppressed
+      FROM flagged f JOIN rowstat r USING (nation)
+    )
+    SELECT CAST(nation AS BIGINT) AS nation, priority,
+           CASE WHEN primary_suppressed OR complementary_suppressed
+                THEN NULL ELSE CAST(n AS BIGINT) END AS n_orders,
+           CASE WHEN primary_suppressed OR complementary_suppressed
+                THEN NULL ELSE ROUND(cents / 100.0, 2) END AS revenue,
+           primary_suppressed, complementary_suppressed
+    FROM marked
+"""
+
+
+@register("privacy_suppression_smallcell", oracle=_SUPPRESS_ORACLE)
+def privacy_suppression_smallcell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-cell suppression for the nation x priority order report:
+    cells under {SUPPRESS_MIN_CELL} orders blank out (primary), and when
+    a row has exactly ONE suppressed cell its smallest unsuppressed
+    sibling blanks too (complementary — otherwise the row total
+    subtracts the secret right back out). The census/healthcare
+    disclosure-control rule that publication pipelines apply AFTER
+    privacy_k_anonymity passes (k-anonymity bounds re-identification;
+    suppression bounds small-count DIFFERENCING), emitting the
+    suppression flags so auditors see what was withheld and why.
+
+    Scale/determinism: facts fold to the (nation x priority) CELL
+    domain first; the sibling-minimum rule runs as windows over that
+    bounded frame; the flag tests n == MIN(n), so cells tied on the
+    minimum suppress together — documented and identical in both
+    engines."""
+    t = load(spark, sf_dir)
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    cells = (
+        t.orders.join(t.customer, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("nation"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents).cast("bigint").alias("cents"),
+        )
+    )
+    prim = F.col("n") < SUPPRESS_MIN_CELL
+    w_row = Window.partitionBy("nation")
+    flagged = cells.select(
+        "nation",
+        "priority",
+        "n",
+        "cents",
+        prim.alias("primary_suppressed"),
+        F.sum(prim.cast("int")).over(w_row).alias("n_supp"),
+        F.min(F.when(~prim, F.col("n"))).over(w_row).alias("min_open"),
+    )
+    comp = (
+        (~F.col("primary_suppressed"))
+        & (F.col("n_supp") == 1)
+        & (F.col("n") == F.col("min_open"))
+    )
+    hidden = F.col("primary_suppressed") | comp
+    return flagged.select(
+        F.col("nation").cast("bigint").alias("nation"),
+        "priority",
+        F.when(~hidden, F.col("n").cast("bigint")).alias("n_orders"),
+        F.when(~hidden, F.round(F.col("cents") / 100.0, 2)).alias("revenue"),
+        "primary_suppressed",
+        comp.alias("complementary_suppressed"),
+    )

@@ -3702,3 +3702,149 @@ def agg_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(q, 4).alias("friedman_q"),
         (q > crit).alias("treatment_effect"),
     )
+
+
+#: FDR level for the Benjamini-Hochberg procedure.
+BH_ALPHA = 0.05
+
+#: Abramowitz & Stegun 26.2.17 normal-CDF polynomial (shared literals —
+#: neither engine ships Phi; identical doubles in, identical p out).
+_AS_T = "(1.0 / (1.0 + 0.2316419 * {z}))"
+_AS_POLY = (
+    "(0.319381530 * {t} - 0.356563782 * {t} * {t} "
+    "+ 1.781477937 * {t} * {t} * {t} "
+    "- 1.821255978 * {t} * {t} * {t} * {t} "
+    "+ 1.330274429 * {t} * {t} * {t} * {t} * {t})"
+)
+_SQRT_2PI = 2.5066282746310002
+
+
+def _p_two_sided_sql(z_abs: str) -> str:
+    t = _AS_T.format(z=z_abs)
+    return (
+        f"2.0 * (exp(-({z_abs}) * ({z_abs}) / 2.0) / {_SQRT_2PI})"
+        f" * {_AS_POLY.format(t=t)}"
+    )
+
+
+_BH_ORACLE = f"""
+    WITH cells AS (
+      SELECT c.c_nationkey AS nation,
+             COUNT(*) AS n,
+             CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS x
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1
+    ),
+    g_tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(x) AS BIGINT) AS xt
+      FROM cells
+    ),
+    zed AS (
+      SELECT nation, n, x,
+             ABS((x / CAST(n AS DOUBLE) - xt / CAST(nt AS DOUBLE))
+                 / sqrt((xt / CAST(nt AS DOUBLE))
+                        * (1 - xt / CAST(nt AS DOUBLE)) / n)) AS za
+      FROM cells, g_tot
+    ),
+    pv AS (
+      SELECT nation, n, x,
+             ROUND({_p_two_sided_sql("za")}, 10) AS p
+      FROM zed
+    ),
+    ranked AS (
+      SELECT nation, n, x, p,
+             ROW_NUMBER() OVER (ORDER BY p, nation) AS rk,
+             COUNT(*) OVER () AS m
+      FROM pv
+    ),
+    cutoff AS (
+      SELECT MAX(CASE WHEN p <= rk * {BH_ALPHA} / m THEN rk ELSE 0 END)
+               AS k
+      FROM ranked
+    )
+    SELECT r.nation AS nation, CAST(r.n AS BIGINT) AS n,
+           CAST(r.x AS BIGINT) AS n_urgent,
+           ROUND(r.p, 6) AS p_value,
+           CAST(r.rk AS BIGINT) AS p_rank,
+           ROUND(r.rk * {BH_ALPHA} / r.m, 6) AS bh_threshold,
+           r.rk <= c.k AS discovery
+    FROM ranked r, cutoff c
+"""
+
+
+@register("agg_benjamini_hochberg", oracle=_BH_ORACLE)
+def agg_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control over the 25-nation family of
+    urgent-order-share tests: each nation's two-sided z-test against
+    the global share, p-values ranked, discoveries = every rank up to
+    the LARGEST k with p_(k) <= k*alpha/m (the step-up rule — note a
+    cell can be a discovery with p above its own threshold if a later
+    rank passes). The multiple-testing guard every per-segment metric
+    scan needs before someone ships "nation X is special" from 25
+    simultaneous looks; the single-test operators (agg_t_test,
+    agg_odds_ratio) answer one question, this controls the family.
+
+    Scale/determinism: proportions fold to the NATION domain
+    (combinable integer counts); z and the A&S 26.2.17 normal-CDF
+    polynomial (shared literals — neither engine ships Phi) run on
+    identical doubles; ranking and the step-up cutoff are windows over
+    the bounded 25-row family; ties on p break by nation."""
+    t = load(spark, sf_dir)
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("int")
+    cells = (
+        t.orders.join(t.customer, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(urgent).cast("bigint").alias("x"),
+        )
+    )
+    glob = cells.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum("x").cast("bigint").alias("xt"),
+    )
+    p0 = F.col("xt") / F.col("nt").cast("double")
+    za = F.abs(
+        (F.col("x") / F.col("n").cast("double") - p0)
+        / F.sqrt(p0 * (1 - p0) / F.col("n"))
+    )
+    tt = 1.0 / (1.0 + 0.2316419 * za)
+    poly = (
+        0.319381530 * tt
+        - 0.356563782 * tt * tt
+        + 1.781477937 * tt * tt * tt
+        - 1.821255978 * tt * tt * tt * tt
+        + 1.330274429 * tt * tt * tt * tt * tt
+    )
+    p = F.round(
+        2.0 * (F.exp(-za * za / 2.0) / _SQRT_2PI) * poly, 10
+    )
+    pv = cells.crossJoin(glob).select(
+        "nation", "n", "x", p.alias("p")
+    )
+    w_rank = Window.orderBy("p", "nation")
+    w_all = Window.partitionBy()
+    ranked = pv.select(
+        "nation",
+        "n",
+        "x",
+        "p",
+        F.row_number().over(w_rank).alias("rk"),
+        F.count(F.lit(1)).over(w_all).alias("m"),
+    )
+    passing = F.when(
+        F.col("p") <= F.col("rk") * BH_ALPHA / F.col("m"), F.col("rk")
+    ).otherwise(0)
+    ranked = ranked.withColumn("k", F.max(passing).over(w_all))
+    return ranked.select(
+        F.col("nation").cast("bigint").alias("nation"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("x").alias("n_urgent"),
+        F.round("p", 6).alias("p_value"),
+        F.col("rk").cast("bigint").alias("p_rank"),
+        F.round(F.col("rk") * BH_ALPHA / F.col("m"), 6).alias(
+            "bh_threshold"
+        ),
+        (F.col("rk") <= F.col("k")).alias("discovery"),
+    )

@@ -429,3 +429,51 @@ def test_business_days_closed_form(spark):
             if (lo + dt.timedelta(days=i)).isoweekday() <= 5
         )
         assert r["business_days"] == expect
+
+
+# --- privacy_suppression_smallcell
+
+
+def test_suppression_hides_small_cells(spark):
+    rows = registry.get("privacy_suppression_smallcell").fn(spark, SF001).collect()
+    for r in rows:
+        hidden = r["primary_suppressed"] or r["complementary_suppressed"]
+        assert (r["n_orders"] is None) == hidden
+        assert (r["revenue"] is None) == hidden
+        if r["n_orders"] is not None:
+            assert r["n_orders"] >= 5
+
+
+def test_suppression_complementary_rule(spark):
+    rows = registry.get("privacy_suppression_smallcell").fn(spark, SF001).collect()
+    by_nation = {}
+    for r in rows:
+        by_nation.setdefault(r["nation"], []).append(r)
+    for nation, rs in by_nation.items():
+        n_prim = sum(1 for r in rs if r["primary_suppressed"])
+        n_comp = sum(1 for r in rs if r["complementary_suppressed"])
+        if n_prim == 1:
+            assert n_comp >= 1, f"nation {nation}: lone cell unprotected"
+        if n_prim == 0:
+            assert n_comp == 0
+
+
+# --- agg_benjamini_hochberg
+
+
+def test_bh_step_up_rule(spark):
+    import math
+
+    rows = sorted(
+        registry.get("agg_benjamini_hochberg").fn(spark, SF001).collect(),
+        key=lambda r: r["p_rank"],
+    )
+    m = len(rows)
+    passing = [r["p_rank"] for r in rows if r["p_value"] <= r["p_rank"] * 0.05 / m]
+    k = max(passing) if passing else 0
+    for r in rows:
+        assert r["discovery"] == (r["p_rank"] <= k)
+        assert 0.0 <= r["p_value"] <= 1.0 + 1e-9
+        assert math.isclose(
+            r["bh_threshold"], round(r["p_rank"] * 0.05 / m, 6), abs_tol=1e-9
+        )

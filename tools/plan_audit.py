@@ -217,6 +217,10 @@ SINGLE_PARTITION_OK: dict[str, str] = {
         "(micro-unit partials, never event rows)"
     ),
     "agg_log_loss": "1-row scalar aggregate (count/sum partials only)",
+    "agg_benjamini_hochberg": (
+        "p-rank + step-up-cutoff windows over the 25-row NATION family "
+        "frame (count partials, never order rows)"
+    ),
     "privacy_pseudonymize": (
         "1-row collision/integrity audit folds (token-count partials) "
         "+ top-20 TakeOrdered slice"
