@@ -101,6 +101,7 @@ _NEW_THIS_ROUND: set[str] = {
     "stream_topk_per_window", "sample_temporal_split", "join_geo_bbox",
     "privacy_pseudonymize", "fn_business_days",
     "privacy_suppression_smallcell", "agg_benjamini_hochberg",
+    "stream_hll_active_users_bound",
 }
 
 

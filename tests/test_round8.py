@@ -477,3 +477,17 @@ def test_bh_step_up_rule(spark):
         assert math.isclose(
             r["bh_threshold"], round(r["p_rank"] * 0.05 / m, 6), abs_tol=1e-9
         )
+
+
+# --- stream_hll_active_users_bound
+
+
+def test_stream_hll_bound_holds(spark):
+    rows = (
+        registry.get("stream_hll_active_users_bound")
+        .fn(spark, SF001)
+        .collect()
+    )
+    assert rows
+    assert all(r["within_bound"] for r in rows)
+    assert all(r["exact_users"] >= 1 for r in rows)
