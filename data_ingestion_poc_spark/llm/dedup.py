@@ -170,8 +170,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (capped_candidate_frame): containment and the threshold sweep score
     the very same (n_common, |A|, |B|) rows, so the self-join runs once
     per session, not once per consumer."""
-    return scored_pairs_from_frame(
-        capped_candidate_frame(spark, sf_dir),
+    return scored_pairs_from_capped_frame(
+        spark,
+        sf_dir,
+        "jaccard",
         lambda c, na, nb: c / (na + nb - c),
         0.30,
         "jaccard",
@@ -211,8 +213,10 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     df-cap scale bound: one hot shingle can never turn the self-join
     quadratic; the cap's recall trade is priced by dedup_jaccard_recall
     on the shared index."""
-    return scored_pairs_from_frame(
-        capped_candidate_frame(spark, sf_dir),
+    return scored_pairs_from_capped_frame(
+        spark,
+        sf_dir,
+        "containment",
         lambda c, na, nb: c / F.least(na, nb),
         CONTAINMENT_THRESHOLD,
         "containment",
@@ -279,25 +283,65 @@ def scored_pairs_from_index(
 _CANDIDATE_FRAME_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+def capped_frame_floor(kind: str) -> float:
+    """SINGLE source of truth for the plausibility pre-filter baked into
+    the session-materialized candidate frame: a pair survives iff
+    jaccard >= floor('jaccard') OR containment >= floor('containment').
+    The floors ARE the weakest registered consumer thresholds
+    (dedup_lsh_tuning's LSH_TUNING_FLOOR, dedup_containment's
+    CONTAINMENT_THRESHOLD) — resolved lazily so the constants can live
+    next to their operators. Every consumer scores through
+    scored_pairs_from_capped_frame, which asserts its threshold against
+    this floor, so a future rider with a lower threshold fails LOUDLY
+    instead of silently reading a checkpoint that already dropped the
+    rows it needs (r8 advice item)."""
+    return {
+        "jaccard": LSH_TUNING_FLOOR,
+        "containment": CONTAINMENT_THRESHOLD,
+    }[kind]
+
+
+def scored_pairs_from_capped_frame(
+    spark: SparkSession,
+    sf_dir: str,
+    kind: str,
+    score,
+    threshold: float,
+    out_name: str,
+) -> DataFrame:
+    """Guarded accessor for the session-materialized candidate frame —
+    see capped_frame_floor for why direct scoring is not exposed."""
+    floor = capped_frame_floor(kind)
+    if threshold < floor:
+        raise ValueError(
+            f"threshold {threshold} is below the materialized {kind} "
+            f"floor {floor}: the session candidate frame already dropped "
+            "pairs this consumer needs — lower the floor in "
+            "capped_frame_floor (and re-materialize) instead"
+        )
+    return scored_pairs_from_frame(
+        capped_candidate_frame(spark, sf_dir), score, threshold, out_name
+    )
+
+
 def capped_candidate_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _CANDIDATE_FRAME_CACHE.get(key)
     if cached is None:
-        # Keep only pairs at least one consumer can score in: the
-        # weakest thresholds across the five riders are jaccard >=
-        # LSH_TUNING_FLOOR (0.02, dedup_lsh_tuning) and containment >=
-        # CONTAINMENT_THRESHOLD (0.90, dedup_containment) — everything
-        # below both is unreachable junk. On the adversarial docs10
-        # corpus this drops the MATERIALIZED frame from 113M rows
-        # (1-2 shared shingles each) to the ~true-pair set; the join
-        # itself still streams all C(df,2) rows through one
-        # disk-spilling shuffle (output-bound by construction), but
-        # the checkpoint no longer pins them on the heap.
+        # Keep only pairs at least one consumer can score in — floors
+        # come from capped_frame_floor (weakest registered consumers),
+        # never hard-coded here. On the adversarial docs10 corpus this
+        # drops the MATERIALIZED frame from 113M rows (1-2 shared
+        # shingles each) to the ~true-pair set; the join itself still
+        # streams all C(df,2) rows through one disk-spilling shuffle
+        # (output-bound by construction), but the checkpoint no longer
+        # pins them on the heap.
         raw = candidate_frame_from_index(_capped_shingle_index(spark, sf_dir))
         c = F.col("n_common").cast("double")
         plausible = (
-            (c / (F.col("na") + F.col("nb") - c) >= LSH_TUNING_FLOOR)
-            | (c / F.least("na", "nb") >= CONTAINMENT_THRESHOLD)
+            (c / (F.col("na") + F.col("nb") - c)
+             >= capped_frame_floor("jaccard"))
+            | (c / F.least("na", "nb") >= capped_frame_floor("containment"))
         )
         cached = raw.where(plausible).localCheckpoint()
         _CANDIDATE_FRAME_CACHE[key] = cached
@@ -1981,8 +2025,10 @@ def dedup_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines multiply the same doubles in the same tree — no pow());
     per-pair probabilities quantize to integer micro-units so the
     per-config means are exact integer sums. Output: 3 config rows."""
-    pairs = scored_pairs_from_frame(
-        capped_candidate_frame(spark, sf_dir),
+    pairs = scored_pairs_from_capped_frame(
+        spark,
+        sf_dir,
+        "jaccard",
         lambda c, na, nb: c / (na + nb - c),
         LSH_TUNING_FLOOR,
         "s",
@@ -2085,8 +2131,10 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-joins beyond — and the matrix reduces onto the
     SOURCE x SOURCE domain. Exact counts, one division per cell."""
     t = load(spark, sf_dir)
-    pairs = scored_pairs_from_frame(
-        capped_candidate_frame(spark, sf_dir),
+    pairs = scored_pairs_from_capped_frame(
+        spark,
+        sf_dir,
+        "jaccard",
         lambda c, na, nb: c / (na + nb - c),
         0.30,
         "jaccard",
@@ -2266,6 +2314,12 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional aggregate per tau over that frame, unpivoted via
     stack(). Jaccards floor to 4 dp before the mean's sum so the fold
     is lattice-exact."""
+    # Direct (unthresholded) rider: every tau it aggregates at must sit
+    # at or above the materialized jaccard floor, or the conditional
+    # counts would silently miss pre-filtered rows.
+    assert min(SWEEP_TAUS) >= capped_frame_floor("jaccard"), (
+        "SWEEP_TAUS reaches below the candidate frame's jaccard floor"
+    )
     scored = capped_candidate_frame(spark, sf_dir).select(
         (
             F.col("n_common")

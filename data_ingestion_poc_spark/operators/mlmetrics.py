@@ -435,9 +435,14 @@ def agg_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = r.select(
         F.least(
-            (F.lit(LIFT_DECILES) * F.col("cum_before") / F.col("nt"))
-            .cast("bigint"),
-            F.lit(LIFT_DECILES - 1),
+            # Integer floor DIVISION (div), not a double quotient + cast:
+            # 10*cum_before/nt as a double can round up across an integer
+            # near 2^53, diverging from the oracle's exact // semantics.
+            F.expr(
+                f"CAST(CAST({LIFT_DECILES} AS BIGINT) * cum_before AS"
+                " BIGINT) div nt"
+            ),
+            F.lit(LIFT_DECILES - 1).cast("bigint"),
         ).alias("decile"),
         "n",
         "pos",

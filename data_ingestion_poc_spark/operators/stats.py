@@ -3440,7 +3440,10 @@ def agg_bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     arms = t.events.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(cents).cast("bigint").alias("s1"),
-        F.sum(cents * cents).alias("s2"),
+        # decimal(38,0) like agg_partial_corr's syy: the cents^2 sum
+        # passes 2^63 at large SF and DuckDB's SUM(BIGINT) widens to
+        # HUGEINT, so a plain bigint sum would wrap silently here.
+        F.sum((cents * cents).cast("decimal(38,0)")).alias("s2"),
     )
     ss = F.col("s2") - F.col("s1") * (F.col("s1") / F.col("n").cast("double"))
     terms = arms.select(

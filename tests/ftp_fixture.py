@@ -59,7 +59,10 @@ class MiniFtpServer:
 
     def _resolve(self, path: str) -> str:
         full = os.path.abspath(os.path.join(self.root, path.lstrip("/")))
-        if not full.startswith(self.root):
+        # commonpath, not startswith: a plain string-prefix test also
+        # accepts SIBLINGS sharing the root as a prefix (/tmp/data
+        # matching /tmp/data-other), so only true descendants resolve.
+        if os.path.commonpath([full, self.root]) != self.root:
             raise FileNotFoundError(path)
         return full
 
