@@ -39,36 +39,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # CORRECTNESS_r0*.json files — r5's hand-maintained 180-line _JUDGED list
 # is gone; drift there silently wasted window slots).
 _CHANGED_THIS_ROUND = [
-    # r8 semantic implementation changes (VERDICT r7 items 1 & 3: the
-    # data-proportional F.broadcast hints dropped, the inverted-index
-    # candidate frame materialized once per session). Per VERDICT r7
-    # item 7, changed names LEAD the window even when they already
-    # carry a driver verdict (first eight below), capped at ~10; the
-    # last three are changed AND never driver-judged.
-    "corpus_dedup_keep",
-    "dedup_ngram_jaccard",
-    "dedup_containment",
-    "dedup_clusters",
-    "join_geo_distance",
-    "join_geo_knn",
-    "sort_pareto_skyline",
-    "corpus_curate_e2e",
-    "dedup_threshold_sweep",
-    "dedup_lsh_tuning",
-    "dedup_cross_source_matrix",
+    # r9 semantic implementation change (VERDICT r8 item 2): the
+    # quadratic all-pairs audit became a size dispatch (brute at oracle
+    # SFs, IVF-cell fold beyond). Never driver-judged, so it costs a
+    # backlog slot it would have spent anyway.
+    "embed_hubness",
 ]
 
-# r8 diffs that touch function bodies WITHOUT changing semantics
-# (finish_stream plan capture replaced bare awaitTermination — output
-# identical, locally oracle-verified 7/7): beyond the ~10-name cap, so
-# they lead the judged block (positions 51+) instead of spending
-# backlog slots.
+# r9 diffs that touch function bodies WITHOUT changing semantics (the
+# r8-advice guarded-floor accessor in capped_candidate_frame — output
+# identical, locally oracle-verified 5/5): they lead the judged block
+# (positions 51+) instead of spending backlog slots.
 _CHANGED_JUDGED_THIS_ROUND = [
-    "stream_foreach_batch_sink",
-    "stream_file_ingest_clean",
-    "stream_rollup_upsert",
-    "stream_checkpoint_resume",
-    "stream_quality_gate",
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "dedup_lsh_tuning",
+    "dedup_cross_source_matrix",
+    "dedup_threshold_sweep",
 ]
 
 
@@ -91,17 +78,10 @@ def _driver_judged() -> set[str]:
 #: all locally oracle-verified and queue right behind. (Older rounds'
 #: new-name sets need no list here: registration order already ages
 #: them correctly once the round closes.)
+#: (r9 edition — r8's names age correctly by registration order now
+#: that the r8 window has closed.)
 _NEW_THIS_ROUND: set[str] = {
-    "agg_auc_roc", "agg_brier_score", "agg_log_loss",
-    "agg_pr_thresholds", "agg_lift_deciles", "agg_bartlett_test",
-    "agg_partial_corr", "agg_friedman_test", "quality_outlier_iqr",
-    "win_atr", "win_donchian", "win_pivot_points",
-    "corpus_lang_quotas", "text_vocab_coverage", "embed_hubness",
-    "graph_modularity", "profile_column_entropy",
-    "stream_topk_per_window", "sample_temporal_split", "join_geo_bbox",
-    "privacy_pseudonymize", "fn_business_days",
-    "privacy_suppression_smallcell", "agg_benjamini_hochberg",
-    "stream_hll_active_users_bound",
+    "embed_hubness_ivf",
 }
 
 

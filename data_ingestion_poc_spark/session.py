@@ -36,9 +36,21 @@ def builder(
         os.environ["PYTHONPATH"] = (
             f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
         )
+    # Per-PROCESS warehouse: managed tables (bucketed fixtures, CBO/
+    # time-travel/WAP demos) are session-scoped caches here, and two JVMs
+    # sharing one spark-warehouse/ can wipe each other's table directories
+    # mid-read (r8 flake: test_bucketed_join_has_no_shuffle vs a
+    # concurrent check_oracle run). The catalog is in-memory anyway, so
+    # nothing is meant to survive the process; isolating the directory
+    # makes that true on disk too. Override with DIP_WAREHOUSE_DIR when a
+    # deployment really does share a metastore.
+    warehouse = os.environ.get(
+        "DIP_WAREHOUSE_DIR", f"/tmp/dip-warehouse-{os.getpid()}"
+    )
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
+        .config("spark.sql.warehouse.dir", warehouse)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -246,6 +246,11 @@ SINGLE_PARTITION_OK: dict[str, str] = {
         "1-row moment fold over the per-vector k-occurrence counts "
         "(count partials, never pair rows)"
     ),
+    "embed_hubness_ivf": (
+        "1-row moment fold over the per-vector k-occurrence counts "
+        "(count partials, never pair rows); the nlist-sized quantizer "
+        "seed frame broadcasts, never shuffles"
+    ),
     "agg_bartlett_test": (
         "1-row fold over the ARM-domain (event-type) integer-quantized "
         "term frame (arm partials, never event rows)"
