@@ -82,6 +82,7 @@ def _driver_judged() -> set[str]:
 #: that the r8 window has closed.)
 _NEW_THIS_ROUND: set[str] = {
     "embed_hubness_ivf",
+    "ingest_blob_store_policies",
 }
 
 

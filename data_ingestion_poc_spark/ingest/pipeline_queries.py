@@ -323,3 +323,106 @@ def ingest_sink_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(), f"dip_blob_sink_{uuid.uuid4().hex[:8]}"
     )
     return write_blob_sink(deduped, sink_root)
+
+
+def _blob_policies_oracle() -> str:
+    from .blobstore import blob_path_for, dup_suffixed
+
+    values = ",\n      ".join(
+        f"('{sf}', '{ft}', '{fn}', 'uploaded', 'skipped', 'renamed', "
+        f"'{blob_path_for(sf, ft, dup_suffixed(fn, mt))}', TRUE)"
+        for sf, ft, fn, _ln, mt, _fa, _sha in expected_records()
+    )
+    return f"""
+    SELECT * FROM (VALUES
+      {values})
+    AS t(server_folder, file_type, file_name, first_action,
+         rerun_skip_action, rerun_rename_action, renamed_blob_path,
+         props_match_all)
+    ORDER BY server_folder, file_type, file_name
+    """
+
+
+@register("ingest_blob_store_policies", oracle=_blob_policies_oracle())
+def ingest_blob_store_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's STORE-LEVEL duplicate contract through the
+    BlobStore protocol seam (child.py:160-221; VERDICT r8 item 5): the
+    fixture pipeline's records upload blob-per-object three times into
+    one store — fresh (every record 'uploaded'), then a re-run under
+    policy='skip' (every record a metadata-identical duplicate ->
+    'skipped', the scrap variant's A17 at the store level), then under
+    policy='rename' (every record diverted to the deterministic
+    {base}_{mtime}{ext} path -> 'renamed', child.py:183-188's divert).
+    props_match_all is the post-upload size verify (child.py:211-218)
+    across all three rounds. LocalBlobStore is the tested backend;
+    AzureBlobStore is the import-guarded literal SDK twin — a real
+    deployment swaps the factory and nothing else.
+
+    Scale/determinism: uploads run executor-side (one store client per
+    partition, the Fetcher-seam convention); result frames are one row
+    per OBJECT (manifest-bounded, the sink_state shape), localCheckpoint
+    pins round ordering; the rename suffix is the record's mtime, so a
+    retried task reproduces the identical blob path."""
+    import functools
+    import os
+    import tempfile
+    import uuid
+
+    from .blobstore import LocalBlobStore, upload_records
+    from .pipeline import (
+        dedup_against_sink,
+        derive_columns,
+        explode_archives,
+        fetch,
+        split_verified,
+        EXPLODED_SCHEMA,
+    )
+
+    fixtures.build()
+    fetched = fetch(spark)
+    ok, _quarantine = split_verified(fetched)
+    exploded = ok.mapInPandas(explode_archives, schema=EXPLODED_SCHEMA)
+    derived = derive_columns(exploded)
+    records = dedup_against_sink(
+        derived, spark.createDataFrame([], SINK_STATE_SCHEMA), "skip"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"dip_blob_store_{uuid.uuid4().hex[:8]}"
+    )
+    factory = functools.partial(LocalBlobStore, root)
+    r1 = upload_records(records, factory, "overwrite").localCheckpoint()
+    r2 = upload_records(records, factory, "skip").localCheckpoint()
+    r3 = upload_records(records, factory, "rename").localCheckpoint()
+    keys = ["server_folder", "file_type", "file_name"]
+    out = (
+        r1.select(
+            *keys,
+            F.col("action").alias("first_action"),
+            F.col("props_match").alias("m1"),
+        )
+        .join(
+            r2.select(
+                *keys,
+                F.col("action").alias("rerun_skip_action"),
+                F.col("props_match").alias("m2"),
+            ),
+            keys,
+        )
+        .join(
+            r3.select(
+                *keys,
+                F.col("action").alias("rerun_rename_action"),
+                F.col("blob_path").alias("renamed_blob_path"),
+                F.col("props_match").alias("m3"),
+            ),
+            keys,
+        )
+    )
+    return out.select(
+        *keys,
+        "first_action",
+        "rerun_skip_action",
+        "rerun_rename_action",
+        "renamed_blob_path",
+        (F.col("m1") & F.col("m2") & F.col("m3")).alias("props_match_all"),
+    ).orderBy(*keys)
