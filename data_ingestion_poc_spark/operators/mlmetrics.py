@@ -465,3 +465,126 @@ def agg_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+#: Decision threshold for the confusion-matrix metrics (micro-units).
+#: 0.5 is the Bayes cut for a calibrated probability — fixed, so the
+#: metric needs no data-dependent scalar.
+MCC_THRESHOLD_U = 500_000
+
+_MCC_ORACLE = f"""
+    {_SCORED_CTE},
+    c AS (
+      SELECT
+        CAST(SUM(CASE WHEN y = 1 AND p_u >= {MCC_THRESHOLD_U} THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        CAST(SUM(CASE WHEN y = 0 AND p_u >= {MCC_THRESHOLD_U} THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        CAST(SUM(CASE WHEN y = 1 AND p_u <  {MCC_THRESHOLD_U} THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        CAST(SUM(CASE WHEN y = 0 AND p_u <  {MCC_THRESHOLD_U} THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      FROM scored
+    )
+    SELECT tp, fp, fn, tn,
+           ROUND((CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
+                 / (SQRT(CAST(tp + fp AS DOUBLE)) * SQRT(CAST(tp + fn AS DOUBLE))
+                    * SQRT(CAST(tn + fp AS DOUBLE)) * SQRT(CAST(tn + fn AS DOUBLE))),
+                 6) AS mcc
+    FROM c
+"""
+
+
+@register("agg_matthews_corr", oracle=_MCC_ORACLE)
+def agg_matthews_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews correlation coefficient of the thresholded score vs the
+    purchase label — the confusion-matrix summary that stays honest
+    under class imbalance (accuracy and even F1 reward the
+    majority-class constant; MCC is the phi coefficient, 0 for any
+    constant classifier). Complements agg_auc_roc (threshold-free
+    ranking) with the one-number verdict AT the deployed 0.5 cut.
+
+    Scale/determinism: one combinable 4-counter pass (the whole metric
+    is four integer sums); the products tp*tn and the four marginals
+    are taken in DOUBLE via per-factor sqrt — counts at 100 TB (~1e13)
+    square past decimal(38) range, and the identical single expression
+    on both engines is the stats.py doctrine for final divisions."""
+    s = _scored(spark, sf_dir)
+    pred = (F.col("p_u") >= MCC_THRESHOLD_U).cast("int")
+    c = s.agg(
+        F.sum(((F.col("y") == 1) & (pred == 1)).cast("int")).cast("bigint").alias("tp"),
+        F.sum(((F.col("y") == 0) & (pred == 1)).cast("int")).cast("bigint").alias("fp"),
+        F.sum(((F.col("y") == 1) & (pred == 0)).cast("int")).cast("bigint").alias("fn"),
+        F.sum(((F.col("y") == 0) & (pred == 0)).cast("int")).cast("bigint").alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(x) for x in ("tp", "fp", "fn", "tn"))
+    num = tp.cast("double") * tn - fp.cast("double") * fn
+    den = (
+        F.sqrt((tp + fp).cast("double"))
+        * F.sqrt((tp + fn).cast("double"))
+        * F.sqrt((tn + fp).cast("double"))
+        * F.sqrt((tn + fn).cast("double"))
+    )
+    return c.select(
+        "tp", "fp", "fn", "tn", F.round(num / den, 6).alias("mcc")
+    )
+
+
+_KAPPA_ORACLE = f"""
+    {_SCORED_CTE},
+    c AS (
+      SELECT
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CASE WHEN y = 1 AND p_u >= {MCC_THRESHOLD_U} THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        CAST(SUM(CASE WHEN y = 0 AND p_u <  {MCC_THRESHOLD_U} THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+        CAST(SUM(CASE WHEN p_u >= {MCC_THRESHOLD_U} THEN 1 ELSE 0 END) AS BIGINT) AS pred_pos,
+        CAST(SUM(y) AS BIGINT) AS true_pos
+      FROM scored
+    )
+    SELECT n,
+           ROUND((tp + tn) / CAST(n AS DOUBLE), 6) AS observed_agreement,
+           ROUND((CAST(pred_pos AS DOUBLE) / n) * (CAST(true_pos AS DOUBLE) / n)
+                 + (CAST(n - pred_pos AS DOUBLE) / n) * (CAST(n - true_pos AS DOUBLE) / n),
+                 6) AS chance_agreement,
+           ROUND(((tp + tn) / CAST(n AS DOUBLE)
+                  - ((CAST(pred_pos AS DOUBLE) / n) * (CAST(true_pos AS DOUBLE) / n)
+                     + (CAST(n - pred_pos AS DOUBLE) / n) * (CAST(n - true_pos AS DOUBLE) / n)))
+                 / (1.0 - ((CAST(pred_pos AS DOUBLE) / n) * (CAST(true_pos AS DOUBLE) / n)
+                           + (CAST(n - pred_pos AS DOUBLE) / n) * (CAST(n - true_pos AS DOUBLE) / n))),
+                 6) AS kappa
+    FROM c
+"""
+
+
+@register("agg_cohens_kappa", oracle=_KAPPA_ORACLE)
+def agg_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the thresholded score and the purchase
+    label: chance-corrected agreement — how much better than a
+    marginal-respecting random rater the classifier agrees with truth.
+    Reads beside agg_matthews_corr (same confusion matrix): kappa
+    penalizes via the raters' own marginals, MCC via the geometric
+    mean of all four; a large gap between them flags skewed marginals.
+
+    Scale/determinism: the same single combinable 4-counter pass
+    (n, tp, tn, and the two positive marginals determine the matrix);
+    observed/chance agreement and kappa are each ONE closed-form double
+    expression over those integers, written identically in both
+    engines, rounded once at 6 dp."""
+    s = _scored(spark, sf_dir)
+    pred = (F.col("p_u") >= MCC_THRESHOLD_U).cast("int")
+    c = s.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(((F.col("y") == 1) & (pred == 1)).cast("int")).cast("bigint").alias("tp"),
+        F.sum(((F.col("y") == 0) & (pred == 0)).cast("int")).cast("bigint").alias("tn"),
+        F.sum(pred).cast("bigint").alias("pred_pos"),
+        F.sum("y").cast("bigint").alias("true_pos"),
+    )
+    nd = F.col("n").cast("double")
+    po = (F.col("tp") + F.col("tn")) / nd
+    pe = (F.col("pred_pos").cast("double") / nd) * (
+        F.col("true_pos").cast("double") / nd
+    ) + ((F.col("n") - F.col("pred_pos")).cast("double") / nd) * (
+        (F.col("n") - F.col("true_pos")).cast("double") / nd
+    )
+    return c.select(
+        "n",
+        F.round(po, 6).alias("observed_agreement"),
+        F.round(pe, 6).alias("chance_agreement"),
+        F.round((po - pe) / (1.0 - pe), 6).alias("kappa"),
+    )

@@ -235,6 +235,50 @@ def _pair_budget_probe(spark, mult: int) -> None:
         )
 
 
+def _curate_ladder_probe(spark, mult: int) -> None:
+    """Corpus-axis endpoint for the CURATION LADDER itself (VERDICT r8
+    item 8): at docs{mult}, run dedup_candidate_budget first (the gate —
+    its prediction must exactly price the near-dup stage's candidate
+    join before the ladder runs it), then corpus_curate_e2e end to end,
+    and report the whole-corpus FUNNEL (docs in, dropped per rung,
+    survivors, token retention) plus walls. This makes the e2e ladder's
+    100x claim a measured artifact of the ladder's own output instead
+    of a composition of rider timings."""
+    sf_dir = build(spark, mult, mode="corpus")
+    qs = registry.all_queries()
+
+    t0 = time.time()
+    budget = qs["dedup_candidate_budget"].fn(spark, sf_dir).collect()[0]
+    t_budget = time.time() - t0
+
+    t0 = time.time()
+    per_source = qs["corpus_curate_e2e"].fn(spark, sf_dir)
+    funnel = per_source.agg(
+        F.count(F.lit(1)).alias("n_sources"),
+        *[
+            F.sum(c).cast("bigint").alias(c)
+            for c in (
+                "n_docs", "n_drop_url", "n_drop_exact", "n_drop_near",
+                "n_drop_quality", "n_kept", "raw_tokens", "kept_tokens",
+            )
+        ],
+    ).collect()[0]
+    t_ladder = time.time() - t0
+
+    print(json.dumps({
+        "mode": "curate_ladder", "mult": mult,
+        "predicted_join_rows": int(budget["candidates_capped"]),
+        "uncapped_join_rows": int(budget["candidates_uncapped"]),
+        "budget_seconds": round(t_budget, 2),
+        "ladder_seconds": round(t_ladder, 2),
+        "funnel": {k: int(funnel[k]) for k in funnel.asDict()},
+        "kept_share": round(funnel["n_kept"] / funnel["n_docs"], 4),
+        "token_retention": round(
+            funnel["kept_tokens"] / funnel["raw_tokens"], 4
+        ),
+    }))
+
+
 def _scale_tables(spark, out: str, mult: int, scaled: dict[str, list[str]]) -> None:
     for tbl, keys in scaled.items():
         base = spark.read.parquet(f"{BASE}/{tbl}.parquet")
@@ -328,6 +372,9 @@ def main() -> None:
     ap.add_argument("--cc-chain", type=int, default=0, metavar="LEN",
                     help="plant a LEN-deep near-dup chain and report "
                          "dedup_clusters propagation rounds + correctness")
+    ap.add_argument("--curate-ladder", type=int, default=0, metavar="MULT",
+                    help="docs{MULT} curation-ladder endpoint: budget gate "
+                         "+ corpus_curate_e2e whole-corpus funnel + walls")
     ap.add_argument("--pair-budget", type=int, default=0, metavar="MULT",
                     help="docs{MULT} predictor-vs-actual: assert "
                          "dedup_candidate_budget's capped join-row count "
@@ -340,6 +387,10 @@ def main() -> None:
     if args.cc_chain:
         spark = get_spark(app_name="dip-cc-chain-probe")
         _cc_chain_probe(spark, args.cc_chain)
+        return
+    if args.curate_ladder:
+        spark = get_spark(app_name="dip-curate-ladder-probe")
+        _curate_ladder_probe(spark, args.curate_ladder)
         return
     if args.pair_budget:
         spark = get_spark(app_name="dip-pair-budget-probe")
