@@ -83,6 +83,11 @@ def _driver_judged() -> set[str]:
 _NEW_THIS_ROUND: set[str] = {
     "embed_hubness_ivf",
     "ingest_blob_store_policies",
+    "agg_matthews_corr", "agg_cohens_kappa",
+    "agg_goodman_kruskal_lambda", "agg_theils_u",
+    "agg_cronbach_alpha", "agg_page_hinkley",
+    "win_ichimoku", "win_keltner", "win_aroon", "win_mfi",
+    "win_rolling_corr_pair",
 }
 
 

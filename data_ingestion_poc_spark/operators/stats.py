@@ -3851,3 +3851,357 @@ def agg_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("rk") <= F.col("k")).alias("discovery"),
     )
+
+
+_GK_LAMBDA_ORACLE = """
+    WITH ct AS (
+      SELECT o_orderpriority AS x, o_orderstatus AS y,
+             CAST(COUNT(*) AS BIGINT) AS obs
+      FROM orders GROUP BY 1, 2
+    ),
+    rowmax AS (
+      SELECT x, MAX(obs) AS mx FROM ct GROUP BY x
+    ),
+    colmax AS (
+      SELECT MAX(s) AS my, SUM(s) AS n FROM (
+        SELECT y, CAST(SUM(obs) AS BIGINT) AS s FROM ct GROUP BY y
+      )
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST((SELECT SUM(mx) FROM rowmax) AS BIGINT) AS sum_row_modes,
+           CAST(my AS BIGINT) AS col_mode,
+           ROUND(((SELECT SUM(mx) FROM rowmax) - my)
+                 / CAST(n - my AS DOUBLE), 6) AS lambda_y_given_x
+    FROM colmax
+"""
+
+
+@register("agg_goodman_kruskal_lambda", oracle=_GK_LAMBDA_ORACLE)
+def agg_goodman_kruskal_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goodman-Kruskal lambda(Y|X) for order status given priority: the
+    proportional reduction in MODAL prediction error — "guessing the
+    per-priority modal status instead of the global modal status avoids
+    what share of mistakes". The decision-rule complement of
+    agg_mutual_info (bits) and agg_chi_squared (significance) on the
+    same contingency: lambda is what a router that must pick ONE class
+    per segment actually gains, and it is 0 whenever every row mode
+    equals the column mode even under strong dependence — reading it
+    beside MI exposes exactly that case.
+
+    Scale/determinism: one combinable groupBy to the 15-cell bounded
+    contingency frame; row modes and the column mode are integer MAXes
+    over that frame; lambda is one exact-integer division rounded 6 dp.
+    No ties in the fixture modes; a tied mode takes the same max count
+    either way, so the statistic is tie-stable by construction."""
+    t = load(spark, sf_dir)
+    ct = t.orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("obs")
+    )
+    rowmax = ct.groupBy("o_orderpriority").agg(F.max("obs").alias("mx"))
+    col = ct.groupBy("o_orderstatus").agg(F.sum("obs").alias("s"))
+    summary = rowmax.agg(
+        F.sum("mx").cast("bigint").alias("sum_row_modes")
+    ).crossJoin(
+        col.agg(
+            F.max("s").cast("bigint").alias("col_mode"),
+            F.sum("s").cast("bigint").alias("n"),
+        )
+    )
+    return summary.select(
+        "n",
+        "sum_row_modes",
+        "col_mode",
+        F.round(
+            (F.col("sum_row_modes") - F.col("col_mode"))
+            / (F.col("n") - F.col("col_mode")).cast("double"),
+            6,
+        ).alias("lambda_y_given_x"),
+    )
+
+
+_THEILS_U_ORACLE = """
+    WITH ct AS (
+      SELECT o_orderpriority AS x, o_orderstatus AS y,
+             CAST(COUNT(*) AS BIGINT) AS obs
+      FROM orders GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT x, y, obs,
+             CAST(SUM(obs) OVER (PARTITION BY x) AS BIGINT) AS row_t,
+             CAST(SUM(obs) OVER (PARTITION BY y) AS BIGINT) AS col_t,
+             CAST(SUM(obs) OVER () AS BIGINT) AS n
+      FROM ct
+    ),
+    mi AS (
+      SELECT SUM(ROUND((obs / CAST(n AS DOUBLE))
+                 * LOG2((obs * n) / (CAST(row_t AS DOUBLE) * col_t)), 6))
+               AS mi_bits
+      FROM m
+    ),
+    hy AS (
+      SELECT SUM(ROUND(-(s / CAST(n AS DOUBLE))
+                 * LOG2(s / CAST(n AS DOUBLE)), 6)) AS h_y
+      FROM (SELECT y, CAST(SUM(obs) AS BIGINT) AS s,
+                   CAST(SUM(SUM(obs)) OVER () AS BIGINT) AS n
+            FROM ct GROUP BY y)
+    ),
+    hx AS (
+      SELECT SUM(ROUND(-(s / CAST(n AS DOUBLE))
+                 * LOG2(s / CAST(n AS DOUBLE)), 6)) AS h_x
+      FROM (SELECT x, CAST(SUM(obs) AS BIGINT) AS s,
+                   CAST(SUM(SUM(obs)) OVER () AS BIGINT) AS n
+            FROM ct GROUP BY x)
+    )
+    SELECT ROUND(mi_bits, 6) AS mi_bits,
+           ROUND(h_y, 6) AS h_y,
+           ROUND(h_x, 6) AS h_x,
+           ROUND(mi_bits / h_y, 6) AS u_y_given_x,
+           ROUND(mi_bits / h_x, 6) AS u_x_given_y
+    FROM mi, hy, hx
+"""
+
+
+@register("agg_theils_u", oracle=_THEILS_U_ORACLE)
+def agg_theils_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's uncertainty coefficient U(Y|X) and U(X|Y) for order
+    status vs priority: mutual information NORMALIZED by each target's
+    own entropy — "what share of the uncertainty in Y does knowing X
+    remove", in [0,1] and ASYMMETRIC, which is the point: NMI
+    (agg_mutual_info) symmetrizes away which direction the dependence
+    is usable in; a feature-selection pass ranks X by U(Y|X).
+
+    Scale/determinism: the agg_mutual_info bounded-frame doctrine
+    verbatim — one combinable groupBy to the 15-cell table, windows
+    only over it, every log2 argument a single division of exact
+    integer products, per-cell terms 6-dp rounded before the
+    lattice-exact sums, marginal entropies over the 5/3-row frames."""
+    t = load(spark, sf_dir)
+    ct = t.orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("obs")
+    )
+    wr = Window.partitionBy("o_orderpriority")
+    wc = Window.partitionBy("o_orderstatus")
+    wall = Window.partitionBy()
+    m = ct.select(
+        "obs",
+        F.sum("obs").over(wr).alias("row_t"),
+        F.sum("obs").over(wc).alias("col_t"),
+        F.sum("obs").over(wall).alias("n"),
+    )
+    ratio = (F.col("obs") * F.col("n")) / (
+        F.col("row_t").cast("double") * F.col("col_t")
+    )
+    mi = m.select(
+        F.round(
+            (F.col("obs") / F.col("n").cast("double")) * F.log2(ratio), 6
+        ).alias("term")
+    ).agg(F.sum("term").alias("mi_bits"))
+
+    def _h(key: str, alias: str):
+        g = ct.groupBy(key).agg(F.sum("obs").cast("bigint").alias("s"))
+        tot = F.sum("s").over(Window.partitionBy()).cast("bigint")
+        p = F.col("s") / tot.cast("double")
+        return (
+            g.select(F.round(-p * F.log2(p), 6).alias("term"))
+            .agg(F.sum("term").alias(alias))
+        )
+
+    out = mi.crossJoin(_h("o_orderstatus", "h_y")).crossJoin(
+        _h("o_orderpriority", "h_x")
+    )
+    return out.select(
+        F.round("mi_bits", 6).alias("mi_bits"),
+        F.round("h_y", 6).alias("h_y"),
+        F.round("h_x", 6).alias("h_x"),
+        F.round(F.col("mi_bits") / F.col("h_y"), 6).alias("u_y_given_x"),
+        F.round(F.col("mi_bits") / F.col("h_x"), 6).alias("u_x_given_y"),
+    )
+
+
+_CRONBACH_ORACLE = """
+    WITH items AS (
+      SELECT CAST(l_quantity AS BIGINT) AS q,
+             CAST(ROUND(l_discount * 100) AS BIGINT) AS d,
+             CAST(ROUND(l_tax * 100) AS BIGINT) AS x
+      FROM lineitem
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(q) AS DECIMAL(38,0)) AS s1q,
+             CAST(SUM(q * q) AS DECIMAL(38,0)) AS s2q,
+             CAST(SUM(d) AS DECIMAL(38,0)) AS s1d,
+             CAST(SUM(d * d) AS DECIMAL(38,0)) AS s2d,
+             CAST(SUM(x) AS DECIMAL(38,0)) AS s1x,
+             CAST(SUM(x * x) AS DECIMAL(38,0)) AS s2x,
+             CAST(SUM(q + d + x) AS DECIMAL(38,0)) AS s1t,
+             CAST(SUM((q + d + x) * (q + d + x)) AS DECIMAL(38,0)) AS s2t
+      FROM items
+    )
+    SELECT n, CAST(3 AS BIGINT) AS k,
+           ROUND((CAST(s2q AS DOUBLE) / n
+                  - POWER(CAST(s1q AS DOUBLE) / n, 2))
+                 + (CAST(s2d AS DOUBLE) / n
+                    - POWER(CAST(s1d AS DOUBLE) / n, 2))
+                 + (CAST(s2x AS DOUBLE) / n
+                    - POWER(CAST(s1x AS DOUBLE) / n, 2)), 6)
+             AS sum_item_var,
+           ROUND(CAST(s2t AS DOUBLE) / n
+                 - POWER(CAST(s1t AS DOUBLE) / n, 2), 6) AS total_var,
+           ROUND((3.0 / 2.0)
+                 * (1 - ((CAST(s2q AS DOUBLE) / n
+                          - POWER(CAST(s1q AS DOUBLE) / n, 2))
+                         + (CAST(s2d AS DOUBLE) / n
+                            - POWER(CAST(s1d AS DOUBLE) / n, 2))
+                         + (CAST(s2x AS DOUBLE) / n
+                            - POWER(CAST(s1x AS DOUBLE) / n, 2)))
+                        / (CAST(s2t AS DOUBLE) / n
+                           - POWER(CAST(s1t AS DOUBLE) / n, 2))), 6)
+             AS alpha
+    FROM s
+"""
+
+
+@register("agg_cronbach_alpha", oracle=_CRONBACH_ORACLE)
+def agg_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha over the three integer-quantized lineitem
+    "items" (quantity, discount pct-points, tax pct-points): the
+    internal-consistency coefficient alpha = k/(k-1) * (1 - sum
+    item-var / total-var) — the standard scale-reliability check
+    before anyone averages multiple quality signals into one score
+    (the same question a corpus pipeline asks before collapsing
+    length/stopword/distinct ratios into text_quality_score's single
+    number: do the components even co-vary?).
+
+    Scale/determinism: ONE combinable pass of nine integer sums (per
+    item and the row-total pseudo-item: n, s1, s2 each) — population
+    variances are closed forms of those; sums of squares cast to
+    decimal(38,0) (the agg_bartlett_test overflow doctrine: DuckDB's
+    SUM(BIGINT) widens to HUGEINT, Spark would wrap); doubles appear
+    only in the final identical closed-form expression, rounded 6 dp."""
+    t = load(spark, sf_dir)
+    q = F.col("l_quantity").cast("bigint")
+    d = F.round(F.col("l_discount") * 100).cast("bigint")
+    x = F.round(F.col("l_tax") * 100).cast("bigint")
+    tot = q + d + x
+    s = t.lineitem.select(
+        q.alias("q"), d.alias("d"), x.alias("x"), tot.alias("t")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        *[
+            F.sum(expr).cast("decimal(38,0)").alias(name)
+            for name, expr in [
+                ("s1q", F.col("q")), ("s2q", F.col("q") * F.col("q")),
+                ("s1d", F.col("d")), ("s2d", F.col("d") * F.col("d")),
+                ("s1x", F.col("x")), ("s2x", F.col("x") * F.col("x")),
+                ("s1t", F.col("t")), ("s2t", F.col("t") * F.col("t")),
+            ]
+        ],
+    )
+    nd = F.col("n").cast("double")
+
+    def _var(s1: str, s2: str):
+        return F.col(s2).cast("double") / nd - F.pow(
+            F.col(s1).cast("double") / nd, 2
+        )
+
+    item_var = _var("s1q", "s2q") + _var("s1d", "s2d") + _var("s1x", "s2x")
+    total_var = _var("s1t", "s2t")
+    return s.select(
+        "n",
+        F.lit(3).cast("bigint").alias("k"),
+        F.round(item_var, 6).alias("sum_item_var"),
+        F.round(total_var, 6).alias("total_var"),
+        F.round((3.0 / 2.0) * (1 - item_var / total_var), 6).alias("alpha"),
+    )
+
+
+_PAGE_HINKLEY_ORACLE = """
+    WITH daily AS (
+      SELECT o_orderdate AS day,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    ),
+    r AS (
+      SELECT day, cents,
+             SUM(cents) OVER w AS cum,
+             ROW_NUMBER() OVER (ORDER BY day) AS t
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    ),
+    inc AS (
+      SELECT day, cents,
+             CAST(FLOOR((cents - cum / CAST(t AS DOUBLE)) * 1000000)
+                  AS BIGINT) AS inc_u
+      FROM r
+    ),
+    u AS (
+      SELECT day, cents,
+             CAST(SUM(inc_u) OVER w AS BIGINT) AS u_t
+      FROM inc
+      WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    )
+    SELECT CAST(day AS VARCHAR) AS day,
+           ROUND(cents / 100.0, 2) AS revenue,
+           ROUND(u_t / 1e6 / 100.0, 2) AS deviation_cum,
+           ROUND((u_t - MIN(u_t) OVER w) / 1e6 / 100.0, 2) AS page_hinkley
+    FROM u
+    WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW)
+    ORDER BY day
+"""
+
+
+@register("agg_page_hinkley", oracle=_PAGE_HINKLEY_ORACLE)
+def agg_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley drift statistic over the daily-revenue series: the
+    cumulative deviation-from-running-mean U_t, and PH_t = U_t - min
+    U_s (s<=t) — the sequential upward-shift detector (Page 1954,
+    Hinkley 1971) that flags a LEVEL CHANGE the moment the post-change
+    series stops pulling U_t back down. Reads beside win_cusum_drift:
+    CUSUM tracks deviation from a FIXED reference, PH from the
+    series' own running mean, so PH needs no calibrated baseline —
+    the monitor a pipeline can switch on with zero configuration. The
+    statistic is emitted per day; the alarm threshold is the
+    consumer's (it is scale-dependent by definition).
+
+    Scale/determinism: orders fold to the bounded DAY domain first
+    (one combinable groupBy; ~2.4k rows at any SF) — all windows run
+    on that frame. Each day's deviation increment floors to integer
+    micro-cents BEFORE the cumulative sum (one double division
+    cum/t, identical both engines, then floor — the stats.py b_u
+    doctrine), so U_t is an exact integer fold; day order is total,
+    so the running mean is well-defined."""
+    t = load(spark, sf_dir)
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    daily = t.orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(cents).cast("bigint").alias("cents")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    r = daily.select(
+        "day",
+        "cents",
+        F.sum("cents").over(w).alias("cum"),
+        F.row_number().over(Window.orderBy("day")).alias("t"),
+    )
+    inc = r.select(
+        "day",
+        "cents",
+        F.floor(
+            (F.col("cents") - F.col("cum") / F.col("t").cast("double"))
+            * 1_000_000
+        ).cast("bigint").alias("inc_u"),
+    )
+    u = inc.select(
+        "day", "cents", F.sum("inc_u").over(w).cast("bigint").alias("u_t")
+    )
+    return u.select(
+        F.col("day").cast("string").alias("day"),
+        F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+        F.round(F.col("u_t") / 1e6 / 100.0, 2).alias("deviation_cum"),
+        F.round(
+            (F.col("u_t") - F.min("u_t").over(w)) / 1e6 / 100.0, 2
+        ).alias("page_hinkley"),
+    ).orderBy("day")

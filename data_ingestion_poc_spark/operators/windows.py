@@ -3062,3 +3062,535 @@ def win_pivot_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("hi") == F.col("max_hi")).alias("pivot_high"),
         (F.col("lo") == F.col("min_lo")).alias("pivot_low"),
     )
+
+
+#: Ichimoku spans (tenkan/kijun/senkou-B lookbacks + displacement),
+#: the classic 9/26/52/26 scaled to the fixture's month-long event
+#: window. Production tunes these; the plan shape is span-invariant.
+ICHIMOKU_T, ICHIMOKU_K, ICHIMOKU_B, ICHIMOKU_D = 5, 10, 20, 5
+
+_ICHIMOKU_ORACLE = f"""
+    WITH bars AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             MAX(CAST(ROUND(value * 100) AS BIGINT)) AS hi,
+             MIN(CAST(ROUND(value * 100) AS BIGINT)) AS lo
+      FROM events GROUP BY 1, 2
+    ),
+    lines AS (
+      SELECT event_type, day,
+             CASE WHEN COUNT(*) OVER wt = {ICHIMOKU_T}
+                  THEN (MAX(hi) OVER wt + MIN(lo) OVER wt) END AS tenkan2,
+             CASE WHEN COUNT(*) OVER wk = {ICHIMOKU_K}
+                  THEN (MAX(hi) OVER wk + MIN(lo) OVER wk) END AS kijun2,
+             CASE WHEN COUNT(*) OVER wb = {ICHIMOKU_B}
+                  THEN (MAX(hi) OVER wb + MIN(lo) OVER wb) END AS senkou_b2
+      FROM bars
+      WINDOW wt AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN {ICHIMOKU_T - 1} PRECEDING AND CURRENT ROW),
+             wk AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN {ICHIMOKU_K - 1} PRECEDING AND CURRENT ROW),
+             wb AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN {ICHIMOKU_B - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, CAST(day AS VARCHAR) AS day,
+           ROUND(tenkan2 / 200.0, 3) AS tenkan,
+           ROUND(kijun2 / 200.0, 3) AS kijun,
+           ROUND(LAG(tenkan2 + kijun2, {ICHIMOKU_D})
+                 OVER (PARTITION BY event_type ORDER BY day) / 400.0, 4)
+             AS senkou_a,
+           ROUND(LAG(senkou_b2, {ICHIMOKU_D})
+                 OVER (PARTITION BY event_type ORDER BY day) / 200.0, 3)
+             AS senkou_b
+    FROM lines
+    ORDER BY event_type, day
+"""
+
+
+@register("win_ichimoku", oracle=_ICHIMOKU_ORACLE)
+def win_ichimoku(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ichimoku lines per event type: tenkan/kijun (short/medium
+    trailing channel MIDPOINTS — order statistics, not means, so one
+    wild day moves them at most half a channel) and the senkou A/B
+    cloud (their average and the long channel midpoint, both DISPLACED
+    {ICHIMOKU_D} bars forward — today's cloud was computed D days ago,
+    which is what makes cloud crosses leading rather than repainting).
+    The midpoint family complements win_donchian (same channels, edges
+    instead of midpoints) and win_ewma_crossover (mean-based lines).
+
+    Scale/determinism: events reduce to the (type x DAY)-domain bar
+    frame before any window (combinable min/max cents); three stacked
+    ROWS frames + two LAGs on that bounded frame; midpoints stay in
+    integer 2x-cents (hi+lo) until one final /200 division; full-window
+    guards null the warmup rows identically in both engines."""
+    t = load(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    bars = (
+        t.events.select(
+            "event_type", F.to_date("ts").alias("day"), cents.alias("c")
+        )
+        .groupBy("event_type", "day")
+        .agg(F.max("c").alias("hi"), F.min("c").alias("lo"))
+    )
+
+    def _chan(n: int):
+        w = (
+            Window.partitionBy("event_type")
+            .orderBy("day")
+            .rowsBetween(-(n - 1), 0)
+        )
+        return F.when(
+            F.count(F.lit(1)).over(w) == n,
+            F.max("hi").over(w) + F.min("lo").over(w),
+        )
+
+    lines = bars.select(
+        "event_type",
+        "day",
+        _chan(ICHIMOKU_T).alias("tenkan2"),
+        _chan(ICHIMOKU_K).alias("kijun2"),
+        _chan(ICHIMOKU_B).alias("senkou_b2"),
+    )
+    wlag = Window.partitionBy("event_type").orderBy("day")
+    return lines.select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        F.round(F.col("tenkan2") / 200.0, 3).alias("tenkan"),
+        F.round(F.col("kijun2") / 200.0, 3).alias("kijun"),
+        F.round(
+            F.lag(F.col("tenkan2") + F.col("kijun2"), ICHIMOKU_D).over(wlag)
+            / 400.0,
+            4,
+        ).alias("senkou_a"),
+        F.round(
+            F.lag("senkou_b2", ICHIMOKU_D).over(wlag) / 200.0, 3
+        ).alias("senkou_b"),
+    ).orderBy("event_type", "day")
+
+
+#: Keltner lookback (Chester Keltner's original 10-day rule).
+KELTNER_N = 10
+
+_KELTNER_ORACLE = f"""
+    WITH bars AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             MAX(CAST(ROUND(value * 100) AS BIGINT)) AS hi,
+             MIN(CAST(ROUND(value * 100) AS BIGINT)) AS lo
+      FROM events GROUP BY 1, 2
+    ),
+    k AS (
+      SELECT event_type, day, hi, lo,
+             CASE WHEN COUNT(*) OVER w = {KELTNER_N} THEN
+               CAST(SUM(hi + lo) OVER w AS BIGINT) END AS s_mid2,
+             CAST(SUM(hi - lo) OVER w AS BIGINT) AS s_rng
+      FROM bars
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN {KELTNER_N - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, CAST(day AS VARCHAR) AS day,
+           ROUND(s_mid2 / (2.0 * {KELTNER_N}) / 100.0, 4) AS center,
+           ROUND((s_mid2 / (2.0 * {KELTNER_N}) + s_rng / CAST({KELTNER_N} AS DOUBLE))
+                 / 100.0, 4) AS upper_band,
+           ROUND((s_mid2 / (2.0 * {KELTNER_N}) - s_rng / CAST({KELTNER_N} AS DOUBLE))
+                 / 100.0, 4) AS lower_band,
+           (hi > s_mid2 / (2.0 * {KELTNER_N}) + s_rng / CAST({KELTNER_N} AS DOUBLE))
+             AS break_upper,
+           (lo < s_mid2 / (2.0 * {KELTNER_N}) - s_rng / CAST({KELTNER_N} AS DOUBLE))
+             AS break_lower
+    FROM k WHERE s_mid2 IS NOT NULL
+    ORDER BY event_type, day
+"""
+
+
+@register("win_keltner", oracle=_KELTNER_ORACLE)
+def win_keltner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keltner channel per event type: {KELTNER_N}-day moving average
+    of the bar MIDPOINT, banded by the same-window average daily RANGE
+    (Chester Keltner's original 10-day rule, midpoint standing in for
+    the close-dependent typical price — documented deviation, close
+    needs an argmax the bar fold deliberately avoids). The
+    volatility-scaled band beside win_donchian's order-statistic
+    channel and win_bollinger's std band: range-average bands widen
+    smoothly with volatility instead of jumping with one extreme
+    (Donchian) or squaring it (Bollinger).
+
+    Scale/determinism: (type x DAY)-domain bars first; ONE ROWS frame
+    computes both integer sums (sum(hi+lo), sum(hi-lo)); bands are two
+    exact-integer divisions combined in one identical double
+    expression; warmup rows drop via the full-window guard."""
+    t = load(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    bars = (
+        t.events.select(
+            "event_type", F.to_date("ts").alias("day"), cents.alias("c")
+        )
+        .groupBy("event_type", "day")
+        .agg(F.max("c").alias("hi"), F.min("c").alias("lo"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-(KELTNER_N - 1), 0)
+    )
+    k = bars.select(
+        "event_type",
+        "day",
+        "hi",
+        "lo",
+        F.when(
+            F.count(F.lit(1)).over(w) == KELTNER_N,
+            F.sum(F.col("hi") + F.col("lo")).over(w).cast("bigint"),
+        ).alias("s_mid2"),
+        F.sum(F.col("hi") - F.col("lo")).over(w).cast("bigint").alias("s_rng"),
+    )
+    center = F.col("s_mid2") / (2.0 * KELTNER_N)
+    band = F.col("s_rng") / float(KELTNER_N)
+    return (
+        k.where(F.col("s_mid2").isNotNull())
+        .select(
+            "event_type",
+            F.col("day").cast("string").alias("day"),
+            F.round(center / 100.0, 4).alias("center"),
+            F.round((center + band) / 100.0, 4).alias("upper_band"),
+            F.round((center - band) / 100.0, 4).alias("lower_band"),
+            (F.col("hi") > center + band).alias("break_upper"),
+            (F.col("lo") < center - band).alias("break_lower"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+#: Aroon lookback (bars incl. today); days-since counts run 0..N-1.
+AROON_N = 10
+#: Composite-encode base for the argmax trick: idx < this, so
+#: hi * BASE + idx orders by (hi, idx) — ties pick the LARGER idx,
+#: i.e. the most recent extreme, the charting convention. The day
+#: domain stays < 100k rows per type for three centuries of dailies.
+_AROON_BASE = 100_000
+
+_AROON_ORACLE = f"""
+    WITH bars AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             MAX(CAST(ROUND(value * 100) AS BIGINT)) AS hi,
+             MIN(CAST(ROUND(value * 100) AS BIGINT)) AS lo
+      FROM events GROUP BY 1, 2
+    ),
+    idxed AS (
+      SELECT event_type, day, hi, lo,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+               AS idx
+      FROM bars
+    ),
+    am AS (
+      SELECT event_type, day, idx,
+             CASE WHEN COUNT(*) OVER w = {AROON_N} THEN
+               MAX(hi * {_AROON_BASE} + idx) OVER w END AS hi_am,
+             CASE WHEN COUNT(*) OVER w = {AROON_N} THEN
+               MAX((99999999 - lo) * {_AROON_BASE} + idx) OVER w END AS lo_am
+      FROM idxed
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN {AROON_N - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, CAST(day AS VARCHAR) AS day,
+           CAST(idx - (hi_am % {_AROON_BASE}) AS BIGINT)
+             AS days_since_high,
+           CAST(idx - (lo_am % {_AROON_BASE}) AS BIGINT)
+             AS days_since_low,
+           ROUND(100.0 * ({AROON_N - 1} - (idx - hi_am % {_AROON_BASE}))
+                 / {AROON_N - 1}, 4) AS aroon_up,
+           ROUND(100.0 * ({AROON_N - 1} - (idx - lo_am % {_AROON_BASE}))
+                 / {AROON_N - 1}, 4) AS aroon_down
+    FROM am WHERE hi_am IS NOT NULL
+    ORDER BY event_type, day
+"""
+
+
+@register("win_aroon", oracle=_AROON_ORACLE)
+def win_aroon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aroon oscillator inputs per event type: bars since the trailing
+    {AROON_N}-bar high/low and the aroon_up/down lines (100 = the
+    extreme is TODAY, 0 = it is about to age out) — trend-freshness as
+    pure order statistics, reading beside win_donchian (which tells you
+    WHERE the channel is; aroon tells you HOW STALE its edges are).
+
+    Scale/determinism: bar-domain fold first; the rolling ARGMAX needs
+    no self-join — each extreme and its recency encode into ONE integer
+    (hi * base + idx, and (C - lo) * base + idx for the min so both
+    scan as MAX), so the frame fold stays a combinable MAX; ties pick
+    the most recent bar in both engines by construction. The lo
+    complement constant C bounds cents at 1e8-1; idx is bounded by the
+    day domain (< 1e5 for three centuries), so the composite fits
+    bigint with 5 orders of headroom."""
+    t = load(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    bars = (
+        t.events.select(
+            "event_type", F.to_date("ts").alias("day"), cents.alias("c")
+        )
+        .groupBy("event_type", "day")
+        .agg(F.max("c").alias("hi"), F.min("c").alias("lo"))
+    )
+    idxed = bars.select(
+        "event_type",
+        "day",
+        "hi",
+        "lo",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .alias("idx"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-(AROON_N - 1), 0)
+    )
+    full = F.count(F.lit(1)).over(w) == AROON_N
+    hi_am = F.when(
+        full, F.max(F.col("hi") * _AROON_BASE + F.col("idx")).over(w)
+    )
+    lo_am = F.when(
+        full,
+        F.max((99999999 - F.col("lo")) * _AROON_BASE + F.col("idx")).over(w),
+    )
+    am = idxed.select(
+        "event_type", "day", "idx", hi_am.alias("hi_am"), lo_am.alias("lo_am")
+    )
+    dsh = F.col("idx") - F.col("hi_am") % _AROON_BASE
+    dsl = F.col("idx") - F.col("lo_am") % _AROON_BASE
+    n1 = AROON_N - 1
+    return (
+        am.where(F.col("hi_am").isNotNull())
+        .select(
+            "event_type",
+            F.col("day").cast("string").alias("day"),
+            dsh.cast("bigint").alias("days_since_high"),
+            dsl.cast("bigint").alias("days_since_low"),
+            F.round(100.0 * (n1 - dsh) / n1, 4).alias("aroon_up"),
+            F.round(100.0 * (n1 - dsl) / n1, 4).alias("aroon_down"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+#: Money-flow lookback (the 14-period convention).
+MFI_N = 14
+
+_MFI_ORACLE = f"""
+    WITH bars AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             MAX(CAST(ROUND(value * 100) AS BIGINT))
+               + MIN(CAST(ROUND(value * 100) AS BIGINT)) AS mp2,
+             CAST(COUNT(*) AS BIGINT) AS vol
+      FROM events GROUP BY 1, 2
+    ),
+    flows AS (
+      SELECT event_type, day,
+             CASE WHEN mp2 > LAG(mp2) OVER o THEN mp2 * vol ELSE 0 END
+               AS pos_mf2,
+             CASE WHEN mp2 < LAG(mp2) OVER o THEN mp2 * vol ELSE 0 END
+               AS neg_mf2,
+             CASE WHEN LAG(mp2) OVER o IS NULL THEN 0 ELSE 1 END AS def_
+      FROM bars
+      WINDOW o AS (PARTITION BY event_type ORDER BY day)
+    ),
+    s AS (
+      SELECT event_type, day,
+             CASE WHEN SUM(def_) OVER w = {MFI_N} THEN
+               CAST(SUM(pos_mf2) OVER w AS BIGINT) END AS pos_sum2,
+             CAST(SUM(neg_mf2) OVER w AS BIGINT) AS neg_sum2
+      FROM flows
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN {MFI_N - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, CAST(day AS VARCHAR) AS day,
+           ROUND(pos_sum2 / 200.0, 3) AS positive_flow,
+           ROUND(neg_sum2 / 200.0, 3) AS negative_flow,
+           CASE WHEN pos_sum2 + neg_sum2 > 0 THEN
+             ROUND(100.0 * pos_sum2 / (pos_sum2 + neg_sum2), 4) END AS mfi
+    FROM s WHERE pos_sum2 IS NOT NULL
+    ORDER BY event_type, day
+"""
+
+
+@register("win_mfi", oracle=_MFI_ORACLE)
+def win_mfi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Money-flow index per event type: each bar's money flow (midpoint
+    x event volume) is signed by whether the midpoint rose or fell vs
+    the prior bar, and MFI = 100 x positive share of the trailing
+    {MFI_N}-bar flow — the VOLUME-weighted momentum gauge beside
+    win_rsi (same up/down-share shape, but a thin one-event day can
+    barely move MFI while it moves RSI fully). Midpoint stands in for
+    the close-dependent typical price (the win_keltner deviation,
+    documented); equal-midpoint bars contribute to neither flow (the
+    classic convention).
+
+    Scale/determinism: bar-domain fold first (combinable min/max/count
+    — at 100 TB the only pass over events); one LAG + one ROWS frame
+    on the bounded frame; flows are exact integer products in 2x-cents
+    x count units until two final divisions (flows round at 3 dp - the x/200 quotient has exactly 3 decimals, so 2 dp would sit on the half-cent tie); warmup needs {MFI_N}
+    DEFINED flow bars (the lag-undefined first bar doesn't count),
+    enforced identically via the def_ counter."""
+    t = load(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    bars = (
+        t.events.select(
+            "event_type", F.to_date("ts").alias("day"), cents.alias("c")
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            (F.max("c") + F.min("c")).alias("mp2"),
+            F.count(F.lit(1)).cast("bigint").alias("vol"),
+        )
+    )
+    o = Window.partitionBy("event_type").orderBy("day")
+    prev = F.lag("mp2").over(o)
+    flows = bars.select(
+        "event_type",
+        "day",
+        F.when(F.col("mp2") > prev, F.col("mp2") * F.col("vol"))
+        .otherwise(F.lit(0))
+        .alias("pos_mf2"),
+        F.when(F.col("mp2") < prev, F.col("mp2") * F.col("vol"))
+        .otherwise(F.lit(0))
+        .alias("neg_mf2"),
+        F.when(prev.isNull(), F.lit(0)).otherwise(F.lit(1)).alias("def_"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-(MFI_N - 1), 0)
+    )
+    s = flows.select(
+        "event_type",
+        "day",
+        F.when(
+            F.sum("def_").over(w) == MFI_N,
+            F.sum("pos_mf2").over(w).cast("bigint"),
+        ).alias("pos_sum2"),
+        F.sum("neg_mf2").over(w).cast("bigint").alias("neg_sum2"),
+    )
+    tot = F.col("pos_sum2") + F.col("neg_sum2")
+    return (
+        s.where(F.col("pos_sum2").isNotNull())
+        .select(
+            "event_type",
+            F.col("day").cast("string").alias("day"),
+            F.round(F.col("pos_sum2") / 200.0, 3).alias("positive_flow"),
+            F.round(F.col("neg_sum2") / 200.0, 3).alias("negative_flow"),
+            F.when(
+                tot > 0, F.round(100.0 * F.col("pos_sum2") / tot, 4)
+            ).alias("mfi"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+#: Rolling cross-correlation lookback (days).
+XCORR_N = 14
+#: The two daily series whose co-movement the monitor tracks.
+XCORR_A, XCORR_B = "purchase", "click"
+
+_XCORR_ORACLE = f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CASE WHEN event_type = '{XCORR_A}'
+                  THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN event_type = '{XCORR_B}'
+                  THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS b
+      FROM events
+      WHERE event_type IN ('{XCORR_A}', '{XCORR_B}')
+      GROUP BY 1
+    ),
+    s AS (
+      SELECT day, a, b,
+             CASE WHEN COUNT(*) OVER w = {XCORR_N} THEN
+               CAST(COUNT(*) OVER w AS BIGINT) END AS n,
+             CAST(SUM(a) OVER w AS BIGINT) AS sa,
+             CAST(SUM(b) OVER w AS BIGINT) AS sb,
+             CAST(SUM(a * a) OVER w AS DECIMAL(38,0)) AS saa,
+             CAST(SUM(b * b) OVER w AS DECIMAL(38,0)) AS sbb,
+             CAST(SUM(a * b) OVER w AS DECIMAL(38,0)) AS sab
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN {XCORR_N - 1} PRECEDING
+                   AND CURRENT ROW)
+    )
+    SELECT CAST(day AS VARCHAR) AS day,
+           ROUND(a / 100.0, 2) AS rev_a,
+           ROUND(b / 100.0, 2) AS rev_b,
+           ROUND((n * CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * sb)
+                 / (SQRT(n * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * sa)
+                    * SQRT(n * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * sb)),
+                 6) AS rolling_corr
+    FROM s WHERE n IS NOT NULL
+    ORDER BY day
+"""
+
+
+@register("win_rolling_corr_pair", oracle=_XCORR_ORACLE)
+def win_rolling_corr_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling {XCORR_N}-day Pearson correlation between the
+    '{XCORR_A}' and '{XCORR_B}' daily revenue series — the co-movement
+    monitor (does the funnel still convert? a correlation breakdown
+    between click and purchase revenue is an incident signal before
+    either series alone alarms). Complements win_rolling_regression
+    (one series vs time) with the two-series case, and agg_stats_corr
+    (one global number) with the drifting view.
+
+    Scale/determinism: events fold to ONE day-domain frame carrying
+    both series (conditional sums — no self-join, one pass); the
+    rolling frame computes five combinable sums; squares/products go
+    to decimal(38,0) inside the window (the agg_bartlett_test overflow
+    doctrine: daily cents at 100 TB square past bigint) and the
+    correlation is one identical closed-form double expression,
+    rounded 6 dp. Days with neither series present cost nothing; a
+    day with one series zero is a real 0-revenue reading."""
+    t = load(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    daily = (
+        t.events.where(F.col("event_type").isin(XCORR_A, XCORR_B))
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == XCORR_A, cents).otherwise(0)
+            ).cast("bigint").alias("a"),
+            F.sum(
+                F.when(F.col("event_type") == XCORR_B, cents).otherwise(0)
+            ).cast("bigint").alias("b"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(-(XCORR_N - 1), 0)
+    s = daily.select(
+        "day",
+        "a",
+        "b",
+        F.when(
+            F.count(F.lit(1)).over(w) == XCORR_N,
+            F.count(F.lit(1)).over(w).cast("bigint"),
+        ).alias("n"),
+        F.sum("a").over(w).cast("bigint").alias("sa"),
+        F.sum("b").over(w).cast("bigint").alias("sb"),
+        F.sum((F.col("a") * F.col("a")).cast("decimal(38,0)")).over(w).alias("saa"),
+        F.sum((F.col("b") * F.col("b")).cast("decimal(38,0)")).over(w).alias("sbb"),
+        F.sum((F.col("a") * F.col("b")).cast("decimal(38,0)")).over(w).alias("sab"),
+    )
+    num = F.col("n") * F.col("sab").cast("double") - F.col("sa").cast(
+        "double"
+    ) * F.col("sb")
+    den = F.sqrt(
+        F.col("n") * F.col("saa").cast("double")
+        - F.col("sa").cast("double") * F.col("sa")
+    ) * F.sqrt(
+        F.col("n") * F.col("sbb").cast("double")
+        - F.col("sb").cast("double") * F.col("sb")
+    )
+    return (
+        s.where(F.col("n").isNotNull())
+        .select(
+            F.col("day").cast("string").alias("day"),
+            F.round(F.col("a") / 100.0, 2).alias("rev_a"),
+            F.round(F.col("b") / 100.0, 2).alias("rev_b"),
+            F.round(num / den, 6).alias("rolling_corr"),
+        )
+        .orderBy("day")
+    )

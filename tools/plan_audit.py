@@ -251,6 +251,34 @@ SINGLE_PARTITION_OK: dict[str, str] = {
         "(count partials, never pair rows); the nlist-sized quantizer "
         "seed frame broadcasts, never shuffles"
     ),
+    "agg_matthews_corr": (
+        "1-row confusion-matrix fold (four count partials per task, "
+        "never data rows)"
+    ),
+    "agg_cohens_kappa": (
+        "1-row confusion-matrix fold (five count partials per task, "
+        "never data rows)"
+    ),
+    "agg_goodman_kruskal_lambda": (
+        "1-row folds over the 15-cell contingency DOMAIN (row-mode and "
+        "column-marginal frames, bounded by |priority| x |status|)"
+    ),
+    "agg_theils_u": (
+        "MI/entropy folds over the 15-cell contingency DOMAIN and its "
+        "5/3-row marginal frames (agg_mutual_info shape)"
+    ),
+    "agg_cronbach_alpha": (
+        "1-row fold of nine integer sums (count partials only)"
+    ),
+    "agg_page_hinkley": (
+        "running-mean/min windows over the bounded DAY domain "
+        "(~2.4k rows at any SF; the statistic is sequential by "
+        "definition, the win_cusum_drift rationale)"
+    ),
+    "win_rolling_corr_pair": (
+        "rolling frame over the bounded DAY domain carrying two "
+        "conditional sums (one global series by definition)"
+    ),
     "agg_bartlett_test": (
         "1-row fold over the ARM-domain (event-type) integer-quantized "
         "term frame (arm partials, never event rows)"
