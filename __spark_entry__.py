@@ -88,6 +88,8 @@ _NEW_THIS_ROUND: set[str] = {
     "agg_cronbach_alpha", "agg_page_hinkley",
     "win_ichimoku", "win_keltner", "win_aroon", "win_mfi",
     "win_rolling_corr_pair",
+    "graph_adamic_adar", "graph_rich_club",
+    "dedup_band_skew_audit", "text_compression_ratio",
 }
 
 

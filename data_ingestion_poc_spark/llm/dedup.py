@@ -410,30 +410,28 @@ def _shingled_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MINHASH_GOLDEN: dict[str, list[tuple[int, int, float]] | None] = {}
 
 
-def minhash_golden_pairs() -> list[tuple[int, int, float]] | None:
-    """Replay the ENTIRE banded-MinHash pipeline in pure Python over the
-    oracle fixture: same shingling, the same 32 chained xxhash64 values
-    per shingle (pyhash.py ports, pinned bit-exact vs the JVM), the same
-    8x4 band keys via Spark's array-fold murmur3, the same exact-Jaccard
-    verification of collided pairs. The result is the exact row set the
-    Spark operator must produce — turning the one 'rows-only by design'
-    LSH query into a golden-VALUES check. Memoized per import; per-shingle
-    signatures are shared across docs (~16k distinct shingles at sf0.01,
-    so the replay costs ~1-2 s once)."""
+_BUCKET_REPLAY: dict = {}
+
+
+def _replay_band_buckets() -> tuple[dict, dict] | None:
+    """Pure-Python replay of shingling + banding over the oracle
+    fixture: (shingle_sets by doc_id, bucket -> member doc_ids by
+    (band, key)). Shared by minhash_golden_pairs and the band-skew
+    audit golden; memoized per import."""
     import pyarrow.parquet as pq
 
     from ..functions.pyhash import spark_hash_long_array, xxh64, xxh64_int
     from ..goldens import ORACLE_SF_DIR
 
-    if ORACLE_SF_DIR in _MINHASH_GOLDEN:  # two oracles consume the replay
-        return _MINHASH_GOLDEN[ORACLE_SF_DIR]
+    if ORACLE_SF_DIR in _BUCKET_REPLAY:
+        return _BUCKET_REPLAY[ORACLE_SF_DIR]
 
     try:
         docs = pq.read_table(
             f"{ORACLE_SF_DIR}/documents.parquet", columns=["doc_id", "text"]
         ).to_pylist()
     except Exception:
-        _MINHASH_GOLDEN[ORACLE_SF_DIR] = None
+        _BUCKET_REPLAY[ORACLE_SF_DIR] = None
         return None
 
     m64 = (1 << 64) - 1
@@ -462,6 +460,30 @@ def minhash_golden_pairs() -> list[tuple[int, int, float]] | None:
         for b in range(MINHASH_BANDS):
             key = spark_hash_long_array(sig[b * _ROWS_PER_BAND : (b + 1) * _ROWS_PER_BAND])
             buckets.setdefault((b, key), []).append(r["doc_id"])
+    _BUCKET_REPLAY[ORACLE_SF_DIR] = (shingle_sets, buckets)
+    return shingle_sets, buckets
+
+
+def minhash_golden_pairs() -> list[tuple[int, int, float]] | None:
+    """Replay the ENTIRE banded-MinHash pipeline in pure Python over the
+    oracle fixture: same shingling, the same 32 chained xxhash64 values
+    per shingle (pyhash.py ports, pinned bit-exact vs the JVM), the same
+    8x4 band keys via Spark's array-fold murmur3, the same exact-Jaccard
+    verification of collided pairs. The result is the exact row set the
+    Spark operator must produce — turning the one 'rows-only by design'
+    LSH query into a golden-VALUES check. Memoized per import; per-shingle
+    signatures are shared across docs (~16k distinct shingles at sf0.01,
+    so the replay costs ~1-2 s once)."""
+    from ..goldens import ORACLE_SF_DIR
+
+    if ORACLE_SF_DIR in _MINHASH_GOLDEN:  # two oracles consume the replay
+        return _MINHASH_GOLDEN[ORACLE_SF_DIR]
+
+    replay = _replay_band_buckets()
+    if replay is None:
+        _MINHASH_GOLDEN[ORACLE_SF_DIR] = None
+        return None
+    shingle_sets, buckets = replay
 
     from decimal import ROUND_HALF_UP, Decimal
 
@@ -2432,4 +2454,103 @@ def dedup_candidate_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("candidates_uncapped").cast("double"),
             6,
         ).alias("volume_saved_share"),
+    )
+
+
+def _band_skew_golden() -> str | None:
+    """Golden VALUES for dedup_band_skew_audit via the shared pure-Python
+    banding replay (bit-exact vs the JVM, the dedup_minhash precedent)."""
+    from ..goldens import values_oracle
+
+    replay = _replay_band_buckets()
+    if replay is None:
+        return None
+    _shingle_sets, buckets = replay
+    per_band: dict[int, list[int]] = {}
+    for (b, _key), ids in buckets.items():
+        per_band.setdefault(b, []).append(len(ids))
+    rows = []
+    for b in sorted(per_band):
+        sizes = per_band[b]
+        n_buckets = len(sizes)
+        n_docs = sum(sizes)
+        pairs = sum(s * (s - 1) // 2 for s in sizes)
+        singletons = sum(1 for s in sizes if s == 1)
+        rows.append(
+            (
+                b,
+                n_buckets,
+                n_docs,
+                max(sizes),
+                pairs,
+                int(singletons * 10_000 // n_buckets) / 10_000.0,
+            )
+        )
+    return values_oracle(
+        rows,
+        [
+            "band", "n_buckets", "n_docs", "max_bucket_size",
+            "candidate_pairs", "singleton_share",
+        ],
+        casts={
+            "band": "BIGINT", "n_buckets": "BIGINT", "n_docs": "BIGINT",
+            "max_bucket_size": "BIGINT", "candidate_pairs": "BIGINT",
+            "singleton_share": "DOUBLE",
+        },
+        order_by="band",
+    )
+
+
+@register("dedup_band_skew_audit", oracle=_band_skew_golden())
+def dedup_band_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational health audit of the banded-MinHash index BEFORE the
+    candidate join runs: per band, the bucket-size distribution folded
+    to (bucket count, docs, max bucket, implied candidate pairs
+    sum C(size,2), singleton share). This is the LSH twin of
+    dedup_shingle_df_histogram — the shingle histogram prices the
+    inverted-index join, this prices the BAND join, and a single hot
+    bucket (near-identical boilerplate corpus, adversarial key
+    collisions) shows up as max_bucket_size >> 2 with candidate_pairs
+    exploding quadratically in exactly that bucket. dedup_lsh_tuning
+    picks (bands, rows); this audits what the chosen banding actually
+    did to THIS corpus. At 100 TB this is the cheap pre-flight a
+    pipeline runs every ingest cycle: the fold is one groupBy over
+    index rows (docs x bands), integer-only, and its output is 8 rows.
+
+    Scale/determinism: band_keys is the ONE shared banding
+    implementation (chained xxhash64 -> murmur3 band keys, bit-exact
+    pyhash replay = this oracle); bucket sizes are exact integer
+    counts; C(size,2) in exact integer arithmetic; singleton share
+    floors to the 4-dp lattice (gopher convention — no .5 ties)."""
+    bands = band_keys(_shingled_persisted(spark, sf_dir))
+    sizes = bands.groupBy("band", "key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    return (
+        sizes.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.sum("sz").cast("bigint").alias("n_docs"),
+            F.max("sz").alias("max_bucket_size"),
+            F.sum(F.col("sz") * (F.col("sz") - 1) / 2)
+            .cast("bigint")
+            .alias("candidate_pairs"),
+            (
+                F.floor(
+                    F.sum((F.col("sz") == 1).cast("int"))
+                    * 10_000
+                    / F.count(F.lit(1))
+                )
+                / 10_000.0
+            ).alias("singleton_share"),
+        )
+        .select(
+            F.col("band").cast("bigint").alias("band"),
+            "n_buckets",
+            "n_docs",
+            "max_bucket_size",
+            "candidate_pairs",
+            "singleton_share",
+        )
+        .orderBy("band")
     )

@@ -7,6 +7,9 @@ cheap, which is what lets them run over 100 TB of raw text.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves PEP-563 string
+# annotations against module globals, so a function-local import breaks
+# the signature check
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1542,4 +1545,117 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coverage",
         )
         .orderBy("vocab_size")
+    )
+
+
+#: Compression-ratio suspicion cut (compressed/original, 4-dp units):
+#: below this the text is so self-repetitive that zlib folds it — the
+#: boilerplate / looping-generation signal (the Gopher-family
+#: compressibility filter).
+COMPRESSIBLE_MAX_U = 4500
+#: zlib level pinned for determinism (same library, same level ->
+#: byte-identical output everywhere Python runs).
+ZLIB_LEVEL = 6
+
+
+def _zratio_u_py(text: str) -> int:
+    """floor(1e4 * len(zlib(text)) / len(text)) — the shared scalar both
+    the executor batches and the import-time golden replay run."""
+    import zlib
+
+    enc = text.encode("utf-8")
+    if not enc:
+        return 10_000
+    return len(zlib.compress(enc, ZLIB_LEVEL)) * 10_000 // len(enc)
+
+
+def _compression_golden() -> str | None:
+    """Golden VALUES per source from the oracle fixture bytes (the
+    dedup_minhash replay precedent: DuckDB has no zlib, so the oracle
+    is the same deterministic computation run in pure Python)."""
+    import pyarrow.parquet as pq
+
+    from ..goldens import ORACLE_SF_DIR, values_oracle
+
+    try:
+        docs = pq.read_table(
+            f"{ORACLE_SF_DIR}/documents.parquet", columns=["source", "text"]
+        ).to_pylist()
+    except Exception:
+        return None
+    agg: dict[str, list[int]] = {}
+    for r in docs:
+        agg.setdefault(r["source"], []).append(_zratio_u_py(r["text"]))
+    rows = []
+    for src in sorted(agg):
+        us = agg[src]
+        n = len(us)
+        rows.append(
+            (
+                src,
+                n,
+                round(sum(us) / n / 10_000.0, 6),
+                min(us) / 10_000.0,
+                sum(1 for u in us if u < COMPRESSIBLE_MAX_U) * 10_000 // n
+                / 10_000.0,
+            )
+        )
+    return values_oracle(
+        rows,
+        ["source", "n_docs", "mean_ratio", "min_ratio", "suspect_share"],
+        casts={
+            "n_docs": "BIGINT", "mean_ratio": "DOUBLE",
+            "min_ratio": "DOUBLE", "suspect_share": "DOUBLE",
+        },
+        order_by="source",
+    )
+
+
+@register("text_compression_ratio", oracle=_compression_golden())
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source compressibility profile: zlib(text)/len(text) folded
+    to mean, min and the share of docs below {COMPRESSIBLE_MAX_U/1e4}
+    — the compression-ratio quality filter of the Gopher/FineWeb
+    lineage: text that compresses too well IS repetitive (boilerplate,
+    looping generations, template farms), and the signal needs no
+    tokenizer, no language model and no vocabulary, which is why
+    pipelines run it first. Complements text_repetition_filter
+    (explicit n-gram shares) with the information-theoretic catch-all
+    that sees repetition structures n-gram windows miss.
+
+    Scale/determinism: the ratio is computed per doc in an
+    Arrow-batched pandas UDF (the deliberate vectorized-Python path —
+    zlib is C-speed and the bytes never leave the executor; at 100 TB
+    this is a scan-local map like the multimodal decodes) and floored
+    to the 4-dp integer lattice INSIDE the UDF, so the per-source fold
+    is exact integer arithmetic; zlib level pinned; the oracle is the
+    identical pure-Python replay over the fixture bytes (no SQL zlib
+    exists — dedup_minhash golden precedent)."""
+    t = load(spark, sf_dir)
+
+    @F.pandas_udf("bigint")
+    def zratio_u(texts: pd.Series) -> pd.Series:
+        return texts.map(_zratio_u_py)
+
+    per_doc = t.documents.select(
+        "source", zratio_u(F.col("text")).alias("u")
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(
+                F.sum("u").cast("double") / F.count(F.lit(1)) / 10_000.0, 6
+            ).alias("mean_ratio"),
+            (F.min("u") / 10_000.0).alias("min_ratio"),
+            (
+                F.floor(
+                    F.sum((F.col("u") < COMPRESSIBLE_MAX_U).cast("int"))
+                    * 10_000
+                    / F.count(F.lit(1))
+                )
+                / 10_000.0
+            ).alias("suspect_share"),
+        )
+        .orderBy("source")
     )

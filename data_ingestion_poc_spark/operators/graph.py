@@ -1167,3 +1167,221 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(q_term, 6).alias("q_term"),
         F.round(F.sum(q_term).over(w_all), 6).alias("modularity"),
     )
+
+
+_BACKBONE_CTE = f"""
+    WITH bip0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+    keep AS (SELECT p FROM bip0 GROUP BY p HAVING COUNT(*) <= {TRIANGLE_PART_CAP}),
+    bip AS (SELECT bip0.p, bip0.s FROM bip0 JOIN keep USING (p)),
+    pairs AS (
+      SELECT a.s AS u, b.s AS v, COUNT(*) AS shared
+      FROM bip a JOIN bip b ON a.p = b.p AND a.s < b.s
+      GROUP BY a.s, b.s
+    ),
+    edges AS (
+      SELECT u, v FROM pairs
+      ORDER BY shared DESC, u, v LIMIT {TRIANGLE_BACKBONE}
+    ),
+    adj AS (
+      SELECT u AS node, v AS nbr FROM edges
+      UNION ALL SELECT v, u FROM edges
+    ),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY node
+    )
+"""
+
+
+def _backbone_edges(t) -> DataFrame:
+    """The shared supplier co-occurrence backbone (graph_triangle_count
+    stages 1-2): df-capped bipartite pairs -> global top-K edges."""
+    bip0 = t.lineitem.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    w_part = Window.partitionBy("p")
+    bip = (
+        bip0.withColumn("pf", F.count(F.lit(1)).over(w_part))
+        .where(F.col("pf") <= TRIANGLE_PART_CAP)
+        .drop("pf")
+    )
+    pairs = (
+        bip.alias("ba")
+        .join(
+            bip.alias("bb"),
+            (F.col("ba.p") == F.col("bb.p")) & (F.col("ba.s") < F.col("bb.s")),
+        )
+        .groupBy(F.col("ba.s").alias("u"), F.col("bb.s").alias("v"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return pairs.orderBy(
+        F.col("shared").desc(), "u", "v"
+    ).limit(TRIANGLE_BACKBONE).select("u", "v")
+
+
+_ADAMIC_ADAR_ORACLE = f"""
+    {_BACKBONE_CTE},
+    terms AS (
+      SELECT a.node AS z_a, a.nbr AS na, b.nbr AS nb, d.d
+      FROM adj a JOIN adj b ON a.node = b.node AND a.nbr < b.nbr
+      JOIN deg d ON d.node = a.node
+      WHERE d.d >= 2
+    ),
+    scored AS (
+      SELECT na AS u, nb AS v,
+             CAST(COUNT(*) AS BIGINT) AS n_common,
+             CAST(SUM(CAST(FLOOR(1000000.0 / LN(d)) AS BIGINT)) AS BIGINT)
+               AS aa_u
+      FROM terms GROUP BY na, nb
+    )
+    SELECT s.u, s.v, s.n_common,
+           ROUND(s.aa_u / 1e6, 6) AS adamic_adar,
+           (e.u IS NOT NULL) AS is_edge
+    FROM scored s LEFT JOIN edges e ON e.u = s.u AND e.v = s.v
+    ORDER BY s.u, s.v
+"""
+
+
+@register("graph_adamic_adar", oracle=_ADAMIC_ADAR_ORACLE)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the supplier backbone: for each
+    node pair with >= 1 common neighbor, sum 1/ln(deg(z)) over the
+    common neighbors z — rare shared contacts count more than hubs,
+    which is the whole advance over raw common-neighbor counting and
+    over graph_jaccard_neighbors' size-normalized overlap (Jaccard
+    treats every shared neighbor equally; AA discounts the hub that is
+    everyone's neighbor). is_edge marks pairs that are ALREADY linked —
+    the non-edge rows ranked by score are the link recommendations.
+
+    Scale/determinism: pairs generate through each common neighbor's
+    adjacency list (the wedge join — sum-over-nodes deg^2, bounded by
+    the backbone's top-K construction; on an unbounded graph the hub
+    cap is TRIANGLE_PART_CAP's job); each 1/ln(d) term FLOORS to
+    integer micro-units per neighbor BEFORE the per-pair sum (b_u
+    doctrine — the sum is order-free integer arithmetic), one final
+    /1e6 presentation division; deg >= 2 holds for every common
+    neighbor by definition, so ln(d) > 0."""
+    t = load(spark, sf_dir)
+    edges = _backbone_edges(t).localCheckpoint()
+    adj = edges.select(
+        F.col("u").alias("node"), F.col("v").alias("nbr")
+    ).unionAll(edges.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    a = adj.alias("a")
+    b = adj.alias("b")
+    terms = (
+        a.join(
+            b,
+            (F.col("a.node") == F.col("b.node"))
+            & (F.col("a.nbr") < F.col("b.nbr")),
+        )
+        .join(
+            F.broadcast(deg.select(F.col("node").alias("z"), "d")),
+            F.col("a.node") == F.col("z"),
+        )
+        .where(F.col("d") >= 2)
+        .select(
+            F.col("a.nbr").alias("u"),
+            F.col("b.nbr").alias("v"),
+            F.floor(1_000_000.0 / F.log(F.col("d"))).cast("bigint").alias(
+                "term_u"
+            ),
+        )
+    )
+    scored = terms.groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_common"),
+        F.sum("term_u").cast("bigint").alias("aa_u"),
+    )
+    e = edges.select("u", "v", F.lit(True).alias("is_edge0"))
+    return (
+        scored.join(F.broadcast(e), ["u", "v"], "left")
+        .select(
+            "u",
+            "v",
+            "n_common",
+            F.round(F.col("aa_u") / 1e6, 6).alias("adamic_adar"),
+            F.coalesce("is_edge0", F.lit(False)).alias("is_edge"),
+        )
+        .orderBy("u", "v")
+    )
+
+
+_RICH_CLUB_ORACLE = f"""
+    {_BACKBONE_CTE},
+    ks AS (SELECT DISTINCT d AS k FROM deg),
+    nk AS (
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS n_nodes
+      FROM ks JOIN deg ON deg.d > ks.k GROUP BY k
+    ),
+    ek AS (
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS n_edges
+      FROM ks JOIN edges e ON TRUE
+      JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+      WHERE du.d > ks.k AND dv.d > ks.k
+      GROUP BY k
+    )
+    SELECT nk.k, nk.n_nodes, COALESCE(ek.n_edges, 0) AS n_edges,
+           ROUND(2.0 * COALESCE(ek.n_edges, 0)
+                 / (nk.n_nodes * CAST(nk.n_nodes - 1 AS DOUBLE)), 6)
+             AS rich_club_phi
+    FROM nk LEFT JOIN ek USING (k)
+    WHERE nk.n_nodes >= 2
+    ORDER BY nk.k
+"""
+
+
+@register("graph_rich_club", oracle=_RICH_CLUB_ORACLE)
+def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient curve of the supplier backbone: for each
+    degree threshold k, the edge density phi(k) among nodes of degree
+    > k — "do the hubs preferentially trade with each other?" (Zhou &
+    Mondragon 2004). A rising curve is an oligarchic core (hub
+    suppliers co-carrying the same parts); flat-or-falling means hubs
+    spread across the graph. Reads beside graph_assortativity (one
+    global correlation) as the full threshold-resolved profile, and
+    beside graph_kcore (cohesive shells) as the density-of-the-top
+    view.
+
+    Scale/determinism: degrees and thresholds live on BOUNDED frames
+    (nodes and distinct degree values of the top-K backbone); the
+    threshold x edge sweep is a broadcast of the <= |distinct degrees|
+    threshold frame against the K-edge frame — never data-sized; phi
+    is one exact-integer division rounded 6 dp; thresholds with fewer
+    than 2 qualifying nodes drop (density undefined)."""
+    t = load(spark, sf_dir)
+    edges = _backbone_edges(t).localCheckpoint()
+    adj = edges.select(
+        F.col("u").alias("node"), F.col("v").alias("nbr")
+    ).unionAll(edges.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    ks = deg.select(F.col("d").alias("k")).distinct()
+    nk = (
+        F.broadcast(ks)
+        .join(deg, F.col("d") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    edeg = edges.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    ek = (
+        F.broadcast(ks)
+        .join(edeg, (F.col("du") > F.col("k")) & (F.col("dv") > F.col("k")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    )
+    return (
+        nk.join(ek, "k", "left")
+        .where(F.col("n_nodes") >= 2)
+        .select(
+            "k",
+            "n_nodes",
+            F.coalesce("n_edges", F.lit(0)).alias("n_edges"),
+            F.round(
+                2.0
+                * F.coalesce("n_edges", F.lit(0))
+                / (F.col("n_nodes") * (F.col("n_nodes") - 1).cast("double")),
+                6,
+            ).alias("rich_club_phi"),
+        )
+        .orderBy("k")
+    )
