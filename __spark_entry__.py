@@ -90,6 +90,8 @@ _NEW_THIS_ROUND: set[str] = {
     "win_rolling_corr_pair",
     "graph_adamic_adar", "graph_rich_club",
     "dedup_band_skew_audit", "text_compression_ratio",
+    "sim_search_hybrid_rrf", "sample_neyman_allocation",
+    "quality_cross_field_dates",
 }
 
 

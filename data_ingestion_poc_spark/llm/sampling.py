@@ -514,3 +514,97 @@ def sample_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("overlap_users").alias("train_test_user_overlap"),
         )
     )
+
+
+#: Total annotation/eval budget Neyman allocation distributes across
+#: the language strata.
+NEYMAN_BUDGET = 200
+
+_NEYMAN_ORACLE = f"""
+    WITH s AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_h,
+             CAST(SUM(LENGTH(text)) AS BIGINT) AS s1,
+             CAST(SUM(CAST(LENGTH(text) AS BIGINT) * LENGTH(text))
+                  AS DECIMAL(38,0)) AS s2
+      FROM documents GROUP BY lang
+    ),
+    sd AS (
+      SELECT lang, n_h,
+             CAST(FLOOR(SQRT(CAST(s2 AS DOUBLE) / n_h
+                             - POWER(CAST(s1 AS DOUBLE) / n_h, 2))
+                        * 1000000) AS BIGINT) AS sd_u
+      FROM s
+    ),
+    w AS (
+      SELECT lang, n_h, sd_u, n_h * sd_u AS w_u,
+             CAST(SUM(n_h * sd_u) OVER () AS BIGINT) AS tot_u
+      FROM sd
+    )
+    SELECT lang, n_h,
+           ROUND(sd_u / 1e6, 4) AS stratum_sd,
+           CAST({NEYMAN_BUDGET} * w_u // tot_u AS BIGINT) AS n_alloc,
+           ROUND(w_u / CAST(tot_u AS DOUBLE), 6) AS alloc_share
+    FROM w
+    ORDER BY lang
+"""
+
+
+@register("sample_neyman_allocation", oracle=_NEYMAN_ORACLE)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal allocation of a {NEYMAN_BUDGET}-item budget across
+    the language strata: n_h proportional to N_h x S_h (stratum size x
+    stratum std of doc length) — the variance-minimizing way to spend a
+    fixed labeling/eval budget (Neyman 1934), vs sample_stratified's
+    equal-rate take: a big HOMOGENEOUS stratum gets fewer slots than
+    proportional because more draws there buy almost no variance
+    reduction. Run this first to SIZE the strata, then
+    sample_reservoir_group to draw exactly those counts.
+
+    Scale/determinism: one combinable pass per stratum (n, sum,
+    sum-of-squares with the decimal(38,0) overflow cast); the std
+    FLOORS to integer micro-units so the N_h x S_h weights, their
+    total, and the floor-division allocation are exact integer
+    arithmetic (both engines' // on identical bigints); the LANGUAGE
+    domain bounds every later frame. Floor allocation under-spends at
+    most (strata - 1) items — the documented remainder policy (largest
+    -remainder top-up is a 5-row driver-side fix a consumer applies)."""
+    t = load(spark, sf_dir)
+    ln = F.length("text").cast("bigint")
+    s = t.documents.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_h"),
+        F.sum(ln).cast("bigint").alias("s1"),
+        F.sum((ln * ln).cast("decimal(38,0)")).alias("s2"),
+    )
+    nd = F.col("n_h").cast("double")
+    var = F.col("s2").cast("double") / nd - F.pow(
+        F.col("s1").cast("double") / nd, 2
+    )
+    sd = s.select(
+        "lang",
+        "n_h",
+        F.floor(F.sqrt(var) * 1_000_000).cast("bigint").alias("sd_u"),
+    )
+    w_all = Window.partitionBy()
+    w = sd.select(
+        "lang",
+        "n_h",
+        "sd_u",
+        (F.col("n_h") * F.col("sd_u")).alias("w_u"),
+        F.sum(F.col("n_h") * F.col("sd_u")).over(w_all).cast("bigint").alias(
+            "tot_u"
+        ),
+    )
+    return w.select(
+        "lang",
+        "n_h",
+        F.round(F.col("sd_u") / 1e6, 4).alias("stratum_sd"),
+        # exact integer floor division (the agg_lift_deciles doctrine:
+        # `div`, never a double quotient + truncating cast)
+        F.expr(f"CAST({NEYMAN_BUDGET} * w_u DIV tot_u AS BIGINT)").alias(
+            "n_alloc"
+        ),
+        F.round(F.col("w_u") / F.col("tot_u").cast("double"), 6).alias(
+            "alloc_share"
+        ),
+    ).orderBy("lang")

@@ -2652,3 +2652,217 @@ def embed_hubness_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _hubness_ivf_cells(
         t, n_vec, [F.lit(nlist).cast("bigint").alias("nlist")]
     )
+
+
+#: Hybrid-fusion parameters: queries (first N doc/vec ids), per-list
+#: depth, RRF smoothing constant (the canonical 60 of Cormack et al.
+#: 2009), fused cutoff.
+RRF_QUERIES, RRF_LIST_K, RRF_C, RRF_TOP = 5, 10, 60, 5
+
+_HYBRID_RRF_ORACLE = f"""
+    WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings WHERE vec_id < {RRF_QUERIES}),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    dense AS (
+      SELECT query_id, cand_id,
+             CAST(FLOOR(1000000.0 / ({RRF_C} + rk)) AS BIGINT) AS term_u,
+             1 AS in_d, 0 AS in_s
+      FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_dot_product(q.e, c.e)
+                          / (sqrt(list_dot_product(q.e, q.e))
+                             * sqrt(list_dot_product(c.e, c.e))) DESC,
+                          c.vec_id) AS rk
+        FROM q JOIN c ON q.vec_id <> c.vec_id
+      ) WHERE rk <= {RRF_LIST_K}
+    ),
+    sh0 AS (
+      SELECT DISTINCT doc_id, shingle
+      FROM (
+        SELECT doc_id,
+               unnest([array_to_string(words[i:i+2], ' ')
+                       FOR i IN range(1, len(words) - 1)]) AS shingle
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS words
+              FROM documents)
+      )
+    ),
+    keep AS (
+      SELECT shingle FROM sh0 GROUP BY shingle
+      HAVING COUNT(*) <= {{JACCARD_DF_CAP}}
+    ),
+    sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    shq AS (SELECT * FROM sh WHERE doc_id < {RRF_QUERIES}),
+    sp_inter AS (
+      SELECT qs.doc_id AS query_id, cs.doc_id AS cand_id,
+             CAST(COUNT(*) AS BIGINT) AS nc
+      FROM shq qs JOIN sh cs
+        ON qs.shingle = cs.shingle AND cs.doc_id <> qs.doc_id
+      GROUP BY 1, 2
+    ),
+    sparse AS (
+      SELECT query_id, cand_id,
+             CAST(FLOOR(1000000.0 / ({RRF_C} + rk)) AS BIGINT) AS term_u,
+             0 AS in_d, 1 AS in_s
+      FROM (
+        SELECT i.query_id, i.cand_id,
+               row_number() OVER (
+                 PARTITION BY i.query_id
+                 ORDER BY CAST(i.nc AS DOUBLE) / (sq.n + sc.n - i.nc) DESC,
+                          i.cand_id) AS rk
+        FROM sp_inter i
+        JOIN sizes sq ON sq.doc_id = i.query_id
+        JOIN sizes sc ON sc.doc_id = i.cand_id
+      ) WHERE rk <= {RRF_LIST_K}
+    ),
+    fused AS (
+      SELECT query_id, cand_id,
+             CAST(SUM(term_u) AS BIGINT) AS rrf_u,
+             MAX(in_d) AS in_d, MAX(in_s) AS in_s
+      FROM (SELECT * FROM dense UNION ALL SELECT * FROM sparse)
+      GROUP BY query_id, cand_id
+    )
+    SELECT query_id, cand_id, CAST(fused_rank AS BIGINT) AS fused_rank,
+           ROUND(rrf_u / 1e6, 6) AS rrf_score,
+           in_d = 1 AS in_dense, in_s = 1 AS in_sparse
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_u DESC, cand_id)
+                  AS fused_rank
+      FROM fused
+    ) WHERE fused_rank <= {RRF_TOP}
+    ORDER BY query_id, fused_rank
+"""
+
+
+def _hybrid_rrf_oracle() -> str:
+    from .dedup import JACCARD_DF_CAP
+
+    return _HYBRID_RRF_ORACLE.replace(
+        "{JACCARD_DF_CAP}", str(JACCARD_DF_CAP)
+    )
+
+
+@register("sim_search_hybrid_rrf", oracle=_hybrid_rrf_oracle())
+def sim_search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion: the dense list
+    (exact cosine top-{RRF_LIST_K} over embeddings — sim_search_knn's
+    plan) and the sparse list (shingle-Jaccard top-{RRF_LIST_K} over
+    the df-capped inverted index — dedup_ngram_jaccard's plan,
+    query-restricted) fuse by RRF: score = sum over lists of
+    1/({RRF_C}+rank) (Cormack et al. 2009 — rank fusion needs no score
+    calibration between a cosine in [-1,1] and a Jaccard in [0,1],
+    which is why RRF is the production default for BM25+ANN hybrids).
+    Flags show which list(s) carried each fused hit — the diagnostic
+    for "dense-only misses exact phrasing / sparse-only misses
+    paraphrase" tuning.
+
+    Scale/determinism: the query side is {RRF_QUERIES} rows — both
+    list builds broadcast it against index structures that already
+    exist at scale (ANN index, inverted shingle index with the df cap
+    pricing its join); fusion touches only 2 x list_k rows per query.
+    Each 1/(c+rank) term FLOORS to integer micro-units, so the fused
+    sum is order-free integer arithmetic; every rank and the fused
+    rank tie-break on cand_id; ratio orderings compare identical
+    doubles in both engines."""
+    from .dedup import _capped_shingle_index
+
+    t = load(spark, sf_dir)
+    e = t.embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    q = e.where(F.col("vec_id") < RRF_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    cos = dot_double(F.col("qe"), F.col("e")) / (
+        F.sqrt(dot_double(F.col("qe"), F.col("qe")))
+        * F.sqrt(dot_double(F.col("e"), F.col("e")))
+    )
+    wd = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), "vec_id"
+    )
+    term_u = F.floor(1_000_000.0 / (RRF_C + F.col("rk"))).cast("bigint")
+    dense = (
+        F.broadcast(q)
+        .join(e, F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id", cos.alias("cosine"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            F.row_number().over(wd).alias("rk"),
+        )
+        .where(F.col("rk") <= RRF_LIST_K)
+        .select(
+            "query_id",
+            "cand_id",
+            term_u.alias("term_u"),
+            F.lit(1).alias("in_d"),
+            F.lit(0).alias("in_s"),
+        )
+    )
+    sh = _capped_shingle_index(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    shq = sh.where(F.col("doc_id") < RRF_QUERIES).select(
+        F.col("doc_id").alias("query_id"), "shingle"
+    )
+    inter = (
+        F.broadcast(shq)
+        .join(sh, "shingle")
+        .where(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("doc_id").alias("cand_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nc"))
+    )
+    sq = sizes.select(F.col("doc_id").alias("query_id"), F.col("n").alias("nq"))
+    sc = sizes.select(F.col("doc_id").alias("cand_id"), F.col("n").alias("ncs"))
+    jac = F.col("nc").cast("double") / (
+        F.col("nq") + F.col("ncs") - F.col("nc")
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.col("jaccard").desc(), "cand_id"
+    )
+    sparse = (
+        inter.join(F.broadcast(sq), "query_id")
+        .join(F.broadcast(sc), "cand_id")
+        .select("query_id", "cand_id", jac.alias("jaccard"))
+        .select(
+            "query_id", "cand_id", F.row_number().over(ws).alias("rk")
+        )
+        .where(F.col("rk") <= RRF_LIST_K)
+        .select(
+            "query_id",
+            "cand_id",
+            term_u.alias("term_u"),
+            F.lit(0).alias("in_d"),
+            F.lit(1).alias("in_s"),
+        )
+    )
+    fused = dense.unionAll(sparse).groupBy("query_id", "cand_id").agg(
+        F.sum("term_u").cast("bigint").alias("rrf_u"),
+        F.max("in_d").alias("in_d"),
+        F.max("in_s").alias("in_s"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_u").desc(), "cand_id"
+    )
+    return (
+        fused.select(
+            "query_id",
+            "cand_id",
+            F.row_number().over(wf).alias("fused_rank"),
+            "rrf_u",
+            "in_d",
+            "in_s",
+        )
+        .where(F.col("fused_rank") <= RRF_TOP)
+        .select(
+            "query_id",
+            "cand_id",
+            F.col("fused_rank").cast("bigint").alias("fused_rank"),
+            F.round(F.col("rrf_u") / 1e6, 6).alias("rrf_score"),
+            (F.col("in_d") == 1).alias("in_dense"),
+            (F.col("in_s") == 1).alias("in_sparse"),
+        )
+        .orderBy("query_id", "fused_rank")
+    )

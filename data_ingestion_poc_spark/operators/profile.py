@@ -772,3 +772,101 @@ def profile_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("normalized"),
         )
     )
+
+
+_DATE_ORDER_ORACLE = """
+    WITH j AS (
+      SELECT o.o_orderdate AS od, o.o_orderstatus AS os,
+             l.l_shipdate AS sd, l.l_returnflag AS rf,
+             l.l_linestatus AS ls
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    c AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN sd < od THEN 1 ELSE 0 END) AS BIGINT)
+               AS ship_before_order,
+             CAST(SUM(CASE WHEN sd > od + INTERVAL 90 DAY THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ship_lag_over_90d,
+             CAST(SUM(CASE WHEN rf = 'R' AND os = 'O' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS returned_but_open,
+             CAST(SUM(CASE WHEN os = 'F' AND ls = 'O' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS finished_order_open_line
+      FROM j
+    )
+    SELECT rule, n AS n_checked, v AS n_violations,
+           ROUND(v / CAST(n AS DOUBLE), 6) AS violation_share
+    FROM (
+      SELECT n, 'ship_before_order' AS rule, ship_before_order AS v FROM c
+      UNION ALL
+      SELECT n, 'ship_lag_over_90d', ship_lag_over_90d FROM c
+      UNION ALL
+      SELECT n, 'returned_but_open', returned_but_open FROM c
+      UNION ALL
+      SELECT n, 'finished_order_open_line', finished_order_open_line FROM c
+    )
+    ORDER BY rule
+"""
+
+
+@register("quality_cross_field_dates", oracle=_DATE_ORDER_ORACLE)
+def quality_cross_field_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-FIELD consistency audit of the order lifecycle: rows are
+    internally inconsistent when related fields contradict the process
+    (a line shipped before its order was placed; a ship lag past 90
+    days — the staleness cut; a RETURNED line on a still-OPEN order; an
+    open line inside a FINISHED order). quality_expectations checks
+    fields against CONSTANTS and keys; this checks fields against EACH
+    OTHER, across the join — the corruption class (timezone bugs,
+    column swaps, backfill off-by-days, status-machine races)
+    single-field ranges can't see.
+
+    Scale/determinism: one shuffle join orders x lineitem (the Q12
+    shape — co-located at 100 TB when both facts are bucketed by
+    orderkey, join_bucketed_colocated's amortization), then ONE
+    conditional-sum pass produces all four counters; the 4-rule report
+    unpivots from that single row — no rule scans twice; shares are
+    exact-integer divisions rounded 6 dp."""
+    t = load(spark, sf_dir)
+    j = t.lineitem.join(
+        t.orders, F.col("o_orderkey") == F.col("l_orderkey")
+    ).select(
+        F.col("o_orderdate").alias("od"),
+        F.col("o_orderstatus").alias("os"),
+        F.col("l_shipdate").alias("sd"),
+        F.col("l_returnflag").alias("rf"),
+        F.col("l_linestatus").alias("ls"),
+    )
+    c = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((F.col("sd") < F.col("od")).cast("int")).cast("bigint").alias(
+            "ship_before_order"
+        ),
+        F.sum(
+            (F.col("sd") > F.date_add(F.col("od"), 90)).cast("int")
+        ).cast("bigint").alias("ship_lag_over_90d"),
+        F.sum(
+            ((F.col("rf") == "R") & (F.col("os") == "O")).cast("int")
+        ).cast("bigint").alias("returned_but_open"),
+        F.sum(
+            ((F.col("os") == "F") & (F.col("ls") == "O")).cast("int")
+        ).cast("bigint").alias("finished_order_open_line"),
+    )
+    rules = c.select(
+        "n",
+        F.expr(
+            "stack(4,"
+            " 'ship_before_order', ship_before_order,"
+            " 'ship_lag_over_90d', ship_lag_over_90d,"
+            " 'returned_but_open', returned_but_open,"
+            " 'finished_order_open_line', finished_order_open_line)"
+            " AS (rule, v)"
+        ),
+    )
+    return rules.select(
+        "rule",
+        F.col("n").alias("n_checked"),
+        F.col("v").alias("n_violations"),
+        F.round(F.col("v") / F.col("n").cast("double"), 6).alias(
+            "violation_share"
+        ),
+    ).orderBy("rule")

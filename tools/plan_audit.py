@@ -251,6 +251,14 @@ SINGLE_PARTITION_OK: dict[str, str] = {
         "(count partials, never pair rows); the nlist-sized quantizer "
         "seed frame broadcasts, never shuffles"
     ),
+    "sample_neyman_allocation": (
+        "1-row weight-total fold over the LANGUAGE-domain stratum frame "
+        "(5 rows at any SF)"
+    ),
+    "quality_cross_field_dates": (
+        "1-row conditional-sum fold (five count partials) + the 4-rule "
+        "unpivot of that single row"
+    ),
     "agg_matthews_corr": (
         "1-row confusion-matrix fold (four count partials per task, "
         "never data rows)"
