@@ -269,7 +269,7 @@ SINGLE_PARTITION_OK: dict[str, str] = {
     ),
     "agg_goodman_kruskal_lambda": (
         "1-row folds over the 15-cell contingency DOMAIN (row-mode and "
-        "column-marginal frames, bounded by |priority| x |status|)"
+        "column-marginal frames, bounded by n-priorities x n-statuses)"
     ),
     "agg_theils_u": (
         "MI/entropy folds over the 15-cell contingency DOMAIN and its "
