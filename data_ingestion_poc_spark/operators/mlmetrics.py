@@ -483,10 +483,12 @@ _MCC_ORACLE = f"""
       FROM scored
     )
     SELECT tp, fp, fn, tn,
-           ROUND((CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
-                 / (SQRT(CAST(tp + fp AS DOUBLE)) * SQRT(CAST(tp + fn AS DOUBLE))
-                    * SQRT(CAST(tn + fp AS DOUBLE)) * SQRT(CAST(tn + fn AS DOUBLE))),
-                 6) AS mcc
+           CASE WHEN tp + fp > 0 AND tp + fn > 0 AND tn + fp > 0
+                 AND tn + fn > 0 THEN
+             ROUND((CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
+                   / (SQRT(CAST(tp + fp AS DOUBLE)) * SQRT(CAST(tp + fn AS DOUBLE))
+                      * SQRT(CAST(tn + fp AS DOUBLE)) * SQRT(CAST(tn + fn AS DOUBLE))),
+                   6) END AS mcc
     FROM c
 """
 
@@ -521,8 +523,15 @@ def agg_matthews_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.sqrt((tn + fp).cast("double"))
         * F.sqrt((tn + fn).cast("double"))
     )
+    defined = (
+        ((tp + fp) > 0) & ((tp + fn) > 0) & ((tn + fp) > 0) & ((tn + fn) > 0)
+    )
+    # NULL, not NaN, for a constant classifier: a zero marginal zeroes
+    # the denominator, and ANSI mode (Spark 4 default) would otherwise
+    # raise DIVIDE_BY_ZERO instead of returning the undefined value
     return c.select(
-        "tp", "fp", "fn", "tn", F.round(num / den, 6).alias("mcc")
+        "tp", "fp", "fn", "tn",
+        F.when(defined, F.round(num / den, 6)).alias("mcc"),
     )
 
 
@@ -542,12 +551,15 @@ _KAPPA_ORACLE = f"""
            ROUND((CAST(pred_pos AS DOUBLE) / n) * (CAST(true_pos AS DOUBLE) / n)
                  + (CAST(n - pred_pos AS DOUBLE) / n) * (CAST(n - true_pos AS DOUBLE) / n),
                  6) AS chance_agreement,
-           ROUND(((tp + tn) / CAST(n AS DOUBLE)
-                  - ((CAST(pred_pos AS DOUBLE) / n) * (CAST(true_pos AS DOUBLE) / n)
-                     + (CAST(n - pred_pos AS DOUBLE) / n) * (CAST(n - true_pos AS DOUBLE) / n)))
-                 / (1.0 - ((CAST(pred_pos AS DOUBLE) / n) * (CAST(true_pos AS DOUBLE) / n)
-                           + (CAST(n - pred_pos AS DOUBLE) / n) * (CAST(n - true_pos AS DOUBLE) / n))),
-                 6) AS kappa
+           CASE WHEN ((CAST(pred_pos AS DOUBLE) / n) * (CAST(true_pos AS DOUBLE) / n)
+                      + (CAST(n - pred_pos AS DOUBLE) / n) * (CAST(n - true_pos AS DOUBLE) / n))
+                     < 1.0 THEN
+             ROUND(((tp + tn) / CAST(n AS DOUBLE)
+                    - ((CAST(pred_pos AS DOUBLE) / n) * (CAST(true_pos AS DOUBLE) / n)
+                       + (CAST(n - pred_pos AS DOUBLE) / n) * (CAST(n - true_pos AS DOUBLE) / n)))
+                   / (1.0 - ((CAST(pred_pos AS DOUBLE) / n) * (CAST(true_pos AS DOUBLE) / n)
+                             + (CAST(n - pred_pos AS DOUBLE) / n) * (CAST(n - true_pos AS DOUBLE) / n))),
+                   6) ELSE 0.0 END AS kappa
     FROM c
 """
 
@@ -586,5 +598,10 @@ def agg_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(po, 6).alias("observed_agreement"),
         F.round(pe, 6).alias("chance_agreement"),
-        F.round((po - pe) / (1.0 - pe), 6).alias("kappa"),
+        # pe = 1 means the marginals force agreement; kappa's own
+        # convention is 0 there (no skill beyond chance is expressible),
+        # and the guard keeps ANSI mode from raising DIVIDE_BY_ZERO
+        F.when(pe < 1.0, F.round((po - pe) / (1.0 - pe), 6))
+        .otherwise(F.lit(0.0))
+        .alias("kappa"),
     )
