@@ -47,15 +47,17 @@ _CHANGED_THIS_ROUND = [
 ]
 
 # r9 diffs that touch function bodies WITHOUT changing semantics (the
-# r8-advice guarded-floor accessor in capped_candidate_frame — output
-# identical, locally oracle-verified 5/5): they lead the judged block
-# (positions 51+) instead of spending backlog slots.
+# r8-advice guarded-floor accessor in capped_candidate_frame, and the
+# r9 overflow audit's double-multiply in agg_mutual_info — output
+# identical below 2^53, locally oracle-verified 6/6): they lead the
+# judged block (positions 51+) instead of spending backlog slots.
 _CHANGED_JUDGED_THIS_ROUND = [
     "dedup_ngram_jaccard",
     "dedup_containment",
     "dedup_lsh_tuning",
     "dedup_cross_source_matrix",
     "dedup_threshold_sweep",
+    "agg_mutual_info",
 ]
 
 

@@ -2532,7 +2532,13 @@ def dedup_band_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
             F.sum("sz").cast("bigint").alias("n_docs"),
             F.max("sz").alias("max_bucket_size"),
-            F.sum(F.col("sz") * (F.col("sz") - 1) / 2)
+            # the product goes through decimal(38,0): a degenerate hot
+            # bucket (all-identical corpus) makes sz data-sized, and
+            # sz*(sz-1) wraps bigint past ~3e9 members (overflow
+            # doctrine); the final bigint cast is presentation only
+            F.sum(
+                F.col("sz").cast("decimal(38,0)") * (F.col("sz") - 1) / 2
+            )
             .cast("bigint")
             .alias("candidate_pairs"),
             (

@@ -537,14 +537,18 @@ _NEYMAN_ORACLE = f"""
       FROM s
     ),
     w AS (
-      SELECT lang, n_h, sd_u, n_h * sd_u AS w_u,
-             CAST(SUM(n_h * sd_u) OVER () AS BIGINT) AS tot_u
+      SELECT lang, n_h, sd_u,
+             CAST(n_h AS DECIMAL(38,0)) * sd_u AS w_u,
+             CAST(SUM(CAST(n_h AS DECIMAL(38,0)) * sd_u) OVER ()
+                  AS DECIMAL(38,0)) AS tot_u
       FROM sd
     )
     SELECT lang, n_h,
            ROUND(sd_u / 1e6, 4) AS stratum_sd,
-           CAST({NEYMAN_BUDGET} * w_u // tot_u AS BIGINT) AS n_alloc,
-           ROUND(w_u / CAST(tot_u AS DOUBLE), 6) AS alloc_share
+           CAST(FLOOR((CAST({NEYMAN_BUDGET} AS DECIMAL(38,0)) * w_u)
+                      / tot_u) AS BIGINT) AS n_alloc,
+           ROUND(CAST(w_u AS DOUBLE) / CAST(tot_u AS DOUBLE), 6)
+             AS alloc_share
     FROM w
     ORDER BY lang
 """
@@ -586,25 +590,30 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.sqrt(var) * 1_000_000).cast("bigint").alias("sd_u"),
     )
     w_all = Window.partitionBy()
+    # weights in decimal(38,0): N_h (~1e13 docs) x S_u (~1e9 micro-units)
+    # wraps a bigint product at 100 TB (overflow doctrine; DuckDB's
+    # BIGINT * BIGINT errors rather than widening, so both sides cast)
+    w_u = F.col("n_h").cast("decimal(38,0)") * F.col("sd_u")
     w = sd.select(
         "lang",
         "n_h",
         "sd_u",
-        (F.col("n_h") * F.col("sd_u")).alias("w_u"),
-        F.sum(F.col("n_h") * F.col("sd_u")).over(w_all).cast("bigint").alias(
-            "tot_u"
-        ),
+        w_u.alias("w_u"),
+        F.sum(w_u).over(w_all).cast("decimal(38,0)").alias("tot_u"),
     )
     return w.select(
         "lang",
         "n_h",
         F.round(F.col("sd_u") / 1e6, 4).alias("stratum_sd"),
-        # exact integer floor division (the agg_lift_deciles doctrine:
-        # `div`, never a double quotient + truncating cast)
-        F.expr(f"CAST({NEYMAN_BUDGET} * w_u DIV tot_u AS BIGINT)").alias(
-            "n_alloc"
-        ),
-        F.round(F.col("w_u") / F.col("tot_u").cast("double"), 6).alias(
-            "alloc_share"
-        ),
+        # exact floor division on the decimal weights (the
+        # agg_lift_deciles doctrine: floor of an exact quotient, never a
+        # truncating cast of an inexact one); budget*w_u stays inside
+        # decimal(38,0)
+        F.floor(
+            (F.lit(NEYMAN_BUDGET).cast("decimal(38,0)") * F.col("w_u"))
+            / F.col("tot_u")
+        ).cast("bigint").alias("n_alloc"),
+        F.round(
+            F.col("w_u").cast("double") / F.col("tot_u").cast("double"), 6
+        ).alias("alloc_share"),
     ).orderBy("lang")

@@ -385,10 +385,11 @@ _MI_ORACLE = """
     ),
     terms AS (
       SELECT *,
-             ROUND(log2((obs * n_total) / (CAST(row_t AS DOUBLE) * col_t)), 4)
+             ROUND(log2((CAST(obs AS DOUBLE) * n_total)
+                        / (CAST(row_t AS DOUBLE) * col_t)), 4)
                AS pmi,
              ROUND((obs / CAST(n_total AS DOUBLE))
-                   * log2((obs * n_total)
+                   * log2((CAST(obs AS DOUBLE) * n_total)
                           / (CAST(row_t AS DOUBLE) * col_t)), 6) AS mi_term
       FROM m
     ),
@@ -445,7 +446,9 @@ def agg_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("obs").over(wc).alias("col_t"),
         F.sum("obs").over(wall).alias("n_total"),
     )
-    ratio = (F.col("obs") * F.col("n_total")) / (
+    # double-multiply like agg_theils_u: obs * n_total wraps bigint at
+    # ~1e13-row tables while the DuckDB side widens to HUGEINT (r9 audit)
+    ratio = (F.col("obs").cast("double") * F.col("n_total")) / (
         F.col("row_t").cast("double") * F.col("col_t")
     )
     p = F.col("obs") / F.col("n_total").cast("double")
@@ -3934,7 +3937,8 @@ _THEILS_U_ORACLE = """
     ),
     mi AS (
       SELECT SUM(ROUND((obs / CAST(n AS DOUBLE))
-                 * LOG2((obs * n) / (CAST(row_t AS DOUBLE) * col_t)), 6))
+                 * LOG2((CAST(obs AS DOUBLE) * n)
+                         / (CAST(row_t AS DOUBLE) * col_t)), 6))
                AS mi_bits
       FROM m
     ),
@@ -3988,7 +3992,10 @@ def agg_theils_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("obs").over(wc).alias("col_t"),
         F.sum("obs").over(wall).alias("n"),
     )
-    ratio = (F.col("obs") * F.col("n")) / (
+    # obs and n both reach ~1e13 rows at 100 TB: a bigint product wraps
+    # at 9.2e18 while DuckDB widens to HUGEINT and silently diverges (the
+    # agg_bartlett_test advice class) — multiply in double on BOTH sides
+    ratio = (F.col("obs").cast("double") * F.col("n")) / (
         F.col("row_t").cast("double") * F.col("col_t")
     )
     mi = m.select(
@@ -4133,12 +4140,12 @@ _PAGE_HINKLEY_ORACLE = """
     inc AS (
       SELECT day, cents,
              CAST(FLOOR((cents - cum / CAST(t AS DOUBLE)) * 1000000)
-                  AS BIGINT) AS inc_u
+                  AS DECIMAL(38,0)) AS inc_u
       FROM r
     ),
     u AS (
       SELECT day, cents,
-             CAST(SUM(inc_u) OVER w AS BIGINT) AS u_t
+             CAST(SUM(inc_u) OVER w AS DECIMAL(38,0)) AS u_t
       FROM inc
       WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
                    AND CURRENT ROW)
@@ -4172,8 +4179,9 @@ def agg_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
     on that frame. Each day's deviation increment floors to integer
     micro-cents BEFORE the cumulative sum (one double division
     cum/t, identical both engines, then floor — the stats.py b_u
-    doctrine), so U_t is an exact integer fold; day order is total,
-    so the running mean is well-defined."""
+    doctrine), so U_t is an exact integer fold held in decimal(38,0)
+    (a 100 TB day's deviation passes 2^63 in micro-cents); day order
+    is total, so the running mean is well-defined."""
     t = load(spark, sf_dir)
     cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
     daily = t.orders.groupBy(F.col("o_orderdate").alias("day")).agg(
@@ -4186,16 +4194,21 @@ def agg_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").over(w).alias("cum"),
         F.row_number().over(Window.orderBy("day")).alias("t"),
     )
+    # decimal(38,0), not bigint: a day's micro-cent deviation reaches
+    # ~1e21 at 100 TB (daily cents ~1e15 x 1e6) and the cumulative fold
+    # grows further — the agg_bartlett_test overflow doctrine
     inc = r.select(
         "day",
         "cents",
         F.floor(
             (F.col("cents") - F.col("cum") / F.col("t").cast("double"))
             * 1_000_000
-        ).cast("bigint").alias("inc_u"),
+        ).cast("decimal(38,0)").alias("inc_u"),
     )
     u = inc.select(
-        "day", "cents", F.sum("inc_u").over(w).cast("bigint").alias("u_t")
+        "day",
+        "cents",
+        F.sum("inc_u").over(w).cast("decimal(38,0)").alias("u_t"),
     )
     return u.select(
         F.col("day").cast("string").alias("day"),
