@@ -3405,7 +3405,8 @@ _MFI_ORACLE = f"""
            ROUND(pos_sum2 / 200.0, 3) AS positive_flow,
            ROUND(neg_sum2 / 200.0, 3) AS negative_flow,
            CASE WHEN pos_sum2 + neg_sum2 > 0 THEN
-             ROUND(100.0 * pos_sum2 / (pos_sum2 + neg_sum2), 4) END AS mfi
+             FLOOR(100.0 * pos_sum2 / (pos_sum2 + neg_sum2) * 10000)
+               / 10000 END AS mfi
     FROM s WHERE pos_sum2 IS NOT NULL
     ORDER BY event_type, day
 """
@@ -3476,8 +3477,13 @@ def win_mfi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("day").cast("string").alias("day"),
             F.round(F.col("pos_sum2") / 200.0, 3).alias("positive_flow"),
             F.round(F.col("neg_sum2") / 200.0, 3).alias("negative_flow"),
+            # floor, not round: the flow ratio's denominator is an
+            # arbitrary integer, so exactly-representable rounding ties
+            # (1/128-style) are possible and the engines' half-rounding
+            # disagrees there (the graph_jaccard_neighbors convention)
             F.when(
-                tot > 0, F.round(100.0 * F.col("pos_sum2") / tot, 4)
+                tot > 0,
+                F.floor(100.0 * F.col("pos_sum2") / tot * 10_000) / 10_000,
             ).alias("mfi"),
         )
         .orderBy("event_type", "day")
