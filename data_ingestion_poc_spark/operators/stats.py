@@ -4152,8 +4152,8 @@ _PAGE_HINKLEY_ORACLE = """
     )
     SELECT CAST(day AS VARCHAR) AS day,
            ROUND(cents / 100.0, 2) AS revenue,
-           ROUND(u_t / 1e6 / 100.0, 2) AS deviation_cum,
-           ROUND((u_t - MIN(u_t) OVER w) / 1e6 / 100.0, 2) AS page_hinkley
+           FLOOR(u_t / 1e6) / 100.0 AS deviation_cum,
+           FLOOR((u_t - MIN(u_t) OVER w) / 1e6) / 100.0 AS page_hinkley
     FROM u
     WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
                  AND CURRENT ROW)
@@ -4210,11 +4210,14 @@ def agg_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents",
         F.sum("inc_u").over(w).cast("decimal(38,0)").alias("u_t"),
     )
+    # floor to whole micro-unit cents, then one exact /100: u_t/1e8 can
+    # land on binary-representable round-2 ties (u = m * 1.25e7), where
+    # the engines' half-rounding disagrees — the win_mfi tie doctrine
     return u.select(
         F.col("day").cast("string").alias("day"),
         F.round(F.col("cents") / 100.0, 2).alias("revenue"),
-        F.round(F.col("u_t") / 1e6 / 100.0, 2).alias("deviation_cum"),
-        F.round(
-            (F.col("u_t") - F.min("u_t").over(w)) / 1e6 / 100.0, 2
+        (F.floor(F.col("u_t") / 1e6) / 100.0).alias("deviation_cum"),
+        (
+            F.floor((F.col("u_t") - F.min("u_t").over(w)) / 1e6) / 100.0
         ).alias("page_hinkley"),
     ).orderBy("day")
