@@ -397,3 +397,66 @@ def test_prefix_filter_is_lossless_vs_python_bruteforce(spark):
     assert set(got) == set(expect)
     for k in got:
         assert abs(got[k] - expect[k]) < 1e-9, (k, got[k], expect[k])
+
+
+def aroon_model(bars):
+    """Independent model of win_aroon's composite-encode rolling argmax:
+    bars = [(hi, lo)] in day order; returns (days_since_high,
+    days_since_low) per full window, most-recent extreme on ties."""
+    from data_ingestion_poc_spark.operators.windows import AROON_N
+
+    out = []
+    for i in range(len(bars)):
+        if i + 1 < AROON_N:
+            out.append(None)
+            continue
+        window = bars[i - AROON_N + 1 : i + 1]
+        hi_idx = max(range(AROON_N), key=lambda j: (window[j][0], j))
+        lo_idx = max(range(AROON_N), key=lambda j: (-window[j][1], j))
+        out.append((AROON_N - 1 - hi_idx, AROON_N - 1 - lo_idx))
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=99_999_999),
+            st.integers(min_value=0, max_value=99_999_999),
+        ),
+        min_size=10,
+        max_size=25,
+    )
+)
+def test_aroon_argmax_matches_model(spark, tmp_path_factory, raw):
+    """The hi*base+idx / complement-encode argmax must agree with a
+    brute Python argmax, including ties (most recent extreme wins)."""
+    import datetime
+
+    from data_ingestion_poc_spark import registry
+
+    bars = [(max(h, l), min(h, l)) for h, l in raw]
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for day, (hi, lo) in enumerate(bars):
+        ts = base + datetime.timedelta(days=day)
+        # two events pin the day's hi and lo exactly (cents -> value)
+        rows.append((2 * day, ts, 1, "x", hi / 100.0, None))
+        rows.append((2 * day + 1, ts, 1, "x", lo / 100.0, None))
+    tmp = tmp_path_factory.mktemp("aroon")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp / "events.parquet"))
+    got = {
+        r["day"]: (r["days_since_high"], r["days_since_low"])
+        for r in registry.get("win_aroon").fn(spark, str(tmp)).collect()
+    }
+    want = aroon_model(bars)
+    for day, expect in enumerate(want):
+        key = (base + datetime.timedelta(days=day)).date().isoformat()
+        if expect is None:
+            assert key not in got
+        else:
+            assert got[key] == expect, (day, got[key], expect)
