@@ -545,10 +545,12 @@ _NEYMAN_ORACLE = f"""
     )
     SELECT lang, n_h,
            ROUND(sd_u / 1e6, 4) AS stratum_sd,
-           CAST(FLOOR((CAST({NEYMAN_BUDGET} AS DECIMAL(38,0)) * w_u)
-                      / tot_u) AS BIGINT) AS n_alloc,
-           ROUND(CAST(w_u AS DOUBLE) / CAST(tot_u AS DOUBLE), 6)
-             AS alloc_share
+           CASE WHEN tot_u > 0 THEN
+             CAST(FLOOR((CAST({NEYMAN_BUDGET} AS DECIMAL(38,0)) * w_u)
+                        / tot_u) AS BIGINT) END AS n_alloc,
+           CASE WHEN tot_u > 0 THEN
+             ROUND(CAST(w_u AS DOUBLE) / CAST(tot_u AS DOUBLE), 6)
+           END AS alloc_share
     FROM w
     ORDER BY lang
 """
@@ -609,11 +611,20 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         # agg_lift_deciles doctrine: floor of an exact quotient, never a
         # truncating cast of an inexact one); budget*w_u stays inside
         # decimal(38,0)
-        F.floor(
-            (F.lit(NEYMAN_BUDGET).cast("decimal(38,0)") * F.col("w_u"))
-            / F.col("tot_u")
-        ).cast("bigint").alias("n_alloc"),
-        F.round(
-            F.col("w_u").cast("double") / F.col("tot_u").cast("double"), 6
+        # NULL when every stratum has zero spread (allocation undefined;
+        # ANSI mode would raise DIVIDE_BY_ZERO)
+        F.when(
+            F.col("tot_u") > 0,
+            F.floor(
+                (F.lit(NEYMAN_BUDGET).cast("decimal(38,0)") * F.col("w_u"))
+                / F.col("tot_u")
+            ).cast("bigint"),
+        ).alias("n_alloc"),
+        F.when(
+            F.col("tot_u") > 0,
+            F.round(
+                F.col("w_u").cast("double") / F.col("tot_u").cast("double"),
+                6,
+            ),
         ).alias("alloc_share"),
     ).orderBy("lang")

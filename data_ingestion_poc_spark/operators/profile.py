@@ -794,7 +794,8 @@ _DATE_ORDER_ORACLE = """
       FROM j
     )
     SELECT rule, n AS n_checked, v AS n_violations,
-           ROUND(v / CAST(n AS DOUBLE), 6) AS violation_share
+           CASE WHEN n > 0 THEN ROUND(v / CAST(n AS DOUBLE), 6) END
+             AS violation_share
     FROM (
       SELECT n, 'ship_before_order' AS rule, ship_before_order AS v FROM c
       UNION ALL
@@ -866,7 +867,9 @@ def quality_cross_field_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rule",
         F.col("n").alias("n_checked"),
         F.col("v").alias("n_violations"),
-        F.round(F.col("v") / F.col("n").cast("double"), 6).alias(
-            "violation_share"
-        ),
+        # NULL share on an empty join (ANSI divide-by-zero guard)
+        F.when(
+            F.col("n") > 0,
+            F.round(F.col("v") / F.col("n").cast("double"), 6),
+        ).alias("violation_share"),
     ).orderBy("rule")

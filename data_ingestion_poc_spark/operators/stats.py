@@ -3873,8 +3873,9 @@ _GK_LAMBDA_ORACLE = """
     SELECT CAST(n AS BIGINT) AS n,
            CAST((SELECT SUM(mx) FROM rowmax) AS BIGINT) AS sum_row_modes,
            CAST(my AS BIGINT) AS col_mode,
-           ROUND(((SELECT SUM(mx) FROM rowmax) - my)
-                 / CAST(n - my AS DOUBLE), 6) AS lambda_y_given_x
+           CASE WHEN n > my THEN
+             ROUND(((SELECT SUM(mx) FROM rowmax) - my)
+                   / CAST(n - my AS DOUBLE), 6) END AS lambda_y_given_x
     FROM colmax
 """
 
@@ -3914,10 +3915,15 @@ def agg_goodman_kruskal_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "sum_row_modes",
         "col_mode",
-        F.round(
-            (F.col("sum_row_modes") - F.col("col_mode"))
-            / (F.col("n") - F.col("col_mode")).cast("double"),
-            6,
+        # NULL when one status owns every row (baseline error 0: lambda
+        # undefined, and ANSI mode would raise DIVIDE_BY_ZERO)
+        F.when(
+            F.col("n") > F.col("col_mode"),
+            F.round(
+                (F.col("sum_row_modes") - F.col("col_mode"))
+                / (F.col("n") - F.col("col_mode")).cast("double"),
+                6,
+            ),
         ).alias("lambda_y_given_x"),
     )
 
@@ -3959,8 +3965,10 @@ _THEILS_U_ORACLE = """
     SELECT ROUND(mi_bits, 6) AS mi_bits,
            ROUND(h_y, 6) AS h_y,
            ROUND(h_x, 6) AS h_x,
-           ROUND(mi_bits / h_y, 6) AS u_y_given_x,
-           ROUND(mi_bits / h_x, 6) AS u_x_given_y
+           CASE WHEN h_y > 0 THEN ROUND(mi_bits / h_y, 6) END
+             AS u_y_given_x,
+           CASE WHEN h_x > 0 THEN ROUND(mi_bits / h_x, 6) END
+             AS u_x_given_y
     FROM mi, hy, hx
 """
 
@@ -4020,8 +4028,14 @@ def agg_theils_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mi_bits", 6).alias("mi_bits"),
         F.round("h_y", 6).alias("h_y"),
         F.round("h_x", 6).alias("h_x"),
-        F.round(F.col("mi_bits") / F.col("h_y"), 6).alias("u_y_given_x"),
-        F.round(F.col("mi_bits") / F.col("h_x"), 6).alias("u_x_given_y"),
+        # NULL for a constant column (zero entropy: the coefficient is
+        # undefined, and ANSI mode would raise DIVIDE_BY_ZERO)
+        F.when(
+            F.col("h_y") > 0, F.round(F.col("mi_bits") / F.col("h_y"), 6)
+        ).alias("u_y_given_x"),
+        F.when(
+            F.col("h_x") > 0, F.round(F.col("mi_bits") / F.col("h_x"), 6)
+        ).alias("u_x_given_y"),
     )
 
 
@@ -4054,16 +4068,18 @@ _CRONBACH_ORACLE = """
              AS sum_item_var,
            ROUND(CAST(s2t AS DOUBLE) / n
                  - POWER(CAST(s1t AS DOUBLE) / n, 2), 6) AS total_var,
-           ROUND((3.0 / 2.0)
-                 * (1 - ((CAST(s2q AS DOUBLE) / n
-                          - POWER(CAST(s1q AS DOUBLE) / n, 2))
-                         + (CAST(s2d AS DOUBLE) / n
-                            - POWER(CAST(s1d AS DOUBLE) / n, 2))
-                         + (CAST(s2x AS DOUBLE) / n
-                            - POWER(CAST(s1x AS DOUBLE) / n, 2)))
-                        / (CAST(s2t AS DOUBLE) / n
-                           - POWER(CAST(s1t AS DOUBLE) / n, 2))), 6)
-             AS alpha
+           CASE WHEN CAST(s2t AS DOUBLE) / n
+                      - POWER(CAST(s1t AS DOUBLE) / n, 2) > 0 THEN
+             ROUND((3.0 / 2.0)
+                   * (1 - ((CAST(s2q AS DOUBLE) / n
+                            - POWER(CAST(s1q AS DOUBLE) / n, 2))
+                           + (CAST(s2d AS DOUBLE) / n
+                              - POWER(CAST(s1d AS DOUBLE) / n, 2))
+                           + (CAST(s2x AS DOUBLE) / n
+                              - POWER(CAST(s1x AS DOUBLE) / n, 2)))
+                          / (CAST(s2t AS DOUBLE) / n
+                             - POWER(CAST(s1t AS DOUBLE) / n, 2))), 6)
+           END AS alpha
     FROM s
 """
 
@@ -4118,7 +4134,12 @@ def agg_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(3).cast("bigint").alias("k"),
         F.round(item_var, 6).alias("sum_item_var"),
         F.round(total_var, 6).alias("total_var"),
-        F.round((3.0 / 2.0) * (1 - item_var / total_var), 6).alias("alpha"),
+        # NULL when the total is constant (zero variance: alpha is
+        # undefined, and ANSI mode would raise DIVIDE_BY_ZERO)
+        F.when(
+            total_var > 0,
+            F.round((3.0 / 2.0) * (1 - item_var / total_var), 6),
+        ).alias("alpha"),
     )
 
 

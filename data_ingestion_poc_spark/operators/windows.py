@@ -3524,10 +3524,13 @@ _XCORR_ORACLE = f"""
     SELECT CAST(day AS VARCHAR) AS day,
            ROUND(a / 100.0, 2) AS rev_a,
            ROUND(b / 100.0, 2) AS rev_b,
-           ROUND((n * CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * sb)
-                 / (SQRT(n * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * sa)
-                    * SQRT(n * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * sb)),
-                 6) AS rolling_corr
+           CASE WHEN n * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * sa > 0
+                 AND n * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * sb > 0
+           THEN
+             ROUND((n * CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * sb)
+                   / (SQRT(n * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * sa)
+                      * SQRT(n * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * sb)),
+                   6) END AS rolling_corr
     FROM s WHERE n IS NOT NULL
     ORDER BY day
 """
@@ -3590,13 +3593,24 @@ def win_rolling_corr_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n") * F.col("sbb").cast("double")
         - F.col("sb").cast("double") * F.col("sb")
     )
+    var_a = F.col("n") * F.col("saa").cast("double") - F.col("sa").cast(
+        "double"
+    ) * F.col("sa")
+    var_b = F.col("n") * F.col("sbb").cast("double") - F.col("sb").cast(
+        "double"
+    ) * F.col("sb")
     return (
         s.where(F.col("n").isNotNull())
         .select(
             F.col("day").cast("string").alias("day"),
             F.round(F.col("a") / 100.0, 2).alias("rev_a"),
             F.round(F.col("b") / 100.0, 2).alias("rev_b"),
-            F.round(num / den, 6).alias("rolling_corr"),
+            # NULL for a zero-variance window (a constant or all-zero
+            # revenue run makes the correlation undefined, and ANSI mode
+            # would raise DIVIDE_BY_ZERO instead of returning NaN)
+            F.when(
+                (var_a > 0) & (var_b > 0), F.round(num / den, 6)
+            ).alias("rolling_corr"),
         )
         .orderBy("day")
     )
