@@ -460,3 +460,112 @@ def test_aroon_argmax_matches_model(spark, tmp_path_factory, raw):
             assert key not in got
         else:
             assert got[key] == expect, (day, got[key], expect)
+
+
+def _write_bars(spark, tmp, bars):
+    """One (hi, lo) bar per day for a single event type, pinned by two
+    events; bars are integer cents."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for day, (hi, lo) in enumerate(bars):
+        ts = base + datetime.timedelta(days=day)
+        rows.append((2 * day, ts, 1, "x", hi / 100.0, None))
+        rows.append((2 * day + 1, ts, 1, "x", lo / 100.0, None))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp / "events.parquet"))
+    return base
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1_000_000),
+            st.integers(min_value=0, max_value=1_000_000),
+        ),
+        min_size=12,
+        max_size=30,
+    )
+)
+def test_ichimoku_matches_model(spark, tmp_path_factory, raw):
+    """tenkan/kijun channel midpoints against a brute Python model."""
+    import datetime
+
+    from data_ingestion_poc_spark import registry
+    from data_ingestion_poc_spark.operators.windows import (
+        ICHIMOKU_K,
+        ICHIMOKU_T,
+    )
+
+    bars = [(max(h, l), min(h, l)) for h, l in raw]
+    tmp = tmp_path_factory.mktemp("ichimoku")
+    base = _write_bars(spark, tmp, bars)
+    got = {
+        r["day"]: r
+        for r in registry.get("win_ichimoku").fn(spark, str(tmp)).collect()
+    }
+
+    def mid(i, n):
+        if i + 1 < n:
+            return None
+        w = bars[i - n + 1 : i + 1]
+        return (max(h for h, _ in w) + min(l for _, l in w)) / 200.0
+
+    for i in range(len(bars)):
+        key = (base + datetime.timedelta(days=i)).date().isoformat()
+        t, k = mid(i, ICHIMOKU_T), mid(i, ICHIMOKU_K)
+        assert got[key]["tenkan"] == (round(t, 3) if t is not None else None)
+        assert got[key]["kijun"] == (round(k, 3) if k is not None else None)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),
+            st.integers(min_value=0, max_value=10_000),
+        ),
+        min_size=16,
+        max_size=30,
+    )
+)
+def test_mfi_matches_model(spark, tmp_path_factory, raw):
+    """Signed money-flow shares against a brute Python model (volume = 2
+    events/day by fixture construction; equal midpoints feed neither
+    flow)."""
+    import datetime
+    import math
+
+    from data_ingestion_poc_spark import registry
+    from data_ingestion_poc_spark.operators.windows import MFI_N
+
+    bars = [(max(h, l), min(h, l)) for h, l in raw]
+    tmp = tmp_path_factory.mktemp("mfi")
+    base = _write_bars(spark, tmp, bars)
+    got = {
+        r["day"]: r["mfi"]
+        for r in registry.get("win_mfi").fn(spark, str(tmp)).collect()
+    }
+    mp2 = [h + l for h, l in bars]
+    pos = [0] * len(bars)
+    neg = [0] * len(bars)
+    for i in range(1, len(bars)):
+        if mp2[i] > mp2[i - 1]:
+            pos[i] = mp2[i] * 2
+        elif mp2[i] < mp2[i - 1]:
+            neg[i] = mp2[i] * 2
+    for i in range(MFI_N, len(bars)):  # first defined-flow window ends here
+        key = (base + datetime.timedelta(days=i)).date().isoformat()
+        p = sum(pos[i - MFI_N + 1 : i + 1])
+        n = sum(neg[i - MFI_N + 1 : i + 1])
+        want = (
+            math.floor(100.0 * p / (p + n) * 10_000) / 10_000
+            if p + n > 0
+            else None
+        )
+        assert got[key] == want, (i, got[key], want)
