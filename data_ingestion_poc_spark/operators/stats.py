@@ -4160,9 +4160,10 @@ _PAGE_HINKLEY_ORACLE = """
     ),
     inc AS (
       SELECT day, cents,
-             CAST(FLOOR((cents - cum / CAST(t AS DOUBLE)) * 1000000)
-                  AS DECIMAL(38,0)) AS inc_u
-      FROM r
+             CAST((n - ((n % t + t) % t)) // t AS DECIMAL(38,0)) AS inc_u
+      FROM (SELECT day, cents, t,
+                   (CAST(cents AS HUGEINT) * t - cum) * 1000000 AS n
+            FROM r) s
     ),
     u AS (
       SELECT day, cents,
@@ -4197,12 +4198,17 @@ def agg_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale/determinism: orders fold to the bounded DAY domain first
     (one combinable groupBy; ~2.4k rows at any SF) — all windows run
-    on that frame. Each day's deviation increment floors to integer
-    micro-cents BEFORE the cumulative sum (one double division
-    cum/t, identical both engines, then floor — the stats.py b_u
-    doctrine), so U_t is an exact integer fold held in decimal(38,0)
-    (a 100 TB day's deviation passes 2^63 in micro-cents); day order
-    is total, so the running mean is well-defined."""
+    on that frame. Each day's deviation increment is EXACT integer
+    arithmetic end-to-end: floor((cents - cum/t)*1e6) is computed as
+    floor-division of n = (cents*t - cum)*1e6 by t — Spark holds n in
+    decimal(38,0) and floor-divides via (n - pmod(n,t))/t (never
+    `div`, whose bigint result wraps at 2^63: a 100 TB day's
+    micro-cent deviation is ~1e21), DuckDB holds n in HUGEINT with
+    the same (n - ((n%t+t)%t))//t construction (its decimal `//`
+    degrades to double). The subtraction makes n divisible by t, so
+    the final division is exact in both engines and U_t is an exact
+    integer fold held in decimal(38,0); day order is total, so the
+    running mean is well-defined."""
     t = load(spark, sf_dir)
     cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
     daily = t.orders.groupBy(F.col("o_orderdate").alias("day")).agg(
@@ -4217,13 +4223,27 @@ def agg_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # decimal(38,0), not bigint: a day's micro-cent deviation reaches
     # ~1e21 at 100 TB (daily cents ~1e15 x 1e6) and the cumulative fold
-    # grows further — the agg_bartlett_test overflow doctrine
+    # grows further — the agg_bartlett_test overflow doctrine. The
+    # floor itself must stay in decimal too: F.floor(double) returns
+    # BIGINT (wraps at 2^63 before any cast can save it) and the
+    # double product is already inexact past 2^53, so the increment is
+    # floor-divided exactly — n = (cents*t - cum)*1e6 in decimal, then
+    # (n - pmod(n, t)) / t, which is exact because the numerator is
+    # divisible by t. pmod (not %) gives the floor-division remainder
+    # for negative deviations.
+    n_expr = (
+        (
+            F.col("cents").cast("decimal(20,0)") * F.col("t")
+            - F.col("cum").cast("decimal(20,0)")
+        )
+        * F.lit(1_000_000).cast("decimal(7,0)")
+    ).cast("decimal(38,0)")
     inc = r.select(
         "day",
         "cents",
-        F.floor(
-            (F.col("cents") - F.col("cum") / F.col("t").cast("double"))
-            * 1_000_000
+        (
+            (n_expr - F.pmod(n_expr, F.col("t").cast("bigint")))
+            / F.col("t").cast("bigint")
         ).cast("decimal(38,0)").alias("inc_u"),
     )
     u = inc.select(

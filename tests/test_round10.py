@@ -1,0 +1,107 @@
+"""Round-10 semantics tests: the ADVICE-r9 exact-arithmetic fixes
+(page-hinkley overflow regime, neyman integral division, aroon negative
+values, blobstore corrupt-sidecar degrade) and the new r10 seams.
+Oracle parity is covered by check_oracle / the driver; these pin the
+regimes the sf0.01 fixtures cannot reach."""
+
+from __future__ import annotations
+
+import datetime
+import json
+import math
+
+import pytest
+
+from data_ingestion_poc_spark import registry
+
+SF001 = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from data_ingestion_poc_spark.session import get_spark
+
+    return get_spark(shuffle_partitions=4)
+
+
+def _write_orders(spark, tmp_path, day_prices):
+    """day_prices: list of (date, [o_totalprice,...]) — one orders row
+    per price. Only the columns agg_page_hinkley reads."""
+    rows = []
+    oid = 0
+    for day, prices in day_prices:
+        for p in prices:
+            rows.append((oid, 1, "O", float(p), day, "1-URGENT", "c", 0, ""))
+            oid += 1
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate date, o_orderpriority string,"
+        " o_clerk string, o_shippriority int, o_comment string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+
+
+def _ph_model(day_cents):
+    """Exact-integer Page-Hinkley model (Python bigints; the double
+    steps mirror the engines' decimal->double final projection)."""
+    out = []
+    cum = 0
+    u = 0
+    umin = None
+    for t, cents in enumerate(day_cents, start=1):
+        cum += cents
+        n = (cents * t - cum) * 1_000_000
+        u += n // t  # Python // is floor division: exact floor(n/t)
+        umin = u if umin is None else min(umin, u)
+        dev = math.floor(float(u) / 1e6) / 100.0
+        ph = math.floor(float(u - umin) / 1e6) / 100.0
+        out.append((dev, ph))
+    return out
+
+
+def test_page_hinkley_exact_beyond_2pow63(spark, tmp_path):
+    """ADVICE r9 (medium): F.floor(double) returns BIGINT, so the old
+    floor-then-cast wrapped at 2^63 and the double product was already
+    inexact past 2^53. Drive daily micro-cent deviations to ~1e21
+    (the claimed 100 TB regime) and pin the engine row-for-row against
+    an exact-bigint model."""
+    base = datetime.date(2024, 1, 1)
+    # one order per day at ~1e13 dollars -> daily cents ~1e15; a level
+    # shift mid-series makes |deviation| ~1e15 cents = 1e21 micro-cents
+    prices = [1e13, 1.1e13, 0.9e13, 1e13, 5e13, 5.2e13, 4.8e13, 5e13]
+    day_prices = [
+        (base + datetime.timedelta(days=i), [p]) for i, p in enumerate(prices)
+    ]
+    _write_orders(spark, tmp_path, day_prices)
+    got = registry.get("agg_page_hinkley").fn(spark, str(tmp_path)).collect()
+    day_cents = [round(p * 100) for p in prices]
+    want = _ph_model(day_cents)
+    assert len(got) == len(want)
+    for row, (dev, ph) in zip(got, want):
+        assert row["deviation_cum"] == dev, (row, dev)
+        assert row["page_hinkley"] == ph, (row, ph)
+    # the regime claim: at least one |U_t| beyond 2^63 micro-cents
+    u = 0
+    cum = 0
+    seen = 0
+    for t, cents in enumerate(day_cents, start=1):
+        cum += cents
+        u += ((cents * t - cum) * 1_000_000) // t
+        seen = max(seen, abs(u))
+    assert seen > 2**63
+
+
+def test_page_hinkley_negative_deviation_floor(spark, tmp_path):
+    """Negative increments must floor toward -inf (pmod construction),
+    not truncate toward zero: a falling series keeps U_t exact."""
+    base = datetime.date(2024, 1, 1)
+    prices = [100.0, 70.0, 40.0, 10.0, 5.0]
+    day_prices = [
+        (base + datetime.timedelta(days=i), [p]) for i, p in enumerate(prices)
+    ]
+    _write_orders(spark, tmp_path, day_prices)
+    got = registry.get("agg_page_hinkley").fn(spark, str(tmp_path)).collect()
+    want = _ph_model([round(p * 100) for p in prices])
+    for row, (dev, ph) in zip(got, want):
+        assert row["deviation_cum"] == dev
+        assert row["page_hinkley"] == ph
