@@ -90,6 +90,25 @@ def load(spark: SparkSession, sf_dir: str) -> Tables:
     return Tables(spark, sf_dir)
 
 
+def footer_row_count(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Row count from parquet footer metadata — the local stand-in for
+    catalog/table statistics. Size-dispatch operators (embed_hubness,
+    win_sessionize-style) need a corpus cardinality SIGNAL, not a scan:
+    parquet footers carry num_rows per file, so this costs one
+    driver-side metadata read (~ms) instead of a Spark count() job. At
+    100 TB the same number comes from the metastore's table stats
+    (ANALYZE TABLE / Delta stats); falls back to a count() job only if
+    the footers are unreadable (e.g. non-local filesystem)."""
+    try:
+        import pyarrow.dataset as ds
+
+        return ds.dataset(
+            f"{sf_dir}/{name}.parquet", format="parquet"
+        ).count_rows()
+    except Exception:
+        return table(spark, sf_dir, name).count()
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Expose every table as a temp view for spark.sql() queries."""
     for name in TABLES:

@@ -92,8 +92,14 @@ class LocalBlobStore(BlobStore):
         meta: dict[str, str] = {}
         try:
             with open(self._meta(blob_path)) as f:
-                meta = json.load(f)
-        except OSError:
+                loaded = json.load(f)
+            if isinstance(loaded, dict):
+                meta = loaded
+        except (OSError, ValueError):
+            # missing OR truncated/corrupt sidecar degrades to empty
+            # metadata — the probe then reads as "not a duplicate" and
+            # the record re-uploads fresh (safe); JSONDecodeError is a
+            # ValueError, and a crash here would fail the whole task
             pass
         return {"size": os.path.getsize(p), "metadata": meta}
 
@@ -241,9 +247,13 @@ def upload_records(
                         "modified_time": int(r["modified_time"]),
                         "blob_path": path,
                         "action": action,
+                        # verify against the RECORD's length field
+                        # (child.py:211-218's contract), not
+                        # len(content): a truncated fetch then fails
+                        # the audit here instead of passing trivially
                         "props_match": bool(
                             after is not None
-                            and after["size"] == len(content)
+                            and after["size"] == int(r["length"])
                         ),
                     }
                 )

@@ -546,8 +546,10 @@ _NEYMAN_ORACLE = f"""
     SELECT lang, n_h,
            ROUND(sd_u / 1e6, 4) AS stratum_sd,
            CASE WHEN tot_u > 0 THEN
-             CAST(FLOOR((CAST({NEYMAN_BUDGET} AS DECIMAL(38,0)) * w_u)
-                        / tot_u) AS BIGINT) END AS n_alloc,
+             CAST((CAST({NEYMAN_BUDGET} AS HUGEINT) * CAST(w_u AS HUGEINT)
+                   - (CAST({NEYMAN_BUDGET} AS HUGEINT) * CAST(w_u AS HUGEINT))
+                     % CAST(tot_u AS HUGEINT))
+                  // CAST(tot_u AS HUGEINT) AS BIGINT) END AS n_alloc,
            CASE WHEN tot_u > 0 THEN
              ROUND(CAST(w_u AS DOUBLE) / CAST(tot_u AS DOUBLE), 6)
            END AS alloc_share
@@ -571,7 +573,8 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum-of-squares with the decimal(38,0) overflow cast); the std
     FLOORS to integer micro-units so the N_h x S_h weights, their
     total, and the floor-division allocation are exact integer
-    arithmetic (both engines' // on identical bigints); the LANGUAGE
+    arithmetic (remainder-subtracted exact division on decimal /
+    HUGEINT — see the n_alloc comment); the LANGUAGE
     domain bounds every later frame. Floor allocation under-spends at
     most (strata - 1) items — the documented remainder policy (largest
     -remainder top-up is a 5-row driver-side fix a consumer applies)."""
@@ -603,20 +606,25 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         w_u.alias("w_u"),
         F.sum(w_u).over(w_all).cast("decimal(38,0)").alias("tot_u"),
     )
+    _NEYMAN_NUM = F.lit(NEYMAN_BUDGET).cast("decimal(38,0)") * F.col("w_u")
     return w.select(
         "lang",
         "n_h",
         F.round(F.col("sd_u") / 1e6, 4).alias("stratum_sd"),
         # exact floor division on the decimal weights (the
-        # agg_lift_deciles doctrine: floor of an exact quotient, never a
-        # truncating cast of an inexact one); budget*w_u stays inside
-        # decimal(38,0)
+        # agg_page_hinkley construction): Spark's decimal/decimal
+        # division rounds HALF_UP to its result scale BEFORE F.floor,
+        # and DuckDB's decimal / degrades to a double quotient — a
+        # quotient within ~5e-7 of an integer would allocate off-by-one
+        # between engines. Subtracting the remainder first makes the
+        # division exact in both (all operands non-negative here, so
+        # remainder == pmod); DuckDB does the same on HUGEINT.
         # NULL when every stratum has zero spread (allocation undefined;
         # ANSI mode would raise DIVIDE_BY_ZERO)
         F.when(
             F.col("tot_u") > 0,
-            F.floor(
-                (F.lit(NEYMAN_BUDGET).cast("decimal(38,0)") * F.col("w_u"))
+            (
+                (_NEYMAN_NUM - F.pmod(_NEYMAN_NUM, F.col("tot_u")))
                 / F.col("tot_u")
             ).cast("bigint"),
         ).alias("n_alloc"),

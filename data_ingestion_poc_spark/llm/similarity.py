@@ -13,9 +13,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..catalog import load
+import logging
+
+from ..catalog import footer_row_count, load
 from ..registry import register
 from .dedup import _splitmix_bit, dot_double  # noqa: F401
+
+_LOG = logging.getLogger(__name__)
 
 _KNN_ORACLE = """
     WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
@@ -2531,6 +2535,11 @@ def _hubness_ivf_cells(t, n_vec: int, extra_cols: list) -> DataFrame:
 HUBNESS_BRUTE_MAX = 2000
 
 
+# NOTE: the registered oracle verifies the BRUTE path only — it is
+# valid exactly when the corpus is <= HUBNESS_BRUTE_MAX vectors (true
+# for every oracle-checked SF; the dispatch warns when it leaves this
+# regime). The IVF path is value-oracled separately as
+# embed_hubness_ivf below.
 @register("embed_hubness", oracle=_HUBNESS_ORACLE)
 def embed_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hubness audit of the embedding space: the k-occurrence
@@ -2544,8 +2553,8 @@ def embed_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
     whitening fix is validated by this skew dropping.
 
     Scale/determinism: AUTO-DISPATCHES on corpus size (the
-    win_sessionize precedent — the signal is a 1-row count aggregate,
-    read from table stats at 100 TB). At audit scale (<=
+    win_sessionize precedent — the signal is parquet-footer/table-stats
+    metadata via catalog.footer_row_count, no scan). At audit scale (<=
     HUBNESS_BRUTE_MAX vectors, which covers every oracle-checked SF)
     it runs the EXACT brute-force all-pairs kNN this oracle verifies;
     beyond that it folds k-occurrence counts from the IVF coarse
@@ -2554,8 +2563,18 @@ def embed_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
     embed_hubness_ivf). Dot products fold in list order (identical
     doubles both engines); ranks tie-break on neighbor_id."""
     t = load(spark, sf_dir)
-    n_vec = t.embeddings.count()
+    # footer/table-stats cardinality, NOT an eager count() job (ADVICE
+    # r9): the dispatch signal costs a metadata read per invocation
+    n_vec = footer_row_count(spark, sf_dir, "embeddings")
     if n_vec > HUBNESS_BRUTE_MAX:
+        _LOG.warning(
+            "embed_hubness: %d vectors > HUBNESS_BRUTE_MAX=%d — "
+            "dispatching to the IVF estimate, OUTSIDE the regime the "
+            "registered brute-force oracle verifies (the index path is "
+            "value-oracled separately as embed_hubness_ivf)",
+            n_vec,
+            HUBNESS_BRUTE_MAX,
+        )
         return _hubness_ivf_cells(t, n_vec, [])
     return _hubness_bruteforce(t)
 

@@ -3291,13 +3291,19 @@ _AROON_ORACLE = f"""
                    ROWS BETWEEN {AROON_N - 1} PRECEDING AND CURRENT ROW)
     )
     SELECT event_type, CAST(day AS VARCHAR) AS day,
-           CAST(idx - (hi_am % {_AROON_BASE}) AS BIGINT)
+           CAST(idx - ((hi_am % {_AROON_BASE} + {_AROON_BASE})
+                       % {_AROON_BASE}) AS BIGINT)
              AS days_since_high,
-           CAST(idx - (lo_am % {_AROON_BASE}) AS BIGINT)
+           CAST(idx - ((lo_am % {_AROON_BASE} + {_AROON_BASE})
+                       % {_AROON_BASE}) AS BIGINT)
              AS days_since_low,
-           ROUND(100.0 * ({AROON_N - 1} - (idx - hi_am % {_AROON_BASE}))
+           ROUND(100.0 * ({AROON_N - 1}
+                 - (idx - (hi_am % {_AROON_BASE} + {_AROON_BASE})
+                          % {_AROON_BASE}))
                  / {AROON_N - 1}, 4) AS aroon_up,
-           ROUND(100.0 * ({AROON_N - 1} - (idx - lo_am % {_AROON_BASE}))
+           ROUND(100.0 * ({AROON_N - 1}
+                 - (idx - (lo_am % {_AROON_BASE} + {_AROON_BASE})
+                          % {_AROON_BASE}))
                  / {AROON_N - 1}, 4) AS aroon_down
     FROM am WHERE hi_am IS NOT NULL
     ORDER BY event_type, day
@@ -3317,9 +3323,11 @@ def win_aroon(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hi * base + idx, and (C - lo) * base + idx for the min so both
     scan as MAX), so the frame fold stays a combinable MAX; ties pick
     the most recent bar in both engines by construction. The lo
-    complement constant C bounds cents at 1e8-1; idx is bounded by the
-    day domain (< 1e5 for three centuries), so the composite fits
-    bigint with 5 orders of headroom."""
+    complement constant C bounds |cents| at 1e8-1 (values may be
+    NEGATIVE: the composite is then negative too, so index recovery
+    uses pmod — truncated % would return a negative remainder); idx is
+    bounded by the day domain (< 1e5 for three centuries), so the
+    composite fits bigint with 5 orders of headroom."""
     t = load(spark, sf_dir)
     cents = F.round(F.col("value") * 100).cast("bigint")
     bars = (
@@ -3354,8 +3362,11 @@ def win_aroon(spark: SparkSession, sf_dir: str) -> DataFrame:
     am = idxed.select(
         "event_type", "day", "idx", hi_am.alias("hi_am"), lo_am.alias("lo_am")
     )
-    dsh = F.col("idx") - F.col("hi_am") % _AROON_BASE
-    dsl = F.col("idx") - F.col("lo_am") % _AROON_BASE
+    # pmod, not %: a negative daily value makes the composite negative
+    # and truncated % would return a negative remainder, corrupting the
+    # recovered index (ADVICE r9); the oracle uses ((x % b) + b) % b
+    dsh = F.col("idx") - F.pmod(F.col("hi_am"), F.lit(_AROON_BASE))
+    dsl = F.col("idx") - F.pmod(F.col("lo_am"), F.lit(_AROON_BASE))
     n1 = AROON_N - 1
     return (
         am.where(F.col("hi_am").isNotNull())

@@ -421,8 +421,11 @@ def aroon_model(bars):
 @given(
     st.lists(
         st.tuples(
-            st.integers(min_value=0, max_value=99_999_999),
-            st.integers(min_value=0, max_value=99_999_999),
+            # negatives included (ADVICE r9): a negative value makes the
+            # composite negative, which corrupted the old truncated-%
+            # index recovery; pmod must keep the argmax exact
+            st.integers(min_value=-99_999_999, max_value=99_999_999),
+            st.integers(min_value=-99_999_999, max_value=99_999_999),
         ),
         min_size=10,
         max_size=25,

@@ -91,6 +91,48 @@ def test_page_hinkley_exact_beyond_2pow63(spark, tmp_path):
     assert seen > 2**63
 
 
+def test_blob_store_corrupt_sidecar_degrades(tmp_path):
+    """ADVICE r9: a truncated/corrupt metadata sidecar must degrade to
+    empty metadata (safe fresh re-upload), not raise JSONDecodeError and
+    fail the whole upload task; a non-dict JSON payload likewise."""
+    from data_ingestion_poc_spark.ingest.blobstore import LocalBlobStore
+
+    s = LocalBlobStore(str(tmp_path))
+    s.upload("f/t/x.bin", b"abc", {"file_size": "3"})
+    sidecar = tmp_path / "_meta" / "f" / "t" / "x.bin.json"
+    sidecar.write_text('{"file_size": "3"')  # truncated
+    assert s.get_properties("f/t/x.bin") == {"size": 3, "metadata": {}}
+    sidecar.write_text('["not", "a", "dict"]')
+    assert s.get_properties("f/t/x.bin") == {"size": 3, "metadata": {}}
+
+
+def test_upload_records_props_match_uses_record_length(spark, tmp_path):
+    """props_match verifies the stored size against the RECORD's length
+    field (the reference's integrity contract) — a truncated fetch whose
+    content is shorter than the manifest length must flag, not pass
+    trivially against its own len(content)."""
+    from data_ingestion_poc_spark.ingest.blobstore import (
+        LocalBlobStore,
+        upload_records,
+    )
+
+    root = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [
+            ("srv", "csv", "ok.csv", 3, 100, bytearray(b"abc")),
+            ("srv", "csv", "short.csv", 9, 100, bytearray(b"abc")),
+        ],
+        "server_folder string, file_type string, file_name string,"
+        " length long, modified_time long, content binary",
+    )
+    rows = {
+        r["file_name"]: r
+        for r in upload_records(df, lambda: LocalBlobStore(root)).collect()
+    }
+    assert rows["ok.csv"]["props_match"] is True
+    assert rows["short.csv"]["props_match"] is False
+
+
 def test_page_hinkley_negative_deviation_floor(spark, tmp_path):
     """Negative increments must floor toward -inf (pmod construction),
     not truncate toward zero: a falling series keeps U_t exact."""
