@@ -26,7 +26,11 @@ class MiniFtpServer:
         self.sock = socket.socket()
         self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self.sock.bind(("127.0.0.1", 0))
-        self.sock.listen(8)
+        # backlog 64: the concurrent fetch stage (A5) opens up to
+        # tasks x concurrency sockets in a burst; a backlog of 8 drops
+        # SYNs at concurrency=8 x 4 tasks and the dropped clients block
+        # 30 s in timeout (observed in tools/fetch_concurrency_probe.py)
+        self.sock.listen(64)
         self.port = self.sock.getsockname()[1]
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._serve, daemon=True)

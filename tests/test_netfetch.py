@@ -111,3 +111,57 @@ def test_full_pipeline_over_ftp(spark, ftp) -> None:
 def test_curl_fetcher_guard() -> None:
     with pytest.raises(NotImplementedError, match="pycurl"):
         pipeline.CurlFetcher()
+
+
+def test_concurrent_fetch_stage_matches_sequential(spark, ftp, ftp_root):
+    """A5 parity: the bounded-concurrency fetch stage (reference
+    Semaphore(3), child_otherftp.py:300-306) returns the exact rows of
+    the sequential path — same order, same bytes, same error routing —
+    because executor.map preserves manifest order and every call opens
+    its own connection."""
+    manifest = [
+        (ftp.server_uri, "/srv_a" + fixtures.ZIP_PATH),
+        (ftp.server_uri, "/srv_a/data/noext"),
+        (ftp.server_uri, "/srv_a/missing/ghost.txt"),
+        (ftp.server_uri, "/srv_b/data/dup.csv"),
+    ]
+
+    def rows(concurrency):
+        return [
+            (
+                r["remote_path"],
+                bytes(r["content"]) if r["content"] is not None else None,
+                r["length"],
+                r["modified_time"],
+                r["error"] is None,
+            )
+            for r in pipeline.fetch(
+                spark,
+                manifest,
+                n_batches=2,
+                fetcher=FtplibFetcher(),
+                concurrency=concurrency,
+            ).collect()
+        ]
+
+    assert rows(3) == rows(1)
+
+
+def test_full_pipeline_concurrent_fetch(spark, ftp):
+    """run_pipeline on the concurrent path keeps the e2e goldens: zip
+    explode + quarantine identical to the sequential run."""
+    manifest = [
+        (ftp.server_uri, "/srv_a" + fixtures.ZIP_PATH),
+        (ftp.server_uri, "/srv_a/missing/ghost.txt"),
+    ]
+    seq_final, seq_q = pipeline.run_pipeline(
+        spark, manifest=manifest, fetcher=FtplibFetcher()
+    )
+    con_final, con_q = pipeline.run_pipeline(
+        spark, manifest=manifest, fetcher=FtplibFetcher(), concurrency=3
+    )
+    key = lambda r: (r["file_name"], r["length"], r["modified_time"])  # noqa: E731
+    assert sorted(map(key, con_final.collect())) == sorted(
+        map(key, seq_final.collect())
+    )
+    assert con_q.count() == seq_q.count() == 1

@@ -133,6 +133,128 @@ def test_upload_records_props_match_uses_record_length(spark, tmp_path):
     assert rows["short.csv"]["props_match"] is False
 
 
+def test_parse_server_scheme_default_ports():
+    """Reference child_otherftp.py:124: port falls back by scheme —
+    21 for ftp, 22 for sftp."""
+    from data_ingestion_poc_spark.ingest.netfetch import parse_server
+
+    assert parse_server("ftp://host.example")["port"] == 21
+    assert parse_server("sftp://host.example")["port"] == 22
+    assert parse_server("sftp://host.example:2222")["port"] == 2222
+    assert parse_server("sftp://u:p@host.example")["user"] == "u"
+
+
+def test_sftp_fetcher_guard():
+    from data_ingestion_poc_spark.ingest import netfetch
+
+    if netfetch.paramiko is not None:
+        pytest.skip("paramiko present: guard moot")
+    with pytest.raises(NotImplementedError, match="paramiko"):
+        netfetch.SftpFetcher()
+    # and the lazy pipeline re-export resolves the class
+    from data_ingestion_poc_spark.ingest import pipeline
+
+    assert pipeline.SftpFetcher is netfetch.SftpFetcher
+
+
+class _FakeSftpAttrs:
+    def __init__(self, size, mtime):
+        self.st_size = size
+        self.st_mtime = mtime
+
+
+class _FakeSftpFile:
+    def __init__(self, data):
+        self._data = data
+
+    def read(self):
+        return self._data
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
+
+
+class _FakeSftpClient:
+    def __init__(self, tree):
+        self._tree = tree
+
+    def stat(self, path):
+        if path not in self._tree:
+            raise FileNotFoundError(path)
+        data, mtime = self._tree[path]
+        return _FakeSftpAttrs(len(data) if data is not None else None, mtime)
+
+    def open(self, path, mode):
+        return _FakeSftpFile(self._tree[path][0])
+
+
+class _FakeSSHClient:
+    """Paramiko-shaped stub: records connect kwargs + close calls so the
+    contract test can assert lazy-per-call connections."""
+
+    instances = []
+
+    def __init__(self):
+        self.connect_kwargs = None
+        self.closed = False
+        _FakeSSHClient.instances.append(self)
+
+    def set_missing_host_key_policy(self, policy):
+        self.policy = policy
+
+    def load_host_keys(self, path):
+        self.host_keys = path
+
+    def connect(self, host, port, username, password, timeout):
+        self.connect_kwargs = dict(
+            host=host, port=port, username=username, password=password
+        )
+
+    def open_sftp(self):
+        return _FakeSftpClient(
+            {
+                "/data/a.bin": (b"hello sftp", 1700000000),
+                "/data/no_size.bin": (None, 1700000000),
+            }
+        )
+
+    def close(self):
+        self.closed = True
+
+
+def test_sftp_fetcher_contract(monkeypatch):
+    """Drive SftpFetcher through a paramiko-shaped stub: the seam
+    contract (stat -> (size, epoch mtime), read -> bytes, raise on a
+    server non-answer, one lazily-opened connection per call, always
+    closed) holds without the wheel installed."""
+    import types
+
+    from data_ingestion_poc_spark.ingest import netfetch
+
+    fake = types.SimpleNamespace(
+        SSHClient=_FakeSSHClient, AutoAddPolicy=lambda: "auto-add"
+    )
+    monkeypatch.setattr(netfetch, "paramiko", fake)
+    _FakeSSHClient.instances = []
+    f = netfetch.SftpFetcher()
+    size, mtime = f.stat("sftp://alice:pw@host.example", "/data/a.bin")
+    assert (size, mtime) == (10, 1700000000)
+    assert f.read("sftp://alice:pw@host.example", "/data/a.bin") == b"hello sftp"
+    with pytest.raises(FileNotFoundError):
+        f.stat("sftp://host.example", "/data/ghost.bin")
+    with pytest.raises(OSError, match="file size"):
+        f.stat("sftp://host.example", "/data/no_size.bin")
+    # one connection per call, every one closed, scheme-default port 22
+    assert len(_FakeSSHClient.instances) == 4
+    assert all(c.closed for c in _FakeSSHClient.instances)
+    assert _FakeSSHClient.instances[0].connect_kwargs == dict(
+        host="host.example", port=22, username="alice", password="pw"
+    )
+
+
 def test_page_hinkley_negative_deviation_floor(spark, tmp_path):
     """Negative increments must floor toward -inf (pmod construction),
     not truncate toward zero: a falling series keeps U_t exact."""
