@@ -39,25 +39,30 @@ def entry(spark: SparkSession) -> DataFrame:
 # CORRECTNESS_r0*.json files — r5's hand-maintained 180-line _JUDGED list
 # is gone; drift there silently wasted window slots).
 _CHANGED_THIS_ROUND = [
-    # r9 semantic implementation change (VERDICT r8 item 2): the
-    # quadratic all-pairs audit became a size dispatch (brute at oracle
-    # SFs, IVF-cell fold beyond). Never driver-judged, so it costs a
-    # backlog slot it would have spent anyway.
-    "embed_hubness",
+    # r10 semantic changes from the ADVICE-r9 exact-arithmetic fixes.
+    # All four were ALREADY in the never-driver-judged backlog, so
+    # leading with them costs no extra window slots:
+    # - agg_page_hinkley: increment now exact floor-division in
+    #   decimal/HUGEINT (was floor of a shared double quotient)
+    # - sample_neyman_allocation: remainder-subtracted exact division
+    #   (was decimal-HALF_UP vs double floor)
+    # - win_aroon: pmod index recovery (negative-value domain)
+    # - ingest_blob_store_policies: props_match now verifies against
+    #   the record's length field (the reference contract)
+    "agg_page_hinkley",
+    "sample_neyman_allocation",
+    "win_aroon",
+    "ingest_blob_store_policies",
 ]
 
-# r9 diffs that touch function bodies WITHOUT changing semantics (the
-# r8-advice guarded-floor accessor in capped_candidate_frame, and the
-# r9 overflow audit's double-multiply in agg_mutual_info — output
-# identical below 2^53, locally oracle-verified 6/6): they lead the
-# judged block (positions 51+) instead of spending backlog slots.
+# r10 diffs that touch function bodies WITHOUT changing semantics:
+# embed_hubness's dispatch signal moved from an eager count() job to
+# parquet-footer stats + a leaving-oracle-regime warning — same
+# dispatch decision, identical output at every SF (judged r9, locally
+# re-oracled this round). Leads the judged block (positions 51+)
+# instead of spending a backlog slot.
 _CHANGED_JUDGED_THIS_ROUND = [
-    "dedup_ngram_jaccard",
-    "dedup_containment",
-    "dedup_lsh_tuning",
-    "dedup_cross_source_matrix",
-    "dedup_threshold_sweep",
-    "agg_mutual_info",
+    "embed_hubness",
 ]
 
 
@@ -74,26 +79,19 @@ def _driver_judged() -> set[str]:
     return judged
 
 
-#: Names first registered in r8 — the unjudged BACKLOG (r7 and older)
-#: outranks them in the fresh ordering so the 50-slot driver window
-#: retires the oldest names first (VERDICT r6 item 1); the new ops are
-#: all locally oracle-verified and queue right behind. (Older rounds'
-#: new-name sets need no list here: registration order already ages
-#: them correctly once the round closes.)
-#: (r9 edition — r8's names age correctly by registration order now
-#: that the r8 window has closed.)
+#: Names first registered THIS round — the unjudged BACKLOG (r9 and
+#: older) outranks them in the fresh ordering so the 50-slot driver
+#: window retires the oldest names first (VERDICT r6 item 1); the new
+#: ops are all locally oracle-verified and queue right behind. (Older
+#: rounds' new-name sets need no list here: registration order already
+#: ages them correctly once each round's window closes — r9's names
+#: age correctly now that the r9 window has closed.)
+#: r10 math (VERDICT r9 item 1): 48 backlog names + 4 of them leading
+#: as _CHANGED_THIS_ROUND re-orders, so <= 2 genuinely NEW operators
+#: keep the 50-slot window exactly closing the backlog to zero.
 _NEW_THIS_ROUND: set[str] = {
-    "embed_hubness_ivf",
-    "ingest_blob_store_policies",
-    "agg_matthews_corr", "agg_cohens_kappa",
-    "agg_goodman_kruskal_lambda", "agg_theils_u",
-    "agg_cronbach_alpha", "agg_page_hinkley",
-    "win_ichimoku", "win_keltner", "win_aroon", "win_mfi",
-    "win_rolling_corr_pair",
-    "graph_adamic_adar", "graph_rich_club",
-    "dedup_band_skew_audit", "text_compression_ratio",
-    "sim_search_hybrid_rrf", "sample_neyman_allocation",
-    "quality_cross_field_dates",
+    "agg_cvm_test",
+    "agg_autocorr_ljung_box",
 }
 
 

@@ -1440,6 +1440,125 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Asymptotic 5% critical value of the Cramer-von Mises limit
+#: distribution (Anderson-Darling 1952 table; the two-sample T shares
+#: the one-sample omega^2 limit, Anderson 1962).
+_CVM_CRIT_5PCT = 0.461
+
+_CVM_ORACLE = f"""
+    WITH ev AS (
+      SELECT event_type, value FROM events
+      WHERE event_type IN ('{TTEST_A}', '{TTEST_B}')
+    ),
+    vg AS (
+      SELECT value,
+             CAST(SUM(CASE WHEN event_type = '{TTEST_A}'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN event_type = '{TTEST_B}'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      FROM ev GROUP BY value
+    ),
+    cum AS (
+      SELECT ca + cb AS l,
+             SUM(ca) OVER wc AS cca, SUM(cb) OVER wc AS ccb,
+             SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb
+      FROM vg
+      WINDOW wc AS (ORDER BY value ROWS UNBOUNDED PRECEDING)
+    ),
+    term AS (
+      SELECT na, nb,
+             SUM(l * POWER(CAST(CAST(cca AS HUGEINT) * nb
+                                - CAST(ccb AS HUGEINT) * na
+                                AS DOUBLE), 2)) OVER wt AS cum_term
+      FROM cum
+      WINDOW wt AS (ORDER BY cca + ccb ROWS UNBOUNDED PRECEDING)
+    ),
+    s AS (
+      SELECT MAX(na) AS na, MAX(nb) AS nb, MAX(cum_term) AS ssq
+      FROM term
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           floor(ssq / (CAST(na AS DOUBLE) * nb
+                        * POWER(CAST(na + nb AS DOUBLE), 2))
+                 * 1000000) / 1000000 AS t_stat,
+           ssq / (CAST(na AS DOUBLE) * nb
+                  * POWER(CAST(na + nb AS DOUBLE), 2))
+             > {_CVM_CRIT_5PCT} AS significant
+    FROM s
+"""
+
+
+@register("agg_cvm_test", oracle=_CVM_ORACLE)
+def agg_cvm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramer-von Mises test between the purchase and click
+    value distributions: T = na*nb/N^2 * sum over the POOLED sample of
+    (ECDF_a - ECDF_b)^2 (Anderson 1962), against the 5% asymptotic
+    critical value {_CVM_CRIT_5PCT}. Completes the two-sample family —
+    agg_t_test (mean), agg_mann_whitney (location), agg_ks_test (max
+    ECDF gap): CvM INTEGRATES the squared gap over the whole support,
+    so many small distributed differences that never breach KS's single
+    sup can still reject — the drift shape a slow corpus-mix change
+    produces.
+
+    Scale/determinism: the agg_ks_test bounded-domain recipe — counts
+    fold per VALUE first (<=49k-row domain at any SF), the ECDF gap per
+    domain row is kept as the EXACT integer cca*nb - ccb*na
+    (decimal(38,0) / HUGEINT: ~1e13 x 1e13 passes 2^63) and only enters
+    doubles inside the squared term; the sum of nonnegative terms folds
+    as a cumulative window in pooled-rank order (identical summation
+    order both engines — a groupBy SUM of doubles would fold in
+    partition order) and its MAX is the total. t_stat floors at 1e-6 —
+    the established lattice convention."""
+    t = load(spark, sf_dir)
+    ev = t.events.where(F.col("event_type").isin(TTEST_A, TTEST_B))
+    vg = ev.groupBy("value").agg(
+        F.sum(
+            F.when(F.col("event_type") == TTEST_A, 1).otherwise(0)
+        ).cast("bigint").alias("ca"),
+        F.sum(
+            F.when(F.col("event_type") == TTEST_B, 1).otherwise(0)
+        ).cast("bigint").alias("cb"),
+    )
+    wcum = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = vg.select(
+        (F.col("ca") + F.col("cb")).alias("l"),
+        F.sum("ca").over(wcum).alias("cca"),
+        F.sum("cb").over(wcum).alias("ccb"),
+        F.sum("ca").over(wall).alias("na"),
+        F.sum("cb").over(wall).alias("nb"),
+    )
+    gap = (
+        F.col("cca").cast("decimal(20,0)") * F.col("nb")
+        - F.col("ccb").cast("decimal(20,0)") * F.col("na")
+    ).cast("decimal(38,0)")
+    wterm = Window.orderBy(F.col("cca") + F.col("ccb")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    term = cum.select(
+        "na",
+        "nb",
+        F.sum(
+            F.col("l") * F.pow(gap.cast("double"), F.lit(2))
+        ).over(wterm).alias("cum_term"),
+    )
+    s = term.agg(
+        F.max("na").alias("na"),
+        F.max("nb").alias("nb"),
+        F.max("cum_term").alias("ssq"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    t_stat = F.col("ssq") / (
+        na.cast("double") * nb * F.pow((na + nb).cast("double"), F.lit(2))
+    )
+    return s.select(
+        na.cast("bigint").alias("n_a"),
+        nb.cast("bigint").alias("n_b"),
+        (F.floor(t_stat * 1_000_000) / 1_000_000).alias("t_stat"),
+        (t_stat > _CVM_CRIT_5PCT).alias("significant"),
+    )
+
+
 @register(
     "agg_hll_intersection_bound",
     oracle="""

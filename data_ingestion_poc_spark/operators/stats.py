@@ -4262,3 +4262,172 @@ def agg_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor((F.col("u_t") - F.min("u_t").over(w)) / 1e6) / 100.0
         ).alias("page_hinkley"),
     ).orderBy("day")
+
+
+#: Ljung-Box lag depth and the chi-square 5% critical values for
+#: df = 1..7 (standard table; the df at lag k is k itself here — no
+#: fitted-model parameters to subtract).
+LJUNG_BOX_LAGS = 7
+_LB_CHI2_CRIT = [3.841, 5.991, 7.815, 9.488, 11.070, 12.592, 14.067]
+
+#: Centering lattice: deviations quantize to MILLI-units of n*cents
+#: before any product (floor-division via the pmod construction, the
+#: agg_page_hinkley doctrine) so the lag-k cross products and the
+#: denominator stay inside decimal(38,0)/HUGEINT at the 100 TB day
+#: scale (y ~ n*cents ~ 2.4e18; unscaled y^2 sums pass 1e38).
+_LB_SCALE = 1000
+
+
+def _lb_oracle() -> str:
+    crit_rows = ", ".join(
+        f"({k + 1}, {c})" for k, c in enumerate(_LB_CHI2_CRIT)
+    )
+    lag_nums = ",\n             ".join(
+        f"SUM(CASE WHEN t > {k} THEN yp * lag{k} END) AS num{k}"
+        for k in range(1, LJUNG_BOX_LAGS + 1)
+    )
+    lag_defs = ",\n             ".join(
+        f"LAG(yp, {k}) OVER (ORDER BY day) AS lag{k}"
+        for k in range(1, LJUNG_BOX_LAGS + 1)
+    )
+    unions = " UNION ALL ".join(
+        f"SELECT {k} AS lag, num{k} AS num, den, n FROM s"
+        for k in range(1, LJUNG_BOX_LAGS + 1)
+    )
+    return f"""
+    WITH daily AS (
+      SELECT o_orderdate AS day,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    ),
+    tot AS (
+      SELECT COUNT(*) AS n, CAST(SUM(cents) AS HUGEINT) AS s1 FROM daily
+    ),
+    dev AS (
+      SELECT day,
+             (y - ((y % {_LB_SCALE} + {_LB_SCALE}) % {_LB_SCALE}))
+               // {_LB_SCALE} AS yp,
+             ROW_NUMBER() OVER (ORDER BY day) AS t
+      FROM (SELECT day, CAST(cents AS HUGEINT) * (SELECT n FROM tot)
+                        - (SELECT s1 FROM tot) AS y
+            FROM daily) q
+    ),
+    lagged AS (
+      SELECT day, yp, t,
+             {lag_defs}
+      FROM dev
+    ),
+    s AS (
+      SELECT SUM(yp * yp) AS den, MAX(t) AS n,
+             {lag_nums}
+      FROM lagged
+    ),
+    perlag AS ({unions}),
+    q AS (
+      SELECT lag, n,
+             CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS r,
+             SUM(POWER(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 2)
+                 / (n - lag))
+               OVER (ORDER BY lag ROWS UNBOUNDED PRECEDING) AS qsum
+      FROM perlag
+    )
+    SELECT q.lag, ROUND(q.r, 6) AS autocorr,
+           ROUND(q.n * (q.n + 2.0) * q.qsum, 4) AS q_stat,
+           q.n * (q.n + 2.0) * q.qsum > c.crit AS significant
+    FROM q JOIN (VALUES {crit_rows}) AS c(lag, crit) ON c.lag = q.lag
+    ORDER BY q.lag
+"""
+
+
+@register("agg_autocorr_ljung_box", oracle=_lb_oracle())
+def agg_autocorr_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test on the daily-revenue series: the
+    lag-k autocorrelations r_k (k = 1..{LJUNG_BOX_LAGS}) of the
+    mean-centered series and the cumulative statistic
+    Q_K = n(n+2) * sum_k r_k^2/(n-k) against the chi-square 5%
+    critical value at df = K (Ljung & Box 1978) — "is this series
+    white noise at all" in one bounded table. Completes the
+    series-drift family: win_cusum_drift and agg_page_hinkley flag a
+    LEVEL change; Ljung-Box flags serial STRUCTURE (weekly cycles,
+    momentum) that invalidates the iid assumption every other monitor
+    on this table quietly makes.
+
+    Scale/determinism: orders fold to the bounded DAY domain first
+    (~2.4k rows at any SF; every window below runs on that frame).
+    Centering multiplies through by n — y_t = n*x_t - S1 — so
+    deviations are EXACT integers (no double mean), then quantizes to
+    the documented milli-lattice via pmod floor-division
+    (agg_page_hinkley construction) so lag products and the
+    denominator fit decimal(38,0)/HUGEINT at 100 TB day magnitudes.
+    Cross products and sums are exact decimal folds (order-free);
+    doubles appear only in the final r_k = num_k/den division and the
+    Q fold over the {LJUNG_BOX_LAGS}-row lag domain — identical
+    expressions both engines, rounded 6/4 dp."""
+    t = load(spark, sf_dir)
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    daily = t.orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(cents).cast("bigint").alias("cents")
+    )
+    wall = Window.partitionBy()
+    y = (
+        F.col("cents").cast("decimal(20,0)")
+        * F.count(F.lit(1)).over(wall)
+        - F.sum(F.col("cents").cast("decimal(20,0)")).over(wall)
+    ).cast("decimal(38,0)")
+    scale = F.lit(_LB_SCALE).cast("bigint")
+    dev = daily.select(
+        "day",
+        ((y - F.pmod(y, scale)) / scale).cast("decimal(19,0)").alias("yp"),
+        F.row_number().over(Window.orderBy("day")).alias("t"),
+    )
+    wday = Window.orderBy("day")
+    lag_cols = [
+        F.lag("yp", k).over(wday).alias(f"lag{k}")
+        for k in range(1, LJUNG_BOX_LAGS + 1)
+    ]
+    lagged = dev.select("yp", "t", *lag_cols)
+    aggs = [
+        F.sum(F.col("yp") * F.col("yp")).alias("den"),
+        F.max("t").alias("n"),
+    ]
+    for k in range(1, LJUNG_BOX_LAGS + 1):
+        aggs.append(
+            F.sum(
+                F.when(F.col("t") > k, F.col("yp") * F.col(f"lag{k}"))
+            ).alias(f"num{k}")
+        )
+    s = lagged.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(k).alias("lag"), F.col(f"num{k}").alias("num")
+        )
+        for k in range(1, LJUNG_BOX_LAGS + 1)
+    ]
+    perlag = s.select(
+        "den", "n", F.explode(F.array(*structs)).alias("row")
+    ).select("n", "row.lag", "row.num", "den")
+    r = F.col("num").cast("double") / F.col("den").cast("double")
+    wq = Window.orderBy("lag").rowsBetween(Window.unboundedPreceding, 0)
+    q = perlag.select(
+        "lag",
+        "n",
+        r.alias("r"),
+        F.sum(F.pow(r, F.lit(2)) / (F.col("n") - F.col("lag")))
+        .over(wq)
+        .alias("qsum"),
+    )
+    crit = spark.createDataFrame(
+        [(k + 1, c) for k, c in enumerate(_LB_CHI2_CRIT)], "clag int, crit double"
+    )
+    qq = F.col("n") * (F.col("n") + 2.0) * F.col("qsum")
+    return (
+        q.join(F.broadcast(crit), q["lag"] == crit["clag"])
+        .select(
+            "lag",
+            F.round("r", 6).alias("autocorr"),
+            F.round(qq, 4).alias("q_stat"),
+            (qq > F.col("crit")).alias("significant"),
+        )
+        .orderBy("lag")
+    )

@@ -255,6 +255,126 @@ def test_sftp_fetcher_contract(monkeypatch):
     )
 
 
+def _write_typed_events(spark, tmp_path, rows):
+    """rows: (event_id, event_type, value)."""
+    data = [
+        (eid, datetime.datetime(2024, 1, 1, 0, eid % 60, eid % 59), 1, et,
+         float(v), None)
+        for eid, et, v in rows
+    ]
+    spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+
+def _cvm_model(a_vals, b_vals):
+    """Brute two-sample Cramer-von Mises T over the pooled sample."""
+    na, nb = len(a_vals), len(b_vals)
+    pooled = sorted(a_vals + b_vals)
+    sa, sb = sorted(a_vals), sorted(b_vals)
+
+    def ecdf(sorted_vals, x):
+        import bisect
+
+        return bisect.bisect_right(sorted_vals, x) / len(sorted_vals)
+
+    ssq = sum((ecdf(sa, z) - ecdf(sb, z)) ** 2 for z in pooled)
+    return na * nb / (na + nb) ** 2 * ssq
+
+
+def test_cvm_matches_brute_model(spark, tmp_path):
+    """Engine T (floored at 1e-6) must match the brute pooled-sample
+    model on asymmetric samples with ties across and within groups."""
+    a = [1.0, 2.0, 2.0, 3.5, 7.25, 7.25, 9.0, 12.0]
+    b = [2.0, 4.0, 4.0, 4.0, 8.5, 12.0, 15.0]
+    rows = [(i, "purchase", v) for i, v in enumerate(a)]
+    rows += [(100 + i, "click", v) for i, v in enumerate(b)]
+    _write_typed_events(spark, tmp_path, rows)
+    r = registry.get("agg_cvm_test").fn(spark, str(tmp_path)).collect()[0]
+    want = _cvm_model(a, b)
+    assert (r["n_a"], r["n_b"]) == (len(a), len(b))
+    assert r["t_stat"] == math.floor(want * 1_000_000) / 1_000_000
+
+
+def test_cvm_identical_samples_zero(spark, tmp_path):
+    vals = [1.0, 3.0, 5.0, 7.0, 11.0] * 4
+    rows = [(i, "purchase", v) for i, v in enumerate(vals)]
+    rows += [(200 + i, "click", v) for i, v in enumerate(vals)]
+    _write_typed_events(spark, tmp_path, rows)
+    r = registry.get("agg_cvm_test").fn(spark, str(tmp_path)).collect()[0]
+    assert r["t_stat"] == 0.0 and r["significant"] is False
+
+
+def test_cvm_separated_samples_significant(spark, tmp_path):
+    rows = [(i, "purchase", float(i % 7)) for i in range(60)]
+    rows += [(500 + i, "click", 100.0 + i % 7) for i in range(60)]
+    _write_typed_events(spark, tmp_path, rows)
+    r = registry.get("agg_cvm_test").fn(spark, str(tmp_path)).collect()[0]
+    assert r["significant"] is True
+
+
+def _ljung_box_model(series, lags):
+    """Brute Ljung-Box on the engine's milli-lattice quantization."""
+    n = len(series)
+    s1 = sum(series)
+    yp = [((v * n - s1) - ((v * n - s1) % 1000)) // 1000 for v in series]
+    den = sum(v * v for v in yp)
+    out = []
+    qsum = 0.0
+    for k in range(1, lags + 1):
+        num = sum(yp[t] * yp[t - k] for t in range(k, n))
+        r = float(num) / float(den)
+        qsum += r * r / (n - k)
+        out.append((r, n * (n + 2.0) * qsum))
+    return out
+
+
+def test_ljung_box_matches_brute_model(spark, tmp_path):
+    """Engine autocorr/Q at every lag vs the exact-lattice Python model
+    on a deterministic mixed series (trend + cycle + residue)."""
+    base = datetime.date(2024, 1, 1)
+    prices = [
+        100.0 + 3.0 * (i % 7) + ((i * 37) % 11) + 0.01 * i for i in range(40)
+    ]
+    day_prices = [
+        (base + datetime.timedelta(days=i), [p]) for i, p in enumerate(prices)
+    ]
+    _write_orders(spark, tmp_path, day_prices)
+    got = (
+        registry.get("agg_autocorr_ljung_box")
+        .fn(spark, str(tmp_path))
+        .collect()
+    )
+    from data_ingestion_poc_spark.operators.stats import LJUNG_BOX_LAGS
+
+    cents = [round(p * 100) for p in prices]
+    want = _ljung_box_model(cents, LJUNG_BOX_LAGS)
+    assert len(got) == LJUNG_BOX_LAGS
+    for row, (r, q) in zip(got, want):
+        assert row["autocorr"] == round(r, 6), (row, r)
+        assert row["q_stat"] == round(q, 4), (row, q)
+
+
+def test_ljung_box_periodic_series_significant(spark, tmp_path):
+    """A hard weekly cycle must reject white noise at lag 7."""
+    base = datetime.date(2024, 1, 1)
+    prices = [100.0 if i % 7 else 5000.0 for i in range(70)]
+    day_prices = [
+        (base + datetime.timedelta(days=i), [p]) for i, p in enumerate(prices)
+    ]
+    _write_orders(spark, tmp_path, day_prices)
+    got = (
+        registry.get("agg_autocorr_ljung_box")
+        .fn(spark, str(tmp_path))
+        .collect()
+    )
+    assert got[-1]["lag"] == 7 and got[-1]["significant"] is True
+    # the lag-7 autocorrelation itself must be strongly positive
+    assert got[-1]["autocorr"] > 0.5
+
+
 def test_page_hinkley_negative_deviation_floor(spark, tmp_path):
     """Negative increments must floor toward -inf (pmod construction),
     not truncate toward zero: a falling series keeps U_t exact."""

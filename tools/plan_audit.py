@@ -95,6 +95,14 @@ SINGLE_PARTITION_OK: dict[str, str] = {
         "ECDF table bounded by the 2-dp value DOMAIN (<=49k rows) + "
         "1-row statistic frame"
     ),
+    "agg_cvm_test": (
+        "ECDF + squared-gap fold bounded by the 2-dp value DOMAIN "
+        "(<=49k rows, the agg_ks_test bound) + 1-row statistic frame"
+    ),
+    "agg_autocorr_ljung_box": (
+        "lag windows over the bounded DAY domain (~2.4k rows at any SF,"
+        " the agg_page_hinkley rationale) + 7-row lag-domain Q fold"
+    ),
     "agg_mann_whitney": (
         "rank table bounded by the 2-dp value DOMAIN (<=49k rows at any "
         "corpus size) + 1-row statistic frame"
