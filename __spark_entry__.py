@@ -63,6 +63,18 @@ _CHANGED_THIS_ROUND = [
 # instead of spending a backlog slot.
 _CHANGED_JUDGED_THIS_ROUND = [
     "embed_hubness",
+    # r10: global_row_number gained its localCheckpoint consistency
+    # barrier (sorts.py) — the r10 sf0.1 sweep caught corpus_heaps_law
+    # mis-bucketing when range-boundary sampling diverged between the
+    # offsets and main plan branches. Both consumers re-oracled at
+    # sf0.001/0.01/0.1 after the fix; identical output at sf0.01 (the
+    # driver's scale), so they queue behind the window like embed_hubness.
+    "corpus_heaps_law",
+    "sort_multi_key",
+    # r10: rsd 0.05 -> 0.01 so the +-10% per-window gate is a >=10-sigma
+    # event — the sf0.1 sweep caught the default's 2-sigma gate failing
+    # 2/720 hourly windows (statistically inevitable at that grid).
+    "stream_hll_active_users_bound",
 ]
 
 
@@ -92,6 +104,18 @@ def _driver_judged() -> set[str]:
 _NEW_THIS_ROUND: set[str] = {
     "agg_cvm_test",
     "agg_autocorr_ljung_box",
+    # Second r10 batch — registered AFTER the window math above was
+    # fixed, so they sort behind the 48-name backlog + the two names
+    # above and become r11's (small) backlog; all locally value-oracled
+    # at sf0.001/0.01/0.1 on arrival.
+    "agg_kendall_tau",
+    "agg_logrank_test",
+    "agg_cochran_q",
+    "agg_mood_median_test",
+    "win_cci",
+    "win_ultimate_oscillator",
+    "win_vortex",
+    "text_hapax_ratio",
 }
 
 
@@ -100,17 +124,34 @@ def _ordered() -> dict[str, registry.Query]:
     judged = _driver_judged()
     front = [n for n in _CHANGED_THIS_ROUND if n in all_q]
     seen = set(front)
+    # Backlog (pre-r10 never-judged) outranks _NEW_THIS_ROUND, and the
+    # backlog's rows-only stragglers outrank the new names too — the
+    # VERDICT r9 item-1 goal is a driver verdict for EVERY pre-existing
+    # name this round, so the 50-slot window must cover all 48 backlog
+    # names (44 value-oracled + 4 rows-only-by-design) before any new
+    # registration spends a slot.
+    fresh = [n for n in all_q if n not in seen and n not in judged]
     fresh_oracle = sorted(
-        (
-            n for n in all_q
-            if n not in seen and n not in judged and all_q[n].oracle
-        ),
+        (n for n in fresh if all_q[n].oracle),
         key=lambda n: (n in _NEW_THIS_ROUND, list(all_q).index(n)),
     )
-    fresh_rows_only = [
-        n for n in all_q
-        if n not in seen and n not in judged and not all_q[n].oracle
-    ]
+    fresh_rows_only = sorted(
+        (n for n in fresh if not all_q[n].oracle),
+        key=lambda n: (n in _NEW_THIS_ROUND, list(all_q).index(n)),
+    )
+    oracle_old = [n for n in fresh_oracle if n not in _NEW_THIS_ROUND]
+    # The first r10 batch (cvm / ljung-box) landed when the window math
+    # was fixed at 48+2 — keep them in the two remaining slots; the
+    # second batch queues behind as r11's backlog.
+    early = ["agg_cvm_test", "agg_autocorr_ljung_box"]
+    oracle_new = sorted(
+        (n for n in fresh_oracle if n in _NEW_THIS_ROUND),
+        key=lambda n: (n not in early, list(all_q).index(n)),
+    )
+    rows_old = [n for n in fresh_rows_only if n not in _NEW_THIS_ROUND]
+    rows_new = [n for n in fresh_rows_only if n in _NEW_THIS_ROUND]
+    fresh_oracle = oracle_old + rows_old + oracle_new
+    fresh_rows_only = rows_new
     changed_judged = [
         n for n in _CHANGED_JUDGED_THIS_ROUND if n in all_q and n not in seen
     ]

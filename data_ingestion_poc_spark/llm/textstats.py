@@ -1659,3 +1659,71 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_hapax_ratio",
+    oracle="""
+    WITH words AS (
+      SELECT lang, unnest(string_split(lower(text), ' ')) AS word
+      FROM documents
+    ),
+    wc AS (
+      SELECT lang, word, COUNT(*) AS c FROM words GROUP BY lang, word
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           CAST(SUM(c) AS BIGINT) AS tokens,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+           CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dis_legomena,
+           floor(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE) * 1000000) / 1000000
+             AS hapax_ratio,
+           floor(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE) * 1000000) / 1000000
+             AS sichel_s
+    FROM wc GROUP BY lang ORDER BY lang
+    """,
+)
+def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax-legomena profile per language: vocabulary size, token
+    count, words occurring exactly once (hapax) and exactly twice (dis
+    legomena), plus the hapax ratio and Sichel's S = dis/V — the
+    vocabulary-growth diagnostics that complement corpus_heaps_law
+    (growth CURVE) and text_zipf_fit (rank SLOPE): a natural corpus
+    runs ~40-60% hapax; boilerplate or template-generated text
+    collapses the ratio, and a rising hapax share across crawl
+    snapshots signals OCR noise or spam injection — both standard
+    pre-train corpus screens.
+
+    Scale/determinism: explode + two combinable groupBys (word counts,
+    then count-of-counts per lang); every output is an exact integer
+    except the two final single-division ratios on the 1e-6 floor
+    lattice. The word domain is vocabulary-bounded; no window, no
+    driver state."""
+    t = load(spark, sf_dir)
+    words = t.documents.select(
+        "lang",
+        F.explode(F.split(F.lower("text"), " ")).alias("word"),
+    )
+    wc = words.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("c"))
+    v = F.count(F.lit(1))
+    hap = F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+    dis = F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+    return (
+        wc.groupBy("lang")
+        .agg(
+            v.cast("bigint").alias("vocab"),
+            F.sum("c").cast("bigint").alias("tokens"),
+            hap.cast("bigint").alias("hapax"),
+            dis.cast("bigint").alias("dis_legomena"),
+            (F.floor(hap / v.cast("double") * 1_000_000) / 1_000_000).alias(
+                "hapax_ratio"
+            ),
+            (F.floor(dis / v.cast("double") * 1_000_000) / 1_000_000).alias(
+                "sichel_s"
+            ),
+        )
+        .orderBy("lang")
+    )

@@ -81,13 +81,29 @@ def global_row_number(
     sort_multi_key's docstring). `order` must be a TOTAL order (include a
     unique tiebreak column) or the assignment is nondeterministic within
     ties. Output keeps all input columns plus `pos_col` (int), range-
-    partitioned and locally sorted by `order`."""
+    partitioned and locally sorted by `order`.
+
+    The localCheckpoint is the CONSISTENCY BARRIER this recipe needs:
+    the offsets aggregate and the main frame are two plan branches over
+    the same range exchange, and repartitionByRange's boundary SAMPLING
+    is nondeterministic per evaluation — without the barrier the two
+    branches can see different partitionings, so offsets no longer match
+    the rows they are joined back to and ranks duplicate/skip (caught by
+    the r10 full-registry sf0.1 sweep on corpus_heaps_law: bucket sizes
+    439-550 instead of 500; sf0.01 masked it because range sampling is
+    exhaustive on small inputs). Spark's own RDD.zipWithIndex pins an
+    evaluation the same way (an eager count job per partition); lazy
+    localCheckpoint materializes each partition once (MEMORY_AND_DISK)
+    on first use and both branches then read the same blocks — the one
+    full-table materialization a distributed global rank fundamentally
+    requires."""
     ranged = (
         df.repartitionByRange(num_partitions, *order)
         .sortWithinPartitions(*order)
         .withColumn("_mid", F.monotonically_increasing_id())
         .withColumn("_pid", F.shiftrightunsigned("_mid", 33))
         .withColumn("_local", F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1)))
+        .localCheckpoint(eager=False)
     )
     offsets = (
         ranged.groupBy("_pid")

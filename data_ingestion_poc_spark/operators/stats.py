@@ -4431,3 +4431,572 @@ def agg_autocorr_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 10: rank-correlation, survival-comparison, repeated-measures and
+# median-shift tests — the four remaining everyday questions the r1-r9
+# test battery doesn't answer: does a MONOTONE association hold between
+# two daily series (Kendall), do two cohorts' SURVIVAL curves differ
+# (log-rank — agg_survival_km draws one curve, this compares two), do k
+# binary TREATMENTS on the same subjects differ in rate (Cochran's Q —
+# the k-sample McNemar), and do k groups share a MEDIAN (Mood — the
+# robust ANOVA when means are outlier-poisoned).
+# ---------------------------------------------------------------------------
+
+_KENDALL_ORACLE = """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    ),
+    pairs AS (
+      SELECT sign(a.rev_c - b.rev_c) AS dx,
+             sign(a.n_orders - b.n_orders) AS dy
+      FROM daily a JOIN daily b ON a.day < b.day
+    ),
+    s AS (
+      SELECT
+        CAST((SELECT COUNT(*) FROM daily) AS BIGINT) AS n_days,
+        CAST(SUM(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END) AS BIGINT) AS conc,
+        CAST(SUM(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END) AS BIGINT) AS disc,
+        CAST(SUM(CASE WHEN dx = 0 AND dy != 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS ties_x,
+        CAST(SUM(CASE WHEN dy = 0 AND dx != 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS ties_y
+      FROM pairs
+    )
+    SELECT n_days, conc, disc, ties_x, ties_y,
+           CASE WHEN (conc + disc + ties_y) > 0 AND (conc + disc + ties_x) > 0
+                THEN floor((conc - disc)
+                           / sqrt(CAST(conc + disc + ties_y AS DOUBLE)
+                                  * CAST(conc + disc + ties_x AS DOUBLE))
+                           * 1000000) / 1000000
+           END AS tau_b,
+           abs(3.0 * (conc - disc)
+               / sqrt(n_days * CAST(n_days - 1 AS DOUBLE) * (2 * n_days + 5)
+                      / 2.0)) > 1.96 AS significant
+    FROM s
+"""
+
+
+@register("agg_kendall_tau", oracle=_KENDALL_ORACLE)
+def agg_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b rank correlation between the two daily order
+    series — revenue cents vs order count: tau_b =
+    (C - D) / sqrt((C + D + Ty) * (C + D + Tx)) over all day pairs,
+    with the normal-approximation significance test
+    z = 3(C-D)/sqrt(n(n-1)(2n+5)/2) (Kendall 1938). Complements
+    agg_spearman_corr: Spearman squares rank GAPS (one big reversal
+    dominates), tau counts INVERSIONS (every pair votes once) — the
+    robust monotone-association check a revenue/volume sanity audit
+    wants.
+
+    Scale/determinism: orders fold to the CALENDAR-bounded day domain
+    first (combinable sum/count partials — ~2.4k rows at ANY corpus
+    size, the same argument as win_atr's bar frame), so the pair space
+    is a fixed ~3M regardless of SF; the pair join is a broadcast
+    nested-loop over that bounded domain (never a shuffle, never
+    data-proportional). Concordance counts are exact integer 0/1 sums;
+    tau enters doubles only in the single final division, floored on
+    the 1e-6 lattice. Degenerate guard: an all-tied axis zeroes a
+    denominator factor -> tau_b NULL (both engines)."""
+    t = load(spark, sf_dir)
+    daily = (
+        t.orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("rev_c"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = a.join(
+        F.broadcast(b), F.col("a.day") < F.col("b.day")
+    ).select(
+        F.signum(F.col("a.rev_c") - F.col("b.rev_c")).alias("dx"),
+        F.signum(F.col("a.n_orders") - F.col("b.n_orders")).alias("dy"),
+    )
+    # n_days rides in as a lazy 1-row broadcast (no eager driver count —
+    # the embed_hubness dispatch lesson from ADVICE r9)
+    nd_df = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    s = pairs.agg(
+        F.sum(F.when(F.col("dx") * F.col("dy") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("conc"),
+        F.sum(F.when(F.col("dx") * F.col("dy") < 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("disc"),
+        F.sum(
+            F.when((F.col("dx") == 0) & (F.col("dy") != 0), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("ties_x"),
+        F.sum(
+            F.when((F.col("dy") == 0) & (F.col("dx") != 0), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("ties_y"),
+    ).crossJoin(F.broadcast(nd_df))
+    conc, disc = F.col("conc"), F.col("disc")
+    den_y = conc + disc + F.col("ties_y")
+    den_x = conc + disc + F.col("ties_x")
+    tau = (conc - disc) / F.sqrt(
+        den_y.cast("double") * den_x.cast("double")
+    )
+    nd = F.col("n_days")
+    z = 3.0 * (conc - disc) / F.sqrt(
+        nd * (nd - 1).cast("double") * (2 * nd + 5) / 2.0
+    )
+    return s.select(
+        nd.cast("bigint").alias("n_days"),
+        "conc",
+        "disc",
+        "ties_x",
+        "ties_y",
+        F.when(
+            (den_y > 0) & (den_x > 0),
+            F.floor(tau * 1_000_000) / 1_000_000,
+        ).alias("tau_b"),
+        (F.abs(z) > 1.96).alias("significant"),
+    )
+
+
+#: Log-rank priority cohorts: urgent-class orders vs the rest.
+LOGRANK_HIGH = ("1-URGENT", "2-HIGH")
+
+_LOGRANK_ORACLE = f"""
+    WITH durs AS (
+      SELECT CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS hi,
+             LEAST(date_diff('day', o.o_orderdate, MIN(l.l_shipdate)),
+                   {KM_HORIZON_DAYS}) AS t,
+             CASE WHEN date_diff('day', o.o_orderdate, MIN(l.l_shipdate))
+                       <= {KM_HORIZON_DAYS} THEN 1 ELSE 0 END AS ev
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ),
+    tt AS (
+      SELECT t,
+             SUM(ev * hi) AS d1, SUM((1 - ev) * hi) AS c1,
+             SUM(ev * (1 - hi)) AS d2, SUM((1 - ev) * (1 - hi)) AS c2
+      FROM durs GROUP BY t
+    ),
+    r AS (
+      SELECT t, d1, d2,
+             SUM(d1 + c1) OVER () - COALESCE(SUM(d1 + c1) OVER wp, 0) AS n1,
+             SUM(d2 + c2) OVER () - COALESCE(SUM(d2 + c2) OVER wp, 0) AS n2,
+             SUM(d1 + c1) OVER () AS tot1,
+             SUM(d2 + c2) OVER () AS tot2,
+             SUM(d1) OVER () AS ev1, SUM(d2) OVER () AS ev2
+      FROM tt
+      WINDOW wp AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING)
+    ),
+    term AS (
+      SELECT t, tot1, tot2, ev1, ev2,
+             SUM(d1 - (d1 + d2) * n1 / CAST(n1 + n2 AS DOUBLE)) OVER wc
+               AS ome,
+             SUM(CASE WHEN n1 + n2 > 1
+                      THEN ((d1 + d2) * CAST(n1 AS DOUBLE) * n2
+                            * (n1 + n2 - d1 - d2))
+                           / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2)
+                              * (n1 + n2 - 1))
+                      ELSE 0.0 END) OVER wc AS v
+      FROM r
+      WINDOW wc AS (ORDER BY t ROWS UNBOUNDED PRECEDING)
+    ),
+    s AS (
+      SELECT MAX(tot1) AS tot1, MAX(tot2) AS tot2,
+             MAX(ev1) AS ev1, MAX(ev2) AS ev2,
+             arg_max(ome, t) AS ome, arg_max(v, t) AS v
+      FROM term
+    )
+    SELECT CAST(tot1 AS BIGINT) AS n_high, CAST(tot2 AS BIGINT) AS n_low,
+           CAST(ev1 AS BIGINT) AS events_high,
+           CAST(ev2 AS BIGINT) AS events_low,
+           floor(ome * 10000) / 10000 AS o_minus_e,
+           CASE WHEN v > 0
+                THEN floor(ome * ome / v * 10000) / 10000 END AS chi2_stat,
+           CASE WHEN v > 0
+                THEN ome * ome / v > {CHI2_CRIT_BY_DOF[1]} END AS significant
+    FROM s
+"""
+
+
+@register("agg_logrank_test", oracle=_LOGRANK_ORACLE)
+def agg_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-cohort log-rank test on the agg_survival_km fulfillment
+    curve: urgent-class orders (LOGRANK_HIGH priorities) vs the rest,
+    time = days from order to first shipment, right-censored at
+    KM_HORIZON_DAYS. At each distinct event time the observed cohort-1
+    deaths are compared to the hypergeometric expectation
+    E1 = d * n1 / n with variance d*(n-d)*n1*n2 / (n^2*(n-1)); the
+    chi-square is (sum(O1-E1))^2 / sum(V) on 1 dof (Mantel 1966).
+    agg_survival_km DRAWS the curve; this answers "are the two curves
+    the same" — the canonical question behind any SLA / cohort
+    comparison.
+
+    Scale/determinism: the same join + per-order MIN fold as
+    agg_survival_km reduces facts to one row per order, then a second
+    combinable groupBy bounds everything by the TIME domain (<=
+    horizon+1 rows at any SF). At-risk counts derive from exact integer
+    cumulative sums; the O-E and V terms are per-row doubles written
+    identically in both engines and folded in TIME order via a
+    cumulative window (never a partition-order groupBy sum of doubles);
+    outputs floor on the 1e-4 lattice. A zero variance (degenerate
+    cohort split) guards chi2/significant to NULL on both sides."""
+    t = load(spark, sf_dir)
+    hi = F.when(F.col("o_orderpriority").isin(*LOGRANK_HIGH), 1).otherwise(0)
+    durs = (
+        t.orders.join(
+            t.lineitem, F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.min("l_shipdate").alias("first_ship"))
+        .select(
+            hi.alias("hi"),
+            F.datediff("first_ship", "o_orderdate").alias("dur"),
+        )
+        .select(
+            "hi",
+            F.least(F.col("dur"), F.lit(KM_HORIZON_DAYS)).alias("t"),
+            F.when(F.col("dur") <= KM_HORIZON_DAYS, 1)
+            .otherwise(0)
+            .alias("ev"),
+        )
+    )
+    tt = durs.groupBy("t").agg(
+        F.sum(F.col("ev") * F.col("hi")).alias("d1"),
+        F.sum((1 - F.col("ev")) * F.col("hi")).alias("c1"),
+        F.sum(F.col("ev") * (1 - F.col("hi"))).alias("d2"),
+        F.sum((1 - F.col("ev")) * (1 - F.col("hi"))).alias("c2"),
+    )
+    w_all = Window.partitionBy()
+    w_prior = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    r = tt.select(
+        "t",
+        "d1",
+        "d2",
+        (
+            F.sum(F.col("d1") + F.col("c1")).over(w_all)
+            - F.coalesce(
+                F.sum(F.col("d1") + F.col("c1")).over(w_prior), F.lit(0)
+            )
+        ).alias("n1"),
+        (
+            F.sum(F.col("d2") + F.col("c2")).over(w_all)
+            - F.coalesce(
+                F.sum(F.col("d2") + F.col("c2")).over(w_prior), F.lit(0)
+            )
+        ).alias("n2"),
+        F.sum(F.col("d1") + F.col("c1")).over(w_all).alias("tot1"),
+        F.sum(F.col("d2") + F.col("c2")).over(w_all).alias("tot2"),
+        F.sum("d1").over(w_all).alias("ev1"),
+        F.sum("d2").over(w_all).alias("ev2"),
+    )
+    d = F.col("d1") + F.col("d2")
+    n = F.col("n1") + F.col("n2")
+    e1_term = F.col("d1") - d * F.col("n1") / n.cast("double")
+    v_term = F.when(
+        n > 1,
+        (d * F.col("n1").cast("double") * F.col("n2") * (n - d))
+        / (n.cast("double") * n * (n - 1)),
+    ).otherwise(F.lit(0.0))
+    term = r.select(
+        "t",
+        "tot1",
+        "tot2",
+        "ev1",
+        "ev2",
+        F.sum(e1_term).over(w_cum).alias("ome"),
+        F.sum(v_term).over(w_cum).alias("v"),
+    )
+    s = term.agg(
+        F.max("tot1").alias("tot1"),
+        F.max("tot2").alias("tot2"),
+        F.max("ev1").alias("ev1"),
+        F.max("ev2").alias("ev2"),
+        F.max_by("ome", "t").alias("ome"),
+        F.max_by("v", "t").alias("v"),
+    )
+    ome, v = F.col("ome"), F.col("v")
+    chi2 = ome * ome / v
+    return s.select(
+        F.col("tot1").cast("bigint").alias("n_high"),
+        F.col("tot2").cast("bigint").alias("n_low"),
+        F.col("ev1").cast("bigint").alias("events_high"),
+        F.col("ev2").cast("bigint").alias("events_low"),
+        (F.floor(ome * 10000) / 10000).alias("o_minus_e"),
+        F.when(v > 0, F.floor(chi2 * 10000) / 10000).alias("chi2_stat"),
+        F.when(v > 0, chi2 > CHI2_CRIT_BY_DOF[1]).alias("significant"),
+    )
+
+
+#: Cochran's Q treatment definitions: three binary per-order conditions
+#: derived from the order's lineitems (any returned line / any deep
+#: discount / any bulk-quantity line).
+COCHRAN_DISCOUNT_MIN = 0.05
+COCHRAN_QTY_MIN = 30
+
+_COCHRAN_ORACLE = f"""
+    WITH flags AS (
+      SELECT l_orderkey,
+             MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS b1,
+             MAX(CASE WHEN l_discount > {COCHRAN_DISCOUNT_MIN}
+                      THEN 1 ELSE 0 END) AS b2,
+             MAX(CASE WHEN l_quantity >= {COCHRAN_QTY_MIN}
+                      THEN 1 ELSE 0 END) AS b3
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(b1) AS HUGEINT) AS c1,
+             CAST(SUM(b2) AS HUGEINT) AS c2,
+             CAST(SUM(b3) AS HUGEINT) AS c3,
+             CAST(SUM((b1 + b2 + b3) * (b1 + b2 + b3)) AS HUGEINT) AS sri2
+      FROM flags
+    )
+    SELECT n,
+           CAST(c1 AS BIGINT) AS n_returned,
+           CAST(c2 AS BIGINT) AS n_discounted,
+           CAST(c3 AS BIGINT) AS n_bulk,
+           CASE WHEN 3 * (c1 + c2 + c3) - sri2 > 0
+                THEN floor(CAST(2 * (3 * (c1 * c1 + c2 * c2 + c3 * c3)
+                                     - (c1 + c2 + c3) * (c1 + c2 + c3))
+                                AS DOUBLE)
+                           / CAST(3 * (c1 + c2 + c3) - sri2 AS DOUBLE)
+                           * 10000) / 10000 END AS q_stat,
+           CASE WHEN 3 * (c1 + c2 + c3) - sri2 > 0
+                THEN CAST(2 * (3 * (c1 * c1 + c2 * c2 + c3 * c3)
+                               - (c1 + c2 + c3) * (c1 + c2 + c3)) AS DOUBLE)
+                     / CAST(3 * (c1 + c2 + c3) - sri2 AS DOUBLE)
+                     > {CHI2_CRIT_BY_DOF[2]} END AS significant
+    FROM s
+"""
+
+
+@register("agg_cochran_q", oracle=_COCHRAN_ORACLE)
+def agg_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q test — do k=3 binary per-order conditions (any
+    returned line, any discount > COCHRAN_DISCOUNT_MIN, any quantity >=
+    COCHRAN_QTY_MIN) occur at the same rate on the SAME subjects?
+    Q = (k-1) * (k*sum(Cj^2) - T^2) / (k*T - sum(Ri^2)) ~ chi2(k-1)
+    (Cochran 1950) — the k-treatment generalization of agg_mcnemar_test
+    the way agg_friedman_test generalizes the paired t-test: marginal
+    rate comparisons ignore that the flags share orders; Q conditions
+    on each order's own row total.
+
+    Scale/determinism: one combinable groupBy folds lineitem to
+    per-order bits; the second agg is all exact integers — Cj and the
+    squared terms run in decimal(38,0)/HUGEINT because Cj^2 at 100 TB
+    order counts (~1e13) passes 2^63 (the agg_bartlett_test overflow
+    doctrine); Q enters doubles in one final division, floored on the
+    1e-4 lattice. Degenerate guard: every order flagged all-or-nothing
+    makes the denominator exactly zero -> NULL (both engines)."""
+    t = load(spark, sf_dir)
+    flags = t.lineitem.groupBy("l_orderkey").agg(
+        F.max(
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+        ).alias("b1"),
+        F.max(
+            F.when(F.col("l_discount") > COCHRAN_DISCOUNT_MIN, 1).otherwise(0)
+        ).alias("b2"),
+        F.max(
+            F.when(F.col("l_quantity") >= COCHRAN_QTY_MIN, 1).otherwise(0)
+        ).alias("b3"),
+    )
+    ri = F.col("b1") + F.col("b2") + F.col("b3")
+    s = flags.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("b1").cast("decimal(38,0)").alias("c1"),
+        F.sum("b2").cast("decimal(38,0)").alias("c2"),
+        F.sum("b3").cast("decimal(38,0)").alias("c3"),
+        F.sum(ri * ri).cast("decimal(38,0)").alias("sri2"),
+    )
+    c1, c2, c3, sri2 = (F.col(c) for c in ("c1", "c2", "c3", "sri2"))
+    tot = c1 + c2 + c3
+    num = (2 * (3 * (c1 * c1 + c2 * c2 + c3 * c3) - tot * tot)).cast(
+        "double"
+    )
+    den = (3 * tot - sri2).cast("double")
+    q = num / den
+    ok = (3 * tot - sri2) > 0
+    return s.select(
+        F.col("n").cast("bigint").alias("n"),
+        c1.cast("bigint").alias("n_returned"),
+        c2.cast("bigint").alias("n_discounted"),
+        c3.cast("bigint").alias("n_bulk"),
+        F.when(ok, F.floor(q * 10000) / 10000).alias("q_stat"),
+        F.when(ok, q > CHI2_CRIT_BY_DOF[2]).alias("significant"),
+    )
+
+
+def _chi2_crit_values_sql() -> str:
+    return ", ".join(f"({d}, {c})" for d, c in CHI2_CRIT_BY_DOF.items())
+
+
+_MOOD_ORACLE = f"""
+    WITH c AS (
+      SELECT o_orderpriority,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    vg AS (
+      SELECT cents, COUNT(*) AS cnt FROM c GROUP BY cents
+    ),
+    cum AS (
+      SELECT cents,
+             SUM(cnt) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cc,
+             SUM(cnt) OVER () AS n
+      FROM vg
+    ),
+    med AS (
+      SELECT MIN(cents) AS med FROM cum WHERE cc >= (n + 1) // 2
+    ),
+    cells AS (
+      SELECT o_orderpriority,
+             CAST(SUM(CASE WHEN cents > med THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_above,
+             CAST(SUM(CASE WHEN cents <= med THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_below
+      FROM c CROSS JOIN med GROUP BY o_orderpriority
+    ),
+    tot AS (
+      SELECT o_orderpriority, n_above, n_below,
+             SUM(n_above) OVER () AS ta, SUM(n_below) OVER () AS tb,
+             SUM(n_above + n_below) OVER () AS n,
+             COUNT(*) OVER () AS k
+      FROM cells
+    ),
+    term AS (
+      SELECT *,
+             (n_above + n_below) * ta / CAST(n AS DOUBLE) AS ea,
+             (n_above + n_below) * tb / CAST(n AS DOUBLE) AS eb
+      FROM tot
+    ),
+    cumterm AS (
+      SELECT *,
+             SUM(CASE WHEN ta > 0 AND tb > 0
+                      THEN (n_above - ea) * (n_above - ea) / ea
+                           + (n_below - eb) * (n_below - eb) / eb
+                 END) OVER (ORDER BY o_orderpriority
+                            ROWS UNBOUNDED PRECEDING) AS cum_chi
+      FROM term
+    ),
+    chi AS (
+      SELECT *, MAX(cum_chi) OVER () AS chi2 FROM cumterm
+    )
+    SELECT o_orderpriority, n_above, n_below,
+           floor(ea * 10000) / 10000 AS exp_above,
+           CAST(k - 1 AS BIGINT) AS dof,
+           floor(chi2 * 10000) / 10000 AS chi2_stat,
+           chi2 > crit.crit AS medians_differ
+    FROM chi
+    LEFT JOIN (VALUES {_chi2_crit_values_sql()}) AS crit(dof, crit)
+      ON crit.dof = chi.k - 1
+    ORDER BY o_orderpriority
+"""
+
+
+@register("agg_mood_median_test", oracle=_MOOD_ORACLE)
+def agg_mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test across order priorities: classify every order
+    as above / at-or-below the GRAND lower median of o_totalprice and
+    chi-square the resulting 2 x k contingency (dof k-1). The robust
+    complement to agg_anova_oneway and agg_kruskal_wallis: ANOVA
+    compares means (outlier-poisoned), KW compares mean RANKS (needs
+    similar shapes); Mood only asks "which side of the median" — valid
+    under any shape, the right screen for heavy-tailed money columns.
+
+    Scale/determinism: the grand median comes from exact integer
+    cumulative counts over the bounded PRICE-CENTS value domain (the
+    agg_ks_test recipe — never a per-row rank), selected by integer
+    floor-division position, so both engines pick the identical cent;
+    cell counts are exact integers; expected counts and chi-square
+    terms are per-row doubles over the <=5-row priority domain folded
+    in PRIORITY order via a cumulative window; crit values come from
+    the shared CHI2_CRIT_BY_DOF broadcast table keyed by the emitted
+    dof. Degenerate guard: an empty above- or below-side (all prices
+    equal) nulls the statistic on both engines."""
+    t = load(spark, sf_dir)
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    c = t.orders.select(
+        "o_orderpriority", cents.alias("cents")
+    )
+    vg = c.groupBy("cents").agg(F.count(F.lit(1)).alias("cnt"))
+    w_vcum = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy()
+    cum = vg.select(
+        "cents",
+        F.sum("cnt").over(w_vcum).alias("cc"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    med = cum.where(
+        F.col("cc") >= F.expr("(n + 1) div 2")
+    ).agg(F.min("cents").alias("med"))
+    cells = (
+        c.crossJoin(F.broadcast(med))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(
+                F.when(F.col("cents") > F.col("med"), 1).otherwise(0)
+            ).alias("n_above"),
+            F.sum(
+                F.when(F.col("cents") <= F.col("med"), 1).otherwise(0)
+            ).alias("n_below"),
+        )
+    )
+    rt = F.col("n_above") + F.col("n_below")
+    tot = cells.select(
+        "o_orderpriority",
+        "n_above",
+        "n_below",
+        F.sum("n_above").over(w_all).alias("ta"),
+        F.sum("n_below").over(w_all).alias("tb"),
+        F.sum(rt).over(w_all).alias("n"),
+        F.count(F.lit(1)).over(w_all).alias("k"),
+    )
+    ea = rt * F.col("ta") / F.col("n").cast("double")
+    eb = rt * F.col("tb") / F.col("n").cast("double")
+    cell_term = F.when(
+        (F.col("ta") > 0) & (F.col("tb") > 0),
+        (F.col("n_above") - ea) * (F.col("n_above") - ea) / ea
+        + (F.col("n_below") - eb) * (F.col("n_below") - eb) / eb,
+    )
+    w_pri = Window.orderBy("o_orderpriority").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    chi = tot.select(
+        "o_orderpriority",
+        "n_above",
+        "n_below",
+        ea.alias("ea"),
+        "k",
+        F.max(F.sum(cell_term).over(w_pri)).over(w_all).alias("chi2"),
+    )
+    crit = spark.createDataFrame(
+        list(CHI2_CRIT_BY_DOF.items()), "cdof int, crit double"
+    )
+    return (
+        chi.join(
+            F.broadcast(crit), F.col("cdof") == F.col("k") - 1, "left"
+        )
+        .select(
+            "o_orderpriority",
+            "n_above",
+            "n_below",
+            (F.floor(F.col("ea") * 10000) / 10000).alias("exp_above"),
+            (F.col("k") - 1).cast("bigint").alias("dof"),
+            (F.floor(F.col("chi2") * 10000) / 10000).alias("chi2_stat"),
+            (F.col("chi2") > F.col("crit")).alias("medians_differ"),
+        )
+        .orderBy("o_orderpriority")
+    )

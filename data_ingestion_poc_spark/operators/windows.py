@@ -3625,3 +3625,379 @@ def win_rolling_corr_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 10: the three remaining classical bar indicators over the
+# win_atr daily-bar frame — deviation-normalized level (CCI), multi-
+# horizon buying pressure (Ultimate Oscillator), and directional-
+# movement balance (Vortex). All fold events to the (type x DAY) bar
+# domain first (rollup_ohlc_bars doctrine), stay in exact integer cents
+# until one final division, and floor outputs on the documented
+# lattice.
+# ---------------------------------------------------------------------------
+
+#: CCI frame length (Lambert's classic 20 daily bars).
+CCI_SPAN = 20
+
+_CCI_ORACLE = f"""
+    WITH c AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(ROUND(value * 100) AS BIGINT) AS c,
+             ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ),
+    bars AS (
+      SELECT event_type, day,
+             MAX(c) + MIN(c) + MAX(CASE WHEN rn = 1 THEN c END) AS tp3
+      FROM c GROUP BY 1, 2
+    ),
+    frames AS (
+      SELECT event_type, day, tp3,
+             SUM(tp3) OVER w AS s,
+             list(tp3) OVER w AS frm,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      FROM bars
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN {CCI_SPAN - 1} PRECEDING AND CURRENT ROW)
+    ),
+    mad AS (
+      SELECT event_type, day, tp3, s, rn,
+             CAST(list_sum(list_transform(
+               frm, x -> abs({CCI_SPAN} * x - s))) AS BIGINT) AS madn
+      FROM frames
+    )
+    SELECT event_type, CAST(day AS VARCHAR) AS day,
+           ROUND(tp3 / 300.0, 4) AS typical_price,
+           CASE WHEN madn > 0
+                THEN floor(({CCI_SPAN} * tp3 - s) * 4000.0 / (3.0 * madn)
+                           * 10000) / 10000 END AS cci
+    FROM mad WHERE rn >= {CCI_SPAN}
+"""
+
+
+@register("win_cci", oracle=_CCI_ORACLE)
+def win_cci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commodity Channel Index per event type over {CCI_SPAN} daily
+    bars: CCI = (TP - SMA(TP)) / (0.015 * mean|TP_i - SMA(TP)|) with
+    TP = (high+low+close)/3 (Lambert 1980) — the deviation-NORMALIZED
+    level gauge: win_bollinger scales by the stddev, CCI by the mean
+    ABSOLUTE deviation, so one spike bar inflates its denominator far
+    less — the robust overbought/oversold screen.
+
+    Scale/determinism: bars via combinable cents partials; TP stays on
+    the exact x3 lattice (tp3 = hi+lo+cls — never /3); the frame's MAD
+    needs every member against the CURRENT row's mean, so the
+    {CCI_SPAN}-element frame rides a collect_list window and folds as
+    sum(|{CCI_SPAN}*tp3_i - sum|) in EXACT integers (a higher-order
+    aggregate, zero Python); CCI reduces algebraically to
+    (20*tp3 - s) * 4000 / (3 * madn) — one exact-integer ratio entering
+    doubles once, floored at 1e-4. Full-frame gating (rn >= span);
+    a zero MAD (constant frame) nulls CCI on both engines."""
+    t = load(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    bars = (
+        t.events.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            "ts",
+            "event_id",
+            cents.alias("c"),
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            (F.max("c") + F.min("c") + F.max_by("c", key)).alias("tp3")
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-(CCI_SPAN - 1), 0)
+    )
+    w_rn = Window.partitionBy("event_type").orderBy("day")
+    frames = bars.select(
+        "event_type",
+        "day",
+        "tp3",
+        F.sum("tp3").over(w).alias("s"),
+        F.collect_list("tp3").over(w).alias("frm"),
+        F.row_number().over(w_rn).alias("rn"),
+    )
+    madn = F.aggregate(
+        F.col("frm"),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + F.abs(F.lit(CCI_SPAN) * x - F.col("s")),
+    )
+    num = F.lit(CCI_SPAN) * F.col("tp3") - F.col("s")
+    m = frames.select(
+        "event_type", "day", "tp3", "s", "rn", madn.alias("madn")
+    ).where(F.col("rn") >= CCI_SPAN)
+    return m.select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        F.round(F.col("tp3") / 300.0, 4).alias("typical_price"),
+        F.when(
+            F.col("madn") > 0,
+            F.floor(num * 4000.0 / (3.0 * F.col("madn")) * 10000) / 10000,
+        ).alias("cci"),
+    )
+
+
+#: Ultimate Oscillator horizons (Williams' classic 7/14/28) and weights.
+UO_SPANS = (7, 14, 28)
+
+_UO_ORACLE = f"""
+    WITH c AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(ROUND(value * 100) AS BIGINT) AS c,
+             ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ),
+    bars AS (
+      SELECT event_type, day, MAX(c) AS hi, MIN(c) AS lo,
+             MAX(CASE WHEN rn = 1 THEN c END) AS cls
+      FROM c GROUP BY 1, 2
+    ),
+    bp AS (
+      SELECT event_type, day,
+             cls - LEAST(lo, LAG(cls) OVER w) AS bp,
+             GREATEST(hi, LAG(cls) OVER w)
+               - LEAST(lo, LAG(cls) OVER w) AS tr,
+             ROW_NUMBER() OVER w AS rn
+      FROM bars
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ),
+    sums AS (
+      SELECT event_type, day, rn,
+             SUM(bp) OVER w7 AS b7, SUM(tr) OVER w7 AS t7,
+             SUM(bp) OVER w14 AS b14, SUM(tr) OVER w14 AS t14,
+             SUM(bp) OVER w28 AS b28, SUM(tr) OVER w28 AS t28
+      FROM bp
+      WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN {UO_SPANS[0] - 1} PRECEDING
+                    AND CURRENT ROW),
+             w14 AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN {UO_SPANS[1] - 1} PRECEDING
+                     AND CURRENT ROW),
+             w28 AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN {UO_SPANS[2] - 1} PRECEDING
+                     AND CURRENT ROW)
+    )
+    SELECT event_type, CAST(day AS VARCHAR) AS day,
+           CASE WHEN t7 > 0 AND t14 > 0 AND t28 > 0
+                THEN floor(100.0 * (4.0 * b7 / t7 + 2.0 * b14 / t14
+                                    + CAST(b28 AS DOUBLE) / t28) / 7.0
+                           * 10000) / 10000 END AS ultimate_osc
+    FROM sums WHERE rn >= {UO_SPANS[2] + 1}
+"""
+
+
+@register("win_ultimate_oscillator", oracle=_UO_ORACLE)
+def win_ultimate_oscillator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Williams' Ultimate Oscillator per event type: buying pressure
+    BP = close - min(low, prev_close) over true range, blended across
+    three horizons UO = 100*(4*avg7 + 2*avg14 + avg28)/7 where
+    avgK = sum(BP,K)/sum(TR,K) — the multi-timeframe momentum gauge
+    that fixes single-span oscillators' (win_rsi / win_stochastic)
+    divergence whipsaws by requiring short-, mid- and long-horizon
+    agreement.
+
+    Scale/determinism: the win_atr daily-bar fold, then one lag and
+    three ROWS frames over the bounded (type x day) domain — all sums
+    of exact integer cents; UO enters doubles in the single final
+    blend written identically on both engines, floored at 1e-4. Rows
+    gate at rn >= 29 so every frame is FULL (and the lag non-null);
+    a zero true-range sum (flat {UO_SPANS[2]}-bar stretch) nulls UO on
+    both sides."""
+    t = load(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    bars = (
+        t.events.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            "ts",
+            "event_id",
+            cents.alias("c"),
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.max("c").alias("hi"),
+            F.min("c").alias("lo"),
+            F.max_by("c", key).alias("cls"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    prev_cls = F.lag("cls").over(w)
+    bp = bars.select(
+        "event_type",
+        "day",
+        (F.col("cls") - F.least(F.col("lo"), prev_cls)).alias("bp"),
+        (
+            F.greatest(F.col("hi"), prev_cls)
+            - F.least(F.col("lo"), prev_cls)
+        ).alias("tr"),
+        F.row_number().over(w).alias("rn"),
+    )
+
+    def fsum(col: str, span: int):
+        wf = (
+            Window.partitionBy("event_type")
+            .orderBy("day")
+            .rowsBetween(-(span - 1), 0)
+        )
+        return F.sum(col).over(wf)
+
+    sums = bp.select(
+        "event_type",
+        "day",
+        "rn",
+        fsum("bp", UO_SPANS[0]).alias("b7"),
+        fsum("tr", UO_SPANS[0]).alias("t7"),
+        fsum("bp", UO_SPANS[1]).alias("b14"),
+        fsum("tr", UO_SPANS[1]).alias("t14"),
+        fsum("bp", UO_SPANS[2]).alias("b28"),
+        fsum("tr", UO_SPANS[2]).alias("t28"),
+    ).where(F.col("rn") >= UO_SPANS[2] + 1)
+    ok = (F.col("t7") > 0) & (F.col("t14") > 0) & (F.col("t28") > 0)
+    uo = (
+        100.0
+        * (
+            4.0 * F.col("b7") / F.col("t7")
+            + 2.0 * F.col("b14") / F.col("t14")
+            + F.col("b28").cast("double") / F.col("t28")
+        )
+        / 7.0
+    )
+    return sums.select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        F.when(ok, F.floor(uo * 10000) / 10000).alias("ultimate_osc"),
+    )
+
+
+#: Vortex indicator span (Botes & Siepman's classic 14 bars).
+VORTEX_SPAN = 14
+
+_VORTEX_ORACLE = f"""
+    WITH c AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(ROUND(value * 100) AS BIGINT) AS c,
+             ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ),
+    bars AS (
+      SELECT event_type, day, MAX(c) AS hi, MIN(c) AS lo,
+             MAX(CASE WHEN rn = 1 THEN c END) AS cls
+      FROM c GROUP BY 1, 2
+    ),
+    vm AS (
+      SELECT event_type, day,
+             ABS(hi - LAG(lo) OVER w) AS vmp,
+             ABS(lo - LAG(hi) OVER w) AS vmm,
+             GREATEST(hi - lo, ABS(hi - LAG(cls) OVER w),
+                      ABS(lo - LAG(cls) OVER w)) AS tr,
+             ROW_NUMBER() OVER w AS rn
+      FROM bars
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ),
+    sums AS (
+      SELECT event_type, day, rn,
+             SUM(vmp) OVER wf AS svp, SUM(vmm) OVER wf AS svm,
+             SUM(tr) OVER wf AS str
+      FROM vm
+      WINDOW wf AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN {VORTEX_SPAN - 1} PRECEDING
+                    AND CURRENT ROW)
+    )
+    SELECT event_type, CAST(day AS VARCHAR) AS day,
+           CASE WHEN str > 0
+                THEN floor(CAST(svp AS DOUBLE) / str * 10000) / 10000
+           END AS vi_plus,
+           CASE WHEN str > 0
+                THEN floor(CAST(svm AS DOUBLE) / str * 10000) / 10000
+           END AS vi_minus,
+           CASE WHEN str > 0 THEN svp > svm END AS uptrend
+    FROM sums WHERE rn >= {VORTEX_SPAN + 1}
+"""
+
+
+@register("win_vortex", oracle=_VORTEX_ORACLE)
+def win_vortex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vortex indicator per event type over {VORTEX_SPAN} daily bars:
+    VI+ = sum|high - prev_low| / sum(TR), VI- = sum|low - prev_high| /
+    sum(TR) — upward and downward range MOVEMENT normalized by total
+    true range; the VI+/VI- cross is the trend-change signal, the
+    directional complement to win_atr's magnitude-only volatility.
+
+    Scale/determinism: win_atr's bar fold and lag on the bounded
+    (type x day) domain; vortex movements and true range are exact
+    integer cents summed over a ROWS frame; the two ratios enter
+    doubles once each, floored at 1e-4; trend compares EXACT integer
+    sums (never the floored quotients). Gating rn >= {VORTEX_SPAN + 1}
+    keeps only full frames with a valid lag; a zero range sum nulls
+    the indicator on both engines."""
+    t = load(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    bars = (
+        t.events.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            "ts",
+            "event_id",
+            cents.alias("c"),
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.max("c").alias("hi"),
+            F.min("c").alias("lo"),
+            F.max_by("c", key).alias("cls"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    vm = bars.select(
+        "event_type",
+        "day",
+        F.abs(F.col("hi") - F.lag("lo").over(w)).alias("vmp"),
+        F.abs(F.col("lo") - F.lag("hi").over(w)).alias("vmm"),
+        F.greatest(
+            F.col("hi") - F.col("lo"),
+            F.abs(F.col("hi") - F.lag("cls").over(w)),
+            F.abs(F.col("lo") - F.lag("cls").over(w)),
+        ).alias("tr"),
+        F.row_number().over(w).alias("rn"),
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-(VORTEX_SPAN - 1), 0)
+    )
+    sums = vm.select(
+        "event_type",
+        "day",
+        "rn",
+        F.sum("vmp").over(wf).alias("svp"),
+        F.sum("vmm").over(wf).alias("svm"),
+        F.sum("tr").over(wf).alias("str"),
+    ).where(F.col("rn") >= VORTEX_SPAN + 1)
+    ok = F.col("str") > 0
+    return sums.select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        F.when(
+            ok,
+            F.floor(F.col("svp").cast("double") / F.col("str") * 10000)
+            / 10000,
+        ).alias("vi_plus"),
+        F.when(
+            ok,
+            F.floor(F.col("svm").cast("double") / F.col("str") * 10000)
+            / 10000,
+        ).alias("vi_minus"),
+        F.when(ok, F.col("svp") > F.col("svm")).alias("uptrend"),
+    )

@@ -1414,6 +1414,16 @@ def stream_hll_active_users_bound(spark: SparkSession, sf_dir: str) -> DataFrame
     the contract is what's portable — agg_approx_distinct_bound's
     doctrine).
 
+    rsd=0.01 (not the 0.05 default) makes the +-10% gate a >=10-sigma
+    event per window: the r10 full-registry sf0.1 sweep caught the
+    default's 2-sigma gate failing 2 of 720 hourly windows — a
+    STATISTICAL certainty at that window count, invisible at sf0.01's
+    smaller grid. agg_approx_distinct_bound's 5-sigma margin over 2
+    values was already safe; a per-window contract over hundreds of
+    windows needs the wider margin (and at these per-hour
+    cardinalities HLL++ with p~16 stays in its near-exact sparse
+    regime anyway).
+
     Scale/state: one HLL sketch per hour window, merged map-side
     (register-max is order-independent, so the micro-batch merge is
     deterministic); the batch side recomputes the exact count at read
@@ -1422,7 +1432,7 @@ def stream_hll_active_users_bound(spark: SparkSession, sf_dir: str) -> DataFrame
     agg = (
         sdf.groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(
-            F.approx_count_distinct("user_id").cast("bigint").alias(
+            F.approx_count_distinct("user_id", 0.01).cast("bigint").alias(
                 "approx_users"
             )
         )

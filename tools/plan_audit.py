@@ -95,6 +95,25 @@ SINGLE_PARTITION_OK: dict[str, str] = {
         "ECDF table bounded by the 2-dp value DOMAIN (<=49k rows) + "
         "1-row statistic frame"
     ),
+    "agg_kendall_tau": (
+        "1-row concordance-count frame (pairs fold to five integer "
+        "sums) + 1-row day-count frame; the pair space itself is the "
+        "CALENDAR-bounded day domain squared (~3M at any SF)"
+    ),
+    "agg_logrank_test": (
+        "O-E / V cumulative windows over the time-DOMAIN frame "
+        "(<= horizon+1 = 61 rows at any corpus size, the "
+        "agg_survival_km rationale) + 1-row statistic frame"
+    ),
+    "agg_cochran_q": (
+        "1-row statistic frame (per-order bits fold to five exact "
+        "integer sums map-side)"
+    ),
+    "agg_mood_median_test": (
+        "grand-median cumulative counts over the 2-dp price-cents "
+        "value DOMAIN (<=49k rows, the agg_ks_test bound) + chi-square "
+        "fold over the <=5-row priority frame"
+    ),
     "agg_cvm_test": (
         "ECDF + squared-gap fold bounded by the 2-dp value DOMAIN "
         "(<=49k rows, the agg_ks_test bound) + 1-row statistic frame"
