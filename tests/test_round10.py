@@ -772,3 +772,88 @@ def test_hapax_ratio_exact_counts(spark, tmp_path):
     es = rows["es"]
     assert (es["vocab"], es["tokens"], es["hapax"], es["dis_legomena"]) == (
         2, 3, 1, 1)
+
+
+def test_kendall_tau_random_series_model(spark, tmp_path):
+    """Seeded random day series with heavy ties on both axes — every
+    pair classification and the floored tau must match the brute
+    model."""
+    import random
+
+    for seed in (3, 17, 92):
+        rng = random.Random(seed)
+        day_prices = [
+            (datetime.date(2024, 3, 1) + datetime.timedelta(days=i),
+             [rng.choice([5.0, 10.0, 25.0]) for _ in range(rng.randint(1, 4))])
+            for i in range(rng.randint(4, 12))
+        ]
+        p = tmp_path / f"k{seed}"
+        p.mkdir()
+        _write_orders(spark, p, day_prices)
+        r = registry.get("agg_kendall_tau").fn(spark, str(p)).collect()[0]
+        series = [(int(round(sum(v) * 100)), len(v)) for _, v in day_prices]
+        c, d, tx, ty, tau = _kendall_model(series)
+        assert (r["conc"], r["disc"], r["ties_x"], r["ties_y"]) == (
+            c, d, tx, ty), seed
+        want = (math.floor(tau * 1_000_000) / 1_000_000
+                if tau is not None else None)
+        assert r["tau_b"] == want, seed
+
+
+def test_logrank_random_cohorts_model(spark, tmp_path):
+    """Random censored cohorts with shared event times: the engines'
+    time-ordered double fold must match the Python model bit-for-bit
+    on the output lattice."""
+    import random
+
+    base = datetime.date(2024, 1, 1)
+    for seed in (5, 41):
+        rng = random.Random(seed)
+        subjects = [(rng.randint(0, 1), rng.choice([1, 2, 2, 5, 9, 30, 61, 75]))
+                    for _ in range(rng.randint(8, 25))]
+        if not any(h for h, _ in subjects):
+            subjects[0] = (1, 2)
+        if all(h for h, _ in subjects):
+            subjects[0] = (0, 2)
+        orders, lines = [], []
+        for i, (h, dur) in enumerate(subjects):
+            orders.append((i, "2-HIGH" if h else "4-NOT SPECIFIED", base, 50.0))
+            lines.append((i, base + datetime.timedelta(days=dur), "N", 0.0, 1.0))
+        p = tmp_path / f"lr{seed}"
+        p.mkdir()
+        _write_orders_lineitem(spark, p, orders, lines)
+        r = registry.get("agg_logrank_test").fn(spark, str(p)).collect()[0]
+        ome, chi2 = _logrank_model(subjects)
+        assert r["o_minus_e"] == math.floor(ome * 10000) / 10000, seed
+        want = (math.floor(chi2 * 10000) / 10000 if chi2 is not None else None)
+        assert r["chi2_stat"] == want, seed
+
+
+def test_mood_median_random_groups_model(spark, tmp_path):
+    """Random group values with planted ties AT the median cent."""
+    import random
+
+    base = datetime.date(2024, 1, 1)
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        groups = {
+            pri: [rng.choice([100, 100, 250, 900, 900, 4000])
+                  for _ in range(rng.randint(2, 8))]
+            for pri in ("1-URGENT", "3-MEDIUM", "5-LOW")
+        }
+        orders = []
+        i = 0
+        for pri, vals in groups.items():
+            for cts in vals:
+                orders.append((i, pri, base, cts / 100.0))
+                i += 1
+        p = tmp_path / f"md{seed}"
+        p.mkdir()
+        _write_orders_lineitem(spark, p, orders, [(0, base, "N", 0.0, 1.0)])
+        rows = registry.get("agg_mood_median_test").fn(spark, str(p)).collect()
+        med, cells, chi2 = _mood_model(groups)
+        got = {r["o_orderpriority"]: (r["n_above"], r["n_below"])
+               for r in rows}
+        assert got == cells, seed
+        assert all(r["chi2_stat"] == math.floor(chi2 * 10000) / 10000
+                   for r in rows), seed
