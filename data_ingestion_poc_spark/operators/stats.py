@@ -4599,7 +4599,7 @@ _LOGRANK_ORACLE = f"""
     ),
     term AS (
       SELECT t, tot1, tot2, ev1, ev2,
-             SUM(d1 - (d1 + d2) * n1 / CAST(n1 + n2 AS DOUBLE)) OVER wc
+             SUM(d1 - CAST(d1 + d2 AS DOUBLE) * n1 / (n1 + n2)) OVER wc
                AS ome,
              SUM(CASE WHEN n1 + n2 > 1
                       THEN ((d1 + d2) * CAST(n1 AS DOUBLE) * n2
@@ -4702,7 +4702,11 @@ def agg_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = F.col("d1") + F.col("d2")
     n = F.col("n1") + F.col("n2")
-    e1_term = F.col("d1") - d * F.col("n1") / n.cast("double")
+    # d enters doubles BEFORE the n1 product: bigint d*n1 at 100 TB order
+    # counts (~1e13 each) is ~1e26 — past 2^63 (the agg_bartlett_test /
+    # r9-self-audit overflow class); double*bigint is exact here anyway
+    # for all counts < 2^53 and identically inexact in both engines above
+    e1_term = F.col("d1") - d.cast("double") * F.col("n1") / n
     v_term = F.when(
         n > 1,
         (d * F.col("n1").cast("double") * F.col("n2") * (n - d))
@@ -4876,8 +4880,8 @@ _MOOD_ORACLE = f"""
     ),
     term AS (
       SELECT *,
-             (n_above + n_below) * ta / CAST(n AS DOUBLE) AS ea,
-             (n_above + n_below) * tb / CAST(n AS DOUBLE) AS eb
+             CAST(n_above + n_below AS DOUBLE) * ta / n AS ea,
+             CAST(n_above + n_below AS DOUBLE) * tb / n AS eb
       FROM tot
     ),
     cumterm AS (
@@ -4964,8 +4968,12 @@ def agg_mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(rt).over(w_all).alias("n"),
         F.count(F.lit(1)).over(w_all).alias("k"),
     )
-    ea = rt * F.col("ta") / F.col("n").cast("double")
-    eb = rt * F.col("tb") / F.col("n").cast("double")
+    # row total enters doubles BEFORE the column-total product: bigint
+    # rt*ta at 100 TB order counts is ~1e26 — past 2^63 (the same
+    # overflow class as agg_logrank_test's fix, found by this round's
+    # self-audit)
+    ea = rt.cast("double") * F.col("ta") / F.col("n")
+    eb = rt.cast("double") * F.col("tb") / F.col("n")
     cell_term = F.when(
         (F.col("ta") > 0) & (F.col("tb") > 0),
         (F.col("n_above") - ea) * (F.col("n_above") - ea) / ea

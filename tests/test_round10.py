@@ -515,7 +515,7 @@ def _logrank_model(subjects, horizon=60):
         a1 = sum(1 for h, tt, _ in data if h and tt == t)
         a2 = sum(1 for h, tt, _ in data if not h and tt == t)
         d, n = d1 + d2, n1 + n2
-        ome += d1 - d * n1 / float(n)
+        ome += d1 - float(d) * n1 / n  # d enters doubles first (engines)
         if n > 1:
             v += (d * float(n1) * n2 * (n - d)) / (float(n) * n * (n - 1))
         n1 -= a1
@@ -624,8 +624,8 @@ def _mood_model(groups):
     chi2 = 0.0
     for p in sorted(cells):
         a, b = cells[p]
-        ea = (a + b) * ta / float(n)
-        eb = (a + b) * tb / float(n)
+        ea = float(a + b) * ta / n  # row total enters doubles first
+        eb = float(a + b) * tb / n
         chi2 += (a - ea) * (a - ea) / ea + (b - eb) * (b - eb) / eb
     return med, cells, chi2
 
