@@ -75,6 +75,12 @@ _CHANGED_JUDGED_THIS_ROUND = [
     # event — the sf0.1 sweep caught the default's 2-sigma gate failing
     # 2/720 hourly windows (statistically inevitable at that grid).
     "stream_hll_active_users_bound",
+    # r10 sf0.001-sweep fixes: total-order LIMIT tiebreak (the fixture
+    # repeats l_linenumber=1, so the key-only 200-row cut differed per
+    # engine) and the one q_ op that missed the DECIMAL revenue
+    # convention (raw-double sum hit a half-cent rounding tie).
+    "fn_business_days",
+    "q_full_star_rollup",
 ]
 
 

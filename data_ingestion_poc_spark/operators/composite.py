@@ -1830,13 +1830,13 @@ def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_FULL_STAR_ORACLE = """
+_FULL_STAR_ORACLE = f"""
     SELECT r.r_name AS region,
            p.p_brand,
            CAST(COUNT(*) AS BIGINT) AS n_lines,
            CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
            CAST(COUNT(DISTINCT s.s_suppkey) AS BIGINT) AS n_suppliers,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(ROUND(SUM({_REV_SQL}), 2) AS DOUBLE) AS revenue
     FROM region r
     JOIN nation n   ON n.n_regionkey = r.r_regionkey
     JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -1903,9 +1903,11 @@ def q_full_star_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_lines"),
         F.countDistinct("c_custkey").cast("bigint").alias("n_customers"),
         F.countDistinct("s_suppkey").cast("bigint").alias("n_suppliers"),
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue"),
+        # DECIMAL revenue (_revenue_d convention) — the r10 sf0.001
+        # sweep caught the raw-double sum landing on a half-cent
+        # rounding tie (partition-order float fold, the one q_ op that
+        # had missed the convention)
+        F.round(F.sum(_revenue_d()), 2).cast("double").alias("revenue"),
     )
 
 
