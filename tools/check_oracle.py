@@ -83,6 +83,15 @@ def main() -> int:
     ap.add_argument("--first", type=int, default=0,
                     help="check only the first N entries of the driver-ordered "
                     "queries() dict (0 = all requested)")
+    ap.add_argument("--sp", type=int, default=8,
+                    help="spark.sql.shuffle.partitions for the sweep session. "
+                    "Non-default values (prime/odd) are the parallelism-"
+                    "robustness axis: a cluster never runs at the partition "
+                    "count the fixtures were tuned at, so any tie-break or "
+                    "float-order nondeterminism shows up as a diff here")
+    ap.add_argument("--cpus", type=int, default=0,
+                    help="local[] thread count (0 = session default); pairs "
+                    "with --sp for the parallelism-robustness sweep")
     args = ap.parse_args()
 
     # Import-time goldens (goldens.py / pyhash.py) are computed against
@@ -109,14 +118,16 @@ def main() -> int:
         from pyspark.sql import SparkSession
 
         spark = (
-            SparkSession.builder.master("local[8]")
+            SparkSession.builder.master(f"local[{args.cpus or 8}]")
             .appName("check-oracle-vanilla")
-            .config("spark.sql.shuffle.partitions", "8")
+            .config("spark.sql.shuffle.partitions", str(args.sp))
             .config("spark.ui.enabled", "false")
             .getOrCreate()
         )
     else:
-        spark = get_spark(shuffle_partitions=8)
+        spark = get_spark(
+            shuffle_partitions=args.sp, **({"cpus": args.cpus} if args.cpus else {})
+        )
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
