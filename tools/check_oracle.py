@@ -92,6 +92,12 @@ def main() -> int:
     ap.add_argument("--cpus", type=int, default=0,
                     help="local[] thread count (0 = session default); pairs "
                     "with --sp for the parallelism-robustness sweep")
+    ap.add_argument("--conf", action="append", default=[], metavar="K=V",
+                    help="runtime SQL conf override applied after session "
+                    "build (spark.conf.set), e.g. "
+                    "--conf spark.sql.adaptive.enabled=false for the "
+                    "static-plan (no-AQE) robustness axis; repeatable. Only "
+                    "runtime-settable confs take effect")
     args = ap.parse_args()
 
     # Import-time goldens (goldens.py / pyhash.py) are computed against
@@ -128,6 +134,9 @@ def main() -> int:
         spark = get_spark(
             shuffle_partitions=args.sp, **({"cpus": args.cpus} if args.cpus else {})
         )
+    for kv in args.conf:
+        k, _, v = kv.partition("=")
+        spark.conf.set(k, v)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
