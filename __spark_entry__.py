@@ -39,49 +39,29 @@ def entry(spark: SparkSession) -> DataFrame:
 # CORRECTNESS_r0*.json files — r5's hand-maintained 180-line _JUDGED list
 # is gone; drift there silently wasted window slots).
 _CHANGED_THIS_ROUND = [
-    # r10 semantic changes from the ADVICE-r9 exact-arithmetic fixes.
-    # All four were ALREADY in the never-driver-judged backlog, so
-    # leading with them costs no extra window slots:
-    # - agg_page_hinkley: increment now exact floor-division in
-    #   decimal/HUGEINT (was floor of a shared double quotient)
-    # - sample_neyman_allocation: remainder-subtracted exact division
-    #   (was decimal-HALF_UP vs double floor)
-    # - win_aroon: pmod index recovery (negative-value domain)
-    # - ingest_blob_store_policies: props_match now verifies against
-    #   the record's length field (the reference contract)
-    "agg_page_hinkley",
-    "sample_neyman_allocation",
-    "win_aroon",
-    "ingest_blob_store_policies",
-]
-
-# r10 diffs that touch function bodies WITHOUT changing semantics:
-# embed_hubness's dispatch signal moved from an eager count() job to
-# parquet-footer stats + a leaving-oracle-regime warning — same
-# dispatch decision, identical output at every SF (judged r9, locally
-# re-oracled this round). Leads the judged block (positions 51+)
-# instead of spending a backlog slot.
-_CHANGED_JUDGED_THIS_ROUND = [
+    # r11: the six r10 changed-but-output-identical names (VERDICT r10
+    # "What's missing" item 2 / "Next round" item 1). Each fix was
+    # re-oracled locally at up to 3 SFs during r10 and judge-verified,
+    # but their latest DRIVER verdicts predate the change — leading the
+    # r11 window refreshes the hard signal:
+    # - embed_hubness: eager-count dispatch -> parquet-footer stats
+    # - corpus_heaps_law / sort_multi_key: global_row_number
+    #   localCheckpoint consistency barrier (sorts.py)
+    # - stream_hll_active_users_bound: rsd 0.05 -> 0.01 gate retune
+    # - fn_business_days: total-order LIMIT tiebreak
+    # - q_full_star_rollup: DECIMAL revenue convention
     "embed_hubness",
-    # r10: global_row_number gained its localCheckpoint consistency
-    # barrier (sorts.py) — the r10 sf0.1 sweep caught corpus_heaps_law
-    # mis-bucketing when range-boundary sampling diverged between the
-    # offsets and main plan branches. Both consumers re-oracled at
-    # sf0.001/0.01/0.1 after the fix; identical output at sf0.01 (the
-    # driver's scale), so they queue behind the window like embed_hubness.
     "corpus_heaps_law",
     "sort_multi_key",
-    # r10: rsd 0.05 -> 0.01 so the +-10% per-window gate is a >=10-sigma
-    # event — the sf0.1 sweep caught the default's 2-sigma gate failing
-    # 2/720 hourly windows (statistically inevitable at that grid).
     "stream_hll_active_users_bound",
-    # r10 sf0.001-sweep fixes: total-order LIMIT tiebreak (the fixture
-    # repeats l_linenumber=1, so the key-only 200-row cut differed per
-    # engine) and the one q_ op that missed the DECIMAL revenue
-    # convention (raw-double sum hit a half-cent rounding tie).
     "fn_business_days",
     "q_full_star_rollup",
 ]
+
+# r11 diffs that touch function bodies WITHOUT changing semantics —
+# none yet this round. Names here queue at the head of the judged
+# block (behind the 50-slot window) for an eventual driver re-hash.
+_CHANGED_JUDGED_THIS_ROUND: list[str] = []
 
 
 def _driver_judged() -> set[str]:
@@ -97,32 +77,13 @@ def _driver_judged() -> set[str]:
     return judged
 
 
-#: Names first registered THIS round — the unjudged BACKLOG (r9 and
-#: older) outranks them in the fresh ordering so the 50-slot driver
-#: window retires the oldest names first (VERDICT r6 item 1); the new
-#: ops are all locally oracle-verified and queue right behind. (Older
-#: rounds' new-name sets need no list here: registration order already
-#: ages them correctly once each round's window closes — r9's names
-#: age correctly now that the r9 window has closed.)
-#: r10 math (VERDICT r9 item 1): 48 backlog names + 4 of them leading
-#: as _CHANGED_THIS_ROUND re-orders, so <= 2 genuinely NEW operators
-#: keep the 50-slot window exactly closing the backlog to zero.
-_NEW_THIS_ROUND: set[str] = {
-    "agg_cvm_test",
-    "agg_autocorr_ljung_box",
-    # Second r10 batch — registered AFTER the window math above was
-    # fixed, so they sort behind the 48-name backlog + the two names
-    # above and become r11's (small) backlog; all locally value-oracled
-    # at sf0.001/0.01/0.1 on arrival.
-    "agg_kendall_tau",
-    "agg_logrank_test",
-    "agg_cochran_q",
-    "agg_mood_median_test",
-    "win_cci",
-    "win_ultimate_oscillator",
-    "win_vortex",
-    "text_hapax_ratio",
-}
+#: Names first registered THIS round (r11). The unjudged BACKLOG (the 8
+#: r10 batch-2 names, all locally + judge oracle-verified) outranks them
+#: so the oldest names retire first. r11 window math (VERDICT r10 item
+#: 1): 6 changed-judged leads + 8 backlog = 14 slots, leaving 36 for
+#: r11 registrations — cap new ops at ~25-30 so every newcomer is
+#: driver-judged the same round and the backlog stays at zero.
+_NEW_THIS_ROUND: set[str] = set()
 
 
 def _ordered() -> dict[str, registry.Query]:
@@ -137,27 +98,15 @@ def _ordered() -> dict[str, registry.Query]:
     # names (44 value-oracled + 4 rows-only-by-design) before any new
     # registration spends a slot.
     fresh = [n for n in all_q if n not in seen and n not in judged]
+    reg_index = {n: i for i, n in enumerate(all_q)}
     fresh_oracle = sorted(
         (n for n in fresh if all_q[n].oracle),
-        key=lambda n: (n in _NEW_THIS_ROUND, list(all_q).index(n)),
+        key=lambda n: (n in _NEW_THIS_ROUND, reg_index[n]),
     )
     fresh_rows_only = sorted(
         (n for n in fresh if not all_q[n].oracle),
-        key=lambda n: (n in _NEW_THIS_ROUND, list(all_q).index(n)),
+        key=lambda n: (n in _NEW_THIS_ROUND, reg_index[n]),
     )
-    oracle_old = [n for n in fresh_oracle if n not in _NEW_THIS_ROUND]
-    # The first r10 batch (cvm / ljung-box) landed when the window math
-    # was fixed at 48+2 — keep them in the two remaining slots; the
-    # second batch queues behind as r11's backlog.
-    early = ["agg_cvm_test", "agg_autocorr_ljung_box"]
-    oracle_new = sorted(
-        (n for n in fresh_oracle if n in _NEW_THIS_ROUND),
-        key=lambda n: (n not in early, list(all_q).index(n)),
-    )
-    rows_old = [n for n in fresh_rows_only if n not in _NEW_THIS_ROUND]
-    rows_new = [n for n in fresh_rows_only if n in _NEW_THIS_ROUND]
-    fresh_oracle = oracle_old + rows_old + oracle_new
-    fresh_rows_only = rows_new
     changed_judged = [
         n for n in _CHANGED_JUDGED_THIS_ROUND if n in all_q and n not in seen
     ]
