@@ -29,20 +29,32 @@ import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-def max_float_diff(sp: pd.DataFrame, du: pd.DataFrame) -> float | None:
+def max_float_diff(
+    sp: pd.DataFrame, du: pd.DataFrame
+) -> tuple[float, int] | str:
     """Align rows via the canonical sort order, then max |spark - duck|
-    across float columns. None when the frames carry no float columns."""
+    across float columns. Returns (max_diff, nan_xor_count); a string
+    is a skip reason (row-count mismatch / no shared float columns) —
+    callers must surface it, not drop it (ADVICE r10)."""
     float_cols = sorted(
         c
         for c in set(sp.columns) & set(du.columns)
         if pd.api.types.is_float_dtype(sp[c]) or pd.api.types.is_float_dtype(du[c])
     )
-    if not float_cols or len(sp) != len(du) or len(sp) == 0:
-        return None
+    if not float_cols:
+        return "no shared float columns"
+    if len(sp) != len(du):
+        return f"row-count mismatch {len(sp)} vs {len(du)}"
+    if len(sp) == 0:
+        return "empty result"
 
     # the same string-canonical sort check_oracle.canonicalize applies,
     # but keeping the original-row permutation so raw floats can be
-    # compared pairwise after alignment
+    # compared pairwise after alignment. Rows that tie at %.6f precision
+    # on every column are the near-cliff cases this tool targets, so the
+    # sort is tie-broken by the RAW float values — mergesort falling
+    # back to each engine's arbitrary row order could mispair them and
+    # mis-state the margin (ADVICE r10).
     def order(df: pd.DataFrame) -> np.ndarray:
         c = df.copy()
         out = {}
@@ -60,18 +72,27 @@ def max_float_diff(sp: pd.DataFrame, du: pd.DataFrame) -> float | None:
                 s = s.map(lambda v: "NULL" if v is None else str(v))
             out[col] = s.astype(str)
         key = pd.DataFrame(out)
-        return key.sort_values(list(key.columns), kind="mergesort").index.to_numpy()
+        sort_cols = list(key.columns)
+        for col in float_cols:
+            raw = c[col].astype(float).fillna(-math.inf)
+            key[f"__raw_{col}"] = raw
+            sort_cols.append(f"__raw_{col}")
+        return key.sort_values(sort_cols, kind="mergesort").index.to_numpy()
 
     sp2 = sp.iloc[order(sp)].reset_index(drop=True)
     du2 = du.iloc[order(du)].reset_index(drop=True)
     worst = 0.0
+    nan_xor = 0
     for c in float_cols:
         a = sp2[c].astype(float).to_numpy()
         b = du2[c].astype(float).to_numpy()
+        # NaN-in-one-engine-only is a real disagreement, not a cell to
+        # mask: count it so the caller flags the query (ADVICE r10).
+        nan_xor += int((np.isnan(a) ^ np.isnan(b)).sum())
         both = ~(np.isnan(a) | np.isnan(b))
         if both.any():
             worst = max(worst, float(np.abs(a[both] - b[both]).max()))
-    return worst
+    return worst, nan_xor
 
 
 def main() -> int:
@@ -101,23 +122,29 @@ def main() -> int:
         try:
             sp = q.fn(spark, args.sf).toPandas()
             du = con.execute(q.oracle).df()
-            d = max_float_diff(sp, du)
+            res = max_float_diff(sp, du)
         except Exception as e:  # report, keep sweeping
             print(f"  ERROR     {name}: {e}")
             continue
-        if d is None:
+        if isinstance(res, str):
+            if res != "no shared float columns":
+                # a float-margin tool skipping a query for row mismatch
+                # is itself a finding — never vanish silently
+                print(f"  SKIP      {name}: {res}")
             continue
-        rows.append((d, name))
+        rows.append((res[0], res[1], name))
     rows.sort(reverse=True)
     buckets = {"fragile": 0, "watch": 0, "safe": 0, "exact": 0}
-    for d, name in rows:
+    for d, nan_xor, name in rows:
         b = (
             "fragile"
-            if d >= 1e-7
+            if d >= 1e-7 or nan_xor
             else "watch" if d > 1e-9 else "safe" if d > 0 else "exact"
         )
         buckets[b] += 1
-        if b in ("fragile", "watch"):
+        if nan_xor:
+            print(f"  fragile   {name}: {nan_xor} NaN-vs-value cell(s)")
+        elif b in ("fragile", "watch"):
             print(f"  {b:8s}  {name}: max |spark-duck| = {d:.3e}")
     print(
         f"\n{len(rows)} float-bearing queries: "

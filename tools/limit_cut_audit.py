@@ -37,16 +37,45 @@ _LIMIT_RE = re.compile(r"\bLIMIT\s+(\d+)\s*$", re.I | re.S)
 _ORDER_RE = re.compile(r"\bORDER\s+BY\s+(.*?)\s*\bLIMIT\b", re.I | re.S)
 
 
-def order_keys(sql: str) -> list[str]:
+def _split_top_level(clause: str) -> list[str]:
+    """Split an ORDER BY clause on commas OUTSIDE parens, so composite
+    keys like round(x, 2) stay whole (ADVICE r10: naive split shattered
+    them into fragments that could bind to the wrong column)."""
+    parts, cur, depth = [], [], 0
+    for ch in clause:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return parts
+
+
+def order_keys(sql: str) -> list[tuple[str, str]]:
+    """Parse ORDER BY into (expr, direction) pairs. Direction is
+    PRESERVED (ADVICE r10 medium: stripping DESC made the boundary probe
+    re-sort ascending and inspect the bottom-N cut instead of the real
+    top-N cut, a false-negative SAFE for the exact defect class this
+    audit exists to catch). Only NULLS FIRST/LAST is stripped — the
+    re-projection judges NULL presence separately."""
     m = _ORDER_RE.search(sql)
     if not m:
         return []
     keys = []
-    for part in m.group(1).split(","):
+    for part in _split_top_level(m.group(1)):
         k = part.strip()
-        k = re.sub(r"\s+(ASC|DESC)\b", "", k, flags=re.I)
-        k = re.sub(r"\s+NULLS\s+(FIRST|LAST)\b", "", k, flags=re.I)
-        keys.append(k.strip())
+        k = re.sub(r"\s+NULLS\s+(FIRST|LAST)\s*$", "", k, flags=re.I)
+        mdir = re.search(r"\s+(ASC|DESC)\s*$", k, flags=re.I)
+        direction = mdir.group(1).upper() if mdir else "ASC"
+        if mdir:
+            k = k[: mdir.start()]
+        keys.append((k.strip(), direction))
     return keys
 
 
@@ -68,12 +97,15 @@ def audit(con: duckdb.DuckDBPyConnection, name: str, sql: str) -> list[str]:
         return [f"HAZARD      {name}: LIMIT with no ORDER BY"]
     unlimited = _LIMIT_RE.sub("", sql.strip())
     # project the sort-key expressions alongside the full row so ties can
-    # be judged even when a key is not an output column
-    def _project(ks: list[str]):
-        key_cols = ", ".join(f"({k}) AS __k{i}" for i, k in enumerate(ks))
+    # be judged even when a key is not an output column; the re-sort
+    # keeps each key's original ASC/DESC so the probe inspects the SAME
+    # cut the oracle takes
+    def _project(ks: list[tuple[str, str]]):
+        key_cols = ", ".join(f"({k}) AS __k{i}" for i, (k, _) in enumerate(ks))
+        order = ", ".join(f"({k}) {d}" for k, d in ks)
         return con.execute(
             f"SELECT *, {key_cols} FROM ({unlimited}) __audit_t "
-            f"ORDER BY {', '.join(ks)}"
+            f"ORDER BY {order}"
         ).df()
 
     try:
@@ -81,8 +113,13 @@ def audit(con: duckdb.DuckDBPyConnection, name: str, sql: str) -> list[str]:
     except duckdb.BinderException:
         try:
             # ORDER BY keys qualified with an inner alias (j.col): the
-            # subquery output carries the bare column, strip qualifiers
-            keys = [re.sub(r"\b\w+\.(\w+)", r"\1", k) for k in keys]
+            # subquery output carries the bare column, strip qualifiers.
+            # Restricted to identifier.identifier so decimal literals
+            # (0.5) survive intact (ADVICE r10).
+            keys = [
+                (re.sub(r"\b[A-Za-z_]\w*\.(\w+)", r"\1", k), d)
+                for k, d in keys
+            ]
             full = _project(keys)
         except duckdb.BinderException as e2:
             return [
@@ -106,9 +143,10 @@ def audit(con: duckdb.DuckDBPyConnection, name: str, sql: str) -> list[str]:
     if len(tie.drop_duplicates()) == 1:
         out.append(f"SAFE identical    {name}: cut tie rows fully identical")
     else:
+        pretty = ", ".join(f"{k} {d}" for k, d in keys)
         out.append(
             f"HAZARD key-tie    {name}: {len(tie)} rows tied on "
-            f"{keys} straddle the LIMIT-{n} cut with differing payloads"
+            f"[{pretty}] straddle the LIMIT-{n} cut with differing payloads"
         )
     return out
 
