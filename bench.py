@@ -72,6 +72,23 @@ HEADLINE = [
     "join_lateral_topk",
 ]
 
+# Second tracked battery (r11, VERDICT r10 item 4): the widest operators
+# registered since the r5-era HEADLINE set froze — invisible to the
+# per-round trend until now. HEADLINE stays unchanged for cross-round
+# comparability; this battery gets its own totals ("value2"/"queries2")
+# so the heavy tail (curation e2e, pagerank, prefix-filter join,
+# grouped OLS, star rollup) is regression-tracked from its r11 baseline.
+HEADLINE2 = [
+    "corpus_curate_e2e",
+    "dedup_prefix_filter",
+    "graph_pagerank",
+    "q_full_star_rollup",
+    "agg_logrank_test",
+    "embed_hubness",
+    "win_rolling_regression",
+    "agg_spearman_corr",
+]
+
 
 def _warm_python_worker_pools(spark) -> None:
     """Spin up the Python worker pool for every UDF eval type once.
@@ -127,8 +144,10 @@ def main() -> None:
     # fixture side effects, which would mix workload classes in the record.
     if "--all" in sys.argv:
         names = [n for n in qs if not n.startswith("stream_")]
+        names2: list[str] = []
     else:
         names = HEADLINE
+        names2 = [n for n in HEADLINE2 if n in qs]
     run("agg_hash_group")  # warmup: JVM + codegen + parquet footer cache
     _warm_python_worker_pools(spark)
     # one-time table builds run OUTSIDE the timed region: the bucketed
@@ -145,27 +164,35 @@ def main() -> None:
     # query) so a transient host stall hits one pass, not every sample
     # of one query
     samples: dict[str, list[float]] = {n: [] for n in names if n in qs}
+    samples2: dict[str, list[float]] = {n: [] for n in names2}
     for _ in range(n_runs):
         for name in samples:
             samples[name].append(run(name))
+        for name in samples2:
+            samples2[name].append(run(name))
     for name, ts in samples.items():
         times[name] = round(min(ts), 3)
         means[name] = round(sum(ts) / len(ts), 3)
+    times2 = {n: round(min(ts), 3) for n, ts in samples2.items()}
+    means2 = {n: round(sum(ts) / len(ts), 3) for n, ts in samples2.items()}
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline query wall-clock, noop sink, min of "
-                f"{n_runs}",
-                "value": round(sum(times.values()), 3),
-                "unit": "sec",
-                "queries": times,
-                "queries_mean": means,
-                "runs": n_runs,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline query wall-clock, noop sink, min of "
+        f"{n_runs}",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "queries_mean": means,
+        "runs": n_runs,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if times2:
+        # second battery (r11+): heavy post-r5 operators, own totals so
+        # the primary "value" stays comparable across all rounds
+        out["value2"] = round(sum(times2.values()), 3)
+        out["queries2"] = times2
+        out["queries2_mean"] = means2
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
