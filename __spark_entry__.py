@@ -83,7 +83,17 @@ def _driver_judged() -> set[str]:
 #: 1): 6 changed-judged leads + 8 backlog = 14 slots, leaving 36 for
 #: r11 registrations — cap new ops at ~25-30 so every newcomer is
 #: driver-judged the same round and the backlog stays at zero.
-_NEW_THIS_ROUND: set[str] = set()
+_NEW_THIS_ROUND: set[str] = {
+    # indicator batch (windows.py) — locally value-oracled at
+    # sf0.001/0.01/0.1 on arrival
+    "win_qstick",
+    "win_balance_of_power",
+    "win_awesome_oscillator",
+    "win_chande_momentum",
+    "win_dpo",
+    "win_williams_r",
+    "win_hull_ma",
+}
 
 
 def _ordered() -> dict[str, registry.Query]:

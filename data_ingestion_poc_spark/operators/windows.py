@@ -4001,3 +4001,589 @@ def win_vortex(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("vi_minus"),
         F.when(ok, F.col("svp") > F.col("svm")).alias("uptrend"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r11 indicator batch: candle-body and weighted-moving-average family.
+# Shared daily-bar fold (the win_cci/win_atr recipe): events reduce to the
+# bounded (event_type x day) domain with exact integer-cent OHLC before any
+# window — open = first value of the day, close = last (ts, event_id) order.
+
+
+def _ohlc_bars(t) -> DataFrame:
+    """Daily OHLCV bars per event type on the exact cents lattice.
+
+    open/close pick the first/last event by the total (ts, event_id)
+    order (min_by/max_by on a struct key — the same tiebreak the
+    oracles' ROW_NUMBER() ... ORDER BY ts, event_id takes), so both
+    engines agree even when a day's boundary timestamps collide.
+    Combinable partial aggregates: the fold is one map-side-combinable
+    shuffle on (type, day) however large the event table."""
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        t.events.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            "ts",
+            "event_id",
+            cents.alias("c"),
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.max("c").alias("hi"),
+            F.min("c").alias("lo"),
+            F.min_by("c", key).alias("opn"),
+            F.max_by("c", key).alias("cls"),
+            F.count(F.lit(1)).alias("vol"),
+        )
+    )
+
+
+_OHLC_BARS_SQL = """
+    c AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(ROUND(value * 100) AS BIGINT) AS c,
+             ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                ORDER BY ts DESC, event_id DESC) AS rnc,
+             ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                ORDER BY ts ASC, event_id ASC) AS rno
+      FROM events
+    ),
+    bars AS (
+      SELECT event_type, day, MAX(c) AS hi, MIN(c) AS lo,
+             MAX(CASE WHEN rno = 1 THEN c END) AS opn,
+             MAX(CASE WHEN rnc = 1 THEN c END) AS cls,
+             COUNT(*) AS vol
+      FROM c GROUP BY 1, 2
+    )
+"""
+
+#: Qstick lookback (Chande's 8-period convention).
+QSTICK_SPAN = 8
+
+_QSTICK_ORACLE = f"""
+    WITH {_OHLC_BARS_SQL},
+    q AS (
+      SELECT event_type, day,
+             SUM(cls - opn) OVER w AS body_sum,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY day) AS rn
+      FROM bars
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN {QSTICK_SPAN - 1} PRECEDING
+                   AND CURRENT ROW)
+    )
+    SELECT event_type, CAST(day AS VARCHAR) AS day,
+           floor(body_sum / ({QSTICK_SPAN} * 100.0) * 10000)
+             / 10000 AS qstick,
+           body_sum > 0 AS net_bullish
+    FROM q WHERE rn >= {QSTICK_SPAN}
+"""
+
+
+@register("win_qstick", oracle=_QSTICK_ORACLE)
+def win_qstick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chande's Qstick per event type: the {QSTICK_SPAN}-day average
+    candle BODY (close - open) — the quantified candlestick question
+    "are days closing above or below their opens lately". Complements
+    win_chande_momentum (CMO reads close-to-close moves; Qstick reads
+    INTRADAY direction — a market can grind up close-to-close while
+    every day closes under its open, and only Qstick sees it).
+
+    Scale/determinism: the shared _ohlc_bars fold to the bounded
+    (type x day) domain, then one exact-integer body sum per ROWS
+    frame; the single division at emission (4 dp on dollars). The
+    net_bullish flag compares the exact integer sum with zero, not the
+    rounded quotient. Full-frame gating at rn >= {QSTICK_SPAN}."""
+    t = load(spark, sf_dir)
+    bars = _ohlc_bars(t)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-(QSTICK_SPAN - 1), 0)
+    )
+    w_rn = Window.partitionBy("event_type").orderBy("day")
+    q = bars.select(
+        "event_type",
+        "day",
+        F.sum(F.col("cls") - F.col("opn")).over(w).alias("body_sum"),
+        F.row_number().over(w_rn).alias("rn"),
+    ).where(F.col("rn") >= QSTICK_SPAN)
+    return q.select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        (
+            F.floor(
+                F.col("body_sum") / (QSTICK_SPAN * 100.0) * 10000
+            )
+            / 10000
+        ).alias("qstick"),
+        (F.col("body_sum") > 0).alias("net_bullish"),
+    )
+
+
+#: Balance-of-power smoothing span (Livermore/TradingView 14 default).
+BOP_SPAN = 14
+
+_BOP_ORACLE = f"""
+    WITH {_OHLC_BARS_SQL},
+    b AS (
+      SELECT event_type, day,
+             CASE WHEN hi > lo
+                  THEN floor((cls - opn) * 1.0 / (hi - lo) * 10000)
+                       / 10000 END AS bop
+      FROM bars
+    ),
+    s AS (
+      SELECT event_type, day, bop,
+             CASE WHEN COUNT(bop) OVER w = {BOP_SPAN}
+                  THEN ROUND(AVG(bop) OVER w, 4) END AS bop_sma
+      FROM b
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN {BOP_SPAN - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, CAST(day AS VARCHAR) AS day, bop, bop_sma
+    FROM s WHERE bop_sma IS NOT NULL
+"""
+
+
+@register("win_balance_of_power", oracle=_BOP_ORACLE)
+def win_balance_of_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balance of Power per event type: BOP = (close - open) /
+    (high - low) per daily bar — where inside the day's range the
+    session settled, +1 = closed at the high off the low — smoothed by
+    a {BOP_SPAN}-day SMA. The RANGE-normalized sibling of win_qstick
+    (Qstick keeps the body in dollars, so wide days dominate; BOP
+    divides each body by its own range, so every day votes equally).
+
+    Scale/determinism: _ohlc_bars fold; per-bar BOP floor-quantizes to
+    the 4-dp lattice BEFORE the SMA averages it (the stochastic %D
+    doctrine — {BOP_SPAN} exact lattice points -> one identical
+    division). A flat bar (hi == lo) yields a null BOP on both engines
+    and the SMA gates on {BOP_SPAN} NON-NULL members."""
+    t = load(spark, sf_dir)
+    bars = _ohlc_bars(t)
+    bop = F.when(
+        F.col("hi") > F.col("lo"),
+        F.floor(
+            (F.col("cls") - F.col("opn"))
+            / (F.col("hi") - F.col("lo")).cast("double")
+            * 10000
+        )
+        / 10000,
+    )
+    b = bars.select("event_type", "day", bop.alias("bop"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-(BOP_SPAN - 1), 0)
+    )
+    sma = F.when(
+        F.count("bop").over(w) == BOP_SPAN, F.round(F.avg("bop").over(w), 4)
+    )
+    return (
+        b.select("event_type", "day", "bop", sma.alias("bop_sma"))
+        .where(F.col("bop_sma").isNotNull())
+        .select(
+            "event_type",
+            F.col("day").cast("string").alias("day"),
+            "bop",
+            "bop_sma",
+        )
+    )
+
+
+#: Awesome Oscillator spans. Bill Williams' classic pair is 5/34; the
+#: slow span is 21 here because the events fixture spans exactly 30
+#: calendar days at every SF -- a 34-bar frame would never fill and the
+#: operator would emit zero rows at any scale (the ratio 1:4 of the
+#: classic 5:34 stays close at 5:21).
+AO_FAST, AO_SLOW = 5, 21
+
+_AO_ORACLE = f"""
+    WITH {_OHLC_BARS_SQL},
+    m AS (
+      SELECT event_type, day, hi + lo AS mid2,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY day) AS rn
+      FROM bars
+    ),
+    s AS (
+      SELECT event_type, day, rn,
+             SUM(mid2) OVER wf AS s_fast,
+             SUM(mid2) OVER ws AS s_slow
+      FROM m
+      WINDOW wf AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN {AO_FAST - 1} PRECEDING AND CURRENT ROW),
+             ws AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN {AO_SLOW - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, CAST(day AS VARCHAR) AS day,
+           floor(({AO_SLOW} * s_fast - {AO_FAST} * s_slow)
+                 / (2.0 * {AO_FAST} * {AO_SLOW} * 100.0) * 10000)
+             / 10000 AS awesome_osc,
+           {AO_SLOW} * s_fast > {AO_FAST} * s_slow AS above_zero
+    FROM s WHERE rn >= {AO_SLOW}
+"""
+
+
+@register("win_awesome_oscillator", oracle=_AO_ORACLE)
+def win_awesome_oscillator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bill Williams' Awesome Oscillator per event type: SMA({AO_FAST})
+    minus SMA({AO_SLOW}) of the bar MIDPOINT (high+low)/2 — the
+    momentum histogram that reads trend from where daily RANGES sit,
+    ignoring closes entirely (win_macd-style dual-average momentum
+    without EMAs, so it is exactly window-expressible).
+
+    Scale/determinism: midpoints stay on the exact x2 lattice
+    (mid2 = hi + lo, never /2); the subtraction clears denominators
+    algebraically — AO = ({AO_SLOW}*S_fast - {AO_FAST}*S_slow) /
+    (2*{AO_FAST}*{AO_SLOW}) — so the whole statistic is ONE exact
+    integer entering doubles in a single final division (floored at
+    1e-4); the sign flag compares the exact integer numerator with
+    zero. Full-frame gating at rn >= {AO_SLOW}."""
+    t = load(spark, sf_dir)
+    bars = _ohlc_bars(t)
+    w_rn = Window.partitionBy("event_type").orderBy("day")
+    wf = w_rn.rowsBetween(-(AO_FAST - 1), 0)
+    ws = w_rn.rowsBetween(-(AO_SLOW - 1), 0)
+    m = bars.select(
+        "event_type",
+        "day",
+        (F.col("hi") + F.col("lo")).alias("mid2"),
+        F.row_number().over(w_rn).alias("rn"),
+    )
+    s = m.select(
+        "event_type",
+        "day",
+        "rn",
+        F.sum("mid2").over(wf).alias("s_fast"),
+        F.sum("mid2").over(ws).alias("s_slow"),
+    ).where(F.col("rn") >= AO_SLOW)
+    num = AO_SLOW * F.col("s_fast") - AO_FAST * F.col("s_slow")
+    return s.select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        (
+            F.floor(num / (2.0 * AO_FAST * AO_SLOW * 100.0) * 10000) / 10000
+        ).alias("awesome_osc"),
+        (num > 0).alias("above_zero"),
+    )
+
+
+#: Chande Momentum Oscillator lookback (the classic 14).
+CMO_SPAN = 14
+
+_CMO_ORACLE = f"""
+    WITH {_OHLC_BARS_SQL},
+    d AS (
+      SELECT event_type, day,
+             cls - LAG(cls) OVER w AS chg,
+             ROW_NUMBER() OVER w AS rn
+      FROM bars
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ),
+    s AS (
+      SELECT event_type, day, rn,
+             SUM(GREATEST(chg, 0)) OVER wf AS su,
+             SUM(GREATEST(-chg, 0)) OVER wf AS sd
+      FROM d
+      WINDOW wf AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN {CMO_SPAN - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, CAST(day AS VARCHAR) AS day,
+           CASE WHEN su + sd > 0
+                THEN floor(100.0 * (su - sd) / (su + sd) * 10000)
+                     / 10000 END AS cmo
+    FROM s WHERE rn >= {CMO_SPAN} + 1
+"""
+
+
+@register("win_chande_momentum", oracle=_CMO_ORACLE)
+def win_chande_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chande Momentum Oscillator per event type over {CMO_SPAN} daily
+    closes: CMO = 100 * (sum(up moves) - sum(down moves)) / (sum(up) +
+    sum(down)) — win_rsi's un-smoothed symmetric twin (RSI maps the
+    same ratio through 100 - 100/(1+RS) with running averages; CMO
+    keeps raw sums, so it is bounded [-100, 100], zero-centered, and
+    exactly window-expressible with no EMA recursion).
+
+    Scale/determinism: _ohlc_bars fold, one lag, one ROWS frame — up
+    and down move sums are exact integer cents; CMO is one exact
+    integer ratio entering doubles once (floored at 1e-4). A flat
+    {CMO_SPAN}-day stretch (su + sd = 0) nulls the oscillator on both
+    engines; gating needs {CMO_SPAN} + 1 bars (the first has no lag)."""
+    t = load(spark, sf_dir)
+    bars = _ohlc_bars(t)
+    w = Window.partitionBy("event_type").orderBy("day")
+    wf = w.rowsBetween(-(CMO_SPAN - 1), 0)
+    d = bars.select(
+        "event_type",
+        "day",
+        (F.col("cls") - F.lag("cls").over(w)).alias("chg"),
+        F.row_number().over(w).alias("rn"),
+    )
+    s = d.select(
+        "event_type",
+        "day",
+        "rn",
+        F.sum(F.greatest(F.col("chg"), F.lit(0))).over(wf).alias("su"),
+        F.sum(F.greatest(-F.col("chg"), F.lit(0))).over(wf).alias("sd"),
+    ).where(F.col("rn") >= CMO_SPAN + 1)
+    tot = F.col("su") + F.col("sd")
+    return s.select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        F.when(
+            tot > 0,
+            F.floor(100.0 * (F.col("su") - F.col("sd")) / tot * 10000)
+            / 10000,
+        ).alias("cmo"),
+    )
+
+
+#: Detrended Price Oscillator span and its displaced-SMA offset. The
+#: textbook span is 20, but span + displacement (n/2 + 1) bars must fit
+#: the 30-day events calendar for the displaced frame to ever fill --
+#: 14 + 8 leaves 9 emitting days per type at every SF.
+DPO_SPAN = 14
+DPO_SHIFT = DPO_SPAN // 2 + 1
+
+_DPO_ORACLE = f"""
+    WITH {_OHLC_BARS_SQL},
+    s AS (
+      SELECT event_type, day, cls,
+             SUM(cls) OVER wd AS s_disp,
+             COUNT(*) OVER wd AS n_disp
+      FROM bars
+      WINDOW wd AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN {DPO_SPAN + DPO_SHIFT - 1} PRECEDING
+                    AND {DPO_SHIFT} PRECEDING)
+    )
+    SELECT event_type, CAST(day AS VARCHAR) AS day,
+           floor(({DPO_SPAN} * cls - s_disp)
+                 / ({DPO_SPAN} * 100.0) * 10000) / 10000 AS dpo,
+           {DPO_SPAN} * cls > s_disp AS above_trend
+    FROM s WHERE n_disp = {DPO_SPAN}
+"""
+
+
+@register("win_dpo", oracle=_DPO_ORACLE)
+def win_dpo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detrended Price Oscillator per event type: today's close minus
+    the {DPO_SPAN}-day SMA displaced {DPO_SHIFT} bars BACK — the
+    displacement centers the average on the price it summarizes, so
+    DPO strips the trend and leaves the CYCLE (win_seasonal_baseline
+    finds the calendar season; DPO finds the un-calendared oscillation
+    around trend). Standard n/2+1 displacement convention.
+
+    Scale/determinism: _ohlc_bars fold, one shifted ROWS frame — the
+    displaced SMA is just a frame ending at {DPO_SHIFT} PRECEDING, no
+    self-join; DPO clears the /n algebraically ({DPO_SPAN}*close -
+    sum) so one exact integer enters doubles in the single final
+    division (floored at 1e-4); the above_trend flag compares exact
+    integers. Gating: exactly {DPO_SPAN} bars in the displaced frame."""
+    t = load(spark, sf_dir)
+    bars = _ohlc_bars(t)
+    wd = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-(DPO_SPAN + DPO_SHIFT - 1), -DPO_SHIFT)
+    )
+    s = bars.select(
+        "event_type",
+        "day",
+        "cls",
+        F.sum("cls").over(wd).alias("s_disp"),
+        F.count(F.lit(1)).over(wd).alias("n_disp"),
+    ).where(F.col("n_disp") == DPO_SPAN)
+    num = DPO_SPAN * F.col("cls") - F.col("s_disp")
+    return s.select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        (F.floor(num / (DPO_SPAN * 100.0) * 10000) / 10000).alias("dpo"),
+        (num > 0).alias("above_trend"),
+    )
+
+
+#: Williams %R lookback (Larry Williams' 14).
+WILLR_SPAN = 14
+
+_WILLR_ORACLE = f"""
+    WITH {_OHLC_BARS_SQL},
+    s AS (
+      SELECT event_type, day, cls,
+             MAX(hi) OVER w AS hh, MIN(lo) OVER w AS ll,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY day) AS rn
+      FROM bars
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN {WILLR_SPAN - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, CAST(day AS VARCHAR) AS day,
+           CASE WHEN hh > ll
+                THEN floor(-100.0 * (hh - cls) / (hh - ll) * 10000)
+                     / 10000 END AS williams_r,
+           CASE WHEN hh > ll
+                THEN 100.0 * (hh - cls) / (hh - ll) >= 80 END AS oversold
+    FROM s WHERE rn >= {WILLR_SPAN}
+"""
+
+
+@register("win_williams_r", oracle=_WILLR_ORACLE)
+def win_williams_r(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Williams %R per event type: -100 * (HH - close)/(HH - LL) over
+    the trailing {WILLR_SPAN}-day TRUE high/low channel. The daily-bar
+    sibling of win_stochastic_oscillator's %K (which runs per USER over
+    raw event values, so its channel is close-only): %R uses each day's
+    intraday extremes hi/lo — a close can sit mid-channel on closes yet
+    at the bottom of the true range, and only %R sees it. Scale is
+    [-100, 0], oversold below -80 by the classic reading.
+
+    Scale/determinism: _ohlc_bars fold; channel extremes are exact
+    integer cents from ROWS-frame min/max; %R is one exact integer
+    ratio entering doubles once (floored at 1e-4); flat channel
+    (hh == ll) nulls both columns on both engines; full-frame gating
+    at rn >= {WILLR_SPAN}."""
+    t = load(spark, sf_dir)
+    bars = _ohlc_bars(t)
+    w_rn = Window.partitionBy("event_type").orderBy("day")
+    w = w_rn.rowsBetween(-(WILLR_SPAN - 1), 0)
+    s = bars.select(
+        "event_type",
+        "day",
+        "cls",
+        F.max("hi").over(w).alias("hh"),
+        F.min("lo").over(w).alias("ll"),
+        F.row_number().over(w_rn).alias("rn"),
+    ).where(F.col("rn") >= WILLR_SPAN)
+    ok = F.col("hh") > F.col("ll")
+    pos = (F.col("hh") - F.col("cls")).cast("double") / (
+        F.col("hh") - F.col("ll")
+    )
+    return s.select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        F.when(ok, F.floor(-100.0 * pos * 10000) / 10000).alias(
+            "williams_r"
+        ),
+        F.when(ok, 100.0 * pos >= 80).alias("oversold"),
+    )
+
+
+#: Hull MA spans: HMA(16) = WMA(4, 2*WMA(8) - WMA(16)); 1224 is the
+#: lcm of the WMA(8)/WMA(16) weight sums 36 and 136, so the detrended
+#: series h stays an exact integer in x1224 units.
+HMA_SLOW = 16
+HMA_FAST = HMA_SLOW // 2
+HMA_SQRT = 4
+_HMA_H_UNITS = 1224  # lcm(36, 136)
+
+_HMA_ORACLE = f"""
+    WITH {_OHLC_BARS_SQL},
+    m AS (
+      SELECT event_type, day, cls,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY day) AS rn
+      FROM bars
+    ),
+    n AS (
+      SELECT event_type, day, rn,
+             SUM(rn * cls) OVER wf - (rn - {HMA_FAST}) * SUM(cls) OVER wf
+               AS nf,
+             SUM(rn * cls) OVER ws - (rn - {HMA_SLOW}) * SUM(cls) OVER ws
+               AS ns
+      FROM m
+      WINDOW wf AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN {HMA_FAST - 1} PRECEDING AND CURRENT ROW),
+             ws AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN {HMA_SLOW - 1} PRECEDING AND CURRENT ROW)
+    ),
+    h AS (
+      SELECT event_type, day, rn,
+             2 * ({_HMA_H_UNITS} // 36) * nf
+               - ({_HMA_H_UNITS} // 136) * ns AS hu
+      FROM n
+    ),
+    fin AS (
+      SELECT event_type, day, rn,
+             4 * hu + 3 * LAG(hu, 1) OVER w + 2 * LAG(hu, 2) OVER w
+               + LAG(hu, 3) OVER w AS n4
+      FROM h
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    )
+    SELECT event_type, CAST(day AS VARCHAR) AS day,
+           floor(n4 / (10.0 * {_HMA_H_UNITS} * 100.0) * 10000)
+             / 10000 AS hull_ma
+    FROM fin WHERE rn >= {HMA_SLOW} + {HMA_SQRT} - 1
+"""
+
+
+@register("win_hull_ma", oracle=_HMA_ORACLE)
+def win_hull_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hull moving average per event type: HMA({HMA_SLOW}) =
+    WMA({HMA_SQRT}) of (2*WMA({HMA_FAST}) - WMA({HMA_SLOW})) over daily
+    closes — the lag-corrected trend line (the doubled fast WMA
+    extrapolates the average forward, the final short WMA smooths the
+    overshoot). The classic HMA needs three WEIGHTED moving averages,
+    which have no native window aggregate; here each WMA numerator
+    folds from two RUNNING sums: sum(rn*x) - (rn - n)*sum(x) over the
+    frame equals sum((n-i)*x_{{t-i}}) exactly.
+
+    Scale/determinism: closes are exact integer cents and rn*cls stays
+    far under 2^63 (calendar-bounded rn x cents), so BOTH WMA
+    numerators are exact integers; the detrended series h is held in
+    x{_HMA_H_UNITS} integer units (lcm of the weight sums 36/136 —
+    no intermediate division), and the final WMA({HMA_SQRT}) is an
+    explicit 4/3/2/1 lag combination — the entire HMA is ONE exact
+    integer entering doubles in the single final division (floored at
+    1e-4). Gating: rn >= {HMA_SLOW} + {HMA_SQRT} - 1 (full slow WMA at
+    the oldest lag)."""
+    t = load(spark, sf_dir)
+    bars = _ohlc_bars(t)
+    w_rn = Window.partitionBy("event_type").orderBy("day")
+    wf = w_rn.rowsBetween(-(HMA_FAST - 1), 0)
+    ws = w_rn.rowsBetween(-(HMA_SLOW - 1), 0)
+    m = bars.select(
+        "event_type", "day", "cls", F.row_number().over(w_rn).alias("rn")
+    )
+    rc = F.col("rn") * F.col("cls")
+    n = m.select(
+        "event_type",
+        "day",
+        "rn",
+        (
+            F.sum(rc).over(wf)
+            - (F.col("rn") - HMA_FAST) * F.sum("cls").over(wf)
+        ).alias("nf"),
+        (
+            F.sum(rc).over(ws)
+            - (F.col("rn") - HMA_SLOW) * F.sum("cls").over(ws)
+        ).alias("ns"),
+    )
+    hu = (
+        2 * (_HMA_H_UNITS // 36) * F.col("nf")
+        - (_HMA_H_UNITS // 136) * F.col("ns")
+    )
+    h = n.select("event_type", "day", "rn", hu.alias("hu"))
+    n4 = (
+        4 * F.col("hu")
+        + 3 * F.lag("hu", 1).over(w_rn)
+        + 2 * F.lag("hu", 2).over(w_rn)
+        + F.lag("hu", 3).over(w_rn)
+    )
+    return (
+        h.select("event_type", "day", "rn", n4.alias("n4"))
+        .where(F.col("rn") >= HMA_SLOW + HMA_SQRT - 1)
+        .select(
+            "event_type",
+            F.col("day").cast("string").alias("day"),
+            (
+                F.floor(
+                    F.col("n4") / (10.0 * _HMA_H_UNITS * 100.0) * 10000
+                )
+                / 10000
+            ).alias("hull_ma"),
+        )
+    )
