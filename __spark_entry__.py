@@ -93,6 +93,10 @@ _NEW_THIS_ROUND: set[str] = {
     "win_dpo",
     "win_williams_r",
     "win_hull_ma",
+    # lexical-statistics batch (textstats.py)
+    "text_yules_k",
+    "text_lexical_richness",
+    "text_char_bigram_entropy",
 }
 
 

@@ -1727,3 +1727,265 @@ def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# r11 lexical-statistics batch: frequency-spectrum richness measures and
+# character-level predictability, per corpus slice.
+
+
+@register(
+    "text_yules_k",
+    oracle="""
+    WITH words AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS word
+      FROM documents
+    ),
+    wc AS (
+      SELECT source, word, COUNT(*) AS c FROM words GROUP BY source, word
+    ),
+    s AS (
+      SELECT source,
+             CAST(SUM(c) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS v,
+             CAST(SUM(c * c) AS BIGINT) AS s2
+      FROM wc GROUP BY source
+    )
+    SELECT source, n, v,
+           floor(10000.0 * (s2 - n) / (CAST(n AS DOUBLE) * n) * 10000)
+             / 10000 AS yules_k,
+           floor((s2 - n) / (CAST(n AS DOUBLE) * (n - 1)) * 1000000)
+             / 1000000 AS simpson_d
+    FROM s WHERE n > 1 ORDER BY source
+    """,
+)
+def text_yules_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule's characteristic K and Simpson's D per source: K =
+    10^4 * (sum(f^2) - N) / N^2 and D = sum(f(f-1)) / (N(N-1)) over the
+    word frequency spectrum — the REPEAT-RATE richness measures (the
+    probability two random tokens are the same word). text_hapax_ratio
+    reads the BOTTOM of the spectrum (once/twice words), K/D weight the
+    TOP (each word's count enters squared), so template spam that
+    recycles a small vocabulary inflates K sharply while barely moving
+    the hapax share — and K is length-invariant where raw TTR
+    (text_ttr) decays with N, making it the cross-source comparable
+    number. Authorship-attribution classic (Yule 1944).
+
+    Scale/determinism: explode + one combinable (source, word) count,
+    then one exact-integer moment fold (N, V, sum f^2 all bigint —
+    f^2 <= N^2 < 2^63 per source at any corpus size needs f < 3e9
+    per word-source; a word repeated more often than that exceeds the
+    decimal guard, so s2 folds in decimal(38,0)); the two statistics
+    are single divisions on floor lattices (4 dp / 6 dp)."""
+    t = load(spark, sf_dir)
+    words = t.documents.select(
+        "source",
+        F.explode(F.split(F.lower("text"), " ")).alias("word"),
+    )
+    wc = words.groupBy("source", "word").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    s = wc.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"),
+    )
+    n, s2 = F.col("n"), F.col("s2")
+    return (
+        s.where(n > 1)
+        .select(
+            "source",
+            "n",
+            "v",
+            (
+                F.floor(
+                    10000.0 * (s2 - n) / (n.cast("double") * n) * 10000
+                )
+                / 10000
+            ).alias("yules_k"),
+            (
+                F.floor(
+                    (s2 - n) / (n.cast("double") * (n - 1)) * 1_000_000
+                )
+                / 1_000_000
+            ).alias("simpson_d"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "text_lexical_richness",
+    oracle="""
+    WITH words AS (
+      SELECT lang, unnest(string_split(lower(text), ' ')) AS word
+      FROM documents
+    ),
+    wc AS (
+      SELECT lang, word, COUNT(*) AS c FROM words GROUP BY lang, word
+    ),
+    s AS (
+      SELECT lang,
+             CAST(SUM(c) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS v,
+             CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS v1
+      FROM wc GROUP BY lang
+    )
+    SELECT lang, n, v,
+           ROUND(v / sqrt(CAST(n AS DOUBLE)), 4) AS guiraud_r,
+           ROUND(ln(CAST(v AS DOUBLE)) / ln(CAST(n AS DOUBLE)), 4)
+             AS herdan_c,
+           ROUND(POWER(CAST(n AS DOUBLE),
+                       POWER(CAST(v AS DOUBLE), -0.165)), 4) AS brunet_w,
+           CASE WHEN v1 < v
+                THEN ROUND(100.0 * ln(CAST(n AS DOUBLE))
+                           / (1.0 - v1 / CAST(v AS DOUBLE)), 4)
+           END AS honore_h
+    FROM s WHERE n > 1 ORDER BY lang
+    """,
+)
+def text_lexical_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-corrected lexical-richness panel per language: Guiraud's
+    R = V/sqrt(N), Herdan's C = ln V/ln N, Brunet's W = N^(V^-0.165)
+    and Honore's H = 100 ln N/(1 - V1/V). Raw type-token ratio
+    (text_ttr) is incomparable across slices because V grows sublinearly
+    in N (corpus_heaps_law measures exactly that); these four are the
+    standard normalizations that stay stable as the slice grows, so a
+    cross-language or cross-snapshot drop IS a vocabulary change, not a
+    size artifact. W falls with richness (typical prose 10-20); R, C, H
+    rise with it.
+
+    Scale/determinism: one combinable (lang, word) count then one
+    exact-integer fold (N, V, V1); all four statistics are single
+    closed-form double expressions per lang row, rounded at 4 dp (libm
+    ln/pow ulp absorption, the text_entropy convention). Degenerate
+    guard: an all-hapax slice (V1 = V) nulls Honore's H on both
+    engines."""
+    t = load(spark, sf_dir)
+    words = t.documents.select(
+        "lang",
+        F.explode(F.split(F.lower("text"), " ")).alias("word"),
+    )
+    wc = words.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("c"))
+    s = wc.groupBy("lang").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("v1"),
+    )
+    n = F.col("n").cast("double")
+    v = F.col("v").cast("double")
+    v1 = F.col("v1")
+    return (
+        s.where(F.col("n") > 1)
+        .select(
+            "lang",
+            "n",
+            "v",
+            F.round(v / F.sqrt(n), 4).alias("guiraud_r"),
+            F.round(F.log(v) / F.log(n), 4).alias("herdan_c"),
+            F.round(F.pow(n, F.pow(v, -0.165)), 4).alias("brunet_w"),
+            F.when(
+                v1 < F.col("v"),
+                F.round(100.0 * F.log(n) / (1.0 - v1 / v), 4),
+            ).alias("honore_h"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "text_char_bigram_entropy",
+    oracle="""
+    WITH d AS (
+      SELECT lang, lower(text) AS tx FROM documents
+      WHERE length(text) >= 2
+    ),
+    big AS (
+      SELECT lang, substr(tx, CAST(i AS INT), 2) AS g
+      FROM (SELECT lang, tx, unnest(range(1, length(tx))) AS i FROM d)
+    ),
+    bc AS (
+      SELECT lang, g, COUNT(*) AS c FROM big GROUP BY lang, g
+    ),
+    uc AS (
+      SELECT lang, substr(g, 1, 1) AS u, SUM(c) AS cu
+      FROM bc GROUP BY lang, substr(g, 1, 1)
+    ),
+    s AS (
+      SELECT lang,
+             CAST(SUM(c) AS BIGINT) AS n_bigrams,
+             CAST(COUNT(*) AS BIGINT) AS distinct_bigrams,
+             SUM(c * log2(c)) AS clog
+      FROM bc GROUP BY lang
+    ),
+    su AS (
+      SELECT lang, SUM(cu * log2(cu)) AS ulog FROM uc GROUP BY lang
+    )
+    SELECT s.lang, n_bigrams, distinct_bigrams,
+           ROUND((ulog - clog) / n_bigrams, 4) AS cond_entropy_bits,
+           ROUND(log2(CAST(n_bigrams AS DOUBLE)) - clog / n_bigrams, 4)
+             AS bigram_entropy_bits
+    FROM s JOIN su ON s.lang = su.lang ORDER BY s.lang
+    """,
+)
+def text_char_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level conditional entropy H(next char | char) per
+    language, from the char-bigram spectrum: H(c2|c1) = [sum(cu log2
+    cu) - sum(c log2 c)] / N over bigram counts c and first-char
+    marginals cu. THE language-agnostic garbled-text detector: natural
+    language runs ~3-4 bits/char conditional (Shannon), base64 blobs
+    and encryption push toward log2(charset), OCR mush sits between —
+    and unlike text_entropy (word distribution, needs whitespace
+    tokenization) this sees damage INSIDE words and scripts with no
+    spaces. The companion bigram entropy bounds it from above.
+
+    Scale/determinism: chars explode via substring positions (linear
+    scan work, map-side combinable counts); the (lang, bigram) domain
+    is charset^2-bounded, so both entropy folds are tiny aggregates of
+    exact integer counts; c*log2(c) terms round at 4 dp after the
+    final division (libm ulp absorption). Docs shorter than 2 chars
+    drop on both engines."""
+    t = load(spark, sf_dir)
+    d = t.documents.where(F.length("text") >= 2).select(
+        "lang", F.lower("text").alias("tx")
+    )
+    pos = d.select(
+        "lang",
+        "tx",
+        F.explode(
+            F.sequence(F.lit(1), F.length("tx") - 1)
+        ).alias("i"),
+    )
+    big = pos.select(
+        "lang", F.expr("substring(tx, i, 2)").alias("g")
+    )
+    bc = big.groupBy("lang", "g").agg(F.count(F.lit(1)).alias("c"))
+    uc = bc.groupBy("lang", F.substring("g", 1, 1).alias("u")).agg(
+        F.sum("c").alias("cu")
+    )
+    s = bc.groupBy("lang").agg(
+        F.sum("c").cast("bigint").alias("n_bigrams"),
+        F.count(F.lit(1)).cast("bigint").alias("distinct_bigrams"),
+        F.sum(F.col("c") * F.log2("c")).alias("clog"),
+    )
+    su = uc.groupBy("lang").agg(
+        F.sum(F.col("cu") * F.log2("cu")).alias("ulog")
+    )
+    nb = F.col("n_bigrams")
+    return (
+        s.join(su, "lang")
+        .select(
+            "lang",
+            "n_bigrams",
+            "distinct_bigrams",
+            F.round((F.col("ulog") - F.col("clog")) / nb, 4).alias(
+                "cond_entropy_bits"
+            ),
+            F.round(
+                F.log2(nb.cast("double")) - F.col("clog") / nb, 4
+            ).alias("bigram_entropy_bits"),
+        )
+        .orderBy("lang")
+    )
