@@ -97,6 +97,9 @@ _NEW_THIS_ROUND: set[str] = {
     "text_yules_k",
     "text_lexical_richness",
     "text_char_bigram_entropy",
+    # graph batch (graph.py)
+    "graph_avg_neighbor_degree",
+    "graph_katz_centrality",
 }
 
 

@@ -1385,3 +1385,184 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+# ---------------------------------------------------------------------------
+# r11 additions: degree-correlation curve and attenuated-walk centrality.
+
+_KNN_ORACLE = f"""
+    {_BACKBONE_CTE},
+    nbrsum AS (
+      SELECT a.node, SUM(d2.d) AS s
+      FROM adj a JOIN deg d2 ON d2.node = a.nbr
+      GROUP BY a.node
+    )
+    SELECT deg.d AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(s) AS BIGINT) AS sum_nbr_deg,
+           floor(SUM(s) / (deg.d * CAST(COUNT(*) AS DOUBLE)) * 1000000)
+             / 1000000 AS knn
+    FROM deg JOIN nbrsum ON nbrsum.node = deg.node
+    GROUP BY deg.d ORDER BY k
+"""
+
+
+@register("graph_avg_neighbor_degree", oracle=_KNN_ORACLE)
+def graph_avg_neighbor_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k_nn(k) degree-correlation curve on the supplier backbone:
+    for each degree class k, the average over its nodes of the mean
+    neighbor degree — rising k_nn(k) = assortative (hubs prefer hubs),
+    falling = disassortative (the hub-and-spoke signature).
+    graph_assortativity compresses this relation into ONE Pearson
+    coefficient; the curve is the diagnostic behind it — a non-monotone
+    k_nn(k) (mixed regimes) yields a meaningless single r, and only the
+    curve shows it.
+
+    Scale/determinism: adjacency joins the bounded backbone degree
+    frame; per-node neighbor-degree sums are exact integers, and
+    because every node in class k shares the SAME denominator k, the
+    class average folds to sum(S_v) / (k * n_k) — one exact-integer
+    ratio entering doubles in a single floored division (1e-6
+    lattice). No window, no iteration; two shuffles on the top-K
+    bounded backbone."""
+    t = load(spark, sf_dir)
+    edges = _backbone_edges(t).localCheckpoint()
+    adj = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    nbrsum = (
+        adj.join(
+            deg.select(F.col("node").alias("nbr"), F.col("d").alias("dn")),
+            "nbr",
+        )
+        .groupBy("node")
+        .agg(F.sum("dn").alias("s"))
+    )
+    return (
+        deg.join(nbrsum, "node")
+        .groupBy(F.col("d").alias("k"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum("s").cast("bigint").alias("sum_nbr_deg"),
+            (
+                F.floor(
+                    F.sum("s")
+                    / (
+                        F.col("d")
+                        * F.count(F.lit(1)).cast("double")
+                    )
+                    * 1_000_000
+                )
+                / 1_000_000
+            ).alias("knn"),
+        )
+        .orderBy("k")
+    )
+
+
+#: Katz base mass per node in integer units, and the attenuation 1/8
+#: applied to the ROW-NORMALIZED walk matrix (classic Katz attenuates
+#: raw adjacency, which overflows any fixed-point width on a weighted
+#: multigraph; on the normalized walk the series is bounded by
+#: base * 8/7 at ANY graph size — the same overflow-by-design guard as
+#: graph_pagerank's mass conservation). Deviation documented here.
+KATZ_BASE = 1_000_000
+KATZ_ITERS = 3
+
+
+def _katz_step_sql(prev: str, out: str) -> str:
+    return f"""
+    contrib_{out} AS (
+      SELECT e.dst AS node,
+             SUM((r.ku * e.w) // (8 * o.wsum)) AS inflow
+      FROM edges e
+      JOIN {prev} r ON r.node = e.src
+      JOIN outsum o ON o.src = e.src
+      GROUP BY e.dst
+    ),
+    {out} AS (
+      SELECT n.node,
+             CAST({KATZ_BASE} + COALESCE(c.inflow, 0) AS BIGINT) AS ku
+      FROM nodes n
+      LEFT JOIN contrib_{out} c ON c.node = n.node
+    )
+"""
+
+
+_KATZ_ORACLE = (
+    "WITH "
+    + _EDGES_SQL
+    + f",\n    k0 AS (SELECT node, CAST({KATZ_BASE} AS BIGINT) AS ku"
+    " FROM nodes),"
+    + _katz_step_sql("k0", "k1")
+    + ","
+    + _katz_step_sql("k1", "k2")
+    + ","
+    + _katz_step_sql("k2", "k3")
+    + """
+    SELECT node, ku AS katz_units FROM k3
+    """
+)
+
+
+@register("graph_katz_centrality", oracle=_KATZ_ORACLE)
+def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality (attenuation 1/8, {KATZ_ITERS} rounds) over the
+    customer<->supplier purchase graph in exact BIGINT units: x =
+    sum_h alpha^h (walks of length h into the node), the "influence
+    through all paths" score. graph_pagerank asks where a CONSERVED
+    random surfer settles (mass divides among out-edges and hubs drain
+    neighbors); Katz asks how many attenuated walks REACH you (every
+    path counts additively) — the two disagree exactly on nodes fed by
+    high-out-degree hubs, which is why link-analysis suites ship both.
+
+    Scale/determinism: identical plan shape to graph_pagerank — edges
+    repartition once, the (node, units) frame is the small changing
+    side, integer multiply/floor-divide per step so both engines hold
+    bit-identical states with no float summation order anywhere. The
+    attenuation applies to the row-normalized walk (see KATZ_BASE note:
+    classic raw-adjacency Katz overflows fixed-point on weighted
+    multigraphs; normalized-walk Katz is bounded by base * 8/7 at any
+    scale)."""
+    t = load(spark, sf_dir)
+    e0 = (
+        t.lineitem.join(
+            t.orders, F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    ).persist()
+    outsum = edges.groupBy("src").agg(F.sum("w").alias("wsum"))
+    nodes = edges.select(F.col("src").alias("node")).distinct().persist()
+    ranks = nodes.select(
+        "node", F.lit(KATZ_BASE).cast("long").alias("ku")
+    )
+    for _ in range(KATZ_ITERS):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(outsum, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("(ku * w) div (8 * wsum)").alias("contrib"),
+            )
+            .groupBy("node")
+            .agg(F.sum("contrib").alias("inflow"))
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(KATZ_BASE) + F.coalesce("inflow", F.lit(0))
+            ).cast("long").alias("ku"),
+        )
+    return ranks.select("node", F.col("ku").alias("katz_units"))
