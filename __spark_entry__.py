@@ -100,6 +100,12 @@ _NEW_THIS_ROUND: set[str] = {
     # graph batch (graph.py)
     "graph_avg_neighbor_degree",
     "graph_katz_centrality",
+    # two-sample distribution batch (stats.py)
+    "agg_cliff_delta",
+    "agg_wasserstein_1d",
+    "agg_energy_distance",
+    "agg_hist_distance",
+    "agg_mood_scale_test",
 }
 
 

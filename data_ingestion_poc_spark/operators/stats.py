@@ -5008,3 +5008,619 @@ def agg_mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# r11 two-sample distribution batch: effect sizes and distribution
+# distances between the purchase and click value samples, all on the
+# agg_mann_whitney bounded VALUE-LATTICE recipe — group by cents first
+# (domain-bounded at ANY corpus size: 2-dp money in a fixed price range),
+# then exact-integer cumulative counts over one ordered window; doubles
+# enter only in final single expressions or bin-ordered bounded folds.
+
+from .aggregates import TTEST_A, TTEST_B  # noqa: E402  (shared arms)
+
+#: Shared lattice CTE: per distinct cents value, counts per arm plus
+#: inclusive/exclusive cumulative counts, arm totals, and the gap to the
+#: next lattice point (for CDF-integral statistics).
+_TWO_SAMPLE_LATTICE_SQL = f"""
+    ev AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v
+      FROM events WHERE event_type IN ('{TTEST_A}', '{TTEST_B}')
+    ),
+    vg AS (
+      SELECT v,
+             SUM(CASE WHEN event_type = '{TTEST_A}' THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN event_type = '{TTEST_B}' THEN 1 ELSE 0 END) AS cb
+      FROM ev GROUP BY v
+    ),
+    cum AS (
+      SELECT v, ca, cb,
+             SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cca,
+             SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ccb,
+             COALESCE(SUM(ca) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pca,
+             COALESCE(SUM(cb) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pcb,
+             SUM(ca) OVER () AS na,
+             SUM(cb) OVER () AS nb,
+             LEAD(v) OVER (ORDER BY v) AS nv
+      FROM vg
+    )
+"""
+
+
+def _two_sample_lattice(t) -> DataFrame:
+    """Spark twin of _TWO_SAMPLE_LATTICE_SQL (same column names)."""
+    ev = t.events.where(
+        F.col("event_type").isin(TTEST_A, TTEST_B)
+    ).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+    )
+    vg = ev.groupBy("v").agg(
+        F.sum(
+            F.when(F.col("event_type") == TTEST_A, 1).otherwise(0)
+        ).alias("ca"),
+        F.sum(
+            F.when(F.col("event_type") == TTEST_B, 1).otherwise(0)
+        ).alias("cb"),
+    )
+    w_inc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    w_exc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.partitionBy()
+    w_ord = Window.orderBy("v")
+    return vg.select(
+        "v",
+        "ca",
+        "cb",
+        F.sum("ca").over(w_inc).alias("cca"),
+        F.sum("cb").over(w_inc).alias("ccb"),
+        F.coalesce(F.sum("ca").over(w_exc), F.lit(0)).alias("pca"),
+        F.coalesce(F.sum("cb").over(w_exc), F.lit(0)).alias("pcb"),
+        F.sum("ca").over(w_all).alias("na"),
+        F.sum("cb").over(w_all).alias("nb"),
+        F.lead("v").over(w_ord).alias("nv"),
+    )
+
+
+_DEC = "decimal(38,0)"
+
+_CLIFF_ORACLE = f"""
+    WITH {_TWO_SAMPLE_LATTICE_SQL},
+    s AS (
+      SELECT MAX(na) AS na, MAX(nb) AS nb,
+             SUM(CAST(ca AS DECIMAL(38,0)) * pcb) AS gt,
+             SUM(CAST(cb AS DECIMAL(38,0)) * pca) AS lt
+      FROM cum
+    ),
+    d AS (
+      SELECT na, nb,
+             floor((CAST(gt AS DOUBLE) - CAST(lt AS DOUBLE))
+                   / (CAST(na AS DOUBLE) * nb) * 1000000)
+               / 1000000 AS cliff_delta
+      FROM s
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           cliff_delta,
+           CASE WHEN abs(cliff_delta) < 0.147 THEN 'negligible'
+                WHEN abs(cliff_delta) < 0.33  THEN 'small'
+                WHEN abs(cliff_delta) < 0.474 THEN 'medium'
+                ELSE 'large' END AS magnitude
+    FROM d
+"""
+
+
+@register("agg_cliff_delta", oracle=_CLIFF_ORACLE)
+def agg_cliff_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta between the purchase and click value samples:
+    delta = (#(a > b) - #(a < b)) / (n_a * n_b) over all cross pairs —
+    the ORDINAL effect size that goes with agg_mann_whitney the way
+    agg_cohens_d goes with agg_t_test: MW's z says a shift exists (any
+    shift is "significant" at corpus n), delta says HOW OFTEN a random
+    purchase actually beats a random click (+1 = always, 0 = coin
+    flip), which is the decision-relevant number. Magnitude labels per
+    Romano et al. (2006): 0.147 / 0.33 / 0.474.
+
+    Scale/determinism: pair counts come from the bounded value lattice
+    — #(a>b) = sum over values of ca(v) * (B strictly below v), an
+    exact DECIMAL(38) fold (pair counts reach n_a*n_b ~ 1e24 at corpus
+    scale, past BIGINT — the r9/r10 overflow-audit class, guarded by
+    construction); delta is one division on the 1e-6 floor lattice and
+    the label reads the FLOORED value, so both engines agree at bucket
+    boundaries."""
+    t = load(spark, sf_dir)
+    cum = _two_sample_lattice(t)
+    s = cum.agg(
+        F.max("na").alias("na"),
+        F.max("nb").alias("nb"),
+        F.sum(F.col("ca").cast(_DEC) * F.col("pcb")).alias("gt"),
+        F.sum(F.col("cb").cast(_DEC) * F.col("pca")).alias("lt"),
+    )
+    delta = (
+        F.floor(
+            (F.col("gt").cast("double") - F.col("lt").cast("double"))
+            / (F.col("na").cast("double") * F.col("nb"))
+            * 1_000_000
+        )
+        / 1_000_000
+    )
+    d = s.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        delta.alias("cliff_delta"),
+    )
+    a = F.abs(F.col("cliff_delta"))
+    return d.select(
+        "n_a",
+        "n_b",
+        "cliff_delta",
+        F.when(a < 0.147, "negligible")
+        .when(a < 0.33, "small")
+        .when(a < 0.474, "medium")
+        .otherwise("large")
+        .alias("magnitude"),
+    )
+
+
+_W1_ORACLE = f"""
+    WITH {_TWO_SAMPLE_LATTICE_SQL},
+    s AS (
+      SELECT MAX(na) AS na, MAX(nb) AS nb,
+             SUM(CASE WHEN nv IS NOT NULL
+                      THEN abs(CAST(cca AS DECIMAL(38,0)) * nb
+                               - CAST(ccb AS DECIMAL(38,0)) * na)
+                           * (nv - v) END) AS s1
+      FROM cum
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           floor(CAST(s1 AS DOUBLE)
+                 / (CAST(na AS DOUBLE) * nb * 100.0) * 1000000)
+             / 1000000 AS wasserstein_1
+    FROM s
+"""
+
+
+@register("agg_wasserstein_1d", oracle=_W1_ORACLE)
+def agg_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Wasserstein (earth mover's) distance between the purchase
+    and click value distributions, in dollars: W1 = integral of
+    |ECDF_a - ECDF_b| — the AREA between the CDFs. agg_ks_test reads
+    their largest GAP (sup-norm: one bad quantile triggers it); W1
+    reads the total transport work, so it is the drift magnitude you
+    can compare across columns and thresholds — "the click distribution
+    sits $W1 away from purchases" — and the standard drift metric
+    between training-data snapshots.
+
+    Scale/determinism: on the bounded lattice W1 is EXACT integer
+    arithmetic end to end — |cca*nb - ccb*na| * gap summed in
+    DECIMAL(38) (cca*nb ~ 1e24 at corpus scale, the r9 overflow-audit
+    class; the gap-weighted sum is bounded by n_a*n_b*price_range ~
+    6e31, inside DECIMAL(38)) — then ONE division to dollars on the
+    1e-6 floor lattice. No sampling, no binning error."""
+    t = load(spark, sf_dir)
+    cum = _two_sample_lattice(t)
+    term = F.when(
+        F.col("nv").isNotNull(),
+        F.abs(
+            F.col("cca").cast(_DEC) * F.col("nb")
+            - F.col("ccb").cast(_DEC) * F.col("na")
+        )
+        * (F.col("nv") - F.col("v")),
+    )
+    s = cum.agg(
+        F.max("na").alias("na"),
+        F.max("nb").alias("nb"),
+        F.sum(term).alias("s1"),
+    )
+    return s.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        (
+            F.floor(
+                F.col("s1").cast("double")
+                / (F.col("na").cast("double") * F.col("nb") * 100.0)
+                * 1_000_000
+            )
+            / 1_000_000
+        ).alias("wasserstein_1"),
+    )
+
+
+_ENERGY_ORACLE = f"""
+    WITH {_TWO_SAMPLE_LATTICE_SQL},
+    s AS (
+      SELECT MAX(na) AS na, MAX(nb) AS nb,
+             SUM(CASE WHEN nv IS NOT NULL
+                      THEN (CAST(cca AS DECIMAL(38,0)) * (nb - ccb)
+                            + CAST(ccb AS DECIMAL(38,0)) * (na - cca))
+                           * (nv - v) END) AS sxy,
+             SUM(CASE WHEN nv IS NOT NULL
+                      THEN CAST(cca AS DECIMAL(38,0)) * (na - cca)
+                           * (nv - v) END) AS sxx,
+             SUM(CASE WHEN nv IS NOT NULL
+                      THEN CAST(ccb AS DECIMAL(38,0)) * (nb - ccb)
+                           * (nv - v) END) AS syy
+      FROM cum
+    ),
+    e AS (
+      SELECT na, nb,
+             CAST(sxy AS DOUBLE) / (CAST(na AS DOUBLE) * nb * 100.0)
+               AS exy,
+             2.0 * CAST(sxx AS DOUBLE)
+               / (CAST(na AS DOUBLE) * na * 100.0) AS exx,
+             2.0 * CAST(syy AS DOUBLE)
+               / (CAST(nb AS DOUBLE) * nb * 100.0) AS eyy
+      FROM s
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           floor(exy * 1000000) / 1000000 AS e_between,
+           floor(exx * 1000000) / 1000000 AS e_within_a,
+           floor(eyy * 1000000) / 1000000 AS e_within_b,
+           floor(sqrt(GREATEST(2 * exy - exx - eyy, 0)) * 1000000)
+             / 1000000 AS energy_distance,
+           CASE WHEN exy > 0
+                THEN floor((2 * exy - exx - eyy) / (2 * exy) * 1000000)
+                     / 1000000 END AS e_coefficient
+    FROM e
+"""
+
+
+@register("agg_energy_distance", oracle=_ENERGY_ORACLE)
+def agg_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy distance between the purchase and click value samples
+    (Szekely): D^2 = 2 E|X-Y| - E|X-X'| - E|Y-Y'|, zero iff the
+    distributions are equal — the modern omnibus two-sample statistic
+    (sensitive to ANY difference: location, scale, shape — where
+    agg_t_test sees only means, agg_mood_scale_test only spread, and
+    the CDF tests weight the middle; the e_coefficient D^2/(2 E|X-Y|)
+    in [0,1] is its normalized effect size). In 1-D every expectation
+    is a CDF integral: E|X-Y| = integral of (Fa(1-Fb) + Fb(1-Fa)).
+
+    Scale/determinism: all three V-statistic terms fold as EXACT
+    DECIMAL(38) gap-weighted products of cumulative counts on the
+    bounded lattice (cca*(na-cca) ~ 2.5e23 at corpus scale — the
+    overflow-audit class, guarded by construction); each enters
+    doubles once, and the derived distance/coefficient are identical
+    single expressions floored at 1e-6."""
+    t = load(spark, sf_dir)
+    cum = _two_sample_lattice(t)
+    gap = F.col("nv") - F.col("v")
+    has = F.col("nv").isNotNull()
+    s = cum.agg(
+        F.max("na").alias("na"),
+        F.max("nb").alias("nb"),
+        F.sum(
+            F.when(
+                has,
+                (
+                    F.col("cca").cast(_DEC) * (F.col("nb") - F.col("ccb"))
+                    + F.col("ccb").cast(_DEC) * (F.col("na") - F.col("cca"))
+                )
+                * gap,
+            )
+        ).alias("sxy"),
+        F.sum(
+            F.when(
+                has,
+                F.col("cca").cast(_DEC)
+                * (F.col("na") - F.col("cca"))
+                * gap,
+            )
+        ).alias("sxx"),
+        F.sum(
+            F.when(
+                has,
+                F.col("ccb").cast(_DEC)
+                * (F.col("nb") - F.col("ccb"))
+                * gap,
+            )
+        ).alias("syy"),
+    )
+    na_d = F.col("na").cast("double")
+    nb_d = F.col("nb").cast("double")
+    exy = F.col("sxy").cast("double") / (na_d * F.col("nb") * 100.0)
+    exx = 2.0 * F.col("sxx").cast("double") / (na_d * F.col("na") * 100.0)
+    eyy = 2.0 * F.col("syy").cast("double") / (nb_d * F.col("nb") * 100.0)
+    e = s.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        exy.alias("exy"),
+        exx.alias("exx"),
+        eyy.alias("eyy"),
+    )
+    d2 = 2 * F.col("exy") - F.col("exx") - F.col("eyy")
+    return e.select(
+        "n_a",
+        "n_b",
+        (F.floor(F.col("exy") * 1_000_000) / 1_000_000).alias("e_between"),
+        (F.floor(F.col("exx") * 1_000_000) / 1_000_000).alias(
+            "e_within_a"
+        ),
+        (F.floor(F.col("eyy") * 1_000_000) / 1_000_000).alias(
+            "e_within_b"
+        ),
+        (
+            F.floor(F.sqrt(F.greatest(d2, F.lit(0))) * 1_000_000)
+            / 1_000_000
+        ).alias("energy_distance"),
+        F.when(
+            F.col("exy") > 0,
+            F.floor(d2 / (2 * F.col("exy")) * 1_000_000) / 1_000_000,
+        ).alias("e_coefficient"),
+    )
+
+
+#: Equi-width bin count for the histogram-distance panel.
+HIST_DIST_BINS = 32
+
+_HIST_DIST_ORACLE = f"""
+    WITH {_TWO_SAMPLE_LATTICE_SQL},
+    rng AS (
+      SELECT MIN(v) AS mn, MAX(v) AS mx FROM vg
+    ),
+    bins AS (
+      SELECT ((v - mn) * {HIST_DIST_BINS}) // (mx - mn + 1) AS bin,
+             SUM(ca) AS ca, SUM(cb) AS cb
+      FROM vg, rng GROUP BY 1
+    ),
+    t AS (
+      SELECT SUM(ca) AS na, SUM(cb) AS nb,
+             COUNT(*) AS n_bins_used,
+             SUM(abs(CAST(ca AS DECIMAL(38,0)) * (SELECT SUM(cb) FROM bins)
+                     - CAST(cb AS DECIMAL(38,0))
+                       * (SELECT SUM(ca) FROM bins))) AS tvn
+      FROM bins
+    ),
+    bc AS (
+      SELECT SUM(sqrt(CAST(ca AS DOUBLE) * cb)
+                 ) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS s,
+             ROW_NUMBER() OVER (ORDER BY bin) AS rn,
+             COUNT(*) OVER () AS nbins
+      FROM bins
+    ),
+    bcf AS (SELECT s AS bsum FROM bc WHERE rn = nbins)
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CAST(n_bins_used AS BIGINT) AS n_bins_used,
+           floor(CAST(tvn AS DOUBLE)
+                 / (2.0 * CAST(na AS DOUBLE) * nb) * 1000000)
+             / 1000000 AS total_variation,
+           floor(bsum / sqrt(CAST(na AS DOUBLE) * nb) * 1000000)
+             / 1000000 AS bhattacharyya,
+           floor(sqrt(GREATEST(
+                   1 - bsum / sqrt(CAST(na AS DOUBLE) * nb), 0))
+                 * 1000000) / 1000000 AS hellinger
+    FROM t, bcf
+"""
+
+
+@register("agg_hist_distance", oracle=_HIST_DIST_ORACLE)
+def agg_hist_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-distance panel between the purchase and click value
+    distributions over {HIST_DIST_BINS} shared equi-width bins: total
+    variation (L1/2 — the largest possible probability disagreement any
+    event can show), Bhattacharyya coefficient (overlap, 1 = identical)
+    and Hellinger distance sqrt(1 - BC) (the bounded [0,1] metric).
+    Together with agg_wasserstein_1d (transport) and
+    agg_energy_distance (omnibus) this completes the drift-metric
+    family: TV/Hellinger are the DENSITY-overlap views that saturate
+    when supports separate, where W1 keeps growing with the gap — you
+    want both when monitoring corpus snapshots.
+
+    Scale/determinism: binning is integer arithmetic on the bounded
+    lattice ((v - mn) * {HIST_DIST_BINS}) // (range + 1) — exact and
+    identical both engines); TV folds exact DECIMAL(38) cross products
+    (the overflow-audit class); per-bin sqrt(ca*cb) terms are doubles
+    summed in BIN ORDER via a cumulative window over the
+    {HIST_DIST_BINS}-row frame (deterministic fp order, the mood-test
+    doctrine); the three outputs are single divisions floored at 1e-6.
+    The 1-row (mn, mx) range broadcasts."""
+    t = load(spark, sf_dir)
+    ev = t.events.where(
+        F.col("event_type").isin(TTEST_A, TTEST_B)
+    ).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+    )
+    vg = ev.groupBy("v").agg(
+        F.sum(
+            F.when(F.col("event_type") == TTEST_A, 1).otherwise(0)
+        ).alias("ca"),
+        F.sum(
+            F.when(F.col("event_type") == TTEST_B, 1).otherwise(0)
+        ).alias("cb"),
+    )
+    rng = vg.agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    bins = (
+        vg.crossJoin(F.broadcast(rng))
+        .groupBy(
+            F.expr(
+                f"((v - mn) * {HIST_DIST_BINS}) div (mx - mn + 1)"
+            ).alias("bin")
+        )
+        .agg(F.sum("ca").alias("ca"), F.sum("cb").alias("cb"))
+    )
+    w_all = Window.partitionBy()
+    tot = bins.select(
+        "bin",
+        "ca",
+        "cb",
+        F.sum("ca").over(w_all).alias("na"),
+        F.sum("cb").over(w_all).alias("nb"),
+    )
+    w_bin = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    scored = tot.select(
+        "bin",
+        "ca",
+        "cb",
+        "na",
+        "nb",
+        F.abs(
+            F.col("ca").cast(_DEC) * F.col("nb")
+            - F.col("cb").cast(_DEC) * F.col("na")
+        ).alias("tv_term"),
+        F.sum(
+            F.sqrt(F.col("ca").cast("double") * F.col("cb"))
+        )
+        .over(w_bin)
+        .alias("bsum_cum"),
+    )
+    s = scored.agg(
+        F.max("na").alias("na"),
+        F.max("nb").alias("nb"),
+        F.count(F.lit(1)).alias("n_bins_used"),
+        F.sum("tv_term").alias("tvn"),
+        F.max_by("bsum_cum", "bin").alias("bsum"),
+    )
+    na_d = F.col("na").cast("double")
+    bc = F.col("bsum") / F.sqrt(na_d * F.col("nb"))
+    return s.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.col("n_bins_used").cast("bigint").alias("n_bins_used"),
+        (
+            F.floor(
+                F.col("tvn").cast("double")
+                / (2.0 * na_d * F.col("nb"))
+                * 1_000_000
+            )
+            / 1_000_000
+        ).alias("total_variation"),
+        (F.floor(bc * 1_000_000) / 1_000_000).alias("bhattacharyya"),
+        (
+            F.floor(
+                F.sqrt(F.greatest(1 - bc, F.lit(0))) * 1_000_000
+            )
+            / 1_000_000
+        ).alias("hellinger"),
+    )
+
+
+_MOOD_SCALE_ORACLE = f"""
+    WITH {_TWO_SAMPLE_LATTICE_SQL},
+    sc AS (
+      SELECT ca, cb, ca + cb AS c,
+             2 * (pca + pcb) + (ca + cb) - na - nb AS u,
+             na, nb, v
+      FROM cum
+    ),
+    agg1 AS (
+      SELECT MAX(na) AS na, MAX(nb) AS nb,
+             SUM(ca * CAST(u AS DECIMAL(38,0)) * u) AS t4,
+             SUM(c * CAST(u AS DECIMAL(38,0)) * u) AS s1
+      FROM sc
+    ),
+    agg2 AS (
+      SELECT SUM(c * CAST(u AS DOUBLE) * u * u * u)
+                 OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS s2c,
+             ROW_NUMBER() OVER (ORDER BY v) AS rn,
+             COUNT(*) OVER () AS nr
+      FROM sc
+    ),
+    s2f AS (SELECT s2c AS s2 FROM agg2 WHERE rn = nr),
+    z AS (
+      SELECT na, nb, t4,
+             CAST(na AS DOUBLE) + nb AS n,
+             CAST(t4 AS DOUBLE) AS t4d,
+             CAST(s1 AS DOUBLE) AS s1d,
+             s2
+      FROM agg1, s2f
+    ),
+    fin AS (
+      SELECT na, nb,
+             t4d,
+             na * s1d / n AS e_t,
+             na * CAST(nb AS DOUBLE) * (n * s2 - s1d * s1d)
+               / (n * n * (n - 1)) AS var_t
+      FROM z
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CASE WHEN var_t > 0
+                THEN floor((t4d - e_t) / sqrt(var_t) * 10000) / 10000
+           END AS z_stat,
+           CASE WHEN var_t > 0
+                THEN abs((t4d - e_t) / sqrt(var_t)) > 1.96 END
+             AS scales_differ
+    FROM fin
+"""
+
+
+@register("agg_mood_scale_test", oracle=_MOOD_SCALE_ORACLE)
+def agg_mood_scale_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's two-sample SCALE test between the purchase and click value
+    samples: score each observation (r - (N+1)/2)^2 by its combined-
+    sample rank r, sum over the first sample, and z-score against the
+    exact finite-population moments — the rank test for "same center,
+    different SPREAD", completing the rank-test family
+    (agg_mann_whitney = location, agg_ks_test = any CDF gap,
+    agg_mood_median_test = robust location; none of those isolates
+    dispersion). Tie convention: each tied block scores at its MIDRANK
+    (Conover), which keeps every score an exact integer in x4 units
+    (u = 2*rbar - (N+1) is integral).
+
+    Scale/determinism: scores live on the bounded value lattice; T and
+    the population score-sum S1 fold in exact DECIMAL(38) (u^2 ~ 4e24
+    at corpus scale); only the 4th-moment sum S2 needs doubles, and it
+    folds in LATTICE ORDER via a cumulative window (deterministic fp
+    sequence both engines — the mood-median cumterm doctrine); z is
+    one closed-form expression floored at 1e-4. Degenerate guard: zero
+    variance (all values tied) nulls the verdict."""
+    t = load(spark, sf_dir)
+    cum = _two_sample_lattice(t)
+    c = F.col("ca") + F.col("cb")
+    u = (
+        2 * (F.col("pca") + F.col("pcb"))
+        + c
+        - F.col("na")
+        - F.col("nb")
+    )
+    sc = cum.select(
+        "v",
+        "ca",
+        "cb",
+        c.alias("c"),
+        u.alias("u"),
+        "na",
+        "nb",
+    )
+    w_ord = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    u_dec = F.col("u").cast(_DEC)
+    u_dbl = F.col("u").cast("double")
+    scored = sc.select(
+        "v",
+        "ca",
+        "c",
+        "na",
+        "nb",
+        (F.col("ca") * u_dec * F.col("u")).alias("t4_term"),
+        (F.col("c") * u_dec * F.col("u")).alias("s1_term"),
+        F.sum(F.col("c") * u_dbl * u_dbl * u_dbl * u_dbl)
+        .over(w_ord)
+        .alias("s2_cum"),
+    )
+    s = scored.agg(
+        F.max("na").alias("na"),
+        F.max("nb").alias("nb"),
+        F.sum("t4_term").alias("t4"),
+        F.sum("s1_term").alias("s1"),
+        F.max_by("s2_cum", "v").alias("s2"),
+    )
+    n = F.col("na").cast("double") + F.col("nb")
+    t4d = F.col("t4").cast("double")
+    s1d = F.col("s1").cast("double")
+    e_t = F.col("na") * s1d / n
+    var_t = (
+        F.col("na")
+        * F.col("nb").cast("double")
+        * (n * F.col("s2") - s1d * s1d)
+        / (n * n * (n - 1))
+    )
+    zc = (t4d - e_t) / F.sqrt(var_t)
+    return s.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.when(var_t > 0, F.floor(zc * 10000) / 10000).alias("z_stat"),
+        F.when(var_t > 0, F.abs(zc) > 1.96).alias("scales_differ"),
+    )
