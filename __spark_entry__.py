@@ -106,6 +106,12 @@ _NEW_THIS_ROUND: set[str] = {
     "agg_energy_distance",
     "agg_hist_distance",
     "agg_mood_scale_test",
+    # k-sample + estimation batch (stats.py)
+    "agg_welch_anova",
+    "agg_jonckheere_terpstra",
+    "agg_hodges_lehmann",
+    "agg_dagostino_k2",
+    "agg_yuen_trimmed_t",
 }
 
 

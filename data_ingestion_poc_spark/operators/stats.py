@@ -5624,3 +5624,891 @@ def agg_mood_scale_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(var_t > 0, F.floor(zc * 10000) / 10000).alias("z_stat"),
         F.when(var_t > 0, F.abs(zc) > 1.96).alias("scales_differ"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r11 k-sample batch: heteroscedastic ANOVA and the ordered-alternative
+# trend test.
+
+#: F(k-1, inf) 5% critical value for the 5-arm designs (numerator dof
+#: 4) — the denominator dof is corpus-sized, so F collapses to its
+#: chi2(4)/4 limit (the LEVENE_F_CRIT_4_INF rationale, shared value).
+WELCH_F_CRIT_4_INF = LEVENE_F_CRIT_4_INF
+
+_WELCH_ORACLE = f"""
+    WITH ev AS (
+      SELECT event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS v
+      FROM events
+    ),
+    g AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(v) AS DECIMAL(38,0)) AS s1,
+             CAST(SUM(v * v) AS DECIMAL(38,0)) AS s2
+      FROM ev GROUP BY event_type
+    ),
+    m AS (
+      SELECT event_type, n,
+             CAST(s1 AS DOUBLE) / n AS mj,
+             CAST(n * s2 - s1 * s1 AS DOUBLE)
+               / (CAST(n AS DOUBLE) * n * (n - 1)) AS s2j
+      FROM g
+    ),
+    w AS (
+      SELECT event_type, n, mj, s2j, n / s2j AS wj,
+             SUM(n / s2j) OVER () AS bigw,
+             COUNT(*) OVER () AS k
+      FROM m
+    ),
+    mw AS (
+      SELECT *,
+             SUM(wj * mj) OVER (ORDER BY event_type
+                                ROWS UNBOUNDED PRECEDING) AS wm_cum,
+             ROW_NUMBER() OVER (ORDER BY event_type) AS rn
+      FROM w
+    ),
+    ybar AS (
+      SELECT MAX(CASE WHEN rn = k THEN wm_cum END) / MAX(bigw) AS yw,
+             MAX(bigw) AS bigw, MAX(k) AS k
+      FROM mw
+    ),
+    terms AS (
+      SELECT w.event_type, w.wj, w.mj, w.n, y.yw, y.bigw, y.k,
+             SUM(w.wj * (w.mj - y.yw) * (w.mj - y.yw))
+               OVER (ORDER BY w.event_type ROWS UNBOUNDED PRECEDING)
+               AS a_cum,
+             SUM((1 - w.wj / y.bigw) * (1 - w.wj / y.bigw) / (w.n - 1))
+               OVER (ORDER BY w.event_type ROWS UNBOUNDED PRECEDING)
+               AS lam_cum,
+             ROW_NUMBER() OVER (ORDER BY w.event_type) AS rn
+      FROM w, ybar y
+    ),
+    fin AS (
+      SELECT k,
+             MAX(CASE WHEN rn = k THEN a_cum END) / (k - 1) AS a,
+             MAX(CASE WHEN rn = k THEN lam_cum END) AS lam
+      FROM terms GROUP BY k
+    )
+    SELECT CAST(k AS BIGINT) AS k,
+           floor(a / (1 + 2.0 * (k - 2) / (k * k - 1.0) * lam) * 10000)
+             / 10000 AS f_stat,
+           ROUND((k * k - 1.0) / (3.0 * lam), 1) AS df2,
+           a / (1 + 2.0 * (k - 2) / (k * k - 1.0) * lam)
+             > {WELCH_F_CRIT_4_INF} AS means_differ
+    FROM fin
+"""
+
+
+@register("agg_welch_anova", oracle=_WELCH_ORACLE)
+def agg_welch_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's heteroscedastic one-way ANOVA across the event-type arms:
+    precision-weighted between-group scatter over the Welch correction
+    term, F* = [sum w_j(m_j - yw)^2/(k-1)] / [1 + 2(k-2)/(k^2-1) * L],
+    w_j = n_j/s_j^2. agg_anova_oneway pools variances — anticonservative
+    exactly when agg_levene_test says spreads differ (which heavy-tailed
+    money columns always do); Welch is the ANOVA you are allowed to run
+    WITHOUT that assumption, closing the k-sample triple
+    (classic / rank / heteroscedastic).
+
+    Scale/determinism: per-arm (n, sum, sum-of-squares) fold in exact
+    DECIMAL(38) cents (sum v^2 ~ 2.4e21 at corpus scale — past BIGINT,
+    the overflow-audit class); means and variances are per-row single
+    divisions; the k-row weighted folds (sum w_j m_j, scatter, Lambda)
+    run in EVENT-TYPE ORDER via cumulative windows (deterministic fp
+    sequence on the bounded arm domain — the mood-median doctrine);
+    F* and df2 are single closed-form expressions, floored at 1e-4 /
+    rounded at 0.1. Verdict vs F(k-1, inf) at 5%."""
+    t = load(spark, sf_dir)
+    ev = t.events.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+    )
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").cast(_DEC).alias("s1"),
+        F.sum(F.col("v") * F.col("v")).cast(_DEC).alias("s2"),
+    )
+    mj = F.col("s1").cast("double") / F.col("n")
+    s2j = (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast(
+        "double"
+    ) / (F.col("n").cast("double") * F.col("n") * (F.col("n") - 1))
+    m = g.select("event_type", "n", mj.alias("mj"), s2j.alias("s2j"))
+    w_all = Window.partitionBy()
+    w = m.select(
+        "event_type",
+        "n",
+        "mj",
+        "s2j",
+        (F.col("n") / F.col("s2j")).alias("wj"),
+        F.sum(F.col("n") / F.col("s2j")).over(w_all).alias("bigw"),
+        F.count(F.lit(1)).over(w_all).alias("k"),
+    )
+    w_ord = Window.orderBy("event_type").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    mw = w.select(
+        "*",
+        F.sum(F.col("wj") * F.col("mj")).over(w_ord).alias("wm_cum"),
+    )
+    yw = F.max_by("wm_cum", "event_type") / F.max("bigw")
+    yb = mw.agg(
+        yw.alias("yw"), F.max("bigw").alias("bigw"), F.max("k").alias("k")
+    )
+    terms = w.crossJoin(F.broadcast(yb.select("yw"))).select(
+        "event_type",
+        "k",
+        F.sum(
+            F.col("wj")
+            * (F.col("mj") - F.col("yw"))
+            * (F.col("mj") - F.col("yw"))
+        )
+        .over(w_ord)
+        .alias("a_cum"),
+        F.sum(
+            (1 - F.col("wj") / F.col("bigw"))
+            * (1 - F.col("wj") / F.col("bigw"))
+            / (F.col("n") - 1)
+        )
+        .over(w_ord)
+        .alias("lam_cum"),
+    )
+    fin = terms.groupBy("k").agg(
+        (F.max_by("a_cum", "event_type") / (F.col("k") - 1)).alias("a"),
+        F.max_by("lam_cum", "event_type").alias("lam"),
+    )
+    fstat = F.col("a") / (
+        1 + 2.0 * (F.col("k") - 2) / (F.col("k") * F.col("k") - 1.0)
+        * F.col("lam")
+    )
+    return fin.select(
+        F.col("k").cast("bigint").alias("k"),
+        (F.floor(fstat * 10000) / 10000).alias("f_stat"),
+        F.round(
+            (F.col("k") * F.col("k") - 1.0) / (3.0 * F.col("lam")), 1
+        ).alias("df2"),
+        (fstat > WELCH_F_CRIT_4_INF).alias("means_differ"),
+    )
+
+
+#: Order-priority arms in their CODE order — the JT "dose" ordering.
+JT_GROUPS = (
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+)
+
+_JT_K = len(JT_GROUPS)
+_JT_CNT_SQL = ",\n             ".join(
+    f"SUM(CASE WHEN g = '{p}' THEN 1 ELSE 0 END) AS c{i + 1}"
+    for i, p in enumerate(JT_GROUPS)
+)
+_JT_PREV_SQL = ",\n             ".join(
+    f"COALESCE(SUM(c{i + 1}) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED"
+    f" PRECEDING AND 1 PRECEDING), 0) AS p{i + 1}"
+    for i in range(_JT_K)
+)
+_JT_PAIR_SQL = "\n               + ".join(
+    f"CAST(c{j + 1} AS DECIMAL(38,0)) * (2 * p{i + 1} + c{i + 1})"
+    for i in range(_JT_K)
+    for j in range(i + 1, _JT_K)
+)
+_JT_NSQ_SQL = " + ".join(
+    f"CAST(SUM(c{i + 1}) AS DECIMAL(38,0)) * SUM(c{i + 1})"
+    for i in range(_JT_K)
+)
+_JT_NCUBE_SQL = " + ".join(
+    f"CAST(SUM(c{i + 1}) AS DECIMAL(38,0)) * SUM(c{i + 1})"
+    f" * (2 * SUM(c{i + 1}) + 3)"
+    for i in range(_JT_K)
+)
+
+_JT_ORACLE = f"""
+    WITH c AS (
+      SELECT o_orderpriority AS g,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) // 100 AS v
+      FROM orders
+    ),
+    vg AS (
+      SELECT v,
+             {_JT_CNT_SQL}
+      FROM c GROUP BY v
+    ),
+    cum AS (
+      SELECT v, {", ".join(f"c{i + 1}" for i in range(_JT_K))},
+             {_JT_PREV_SQL}
+      FROM vg
+    ),
+    s AS (
+      SELECT SUM({_JT_PAIR_SQL}) AS jt2,
+             CAST(SUM({" + ".join(f"c{i + 1}" for i in range(_JT_K))})
+                  AS DECIMAL(38,0)) AS n,
+             {_JT_NSQ_SQL} AS nsq,
+             {_JT_NCUBE_SQL} AS ncube
+      FROM cum
+    ),
+    z AS (
+      SELECT CAST(n AS BIGINT) AS n,
+             (CAST(jt2 AS DOUBLE) / 2
+              - CAST(n * n - nsq AS DOUBLE) / 4)
+             / sqrt(CAST(n * n * (2 * n + 3) - ncube AS DOUBLE) / 72)
+               AS zs
+      FROM s
+    )
+    SELECT n, CAST({_JT_K} AS BIGINT) AS k,
+           floor(zs * 10000) / 10000 AS z_stat,
+           CASE WHEN floor(zs * 10000) / 10000 > 1.96 THEN 'increasing'
+                WHEN floor(zs * 10000) / 10000 < -1.96 THEN 'decreasing'
+                ELSE 'none' END AS trend
+    FROM z
+"""
+
+
+@register("agg_jonckheere_terpstra", oracle=_JT_ORACLE)
+def agg_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra ordered-alternative trend test: does
+    o_totalprice shift MONOTONICALLY across the priority codes 1-URGENT
+    -> 5-LOW? JT = sum over ordered group pairs (i < j) of the
+    Mann-Whitney count #(x_i < x_j) (+ half ties). agg_kruskal_wallis
+    asks "are the k groups anywhere different" and burns power on
+    non-monotone patterns; JT spends it all on the DOSE-ORDERED
+    alternative, which is the question when the factor has a natural
+    order (priority tiers, size bands, date cohorts). The normal
+    z uses the tie-UNCORRECTED null variance (documented convention:
+    with the dollar-lattice fold below, tie corrections change z by
+    O(ties/N^3) — negligible at every fixture SF, identical on both
+    engines either way).
+
+    Scale/determinism: values fold to the bounded DOLLAR lattice
+    first (the agg_kendall_tau bounded-domain precedent, ~6e5 rows at
+    any corpus size); every pairwise count is then a product of a
+    per-value count with an exclusive cumulative count — exact
+    DECIMAL(38) (cross-group pair counts ~1e24 at corpus scale, the
+    overflow-audit class; the variance's N^3 term ~1e36 still fits);
+    z is one closed-form expression on the 1e-4 floor lattice and the
+    trend label reads the FLOORED z."""
+    t = load(spark, sf_dir)
+    c = t.orders.select(
+        F.col("o_orderpriority").alias("g"),
+        F.expr(
+            "CAST(ROUND(o_totalprice * 100) AS BIGINT) div 100"
+        ).alias("v"),
+    )
+    cnts = [
+        F.sum(F.when(F.col("g") == p, 1).otherwise(0)).alias(f"c{i + 1}")
+        for i, p in enumerate(JT_GROUPS)
+    ]
+    vg = c.groupBy("v").agg(*cnts)
+    w_exc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = vg.select(
+        "v",
+        *[F.col(f"c{i + 1}") for i in range(_JT_K)],
+        *[
+            F.coalesce(F.sum(f"c{i + 1}").over(w_exc), F.lit(0)).alias(
+                f"p{i + 1}"
+            )
+            for i in range(_JT_K)
+        ],
+    )
+    pair_term = None
+    for i in range(_JT_K):
+        for j in range(i + 1, _JT_K):
+            term = F.col(f"c{j + 1}").cast(_DEC) * (
+                2 * F.col(f"p{i + 1}") + F.col(f"c{i + 1}")
+            )
+            pair_term = term if pair_term is None else pair_term + term
+    n_expr = None
+    for i in range(_JT_K):
+        cc = F.col(f"c{i + 1}")
+        n_expr = cc if n_expr is None else n_expr + cc
+    s = cum.agg(
+        F.sum(pair_term).alias("jt2"),
+        F.sum(n_expr).cast(_DEC).alias("n"),
+        *[
+            F.sum(f"c{i + 1}").cast(_DEC).alias(f"n{i + 1}")
+            for i in range(_JT_K)
+        ],
+    )
+    nsq = None
+    ncube = None
+    for i in range(_JT_K):
+        ni = F.col(f"n{i + 1}")
+        sq = ni * ni
+        cu = ni * ni * (2 * ni + 3)
+        nsq = sq if nsq is None else nsq + sq
+        ncube = cu if ncube is None else ncube + cu
+    nn = F.col("n")
+    zs = (
+        F.col("jt2").cast("double") / 2
+        - (nn * nn - nsq).cast("double") / 4
+    ) / F.sqrt((nn * nn * (2 * nn + 3) - ncube).cast("double") / 72)
+    zf = F.floor(zs * 10000) / 10000
+    return s.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.lit(_JT_K).cast("bigint").alias("k"),
+        zf.alias("z_stat"),
+        F.when(zf > 1.96, "increasing")
+        .when(zf < -1.96, "decreasing")
+        .otherwise("none")
+        .alias("trend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# r11 estimation batch: robust shift estimator, finite-sample normality,
+# trimmed-mean inference.
+
+_HL_ORACLE = f"""
+    WITH c AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE event_type IN ('{TTEST_A}', '{TTEST_B}')
+    ),
+    bars AS (
+      SELECT event_type, day, MAX(CASE WHEN rn = 1 THEN cents END) AS cls
+      FROM c GROUP BY 1, 2
+    ),
+    a AS (SELECT day, cls FROM bars WHERE event_type = '{TTEST_A}'),
+    b AS (SELECT day, cls FROM bars WHERE event_type = '{TTEST_B}'),
+    d AS (
+      SELECT a.cls - b.cls AS diff, COUNT(*) AS cnt
+      FROM a CROSS JOIN b GROUP BY 1
+    ),
+    cum AS (
+      SELECT diff, cnt,
+             SUM(cnt) OVER (ORDER BY diff ROWS UNBOUNDED PRECEDING) AS cc,
+             SUM(cnt) OVER () AS np
+      FROM d
+    ),
+    med AS (
+      SELECT MIN(diff) AS hl, MAX(np) AS np FROM cum
+      WHERE cc >= (np + 1) // 2
+    ),
+    tot AS (
+      SELECT (SELECT COUNT(*) FROM a) AS na,
+             (SELECT COUNT(*) FROM b) AS nb,
+             (SELECT SUM(cls) FROM a) AS sa,
+             (SELECT SUM(cls) FROM b) AS sb
+    )
+    SELECT CAST(na AS BIGINT) AS n_a_days, CAST(nb AS BIGINT) AS n_b_days,
+           CAST(np AS BIGINT) AS n_pairs,
+           ROUND(hl / 100.0, 2) AS hl_shift,
+           floor((CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)
+                 / 100.0 * 10000) / 10000 AS mean_shift
+    FROM med, tot
+"""
+
+
+@register("agg_hodges_lehmann", oracle=_HL_ORACLE)
+def agg_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Hodges-Lehmann shift estimator between the purchase
+    and click DAILY CLOSE series: the median of all cross-pair
+    differences a_i - b_j — the robust "how much higher does purchase
+    close" number that pairs with agg_mann_whitney the way the median
+    pairs with the sign test (a single wild day moves the mean shift
+    arbitrarily; it moves HL by at most one pair rank). The mean shift
+    is emitted beside it — the gap between the two IS the outlier
+    influence.
+
+    Scale/determinism: the pair space folds to daily bars FIRST (the
+    agg_kendall_tau calendar-bounded doctrine) — days_a x days_b pairs
+    regardless of corpus size, and the cross join is over two bounded
+    bar frames; the pair-difference domain groups to exact integer
+    cents with the median selected by integer cumulative position
+    (the agg_mood_median_test recipe — no per-row rank, no
+    interpolation ambiguity); HL emits on the exact 2-dp lattice, the
+    mean shift as one floored division of exact integer sums."""
+    t = load(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    bars = (
+        t.events.where(F.col("event_type").isin(TTEST_A, TTEST_B))
+        .select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            "ts",
+            "event_id",
+            cents.alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.max_by("cents", key).alias("cls"))
+    )
+    a = bars.where(F.col("event_type") == TTEST_A).select(
+        F.col("cls").alias("av")
+    )
+    b = bars.where(F.col("event_type") == TTEST_B).select(
+        F.col("cls").alias("bv")
+    )
+    d = (
+        a.crossJoin(b)
+        .groupBy((F.col("av") - F.col("bv")).alias("diff"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_cum = Window.orderBy("diff").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy()
+    cum = d.select(
+        "diff",
+        F.sum("cnt").over(w_cum).alias("cc"),
+        F.sum("cnt").over(w_all).alias("np"),
+    )
+    med = cum.where(
+        F.col("cc") >= F.expr("(np + 1) div 2")
+    ).agg(F.min("diff").alias("hl"), F.max("np").alias("np"))
+    tot = (
+        a.agg(F.count(F.lit(1)).alias("na"), F.sum("av").alias("sa"))
+        .crossJoin(
+            b.agg(F.count(F.lit(1)).alias("nb"), F.sum("bv").alias("sb"))
+        )
+    )
+    return med.crossJoin(F.broadcast(tot)).select(
+        F.col("na").cast("bigint").alias("n_a_days"),
+        F.col("nb").cast("bigint").alias("n_b_days"),
+        F.col("np").cast("bigint").alias("n_pairs"),
+        F.round(F.col("hl") / 100.0, 2).alias("hl_shift"),
+        (
+            F.floor(
+                (
+                    F.col("sa").cast("double") / F.col("na")
+                    - F.col("sb").cast("double") / F.col("nb")
+                )
+                / 100.0
+                * 10000
+            )
+            / 10000
+        ).alias("mean_shift"),
+    )
+
+
+_K2_MOMENTS_SQL = f"""
+    s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             SUM(l_extendedprice - {MOMENTS_SHIFT})           AS s1,
+             SUM(POWER(l_extendedprice - {MOMENTS_SHIFT}, 2)) AS s2,
+             SUM(POWER(l_extendedprice - {MOMENTS_SHIFT}, 3)) AS s3,
+             SUM(POWER(l_extendedprice - {MOMENTS_SHIFT}, 4)) AS s4
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    m AS (
+      SELECT l_returnflag, CAST(n AS DOUBLE) AS n,
+             s2 / n - POWER(s1 / n, 2) AS m2,
+             s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * POWER(s1 / n, 3)
+               AS m3,
+             s4 / n - 4 * (s1 / n) * (s3 / n)
+                    + 6 * POWER(s1 / n, 2) * (s2 / n)
+                    - 3 * POWER(s1 / n, 4) AS m4
+      FROM s
+    ),
+    bb AS (
+      SELECT l_returnflag, n,
+             m3 / POWER(m2, 1.5) AS b1,
+             m4 / (m2 * m2) AS b2
+      FROM m WHERE m2 > 0 AND n > 8
+    ),
+    zs AS (
+      SELECT *,
+             b1 * sqrt((n + 1) * (n + 3) / (6 * (n - 2))) AS y,
+             3 * (n * n + 27 * n - 70) * (n + 1) * (n + 3)
+               / ((n - 2) * (n + 5) * (n + 7) * (n + 9)) AS beta2
+      FROM bb
+    ),
+    zs2 AS (
+      SELECT *,
+             sqrt(2 * (beta2 - 1)) - 1 AS w2
+      FROM zs
+    ),
+    zs3 AS (
+      SELECT *,
+             1 / sqrt(ln(sqrt(w2))) AS dl,
+             sqrt(2 / (w2 - 1)) AS alpha
+      FROM zs2 WHERE w2 > 1
+    ),
+    zsk AS (
+      SELECT l_returnflag, n, b1, b2,
+             dl * ln(y / alpha + sqrt((y / alpha) * (y / alpha) + 1))
+               AS z_skew,
+             3 * (n - 1) / (n + 1) AS eb2,
+             24 * n * (n - 2) * (n - 3)
+               / ((n + 1) * (n + 1) * (n + 3) * (n + 5)) AS vb2,
+             6 * (n * n - 5 * n + 2) / ((n + 7) * (n + 9))
+               * sqrt(6 * (n + 3) * (n + 5) / (n * (n - 2) * (n - 3)))
+               AS sb
+      FROM zs3
+    ),
+    zk AS (
+      SELECT *,
+             6 + 8 / sb * (2 / sb + sqrt(1 + 4 / (sb * sb))) AS aa,
+             (b2 - eb2) / sqrt(vb2) AS x
+      FROM zsk
+    ),
+    zk2 AS (
+      SELECT l_returnflag, n, b1, b2, z_skew,
+             ((1 - 2 / (9 * aa))
+              - cbrt((1 - 2 / aa) / (1 + x * sqrt(2 / (aa - 4)))))
+             / sqrt(2 / (9 * aa)) AS z_kurt
+      FROM zk WHERE aa > 4
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           ROUND(z_skew, 4) AS z_skew,
+           ROUND(z_kurt, 4) AS z_kurt,
+           ROUND(z_skew * z_skew + z_kurt * z_kurt, 3) AS k2_stat,
+           z_skew * z_skew + z_kurt * z_kurt <= 5.9915 AS looks_normal
+    FROM zk2
+"""
+
+
+@register(
+    "agg_dagostino_k2",
+    oracle="WITH " + _K2_MOMENTS_SQL,
+)
+def agg_dagostino_k2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D'Agostino-Pearson K^2 omnibus normality test per return flag:
+    K^2 = Z_s(skew)^2 + Z_k(kurtosis)^2 vs chi2(2), using D'Agostino's
+    (1970) skewness transform and Anscombe-Glynn's (1983) kurtosis
+    transform. agg_jarque_bera uses the same two moments with their
+    ASYMPTOTIC variances — famously slow to converge (kurtosis needs
+    n ~ 5000 before JB's chi2 is honest); the K^2 transforms are
+    finite-sample calibrated, which is exactly the scipy.stats
+    normaltest contract. Emitting both z's shows WHICH moment kills
+    normality (prices die by skew; symmetric spam by kurtosis).
+
+    Scale/determinism: same combinable shifted power sums as
+    agg_jarque_bera/agg_moments (MOMENTS_SHIFT conditioning); every
+    transform is a per-row closed-form chain of +-*/sqrt/ln/cbrt on
+    the bounded group frame, written identically on both engines
+    (cbrt is sign-aware in both, so the negative-argument branch of
+    the kurtosis cube root agrees); rounded at 4/3 dp to absorb libm
+    ulps. Degenerate guards (m2 = 0, W^2 <= 1, A <= 4, n <= 8) drop
+    the row on both engines rather than emit NaN."""
+    t = load(spark, sf_dir)
+    x = F.col("l_extendedprice") - MOMENTS_SHIFT
+    s = t.lineitem.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).alias("s1"),
+        F.sum(F.pow(x, 2)).alias("s2"),
+        F.sum(F.pow(x, 3)).alias("s3"),
+        F.sum(F.pow(x, 4)).alias("s4"),
+    )
+    n = F.col("n")
+    m1 = F.col("s1") / n
+    m2 = F.col("s2") / n - F.pow(m1, 2)
+    m3 = F.col("s3") / n - 3 * m1 * (F.col("s2") / n) + 2 * F.pow(m1, 3)
+    m4 = (
+        F.col("s4") / n
+        - 4 * m1 * (F.col("s3") / n)
+        + 6 * F.pow(m1, 2) * (F.col("s2") / n)
+        - 3 * F.pow(m1, 4)
+    )
+    bb = s.where((m2 > 0) & (n > 8)).select(
+        "l_returnflag",
+        "n",
+        (m3 / F.pow(m2, 1.5)).alias("b1"),
+        (m4 / (m2 * m2)).alias("b2"),
+    )
+    y = F.col("b1") * F.sqrt((n + 1) * (n + 3) / (6 * (n - 2)))
+    beta2 = (
+        3
+        * (n * n + 27 * n - 70)
+        * (n + 1)
+        * (n + 3)
+        / ((n - 2) * (n + 5) * (n + 7) * (n + 9))
+    )
+    zs2 = bb.select(
+        "*", y.alias("y"), (F.sqrt(2 * (beta2 - 1)) - 1).alias("w2")
+    )
+    zs3 = zs2.where(F.col("w2") > 1).select(
+        "*",
+        (1 / F.sqrt(F.log(F.sqrt("w2")))).alias("dl"),
+        F.sqrt(2 / (F.col("w2") - 1)).alias("alpha"),
+    )
+    ya = F.col("y") / F.col("alpha")
+    z_skew = F.col("dl") * F.log(ya + F.sqrt(ya * ya + 1))
+    eb2 = 3 * (n - 1) / (n + 1)
+    vb2 = (
+        24 * n * (n - 2) * (n - 3)
+        / ((n + 1) * (n + 1) * (n + 3) * (n + 5))
+    )
+    sb = (
+        6
+        * (n * n - 5 * n + 2)
+        / ((n + 7) * (n + 9))
+        * F.sqrt(6 * (n + 3) * (n + 5) / (n * (n - 2) * (n - 3)))
+    )
+    zsk = zs3.select(
+        "l_returnflag",
+        "n",
+        "b1",
+        "b2",
+        z_skew.alias("z_skew"),
+        eb2.alias("eb2"),
+        vb2.alias("vb2"),
+        sb.alias("sb"),
+    )
+    aa = 6 + 8 / F.col("sb") * (
+        2 / F.col("sb") + F.sqrt(1 + 4 / (F.col("sb") * F.col("sb")))
+    )
+    xk = (F.col("b2") - F.col("eb2")) / F.sqrt("vb2")
+    zk = zsk.select("*", aa.alias("aa"), xk.alias("x"))
+    z_kurt = (
+        (1 - 2 / (9 * F.col("aa")))
+        - F.cbrt(
+            (1 - 2 / F.col("aa"))
+            / (1 + F.col("x") * F.sqrt(2 / (F.col("aa") - 4)))
+        )
+    ) / F.sqrt(2 / (9 * F.col("aa")))
+    zk2 = zk.where(F.col("aa") > 4).select(
+        "l_returnflag", "n", "z_skew", z_kurt.alias("z_kurt")
+    )
+    k2 = F.col("z_skew") * F.col("z_skew") + F.col("z_kurt") * F.col(
+        "z_kurt"
+    )
+    return zk2.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        F.round("z_skew", 4).alias("z_skew"),
+        F.round("z_kurt", 4).alias("z_kurt"),
+        F.round(k2, 3).alias("k2_stat"),
+        (k2 <= 5.9915).alias("looks_normal"),
+    )
+
+
+#: Yuen trim proportion, as an exact rational (20% = 1/5).
+YUEN_TRIM_NUM, YUEN_TRIM_DEN = 1, 5
+
+_YUEN_ARM_SQL = f"""
+    ev AS (
+      SELECT event_type AS g, CAST(ROUND(value * 100) AS BIGINT) AS v
+      FROM events WHERE event_type IN ('{TTEST_A}', '{TTEST_B}')
+    ),
+    vg AS (
+      SELECT g, v, COUNT(*) AS c FROM ev GROUP BY g, v
+    ),
+    cum AS (
+      SELECT g, v, c,
+             SUM(c) OVER (PARTITION BY g ORDER BY v
+                          ROWS UNBOUNDED PRECEDING) AS cc,
+             COALESCE(SUM(c) OVER (PARTITION BY g ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS pc,
+             SUM(c) OVER (PARTITION BY g) AS n
+      FROM vg
+    ),
+    trimmed AS (
+      SELECT g, v, c, cc, pc, n,
+             (n * {YUEN_TRIM_NUM}) // {YUEN_TRIM_DEN} AS gt,
+             GREATEST(0, LEAST(cc, n - (n * {YUEN_TRIM_NUM})
+                                      // {YUEN_TRIM_DEN})
+                         - GREATEST(pc, (n * {YUEN_TRIM_NUM})
+                                        // {YUEN_TRIM_DEN})) AS cnt_in
+      FROM cum
+    ),
+    arm AS (
+      SELECT g, MAX(n) AS n, MAX(gt) AS gt,
+             MAX(n) - 2 * MAX(gt) AS h,
+             SUM(v * cnt_in) AS tsum,
+             SUM(CAST(v AS DECIMAL(38,0)) * v * cnt_in) AS tss,
+             MIN(CASE WHEN cc >= gt + 1 THEN v END) AS xlo,
+             MIN(CASE WHEN cc >= n - gt THEN v END) AS xhi
+      FROM trimmed GROUP BY g
+    ),
+    win AS (
+      SELECT g, n, gt, h,
+             tsum,
+             CAST(tsum + gt * (xlo + xhi) AS DOUBLE) AS wsum,
+             CAST(tss AS DOUBLE)
+               + gt * (CAST(xlo AS DOUBLE) * xlo
+                       + CAST(xhi AS DOUBLE) * xhi) AS wss
+      FROM arm
+    ),
+    dd AS (
+      SELECT g, n, gt, h, tsum,
+             (n - 1.0) * ((wss - wsum * wsum / n) / (n - 1))
+               / (CAST(h AS DOUBLE) * (h - 1)) AS d
+      FROM win WHERE h > 1
+    )
+"""
+
+_YUEN_ORACLE = (
+    "WITH "
+    + _YUEN_ARM_SQL
+    + f"""
+    SELECT
+      (SELECT CAST(n AS BIGINT) FROM dd WHERE g = '{TTEST_A}') AS n_a,
+      (SELECT CAST(n AS BIGINT) FROM dd WHERE g = '{TTEST_B}') AS n_b,
+      (SELECT CAST(gt AS BIGINT) FROM dd WHERE g = '{TTEST_A}')
+        AS trimmed_each_side_a,
+      (SELECT CAST(gt AS BIGINT) FROM dd WHERE g = '{TTEST_B}')
+        AS trimmed_each_side_b,
+      floor((SELECT CAST(tsum AS DOUBLE) / (h * 100.0) FROM dd
+             WHERE g = '{TTEST_A}') * 10000) / 10000 AS trimmed_mean_a,
+      floor((SELECT CAST(tsum AS DOUBLE) / (h * 100.0) FROM dd
+             WHERE g = '{TTEST_B}') * 10000) / 10000 AS trimmed_mean_b,
+      floor(((SELECT CAST(tsum AS DOUBLE) / h / 100.0 FROM dd
+              WHERE g = '{TTEST_A}')
+             - (SELECT CAST(tsum AS DOUBLE) / h / 100.0 FROM dd
+                WHERE g = '{TTEST_B}'))
+            / sqrt((SELECT d FROM dd WHERE g = '{TTEST_A}') / 10000.0
+                   + (SELECT d FROM dd WHERE g = '{TTEST_B}') / 10000.0)
+            * 10000) / 10000 AS t_stat,
+      abs(((SELECT CAST(tsum AS DOUBLE) / h / 100.0 FROM dd
+            WHERE g = '{TTEST_A}')
+           - (SELECT CAST(tsum AS DOUBLE) / h / 100.0 FROM dd
+              WHERE g = '{TTEST_B}'))
+          / sqrt((SELECT d FROM dd WHERE g = '{TTEST_A}') / 10000.0
+                 + (SELECT d FROM dd WHERE g = '{TTEST_B}') / 10000.0))
+        > 1.96 AS significant
+"""
+)
+
+
+@register("agg_yuen_trimmed_t", oracle=_YUEN_ORACLE)
+def agg_yuen_trimmed_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yuen's 20%-trimmed-mean t-test between the purchase and click
+    value samples: trimmed means over the middle 60% of each sample,
+    winsorized variances in the denominator, Welch-style standard
+    error. The MIDDLE GROUND of the location-test family: agg_t_test
+    is efficient but one whale order drags its means;
+    agg_mann_whitney is robust but answers about ranks, not dollars;
+    Yuen answers IN DOLLARS while ignoring both tails — the standard
+    robust-estimation recommendation (Wilcox) for money-shaped data.
+
+    Scale/determinism: trim cuts come from exact integer cumulative
+    counts on the bounded value lattice (floor(n/5) per side — an
+    exact integer rank, never a percentile estimate); the trimmed sum
+    folds per lattice row as value x (overlap of the row's rank range
+    with the kept range), all exact integers; winsorized tails add
+    gt copies of the exact cut values. Sums of squares fold in
+    DECIMAL(38) (v^2 * count ~ 2.4e21 at corpus scale). The t
+    statistic is one closed-form expression (variance terms carried
+    in cents^2/1e4 = dollars^2), floored at 1e-4."""
+    t = load(spark, sf_dir)
+    ev = t.events.where(
+        F.col("event_type").isin(TTEST_A, TTEST_B)
+    ).select(
+        F.col("event_type").alias("g"),
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+    )
+    vg = ev.groupBy("g", "v").agg(F.count(F.lit(1)).alias("c"))
+    w_inc = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_exc = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_arm = Window.partitionBy("g")
+    cum = vg.select(
+        "g",
+        "v",
+        "c",
+        F.sum("c").over(w_inc).alias("cc"),
+        F.coalesce(F.sum("c").over(w_exc), F.lit(0)).alias("pc"),
+        F.sum("c").over(w_arm).alias("n"),
+    )
+    gt = F.expr(f"(n * {YUEN_TRIM_NUM}) div {YUEN_TRIM_DEN}")
+    cnt_in = F.greatest(
+        F.lit(0),
+        F.least(F.col("cc"), F.col("n") - gt) - F.greatest(F.col("pc"), gt),
+    )
+    trimmed = cum.select(
+        "g",
+        "v",
+        "cc",
+        "n",
+        gt.alias("gt"),
+        cnt_in.alias("cnt_in"),
+    )
+    arm = trimmed.groupBy("g").agg(
+        F.max("n").alias("n"),
+        F.max("gt").alias("gt"),
+        (F.max("n") - 2 * F.max("gt")).alias("h"),
+        F.sum(F.col("v") * F.col("cnt_in")).alias("tsum"),
+        F.sum(
+            F.col("v").cast(_DEC) * F.col("v") * F.col("cnt_in")
+        ).alias("tss"),
+        F.min(
+            F.when(F.col("cc") >= F.col("gt") + 1, F.col("v"))
+        ).alias("xlo"),
+        F.min(
+            F.when(F.col("cc") >= F.col("n") - F.col("gt"), F.col("v"))
+        ).alias("xhi"),
+    )
+    wsum = (
+        F.col("tsum") + F.col("gt") * (F.col("xlo") + F.col("xhi"))
+    ).cast("double")
+    wss = F.col("tss").cast("double") + F.col("gt") * (
+        F.col("xlo").cast("double") * F.col("xlo")
+        + F.col("xhi").cast("double") * F.col("xhi")
+    )
+    dd = (
+        arm.select(
+            "g",
+            "n",
+            "gt",
+            "h",
+            "tsum",
+            wsum.alias("wsum"),
+            wss.alias("wss"),
+        )
+        .where(F.col("h") > 1)
+        .select(
+            "g",
+            "n",
+            "gt",
+            "h",
+            "tsum",
+            (
+                (F.col("n") - 1.0)
+                * (
+                    (F.col("wss") - F.col("wsum") * F.col("wsum") / F.col("n"))
+                    / (F.col("n") - 1)
+                )
+                / (F.col("h").cast("double") * (F.col("h") - 1))
+            ).alias("d"),
+        )
+    )
+    a = dd.where(F.col("g") == TTEST_A).select(
+        F.col("n").alias("na"),
+        F.col("gt").alias("gta"),
+        F.col("h").alias("ha"),
+        F.col("tsum").alias("tsa"),
+        F.col("d").alias("da"),
+    )
+    b = dd.where(F.col("g") == TTEST_B).select(
+        F.col("n").alias("nb"),
+        F.col("gt").alias("gtb"),
+        F.col("h").alias("hb"),
+        F.col("tsum").alias("tsb"),
+        F.col("d").alias("db"),
+    )
+    j = a.crossJoin(b)
+    mta = F.col("tsa").cast("double") / F.col("ha") / 100.0
+    mtb = F.col("tsb").cast("double") / F.col("hb") / 100.0
+    tstat = (mta - mtb) / F.sqrt(
+        F.col("da") / 10000.0 + F.col("db") / 10000.0
+    )
+    return j.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.col("gta").cast("bigint").alias("trimmed_each_side_a"),
+        F.col("gtb").cast("bigint").alias("trimmed_each_side_b"),
+        (
+            F.floor(
+                F.col("tsa").cast("double") / (F.col("ha") * 100.0) * 10000
+            )
+            / 10000
+        ).alias("trimmed_mean_a"),
+        (
+            F.floor(
+                F.col("tsb").cast("double") / (F.col("hb") * 100.0) * 10000
+            )
+            / 10000
+        ).alias("trimmed_mean_b"),
+        (F.floor(tstat * 10000) / 10000).alias("t_stat"),
+        (F.abs(tstat) > 1.96).alias("significant"),
+    )
