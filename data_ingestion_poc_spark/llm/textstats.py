@@ -1785,10 +1785,12 @@ def text_yules_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     wc = words.groupBy("source", "word").agg(
         F.count(F.lit(1)).alias("c")
     )
+    # c*c widens to decimal BEFORE the sum: a corpus-scale stopword
+    # count ~1e10 squares past 2^63 (r11 overflow self-audit)
     s = wc.groupBy("source").agg(
         F.sum("c").cast("bigint").alias("n"),
         F.count(F.lit(1)).cast("bigint").alias("v"),
-        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("s2"),
     )
     n, s2 = F.col("n"), F.col("s2")
     return (

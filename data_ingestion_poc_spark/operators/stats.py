@@ -5723,10 +5723,12 @@ def agg_welch_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.round(F.col("value") * 100).cast("bigint").alias("v"),
     )
+    # v*v widens to decimal BEFORE the sum: sum(v^2) ~ 2.4e21 at
+    # corpus scale, past 2^63 (r11 overflow self-audit)
     g = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("v").cast(_DEC).alias("s1"),
-        F.sum(F.col("v") * F.col("v")).cast(_DEC).alias("s2"),
+        F.sum(F.col("v").cast(_DEC)).alias("s1"),
+        F.sum(F.col("v").cast(_DEC) * F.col("v")).alias("s2"),
     )
     mj = F.col("s1").cast("double") / F.col("n")
     s2j = (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast(
