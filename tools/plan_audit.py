@@ -126,6 +126,42 @@ SINGLE_PARTITION_OK: dict[str, str] = {
         "rank table bounded by the 2-dp value DOMAIN (<=49k rows at any "
         "corpus size) + 1-row statistic frame"
     ),
+    "agg_cliff_delta": (
+        "cross-pair counts fold over the 2-dp value DOMAIN (<=49k rows,"
+        " the agg_mann_whitney bound) + 1-row statistic frame"
+    ),
+    "agg_wasserstein_1d": (
+        "CDF-integral fold over the 2-dp value DOMAIN (<=49k rows, the "
+        "agg_mann_whitney bound) + 1-row statistic frame"
+    ),
+    "agg_energy_distance": (
+        "three CDF-integral folds over the 2-dp value DOMAIN (<=49k "
+        "rows, the agg_mann_whitney bound) + 1-row statistic frame"
+    ),
+    "agg_hist_distance": (
+        "equi-width binning + Bhattacharyya cumulative fold over the "
+        "32-row BIN domain (value lattice folds to bins first) + 1-row "
+        "statistic frame"
+    ),
+    "agg_mood_scale_test": (
+        "midrank score + 4th-moment cumulative folds over the 2-dp "
+        "value DOMAIN (<=49k rows, the agg_mann_whitney bound) + 1-row "
+        "statistic frame"
+    ),
+    "agg_welch_anova": (
+        "event-type-ordered weighted cumulative folds over the ARM "
+        "domain (5 rows at any corpus size) + 1-row statistic frame"
+    ),
+    "agg_jonckheere_terpstra": (
+        "pairwise-count cumulative fold over the bounded DOLLAR lattice"
+        " (<=6e5 rows at any corpus size, the agg_kendall_tau "
+        "bounded-domain doctrine) + 1-row statistic frame"
+    ),
+    "agg_hodges_lehmann": (
+        "pair-difference median folds over the CALENDAR-bounded daily "
+        "bar frames (days_a x days_b pairs at any corpus size) + 1-row "
+        "statistic and total frames"
+    ),
     "agg_t_test": (
         "1-row Welch statistic frame: two 3-number arm summaries "
         "(n/mean/var partials) cross-joined"
