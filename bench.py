@@ -84,7 +84,10 @@ HEADLINE2 = [
     "graph_pagerank",
     "q_full_star_rollup",
     "agg_logrank_test",
-    "embed_hubness",
+    # hubness: the IVF scale path — plain embed_hubness at sf0.1 sits
+    # exactly at its HUBNESS_BRUTE_MAX boundary and runs the deliberate
+    # ~24s brute-force audit, which would drown the battery's trend
+    "embed_hubness_ivf",
     "win_rolling_regression",
     "agg_spearman_corr",
 ]
