@@ -112,6 +112,10 @@ _NEW_THIS_ROUND: set[str] = {
     "agg_hodges_lehmann",
     "agg_dagostino_k2",
     "agg_yuen_trimmed_t",
+    # final r11 trio (cap 25, VERDICT r10 item 1)
+    "agg_brunner_munzel",
+    "agg_page_trend_test",
+    "win_coppock",
 }
 
 

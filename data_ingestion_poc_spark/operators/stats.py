@@ -6514,3 +6514,281 @@ def agg_yuen_trimmed_t(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(tstat * 10000) / 10000).alias("t_stat"),
         (F.abs(tstat) > 1.96).alias("significant"),
     )
+
+
+_BM_ORACLE = f"""
+    WITH {_TWO_SAMPLE_LATTICE_SQL},
+    sc AS (
+      SELECT v, ca, cb, na, nb,
+             2 * (pca + pcb) + (ca + cb) + 1 AS r2,
+             2 * pca + ca + 1 AS ra2,
+             2 * pcb + cb + 1 AS rb2
+      FROM cum
+    ),
+    s AS (
+      SELECT MAX(na) AS na, MAX(nb) AS nb,
+             SUM(ca * CAST(r2 AS DECIMAL(38,0))) AS sra2,
+             SUM(cb * CAST(r2 AS DECIMAL(38,0))) AS srb2,
+             SUM(ca * CAST(r2 - ra2 AS DECIMAL(38,0))) AS sda2,
+             SUM(cb * CAST(r2 - rb2 AS DECIMAL(38,0))) AS sdb2,
+             SUM(ca * CAST(r2 - ra2 AS DECIMAL(38,0)) * (r2 - ra2))
+               AS sda2sq,
+             SUM(cb * CAST(r2 - rb2 AS DECIMAL(38,0)) * (r2 - rb2))
+               AS sdb2sq
+      FROM sc
+    ),
+    m AS (
+      SELECT na, nb,
+             CAST(sra2 AS DOUBLE) / (2 * na) AS rbar_a,
+             CAST(srb2 AS DOUBLE) / (2 * nb) AS rbar_b,
+             (CAST(sda2sq AS DOUBLE) / 4
+              - (CAST(sda2 AS DOUBLE) / 2) * (CAST(sda2 AS DOUBLE) / 2)
+                / na) / (na - 1) AS sa2,
+             (CAST(sdb2sq AS DOUBLE) / 4
+              - (CAST(sdb2 AS DOUBLE) / 2) * (CAST(sdb2 AS DOUBLE) / 2)
+                / nb) / (nb - 1) AS sb2
+      FROM s
+    ),
+    fin AS (
+      SELECT na, nb,
+             (rbar_b - (nb + 1) / 2.0) / na AS p_hat,
+             (rbar_b - rbar_a)
+             / sqrt((CAST(na AS DOUBLE) + nb)
+                    * (CAST(na AS DOUBLE) + nb)
+                    * (sa2 / (CAST(nb AS DOUBLE) * nb)
+                       + sb2 / (CAST(na AS DOUBLE) * na))) AS w
+      FROM m WHERE sa2 > 0 AND sb2 > 0
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           floor(p_hat * 1000000) / 1000000 AS p_hat,
+           floor(w * 10000) / 10000 AS w_stat,
+           abs(w) > 1.96 AS significant
+    FROM fin
+"""
+
+
+@register("agg_brunner_munzel", oracle=_BM_ORACLE)
+def agg_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brunner-Munzel test between the purchase and click value samples:
+    the rank-Welch — tests P(X < Y) + 0.5 P(X = Y) = 1/2 WITHOUT
+    Mann-Whitney's equal-variance-of-ranks assumption, by studentizing
+    the mean overall-rank gap with PER-GROUP placement variances
+    (S_a^2, S_b^2 from R - R_within). agg_mann_whitney to agg_t_test is
+    as agg_brunner_munzel to agg_welch_anova's two-sample core: when
+    the two arms have different SHAPES (click noise vs purchase spend),
+    MW's pooled-tie variance is miscalibrated and BM is the modern
+    recommendation (Brunner & Munzel 2000). p_hat is the stochastic-
+    superiority effect size it estimates.
+
+    Scale/determinism: overall and within-group midranks live on the
+    x2 integer lattice (2r = 2*prev + count + 1), so every placement
+    D = R - R_within is an exact x2 integer; rank sums and placement
+    sums-of-squares fold in DECIMAL(38) ((2D)^2 ~ 1e25 at corpus
+    scale); the variance identity Sa^2 = [sum D^2 - (sum D)^2/n]/(n-1)
+    keeps everything one-pass; W and p_hat are single closed-form
+    expressions floored at 1e-4 / 1e-6. Degenerate placements
+    (constant D) null the verdict on both engines."""
+    t = load(spark, sf_dir)
+    cum = _two_sample_lattice(t)
+    r2 = 2 * (F.col("pca") + F.col("pcb")) + (F.col("ca") + F.col("cb")) + 1
+    ra2 = 2 * F.col("pca") + F.col("ca") + 1
+    rb2 = 2 * F.col("pcb") + F.col("cb") + 1
+    sc = cum.select(
+        "ca",
+        "cb",
+        "na",
+        "nb",
+        r2.alias("r2"),
+        (r2 - ra2).alias("da2"),
+        (r2 - rb2).alias("db2"),
+    )
+    s = sc.agg(
+        F.max("na").alias("na"),
+        F.max("nb").alias("nb"),
+        F.sum(F.col("ca") * F.col("r2").cast(_DEC)).alias("sra2"),
+        F.sum(F.col("cb") * F.col("r2").cast(_DEC)).alias("srb2"),
+        F.sum(F.col("ca") * F.col("da2").cast(_DEC)).alias("sda2"),
+        F.sum(F.col("cb") * F.col("db2").cast(_DEC)).alias("sdb2"),
+        F.sum(
+            F.col("ca") * F.col("da2").cast(_DEC) * F.col("da2")
+        ).alias("sda2sq"),
+        F.sum(
+            F.col("cb") * F.col("db2").cast(_DEC) * F.col("db2")
+        ).alias("sdb2sq"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    rbar_a = F.col("sra2").cast("double") / (2 * na)
+    rbar_b = F.col("srb2").cast("double") / (2 * nb)
+    sa2 = (
+        F.col("sda2sq").cast("double") / 4
+        - (F.col("sda2").cast("double") / 2)
+        * (F.col("sda2").cast("double") / 2)
+        / na
+    ) / (na - 1)
+    sb2 = (
+        F.col("sdb2sq").cast("double") / 4
+        - (F.col("sdb2").cast("double") / 2)
+        * (F.col("sdb2").cast("double") / 2)
+        / nb
+    ) / (nb - 1)
+    m = s.select(
+        "na",
+        "nb",
+        rbar_a.alias("rbar_a"),
+        rbar_b.alias("rbar_b"),
+        sa2.alias("sa2"),
+        sb2.alias("sb2"),
+    ).where((F.col("sa2") > 0) & (F.col("sb2") > 0))
+    nn = na.cast("double") + nb
+    w = (F.col("rbar_b") - F.col("rbar_a")) / F.sqrt(
+        nn
+        * nn
+        * (
+            F.col("sa2") / (nb.cast("double") * nb)
+            + F.col("sb2") / (na.cast("double") * na)
+        )
+    )
+    p_hat = (F.col("rbar_b") - (nb + 1) / 2.0) / na
+    return m.select(
+        na.cast("bigint").alias("n_a"),
+        nb.cast("bigint").alias("n_b"),
+        (F.floor(p_hat * 1_000_000) / 1_000_000).alias("p_hat"),
+        (F.floor(w * 10000) / 10000).alias("w_stat"),
+        (F.abs(w) > 1.96).alias("significant"),
+    )
+
+
+_PAGE_ORACLE = """
+    WITH cell AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS total
+      FROM events GROUP BY 1, 2
+    ),
+    tg AS (
+      SELECT day, total, COUNT(*) AS c,
+             SUM(COUNT(*)) OVER (PARTITION BY day ORDER BY total
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pc
+      FROM cell GROUP BY day, total
+    ),
+    ranked AS (
+      SELECT c.day, c.event_type,
+             2 * COALESCE(t.pc, 0) + t.c + 1 AS r2
+      FROM cell c JOIN tg t ON t.day = c.day AND t.total = c.total
+    ),
+    ord AS (
+      SELECT event_type,
+             ROW_NUMBER() OVER (ORDER BY event_type) AS j
+      FROM (SELECT DISTINCT event_type FROM cell)
+    ),
+    dims AS (
+      SELECT COUNT(DISTINCT day) AS b,
+             COUNT(DISTINCT event_type) AS k
+      FROM cell
+    ),
+    l AS (
+      SELECT SUM(o.j * CAST(r.r2 AS DECIMAL(38,0))) AS l2
+      FROM ranked r JOIN ord o ON o.event_type = r.event_type
+    ),
+    z AS (
+      SELECT b, k,
+             CAST(l2 AS DOUBLE) / 2 AS lstat,
+             b * k * (k + 1.0) * (k + 1.0) / 4 AS e_l,
+             b * CAST(k AS DOUBLE) * k * (k + 1) * (k * k - 1) / 144
+               AS var_l
+      FROM l, dims
+    )
+    SELECT CAST(b AS BIGINT) AS n_blocks, CAST(k AS BIGINT) AS k,
+           CAST(lstat AS BIGINT) AS page_l,
+           floor((lstat - e_l) / sqrt(var_l) * 10000) / 10000 AS z_stat,
+           CASE WHEN floor((lstat - e_l) / sqrt(var_l) * 10000) / 10000
+                     > 1.96 THEN 'increasing'
+                WHEN floor((lstat - e_l) / sqrt(var_l) * 10000) / 10000
+                     < -1.96 THEN 'decreasing'
+                ELSE 'none' END AS trend
+    FROM z
+"""
+
+
+@register("agg_page_trend_test", oracle=_PAGE_ORACLE)
+def agg_page_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's L trend test on the day x event-type design: within each
+    DAY (block), rank the k event types by total value, then
+    L = sum_j j * R_j against the ordered alternative that the ranks
+    trend MONOTONICALLY across the alphabetical type order.
+    agg_friedman_test asks "do the treatments differ at all within
+    blocks"; Page's L is its ordered-alternative version, exactly as
+    agg_jonckheere_terpstra sharpens agg_kruskal_wallis — completing
+    the blocked-design pair. Convention notes: the tested order is the
+    lexicographic event-type order (deterministic; a monotone z means
+    daily-revenue rank follows that order), and the null variance is
+    the tie-uncorrected closed form (within-block ties on exact daily
+    totals are measure-zero-rare; identical convention both engines,
+    the agg_jonckheere_terpstra precedent).
+
+    Scale/determinism: daily cell totals are one combinable exact-cents
+    aggregate over the CALENDAR x TYPE bounded domain; within-block
+    midranks live on the x2 integer lattice via per-day cumulative
+    counts (never a per-row rank); L folds in DECIMAL(38) x2 units;
+    z is one closed-form expression on the 1e-4 floor lattice with the
+    trend label reading the FLOORED z."""
+    t = load(spark, sf_dir)
+    cell = (
+        t.events.select(
+            F.to_date("ts").alias("day"),
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("day", "event_type")
+        .agg(F.sum("cents").alias("total"))
+    )
+    tg = cell.groupBy("day", "total").agg(F.count(F.lit(1)).alias("c"))
+    w_day = (
+        Window.partitionBy("day")
+        .orderBy("total")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tg = tg.select(
+        "day",
+        "total",
+        "c",
+        F.coalesce(F.sum("c").over(w_day), F.lit(0)).alias("pc"),
+    )
+    ranked = cell.join(tg, ["day", "total"]).select(
+        "day",
+        "event_type",
+        (2 * F.col("pc") + F.col("c") + 1).alias("r2"),
+    )
+    w_ord = Window.orderBy("event_type")
+    ordm = (
+        cell.select("event_type")
+        .distinct()
+        .select("event_type", F.row_number().over(w_ord).alias("j"))
+    )
+    dims = cell.agg(
+        F.countDistinct("day").alias("b"),
+        F.countDistinct("event_type").alias("k"),
+    )
+    l2 = (
+        ranked.join(F.broadcast(ordm), "event_type")
+        .agg(
+            F.sum(F.col("j") * F.col("r2").cast(_DEC)).alias("l2")
+        )
+    )
+    z = l2.crossJoin(F.broadcast(dims))
+    b, k = F.col("b"), F.col("k")
+    lstat = F.col("l2").cast("double") / 2
+    e_l = b * k * (k + 1.0) * (k + 1.0) / 4
+    var_l = (
+        b * k.cast("double") * k * (k + 1) * (k * k - 1) / 144
+    )
+    zf = F.floor((lstat - e_l) / F.sqrt(var_l) * 10000) / 10000
+    return z.select(
+        b.cast("bigint").alias("n_blocks"),
+        k.cast("bigint").alias("k"),
+        lstat.cast("bigint").alias("page_l"),
+        zf.alias("z_stat"),
+        F.when(zf > 1.96, "increasing")
+        .when(zf < -1.96, "decreasing")
+        .otherwise("none")
+        .alias("trend"),
+    )

@@ -4587,3 +4587,99 @@ def win_hull_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hull_ma"),
         )
     )
+
+
+#: Coppock curve spans: WMA(10) of ROC(14) + ROC(11). Classic monthly
+#: parameters, applied to daily bars (14 + 10 = 24 bars needed — fits
+#: the 30-day fixture calendar; the classic monthly chart needs years).
+COPPOCK_ROC_LONG, COPPOCK_ROC_SHORT, COPPOCK_WMA = 14, 11, 10
+
+_COPPOCK_ORACLE = f"""
+    WITH {_OHLC_BARS_SQL},
+    m AS (
+      SELECT event_type, day, cls,
+             ROW_NUMBER() OVER w AS rn,
+             LAG(cls, {COPPOCK_ROC_LONG}) OVER w AS lag_l,
+             LAG(cls, {COPPOCK_ROC_SHORT}) OVER w AS lag_s
+      FROM bars
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ),
+    r AS (
+      SELECT event_type, day, rn,
+             CAST(floor((cls - lag_l) * 1000000.0 / lag_l) AS BIGINT)
+             + CAST(floor((cls - lag_s) * 1000000.0 / lag_s) AS BIGINT)
+               AS s6
+      FROM m WHERE lag_l IS NOT NULL
+    ),
+    wma AS (
+      SELECT event_type, day, rn,
+             SUM(rn * s6) OVER wf
+               - (rn - {COPPOCK_WMA}) * SUM(s6) OVER wf AS n10
+      FROM r
+      WINDOW wf AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN {COPPOCK_WMA - 1} PRECEDING
+                    AND CURRENT ROW)
+    )
+    SELECT event_type, CAST(day AS VARCHAR) AS day,
+           floor(n10 / 55.0) / 1000000 AS coppock,
+           n10 > 0 AS bullish
+    FROM wma WHERE rn >= {COPPOCK_ROC_LONG} + {COPPOCK_WMA}
+"""
+
+
+@register("win_coppock", oracle=_COPPOCK_ORACLE)
+def win_coppock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coppock curve per event type: WMA({COPPOCK_WMA}) of
+    ROC({COPPOCK_ROC_LONG}) + ROC({COPPOCK_ROC_SHORT}) over daily
+    closes — the long-horizon momentum bottom-finder (Coppock 1962;
+    designed for buy signals when the curve turns up from below zero).
+    Beside win_chande_momentum (raw up/down sums) and
+    win_awesome_oscillator (midpoint SMA gap), this is the RATE-OF-
+    CHANGE blend view — and a second exercise of the win_hull_ma
+    running-sum WMA identity.
+
+    Scale/determinism: each ROC floor-quantizes to integer 1e-6
+    RATIO units per bar (floor of a double quotient whose numerator
+    is exact — identical on both engines); their sum s6 is an exact
+    integer, and the WMA numerator folds from two running sums
+    (sum(rn*s6) - (rn-n)*sum(s6)) in exact integers — one final
+    division by the weight sum 55 emits on the 1e-6 floor lattice;
+    the bullish flag reads the exact integer numerator. Gating:
+    rn >= {COPPOCK_ROC_LONG} + {COPPOCK_WMA} (full WMA of defined
+    ROCs; lag_s is always defined once lag_l is)."""
+    t = load(spark, sf_dir)
+    bars = _ohlc_bars(t)
+    w = Window.partitionBy("event_type").orderBy("day")
+    wf = w.rowsBetween(-(COPPOCK_WMA - 1), 0)
+    m = bars.select(
+        "event_type",
+        "day",
+        "cls",
+        F.row_number().over(w).alias("rn"),
+        F.lag("cls", COPPOCK_ROC_LONG).over(w).alias("lag_l"),
+        F.lag("cls", COPPOCK_ROC_SHORT).over(w).alias("lag_s"),
+    )
+    s6 = (
+        F.floor(
+            (F.col("cls") - F.col("lag_l")) * 1_000_000.0 / F.col("lag_l")
+        )
+        + F.floor(
+            (F.col("cls") - F.col("lag_s")) * 1_000_000.0 / F.col("lag_s")
+        )
+    ).cast("bigint")
+    r = m.where(F.col("lag_l").isNotNull()).select(
+        "event_type", "day", "rn", s6.alias("s6")
+    )
+    n10 = (
+        F.sum(F.col("rn") * F.col("s6")).over(wf)
+        - (F.col("rn") - COPPOCK_WMA) * F.sum("s6").over(wf)
+    )
+    wma = r.select("event_type", "day", "rn", n10.alias("n10")).where(
+        F.col("rn") >= COPPOCK_ROC_LONG + COPPOCK_WMA
+    )
+    return wma.select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        (F.floor(F.col("n10") / 55.0) / 1_000_000).alias("coppock"),
+        (F.col("n10") > 0).alias("bullish"),
+    )

@@ -162,6 +162,15 @@ SINGLE_PARTITION_OK: dict[str, str] = {
         "bar frames (days_a x days_b pairs at any corpus size) + 1-row "
         "statistic and total frames"
     ),
+    "agg_brunner_munzel": (
+        "overall/within-group midrank folds over the 2-dp value DOMAIN "
+        "(<=49k rows, the agg_mann_whitney bound) + 1-row statistic "
+        "frame"
+    ),
+    "agg_page_trend_test": (
+        "1-row L-statistic and (blocks, k) dimension frames; within-"
+        "block ranks fold over the CALENDAR x TYPE bounded cell domain"
+    ),
     "agg_t_test": (
         "1-row Welch statistic frame: two 3-number arm summaries "
         "(n/mean/var partials) cross-joined"
