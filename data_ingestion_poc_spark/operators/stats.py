@@ -5651,7 +5651,7 @@ _WELCH_ORACLE = f"""
       SELECT event_type, n,
              CAST(s1 AS DOUBLE) / n AS mj,
              CAST(n * s2 - s1 * s1 AS DOUBLE)
-               / (CAST(n AS DOUBLE) * n * (n - 1)) AS s2j
+               / (CAST(n AS DOUBLE) * (n - 1)) AS s2j
       FROM g
     ),
     w AS (
@@ -5733,7 +5733,7 @@ def agg_welch_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     mj = F.col("s1").cast("double") / F.col("n")
     s2j = (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast(
         "double"
-    ) / (F.col("n").cast("double") * F.col("n") * (F.col("n") - 1))
+    ) / (F.col("n").cast("double") * (F.col("n") - 1))
     m = g.select("event_type", "n", mj.alias("mj"), s2j.alias("s2j"))
     w_all = Window.partitionBy()
     w = m.select(

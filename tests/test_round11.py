@@ -392,3 +392,143 @@ def test_jonckheere_counts_match_bruteforce(spark, tmp_path):
         math.floor(z * 1e4) / 1e4, abs=1e-9
     )
     assert row["trend"] == "increasing"
+
+
+# ---------------------------------------------------------------------------
+# Welch ANOVA: engine vs a from-scratch Python model on planted arms.
+
+
+def test_welch_anova_matches_python_model(spark, tmp_path):
+    arms = {
+        "click": [1.00, 2.00, 3.00, 4.00, 10.00],
+        "purchase": [5.00, 6.00, 7.00, 8.00],
+        "view": [2.00, 2.00, 8.00, 9.00, 9.00, 9.00],
+    }
+    rows = []
+    eid = 0
+    for et, vals in arms.items():
+        for v in vals:
+            rows.append((eid, eid % 7, 1, et, v))
+            eid += 1
+    _write_events(spark, tmp_path, rows)
+    row = (
+        registry.get("agg_welch_anova").fn(spark, str(tmp_path)).collect()[0]
+    )
+    cents = {g: [round(v * 100) for v in vs] for g, vs in arms.items()}
+    k = len(cents)
+    w = {
+        g: len(v) / statistics.variance(v) for g, v in cents.items()
+    }
+    m = {g: statistics.mean(v) for g, v in cents.items()}
+    bigw = sum(w.values())
+    yw = sum(w[g] * m[g] for g in sorted(cents)) / bigw
+    a = sum(w[g] * (m[g] - yw) ** 2 for g in sorted(cents)) / (k - 1)
+    lam = sum(
+        (1 - w[g] / bigw) ** 2 / (len(cents[g]) - 1) for g in sorted(cents)
+    )
+    f = a / (1 + 2.0 * (k - 2) / (k * k - 1.0) * lam)
+    assert row["k"] == k
+    assert row["f_stat"] == pytest.approx(
+        math.floor(f * 1e4) / 1e4, abs=1e-9
+    )
+    assert row["df2"] == pytest.approx(
+        round((k * k - 1.0) / (3.0 * lam), 1), abs=1e-9
+    )
+
+
+# ---------------------------------------------------------------------------
+# Histogram distances: engine bins vs explicit Python binning.
+
+
+def test_hist_distance_matches_python_bins(spark, tmp_path):
+    a = [1.00, 1.50, 2.00, 5.00, 9.00, 9.50]
+    b = [2.00, 3.00, 4.00, 4.50, 9.00]
+    _plant_two_samples(spark, tmp_path, a, b)
+    row = (
+        registry.get("agg_hist_distance").fn(spark, str(tmp_path)).collect()[0]
+    )
+    from data_ingestion_poc_spark.operators.stats import HIST_DIST_BINS
+
+    ca = [round(v * 100) for v in a]
+    cb = [round(v * 100) for v in b]
+    mn, mx = min(ca + cb), max(ca + cb)
+
+    def bin_of(v):
+        return (v - mn) * HIST_DIST_BINS // (mx - mn + 1)
+
+    from collections import Counter
+
+    ha, hb = Counter(map(bin_of, ca)), Counter(map(bin_of, cb))
+    bins = sorted(set(ha) | set(hb))
+    na, nb = len(ca), len(cb)
+    tv = sum(abs(ha[i] * nb - hb[i] * na) for i in bins) / (2.0 * na * nb)
+    bc = sum(
+        math.sqrt(ha[i] * hb[i]) for i in bins
+    ) / math.sqrt(na * nb)
+    assert row["n_bins_used"] == len(bins)
+    assert row["total_variation"] == pytest.approx(
+        math.floor(tv * 1e6) / 1e6, abs=1e-9
+    )
+    assert row["bhattacharyya"] == pytest.approx(
+        math.floor(bc * 1e6) / 1e6, abs=1e-9
+    )
+    assert row["hellinger"] == pytest.approx(
+        math.floor(math.sqrt(max(1 - bc, 0)) * 1e6) / 1e6, abs=1e-9
+    )
+
+
+# ---------------------------------------------------------------------------
+# Page's L: engine vs explicit within-block rank enumeration.
+
+
+def test_page_trend_matches_rank_enumeration(spark, tmp_path):
+    # 4 days x 3 types with a planted monotone trend across type order
+    types = ["click", "purchase", "view"]
+    rows = []
+    eid = 0
+    for d in range(4):
+        for j, et in enumerate(types):
+            # daily total rises with type index j on every day
+            for _ in range(2):
+                rows.append((eid, d, 1, et, 10.0 * (j + 1) + d))
+                eid += 1
+    _write_events(spark, tmp_path, rows)
+    row = (
+        registry.get("agg_page_trend_test")
+        .fn(spark, str(tmp_path))
+        .collect()[0]
+    )
+    k, b = len(types), 4
+    # within each day the totals rank 1..k in type order by
+    # construction, so R_j = b * j and L = sum_j j * R_j
+    l_stat = sum((j + 1) * (j + 1) * b for j in range(k))
+    e_l = b * k * (k + 1) ** 2 / 4
+    var_l = b * k * k * (k + 1) * (k * k - 1) / 144
+    z = (l_stat - e_l) / math.sqrt(var_l)
+    assert row["n_blocks"] == b and row["k"] == k
+    assert row["page_l"] == l_stat
+    assert row["z_stat"] == pytest.approx(
+        math.floor(z * 1e4) / 1e4, abs=1e-9
+    )
+    assert row["trend"] == "increasing"
+
+
+# ---------------------------------------------------------------------------
+# _ohlc_bars: open/close pick the first/last event by (ts, event_id).
+
+
+def test_ohlc_bars_open_close_tiebreak(spark, tmp_path):
+    # three events same day; the LAST by (ts, event_id) defines close,
+    # the FIRST defines open — event_id breaks the ts tie
+    rows = [
+        (3, 0, 1, "view", 30.0),  # ts +3s  -> latest ts = close
+        (1, 0, 1, "view", 10.0),  # ts +1s  -> earliest = open
+        (2, 0, 1, "view", 20.0),
+    ]
+    _write_events(spark, tmp_path, rows)
+    from data_ingestion_poc_spark.catalog import load
+    from data_ingestion_poc_spark.operators.windows import _ohlc_bars
+
+    bar = _ohlc_bars(load(spark, str(tmp_path))).collect()[0]
+    assert bar["opn"] == 1000 and bar["cls"] == 3000
+    assert bar["hi"] == 3000 and bar["lo"] == 1000 and bar["vol"] == 3
