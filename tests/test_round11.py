@@ -532,3 +532,107 @@ def test_ohlc_bars_open_close_tiebreak(spark, tmp_path):
     bar = _ohlc_bars(load(spark, str(tmp_path))).collect()[0]
     assert bar["opn"] == 1000 and bar["cls"] == 3000
     assert bar["hi"] == 3000 and bar["lo"] == 1000 and bar["vol"] == 3
+
+
+# ---------------------------------------------------------------------------
+# Yuen t: the full statistic (not just the trimmed means) vs a
+# from-scratch model with explicit winsorization.
+
+
+def test_yuen_t_statistic_matches_python_model(spark, tmp_path):
+    a = [1.00, 2.00, 3.00, 4.00, 5.00, 6.00, 7.00, 8.00, 9.00, 100.00]
+    b = [2.00, 2.00, 3.00, 3.00, 4.00, 4.00, 5.00, 5.00, 6.00, 6.00]
+    _plant_two_samples(spark, tmp_path, a, b)
+    row = (
+        registry.get("agg_yuen_trimmed_t")
+        .fn(spark, str(tmp_path))
+        .collect()[0]
+    )
+
+    def parts(vals):
+        n = len(vals)
+        g = n // 5
+        s = sorted(vals)
+        h = n - 2 * g
+        tm = statistics.mean(s[g : n - g])
+        wins = [max(min(x, s[n - g - 1]), s[g]) for x in s]
+        s2w = statistics.variance(wins)  # winsorized sample variance
+        d = (n - 1) * s2w / (h * (h - 1))
+        return tm, d
+
+    ta, da = parts(a)
+    tb, db = parts(b)
+    t = (ta - tb) / math.sqrt(da + db)
+    assert row["t_stat"] == pytest.approx(
+        math.floor(t * 1e4) / 1e4, abs=1e-9
+    )
+
+
+# ---------------------------------------------------------------------------
+# D'Agostino K2: transforms vs an independent implementation of the
+# published formulas (scipy is not in this container; these constants
+# and shapes are the scipy.stats.skewtest/kurtosistest ones).
+
+
+def test_dagostino_k2_matches_published_transforms(spark, tmp_path):
+    # planted lineitem: one return-flag group with a skewed price set,
+    # centered near MOMENTS_SHIFT (=40000) so the engine's shifted
+    # power sums stay well-conditioned (planting far from the shift
+    # costs ~1e-3 of double precision in m4 — a conditioning artifact,
+    # not a formula difference)
+    prices = [
+        40010.0, 40011.0, 40012.0, 40013.0, 40014.0,
+        40015.0, 40016.0, 40020.0, 40040.0, 40090.0,
+    ]
+    rows = [
+        (i, 1, 1, i, 1.0, float(p), 0.0, 0.0, "N", "O",
+         D0, D0, D0, "a", "b", "c")
+        for i, p in enumerate(prices)
+    ]
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long,"
+        " l_linenumber long, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate date, l_commitdate date,"
+        " l_receiptdate date, l_shipinstruct string, l_shipmode string,"
+        " l_comment string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    row = (
+        registry.get("agg_dagostino_k2").fn(spark, str(tmp_path)).collect()[0]
+    )
+    n = len(prices)
+    m = statistics.mean(prices)
+    m2 = sum((x - m) ** 2 for x in prices) / n
+    m3 = sum((x - m) ** 3 for x in prices) / n
+    m4 = sum((x - m) ** 4 for x in prices) / n
+    b1 = m3 / m2 ** 1.5
+    b2 = m4 / m2 ** 2
+    # skewtest (D'Agostino 1970)
+    y = b1 * math.sqrt((n + 1) * (n + 3) / (6.0 * (n - 2)))
+    beta2 = (
+        3.0 * (n * n + 27 * n - 70) * (n + 1) * (n + 3)
+        / ((n - 2.0) * (n + 5) * (n + 7) * (n + 9))
+    )
+    w2 = math.sqrt(2 * (beta2 - 1)) - 1
+    delta = 1 / math.sqrt(math.log(math.sqrt(w2)))
+    alpha = math.sqrt(2.0 / (w2 - 1))
+    z_s = delta * math.log(y / alpha + math.sqrt((y / alpha) ** 2 + 1))
+    # kurtosistest (Anscombe & Glynn 1983)
+    eb2 = 3.0 * (n - 1) / (n + 1)
+    vb2 = 24.0 * n * (n - 2) * (n - 3) / ((n + 1) ** 2 * (n + 3) * (n + 5))
+    x = (b2 - eb2) / math.sqrt(vb2)
+    sb = (
+        6.0 * (n * n - 5 * n + 2) / ((n + 7) * (n + 9))
+        * math.sqrt(6.0 * (n + 3) * (n + 5) / (n * (n - 2.0) * (n - 3)))
+    )
+    aa = 6.0 + 8.0 / sb * (2.0 / sb + math.sqrt(1 + 4.0 / sb ** 2))
+    term = (1 - 2.0 / aa) / (1 + x * math.sqrt(2.0 / (aa - 4)))
+    z_k = (
+        (1 - 2.0 / (9 * aa)) - math.copysign(abs(term) ** (1 / 3), term)
+    ) / math.sqrt(2.0 / (9 * aa))
+    assert row["z_skew"] == pytest.approx(round(z_s, 4), abs=1e-9)
+    assert row["z_kurt"] == pytest.approx(round(z_k, 4), abs=1e-9)
+    assert row["k2_stat"] == pytest.approx(
+        round(z_s * z_s + z_k * z_k, 3), abs=1e-9
+    )
