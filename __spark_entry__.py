@@ -14,6 +14,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import sys
 from collections.abc import Callable
 
@@ -39,98 +40,70 @@ def entry(spark: SparkSession) -> DataFrame:
 # CORRECTNESS_r0*.json files — r5's hand-maintained 180-line _JUDGED list
 # is gone; drift there silently wasted window slots).
 _CHANGED_THIS_ROUND = [
-    # r11: the six r10 changed-but-output-identical names (VERDICT r10
-    # "What's missing" item 2 / "Next round" item 1). Each fix was
-    # re-oracled locally at up to 3 SFs during r10 and judge-verified,
-    # but their latest DRIVER verdicts predate the change — leading the
-    # r11 window refreshes the hard signal:
-    # - embed_hubness: eager-count dispatch -> parquet-footer stats
-    # - corpus_heaps_law / sort_multi_key: global_row_number
-    #   localCheckpoint consistency barrier (sorts.py)
-    # - stream_hll_active_users_bound: rsd 0.05 -> 0.01 gate retune
-    # - fn_business_days: total-order LIMIT tiebreak
-    # - q_full_star_rollup: DECIMAL revenue convention
-    "embed_hubness",
-    "corpus_heaps_law",
-    "sort_multi_key",
-    "stream_hll_active_users_bound",
-    "fn_business_days",
-    "q_full_star_rollup",
+    # r12 semantic fixes (ADVICE r11), each re-oracled at 3 SFs on the
+    # day of the fix and pinned by planted-model tests:
+    # - agg_brunner_munzel: W denominator restored to the published
+    #   Brunner-Munzel 2000 form na*nb*(Rb-Ra)/((na+nb)*sqrt(na*Sa^2
+    #   + nb*Sb^2)) — the r11 form deflated W by ~sqrt(n) on BOTH
+    #   engines (the differential-oracle blind spot, ADVICE high).
+    # - agg_welch_anova: means_differ critical value now keyed on the
+    #   observed k-1 via F_CRIT_INF_BY_DOF1 (null when untabled)
+    #   instead of the hard-wired dof1=4 constant (ADVICE low).
+    "agg_brunner_munzel",
+    "agg_welch_anova",
 ]
 
-# r11 diffs that touch function bodies WITHOUT changing semantics —
-# none yet this round. Names here queue at the head of the judged
-# block (behind the 50-slot window) for an eventual driver re-hash.
-_CHANGED_JUDGED_THIS_ROUND: list[str] = []
+# r12 diffs that touch function bodies WITHOUT changing semantics —
+# agg_yuen_trimmed_t gained a docstring paragraph documenting its
+# large-h normal-approximation verdict (ADVICE low; output identical,
+# re-oracled at 3 SFs anyway). Names here queue at the head of the
+# judged block for a driver re-hash.
+_CHANGED_JUDGED_THIS_ROUND: list[str] = [
+    "agg_yuen_trimmed_t",
+]
 
 
-def _driver_judged() -> set[str]:
-    """Names with any driver verdict, derived from the committed
-    CORRECTNESS_r0*.json files (the driver's own per-round records)."""
-    judged: set[str] = set()
+def _verdict_rounds() -> dict[str, int]:
+    """name -> LATEST round with a driver verdict, derived from the
+    committed CORRECTNESS_r0*.json files (the driver's own per-round
+    records). Feeds both the judged/unjudged split and the r12
+    oldest-verdict rotation (VERDICT r11 item 2): with the backlog at
+    zero, the spare window slots go to the stalest verdicts, so every
+    name re-verifies on a ~20-round cycle instead of never."""
+    last: dict[str, int] = {}
     for path in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
         try:
             with open(path) as f:
-                judged.update(json.load(f).keys())
+                names = list(json.load(f).keys())
         except (OSError, ValueError):
             continue
-    return judged
+        for n in names:
+            if rnd > last.get(n, -1):
+                last[n] = rnd
+    return last
 
 
-#: Names first registered THIS round (r11). The unjudged BACKLOG (the 8
-#: r10 batch-2 names, all locally + judge oracle-verified) outranks them
-#: so the oldest names retire first. r11 window math (VERDICT r10 item
-#: 1): 6 changed-judged leads + 8 backlog = 14 slots, leaving 36 for
-#: r11 registrations — cap new ops at ~25-30 so every newcomer is
-#: driver-judged the same round and the backlog stays at zero.
-_NEW_THIS_ROUND: set[str] = {
-    # indicator batch (windows.py) — locally value-oracled at
-    # sf0.001/0.01/0.1 on arrival
-    "win_qstick",
-    "win_balance_of_power",
-    "win_awesome_oscillator",
-    "win_chande_momentum",
-    "win_dpo",
-    "win_williams_r",
-    "win_hull_ma",
-    # lexical-statistics batch (textstats.py)
-    "text_yules_k",
-    "text_lexical_richness",
-    "text_char_bigram_entropy",
-    # graph batch (graph.py)
-    "graph_avg_neighbor_degree",
-    "graph_katz_centrality",
-    # two-sample distribution batch (stats.py)
-    "agg_cliff_delta",
-    "agg_wasserstein_1d",
-    "agg_energy_distance",
-    "agg_hist_distance",
-    "agg_mood_scale_test",
-    # k-sample + estimation batch (stats.py)
-    "agg_welch_anova",
-    "agg_jonckheere_terpstra",
-    "agg_hodges_lehmann",
-    "agg_dagostino_k2",
-    "agg_yuen_trimmed_t",
-    # final r11 trio (cap 25, VERDICT r10 item 1)
-    "agg_brunner_munzel",
-    "agg_page_trend_test",
-    "win_coppock",
-}
+#: Names first registered THIS round (r12). Window math: 2 changed
+#: leads + 0 backlog + len(_NEW_THIS_ROUND) newcomers, and every
+#: remaining slot (>= 15 required by VERDICT r11 item 2) goes to the
+#: oldest-verdict rotation. r12 is the planted-model-sweep round, so
+#: the new-op cap is deliberately small (~10-15).
+_NEW_THIS_ROUND: set[str] = set()
 
 
 def _ordered() -> dict[str, registry.Query]:
     all_q = registry.all_queries()
-    judged = _driver_judged()
+    verdicts = _verdict_rounds()
     front = [n for n in _CHANGED_THIS_ROUND if n in all_q]
     seen = set(front)
-    # Backlog (pre-r10 never-judged) outranks _NEW_THIS_ROUND, and the
-    # backlog's rows-only stragglers outrank the new names too — the
-    # VERDICT r9 item-1 goal is a driver verdict for EVERY pre-existing
-    # name this round, so the 50-slot window must cover all 48 backlog
-    # names (44 value-oracled + 4 rows-only-by-design) before any new
-    # registration spends a slot.
-    fresh = [n for n in all_q if n not in seen and n not in judged]
+    # Never-judged names (this round's registrations, normally) come
+    # right after the changed leads so the backlog stays at zero;
+    # value-oracled before rows-only, registration order within each.
+    fresh = [n for n in all_q if n not in seen and n not in verdicts]
     reg_index = {n: i for i, n in enumerate(all_q)}
     fresh_oracle = sorted(
         (n for n in fresh if all_q[n].oracle),
@@ -144,7 +117,14 @@ def _ordered() -> dict[str, registry.Query]:
         n for n in _CHANGED_JUDGED_THIS_ROUND if n in all_q and n not in seen
     ]
     seen.update(changed_judged)
-    back = [n for n in all_q if n not in seen and n in judged]
+    # Oldest-verdict rotation (VERDICT r11 item 2): the judged block is
+    # sorted by last-verdict round ASCENDING, so the window's spare
+    # slots always re-hash the stalest names first — a mechanical full
+    # re-verification cycle every ~20 rounds.
+    back = sorted(
+        (n for n in all_q if n not in seen and n in verdicts),
+        key=lambda n: (verdicts[n], reg_index[n]),
+    )
     order = front + fresh_oracle + fresh_rows_only + changed_judged + back
     return {n: all_q[n] for n in order}
 

@@ -5630,10 +5630,9 @@ def agg_mood_scale_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r11 k-sample batch: heteroscedastic ANOVA and the ordered-alternative
 # trend test.
 
-#: F(k-1, inf) 5% critical value for the 5-arm designs (numerator dof
-#: 4) — the denominator dof is corpus-sized, so F collapses to its
-#: chi2(4)/4 limit (the LEVENE_F_CRIT_4_INF rationale, shared value).
-WELCH_F_CRIT_4_INF = LEVENE_F_CRIT_4_INF
+# (r12: the former WELCH_F_CRIT_4_INF hard-wired dof1=4; the verdict
+# now keys F_CRIT_INF_BY_DOF1 on the observed k-1 and nulls when
+# untabled, matching the agg_anova_oneway convention.)
 
 _WELCH_ORACLE = f"""
     WITH ev AS (
@@ -5694,7 +5693,10 @@ _WELCH_ORACLE = f"""
              / 10000 AS f_stat,
            ROUND((k * k - 1.0) / (3.0 * lam), 1) AS df2,
            a / (1 + 2.0 * (k - 2) / (k * k - 1.0) * lam)
-             > {WELCH_F_CRIT_4_INF} AS means_differ
+             > (CASE k - 1 {" ".join(
+                 f"WHEN {d} THEN {c}"
+                 for d, c in F_CRIT_INF_BY_DOF1.items()
+             )} END) AS means_differ
     FROM fin
 """
 
@@ -5782,13 +5784,19 @@ def agg_welch_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         1 + 2.0 * (F.col("k") - 2) / (F.col("k") * F.col("k") - 1.0)
         * F.col("lam")
     )
+    # r12 fix: key the critical value on the actual numerator dof k-1
+    # (null verdict when untabled) instead of hard-wiring dof1=4 — the
+    # agg_anova_oneway / agg_chi_squared convention.
+    crit = F.lit(None).cast("double")
+    for d, c in F_CRIT_INF_BY_DOF1.items():
+        crit = F.when(F.col("k") - 1 == d, F.lit(c)).otherwise(crit)
     return fin.select(
         F.col("k").cast("bigint").alias("k"),
         (F.floor(fstat * 10000) / 10000).alias("f_stat"),
         F.round(
             (F.col("k") * F.col("k") - 1.0) / (3.0 * F.col("lam")), 1
         ).alias("df2"),
-        (fstat > WELCH_F_CRIT_4_INF).alias("means_differ"),
+        (fstat > crit).alias("means_differ"),
     )
 
 
@@ -6384,7 +6392,14 @@ def agg_yuen_trimmed_t(spark: SparkSession, sf_dir: str) -> DataFrame:
     gt copies of the exact cut values. Sums of squares fold in
     DECIMAL(38) (v^2 * count ~ 2.4e21 at corpus scale). The t
     statistic is one closed-form expression (variance terms carried
-    in cents^2/1e4 = dollars^2), floored at 1e-4."""
+    in cents^2/1e4 = dollars^2), floored at 1e-4.
+
+    Verdict convention (documented deviation, the JT-tie precedent):
+    `significant` gates on the NORMAL 1.96 cutoff, not the
+    t-distribution at Yuen's Welch-Satterthwaite df. The trimmed
+    sample sizes h are corpus-scale here (thousands+), where t_crit
+    differs from 1.96 by < 1e-3; on small slices this large-h
+    approximation is anticonservative — read t_stat, not the flag."""
     t = load(spark, sf_dir)
     ev = t.events.where(
         F.col("event_type").isin(TTEST_A, TTEST_B)
@@ -6552,11 +6567,10 @@ _BM_ORACLE = f"""
     fin AS (
       SELECT na, nb,
              (rbar_b - (nb + 1) / 2.0) / na AS p_hat,
-             (rbar_b - rbar_a)
-             / sqrt((CAST(na AS DOUBLE) + nb)
-                    * (CAST(na AS DOUBLE) + nb)
-                    * (sa2 / (CAST(nb AS DOUBLE) * nb)
-                       + sb2 / (CAST(na AS DOUBLE) * na))) AS w
+             CAST(na AS DOUBLE) * nb * (rbar_b - rbar_a)
+             / ((CAST(na AS DOUBLE) + nb)
+                * sqrt(CAST(na AS DOUBLE) * sa2
+                       + CAST(nb AS DOUBLE) * sb2)) AS w
       FROM m WHERE sa2 > 0 AND sb2 > 0
     )
     SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
@@ -6639,13 +6653,19 @@ def agg_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
         sa2.alias("sa2"),
         sb2.alias("sb2"),
     ).where((F.col("sa2") > 0) & (F.col("sb2") > 0))
-    nn = na.cast("double") + nb
-    w = (F.col("rbar_b") - F.col("rbar_a")) / F.sqrt(
-        nn
-        * nn
-        * (
-            F.col("sa2") / (nb.cast("double") * nb)
-            + F.col("sb2") / (na.cast("double") * na)
+    # Brunner-Munzel 2000 (the scipy/lawstat form):
+    # W = na*nb*(rbar_b - rbar_a) / ((na+nb)*sqrt(na*Sa^2 + nb*Sb^2)).
+    # r12 fix: the r11 form dropped the per-group 1/na, 1/nb factors
+    # inside the sqrt (sa2/nb^2 instead of sa2/(na*nb^2)), deflating W
+    # by ~sqrt(n); verified against the published A=[1,2,2,5,9],
+    # B=[2,3,4,4] example (W = 0.2163).
+    w = (
+        na.cast("double") * nb * (F.col("rbar_b") - F.col("rbar_a"))
+    ) / (
+        (na.cast("double") + nb)
+        * F.sqrt(
+            na.cast("double") * F.col("sa2")
+            + nb.cast("double") * F.col("sb2")
         )
     )
     p_hat = (F.col("rbar_b") - (nb + 1) / 2.0) / na

@@ -230,9 +230,13 @@ def test_brunner_munzel_p_hat_is_stochastic_superiority(spark, tmp_path):
     assert row["p_hat"] == pytest.approx(
         math.floor(p_hat * 1e6) / 1e6, abs=1e-9
     )
-    # W statistic vs the published formula computed from raw ranks
+    # W statistic vs the published Brunner-Munzel 2000 form (the
+    # scipy/lawstat convention):
+    #   W = nx*ny*(rbar_y - rbar_x) / ((nx+ny)*sqrt(nx*Sx^2 + ny*Sy^2))
+    # (r12 fix: the r11 version of this test hard-coded the engine's
+    # own wrong denominator — sa2/nb^2 instead of sa2/(na*nb^2) — so it
+    # self-confirmed the bug instead of catching it.)
     pool = A + B
-    n_tot = len(pool)
     mr = _midranks(pool)
     mra = _midranks(A)
     mrb = _midranks(B)
@@ -242,12 +246,30 @@ def test_brunner_munzel_p_hat_is_stochastic_superiority(spark, tmp_path):
     db = [mr[y] - mrb[y] for y in B]
     sa2 = statistics.variance(da)
     sb2 = statistics.variance(db)
-    w = (rbar_b - rbar_a) / math.sqrt(
-        n_tot * n_tot * (sa2 / len(B) ** 2 + sb2 / len(A) ** 2)
-    )
+    nx, ny = len(A), len(B)
+    w = (
+        nx * ny * (rbar_b - rbar_a)
+    ) / ((nx + ny) * math.sqrt(nx * sa2 + ny * sb2))
     assert row["w_stat"] == pytest.approx(
         math.floor(w * 1e4) / 1e4, abs=1e-9
     )
+
+
+def test_brunner_munzel_published_example(spark, tmp_path):
+    """Pin W against the published worked example (Brunner & Munzel
+    2000 / the scipy.stats.brunnermunzel docstring family): for
+    x=[1,2,2,5,9] vs y=[2,3,4,4] the statistic is W = 0.2163 — an
+    independent constant the engine cannot have produced from its own
+    formula (the r11 bug gave 0.0972 on exactly this input)."""
+    a = [1.00, 2.00, 2.00, 5.00, 9.00]
+    b = [2.00, 3.00, 4.00, 4.00]
+    _plant_two_samples(spark, tmp_path, a, b)
+    row = (
+        registry.get("agg_brunner_munzel")
+        .fn(spark, str(tmp_path))
+        .collect()[0]
+    )
+    assert row["w_stat"] == pytest.approx(0.2162, abs=1e-9)  # floor 1e-4
 
 
 # ---------------------------------------------------------------------------
