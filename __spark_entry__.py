@@ -51,6 +51,11 @@ _CHANGED_THIS_ROUND = [
     #   instead of the hard-wired dof1=4 constant (ADVICE low).
     "agg_brunner_munzel",
     "agg_welch_anova",
+    # r12 planted-model sweep finds (same class as the welch fix): the
+    # hard-wired dof1=4 critical values in levene / kruskal now key on
+    # the observed k-1, null when untabled. Re-oracled at 3 SFs.
+    "agg_levene_test",
+    "agg_kruskal_wallis",
 ]
 
 # r12 diffs that touch function bodies WITHOUT changing semantics —

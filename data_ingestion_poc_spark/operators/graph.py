@@ -647,8 +647,17 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic with L-INFINITY normalization by integer floor division
     (the round max is a 1-row scalar broadcast), so no sqrt, no
     doubles, no cross-engine drift; per half-round one edges-join-
-    scores shuffle (edge partitioning reused) + a combinable integer
-    SUM. Fixed round count, no convergence collect."""
+    scores shuffle + a combinable integer SUM. Fixed round count, no
+    convergence collect.
+
+    r12 scale fix (m100 was 6.3x — the suite's worst): HITS alternates
+    its join key src -> dst -> src -> dst, so a single cached edge
+    frame re-shuffled the EDGE side every half-round (pagerank always
+    joins on src and reuses one exchange — hence its 1.1x). The edges
+    are now materialized TWICE, pre-hash-partitioned on src and on
+    dst; each half-round's join reuses the matching edge partitioning
+    and only the node-sized score frame shuffles. 2x cache for 4
+    avoided edge-scale shuffles per run (2 rounds x 2 halves)."""
     t = load(spark, sf_dir)
     e0 = (
         t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -657,8 +666,11 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
         )
         .agg(F.count(F.lit(1)).alias("w"))
-        .persist()
     )
+    e_by = {
+        "src": e0.repartition("src").persist(),
+        "dst": e0.repartition("dst").persist(),
+    }
 
     def _half(scores: DataFrame, edge_key: str, group_key: str) -> DataFrame:
         # persist + fetch the round max as a bounded 1-row driver scalar
@@ -666,7 +678,8 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         # lazy broadcast chains 4 nested broadcast jobs whose planning
         # replays the whole upstream lineage — 42s -> ~8s at sf0.01.
         raw = (
-            e0.join(scores, F.col(edge_key) == F.col("node"))
+            e_by[edge_key]
+            .join(scores, F.col(edge_key) == F.col("node"))
             .groupBy(F.col(group_key).alias("gnode"))
             .agg(F.sum(F.col("w") * F.col("units")).alias("raw"))
             .persist()
@@ -677,7 +690,7 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"(raw * {HITS_SCALE}) div {mx}").alias("units"),
         )
 
-    hubs = e0.select("src").distinct().select(
+    hubs = e_by["src"].select("src").distinct().select(
         F.col("src").alias("node"), F.lit(HITS_SCALE).cast("long").alias("units")
     )
     auths = None

@@ -2077,10 +2077,10 @@ def agg_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: F(k-1, inf) 5% critical value for k=5 groups (numerator dof 4): the
-#: denominator dof N-k is ~corpus-sized, so the F distribution is its
-#: chi2(4)/4 limit. Literal because neither engine ships an inverse CDF.
-LEVENE_F_CRIT_4_INF = 2.3719
+# (r12: the former LEVENE_F_CRIT_4_INF = 2.3719 hard-wired dof1=4; the
+# verdict now keys F_CRIT_INF_BY_DOF1 on the observed k-1 and nulls
+# when untabled — the agg_anova_oneway convention, same sweep fix as
+# agg_welch_anova and agg_kruskal_wallis.)
 
 _LEVENE_ORACLE = f"""
     WITH ev AS (
@@ -2113,8 +2113,11 @@ _LEVENE_ORACLE = f"""
     SELECT CAST(n AS BIGINT) AS n,
            CAST(k AS BIGINT) AS k,
            ROUND((n - k) / (k - 1.0) * ssb / ssw, 4) AS w_stat,
-           (n - k) / (k - 1.0) * ssb / ssw > {LEVENE_F_CRIT_4_INF}
-             AS variances_differ
+           (n - k) / (k - 1.0) * ssb / ssw
+             > (CASE k - 1 {" ".join(
+                 f"WHEN {d} THEN {c}"
+                 for d, c in F_CRIT_INF_BY_DOF1.items()
+             )} END) AS variances_differ
     FROM parts
 """
 
@@ -2174,11 +2177,17 @@ def agg_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("k").alias("k"),
     )
     w = (F.col("n") - F.col("k")) / (F.col("k") - 1.0) * F.col("ssb") / F.col("ssw")
+    # r12 sweep fix: crit keyed on the observed k-1 (null when
+    # untabled), not the hard-wired dof1=4 literal — the agg_welch_anova
+    # / agg_anova_oneway convention.
+    crit = F.lit(None).cast("double")
+    for d, c in F_CRIT_INF_BY_DOF1.items():
+        crit = F.when(F.col("k") - 1 == d, F.lit(c)).otherwise(crit)
     return parts.select(
         F.col("n").cast("bigint").alias("n"),
         F.col("k").cast("bigint").alias("k"),
         F.round(w, 4).alias("w_stat"),
-        (w > LEVENE_F_CRIT_4_INF).alias("variances_differ"),
+        (w > crit).alias("variances_differ"),
     )
 
 
@@ -2512,7 +2521,16 @@ _KW_ORACLE = f"""
 
 @register(
     "agg_kruskal_wallis",
-    oracle=_KW_ORACLE.replace("{crit}", str(CHI2_CRIT_BY_DOF[4])),
+    # r12 sweep fix: crit keyed on the observed k-1 (null when
+    # untabled), not the hard-wired dof-4 literal.
+    oracle=_KW_ORACLE.replace(
+        "{crit}",
+        "(CASE k - 1 "
+        + " ".join(
+            f"WHEN {d} THEN {c}" for d, c in CHI2_CRIT_BY_DOF.items()
+        )
+        + " END)",
+    ),
 )
 def agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kruskal-Wallis H test across ALL event-type arms — the k-group
@@ -2585,11 +2603,14 @@ def agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("h_stat"),
         )
     )
+    crit = F.lit(None).cast("double")
+    for d, c in CHI2_CRIT_BY_DOF.items():
+        crit = F.when(F.col("k") - 1 == d, F.lit(c)).otherwise(crit)
     return h.select(
         F.col("n").cast("bigint").alias("n"),
         F.col("k").cast("bigint").alias("k"),
         F.round("h_stat", 4).alias("h_stat"),
-        (F.col("h_stat") > CHI2_CRIT_BY_DOF[4]).alias("distributions_differ"),
+        (F.col("h_stat") > crit).alias("distributions_differ"),
     )
 
 
