@@ -619,3 +619,27 @@ def test_cronbach_alpha_exact(spark, tmp_path):
     assert r["sum_item_var"] == pytest.approx(round(item_var, 6), abs=1e-9)
     assert r["total_var"] == pytest.approx(round(total_var, 6), abs=1e-9)
     assert r["alpha"] == pytest.approx(round(alpha, 6), abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Winsorized mean: exact [p5, p95] clamp-then-average.
+
+
+def test_winsorized_mean_exact_clamped_average(spark, tmp_path):
+    prices = [float(v) for v in (10, 20, 30, 40, 50, 60, 70, 80, 90, 1000)]
+    _write_lineitem(
+        spark, tmp_path, [(i, "A", p, 0.0, 1.0) for i, p in enumerate(prices)]
+    )
+    (r,) = _run("agg_winsorized_mean", spark, tmp_path)
+    s = sorted(prices)
+    lo, hi = _quantile_cont(s, 0.05), _quantile_cont(s, 0.95)
+    clamped = [min(max(p, lo), hi) for p in prices]
+    assert r["n"] == len(prices)
+    assert r["raw_mean"] == pytest.approx(
+        round(statistics.mean(prices), 2), abs=1e-9
+    )
+    assert r["winsorized_mean"] == pytest.approx(
+        round(statistics.mean(clamped), 2), abs=1e-9
+    )
+    assert r["p05"] == pytest.approx(round(lo, 2), abs=1e-9)
+    assert r["p95"] == pytest.approx(round(hi, 2), abs=1e-9)
