@@ -56,6 +56,11 @@ _CHANGED_THIS_ROUND = [
     # the observed k-1, null when untabled. Re-oracled at 3 SFs.
     "agg_levene_test",
     "agg_kruskal_wallis",
+    # r12 item 5: embed_hubness's dispatch boundary moved off the sf0.1
+    # bench point (HUBNESS_BRUTE_MAX 2000 -> 1000) and its oracle now
+    # dispatches identically in SQL; re-oracled at 3 SFs (IVF regime at
+    # sf0.1, brute at the small SFs).
+    "embed_hubness",
 ]
 
 # r12 diffs that touch function bodies WITHOUT changing semantics —
@@ -97,7 +102,11 @@ def _verdict_rounds() -> dict[str, int]:
 #: remaining slot (>= 15 required by VERDICT r11 item 2) goes to the
 #: oldest-verdict rotation. r12 is the planted-model-sweep round, so
 #: the new-op cap is deliberately small (~10-15).
-_NEW_THIS_ROUND: set[str] = set()
+_NEW_THIS_ROUND: set[str] = {
+    # VERDICT r11 item 5: the forced brute-force hubness audit path,
+    # value-oracled at 3 SFs on arrival
+    "embed_hubness_exact",
+}
 
 
 def _ordered() -> dict[str, registry.Query]:

@@ -318,6 +318,11 @@ SINGLE_PARTITION_OK: dict[str, str] = {
         "1-row moment fold over the per-vector k-occurrence counts "
         "(count partials, never pair rows)"
     ),
+    "embed_hubness_exact": (
+        "1-row moment fold over the per-vector k-occurrence counts "
+        "(count partials, never pair rows); the forced audit path — "
+        "deliberately all-pairs, sampled-slice-only at corpus scale"
+    ),
     "embed_hubness_ivf": (
         "1-row moment fold over the per-vector k-occurrence counts "
         "(count partials, never pair rows); the nlist-sized quantizer "
