@@ -106,6 +106,22 @@ _NEW_THIS_ROUND: set[str] = {
     # VERDICT r11 item 5: the forced brute-force hubness audit path,
     # value-oracled at 3 SFs on arrival
     "embed_hubness_exact",
+    # r12 batch (12 total, inside the sweep-round cap): agreement /
+    # association / effect-size classics (stats.py), five more bar
+    # indicators (windows.py), the link-prediction pair (graph.py).
+    # Each: 3-SF oracle pass on arrival + planted-model test in
+    # tests/test_round12f.py from day one.
+    "agg_cramers_v_corrected",
+    "agg_cohens_h",
+    "agg_ansari_bradley",
+    "agg_somers_d",
+    "win_kaufman_er",
+    "win_force_index",
+    "win_ease_of_movement",
+    "win_choppiness_index",
+    "win_fractal_dimension",
+    "graph_resource_allocation",
+    "graph_preferential_attachment",
 }
 
 

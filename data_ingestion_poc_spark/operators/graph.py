@@ -1579,3 +1579,164 @@ def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("ku"),
         )
     return ranks.select("node", F.col("ku").alias("katz_units"))
+
+
+# ---------------------------------------------------------------------------
+# r12 batch: the other two classic link-prediction indices over the
+# supplier backbone — resource allocation (Zhou/Lu/Zhang 2009) and
+# preferential attachment (Barabasi). Planted-model tests ship in
+# tests/test_round12f.py from day one.
+
+_RA_ORACLE = f"""
+    {_BACKBONE_CTE},
+    terms AS (
+      SELECT a.node AS z, a.nbr AS na, b.nbr AS nb, d.d
+      FROM adj a JOIN adj b ON a.node = b.node AND a.nbr < b.nbr
+      JOIN deg d ON d.node = a.node
+    ),
+    scored AS (
+      SELECT na AS u, nb AS v,
+             CAST(COUNT(*) AS BIGINT) AS n_common,
+             CAST(SUM(1000000 // d) AS BIGINT) AS ra_u
+      FROM terms GROUP BY na, nb
+    )
+    SELECT s.u, s.v, s.n_common,
+           ROUND(s.ra_u / 1e6, 6) AS resource_allocation,
+           (e.u IS NOT NULL) AS is_edge
+    FROM scored s LEFT JOIN edges e ON e.u = s.u AND e.v = s.v
+    ORDER BY s.u, s.v
+"""
+
+
+@register("graph_resource_allocation", oracle=_RA_ORACLE)
+def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource-allocation link prediction over the supplier backbone:
+    RA(u,v) = sum over common neighbors z of 1/deg(z) — each shared
+    contact splits one unit of "resource" among ALL its neighbors, so
+    hub intermediaries are discounted LINEARLY where Adamic-Adar
+    discounts them logarithmically (Zhou, Lu & Zhang 2009 showed RA
+    beats AA exactly on graphs with fat-tailed degrees — the regime
+    graph_degree_powerlaw diagnoses). Shipping both closes the
+    classic unweighted link-prediction triple: common-neighbor count
+    (in graph_adamic_adar's n_common), AA (log discount), RA (linear).
+
+    Scale/determinism: identical wedge-join plan to graph_adamic_adar
+    on the top-K bounded backbone; 1/d floors to integer micro-units
+    via exact integer division 1000000 // d (no float in the fold at
+    all), per-pair sums are exact integer folds, one final /1e6."""
+    t = load(spark, sf_dir)
+    edges = _backbone_edges(t).localCheckpoint()
+    adj = edges.select(
+        F.col("u").alias("node"), F.col("v").alias("nbr")
+    ).unionAll(edges.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    a = adj.alias("a")
+    b = adj.alias("b")
+    terms = (
+        a.join(
+            b,
+            (F.col("a.node") == F.col("b.node"))
+            & (F.col("a.nbr") < F.col("b.nbr")),
+        )
+        .join(
+            F.broadcast(deg.select(F.col("node").alias("z"), "d")),
+            F.col("a.node") == F.col("z"),
+        )
+        .select(
+            F.col("a.nbr").alias("u"),
+            F.col("b.nbr").alias("v"),
+            F.expr("1000000 div d").alias("term_u"),
+        )
+    )
+    scored = terms.groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_common"),
+        F.sum("term_u").cast("bigint").alias("ra_u"),
+    )
+    e = edges.select("u", "v", F.lit(True).alias("is_edge0"))
+    return (
+        scored.join(F.broadcast(e), ["u", "v"], "left")
+        .select(
+            "u",
+            "v",
+            "n_common",
+            F.round(F.col("ra_u") / 1e6, 6).alias("resource_allocation"),
+            F.coalesce("is_edge0", F.lit(False)).alias("is_edge"),
+        )
+        .orderBy("u", "v")
+    )
+
+
+_PA_ORACLE = f"""
+    {_BACKBONE_CTE},
+    wedge AS (
+      SELECT DISTINCT a.nbr AS u, b.nbr AS v
+      FROM adj a JOIN adj b ON a.node = b.node AND a.nbr < b.nbr
+    )
+    SELECT w.u, w.v,
+           du.d AS deg_u, dv.d AS deg_v,
+           CAST(du.d * dv.d AS BIGINT) AS preferential_attachment,
+           (e.u IS NOT NULL) AS is_edge
+    FROM wedge w
+    JOIN deg du ON du.node = w.u
+    JOIN deg dv ON dv.node = w.v
+    LEFT JOIN edges e ON e.u = w.u AND e.v = w.v
+    ORDER BY w.u, w.v
+"""
+
+
+@register("graph_preferential_attachment", oracle=_PA_ORACLE)
+def graph_preferential_attachment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preferential-attachment link score over the supplier backbone:
+    PA(u,v) = deg(u) x deg(v) for every 2-hop candidate pair — the
+    Barabasi growth-model baseline that uses NO neighborhood overlap
+    at all, only mass. It is the null model the overlap indices must
+    beat: a pair ranked high by AA/RA *and* low by PA is a genuinely
+    surprising structural match, which is exactly the comparison a
+    link-prediction eval runs. Candidate space restricted to
+    common-neighbor pairs (the same bounded wedge space as
+    graph_adamic_adar — classic PA over ALL pairs is n^2 and carries
+    no extra signal at rank time).
+
+    Scale/determinism: one wedge self-join on the top-K bounded
+    backbone for candidates, two broadcast degree joins; the score is
+    an exact integer product of bounded degrees — no floats anywhere."""
+    t = load(spark, sf_dir)
+    edges = _backbone_edges(t).localCheckpoint()
+    adj = edges.select(
+        F.col("u").alias("node"), F.col("v").alias("nbr")
+    ).unionAll(edges.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    a = adj.alias("a")
+    b = adj.alias("b")
+    wedge = (
+        a.join(
+            b,
+            (F.col("a.node") == F.col("b.node"))
+            & (F.col("a.nbr") < F.col("b.nbr")),
+        )
+        .select(F.col("a.nbr").alias("u"), F.col("b.nbr").alias("v"))
+        .distinct()
+    )
+    e = edges.select("u", "v", F.lit(True).alias("is_edge0"))
+    return (
+        wedge.join(
+            F.broadcast(deg.select(F.col("node").alias("u"), F.col("d").alias("deg_u"))),
+            "u",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("node").alias("v"), F.col("d").alias("deg_v"))),
+            "v",
+        )
+        .join(F.broadcast(e), ["u", "v"], "left")
+        .select(
+            "u",
+            "v",
+            "deg_u",
+            "deg_v",
+            (F.col("deg_u") * F.col("deg_v")).cast("bigint").alias(
+                "preferential_attachment"
+            ),
+            F.coalesce("is_edge0", F.lit(False)).alias("is_edge"),
+        )
+        .orderBy("u", "v")
+    )

@@ -6833,3 +6833,439 @@ def agg_page_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("none")
         .alias("trend"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r12 batch: agreement / association / effect-size classics. Every op
+# below ships with a planted-model test in tests/test_round12f.py from
+# day one (the SURVEY section-5.2 r12 mandate).
+
+_CRAMER_ORACLE = """
+    WITH ct AS (
+      SELECT o_orderpriority AS x, o_orderstatus AS y,
+             CAST(COUNT(*) AS BIGINT) AS obs
+      FROM orders GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT x, y, obs,
+             CAST(SUM(obs) OVER (PARTITION BY x) AS BIGINT) AS row_t,
+             CAST(SUM(obs) OVER (PARTITION BY y) AS BIGINT) AS col_t,
+             CAST(SUM(obs) OVER () AS BIGINT) AS n
+      FROM ct
+    ),
+    terms AS (
+      SELECT n,
+             CAST(FLOOR(
+               POWER(obs - CAST(row_t AS DOUBLE) * col_t / n, 2)
+               / (CAST(row_t AS DOUBLE) * col_t / n) * 1000000)
+             AS BIGINT) AS chi2_u
+      FROM m
+    ),
+    dims AS (
+      SELECT COUNT(DISTINCT x) AS r, COUNT(DISTINCT y) AS c FROM ct
+    ),
+    s AS (
+      SELECT MAX(n) AS n, SUM(chi2_u) AS chi2_u FROM terms
+    ),
+    fin AS (
+      SELECT s.n, d.r, d.c,
+             s.chi2_u / 1e6 AS chi2,
+             GREATEST(s.chi2_u / 1e6 / s.n
+                      - (d.r - 1.0) * (d.c - 1.0) / (s.n - 1), 0) AS phi2c,
+             d.r - POWER(d.r - 1.0, 2) / (s.n - 1) AS rc,
+             d.c - POWER(d.c - 1.0, 2) / (s.n - 1) AS cc
+      FROM s, dims d
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(r AS BIGINT) AS n_rows,
+           CAST(c AS BIGINT) AS n_cols,
+           ROUND(chi2, 4) AS chi2,
+           floor(sqrt(chi2 / n / LEAST(r - 1.0, c - 1.0)) * 1000000)
+             / 1000000 AS cramers_v,
+           floor(sqrt(phi2c / LEAST(rc - 1, cc - 1)) * 1000000) / 1000000
+             AS cramers_v_corrected
+    FROM fin
+"""
+
+
+@register("agg_cramers_v_corrected", oracle=_CRAMER_ORACLE)
+def agg_cramers_v_corrected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bias-corrected Cramer's V (Bergsma 2013) for the priority x
+    status contingency: the plain V = sqrt(chi2/(n*min(r-1,c-1))) is
+    emitted beside the corrected form V' = sqrt(phi2' / min(r'-1,
+    c'-1)) with phi2' = max(0, phi2 - (r-1)(c-1)/(n-1)), r' = r -
+    (r-1)^2/(n-1), c' likewise — plain V is biased UP on small/ial
+    samples (it is positive in expectation under independence), and
+    the corrected form is what a feature-association scan should rank
+    by. Completes the contingency kit: agg_chi_squared (significance),
+    agg_mutual_info (bits), agg_theils_u (directional), this (effect
+    size, corrected).
+
+    Scale/determinism: one combinable groupBy to the bounded 15-cell
+    frame; each cell's chi2 term floor-quantizes to integer micro-units
+    BEFORE the fold (agg_theil_index doctrine — order-free integer
+    sum); the Bergsma algebra is a single closed-form expression of
+    (chi2_u, n, r, c); outputs floor-scaled at 1e-6."""
+    t = load(spark, sf_dir)
+    ct = t.orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("obs")
+    )
+    wr = Window.partitionBy("o_orderpriority")
+    wc = Window.partitionBy("o_orderstatus")
+    wall = Window.partitionBy()
+    m = ct.select(
+        "obs",
+        F.sum("obs").over(wr).alias("row_t"),
+        F.sum("obs").over(wc).alias("col_t"),
+        F.sum("obs").over(wall).alias("n"),
+    )
+    exp = F.col("row_t").cast("double") * F.col("col_t") / F.col("n")
+    chi2_u = F.floor(
+        F.pow(F.col("obs") - exp, 2) / exp * 1_000_000
+    ).cast("bigint")
+    terms = m.select("n", chi2_u.alias("chi2_u"))
+    dims = ct.agg(
+        F.countDistinct("o_orderpriority").alias("r"),
+        F.countDistinct("o_orderstatus").alias("c"),
+    )
+    s = terms.agg(
+        F.max("n").alias("n"), F.sum("chi2_u").alias("chi2_u")
+    ).crossJoin(F.broadcast(dims))
+    n = F.col("n")
+    r, c = F.col("r"), F.col("c")
+    chi2 = F.col("chi2_u") / 1e6
+    phi2c = F.greatest(
+        chi2 / n - (r - 1.0) * (c - 1.0) / (n - 1), F.lit(0.0)
+    )
+    rc = r - F.pow(r - 1.0, 2) / (n - 1)
+    cc = c - F.pow(c - 1.0, 2) / (n - 1)
+    return s.select(
+        n.cast("bigint").alias("n"),
+        r.cast("bigint").alias("n_rows"),
+        c.cast("bigint").alias("n_cols"),
+        F.round(chi2, 4).alias("chi2"),
+        (
+            F.floor(
+                F.sqrt(chi2 / n / F.least(r - 1.0, c - 1.0)) * 1_000_000
+            )
+            / 1_000_000
+        ).alias("cramers_v"),
+        (
+            F.floor(F.sqrt(phi2c / F.least(rc - 1, cc - 1)) * 1_000_000)
+            / 1_000_000
+        ).alias("cramers_v_corrected"),
+    )
+
+
+_COHENS_H_ORACLE = """
+    WITH assigned AS (
+      SELECT CASE WHEN instr('01234567',
+                        substr(md5('srm:' || CAST(user_id AS VARCHAR)), 1, 1)
+                      ) > 0
+                  THEN 'treatment' ELSE 'control' END AS arm,
+             user_id,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY 1, 2
+    ),
+    arms AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(converted) AS BIGINT) AS x
+      FROM assigned GROUP BY arm
+    ),
+    p AS (
+      SELECT
+        (SELECT n FROM arms WHERE arm = 'treatment') AS n1,
+        (SELECT x FROM arms WHERE arm = 'treatment') AS x1,
+        (SELECT n FROM arms WHERE arm = 'control') AS n2,
+        (SELECT x FROM arms WHERE arm = 'control') AS x2
+    ),
+    h AS (
+      SELECT n1, x1, n2, x2,
+             2 * asin(sqrt(CAST(x1 AS DOUBLE) / n1))
+               - 2 * asin(sqrt(CAST(x2 AS DOUBLE) / n2)) AS h
+      FROM p
+    )
+    SELECT n1 AS n_treatment, n2 AS n_control,
+           ROUND(CAST(x1 AS DOUBLE) / n1, 6) AS p_treatment,
+           ROUND(CAST(x2 AS DOUBLE) / n2, 6) AS p_control,
+           floor(h * 10000) / 10000 AS cohens_h,
+           CASE WHEN abs(h) >= 0.8 THEN 'large'
+                WHEN abs(h) >= 0.5 THEN 'medium'
+                WHEN abs(h) >= 0.2 THEN 'small'
+                ELSE 'negligible' END AS magnitude
+    FROM h
+"""
+
+
+@register("agg_cohens_h", oracle=_COHENS_H_ORACLE)
+def agg_cohens_h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's h effect size between the two hash-assigned arms'
+    user-conversion rates: h = 2 asin(sqrt(p1)) - 2 asin(sqrt(p2)) —
+    the arcsine-stabilized difference of PROPORTIONS, the binary twin
+    of agg_cohens_d (a 1pp conversion gap is huge at p=1% and noise at
+    p=50%; h prices both correctly, a raw difference does not).
+    Completes the experimentation kit's effect-size pair and feeds
+    agg_power_analysis-style sizing for conversion metrics. Arms reuse
+    agg_srm_check's md5-nibble assignment.
+
+    Scale/determinism: one user-grain conditional aggregate
+    (combinable) to a 2-row arm frame; p1/p2 are exact integer ratios;
+    asin/sqrt run on identical doubles in both engines
+    (agg_mutual_info's libm precedent); h floors at 1e-4 with the
+    magnitude label on the unfloored value."""
+    t = load(spark, sf_dir)
+    nibble = F.substring(
+        F.md5(
+            F.concat(F.lit("srm:"), F.col("user_id").cast("string")).cast(
+                "binary"
+            )
+        ),
+        1,
+        1,
+    )
+    arm = F.when(
+        F.instr(F.lit("01234567"), nibble) > 0, F.lit("treatment")
+    ).otherwise(F.lit("control"))
+    assigned = t.events.groupBy(arm.alias("arm"), "user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    )
+    arms = assigned.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("converted").cast("bigint").alias("x"),
+    )
+    tr = arms.where(F.col("arm") == "treatment").select(
+        F.col("n").alias("n1"), F.col("x").alias("x1")
+    )
+    ctl = arms.where(F.col("arm") == "control").select(
+        F.col("n").alias("n2"), F.col("x").alias("x2")
+    )
+    j = tr.crossJoin(ctl)
+    p1 = F.col("x1").cast("double") / F.col("n1")
+    p2 = F.col("x2").cast("double") / F.col("n2")
+    h = 2 * F.asin(F.sqrt(p1)) - 2 * F.asin(F.sqrt(p2))
+    return j.select(
+        F.col("n1").alias("n_treatment"),
+        F.col("n2").alias("n_control"),
+        F.round(p1, 6).alias("p_treatment"),
+        F.round(p2, 6).alias("p_control"),
+        (F.floor(h * 10_000) / 10_000).alias("cohens_h"),
+        F.when(F.abs(h) >= 0.8, "large")
+        .when(F.abs(h) >= 0.5, "medium")
+        .when(F.abs(h) >= 0.2, "small")
+        .otherwise("negligible")
+        .alias("magnitude"),
+    )
+
+
+_AB_ORACLE = f"""
+    WITH {_TWO_SAMPLE_LATTICE_SQL},
+    sc AS (
+      SELECT v, ca, cb, na, nb,
+             2 * (pca + pcb) + (ca + cb) + 1 AS r2
+      FROM cum
+    ),
+    s AS (
+      SELECT MAX(na) AS na, MAX(nb) AS nb,
+             MAX(na + nb) AS nn,
+             SUM(CAST(ca AS DECIMAL(38,0))
+                 * LEAST(r2, 2 * (na + nb + 1) - r2)) AS ab2
+      FROM sc
+    ),
+    z AS (
+      SELECT na, nb, nn, CAST(ab2 AS DOUBLE) / 2 AS ab,
+             CASE WHEN nn % 2 = 0
+                  THEN CAST(na AS DOUBLE) * (nn + 2) / 4
+                  ELSE CAST(na AS DOUBLE) * (nn + 1) * (nn + 1) / (4.0 * nn)
+             END AS e_ab,
+             CASE WHEN nn % 2 = 0
+                  THEN CAST(na AS DOUBLE) * nb * (nn + 2) * (nn - 2)
+                       / (48.0 * (nn - 1))
+                  ELSE CAST(na AS DOUBLE) * nb * (nn + 1)
+                       * (3 + nn * CAST(nn AS DOUBLE)) / (48.0 * nn * nn)
+             END AS var_ab
+      FROM s
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           ab AS ab_stat,
+           floor((ab - e_ab) / sqrt(var_ab) * 10000) / 10000 AS z_stat,
+           abs((ab - e_ab) / sqrt(var_ab)) > 1.96 AS scales_differ
+    FROM z
+"""
+
+
+@register("agg_ansari_bradley", oracle=_AB_ORACLE)
+def agg_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ansari-Bradley two-sample SCALE test between the purchase and
+    click value samples: score each pooled observation by its distance
+    from the nearer END of the ranking — score = min(rank, N+1-rank) —
+    and sum the first sample's scores; a dispersed sample concentrates
+    at the extremes (LOW scores), a compressed one in the middle. The
+    rank-based scale kit's third member: agg_mood_scale_test squares
+    centered ranks, agg_levene_test needs location-aligned samples;
+    AB is the classic center-free count form (Ansari & Bradley 1960).
+
+    Scale/determinism: the shared two-sample lattice; doubled midranks
+    make score2 = min(r2, 2(N+1) - r2) an exact integer per lattice
+    row, and AB = sum(ca * score2)/2 folds in DECIMAL(38). Moments use
+    the published NO-TIES normal approximation (even/odd N forms) —
+    the documented large-sample convention on this near-continuous
+    cents lattice (the agg_jonckheere_terpstra tie precedent); z
+    floors at 1e-4, verdict on the unfloored value."""
+    t = load(spark, sf_dir)
+    cum = _two_sample_lattice(t)
+    r2 = 2 * (F.col("pca") + F.col("pcb")) + (F.col("ca") + F.col("cb")) + 1
+    nn_row = F.col("na") + F.col("nb")
+    score2 = F.least(r2, 2 * (nn_row + 1) - r2)
+    s = cum.agg(
+        F.max("na").alias("na"),
+        F.max("nb").alias("nb"),
+        F.max(F.col("na") + F.col("nb")).alias("nn"),
+        F.sum(F.col("ca").cast(_DEC) * score2).alias("ab2"),
+    )
+    na, nb, nn = F.col("na"), F.col("nb"), F.col("nn")
+    ab = F.col("ab2").cast("double") / 2
+    e_ab = F.when(
+        nn % 2 == 0, na.cast("double") * (nn + 2) / 4
+    ).otherwise(na.cast("double") * (nn + 1) * (nn + 1) / (4.0 * nn))
+    var_ab = F.when(
+        nn % 2 == 0,
+        na.cast("double") * nb * (nn + 2) * (nn - 2) / (48.0 * (nn - 1)),
+    ).otherwise(
+        na.cast("double") * nb * (nn + 1) * (3 + nn * nn.cast("double"))
+        / (48.0 * nn * nn)
+    )
+    z = (ab - e_ab) / F.sqrt(var_ab)
+    return s.select(
+        na.cast("bigint").alias("n_a"),
+        nb.cast("bigint").alias("n_b"),
+        ab.alias("ab_stat"),
+        (F.floor(z * 10_000) / 10_000).alias("z_stat"),
+        (F.abs(z) > 1.96).alias("scales_differ"),
+    )
+
+
+_SOMERS_ORACLE = """
+    WITH li AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x,
+             CAST(ROUND(l_discount * 100) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    cells AS (
+      SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c FROM li GROUP BY x, y
+    ),
+    pairs AS (
+      SELECT SUM(CASE WHEN b.y > a.y
+                      THEN CAST(a.c AS DECIMAL(38,0)) * b.c ELSE 0 END)
+               AS conc,
+             SUM(CASE WHEN b.y < a.y
+                      THEN CAST(a.c AS DECIMAL(38,0)) * b.c ELSE 0 END)
+               AS disc
+      FROM cells a JOIN cells b ON b.x > a.x
+    ),
+    fin AS (
+      SELECT m.n,
+             (SELECT SUM(CAST(tx AS DECIMAL(38,0)) * (tx - 1)) / 2 FROM
+               (SELECT SUM(c) AS tx FROM cells GROUP BY x)) AS n1,
+             (SELECT SUM(CAST(ty AS DECIMAL(38,0)) * (ty - 1)) / 2 FROM
+               (SELECT SUM(c) AS ty FROM cells GROUP BY y)) AS n2,
+             p.conc, p.disc
+      FROM (SELECT CAST(SUM(c) AS DECIMAL(38,0)) AS n FROM cells) m, pairs p
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(conc AS DOUBLE) AS conc,
+           CAST(disc AS DOUBLE) AS disc,
+           floor(CAST(conc - disc AS DOUBLE)
+                 / CAST(n * (n - 1) / 2 - n1 AS DOUBLE) * 1000000) / 1000000
+             AS somers_d_yx,
+           floor(CAST(conc - disc AS DOUBLE)
+                 / CAST(n * (n - 1) / 2 - n2 AS DOUBLE) * 1000000) / 1000000
+             AS somers_d_xy
+    FROM fin
+"""
+
+
+@register("agg_somers_d", oracle=_SOMERS_ORACLE)
+def agg_somers_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Somers' D between quantity (X) and discount (Y) over lineitem:
+    D(Y|X) = (C - D) / (n0 - n_ties_X) — the ASYMMETRIC ordinal
+    association (Kendall's tau-b symmetrizes the tie correction;
+    Somers' D conditions on the predictor, which is why it is the
+    ordinal-classifier metric: D(Y|X) of score vs outcome IS
+    2*AUC - 1). Both directions emitted.
+
+    Scale/determinism: X and Y live on tiny DOMAINS (quantity 1..50,
+    discount 0..10), so concordant/discordant counts fold from ONE
+    self-join of the <= 550-cell joint frame restricted to b.x > a.x —
+    a bounded-frame pair space at ANY corpus size (the
+    agg_spearman_corr argument); cell-count products widen to
+    DECIMAL(38) before multiplying (c*c overflow class); both D's are
+    single exact-integer ratios entering doubles once, floored 1e-6."""
+    t = load(spark, sf_dir)
+    li = t.lineitem.select(
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("y"),
+    )
+    cells = li.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    a = cells.alias("a")
+    b = cells.alias("b")
+    pairs = a.join(b, F.col("b.x") > F.col("a.x")).agg(
+        F.sum(
+            F.when(
+                F.col("b.y") > F.col("a.y"),
+                F.col("a.c").cast(_DEC) * F.col("b.c"),
+            ).otherwise(F.lit(0).cast(_DEC))
+        ).alias("conc"),
+        F.sum(
+            F.when(
+                F.col("b.y") < F.col("a.y"),
+                F.col("a.c").cast(_DEC) * F.col("b.c"),
+            ).otherwise(F.lit(0).cast(_DEC))
+        ).alias("disc"),
+    )
+    n1 = (
+        cells.groupBy("x")
+        .agg(F.sum("c").alias("tx"))
+        .agg(
+            (F.sum(F.col("tx").cast(_DEC) * (F.col("tx") - 1)) / 2).alias(
+                "n1"
+            )
+        )
+    )
+    n2 = (
+        cells.groupBy("y")
+        .agg(F.sum("c").alias("ty"))
+        .agg(
+            (F.sum(F.col("ty").cast(_DEC) * (F.col("ty") - 1)) / 2).alias(
+                "n2"
+            )
+        )
+    )
+    tot = cells.agg(F.sum("c").cast(_DEC).alias("n"))
+    fin = (
+        pairs.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+    )
+    n = F.col("n")
+    n0 = n * (n - 1) / 2
+    cd = (F.col("conc") - F.col("disc")).cast("double")
+    return fin.select(
+        n.cast("bigint").alias("n"),
+        # diagnostics emitted as double (identical decimal->double cast
+        # both engines); the D ratios use the exact decimals directly
+        F.col("conc").cast("double").alias("conc"),
+        F.col("disc").cast("double").alias("disc"),
+        (
+            F.floor(cd / (n0 - F.col("n1")).cast("double") * 1_000_000)
+            / 1_000_000
+        ).alias("somers_d_yx"),
+        (
+            F.floor(cd / (n0 - F.col("n2")).cast("double") * 1_000_000)
+            / 1_000_000
+        ).alias("somers_d_xy"),
+    )

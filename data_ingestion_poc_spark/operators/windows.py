@@ -4683,3 +4683,416 @@ def win_coppock(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("n10") / 55.0) / 1_000_000).alias("coppock"),
         (F.col("n10") > 0).alias("bullish"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r12 batch: five more classical bar indicators over the shared
+# _ohlc_bars fold — efficiency ratio, force index, ease of movement,
+# choppiness, and Katz fractal dimension. Planted-model tests ship in
+# tests/test_round12f.py from day one (SURVEY section-5.2 mandate).
+
+#: Kaufman efficiency-ratio lookback (KAMA's classic 10).
+KER_SPAN = 10
+
+_KER_ORACLE = f"""
+    WITH {_OHLC_BARS_SQL},
+    d AS (
+      SELECT event_type, day, cls,
+             ABS(cls - LAG(cls) OVER w) AS step,
+             ABS(cls - LAG(cls, {KER_SPAN}) OVER w) AS net,
+             ROW_NUMBER() OVER w AS rn
+      FROM bars
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ),
+    s AS (
+      SELECT event_type, day, rn, net,
+             SUM(step) OVER (PARTITION BY event_type ORDER BY day
+                             ROWS BETWEEN {KER_SPAN - 1} PRECEDING
+                             AND CURRENT ROW) AS vol
+      FROM d
+    )
+    SELECT event_type, CAST(day AS VARCHAR) AS day,
+           CASE WHEN vol > 0
+                THEN floor(CAST(net AS DOUBLE) / vol * 10000) / 10000
+           END AS efficiency_ratio,
+           CASE WHEN vol > 0 THEN CAST(net AS DOUBLE) / vol > 0.3 END
+             AS trending
+    FROM s WHERE rn >= {KER_SPAN} + 1
+"""
+
+
+@register("win_kaufman_er", oracle=_KER_ORACLE)
+def win_kaufman_er(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaufman's Efficiency Ratio per event type over {KER_SPAN} daily
+    closes: ER = |net {KER_SPAN}-day change| / sum(|daily changes|) —
+    1 = perfectly directional move, ~0 = pure churn. The adaptivity
+    signal inside KAMA, and on metric streams the one-number "is this
+    trend REAL or noise" screen that decides between win_ewma (trend)
+    and win_median_rolling (churn) smoothing; reads beside
+    win_chande_momentum (CMO signs the same sums, ER modulates them).
+
+    Scale/determinism: _ohlc_bars fold, one lag pair, one ROWS frame —
+    net and path sums are exact integer cents; ER is one exact integer
+    ratio entering doubles once (floored 1e-4); a flat {KER_SPAN}-day
+    stretch (vol = 0) nulls the ratio on both engines; gating needs
+    {KER_SPAN} + 1 bars (the deep lag must exist)."""
+    t = load(spark, sf_dir)
+    bars = _ohlc_bars(t)
+    w = Window.partitionBy("event_type").orderBy("day")
+    wf = w.rowsBetween(-(KER_SPAN - 1), 0)
+    d = bars.select(
+        "event_type",
+        "day",
+        F.abs(F.col("cls") - F.lag("cls").over(w)).alias("step"),
+        F.abs(F.col("cls") - F.lag("cls", KER_SPAN).over(w)).alias("net"),
+        F.row_number().over(w).alias("rn"),
+    )
+    s = d.select(
+        "event_type",
+        "day",
+        "rn",
+        "net",
+        F.sum("step").over(wf).alias("vol"),
+    ).where(F.col("rn") >= KER_SPAN + 1)
+    er = F.col("net").cast("double") / F.col("vol")
+    return s.select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        F.when(
+            F.col("vol") > 0, F.floor(er * 10_000) / 10_000
+        ).alias("efficiency_ratio"),
+        F.when(F.col("vol") > 0, er > 0.3).alias("trending"),
+    )
+
+
+#: Force-index smoothing span (Elder's classic 13).
+FORCE_SPAN = 13
+
+_FORCE_ORACLE = f"""
+    WITH {_OHLC_BARS_SQL},
+    d AS (
+      SELECT event_type, day,
+             (cls - LAG(cls) OVER w) * vol AS fi_c,
+             ROW_NUMBER() OVER w AS rn
+      FROM bars
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ),
+    s AS (
+      SELECT event_type, day, rn, fi_c,
+             SUM(fi_c) OVER (PARTITION BY event_type ORDER BY day
+                             ROWS BETWEEN {FORCE_SPAN - 1} PRECEDING
+                             AND CURRENT ROW) AS fi_sum,
+             COUNT(fi_c) OVER (PARTITION BY event_type ORDER BY day
+                               ROWS BETWEEN {FORCE_SPAN - 1} PRECEDING
+                               AND CURRENT ROW) AS n_fi
+      FROM d
+    )
+    SELECT event_type, CAST(day AS VARCHAR) AS day,
+           ROUND(fi_c / 100.0, 2) AS force_index,
+           floor(fi_sum / ({FORCE_SPAN} * 100.0) * 10000) / 10000
+             AS force_sma,
+           fi_sum > 0 AS bulls_in_control
+    FROM s WHERE n_fi = {FORCE_SPAN}
+"""
+
+
+@register("win_force_index", oracle=_FORCE_ORACLE)
+def win_force_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elder's Force Index per event type: FI = (close - prev close) x
+    volume per daily bar, smoothed by a {FORCE_SPAN}-day SMA — price
+    change WEIGHTED by how much activity drove it (win_obv counts
+    direction only; FI prices each move by volume, so one heavy-volume
+    down day outweighs five thin up-ticks). Volume here is the bar's
+    event count, the win_mfi convention.
+
+    Scale/determinism: _ohlc_bars fold, one lag, one ROWS frame; FI is
+    an exact integer (cents x count, < 2^63 at any calendar-bounded
+    volume), the SMA clears /n algebraically into one final division
+    (floored 1e-4); the regime flag compares the exact integer sum
+    with zero. Gating: {FORCE_SPAN} non-null FI values (the first bar
+    has no previous close)."""
+    t = load(spark, sf_dir)
+    bars = _ohlc_bars(t)
+    w = Window.partitionBy("event_type").orderBy("day")
+    wf = w.rowsBetween(-(FORCE_SPAN - 1), 0)
+    d = bars.select(
+        "event_type",
+        "day",
+        ((F.col("cls") - F.lag("cls").over(w)) * F.col("vol")).alias("fi_c"),
+    )
+    s = d.select(
+        "event_type",
+        "day",
+        "fi_c",
+        F.sum("fi_c").over(wf).alias("fi_sum"),
+        F.count("fi_c").over(wf).alias("n_fi"),
+    ).where(F.col("n_fi") == FORCE_SPAN)
+    return s.select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        F.round(F.col("fi_c") / 100.0, 2).alias("force_index"),
+        (
+            F.floor(F.col("fi_sum") / (FORCE_SPAN * 100.0) * 10_000) / 10_000
+        ).alias("force_sma"),
+        (F.col("fi_sum") > 0).alias("bulls_in_control"),
+    )
+
+
+#: Ease-of-movement smoothing span (Arms' classic 14).
+EOM_SPAN = 14
+
+_EOM_ORACLE = f"""
+    WITH {_OHLC_BARS_SQL},
+    d AS (
+      SELECT event_type, day,
+             CASE WHEN LAG(hi + lo) OVER w IS NOT NULL
+                  THEN floor(CAST((hi + lo - LAG(hi + lo) OVER w)
+                                  * (hi - lo) AS DOUBLE)
+                             / (2.0 * vol * 100.0) * 10000) / 10000
+             END AS eom
+      FROM bars
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ),
+    s AS (
+      SELECT event_type, day, eom,
+             COUNT(eom) OVER wf AS n_eom,
+             ROUND(AVG(eom) OVER wf, 4) AS eom_sma
+      FROM d
+      WINDOW wf AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN {EOM_SPAN - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, CAST(day AS VARCHAR) AS day, eom,
+           eom_sma AS eom_sma_14
+    FROM s WHERE n_eom = {EOM_SPAN}
+"""
+
+
+@register("win_ease_of_movement", oracle=_EOM_ORACLE)
+def win_ease_of_movement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arms' Ease of Movement per event type: midpoint move scaled by
+    the "box ratio" volume/range — EOM = (mid - prev_mid) x range /
+    volume, high when price travels far on LITTLE volume (an easy,
+    uncontested move) and near zero when heavy volume buys no progress
+    (distribution). The volume-normalized complement of
+    win_force_index (FI weights BY volume, EOM divides by it — the
+    pair separates conviction moves from friction).
+
+    Scale/determinism: _ohlc_bars fold; midpoints stay on the x2
+    lattice (hi+lo, never /2), so the numerator (dm2 x range) is one
+    exact integer and EOM enters doubles in a single division
+    (floored 1e-4, dollars: the /2 for the midpoint and /100 for
+    cents fold into the denominator); the {EOM_SPAN}-day SMA averages
+    the FLOORED lattice values (the stochastic %D doctrine). A flat
+    bar moves the numerator to 0 exactly — vol > 0 always, no guard
+    needed. Gating: {EOM_SPAN} non-null EOM values."""
+    t = load(spark, sf_dir)
+    bars = _ohlc_bars(t)
+    w = Window.partitionBy("event_type").orderBy("day")
+    wf = w.rowsBetween(-(EOM_SPAN - 1), 0)
+    mid2 = F.col("hi") + F.col("lo")
+    prev_mid2 = F.lag(F.col("hi") + F.col("lo")).over(w)
+    eom = F.when(
+        prev_mid2.isNotNull(),
+        F.floor(
+            ((mid2 - prev_mid2) * (F.col("hi") - F.col("lo"))).cast("double")
+            / (2.0 * F.col("vol") * 100.0)
+            * 10_000
+        )
+        / 10_000,
+    )
+    d = bars.select("event_type", "day", eom.alias("eom"))
+    s = d.select(
+        "event_type",
+        "day",
+        "eom",
+        F.count("eom").over(wf).alias("n_eom"),
+        F.round(F.avg("eom").over(wf), 4).alias("eom_sma"),
+    ).where(F.col("n_eom") == EOM_SPAN)
+    return s.select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        "eom",
+        F.col("eom_sma").alias("eom_sma_14"),
+    )
+
+
+#: Choppiness lookback (Dreiss' classic 14).
+CHOP_SPAN = 14
+
+_CHOP_ORACLE = f"""
+    WITH {_OHLC_BARS_SQL},
+    tr AS (
+      SELECT event_type, day, hi, lo,
+             GREATEST(hi - lo,
+                      ABS(hi - LAG(cls) OVER w),
+                      ABS(lo - LAG(cls) OVER w)) AS tr_c
+      FROM bars
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ),
+    s AS (
+      SELECT event_type, day,
+             SUM(tr_c) OVER wf AS tr_sum,
+             MAX(hi) OVER wf - MIN(lo) OVER wf AS rng,
+             COUNT(*) OVER wf AS n_bars
+      FROM tr
+      WINDOW wf AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN {CHOP_SPAN - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, CAST(day AS VARCHAR) AS day,
+           CASE WHEN rng > 0
+                THEN floor(100.0 * log10(CAST(tr_sum AS DOUBLE) / rng)
+                           / log10({CHOP_SPAN}.0) * 10000) / 10000
+           END AS choppiness,
+           CASE WHEN rng > 0
+                THEN 100.0 * log10(CAST(tr_sum AS DOUBLE) / rng)
+                     / log10({CHOP_SPAN}.0) > 61.8 END AS choppy
+    FROM s WHERE n_bars = {CHOP_SPAN}
+"""
+
+
+@register("win_choppiness_index", oracle=_CHOP_ORACLE)
+def win_choppiness_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dreiss' Choppiness Index per event type: 100 x log10(sum of
+    {CHOP_SPAN} true ranges / the {CHOP_SPAN}-day high-low range) /
+    log10({CHOP_SPAN}) — a pure trendiness-of-PATH gauge (directionless
+    by construction): ~100 = the path wandered its whole budget inside
+    a static range (chop), low = the ranges stacked into one directed
+    move. The Fibonacci 61.8 line is the classic "too choppy to trend-
+    follow" gate. Reads beside win_kaufman_er (ER measures the CLOSE
+    path's efficiency; CHOP measures the full-range path's).
+
+    Scale/determinism: the win_atr true-range machinery (gap-aware,
+    first bar = plain range) on exact integer cents; tr_sum and the
+    channel range are exact integers, so the statistic is log10s of
+    one exact ratio on identical doubles (floored 1e-4; flag on the
+    unfloored value). Flat {CHOP_SPAN}-day channel (rng = 0) nulls
+    both columns on both engines. Full-frame gating."""
+    t = load(spark, sf_dir)
+    bars = _ohlc_bars(t)
+    w = Window.partitionBy("event_type").orderBy("day")
+    wf = w.rowsBetween(-(CHOP_SPAN - 1), 0)
+    prev_cls = F.lag("cls").over(w)
+    tr_c = F.greatest(
+        F.col("hi") - F.col("lo"),
+        F.abs(F.col("hi") - prev_cls),
+        F.abs(F.col("lo") - prev_cls),
+    )
+    tr = bars.select("event_type", "day", "hi", "lo", tr_c.alias("tr_c"))
+    s = tr.select(
+        "event_type",
+        "day",
+        F.sum("tr_c").over(wf).alias("tr_sum"),
+        (F.max("hi").over(wf) - F.min("lo").over(wf)).alias("rng"),
+        F.count(F.lit(1)).over(wf).alias("n_bars"),
+    ).where(F.col("n_bars") == CHOP_SPAN)
+    chop = (
+        100.0
+        * F.log10(F.col("tr_sum").cast("double") / F.col("rng"))
+        / F.log10(F.lit(float(CHOP_SPAN)))
+    )
+    ok = F.col("rng") > 0
+    return s.select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        F.when(ok, F.floor(chop * 10_000) / 10_000).alias("choppiness"),
+        F.when(ok, chop > 61.8).alias("choppy"),
+    )
+
+
+#: Katz fractal-dimension window in daily closes.
+KATZ_FD_SPAN = 14
+
+_KATZ_FD_ORACLE = f"""
+    WITH {_OHLC_BARS_SQL},
+    framed AS (
+      SELECT event_type, day,
+             list(cls) OVER (PARTITION BY event_type ORDER BY day
+                             ROWS BETWEEN {KATZ_FD_SPAN - 1} PRECEDING
+                             AND CURRENT ROW) AS a
+      FROM bars
+    ),
+    m AS (
+      SELECT event_type, day, len(a) AS n,
+             list_sum(list_transform(range(2, len(a) + 1),
+                                     i -> ABS(a[i] - a[i - 1]))) AS l_path,
+             list_max(list_transform(range(1, len(a) + 1),
+                                     i -> ABS(a[i] - a[1]))) AS d_ext
+      FROM framed
+    )
+    SELECT event_type, CAST(day AS VARCHAR) AS day,
+           CAST(l_path AS BIGINT) AS path_cents,
+           CAST(d_ext AS BIGINT) AS extent_cents,
+           CASE WHEN d_ext > 0 AND l_path > 0
+                THEN floor(log10({KATZ_FD_SPAN - 1}.0)
+                           / (log10({KATZ_FD_SPAN - 1}.0)
+                              + log10(CAST(d_ext AS DOUBLE) / l_path))
+                           * 10000) / 10000
+           END AS fractal_dim
+    FROM m WHERE n = {KATZ_FD_SPAN}
+"""
+
+
+@register("win_fractal_dimension", oracle=_KATZ_FD_ORACLE)
+def win_fractal_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz fractal dimension (Katz 1988) of the trailing
+    {KATZ_FD_SPAN}-close path per event type: FD = log10(n) / (log10(n)
+    + log10(d/L)) with n = {KATZ_FD_SPAN - 1} steps, L = total path
+    length, d = max excursion from the window's FIRST point. FD -> 1
+    for a straight trend, -> 2 as the path fills its range — the
+    waveform-complexity number behind the "fractal dimension index"
+    regime filters, measuring the same trend-vs-chop axis as
+    win_choppiness_index from the close path instead of bar ranges.
+
+    Scale/determinism: the win_theil_sen composition — collect_list
+    over one ROWS frame, pure array exprs (no UDF): L and d are exact
+    integer cents from array folds, the FD is log10s of one exact
+    ratio on identical doubles, floored 1e-4. Degenerate windows
+    (d = 0 flat-from-start or L = 0 fully flat) null the FD on both
+    engines. Full-frame gating."""
+    t = load(spark, sf_dir)
+    bars = _ohlc_bars(t)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-(KATZ_FD_SPAN - 1), 0)
+    )
+    framed = bars.select(
+        "event_type",
+        "day",
+        F.collect_list("cls").over(w).alias("a"),
+    )
+    a = F.col("a")
+    n = F.size(a)
+    l_path = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(2), n),
+            lambda i: F.abs(F.element_at(a, i) - F.element_at(a, i - 1)),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    d_ext = F.array_max(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.abs(F.element_at(a, i) - F.element_at(a, 1)),
+        )
+    )
+    m = framed.where(n == KATZ_FD_SPAN).select(
+        "event_type",
+        "day",
+        l_path.alias("l_path"),
+        d_ext.alias("d_ext"),
+    )
+    steps = float(KATZ_FD_SPAN - 1)
+    fd = F.log10(F.lit(steps)) / (
+        F.log10(F.lit(steps))
+        + F.log10(F.col("d_ext").cast("double") / F.col("l_path"))
+    )
+    ok = (F.col("d_ext") > 0) & (F.col("l_path") > 0)
+    return m.select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        F.col("l_path").cast("bigint").alias("path_cents"),
+        F.col("d_ext").cast("bigint").alias("extent_cents"),
+        F.when(ok, F.floor(fd * 10_000) / 10_000).alias("fractal_dim"),
+    )

@@ -167,6 +167,19 @@ SINGLE_PARTITION_OK: dict[str, str] = {
         "(<=49k rows, the agg_mann_whitney bound) + 1-row statistic "
         "frame"
     ),
+    "agg_ansari_bradley": (
+        "end-distance score fold over the 2-dp value DOMAIN (<=49k "
+        "rows, the agg_mann_whitney bound) + 1-row statistic frame"
+    ),
+    "agg_cramers_v_corrected": (
+        "marginal/total windows over the bounded 15-cell priority x "
+        "status contingency frame + 1-row Bergsma algebra"
+    ),
+    "agg_somers_d": (
+        "four 1-row folds (pair counts, n, tie corrections) off the "
+        "<=550-cell quantity x discount DOMAIN frame (bounded at any "
+        "corpus size, the agg_spearman_corr argument)"
+    ),
     "agg_page_trend_test": (
         "1-row L-statistic and (blocks, k) dimension frames; within-"
         "block ranks fold over the CALENDAR x TYPE bounded cell domain"
