@@ -6854,23 +6854,25 @@ _CRAMER_ORACLE = """
       FROM ct
     ),
     terms AS (
-      SELECT n,
-             CAST(FLOOR(
-               POWER(obs - CAST(row_t AS DOUBLE) * col_t / n, 2)
-               / (CAST(row_t AS DOUBLE) * col_t / n) * 1000000)
-             AS BIGINT) AS chi2_u
+      SELECT x, y, n,
+             SUM(POWER(obs - CAST(row_t AS DOUBLE) * col_t / n, 2)
+                 / (CAST(row_t AS DOUBLE) * col_t / n))
+               OVER (ORDER BY x, y ROWS UNBOUNDED PRECEDING) AS chi2_cum,
+             ROW_NUMBER() OVER (ORDER BY x, y) AS rn,
+             COUNT(*) OVER () AS n_cells
       FROM m
     ),
     dims AS (
       SELECT COUNT(DISTINCT x) AS r, COUNT(DISTINCT y) AS c FROM ct
     ),
     s AS (
-      SELECT MAX(n) AS n, SUM(chi2_u) AS chi2_u FROM terms
+      SELECT MAX(n) AS n,
+             MAX(CASE WHEN rn = n_cells THEN chi2_cum END) AS chi2
+      FROM terms
     ),
     fin AS (
-      SELECT s.n, d.r, d.c,
-             s.chi2_u / 1e6 AS chi2,
-             GREATEST(s.chi2_u / 1e6 / s.n
+      SELECT s.n, d.r, d.c, s.chi2,
+             GREATEST(s.chi2 / s.n
                       - (d.r - 1.0) * (d.c - 1.0) / (s.n - 1), 0) AS phi2c,
              d.r - POWER(d.r - 1.0, 2) / (s.n - 1) AS rc,
              d.c - POWER(d.c - 1.0, 2) / (s.n - 1) AS cc
@@ -6902,10 +6904,14 @@ def agg_cramers_v_corrected(spark: SparkSession, sf_dir: str) -> DataFrame:
     size, corrected).
 
     Scale/determinism: one combinable groupBy to the bounded 15-cell
-    frame; each cell's chi2 term floor-quantizes to integer micro-units
-    BEFORE the fold (agg_theil_index doctrine — order-free integer
-    sum); the Bergsma algebra is a single closed-form expression of
-    (chi2_u, n, r, c); outputs floor-scaled at 1e-6."""
+    frame; the chi2 fold is an UNAVOIDABLE double sum, so it runs as a
+    cumulative window in fixed (x, y) cell order with a last-row pick
+    (the agg_mood_scale_test doctrine — identical fp sequence both
+    engines; the r12 overflow audit rejected micro-unit quantization
+    here because chi2 itself reaches ~1e13 at corpus scale, past the
+    1e-6 lattice's BIGINT headroom); the Bergsma algebra is a single
+    closed-form expression of (chi2, n, r, c); outputs floor-scaled at
+    1e-6."""
     t = load(spark, sf_dir)
     ct = t.orders.groupBy("o_orderpriority", "o_orderstatus").agg(
         F.count(F.lit(1)).cast("bigint").alias("obs")
@@ -6914,26 +6920,39 @@ def agg_cramers_v_corrected(spark: SparkSession, sf_dir: str) -> DataFrame:
     wc = Window.partitionBy("o_orderstatus")
     wall = Window.partitionBy()
     m = ct.select(
+        F.col("o_orderpriority").alias("x"),
+        F.col("o_orderstatus").alias("y"),
         "obs",
         F.sum("obs").over(wr).alias("row_t"),
         F.sum("obs").over(wc).alias("col_t"),
         F.sum("obs").over(wall).alias("n"),
     )
     exp = F.col("row_t").cast("double") * F.col("col_t") / F.col("n")
-    chi2_u = F.floor(
-        F.pow(F.col("obs") - exp, 2) / exp * 1_000_000
-    ).cast("bigint")
-    terms = m.select("n", chi2_u.alias("chi2_u"))
+    w_ord = Window.orderBy("x", "y").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_rn = Window.orderBy("x", "y")
+    terms = m.select(
+        "n",
+        F.sum(F.pow(F.col("obs") - exp, 2) / exp).over(w_ord).alias(
+            "chi2_cum"
+        ),
+        F.row_number().over(w_rn).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n_cells"),
+    )
     dims = ct.agg(
         F.countDistinct("o_orderpriority").alias("r"),
         F.countDistinct("o_orderstatus").alias("c"),
     )
     s = terms.agg(
-        F.max("n").alias("n"), F.sum("chi2_u").alias("chi2_u")
+        F.max("n").alias("n"),
+        F.max(
+            F.when(F.col("rn") == F.col("n_cells"), F.col("chi2_cum"))
+        ).alias("chi2"),
     ).crossJoin(F.broadcast(dims))
     n = F.col("n")
     r, c = F.col("r"), F.col("c")
-    chi2 = F.col("chi2_u") / 1e6
+    chi2 = F.col("chi2")
     phi2c = F.greatest(
         chi2 / n - (r - 1.0) * (c - 1.0) / (n - 1), F.lit(0.0)
     )

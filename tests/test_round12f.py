@@ -50,15 +50,10 @@ def test_cramers_v_corrected_exact(spark, tmp_path):
     for (x, y), c in cells.items():
         row_t[x] = row_t.get(x, 0) + c
         col_t[y] = col_t.get(y, 0) + c
-    chi2_u = sum(
-        math.floor(
-            (c - row_t[x] * col_t[y] / n) ** 2
-            / (row_t[x] * col_t[y] / n)
-            * 1e6
-        )
-        for (x, y), c in cells.items()
-    )
-    chi2 = chi2_u / 1e6
+    chi2 = 0.0
+    for (x, y), c in sorted(cells.items()):  # the engines' (x,y) fold order
+        exp = row_t[x] * col_t[y] / n
+        chi2 += (c - exp) ** 2 / exp
     rr, cc = 2, 2
     phi2c = max(chi2 / n - (rr - 1) * (cc - 1) / (n - 1), 0.0)
     r_adj = rr - (rr - 1) ** 2 / (n - 1)
