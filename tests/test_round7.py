@@ -66,14 +66,29 @@ def test_cohens_d_separated_arms_large(spark, tmp_path):
 
 def test_levene_unequal_spread_flags(spark, tmp_path):
     """a = (1,2,3): z = (1,0,1) in value units; b = (0,5,10): z =
-    (5,0,5). SSB = 32/3, SSW = 52/3, W = 4*32/52 = 2.4615 > 2.3719."""
+    (5,0,5). SSB = 32/3, SSW = 52/3, W = 4*32/52 = 2.4615. r12 fix:
+    the crit is now keyed on the OBSERVED k-1 (this k=2 design judges
+    against chi2(1) = 3.8415, not the old hard-wired dof-4 2.3719), so
+    this W correctly does NOT flag; a wider spread (b scaled 10x) must
+    flag against the same dof-1 crit."""
     rows = [(i, i, 1, "a", v) for i, v in enumerate([1, 2, 3])]
     rows += [(10 + i, 10 + i, 1, "b", v) for i, v in enumerate([0, 5, 10])]
     _write_events(spark, tmp_path, rows)
     r = registry.get("agg_levene_test").fn(spark, str(tmp_path)).collect()[0]
     assert r["n"] == 6 and r["k"] == 2
     assert r["w_stat"] == round(4 * 32 / 52, 4)
-    assert r["variances_differ"]
+    assert not r["variances_differ"]  # 2.4615 < 3.8415 = chi2(1)
+    # 100x the spread gap: z_b = (500,0,500); W approaches its
+    # two-arm-3-point limit of 4.0 (~3.98 here), past the dof-1 crit,
+    # and the flag must fire
+    rows = [(i, i, 1, "a", v) for i, v in enumerate([1, 2, 3])]
+    rows += [
+        (10 + i, 10 + i, 1, "b", v)
+        for i, v in enumerate([0.0, 500.0, 1000.0])
+    ]
+    _write_events(spark, tmp_path, rows)
+    r = registry.get("agg_levene_test").fn(spark, str(tmp_path)).collect()[0]
+    assert r["w_stat"] > 3.8415 and r["variances_differ"]
 
 
 def test_levene_equal_spread_passes(spark, tmp_path):
