@@ -7288,3 +7288,222 @@ def agg_somers_d(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1_000_000
         ).alias("somers_d_xy"),
     )
+
+
+_GTEST_ORACLE = f"""
+    WITH ct AS (
+      SELECT o_orderpriority AS x, o_orderstatus AS y,
+             CAST(COUNT(*) AS BIGINT) AS obs
+      FROM orders GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT x, y, obs,
+             CAST(SUM(obs) OVER (PARTITION BY x) AS BIGINT) AS row_t,
+             CAST(SUM(obs) OVER (PARTITION BY y) AS BIGINT) AS col_t,
+             CAST(SUM(obs) OVER () AS BIGINT) AS n
+      FROM ct
+    ),
+    terms AS (
+      SELECT x, y, n,
+             SUM(2.0 * obs * ln(obs
+                 / (CAST(row_t AS DOUBLE) * col_t / n)))
+               OVER (ORDER BY x, y ROWS UNBOUNDED PRECEDING) AS g_cum,
+             ROW_NUMBER() OVER (ORDER BY x, y) AS rn,
+             COUNT(*) OVER () AS n_cells
+      FROM m
+    ),
+    dims AS (
+      SELECT COUNT(DISTINCT x) AS r, COUNT(DISTINCT y) AS c FROM ct
+    ),
+    s AS (
+      SELECT MAX(n) AS n,
+             MAX(CASE WHEN rn = n_cells THEN g_cum END) AS g
+      FROM terms
+    )
+    SELECT CAST(s.n AS BIGINT) AS n,
+           CAST((d.r - 1) * (d.c - 1) AS BIGINT) AS dof,
+           ROUND(s.g, 4) AS g_stat,
+           s.g > (CASE (d.r - 1) * (d.c - 1) {" ".join(
+               f"WHEN {dd} THEN {cc}"
+               for dd, cc in CHI2_CRIT_BY_DOF.items()
+           )} END) AS dependent
+    FROM s, dims d
+"""
+
+
+@register("agg_g_test", oracle=_GTEST_ORACLE)
+def agg_g_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Likelihood-ratio G-test of independence on the priority x status
+    contingency: G = 2 sum O ln(O/E) — the information-theoretic twin
+    of agg_chi_squared (G IS 2N times the mutual information in nats,
+    which is why it adds across partitioned subtables where Pearson's
+    chi2 does not, and why Sokal & Rohlf recommend it once any O/E
+    ratio is large). Same chi2(dof) null, crit keyed on the observed
+    (r-1)(c-1) and null when untabled.
+
+    Scale/determinism: one combinable groupBy to the bounded 15-cell
+    frame; the G fold is an UNAVOIDABLE double sum and runs as a
+    cumulative window in fixed (x, y) cell order with a last-row pick
+    (the agg_cramers_v_corrected doctrine — G reaches ~1e13 at corpus
+    scale, past any micro-unit lattice's BIGINT headroom). Structural
+    zeros never appear (every observed cell has O >= 1, so ln(O/E) is
+    finite by construction)."""
+    t = load(spark, sf_dir)
+    ct = t.orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("obs")
+    )
+    wr = Window.partitionBy("o_orderpriority")
+    wc = Window.partitionBy("o_orderstatus")
+    wall = Window.partitionBy()
+    m = ct.select(
+        F.col("o_orderpriority").alias("x"),
+        F.col("o_orderstatus").alias("y"),
+        "obs",
+        F.sum("obs").over(wr).alias("row_t"),
+        F.sum("obs").over(wc).alias("col_t"),
+        F.sum("obs").over(wall).alias("n"),
+    )
+    exp = F.col("row_t").cast("double") * F.col("col_t") / F.col("n")
+    w_ord = Window.orderBy("x", "y").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_rn = Window.orderBy("x", "y")
+    terms = m.select(
+        "n",
+        F.sum(2.0 * F.col("obs") * F.log(F.col("obs") / exp))
+        .over(w_ord)
+        .alias("g_cum"),
+        F.row_number().over(w_rn).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n_cells"),
+    )
+    dims = ct.agg(
+        F.countDistinct("o_orderpriority").alias("r"),
+        F.countDistinct("o_orderstatus").alias("c"),
+    )
+    s = terms.agg(
+        F.max("n").alias("n"),
+        F.max(
+            F.when(F.col("rn") == F.col("n_cells"), F.col("g_cum"))
+        ).alias("g"),
+    ).crossJoin(F.broadcast(dims))
+    dof = (F.col("r") - 1) * (F.col("c") - 1)
+    crit = F.lit(None).cast("double")
+    for dd, cc in CHI2_CRIT_BY_DOF.items():
+        crit = F.when(dof == dd, F.lit(cc)).otherwise(crit)
+    return s.select(
+        F.col("n").cast("bigint").alias("n"),
+        dof.cast("bigint").alias("dof"),
+        F.round("g", 4).alias("g_stat"),
+        (F.col("g") > crit).alias("dependent"),
+    )
+
+
+_FISHER_Z_ORACLE = """
+    WITH s AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+             CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT)
+               AS sy,
+             CAST(SUM(CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)
+                      * CAST(ROUND(l_discount * 100) AS BIGINT)) AS HUGEINT)
+               AS syy,
+             CAST(SUM(CAST(l_quantity AS BIGINT)
+                      * CAST(ROUND(l_discount * 100) AS BIGINT)) AS HUGEINT)
+               AS sxy
+      FROM lineitem
+    ),
+    r AS (
+      SELECT n,
+             (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+               / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                  * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy))
+               AS rho
+      FROM s
+    ),
+    z AS (
+      SELECT n, rho,
+             0.5 * ln((1 + rho) / (1 - rho)) AS fz,
+             1.96 / sqrt(n - 3.0) AS half
+      FROM r WHERE n > 3 AND abs(rho) < 1
+    ),
+    b AS (
+      SELECT n, rho, fz,
+             (exp(2 * (fz - half)) - 1) / (exp(2 * (fz - half)) + 1) AS lo,
+             (exp(2 * (fz + half)) - 1) / (exp(2 * (fz + half)) + 1) AS hi
+      FROM z
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND(rho, 6) AS pearson_r,
+           floor(fz * 10000) / 10000 AS fisher_z,
+           floor(lo * 1000000) / 1000000 AS ci_lo,
+           floor(hi * 1000000) / 1000000 AS ci_hi,
+           NOT (lo <= 0 AND 0 <= hi) AS significant
+    FROM b
+"""
+
+
+@register("agg_fisher_z_corr_ci", oracle=_FISHER_Z_ORACLE)
+def agg_fisher_z_corr_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher-z confidence interval for the quantity-discount Pearson
+    correlation: z = atanh(r) is ~normal with sd 1/sqrt(n-3), so the
+    95% CI is tanh(z +/- 1.96/sqrt(n-3)) — the interval agg_stats_corr
+    and agg_partial_corr omit (a point correlation without an interval
+    is a number pretending to be a finding; near |r|=1 the
+    z-transform's variance stabilization is what makes the interval
+    honest where a naive +/- on r would cross 1).
+
+    Scale/determinism: the agg_partial_corr moment machinery (exact
+    integer sums, squares in DECIMAL/HUGEINT); r is one closed-form
+    double; atanh spelled as 0.5 ln((1+r)/(1-r)) and tanh run on
+    identical doubles in both engines (libm precedent); z floors at
+    1e-4, CI bounds at 1e-6; degenerate cases (n <= 3 or |r| = 1) emit
+    nothing on both engines."""
+    t = load(spark, sf_dir)
+    x = F.col("l_quantity").cast("bigint")
+    y = F.round(F.col("l_discount") * 100).cast("bigint")
+    s = t.lineitem.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("bigint").alias("sx"),
+        F.sum(y).cast("bigint").alias("sy"),
+        F.sum((x * x).cast(_DEC)).alias("sxx"),
+        F.sum((y * y).cast(_DEC)).alias("syy"),
+        F.sum((x * y).cast(_DEC)).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    rho = (
+        n * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / (
+        F.sqrt(
+            n * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double")
+        )
+        * F.sqrt(
+            n * F.col("syy").cast("double")
+            - F.col("sy").cast("double") * F.col("sy").cast("double")
+        )
+    )
+    z = s.select("n", rho.alias("rho")).where(
+        (F.col("n") > 3) & (F.abs(F.col("rho")) < 1)
+    )
+    fz = 0.5 * F.log((1 + F.col("rho")) / (1 - F.col("rho")))
+    half = 1.96 / F.sqrt(F.col("n") - 3.0)
+
+    # tanh spelled as (e^2x - 1)/(e^2x + 1): this DuckDB build ships no
+    # tanh scalar, and the explicit form is the same IEEE sequence in
+    # both engines anyway (libm precedent)
+    def _tanh(c):
+        e2 = F.exp(2 * c)
+        return (e2 - 1) / (e2 + 1)
+
+    lo, hi = _tanh(fz - half), _tanh(fz + half)
+    return z.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round("rho", 6).alias("pearson_r"),
+        (F.floor(fz * 10_000) / 10_000).alias("fisher_z"),
+        (F.floor(lo * 1_000_000) / 1_000_000).alias("ci_lo"),
+        (F.floor(hi * 1_000_000) / 1_000_000).alias("ci_hi"),
+        (~((lo <= 0) & (F.lit(0.0) <= hi))).alias("significant"),
+    )

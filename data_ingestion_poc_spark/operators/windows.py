@@ -5096,3 +5096,109 @@ def win_fractal_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d_ext").cast("bigint").alias("extent_cents"),
         F.when(ok, F.floor(fd * 10_000) / 10_000).alias("fractal_dim"),
     )
+
+
+#: TRIX triple-EMA frame depth (dyadic alpha = 1/2 truncated EWMA at
+#: each stage — the win_ewma_crossover determinism doctrine; speed
+#: comes from frame depth, and 2^-8 of the weight mass is discarded).
+TRIX_FRAME = 8
+
+
+def _trix_ewma_sql() -> str:
+    """DuckDB weighted adjust=True EWMA fold over a list column f8."""
+    return """
+             list_sum([f8[i + 1] * pow(0.5, len(f8) - 1 - i)
+                       FOR i IN range(len(f8))])
+             / (2 - pow(0.5, len(f8) - 1))"""
+
+
+_TRIX_ORACLE = f"""
+    WITH {_OHLC_BARS_SQL},
+    e1 AS (
+      SELECT event_type, day,
+             list(CAST(cls AS DOUBLE)) OVER w AS f8
+      FROM bars
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN {TRIX_FRAME - 1} PRECEDING AND CURRENT ROW)
+    ),
+    v1 AS (SELECT event_type, day, ({_trix_ewma_sql()}) AS e FROM e1),
+    e2 AS (
+      SELECT event_type, day, list(e) OVER w AS f8
+      FROM v1
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN {TRIX_FRAME - 1} PRECEDING AND CURRENT ROW)
+    ),
+    v2 AS (SELECT event_type, day, ({_trix_ewma_sql()}) AS e FROM e2),
+    e3 AS (
+      SELECT event_type, day, list(e) OVER w AS f8
+      FROM v2
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN {TRIX_FRAME - 1} PRECEDING AND CURRENT ROW)
+    ),
+    v3 AS (SELECT event_type, day, ({_trix_ewma_sql()}) AS e FROM e3),
+    fin AS (
+      SELECT event_type, day, e,
+             lag(e) OVER (PARTITION BY event_type ORDER BY day) AS prev
+      FROM v3
+    )
+    SELECT event_type, CAST(day AS VARCHAR) AS day,
+           floor(e / 100.0 * 10000) / 10000 AS triple_ema,
+           floor((e / prev - 1) * 10000 * 10000) / 10000 AS trix_bp
+    FROM fin WHERE prev IS NOT NULL AND prev > 0
+"""
+
+
+@register("win_trix", oracle=_TRIX_ORACLE)
+def win_trix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIX per event type: the 1-bar rate of change of a TRIPLE
+    truncated EWMA of the daily close, in basis points — three
+    smoothing passes filter noise cubically, so the sign of TRIX is
+    the classic whipsaw-resistant trend trigger (a single EMA's slope
+    flips on every blip; TRIX flips when the smoothed-of-smoothed-of-
+    smoothed level actually turns). All three stages keep alpha = 1/2
+    (exact dyadic weights) over {TRIX_FRAME}-row frames — the
+    win_ewma_crossover determinism trick that makes non-dyadic
+    12/26-style MACD decays unpinnable across engines.
+
+    Scale/determinism: three stacked collect_list window folds on the
+    shared (event_type, day) bar frame (O({TRIX_FRAME}) state each,
+    no UDF); every fold is exact dyadic IEEE arithmetic in fold order,
+    so ema/ema2/ema3 are bit-identical cross-engine; the ROC divides
+    two identical doubles and floors at 1e-4 basis points."""
+    t = load(spark, sf_dir)
+    bars = _ohlc_bars(t)
+    w_ord = Window.partitionBy("event_type").orderBy("day")
+    w = w_ord.rowsBetween(-(TRIX_FRAME - 1), 0)
+
+    def ewma_of(col):
+        frame = F.collect_list(col).over(w)
+        n = F.size(frame)
+        weighted = F.aggregate(
+            F.zip_with(
+                frame,
+                F.sequence(F.lit(0), n - 1),
+                lambda v, i: v * F.pow(F.lit(0.5), (n - 1 - i).cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return weighted / (F.lit(2.0) - F.pow(F.lit(0.5), (n - 1).cast("double")))
+
+    v1 = bars.select(
+        "event_type", "day", ewma_of(F.col("cls").cast("double")).alias("e")
+    )
+    v2 = v1.select("event_type", "day", ewma_of(F.col("e")).alias("e"))
+    v3 = v2.select("event_type", "day", ewma_of(F.col("e")).alias("e"))
+    prev = F.lag("e").over(w_ord)
+    fin = v3.select("event_type", "day", "e", prev.alias("prev")).where(
+        F.col("prev").isNotNull() & (F.col("prev") > 0)
+    )
+    return fin.select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        (F.floor(F.col("e") / 100.0 * 10_000) / 10_000).alias("triple_ema"),
+        (
+            F.floor((F.col("e") / F.col("prev") - 1) * 10_000 * 10_000)
+            / 10_000
+        ).alias("trix_bp"),
+    )

@@ -397,3 +397,102 @@ def test_embed_hubness_exact_k_occurrence(spark, tmp_path):
     assert r["n_antihubs"] == sum(1 for x in occ if x == 0)
     assert r["n_hubs"] == sum(1 for x in occ if x > 20)
     assert r["k_occurrence_skewness"] == pytest.approx(round(skew, 4), abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# r12 mini-batch day-one pins: G-test, Fisher-z CI, TRIX.
+
+
+def test_g_test_exact(spark, tmp_path):
+    cells = {
+        ("1-URGENT", "F"): 30, ("1-URGENT", "O"): 10,
+        ("5-LOW", "F"): 10, ("5-LOW", "O"): 30,
+    }
+    rows, k = [], 0
+    for (pri, st), cnt in cells.items():
+        for _ in range(cnt):
+            rows.append((k, 1, st, 100.0, datetime.datetime(2024, 1, 1), pri))
+            k += 1
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    (r,) = registry.get("agg_g_test").fn(spark, str(tmp_path)).collect()
+    n = sum(cells.values())
+    row_t, col_t = {}, {}
+    for (x, y), c in cells.items():
+        row_t[x] = row_t.get(x, 0) + c
+        col_t[y] = col_t.get(y, 0) + c
+    g = 0.0
+    for (x, y), c in sorted(cells.items()):  # the engines' fold order
+        g += 2.0 * c * math.log(c / (row_t[x] * col_t[y] / n))
+    assert (r["n"], r["dof"]) == (80, 1)
+    assert r["g_stat"] == pytest.approx(round(g, 4), abs=1e-9)
+    # published relation: for this symmetric 2x2, G (20.67) sits near
+    # but above Pearson's chi2 (20.0), and both clear chi2(1) = 3.8415
+    assert 20.0 < r["g_stat"] < 21.0
+    assert r["dependent"]
+
+
+def test_fisher_z_ci_exact(spark, tmp_path):
+    pairs = [(1, 0.01), (2, 0.03), (3, 0.02), (4, 0.05), (5, 0.04), (6, 0.07)]
+    spark.createDataFrame(
+        [
+            (i, i, 1, i, float(q), 100.0, float(d), 0.0, "N", "O",
+             datetime.datetime(2024, 1, 1))
+            for i, (q, d) in enumerate(pairs)
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    (r,) = registry.get("agg_fisher_z_corr_ci").fn(spark, str(tmp_path)).collect()
+    xs = [q for q, _ in pairs]
+    ys = [round(d * 100) for _, d in pairs]
+    n = len(pairs)
+    sx, sy = sum(xs), sum(ys)
+    rho = (n * sum(a * b for a, b in zip(xs, ys)) - sx * sy) / math.sqrt(
+        (n * sum(a * a for a in xs) - sx * sx)
+        * (n * sum(b * b for b in ys) - sy * sy)
+    )
+    fz = 0.5 * math.log((1 + rho) / (1 - rho))
+    half = 1.96 / math.sqrt(n - 3)
+
+    def tanh(x):
+        e2 = math.exp(2 * x)
+        return (e2 - 1) / (e2 + 1)
+
+    assert r["n"] == n
+    assert r["pearson_r"] == pytest.approx(round(rho, 6), abs=1e-9)
+    assert r["fisher_z"] == pytest.approx(FLOOR4(fz), abs=1e-9)
+    assert r["ci_lo"] == pytest.approx(FLOOR6(tanh(fz - half)), abs=1e-9)
+    assert r["ci_hi"] == pytest.approx(FLOOR6(tanh(fz + half)), abs=1e-9)
+    assert r["significant"] == (not (tanh(fz - half) <= 0 <= tanh(fz + half)))
+
+
+def test_trix_exact_triple_fold(spark, bar_dir):
+    out = {r["day"]: r for r in registry.get("win_trix").fn(spark, str(bar_dir)).collect()}
+
+    def ewma(vals):
+        m = len(vals)
+        num = sum(x * 0.5 ** (m - 1 - i) for i, x in enumerate(vals))
+        return num / (2.0 - 0.5 ** (m - 1))
+
+    cls = [float(c) for _, _, _, c in OHLC]
+    e1 = [ewma(cls[max(0, i - 7) : i + 1]) for i in range(N_DAYS)]
+    e2 = [ewma(e1[max(0, i - 7) : i + 1]) for i in range(N_DAYS)]
+    e3 = [ewma(e2[max(0, i - 7) : i + 1]) for i in range(N_DAYS)]
+    for i in range(N_DAYS):
+        if i == 0:
+            assert DAYS[i] not in out
+            continue
+        r = out[DAYS[i]]
+        assert r["triple_ema"] == pytest.approx(
+            math.floor(e3[i] / 100.0 * 1e4) / 1e4, abs=1e-9
+        ), i
+        assert r["trix_bp"] == pytest.approx(
+            math.floor((e3[i] / e3[i - 1] - 1) * 1e8) / 1e4, abs=1e-9
+        ), i

@@ -175,6 +175,14 @@ SINGLE_PARTITION_OK: dict[str, str] = {
         "marginal/total windows over the bounded 15-cell priority x "
         "status contingency frame + 1-row Bergsma algebra"
     ),
+    "agg_fisher_z_corr_ci": (
+        "1-row moment frame (six integer sufficient statistics of the "
+        "whole table; the agg_t_test shape)"
+    ),
+    "agg_g_test": (
+        "marginal/total windows + the ordered G fold over the bounded "
+        "15-cell priority x status contingency frame"
+    ),
     "agg_somers_d": (
         "four 1-row folds (pair counts, n, tie corrections) off the "
         "<=550-cell quantity x discount DOMAIN frame (bounded at any "
