@@ -123,8 +123,8 @@ _NEW_THIS_ROUND: set[str] = {
     "graph_resource_allocation",
     "graph_preferential_attachment",
     # r12 mini-batch 2 (new total 15, within the sweep-round cap;
-    # window: 6 changed + 15 new + 1 changed-judged = 22, leaving 28
-    # oldest-verdict rotation slots >= the 15 required)
+    # window: 5 changed leads + 15 new + 1 changed-judged = 21, leaving
+    # 29 oldest-verdict rotation slots >= the 15 required)
     "agg_g_test",
     "agg_fisher_z_corr_ci",
     "win_trix",
