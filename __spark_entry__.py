@@ -65,11 +65,14 @@ _CHANGED_THIS_ROUND = [
 
 # r12 diffs that touch function bodies WITHOUT changing semantics —
 # agg_yuen_trimmed_t gained a docstring paragraph documenting its
-# large-h normal-approximation verdict (ADVICE low; output identical,
-# re-oracled at 3 SFs anyway). Names here queue at the head of the
-# judged block for a driver re-hash.
+# large-h normal-approximation verdict (ADVICE low), and graph_hits
+# was rewritten onto dual pre-partitioned edge frames (VERDICT item 3,
+# m100 6.3x -> 3.1x; output identical, oracle unchanged and green).
+# Names here queue at the head of the judged block for a driver
+# re-hash.
 _CHANGED_JUDGED_THIS_ROUND: list[str] = [
     "agg_yuen_trimmed_t",
+    "graph_hits",
 ]
 
 
