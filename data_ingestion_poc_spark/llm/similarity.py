@@ -2672,8 +2672,25 @@ _HUBNESS_IVF_ORACLE = f"""
 #: result-list fold (minus its nlist diagnostic column) above it. The
 #: driver compare hashes by column NAME, so the two branches only need
 #: matching names.
+#:
+#: Cost gating (ADVICE r12): DuckDB is not guaranteed to short-circuit
+#: a constant scalar-subquery WHERE over a UNION ALL branch, so the
+#: brute branch's own `e` CTE is additionally gated — above the
+#: boundary it scans 0 rows and the O(N^2) self-join is over empty
+#: input whether or not the planner prunes the branch. The gated brute
+#: SQL then emits one spurious n=0 aggregate row (COUNT over empty),
+#: which the outer constant WHERE still removes, so VALUES are
+#: unchanged on both engines; this is purely an oracle-runtime fix.
+_HUBNESS_BRUTE_GATED = _HUBNESS_ORACLE.replace(
+    "FROM embeddings\n",
+    "FROM embeddings"
+    f" WHERE (SELECT COUNT(*) FROM embeddings) <= {HUBNESS_BRUTE_MAX}\n",
+    1,
+)
+assert _HUBNESS_BRUTE_GATED != _HUBNESS_ORACLE  # substitution anchor held
+
 _HUBNESS_DISPATCH_ORACLE = f"""
-    SELECT * FROM ({_HUBNESS_ORACLE})
+    SELECT * FROM ({_HUBNESS_BRUTE_GATED})
     WHERE (SELECT COUNT(*) FROM embeddings) <= {HUBNESS_BRUTE_MAX}
     UNION ALL
     SELECT n, k, max_k_occ, n_antihubs, n_hubs, k_occurrence_skewness

@@ -697,6 +697,12 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(HITS_ROUNDS):
         auths = _half(hubs, "src", "dst")
         hubs = _half(auths, "dst", "src")
+    # the .first() in each half-round already materialized every join
+    # eagerly, so the edge caches are spent; the returned frame executes
+    # off the persisted final-round `raw` frames (recompute from parquet
+    # if evicted) — release the two edge copies per the cache discipline
+    for ec in e_by.values():
+        ec.unpersist()
     return hubs.select(
         "node", F.lit("hub").alias("role"), F.col("units").cast("bigint").alias("score_units")
     ).unionByName(

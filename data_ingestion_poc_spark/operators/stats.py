@@ -7003,7 +7003,11 @@ _COHENS_H_ORACLE = """
       SELECT n1, x1, n2, x2,
              2 * asin(sqrt(CAST(x1 AS DOUBLE) / n1))
                - 2 * asin(sqrt(CAST(x2 AS DOUBLE) / n2)) AS h
-      FROM p
+      -- empty-arm guard (ADVICE r12): the scalar-subquery CTE always
+      -- yields 1 row with NULL stats when an arm is empty, but the
+      -- Spark side's crossJoin of an empty arm frame yields 0 rows —
+      -- drop the degenerate row so both engines agree on empty arms
+      FROM p WHERE n1 IS NOT NULL AND n2 IS NOT NULL
     )
     SELECT n1 AS n_treatment, n2 AS n_control,
            ROUND(CAST(x1 AS DOUBLE) / n1, 6) AS p_treatment,
@@ -7032,7 +7036,9 @@ def agg_cohens_h(spark: SparkSession, sf_dir: str) -> DataFrame:
     (combinable) to a 2-row arm frame; p1/p2 are exact integer ratios;
     asin/sqrt run on identical doubles in both engines
     (agg_mutual_info's libm precedent); h floors at 1e-4 with the
-    magnitude label on the unfloored value."""
+    magnitude label on the unfloored value. Empty-arm inputs yield 0
+    rows on BOTH engines (the oracle drops its NULL-stats scalar row;
+    the crossJoin of an empty arm frame is naturally empty)."""
     t = load(spark, sf_dir)
     nibble = F.substring(
         F.md5(

@@ -5023,6 +5023,9 @@ _KATZ_FD_ORACLE = f"""
            CAST(l_path AS BIGINT) AS path_cents,
            CAST(d_ext AS BIGINT) AS extent_cents,
            CASE WHEN d_ext > 0 AND l_path > 0
+                     AND ABS({KATZ_FD_SPAN - 1} * CAST(d_ext AS BIGINT)
+                             - CAST(l_path AS BIGINT)) * 100000
+                         >= CAST(l_path AS BIGINT)
                 THEN floor(log10({KATZ_FD_SPAN - 1}.0)
                            / (log10({KATZ_FD_SPAN - 1}.0)
                               + log10(CAST(d_ext AS DOUBLE) / l_path))
@@ -5048,7 +5051,18 @@ def win_fractal_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer cents from array folds, the FD is log10s of one exact
     ratio on identical doubles, floored 1e-4. Degenerate windows
     (d = 0 flat-from-start or L = 0 fully flat) null the FD on both
-    engines. Full-frame gating."""
+    engines. Full-frame gating.
+
+    Singularity guard (ADVICE r12): the FD denominator log10(steps*d/L)
+    crosses 0 at steps*d == L (e.g. exact integers d=100, L=1300), where
+    Spark's F.floor(LONG) saturates at Long.MaxValue while DuckDB's
+    floor stays DOUBLE/inf, and libm log10 ulps are amplified
+    unboundedly. Both engines therefore null the FD unless
+    |steps*d - L| * 100000 >= L — an EXACT-integer predicate (no
+    epsilon-on-doubles cross-engine risk; magnitudes are price-bounded,
+    |13d-L|*1e5 <~ 1e13 << 2^63). Outside the guard |denominator| >=
+    log10(1 + 1e-5) ~ 4.3e-6, so FD <= ~2.6e5, fd*10000 fits LONG, and
+    the 1e-4 floor is stable against ~1e-16 relative log ulps."""
     t = load(spark, sf_dir)
     bars = _ohlc_bars(t)
     w = (
@@ -5088,7 +5102,18 @@ def win_fractal_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.log10(F.lit(steps))
         + F.log10(F.col("d_ext").cast("double") / F.col("l_path"))
     )
-    ok = (F.col("d_ext") > 0) & (F.col("l_path") > 0)
+    ok = (
+        (F.col("d_ext") > 0)
+        & (F.col("l_path") > 0)
+        # exact-integer singularity guard — see docstring
+        & (
+            F.abs(
+                F.lit(int(steps)) * F.col("d_ext") - F.col("l_path")
+            )
+            * F.lit(100_000)
+            >= F.col("l_path")
+        )
+    )
     return m.select(
         "event_type",
         F.col("day").cast("string").alias("day"),
