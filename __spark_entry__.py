@@ -40,38 +40,29 @@ def entry(spark: SparkSession) -> DataFrame:
 # CORRECTNESS_r0*.json files — r5's hand-maintained 180-line _JUDGED list
 # is gone; drift there silently wasted window slots).
 _CHANGED_THIS_ROUND = [
-    # r12 semantic fixes (ADVICE r11), each re-oracled at 3 SFs on the
-    # day of the fix and pinned by planted-model tests:
-    # - agg_brunner_munzel: W denominator restored to the published
-    #   Brunner-Munzel 2000 form na*nb*(Rb-Ra)/((na+nb)*sqrt(na*Sa^2
-    #   + nb*Sb^2)) — the r11 form deflated W by ~sqrt(n) on BOTH
-    #   engines (the differential-oracle blind spot, ADVICE high).
-    # - agg_welch_anova: means_differ critical value now keyed on the
-    #   observed k-1 via F_CRIT_INF_BY_DOF1 (null when untabled)
-    #   instead of the hard-wired dof1=4 constant (ADVICE low).
-    "agg_brunner_munzel",
-    "agg_welch_anova",
-    # r12 planted-model sweep finds (same class as the welch fix): the
-    # hard-wired dof1=4 critical values in levene / kruskal now key on
-    # the observed k-1, null when untabled. Re-oracled at 3 SFs.
-    "agg_levene_test",
-    "agg_kruskal_wallis",
-    # r12 item 5: embed_hubness's dispatch boundary moved off the sf0.1
-    # bench point (HUBNESS_BRUTE_MAX 2000 -> 1000) and its oracle now
-    # dispatches identically in SQL; re-oracled at 3 SFs (IVF regime at
-    # sf0.1, brute at the small SFs).
-    "embed_hubness",
+    # r13 semantic edge-case guards (ADVICE r12), each re-oracled at
+    # 3 SFs on the day of the fix:
+    # - win_fractal_dimension: exact-integer singularity guard — the
+    #   FD nulls when |steps*d - L| * 100000 < L, so the log10-ratio
+    #   denominator can never hit 0 (Spark floor(LONG) saturation vs
+    #   DuckDB inf divergence) and the 1e-4 floor stays ulp-stable.
+    # - agg_cohens_h: empty-arm parity — the oracle's scalar-subquery
+    #   CTE now drops its NULL-stats row (WHERE n1/n2 IS NOT NULL) so
+    #   both engines emit 0 rows on degenerate empty-arm inputs.
+    "win_fractal_dimension",
+    "agg_cohens_h",
 ]
 
-# r12 diffs that touch function bodies WITHOUT changing semantics —
-# agg_yuen_trimmed_t gained a docstring paragraph documenting its
-# large-h normal-approximation verdict (ADVICE low), and graph_hits
-# was rewritten onto dual pre-partitioned edge frames (VERDICT item 3,
-# m100 6.3x -> 3.1x; output identical, oracle unchanged and green).
-# Names here queue at the head of the judged block for a driver
-# re-hash.
+# r13 diffs that touch plans/oracles WITHOUT changing values —
+# embed_hubness's dispatching oracle gained the brute-branch cost gate
+# (ADVICE r12: the quadratic CTE now scans 0 rows above
+# HUBNESS_BRUTE_MAX whether or not DuckDB prunes the UNION branch;
+# values identical, the outer constant WHERE still removes the
+# spurious n=0 row), and graph_hits now unpersists its two edge caches
+# before return (the r12 cosmetic nit; output identical). Names here
+# queue at the head of the judged block for a driver re-hash.
 _CHANGED_JUDGED_THIS_ROUND: list[str] = [
-    "agg_yuen_trimmed_t",
+    "embed_hubness",
     "graph_hits",
 ]
 
@@ -100,37 +91,45 @@ def _verdict_rounds() -> dict[str, int]:
     return last
 
 
-#: Names first registered THIS round (r12). Window math: 2 changed
-#: leads + 0 backlog + len(_NEW_THIS_ROUND) newcomers, and every
-#: remaining slot (>= 15 required by VERDICT r11 item 2) goes to the
-#: oldest-verdict rotation. r12 is the planted-model-sweep round, so
-#: the new-op cap is deliberately small (~10-15).
+#: Names first registered THIS round (r13). Window math: 2 changed
+#: leads + 0 backlog + 20 newcomers + 2 changed-judged = 24, leaving
+#: 26 oldest-verdict rotation slots (>= the 15 required by VERDICT r11
+#: item 2; the r13 rotation block draws from the stalest r2/r3-verdict
+#: cohort per VERDICT r12 item 3 — mechanical via _verdict_rounds()).
 _NEW_THIS_ROUND: set[str] = {
-    # VERDICT r11 item 5: the forced brute-force hubness audit path,
-    # value-oracled at 3 SFs on arrival
-    "embed_hubness_exact",
-    # r12 batch (12 total, inside the sweep-round cap): agreement /
-    # association / effect-size classics (stats.py), five more bar
-    # indicators (windows.py), the link-prediction pair (graph.py).
-    # Each: 3-SF oracle pass on arrival + planted-model test in
-    # tests/test_round12f.py from day one.
-    "agg_cramers_v_corrected",
-    "agg_cohens_h",
-    "agg_ansari_bradley",
-    "agg_somers_d",
-    "win_kaufman_er",
-    "win_force_index",
-    "win_ease_of_movement",
-    "win_choppiness_index",
-    "win_fractal_dimension",
-    "graph_resource_allocation",
-    "graph_preferential_attachment",
-    # r12 mini-batch 2 (new total 15, within the sweep-round cap;
-    # window: 5 changed leads + 15 new + 1 changed-judged = 21, leaving
-    # 29 oldest-verdict rotation slots >= the 15 required)
-    "agg_g_test",
-    "agg_fisher_z_corr_ci",
-    "win_trix",
+    # VERDICT r12 item 4 trio: streaming near-dup (the banded-MinHash
+    # index as streaming state, golden-replay value oracle), the
+    # HNSW-style navigable-graph ANN + its recall gate.
+    "stream_dedup_minhash",
+    "sim_search_nsw",
+    "sim_search_nsw_recall",
+    # Model-eval completions: calibration slope/intercept beside ECE
+    # (VERDICT r12 item 4), Murphy Brier decomposition, ranking nDCG,
+    # and the agreement family beyond kappa (Gwet AC1, Krippendorff
+    # alpha).
+    "agg_calibration_slope",
+    "agg_brier_decomposition",
+    "agg_ndcg",
+    "agg_gwet_ac1",
+    "agg_krippendorff_alpha",
+    # Census stats: the paired Wilcoxon, two more scale/concordance
+    # classics, residual autocorrelation, method agreement,
+    # probability-of-superiority, and equivalence testing.
+    "agg_wilcoxon_signed_rank",
+    "agg_siegel_tukey",
+    "agg_kendall_w",
+    "agg_durbin_watson",
+    "agg_lin_ccc",
+    "agg_vargha_delaney_a",
+    "agg_tost_equivalence",
+    # Bar indicators on the shared OHLC lattice: volume-flow pair
+    # (CMF + ADL), Elder ray, Know Sure Thing (fixture-scaled spans).
+    "win_chaikin_money_flow",
+    "win_accum_dist_line",
+    "win_elder_ray",
+    "win_kst",
+    # The missing classical centrality (truncated harmonic closeness).
+    "graph_closeness_centrality",
 }
 
 

@@ -1039,3 +1039,62 @@ def sim_search_bq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# r13: recall gate for the navigable-graph ANN (sim_search_nsw).
+# ---------------------------------------------------------------------------
+
+
+def _nsw_recall_oracle() -> str:
+    """Both sides replay in SQL (the NSW walk is deterministic SQL end
+    to end, unlike the xxhash64 LSH variants), so the recall report
+    itself gets a full value-hash check: left side = brute-force
+    top-10 (the sim_search_knn oracle), right side = the graph walk's
+    top-10 (the sim_search_nsw oracle), joined on (query, neighbor)."""
+    from .similarity import _KNN_ORACLE, _NSW_ORACLE
+
+    return f"""
+    SELECT k.query_id,
+           CAST(COUNT(*) AS BIGINT) AS exact_k,
+           CAST(COUNT(n.neighbor_id) AS BIGINT) AS ann_hits,
+           ROUND(COUNT(n.neighbor_id) * 100.0 / COUNT(*), 2) AS recall_pct
+    FROM ({_KNN_ORACLE}) k
+    LEFT JOIN ({_NSW_ORACLE}) n
+      ON n.query_id = k.query_id AND n.neighbor_id = k.neighbor_id
+    GROUP BY k.query_id
+    ORDER BY k.query_id
+"""
+
+
+@register("sim_search_nsw_recall", oracle=_nsw_recall_oracle())
+def sim_search_nsw_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the HNSW-style graph walk (sim_search_nsw) against
+    brute-force cosine top-10 — the acceptance gate the ANN census
+    requires of every family (LSH, IVF, PQ, IVF-PQ, BQ all carry one).
+    A miss here is a neighbor the NSW_HOPS-bounded beam never reached:
+    raising NSW_BEAM / NSW_DEG trades walk cost for recall, and this
+    query is the number that justifies the setting.
+
+    Scale/determinism: joins two already-registered operators' outputs
+    on (query, neighbor) keys — answer-sized frames; both sides are
+    deterministic SQL-replayable plans, so unlike the hash-based
+    recall evals this one is fully value-oracled."""
+    from .similarity import sim_search_nsw
+
+    exact = sim_search_knn(spark, sf_dir).select("query_id", "neighbor_id")
+    ann = sim_search_nsw(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    ).withColumn("hit", F.lit(1))
+    hit = exact.join(ann, on=["query_id", "neighbor_id"], how="left")
+    return (
+        hit.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("exact_k"),
+            F.count("hit").cast("bigint").alias("ann_hits"),
+            F.round(F.count("hit") * 100.0 / F.count(F.lit(1)), 2).alias(
+                "recall_pct"
+            ),
+        )
+        .orderBy("query_id")
+    )

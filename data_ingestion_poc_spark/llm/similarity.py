@@ -2942,3 +2942,257 @@ def sim_search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "fused_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# r13: HNSW-style navigable-graph ANN (the family census' missing
+# graph-traversal member beside LSH / IVF / PQ / IVF-PQ / BQ / SQ).
+# ---------------------------------------------------------------------------
+
+#: Layer-0 out-degree of the navigable graph (each vector links to its
+#: NSW_DEG nearest same-cell neighbors), beam width, and hop budget.
+#: Deterministic stand-ins for HNSW's insertion-order randomness: the
+#: coarse layer is one entry node per label cell (min vec_id), the
+#: greedy descent picks the entry whose vector is closest to the
+#: query, and the layer-0 beam search runs a FIXED number of hops —
+#: the fixed-budget contract every iterative op here uses (pagerank /
+#: kcore / bfs precedent).
+NSW_DEG = 6
+NSW_BEAM = 8
+NSW_HOPS = 3
+
+_NSW_ORACLE = f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    ),
+    entry AS (SELECT label, MIN(vec_id) AS eid FROM e GROUP BY label),
+    entv AS (
+      SELECT en.eid, e.v AS ev FROM entry en JOIN e ON e.vec_id = en.eid
+    ),
+    g AS (
+      SELECT src, dst FROM (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY {_COS.format(a="a.v", b="b.v")} DESC, b.vec_id)
+                 AS rn
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+      ) WHERE rn <= {NSW_DEG}
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qe FROM e WHERE vec_id < 5),
+    start AS (
+      SELECT query_id, eid FROM (
+        SELECT q.query_id, en.eid,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {_COS.format(a="q.qe", b="en.ev")} DESC, en.eid)
+                 AS rn
+        FROM q CROSS JOIN entv en
+      ) WHERE rn = 1
+    ),
+    v0 AS (
+      SELECT s.query_id, s.eid AS node,
+             {_COS.format(a="q.qe", b="e.v")} AS cosine
+      FROM start s JOIN q ON q.query_id = s.query_id
+      JOIN e ON e.vec_id = s.eid
+    ),
+    b0 AS (SELECT query_id, node FROM v0),
+    x1 AS (
+      SELECT DISTINCT b.query_id, g.dst AS node
+      FROM b0 b JOIN g ON g.src = b.node
+    ),
+    s1 AS (
+      SELECT x.query_id, x.node,
+             {_COS.format(a="q.qe", b="e.v")} AS cosine
+      FROM x1 x JOIN q ON q.query_id = x.query_id
+      JOIN e ON e.vec_id = x.node
+    ),
+    v1 AS (
+      SELECT query_id, node, MAX(cosine) AS cosine FROM (
+        SELECT * FROM v0 UNION ALL SELECT * FROM s1
+      ) GROUP BY query_id, node
+    ),
+    b1 AS (
+      SELECT query_id, node FROM (
+        SELECT query_id, node,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, node) AS rn
+        FROM v1
+      ) WHERE rn <= {NSW_BEAM}
+    ),
+    x2 AS (
+      SELECT DISTINCT b.query_id, g.dst AS node
+      FROM b1 b JOIN g ON g.src = b.node
+    ),
+    s2 AS (
+      SELECT x.query_id, x.node,
+             {_COS.format(a="q.qe", b="e.v")} AS cosine
+      FROM x2 x JOIN q ON q.query_id = x.query_id
+      JOIN e ON e.vec_id = x.node
+    ),
+    v2 AS (
+      SELECT query_id, node, MAX(cosine) AS cosine FROM (
+        SELECT * FROM v1 UNION ALL SELECT * FROM s2
+      ) GROUP BY query_id, node
+    ),
+    b2 AS (
+      SELECT query_id, node FROM (
+        SELECT query_id, node,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, node) AS rn
+        FROM v2
+      ) WHERE rn <= {NSW_BEAM}
+    ),
+    x3 AS (
+      SELECT DISTINCT b.query_id, g.dst AS node
+      FROM b2 b JOIN g ON g.src = b.node
+    ),
+    s3 AS (
+      SELECT x.query_id, x.node,
+             {_COS.format(a="q.qe", b="e.v")} AS cosine
+      FROM x3 x JOIN q ON q.query_id = x.query_id
+      JOIN e ON e.vec_id = x.node
+    ),
+    v3 AS (
+      SELECT query_id, node, MAX(cosine) AS cosine FROM (
+        SELECT * FROM v2 UNION ALL SELECT * FROM s3
+      ) GROUP BY query_id, node
+    )
+    SELECT query_id, node AS neighbor_id, ROUND(cosine, 4) AS cosine, rk
+    FROM (
+      SELECT query_id, node, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, node) AS rk
+      FROM v3 WHERE node <> query_id
+    ) WHERE rk <= 10
+"""
+
+
+def _nsw_graph(t) -> DataFrame:
+    """Layer-0 navigable graph: each vector's NSW_DEG nearest
+    same-label neighbors by exact cosine (deterministic ties on
+    vec_id). Cell-local all-pairs — sum-of-cells^2 pair space, the
+    embed_hubness_ivf N^1.5 shape; at corpus scale the build swaps to
+    NN-descent or an LSH-bucketed candidate generator, the walk below
+    is unchanged."""
+    e = t.embeddings.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cos = dot_double(F.col("a.v"), F.col("b.v")) / (
+        F.sqrt(dot_double(F.col("a.v"), F.col("a.v")))
+        * F.sqrt(dot_double(F.col("b.v"), F.col("b.v")))
+    )
+    w = Window.partitionBy("src").orderBy(F.col("c").desc(), "dst")
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("src"),
+            F.col("b.vec_id").alias("dst"),
+            cos.alias("c"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= NSW_DEG)
+        .select("src", "dst")
+    )
+
+
+@register("sim_search_nsw", oracle=_NSW_ORACLE)
+def sim_search_nsw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HNSW-style navigable-graph ANN (Malkov & Yashunin 2016, made
+    deterministic): a two-layer structure — one entry node per label
+    cell on top, an exact NSW_DEG-regular cell-local kNN graph below —
+    searched by greedy entry selection then a NSW_BEAM-wide,
+    NSW_HOPS-hop beam walk whose FINAL top-10 ranks every node the
+    walk visited. Completes the ANN family census (LSH / IVF / PQ /
+    IVF-PQ / BQ / SQ all exist): graph ANN is the recall/latency
+    frontier in practice, and this is its oracle-checkable contract —
+    insertion-order randomness replaced by min-vec_id entries and
+    fixed budgets, so DuckDB replays the identical walk.
+
+    Scale/determinism: the graph builds cell-local (sum of cell^2
+    pairs, never global all-pairs — see _nsw_graph); the walk itself
+    touches beam x degree rows per hop per query, independent of
+    corpus size, with the graph and query frames broadcast; every
+    frontier is deduped by (query, node) and re-ranked with vec_id
+    tiebreaks, every cosine recomputed from the same doubles, so both
+    engines visit the same set. Fixed hop budget = the pagerank/kcore
+    unrolled-iteration doctrine."""
+    t = load(spark, sf_dir)
+    g = _nsw_graph(t).localCheckpoint()
+    e = t.embeddings.select(
+        F.col("vec_id").alias("node"),
+        F.col("embedding").cast("array<double>").alias("nv"),
+    )
+    q = t.embeddings.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qe"),
+    )
+    entry = (
+        t.embeddings.groupBy("label").agg(F.min("vec_id").alias("eid"))
+        .join(e, F.col("eid") == F.col("node"))
+        .select("eid", F.col("nv").alias("ev"))
+    )
+    cos_qe = dot_double(F.col("qe"), F.col("ev")) / (
+        F.sqrt(dot_double(F.col("qe"), F.col("qe")))
+        * F.sqrt(dot_double(F.col("ev"), F.col("ev")))
+    )
+    w_start = Window.partitionBy("query_id").orderBy(
+        F.col("ce").desc(), "eid"
+    )
+    start = (
+        q.crossJoin(F.broadcast(entry))
+        .select("query_id", "eid", cos_qe.alias("ce"))
+        .withColumn("rn", F.row_number().over(w_start))
+        .where(F.col("rn") == 1)
+        .select("query_id", F.col("eid").alias("node"))
+    )
+
+    def _score(frontier: DataFrame) -> DataFrame:
+        cos = dot_double(F.col("qe"), F.col("nv")) / (
+            F.sqrt(dot_double(F.col("qe"), F.col("qe")))
+            * F.sqrt(dot_double(F.col("nv"), F.col("nv")))
+        )
+        return (
+            frontier.join(q, "query_id")
+            .join(e, "node")
+            .select("query_id", "node", cos.alias("cosine"))
+        )
+
+    visited = _score(start)
+    beam = visited.select("query_id", "node")
+    w_beam = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), "node"
+    )
+    for _ in range(NSW_HOPS):
+        expanded = (
+            beam.join(F.broadcast(g), beam.node == g.src)
+            .select("query_id", F.col("dst").alias("node"))
+            .distinct()
+        )
+        visited = (
+            visited.unionByName(_score(expanded))
+            .groupBy("query_id", "node")
+            .agg(F.max("cosine").alias("cosine"))
+        )
+        beam = (
+            visited.withColumn("rn", F.row_number().over(w_beam))
+            .where(F.col("rn") <= NSW_BEAM)
+            .select("query_id", "node")
+        )
+    return (
+        visited.where(F.col("node") != F.col("query_id"))
+        .withColumn("rk", F.row_number().over(w_beam))
+        .where(F.col("rk") <= 10)
+        .select(
+            "query_id",
+            F.col("node").alias("neighbor_id"),
+            F.round("cosine", 4).alias("cosine"),
+            "rk",
+        )
+    )

@@ -605,3 +605,548 @@ def agg_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("kappa"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r13 block: calibration slope/intercept, Murphy Brier decomposition,
+# chance-corrected agreement beyond kappa (Gwet AC1, Krippendorff
+# alpha), and ranking quality (nDCG@k).
+# ---------------------------------------------------------------------------
+
+_CALIB_SLOPE_ORACLE = f"""
+    {_SCORED_CTE},
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(p_u AS DECIMAL(38,0))) AS sp,
+             SUM(CAST(p_u AS DECIMAL(38,0)) * p_u) AS spp,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             SUM(CAST(p_u AS DECIMAL(38,0)) * y) AS spy
+      FROM scored
+    ),
+    d AS (
+      SELECT n,
+             1000000.0 * (CAST(n AS DOUBLE) * CAST(spy AS DOUBLE)
+                          - CAST(sp AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+                - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)) AS slope,
+             CAST(sy AS DOUBLE) / n AS ybar,
+             CAST(sp AS DOUBLE) / n / 1000000.0 AS pbar
+      FROM m
+      WHERE CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+            - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE) > 0
+    )
+    SELECT n,
+           floor((ybar - pbar) * 1000000) / 1000000 AS calibration_in_large,
+           floor(slope * 1000000) / 1000000 AS calibration_slope,
+           floor((ybar - slope * pbar) * 1000000) / 1000000
+             AS calibration_intercept
+    FROM d
+"""
+
+
+@register("agg_calibration_slope", oracle=_CALIB_SLOPE_ORACLE)
+def agg_calibration_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration slope and intercept (Cox 1958 recalibration form,
+    linear-probability variant) of the purchase score: OLS of the
+    binary outcome on the predicted probability. A well-calibrated
+    model has slope 1 and intercept 0; slope < 1 means overfit
+    (predictions too extreme), calibration-in-the-large =
+    mean(y) - mean(p) catches a global base-rate shift that ECE's
+    absolute bins can mask. Completes the calibration pair VERDICT r12
+    asked for beside agg_calibration_ece.
+
+    Scale/determinism: one combinable moment pass over (y, micro-unit
+    p_u) — p_u^2 and p_u*y sums pre-widen to DECIMAL(38,0) (1e12-scale
+    squares times corpus rows overflow BIGINT); slope/intercept are
+    single closed-form double expressions over those exact integers,
+    floored 1e-6. Zero score variance emits 0 rows on both engines."""
+    s = _scored(spark, sf_dir)
+    m = s.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("p_u").cast("decimal(38,0)")).alias("sp"),
+        F.sum(F.col("p_u").cast("decimal(38,0)") * F.col("p_u")).alias("spp"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("p_u").cast("decimal(38,0)") * F.col("y")).alias("spy"),
+    )
+    nd = F.col("n").cast("double")
+    var_n = nd * F.col("spp").cast("double") - F.col("sp").cast("double") * F.col(
+        "sp"
+    ).cast("double")
+    slope = (
+        1_000_000.0
+        * (nd * F.col("spy").cast("double") - F.col("sp").cast("double") * F.col("sy"))
+        / var_n
+    )
+    ybar = F.col("sy").cast("double") / nd
+    pbar = F.col("sp").cast("double") / nd / 1_000_000.0
+    d = m.where(var_n > 0).select(
+        "n", slope.alias("slope"), ybar.alias("ybar"), pbar.alias("pbar")
+    )
+    return d.select(
+        "n",
+        (F.floor((F.col("ybar") - F.col("pbar")) * 1_000_000) / 1_000_000).alias(
+            "calibration_in_large"
+        ),
+        (F.floor(F.col("slope") * 1_000_000) / 1_000_000).alias(
+            "calibration_slope"
+        ),
+        (
+            F.floor(
+                (F.col("ybar") - F.col("slope") * F.col("pbar")) * 1_000_000
+            )
+            / 1_000_000
+        ).alias("calibration_intercept"),
+    )
+
+
+#: Brier-decomposition bins: same 10-bucket grid as agg_calibration_ece
+#: so the reliability term reads against the same diagram.
+BRIER_BINS = 10
+
+_BRIER_DECOMP_ORACLE = f"""
+    {_SCORED_CTE},
+    b AS (
+      SELECT CAST(floor(LEAST(p_u / 1000000.0, 0.9999999)
+                        * {BRIER_BINS}) AS BIGINT) AS bin,
+             COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS pos,
+             SUM(CAST(p_u AS DECIMAL(38,0))) AS sp
+      FROM scored GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(pos) AS BIGINT) AS np
+      FROM b
+    ),
+    fold AS (
+      SELECT bin, nn, np,
+             SUM(n * (CAST(sp AS DOUBLE) / 1000000 / n
+                      - pos / CAST(n AS DOUBLE))
+                   * (CAST(sp AS DOUBLE) / 1000000 / n
+                      - pos / CAST(n AS DOUBLE)))
+               OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS rel_cum,
+             SUM(n * (pos / CAST(n AS DOUBLE)
+                      - np / CAST(nn AS DOUBLE))
+                   * (pos / CAST(n AS DOUBLE)
+                      - np / CAST(nn AS DOUBLE)))
+               OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS res_cum
+      FROM b CROSS JOIN tot
+    ),
+    s AS (
+      SELECT MAX(nn) AS nn, MAX(np) AS np,
+             MAX_BY(rel_cum, bin) AS rel, MAX_BY(res_cum, bin) AS res
+      FROM fold
+    )
+    SELECT nn AS n,
+           floor(rel / nn * 1000000) / 1000000 AS reliability,
+           floor(res / nn * 1000000) / 1000000 AS resolution,
+           floor((np / CAST(nn AS DOUBLE))
+                 * (1 - np / CAST(nn AS DOUBLE)) * 1000000) / 1000000
+             AS uncertainty,
+           floor((rel / nn - res / nn
+                  + (np / CAST(nn AS DOUBLE))
+                    * (1 - np / CAST(nn AS DOUBLE))) * 1000000) / 1000000
+             AS brier_binned
+    FROM s
+"""
+
+
+@register("agg_brier_decomposition", oracle=_BRIER_DECOMP_ORACLE)
+def agg_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy (1973) decomposition of the BINNED Brier score:
+    reliability (n-weighted squared gap between each bin's mean
+    forecast and its outcome rate — calibration, smaller is better),
+    resolution (how far bin outcome rates spread from the base rate —
+    discrimination, larger is better), and uncertainty (base-rate
+    variance, the no-skill floor). brier_binned = REL - RES + UNC
+    exactly, because within-bin forecasts are collapsed to the bin
+    mean — the identity the raw agg_brier_score cannot expose. The
+    skill question becomes one subtraction: the model beats climate
+    iff RES > REL.
+
+    Scale/determinism: one combinable pass onto the {BRIER_BINS}-bin
+    domain (micro-unit sums, DECIMAL(38,0) widening); the two
+    unavoidable double sums fold cumulatively in BIN ORDER over the
+    bounded bin frame and finish via max_by (ordered-fold doctrine —
+    the ECE precedent's unordered OVER () is avoided here because
+    squared terms amplify reorder ulps). All four outputs floor at
+    1e-6."""
+    s = _scored(spark, sf_dir)
+    b = s.groupBy(
+        F.floor(
+            F.least(F.col("p_u") / 1_000_000.0, F.lit(0.9999999)) * BRIER_BINS
+        )
+        .cast("bigint")
+        .alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").cast("bigint").alias("pos"),
+        F.sum(F.col("p_u").cast("decimal(38,0)")).alias("sp"),
+    )
+    tot = b.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("pos").cast("bigint").alias("np"),
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    gap = F.col("sp").cast("double") / 1_000_000 / F.col("n") - F.col(
+        "pos"
+    ) / F.col("n").cast("double")
+    spread = F.col("pos") / F.col("n").cast("double") - F.col("np") / F.col(
+        "nn"
+    ).cast("double")
+    fold = b.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "nn",
+        "np",
+        F.sum(F.col("n") * gap * gap).over(w).alias("rel_cum"),
+        F.sum(F.col("n") * spread * spread).over(w).alias("res_cum"),
+    )
+    agg = fold.agg(
+        F.max("nn").alias("nn"),
+        F.max("np").alias("np"),
+        F.max_by("rel_cum", "bin").alias("rel"),
+        F.max_by("res_cum", "bin").alias("res"),
+    )
+    base = F.col("np") / F.col("nn").cast("double")
+    return agg.select(
+        F.col("nn").alias("n"),
+        (F.floor(F.col("rel") / F.col("nn") * 1_000_000) / 1_000_000).alias(
+            "reliability"
+        ),
+        (F.floor(F.col("res") / F.col("nn") * 1_000_000) / 1_000_000).alias(
+            "resolution"
+        ),
+        (F.floor(base * (1 - base) * 1_000_000) / 1_000_000).alias(
+            "uncertainty"
+        ),
+        (
+            F.floor(
+                (
+                    F.col("rel") / F.col("nn")
+                    - F.col("res") / F.col("nn")
+                    + base * (1 - base)
+                )
+                * 1_000_000
+            )
+            / 1_000_000
+        ).alias("brier_binned"),
+    )
+
+
+_GWET_AC1_ORACLE = f"""
+    {_SCORED_CTE},
+    c AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN y = 1 AND p_u >= {MCC_THRESHOLD_U}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN y = 0 AND p_u < {MCC_THRESHOLD_U}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+             CAST(SUM(CASE WHEN p_u >= {MCC_THRESHOLD_U}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS pred_pos,
+             CAST(SUM(y) AS BIGINT) AS true_pos
+      FROM scored
+    ),
+    d AS (
+      SELECT n, (tp + tn) / CAST(n AS DOUBLE) AS po,
+             2 * ((pred_pos + true_pos) / (2.0 * n))
+               * (1 - (pred_pos + true_pos) / (2.0 * n)) AS pe
+      FROM c
+    )
+    SELECT n, ROUND(po, 6) AS observed_agreement,
+           ROUND(pe, 6) AS chance_agreement_gamma,
+           CASE WHEN pe < 1.0 THEN ROUND((po - pe) / (1.0 - pe), 6)
+                ELSE 0.0 END AS gwet_ac1
+    FROM d
+"""
+
+
+@register("agg_gwet_ac1", oracle=_GWET_AC1_ORACLE)
+def agg_gwet_ac1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gwet's AC1 (Gwet 2008) between the thresholded score and the
+    purchase label: chance-corrected agreement whose chance term
+    2*pi*(1-pi) uses the MEAN of the two raters' positive rates —
+    immune to the kappa paradox (agg_cohens_kappa collapses toward 0
+    on skewed marginals even when raters agree on nearly every item;
+    AC1 stays interpretable). Read the pair together: kappa much
+    smaller than AC1 flags prevalence distortion, not disagreement.
+
+    Scale/determinism: the identical single combinable 4-counter pass
+    as agg_cohens_kappa (same confusion matrix, deliberately — the two
+    statistics must be comparable on the same data); AC1 is one
+    closed-form double expression over those integers, rounded at
+    6 dp with kappa's pe<1 guard convention."""
+    s = _scored(spark, sf_dir)
+    pred = (F.col("p_u") >= MCC_THRESHOLD_U).cast("int")
+    c = s.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(((F.col("y") == 1) & (pred == 1)).cast("int"))
+        .cast("bigint")
+        .alias("tp"),
+        F.sum(((F.col("y") == 0) & (pred == 0)).cast("int"))
+        .cast("bigint")
+        .alias("tn"),
+        F.sum(pred).cast("bigint").alias("pred_pos"),
+        F.sum("y").cast("bigint").alias("true_pos"),
+    )
+    nd = F.col("n").cast("double")
+    po = (F.col("tp") + F.col("tn")) / nd
+    pi = (F.col("pred_pos") + F.col("true_pos")) / (2.0 * F.col("n"))
+    pe = 2 * pi * (1 - pi)
+    return c.select(
+        "n",
+        F.round(po, 6).alias("observed_agreement"),
+        F.round(pe, 6).alias("chance_agreement_gamma"),
+        F.when(pe < 1.0, F.round((po - pe) / (1.0 - pe), 6))
+        .otherwise(F.lit(0.0))
+        .alias("gwet_ac1"),
+    )
+
+
+_KRIPP_ORACLE = f"""
+    {_SCORED_CTE},
+    c AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN y = 1 AND p_u >= {MCC_THRESHOLD_U}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN y = 0 AND p_u < {MCC_THRESHOLD_U}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+             CAST(SUM(CASE WHEN p_u >= {MCC_THRESHOLD_U}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS pred_pos,
+             CAST(SUM(y) AS BIGINT) AS true_pos
+      FROM scored
+    ),
+    d AS (
+      SELECT n, n - tp - tn AS disc,
+             pred_pos + true_pos AS n1, 2 * n - pred_pos - true_pos AS n0
+      FROM c
+    )
+    SELECT n, CAST(disc AS BIGINT) AS n_disagreements,
+           CASE WHEN n0 * n1 > 0
+                THEN ROUND(1 - CAST(disc AS DOUBLE) * (2 * n - 1)
+                               / (CAST(n0 AS DOUBLE) * n1), 6)
+           END AS krippendorff_alpha
+    FROM d
+"""
+
+
+@register("agg_krippendorff_alpha", oracle=_KRIPP_ORACLE)
+def agg_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha (nominal data, two raters) between the
+    thresholded score and the purchase label, via the closed
+    coincidence-matrix form: alpha = 1 - disc*(2n-1)/(n0*n1), where
+    disc counts disagreeing units and n0/n1 are the value totals
+    pooled across BOTH raters. Unlike kappa (rater-specific marginals)
+    and AC1 (mean marginal), alpha's expected disagreement comes from
+    the pooled value distribution WITHOUT replacement — the
+    content-analysis standard, and the third leg of the agreement
+    family so annotation pipelines can report whichever their field
+    expects from one confusion matrix.
+
+    Scale/determinism: same single combinable 4-counter pass as the
+    kappa/AC1 pair; alpha is one closed-form double expression over
+    exact integers, rounded at 6 dp; a value never used by either
+    rater (n0*n1 = 0) yields NULL on both engines."""
+    s = _scored(spark, sf_dir)
+    pred = (F.col("p_u") >= MCC_THRESHOLD_U).cast("int")
+    c = s.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(((F.col("y") == 1) & (pred == 1)).cast("int"))
+        .cast("bigint")
+        .alias("tp"),
+        F.sum(((F.col("y") == 0) & (pred == 0)).cast("int"))
+        .cast("bigint")
+        .alias("tn"),
+        F.sum(pred).cast("bigint").alias("pred_pos"),
+        F.sum("y").cast("bigint").alias("true_pos"),
+    )
+    d = c.select(
+        "n",
+        (F.col("n") - F.col("tp") - F.col("tn")).alias("disc"),
+        (F.col("pred_pos") + F.col("true_pos")).alias("n1"),
+        (2 * F.col("n") - F.col("pred_pos") - F.col("true_pos")).alias("n0"),
+    )
+    alpha = 1 - F.col("disc").cast("double") * (2 * F.col("n") - 1) / (
+        F.col("n0").cast("double") * F.col("n1")
+    )
+    return d.select(
+        "n",
+        F.col("disc").cast("bigint").alias("n_disagreements"),
+        F.when(F.col("n0") * F.col("n1") > 0, F.round(alpha, 6)).alias(
+            "krippendorff_alpha"
+        ),
+    )
+
+
+#: nDCG contract: rank part brands per nation by FIRST-period revenue,
+#: grade against SECOND-period graded relevance, cut at k.
+NDCG_K = 10
+NDCG_SPLIT = "1996-01-01"
+
+_NDCG_ORACLE = f"""
+    WITH rev AS (
+      SELECT n.n_name AS nation, p.p_brand AS brand,
+             o.o_orderdate < DATE '{NDCG_SPLIT}' AS is_train,
+             CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                  AS BIGINT) AS vc
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN customer cu ON cu.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = cu.c_nationkey
+    ),
+    agg AS (
+      SELECT nation, brand,
+             SUM(CASE WHEN is_train THEN vc ELSE 0 END) AS train_c,
+             SUM(CASE WHEN is_train THEN 0 ELSE vc END) AS test_c
+      FROM rev GROUP BY nation, brand
+    ),
+    rel AS (
+      SELECT nation, brand, train_c,
+             GREATEST(0, {NDCG_K} -
+               ROW_NUMBER() OVER (PARTITION BY nation
+                                  ORDER BY test_c DESC, brand)) AS rel
+      FROM agg
+    ),
+    pred AS (
+      SELECT nation, brand, rel,
+             ROW_NUMBER() OVER (PARTITION BY nation
+                                ORDER BY train_c DESC, brand) AS pos
+      FROM rel WHERE train_c > 0
+    ),
+    dcg AS (
+      SELECT nation,
+             CAST(SUM(CAST(FLOOR(rel * 1000000.0 / log2(pos + 1))
+                           AS BIGINT)) AS BIGINT) AS dcg_u
+      FROM pred WHERE pos <= {NDCG_K} GROUP BY nation
+    ),
+    ideal AS (
+      SELECT nation, rel,
+             ROW_NUMBER() OVER (PARTITION BY nation
+                                ORDER BY rel DESC, brand) AS ipos
+      FROM rel
+    ),
+    idcg AS (
+      SELECT nation,
+             CAST(SUM(CAST(FLOOR(rel * 1000000.0 / log2(ipos + 1))
+                           AS BIGINT)) AS BIGINT) AS idcg_u
+      FROM ideal WHERE ipos <= {NDCG_K} GROUP BY nation
+    )
+    SELECT d.nation, d.dcg_u, i.idcg_u,
+           CASE WHEN i.idcg_u > 0
+                THEN floor(CAST(d.dcg_u AS DOUBLE) / i.idcg_u * 1000000)
+                     / 1000000 END AS ndcg
+    FROM dcg d JOIN idcg i ON i.nation = d.nation
+    ORDER BY d.nation
+"""
+
+
+@register("agg_ndcg", oracle=_NDCG_ORACLE)
+def agg_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@{NDCG_K} (Järvelin & Kekäläinen 2002) of a
+    revenue-history ranker: per nation, brands rank by pre-{NDCG_SPLIT}
+    revenue (the "model"); graded relevance is {NDCG_K}-minus-rank of
+    the brand's POST-split revenue (so the top post-split brand is
+    worth {NDCG_K - 1}, the {NDCG_K}th and below 0); DCG discounts by
+    1/log2(pos+1) and normalizes by the ideal ordering of the full
+    relevance pool truncated at k. This is the ranking-eval census gap
+    beside agg_auc_roc (pairwise) and agg_lift_deciles (decile) — the
+    position-discounted metric retrieval and recommendation pipelines
+    report; swap the revenue ranker for any model score column
+    unchanged.
+
+    Scale/determinism: revenue folds to exact cents per
+    (nation, brand) in one combinable shuffle; both rankings are
+    ROW_NUMBER windows over the bounded brand-per-nation frame (25
+    rows per partition at any SF) with brand-name tiebreaks; each
+    DCG term floors to integer micro-units BEFORE summing
+    (graph_adamic_adar's b_u doctrine — order-free integer sums), one
+    final division per nation floored 1e-6."""
+    t = load(spark, sf_dir)
+    vc = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    rev = (
+        t.lineitem.join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t.part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(t.customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(t.nation, F.col("n_nationkey") == F.col("c_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("p_brand").alias("brand"),
+            (F.col("o_orderdate") < F.lit(NDCG_SPLIT).cast("date")).alias(
+                "is_train"
+            ),
+            vc.alias("vc"),
+        )
+    )
+    agg = rev.groupBy("nation", "brand").agg(
+        F.sum(F.when(F.col("is_train"), F.col("vc")).otherwise(0)).alias(
+            "train_c"
+        ),
+        F.sum(F.when(F.col("is_train"), 0).otherwise(F.col("vc"))).alias(
+            "test_c"
+        ),
+    )
+    w_test = Window.partitionBy("nation").orderBy(
+        F.col("test_c").desc(), "brand"
+    )
+    rel = agg.select(
+        "nation",
+        "brand",
+        "train_c",
+        F.greatest(
+            F.lit(0), F.lit(NDCG_K) - F.row_number().over(w_test)
+        ).alias("rel"),
+    )
+    w_pred = Window.partitionBy("nation").orderBy(
+        F.col("train_c").desc(), "brand"
+    )
+    pred = rel.where(F.col("train_c") > 0).select(
+        "nation", "rel", F.row_number().over(w_pred).alias("pos")
+    )
+    dcg = (
+        pred.where(F.col("pos") <= NDCG_K)
+        .groupBy("nation")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("rel") * 1_000_000.0 / F.log2(F.col("pos") + 1)
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("dcg_u")
+        )
+    )
+    w_ideal = Window.partitionBy("nation").orderBy(
+        F.col("rel").desc(), "brand"
+    )
+    ideal = rel.select(
+        "nation", "rel", F.row_number().over(w_ideal).alias("ipos")
+    )
+    idcg = (
+        ideal.where(F.col("ipos") <= NDCG_K)
+        .groupBy("nation")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("rel") * 1_000_000.0 / F.log2(F.col("ipos") + 1)
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("idcg_u")
+        )
+    )
+    return (
+        dcg.join(idcg, "nation")
+        .select(
+            "nation",
+            "dcg_u",
+            "idcg_u",
+            F.when(
+                F.col("idcg_u") > 0,
+                F.floor(
+                    F.col("dcg_u").cast("double") / F.col("idcg_u") * 1_000_000
+                )
+                / 1_000_000,
+            ).alias("ndcg"),
+        )
+        .orderBy("nation")
+    )

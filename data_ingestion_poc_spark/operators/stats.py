@@ -7513,3 +7513,913 @@ def agg_fisher_z_corr_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(hi * 1_000_000) / 1_000_000).alias("ci_hi"),
         (~((lo <= 0) & (F.lit(0.0) <= hi))).alias("significant"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r13 block 1: paired-sample machinery (Wilcoxon signed-rank, Lin CCC)
+# ---------------------------------------------------------------------------
+
+#: Shared paired frame: per-user cents totals in BOTH experiment arms
+#: (users seen in only one arm carry no pairing information). x = the
+#: purchase-arm total, y = the click-arm total, d = x - y.
+_PAIRED_USER_SQL = f"""
+    pu AS (
+      SELECT user_id,
+             SUM(CASE WHEN event_type = '{TTEST_A}'
+                      THEN CAST(ROUND(value * 100) AS BIGINT) END) AS x,
+             SUM(CASE WHEN event_type = '{TTEST_B}'
+                      THEN CAST(ROUND(value * 100) AS BIGINT) END) AS y
+      FROM events WHERE event_type IN ('{TTEST_A}', '{TTEST_B}')
+      GROUP BY user_id
+      HAVING SUM(CASE WHEN event_type = '{TTEST_A}' THEN 1 ELSE 0 END) > 0
+         AND SUM(CASE WHEN event_type = '{TTEST_B}' THEN 1 ELSE 0 END) > 0
+    )
+"""
+
+
+def _paired_user(t) -> DataFrame:
+    """Spark twin of _PAIRED_USER_SQL: (user_id, x, y) exact cents."""
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    g = (
+        t.events.where(F.col("event_type").isin(TTEST_A, TTEST_B))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("event_type") == TTEST_A, cents)).alias("x"),
+            F.sum(F.when(F.col("event_type") == TTEST_B, cents)).alias("y"),
+            F.sum(
+                F.when(F.col("event_type") == TTEST_A, 1).otherwise(0)
+            ).alias("ka"),
+            F.sum(
+                F.when(F.col("event_type") == TTEST_B, 1).otherwise(0)
+            ).alias("kb"),
+        )
+        .where((F.col("ka") > 0) & (F.col("kb") > 0))
+    )
+    return g.select("user_id", "x", "y")
+
+
+_WILCOXON_SR_ORACLE = f"""
+    WITH {_PAIRED_USER_SQL},
+    d AS (
+      SELECT ABS(x - y) AS ad, CASE WHEN x > y THEN 1 ELSE 0 END AS pos
+      FROM pu WHERE x <> y
+    ),
+    g AS (
+      SELECT ad, COUNT(*) AS cnt, SUM(pos) AS npos
+      FROM d GROUP BY ad
+    ),
+    r AS (
+      SELECT ad, cnt, npos,
+             SUM(cnt) OVER (ORDER BY ad
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) - cnt AS cb
+      FROM g
+    ),
+    s AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+             CAST(SUM(npos * (2 * cb + cnt + 1)) AS BIGINT) AS w2,
+             SUM(CAST(cnt AS DECIMAL(38,0)) * cnt * cnt - cnt) AS tie3
+      FROM r
+    ),
+    z AS (
+      SELECT n, w2,
+             (w2 - CAST(n AS DOUBLE) * (n + 1) / 2)
+             / sqrt(4 * (CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24
+                         - CAST(tie3 AS DOUBLE) / 48)) AS zs
+      FROM s
+    )
+    SELECT n AS n_pairs, w2 / 2.0 AS w_plus,
+           floor(zs * 10000) / 10000 AS z_stat,
+           abs(floor(zs * 10000) / 10000) > 1.96 AS location_shifted
+    FROM z
+"""
+
+
+@register("agg_wilcoxon_signed_rank", oracle=_WILCOXON_SR_ORACLE)
+def agg_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test (Wilcoxon 1945) on PAIRED per-user arm
+    totals: each user seen in both arms contributes one difference
+    d = purchase_total - click_total; zero differences drop (the
+    standard convention), |d| ranks with midranks over ties, and
+    W+ = sum of ranks of the positive differences. The large-sample z
+    uses the tie-corrected variance n(n+1)(2n+1)/24 - sum(t^3-t)/48.
+    This is the PAIRED twin the census lacked: agg_mann_whitney compares
+    two independent samples; pairing within user removes between-user
+    variance exactly the way agg_cuped_adjustment does parametrically.
+
+    Scale/determinism: one user_id shuffle to the paired frame, then a
+    groupBy on the |d| value lattice (bounded by the distinct cent
+    differences); ranks enter as the DOUBLED midrank 2*cb+cnt+1 so W+
+    stays exact-integer until one final /2 (agg_auc_roc's device);
+    t^3 pre-widens to DECIMAL(38,0) before multiplying (overflow
+    doctrine); verdict compares the FLOORED z. Oracle: same lattice in
+    SQL. The rank window is an unpartitioned cumulative count over the
+    sorted |d| domain — range-partitioned cumsum territory at 100 TB,
+    bounded by distinct differences, not rows."""
+    t = load(spark, sf_dir)
+    pu = _paired_user(t)
+    d = pu.where(F.col("x") != F.col("y")).select(
+        F.abs(F.col("x") - F.col("y")).alias("ad"),
+        F.when(F.col("x") > F.col("y"), 1).otherwise(0).alias("pos"),
+    )
+    g = d.groupBy("ad").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("pos").alias("npos")
+    )
+    w = Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, 0)
+    r = g.select(
+        "cnt", "npos", (F.sum("cnt").over(w) - F.col("cnt")).alias("cb")
+    )
+    s = r.agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum(F.col("npos") * (2 * F.col("cb") + F.col("cnt") + 1))
+        .cast("bigint")
+        .alias("w2"),
+        F.sum(
+            F.col("cnt").cast(_DEC) * F.col("cnt") * F.col("cnt")
+            - F.col("cnt")
+        ).alias("tie3"),
+    )
+    nd = F.col("n").cast("double")
+    zs = (F.col("w2") - nd * (F.col("n") + 1) / 2) / F.sqrt(
+        4
+        * (
+            nd * (F.col("n") + 1) * (2 * F.col("n") + 1) / 24
+            - F.col("tie3").cast("double") / 48
+        )
+    )
+    zf = F.floor(zs * 10_000) / 10_000
+    return s.select(
+        F.col("n").alias("n_pairs"),
+        (F.col("w2") / 2.0).alias("w_plus"),
+        zf.alias("z_stat"),
+        (F.abs(zf) > 1.96).alias("location_shifted"),
+    )
+
+
+_VDA_ORACLE = f"""
+    WITH {_TWO_SAMPLE_LATTICE_SQL},
+    s AS (
+      SELECT MAX(na) AS na, MAX(nb) AS nb,
+             SUM(CAST(ca AS DECIMAL(38,0)) * (2 * pcb + cb)) AS u2
+      FROM cum
+    ),
+    a AS (
+      SELECT na, nb,
+             floor(CAST(u2 AS DOUBLE)
+                   / (2 * CAST(na AS DOUBLE) * nb) * 1000000)
+               / 1000000 AS a_stat
+      FROM s
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, a_stat,
+           CASE WHEN GREATEST(a_stat, 1 - a_stat) >= 0.71 THEN 'large'
+                WHEN GREATEST(a_stat, 1 - a_stat) >= 0.64 THEN 'medium'
+                WHEN GREATEST(a_stat, 1 - a_stat) >= 0.56 THEN 'small'
+                ELSE 'negligible' END AS magnitude
+    FROM a
+"""
+
+
+@register("agg_vargha_delaney_a", oracle=_VDA_ORACLE)
+def agg_vargha_delaney_a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vargha-Delaney A measure (Vargha & Delaney 2000) between the two
+    experiment arms: A = P(X_A > X_B) + 0.5 P(X_A = X_B) — the
+    probability-of-superiority effect size, the [0,1]-scaled transform
+    of Mann-Whitney U that reads directly ("a random purchase outvalues
+    a random click A% of the time"). Completes the nonparametric
+    effect-size pair with agg_cliff_delta (delta = 2A - 1); the
+    published magnitude bands 0.56/0.64/0.71 apply to max(A, 1-A).
+
+    Scale/determinism: the shared two-sample cents lattice; 2U folds as
+    one exact integer sum ca*(2*pcb + cb) with the ca term pre-widened
+    to DECIMAL(38,0) (pair counts overflow BIGINT at corpus scale);
+    one final division floored at 1e-6, and the magnitude label reads
+    the FLOORED statistic so band boundaries agree cross-engine."""
+    lat = _two_sample_lattice(load(spark, sf_dir))
+    s = lat.agg(
+        F.max("na").alias("na"),
+        F.max("nb").alias("nb"),
+        F.sum(
+            F.col("ca").cast(_DEC) * (2 * F.col("pcb") + F.col("cb"))
+        ).alias("u2"),
+    )
+    a_stat = (
+        F.floor(
+            F.col("u2").cast("double")
+            / (2 * F.col("na").cast("double") * F.col("nb"))
+            * 1_000_000
+        )
+        / 1_000_000
+    )
+    s = s.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        a_stat.alias("a_stat"),
+    )
+    eff = F.greatest(F.col("a_stat"), 1 - F.col("a_stat"))
+    return s.select(
+        "n_a",
+        "n_b",
+        "a_stat",
+        F.when(eff >= 0.71, "large")
+        .when(eff >= 0.64, "medium")
+        .when(eff >= 0.56, "small")
+        .otherwise("negligible")
+        .alias("magnitude"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# r13 block 2: Siegel-Tukey alternating-rank scale test
+# ---------------------------------------------------------------------------
+
+#: Siegel-Tukey rank assignment, positional closed forms. The literal
+#: scheme consumes positions in groups — 1 low, 2 high, 2 low, 2 high,
+#: ... — so the count of LOW-end positions is
+#:   nL(N) = 2*floor(N/4) + (1 if N mod 4 != 0 else 0)
+#: (NOT ceil(N/2): at N = 7 the lows are 3, because the final
+#: two-element group falls on the high side). Position p (1-based,
+#: ascending value order) is ranked from the LOW end while p <= nL and
+#: from the HIGH end (j = N+1-p) above it:
+#:   g_low(i)  = 2i-1 (i odd),  2i (i even)   -> 1, 4, 5, 8, 9, ...
+#:   g_high(j) = 2j   (j odd), 2j-1 (j even)  -> 2, 3, 6, 7, ...
+#: (both formulas hold for partial final groups — verified by the
+#: literal simulation in tests/test_round13.py).
+#: Sum over a positional run [a,b] is then closed-form integer
+#: arithmetic: sum 2p minus the count of odd (low) / even (high)
+#: positions in the run — no per-observation work, so a tied lattice
+#: row's midrank costs O(1) however many observations share the value.
+#: (Every observation keeps a rank — the keep-the-median variant;
+#: published practice varies between keeping and dropping the middle
+#: of an odd N, and the choice is stated here, not silent.)
+_ST_RANKSUM_SQL = """
+      (CASE WHEN LEAST(hi, mid) >= lo
+            THEN (lo + LEAST(hi, mid)) * (LEAST(hi, mid) - lo + 1)
+                 - (FLOOR((LEAST(hi, mid) + 1) / 2.0)
+                    - FLOOR(lo / 2.0))
+            ELSE 0 END)
+      + (CASE WHEN hi >= GREATEST(lo, mid + 1)
+              THEN (nn + 1 - hi + nn + 1 - GREATEST(lo, mid + 1))
+                   * (hi - GREATEST(lo, mid + 1) + 1)
+                   - (FLOOR((nn + 1 - GREATEST(lo, mid + 1)) / 2.0)
+                      - FLOOR((nn - hi) / 2.0))
+              ELSE 0 END)
+"""
+
+_SIEGEL_TUKEY_ORACLE = f"""
+    WITH {_TWO_SAMPLE_LATTICE_SQL},
+    pos AS (
+      SELECT v, ca, cb, na, nb, na + nb AS nn,
+             2 * FLOOR((na + nb) / 4.0)
+               + CASE WHEN (na + nb) % 4 = 0 THEN 0 ELSE 1 END AS mid,
+             pca + pcb + 1 AS lo, cca + ccb AS hi
+      FROM cum
+    ),
+    mr AS (
+      SELECT v, ca, cb, na, nb, nn,
+             ({_ST_RANKSUM_SQL}) / CAST(hi - lo + 1 AS DOUBLE) AS midrank
+      FROM pos
+    ),
+    fold AS (
+      SELECT v, ca, cb, na, nb, nn,
+             SUM(ca * midrank) OVER (ORDER BY v
+                                     ROWS UNBOUNDED PRECEDING) AS wa_cum
+      FROM mr
+    ),
+    s AS (
+      SELECT MAX(na) AS na, MAX(nb) AS nb, MAX(nn) AS nn,
+             MAX_BY(wa_cum, v) AS wa,
+             SUM(CAST(ca + cb AS DECIMAL(38,0)) * (ca + cb) * (ca + cb)
+                 - (ca + cb)) AS tie3
+      FROM fold
+    ),
+    z AS (
+      SELECT na, nb, wa,
+             (wa - CAST(na AS DOUBLE) * (nn + 1) / 2)
+             / sqrt(CAST(na AS DOUBLE) * nb / 12
+                    * ((nn + 1) - CAST(tie3 AS DOUBLE)
+                                  / (CAST(nn AS DOUBLE) * (nn - 1)))) AS zs
+      FROM s
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           floor(wa * 10000) / 10000 AS rank_sum_a,
+           floor(zs * 10000) / 10000 AS z_stat,
+           abs(floor(zs * 10000) / 10000) > 1.96 AS scales_differ
+    FROM z
+"""
+
+
+@register("agg_siegel_tukey", oracle=_SIEGEL_TUKEY_ORACLE)
+def agg_siegel_tukey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Siegel-Tukey test (Siegel & Tukey 1960) for a DISPERSION
+    difference between the two arms: ranks alternate from the extremes
+    inward (1 to the lowest, 2-3 to the two highest, 4-5 to the next
+    two lowest, ...), so a sample concentrated in the tails collects
+    small+large alternating ranks and the ordinary Wilcoxon rank-sum
+    machinery, applied to these ranks, becomes a scale test that needs
+    no variance estimate. Reads beside agg_mood_scale_test (squared
+    deviations from the mid-rank) and agg_ansari_bradley (min of the
+    two end-distances): three classical rank-dispersion statistics,
+    one family.
+
+    Scale/determinism: positional rank-run sums are exact-integer
+    closed forms per lattice row (see _ST_RANKSUM_SQL — O(1) per
+    distinct value, never per observation); tied values take the
+    midrank of their positional run. The rank-sum W_A is the one
+    unavoidable double fold (midranks are rationals), so it
+    accumulates via the cumulative window in v-order and max_by —
+    identical fp sequence on both engines; t^3 tie terms pre-widen to
+    DECIMAL(38,0); z floors at 1e-4 and the verdict reads the FLOORED
+    value. The variance is the standard tie-corrected rank-sum form
+    (ST ranks are a permutation of 1..N, so it applies unchanged)."""
+    lat = _two_sample_lattice(load(spark, sf_dir))
+    nn = F.col("na") + F.col("nb")
+    mid = 2 * F.floor(nn / 4.0) + F.when(nn % 4 == 0, 0).otherwise(1)
+    lo = F.col("pca") + F.col("pcb") + 1
+    hi = F.col("cca") + F.col("ccb")
+    b1 = F.least(hi, mid)
+    low_sum = F.when(
+        b1 >= lo,
+        (lo + b1) * (b1 - lo + 1)
+        - (F.floor((b1 + 1) / 2.0) - F.floor(lo / 2.0)),
+    ).otherwise(F.lit(0))
+    a2 = F.greatest(lo, mid + 1)
+    ja = nn + 1 - hi
+    jb = nn + 1 - a2
+    high_sum = F.when(
+        hi >= a2,
+        (ja + jb) * (jb - ja + 1)
+        - (F.floor(jb / 2.0) - F.floor((ja - 1) / 2.0)),
+    ).otherwise(F.lit(0))
+    mr = lat.select(
+        "v",
+        "ca",
+        "cb",
+        "na",
+        "nb",
+        nn.alias("nn"),
+        ((low_sum + high_sum) / (hi - lo + 1).cast("double")).alias(
+            "midrank"
+        ),
+    )
+    w_ord = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    tg = F.col("ca") + F.col("cb")
+    fold = mr.select(
+        "v",
+        "na",
+        "nb",
+        "nn",
+        F.sum(F.col("ca") * F.col("midrank")).over(w_ord).alias("wa_cum"),
+        (tg.cast(_DEC) * tg * tg - tg).alias("tie3_term"),
+    )
+    s = fold.agg(
+        F.max("na").alias("na"),
+        F.max("nb").alias("nb"),
+        F.max("nn").alias("nn"),
+        F.max_by("wa_cum", "v").alias("wa"),
+        F.sum("tie3_term").alias("tie3"),
+    )
+    nad = F.col("na").cast("double")
+    nnd = F.col("nn").cast("double")
+    zs = (F.col("wa") - nad * (F.col("nn") + 1) / 2) / F.sqrt(
+        nad
+        * F.col("nb")
+        / 12
+        * ((F.col("nn") + 1) - F.col("tie3").cast("double") / (nnd * (F.col("nn") - 1)))
+    )
+    zf = F.floor(zs * 10_000) / 10_000
+    return s.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        (F.floor(F.col("wa") * 10_000) / 10_000).alias("rank_sum_a"),
+        zf.alias("z_stat"),
+        (F.abs(zf) > 1.96).alias("scales_differ"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# r13 block 3: Kendall's W (concordance of nation rankings across years)
+# ---------------------------------------------------------------------------
+
+#: 5% chi-squared critical values for the dofs Kendall's W meets here
+#: (items - 1; up to the 25 TPC-H nations). Extends the shared
+#: CHI2_CRIT_BY_DOF table PRIVATELY — widening the shared table would
+#: silently flip other operators' untabled-dof nulls into verdicts.
+KENDALL_W_CHI2_CRIT = dict(CHI2_CRIT_BY_DOF)
+KENDALL_W_CHI2_CRIT.update({
+    13: 22.3620, 14: 23.6848, 15: 24.9958, 16: 26.2962, 17: 27.5871,
+    18: 28.8693, 19: 30.1435, 20: 31.4104, 21: 32.6706, 22: 33.9244,
+    23: 35.1725, 24: 36.4150, 25: 37.6525, 26: 38.8851, 27: 40.1133,
+    28: 41.3371, 29: 42.5570, 30: 43.7730,
+})
+
+_KW_CHI2_SQL_CASE = "CASE dof " + " ".join(
+    f"WHEN {d} THEN {c}" for d, c in KENDALL_W_CHI2_CRIT.items()
+) + " END"
+
+_KENDALL_W_ORACLE = f"""
+    WITH rev AS (
+      SELECT year(o_orderdate) AS yr, n.n_name AS item,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS c
+      FROM orders o
+      JOIN customer cu ON cu.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = cu.c_nationkey
+      GROUP BY 1, 2
+    ),
+    m AS (SELECT COUNT(DISTINCT yr) AS m FROM rev),
+    items AS (
+      SELECT item FROM rev GROUP BY item
+      HAVING COUNT(*) = (SELECT m FROM m)
+    ),
+    fr AS (SELECT rev.* FROM rev JOIN items USING (item)),
+    rk AS (
+      SELECT yr, item,
+             2 * (RANK() OVER (PARTITION BY yr ORDER BY c) - 1)
+             + COUNT(*) OVER (PARTITION BY yr, c) AS r2
+      FROM fr
+    ),
+    rs AS (SELECT item, CAST(SUM(r2) + COUNT(*) AS BIGINT) AS r2sum
+           FROM rk GROUP BY item),
+    ties AS (
+      SELECT SUM(CAST(t AS DECIMAL(38,0)) * t * t - t) AS tie3
+      FROM (SELECT yr, c, COUNT(*) AS t FROM fr GROUP BY yr, c)
+    ),
+    s1 AS (
+      SELECT r2sum, COUNT(*) OVER () AS n, (SELECT m FROM m) AS m
+      FROM rs
+    ),
+    s AS (
+      SELECT MAX(n) AS n, MAX(m) AS m,
+             SUM(CAST(r2sum - m * (n + 1) AS DECIMAL(38,0))
+                 * (r2sum - m * (n + 1))) AS s4,
+             (SELECT tie3 FROM ties) AS tie3
+      FROM s1
+    ),
+    w AS (
+      SELECT n, m,
+             3 * CAST(s4 AS DOUBLE)
+             / (CAST(m AS DOUBLE) * m * (CAST(n AS DOUBLE) * n * n - n)
+                - m * CAST(tie3 AS DOUBLE)) AS ws
+      FROM s
+      WHERE CAST(m AS DOUBLE) * m * (CAST(n AS DOUBLE) * n * n - n)
+            - m * CAST(tie3 AS DOUBLE) > 0
+    ),
+    v AS (SELECT n, m, ws, n - 1 AS dof,
+                 m * (n - 1) * ws AS chi2 FROM w)
+    SELECT CAST(n AS BIGINT) AS n_items, CAST(m AS BIGINT) AS m_judges,
+           floor(ws * 1000000) / 1000000 AS kendall_w,
+           floor(chi2 * 10000) / 10000 AS chi2_stat,
+           floor(chi2 * 10000) / 10000 > ({_KW_CHI2_SQL_CASE})
+             AS rankings_agree
+    FROM v
+"""
+
+
+@register("agg_kendall_w", oracle=_KENDALL_W_ORACLE)
+def agg_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's coefficient of concordance W (Kendall & Babington
+    Smith 1939) of the nations' yearly-revenue RANKINGS across order
+    years: each year ranks the nations by revenue (midranks on ties);
+    W in [0,1] measures how stable that league table is across years
+    (1 = every year agrees), with the tie-corrected denominator
+    m^2(n^3-n) - m*sum(t^3-t) and the chi-squared approximation
+    chi2 = m(n-1)W judged at the OBSERVED dof (the r12 levene/kruskal
+    lesson — never a hard-wired table row). Items missing in any year
+    drop first (complete-blocks requirement), so n is data-derived.
+
+    Scale/determinism: revenue folds to exact cents per (year, nation)
+    — one combinable shuffle; ranks are DOUBLED midranks
+    2*(RANK-1) + tiecount + 1 via RANK/COUNT windows over the bounded
+    nation-per-year frame (<= 25 rows per partition at any SF), so
+    every sum up to the final W division is exact integer arithmetic;
+    deviation squares and t^3 terms pre-widen to DECIMAL(38,0). W
+    floors at 1e-6, chi2 at 1e-4, and the verdict compares the FLOORED
+    chi2 (null when the dof is outside the tabled 1..30)."""
+    t = load(spark, sf_dir)
+    rev = (
+        t.orders.join(
+            t.customer, F.col("o_custkey") == F.col("c_custkey")
+        )
+        .join(t.nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.col("n_name").alias("item"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .alias("c")
+        )
+    )
+    m_df = rev.agg(F.countDistinct("yr").alias("m"))
+    items = (
+        rev.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .join(F.broadcast(m_df), F.col("k") == F.col("m"))
+        .select("item")
+    )
+    fr = rev.join(F.broadcast(items), "item")
+    w_rank = Window.partitionBy("yr").orderBy("c")
+    w_tie = Window.partitionBy("yr", "c")
+    rk = fr.select(
+        "item",
+        (
+            2 * (F.rank().over(w_rank) - 1)
+            + F.count(F.lit(1)).over(w_tie)
+        ).alias("r2"),
+    )
+    rs = rk.groupBy("item").agg(
+        (F.sum("r2") + F.count(F.lit(1))).cast("bigint").alias("r2sum")
+    )
+    ties = (
+        fr.groupBy("yr", "c")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.sum(
+                F.col("t").cast(_DEC) * F.col("t") * F.col("t") - F.col("t")
+            ).alias("tie3")
+        )
+    )
+    s1 = rs.crossJoin(F.broadcast(m_df)).select(
+        "r2sum", F.count(F.lit(1)).over(Window.partitionBy()).alias("n"), "m"
+    )
+    dev = F.col("r2sum") - F.col("m") * (F.col("n") + 1)
+    s = (
+        s1.agg(
+            F.max("n").alias("n"),
+            F.max("m").alias("m"),
+            F.sum(dev.cast(_DEC) * dev).alias("s4"),
+        )
+        .crossJoin(F.broadcast(ties))
+    )
+    nd = F.col("n").cast("double")
+    md = F.col("m").cast("double")
+    denom = md * F.col("m") * (nd * F.col("n") * F.col("n") - F.col("n")) - F.col(
+        "m"
+    ) * F.col("tie3").cast("double")
+    ws = 3 * F.col("s4").cast("double") / denom
+    w = s.where(denom > 0).select("n", "m", ws.alias("ws"))
+    chi2 = F.col("m") * (F.col("n") - 1) * F.col("ws")
+    chi2f = F.floor(chi2 * 10_000) / 10_000
+    crit = F.lit(None).cast("double")
+    for d, c in KENDALL_W_CHI2_CRIT.items():
+        crit = F.when(F.col("n") - 1 == d, F.lit(c)).otherwise(crit)
+    return w.select(
+        F.col("n").cast("bigint").alias("n_items"),
+        F.col("m").cast("bigint").alias("m_judges"),
+        (F.floor(F.col("ws") * 1_000_000) / 1_000_000).alias("kendall_w"),
+        chi2f.alias("chi2_stat"),
+        (chi2f > crit).alias("rankings_agree"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# r13 block 4: Durbin-Watson, Lin's CCC, TOST equivalence
+# ---------------------------------------------------------------------------
+
+_DW_ORACLE = """
+    WITH daily AS (
+      SELECT o_orderdate AS day,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS y
+      FROM orders GROUP BY 1
+    ),
+    tt AS (
+      SELECT day, y,
+             ROW_NUMBER() OVER (ORDER BY day) AS t
+      FROM daily
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(t) AS BIGINT) AS st,
+             SUM(CAST(t AS DECIMAL(38,0)) * t) AS st2,
+             SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+             SUM(CAST(t AS DECIMAL(38,0)) * y) AS sty
+      FROM tt
+    ),
+    co AS (
+      SELECT n,
+             (CAST(n AS DOUBLE) * CAST(sty AS DOUBLE)
+              - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(st2 AS DOUBLE)
+                - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) AS b,
+             CAST(st AS DOUBLE) AS std, CAST(sy AS DOUBLE) AS syd
+      FROM m
+    ),
+    res AS (
+      SELECT tt.t, co.n,
+             tt.y - (co.syd - co.b * co.std) / co.n - co.b * tt.t AS e
+      FROM tt CROSS JOIN co
+    ),
+    fold AS (
+      SELECT t, n,
+             SUM(e * e) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+               AS e2_cum,
+             SUM(CASE WHEN lag_e IS NULL THEN 0.0
+                      ELSE (e - lag_e) * (e - lag_e) END)
+               OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS d2_cum
+      FROM (SELECT t, n, e, LAG(e) OVER (ORDER BY t) AS lag_e FROM res)
+    ),
+    s AS (
+      SELECT MAX(n) AS n, MAX_BY(e2_cum, t) AS e2, MAX_BY(d2_cum, t) AS d2
+      FROM fold
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           floor(d2 / e2 * 10000) / 10000 AS dw_stat,
+           CASE WHEN floor(d2 / e2 * 10000) / 10000 < 1.5
+                  THEN 'positive_autocorr'
+                WHEN floor(d2 / e2 * 10000) / 10000 > 2.5
+                  THEN 'negative_autocorr'
+                ELSE 'none_detected' END AS verdict
+    FROM s WHERE e2 > 0
+"""
+
+
+@register("agg_durbin_watson", oracle=_DW_ORACLE)
+def agg_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson statistic (Durbin & Watson 1950) on the residuals
+    of the daily-revenue-vs-time OLS line: DW = sum((e_t - e_{t-1})^2)
+    / sum(e_t^2), near 2 under independence, toward 0 under positive
+    serial correlation — the standard post-regression autocorrelation
+    screen that agg_regr / agg_mann_kendall readers ask for next. The
+    exact DW critical bounds depend on (n, k) tables; the emitted
+    verdict uses the conventional 1.5/2.5 rule-of-thumb bands,
+    documented as such (the statistic itself is the contract).
+
+    Scale/determinism: daily cents fold first (bounded ~2,400 rows at
+    any SF — the orders date range), so the day-ordered residual walk
+    is over a DOMAIN-bounded frame; slope/intercept come from exact
+    integer moment sums (t*y pre-widened to DECIMAL(38,0) — sty
+    overflows BIGINT at corpus scale); the two unavoidable double sums
+    (e^2 and the lag-difference squares) accumulate via cumulative
+    windows in t-order and max_by — identical fp sequence both
+    engines. DW floors at 1e-4 and the verdict reads the FLOORED
+    value."""
+    t = load(spark, sf_dir)
+    daily = t.orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("y")
+    )
+    tt = daily.select(
+        "day", "y", F.row_number().over(Window.orderBy("day")).alias("t")
+    )
+    m = tt.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("t").cast("bigint").alias("st"),
+        F.sum(F.col("t").cast(_DEC) * F.col("t")).alias("st2"),
+        F.sum(F.col("y").cast(_DEC)).alias("sy"),
+        F.sum(F.col("t").cast(_DEC) * F.col("y")).alias("sty"),
+    )
+    nd = F.col("n").cast("double")
+    b = (
+        nd * F.col("sty").cast("double")
+        - F.col("st").cast("double") * F.col("sy").cast("double")
+    ) / (
+        nd * F.col("st2").cast("double")
+        - F.col("st").cast("double") * F.col("st").cast("double")
+    )
+    co = m.select(
+        "n",
+        b.alias("b"),
+        F.col("st").cast("double").alias("std"),
+        F.col("sy").cast("double").alias("syd"),
+    )
+    res = tt.crossJoin(F.broadcast(co)).select(
+        "t",
+        "n",
+        (
+            F.col("y")
+            - (F.col("syd") - F.col("b") * F.col("std")) / F.col("n")
+            - F.col("b") * F.col("t")
+        ).alias("e"),
+    )
+    w_ord = Window.orderBy("t")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    lagged = res.select(
+        "t", "n", "e", F.lag("e").over(w_ord).alias("lag_e")
+    )
+    fold = lagged.select(
+        "t",
+        "n",
+        F.sum(F.col("e") * F.col("e")).over(w_cum).alias("e2_cum"),
+        F.sum(
+            F.when(F.col("lag_e").isNull(), F.lit(0.0)).otherwise(
+                (F.col("e") - F.col("lag_e")) * (F.col("e") - F.col("lag_e"))
+            )
+        )
+        .over(w_cum)
+        .alias("d2_cum"),
+    )
+    s = fold.agg(
+        F.max("n").alias("n"),
+        F.max_by("e2_cum", "t").alias("e2"),
+        F.max_by("d2_cum", "t").alias("d2"),
+    )
+    dw = F.floor(F.col("d2") / F.col("e2") * 10_000) / 10_000
+    return s.where(F.col("e2") > 0).select(
+        F.col("n").cast("bigint").alias("n_days"),
+        dw.alias("dw_stat"),
+        F.when(dw < 1.5, "positive_autocorr")
+        .when(dw > 2.5, "negative_autocorr")
+        .otherwise("none_detected")
+        .alias("verdict"),
+    )
+
+
+_LIN_CCC_ORACLE = f"""
+    WITH {_PAIRED_USER_SQL},
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+             SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+             SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+             SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy,
+             SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy
+      FROM pu
+    ),
+    d AS (
+      SELECT n,
+             CAST(sx AS DOUBLE) / n AS mx, CAST(sy AS DOUBLE) / n AS my,
+             CAST(sxx AS DOUBLE) / n
+               - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n) AS vx,
+             CAST(syy AS DOUBLE) / n
+               - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n) AS vy,
+             CAST(sxy AS DOUBLE) / n
+               - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n) AS cxy
+      FROM m
+    )
+    SELECT n AS n_pairs,
+           floor(2 * cxy / (vx + vy + (mx - my) * (mx - my)) * 1000000)
+             / 1000000 AS lin_ccc,
+           floor(cxy / sqrt(vx * vy) * 1000000) / 1000000 AS pearson_r,
+           floor(2 * cxy / (vx + vy + (mx - my) * (mx - my))
+                 / (cxy / sqrt(vx * vy)) * 1000000) / 1000000
+             AS bias_correction
+    FROM d WHERE vx > 0 AND vy > 0 AND cxy <> 0
+"""
+
+
+@register("agg_lin_ccc", oracle=_LIN_CCC_ORACLE)
+def agg_lin_ccc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lin's concordance correlation coefficient (Lin 1989) between the
+    paired per-user arm totals: CCC = 2*s_xy / (s_x^2 + s_y^2 +
+    (mean_x - mean_y)^2) — how well the (x, y) pairs fall on the 45°
+    IDENTITY line, not just any line. Pearson r (precision) times the
+    bias-correction factor C_b (accuracy) decomposes it: r measures
+    scatter, C_b the scale/location shift — the standard
+    method-agreement statistic (two models scoring the same corpus,
+    two labs measuring the same sample) that plain correlation
+    overstates. Population (1/n) moments per Lin's original form.
+
+    Scale/determinism: one user_id shuffle to the paired cents frame,
+    then a single combinable moment pass — all six sums pre-widen to
+    DECIMAL(38,0) (cents-squared sums overflow BIGINT at corpus
+    scale); CCC / r / C_b are each one closed-form double expression
+    over those exact integers, floored at 1e-6. Degenerate inputs
+    (zero variance or zero covariance) emit 0 rows on both engines."""
+    pu = _paired_user(load(spark, sf_dir))
+    m = pu.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("x").cast(_DEC)).alias("sx"),
+        F.sum(F.col("y").cast(_DEC)).alias("sy"),
+        F.sum(F.col("x").cast(_DEC) * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast(_DEC) * F.col("y")).alias("syy"),
+        F.sum(F.col("x").cast(_DEC) * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    mx = F.col("sx").cast("double") / nd
+    my = F.col("sy").cast("double") / nd
+    vx = F.col("sxx").cast("double") / nd - mx * mx
+    vy = F.col("syy").cast("double") / nd - my * my
+    cxy = F.col("sxy").cast("double") / nd - mx * my
+    d = m.select(
+        "n", mx.alias("mx"), my.alias("my"), vx.alias("vx"),
+        vy.alias("vy"), cxy.alias("cxy"),
+    )
+    ccc = 2 * F.col("cxy") / (
+        F.col("vx")
+        + F.col("vy")
+        + (F.col("mx") - F.col("my")) * (F.col("mx") - F.col("my"))
+    )
+    r = F.col("cxy") / F.sqrt(F.col("vx") * F.col("vy"))
+    return d.where(
+        (F.col("vx") > 0) & (F.col("vy") > 0) & (F.col("cxy") != 0)
+    ).select(
+        F.col("n").alias("n_pairs"),
+        (F.floor(ccc * 1_000_000) / 1_000_000).alias("lin_ccc"),
+        (F.floor(r * 1_000_000) / 1_000_000).alias("pearson_r"),
+        (F.floor(ccc / r * 1_000_000) / 1_000_000).alias("bias_correction"),
+    )
+
+
+#: TOST equivalence margin: +-2% of the grand mean (a RELATIVE margin,
+#: the practical-equivalence convention for revenue-class metrics).
+TOST_MARGIN_PCT = 2
+
+_TOST_ORACLE = f"""
+    WITH ev AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v
+      FROM events WHERE event_type IN ('{TTEST_A}', '{TTEST_B}')
+    ),
+    g AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(v AS DECIMAL(38,0))) AS s,
+             SUM(CAST(v AS DECIMAL(38,0)) * v) AS s2
+      FROM ev GROUP BY event_type
+    ),
+    p AS (
+      SELECT
+        (SELECT n FROM g WHERE event_type = '{TTEST_A}') AS na,
+        (SELECT CAST(s AS DOUBLE) FROM g
+          WHERE event_type = '{TTEST_A}') AS sa,
+        (SELECT CAST(s2 AS DOUBLE) FROM g
+          WHERE event_type = '{TTEST_A}') AS sa2,
+        (SELECT n FROM g WHERE event_type = '{TTEST_B}') AS nb,
+        (SELECT CAST(s AS DOUBLE) FROM g
+          WHERE event_type = '{TTEST_B}') AS sb,
+        (SELECT CAST(s2 AS DOUBLE) FROM g
+          WHERE event_type = '{TTEST_B}') AS sb2
+    ),
+    d AS (
+      SELECT na, nb, sa / na - sb / nb AS diff,
+             {TOST_MARGIN_PCT} * (sa + sb) / (100.0 * (na + nb)) AS delta,
+             sqrt(((sa2 - sa * sa / na) / (na - 1)) / na
+                  + ((sb2 - sb * sb / nb) / (nb - 1)) / nb) AS se
+      FROM p WHERE na > 1 AND nb > 1
+    )
+    SELECT na AS n_a, nb AS n_b,
+           floor(diff * 100) / 10000 AS mean_diff,
+           floor(delta * 100) / 10000 AS margin,
+           floor((diff + delta) / se * 10000) / 10000 AS z_lower,
+           floor((delta - diff) / se * 10000) / 10000 AS z_upper,
+           floor((diff + delta) / se * 10000) / 10000 > 1.645
+             AND floor((delta - diff) / se * 10000) / 10000 > 1.645
+             AS equivalent
+    FROM d
+"""
+
+
+@register("agg_tost_equivalence", oracle=_TOST_ORACLE)
+def agg_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST equivalence test (Schuirmann 1987) between the two arms'
+    value means: two one-sided large-sample z tests against the
+    +-TOST_MARGIN_PCT%-of-grand-mean margin — BOTH z_lower =
+    (diff + delta)/SE and z_upper = (delta - diff)/SE must exceed
+    1.645 to declare equivalence. This answers the question
+    agg_t_test cannot: a non-significant difference is NOT evidence of
+    equivalence; TOST is the correct "did the change NOT move the
+    metric" gate for no-regression launches. Large-sample normal form
+    (the fixture arms are thousands of observations; dof-tabled t
+    would be the small-n refinement), Welch SE from per-arm variances.
+
+    Scale/determinism: one combinable moment pass per arm over exact
+    cents (squares pre-widened to DECIMAL(38,0)); diff / margin / SE /
+    both z's are single closed-form double expressions over those
+    integers, identical text both engines. The margin is data-derived
+    (2% of the grand mean) so the op is scale-free across SFs. z's
+    floor at 1e-4, means at 1e-4 dollars, and the verdict compares the
+    FLOORED z's (boolean-on-floored doctrine)."""
+    t = load(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    g = (
+        t.events.where(F.col("event_type").isin(TTEST_A, TTEST_B))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(cents.cast(_DEC)).alias("s"),
+            F.sum(cents.cast(_DEC) * cents).alias("s2"),
+        )
+    )
+    a = g.where(F.col("event_type") == TTEST_A).select(
+        F.col("n").alias("na"),
+        F.col("s").cast("double").alias("sa"),
+        F.col("s2").cast("double").alias("sa2"),
+    )
+    b = g.where(F.col("event_type") == TTEST_B).select(
+        F.col("n").alias("nb"),
+        F.col("s").cast("double").alias("sb"),
+        F.col("s2").cast("double").alias("sb2"),
+    )
+    p = a.crossJoin(b).where((F.col("na") > 1) & (F.col("nb") > 1))
+    diff = F.col("sa") / F.col("na") - F.col("sb") / F.col("nb")
+    delta = (
+        TOST_MARGIN_PCT
+        * (F.col("sa") + F.col("sb"))
+        / (100.0 * (F.col("na") + F.col("nb")))
+    )
+    se = F.sqrt(
+        ((F.col("sa2") - F.col("sa") * F.col("sa") / F.col("na")) / (F.col("na") - 1))
+        / F.col("na")
+        + ((F.col("sb2") - F.col("sb") * F.col("sb") / F.col("nb")) / (F.col("nb") - 1))
+        / F.col("nb")
+    )
+    d = p.select(
+        "na", "nb", diff.alias("diff"), delta.alias("delta"), se.alias("se")
+    )
+    z_lo = F.floor((F.col("diff") + F.col("delta")) / F.col("se") * 10_000) / 10_000
+    z_hi = F.floor((F.col("delta") - F.col("diff")) / F.col("se") * 10_000) / 10_000
+    return d.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        (F.floor(F.col("diff") * 100) / 10_000).alias("mean_diff"),
+        (F.floor(F.col("delta") * 100) / 10_000).alias("margin"),
+        z_lo.alias("z_lower"),
+        z_hi.alias("z_upper"),
+        ((z_lo > 1.645) & (z_hi > 1.645)).alias("equivalent"),
+    )

@@ -1203,7 +1203,23 @@ def win_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     devs = F.array_sort(
         F.transform(F.col("frame"), lambda x: F.abs(x - F.col("med")))
     )
-    scored = base.withColumn("mad", arr_median(devs))
+    # r13 --all sweep find (8.9 s -> ~1.5 s at sf0.1, output identical):
+    # the optimizer pushes the anomaly filter below these projections
+    # and inlines the whole expression tree into the Filter condition —
+    # and because higher-order functions run interpreted (outside
+    # whole-stage codegen, no subexpression elimination), every column
+    # reference re-sorts the 21-element frame, ~20 sorts PER INPUT ROW.
+    # The localCheckpoint materializes the five scalar columns once, so
+    # the filter reads columns instead of re-deriving them. At scale
+    # this adds one narrow (40 B/row) local write on top of the window
+    # shuffle that already moves the full table — a small constant
+    # factor, unlike the 20x interpreted re-evaluation it removes.
+    scored = (
+        base.withColumn("devs", devs)
+        .withColumn("mad", arr_median(F.col("devs")))
+        .select("event_id", "user_id", "value", "med", "mad")
+        .localCheckpoint()
+    )
     return scored.where(
         (F.col("mad") > 0)
         & (F.abs(F.col("value") - F.col("med")) > MAD_CUTOFF * MAD_SIGMA * F.col("mad"))
@@ -5226,4 +5242,375 @@ def win_trix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor((F.col("e") / F.col("prev") - 1) * 10_000 * 10_000)
             / 10_000
         ).alias("trix_bp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# r13 block: volume-flow indicators (Chaikin money flow, accumulation/
+# distribution line), Elder ray, and Know Sure Thing — all on the shared
+# daily-bar lattice.
+# ---------------------------------------------------------------------------
+
+#: Chaikin money-flow lookback (the standard 20-bar convention fits the
+#: 30-day events fixture).
+CMF_SPAN = 20
+
+#: Money-flow-multiplier in integer micro-units: ((cls-lo)-(hi-cls)) /
+#: (hi-lo), floored at 1e-6; a flat bar (hi = lo) contributes 0 (the
+#: published convention). Exact integer cents in, one double division,
+#: FLOOR — identical IEEE sequence both engines.
+_MFM_U_SQL = """CASE WHEN hi > lo
+                     THEN CAST(FLOOR((2 * cls - hi - lo) * 1000000.0
+                                     / (hi - lo)) AS BIGINT)
+                     ELSE 0 END"""
+
+
+def _mfm_u_col():
+    return F.when(
+        F.col("hi") > F.col("lo"),
+        F.floor(
+            (2 * F.col("cls") - F.col("hi") - F.col("lo"))
+            * 1_000_000.0
+            / (F.col("hi") - F.col("lo"))
+        ).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+
+
+_CMF_ORACLE = f"""
+    WITH {_OHLC_BARS_SQL},
+    mf AS (
+      SELECT event_type, day, vol,
+             ({_MFM_U_SQL}) * vol AS mfv_u,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY day) AS rn
+      FROM bars
+    ),
+    w AS (
+      SELECT event_type, day, rn,
+             SUM(mfv_u) OVER fr AS mfv_sum,
+             SUM(vol) OVER fr AS vol_sum
+      FROM mf
+      WINDOW fr AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN {CMF_SPAN - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, CAST(day AS VARCHAR) AS day,
+           floor(mfv_sum / (1000000.0 * vol_sum) * 10000) / 10000 AS cmf,
+           mfv_sum > 0 AS accumulating
+    FROM w WHERE rn >= {CMF_SPAN}
+"""
+
+
+@register("win_chaikin_money_flow", oracle=_CMF_ORACLE)
+def win_chaikin_money_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chaikin money flow over the trailing {CMF_SPAN} daily bars per
+    event type: the volume-weighted mean of the money-flow multiplier
+    ((close-low)-(high-close))/(high-low) — where within its range
+    each bar CLOSED, weighted by how much traded. CMF > 0 reads as
+    accumulation (closes near highs on volume), < 0 as distribution;
+    it is the windowed-ratio twin of win_accum_dist_line's cumulative
+    level and complements win_mfi (which needs a separate up/down
+    split) with a single signed flow ratio.
+
+    Scale/determinism: bars fold on the shared exact-cents lattice;
+    the multiplier floors to integer micro-units per bar BEFORE the
+    volume multiply (mfm in [-1e6, 1e6], so mfv_u = mfm_u * vol stays
+    far inside BIGINT at any volume), both window sums are exact
+    integer folds, and CMF is ONE final division floored 1e-4. The
+    accumulating flag compares the exact integer numerator, never the
+    divided double. Full-frame gating (rn >= {CMF_SPAN})."""
+    t = load(spark, sf_dir)
+    bars = _ohlc_bars(t)
+    w_ord = Window.partitionBy("event_type").orderBy("day")
+    mf = bars.select(
+        "event_type",
+        "day",
+        "vol",
+        (_mfm_u_col() * F.col("vol")).alias("mfv_u"),
+        F.row_number().over(w_ord).alias("rn"),
+    )
+    fr = w_ord.rowsBetween(-(CMF_SPAN - 1), 0)
+    w = mf.select(
+        "event_type",
+        "day",
+        "rn",
+        F.sum("mfv_u").over(fr).alias("mfv_sum"),
+        F.sum("vol").over(fr).alias("vol_sum"),
+    )
+    return w.where(F.col("rn") >= CMF_SPAN).select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        (
+            F.floor(
+                F.col("mfv_sum") / (1_000_000.0 * F.col("vol_sum")) * 10_000
+            )
+            / 10_000
+        ).alias("cmf"),
+        (F.col("mfv_sum") > 0).alias("accumulating"),
+    )
+
+
+_ADL_ORACLE = f"""
+    WITH {_OHLC_BARS_SQL},
+    mf AS (
+      SELECT event_type, day, ({_MFM_U_SQL}) * vol AS mfv_u
+      FROM bars
+    ),
+    c AS (
+      SELECT event_type, day,
+             SUM(mfv_u) OVER (PARTITION BY event_type ORDER BY day
+                              ROWS UNBOUNDED PRECEDING) AS adl_u
+      FROM mf
+    )
+    SELECT event_type, CAST(day AS VARCHAR) AS day,
+           CAST(adl_u AS BIGINT) AS adl_units,
+           floor(adl_u / 1000000.0 * 10000) / 10000 AS adl
+    FROM c
+"""
+
+
+@register("win_accum_dist_line", oracle=_ADL_ORACLE)
+def win_accum_dist_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accumulation/distribution line (Chaikin): the running total of
+    each bar's money-flow volume from the first bar — the cumulative
+    LEVEL whose divergence from price is the classic early-turn
+    signal (price up while ADL falls = rally on weak flow). Shares
+    win_chaikin_money_flow's per-bar multiplier exactly, so the pair
+    reads as level + {CMF_SPAN}-bar rate of the same flow series, the
+    way win_obv pairs with its own windowed readers.
+
+    Scale/determinism: the multiplier floors to integer micro-units
+    per bar, so the running total is an EXACT integer cumulative sum
+    (each term a deterministic FLOOR — no float accumulation drift at
+    any series length, the win_running_sum discipline); the published
+    float-accumulated ADL is recovered at 1e-6 resolution. One
+    presentation division floored 1e-4; raw units emitted alongside.
+    The cumulative window is the standard per-key ordered fold —
+    partition-parallel across event types."""
+    t = load(spark, sf_dir)
+    bars = _ohlc_bars(t)
+    mf = bars.select(
+        "event_type", "day", (_mfm_u_col() * F.col("vol")).alias("mfv_u")
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = mf.select(
+        "event_type", "day", F.sum("mfv_u").over(w_cum).alias("adl_u")
+    )
+    return c.select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        F.col("adl_u").cast("bigint").alias("adl_units"),
+        (F.floor(F.col("adl_u") / 1_000_000.0 * 10_000) / 10_000).alias(
+            "adl"
+        ),
+    )
+
+
+#: Elder-ray smoothing frame: the shared truncated dyadic EWMA
+#: (alpha = 1/2 over 8 bars — the win_trix determinism convention
+#: standing in for Elder's 13-bar EMA, whose 2/14 alpha is not
+#: exactly representable cross-engine).
+ELDER_FRAME = 8
+
+_ELDER_ORACLE = f"""
+    WITH {_OHLC_BARS_SQL},
+    e1 AS (
+      SELECT event_type, day, hi, lo,
+             list(CAST(cls AS DOUBLE)) OVER w AS f8
+      FROM bars
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN {ELDER_FRAME - 1} PRECEDING AND CURRENT ROW)
+    ),
+    v AS (
+      SELECT event_type, day, hi, lo,
+             list_sum([f8[i + 1] * pow(0.5, len(f8) - 1 - i)
+                       FOR i IN range(len(f8))])
+             / (2 - pow(0.5, len(f8) - 1)) AS ema
+      FROM e1
+    )
+    SELECT event_type, CAST(day AS VARCHAR) AS day,
+           floor((hi - ema) / 100 * 10000) / 10000 AS bull_power,
+           floor((lo - ema) / 100 * 10000) / 10000 AS bear_power,
+           hi - ema > 0 AND NOT (lo - ema > 0) AS bulls_contested
+    FROM v
+"""
+
+
+@register("win_elder_ray", oracle=_ELDER_ORACLE)
+def win_elder_ray(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elder-ray bull/bear power (Elder 1993): today's high minus the
+    smoothed close (how far bulls pushed above consensus value) and
+    today's low minus it (how far bears pulled below). Both positive =
+    uncontested bulls; the interesting regime is the contested bar
+    where bulls hold the high but bears still drag the low under the
+    EMA — the divergence setups Elder trades. The smoother is the
+    repo's truncated dyadic EWMA (see ELDER_FRAME note).
+
+    Scale/determinism: one collect_list window fold per bar on the
+    shared cents lattice (the win_trix machinery, single stage);
+    the dyadic weights make the EWMA bit-identical cross-engine; the
+    two powers are cents-vs-identical-double subtractions floored
+    1e-4 dollars; the regime flag compares the UNFLOORED difference
+    sign identically in both engines (a 0-boundary tie requires
+    hi exactly equal to the EWMA double — measure-zero on the dyadic
+    lattice and identical either way since both engines compare the
+    same doubles)."""
+    t = load(spark, sf_dir)
+    bars = _ohlc_bars(t)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-(ELDER_FRAME - 1), 0)
+    )
+    frame = F.collect_list(F.col("cls").cast("double")).over(w)
+    n = F.size(frame)
+    weighted = F.aggregate(
+        F.zip_with(
+            frame,
+            F.sequence(F.lit(0), n - 1),
+            lambda v, i: v * F.pow(F.lit(0.5), (n - 1 - i).cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    ema = weighted / (F.lit(2.0) - F.pow(F.lit(0.5), (n - 1).cast("double")))
+    v = bars.select("event_type", "day", "hi", "lo", ema.alias("ema"))
+    bull = F.col("hi") - F.col("ema")
+    bear = F.col("lo") - F.col("ema")
+    return v.select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        (F.floor(bull / 100 * 10_000) / 10_000).alias("bull_power"),
+        (F.floor(bear / 100 * 10_000) / 10_000).alias("bear_power"),
+        ((bull > 0) & ~(bear > 0)).alias("bulls_contested"),
+    )
+
+
+#: Know-Sure-Thing parameters, scaled to the 30-day events fixture
+#: (Pring's 10/15/20/30 ROCs with 10/10/10/15 SMAs need 45+ bars; the
+#: shape — four weighted smoothed ROCs of increasing span — is
+#: preserved at 3/5/7/9 ROCs with 3/3/3/5 SMAs and weights 1..4).
+KST_ROCS = (3, 5, 7, 9)
+KST_SMAS = (3, 3, 3, 5)
+#: LCM of the SMA spans: KST is kept exact-integer as kst15_u =
+#: sum_i weight_i * (15 / sma_i) * SUM_sma_i(roc_u_i).
+KST_LCM = 15
+#: First fully-defined bar: max ROC lag + its SMA warmup + 2 more for
+#: the 3-bar signal line.
+KST_MIN_RN = max(
+    r + s - 1 for r, s in zip(KST_ROCS, KST_SMAS)
+) + 3
+
+
+def _kst_roc_sql() -> str:
+    """Stage-1 ROC columns (window LAGs cannot nest inside the window
+    SUMs, so the fold is two stages on both engines)."""
+    cols = []
+    for i, r in enumerate(KST_ROCS, start=1):
+        cols.append(
+            f"CAST(FLOOR((cls - LAG(cls, {r}) OVER o) * 1000000.0"
+            f" / LAG(cls, {r}) OVER o) AS BIGINT) AS roc{i}_u"
+        )
+    return ", ".join(cols)
+
+
+def _kst_sum_sql() -> str:
+    terms = []
+    for i, s in enumerate(KST_SMAS, start=1):
+        terms.append(
+            f"{i * (KST_LCM // s)} * SUM(roc{i}_u)"
+            f" OVER (PARTITION BY event_type ORDER BY day"
+            f" ROWS BETWEEN {s - 1} PRECEDING AND CURRENT ROW)"
+        )
+    return " + ".join(terms)
+
+
+_KST_ORACLE = f"""
+    WITH {_OHLC_BARS_SQL},
+    r AS (
+      SELECT event_type, day,
+             ROW_NUMBER() OVER o AS rn,
+             {_kst_roc_sql()}
+      FROM bars
+      WINDOW o AS (PARTITION BY event_type ORDER BY day)
+    ),
+    k AS (
+      SELECT event_type, day, rn,
+             {_kst_sum_sql()} AS kst_u
+      FROM r
+    ),
+    sig AS (
+      SELECT event_type, day, rn, kst_u,
+             SUM(kst_u) OVER (PARTITION BY event_type ORDER BY day
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+               AS sig3_u
+      FROM k
+    )
+    SELECT event_type, CAST(day AS VARCHAR) AS day,
+           floor(kst_u / 1500.0 * 10000) / 10000 AS kst_bp,
+           floor(sig3_u / 4500.0 * 10000) / 10000 AS signal_bp,
+           3 * kst_u > sig3_u AS above_signal
+    FROM sig WHERE rn >= {KST_MIN_RN}
+"""
+
+
+@register("win_kst", oracle=_KST_ORACLE)
+def win_kst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Know Sure Thing (Pring): the weighted sum of four SMA-smoothed
+    rates of change of increasing span (weights 1..4 — the long swing
+    dominates, the short ones time it), plus its 3-bar signal line;
+    the KST-crosses-signal event is Pring's cycle-turn trigger.
+    Parameters scale to the fixture's 30-day span (see KST_ROCS note);
+    the published 10/15/20/30 set drops in unchanged on longer bars.
+
+    Scale/determinism: each ROC floors to integer micro-units per bar
+    (exact cents ratio, one FLOOR — the win_chaikin_money_flow
+    device), each SMA stays an UNDIVIDED integer window sum, and the
+    four terms combine via the LCM-of-spans weights so kst15_u is one
+    exact integer per bar; KST, the signal (a 3-bar sum of integers),
+    and the cross flag (3*kst_u vs sig3_u — integer compare) never
+    touch accumulated floats. Presentation divisions floor at 1e-4
+    basis points. Gating at rn >= {KST_MIN_RN} (full warmup
+    everywhere, so no NULL-window semantics diverge)."""
+    t = load(spark, sf_dir)
+    bars = _ohlc_bars(t)
+    w_ord = Window.partitionBy("event_type").orderBy("day")
+    roc_cols = []
+    for i, r in enumerate(KST_ROCS, start=1):
+        lagc = F.lag("cls", r).over(w_ord)
+        roc_cols.append(
+            F.floor((F.col("cls") - lagc) * 1_000_000.0 / lagc)
+            .cast("bigint")
+            .alias(f"roc{i}_u")
+        )
+    staged = bars.select(
+        "event_type",
+        "day",
+        F.row_number().over(w_ord).alias("rn"),
+        *roc_cols,
+    )
+    kst_u = None
+    for i, s in enumerate(KST_SMAS, start=1):
+        sma_sum = F.sum(f"roc{i}_u").over(w_ord.rowsBetween(-(s - 1), 0))
+        term = F.lit(i * (KST_LCM // s)) * sma_sum
+        kst_u = term if kst_u is None else kst_u + term
+    k = staged.select("event_type", "day", "rn", kst_u.alias("kst_u"))
+    sig = k.select(
+        "event_type",
+        "day",
+        "rn",
+        "kst_u",
+        F.sum("kst_u").over(w_ord.rowsBetween(-2, 0)).alias("sig3_u"),
+    )
+    return sig.where(F.col("rn") >= KST_MIN_RN).select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        (F.floor(F.col("kst_u") / 1_500.0 * 10_000) / 10_000).alias("kst_bp"),
+        (F.floor(F.col("sig3_u") / 4_500.0 * 10_000) / 10_000).alias(
+            "signal_bp"
+        ),
+        (3 * F.col("kst_u") > F.col("sig3_u")).alias("above_signal"),
     )

@@ -1463,3 +1463,99 @@ def stream_hll_active_users_bound(spark: SparkSession, sf_dir: str) -> DataFrame
             )
         ).alias("within_bound"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r13: streaming near-duplicate detection — the banded-MinHash index
+# maintained as streaming state (VERDICT r12 item 4).
+# ---------------------------------------------------------------------------
+
+
+def _stream_minhash_oracle() -> str | None:
+    """Golden-VALUES oracle from the pure-Python pipeline replay
+    (dedup.py _replay_band_buckets — the same bit-exact xxhash64 +
+    murmur3 band keys the batch dedup_minhash oracle pins): the
+    expected collision buckets, keeper and candidate-pair count per
+    (band, key)."""
+    from ..goldens import values_oracle
+    from ..llm.dedup import _replay_band_buckets
+
+    replay = _replay_band_buckets()
+    if replay is None:
+        return None
+    _, buckets = replay
+    rows = []
+    for (band, key), ids in sorted(buckets.items()):
+        if len(ids) < 2:
+            continue
+        n = len(ids)
+        rows.append((band, key, n, min(ids), max(ids), n * (n - 1) // 2))
+    return values_oracle(
+        rows,
+        ["band", "key", "n_docs", "keeper_doc", "max_doc", "candidate_pairs"],
+        casts={
+            "band": "INTEGER",
+            "key": "INTEGER",
+            "n_docs": "BIGINT",
+            "keeper_doc": "BIGINT",
+            "max_doc": "BIGINT",
+            "candidate_pairs": "BIGINT",
+        },
+    )
+
+
+@register("stream_dedup_minhash", oracle=_stream_minhash_oracle())
+def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup detection: the banded-MinHash LSH index
+    (dedup_minhash's shingle -> 32 xxhash64 minhashes -> 8 band keys,
+    the SAME band_keys Column pipeline) maintained as streaming
+    aggregation state per (band, key) bucket, emitting the collision
+    buckets with their first-writer keeper (min doc_id — the
+    deterministic exactly-once analog of stream_dedup's key-only
+    contract) and the candidate-pair budget each bucket implies.
+    Suppression downstream is one anti-join against keeper_doc, the
+    dedup_minhash_incremental shape. This is the streaming half of
+    VERDICT r12 item 4: a corpus ingested continuously keeps its LSH
+    index hot instead of re-sharding history per batch.
+
+    State/watermark note: state is one row per OBSERVED band bucket —
+    bounded by distinct band keys, not documents. The fixture docs
+    carry no event time, so this AvailableNow single-batch run needs
+    no watermark for correctness (complete-mode agg, exactly-once by
+    construction); a production stream bounds the same state with a
+    TTL watermark on ingest time exactly as stream_hourly_active_users
+    does.
+
+    Scale/determinism: the band shuffle carries (doc_id, band, key)
+    ints only (the dedup_minhash discipline — shingle arrays never
+    ride the x8 explode); bucket aggregation is combinable min/max/
+    count. The oracle is the bit-exact pure-Python replay of the
+    whole pipeline (pyhash.py), so even the streaming path is
+    value-checked, not rows-only."""
+    from ..llm.dedup import band_keys, shingle_array
+    from .core import docs_stream
+
+    sdf = docs_stream(spark, sf_dir)
+    shingled = sdf.select(
+        "doc_id",
+        F.array_distinct(
+            shingle_array(F.split(F.lower("text"), " "), 3)
+        ).alias("shingles"),
+    ).where(F.size("shingles") > 0)
+    bands = band_keys(shingled)
+    agg = bands.groupBy("band", "key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("doc_id").cast("bigint").alias("keeper_doc"),
+        F.max("doc_id").cast("bigint").alias("max_doc"),
+    )
+    sunk = run_available_now(agg, "complete")
+    return sunk.where(F.col("n_docs") >= 2).select(
+        "band",
+        "key",
+        "n_docs",
+        "keeper_doc",
+        "max_doc",
+        (F.col("n_docs") * (F.col("n_docs") - 1) / 2)
+        .cast("bigint")
+        .alias("candidate_pairs"),
+    )

@@ -94,3 +94,25 @@ def run_available_now(sdf: DataFrame, output_mode: str) -> DataFrame:
     )
     finish_stream(q)
     return spark.table(name)
+
+
+def docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents table (the events_stream
+    staging recipe, minus the timestamp normalization documents do not
+    need)."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    path_key = hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:12]
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"dip_stream_docs_{os.path.basename(sf_dir.rstrip('/'))}_{path_key}",
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    schema = spark.read.parquet(src).schema
+    return spark.readStream.schema(schema).parquet(stage)
