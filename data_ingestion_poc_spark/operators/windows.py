@@ -5355,7 +5355,7 @@ _ADL_ORACLE = f"""
       SELECT event_type, day, ({_MFM_U_SQL}) * vol AS mfv_u
       FROM bars
     ),
-    c AS (
+    cml AS (
       SELECT event_type, day,
              SUM(mfv_u) OVER (PARTITION BY event_type ORDER BY day
                               ROWS UNBOUNDED PRECEDING) AS adl_u
@@ -5364,7 +5364,7 @@ _ADL_ORACLE = f"""
     SELECT event_type, CAST(day AS VARCHAR) AS day,
            CAST(adl_u AS BIGINT) AS adl_units,
            floor(adl_u / 1000000.0 * 10000) / 10000 AS adl
-    FROM c
+    FROM cml
 """
 
 

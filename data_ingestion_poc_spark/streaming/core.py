@@ -104,6 +104,8 @@ def docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
+    import glob
+
     src = os.path.join(sf_dir, "documents.parquet")
     path_key = hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:12]
     stage = os.path.join(
@@ -111,8 +113,17 @@ def docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"dip_stream_docs_{os.path.basename(sf_dir.rstrip('/'))}_{path_key}",
     )
     os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "documents.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
+    # The file stream source lists FILES in the staging dir and does
+    # not follow a symlink to a DIRECTORY (a Spark-written table):
+    # symlink each part file individually so both single-file fixtures
+    # and directory tables stream.
+    if os.path.isdir(src):
+        parts = sorted(glob.glob(os.path.join(src, "*.parquet")))
+    else:
+        parts = [src]
+    for p in parts:
+        link = os.path.join(stage, os.path.basename(p))
+        if not os.path.exists(link):
+            os.symlink(p, link)
     schema = spark.read.parquet(src).schema
     return spark.readStream.schema(schema).parquet(stage)

@@ -42,6 +42,46 @@ EXCLUDED_PREFIXES = ("stream_",)
 # at 100 TB an undocumented single-partition stage is a driver-shaped
 # bottleneck hiding in a distributed plan.
 SINGLE_PARTITION_OK: dict[str, str] = {
+    # r13 batch
+    "agg_wilcoxon_signed_rank": (
+        "rank window over the |d| difference-value lattice (bounded by "
+        "distinct cent differences, not rows; range-partitioned cumsum "
+        "at 100 TB) + 1-row statistic frame"
+    ),
+    "agg_siegel_tukey": (
+        "positional-run closed forms + ordered W_A fold over the 2-dp "
+        "value-DOMAIN lattice (<=49k rows at any SF, the agg_ks_test "
+        "rationale) + 1-row statistic frame"
+    ),
+    "agg_kendall_w": (
+        "item-count window over the bounded nation frame (<=25 rows) + "
+        "1-row statistic frame; per-judge rank windows are partitioned "
+        "by year"
+    ),
+    "agg_durbin_watson": (
+        "day-ordered residual walk over the CALENDAR-bounded daily "
+        "frame (~2,400 rows at any corpus size) + 1-row OLS moment "
+        "frame"
+    ),
+    "agg_lin_ccc": "1-row moment frame (six exact sums fold map-side)",
+    "agg_vargha_delaney_a": (
+        "pair fold over the 2-dp value-DOMAIN lattice + 1-row frame"
+    ),
+    "agg_tost_equivalence": "two 1-row per-arm moment scalars cross-joined",
+    "agg_calibration_slope": "1-row moment frame (five exact sums)",
+    "agg_brier_decomposition": (
+        "bin-ordered REL/RES folds over the bounded 10-bin frame + "
+        "1-row totals scalar"
+    ),
+    "agg_gwet_ac1": "1-row confusion-counter frame (kappa's cost class)",
+    "agg_krippendorff_alpha": "1-row confusion-counter frame",
+    "agg_ndcg": "per-nation rank windows are partitioned; 1-row joins only",
+    "sim_search_nsw": (
+        "Spark-injected runtime bloom_filter_agg build over the 5-row "
+        "query frame (partial->merge of bounded bloom buffers, not "
+        "data rows)"
+    ),
+    "sim_search_nsw_recall": "per-query recall summary (<=5 rows)",
     # 1-row scalar-subquery broadcasts (global aggregate reduced to one
     # row, then broadcast back — the input to the exchange is one row per
     # upstream partition, i.e. partial aggregates, not data rows).
