@@ -64,6 +64,11 @@ _CHANGED_THIS_ROUND = [
 _CHANGED_JUDGED_THIS_ROUND: list[str] = [
     "embed_hubness",
     "graph_hits",
+    # r13 --all sweep perf fix: scored columns materialize via
+    # localCheckpoint so the anomaly filter stops re-evaluating the
+    # interpreted HOF tree per row (8.9 s -> ~1.5 s at sf0.1; output
+    # identical, 5379 rows either way at sf0.1).
+    "win_mad_anomaly",
 ]
 
 

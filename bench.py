@@ -90,6 +90,15 @@ HEADLINE2 = [
     "embed_hubness_ivf",
     "win_rolling_regression",
     "agg_spearman_corr",
+    # r13 (VERDICT r12 item 1): the top-3 slowest ops the two batteries
+    # did not watch, promoted from the BENCH_ALL_r13 whole-engine
+    # record (embed_hubness_exact is slower but stays out — it is the
+    # DELIBERATELY quadratic audit path, the same reasoning that keeps
+    # the brute hubness out of this battery). value2 jumps ~73 s by
+    # construction at r13; per-query mins remain the comparable unit.
+    "dedup_semantic_recall",
+    "graph_kcore",
+    "text_bpe_encode",
 ]
 
 

@@ -7577,13 +7577,13 @@ _WILCOXON_SR_ORACLE = f"""
     ),
     s AS (
       SELECT CAST(SUM(cnt) AS BIGINT) AS n,
-             CAST(SUM(npos * (2 * cb + cnt + 1)) AS BIGINT) AS w2,
+             SUM(CAST(npos AS DECIMAL(38,0)) * (2 * cb + cnt + 1)) AS w2,
              SUM(CAST(cnt AS DECIMAL(38,0)) * cnt * cnt - cnt) AS tie3
       FROM r
     ),
     z AS (
-      SELECT n, w2,
-             (w2 - CAST(n AS DOUBLE) * (n + 1) / 2)
+      SELECT n, CAST(w2 AS DOUBLE) AS w2,
+             (CAST(w2 AS DOUBLE) - CAST(n AS DOUBLE) * (n + 1) / 2)
              / sqrt(4 * (CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24
                          - CAST(tie3 AS DOUBLE) / 48)) AS zs
       FROM s
@@ -7631,8 +7631,12 @@ def agg_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = r.agg(
         F.sum("cnt").cast("bigint").alias("n"),
-        F.sum(F.col("npos") * (2 * F.col("cb") + F.col("cnt") + 1))
-        .cast("bigint")
+        # pre-widen: npos*(2cb+cnt+1) sums to ~2n^2 — past BIGINT once
+        # pairs exceed ~2e9 (overflow doctrine)
+        F.sum(
+            F.col("npos").cast(_DEC) * (2 * F.col("cb") + F.col("cnt") + 1)
+        )
+        .cast("double")
         .alias("w2"),
         F.sum(
             F.col("cnt").cast(_DEC) * F.col("cnt") * F.col("cnt")
@@ -7753,12 +7757,14 @@ def agg_vargha_delaney_a(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: of an odd N, and the choice is stated here, not silent.)
 _ST_RANKSUM_SQL = """
       (CASE WHEN LEAST(hi, mid) >= lo
-            THEN (lo + LEAST(hi, mid)) * (LEAST(hi, mid) - lo + 1)
+            THEN CAST(lo + LEAST(hi, mid) AS DECIMAL(38,0))
+                 * (LEAST(hi, mid) - lo + 1)
                  - (FLOOR((LEAST(hi, mid) + 1) / 2.0)
                     - FLOOR(lo / 2.0))
             ELSE 0 END)
       + (CASE WHEN hi >= GREATEST(lo, mid + 1)
-              THEN (nn + 1 - hi + nn + 1 - GREATEST(lo, mid + 1))
+              THEN CAST(nn + 1 - hi + nn + 1 - GREATEST(lo, mid + 1)
+                        AS DECIMAL(38,0))
                    * (hi - GREATEST(lo, mid + 1) + 1)
                    - (FLOOR((nn + 1 - GREATEST(lo, mid + 1)) / 2.0)
                       - FLOOR((nn - hi) / 2.0))
@@ -7837,9 +7843,12 @@ def agg_siegel_tukey(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo = F.col("pca") + F.col("pcb") + 1
     hi = F.col("cca") + F.col("ccb")
     b1 = F.least(hi, mid)
+    # positional products pre-widen to DECIMAL(38,0): a run spanning
+    # ~N positions multiplies to ~2N^2, past BIGINT once N > ~2e9
+    # observations (overflow doctrine; DuckDB side mirrors the CAST)
     low_sum = F.when(
         b1 >= lo,
-        (lo + b1) * (b1 - lo + 1)
+        (lo + b1).cast(_DEC) * (b1 - lo + 1)
         - (F.floor((b1 + 1) / 2.0) - F.floor(lo / 2.0)),
     ).otherwise(F.lit(0))
     a2 = F.greatest(lo, mid + 1)
@@ -7847,7 +7856,7 @@ def agg_siegel_tukey(spark: SparkSession, sf_dir: str) -> DataFrame:
     jb = nn + 1 - a2
     high_sum = F.when(
         hi >= a2,
-        (ja + jb) * (jb - ja + 1)
+        (ja + jb).cast(_DEC) * (jb - ja + 1)
         - (F.floor(jb / 2.0) - F.floor((ja - 1) / 2.0)),
     ).otherwise(F.lit(0))
     mr = lat.select(
