@@ -135,6 +135,13 @@ _NEW_THIS_ROUND: set[str] = {
     "win_kst",
     # The missing classical centrality (truncated harmonic closeness).
     "graph_closeness_centrality",
+    # Mini-batch 2 (new total 23; window = 2 changed + 23 new + 3
+    # changed-judged = 28, leaving 22 rotation slots >= 15): Cox-Stuart
+    # trend, Bartels rank von Neumann (the DW rank companion), and the
+    # paired sign test completing the paired family.
+    "agg_cox_stuart",
+    "agg_bartels_rank",
+    "agg_sign_test",
 }
 
 

@@ -8432,3 +8432,252 @@ def agg_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         z_hi.alias("z_upper"),
         ((z_lo > 1.645) & (z_hi > 1.645)).alias("equivalent"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r13 mini-batch 2: Cox-Stuart trend, Bartels rank von Neumann,
+# paired sign test — three classical closed forms on existing frames.
+# ---------------------------------------------------------------------------
+
+_COX_STUART_ORACLE = """
+    WITH daily AS (
+      SELECT o_orderdate AS day,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS y
+      FROM orders GROUP BY 1
+    ),
+    tt AS (
+      SELECT y, ROW_NUMBER() OVER (ORDER BY day) AS t,
+             COUNT(*) OVER () AS n
+      FROM daily
+    ),
+    prs AS (
+      SELECT a.y AS y1, b.y AS y2
+      FROM tt a JOIN tt b
+        ON b.t = a.t + CAST(CEIL(a.n / 2.0) AS BIGINT)
+    ),
+    s AS (
+      SELECT CAST(SUM(CASE WHEN y2 <> y1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS k,
+             CAST(SUM(CASE WHEN y2 > y1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS plus
+      FROM prs
+    )
+    SELECT k AS n_pairs, plus AS n_plus,
+           floor((2 * plus - k) / sqrt(CAST(k AS DOUBLE)) * 10000)
+             / 10000 AS z_stat,
+           CASE WHEN abs(floor((2 * plus - k) / sqrt(CAST(k AS DOUBLE))
+                               * 10000) / 10000) <= 1.96 THEN 'none'
+                WHEN 2 * plus > k THEN 'increasing'
+                ELSE 'decreasing' END AS trend
+    FROM s WHERE k > 0
+"""
+
+
+@register("agg_cox_stuart", oracle=_COX_STUART_ORACLE)
+def agg_cox_stuart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cox-Stuart trend test (Cox & Stuart 1955) on the daily-revenue
+    series: pair day i with day i + ceil(n/2) (the second half against
+    the first; an odd middle day pairs with nothing and drops, the
+    published convention), count strictly-rising pairs, and test the
+    count against Binomial(k, 1/2) by the large-sample z. The
+    SIGN-based robust cousin of agg_mann_kendall (which weighs every
+    pair) — O(n) pairs instead of O(n^2), the screen you run first.
+
+    Scale/determinism: the day-grain fold is CALENDAR-bounded
+    (~2,400 rows at any SF); the half-offset self-join is one
+    broadcast-scale join on exact integers; ties drop exactly on both
+    engines (integer cents equality); z floors at 1e-4 and the trend
+    label reads the FLOORED value."""
+    t = load(spark, sf_dir)
+    daily = t.orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("y")
+    )
+    w_all = Window.partitionBy()
+    tt = daily.select(
+        "y",
+        F.row_number().over(Window.orderBy("day")).alias("t"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    a = tt.select("y", "t", F.ceil(F.col("n") / 2.0).alias("off"))
+    b = tt.select(F.col("y").alias("y2"), F.col("t").alias("t2"))
+    prs = a.join(b, F.col("t2") == F.col("t") + F.col("off"))
+    s = prs.agg(
+        F.sum((F.col("y2") != F.col("y")).cast("int"))
+        .cast("bigint")
+        .alias("k"),
+        F.sum((F.col("y2") > F.col("y")).cast("int"))
+        .cast("bigint")
+        .alias("plus"),
+    )
+    z = (2 * F.col("plus") - F.col("k")) / F.sqrt(F.col("k").cast("double"))
+    zf = F.floor(z * 10_000) / 10_000
+    return s.where(F.col("k") > 0).select(
+        F.col("k").alias("n_pairs"),
+        F.col("plus").alias("n_plus"),
+        zf.alias("z_stat"),
+        F.when(F.abs(zf) <= 1.96, "none")
+        .when(2 * F.col("plus") > F.col("k"), "increasing")
+        .otherwise("decreasing")
+        .alias("trend"),
+    )
+
+
+_BARTELS_ORACLE = """
+    WITH daily AS (
+      SELECT o_orderdate AS day,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS y
+      FROM orders GROUP BY 1
+    ),
+    rk AS (
+      SELECT day,
+             2 * (RANK() OVER (ORDER BY y) - 1)
+               + COUNT(*) OVER (PARTITION BY y) + 1 AS r2,
+             COUNT(*) OVER () AS n
+      FROM daily
+    ),
+    dif AS (
+      SELECT r2, n,
+             LEAD(r2) OVER (ORDER BY day) AS nxt
+      FROM rk
+    ),
+    s AS (
+      SELECT MAX(n) AS n,
+             SUM(CASE WHEN nxt IS NULL THEN 0
+                      ELSE CAST(r2 - nxt AS DECIMAL(38,0)) * (r2 - nxt)
+                 END) AS nm4,
+             SUM(CAST(r2 - n - 1 AS DECIMAL(38,0))
+                 * (r2 - n - 1)) AS d4
+      FROM dif
+    ),
+    v AS (
+      SELECT n, CAST(nm4 AS DOUBLE) / CAST(d4 AS DOUBLE) AS rvn,
+             4.0 * (n - 2) * (5.0 * n * n - 2 * n - 9)
+             / (5.0 * n * (n + 1) * (CAST(n AS DOUBLE) - 1)
+                * (n - 1)) AS var_rvn
+      FROM s WHERE CAST(d4 AS DOUBLE) > 0 AND n > 2
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           floor(rvn * 10000) / 10000 AS rvn_stat,
+           floor((rvn - 2) / sqrt(var_rvn) * 10000) / 10000 AS z_stat,
+           CASE WHEN abs(floor((rvn - 2) / sqrt(var_rvn) * 10000) / 10000)
+                     <= 1.96 THEN 'random'
+                WHEN rvn < 2 THEN 'positive_serial_corr'
+                ELSE 'negative_serial_corr' END AS verdict
+    FROM v
+"""
+
+
+@register("agg_bartels_rank", oracle=_BARTELS_ORACLE)
+def agg_bartels_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartels rank von Neumann randomness test (Bartels 1982) on the
+    daily-revenue series: RVN = sum((R_t - R_{t+1})^2) / sum((R_t -
+    Rbar)^2) over the day-order RANKS — near 2 under randomness, below
+    it under positive serial correlation. The RANK-based companion of
+    agg_durbin_watson: DW tests the residuals of a fitted line (and
+    inherits its linearity), Bartels tests the raw series and survives
+    monotone transforms; read the pair together. Ties take midranks
+    and the no-ties asymptotic variance 4(n-2)(5n^2-2n-9)/(5n(n+1)
+    (n-1)^2) — the stated approximation.
+
+    Scale/determinism: CALENDAR-bounded day frame; DOUBLED midranks
+    keep both quadratic forms exact integers (pre-widened to
+    DECIMAL(38,0) — (2R)^2 sums reach ~4n^3), the 2-unit scaling
+    cancels in the ratio; one closed-form double z, floored 1e-4,
+    verdict on the FLOORED value."""
+    t = load(spark, sf_dir)
+    daily = t.orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("y")
+    )
+    w_all = Window.partitionBy()
+    # doubled midrank 2R = 2*lt + eq + 1 (the agg_auc_roc device; the
+    # +1 matters — dropping it shifts every rank by 1/2 and biases the
+    # denominator's deviations, caught by the planted model pre-ship)
+    rk = daily.select(
+        "day",
+        (
+            2 * (F.rank().over(Window.orderBy("y")) - 1)
+            + F.count(F.lit(1)).over(Window.partitionBy("y"))
+            + 1
+        ).alias("r2"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    dif = rk.select(
+        "r2", "n", F.lead("r2").over(Window.orderBy("day")).alias("nxt")
+    )
+    dd = F.col("r2") - F.col("nxt")
+    dev = F.col("r2") - F.col("n") - 1
+    s = dif.agg(
+        F.max("n").alias("n"),
+        F.sum(
+            F.when(F.col("nxt").isNull(), F.lit(0).cast(_DEC)).otherwise(
+                dd.cast(_DEC) * dd
+            )
+        ).alias("nm4"),
+        F.sum(dev.cast(_DEC) * dev).alias("d4"),
+    )
+    nd = F.col("n").cast("double")
+    rvn = F.col("nm4").cast("double") / F.col("d4").cast("double")
+    var_rvn = (
+        4.0
+        * (F.col("n") - 2)
+        * (5.0 * F.col("n") * F.col("n") - 2 * F.col("n") - 9)
+        / (5.0 * F.col("n") * (F.col("n") + 1) * (nd - 1) * (F.col("n") - 1))
+    )
+    v = s.where(
+        (F.col("d4").cast("double") > 0) & (F.col("n") > 2)
+    ).select("n", rvn.alias("rvn"), var_rvn.alias("var_rvn"))
+    zf = F.floor((F.col("rvn") - 2) / F.sqrt(F.col("var_rvn")) * 10_000) / 10_000
+    return v.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        (F.floor(F.col("rvn") * 10_000) / 10_000).alias("rvn_stat"),
+        zf.alias("z_stat"),
+        F.when(F.abs(zf) <= 1.96, "random")
+        .when(F.col("rvn") < 2, "positive_serial_corr")
+        .otherwise("negative_serial_corr")
+        .alias("verdict"),
+    )
+
+
+_SIGN_TEST_ORACLE = f"""
+    WITH {_PAIRED_USER_SQL},
+    s AS (
+      SELECT CAST(SUM(CASE WHEN x <> y THEN 1 ELSE 0 END) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN x > y THEN 1 ELSE 0 END) AS BIGINT) AS k
+      FROM pu
+    )
+    SELECT n AS n_pairs, k AS n_plus,
+           floor((2 * k - n) / sqrt(CAST(n AS DOUBLE)) * 10000) / 10000
+             AS z_stat,
+           abs(floor((2 * k - n) / sqrt(CAST(n AS DOUBLE)) * 10000)
+               / 10000) > 1.96 AS location_shifted
+    FROM s WHERE n > 0
+"""
+
+
+@register("agg_sign_test", oracle=_SIGN_TEST_ORACLE)
+def agg_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired sign test on the per-user arm totals: count users whose
+    purchase total strictly exceeds their click total (ties drop), z
+    against Binomial(n, 1/2). The assumption-free floor of the paired
+    family — agg_wilcoxon_signed_rank adds magnitude ranks (more power,
+    needs symmetry), agg_t_test adds means (needs moments); the sign
+    test needs only that signs are informative, so it is the paired
+    screen you can always run. Large-sample z, stated.
+
+    Scale/determinism: the shared _paired_user frame (one user_id
+    shuffle), then a single 2-counter combinable aggregate on exact
+    integer cents comparisons; one closed-form z floored 1e-4, verdict
+    on the FLOORED value."""
+    pu = _paired_user(load(spark, sf_dir))
+    s = pu.agg(
+        F.sum((F.col("x") != F.col("y")).cast("int")).cast("bigint").alias("n"),
+        F.sum((F.col("x") > F.col("y")).cast("int")).cast("bigint").alias("k"),
+    )
+    z = (2 * F.col("k") - F.col("n")) / F.sqrt(F.col("n").cast("double"))
+    zf = F.floor(z * 10_000) / 10_000
+    return s.where(F.col("n") > 0).select(
+        F.col("n").alias("n_pairs"),
+        F.col("k").alias("n_plus"),
+        zf.alias("z_stat"),
+        (F.abs(zf) > 1.96).alias("location_shifted"),
+    )

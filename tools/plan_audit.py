@@ -58,6 +58,15 @@ SINGLE_PARTITION_OK: dict[str, str] = {
         "1-row statistic frame; per-judge rank windows are partitioned "
         "by year"
     ),
+    "agg_cox_stuart": (
+        "day-index window over the CALENDAR-bounded daily frame + "
+        "1-row sign-counter scalar"
+    ),
+    "agg_bartels_rank": (
+        "rank/lead windows over the CALENDAR-bounded daily frame "
+        "(~2,400 rows at any SF) + 1-row quadratic-form scalar"
+    ),
+    "agg_sign_test": "1-row sign-counter frame (two combinable sums)",
     "agg_durbin_watson": (
         "day-ordered residual walk over the CALENDAR-bounded daily "
         "frame (~2,400 rows at any corpus size) + 1-row OLS moment "
