@@ -44,7 +44,7 @@ EXCLUDED_PREFIXES = ("stream_",)
 SINGLE_PARTITION_OK: dict[str, str] = {
     # r13 batch
     "agg_wilcoxon_signed_rank": (
-        "rank window over the |d| difference-value lattice (bounded by "
+        "rank window over the abs-difference value lattice (bounded by "
         "distinct cent differences, not rows; range-partitioned cumsum "
         "at 100 TB) + 1-row statistic frame"
     ),
