@@ -2957,9 +2957,9 @@ def sim_search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: query, and the layer-0 beam search runs a FIXED number of hops —
 #: the fixed-budget contract every iterative op here uses (pagerank /
 #: kcore / bfs precedent).
-NSW_DEG = 6
-NSW_BEAM = 8
-NSW_HOPS = 3
+NSW_DEG = 8
+NSW_BEAM = 64
+NSW_HOPS = 5
 
 _NSW_ORACLE = f"""
     WITH e AS (
@@ -2970,15 +2970,48 @@ _NSW_ORACLE = f"""
     entv AS (
       SELECT en.eid, e.v AS ev FROM entry en JOIN e ON e.vec_id = en.eid
     ),
-    g AS (
+    seeds AS (
+      SELECT label, vec_id AS sid, v AS sv FROM (
+        SELECT label, vec_id, v,
+               row_number() OVER (PARTITION BY label ORDER BY vec_id)
+                 AS srn,
+               COUNT(*) OVER (PARTITION BY label) AS nc
+        FROM e
+      ) WHERE srn <= CEIL(SQRT(nc))
+    ),
+    asg AS (
+      SELECT vec_id, label, v, sid FROM (
+        SELECT e.vec_id, e.label, e.v, s.sid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_COS.format(a="e.v", b="s.sv")} DESC, s.sid)
+                 AS rn
+        FROM e JOIN seeds s ON s.label = e.label
+      ) WHERE rn = 1
+    ),
+    glocal AS (
       SELECT src, dst FROM (
         SELECT a.vec_id AS src, b.vec_id AS dst,
                row_number() OVER (
                  PARTITION BY a.vec_id
                  ORDER BY {_COS.format(a="a.v", b="b.v")} DESC, b.vec_id)
                  AS rn
-        FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+        FROM asg a JOIN asg b
+          ON a.label = b.label AND a.sid = b.sid
+         AND a.vec_id <> b.vec_id
       ) WHERE rn <= {NSW_DEG}
+    ),
+    g AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM glocal
+        UNION ALL SELECT vec_id AS src, sid AS dst FROM asg
+        WHERE vec_id <> sid
+        UNION ALL SELECT a.sid AS src, b.sid AS dst
+        FROM seeds a JOIN seeds b
+          ON a.label = b.label AND a.sid <> b.sid
+        UNION ALL SELECT a.eid AS src, b.eid AS dst
+        FROM entry a JOIN entry b ON a.eid <> b.eid
+      )
     ),
     q AS (SELECT vec_id AS query_id, v AS qe FROM e WHERE vec_id < 5),
     start AS (
@@ -3058,37 +3091,127 @@ _NSW_ORACLE = f"""
       SELECT query_id, node, MAX(cosine) AS cosine FROM (
         SELECT * FROM v2 UNION ALL SELECT * FROM s3
       ) GROUP BY query_id, node
+    ),
+    b3 AS (
+      SELECT query_id, node FROM (
+        SELECT query_id, node,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, node) AS rn
+        FROM v3
+      ) WHERE rn <= {NSW_BEAM}
+    ),
+    x4 AS (
+      SELECT DISTINCT b.query_id, g.dst AS node
+      FROM b3 b JOIN g ON g.src = b.node
+    ),
+    s4 AS (
+      SELECT x.query_id, x.node,
+             {_COS.format(a="q.qe", b="e.v")} AS cosine
+      FROM x4 x JOIN q ON q.query_id = x.query_id
+      JOIN e ON e.vec_id = x.node
+    ),
+    v4 AS (
+      SELECT query_id, node, MAX(cosine) AS cosine FROM (
+        SELECT * FROM v3 UNION ALL SELECT * FROM s4
+      ) GROUP BY query_id, node
+    ),
+    b4 AS (
+      SELECT query_id, node FROM (
+        SELECT query_id, node,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, node) AS rn
+        FROM v4
+      ) WHERE rn <= {NSW_BEAM}
+    ),
+    x5 AS (
+      SELECT DISTINCT b.query_id, g.dst AS node
+      FROM b4 b JOIN g ON g.src = b.node
+    ),
+    s5 AS (
+      SELECT x.query_id, x.node,
+             {_COS.format(a="q.qe", b="e.v")} AS cosine
+      FROM x5 x JOIN q ON q.query_id = x.query_id
+      JOIN e ON e.vec_id = x.node
+    ),
+    v5 AS (
+      SELECT query_id, node, MAX(cosine) AS cosine FROM (
+        SELECT * FROM v4 UNION ALL SELECT * FROM s5
+      ) GROUP BY query_id, node
     )
     SELECT query_id, node AS neighbor_id, ROUND(cosine, 4) AS cosine, rk
     FROM (
       SELECT query_id, node, cosine,
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY cosine DESC, node) AS rk
-      FROM v3 WHERE node <> query_id
+      FROM v5 WHERE node <> query_id
     ) WHERE rk <= 10
 """
 
 
 def _nsw_graph(t) -> DataFrame:
-    """Layer-0 navigable graph: each vector's NSW_DEG nearest
-    same-label neighbors by exact cosine (deterministic ties on
-    vec_id). Cell-local all-pairs — sum-of-cells^2 pair space, the
-    embed_hubness_ivf N^1.5 shape; at corpus scale the build swaps to
-    NN-descent or an LSH-bucketed candidate generator, the walk below
-    is unchanged."""
+    """Layer-0 navigable graph, built SUB-CELL-LOCAL so the pair space
+    is ~N^1.5, never cell-quadratic (the 16x-corpus probe measured the
+    label-cell all-pairs build at 22.8x wall for 16x data — this
+    two-level build brings the growth back to the embed_hubness_ivf
+    class). Three deterministic edge sets, unioned:
+
+      1. local:  each vector's NSW_DEG nearest neighbors among vectors
+         sharing its (label, sub-cell) — sub-cells are IVF cells whose
+         seeds are the label's first ceil(sqrt(n_label)) vec_ids (the
+         _HUBNESS_IVF_ORACLE seed rule), assignment by cosine with sid
+         tiebreaks;
+      2. uplink: every vector -> its sub-cell seed (guarantees a path
+         INTO each sub-cell);
+      3. bridge: seed <-> seed within a label (the HNSW long-range
+         layer, keeping the walk navigable ACROSS sub-cells).
+
+    Pair space: assignment N x sqrt(cell) + local sum(subcell^2)
+    ~ N^1.5; edges per node <= NSW_DEG + 1 (+ sqrt bridges on seeds)."""
     e = t.embeddings.select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
-    a, b = e.alias("a"), e.alias("b")
+    w_seed = Window.partitionBy("label").orderBy("vec_id")
+    w_cnt = Window.partitionBy("label")
+    seeds = (
+        e.select(
+            "label",
+            "vec_id",
+            "v",
+            F.row_number().over(w_seed).alias("srn"),
+            F.count(F.lit(1)).over(w_cnt).alias("nc"),
+        )
+        .where(F.col("srn") <= F.ceil(F.sqrt(F.col("nc"))))
+        .select(
+            F.col("label").alias("slabel"),
+            F.col("vec_id").alias("sid"),
+            F.col("v").alias("sv"),
+        )
+    )
+    cos_seed = dot_double(F.col("v"), F.col("sv")) / (
+        F.sqrt(dot_double(F.col("v"), F.col("v")))
+        * F.sqrt(dot_double(F.col("sv"), F.col("sv")))
+    )
+    w_asg = Window.partitionBy("vec_id").orderBy(
+        F.col("cs").desc(), "sid"
+    )
+    asg = (
+        e.join(F.broadcast(seeds), F.col("label") == F.col("slabel"))
+        .select("vec_id", "label", "v", "sid", cos_seed.alias("cs"))
+        .withColumn("rn", F.row_number().over(w_asg))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "label", "v", "sid")
+    )
+    a, b = asg.alias("a"), asg.alias("b")
     cos = dot_double(F.col("a.v"), F.col("b.v")) / (
         F.sqrt(dot_double(F.col("a.v"), F.col("a.v")))
         * F.sqrt(dot_double(F.col("b.v"), F.col("b.v")))
     )
     w = Window.partitionBy("src").orderBy(F.col("c").desc(), "dst")
-    return (
+    glocal = (
         a.join(
             b,
             (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.sid") == F.col("b.sid"))
             & (F.col("a.vec_id") != F.col("b.vec_id")),
         )
         .select(
@@ -3100,23 +3223,51 @@ def _nsw_graph(t) -> DataFrame:
         .where(F.col("rn") <= NSW_DEG)
         .select("src", "dst")
     )
+    uplink = asg.where(F.col("vec_id") != F.col("sid")).select(
+        F.col("vec_id").alias("src"), F.col("sid").alias("dst")
+    )
+    sa, sb = seeds.alias("sa"), seeds.alias("sb")
+    bridge = sa.join(
+        sb,
+        (F.col("sa.slabel") == F.col("sb.slabel"))
+        & (F.col("sa.sid") != F.col("sb.sid")),
+    ).select(F.col("sa.sid").alias("src"), F.col("sb.sid").alias("dst"))
+    # top layer: the per-label entries (each label's FIRST seed)
+    # interconnect across labels, so the walk can LEAVE the entry
+    # label — entry -> foreign entry -> seed -> sub-cell member fits
+    # the NSW_HOPS=3 budget; without it recall caps at whatever
+    # fraction of the true top-k shares the entry's label
+    entries = e.groupBy("label").agg(F.min("vec_id").alias("eid"))
+    ea, eb = entries.alias("ea"), entries.alias("eb")
+    topbridge = ea.join(
+        eb, F.col("ea.eid") != F.col("eb.eid")
+    ).select(F.col("ea.eid").alias("src"), F.col("eb.eid").alias("dst"))
+    return (
+        glocal.unionByName(uplink)
+        .unionByName(bridge)
+        .unionByName(topbridge)
+        .distinct()
+    )
 
 
 @register("sim_search_nsw", oracle=_NSW_ORACLE)
 def sim_search_nsw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HNSW-style navigable-graph ANN (Malkov & Yashunin 2016, made
-    deterministic): a two-layer structure — one entry node per label
-    cell on top, an exact NSW_DEG-regular cell-local kNN graph below —
+    deterministic): one entry node per label on top; below it the
+    two-level navigable graph of _nsw_graph — sub-cell-local kNN edges
+    plus uplinks and seed<->seed bridges (the HNSW long-range layer) —
     searched by greedy entry selection then a NSW_BEAM-wide,
     NSW_HOPS-hop beam walk whose FINAL top-10 ranks every node the
     walk visited. Completes the ANN family census (LSH / IVF / PQ /
     IVF-PQ / BQ / SQ all exist): graph ANN is the recall/latency
     frontier in practice, and this is its oracle-checkable contract —
-    insertion-order randomness replaced by min-vec_id entries and
-    fixed budgets, so DuckDB replays the identical walk.
+    insertion-order randomness replaced by first-vec_id seeds/entries
+    and fixed budgets, so DuckDB replays the identical walk.
 
-    Scale/determinism: the graph builds cell-local (sum of cell^2
-    pairs, never global all-pairs — see _nsw_graph); the walk itself
+    Scale/determinism: the graph builds sub-cell-local (~N^1.5 pair
+    space — see _nsw_graph; the label-cell all-pairs first cut
+    measured 22.8x wall on the 16x-corpus probe and was replaced
+    in-round); the walk itself
     touches beam x degree rows per hop per query, independent of
     corpus size, with the graph and query frames broadcast; every
     frontier is deduped by (query, node) and re-ranked with vec_id

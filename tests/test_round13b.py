@@ -414,7 +414,7 @@ def test_closeness_centrality_exact(spark, tmp_path):
 # NSW graph walk: pure-Python replica of the deterministic search.
 
 
-def _nsw_model(vecs, labels, queries, deg=6, beam=8, hops=3, k=10):
+def _nsw_model(vecs, labels, queries, deg=8, beam=64, hops=5, k=10):
     import numpy as np
 
     vv = {i: [float(np.float32(x)) for x in v] for i, v in vecs.items()}
@@ -427,16 +427,40 @@ def _nsw_model(vecs, labels, queries, deg=6, beam=8, hops=3, k=10):
         nb = math.sqrt(sum(x * x for x in vv[b]))
         return acc / (na * nb)
 
-    # layer-0 graph: per-vector top-deg same-label neighbors
-    g = {}
+    # two-level graph (the _nsw_graph contract): per-label seeds =
+    # first ceil(sqrt(n_label)) vec_ids; assign each vector to its
+    # nearest seed (sid tiebreak); edges = sub-cell-local top-deg kNN
+    # UNION uplinks (v -> its seed) UNION seed<->seed bridges per label
+    by_label = {}
     for i in vv:
-        cands = [j for j in vv if j != i and labels[j] == labels[i]]
-        cands.sort(key=lambda j: (-cos(i, j), j))
-        g[i] = cands[:deg]
+        by_label.setdefault(labels[i], []).append(i)
+    seeds = {
+        lb: sorted(ids)[: math.ceil(math.sqrt(len(ids)))]
+        for lb, ids in by_label.items()
+    }
+    sid_of = {
+        i: min(seeds[labels[i]], key=lambda s: (-cos(i, s), s)) for i in vv
+    }
     entries = {}
     for i in vv:
         lb = labels[i]
         entries[lb] = min(entries.get(lb, i), i)
+    g = {}
+    for i in vv:
+        cands = [
+            j
+            for j in vv
+            if j != i and labels[j] == labels[i] and sid_of[j] == sid_of[i]
+        ]
+        cands.sort(key=lambda j: (-cos(i, j), j))
+        edges = set(cands[:deg])
+        if sid_of[i] != i:
+            edges.add(sid_of[i])
+        if i in seeds[labels[i]]:
+            edges.update(s for s in seeds[labels[i]] if s != i)
+        if i in entries.values():
+            edges.update(e for e in entries.values() if e != i)
+        g[i] = sorted(edges)
     out = {}
     for q in queries:
         start = min(entries.values(), key=lambda e: (-cos(q, e), e))
