@@ -7835,8 +7835,16 @@ def agg_siegel_tukey(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulates via the cumulative window in v-order and max_by —
     identical fp sequence on both engines; t^3 tie terms pre-widen to
     DECIMAL(38,0); z floors at 1e-4 and the verdict reads the FLOORED
-    value. The variance is the standard tie-corrected rank-sum form
-    (ST ranks are a permutation of 1..N, so it applies unchanged)."""
+    value. The variance is the standard tie-corrected rank-sum form —
+    an APPROXIMATION under ties, not exact: ST ranks permute 1..N so
+    the untied variance applies unchanged, but a tied positional run
+    carries NON-consecutive ST ranks (gaps up to 3 within a zone), so
+    midranking removes more within-run deviation than the (t^3-t)/12
+    term subtracts — on a heavily tied lattice the variance is mildly
+    overstated and |z| understated (conservative). Both engines and
+    the planted model pin this same convention, so parity holds; an
+    exact variant would fold na*nb/(N(N-1))*sum((a_i-abar)^2) over the
+    actual midranked ST scores (ADVICE r13)."""
     lat = _two_sample_lattice(load(spark, sf_dir))
     nn = F.col("na") + F.col("nb")
     mid = 2 * F.floor(nn / 4.0) + F.when(nn % 4 == 0, 0).otherwise(1)

@@ -121,6 +121,20 @@ def docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         parts = sorted(glob.glob(os.path.join(src, "*.parquet")))
     else:
         parts = [src]
+    # Prune stale staging entries first (ADVICE r13): if the fixture
+    # directory was regenerated in place with different part names,
+    # the old links dangle — os.path.exists() follows the link and
+    # returns False on a dangling target, so without this sweep they
+    # would be neither detected below nor removed, and the file-stream
+    # source would list them and fail (or double-count surviving old
+    # parts no longer in `parts`).
+    current = {os.path.basename(p) for p in parts}
+    for name in os.listdir(stage):
+        link = os.path.join(stage, name)
+        if os.path.islink(link) and (
+            name not in current or not os.path.exists(link)
+        ):
+            os.unlink(link)
     for p in parts:
         link = os.path.join(stage, os.path.basename(p))
         if not os.path.exists(link):
