@@ -99,6 +99,12 @@ HEADLINE2 = [
     "dedup_semantic_recall",
     "graph_kcore",
     "text_bpe_encode",
+    # r14 (VERDICT r13 item 3): the NSW graph-ANN pair was registered
+    # after the r13 --all sweep and sat in no battery — track it here
+    # so its cost trend is watched. value2 grows by their wall (~10 s
+    # at sf0.1, r14 global-cell rebuild) by construction at r14.
+    "sim_search_nsw",
+    "sim_search_nsw_recall",
 ]
 
 

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 import logging
+import math
 
 from ..catalog import footer_row_count, load
 from ..registry import register
@@ -2960,33 +2961,38 @@ def sim_search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 NSW_DEG = 8
 NSW_BEAM = 64
 NSW_HOPS = 5
+#: r14: beam-walk starts — the walk seeds from the TOP-NSW_STARTS
+#: layer-1 nodes (sub-cell seeds) by query cosine, the deterministic
+#: stand-in for HNSW's upper-layer greedy descent (scoring the whole
+#: seed layer is exact and bounded: |seeds| ~ sqrt(N*L), sublinear in
+#: corpus). Replaces r13's single per-label entry start, which forced
+#: every cross-cell neighbor through a 3-hop entry->seed->member detour
+#: and capped recall@10 at 40-90%. 16 starts = the smallest measured
+#: setting whose recall@10 floor is >=0.9 at every SF (pure-Python
+#: sweep over starts x beam x deg, r14).
+NSW_STARTS = 16
 
 _NSW_ORACLE = f"""
     WITH e AS (
-      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
       FROM embeddings
     ),
-    entry AS (SELECT label, MIN(vec_id) AS eid FROM e GROUP BY label),
-    entv AS (
-      SELECT en.eid, e.v AS ev FROM entry en JOIN e ON e.vec_id = en.eid
-    ),
     seeds AS (
-      SELECT label, vec_id AS sid, v AS sv FROM (
-        SELECT label, vec_id, v,
-               row_number() OVER (PARTITION BY label ORDER BY vec_id)
-                 AS srn,
-               COUNT(*) OVER (PARTITION BY label) AS nc
+      SELECT vec_id AS sid, v AS sv FROM (
+        SELECT vec_id, v,
+               row_number() OVER (ORDER BY vec_id) AS srn,
+               COUNT(*) OVER () AS nc
         FROM e
       ) WHERE srn <= CEIL(SQRT(nc))
     ),
     asg AS (
-      SELECT vec_id, label, v, sid FROM (
-        SELECT e.vec_id, e.label, e.v, s.sid,
+      SELECT vec_id, v, sid FROM (
+        SELECT e.vec_id, e.v, s.sid,
                row_number() OVER (
                  PARTITION BY e.vec_id
                  ORDER BY {_COS.format(a="e.v", b="s.sv")} DESC, s.sid)
                  AS rn
-        FROM e JOIN seeds s ON s.label = e.label
+        FROM e CROSS JOIN seeds s
       ) WHERE rn = 1
     ),
     glocal AS (
@@ -2997,8 +3003,7 @@ _NSW_ORACLE = f"""
                  ORDER BY {_COS.format(a="a.v", b="b.v")} DESC, b.vec_id)
                  AS rn
         FROM asg a JOIN asg b
-          ON a.label = b.label AND a.sid = b.sid
-         AND a.vec_id <> b.vec_id
+          ON a.sid = b.sid AND a.vec_id <> b.vec_id
       ) WHERE rn <= {NSW_DEG}
     ),
     g AS (
@@ -3006,29 +3011,28 @@ _NSW_ORACLE = f"""
         SELECT src, dst FROM glocal
         UNION ALL SELECT vec_id AS src, sid AS dst FROM asg
         WHERE vec_id <> sid
+        UNION ALL SELECT sid AS src, vec_id AS dst FROM asg
+        WHERE vec_id <> sid
         UNION ALL SELECT a.sid AS src, b.sid AS dst
-        FROM seeds a JOIN seeds b
-          ON a.label = b.label AND a.sid <> b.sid
-        UNION ALL SELECT a.eid AS src, b.eid AS dst
-        FROM entry a JOIN entry b ON a.eid <> b.eid
+        FROM seeds a JOIN seeds b ON a.sid <> b.sid
       )
     ),
     q AS (SELECT vec_id AS query_id, v AS qe FROM e WHERE vec_id < 5),
     start AS (
-      SELECT query_id, eid FROM (
-        SELECT q.query_id, en.eid,
+      SELECT query_id, sid AS node FROM (
+        SELECT q.query_id, s.sid,
                row_number() OVER (
                  PARTITION BY q.query_id
-                 ORDER BY {_COS.format(a="q.qe", b="en.ev")} DESC, en.eid)
+                 ORDER BY {_COS.format(a="q.qe", b="s.sv")} DESC, s.sid)
                  AS rn
-        FROM q CROSS JOIN entv en
-      ) WHERE rn = 1
+        FROM q CROSS JOIN seeds s
+      ) WHERE rn <= {NSW_STARTS}
     ),
     v0 AS (
-      SELECT s.query_id, s.eid AS node,
+      SELECT s.query_id, s.node,
              {_COS.format(a="q.qe", b="e.v")} AS cosine
       FROM start s JOIN q ON q.query_id = s.query_id
-      JOIN e ON e.vec_id = s.eid
+      JOIN e ON e.vec_id = s.node
     ),
     b0 AS (SELECT query_id, node FROM v0),
     x1 AS (
@@ -3148,70 +3152,123 @@ _NSW_ORACLE = f"""
 """
 
 
-def _nsw_graph(t) -> DataFrame:
-    """Layer-0 navigable graph, built SUB-CELL-LOCAL so the pair space
-    is ~N^1.5, never cell-quadratic (the 16x-corpus probe measured the
-    label-cell all-pairs build at 22.8x wall for 16x data — this
-    two-level build brings the growth back to the embed_hubness_ivf
-    class). Three deterministic edge sets, unioned:
-
-      1. local:  each vector's NSW_DEG nearest neighbors among vectors
-         sharing its (label, sub-cell) — sub-cells are IVF cells whose
-         seeds are the label's first ceil(sqrt(n_label)) vec_ids (the
-         _HUBNESS_IVF_ORACLE seed rule), assignment by cosine with sid
-         tiebreaks;
-      2. uplink: every vector -> its sub-cell seed (guarantees a path
-         INTO each sub-cell);
-      3. bridge: seed <-> seed within a label (the HNSW long-range
-         layer, keeping the walk navigable ACROSS sub-cells).
-
-    Pair space: assignment N x sqrt(cell) + local sum(subcell^2)
-    ~ N^1.5; edges per node <= NSW_DEG + 1 (+ sqrt bridges on seeds)."""
-    e = t.embeddings.select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
-    )
-    w_seed = Window.partitionBy("label").orderBy("vec_id")
-    w_cnt = Window.partitionBy("label")
-    seeds = (
-        e.select(
-            "label",
-            "vec_id",
-            "v",
-            F.row_number().over(w_seed).alias("srn"),
-            F.count(F.lit(1)).over(w_cnt).alias("nc"),
-        )
-        .where(F.col("srn") <= F.ceil(F.sqrt(F.col("nc"))))
+def _nsw_seeds(e: DataFrame) -> DataFrame:
+    """Layer-1 seed set (r14: GLOBAL, label-free): the corpus' first
+    ceil(sqrt(N)) vec_ids — (sid, sv). Shared by the graph build
+    (cell assignment) and the walk start (the exhaustive layer-1
+    descent); |seeds| ~ sqrt(N), sublinear in corpus size. r13's
+    per-label seeds made every cell label-confined, and labels only
+    partially track cosine geometry on this fixture (BASELINE r13) —
+    the structural cause of the 40-90% recall cap. The scalar count
+    is one eager corpus-footer read; the top-k itself is a
+    distributed TakeOrdered (never a single-partition sort). The
+    returned sqrt(N)-row frame is localCheckpoint-materialized: every
+    downstream reference (assignment, bridges, walk start) would
+    otherwise re-run the corpus TakeOrdered per reference (the r14
+    build profile caught exactly this re-execution class at ~13x the
+    necessary build cost). Carries snrm = sqrt(sv.sv) so per-pair
+    cosines multiply a precomputed norm instead of re-folding it —
+    same doubles, same product, bit-identical values."""
+    k = int(math.ceil(math.sqrt(e.count())))
+    return (
+        e.orderBy("vec_id")
+        .limit(k)
         .select(
-            F.col("label").alias("slabel"),
             F.col("vec_id").alias("sid"),
             F.col("v").alias("sv"),
+            F.sqrt(
+                dot_double(F.col("v"), F.col("v"))
+            ).alias("snrm"),
+        )
+        .localCheckpoint()
+    )
+
+
+def _nsw_graph(t) -> DataFrame:
+    """Layer-0 navigable graph, built CELL-LOCAL so the pair space is
+    ~N^1.5, never cell-quadratic (the r13 16x-corpus probe measured a
+    label-cell all-pairs build at 22.8x wall for 16x data — this
+    IVF-cell build keeps the growth in the embed_hubness_ivf class).
+    Four deterministic edge sets, unioned:
+
+      1. local:    each vector's NSW_DEG nearest neighbors among
+         vectors sharing its cell — cells are GLOBAL IVF cells whose
+         seeds are the corpus' first ceil(sqrt(N)) vec_ids (r14;
+         label-free), assignment by cosine with sid tiebreaks;
+      2. uplink:   every vector -> its cell seed (a path INTO the
+         seed layer from anywhere);
+      3. downlink: seed -> each member of its cell (r14; without it a
+         walk reaching a foreign seed entered the cell only through
+         the seed's own NSW_DEG local edges — members far from their
+         seed were unreachable and recall@10 capped at 40-90%);
+      4. bridge:   seed <-> seed, all pairs (the HNSW long-range
+         layer; sqrt(N)^2 = N edges, linear).
+
+    Pair space: assignment N x sqrt(N) + local sum(cell^2) ~ N^1.5;
+    out-degree <= NSW_DEG + 1 for members, ~cell size + sqrt(N) for
+    seeds — all bounded by construction.
+
+    Build plan (r14 profile-driven, value-identical to the naive
+    spelling): (a) per-vector norms are folded ONCE and multiplied
+    per pair — sqrt(dot(a,a))*sqrt(dot(b,b)) over the same doubles
+    either way, so cosines are bit-identical with 3x fewer
+    interpreted-HOF folds; (b) the cell assignment is a map-side
+    max_by over (cs, -sid) — the exact argmax the old
+    row_number(ORDER BY cs DESC, sid) window picked, but partial
+    aggregation means the N x sqrt(N) pair rows combine per-partition
+    instead of shuffling (and never carry the 512-byte vector); (c)
+    asg is localCheckpoint-materialized because FOUR edge sets read it
+    — unmaterialized, Spark re-executes the whole assignment per
+    reference (the 13x build blowup the r14 16x probe caught); (d)
+    the corpus frame repartitions to the session's shuffle
+    parallelism before the assignment crossJoin — the fixture is one
+    small parquet split, so without it the whole N x sqrt(N) fold ran
+    on 2 of 32 cores (at real scale the scan is already wide; the
+    round-robin repartition is value-neutral here because everything
+    downstream is keyed aggregation). An unrolled codegen dot product
+    was tried and REJECTED: 64-term expression trees ballooned per-
+    stage planning/compile time far past the interpreted fold's cost
+    (45 s vs 8 s warm at sf0.1 end to end).
+    """
+    spark = t.embeddings.sparkSession
+    par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    e = (
+        t.embeddings.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        .repartition(par)
+        .withColumn(
+            "nrm", F.sqrt(dot_double(F.col("v"), F.col("v")))
         )
     )
+    seeds = _nsw_seeds(e.select("vec_id", "v"))
     cos_seed = dot_double(F.col("v"), F.col("sv")) / (
-        F.sqrt(dot_double(F.col("v"), F.col("v")))
-        * F.sqrt(dot_double(F.col("sv"), F.col("sv")))
+        F.col("nrm") * F.col("snrm")
     )
-    w_asg = Window.partitionBy("vec_id").orderBy(
-        F.col("cs").desc(), "sid"
+    best_sid = (
+        e.crossJoin(F.broadcast(seeds))
+        .select("vec_id", cos_seed.alias("cs"), "sid")
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "sid", F.struct(F.col("cs"), (-F.col("sid")).alias("ns"))
+            ).alias("sid")
+        )
     )
     asg = (
-        e.join(F.broadcast(seeds), F.col("label") == F.col("slabel"))
-        .select("vec_id", "label", "v", "sid", cos_seed.alias("cs"))
-        .withColumn("rn", F.row_number().over(w_asg))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "label", "v", "sid")
+        e.join(best_sid, "vec_id")
+        .select("vec_id", "v", "nrm", "sid")
+        .localCheckpoint()
     )
     a, b = asg.alias("a"), asg.alias("b")
     cos = dot_double(F.col("a.v"), F.col("b.v")) / (
-        F.sqrt(dot_double(F.col("a.v"), F.col("a.v")))
-        * F.sqrt(dot_double(F.col("b.v"), F.col("b.v")))
+        F.col("a.nrm") * F.col("b.nrm")
     )
     w = Window.partitionBy("src").orderBy(F.col("c").desc(), "dst")
     glocal = (
         a.join(
             b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.sid") == F.col("b.sid"))
+            (F.col("a.sid") == F.col("b.sid"))
             & (F.col("a.vec_id") != F.col("b.vec_id")),
         )
         .select(
@@ -3226,26 +3283,17 @@ def _nsw_graph(t) -> DataFrame:
     uplink = asg.where(F.col("vec_id") != F.col("sid")).select(
         F.col("vec_id").alias("src"), F.col("sid").alias("dst")
     )
+    downlink = asg.where(F.col("vec_id") != F.col("sid")).select(
+        F.col("sid").alias("src"), F.col("vec_id").alias("dst")
+    )
     sa, sb = seeds.alias("sa"), seeds.alias("sb")
     bridge = sa.join(
-        sb,
-        (F.col("sa.slabel") == F.col("sb.slabel"))
-        & (F.col("sa.sid") != F.col("sb.sid")),
+        sb, F.col("sa.sid") != F.col("sb.sid")
     ).select(F.col("sa.sid").alias("src"), F.col("sb.sid").alias("dst"))
-    # top layer: the per-label entries (each label's FIRST seed)
-    # interconnect across labels, so the walk can LEAVE the entry
-    # label — entry -> foreign entry -> seed -> sub-cell member fits
-    # the NSW_HOPS=3 budget; without it recall caps at whatever
-    # fraction of the true top-k shares the entry's label
-    entries = e.groupBy("label").agg(F.min("vec_id").alias("eid"))
-    ea, eb = entries.alias("ea"), entries.alias("eb")
-    topbridge = ea.join(
-        eb, F.col("ea.eid") != F.col("eb.eid")
-    ).select(F.col("ea.eid").alias("src"), F.col("eb.eid").alias("dst"))
     return (
         glocal.unionByName(uplink)
+        .unionByName(downlink)
         .unionByName(bridge)
-        .unionByName(topbridge)
         .distinct()
     )
 
@@ -3253,29 +3301,41 @@ def _nsw_graph(t) -> DataFrame:
 @register("sim_search_nsw", oracle=_NSW_ORACLE)
 def sim_search_nsw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HNSW-style navigable-graph ANN (Malkov & Yashunin 2016, made
-    deterministic): one entry node per label on top; below it the
-    two-level navigable graph of _nsw_graph — sub-cell-local kNN edges
-    plus uplinks and seed<->seed bridges (the HNSW long-range layer) —
-    searched by greedy entry selection then a NSW_BEAM-wide,
-    NSW_HOPS-hop beam walk whose FINAL top-10 ranks every node the
-    walk visited. Completes the ANN family census (LSH / IVF / PQ /
-    IVF-PQ / BQ / SQ all exist): graph ANN is the recall/latency
-    frontier in practice, and this is its oracle-checkable contract —
-    insertion-order randomness replaced by first-vec_id seeds/entries
-    and fixed budgets, so DuckDB replays the identical walk.
+    deterministic): a global sqrt(N)-seed layer on top (r14); below it
+    the two-level navigable graph of _nsw_graph — cell-local kNN edges
+    plus up/down links and seed<->seed bridges (the HNSW long-range
+    layer) — searched by an exhaustive layer-1 descent (top-NSW_STARTS
+    seeds by query cosine) then a NSW_BEAM-wide, NSW_HOPS-hop beam
+    walk whose FINAL top-10 ranks every node the walk visited.
+    Completes the ANN family census (LSH / IVF / PQ / IVF-PQ / BQ / SQ
+    all exist): graph ANN is the recall/latency frontier in practice,
+    and this is its oracle-checkable contract — insertion-order
+    randomness replaced by first-vec_id seeds and fixed budgets, so
+    DuckDB replays the identical walk. Recall@10 >= 0.9 per query at
+    every SF (the r14 floor, pinned by test + sim_search_nsw_recall;
+    r13's label-confined cells capped it at 40-90%).
 
-    Scale/determinism: the graph builds sub-cell-local (~N^1.5 pair
-    space — see _nsw_graph; the label-cell all-pairs first cut
-    measured 22.8x wall on the 16x-corpus probe and was replaced
-    in-round); the walk itself
+    Scale/determinism: the graph builds cell-local (~N^1.5 pair space
+    — see _nsw_graph; the label-cell all-pairs first cut measured
+    22.8x wall on the 16x-corpus probe and was replaced in r13); the
+    walk itself
     touches beam x degree rows per hop per query, independent of
-    corpus size, with the graph and query frames broadcast; every
+    corpus size, and only answer-sized frames (frontier, query) are
+    ever broadcast — the corpus-sized edge graph is hash-partitioned
+    on src once and probed in place every hop (r14; the r13 cut
+    broadcast g itself, a broadcast-OOM at 100x corpus); every
     frontier is deduped by (query, node) and re-ranked with vec_id
     tiebreaks, every cosine recomputed from the same doubles, so both
     engines visit the same set. Fixed hop budget = the pagerank/kcore
     unrolled-iteration doctrine."""
     t = load(spark, sf_dir)
-    g = _nsw_graph(t).localCheckpoint()
+    # The edge graph is corpus-sized: hash-partition it on src ONCE and
+    # reuse that layout across every hop (the graph_hits recipe —
+    # VERDICT r13 item 1). It is NEVER broadcast: each hop broadcasts
+    # the tiny frontier (<= queries x NSW_BEAM rows by construction)
+    # into g instead, so the per-hop expansion is a broadcast-hash join
+    # probing g's partitions executor-locally.
+    g = _nsw_graph(t).repartition("src").localCheckpoint()
     e = t.embeddings.select(
         F.col("vec_id").alias("node"),
         F.col("embedding").cast("array<double>").alias("nv"),
@@ -3284,45 +3344,57 @@ def sim_search_nsw(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("embedding").cast("array<double>").alias("qe"),
     )
-    entry = (
-        t.embeddings.groupBy("label").agg(F.min("vec_id").alias("eid"))
-        .join(e, F.col("eid") == F.col("node"))
-        .select("eid", F.col("nv").alias("ev"))
+    # r14 start: exhaustive layer-1 descent — score the query against
+    # the WHOLE seed layer (|seeds| ~ sqrt(N*L), sublinear; the 5-row
+    # query frame broadcasts into it) and open the beam from the top
+    # NSW_STARTS seeds. Replaces the r13 single-entry start whose
+    # cross-cell detour capped recall at 40-90%.
+    seeds = _nsw_seeds(
+        t.embeddings.select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
     )
-    cos_qe = dot_double(F.col("qe"), F.col("ev")) / (
+    cos_qs = dot_double(F.col("qe"), F.col("sv")) / (
         F.sqrt(dot_double(F.col("qe"), F.col("qe")))
-        * F.sqrt(dot_double(F.col("ev"), F.col("ev")))
+        * F.col("snrm")
     )
     w_start = Window.partitionBy("query_id").orderBy(
-        F.col("ce").desc(), "eid"
+        F.col("cs").desc(), "sid"
     )
     start = (
-        q.crossJoin(F.broadcast(entry))
-        .select("query_id", "eid", cos_qe.alias("ce"))
+        seeds.crossJoin(F.broadcast(q))
+        .select("query_id", "sid", cos_qs.alias("cs"))
         .withColumn("rn", F.row_number().over(w_start))
-        .where(F.col("rn") == 1)
-        .select("query_id", F.col("eid").alias("node"))
+        .where(F.col("rn") <= NSW_STARTS)
+        .select("query_id", F.col("sid").alias("node"))
     )
 
     def _score(frontier: DataFrame) -> DataFrame:
+        # vector lookup for the frontier: broadcast the (tiny)
+        # frontier x query frame into the corpus-sized e — e stays
+        # scan-local, no exchange, no corpus broadcast.
         cos = dot_double(F.col("qe"), F.col("nv")) / (
             F.sqrt(dot_double(F.col("qe"), F.col("qe")))
             * F.sqrt(dot_double(F.col("nv"), F.col("nv")))
         )
-        return (
-            frontier.join(q, "query_id")
-            .join(e, "node")
-            .select("query_id", "node", cos.alias("cosine"))
+        probe = frontier.join(F.broadcast(q), "query_id")
+        return e.join(F.broadcast(probe), "node").select(
+            "query_id", "node", cos.alias("cosine")
         )
 
-    visited = _score(start)
+    # Per-hop localCheckpoint: each hop's beam feeds the next hop's
+    # expansion, so without a barrier hop k's lazy plan re-embeds and
+    # RE-EXECUTES hops 1..k-1 (the win_mad_anomaly lineage lesson);
+    # the checkpointed frames are answer-sized (queries x visited).
+    visited = _score(start).localCheckpoint()
     beam = visited.select("query_id", "node")
     w_beam = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), "node"
     )
     for _ in range(NSW_HOPS):
         expanded = (
-            beam.join(F.broadcast(g), beam.node == g.src)
+            g.join(F.broadcast(beam), beam.node == g.src)
             .select("query_id", F.col("dst").alias("node"))
             .distinct()
         )
@@ -3330,6 +3402,7 @@ def sim_search_nsw(spark: SparkSession, sf_dir: str) -> DataFrame:
             visited.unionByName(_score(expanded))
             .groupBy("query_id", "node")
             .agg(F.max("cosine").alias("cosine"))
+            .localCheckpoint()
         )
         beam = (
             visited.withColumn("rn", F.row_number().over(w_beam))

@@ -414,7 +414,8 @@ def test_closeness_centrality_exact(spark, tmp_path):
 # NSW graph walk: pure-Python replica of the deterministic search.
 
 
-def _nsw_model(vecs, labels, queries, deg=8, beam=64, hops=5, k=10):
+def _nsw_model(vecs, labels, queries, deg=8, beam=64, hops=5, k=10,
+               starts=16):
     import numpy as np
 
     vv = {i: [float(np.float32(x)) for x in v] for i, v in vecs.items()}
@@ -427,45 +428,34 @@ def _nsw_model(vecs, labels, queries, deg=8, beam=64, hops=5, k=10):
         nb = math.sqrt(sum(x * x for x in vv[b]))
         return acc / (na * nb)
 
-    # two-level graph (the _nsw_graph contract): per-label seeds =
-    # first ceil(sqrt(n_label)) vec_ids; assign each vector to its
-    # nearest seed (sid tiebreak); edges = sub-cell-local top-deg kNN
-    # UNION uplinks (v -> its seed) UNION seed<->seed bridges per label
-    by_label = {}
-    for i in vv:
-        by_label.setdefault(labels[i], []).append(i)
-    seeds = {
-        lb: sorted(ids)[: math.ceil(math.sqrt(len(ids)))]
-        for lb, ids in by_label.items()
-    }
+    # two-level graph (the r14 _nsw_graph contract — labels unused):
+    # GLOBAL seeds = corpus' first ceil(sqrt(N)) vec_ids; assign each
+    # vector to its nearest seed (sid tiebreak); edges = cell-local
+    # top-deg kNN UNION uplinks (v -> its seed) UNION downlinks
+    # (seed -> each cell member) UNION seed<->seed bridges (all pairs)
+    all_seeds = sorted(vv)[: math.ceil(math.sqrt(len(vv)))]
     sid_of = {
-        i: min(seeds[labels[i]], key=lambda s: (-cos(i, s), s)) for i in vv
+        i: min(all_seeds, key=lambda s: (-cos(i, s), s)) for i in vv
     }
-    entries = {}
-    for i in vv:
-        lb = labels[i]
-        entries[lb] = min(entries.get(lb, i), i)
     g = {}
     for i in vv:
-        cands = [
-            j
-            for j in vv
-            if j != i and labels[j] == labels[i] and sid_of[j] == sid_of[i]
-        ]
+        cands = [j for j in vv if j != i and sid_of[j] == sid_of[i]]
         cands.sort(key=lambda j: (-cos(i, j), j))
         edges = set(cands[:deg])
         if sid_of[i] != i:
             edges.add(sid_of[i])
-        if i in seeds[labels[i]]:
-            edges.update(s for s in seeds[labels[i]] if s != i)
-        if i in entries.values():
-            edges.update(e for e in entries.values() if e != i)
+        if i in all_seeds:
+            edges.update(s for s in all_seeds if s != i)
+            # downlinks: a seed reaches every member of its cell
+            edges.update(j for j in vv if sid_of[j] == i and j != i)
         g[i] = sorted(edges)
     out = {}
     for q in queries:
-        start = min(entries.values(), key=lambda e: (-cos(q, e), e))
-        visited = {start: cos(q, start)}
-        beam_set = [start]
+        # r14 start: top-`starts` seeds by query cosine (sid tiebreak)
+        # — the exhaustive layer-1 descent
+        opened = sorted(all_seeds, key=lambda s: (-cos(q, s), s))[:starts]
+        visited = {s: cos(q, s) for s in opened}
+        beam_set = sorted(visited, key=lambda x: (-visited[x], x))[:beam]
         for _ in range(hops):
             expand = set()
             for b in beam_set:
