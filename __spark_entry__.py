@@ -95,7 +95,19 @@ def _verdict_rounds() -> dict[str, int]:
 #: round close by committing the PREDICTED first-50 window (BASELINE
 #: "r14 window bookkeeping") so the CORRECTNESS_r14 diff is mechanical
 #: (VERDICT r13 item 2).
-_NEW_THIS_ROUND: set[str] = set()
+_NEW_THIS_ROUND: set[str] = {
+    # Batch A: method agreement + moment/scale screens.
+    "agg_deming_regression",
+    "agg_bland_altman",
+    "agg_bimodality_coefficient",
+    "agg_cochran_c",
+    "agg_hartley_fmax",
+    "agg_gini_mean_difference",
+    # Batch B: ordinal-association companions to kendall_tau.
+    "agg_gk_gamma",
+    "agg_stuart_tau_c",
+    "agg_blomqvist_beta",
+}
 
 
 def _ordered() -> dict[str, registry.Query]:

@@ -8689,3 +8689,850 @@ def agg_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         zf.alias("z_stat"),
         (F.abs(zf) > 1.96).alias("location_shifted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r14 batch A: method-agreement + moment/scale screens.
+# ---------------------------------------------------------------------------
+
+_DEMING_ORACLE = f"""
+    WITH {_PAIRED_USER_SQL},
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+             SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+             SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+             SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy,
+             SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy
+      FROM pu
+    ),
+    d AS (
+      SELECT n,
+             CAST(sx AS DOUBLE) / n AS mx, CAST(sy AS DOUBLE) / n AS my,
+             CAST(sxx AS DOUBLE) / n
+               - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n) AS vx,
+             CAST(syy AS DOUBLE) / n
+               - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n) AS vy,
+             CAST(sxy AS DOUBLE) / n
+               - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n) AS cxy
+      FROM m
+    ),
+    s AS (
+      SELECT n, mx, my,
+             ((vy - vx) + sqrt((vy - vx) * (vy - vx) + 4 * cxy * cxy))
+               / (2 * cxy) AS slope
+      FROM d WHERE cxy <> 0
+    )
+    SELECT n AS n_pairs,
+           floor(slope * 1000000) / 1000000 AS slope,
+           floor((my - slope * mx) * 100) / 10000 AS intercept
+    FROM s
+"""
+
+
+@register("agg_deming_regression", oracle=_DEMING_ORACLE)
+def agg_deming_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deming regression (errors-in-variables, lambda=1) between the
+    paired per-user arm totals: the orthogonal-fit slope
+    ((v_y - v_x) + sqrt((v_y - v_x)^2 + 4 c_xy^2)) / (2 c_xy) and its
+    intercept — the method-comparison line OLS gets WRONG when both
+    axes carry noise (OLS attenuates the slope toward 0 by the x-noise
+    share; Deming splits the error budget evenly). Completes the
+    method-agreement shelf beside agg_lin_ccc (agreement index) and
+    agg_bland_altman (difference limits): CCC says HOW MUCH the
+    methods agree, Deming says WHAT linear recalibration maps one to
+    the other. Population (1/n) moments, the lin_ccc convention.
+
+    Scale/determinism: identical plan shape to agg_lin_ccc — one
+    user_id shuffle, one combinable 6-sum moment pass pre-widened to
+    DECIMAL(38,0), then slope/intercept as single closed-form double
+    expressions written identically on both engines; slope floored
+    1e-6, intercept 1e-4 currency. cxy = 0 emits 0 rows (both
+    engines). Reference: Deming 1943."""
+    pu = _paired_user(load(spark, sf_dir))
+    m = pu.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("x").cast(_DEC)).alias("sx"),
+        F.sum(F.col("y").cast(_DEC)).alias("sy"),
+        F.sum(F.col("x").cast(_DEC) * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast(_DEC) * F.col("y")).alias("syy"),
+        F.sum(F.col("x").cast(_DEC) * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    mx = F.col("sx").cast("double") / nd
+    my = F.col("sy").cast("double") / nd
+    vx = F.col("sxx").cast("double") / nd - mx * mx
+    vy = F.col("syy").cast("double") / nd - my * my
+    cxy = F.col("sxy").cast("double") / nd - mx * my
+    d = m.select(
+        "n", mx.alias("mx"), my.alias("my"), vx.alias("vx"),
+        vy.alias("vy"), cxy.alias("cxy"),
+    ).where(F.col("cxy") != 0)
+    slope = (
+        (F.col("vy") - F.col("vx"))
+        + F.sqrt(
+            (F.col("vy") - F.col("vx")) * (F.col("vy") - F.col("vx"))
+            + 4 * F.col("cxy") * F.col("cxy")
+        )
+    ) / (2 * F.col("cxy"))
+    s = d.select("n", "mx", "my", slope.alias("slope"))
+    return s.select(
+        F.col("n").alias("n_pairs"),
+        (F.floor(F.col("slope") * 1_000_000) / 1_000_000).alias("slope"),
+        (
+            F.floor((F.col("my") - F.col("slope") * F.col("mx")) * 100)
+            / 10_000
+        ).alias("intercept"),
+    )
+
+
+_BLAND_ALTMAN_ORACLE = f"""
+    WITH {_PAIRED_USER_SQL},
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(x - y AS DECIMAL(38,0))) AS sd1,
+             SUM(CAST(x - y AS DECIMAL(38,0)) * (x - y)) AS sd2
+      FROM pu
+    ),
+    d AS (
+      SELECT n, CAST(sd1 AS DOUBLE) / n AS bias,
+             sqrt((CAST(sd2 AS DOUBLE) - CAST(sd1 AS DOUBLE)
+                   * sd1 / n) / (n - 1)) AS sd
+      FROM m WHERE n > 1
+    ),
+    lim AS (
+      SELECT n, bias, sd,
+             CAST(floor((bias - 1.96 * sd) * 10000) AS BIGINT) AS lo_s,
+             CAST(floor((bias + 1.96 * sd) * 10000) AS BIGINT) AS hi_s
+      FROM d
+    )
+    SELECT l.n AS n_pairs,
+           floor(l.bias * 100) / 10000 AS bias,
+           floor(l.sd * 100) / 10000 AS sd_diff,
+           l.lo_s / 10000.0 / 100 AS loa_lower,
+           l.hi_s / 10000.0 / 100 AS loa_upper,
+           floor(SUM(CASE WHEN CAST(p.x - p.y AS BIGINT) * 10000
+                               BETWEEN l.lo_s AND l.hi_s
+                          THEN 1 ELSE 0 END) * 10000.0 / l.n) / 100
+             AS pct_within
+    FROM lim l, pu p
+    GROUP BY l.n, l.bias, l.sd, l.lo_s, l.hi_s
+"""
+
+
+@register("agg_bland_altman", oracle=_BLAND_ALTMAN_ORACLE)
+def agg_bland_altman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bland-Altman limits of agreement (Bland & Altman 1986) on the
+    paired per-user arm totals: bias = mean(x - y), LoA = bias +/-
+    1.96 * sd(x - y), plus the share of pairs INSIDE the (emitted,
+    floored) limits — the difference-based view of method agreement
+    that a correlation can fake (two methods can correlate 0.99 and
+    still disagree by a constant). Third leg of the shelf with
+    agg_lin_ccc and agg_deming_regression.
+
+    Scale/determinism: differences are exact cents; one combinable
+    2-sum pass (pre-widened DECIMAL) yields bias and the SAMPLE sd;
+    the within-limits membership test compares the exact scaled
+    integer d*10^4 against the FLOORED scaled limits (the emitted
+    values), so the boundary verdict never reads an unfloored double
+    — the standing floored-comparison doctrine. Second pass over the
+    paired frame is a re-aggregation of the same shuffled frame (two
+    passes total, both combinable); pct floored 1e-2."""
+    pu = _paired_user(load(spark, sf_dir))
+    dcol = F.col("x") - F.col("y")
+    m = pu.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dcol.cast(_DEC)).alias("sd1"),
+        F.sum(dcol.cast(_DEC) * dcol).alias("sd2"),
+    ).where(F.col("n") > 1)
+    nd = F.col("n").cast("double")
+    bias = F.col("sd1").cast("double") / nd
+    sd = F.sqrt(
+        (
+            F.col("sd2").cast("double")
+            - F.col("sd1").cast("double") * F.col("sd1") / nd
+        )
+        / (F.col("n") - 1)
+    )
+    lim = m.select(
+        "n",
+        bias.alias("bias"),
+        sd.alias("sd"),
+        F.floor((bias - 1.96 * sd) * 10_000).cast("bigint").alias("lo_s"),
+        F.floor((bias + 1.96 * sd) * 10_000).cast("bigint").alias("hi_s"),
+    )
+    joined = pu.crossJoin(F.broadcast(lim))
+    ds = (dcol.cast("bigint") * 10_000)
+    return (
+        joined.groupBy("n", "bias", "sd", "lo_s", "hi_s")
+        .agg(
+            F.sum(
+                F.when(
+                    (ds >= F.col("lo_s")) & (ds <= F.col("hi_s")), 1
+                ).otherwise(0)
+            ).alias("n_in")
+        )
+        .select(
+            F.col("n").alias("n_pairs"),
+            (F.floor(F.col("bias") * 100) / 10_000).alias("bias"),
+            (F.floor(F.col("sd") * 100) / 10_000).alias("sd_diff"),
+            (F.col("lo_s") / 10_000.0 / 100).alias("loa_lower"),
+            (F.col("hi_s") / 10_000.0 / 100).alias("loa_upper"),
+            (
+                F.floor(F.col("n_in") * 10_000.0 / F.col("n")) / 100
+            ).alias("pct_within"),
+        )
+    )
+
+
+_BIMODALITY_ORACLE = """
+    WITH ev AS (
+      SELECT CAST(ROUND(value * 100) AS BIGINT) AS v FROM events
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(v AS DECIMAL(38,0))) AS s1,
+             SUM(CAST(v AS DECIMAL(38,0)) * v) AS s2,
+             SUM(CAST(v AS DECIMAL(38,0)) * v * v) AS s3,
+             SUM(CAST(CAST(v AS DECIMAL(38,0)) * v AS DECIMAL(38,0))
+                 * CAST(CAST(v AS DECIMAL(38,0)) * v AS DECIMAL(38,0)))
+               AS s4
+      FROM ev
+    ),
+    d AS (
+      SELECT n,
+             CAST(s1 AS DOUBLE) / n AS m1,
+             CAST(s2 AS DOUBLE) / n AS r2,
+             CAST(s3 AS DOUBLE) / n AS r3,
+             CAST(s4 AS DOUBLE) / n AS r4
+      FROM m WHERE n > 3
+    ),
+    c AS (
+      SELECT n,
+             r2 - m1 * m1 AS m2,
+             r3 - 3 * m1 * r2 + 2 * m1 * m1 * m1 AS m3,
+             r4 - 4 * m1 * r3 + 6 * m1 * m1 * r2
+               - 3 * m1 * m1 * m1 * m1 AS m4
+      FROM d
+    )
+    SELECT n,
+           floor(m3 / sqrt(m2 * m2 * m2) * 1000000) / 1000000 AS skewness,
+           floor(m4 / (m2 * m2) * 1000000) / 1000000 AS kurtosis_b2,
+           floor((m3 / sqrt(m2 * m2 * m2) * (m3 / sqrt(m2 * m2 * m2)) + 1)
+                 / (m4 / (m2 * m2)) * 1000000) / 1000000
+             AS bimodality_coeff,
+           floor((m3 / sqrt(m2 * m2 * m2) * (m3 / sqrt(m2 * m2 * m2)) + 1)
+                 / (m4 / (m2 * m2)) * 1000000) / 1000000 > 0.555555
+             AS bimodal
+    FROM c WHERE m2 > 0
+"""
+
+
+@register("agg_bimodality_coefficient", oracle=_BIMODALITY_ORACLE)
+def agg_bimodality_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sarle's bimodality coefficient over the event-value
+    distribution: BC = (gamma1^2 + 1) / beta2 with POPULATION moment
+    ratios (gamma1 = m3/m2^1.5, beta2 = m4/m2^2 — the agg_moments
+    convention), screened against the uniform-distribution threshold
+    5/9: BC above it says the values look two-humped (a mixture — two
+    user populations, a changed price point) rather than one-peaked.
+    The cheap first question BEFORE reaching for a mixture model or
+    agg_changepoint machinery; reads beside agg_jarque_bera (normal?)
+    and this (unimodal?).
+
+    Scale/determinism: one combinable 4-power-sum pass — v^2 products
+    re-widen to DECIMAL(38,0) BEFORE squaring for s4 (cents^4 at
+    corpus scale is ~1e16 per row and ~1e28 summed, far past BIGINT —
+    the standing overflow doctrine, mirrored in the oracle's nested
+    CASTs); central moments and BC are single identical double
+    expressions; verdict on the 1e-6 FLOORED BC vs the floored-5/9
+    literal 0.555555."""
+    ev = load(spark, sf_dir).events.select(
+        F.round(F.col("value") * 100).cast("bigint").alias("v")
+    )
+    v = F.col("v")
+    v2 = v.cast(_DEC) * v
+    m = ev.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(v.cast(_DEC)).alias("s1"),
+        F.sum(v2).alias("s2"),
+        F.sum(v.cast(_DEC) * v * v).alias("s3"),
+        F.sum(v2.cast(_DEC) * v2.cast(_DEC)).alias("s4"),
+    ).where(F.col("n") > 3)
+    nd = F.col("n").cast("double")
+    m1 = F.col("s1").cast("double") / nd
+    r2 = F.col("s2").cast("double") / nd
+    r3 = F.col("s3").cast("double") / nd
+    r4 = F.col("s4").cast("double") / nd
+    c = m.select(
+        "n",
+        (r2 - m1 * m1).alias("m2"),
+        (r3 - 3 * m1 * r2 + 2 * m1 * m1 * m1).alias("m3"),
+        (r4 - 4 * m1 * r3 + 6 * m1 * m1 * r2 - 3 * m1 * m1 * m1 * m1).alias(
+            "m4"
+        ),
+    ).where(F.col("m2") > 0)
+    g1 = F.col("m3") / F.sqrt(F.col("m2") * F.col("m2") * F.col("m2"))
+    b2 = F.col("m4") / (F.col("m2") * F.col("m2"))
+    bcf = F.floor((g1 * g1 + 1) / b2 * 1_000_000) / 1_000_000
+    return c.select(
+        "n",
+        (F.floor(g1 * 1_000_000) / 1_000_000).alias("skewness"),
+        (F.floor(b2 * 1_000_000) / 1_000_000).alias("kurtosis_b2"),
+        bcf.alias("bimodality_coeff"),
+        (bcf > 0.555555).alias("bimodal"),
+    )
+
+
+_ARM_VAR_SQL = """
+    g AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(CAST(ROUND(value * 100) AS BIGINT)
+                      AS DECIMAL(38,0))) AS s,
+             SUM(CAST(CAST(ROUND(value * 100) AS BIGINT) AS DECIMAL(38,0))
+                 * CAST(ROUND(value * 100) AS BIGINT)) AS s2
+      FROM events GROUP BY event_type
+    ),
+    v AS (
+      SELECT event_type, n,
+             (CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)
+               AS var
+      FROM g WHERE n > 1
+    )
+"""
+
+
+_COCHRAN_C_ORACLE = f"""
+    WITH {_ARM_VAR_SQL},
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k, SUM(var) AS sv, MAX(var) AS mv
+      FROM v
+    )
+    SELECT s.k,
+           (SELECT MIN(event_type) FROM v WHERE v.var = s.mv) AS top_arm,
+           floor(s.mv / s.sv * 1000000) / 1000000 AS c_stat,
+           floor(s.mv / s.sv * 1000000) / 1000000 > 2.0 / s.k
+             AS variance_concentrated
+    FROM s WHERE s.sv > 0
+"""
+
+
+@register("agg_cochran_c", oracle=_COCHRAN_C_ORACLE)
+def agg_cochran_c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's C over the k event-type arms: the largest sample
+    variance as a share of the variance TOTAL — the screen for one
+    arm hogging the dispersion budget before pooled-variance methods
+    (agg_anova_oneway's F assumes homogeneity; agg_levene_test and
+    agg_bartlett_test test it formally; C names the OFFENDER). The
+    flag uses the 2/k screening convention (twice the equal-share
+    value), stated as such — the exact Cochran critical values need
+    incomplete-beta inverses neither engine ships.
+
+    Scale/determinism: one combinable per-arm moment pass (k-row
+    frame), DECIMAL pre-widening on the cents sums; the argmax arm is
+    picked by exact double equality var = max(var) with MIN(name) as
+    the deterministic tiebreak (never engine-order arg_max); C floored
+    1e-6 and the flag compares the FLOORED value against the exact
+    2.0/k double. Reference: Cochran 1941."""
+    t = load(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    g = t.events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(cents.cast(_DEC)).alias("s"),
+        F.sum(cents.cast(_DEC) * cents).alias("s2"),
+    ).where(F.col("n") > 1)
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s").cast("double") * F.col("s") / F.col("n")
+    ) / (F.col("n") - 1)
+    v = g.select("event_type", "n", var.alias("var"))
+    s = v.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("var").alias("sv"),
+        F.max("var").alias("mv"),
+    ).where(F.col("sv") > 0)
+    top = (
+        v.join(F.broadcast(s), F.col("var") == F.col("mv"))
+        .agg(F.min("event_type").alias("top_arm"))
+    )
+    cf = F.floor(F.col("mv") / F.col("sv") * 1_000_000) / 1_000_000
+    return s.crossJoin(F.broadcast(top)).select(
+        "k",
+        "top_arm",
+        cf.alias("c_stat"),
+        (cf > 2.0 / F.col("k")).alias("variance_concentrated"),
+    )
+
+
+_HARTLEY_ORACLE = f"""
+    WITH {_ARM_VAR_SQL},
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             MAX(var) AS mv, MIN(var) AS nv
+      FROM v
+    )
+    SELECT s.k,
+           (SELECT MIN(event_type) FROM v WHERE v.var = s.mv) AS max_arm,
+           (SELECT MIN(event_type) FROM v WHERE v.var = s.nv) AS min_arm,
+           floor(s.mv / s.nv * 10000) / 10000 AS fmax,
+           floor(s.mv / s.nv * 10000) / 10000 > 3.0 AS heteroscedastic
+    FROM s WHERE s.nv > 0
+"""
+
+
+@register("agg_hartley_fmax", oracle=_HARTLEY_ORACLE)
+def agg_hartley_fmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hartley's F-max over the k event-type arms: largest over
+    smallest sample variance, with both arm names. The oldest and
+    bluntest homogeneity-of-variance screen (Hartley 1950) — one
+    number a dashboard can watch, where agg_levene_test /
+    agg_bartlett_test give calibrated verdicts; flagged against the
+    classic F-max ~ 3 rule of thumb for moderate group sizes, stated
+    as a screening convention (Hartley's exact tables need the
+    studentized range distribution).
+
+    Scale/determinism: the same k-row combinable variance frame as
+    agg_cochran_c (shared _ARM_VAR_SQL CTE text on the oracle side);
+    extrema arms picked by exact double equality with MIN(name)
+    tiebreaks; ratio floored 1e-4, flag on the floored value."""
+    t = load(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    g = t.events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(cents.cast(_DEC)).alias("s"),
+        F.sum(cents.cast(_DEC) * cents).alias("s2"),
+    ).where(F.col("n") > 1)
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s").cast("double") * F.col("s") / F.col("n")
+    ) / (F.col("n") - 1)
+    v = g.select("event_type", "n", var.alias("var"))
+    s = v.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.max("var").alias("mv"),
+        F.min("var").alias("nv"),
+    ).where(F.col("nv") > 0)
+    mx = (
+        v.join(F.broadcast(s), F.col("var") == F.col("mv"))
+        .agg(F.min("event_type").alias("max_arm"))
+    )
+    mn = (
+        v.join(F.broadcast(s), F.col("var") == F.col("nv"))
+        .agg(F.min("event_type").alias("min_arm"))
+    )
+    ff = F.floor(F.col("mv") / F.col("nv") * 10_000) / 10_000
+    return (
+        s.crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(mn))
+        .select(
+            "k",
+            "max_arm",
+            "min_arm",
+            ff.alias("fmax"),
+            (ff > 3.0).alias("heteroscedastic"),
+        )
+    )
+
+
+_GMD_ORACLE = """
+    WITH ev AS (
+      SELECT CAST(ROUND(value * 100) AS BIGINT) AS v FROM events
+    ),
+    vg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM ev GROUP BY v),
+    cum AS (
+      SELECT v, c,
+             COALESCE(SUM(c) OVER (ORDER BY v
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS cb,
+             SUM(c) OVER () AS n,
+             SUM(CAST(v AS DECIMAL(38,0)) * c) OVER () AS s1
+      FROM vg
+    ),
+    s AS (
+      SELECT MAX(n) AS n, MAX(s1) AS s1,
+             SUM(CAST(v AS DECIMAL(38,0)) * c * (2 * cb + c - n)) AS gsum
+      FROM cum
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           floor(2.0 * CAST(gsum AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * (n - 1)) * 100) / 10000 AS gmd,
+           floor(CAST(gsum AS DOUBLE) / (CAST(n AS DOUBLE) - 1)
+                 / CAST(s1 AS DOUBLE) * 1000000) / 1000000 AS gini_ratio
+    FROM s WHERE n > 1 AND CAST(s1 AS DOUBLE) <> 0
+"""
+
+
+@register("agg_gini_mean_difference", oracle=_GMD_ORACLE)
+def agg_gini_mean_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini mean difference over event values (Gini 1912): the mean
+    absolute difference between all value pairs, computed EXACTLY from
+    the sorted-order identity sum_{i<j}(x_(j) - x_(i)) =
+    sum_i (2i - n - 1) x_(i) — a run of c equal values at cumulative
+    offset cb contributes v * c * (2*cb + c - n) in closed form, so
+    the whole N^2 pair space collapses to one pass over the bounded
+    value lattice with zero pair enumeration. Also emits gini_ratio =
+    GMD / (2 * mean) (the classic Gini concentration index in its
+    mean-difference form) — the robust scale companion to variance
+    that agg_moments cannot give (GMD is finite-sample unbiased and
+    far less tail-sensitive).
+
+    Scale/determinism: lattice fold (<=49k rows at any SF) with every
+    product pre-widened to DECIMAL(38,0) — v*c*(2cb + c - n) reaches
+    cents * N^2 ~ 1e28 at corpus scale; gsum stays exact until the two
+    final divisions, GMD floored 1e-4 currency, ratio 1e-6."""
+    ev = load(spark, sf_dir).events.select(
+        F.round(F.col("value") * 100).cast("bigint").alias("v")
+    )
+    vg = ev.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    w_exc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.partitionBy()
+    cum = vg.select(
+        "v",
+        "c",
+        F.coalesce(F.sum("c").over(w_exc), F.lit(0)).alias("cb"),
+        F.sum("c").over(w_all).alias("n"),
+        F.sum(F.col("v").cast(_DEC) * F.col("c")).over(w_all).alias("s1"),
+    )
+    s = cum.agg(
+        F.max("n").alias("n"),
+        F.max("s1").alias("s1"),
+        F.sum(
+            F.col("v").cast(_DEC)
+            * F.col("c")
+            * (2 * F.col("cb") + F.col("c") - F.col("n"))
+        ).alias("gsum"),
+    )
+    nd = F.col("n").cast("double")
+    return s.where(
+        (F.col("n") > 1) & (F.col("s1").cast("double") != 0)
+    ).select(
+        F.col("n").cast("bigint").alias("n"),
+        (
+            F.floor(
+                2.0 * F.col("gsum").cast("double") / (nd * (F.col("n") - 1))
+                * 100
+            )
+            / 10_000
+        ).alias("gmd"),
+        (
+            F.floor(
+                F.col("gsum").cast("double")
+                / (nd - 1)
+                / F.col("s1").cast("double")
+                * 1_000_000
+            )
+            / 1_000_000
+        ).alias("gini_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# r14 batch B: ordinal-association companions to agg_kendall_tau, all on
+# the same calendar-bounded daily (revenue, order-count) series.
+# ---------------------------------------------------------------------------
+
+_DAILY_SQL = """
+    daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    )
+"""
+
+
+def _daily_orders(t) -> DataFrame:
+    """Spark twin of _DAILY_SQL — the agg_kendall_tau day frame."""
+    return t.orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_c"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+_GK_GAMMA_ORACLE = f"""
+    WITH {_DAILY_SQL},
+    pairs AS (
+      SELECT sign(a.rev_c - b.rev_c) AS dx,
+             sign(a.n_orders - b.n_orders) AS dy
+      FROM daily a JOIN daily b ON a.day < b.day
+    ),
+    s AS (
+      SELECT
+        CAST((SELECT COUNT(*) FROM daily) AS BIGINT) AS n_days,
+        CAST(SUM(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END) AS BIGINT) AS conc,
+        CAST(SUM(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END) AS BIGINT) AS disc
+      FROM pairs
+    )
+    SELECT n_days, conc, disc,
+           CASE WHEN conc + disc > 0
+                THEN floor((conc - disc) * 1000000.0 / (conc + disc))
+                     / 1000000
+           END AS gamma
+    FROM s
+"""
+
+
+@register("agg_gk_gamma", oracle=_GK_GAMMA_ORACLE)
+def agg_gk_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goodman-Kruskal gamma between the daily revenue and order-count
+    series: (C - D) / (C + D) over all day pairs — the tie-IGNORING
+    member of the concordance family (Goodman & Kruskal 1954).
+    agg_kendall_tau's tau-b discounts ties into the denominator;
+    gamma drops them entirely, so on heavily tied ordinal data gamma
+    reads the association among the pairs that actually ORDER — the
+    PR-interpretation ("of comparable pairs, what share agree?") a
+    report wants next to tau.
+
+    Scale/determinism: identical plan to agg_kendall_tau — calendar-
+    bounded day frame (~2.4k rows at ANY SF), broadcast nested-loop
+    pair count, exact integer 0/1 sums, one final division floored
+    1e-6 (NULL when no pair orders on both axes)."""
+    daily = _daily_orders(load(spark, sf_dir))
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(
+        F.broadcast(b), F.col("a.day") < F.col("b.day")
+    ).select(
+        F.signum(F.col("a.rev_c") - F.col("b.rev_c")).alias("dx"),
+        F.signum(F.col("a.n_orders") - F.col("b.n_orders")).alias("dy"),
+    )
+    nd_df = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    s = pairs.agg(
+        F.sum(F.when(F.col("dx") * F.col("dy") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("conc"),
+        F.sum(F.when(F.col("dx") * F.col("dy") < 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("disc"),
+    ).crossJoin(F.broadcast(nd_df))
+    cd = F.col("conc") + F.col("disc")
+    return s.select(
+        "n_days",
+        "conc",
+        "disc",
+        F.when(
+            cd > 0,
+            F.floor((F.col("conc") - F.col("disc")) * 1_000_000.0 / cd)
+            / 1_000_000,
+        ).alias("gamma"),
+    )
+
+
+#: Stuart tau-c contingency grid: both daily axes cut into quintiles.
+TAUC_BUCKETS = 5
+
+_STUART_TAUC_ORACLE = f"""
+    WITH {_DAILY_SQL},
+    bx AS (
+      SELECT day,
+             ntile({TAUC_BUCKETS}) OVER (ORDER BY rev_c, day) AS qx,
+             ntile({TAUC_BUCKETS}) OVER (ORDER BY n_orders, day) AS qy
+      FROM daily
+    ),
+    cell AS (
+      SELECT qx, qy, CAST(COUNT(*) AS BIGINT) AS f FROM bx GROUP BY qx, qy
+    ),
+    pairs AS (
+      SELECT CAST(SUM(CASE WHEN (a.qx - b.qx) * (a.qy - b.qy) > 0
+                           THEN CAST(a.f AS DECIMAL(38,0)) * b.f
+                           ELSE 0 END) AS DECIMAL(38,0)) AS conc2,
+             CAST(SUM(CASE WHEN (a.qx - b.qx) * (a.qy - b.qy) < 0
+                           THEN CAST(a.f AS DECIMAL(38,0)) * b.f
+                           ELSE 0 END) AS DECIMAL(38,0)) AS disc2
+      FROM cell a, cell b
+    ),
+    s AS (
+      SELECT CAST((SELECT SUM(f) FROM cell) AS BIGINT) AS n_days,
+             CAST(conc2 / 2 AS DECIMAL(38,0)) AS conc,
+             CAST(disc2 / 2 AS DECIMAL(38,0)) AS disc
+      FROM pairs
+    )
+    SELECT n_days, CAST(conc AS BIGINT) AS conc, CAST(disc AS BIGINT) AS disc,
+           floor(2.0 * {TAUC_BUCKETS} * (CAST(conc AS DOUBLE) - disc)
+                 / (CAST(n_days AS DOUBLE) * n_days * ({TAUC_BUCKETS} - 1))
+                 * 1000000) / 1000000 AS tau_c
+    FROM s
+"""
+
+
+@register("agg_stuart_tau_c", oracle=_STUART_TAUC_ORACLE)
+def agg_stuart_tau_c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stuart's tau-c on the TAUC_BUCKETS x TAUC_BUCKETS quintile
+    contingency of daily revenue vs order count: tau_c = 2m(C - D) /
+    (n^2 (m - 1)) (Stuart 1953) — the concordance measure built for
+    RECTANGULAR ordinal grids, reaching +-1 even when the table is not
+    square (tau-b cannot). Day quintiles are the ordinal buckets; the
+    deterministic ntile tiebreak is the day itself, so both engines
+    cut identical grids. Completes the family: tau-b (ties
+    discounted), gamma (ties dropped), tau-c (grid-normalized).
+
+    Scale/determinism: the day frame is calendar-bounded; bucketing is
+    one windowed pass; C/D then count over the m^2-cell table (25
+    rows) — cell-product pairs pre-widen to DECIMAL(38,0) (f*f ~ N^2
+    at corpus scale); each unordered day pair is counted twice in the
+    cell cross-product, halved exactly in integers; one final double
+    division floored 1e-6."""
+    daily = _daily_orders(load(spark, sf_dir))
+    wq_x = Window.orderBy("rev_c", "day")
+    wq_y = Window.orderBy("n_orders", "day")
+    bx = daily.select(
+        F.ntile(TAUC_BUCKETS).over(wq_x).alias("qx"),
+        F.ntile(TAUC_BUCKETS).over(wq_y).alias("qy"),
+    )
+    cell = bx.groupBy("qx", "qy").agg(
+        F.count(F.lit(1)).cast("bigint").alias("f")
+    )
+    a, b = cell.alias("a"), cell.alias("b")
+    prod = F.col("a.f").cast(_DEC) * F.col("b.f")
+    dd = (F.col("a.qx") - F.col("b.qx")) * (F.col("a.qy") - F.col("b.qy"))
+    pairs = a.crossJoin(F.broadcast(b)).agg(
+        F.sum(F.when(dd > 0, prod).otherwise(F.lit(0).cast(_DEC)))
+        .cast(_DEC)
+        .alias("conc2"),
+        F.sum(F.when(dd < 0, prod).otherwise(F.lit(0).cast(_DEC)))
+        .cast(_DEC)
+        .alias("disc2"),
+    )
+    nd_df = cell.agg(F.sum("f").cast("bigint").alias("n_days"))
+    s = pairs.crossJoin(F.broadcast(nd_df)).select(
+        "n_days",
+        (F.col("conc2") / 2).cast(_DEC).alias("conc"),
+        (F.col("disc2") / 2).cast(_DEC).alias("disc"),
+    )
+    ndd = F.col("n_days").cast("double")
+    return s.select(
+        "n_days",
+        F.col("conc").cast("bigint").alias("conc"),
+        F.col("disc").cast("bigint").alias("disc"),
+        (
+            F.floor(
+                2.0
+                * TAUC_BUCKETS
+                * (F.col("conc").cast("double") - F.col("disc"))
+                / (ndd * ndd * (TAUC_BUCKETS - 1))
+                * 1_000_000
+            )
+            / 1_000_000
+        ).alias("tau_c"),
+    )
+
+
+_BLOMQVIST_ORACLE = f"""
+    WITH {_DAILY_SQL},
+    med AS (
+      SELECT
+        (SELECT rev_c FROM (
+           SELECT rev_c, row_number() OVER (ORDER BY rev_c, day) AS rn,
+                  COUNT(*) OVER () AS n
+           FROM daily) WHERE rn = CAST(floor((n + 1) / 2) AS BIGINT))
+          AS med_x,
+        (SELECT n_orders FROM (
+           SELECT n_orders, row_number() OVER (ORDER BY n_orders, day) AS rn,
+                  COUNT(*) OVER () AS n
+           FROM daily) WHERE rn = CAST(floor((n + 1) / 2) AS BIGINT))
+          AS med_y
+    ),
+    q AS (
+      SELECT CAST((SELECT COUNT(*) FROM daily) AS BIGINT) AS n_days,
+             CAST(SUM(CASE WHEN (rev_c > med_x AND n_orders > med_y)
+                             OR (rev_c < med_x AND n_orders < med_y)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS agree,
+             CAST(SUM(CASE WHEN (rev_c > med_x AND n_orders < med_y)
+                             OR (rev_c < med_x AND n_orders > med_y)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS disagree
+      FROM daily, med
+    )
+    SELECT n_days, agree + disagree AS n_used,
+           floor((agree - disagree) * 1000000.0 / (agree + disagree))
+             / 1000000 AS beta,
+           abs(floor((agree - disagree) * 1000000.0 / (agree + disagree))
+               / 1000000 * sqrt(CAST(agree + disagree AS DOUBLE))) > 1.96
+             AS dependent
+    FROM q WHERE agree + disagree > 0
+"""
+
+
+@register("agg_blomqvist_beta", oracle=_BLOMQVIST_ORACLE)
+def agg_blomqvist_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blomqvist's beta (medial correlation, Blomqvist 1950) between
+    daily revenue and order count: split the plane at the two LOWER
+    MEDIANS (order statistic at floor((n+1)/2), day tiebreak) and
+    read (same-quadrant - opposite-quadrant) / classified — the
+    2x2-quadrant distillation of concordance. O(n) where tau needs
+    pairs: the screening version you run FIRST, with z = beta *
+    sqrt(n_used) against 1.96 as the large-sample verdict (points ON
+    a median are unclassified and drop, stated).
+
+    Scale/determinism: the day frame is calendar-bounded; medians are
+    exact ORDER STATISTICS picked by row_number (never
+    percentile_cont interpolation — engines disagree there); quadrant
+    counts are exact integer sums; beta floored 1e-6 and the z flag
+    reads the FLOORED beta."""
+    daily = _daily_orders(load(spark, sf_dir))
+    w_x = Window.orderBy("rev_c", "day")
+    w_y = Window.orderBy("n_orders", "day")
+    w_all = Window.partitionBy()
+    ranked = daily.select(
+        "rev_c",
+        "n_orders",
+        F.row_number().over(w_x).alias("rx"),
+        F.row_number().over(w_y).alias("ry"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    mid = F.floor((F.col("n") + 1) / 2).cast("bigint")
+    med_x = ranked.where(F.col("rx") == mid).select(
+        F.col("rev_c").alias("med_x")
+    )
+    med_y = ranked.where(F.col("ry") == mid).select(
+        F.col("n_orders").alias("med_y")
+    )
+    q = (
+        daily.crossJoin(F.broadcast(med_x))
+        .crossJoin(F.broadcast(med_y))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.sum(
+                F.when(
+                    (
+                        (F.col("rev_c") > F.col("med_x"))
+                        & (F.col("n_orders") > F.col("med_y"))
+                    )
+                    | (
+                        (F.col("rev_c") < F.col("med_x"))
+                        & (F.col("n_orders") < F.col("med_y"))
+                    ),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("agree"),
+            F.sum(
+                F.when(
+                    (
+                        (F.col("rev_c") > F.col("med_x"))
+                        & (F.col("n_orders") < F.col("med_y"))
+                    )
+                    | (
+                        (F.col("rev_c") < F.col("med_x"))
+                        & (F.col("n_orders") > F.col("med_y"))
+                    ),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("disagree"),
+        )
+    )
+    used = F.col("agree") + F.col("disagree")
+    bf = (
+        F.floor((F.col("agree") - F.col("disagree")) * 1_000_000.0 / used)
+        / 1_000_000
+    )
+    return q.where(used > 0).select(
+        "n_days",
+        used.alias("n_used"),
+        bf.alias("beta"),
+        (F.abs(bf * F.sqrt(used.cast("double"))) > 1.96).alias("dependent"),
+    )

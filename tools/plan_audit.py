@@ -42,6 +42,43 @@ EXCLUDED_PREFIXES = ("stream_",)
 # at 100 TB an undocumented single-partition stage is a driver-shaped
 # bottleneck hiding in a distributed plan.
 SINGLE_PARTITION_OK: dict[str, str] = {
+    # r14 batch A/B
+    "agg_deming_regression": (
+        "1-row moment frame (six exact sums, partial aggregates "
+        "combine map-side)"
+    ),
+    "agg_bland_altman": (
+        "1-row limits frame (two exact sums) broadcast back over the "
+        "paired frame for the membership count"
+    ),
+    "agg_bimodality_coefficient": (
+        "1-row 4-power-sum moment frame (partial aggregates)"
+    ),
+    "agg_cochran_c": (
+        "k-row arm-variance frame reduced to a 1-row max/sum scalar + "
+        "MIN(name) argmax frame"
+    ),
+    "agg_hartley_fmax": (
+        "k-row arm-variance frame reduced to 1-row extrema scalars + "
+        "two MIN(name) argmax frames"
+    ),
+    "agg_gini_mean_difference": (
+        "cumulative fold over the 2-dp value lattice (bounded by "
+        "distinct cents, not rows; range-partitioned cumsum at 100 TB) "
+        "+ 1-row statistic frame"
+    ),
+    "agg_stuart_tau_c": (
+        "ntile windows over the calendar-bounded day frame (~2.4k rows "
+        "at any SF, the agg_kendall_tau argument) + 25-cell grid"
+    ),
+    "agg_blomqvist_beta": (
+        "order-statistic windows over the calendar-bounded day frame "
+        "(~2.4k rows at any SF) + 1-row quadrant frame"
+    ),
+    "agg_gk_gamma": (
+        "1-row statistic frame over the calendar-bounded day-pair "
+        "space (the agg_kendall_tau argument)"
+    ),
     # r13 batch
     "agg_wilcoxon_signed_rank": (
         "rank window over the abs-difference value lattice (bounded by "
