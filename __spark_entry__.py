@@ -107,6 +107,12 @@ _NEW_THIS_ROUND: set[str] = {
     "agg_gk_gamma",
     "agg_stuart_tau_c",
     "agg_blomqvist_beta",
+    # Exhibits (VERDICT r13 item 5's named gaps + the dedup-ladder
+    # character-level member).
+    "dedup_edit_distance",
+    "win_pattern_varlen",
+    "scan_variant_shred",
+    "stream_state_reader",
 }
 
 

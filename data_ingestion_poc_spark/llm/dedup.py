@@ -2560,3 +2560,104 @@ def dedup_band_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+# ---------------------------------------------------------------------------
+# r14: bucketed edit-distance near-dup — the character-level member of
+# the dedup ladder (MinHash/SimHash see token sets; Levenshtein sees
+# transpositions, small insertions, OCR noise).
+# ---------------------------------------------------------------------------
+
+#: Candidate bucket = (length band, normalized 12-char prefix); docs per
+#: bucket cap (deterministic by doc_id — the df-cap convention); edit
+#: distance measured on the normalized 80-char prefix; keep pairs <= max.
+EDIT_PREFIX = 12
+EDIT_WINDOW = 80
+EDIT_BUCKET_CAP = 50
+EDIT_MAX_DIST = 8
+
+_EDIT_DIST_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id, n_chars, lower(text) AS norm
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, norm,
+             CAST(floor(n_chars / 20) AS BIGINT) AS lb,
+             substr(norm, 1, {EDIT_PREFIX}) AS pfx,
+             row_number() OVER (
+               PARTITION BY CAST(floor(n_chars / 20) AS BIGINT),
+                            substr(norm, 1, {EDIT_PREFIX})
+               ORDER BY doc_id) AS rn
+      FROM d
+    ),
+    kept AS (SELECT * FROM b WHERE rn <= {EDIT_BUCKET_CAP})
+    SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+           CAST(levenshtein(substr(a.norm, 1, {EDIT_WINDOW}),
+                            substr(c.norm, 1, {EDIT_WINDOW})) AS BIGINT)
+             AS edit_dist
+    FROM kept a JOIN kept c
+      ON a.lb = c.lb AND a.pfx = c.pfx AND a.doc_id < c.doc_id
+    WHERE levenshtein(substr(a.norm, 1, {EDIT_WINDOW}),
+                      substr(c.norm, 1, {EDIT_WINDOW})) <= {EDIT_MAX_DIST}
+    ORDER BY doc_a, doc_b
+"""
+
+
+@register("dedup_edit_distance", oracle=_EDIT_DIST_ORACLE)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup pairs by Levenshtein distance inside
+    (length-band, normalized-prefix) buckets: the dedup-ladder member
+    that catches what token-set methods cannot — transposed words,
+    single-character OCR noise, trailing edits — using the engines'
+    native edit-distance kernels (Spark `levenshtein`, DuckDB
+    `levenshtein`; identical textbook DP, so the oracle hash-matches).
+    Distance is measured on the normalized EDIT_WINDOW-char prefix
+    (O(W^2) per pair, bounded) and pairs must share a length band AND
+    the EDIT_PREFIX-char prefix — the standard cheap blocking for
+    edit-distance joins (a pair differing inside the first 12 chars is
+    out of scope BY CONTRACT, stated; MinHash covers reorderings).
+
+    Scale/determinism: buckets are df-capped at EDIT_BUCKET_CAP docs
+    (row_number by doc_id — the deterministic hot-bucket bound every
+    LSH op here uses), so the pair space is <= buckets * cap^2 and no
+    bucket can go quadratic on a boilerplate prefix; the bucket join
+    shuffles only (doc_id, 92-char norm slice) — never full texts;
+    output keyed/ordered by the pair ids."""
+    d = load(spark, sf_dir).documents.select(
+        "doc_id", "n_chars", F.lower(F.col("text")).alias("norm")
+    )
+    b = d.select(
+        "doc_id",
+        "norm",
+        F.floor(F.col("n_chars") / 20).cast("bigint").alias("lb"),
+        F.substring("norm", 1, EDIT_PREFIX).alias("pfx"),
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("lb", "pfx").orderBy("doc_id")
+        ),
+    )
+    kept = b.where(F.col("rn") <= EDIT_BUCKET_CAP).select(
+        "doc_id",
+        "lb",
+        "pfx",
+        F.substring("norm", 1, EDIT_WINDOW).alias("w"),
+    )
+    a, c = kept.alias("a"), kept.alias("c")
+    dist = F.levenshtein(F.col("a.w"), F.col("c.w"))
+    return (
+        a.join(
+            c,
+            (F.col("a.lb") == F.col("c.lb"))
+            & (F.col("a.pfx") == F.col("c.pfx"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("c.doc_id").alias("doc_b"),
+            dist.cast("bigint").alias("edit_dist"),
+        )
+        .where(F.col("edit_dist") <= EDIT_MAX_DIST)
+        .orderBy("doc_a", "doc_b")
+    )

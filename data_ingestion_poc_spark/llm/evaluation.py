@@ -1098,3 +1098,4 @@ def sim_search_nsw_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+

@@ -1559,3 +1559,79 @@ def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("candidate_pairs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r14: checkpoint state introspection — the Spark 4 state data source
+# (VERDICT r13 item 5's named exhibit).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_state_reader",
+    oracle="""
+    SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def stream_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-store introspection (Spark 4 `statestore` data source):
+    run a stateful streaming aggregation (per-lang totals over the
+    document stream) to a durable checkpoint, then read the
+    AGGREGATION STATE back out of the checkpoint as a batch DataFrame
+    — key struct, value struct (sum/count partials), partition id —
+    and emit the per-lang totals FROM THE STATE, not from the sink.
+    This is the operational debugging surface every production stream
+    eventually needs ("what is IN my state store?" — skew hunts, state
+    bloat audits, corrupted-key forensics) that was impossible before
+    the Spark 4 reader; the oracle proves end to end that checkpointed
+    state equals the batch answer on the same corpus.
+
+    Scale/determinism: the stream is one AvailableNow pass (file
+    source, complete mode); state = one row per lang (bounded by key
+    cardinality); the state read is checkpoint-file-local per
+    partition, no shuffle until the k-row sort. The checkpoint is
+    keyed by the fixture's identity (path digest + mtime) — a
+    regenerated fixture can never pair with stale state (the
+    scan_partition_pruned staging doctrine) — and the AvailableNow
+    query ALWAYS runs (a no-op when the checkpoint is current):
+    skipping it in a fresh session leaves no StateStoreCoordinator
+    RPC endpoint on the driver and the state read dies with
+    CANNOT_LOAD_STATE_STORE (found the hard way at sf0.1 — the state
+    source only works in a session where some streaming query has
+    registered the coordinator)."""
+    import hashlib
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    from .core import docs_stream, finish_stream
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    ident = hashlib.md5(
+        f"{os.path.abspath(src)}_{os.stat(src).st_mtime_ns}".encode()
+    ).hexdigest()[:12]
+    ck = os.path.join(
+        tempfile.gettempdir(), f"dip_state_reader_ck_{ident}"
+    )
+    sdf = docs_stream(spark, sf_dir)
+    agg = sdf.groupBy("lang").agg(
+        F.sum("n_chars").alias("total_chars"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("mem_state_rdr_" + _uuid.uuid4().hex[:8])
+        .outputMode("complete")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finish_stream(q)
+    st = spark.read.format("statestore").load(ck)
+    return st.select(
+        F.col("key.lang").alias("lang"),
+        F.col("value.sum").cast("bigint").alias("total_chars"),
+        F.col("value.count").cast("bigint").alias("n_docs"),
+    ).orderBy("lang")
