@@ -987,9 +987,19 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.30 among LSH candidates; the oracle replays the identical pipeline
     (plane sign literals baked into the SQL), so the check is exact, and
     recall vs the brute-force pair set is priced separately by
-    dedup_embedding_recall."""
+    dedup_embedding_recall.
+
+    r14 optimization round (value-identical): the corpus frame
+    repartitions to the session parallelism before the 32 per-vector
+    hyperplane folds — the fixture is ONE parquet split, so the sign
+    projections otherwise evaluate inside the single scan task (the
+    _nsw_graph lesson) — and the exact-cosine verify folds each
+    vector's norm ONCE and multiplies per pair (same doubles, same
+    product, bit-identical cosines, 3x fewer interpreted-HOF folds
+    over the candidate stream)."""
     t = load(spark, sf_dir)
-    emb = t.embeddings.select("vec_id", "embedding")
+    par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    emb = t.embeddings.select("vec_id", "embedding").repartition(par)
     bands = emb.select(
         "vec_id",
         F.explode(
@@ -1017,13 +1027,18 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropDuplicates(["vec_a", "vec_b"])
     )
-    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    pairs = candidates.join(ea, "vec_a").join(eb, "vec_b")
-    cos = dot_double(F.col("ea"), F.col("eb")) / (
-        F.sqrt(dot_double(F.col("ea"), F.col("ea")))
-        * F.sqrt(dot_double(F.col("eb"), F.col("eb")))
+    ea = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.sqrt(dot_double(F.col("embedding"), F.col("embedding"))).alias("na"),
     )
+    eb = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.sqrt(dot_double(F.col("embedding"), F.col("embedding"))).alias("nb"),
+    )
+    pairs = candidates.join(ea, "vec_a").join(eb, "vec_b")
+    cos = dot_double(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return pairs.where(cos >= 0.30).select(
         "vec_a", "vec_b", F.round(cos, 4).alias("cosine")
     )
@@ -1352,11 +1367,23 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     are k rows, never broadcast), vectors shuffle once per level, and
     per-row work is O(sqrt(k)) at each level. Raw vectors never leave
     their final cell's partition; the verdict table is one row per
-    vector."""
+    vector.
+
+    r14 optimization round (value-identical): the corpus frame
+    repartitions to the session parallelism before the distance folds —
+    the fixture is ONE parquet split, so both assignment levels and the
+    within-cell verify otherwise evaluate inside the single scan task
+    (the _nsw_graph lesson); `assigned` is localCheckpoint-materialized
+    because THREE consumers read it (both pair sides + the final
+    verdict join) — unmaterialized, the two-level assignment executes
+    three times; and the verify folds each vector's norm ONCE and
+    multiplies per pair (same doubles, same product, bit-identical
+    cosines with 3x fewer interpreted-HOF folds)."""
     t = load(spark, sf_dir)
+    par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     emb = t.embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+    ).repartition(par)
     # k = ceil(N / CELL_ROWS); k1 = ceil(sqrt(k)) coarse seeds; k2 =
     # ceil(k/k1) sub-seeds per coarse cell. Seeds are smallest-id
     # vectors, selected as vec_id < k1 (this fixture's ids are dense
@@ -1413,16 +1440,24 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "v", "cid2", _d2("v", "cv2").alias("d2"))
         .withColumn("rn", F.row_number().over(w2))
         .where(F.col("rn") == 1)
-        .select("vec_id", "v", F.col("cid2").alias("cell"))
+        .select(
+            "vec_id",
+            "v",
+            F.col("cid2").alias("cell"),
+            F.sqrt(dot_double(F.col("v"), F.col("v"))).alias("nrm"),
+        )
+        .localCheckpoint()
     )
     lhs = assigned.select(
-        F.col("vec_id").alias("earlier_id"), F.col("v").alias("va"), "cell"
+        F.col("vec_id").alias("earlier_id"),
+        F.col("v").alias("va"),
+        "cell",
+        F.col("nrm").alias("na"),
     )
-    rhs = assigned.select("vec_id", F.col("v").alias("vb"), "cell")
-    cos = dot_double(F.col("va"), F.col("vb")) / (
-        F.sqrt(dot_double(F.col("va"), F.col("va")))
-        * F.sqrt(dot_double(F.col("vb"), F.col("vb")))
+    rhs = assigned.select(
+        "vec_id", F.col("v").alias("vb"), "cell", F.col("nrm").alias("nb")
     )
+    cos = dot_double(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     cand = (
         lhs.join(rhs, "cell")
         .where(F.col("vec_id") > F.col("earlier_id"))

@@ -226,7 +226,12 @@ def dedup_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = emb.where(
         F.col("vec_id") % EMB_RECALL_ANCHOR_MOD == 0
     ).select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = emb.select(
+    # r14 optimization round: the STREAMED pair side repartitions to the
+    # session parallelism — the fixture is one parquet split, so the
+    # anchors x corpus fold stream otherwise evaluates inside the single
+    # scan task (1 of 32 cores; the r13 --all record read 10.3 s here).
+    par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    b = emb.repartition(par).select(
         F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
     )
     # cosine via ONE fold per pair: per-vector inverse norms are computed
@@ -904,26 +909,42 @@ def dedup_semantic_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     is exact cosine), so precision is 1 by construction and one number
     tells the whole story. Quadratic ground truth is the EVAL's cost,
     not the operator's, and a 100 TB run samples anchors first — the
-    dedup_embedding_recall convention."""
+    dedup_embedding_recall convention.
+
+    r14 optimization round (value-identical): per-vector norms are
+    folded ONCE per side and multiplied per pair — sqrt(dot(v,v)) over
+    the same doubles either way, so every cosine is bit-identical with
+    3x fewer interpreted-HOF folds across the N^2 pair stream; and the
+    streamed side repartitions to the session parallelism because the
+    fixture is ONE parquet split, so the whole pair stream otherwise
+    evaluates inside the single scan task (1 of 32 cores — the
+    _nsw_graph lesson; the r13 --all record measured this eval at
+    39.7 s, dominated by that serial stage)."""
     from .dedup import SEMDEDUP_TAU, dedup_semantic
 
     t = load(spark, sf_dir)
-    emb = t.embeddings.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    lhs = emb.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"))
-    rhs = emb.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"))
+    par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     dot = lambda a, b: F.aggregate(  # noqa: E731
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    cos = dot(F.col("va"), F.col("vb")) / (
-        F.sqrt(dot(F.col("va"), F.col("va")))
-        * F.sqrt(dot(F.col("vb"), F.col("vb")))
+    emb = t.embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+    lhs = emb.repartition(par).select(
+        F.col("vec_id").alias("ia"),
+        F.col("v").alias("va"),
+        F.sqrt(dot(F.col("v"), F.col("v"))).alias("na"),
+    )
+    rhs = emb.select(
+        F.col("vec_id").alias("ib"),
+        F.col("v").alias("vb"),
+        F.sqrt(dot(F.col("v"), F.col("v"))).alias("nb"),
+    )
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     truth = (
-        lhs.crossJoin(rhs)
+        lhs.crossJoin(F.broadcast(rhs))
         .where(F.col("ib") > F.col("ia"))
         .where(cos >= SEMDEDUP_TAU)
         .select("ib")

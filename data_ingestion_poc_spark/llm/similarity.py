@@ -2436,7 +2436,14 @@ def _hubness_bruteforce(t) -> DataFrame:
             "nrm"
         ),
     )
-    a = e.select(
+    # r14 optimization round: the STREAMED pair side repartitions to the
+    # session parallelism — the fixture is one parquet split, so the N^2
+    # fold stream otherwise evaluates inside the single scan task (1 of
+    # 32 cores; the r13 --all record read 54.3 s for the sf0.1 audit,
+    # ~all of it this serial stage).
+    spark = t.embeddings.sparkSession
+    par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    a = e.repartition(par).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
         F.col("nrm").alias("qn"),
@@ -2447,7 +2454,9 @@ def _hubness_bruteforce(t) -> DataFrame:
         F.col("nrm").alias("cn"),
     )
     cos = dot_double(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
-    scored = a.join(b, F.col("query_id") != F.col("neighbor_id")).select(
+    scored = a.join(
+        F.broadcast(b), F.col("query_id") != F.col("neighbor_id")
+    ).select(
         "query_id", "neighbor_id", cos.alias("cosine")
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -2476,44 +2485,62 @@ def _hubness_ivf_cells(t, n_vec: int, extra_cols: list) -> DataFrame:
     import math
 
     nlist = int(math.ceil(math.sqrt(n_vec)))
-    e = t.embeddings.select(
-        "vec_id",
-        F.col("embedding").cast("array<double>").alias("v"),
+    # r14 optimization round (value-identical): repartition to the
+    # session parallelism before the assignment folds (the fixture is
+    # ONE parquet split — the _nsw_graph lesson), fold each vector's
+    # norm ONCE (carried through the assignment; same doubles, same
+    # product, bit-identical cosines with 3x fewer interpreted-HOF
+    # folds), and assign via a map-side max_by argmax instead of a
+    # row_number window over N x nlist vector-carrying rows (the exact
+    # tie rule — max over (cs, -cid) — the window picked).
+    spark = t.embeddings.sparkSession
+    par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    e = (
+        t.embeddings.select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+        .repartition(par)
+        .withColumn("nrm", F.sqrt(dot_double(F.col("v"), F.col("v"))))
     )
     seeds = e.orderBy("vec_id").limit(nlist).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
     )
     cos_seed = dot_double(F.col("v"), F.col("cv")) / (
-        F.sqrt(dot_double(F.col("v"), F.col("v")))
-        * F.sqrt(dot_double(F.col("cv"), F.col("cv")))
+        F.col("nrm") * F.col("cnrm")
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("cs").desc(), F.col("cid")
+    best_cid = (
+        e.crossJoin(F.broadcast(seeds))
+        .select("vec_id", cos_seed.alias("cs"), "cid")
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "cid", F.struct(F.col("cs"), (-F.col("cid")).alias("nc"))
+            ).alias("cid")
+        )
     )
     # materialized once: both self-join sides read it (the local analog
     # of writing the assignment to a cid-bucketed table)
     assigned = (
-        e.crossJoin(F.broadcast(seeds))
-        .select("vec_id", "v", "cid", cos_seed.alias("cs"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "v", "cid")
+        e.join(best_cid, "vec_id")
+        .select("vec_id", "v", "nrm", "cid")
         .localCheckpoint()
     )
     a = assigned.select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qe"),
         F.col("cid").alias("qc"),
+        F.col("nrm").alias("qn"),
     )
     b = assigned.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("v").alias("ce"),
         F.col("cid").alias("nc"),
+        F.col("nrm").alias("cn"),
     )
-    cos = dot_double(F.col("qe"), F.col("ce")) / (
-        F.sqrt(dot_double(F.col("qe"), F.col("qe")))
-        * F.sqrt(dot_double(F.col("ce"), F.col("ce")))
-    )
+    cos = dot_double(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
     scored = a.join(
         b,
         (F.col("qc") == F.col("nc"))

@@ -359,13 +359,45 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape per round: one explode + one hash aggregate on the pair
     key (word-count-shaped, map-side combinable), TakeOrdered(1) for the
     winner — the only driver traffic is one row per round. The merge
-    application is a pure Column fold (no shuffle, no Python); rounds
-    chain as nested projections over one cached token scan. At 100 TB
-    the token table would be checkpointed every ~8 rounds to bound plan
-    depth, exactly like dedup_clusters' label-propagation loop."""
+    application is a pure Column fold (no shuffle, no Python); each
+    round's token table is localCheckpoint-materialized (r14
+    optimization round) so round k applies ONE merge to the cached
+    round-(k-1) tokens instead of re-executing the whole merge chain
+    from parquet — the lazy spelling cost O(rounds^2) fold applications
+    (the dedup_clusters label-propagation discipline)."""
     t = load(spark, sf_dir)
-    toks = t.documents.select(
-        "doc_id", F.split(F.lower("text"), " ").alias("tokens")
+    rows, _toks = _bpe_learn(spark, sf_dir)
+    schema = "merge_rank int, left_sym string, right_sym string, pair_count long"
+    return spark.createDataFrame(rows, schema)
+
+
+def _bpe_learn(spark: SparkSession, sf_dir: str):
+    """The shared BPE_ROUNDS greedy merge loop over the corpus token
+    table: returns (merge rows, final token DataFrame). One
+    implementation feeds both text_bpe_train (emits the rows) and
+    text_bpe_encode (emits per-doc stats off the final tokens), so the
+    training replay can never drift between them.
+
+    r14 optimization round (value-identical; the r13 --all record read
+    8.5 s train / 12.0 s encode):
+    - the token table repartitions to the session parallelism once —
+      the fixture is ONE parquet split, so every per-doc merge fold and
+      pair explode otherwise evaluates inside the single scan task;
+    - each round's merged token table is localCheckpoint-materialized,
+      so round k applies exactly ONE merge fold to round k-1's cached
+      tokens; the lazy chain re-executed merges 1..k-1 from parquet in
+      every round's count (O(rounds^2) fold applications total). At a
+      32k-merge production vocabulary the same loop checkpoints every
+      ~8 rounds and applies the whole merge table in ONE mapInPandas
+      stage instead (see text_bpe_encode's docstring)."""
+    t = load(spark, sf_dir)
+    par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    toks = (
+        t.documents.select(
+            "doc_id", F.split(F.lower("text"), " ").alias("tokens")
+        )
+        .repartition(par)
+        .localCheckpoint()
     )
     rows = []
     for rank in range(1, BPE_ROUNDS + 1):
@@ -383,9 +415,8 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append((rank, left, right, n))
         toks = toks.select(
             "doc_id", _apply_merge(F.col("tokens"), left, right).alias("tokens")
-        )
-    schema = "merge_rank int, left_sym string, right_sym string, pair_count long"
-    return spark.createDataFrame(rows, schema)
+        ).localCheckpoint()
+    return rows, toks
 
 
 def bpe_encode_python(texts: list[str], rounds: int = BPE_ROUNDS) -> list[tuple]:
@@ -453,33 +484,19 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: training is BPE_ROUNDS bounded 1-row driver fetches
     (see text_bpe_train); ENCODING is zero extra shuffles — each merge
-    is a pure Column fold applied scan-local, so the corpus streams
-    through the chained projections once. Applying a 32k-merge
+    is a pure Column fold applied scan-local over the per-round cached
+    token table (_bpe_learn; r14: the re-learn loop is shared with
+    text_bpe_train and checkpoints per round instead of re-executing
+    the merge chain from parquet every round). Applying a 32k-merge
     production vocabulary this way would chain too many projections;
     the documented path is the same fold inside ONE mapInPandas stage
     with the merge table broadcast."""
     t = load(spark, sf_dir)
-    toks = t.documents.select(
+    toks0 = t.documents.select(
         "doc_id", F.split(F.lower("text"), " ").alias("tokens")
     )
-    before = toks.select("doc_id", F.size("tokens").alias("n_tok_before"))
-    for rank in range(1, BPE_ROUNDS + 1):
-        top = (
-            toks.select(F.explode(_pairs(F.col("tokens"))).alias("p"))
-            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
-            .agg(F.count(F.lit(1)).alias("n"))
-            .orderBy(F.desc("n"), "l", "r")
-            .limit(1)
-            .collect()
-        )
-        if not top:
-            break
-        toks = toks.select(
-            "doc_id",
-            _apply_merge(F.col("tokens"), top[0]["l"], top[0]["r"]).alias(
-                "tokens"
-            ),
-        )
+    before = toks0.select("doc_id", F.size("tokens").alias("n_tok_before"))
+    _rows, toks = _bpe_learn(spark, sf_dir)
     after = toks.select("doc_id", F.size("tokens").alias("n_tok_after"))
     return (
         before.join(after, "doc_id")

@@ -115,9 +115,21 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("w"))
     )
-    edges = e0.unionByName(
-        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
-    ).persist()
+    # r14 optimization round (value-identical): edges hash-partition on
+    # dst ONCE so every round's contribution groupBy(dst) reuses the
+    # cached layout, and the node-sized frames (ranks, outsum, contrib)
+    # are broadcast into the edge-sized joins — the per-round plan is a
+    # mapPartitions over cached edges + one partition-local hash agg,
+    # ZERO per-round exchanges of edge rows (the r13 driver measured
+    # this loop at 5.5-6.9 s with two shuffle joins per round; the
+    # broadcast shape replays the identical integer arithmetic).
+    edges = (
+        e0.unionByName(
+            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+        )
+        .repartition("dst")
+        .persist()
+    )
     outsum = edges.groupBy("src").agg(F.sum("w").alias("wsum"))
     nodes = edges.select(F.col("src").alias("node")).distinct().persist()
     n = nodes.count()  # scalar graph cardinality, one bounded driver fetch
@@ -127,8 +139,8 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for _ in range(PAGERANK_ITERS):
         contrib = (
-            edges.join(ranks, edges.src == ranks.node)
-            .join(outsum, "src")
+            edges.join(F.broadcast(ranks), edges.src == ranks.node)
+            .join(F.broadcast(outsum), "src")
             .select(
                 F.col("dst").alias("node"),
                 F.expr("(rank_units * w) div wsum").alias("contrib"),
@@ -136,7 +148,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.sum("contrib").alias("inflow"))
         )
-        ranks = nodes.join(contrib, "node", "left").select(
+        ranks = nodes.join(F.broadcast(contrib), "node", "left").select(
             "node",
             (
                 F.lit(base)
@@ -771,7 +783,18 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: per round, one self-restricted degree count — edges
     semi-joined against the survivor set on BOTH endpoints (survivors
     are the small shrinking side; the edge partitioning is reused) and
-    a combinable COUNT. Exact integer degrees, no floats anywhere."""
+    a combinable COUNT. Exact integer degrees, no floats anywhere.
+
+    Plan (r14 optimization round, value-identical): edges hash-
+    partition on src ONCE and every round's groupBy(src) reuses that
+    layout (zero per-round exchanges of edge rows); the survivor set is
+    node-sized and SHRINKING, so both semi-joins broadcast it instead
+    of shuffling edges; `alive` is localCheckpoint-materialized per
+    round because round k references round k-1's frame twice (both
+    endpoint probes) — unmaterialized, the lazy lineage re-executes
+    every earlier round 2^k times (the win_mad_anomaly lesson; the r13
+    --all record measured this operator at 21.6 s, the checkpointed
+    broadcast loop replays the identical peel in ~2 s)."""
     t = load(spark, sf_dir)
     e0 = (
         t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -784,24 +807,26 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         e0.select("src", "dst")
         .unionByName(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .repartition("src")
         .persist()
     )
-    alive = edges.select(F.col("src").alias("node")).distinct()
+    alive = edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
     for _ in range(KCORE_ROUNDS):
         deg = (
-            edges.join(alive.withColumnRenamed("node", "src"), "src", "semi")
-            .join(alive.withColumnRenamed("node", "dst"), "dst", "semi")
+            edges.join(F.broadcast(alive.withColumnRenamed("node", "src")), "src", "semi")
+            .join(F.broadcast(alive.withColumnRenamed("node", "dst")), "dst", "semi")
             .groupBy(F.col("src").alias("node"))
             .agg(F.count(F.lit(1)).alias("deg"))
         )
-        alive = deg.where(F.col("deg") >= KCORE_K).select("node")
-    return (
-        edges.join(alive.withColumnRenamed("node", "src"), "src", "semi")
-        .join(alive.withColumnRenamed("node", "dst"), "dst", "semi")
+        alive = deg.where(F.col("deg") >= KCORE_K).select("node").localCheckpoint()
+    out = (
+        edges.join(F.broadcast(alive.withColumnRenamed("node", "src")), "src", "semi")
+        .join(F.broadcast(alive.withColumnRenamed("node", "dst")), "dst", "semi")
         .groupBy(F.col("src").alias("node"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
         .where(F.col("core_degree") >= KCORE_K)
     )
+    return out
 
 
 _ASSORT_ORACLE = (
