@@ -33,6 +33,25 @@ from ..registry import register
 TOTAL_MASS = 1_000_000_000_000
 PAGERANK_ITERS = 3
 
+
+def _both_directions(e0: DataFrame, with_w: bool = True) -> DataFrame:
+    """Both directions of an aggregated (src, dst[, w]) pair frame in
+    ONE pass (r14 optimization round): `e0.unionByName(e0.select(swap))`
+    references the join+aggregate subtree twice and Spark EXECUTES it
+    twice — measured ~2x the edge-build cost at sf0.1. The explode
+    emits the swapped row from the same aggregated row instead; the
+    output multiset is identical."""
+    cols = ["src", "dst", "w"] if with_w else ["src", "dst"]
+    fwd = F.struct(*[F.col(c) for c in cols])
+    swp = F.struct(
+        F.col("dst").alias("src"),
+        F.col("src").alias("dst"),
+        *([F.col("w")] if with_w else []),
+    )
+    return e0.select(F.explode(F.array(fwd, swp)).alias("e")).select(
+        *[F.col(f"e.{c}").alias(c) for c in cols]
+    )
+
 _EDGES_SQL = """
     edges0 AS (
       SELECT 'c' || CAST(o.o_custkey AS VARCHAR)  AS src,
@@ -123,13 +142,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ZERO per-round exchanges of edge rows (the r13 driver measured
     # this loop at 5.5-6.9 s with two shuffle joins per round; the
     # broadcast shape replays the identical integer arithmetic).
-    edges = (
-        e0.unionByName(
-            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
-        )
-        .repartition("dst")
-        .persist()
-    )
+    edges = _both_directions(e0).repartition("dst").persist()
     outsum = edges.groupBy("src").agg(F.sum("w").alias("wsum"))
     nodes = edges.select(F.col("src").alias("node")).distinct().persist()
     n = nodes.count()  # scalar graph cardinality, one bounded driver fetch
@@ -233,30 +246,25 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     5. per-node credit = explode each triangle's three corners, count.
     """
     t = load(spark, sf_dir)
-    bip0 = t.lineitem.select(
-        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
-    ).distinct()
-    w_part = Window.partitionBy("p")
-    bip = (
-        bip0.withColumn("pf", F.count(F.lit(1)).over(w_part))
-        .where(F.col("pf") <= TRIANGLE_PART_CAP)
-        .drop("pf")
-    )
-    # aliased self-join (same-lineage attribute refs are the r5
-    # sort_pareto_skyline defect class; `ba.p == bb.p` without aliases
-    # logs "trivially true equals predicate" and breaks on refactor)
-    pairs = (
-        bip.alias("ba")
-        .join(
-            bip.alias("bb"),
-            (F.col("ba.p") == F.col("bb.p")) & (F.col("ba.s") < F.col("bb.s")),
-        )
-        .groupBy(F.col("ba.s").alias("u"), F.col("bb.s").alias("v"))
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    edges = pairs.orderBy(
-        F.col("shared").desc(), "u", "v"
-    ).limit(TRIANGLE_BACKBONE).select("u", "v")
+    # r14 optimization round: the backbone builds ONCE through the
+    # shared _backbone_edges helper and the 500-row edge list is
+    # localCheckpoint-materialized — the orientation/wedge stages below
+    # reference `edges` (directly and via oriented o1/o2/o3) many
+    # times, and each lazy reference re-executed the whole
+    # bipartite-distinct + self-join + TakeOrdered backbone (the r13
+    # --all record read 7.7 s; the checkpointed plan counts identical
+    # triangles).
+    edges = _backbone_edges(t).localCheckpoint()
+    return _triangle_counts(edges)
+
+
+def _triangle_counts(edges: DataFrame) -> DataFrame:
+    """Stages 3-5 of graph_triangle_count over a (u, v) backbone frame
+    (pass a MATERIALIZED frame — the orientation and wedge stages
+    reference it repeatedly). Shared with
+    graph_clustering_coefficient (r14), which previously re-executed
+    the whole backbone once for the triangle side and once for its
+    degree frame."""
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -336,6 +344,10 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection, one co-count shuffle keyed on pairs, two broadcast-size
     degree joins."""
     t = load(spark, sf_dir)
+    # r14 optimization round: the distinct bipartite frame is
+    # localCheckpoint-materialized — THREE consumers (degree frame +
+    # both self-join sides) otherwise re-execute the lineitem ⋈ orders
+    # + distinct per reference (r13 --all read 4.3 s).
     e = (
         t.lineitem.join(
             t.orders, F.col("l_orderkey") == F.col("o_orderkey")
@@ -344,6 +356,7 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
         )
         .distinct()
+        .localCheckpoint()
     )
     deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("n"))
     a = e.select("c", F.col("s").alias("supp_a"))
@@ -454,18 +467,25 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("w"))
     )
-    edges = e0.unionByName(
-        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
-    ).persist()
-    labels = edges.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
+    # r14 optimization round (value-identical): single-pass edge build
+    # (_both_directions), node-sized label frame broadcast into the
+    # edge join, and a per-round localCheckpoint — each round references
+    # the previous labels TWICE (edge join + self-vote union), so the
+    # lazy lineage re-executed earlier rounds 2^k times (the r13 --all
+    # record read 9.5 s; the checkpointed loop replays identically).
+    edges = _both_directions(e0).repartition("dst").persist()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
     )
     w_pick = Window.partitionBy("node").orderBy(
         F.col("wsum").desc(), F.col("label")
     )
     for _ in range(LABELPROP_ITERS):
         cand = (
-            edges.join(labels, edges.src == labels.node)
+            edges.join(F.broadcast(labels), edges.src == labels.node)
             .select(F.col("dst").alias("node"), "label", "w")
             .unionByName(
                 labels.select(
@@ -479,6 +499,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             cand.withColumn("rn", F.row_number().over(w_pick))
             .where(F.col("rn") == 1)
             .select("node", "label")
+            .localCheckpoint()
         )
     return labels.select(
         "node",
@@ -561,22 +582,29 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("w"))
     )
-    edges = e0.unionByName(
-        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
-    ).select("src", "dst").persist()
-    nodes = edges.select(F.col("src").alias("node")).distinct()
+    # r14 optimization round (value-identical): single-pass edge build,
+    # edges hash-partitioned on dst once (every round's relax groupBy
+    # reuses it), node-sized dist/relax frames broadcast, and a
+    # per-round localCheckpoint — each round references the previous
+    # dist frame TWICE (relax join + carry-forward left join), so the
+    # lazy lineage re-executed earlier rounds 2^k times (r13 --all:
+    # 9.4 s; the checkpointed loop relaxes identically).
+    edges = (
+        _both_directions(e0, with_w=False).repartition("dst").persist()
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct().persist()
     dist = nodes.where(F.col("node").isin(*BFS_SEEDS)).select(
         "node", F.lit(0).alias("dist")
-    )
+    ).localCheckpoint()
     for _ in range(BFS_ROUNDS):
         relax = (
-            edges.join(dist, edges.src == dist.node)
+            edges.join(F.broadcast(dist), edges.src == dist.node)
             .groupBy(F.col("dst").alias("rnode"))
             .agg(F.min(F.col("dist") + 1).alias("nd"))
         )
         dist = (
-            nodes.join(dist, "node", "left")
-            .join(relax, F.col("node") == F.col("rnode"), "left")
+            nodes.join(F.broadcast(dist), "node", "left")
+            .join(F.broadcast(relax), F.col("node") == F.col("rnode"), "left")
             .select(
                 "node",
                 F.least(
@@ -584,6 +612,7 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("nd", F.lit(999)),
                 ).alias("dist"),
             )
+            .localCheckpoint()
         )
     return dist.where(F.col("dist") < 999).select(
         "node", F.col("dist").cast("bigint").alias("dist")
@@ -679,6 +708,12 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("w"))
     )
+    # r14 optimization round: materialize the aggregated pair frame ONCE
+    # before fanning out into the two partitionings — each e_by entry
+    # referenced e0 independently, so the lineitem ⋈ orders + aggregate
+    # subtree executed twice (value-identical; the two cached layouts
+    # and every half-round join are unchanged).
+    e0 = e0.localCheckpoint()
     e_by = {
         "src": e0.repartition("src").persist(),
         "dst": e0.repartition("dst").persist(),
@@ -691,7 +726,7 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         # replays the whole upstream lineage — 42s -> ~8s at sf0.01.
         raw = (
             e_by[edge_key]
-            .join(scores, F.col(edge_key) == F.col("node"))
+            .join(F.broadcast(scores), F.col(edge_key) == F.col("node"))
             .groupBy(F.col(group_key).alias("gnode"))
             .agg(F.sum(F.col("w") * F.col("units")).alias("raw"))
             .persist()
@@ -805,8 +840,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
     )
     edges = (
-        e0.select("src", "dst")
-        .unionByName(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        _both_directions(e0.select("src", "dst"), with_w=False)
         .repartition("src")
         .persist()
     )
@@ -887,17 +921,27 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("w"))
     )
-    edges = e0.select("src", "dst").unionByName(
-        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    # r14 optimization round: single-pass two-direction edge build,
+    # localCheckpoint-materialized — `edges` has three consumers (the
+    # degree count + both endpoint joins), each of which otherwise
+    # re-executed the lineitem ⋈ orders aggregation; the node-sized
+    # degree frame broadcasts into the edge-scale joins.
+    edges = (
+        _both_directions(e0.select("src", "dst"), with_w=False)
+        .localCheckpoint()
     )
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("d")
     )
     pairs = (
-        edges.join(deg.withColumnRenamed("node", "src"), "src")
+        edges.join(F.broadcast(deg.withColumnRenamed("node", "src")), "src")
         .withColumnRenamed("d", "x")
         .join(
-            deg.withColumnRenamed("node", "dst").withColumnRenamed("d", "y"),
+            F.broadcast(
+                deg.withColumnRenamed("node", "dst").withColumnRenamed(
+                    "d", "y"
+                )
+            ),
             "dst",
         )
         .select("x", "y")
@@ -983,33 +1027,13 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     join on the BACKBONE-bounded node frame; cc floor-quantizes an
     identical-ints division."""
     t = load(spark, sf_dir)
-    tri = graph_triangle_count(spark, sf_dir).select(
+    # r14 optimization round: ONE checkpointed backbone feeds both the
+    # triangle counts and the degree frame (the op previously built the
+    # backbone twice — once inside graph_triangle_count, once inline
+    # for degrees; r13 --all read 8.6 s, ~two backbone builds).
+    edges = _backbone_edges(t).localCheckpoint()
+    tri = _triangle_counts(edges).select(
         "node", F.col("n_triangles").alias("n_tri")
-    )
-    # recompute the backbone degree frame (bounded by TRIANGLE_BACKBONE
-    # edges; all stages below TakeOrderedAndProject-sized)
-    bip0 = t.lineitem.select(
-        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
-    ).distinct()
-    w_part = Window.partitionBy("p")
-    bip = (
-        bip0.withColumn("pf", F.count(F.lit(1)).over(w_part))
-        .where(F.col("pf") <= TRIANGLE_PART_CAP)
-        .drop("pf")
-    )
-    pairs = (
-        bip.alias("ba")
-        .join(
-            bip.alias("bb"),
-            (F.col("ba.p") == F.col("bb.p")) & (F.col("ba.s") < F.col("bb.s")),
-        )
-        .groupBy(F.col("ba.s").alias("u"), F.col("bb.s").alias("v"))
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    edges = (
-        pairs.orderBy(F.col("shared").desc(), "u", "v")
-        .limit(TRIANGLE_BACKBONE)
-        .select("u", "v")
     )
     deg = (
         edges.select(F.col("u").alias("node"))
@@ -1149,32 +1173,12 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     join on the supplier dimension; everything after is exact integer
     counts on the NATION-domain frame with two closed-form divisions."""
     t = load(spark, sf_dir)
-    bip = (
-        t.lineitem.select(
-            F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
-        )
-        .distinct()
-    )
-    keep = (
-        bip.groupBy("p")
-        .agg(F.count(F.lit(1)).alias("f"))
-        .where(F.col("f") <= TRIANGLE_PART_CAP)
-        .select("p")
-    )
-    bipc = bip.join(keep, "p")
-    a = bipc.alias("a")
-    b = bipc.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")),
-        )
-        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    edges = pairs.orderBy(
-        F.desc("shared"), "u", "v"
-    ).limit(TRIANGLE_BACKBONE).select("u", "v")
+    # r14 optimization round: the backbone builds once through the
+    # shared checkpointed helper (the inline groupBy-keep spelling kept
+    # the same df-cap semantics but re-executed the whole build for
+    # each of `tagged`'s three consumers below — m, within, degs;
+    # r13 --all read 6.3 s).
+    edges = _backbone_edges(t).localCheckpoint()
     comm = t.supplier.select(
         F.col("s_suppkey").alias("node"), F.col("s_nationkey").alias("c")
     )
@@ -1238,7 +1242,13 @@ _BACKBONE_CTE = f"""
 
 def _backbone_edges(t) -> DataFrame:
     """The shared supplier co-occurrence backbone (graph_triangle_count
-    stages 1-2): df-capped bipartite pairs -> global top-K edges."""
+    stages 1-2): df-capped bipartite pairs -> global top-K edges.
+
+    r14 optimization round: `bip` is localCheckpoint-materialized —
+    the co-occurrence self-join references it on BOTH sides, so the
+    lineitem scan + distinct + df-cap window otherwise executes twice
+    per backbone build (value-identical; the pair space and top-K are
+    unchanged)."""
     bip0 = t.lineitem.select(
         F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
     ).distinct()
@@ -1247,6 +1257,7 @@ def _backbone_edges(t) -> DataFrame:
         bip0.withColumn("pf", F.count(F.lit(1)).over(w_part))
         .where(F.col("pf") <= TRIANGLE_PART_CAP)
         .drop("pf")
+        .localCheckpoint()
     )
     pairs = (
         bip.alias("ba")
@@ -1584,9 +1595,12 @@ def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("w"))
     )
-    edges = e0.unionByName(
-        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
-    ).persist()
+    # r14 optimization round (value-identical): single-pass edge build,
+    # edges hash-partitioned on dst once (every round's contribution
+    # groupBy reuses the cached layout), node-sized rank/outsum/contrib
+    # frames broadcast into the edge-scale joins — the graph_pagerank
+    # recipe applied to its Katz sibling.
+    edges = _both_directions(e0).repartition("dst").persist()
     outsum = edges.groupBy("src").agg(F.sum("w").alias("wsum"))
     nodes = edges.select(F.col("src").alias("node")).distinct().persist()
     ranks = nodes.select(
@@ -1594,8 +1608,8 @@ def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for _ in range(KATZ_ITERS):
         contrib = (
-            edges.join(ranks, edges.src == ranks.node)
-            .join(outsum, "src")
+            edges.join(F.broadcast(ranks), edges.src == ranks.node)
+            .join(F.broadcast(outsum), "src")
             .select(
                 F.col("dst").alias("node"),
                 F.expr("(ku * w) div (8 * wsum)").alias("contrib"),
@@ -1603,7 +1617,7 @@ def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.sum("contrib").alias("inflow"))
         )
-        ranks = nodes.join(contrib, "node", "left").select(
+        ranks = nodes.join(F.broadcast(contrib), "node", "left").select(
             "node",
             (
                 F.lit(KATZ_BASE) + F.coalesce("inflow", F.lit(0))
@@ -1857,9 +1871,15 @@ def graph_closeness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = adj.select(
         F.col("node").alias("pu"), F.col("nbr").alias("pv"), F.lit(1).alias("d")
     )
+    # r14 optimization round: per-round localCheckpoint — each round
+    # references the previous d frame TWICE (frontier extension + the
+    # min-union), so the lazy lineage re-executed earlier rounds 2^k
+    # times; the checkpointed loop relaxes identically. adj is
+    # backbone-bounded, so broadcasting it keeps every extension
+    # shuffle pair-frame-sized.
     for _ in range(CLOSENESS_H - 1):
         ext = (
-            d.join(adj, d.pv == adj.node)
+            d.join(F.broadcast(adj), d.pv == adj.node)
             .where(F.col("nbr") != F.col("pu"))
             .select("pu", F.col("nbr").alias("pv"), (F.col("d") + 1).alias("d"))
         )
@@ -1867,6 +1887,7 @@ def graph_closeness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             d.unionByName(ext)
             .groupBy("pu", "pv")
             .agg(F.min("d").alias("d"))
+            .localCheckpoint()
         )
     term_u = F.floor(1_000_000.0 / F.col("d")).cast("bigint")
     return (
