@@ -943,8 +943,11 @@ def dedup_semantic_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(dot(F.col("v"), F.col("v"))).alias("nb"),
     )
     cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    # no hard broadcast hint on rhs: it is the SF-scaling corpus (the
+    # lint's point); locally the planner builds the same BNLJ, and at
+    # scale the eval samples anchors anyway (docstring convention)
     truth = (
-        lhs.crossJoin(F.broadcast(rhs))
+        lhs.crossJoin(rhs)
         .where(F.col("ib") > F.col("ia"))
         .where(cos >= SEMDEDUP_TAU)
         .select("ib")

@@ -368,7 +368,20 @@ def audio_frame_stats(batches):
     (C/ffmpeg) would consume. All oracle-checked stats are exact int64
     (sum of int16 squares <= 512 * 2^30 fits comfortably), so there is
     no float-summation-order parity risk; rms derives from the same
-    integers at the end."""
+    integers at the end.
+
+    r14 optimization round (guide-of-record: hand whole batches to
+    vectorized native code inside the Python boundary): the framing
+    runs as NumPy array ops instead of a per-sample Python loop — the
+    r13 --all record read 10.5 s, almost all of it interpreting int16
+    arithmetic sample by sample. Parity notes, term by term: the
+    '<i2' frombuffer view IS _fake_samples' little-endian signed
+    decode; sum_sq/peak/zero_crossings are exact int64 reductions of
+    the same integers (samples widen to int64 BEFORE abs, so
+    -32768 -> 32768 like Python's abs); rms applies Python round() to
+    the identical IEEE sqrt(ss/512) double. _frame_rows remains the
+    executable pure-Python spec the golden oracle replays."""
+    import numpy as np
     import pyarrow as pa
 
     out_schema = pa.schema(
@@ -385,11 +398,45 @@ def audio_frame_stats(batches):
     for batch in batches:
         paths = batch.column("path").to_pylist()
         blobs = batch.column("content").to_pylist()
-        rows: list[tuple] = []
+        names: list[str] = []
+        idxs: list[np.ndarray] = []
+        sss: list[np.ndarray] = []
+        peaks: list[np.ndarray] = []
+        zcs: list[np.ndarray] = []
         for path, blob in zip(paths, blobs):
-            name = path.rsplit("/", 1)[-1]
-            rows.extend(_frame_rows(name, _fake_samples(bytes(blob))))
-        cols = list(zip(*rows)) if rows else [[] for _ in range(7)]
+            blob = bytes(blob)
+            n = (len(blob) // 2) * 2
+            samples = np.frombuffer(blob[:n], dtype="<i2")
+            nframes = len(samples) // AUDIO_FRAME
+            if nframes == 0:
+                continue
+            a = (
+                samples[: nframes * AUDIO_FRAME]
+                .astype(np.int64)
+                .reshape(nframes, AUDIO_FRAME)
+            )
+            nonneg = a >= 0
+            names.extend([path.rsplit("/", 1)[-1]] * nframes)
+            idxs.append(np.arange(nframes, dtype=np.int32))
+            sss.append((a * a).sum(axis=1))
+            peaks.append(np.abs(a).max(axis=1))
+            zcs.append((nonneg[:, :-1] != nonneg[:, 1:]).sum(axis=1))
+        if names:
+            ss = np.concatenate(sss)
+            rms = [
+                round(float(x), 4) for x in np.sqrt(ss / AUDIO_FRAME)
+            ]
+            cols = [
+                names,
+                np.concatenate(idxs),
+                [AUDIO_FRAME] * len(names),
+                ss,
+                np.concatenate(peaks),
+                np.concatenate(zcs),
+                rms,
+            ]
+        else:
+            cols = [[] for _ in range(7)]
         yield pa.RecordBatch.from_arrays(
             [pa.array(c, type=t.type) for c, t in zip(cols, out_schema)],
             schema=out_schema,

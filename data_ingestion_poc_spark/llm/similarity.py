@@ -2454,8 +2454,11 @@ def _hubness_bruteforce(t) -> DataFrame:
         F.col("nrm").alias("cn"),
     )
     cos = dot_double(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
+    # no hard broadcast hint on b (SF-scaling corpus — the lint rule);
+    # the planner picks the same BNLJ build side locally, and the audit
+    # path is documented sample-at-scale
     scored = a.join(
-        F.broadcast(b), F.col("query_id") != F.col("neighbor_id")
+        b, F.col("query_id") != F.col("neighbor_id")
     ).select(
         "query_id", "neighbor_id", cos.alias("cosine")
     )
@@ -3211,7 +3214,7 @@ def _nsw_seeds(e: DataFrame) -> DataFrame:
     )
 
 
-def _nsw_graph(t) -> DataFrame:
+def _nsw_graph(t, seeds: DataFrame | None = None) -> DataFrame:
     """Layer-0 navigable graph, built CELL-LOCAL so the pair space is
     ~N^1.5, never cell-quadratic (the r13 16x-corpus probe measured a
     label-cell all-pairs build at 22.8x wall for 16x data — this
@@ -3268,7 +3271,8 @@ def _nsw_graph(t) -> DataFrame:
             "nrm", F.sqrt(dot_double(F.col("v"), F.col("v")))
         )
     )
-    seeds = _nsw_seeds(e.select("vec_id", "v"))
+    if seeds is None:
+        seeds = _nsw_seeds(e.select("vec_id", "v"))
     cos_seed = dot_double(F.col("v"), F.col("sv")) / (
         F.col("nrm") * F.col("snrm")
     )
@@ -3317,11 +3321,17 @@ def _nsw_graph(t) -> DataFrame:
     bridge = sa.join(
         sb, F.col("sa.sid") != F.col("sb.sid")
     ).select(F.col("sa.sid").alias("src"), F.col("sb.sid").alias("dst"))
+    # r14 optimization round: dedup AFTER the src repartition instead of
+    # .distinct() before it — hash-partitioning on src already
+    # co-locates every (src, dst) group, so the caller's layout shuffle
+    # and the dedup collapse into ONE exchange (dropDuplicates here is
+    # the same exact dedup the old distinct performed).
     return (
         glocal.unionByName(uplink)
         .unionByName(downlink)
         .unionByName(bridge)
-        .distinct()
+        .repartition("src")
+        .dropDuplicates(["src", "dst"])
     )
 
 
@@ -3362,29 +3372,31 @@ def sim_search_nsw(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the tiny frontier (<= queries x NSW_BEAM rows by construction)
     # into g instead, so the per-hop expansion is a broadcast-hash join
     # probing g's partitions executor-locally.
-    g = _nsw_graph(t).repartition("src").localCheckpoint()
-    e = t.embeddings.select(
-        F.col("vec_id").alias("node"),
-        F.col("embedding").cast("array<double>").alias("nv"),
-    )
-    q = t.embeddings.where(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").cast("array<double>").alias("qe"),
-    )
-    # r14 start: exhaustive layer-1 descent — score the query against
-    # the WHOLE seed layer (|seeds| ~ sqrt(N*L), sublinear; the 5-row
-    # query frame broadcasts into it) and open the beam from the top
-    # NSW_STARTS seeds. Replaces the r13 single-entry start whose
-    # cross-cell detour capped recall at 40-90%.
+    # r14 optimization round: ONE seed layer feeds both the graph build
+    # and the walk start (each _nsw_seeds call is a corpus count + a
+    # TakeOrdered + a checkpoint — building it twice was ~1 s of pure
+    # re-execution); the graph dedups inside its src repartition (see
+    # _nsw_graph) so layout + distinct cost one exchange.
     seeds = _nsw_seeds(
         t.embeddings.select(
             "vec_id",
             F.col("embedding").cast("array<double>").alias("v"),
         )
     )
+    g = _nsw_graph(t, seeds=seeds).localCheckpoint()
+    e = t.embeddings.select(
+        F.col("vec_id").alias("node"),
+        F.col("embedding").cast("array<double>").alias("nv"),
+    )
+    # qn: the query norm folds ONCE per query row (5 rows) instead of
+    # once per scored pair — same doubles, same product, bit-identical
+    # cosines (the _nsw_graph norm-carry convention).
+    q = t.embeddings.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qe"),
+    ).withColumn("qn", F.sqrt(dot_double(F.col("qe"), F.col("qe"))))
     cos_qs = dot_double(F.col("qe"), F.col("sv")) / (
-        F.sqrt(dot_double(F.col("qe"), F.col("qe")))
-        * F.col("snrm")
+        F.col("qn") * F.col("snrm")
     )
     w_start = Window.partitionBy("query_id").orderBy(
         F.col("cs").desc(), "sid"
@@ -3398,16 +3410,18 @@ def sim_search_nsw(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _score(frontier: DataFrame) -> DataFrame:
-        # vector lookup for the frontier: broadcast the (tiny)
-        # frontier x query frame into the corpus-sized e — e stays
-        # scan-local, no exchange, no corpus broadcast.
+        # vector lookup for the frontier: broadcast the (tiny) frontier
+        # and the 5-row query frame into the corpus-sized e as two
+        # INDEPENDENT flat broadcasts (r14: the old nested
+        # frontier ⋈ q pre-join serialized two broadcast builds per
+        # hop) — e stays scan-local, no exchange, no corpus broadcast.
         cos = dot_double(F.col("qe"), F.col("nv")) / (
-            F.sqrt(dot_double(F.col("qe"), F.col("qe")))
-            * F.sqrt(dot_double(F.col("nv"), F.col("nv")))
+            F.col("qn") * F.sqrt(dot_double(F.col("nv"), F.col("nv")))
         )
-        probe = frontier.join(F.broadcast(q), "query_id")
-        return e.join(F.broadcast(probe), "node").select(
-            "query_id", "node", cos.alias("cosine")
+        return (
+            e.join(F.broadcast(frontier), "node")
+            .join(F.broadcast(q), "query_id")
+            .select("query_id", "node", cos.alias("cosine"))
         )
 
     # Per-hop localCheckpoint: each hop's beam feeds the next hop's
@@ -3420,10 +3434,15 @@ def sim_search_nsw(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cosine").desc(), "node"
     )
     for _ in range(NSW_HOPS):
+        # no per-hop distinct on the expansion (r14): duplicates score
+        # to identical (query, node, cosine) rows and the max-merge
+        # below already dedups — dropping it removes one exchange per
+        # hop from the critical path (the expansion is answer-sized,
+        # <= queries x NSW_BEAM x degree rows, so the extra scored
+        # duplicates are noise).
         expanded = (
             g.join(F.broadcast(beam), beam.node == g.src)
             .select("query_id", F.col("dst").alias("node"))
-            .distinct()
         )
         visited = (
             visited.unionByName(_score(expanded))
