@@ -194,9 +194,18 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchanges in the plan carry benchmark shingles and MATCHED pairs
     (the countDistinct two-phase) — both orders of magnitude smaller
     than the corpus. Output is contaminated docs only (hit list with
-    evidence counts and the lowest-numbered benchmark doc hit)."""
+    evidence counts and the lowest-numbered benchmark doc hit).
+
+    r14 optimization round: the doc rows repartition to the session
+    parallelism before the shingle explode — the fixture is one
+    parquet split, so the explode + broadcast probe otherwise run
+    inside the single scan task (1 of 32 cores). Doc rows (pre-explode)
+    are the cheapest thing to move; at real scale the scan is already
+    wide and this is the standard unsplittable-input spread."""
     t = load(spark, sf_dir)
-    sh = t.documents.select(
+    par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    t_documents = t.documents.repartition(par)
+    sh = t_documents.select(
         "doc_id",
         F.explode(
             shingle_array(F.split(F.lower("text"), " "), 4)
@@ -800,13 +809,24 @@ def corpus_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     (_bloom_terms), so every exact hit is a bloom hit. The driver-checked
     contract: missed_by_bloom == 0 (hard guarantee) and false positives
     within a 5% budget (geometry gives ~1e-3; 5% leaves margin), plus
-    exact_flagged value-matched against the plain SQL join."""
+    exact_flagged value-matched against the plain SQL join.
+
+    r14 optimization round: doc rows repartition before the explode
+    (single-split fixture; the corpus_decontaminate note) and the
+    shingle stream is localCheckpoint-materialized — the bloom probe,
+    the exact join, and the bench build otherwise each re-executed the
+    explode (the r13 --all record read 8.5 s)."""
     t = load(spark, sf_dir)
-    sh = t.documents.select(
-        "doc_id",
-        F.explode(
-            shingle_array(F.split(F.lower("text"), " "), 4)
-        ).alias("shingle"),
+    par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    sh = (
+        t.documents.repartition(par)
+        .select(
+            "doc_id",
+            F.explode(
+                shingle_array(F.split(F.lower("text"), " "), 4)
+            ).alias("shingle"),
+        )
+        .localCheckpoint()
     )
     bench = (
         sh.where(F.col("doc_id") % 25 == 0).select("shingle").distinct()

@@ -367,9 +367,13 @@ def uncapped_shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     evaluation's ground-truth side does that, and a 100 TB recall run
     samples docs first (see evaluation.py scale note)."""
     t = load(spark, sf_dir)
+    # r14 optimization round: repartition before the explode — the
+    # fixture is one parquet split, so the shingling otherwise runs
+    # inside the single scan task (the _shingled_persisted note).
+    par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     docs = t.documents.select(
         "doc_id", F.split(F.lower("text"), " ").alias("words")
-    )
+    ).repartition(par)
     return docs.select(
         "doc_id", F.explode(shingle_array(F.col("words"), 3)).alias("shingle")
     ).dropDuplicates(["doc_id", "shingle"])
@@ -398,11 +402,21 @@ def _shingled_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cached is not None:
         return cached
     t = load(spark, sf_dir)
+    # r14 optimization round: repartition to the session parallelism
+    # BEFORE persisting — the fixture is one parquet split, so the
+    # cached frame otherwise holds a single partition and every
+    # downstream per-doc fold (the 32 seeded minhash transforms of
+    # band_keys, the exact-Jaccard verify) runs on 1 of 32 cores.
+    par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     docs = t.documents.select("doc_id", F.split(F.lower("text"), " ").alias("words"))
-    shingled = docs.select(
-        "doc_id",
-        F.array_distinct(shingle_array(F.col("words"), 3)).alias("shingles"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    shingled = (
+        docs.repartition(par)
+        .select(
+            "doc_id",
+            F.array_distinct(shingle_array(F.col("words"), 3)).alias("shingles"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     _SHINGLE_CACHE[key] = shingled
     return shingled
 
@@ -1705,7 +1719,15 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     rarity distribution's head — production PPJoin adds the positional
     filter; the Spark shape (explode -> rank -> equi-join -> verify) is
     unchanged by that refinement."""
-    sh = uncapped_shingle_index(spark, sf_dir)
+    # r14 optimization round (value-identical): the shingle index is
+    # persisted — FIVE consumers read it (df table, rarity ranking,
+    # both verify sides, sizes), each of which otherwise re-executed
+    # the explode + dedup from parquet — and the prefix-token frame is
+    # persisted too because the candidate self-join reads it on both
+    # sides (two executions of the double-window ranking). persist(),
+    # not localCheckpoint: lazy caching keeps the whole op one
+    # parallel job instead of stacking materialization barriers.
+    sh = uncapped_shingle_index(spark, sf_dir).persist()
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     w_doc = Window.partitionBy("doc_id").orderBy("df", "shingle")
     ranked = (
@@ -1717,7 +1739,7 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prefix = ranked.where(
         F.col("rn") <= F.col("n") - F.ceil(F.lit(PREFIX_TAU) * F.col("n")) + 1
-    ).select("doc_id", "shingle", "n")
+    ).select("doc_id", "shingle", "n").persist()
     # size filter (SSJoin): J >= tau forces tau*|x| <= |y| <= |x|/tau,
     # so size-incompatible collisions drop before the distinct/verify.
     cand = (

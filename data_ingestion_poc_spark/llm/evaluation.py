@@ -618,6 +618,13 @@ def dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # self-join through explicit aliases: both sides share lineage, and
     # unqualified attribute refs here are the defect class that broke
     # r5's sort_pareto_skyline (MISSING_ATTRIBUTES on refactor).
+    # r14 optimization round: every detector leg is persisted (pair
+    # tables, orders of magnitude smaller than the corpus) — each leg
+    # is referenced TWICE below (the union of all candidates AND its
+    # flag left-join), so every detector pipeline otherwise executed
+    # twice (r13 --all read 8.0 s). persist(), not localCheckpoint:
+    # lazy caching keeps all four legs inside ONE parallel job instead
+    # of four sequential materialization barriers (measured faster).
     exact_p = (
         hashed.alias("ha")
         .join(
@@ -629,9 +636,10 @@ def dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ha.doc_id").alias("doc_a"),
             F.col("hb.doc_id").alias("doc_b"),
         )
+        .persist()
     )
-    jac = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    mh = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    jac = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b").persist()
+    mh = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b").persist()
     sig = dedup_simhash(spark, sf_dir)
     keyed = sig.select(
         "doc_id",
@@ -656,6 +664,7 @@ def dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("doc_id").alias("doc_a"), "doc_b")
         .distinct()
+        .persist()
     )
     def flag(df, name):
         return df.withColumn(name, F.lit(True))
