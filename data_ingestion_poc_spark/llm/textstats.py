@@ -283,7 +283,15 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .repartition("doc_id")
     )
-    tf = tokens.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    # r14 optimization round: persist the term-frequency frame — both
+    # the document-frequency aggregate and the scored join read it, so
+    # the token explode + first aggregate otherwise execute twice
+    # (value-identical; counts are exact either way).
+    tf = (
+        tokens.groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
     dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     n_docs = t.documents.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     scored = (

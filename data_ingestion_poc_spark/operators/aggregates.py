@@ -734,7 +734,13 @@ def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     floored to cents so the banding comparison is engine-stable against
     the 2-dp price domain."""
     t = load(spark, sf_dir)
-    li = t.lineitem.select("l_extendedprice")
+    # r14 optimization round: repartition the projected price column —
+    # the one-split fixture otherwise runs the banding pass (8 array
+    # comparisons per row) and the percentile partials inside the
+    # single scan task. The exact-percentile FINAL aggregate remains a
+    # single task by construction (the documented audit-scale shape).
+    par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    li = t.lineitem.select("l_extendedprice").repartition(par)
     probs = ", ".join(str(p) for p in _EQUIDEPTH_PROBS)
     bounds = li.agg(
         F.transform(
@@ -829,7 +835,14 @@ def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     `no_underestimate` column states the CM one-sided error guarantee;
     it can only be false if the sketch math is broken."""
     t = load(spark, sf_dir)
-    keys = t.lineitem.select(F.col("l_suppkey").cast("string").alias("k"))
+    # r14 optimization round: repartition the key stream before the
+    # depth fan-out — the fixture is one parquet split, so the
+    # rows x CM_DEPTH md5 bucket hashes otherwise all evaluate inside
+    # the single scan task (1 of 32 cores; r13 --all read 7.6 s).
+    par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    keys = t.lineitem.select(
+        F.col("l_suppkey").cast("string").alias("k")
+    ).repartition(par)
     rows = keys.select(
         "k", F.explode(F.array(*[F.lit(r) for r in range(CM_DEPTH)])).alias("r")
     )
@@ -1152,7 +1165,19 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         wb = w(b)
         aggs.append(F.sum(wb * F.col("l_extendedprice")).alias(f"sx{b}"))
         aggs.append(F.sum(wb).cast("double").alias(f"sw{b}"))
-    s = t.lineitem.groupBy("l_returnflag").agg(*aggs)
+    # r14 optimization round: repartition before the aggregate — the
+    # BOOT_REPS md5 draws per row otherwise all evaluate inside the
+    # single scan task of the one-split fixture (r13 --all read 5.2 s);
+    # the map-side-combinable aggregate is unchanged.
+    par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    s = (
+        t.lineitem.select(
+            "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"
+        )
+        .repartition(par)
+        .groupBy("l_returnflag")
+        .agg(*aggs)
+    )
     reps = [F.col(f"sx{b}") / F.col(f"sw{b}") for b in range(BOOT_REPS)]
     m = sum(reps) / BOOT_REPS
     var = sum((r - m) * (r - m) for r in reps) / (BOOT_REPS - 1)
