@@ -2321,8 +2321,12 @@ def dedup_shingle_df_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = F.split(F.lower("text"), " ")
     # k=3: DuckDB's words[i:i+2] slice is INCLUSIVE (three words) — the
     # same 3-gram width every inverted-index operator in this module uses
+    # (r14: repartition before the explode — one-split fixture, the
+    # uncapped_shingle_index convention)
+    par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     sh = (
-        t.documents.select(
+        t.documents.repartition(par)
+        .select(
             "doc_id", F.explode(shingle_array(words, 3)).alias("shingle")
         )
         .distinct()

@@ -2021,6 +2021,15 @@ def embed_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distributed top-k (TakeOrderedAndProject), NOT a global
     # row_number window: the hash-order sample must never single-
     # partition the corpus at 100 TB
+    # r14 optimization round (value-identical): the sample is
+    # localCheckpoint-materialized (both self-join sides read it, so
+    # the corpus TakeOrdered otherwise ran twice), each point's
+    # self-dot folds ONCE and is carried into the pair expression
+    # (same doubles, same sum — 3 interpreted folds per pair become 1),
+    # and the streamed side repartitions because a TakeOrdered result
+    # is a single partition (the whole sample^2 fold stream ran on 1
+    # of 32 cores; r13 --all read 4.0 s).
+    par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     sampled = (
         t.embeddings.select(
             "vec_id",
@@ -2034,13 +2043,15 @@ def embed_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("h", "vec_id")
         .limit(TWONN_SAMPLE)
         .drop("h")
+        .withColumn("v2", dot_double(F.col("v"), F.col("v")))
+        .localCheckpoint()
     )
-    a = sampled.alias("a")
+    a = sampled.repartition(par).alias("a")
     b = sampled.alias("b")
     dist = F.sqrt(
-        dot_double(F.col("a.v"), F.col("a.v"))
+        F.col("a.v2")
         - 2 * dot_double(F.col("a.v"), F.col("b.v"))
-        + dot_double(F.col("b.v"), F.col("b.v"))
+        + F.col("b.v2")
     )
     d = (
         a.join(F.broadcast(b), F.col("a.vec_id") != F.col("b.vec_id"))

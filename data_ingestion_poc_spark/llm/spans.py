@@ -187,7 +187,13 @@ def dedup_substring_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     node; this is the shape that distributes."""
     t = load(spark, sf_dir)
     words = F.split(F.lower("text"), " ")
-    grams = t.documents.select(
+    # r14 optimization round (value-identical): repartition the doc rows
+    # before the positional explode (one-split fixture — the gram build
+    # otherwise runs inside the single scan task) and persist the
+    # df-capped index, which both self-join sides read (the explode +
+    # df-cap window otherwise executed twice).
+    par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    grams = t.documents.repartition(par).select(
         "doc_id",
         F.posexplode(shingle_array(words, SPAN_K)).alias("pos0", "gram"),
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
@@ -196,6 +202,7 @@ def dedup_substring_span(spark: SparkSession, sf_dir: str) -> DataFrame:
         grams.withColumn("gram_df", F.count(F.lit(1)).over(w_gram))
         .where(F.col("gram_df") <= SPAN_DF_CAP)
         .drop("gram_df")
+        .persist()
     )
     a = g.select(
         F.col("gram"), F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a")
