@@ -3193,7 +3193,7 @@ _NSW_ORACLE = f"""
 """
 
 
-def _nsw_seeds(e: DataFrame) -> DataFrame:
+def _nsw_seeds(e: DataFrame, n: int | None = None) -> DataFrame:
     """Layer-1 seed set (r14: GLOBAL, label-free): the corpus' first
     ceil(sqrt(N)) vec_ids — (sid, sv). Shared by the graph build
     (cell assignment) and the walk start (the exhaustive layer-1
@@ -3207,10 +3207,17 @@ def _nsw_seeds(e: DataFrame) -> DataFrame:
     downstream reference (assignment, bridges, walk start) would
     otherwise re-run the corpus TakeOrdered per reference (the r14
     build profile caught exactly this re-execution class at ~13x the
-    necessary build cost). Carries snrm = sqrt(sv.sv) so per-pair
-    cosines multiply a precomputed norm instead of re-folding it —
-    same doubles, same product, bit-identical values."""
-    k = int(math.ceil(math.sqrt(e.count())))
+    necessary build cost). Two rejected r14 second-pass variants,
+    measured: a bare LocalRelation return (45 rows of 64-double
+    literal arrays embedded in the plan made every downstream
+    optimizer pass crawl — 2.5 s -> 20 s graph build) and a
+    collect + createDataFrame + checkpoint (the pickled-RDD
+    parallelize path cost ~7 s cold). Pass `n` (a parquet-footer /
+    table-stats count) to skip the count job — the one change that
+    stuck. Carries snrm = sqrt(sv.sv) so per-pair cosines multiply a
+    precomputed norm instead of re-folding it — same doubles, same
+    product, bit-identical values."""
+    k = int(math.ceil(math.sqrt(n if n is not None else e.count())))
     return (
         e.orderBy("vec_id")
         .limit(k)
@@ -3271,57 +3278,110 @@ def _nsw_graph(t, seeds: DataFrame | None = None) -> DataFrame:
     stage planning/compile time far past the interpreted fold's cost
     (45 s vs 8 s warm at sf0.1 end to end).
     """
+    import numpy as np
+
     spark = t.embeddings.sparkSession
     par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    e = (
-        t.embeddings.select(
-            "vec_id", F.col("embedding").cast("array<double>").alias("v")
-        )
-        .repartition(par)
-        .withColumn(
-            "nrm", F.sqrt(dot_double(F.col("v"), F.col("v")))
-        )
+    # r14 optimization round, second pass (guide §2.4 — derive the
+    # partition count from input size, not a constant): ~256 vectors
+    # per task keeps the kernel tasks meaningfully sized; at corpus
+    # scale the min() hands back the session parallelism. The count is
+    # a parquet-footer read (table stats at 100 TB), not a job.
+    n_rows = footer_row_count(spark, t._sf_dir, "embeddings")
+    npart = max(1, min(par, -(-n_rows // 256)))
+    e0 = t.embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+    e = e0.repartition(npart)
     if seeds is None:
-        seeds = _nsw_seeds(e.select("vec_id", "v"))
-    cos_seed = dot_double(F.col("v"), F.col("sv")) / (
-        F.col("nrm") * F.col("snrm")
+        seeds = _nsw_seeds(e0, n=n_rows)
+    # r14 optimization round, second pass (guide §4.2 — vectorize the
+    # Python/codegen boundary): the N x sqrt(N) assignment fold and the
+    # cell-local kNN fold move from interpreted HOF expression trees to
+    # NumPy kernels that accumulate PER DIMENSION, i.e. the same
+    # ((0+a0*b0)+a1*b1)+... left fold dot_double spells — every add and
+    # multiply is the same IEEE-754 double op in the same order, so
+    # every cosine is bit-identical to the SQL fold the DuckDB oracle
+    # replays (re-verified against the oracle at all 3 SFs and the
+    # pure-Python planted model). Collecting the seed layer to the
+    # driver is the same scale class as the F.broadcast(seeds) it
+    # replaces: sqrt(N) rows, sublinear by construction.
+    seed_rows = sorted(
+        seeds.select("sid", "sv", "snrm").collect(), key=lambda r: r.sid
     )
-    best_sid = (
-        e.crossJoin(F.broadcast(seeds))
-        .select("vec_id", cos_seed.alias("cs"), "sid")
-        .groupBy("vec_id")
-        .agg(
-            F.max_by(
-                "sid", F.struct(F.col("cs"), (-F.col("sid")).alias("ns"))
-            ).alias("sid")
+    sids_np = np.array([r.sid for r in seed_rows], dtype=np.int64)
+    sv_np = np.array([r.sv for r in seed_rows], dtype=np.float64)
+    snrm_np = np.array([r.snrm for r in seed_rows], dtype=np.float64)
+
+    def _assign(batches):
+        import pyarrow as pa
+
+        out_schema = pa.schema(
+            [
+                ("vec_id", pa.int64()),
+                ("v", pa.list_(pa.float64())),
+                ("nrm", pa.float64()),
+                ("sid", pa.int64()),
+            ]
         )
-    )
-    asg = (
-        e.join(best_sid, "vec_id")
-        .select("vec_id", "v", "nrm", "sid")
-        .localCheckpoint()
-    )
-    a, b = asg.alias("a"), asg.alias("b")
-    cos = dot_double(F.col("a.v"), F.col("b.v")) / (
-        F.col("a.nrm") * F.col("b.nrm")
-    )
-    w = Window.partitionBy("src").orderBy(F.col("c").desc(), "dst")
-    glocal = (
-        a.join(
-            b,
-            (F.col("a.sid") == F.col("b.sid"))
-            & (F.col("a.vec_id") != F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("src"),
-            F.col("b.vec_id").alias("dst"),
-            cos.alias("c"),
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= NSW_DEG)
-        .select("src", "dst")
-    )
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            vcol = batch.column("v")
+            flat = vcol.flatten().to_numpy(zero_copy_only=False)
+            dim = flat.size // n
+            V = flat.reshape(n, dim)
+            # per-dim left folds: bit-identical to dot_double
+            nsq = np.zeros(n)
+            acc = np.zeros((n, len(sids_np)))
+            for d in range(dim):
+                col = V[:, d]
+                nsq = nsq + col * col
+                acc = acc + col[:, None] * sv_np[:, d][None, :]
+            nrm = np.sqrt(nsq)
+            cs = acc / (nrm[:, None] * snrm_np[None, :])
+            # first-max argmax == max_by((cs, -sid)) with sid ascending
+            best = sids_np[np.argmax(cs, axis=1)]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("vec_id"),
+                    vcol,
+                    pa.array(nrm, type=pa.float64()),
+                    pa.array(best, type=pa.int64()),
+                ],
+                schema=out_schema,
+            )
+
+    asg = e.mapInArrow(
+        _assign, "vec_id long, v array<double>, nrm double, sid long"
+    ).localCheckpoint()
+
+    def _cell_knn(pdf):
+        import pandas as pd
+
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"src": [], "dst": []}).astype("int64")
+        ids = pdf["vec_id"].to_numpy()
+        V = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+        nrm = pdf["nrm"].to_numpy()
+        acc = np.zeros((n, n))
+        for d in range(V.shape[1]):
+            col = V[:, d]
+            acc = acc + np.outer(col, col)
+        C = acc / np.outer(nrm, nrm)
+        src, dst = [], []
+        k = min(NSW_DEG, n - 1)
+        for i in range(n):
+            # row_number() over (ORDER BY c DESC, dst ASC), self excluded
+            order = np.lexsort((ids, -C[i]))
+            order = order[ids[order] != ids[i]][:k]
+            src.extend([ids[i]] * len(order))
+            dst.extend(ids[order])
+        return pd.DataFrame({"src": src, "dst": dst}).astype("int64")
+
+    glocal = asg.groupBy("sid").applyInPandas(_cell_knn, "src long, dst long")
     uplink = asg.where(F.col("vec_id") != F.col("sid")).select(
         F.col("vec_id").alias("src"), F.col("sid").alias("dst")
     )
@@ -3384,15 +3444,17 @@ def sim_search_nsw(spark: SparkSession, sf_dir: str) -> DataFrame:
     # into g instead, so the per-hop expansion is a broadcast-hash join
     # probing g's partitions executor-locally.
     # r14 optimization round: ONE seed layer feeds both the graph build
-    # and the walk start (each _nsw_seeds call is a corpus count + a
-    # TakeOrdered + a checkpoint — building it twice was ~1 s of pure
-    # re-execution); the graph dedups inside its src repartition (see
-    # _nsw_graph) so layout + distinct cost one exchange.
+    # and the walk start (each _nsw_seeds call is a TakeOrdered —
+    # building it twice was ~1 s of pure re-execution); the graph
+    # dedups inside its src repartition (see _nsw_graph) so layout +
+    # distinct cost one exchange. The footer count replaces the count
+    # job (table stats at 100 TB).
     seeds = _nsw_seeds(
         t.embeddings.select(
             "vec_id",
             F.col("embedding").cast("array<double>").alias("v"),
-        )
+        ),
+        n=footer_row_count(spark, sf_dir, "embeddings"),
     )
     g = _nsw_graph(t, seeds=seeds).localCheckpoint()
     e = t.embeddings.select(
@@ -3450,7 +3512,11 @@ def sim_search_nsw(spark: SparkSession, sf_dir: str) -> DataFrame:
         # below already dedups — dropping it removes one exchange per
         # hop from the critical path (the expansion is answer-sized,
         # <= queries x NSW_BEAM x degree rows, so the extra scored
-        # duplicates are noise).
+        # duplicates are noise). Checkpointing only every SECOND hop
+        # was tried in the r14 second pass and REJECTED: the
+        # uncheckpointed hop re-executes through both the next union
+        # and the next broadcast(beam) build and measured ~1-2 s
+        # slower with 2x the variance.
         expanded = (
             g.join(F.broadcast(beam), beam.node == g.src)
             .select("query_id", F.col("dst").alias("node"))
