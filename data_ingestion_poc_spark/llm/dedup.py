@@ -1007,55 +1007,116 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     repartitions to the session parallelism before the 32 per-vector
     hyperplane folds — the fixture is ONE parquet split, so the sign
     projections otherwise evaluate inside the single scan task (the
-    _nsw_graph lesson) — and the exact-cosine verify folds each
-    vector's norm ONCE and multiplies per pair (same doubles, same
-    product, bit-identical cosines, 3x fewer interpreted-HOF folds
-    over the candidate stream)."""
+    _nsw_graph lesson).
+
+    r14 second pass (guide §4.2): the candidate self-join + per-pair
+    verify fold are FUSED into one per-bucket NumPy kernel. The old
+    plan executed the 32-fold band hashing TWICE (both sides of the
+    self-join), then re-joined embeddings onto ~1M surviving pairs and
+    ran one interpreted 64-term HOF fold per pair. The bucket kernel
+    sees each (band, key) group once with its vectors attached (8x
+    corpus rows moved, embeddings never join pair-wise) and computes
+    the bucket's all-pairs cosines with per-dimension accumulation —
+    the same ((0+a0*b0)+a1*b1)+... left fold dot_double spells, so
+    every cosine is bit-identical to the SQL fold the DuckDB oracle
+    replays (verified at 3 SFs). Pair space per bucket is unchanged
+    from the equi-join (within-bucket all-pairs, bounded by
+    bits-per-band); a pair caught by k bands computes k identical
+    cosines and dropDuplicates keeps one, exactly as before."""
+    import numpy as np
+
     t = load(spark, sf_dir)
     par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     emb = t.embeddings.select("vec_id", "embedding").repartition(par)
-    bands = emb.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        _emb_band_key_col(b).alias("key"),
-                    )
-                    for b in range(_EMB_BANDS)
-                ]
+    # Hyperplane sign matrix, (dim x planes) — the identical literals
+    # _emb_band_key_col bakes into the SQL fold.
+    H = np.array(
+        [_emb_plane_signs(p) for p in range(_EMB_BANDS * _EMB_BITS)],
+        dtype=np.float64,
+    ).T
+
+    def _band_keys(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            vcol = batch.column("embedding")
+            flat = vcol.flatten().to_numpy(zero_copy_only=False).astype(
+                np.float64
             )
-        ).alias("bk"),
-    ).select("vec_id", "bk.band", "bk.key")
-    a, b = bands.alias("a"), bands.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+            V = flat.reshape(n, -1)
+            # per-dim left fold of x*sign — dot_double's exact order
+            proj = np.zeros((n, _EMB_BANDS * _EMB_BITS))
+            for d in range(V.shape[1]):
+                proj = proj + V[:, d][:, None] * H[d][None, :]
+            pos = proj > 0
+            keys = np.zeros((n, _EMB_BANDS), dtype=np.int32)
+            for bnd in range(_EMB_BANDS):
+                for j in range(_EMB_BITS):
+                    keys[:, bnd] += pos[:, bnd * _EMB_BITS + j].astype(
+                        np.int32
+                    ) << j
+            idx = np.repeat(np.arange(n), _EMB_BANDS)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("vec_id").take(pa.array(idx)),
+                    vcol.take(pa.array(idx)),
+                    pa.array(
+                        np.tile(
+                            np.arange(_EMB_BANDS, dtype=np.int32), n
+                        ),
+                        type=pa.int32(),
+                    ),
+                    pa.array(keys.reshape(-1), type=pa.int32()),
+                ],
+                names=["vec_id", "embedding", "band", "key"],
+            )
+
+    keyed = emb.mapInArrow(
+        _band_keys,
+        "vec_id long, embedding array<float>, band int, key int",
+    )
+
+    def _bucket_pairs(pdf):
+        import pandas as pd
+
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
+            )
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        V = np.stack(
+            [np.asarray(x, dtype=np.float64) for x in pdf["embedding"]]
         )
-        .select(
-            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        nsq = np.zeros(n)
+        acc = np.zeros((n, n))
+        for d in range(V.shape[1]):
+            col = V[:, d]
+            nsq = nsq + col * col
+            acc = acc + np.outer(col, col)
+        nrm = np.sqrt(nsq)
+        C = acc / np.outer(nrm, nrm)
+        iu, ju = np.triu_indices(n, k=1)
+        cos = C[iu, ju]
+        keep = cos >= 0.30
+        return pd.DataFrame(
+            {
+                "vec_a": ids[iu[keep]],
+                "vec_b": ids[ju[keep]],
+                "cosine": cos[keep],
+            }
         )
+
+    pairs = (
+        keyed.groupBy("band", "key")
+        .applyInPandas(_bucket_pairs, "vec_a long, vec_b long, cosine double")
         .dropDuplicates(["vec_a", "vec_b"])
     )
-    ea = emb.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("ea"),
-        F.sqrt(dot_double(F.col("embedding"), F.col("embedding"))).alias("na"),
-    )
-    eb = emb.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("eb"),
-        F.sqrt(dot_double(F.col("embedding"), F.col("embedding"))).alias("nb"),
-    )
-    pairs = candidates.join(ea, "vec_a").join(eb, "vec_b")
-    cos = dot_double(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
-    return pairs.where(cos >= 0.30).select(
-        "vec_a", "vec_b", F.round(cos, 4).alias("cosine")
-    )
+    return pairs.select("vec_a", "vec_b", F.round("cosine", 4).alias("cosine"))
 
 
 #: Max edit distance for fuzzy-name dedup. The blocking key is the

@@ -219,6 +219,8 @@ def dedup_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     are SQL-expressible (the hyperplane signs are plan literals), so this
     one carries a full DuckDB oracle replaying pipeline AND ground truth.
     """
+    import numpy as np
+
     from .dedup import dedup_embedding_cosine, dot_double
 
     t = load(spark, sf_dir)
@@ -237,16 +239,55 @@ def dedup_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cosine via ONE fold per pair: per-vector inverse norms are computed
     # once per row before the pair join (higher-order array functions are
     # interpreted, not codegen'd - three 64-element folds per pair made
-    # the old all-pairs plan ~25x slower than this)
+    # the old all-pairs plan ~25x slower than this).
+    # r14 second pass (guide §4.2): the anchors x corpus fold stream is
+    # a NumPy kernel — anchors (with their SQL-folded inverse norms)
+    # ride the closure, the same scale class as the F.broadcast(a) it
+    # replaces; dots accumulate per dimension (dot_double's exact left
+    # fold, multiplies commuted only) and cos spells ((dot*inva)*invb)
+    # in the same order, so the >= 0.30 cut sees bit-identical doubles
+    # (full-pipeline DuckDB oracle re-verified at 3 SFs).
     a = a.withColumn("inva", 1.0 / F.sqrt(dot_double(F.col("ea"), F.col("ea"))))
-    b = b.withColumn("invb", 1.0 / F.sqrt(dot_double(F.col("eb"), F.col("eb"))))
-    cos = dot_double(F.col("ea"), F.col("eb")) * F.col("inva") * F.col("invb")
-    exact = (
-        F.broadcast(a)
-        .join(b, F.col("vec_a") < F.col("vec_b"))
-        .where(cos >= 0.30)
-        .select("vec_a", "vec_b")
-    )
+    a_rows = a.collect()
+    a_ids = np.array([r.vec_a for r in a_rows], dtype=np.int64)
+    A = np.array([r.ea for r in a_rows], dtype=np.float64)
+    a_inv = np.array([r.inva for r in a_rows], dtype=np.float64)
+
+    def _exact_pairs(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            flat = (
+                batch.column("eb")
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+            )
+            V = flat.reshape(n, -1)
+            nsq = np.zeros(n)
+            acc = np.zeros((n, len(a_ids)))
+            for d in range(V.shape[1]):
+                col = V[:, d]
+                nsq = nsq + col * col
+                acc = acc + col[:, None] * A[:, d][None, :]
+            invb = 1.0 / np.sqrt(nsq)
+            cos = (acc * a_inv[None, :]) * invb[:, None]
+            ids_b = batch.column("vec_b").to_numpy()
+            bi, ai = np.where(
+                (cos >= 0.30) & (a_ids[None, :] < ids_b[:, None])
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(a_ids[ai], type=pa.int64()),
+                    pa.array(ids_b[bi], type=pa.int64()),
+                ],
+                names=["vec_a", "vec_b"],
+            )
+
+    exact = b.mapInArrow(_exact_pairs, "vec_a long, vec_b long")
     lsh = (
         dedup_embedding_cosine(spark, sf_dir)
         .where(F.col("vec_a") % EMB_RECALL_ANCHOR_MOD == 0)

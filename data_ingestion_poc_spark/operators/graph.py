@@ -142,8 +142,18 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ZERO per-round exchanges of edge rows (the r13 driver measured
     # this loop at 5.5-6.9 s with two shuffle joins per round; the
     # broadcast shape replays the identical integer arithmetic).
+    # r14 optimization round, second pass: outsum (node-sized) is
+    # persisted — broadcast(outsum) otherwise re-executed its groupBy
+    # over the edge cache per round (one shuffle + aggregate x
+    # PAGERANK_ITERS). Folding wsum onto the edge rows themselves (via
+    # a window or a pre-join) was tried and REJECTED: it made the COLD
+    # edge materialization ~4 s slower (an edge-sized sort / a
+    # broadcast build racing the cache) for the same warm per-round
+    # plan. Same integers either way.
     edges = _both_directions(e0).repartition("dst").persist()
-    outsum = edges.groupBy("src").agg(F.sum("w").alias("wsum"))
+    outsum = (
+        edges.groupBy("src").agg(F.sum("w").alias("wsum")).persist()
+    )
     nodes = edges.select(F.col("src").alias("node")).distinct().persist()
     n = nodes.count()  # scalar graph cardinality, one bounded driver fetch
     base = 150_000_000_000 // n
