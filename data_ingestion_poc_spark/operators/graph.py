@@ -1611,7 +1611,12 @@ def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # frames broadcast into the edge-scale joins — the graph_pagerank
     # recipe applied to its Katz sibling.
     edges = _both_directions(e0).repartition("dst").persist()
-    outsum = edges.groupBy("src").agg(F.sum("w").alias("wsum"))
+    # r14 second pass: outsum persisted — its groupBy over the edge
+    # cache otherwise re-executes inside a broadcast build every round
+    # (the graph_pagerank fix applied to its Katz sibling).
+    outsum = (
+        edges.groupBy("src").agg(F.sum("w").alias("wsum")).persist()
+    )
     nodes = edges.select(F.col("src").alias("node")).distinct().persist()
     ranks = nodes.select(
         "node", F.lit(KATZ_BASE).cast("long").alias("ku")
