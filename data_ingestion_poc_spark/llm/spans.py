@@ -404,9 +404,17 @@ def _bpe_learn(spark: SparkSession, sf_dir: str):
             "doc_id", F.split(F.lower("text"), " ").alias("tokens")
         )
         .repartition(par)
-        .localCheckpoint()
+        .persist()
     )
+    # r14 second pass: persist instead of localCheckpoint per round —
+    # the round's pair-count job materializes the freshly-merged cache
+    # as a side effect, so each round costs ONE job instead of two
+    # (count + eager checkpoint). The previous generation unpersists
+    # once its successor is materialized; with the default
+    # MEMORY_AND_DISK level the cached tokens spill rather than evict,
+    # so the lazy merge lineage behind each cache never re-executes.
     rows = []
+    prev = None
     for rank in range(1, BPE_ROUNDS + 1):
         top = (
             toks.select(F.explode(_pairs(F.col("tokens"))).alias("p"))
@@ -416,13 +424,17 @@ def _bpe_learn(spark: SparkSession, sf_dir: str):
             .limit(1)
             .collect()
         )
+        if prev is not None:
+            prev.unpersist()
+            prev = None
         if not top:
             break
         left, right, n = top[0]["l"], top[0]["r"], top[0]["n"]
         rows.append((rank, left, right, n))
+        prev = toks
         toks = toks.select(
             "doc_id", _apply_merge(F.col("tokens"), left, right).alias("tokens")
-        ).localCheckpoint()
+        ).persist()
     return rows, toks
 
 
