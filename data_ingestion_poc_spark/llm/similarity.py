@@ -2498,6 +2498,8 @@ def _hubness_ivf_cells(t, n_vec: int, extra_cols: list) -> DataFrame:
     hierarchical (HNSW-assign) build — documented, out of scope."""
     import math
 
+    import numpy as np
+
     nlist = int(math.ceil(math.sqrt(n_vec)))
     # r14 optimization round (value-identical): repartition to the
     # session parallelism before the assignment folds (the fixture is
@@ -2507,65 +2509,107 @@ def _hubness_ivf_cells(t, n_vec: int, extra_cols: list) -> DataFrame:
     # folds), and assign via a map-side max_by argmax instead of a
     # row_number window over N x nlist vector-carrying rows (the exact
     # tie rule — max over (cs, -cid) — the window picked).
+    #
+    # r14 second pass (guide §4.2, the _nsw_graph/dedup_embedding
+    # recipe): the assignment argmax and the within-cell top-k both
+    # run as NumPy kernels that accumulate PER DIMENSION — the same
+    # ((0+a0*b0)+a1*b1)+... left fold dot_double spells, multiplies
+    # commuted only, so every cosine is bit-identical to the SQL fold
+    # the DuckDB oracle replays (re-verified at 3 SFs). Collecting the
+    # nlist seeds is the same sqrt(N) scale class as the
+    # F.broadcast(seeds) it replaces; the partition count derives from
+    # input size (§2.4), not a constant.
     spark = t.embeddings.sparkSession
     par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    e = (
-        t.embeddings.select(
-            "vec_id",
-            F.col("embedding").cast("array<double>").alias("v"),
+    npart = max(1, min(par, -(-n_vec // 256)))
+    e = t.embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).repartition(npart)
+    seed_rows = sorted(
+        e.orderBy("vec_id")
+        .limit(nlist)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("v").alias("cv"),
+            F.sqrt(dot_double(F.col("v"), F.col("v"))).alias("cnrm"),
         )
-        .repartition(par)
-        .withColumn("nrm", F.sqrt(dot_double(F.col("v"), F.col("v"))))
+        .collect(),
+        key=lambda r: r.cid,
     )
-    seeds = e.orderBy("vec_id").limit(nlist).select(
-        F.col("vec_id").alias("cid"),
-        F.col("v").alias("cv"),
-        F.col("nrm").alias("cnrm"),
-    )
-    cos_seed = dot_double(F.col("v"), F.col("cv")) / (
-        F.col("nrm") * F.col("cnrm")
-    )
-    best_cid = (
-        e.crossJoin(F.broadcast(seeds))
-        .select("vec_id", cos_seed.alias("cs"), "cid")
-        .groupBy("vec_id")
-        .agg(
-            F.max_by(
-                "cid", F.struct(F.col("cs"), (-F.col("cid")).alias("nc"))
-            ).alias("cid")
+    cids_np = np.array([r.cid for r in seed_rows], dtype=np.int64)
+    cv_np = np.array([r.cv for r in seed_rows], dtype=np.float64)
+    cnrm_np = np.array([r.cnrm for r in seed_rows], dtype=np.float64)
+
+    def _assign(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            nb = batch.num_rows
+            if nb == 0:
+                continue
+            vcol = batch.column("v")
+            flat = vcol.flatten().to_numpy(zero_copy_only=False)
+            V = flat.reshape(nb, -1)
+            nsq = np.zeros(nb)
+            acc = np.zeros((nb, len(cids_np)))
+            for d in range(V.shape[1]):
+                col = V[:, d]
+                nsq = nsq + col * col
+                acc = acc + col[:, None] * cv_np[:, d][None, :]
+            nrm = np.sqrt(nsq)
+            cs = acc / (nrm[:, None] * cnrm_np[None, :])
+            # first-max argmax == max_by((cs, -cid)) with cid ascending
+            best = cids_np[np.argmax(cs, axis=1)]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("vec_id"),
+                    vcol,
+                    pa.array(nrm, type=pa.float64()),
+                    pa.array(best, type=pa.int64()),
+                ],
+                names=["vec_id", "v", "nrm", "cid"],
+            )
+
+    # materialized once: the cell fold and the report's id frame read it
+    # (the local analog of writing the assignment to a cid-bucketed
+    # table)
+    assigned = e.mapInArrow(
+        _assign, "vec_id long, v array<double>, nrm double, cid long"
+    ).localCheckpoint()
+
+    def _cell_topk(pdf):
+        import pandas as pd
+
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"neighbor_id": [], "rk": []}).astype(
+                {"neighbor_id": "int64", "rk": "int32"}
+            )
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        V = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+        nrm = pdf["nrm"].to_numpy()
+        acc = np.zeros((n, n))
+        for d in range(V.shape[1]):
+            col = V[:, d]
+            acc = acc + np.outer(col, col)
+        C = acc / np.outer(nrm, nrm)
+        k = min(HUBNESS_K, n - 1)
+        nbrs, rks = [], []
+        for i in range(n):
+            # row_number() over (ORDER BY cosine DESC, neighbor_id),
+            # self excluded, capped at HUBNESS_K
+            order = np.lexsort((ids, -C[i]))
+            order = order[ids[order] != ids[i]][:k]
+            nbrs.extend(ids[order])
+            rks.extend(range(1, len(order) + 1))
+        return pd.DataFrame(
+            {"neighbor_id": nbrs, "rk": np.array(rks, dtype="int32")}
         )
+
+    topk = assigned.groupBy("cid").applyInPandas(
+        _cell_topk, "neighbor_id long, rk int"
     )
-    # materialized once: both self-join sides read it (the local analog
-    # of writing the assignment to a cid-bucketed table)
-    assigned = (
-        e.join(best_cid, "vec_id")
-        .select("vec_id", "v", "nrm", "cid")
-        .localCheckpoint()
-    )
-    a = assigned.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qe"),
-        F.col("cid").alias("qc"),
-        F.col("nrm").alias("qn"),
-    )
-    b = assigned.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("v").alias("ce"),
-        F.col("cid").alias("nc"),
-        F.col("nrm").alias("cn"),
-    )
-    cos = dot_double(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
-    scored = a.join(
-        b,
-        (F.col("qc") == F.col("nc"))
-        & (F.col("query_id") != F.col("neighbor_id")),
-    ).select("query_id", "neighbor_id", cos.alias("cosine"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), "neighbor_id"
-    )
-    topk = scored.select(
-        "neighbor_id", F.row_number().over(w).alias("rk")
-    ).where(F.col("rk") <= HUBNESS_K)
     return _k_occurrence_report(assigned.select("vec_id"), topk, extra_cols)
 
 
@@ -2763,7 +2807,9 @@ def embed_hubness_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair space (see _hubness_ivf_cells). Output adds the nlist column
     so a reader sees which index produced the estimate."""
     t = load(spark, sf_dir)
-    n_vec = t.embeddings.count()
+    # footer/table-stats cardinality, not a count() job (r14 second
+    # pass — the embed_hubness dispatch already reads it this way)
+    n_vec = footer_row_count(spark, sf_dir, "embeddings")
     import math
 
     nlist = int(math.ceil(math.sqrt(n_vec)))
