@@ -1523,29 +1523,54 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
-    lhs = assigned.select(
-        F.col("vec_id").alias("earlier_id"),
-        F.col("v").alias("va"),
-        "cell",
-        F.col("nrm").alias("na"),
-    )
-    rhs = assigned.select(
-        "vec_id", F.col("v").alias("vb"), "cell", F.col("nrm").alias("nb")
-    )
-    cos = dot_double(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    cand = (
-        lhs.join(rhs, "cell")
-        .where(F.col("vec_id") > F.col("earlier_id"))
-        .select("vec_id", "earlier_id", cos.alias("cos"))
-        .where(F.col("cos") >= SEMDEDUP_TAU)
-    )
-    w_dup = Window.partitionBy("vec_id").orderBy(
-        F.col("cos").desc(), F.col("earlier_id")
-    )
-    dup = (
-        cand.withColumn("rn", F.row_number().over(w_dup))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "earlier_id", "cos")
+    # r14 second pass (guide §4.2, the dedup_embedding bucket recipe):
+    # the within-cell pair join + per-vector best-duplicate window run
+    # as ONE per-cell NumPy kernel — cosines accumulate per dimension
+    # (dot_double's exact left fold, multiplies commuted only; na*nb =
+    # outer(nrm, nrm)), the >= TAU cut and the (cos DESC, earlier_id)
+    # pick see bit-identical doubles, so the DuckDB oracle replay is
+    # unchanged (re-verified at 3 SFs). Pair space per cell is the
+    # identical within-cell all-pairs the equi-join materialized.
+    import numpy as np
+
+    def _cell_dups(pdf):
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {"vec_id": [], "earlier_id": [], "cos": []}
+        ).astype({"vec_id": "int64", "earlier_id": "int64", "cos": "float64"})
+        n = len(pdf)
+        if n < 2:
+            return empty
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        V = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+        nrm = pdf["nrm"].to_numpy()
+        acc = np.zeros((n, n))
+        for d in range(V.shape[1]):
+            col = V[:, d]
+            acc = acc + np.outer(col, col)
+        C = acc / np.outer(nrm, nrm)
+        out_v, out_e, out_c = [], [], []
+        for i in range(1, n):
+            # candidates = earlier ids with cos >= TAU; winner =
+            # row_number() over (ORDER BY cos DESC, earlier_id) == 1
+            row = C[i, :i]
+            ok = np.nonzero(row >= SEMDEDUP_TAU)[0]
+            if ok.size == 0:
+                continue
+            j = ok[np.lexsort((ids[ok], -row[ok]))[0]]
+            out_v.append(ids[i])
+            out_e.append(ids[j])
+            out_c.append(C[i, j])
+        if not out_v:
+            return empty
+        return pd.DataFrame(
+            {"vec_id": out_v, "earlier_id": out_e, "cos": out_c}
+        )
+
+    dup = assigned.groupBy("cell").applyInPandas(
+        _cell_dups, "vec_id long, earlier_id long, cos double"
     )
     return assigned.join(dup, "vec_id", "left").select(
         "vec_id",
