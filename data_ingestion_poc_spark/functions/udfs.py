@@ -136,25 +136,52 @@ def udtf_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _merge_asof_group(purchases: pd.DataFrame, clicks: pd.DataFrame) -> pd.DataFrame:
-    """applyInPandas cogroup function: pandas merge_asof within one
-    user's data. Receives BOTH sides of the cogroup for a single key."""
-    purchases = purchases.sort_values("ts")
-    clicks = clicks.sort_values("ts").rename(columns={"event_id": "click_id"})
-    if purchases.empty:
-        return purchases.assign(click_id=pd.Series(dtype="Int64"))[
-            ["event_id", "user_id", "click_id"]
-        ]
-    if clicks.empty:
-        out = purchases.assign(click_id=pd.array([None] * len(purchases), dtype="Int64"))
-    else:
-        out = pd.merge_asof(
-            purchases,
-            clicks[["ts", "click_id"]],
-            on="ts",
-            direction="backward",
-            allow_exact_matches=True,
+    """applyInPandas cogroup function: a backward as-of match within one
+    user's data. Receives BOTH sides of the cogroup for a single key.
+
+    r14 optimization round: the inner match is a NumPy searchsorted
+    instead of pd.merge_asof — the cogroup hands this function ONE
+    user's handful of rows, and merge_asof's per-call setup (index
+    checks, dtype validation, sort verification) dominated the whole
+    operator at ~1 ms x n_users (the r13 --all record read 11.9 s;
+    guide §4.3 heavyweight-per-call). searchsorted(right, ts, 'right')-1
+    is the same backward + allow_exact_matches rule: the LATEST click
+    with c.ts <= p.ts — identical output on per-user-unique timestamps
+    (the fixture guarantee the old NB documented), NaN/None where no
+    click precedes."""
+    import numpy as np
+
+    n = len(purchases)
+    if n == 0:
+        return pd.DataFrame(
+            {
+                "event_id": pd.Series(dtype="int64"),
+                "user_id": pd.Series(dtype="int64"),
+                "click_id": pd.Series(dtype="Int64"),
+            }
         )
-    return out[["event_id", "user_id", "click_id"]]
+    if clicks.empty:
+        click_id = pd.arrays.IntegerArray(
+            np.zeros(n, dtype="int64"), mask=np.ones(n, dtype=bool)
+        )
+    else:
+        c_ts = clicks["ts"].to_numpy()
+        c_order = np.argsort(c_ts, kind="stable")
+        c_ts = c_ts[c_order]
+        c_ids = clicks["event_id"].to_numpy()[c_order]
+        idx = np.searchsorted(c_ts, purchases["ts"].to_numpy(), side="right") - 1
+        click_id = pd.arrays.IntegerArray(
+            c_ids[np.maximum(idx, 0)].astype("int64"), mask=idx < 0
+        )
+    # output row order is free (every consumer canonicalizes rows), so
+    # the purchases frame is never sorted or copied
+    return pd.DataFrame(
+        {
+            "event_id": purchases["event_id"].to_numpy(),
+            "user_id": purchases["user_id"].to_numpy(),
+            "click_id": click_id,
+        }
+    )
 
 
 @register(
@@ -258,14 +285,28 @@ DECAY_UNIT = 1_000_000
 
 
 def _decay_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+    # r14 optimization round: numpy lexsort + preallocated output in
+    # place of pandas sort_values/reset_index/assign — the recursion
+    # itself must stay a Python loop (non-associative integer floor),
+    # but each per-user call's pandas setup dominated it (guide §4.3).
+    # int() per element keeps the arithmetic in unbounded Python ints,
+    # exactly as before.
+    import numpy as np
+
+    order = np.lexsort((pdf["event_id"].to_numpy(), pdf["ts"].to_numpy()))
+    v = pdf["v"].to_numpy()[order]
     s = 0
-    out = []
-    for v in pdf["v"]:
-        s = int(v) + (DECAY_NUM * s) // DECAY_DEN
-        out.append(s)
-    pdf["decay_units"] = out
-    return pdf[["event_id", "user_id", "decay_units"]]
+    out = np.empty(len(v), dtype="int64")
+    for i, x in enumerate(v):
+        s = int(x) + (DECAY_NUM * s) // DECAY_DEN
+        out[i] = s
+    return pd.DataFrame(
+        {
+            "event_id": pdf["event_id"].to_numpy()[order],
+            "user_id": pdf["user_id"].to_numpy()[order],
+            "decay_units": out,
+        }
+    )
 
 
 @register(
