@@ -52,6 +52,33 @@ def _both_directions(e0: DataFrame, with_w: bool = True) -> DataFrame:
         *[F.col(f"e.{c}").alias(c) for c in cols]
     )
 
+
+def _purchase_pairs(t) -> DataFrame:
+    """Aggregated (src, dst, w) customer->supplier purchase pairs — the
+    shared edge build of the whole graph family. r14 second pass: the
+    hash aggregate groups the INTEGER keys and the string node ids are
+    minted on the aggregated pair rows — the old spelling concatenated
+    per FACT row, so the 600k-row aggregate hashed/shuffled string
+    pairs instead of two bigints. Value-identical: (custkey, suppkey)
+    -> ('c'||custkey, 's'||suppkey) is a bijection, so the groups and
+    counts are the same."""
+    return (
+        t.lineitem.join(
+            t.orders, F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .select(
+            F.concat(
+                F.lit("c"), F.col("o_custkey").cast("string")
+            ).alias("src"),
+            F.concat(
+                F.lit("s"), F.col("l_suppkey").cast("string")
+            ).alias("dst"),
+            "w",
+        )
+    )
+
 _EDGES_SQL = """
     edges0 AS (
       SELECT 'c' || CAST(o.o_custkey AS VARCHAR)  AS src,
@@ -124,16 +151,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     with ranks checkpointed every few rounds to truncate lineage —
     dedup_clusters' localCheckpoint discipline."""
     t = load(spark, sf_dir)
-    e0 = (
-        t.lineitem.join(
-            t.orders, F.col("l_orderkey") == F.col("o_orderkey")
-        )
-        .groupBy(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
+    e0 = _purchase_pairs(t)
     # r14 optimization round (value-identical): edges hash-partition on
     # dst ONCE so every round's contribution groupBy(dst) reuses the
     # cached layout, and the node-sized frames (ranks, outsum, contrib)
@@ -467,16 +485,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (node, label) string pairs; integer weights make every wsum exact,
     so both engines pick identical winners every round."""
     t = load(spark, sf_dir)
-    e0 = (
-        t.lineitem.join(
-            t.orders, F.col("l_orderkey") == F.col("o_orderkey")
-        )
-        .groupBy(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
+    e0 = _purchase_pairs(t)
     # r14 optimization round (value-identical): single-pass edge build
     # (_both_directions), node-sized label frame broadcast into the
     # edge join, and a per-round localCheckpoint — each round references
@@ -582,16 +591,7 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     frontier-only (join against the rows whose dist changed) with
     periodic checkpoints — the dedup_clusters discipline."""
     t = load(spark, sf_dir)
-    e0 = (
-        t.lineitem.join(
-            t.orders, F.col("l_orderkey") == F.col("o_orderkey")
-        )
-        .groupBy(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
+    e0 = _purchase_pairs(t)
     # r14 optimization round (value-identical): single-pass edge build,
     # edges hash-partitioned on dst once (every round's relax groupBy
     # reuses it), node-sized dist/relax frames broadcast, and a
@@ -710,14 +710,7 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     and only the node-sized score frame shuffles. 2x cache for 4
     avoided edge-scale shuffles per run (2 rounds x 2 halves)."""
     t = load(spark, sf_dir)
-    e0 = (
-        t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
+    e0 = _purchase_pairs(t)
     # r14 optimization round: materialize the aggregated pair frame ONCE
     # before fanning out into the two partitionings — each e_by entry
     # referenced e0 independently, so the lineitem ⋈ orders + aggregate
@@ -841,14 +834,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     --all record measured this operator at 21.6 s, the checkpointed
     broadcast loop replays the identical peel in ~2 s)."""
     t = load(spark, sf_dir)
-    e0 = (
-        t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
+    e0 = _purchase_pairs(t)
     edges = (
         _both_directions(e0.select("src", "dst"), with_w=False)
         .repartition("src")
@@ -923,14 +909,7 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (order-free); the correlation is identical arithmetic both
     engines, floor-scaled."""
     t = load(spark, sf_dir)
-    e0 = (
-        t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
+    e0 = _purchase_pairs(t)
     # r14 optimization round: single-pass two-direction edge build,
     # localCheckpoint-materialized — `edges` has three consumers (the
     # degree count + both endpoint joins), each of which otherwise
@@ -1591,20 +1570,7 @@ def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     multigraphs; normalized-walk Katz is bounded by base * 8/7 at any
     scale)."""
     t = load(spark, sf_dir)
-    e0 = (
-        t.lineitem.join(
-            t.orders, F.col("l_orderkey") == F.col("o_orderkey")
-        )
-        .groupBy(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
-                "src"
-            ),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
-                "dst"
-            ),
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
+    e0 = _purchase_pairs(t)
     # r14 optimization round (value-identical): single-pass edge build,
     # edges hash-partitioned on dst once (every round's contribution
     # groupBy reuses the cached layout), node-sized rank/outsum/contrib
