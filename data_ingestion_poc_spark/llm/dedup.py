@@ -912,6 +912,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Spark and DuckDB then agree exactly, LSH misses included.
 _EMB_BANDS, _EMB_BITS, _EMB_DIM = 8, 4, 64
 
+#: Tile edge for the fused pair kernels (r15, VERDICT r14 item 2 /
+#: guide §5). The r14 kernels materialized one dense (n, n) cosine
+#: matrix per LSH bucket / IVF cell inside a single Python worker —
+#: bits-per-band bounds occupancy only RELATIVE to the corpus (N/16
+#: per 4-bit band), so at corpus scale the dense matrix is a Python
+#: worker OOM even though the pair SPACE is the contract. Tiling the
+#: accumulation into (tile x tile) blocks caps kernel memory at
+#: O(tile^2 + n*dim) while leaving every double bit-identical: each
+#: C[i, j] is still the same ((0+a0*b0)+a1*b1)+... per-dimension left
+#: fold, computed from the same operands in the same order — the tile
+#: boundary only changes WHICH (i, j) cells are resident together,
+#: never an element's fold. 2048^2 doubles = 32 MB resident per block.
+_PAIR_TILE = 2048
+
 
 def _emb_plane_signs(plane: int) -> list[float]:
     return [1.0 if _splitmix_bit(plane, i) else -1.0 for i in range(_EMB_DIM)]
@@ -1078,6 +1092,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         _band_keys,
         "vec_id long, embedding array<float>, band int, key int",
     )
+    # captured driver-side so the kernel closure carries the value (a
+    # module-global read inside the Python worker would be re-imported,
+    # not the session's — and tests shrink it to force multi-block runs)
+    tile = _PAIR_TILE
 
     def _bucket_pairs(pdf):
         import pandas as pd
@@ -1093,21 +1111,49 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             [np.asarray(x, dtype=np.float64) for x in pdf["embedding"]]
         )
         nsq = np.zeros(n)
-        acc = np.zeros((n, n))
         for d in range(V.shape[1]):
             col = V[:, d]
             nsq = nsq + col * col
-            acc = acc + np.outer(col, col)
         nrm = np.sqrt(nsq)
-        C = acc / np.outer(nrm, nrm)
-        iu, ju = np.triu_indices(n, k=1)
-        cos = C[iu, ju]
-        keep = cos >= 0.30
+        # zero-norm vectors would put NaN where the pre-r14 SQL plan
+        # ordered NaN largest — fail loudly instead of silently
+        # diverging from the oracle (r14 ADVICE).
+        assert nrm.min() > 0.0, "zero-norm embedding in LSH bucket"
+        # r15 (VERDICT r14 item 2): upper-triangle pairs in
+        # (_PAIR_TILE x _PAIR_TILE) blocks — same per-dimension fold
+        # per element, O(tile^2) resident instead of O(n^2).
+        out_a, out_b, out_c = [], [], []
+        for i0 in range(0, n, tile):
+            i1 = min(i0 + tile, n)
+            for j0 in range(i0, n, tile):
+                j1 = min(j0 + tile, n)
+                acc = np.zeros((i1 - i0, j1 - j0))
+                for d in range(V.shape[1]):
+                    col = V[:, d]
+                    acc = acc + np.outer(col[i0:i1], col[j0:j1])
+                C = acc / np.outer(nrm[i0:i1], nrm[j0:j1])
+                keep = C >= 0.30
+                if j0 == i0:
+                    # diagonal block: strict upper triangle only
+                    keep &= np.triu(
+                        np.ones(C.shape, dtype=bool), k=1
+                    )
+                bi, bj = np.nonzero(keep)
+                if bi.size:
+                    out_a.append(ids[i0 + bi])
+                    out_b.append(ids[j0 + bj])
+                    out_c.append(C[bi, bj])
+        if not out_a:
+            return pd.DataFrame(
+                {"vec_a": [], "vec_b": [], "cosine": []}
+            ).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
+            )
         return pd.DataFrame(
             {
-                "vec_a": ids[iu[keep]],
-                "vec_b": ids[ju[keep]],
-                "cosine": cos[keep],
+                "vec_a": np.concatenate(out_a),
+                "vec_b": np.concatenate(out_b),
+                "cosine": np.concatenate(out_c),
             }
         )
 
@@ -1533,6 +1579,8 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # identical within-cell all-pairs the equi-join materialized.
     import numpy as np
 
+    tile = _PAIR_TILE  # driver-side capture; see dedup_embedding_cosine
+
     def _cell_dups(pdf):
         import pandas as pd
 
@@ -1546,27 +1594,52 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         ids = pdf["vec_id"].to_numpy()
         V = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
         nrm = pdf["nrm"].to_numpy()
-        acc = np.zeros((n, n))
-        for d in range(V.shape[1]):
-            col = V[:, d]
-            acc = acc + np.outer(col, col)
-        C = acc / np.outer(nrm, nrm)
+        assert nrm.min() > 0.0, "zero-norm embedding in semantic cell"
+        # r15 (VERDICT r14 item 2): the dense (n, n) matrix becomes a
+        # tiled scan with a RUNNING best per row. Each C[i, j] keeps
+        # dot_double's per-dimension left fold (identical doubles); the
+        # winner rule — row_number() over (cos DESC, earlier_id ASC) —
+        # is replayed exactly because j-blocks are scanned in ascending
+        # id order and a later candidate replaces only on STRICTLY
+        # greater cos (equal cos keeps the earlier, smaller id).
         out_v, out_e, out_c = [], [], []
-        for i in range(1, n):
-            # candidates = earlier ids with cos >= TAU; winner =
-            # row_number() over (ORDER BY cos DESC, earlier_id) == 1
-            row = C[i, :i]
-            ok = np.nonzero(row >= SEMDEDUP_TAU)[0]
-            if ok.size == 0:
-                continue
-            j = ok[np.lexsort((ids[ok], -row[ok]))[0]]
-            out_v.append(ids[i])
-            out_e.append(ids[j])
-            out_c.append(C[i, j])
-        if not out_v:
+        for i0 in range(1, n, tile):
+            i1 = min(i0 + tile, n)
+            bi = i1 - i0
+            best_cos = np.full(bi, -np.inf)
+            best_id = np.zeros(bi, dtype=np.int64)
+            for j0 in range(0, i1, tile):
+                j1 = min(j0 + tile, i1)
+                acc = np.zeros((bi, j1 - j0))
+                for d in range(V.shape[1]):
+                    col = V[:, d]
+                    acc = acc + np.outer(col[i0:i1], col[j0:j1])
+                C = acc / np.outer(nrm[i0:i1], nrm[j0:j1])
+                # earlier-only: global j < global i, plus the TAU cut
+                gi = np.arange(i0, i1)[:, None]
+                gj = np.arange(j0, j1)[None, :]
+                C = np.where((gj < gi) & (C >= SEMDEDUP_TAU), C, -np.inf)
+                blk_arg = np.argmax(C, axis=1)
+                blk_max = C[np.arange(bi), blk_arg]
+                # within a block argmax's first-max IS the smallest id
+                # (ids ascending); across blocks strict > keeps ties on
+                # the earlier block's smaller id
+                take = blk_max > best_cos
+                best_cos[take] = blk_max[take]
+                best_id[take] = ids[j0 + blk_arg[take]]
+            hit = best_cos > -np.inf
+            out_v.append(ids[i0:i1][hit])
+            out_e.append(best_id[hit])
+            out_c.append(best_cos[hit])
+        out_v = np.concatenate(out_v) if out_v else np.array([], dtype=np.int64)
+        if out_v.size == 0:
             return empty
         return pd.DataFrame(
-            {"vec_id": out_v, "earlier_id": out_e, "cos": out_c}
+            {
+                "vec_id": out_v,
+                "earlier_id": np.concatenate(out_e),
+                "cos": np.concatenate(out_c),
+            }
         )
 
     dup = assigned.groupBy("cell").applyInPandas(

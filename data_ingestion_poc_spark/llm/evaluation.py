@@ -249,13 +249,26 @@ def dedup_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (full-pipeline DuckDB oracle re-verified at 3 SFs).
     a = a.withColumn("inva", 1.0 / F.sqrt(dot_double(F.col("ea"), F.col("ea"))))
     a_rows = a.collect()
-    a_ids = np.array([r.vec_a for r in a_rows], dtype=np.int64)
-    A = np.array([r.ea for r in a_rows], dtype=np.float64)
-    a_inv = np.array([r.inva for r in a_rows], dtype=np.float64)
+    # r15 (r14 ADVICE): the anchor matrix rides a TorrentBroadcast, not
+    # the function closure — anchors scale linearly with the corpus, and
+    # a closure is re-pickled per TASK while a broadcast ships once per
+    # executor. Same arrays, same arithmetic.
+    anchors_bc = spark.sparkContext.broadcast(
+        (
+            np.array([r.vec_a for r in a_rows], dtype=np.int64),
+            np.array([r.ea for r in a_rows], dtype=np.float64),
+            np.array([r.inva for r in a_rows], dtype=np.float64),
+        )
+    )
+    del a_rows
+    from .dedup import _PAIR_TILE
+
+    tile = _PAIR_TILE  # driver-side capture: the closure pickles it
 
     def _exact_pairs(batches):
         import pyarrow as pa
 
+        a_ids, A, a_inv = anchors_bc.value
         for batch in batches:
             n = batch.num_rows
             if n == 0:
@@ -268,24 +281,34 @@ def dedup_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             V = flat.reshape(n, -1)
             nsq = np.zeros(n)
-            acc = np.zeros((n, len(a_ids)))
             for d in range(V.shape[1]):
                 col = V[:, d]
                 nsq = nsq + col * col
-                acc = acc + col[:, None] * A[:, d][None, :]
             invb = 1.0 / np.sqrt(nsq)
-            cos = (acc * a_inv[None, :]) * invb[:, None]
             ids_b = batch.column("vec_b").to_numpy()
-            bi, ai = np.where(
-                (cos >= 0.30) & (a_ids[None, :] < ids_b[:, None])
-            )
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(a_ids[ai], type=pa.int64()),
-                    pa.array(ids_b[bi], type=pa.int64()),
-                ],
-                names=["vec_a", "vec_b"],
-            )
+            # r15 (VERDICT r14 item 2): the anchor axis scales with the
+            # corpus — tile it so the resident slab is (batch x tile),
+            # not (batch x anchors). Per-dimension fold per element is
+            # unchanged; every qualifying pair is emitted exactly once
+            # (blocks partition the anchor axis).
+            for a0 in range(0, len(a_ids), tile):
+                a1 = min(a0 + tile, len(a_ids))
+                acc = np.zeros((n, a1 - a0))
+                for d in range(V.shape[1]):
+                    acc = acc + V[:, d][:, None] * A[a0:a1, d][None, :]
+                cos = (acc * a_inv[None, a0:a1]) * invb[:, None]
+                bi, ai = np.where(
+                    (cos >= 0.30) & (a_ids[None, a0:a1] < ids_b[:, None])
+                )
+                if bi.size == 0:
+                    continue
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(a_ids[a0 + ai], type=pa.int64()),
+                        pa.array(ids_b[bi], type=pa.int64()),
+                    ],
+                    names=["vec_a", "vec_b"],
+                )
 
     exact = b.mapInArrow(_exact_pairs, "vec_a long, vec_b long")
     lsh = (

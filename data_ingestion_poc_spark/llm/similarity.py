@@ -18,9 +18,64 @@ import math
 
 from ..catalog import footer_row_count, load
 from ..registry import register
-from .dedup import _splitmix_bit, dot_double  # noqa: F401
+from .dedup import _PAIR_TILE, _splitmix_bit, dot_double  # noqa: F401
 
 _LOG = logging.getLogger(__name__)
+
+
+def _topk_ids_tiled(ids, V, nrm, k, tile=None):
+    """Per-row top-k neighbor ids by (cosine DESC, id ASC), self
+    excluded — the row_number() window the r14 cell kernels replaced —
+    computed in (_PAIR_TILE x _PAIR_TILE) blocks so kernel memory is
+    O(tile^2), not O(cell^2) (r15, VERDICT r14 item 2: cell occupancy
+    grows with the corpus, the dense matrix was a Python-worker OOM at
+    scale). Bit-identical to the r14 dense kernel: each cosine keeps
+    dot_double's per-dimension left fold, and the running top-(k+1)
+    buffer merge is exact under the TOTAL order (cos DESC, id ASC) —
+    ids are unique, so top-m(top-m(S) ∪ B) = top-m(S ∪ B). One buffer
+    slot is reserved for self, which is dropped before the cut exactly
+    as the dense kernel's post-sort id filter did.
+
+    Returns a list of np.int64 arrays, one per row of `ids`, each in
+    rank order. Asserts nrm > 0: a zero-norm vector's NaN cosines would
+    silently rank LAST here while the SQL window the kernel replays
+    ranks NaN first (r14 ADVICE) — fail loudly instead."""
+    import numpy as np
+
+    n = len(ids)
+    assert nrm.min() > 0.0, "zero-norm embedding in cell kernel"
+    if tile is None:
+        tile = _PAIR_TILE
+    m = k + 1  # one slot for self
+    sentinel = np.iinfo(np.int64).max
+    out = []
+    for i0 in range(0, n, tile):
+        i1 = min(i0 + tile, n)
+        bi = i1 - i0
+        buf_cos = np.full((bi, m), -np.inf)
+        buf_ids = np.full((bi, m), sentinel, dtype=np.int64)
+        for j0 in range(0, n, tile):
+            j1 = min(j0 + tile, n)
+            acc = np.zeros((bi, j1 - j0))
+            for d in range(V.shape[1]):
+                col = V[:, d]
+                acc = acc + np.outer(col[i0:i1], col[j0:j1])
+            C = acc / np.outer(nrm[i0:i1], nrm[j0:j1])
+            cand_cos = np.concatenate([buf_cos, C], axis=1)
+            cand_ids = np.concatenate(
+                [buf_ids, np.broadcast_to(ids[j0:j1], (bi, j1 - j0))],
+                axis=1,
+            )
+            for r in range(bi):
+                sel = np.lexsort((cand_ids[r], -cand_cos[r]))[:m]
+                buf_cos[r] = cand_cos[r][sel]
+                buf_ids[r] = cand_ids[r][sel]
+        for r in range(bi):
+            row = buf_ids[r][
+                (buf_ids[r] != ids[i0 + r]) & (buf_cos[r] > -np.inf)
+            ]
+            out.append(row[:k])
+    return out
 
 _KNN_ORACLE = """
     WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
@@ -2539,6 +2594,7 @@ def _hubness_ivf_cells(t, n_vec: int, extra_cols: list) -> DataFrame:
     cids_np = np.array([r.cid for r in seed_rows], dtype=np.int64)
     cv_np = np.array([r.cv for r in seed_rows], dtype=np.float64)
     cnrm_np = np.array([r.cnrm for r in seed_rows], dtype=np.float64)
+    tile = _PAIR_TILE  # driver-side capture: closures pickle the value
 
     def _assign(batches):
         import pyarrow as pa
@@ -2551,15 +2607,30 @@ def _hubness_ivf_cells(t, n_vec: int, extra_cols: list) -> DataFrame:
             flat = vcol.flatten().to_numpy(zero_copy_only=False)
             V = flat.reshape(nb, -1)
             nsq = np.zeros(nb)
-            acc = np.zeros((nb, len(cids_np)))
             for d in range(V.shape[1]):
                 col = V[:, d]
                 nsq = nsq + col * col
-                acc = acc + col[:, None] * cv_np[:, d][None, :]
             nrm = np.sqrt(nsq)
-            cs = acc / (nrm[:, None] * cnrm_np[None, :])
-            # first-max argmax == max_by((cs, -cid)) with cid ascending
-            best = cids_np[np.argmax(cs, axis=1)]
+            assert nrm.min() > 0.0, "zero-norm embedding in assign"
+            # first-max argmax == max_by((cs, -cid)) with cid ascending.
+            # r15: the centroid axis is nlist ~ sqrt(N), so the dense
+            # (batch x nlist) slab is tiled with a running argmax —
+            # within a block first-max picks the smallest cid, across
+            # ascending-cid blocks a STRICTLY greater cs replaces, so
+            # ties keep the earlier (smaller) cid exactly as before.
+            best_cs = np.full(nb, -np.inf)
+            best = np.zeros(nb, dtype=np.int64)
+            for c0 in range(0, len(cids_np), tile):
+                c1 = min(c0 + tile, len(cids_np))
+                acc = np.zeros((nb, c1 - c0))
+                for d in range(V.shape[1]):
+                    acc = acc + V[:, d][:, None] * cv_np[c0:c1, d][None, :]
+                cs = acc / (nrm[:, None] * cnrm_np[None, c0:c1])
+                blk_arg = np.argmax(cs, axis=1)
+                blk_max = cs[np.arange(nb), blk_arg]
+                take = blk_max > best_cs
+                best_cs[take] = blk_max[take]
+                best[take] = cids_np[c0 + blk_arg[take]]
             yield pa.RecordBatch.from_arrays(
                 [
                     batch.column("vec_id"),
@@ -2589,20 +2660,14 @@ def _hubness_ivf_cells(t, n_vec: int, extra_cols: list) -> DataFrame:
         ids = pdf["vec_id"].to_numpy()
         V = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
         nrm = pdf["nrm"].to_numpy()
-        acc = np.zeros((n, n))
-        for d in range(V.shape[1]):
-            col = V[:, d]
-            acc = acc + np.outer(col, col)
-        C = acc / np.outer(nrm, nrm)
+        # row_number() over (ORDER BY cosine DESC, neighbor_id), self
+        # excluded, capped at HUBNESS_K — r15: tiled top-k (see
+        # _topk_ids_tiled) instead of the dense (n, n) matrix.
         k = min(HUBNESS_K, n - 1)
         nbrs, rks = [], []
-        for i in range(n):
-            # row_number() over (ORDER BY cosine DESC, neighbor_id),
-            # self excluded, capped at HUBNESS_K
-            order = np.lexsort((ids, -C[i]))
-            order = order[ids[order] != ids[i]][:k]
-            nbrs.extend(ids[order])
-            rks.extend(range(1, len(order) + 1))
+        for row in _topk_ids_tiled(ids, V, nrm, k, tile):
+            nbrs.extend(row)
+            rks.extend(range(1, len(row) + 1))
         return pd.DataFrame(
             {"neighbor_id": nbrs, "rk": np.array(rks, dtype="int32")}
         )
@@ -3358,6 +3423,7 @@ def _nsw_graph(t, seeds: DataFrame | None = None) -> DataFrame:
     sids_np = np.array([r.sid for r in seed_rows], dtype=np.int64)
     sv_np = np.array([r.sv for r in seed_rows], dtype=np.float64)
     snrm_np = np.array([r.snrm for r in seed_rows], dtype=np.float64)
+    tile = _PAIR_TILE  # driver-side capture: closures pickle the value
 
     def _assign(batches):
         import pyarrow as pa
@@ -3380,15 +3446,29 @@ def _nsw_graph(t, seeds: DataFrame | None = None) -> DataFrame:
             V = flat.reshape(n, dim)
             # per-dim left folds: bit-identical to dot_double
             nsq = np.zeros(n)
-            acc = np.zeros((n, len(sids_np)))
             for d in range(dim):
                 col = V[:, d]
                 nsq = nsq + col * col
-                acc = acc + col[:, None] * sv_np[:, d][None, :]
             nrm = np.sqrt(nsq)
-            cs = acc / (nrm[:, None] * snrm_np[None, :])
-            # first-max argmax == max_by((cs, -sid)) with sid ascending
-            best = sids_np[np.argmax(cs, axis=1)]
+            assert nrm.min() > 0.0, "zero-norm embedding in assign"
+            # first-max argmax == max_by((cs, -sid)) with sid ascending.
+            # r15: seed axis (sqrt(N)) tiled with a running argmax —
+            # within a block first-max picks the smallest sid, across
+            # ascending-sid blocks strict > keeps ties on the earlier
+            # (smaller) sid, exactly the dense argmax's choice.
+            best_cs = np.full(n, -np.inf)
+            best = np.zeros(n, dtype=np.int64)
+            for s0 in range(0, len(sids_np), tile):
+                s1 = min(s0 + tile, len(sids_np))
+                acc = np.zeros((n, s1 - s0))
+                for d in range(dim):
+                    acc = acc + V[:, d][:, None] * sv_np[s0:s1, d][None, :]
+                cs = acc / (nrm[:, None] * snrm_np[None, s0:s1])
+                blk_arg = np.argmax(cs, axis=1)
+                blk_max = cs[np.arange(n), blk_arg]
+                take = blk_max > best_cs
+                best_cs[take] = blk_max[take]
+                best[take] = sids_np[s0 + blk_arg[take]]
             yield pa.RecordBatch.from_arrays(
                 [
                     batch.column("vec_id"),
@@ -3412,19 +3492,13 @@ def _nsw_graph(t, seeds: DataFrame | None = None) -> DataFrame:
         ids = pdf["vec_id"].to_numpy()
         V = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
         nrm = pdf["nrm"].to_numpy()
-        acc = np.zeros((n, n))
-        for d in range(V.shape[1]):
-            col = V[:, d]
-            acc = acc + np.outer(col, col)
-        C = acc / np.outer(nrm, nrm)
+        # row_number() over (ORDER BY c DESC, dst ASC), self excluded —
+        # r15: tiled top-k (see _topk_ids_tiled), O(tile^2) resident.
         src, dst = [], []
         k = min(NSW_DEG, n - 1)
-        for i in range(n):
-            # row_number() over (ORDER BY c DESC, dst ASC), self excluded
-            order = np.lexsort((ids, -C[i]))
-            order = order[ids[order] != ids[i]][:k]
-            src.extend([ids[i]] * len(order))
-            dst.extend(ids[order])
+        for i, row in enumerate(_topk_ids_tiled(ids, V, nrm, k, tile)):
+            src.extend([ids[i]] * len(row))
+            dst.extend(row)
         return pd.DataFrame({"src": src, "dst": dst}).astype("int64")
 
     glocal = asg.groupBy("sid").applyInPandas(_cell_knn, "src long, dst long")

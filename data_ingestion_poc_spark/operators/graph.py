@@ -25,13 +25,57 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..catalog import load
+from ..catalog import footer_row_count, load
 from ..registry import register
 
 #: Total rank mass in integer micro-units, and the damping factor 0.85
 #: expressed as the exact rational 17/20 so both engines floor-divide.
 TOTAL_MASS = 1_000_000_000_000
 PAGERANK_ITERS = 3
+
+#: Broadcast cap for the NODE-SIZED per-round frames of the iterative
+#: family (ranks / labels / dist / alive / outsum / contrib / scores).
+#: These frames scale linearly with SF (nodes = customers + suppliers),
+#: so an unconditional F.broadcast hint — r14's recipe — asserts the
+#: guide's §3.1 fits-in-memory condition instead of checking it: at
+#: 100 TB the hint forces a multi-billion-row broadcast build that OOMs
+#: the driver (r14 VERDICT item 1). _node_bcast checks the condition
+#: against table statistics: 16M nodes x ~(id string + long) stays in
+#: the guide's "few hundred MB is fine" band, far under the 8 GB /
+#: 512M-row hard cap. Env knob DIP_GRAPH_BCAST_MAX_NODES parameterises
+#: the cluster-vs-local trade (set 0 to force the shuffle path — the
+#: oracle axis run proving both paths emit identical rows).
+GRAPH_BCAST_MAX_NODES = 16_000_000
+
+
+def _node_bcast(spark: SparkSession, sf_dir: str):
+    """Size-dispatched broadcast hint for node-sized iterative frames.
+
+    Returns ``F.broadcast`` when the node-set cardinality BOUND
+    (customer + supplier row counts from parquet footers — the local
+    stand-in for metastore table stats, a driver-side metadata read,
+    no job; catalog.footer_row_count) fits GRAPH_BCAST_MAX_NODES, else
+    the identity — the join then falls back to the partitioned-edges
+    shuffle plan, whose per-round cost the pre-r14 records measured and
+    which never builds an over-size hash relation. The sf0.1 plans are
+    unchanged (16k nodes << cap: broadcast still picked).
+
+    Synthetic test fixtures plant only orders/lineitem, so a missing
+    base table counts 0 toward the bound: no table ⇒ no rows from it."""
+    import os
+
+    cap = int(
+        os.environ.get("DIP_GRAPH_BCAST_MAX_NODES", GRAPH_BCAST_MAX_NODES)
+    )
+    bound = 0
+    for name in ("customer", "supplier"):
+        try:
+            bound += footer_row_count(spark, sf_dir, name)
+        except Exception:
+            pass
+    if bound <= cap:
+        return F.broadcast
+    return lambda df: df
 
 
 def _both_directions(e0: DataFrame, with_w: bool = True) -> DataFrame:
@@ -160,6 +204,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ZERO per-round exchanges of edge rows (the r13 driver measured
     # this loop at 5.5-6.9 s with two shuffle joins per round; the
     # broadcast shape replays the identical integer arithmetic).
+    # r15: the broadcast hints are size-dispatched off table stats
+    # (_node_bcast) — ranks/outsum/contrib are node-sized, i.e. they
+    # scale with SF, and a forced hint at 100 TB is a driver OOM.
     # r14 optimization round, second pass: outsum (node-sized) is
     # persisted — broadcast(outsum) otherwise re-executed its groupBy
     # over the edge cache per round (one shuffle + aggregate x
@@ -168,6 +215,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # edge materialization ~4 s slower (an edge-sized sort / a
     # broadcast build racing the cache) for the same warm per-round
     # plan. Same integers either way.
+    bc = _node_bcast(spark, sf_dir)
     edges = _both_directions(e0).repartition("dst").persist()
     outsum = (
         edges.groupBy("src").agg(F.sum("w").alias("wsum")).persist()
@@ -180,8 +228,8 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for _ in range(PAGERANK_ITERS):
         contrib = (
-            edges.join(F.broadcast(ranks), edges.src == ranks.node)
-            .join(F.broadcast(outsum), "src")
+            edges.join(bc(ranks), edges.src == ranks.node)
+            .join(bc(outsum), "src")
             .select(
                 F.col("dst").alias("node"),
                 F.expr("(rank_units * w) div wsum").alias("contrib"),
@@ -189,7 +237,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.sum("contrib").alias("inflow"))
         )
-        ranks = nodes.join(F.broadcast(contrib), "node", "left").select(
+        ranks = nodes.join(bc(contrib), "node", "left").select(
             "node",
             (
                 F.lit(base)
@@ -492,6 +540,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the previous labels TWICE (edge join + self-vote union), so the
     # lazy lineage re-executed earlier rounds 2^k times (the r13 --all
     # record read 9.5 s; the checkpointed loop replays identically).
+    bc = _node_bcast(spark, sf_dir)  # labels are node-sized: SF-scaling
     edges = _both_directions(e0).repartition("dst").persist()
     labels = (
         edges.select(F.col("src").alias("node"))
@@ -504,7 +553,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for _ in range(LABELPROP_ITERS):
         cand = (
-            edges.join(F.broadcast(labels), edges.src == labels.node)
+            edges.join(bc(labels), edges.src == labels.node)
             .select(F.col("dst").alias("node"), "label", "w")
             .unionByName(
                 labels.select(
@@ -599,6 +648,7 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dist frame TWICE (relax join + carry-forward left join), so the
     # lazy lineage re-executed earlier rounds 2^k times (r13 --all:
     # 9.4 s; the checkpointed loop relaxes identically).
+    bc = _node_bcast(spark, sf_dir)  # dist/relax are node-sized
     edges = (
         _both_directions(e0, with_w=False).repartition("dst").persist()
     )
@@ -608,13 +658,13 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     for _ in range(BFS_ROUNDS):
         relax = (
-            edges.join(F.broadcast(dist), edges.src == dist.node)
+            edges.join(bc(dist), edges.src == dist.node)
             .groupBy(F.col("dst").alias("rnode"))
             .agg(F.min(F.col("dist") + 1).alias("nd"))
         )
         dist = (
-            nodes.join(F.broadcast(dist), "node", "left")
-            .join(F.broadcast(relax), F.col("node") == F.col("rnode"), "left")
+            nodes.join(bc(dist), "node", "left")
+            .join(bc(relax), F.col("node") == F.col("rnode"), "left")
             .select(
                 "node",
                 F.least(
@@ -717,6 +767,7 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subtree executed twice (value-identical; the two cached layouts
     # and every half-round join are unchanged).
     e0 = e0.localCheckpoint()
+    bc = _node_bcast(spark, sf_dir)  # score frames are node-sized
     e_by = {
         "src": e0.repartition("src").persist(),
         "dst": e0.repartition("dst").persist(),
@@ -729,7 +780,7 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         # replays the whole upstream lineage — 42s -> ~8s at sf0.01.
         raw = (
             e_by[edge_key]
-            .join(F.broadcast(scores), F.col(edge_key) == F.col("node"))
+            .join(bc(scores), F.col(edge_key) == F.col("node"))
             .groupBy(F.col(group_key).alias("gnode"))
             .agg(F.sum(F.col("w") * F.col("units")).alias("raw"))
             .persist()
@@ -835,6 +886,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast loop replays the identical peel in ~2 s)."""
     t = load(spark, sf_dir)
     e0 = _purchase_pairs(t)
+    bc = _node_bcast(spark, sf_dir)  # the survivor set starts node-sized
     edges = (
         _both_directions(e0.select("src", "dst"), with_w=False)
         .repartition("src")
@@ -843,15 +895,15 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     alive = edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
     for _ in range(KCORE_ROUNDS):
         deg = (
-            edges.join(F.broadcast(alive.withColumnRenamed("node", "src")), "src", "semi")
-            .join(F.broadcast(alive.withColumnRenamed("node", "dst")), "dst", "semi")
+            edges.join(bc(alive.withColumnRenamed("node", "src")), "src", "semi")
+            .join(bc(alive.withColumnRenamed("node", "dst")), "dst", "semi")
             .groupBy(F.col("src").alias("node"))
             .agg(F.count(F.lit(1)).alias("deg"))
         )
         alive = deg.where(F.col("deg") >= KCORE_K).select("node").localCheckpoint()
     out = (
-        edges.join(F.broadcast(alive.withColumnRenamed("node", "src")), "src", "semi")
-        .join(F.broadcast(alive.withColumnRenamed("node", "dst")), "dst", "semi")
+        edges.join(bc(alive.withColumnRenamed("node", "src")), "src", "semi")
+        .join(bc(alive.withColumnRenamed("node", "dst")), "dst", "semi")
         .groupBy(F.col("src").alias("node"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
         .where(F.col("core_degree") >= KCORE_K)
@@ -1576,6 +1628,7 @@ def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # groupBy reuses the cached layout), node-sized rank/outsum/contrib
     # frames broadcast into the edge-scale joins — the graph_pagerank
     # recipe applied to its Katz sibling.
+    bc = _node_bcast(spark, sf_dir)  # ranks/outsum/contrib: node-sized
     edges = _both_directions(e0).repartition("dst").persist()
     # r14 second pass: outsum persisted — its groupBy over the edge
     # cache otherwise re-executes inside a broadcast build every round
@@ -1589,8 +1642,8 @@ def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for _ in range(KATZ_ITERS):
         contrib = (
-            edges.join(F.broadcast(ranks), edges.src == ranks.node)
-            .join(F.broadcast(outsum), "src")
+            edges.join(bc(ranks), edges.src == ranks.node)
+            .join(bc(outsum), "src")
             .select(
                 F.col("dst").alias("node"),
                 F.expr("(ku * w) div (8 * wsum)").alias("contrib"),
@@ -1598,7 +1651,7 @@ def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.sum("contrib").alias("inflow"))
         )
-        ranks = nodes.join(F.broadcast(contrib), "node", "left").select(
+        ranks = nodes.join(bc(contrib), "node", "left").select(
             "node",
             (
                 F.lit(KATZ_BASE) + F.coalesce("inflow", F.lit(0))
