@@ -109,6 +109,34 @@ def footer_row_count(spark: SparkSession, sf_dir: str, name: str) -> int:
         return table(spark, sf_dir, name).count()
 
 
+def fanout_repartition(df: DataFrame, par: int) -> DataFrame:
+    """Round-robin repartition before heavy per-row work, SKIPPED when
+    the plan already provides >= par partitions (r15, VERDICT r14
+    item 3 / guide §2.4 "make partitioning scale-adaptive").
+
+    The r14 rounds spread per-row-heavy stages (HOF folds, hash
+    fan-outs, n-gram explodes) with an unconditional ``repartition(par)``
+    because every local fixture table is ONE parquet row group — a
+    single scan task otherwise runs the whole stage on 1 of 32 cores.
+    But ``repartition(N)`` is always a full round-robin Exchange of
+    every row, and at 100 TB the same input arrives in thousands of
+    scan splits: the unconditional call would both shuffle every row
+    for nothing AND CAP the stage's parallelism at the conf value
+    (200-default cluster => 500 GB partitions from a 100 TB input).
+    This helper asks the compiled physical plan for its partition count
+    (driver-side metadata, no job) and no-ops when the source is
+    already at least ``par``-way parallel, so the sf0.1 plans keep the
+    exact Exchange the r14 baselines measured while a pre-split input
+    keeps its natural layout."""
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        n = 0
+    if n >= par:
+        return df
+    return df.repartition(par)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Expose every table as a temp view for spark.sql() queries."""
     for name in TABLES:

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..catalog import load
+from ..catalog import fanout_repartition, load
 from ..registry import register
 from .dedup import (
     _CLUSTERS_ORACLE,
@@ -204,7 +204,7 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide and this is the standard unsplittable-input spread."""
     t = load(spark, sf_dir)
     par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    t_documents = t.documents.repartition(par)
+    t_documents = fanout_repartition(t.documents, par)
     sh = t_documents.select(
         "doc_id",
         F.explode(
@@ -819,7 +819,7 @@ def corpus_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load(spark, sf_dir)
     par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     sh = (
-        t.documents.repartition(par)
+        fanout_repartition(t.documents, par)
         .select(
             "doc_id",
             F.explode(

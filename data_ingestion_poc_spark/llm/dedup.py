@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 from pyspark.storagelevel import StorageLevel
 
-from ..catalog import load
+from ..catalog import fanout_repartition, load
 from ..registry import register
 
 
@@ -371,9 +371,12 @@ def uncapped_shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixture is one parquet split, so the shingling otherwise runs
     # inside the single scan task (the _shingled_persisted note).
     par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    docs = t.documents.select(
-        "doc_id", F.split(F.lower("text"), " ").alias("words")
-    ).repartition(par)
+    docs = fanout_repartition(
+        t.documents.select(
+            "doc_id", F.split(F.lower("text"), " ").alias("words")
+        ),
+        par,
+    )
     return docs.select(
         "doc_id", F.explode(shingle_array(F.col("words"), 3)).alias("shingle")
     ).dropDuplicates(["doc_id", "shingle"])
@@ -410,7 +413,7 @@ def _shingled_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     docs = t.documents.select("doc_id", F.split(F.lower("text"), " ").alias("words"))
     shingled = (
-        docs.repartition(par)
+        fanout_repartition(docs, par)
         .select(
             "doc_id",
             F.array_distinct(shingle_array(F.col("words"), 3)).alias("shingles"),
@@ -1041,7 +1044,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load(spark, sf_dir)
     par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    emb = t.embeddings.select("vec_id", "embedding").repartition(par)
+    emb = fanout_repartition(t.embeddings.select("vec_id", "embedding"), par)
     # Hyperplane sign matrix, (dim x planes) — the identical literals
     # _emb_band_key_col bakes into the SQL fold.
     H = np.array(
@@ -1502,9 +1505,12 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosines with 3x fewer interpreted-HOF folds)."""
     t = load(spark, sf_dir)
     par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    emb = t.embeddings.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    ).repartition(par)
+    emb = fanout_repartition(
+        t.embeddings.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        ),
+        par,
+    )
     # k = ceil(N / CELL_ROWS); k1 = ceil(sqrt(k)) coarse seeds; k2 =
     # ceil(k/k1) sub-seeds per coarse cell. Seeds are smallest-id
     # vectors, selected as vec_id < k1 (this fixture's ids are dense
@@ -2484,7 +2490,7 @@ def dedup_shingle_df_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # uncapped_shingle_index convention)
     par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     sh = (
-        t.documents.repartition(par)
+        fanout_repartition(t.documents, par)
         .select(
             "doc_id", F.explode(shingle_array(words, 3)).alias("shingle")
         )

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import fanout_repartition, load
 from ..registry import register
 from .dedup import dedup_minhash
 from .similarity import sim_search_ann, sim_search_ann_multiprobe, sim_search_knn
@@ -233,7 +233,7 @@ def dedup_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # anchors x corpus fold stream otherwise evaluates inside the single
     # scan task (1 of 32 cores; the r13 --all record read 10.3 s here).
     par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    b = emb.repartition(par).select(
+    b = fanout_repartition(emb, par).select(
         F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
     )
     # cosine via ONE fold per pair: per-vector inverse norms are computed
@@ -1005,7 +1005,7 @@ def dedup_semantic_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t.embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    lhs = emb.repartition(par).select(
+    lhs = fanout_repartition(emb, par).select(
         F.col("vec_id").alias("ia"),
         F.col("v").alias("va"),
         F.sqrt(dot(F.col("v"), F.col("v"))).alias("na"),

@@ -16,7 +16,7 @@ from pyspark.sql.window import Window
 import logging
 import math
 
-from ..catalog import footer_row_count, load
+from ..catalog import fanout_repartition, footer_row_count, load
 from ..registry import register
 from .dedup import _PAIR_TILE, _splitmix_bit, dot_double  # noqa: F401
 
@@ -2101,7 +2101,7 @@ def embed_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("v2", dot_double(F.col("v"), F.col("v")))
         .localCheckpoint()
     )
-    a = sampled.repartition(par).alias("a")
+    a = fanout_repartition(sampled, par).alias("a")
     b = sampled.alias("b")
     dist = F.sqrt(
         F.col("a.v2")
@@ -2509,7 +2509,7 @@ def _hubness_bruteforce(t) -> DataFrame:
     # ~all of it this serial stage).
     spark = t.embeddings.sparkSession
     par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    a = e.repartition(par).select(
+    a = fanout_repartition(e, par).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
         F.col("nrm").alias("qn"),

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import fanout_repartition, load
 from ..registry import register
 from .dedup import shingle_array
 
@@ -193,7 +193,7 @@ def dedup_substring_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     # df-capped index, which both self-join sides read (the explode +
     # df-cap window otherwise executed twice).
     par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    grams = t.documents.repartition(par).select(
+    grams = fanout_repartition(t.documents, par).select(
         "doc_id",
         F.posexplode(shingle_array(words, SPAN_K)).alias("pos0", "gram"),
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
@@ -399,13 +399,12 @@ def _bpe_learn(spark: SparkSession, sf_dir: str):
       stage instead (see text_bpe_encode's docstring)."""
     t = load(spark, sf_dir)
     par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    toks = (
+    toks = fanout_repartition(
         t.documents.select(
             "doc_id", F.split(F.lower("text"), " ").alias("tokens")
-        )
-        .repartition(par)
-        .persist()
-    )
+        ),
+        par,
+    ).persist()
     # r14 second pass: persist instead of localCheckpoint per round —
     # the round's pair-count job materializes the freshly-merged cache
     # as a side effect, so each round costs ONE job instead of two

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..catalog import load
+from ..catalog import fanout_repartition, load
 from ..registry import register
 
 
@@ -745,7 +745,7 @@ def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single scan task. The exact-percentile FINAL aggregate remains a
     # single task by construction (the documented audit-scale shape).
     par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    li = t.lineitem.select("l_extendedprice").repartition(par)
+    li = fanout_repartition(t.lineitem.select("l_extendedprice"), par)
     probs = ", ".join(str(p) for p in _EQUIDEPTH_PROBS)
     bounds = li.agg(
         F.transform(
@@ -845,9 +845,10 @@ def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows x CM_DEPTH md5 bucket hashes otherwise all evaluate inside
     # the single scan task (1 of 32 cores; r13 --all read 7.6 s).
     par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    keys = t.lineitem.select(
-        F.col("l_suppkey").cast("string").alias("k")
-    ).repartition(par)
+    keys = fanout_repartition(
+        t.lineitem.select(F.col("l_suppkey").cast("string").alias("k")),
+        par,
+    )
     rows = keys.select(
         "k", F.explode(F.array(*[F.lit(r) for r in range(CM_DEPTH)])).alias("r")
     )
@@ -1176,10 +1177,12 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the map-side-combinable aggregate is unchanged.
     par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     s = (
-        t.lineitem.select(
-            "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"
+        fanout_repartition(
+            t.lineitem.select(
+                "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"
+            ),
+            par,
         )
-        .repartition(par)
         .groupBy("l_returnflag")
         .agg(*aggs)
     )

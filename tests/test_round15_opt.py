@@ -119,6 +119,25 @@ def test_graph_bcast_shuffle_path_emits_identical_rows(spark, monkeypatch):
         assert shuffled == base, name
 
 
+def test_fanout_repartition_noops_on_presplit_input(spark):
+    """VERDICT r14 item 3 'done' axis: the scale-adaptive helper must
+    not add an Exchange when the input already has >= par partitions
+    (the 100 TB arrival shape), and must keep the r14 round-robin
+    spread for the single-split local fixture shape."""
+    from data_ingestion_poc_spark.catalog import fanout_repartition
+
+    wide = spark.range(1000).repartition(64)
+    out = fanout_repartition(wide, 32)
+    assert out is wide  # no new plan node at all
+    assert out.rdd.getNumPartitions() == 64
+
+    narrow = spark.range(1000, numPartitions=1)
+    out2 = fanout_repartition(narrow, 32)
+    assert out2 is not narrow
+    assert out2.rdd.getNumPartitions() == 32
+    assert "Exchange" in out2._jdf.queryExecution().executedPlan().toString()
+
+
 def test_node_bcast_dispatches_on_table_stats(spark):
     """The hint is F.broadcast below the cap and the identity above it —
     the §3.1 fits-in-memory condition is CHECKED, not asserted."""
