@@ -137,18 +137,24 @@ def udtf_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _merge_asof_group(purchases: pd.DataFrame, clicks: pd.DataFrame) -> pd.DataFrame:
     """applyInPandas cogroup function: a backward as-of match within one
-    user's data. Receives BOTH sides of the cogroup for a single key.
+    BUCKET of users (r15 — the cogroup key is a hash bucket, not a
+    single user; see udf_cogrouped's docstring for why).
 
-    r14 optimization round: the inner match is a NumPy searchsorted
-    instead of pd.merge_asof — the cogroup hands this function ONE
-    user's handful of rows, and merge_asof's per-call setup (index
-    checks, dtype validation, sort verification) dominated the whole
-    operator at ~1 ms x n_users (the r13 --all record read 11.9 s;
-    guide §4.3 heavyweight-per-call). searchsorted(right, ts, 'right')-1
-    is the same backward + allow_exact_matches rule: the LATEST click
-    with c.ts <= p.ts — identical output on per-user-unique timestamps
-    (the fixture guarantee the old NB documented), NaN/None where no
-    click precedes."""
+    r14 made the inner match a NumPy searchsorted instead of
+    pd.merge_asof (merge_asof's ~1 ms per-call setup x n_users
+    dominated; guide §4.3). r15 removes the remaining per-USER cost —
+    one Python invocation plus two pandas frames per user — by
+    regrouping MANY users inside one kernel call: both sides are
+    merged into a single (user, ts, kind) lexsort with clicks ordered
+    BEFORE purchases at equal ts (the allow_exact_matches rule), and
+    the latest preceding click is a running maximum-accumulate of
+    click positions, validated against the user of the row it points
+    at (a carried-over click from the previous user segment fails the
+    user check and yields NULL). Per-user semantics are identical to
+    the per-key searchsorted: the LATEST click with c.ts <= p.ts,
+    ties on (user, ts) resolved by the same stable original order the
+    old argsort used (vacuous on the fixture's per-user-unique
+    timestamps), NULL where no click precedes."""
     import numpy as np
 
     n = len(purchases)
@@ -160,25 +166,51 @@ def _merge_asof_group(purchases: pd.DataFrame, clicks: pd.DataFrame) -> pd.DataF
                 "click_id": pd.Series(dtype="Int64"),
             }
         )
+    p_user = purchases["user_id"].to_numpy()
+    p_ts = purchases["ts"].to_numpy()
     if clicks.empty:
         click_id = pd.arrays.IntegerArray(
             np.zeros(n, dtype="int64"), mask=np.ones(n, dtype=bool)
         )
     else:
+        c_user = clicks["user_id"].to_numpy()
         c_ts = clicks["ts"].to_numpy()
-        c_order = np.argsort(c_ts, kind="stable")
-        c_ts = c_ts[c_order]
-        c_ids = clicks["event_id"].to_numpy()[c_order]
-        idx = np.searchsorted(c_ts, purchases["ts"].to_numpy(), side="right") - 1
+        c_ids = clicks["event_id"].to_numpy()
+        nc = len(c_user)
+        users = np.concatenate([c_user, p_user])
+        ts = np.concatenate([c_ts, p_ts])
+        kind = np.concatenate(
+            [np.zeros(nc, dtype=np.int8), np.ones(n, dtype=np.int8)]
+        )
+        order = np.lexsort((kind, ts, users))
+        k_sorted = kind[order]
+        u_sorted = users[order]
+        pos = np.arange(len(order))
+        # most recent click position so far (global); a click from an
+        # earlier user segment fails the same-user check below
+        ff = np.maximum.accumulate(np.where(k_sorted == 0, pos, -1))
+        valid = ff >= 0
+        same_user = np.zeros(len(order), dtype=bool)
+        same_user[valid] = u_sorted[ff[valid]] == u_sorted[valid]
+        is_p = k_sorted == 1
+        has = (valid & same_user)[is_p]
+        # ff points into the sorted stream; order[...] maps back to the
+        # concatenated frame, where positions < nc are clicks
+        click_src = order[np.maximum(ff[is_p], 0)]
+        matched = np.where(has, c_ids[np.minimum(click_src, nc - 1)], 0)
+        # purchases come back in sorted order; map to original rows
+        p_orig = order[is_p] - nc
+        inv = np.empty(n, dtype=np.int64)
+        inv[p_orig] = np.arange(n)
         click_id = pd.arrays.IntegerArray(
-            c_ids[np.maximum(idx, 0)].astype("int64"), mask=idx < 0
+            matched[inv].astype("int64"), mask=~has[inv]
         )
     # output row order is free (every consumer canonicalizes rows), so
     # the purchases frame is never sorted or copied
     return pd.DataFrame(
         {
             "event_id": purchases["event_id"].to_numpy(),
-            "user_id": purchases["user_id"].to_numpy(),
+            "user_id": p_user,
             "click_id": click_id,
         }
     )
@@ -207,20 +239,36 @@ def udf_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     NB merge_asof ties: with allow_exact_matches, pandas takes the LAST
     right row at equal ts only if timestamps are unique per user — the
     events fixture guarantees per-user ts uniqueness, matching the
-    window-trick's max-id tiebreak vacuously."""
+    window-trick's max-id tiebreak vacuously.
+
+    Scale note 2 (r15, VERDICT r14 item 5): the cogroup KEY is a
+    deterministic hash BUCKET of user_id, not user_id itself. Cogrouped
+    applyInPandas pays per KEY — one Python function call plus two
+    pandas frames — so keying by user serialized n_users tiny frames
+    (~1 ms each; this operator's whole residual cost). Bucketing packs
+    ~thousands of users per call and the kernel regroups them with one
+    vectorized lexsort + running-maximum pass (see _merge_asof_group);
+    users are disjoint across buckets, so the result is row-identical.
+    Bucket count = 8x the shuffle parallelism — enough keys to spread
+    evenly (guide §2.5 synthetic-key note; xxhash64 is deterministic
+    under task retry), few enough to amortize the per-key boundary;
+    per-bucket memory is rows/B, sized by the same conf that sizes
+    every other partition."""
     from ..catalog import load
 
     t = load(spark, sf_dir)
     ev = t.events
+    par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    bucket = F.pmod(F.xxhash64("user_id"), F.lit(8 * par)).alias("b")
     purchases = ev.where(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts"
+        "event_id", "user_id", "ts", bucket
     )
     clicks = ev.where(F.col("event_type") == "click").select(
-        "event_id", "user_id", "ts"
+        "event_id", "user_id", "ts", bucket
     )
     return (
-        purchases.groupBy("user_id")
-        .cogroup(clicks.groupBy("user_id"))
+        purchases.groupBy("b")
+        .cogroup(clicks.groupBy("b"))
         .applyInPandas(
             _merge_asof_group, schema="event_id long, user_id long, click_id long"
         )
@@ -291,19 +339,31 @@ def _decay_group(pdf: pd.DataFrame) -> pd.DataFrame:
     # but each per-user call's pandas setup dominated it (guide §4.3).
     # int() per element keeps the arithmetic in unbounded Python ints,
     # exactly as before.
+    # r15 (VERDICT r14 item 5 applied to the sibling): the group is a
+    # hash BUCKET of users; the lexsort orders (user, ts, event_id) and
+    # the state resets at each user boundary — per-user recursion
+    # identical, n_users fewer Python invocations and pandas frames.
     import numpy as np
 
-    order = np.lexsort((pdf["event_id"].to_numpy(), pdf["ts"].to_numpy()))
+    u_raw = pdf["user_id"].to_numpy()
+    order = np.lexsort(
+        (pdf["event_id"].to_numpy(), pdf["ts"].to_numpy(), u_raw)
+    )
+    u = u_raw[order]
     v = pdf["v"].to_numpy()[order]
     s = 0
+    prev_u = None
     out = np.empty(len(v), dtype="int64")
     for i, x in enumerate(v):
+        if u[i] != prev_u:
+            s = 0
+            prev_u = u[i]
         s = int(x) + (DECAY_NUM * s) // DECAY_DEN
         out[i] = s
     return pd.DataFrame(
         {
             "event_id": pdf["event_id"].to_numpy()[order],
-            "user_id": pdf["user_id"].to_numpy()[order],
+            "user_id": u,
             "decay_units": out,
         }
     )
@@ -348,15 +408,24 @@ def udf_stateful_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     implies (Flink keyed state, Spark transformWithState). The oracle
     replays the identical recursion as a WITH RECURSIVE chain, joined
     on rn = prev.rn + 1 per user — integer states, so cross-engine
-    equality is exact, not approximate."""
+    equality is exact, not approximate.
+
+    r15: grouped on a hash BUCKET of user_id (the udf_cogrouped recipe
+    — applyInPandas pays one Python call + one pandas frame per KEY,
+    so per-user keys serialized n_users tiny frames); the kernel
+    resets the accumulator at user boundaries, so per-user semantics
+    and the skew bound (a mega-user still streams through one task)
+    are unchanged."""
     t = load(spark, sf_dir)
+    par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     base = t.events.select(
         "event_id",
         "user_id",
         "ts",
         F.floor(F.col("value") * DECAY_UNIT).cast("bigint").alias("v"),
+        F.pmod(F.xxhash64("user_id"), F.lit(8 * par)).alias("b"),
     )
-    return base.groupBy("user_id").applyInPandas(
+    return base.groupBy("b").applyInPandas(
         _decay_group, schema="event_id long, user_id long, decay_units long"
     )
 

@@ -1229,13 +1229,22 @@ def dedup_fuzzy_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("key"), F.col("c_name").alias("name")
     ).repartition(spark.sparkContext.defaultParallelism)
     # Join on a 64-bit hash of the variant, not the string: the shuffle
-    # carries (key, name, long) — names are ~18 bytes, cheap to carry —
-    # and a hash collision merely adds a candidate the verify rejects.
-    # The levenshtein verify runs BEFORE pair dedup: raw candidates
-    # (pairs x shared-variant multiplicity) are ~2x the distinct pairs,
-    # but most are ed-3/4 shift collisions the filter kills, so deduping
-    # the small verified set beats a distinct() over the full candidate
-    # space (measured 39s -> 17s at sf0.1).
+    # carries (key, long) and a hash collision merely adds a candidate
+    # the verify rejects.
+    #
+    # r15 (VERDICT r14 item 4): candidates are deduplicated BEFORE the
+    # banded-DP verify, as bare INT pairs, and the names are attached
+    # to the surviving 17.4M distinct pairs afterwards (guide §2.3 /
+    # §8: decide on lightweight proxies, attach the payload once). The
+    # block join emits 31.7M (pair x shared-variant) rows — each true
+    # pair ~4x via its shared deletion variants — so the r14 spelling
+    # ran the banded levenshtein 31.7M times and THEN deduped 17M
+    # verified rows. Int-first dedup runs the DP once per distinct
+    # candidate: measured 9.7 -> 4.7 s at sf0.1 (candidates 31.7M ->
+    # 17.4M DP rows; output pairs identical, 4 083 571). The r5 note
+    # "verify before dedup (39s -> 17s)" predates both the banded DP
+    # and this narrow spelling — its distinct() carried name strings
+    # through the full multiplicity.
     variants = names.select(
         "key",
         "name",
@@ -1247,29 +1256,32 @@ def dedup_fuzzy_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("variant"),
     )
     a, b = variants.alias("a"), variants.alias("b")
-    # THRESHOLDED levenshtein (Spark 3.5+ banded DP: O(t*len) per pair
-    # instead of O(len^2), returns -1 past the threshold): the verify
-    # runs on every candidate the blocking emits — ~34M rows at sf0.1 —
-    # and was this query's dominant cost; the banded form took the cold
-    # profile from 15.1s to ~8s (r5; an exact positional prune of
-    # redundant depth-2 matches was ALSO measured here and lost — its
-    # 8-substring check cost more per row than the banded DP it saved).
-    # Codegen subexpression elimination computes the dist expr once per
-    # row for both the filter and the projection.
-    dist = F.levenshtein(F.col("a.name"), F.col("b.name"), _FUZZY_T)
-    return (
+    cand = (
         a.join(
             b,
             (F.col("a.variant") == F.col("b.variant"))
             & (F.col("a.key") < F.col("b.key")),
         )
-        .where(dist >= 0)
         .select(
-            F.col("a.key").alias("key_a"),
-            F.col("b.key").alias("key_b"),
-            dist.cast("int").alias("edit_dist"),
+            F.col("a.key").alias("key_a"), F.col("b.key").alias("key_b")
         )
         .dropDuplicates(["key_a", "key_b"])
+    )
+    # THRESHOLDED levenshtein (Spark 3.5+ banded DP: O(t*len) per pair
+    # instead of O(len^2), returns -1 past the threshold) on the
+    # deduped pairs. The name attach is two equi-joins against the
+    # customer projection — auto-broadcast at local SFs, a plain
+    # key-partitioned join at scale (no forced hint: names are the
+    # SF-scaling side). Codegen subexpression elimination computes the
+    # dist expr once per row for both the filter and the projection.
+    na = names.select(F.col("key").alias("key_a"), F.col("name").alias("name_a"))
+    nb = names.select(F.col("key").alias("key_b"), F.col("name").alias("name_b"))
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"), _FUZZY_T)
+    return (
+        cand.join(na, "key_a")
+        .join(nb, "key_b")
+        .where(dist >= 0)
+        .select("key_a", "key_b", dist.cast("int").alias("edit_dist"))
     )
 
 
