@@ -3555,7 +3555,26 @@ def sim_search_nsw(spark: SparkSession, sf_dir: str) -> DataFrame:
     frontier is deduped by (query, node) and re-ranked with vec_id
     tiebreaks, every cosine recomputed from the same doubles, so both
     engines visit the same set. Fixed hop budget = the pagerank/kcore
-    unrolled-iteration doctrine."""
+    unrolled-iteration doctrine.
+
+    r15 (VERDICT r14 item 6): the walk's BOOKKEEPING moves to the
+    driver — the r14 loop ran ~3 Spark jobs per hop (broadcast build +
+    merge/checkpoint + the next window) over frames that are
+    answer-sized BY CONSTRUCTION: visited <= queries x (NSW_STARTS +
+    NSW_HOPS x NSW_BEAM x deg) rows of three scalars, a CONSTANT
+    independent of corpus size (measured 3 667 rows at sf0.1), so the
+    walk was pure job-scheduling latency. Each hop is now ONE job: the
+    tiny beam ships down as a literal frame, the corpus-sized g and e
+    are probed in place (still never broadcast, still never
+    collected), and the scored expansion — beam x deg rows — comes
+    back to merge into a driver dict. Max-merge, beam ranking
+    (cosine DESC, node ASC) and the final top-10 replay the exact
+    groupBy-max / row_number rules on the exact same doubles
+    (collect round-trips IEEE-754 binary64 losslessly), re-verified
+    against the full SQL-replay oracle at 3 SFs. This is the
+    guide-§5-sanctioned driver role: answer-sized decisions on the
+    driver, corpus-sized work on the executors — the collect the r13
+    seed layer already established, not a data-sized pull."""
     t = load(spark, sf_dir)
     # The edge graph is corpus-sized: hash-partition it on src ONCE and
     # reuse that layout across every hop (the graph_hits recipe —
@@ -3588,78 +3607,99 @@ def sim_search_nsw(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("embedding").cast("array<double>").alias("qe"),
     ).withColumn("qn", F.sqrt(dot_double(F.col("qe"), F.col("qe"))))
-    cos_qs = dot_double(F.col("qe"), F.col("sv")) / (
-        F.col("qn") * F.col("snrm")
-    )
-    w_start = Window.partitionBy("query_id").orderBy(
-        F.col("cs").desc(), "sid"
-    )
-    start = (
-        seeds.crossJoin(F.broadcast(q))
-        .select("query_id", "sid", cos_qs.alias("cs"))
-        .withColumn("rn", F.row_number().over(w_start))
-        .where(F.col("rn") <= NSW_STARTS)
-        .select("query_id", F.col("sid").alias("node"))
-    )
 
-    def _score(frontier: DataFrame) -> DataFrame:
-        # vector lookup for the frontier: broadcast the (tiny) frontier
-        # and the 5-row query frame into the corpus-sized e as two
-        # INDEPENDENT flat broadcasts (r14: the old nested
-        # frontier ⋈ q pre-join serialized two broadcast builds per
-        # hop) — e stays scan-local, no exchange, no corpus broadcast.
+    import numpy as np
+
+    # Start scores driver-side from the ALREADY-materialized sqrt(N)
+    # seed layer + the 5 query rows — the exhaustive layer-1 descent
+    # was a crossJoin + window job over the same numbers. The NumPy
+    # per-dimension fold is dot_double's exact left fold (the kernel
+    # recipe); qn/snrm are the Spark-folded doubles themselves.
+    seed_rows = sorted(
+        seeds.select("sid", "sv", "snrm").collect(), key=lambda r: r.sid
+    )
+    sids = np.array([r.sid for r in seed_rows], dtype=np.int64)
+    SV = np.array([r.sv for r in seed_rows], dtype=np.float64)
+    snrm = np.array([r.snrm for r in seed_rows], dtype=np.float64)
+    q_rows = sorted(q.collect(), key=lambda r: r.query_id)
+    visited: dict[tuple[int, int], float] = {}
+    for r in q_rows:
+        qe = np.asarray(r.qe, dtype=np.float64)
+        acc = np.zeros(len(sids))
+        for d in range(qe.shape[0]):
+            acc = acc + qe[d] * SV[:, d]
+        cs = acc / (r.qn * snrm)
+        # row_number() over (cs DESC, sid) <= NSW_STARTS
+        top = np.lexsort((sids, -cs))[:NSW_STARTS]
+        for i in top:
+            visited[(r.query_id, int(sids[i]))] = float(cs[i])
+
+    def _beam_df() -> DataFrame:
+        # top-NSW_BEAM per query by (cosine DESC, node ASC) — the exact
+        # w_beam row_number rule, on the exact collected doubles. The
+        # beam ships as a VALUES LocalRelation (two int columns, <=
+        # queries x NSW_BEAM rows): its broadcast builds driver-side
+        # with NO job — a parallelized frame would cost a 32-task job
+        # per hop just to build the broadcast (measured; the r14
+        # LocalRelation warning was about 64-double ARRAY literals
+        # bloating optimizer passes, not int pairs).
+        per_q: dict[int, list[tuple[float, int]]] = {}
+        for (qid, node), cos in visited.items():
+            per_q.setdefault(qid, []).append((cos, node))
+        rows = []
+        for qid, lst in per_q.items():
+            lst.sort(key=lambda t: (-t[0], t[1]))
+            rows.extend((qid, node) for _, node in lst[:NSW_BEAM])
+        vals = ", ".join(f"({qid}L, {node}L)" for qid, node in rows)
+        return spark.sql(f"SELECT * FROM VALUES {vals} AS t(query_id, node)")
+
+    for _ in range(NSW_HOPS):
+        # ONE job per hop: expand the literal beam through the
+        # partitioned g, look the expansion's vectors up in e (both
+        # corpus-sized frames probed in place, never broadcast, never
+        # collected), and pull back the beam x deg scored rows.
+        # Duplicate (query, node) expansions score to identical
+        # doubles; the dict max-merge is the old groupBy-max.
+        beam = _beam_df()
+        expanded = g.join(F.broadcast(beam), beam.node == g.src).select(
+            "query_id", F.col("dst").alias("node")
+        )
         cos = dot_double(F.col("qe"), F.col("nv")) / (
             F.col("qn") * F.sqrt(dot_double(F.col("nv"), F.col("nv")))
         )
-        return (
-            e.join(F.broadcast(frontier), "node")
+        scored = (
+            e.join(F.broadcast(expanded), "node")
             .join(F.broadcast(q), "query_id")
             .select("query_id", "node", cos.alias("cosine"))
+        ).collect()
+        for r in scored:
+            k = (r.query_id, r.node)
+            c = visited.get(k)
+            if c is None or r.cosine > c:
+                visited[k] = r.cosine
+    # final top-10 per query over everything visited — row_number()
+    # over (cosine DESC, node ASC), self excluded; ROUND stays a Spark
+    # expression so both engines round the identical doubles.
+    per_q = {}
+    for (qid, node), cos in visited.items():
+        if node != qid:
+            per_q.setdefault(qid, []).append((cos, node))
+    rows = []
+    for qid, lst in per_q.items():
+        lst.sort(key=lambda t: (-t[0], t[1]))
+        rows.extend(
+            (qid, node, cos, rk)
+            for rk, (cos, node) in enumerate(lst[:10], start=1)
         )
-
-    # Per-hop localCheckpoint: each hop's beam feeds the next hop's
-    # expansion, so without a barrier hop k's lazy plan re-embeds and
-    # RE-EXECUTES hops 1..k-1 (the win_mad_anomaly lineage lesson);
-    # the checkpointed frames are answer-sized (queries x visited).
-    visited = _score(start).localCheckpoint()
-    beam = visited.select("query_id", "node")
-    w_beam = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), "node"
+    # answer frame as a VALUES LocalRelation (no parallelize job);
+    # repr() is the shortest exact round-trip of a binary64 and the
+    # CAST parse is correctly rounded, so ROUND sees the identical
+    # doubles the walk scored.
+    vals = ", ".join(
+        f"({qid}L, {node}L, CAST('{cos!r}' AS DOUBLE), {rk})"
+        for qid, node, cos, rk in rows
     )
-    for _ in range(NSW_HOPS):
-        # no per-hop distinct on the expansion (r14): duplicates score
-        # to identical (query, node, cosine) rows and the max-merge
-        # below already dedups — dropping it removes one exchange per
-        # hop from the critical path (the expansion is answer-sized,
-        # <= queries x NSW_BEAM x degree rows, so the extra scored
-        # duplicates are noise). Checkpointing only every SECOND hop
-        # was tried in the r14 second pass and REJECTED: the
-        # uncheckpointed hop re-executes through both the next union
-        # and the next broadcast(beam) build and measured ~1-2 s
-        # slower with 2x the variance.
-        expanded = (
-            g.join(F.broadcast(beam), beam.node == g.src)
-            .select("query_id", F.col("dst").alias("node"))
-        )
-        visited = (
-            visited.unionByName(_score(expanded))
-            .groupBy("query_id", "node")
-            .agg(F.max("cosine").alias("cosine"))
-            .localCheckpoint()
-        )
-        beam = (
-            visited.withColumn("rn", F.row_number().over(w_beam))
-            .where(F.col("rn") <= NSW_BEAM)
-            .select("query_id", "node")
-        )
-    return (
-        visited.where(F.col("node") != F.col("query_id"))
-        .withColumn("rk", F.row_number().over(w_beam))
-        .where(F.col("rk") <= 10)
-        .select(
-            "query_id",
-            F.col("node").alias("neighbor_id"),
-            F.round("cosine", 4).alias("cosine"),
-            "rk",
-        )
+    return spark.sql(
+        "SELECT query_id, neighbor_id, ROUND(cosine, 4) AS cosine, rk "
+        f"FROM VALUES {vals} AS t(query_id, neighbor_id, cosine, rk)"
     )
