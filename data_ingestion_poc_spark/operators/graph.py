@@ -512,6 +512,44 @@ _LABELPROP_ORACLE = (
 )
 
 
+#: Width of the zero-right-padded digit field in the label-prop node
+#: code: 13 digits keeps the code inside a BIGINT with the supplier bit
+#: at 2^62 (rpad value <= 10^13 - 1, x16 + len <= 1.6e14) and covers
+#: node keys far past any SF this engine targets.
+_LP_DIGITS = 13
+
+
+def _lp_code(col: str):
+    """Order-preserving BIGINT code of a 'c<digits>'/'s<digits>' node
+    id (r15 label-prop encoding — see graph_label_propagation). Total
+    order matches STRING comparison exactly: supplier bit (s > c) then
+    lexicographic digits = right-padded numeric value with length as
+    the tiebreak (a strict prefix sorts first)."""
+    digits = F.expr(f"substring({col}, 2)")
+    return (
+        F.when(
+            F.expr(f"substring({col}, 1, 1)") == "s", F.lit(1 << 62)
+        ).otherwise(F.lit(0))
+        + F.expr(
+            f"CAST(rpad(substring({col}, 2), {_LP_DIGITS}, '0') AS BIGINT)"
+        )
+        * 16
+        + F.length(digits)
+    ).cast("bigint")
+
+
+def _lp_decode(col: str):
+    """Inverse of _lp_code: BIGINT code back to the node-id string
+    (body = padded_value * 16 + len; the padded value right-padded the
+    digits with zeros, so lpad-to-width then take the first len)."""
+    sbit = 1 << 62
+    return F.expr(
+        f"concat(IF({col} >= {sbit}L, 's', 'c'), "
+        f"substring(lpad(CAST(({col} % {sbit}L) DIV 16 AS STRING), "
+        f"{_LP_DIGITS}, '0'), 1, CAST(({col} % {sbit}L) % 16 AS INT)))"
+    )
+
+
 @register("graph_label_propagation", oracle=_LABELPROP_ORACLE)
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection by synchronous weighted label propagation
@@ -540,8 +578,26 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the previous labels TWICE (edge join + self-vote union), so the
     # lazy lineage re-executed earlier rounds 2^k times (the r13 --all
     # record read 9.5 s; the checkpointed loop replays identically).
+    #
+    # r15 (VERDICT r14 item 7): the loop runs on an ORDER-PRESERVING
+    # integer code of the node-id strings (_lp_code / _lp_decode), so
+    # every per-round hash-agg key and broadcast row is two bigints
+    # instead of two strings. The code is arithmetic — no rank job, no
+    # dictionary join: string order over 'c<digits>'/'s<digits>' is
+    # (prefix, lexicographic digits), and lexicographic order over
+    # digit strings equals numeric order of the 13-right-padded value
+    # with the LENGTH as tiebreak ('1' < '10' < '2' becomes
+    # 1e12*16+1 < 1e12*16+2 < 2e12*16+1). Winner picks use the same
+    # (wsum DESC, label ASC) rule on codes, so both engines elect
+    # identical communities; codes decode back to the identical
+    # strings at the end (bijection on this id domain).
     bc = _node_bcast(spark, sf_dir)  # labels are node-sized: SF-scaling
-    edges = _both_directions(e0).repartition("dst").persist()
+    edges = (
+        _both_directions(e0)
+        .select(_lp_code("src").alias("src"), _lp_code("dst").alias("dst"), "w")
+        .repartition("dst")
+        .persist()
+    )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -570,8 +626,8 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
     return labels.select(
-        "node",
-        F.col("label").alias("community"),
+        _lp_decode("node").alias("node"),
+        _lp_decode("label").alias("community"),
         F.count(F.lit(1))
         .over(Window.partitionBy("label"))
         .alias("community_size"),
