@@ -87,13 +87,28 @@ def agg_hash_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct counts per group (the dedup identity triple of
-    A16/A17 reduced to cardinality). Spark expands multi-distinct via
-    EXPAND; at extreme scale prefer agg_approx_distinct."""
+    A16/A17 reduced to cardinality). Spark plans multi-distinct in ONE
+    aggregate via EXPAND (rows replicated once per distinct column);
+    r15 splits the two distinct columns into separate two-phase
+    aggregations joined on the 3-row group key — each scan prunes to
+    its own column, no Expand, value-identical (the
+    agg_approx_distinct_bound / q_full_star_rollup recipe; 0.94 ->
+    0.67 s at sf0.1). At extreme scale prefer agg_approx_distinct."""
     t = load(spark, sf_dir)
-    return t.lineitem.groupBy("l_returnflag").agg(
-        F.countDistinct("l_partkey").alias("distinct_parts"),
-        F.countDistinct("l_suppkey").alias("distinct_supps"),
-        F.count(F.lit(1)).alias("n_rows"),
+    li = t.lineitem.select("l_returnflag", "l_partkey", "l_suppkey")
+    parts = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("distinct_parts")
+    )
+    supps = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("distinct_supps")
+    )
+    n = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_rows"))
+    return (
+        parts.join(supps, "l_returnflag")
+        .join(n, "l_returnflag")
+        .select(
+            "l_returnflag", "distinct_parts", "distinct_supps", "n_rows"
+        )
     )
 
 
