@@ -828,10 +828,21 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and every half-round join are unchanged).
     e0 = e0.localCheckpoint()
     bc = _node_bcast(spark, sf_dir)  # score frames are node-sized
-    e_by = {
-        "src": e0.repartition("src").persist(),
-        "dst": e0.repartition("dst").persist(),
-    }
+    # r15: the two pre-hash-partitioned edge copies are the r12 fix for
+    # the SORT-MERGE regime (edge side re-shuffled every half-round).
+    # When the node-sized score frame broadcasts (the dispatched local
+    # regime), the edge side never shuffles at all — both copies were
+    # two full edge shuffles + persists of dead weight. Build them only
+    # when the shuffle path is actually taken.
+    if bc is F.broadcast:
+        e_by = {"src": e0, "dst": e0}
+        _edge_caches = []
+    else:
+        e_by = {
+            "src": e0.repartition("src").persist(),
+            "dst": e0.repartition("dst").persist(),
+        }
+        _edge_caches = list(e_by.values())
 
     def _half(scores: DataFrame, edge_key: str, group_key: str) -> DataFrame:
         # persist + fetch the round max as a bounded 1-row driver scalar
@@ -862,7 +873,7 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     # eagerly, so the edge caches are spent; the returned frame executes
     # off the persisted final-round `raw` frames (recompute from parquet
     # if evicted) — release the two edge copies per the cache discipline
-    for ec in e_by.values():
+    for ec in _edge_caches:
         ec.unpersist()
     return hubs.select(
         "node", F.lit("hub").alias("role"), F.col("units").cast("bigint").alias("score_units")
