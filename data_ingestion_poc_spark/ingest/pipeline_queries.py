@@ -383,9 +383,14 @@ def ingest_blob_store_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
     ok, _quarantine = split_verified(fetched)
     exploded = ok.mapInPandas(explode_archives, schema=EXPLODED_SCHEMA)
     derived = derive_columns(exploded)
+    # r15: the three upload rounds each consumed the lazy pipeline, so
+    # fetch -> explode_archives (Python) -> derive -> dedup executed
+    # THREE times; one localCheckpoint materializes the manifest-bounded
+    # record frame once and the rounds re-read it (round ordering still
+    # pinned by each round's own eager checkpoint below).
     records = dedup_against_sink(
         derived, spark.createDataFrame([], SINK_STATE_SCHEMA), "skip"
-    )
+    ).localCheckpoint()
     root = os.path.join(
         tempfile.gettempdir(), f"dip_blob_store_{uuid.uuid4().hex[:8]}"
     )
