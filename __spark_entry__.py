@@ -39,31 +39,51 @@ def entry(spark: SparkSession) -> DataFrame:
 # that already has a driver verdict (from the committed
 # CORRECTNESS_r0*.json files — r5's hand-maintained 180-line _JUDGED list
 # is gone; drift there silently wasted window slots).
-_CHANGED_THIS_ROUND = [
-    # r14 (VERDICT r13 item 1): sim_search_nsw rebuilt around GLOBAL
-    # sqrt(N) IVF cells (label-free seeds, seed->member downlinks,
-    # top-NSW_STARTS=16 exhaustive layer-1 descent) and the walk plan
-    # flipped to broadcast the answer-sized frontier against the
-    # src-partitioned edge graph (never the graph itself). VALUES
-    # changed (different graph => different visited set; recall@10 now
-    # floors at >=0.9 every SF, was 40-90%) — both re-oracled at 3 SFs
-    # + sp3/sp64/AQE-off + float margin on the day of the rebuild.
-    "sim_search_nsw",
-    "sim_search_nsw_recall",
+_CHANGED_THIS_ROUND: list[str] = [
+    # r15 (optimization round 2 of 2): NO query's values changed — every
+    # rewrite is pinned value-identical by the oracle. The restructured
+    # names sit in _CHANGED_JUDGED_THIS_ROUND below so the driver's
+    # window re-hashes them; this list is for VALUE changes only.
 ]
 
-# VERDICT r13 item 2 root-cause note: the judge's claim that the r13
-# driver window SKIPPED this trio was a misread — the simulated
-# first-50 at the r13 driver HEAD (9792de8) is SET-IDENTICAL to
-# CORRECTNESS_r13.json's keys, with the trio at positions 25-27 and
-# all three hash-PASS (verified mechanically this round; see
-# BASELINE.md "r14 window bookkeeping"). They are retained here one
-# more round anyway so CORRECTNESS_r14 shows them green again per the
-# verdict's Done-criterion, at the head of the judged block.
+# r15: every operator whose PHYSICAL implementation was restructured
+# this round (driver-walk NSW, tiled pair kernels, size-dispatched
+# graph broadcasts, integer label codes, Expand splits, candidate
+# dedup, bucketed UDF groups, fanout_repartition call sites) — values
+# identical, re-oracled locally at sf0.01 plus robustness axes; listed
+# here so CORRECTNESS_r15 re-verifies their hashes on the driver.
 _CHANGED_JUDGED_THIS_ROUND: list[str] = [
-    "embed_hubness",
+    "sim_search_nsw",
+    "sim_search_nsw_recall",
+    "dedup_fuzzy_name",
+    "udf_cogrouped",
+    "udf_stateful_decay",
+    "graph_label_propagation",
+    "q_full_star_rollup",
+    "agg_distinct",
     "graph_hits",
-    "win_mad_anomaly",
+    "graph_jaccard_neighbors",
+    "graph_assortativity",
+    "ingest_blob_store_policies",
+    "graph_pagerank",
+    "graph_katz_centrality",
+    "graph_kcore",
+    "graph_bfs_distance",
+    "dedup_embedding_cosine",
+    "dedup_semantic",
+    "dedup_embedding_recall",
+    "dedup_semantic_recall",
+    "embed_hubness",
+    "embed_hubness_ivf",
+    "embed_hubness_exact",
+    "embed_intrinsic_dim",
+    "agg_countmin_sketch",
+    "agg_bootstrap_ci",
+    "agg_histogram_equidepth",
+    "dedup_minhash",
+    "corpus_decontaminate",
+    "corpus_decontaminate_bloom",
+    "profile_table",
 ]
 
 

@@ -179,3 +179,41 @@ def test_node_bcast_dispatches_on_table_stats(spark):
         assert bc(df) is df
     finally:
         del os.environ["DIP_GRAPH_BCAST_MAX_NODES"]
+
+
+def test_profile_table_splits_the_multi_distinct_expand(spark):
+    """profile_table (r15): five countDistinct columns fused in one
+    aggregate force the multi-distinct Expand — every orders row
+    replicated x6 through SortAggregates keyed on all five profiled
+    columns. The split spelling (plain count/min/max aggregate +
+    one partial-distinct aggregate per column, cross-joined 1-row
+    frames) must produce the identical profile with no Expand node."""
+    from pyspark.sql import functions as F
+
+    fn = registry.get("profile_table").fn
+    df = fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+
+    from data_ingestion_poc_spark.catalog import load
+    from data_ingestion_poc_spark.operators.profile import _COLS
+
+    t = load(spark, SF_SMOKE)
+    aggs = []
+    for c in _COLS:
+        aggs += [
+            F.count(c).alias(f"{c}__n"),
+            F.countDistinct(c).alias(f"{c}__d"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    fused = t.orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__n, {c}__d, {c}__min, {c}__max" for c in _COLS
+    )
+    ref = fused.selectExpr(
+        f"stack({len(_COLS)}, {stack_args}) AS "
+        "(column_name, n_nonnull, n_distinct, min_s, max_s)"
+    )
+    assert _rows(df) == _rows(ref)
+    assert df.schema == ref.schema
