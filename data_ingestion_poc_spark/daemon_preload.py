@@ -24,7 +24,11 @@ from __future__ import annotations
 
 import importlib
 
-for _mod in (
+#: Exposed as a constant so tests can verify every name actually
+#: imports — the loop below degrades to the stock daemon on ANY
+#: failure, so a typo'd module name would otherwise silently lose its
+#: preload (and the per-fork import tax would quietly return).
+PRELOAD_MODULES = (
     "numpy",
     "pandas",
     "pyarrow",
@@ -33,7 +37,22 @@ for _mod in (
     "pyspark.sql.pandas.serializers",
     "pyspark.sql.pandas.types",
     "pyspark.worker",
-):
+    # r15: engine modules whose module-level kernel helpers ship BY
+    # REFERENCE in UDF closures (cloudpickle pickles a module-global
+    # function of an importable module as (module, qualname), not by
+    # value — e.g. _topk_ids_tiled inside the hubness/NSW cell
+    # kernels). Without preloading, EVERY forked worker re-imports
+    # ~0.8 s of engine+pyspark.sql modules on its first such task —
+    # measured 4x on embed_hubness_ivf's cell stage (314 ms -> 1.3 s
+    # of "time to run Python workers"). Importing similarity pulls
+    # dedup and catalog transitively; all are import-side-effect-free
+    # beyond oracle-string construction.
+    "data_ingestion_poc_spark.llm.similarity",
+    "data_ingestion_poc_spark.llm.evaluation",
+    "data_ingestion_poc_spark.functions.udfs",
+)
+
+for _mod in PRELOAD_MODULES:
     try:  # pragma: no cover - import side effect only
         importlib.import_module(_mod)
     except Exception:  # noqa: BLE001 - any failure => stock behavior

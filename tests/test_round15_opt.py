@@ -217,3 +217,20 @@ def test_profile_table_splits_the_multi_distinct_expand(spark):
     )
     assert _rows(df) == _rows(ref)
     assert df.schema == ref.schema
+
+
+def test_daemon_preload_modules_all_import():
+    """The worker daemon preloads engine modules whose kernel helpers
+    ship by reference in UDF closures (r15: _topk_ids_tiled pickles as
+    (module, qualname), so a fresh forked worker re-imports ~0.8 s of
+    engine modules on its first kernel task — measured 4x on
+    embed_hubness_ivf's cell stage). The preload loop swallows import
+    errors by design (stock-daemon degradation), so this test is the
+    only thing that catches a typo'd or bit-rotted module name."""
+    import importlib
+
+    from data_ingestion_poc_spark.daemon_preload import PRELOAD_MODULES
+
+    assert "data_ingestion_poc_spark.llm.similarity" in PRELOAD_MODULES
+    for mod in PRELOAD_MODULES:
+        importlib.import_module(mod)
